@@ -1,13 +1,336 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Op
+import graft.operators.{Changelog, Dedup, MergeStrategy, Similarity, Writer}
+import graft.functions.Text
+
+/**
+ * Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+ *
+ * Every entry in [[queries]] exercises one operator from SURVEY.md §2 (or a
+ * beyond-reference LLM-pipeline operator) against the driver's TPC-H-ish
+ * parquet tables; [[oracleSql]] carries the DuckDB-equivalent ANSI SQL.
+ *
+ * Hash-compare discipline: aggregates are computed in DECIMAL (exact, order-
+ * independent) and cast to an identical decimal type on both sides; outputs
+ * carry only deterministic columns and a total ORDER BY.
+ */
 object SparkEntry {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) which Spark 4 won't read
+    * natively: read nanos as long and floor-convert to microseconds. */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Events table recast as an RFC-015 changelog ledger (offset, op, pk, value). */
+  private def eventsLedger(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("event_id").as("offset"),
+      pmod(col("event_id"), lit(4)).cast("int").as("op"),
+      col("user_id"),
+      col("value")
+    )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q5_local_supplier_volume")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- batch SQL surface (SURVEY §2.3: scan, filter, agg, join, window)
+    "q1_pricing_summary" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("2000-12-01 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum(
+            col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount").cast("decimal(18,2)"))
+          ).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    "q3_shipping_priority" -> { (s, dir) =>
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders").filter(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > to_timestamp(lit("1998-01-01 00:00:00")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(
+          sum(
+            col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount").cast("decimal(18,2)"))
+          ).cast("double").as("revenue")
+        )
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    "q5_local_supplier_volume" -> { (s, dir) =>
+      val dims = broadcast(
+        t(s, dir, "nation")
+          .join(t(s, dir, "region").filter(col("r_name") === "ASIA"), col("n_regionkey") === col("r_regionkey"))
+      )
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(
+          t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey")
+        )
+        .join(dims, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(
+            col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount").cast("decimal(18,2)"))
+          ).cast("double").as("revenue")
+        )
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    "q6_forecast_revenue" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")) &&
+            col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24
+        )
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)") * col("l_discount").cast("decimal(18,2)"))
+            .cast("double").as("revenue")
+        )
+    },
+    "q_top_orders_per_customer" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("o_custkey"), col("rnk"))
+    },
+    "q_rollup_order_stats" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total")
+        )
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+    "q_events_daily" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total")
+        )
+        .orderBy(col("day"), col("event_type"))
+    },
+    "q_events_json" -> { (s, dir) =>
+      events(s, dir)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("k_sum"), count(col("k")).as("k_cnt"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---- ODF ledger operators (SURVEY §2.2/§2.3)
+    "cdc_project" -> { (s, dir) =>
+      Changelog.project(eventsLedger(s, dir), Seq("user_id")).orderBy(col("offset"))
+    },
+    "tail" -> { (s, dir) =>
+      Changelog.tail(eventsLedger(s, dir), 100)
+    },
+    "merge_ledger" -> { (s, dir) =>
+      val orders = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val prev = orders.filter(col("o_orderkey") % 3 =!= 0)
+      val incoming = orders.filter(col("o_orderkey") % 2 === 0)
+      MergeStrategy
+        .Ledger(Seq("o_orderkey"))
+        .merge(Some(prev), incoming)
+        .orderBy(col("o_orderkey"))
+    },
+    "merge_snapshot" -> { (s, dir) =>
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val prevLedger = cust
+        .filter(col("c_custkey") % 5 =!= 0)
+        .withColumn("offset", col("c_custkey"))
+        .withColumn("op", lit(Op.Append))
+      val snapshot = cust
+        .filter(col("c_custkey") % 7 =!= 0)
+        .withColumn(
+          "c_acctbal",
+          when(col("c_custkey") % 3 === 0, col("c_acctbal") * 2).otherwise(col("c_acctbal"))
+        )
+      MergeStrategy
+        .Snapshot(Seq("c_custkey"))
+        .merge(Some(prevLedger), snapshot)
+        .orderBy(col("c_custkey"), col("op"))
+    },
+    "offsets_assign" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      Writer.assignOffsets(li, Seq(col("l_orderkey").asc, col("l_linenumber").asc))
+    },
+
+    // ---- LLM-pipeline operators (BASELINE.json north star)
+    "dedup_exact" -> { (s, dir) =>
+      Dedup
+        .exact(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("canonical_id"), col("dup_count"))
+        .orderBy(col("canonical_id"))
+    },
+    "text_stats" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          Text.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+          length(col("text")).cast("bigint").as("n_len")
+        )
+        .orderBy(col("doc_id"))
+    },
+    "ann_bruteforce" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity
+        .bruteForceTopK(q, c, "qid", "qvec", "cid", "cvec", 5)
+        .select(col("qid"), col("rnk").cast("bigint").as("rnk"), col("cid"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    // Rows-only checked (not expressible in portable SQL): MinHash LSH dedup.
+    "dedup_minhash" -> { (s, dir) =>
+      Dedup
+        .minHashLsh(t(s, dir, "documents"), "doc_id", "text", minSim = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    "dedup_simhash" -> { (s, dir) =>
+      Dedup
+        .simHashDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "q_rollup_order_stats" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_events_daily" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_events_json" ->
+      """SELECT event_type, CAST(SUM(k) AS BIGINT) AS k_sum, COUNT(k) AS k_cnt FROM (
+        |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "cdc_project" ->
+      """SELECT "offset", op, user_id, value FROM (
+        |  SELECT event_id AS "offset", CAST(event_id % 4 AS INT) AS op, user_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rnk
+        |  FROM events) WHERE rnk = 1 AND op <> 1 AND op <> 2 ORDER BY "offset"""".stripMargin,
+    "tail" ->
+      """SELECT * FROM (
+        |  SELECT event_id AS "offset", CAST(event_id % 4 AS INT) AS op, user_id, value
+        |  FROM events ORDER BY event_id DESC LIMIT 100) ORDER BY "offset"""".stripMargin,
+    "merge_ledger" ->
+      """SELECT CAST(0 AS INT) AS op, o_orderkey, o_custkey, o_totalprice FROM orders n
+        |WHERE o_orderkey % 2 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM orders p WHERE p.o_orderkey % 3 <> 0 AND p.o_orderkey = n.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "merge_snapshot" ->
+      """WITH old AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 5 <> 0),
+        |new AS (
+        |  SELECT c_custkey, c_name,
+        |         CASE WHEN c_custkey % 3 = 0 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 7 <> 0),
+        |cdc AS (
+        |  SELECT old.c_custkey AS ok, old.c_name AS onm, old.c_acctbal AS ob,
+        |         new.c_custkey AS nk, new.c_name AS nnm, new.c_acctbal AS nb
+        |  FROM old FULL OUTER JOIN new ON old.c_custkey = new.c_custkey
+        |  WHERE (old.c_name IS DISTINCT FROM new.c_name)
+        |     OR (old.c_acctbal IS DISTINCT FROM new.c_acctbal))
+        |SELECT * FROM (
+        |  SELECT CASE WHEN ok IS NULL THEN CAST(0 AS INT) WHEN nk IS NULL THEN CAST(1 AS INT) ELSE CAST(3 AS INT) END AS op,
+        |         CASE WHEN nk IS NULL THEN ok ELSE nk END AS c_custkey,
+        |         CASE WHEN nk IS NULL THEN onm ELSE nnm END AS c_name,
+        |         CASE WHEN nk IS NULL THEN ob ELSE nb END AS c_acctbal
+        |  FROM cdc
+        |  UNION ALL
+        |  SELECT CAST(2 AS INT) AS op, ok, onm, ob FROM cdc WHERE ok IS NOT NULL AND nk IS NOT NULL)
+        |ORDER BY c_custkey, op""".stripMargin,
+    "offsets_assign" ->
+      """SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS "offset",
+        |       l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem ORDER BY "offset"""".stripMargin,
+    "dedup_exact" ->
+      """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count FROM documents
+        |GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+        |ORDER BY canonical_id""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |  CAST(len(text) AS BIGINT) AS n_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings),
+        |scored AS (
+        |  SELECT qid, cid, list_cosine_similarity(qvec, cvec) AS cos FROM q, c WHERE qid <> cid)
+        |SELECT qid, rnk, cid FROM (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        |  FROM scored) WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  )
 }

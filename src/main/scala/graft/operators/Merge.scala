@@ -1,0 +1,279 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.{DatasetVocabulary, Op}
+
+/**
+ * Ingest merge strategies: how a newly-read batch of records is reconciled
+ * against the data already in a dataset, producing RFC-015 changelog rows.
+ *
+ * Semantics mirror the reference's `MergeStrategy` implementations
+ * (src/infra/ingest-datafusion/src/merge_strategies/{append,ledger,snapshot,
+ * upsert_stream,changelog_stream}.rs) but the shapes are Spark-native:
+ *
+ *  - The CDC diff emits correction pairs (-C/+C) via a single-pass
+ *    `array(...)` + `explode` instead of the reference's UNION ALL of two
+ *    projections over the same join (a known double-execution wart,
+ *    snapshot.rs:302-304). One shuffle, one pass, fully codegen'd.
+ *  - Joins are plain equi-joins on the primary key, so Catalyst is free to
+ *    pick broadcast vs sort-merge, and AQE handles skew at scale.
+ *
+ * Output schema of every strategy: `op` column first, then the data columns
+ * (system columns are stamped later by the writer).
+ */
+sealed trait MergeStrategy {
+  def vocab: DatasetVocabulary
+
+  /** Reconcile `prev` (full prior ledger, if any) with the new batch. */
+  def merge(prev: Option[DataFrame], incoming: DataFrame): DataFrame
+
+  /** Sort order used for offset assignment (ties broken by input order). */
+  def sortOrder(df: DataFrame): Seq[Column]
+}
+
+object MergeStrategy {
+
+  /** Pass-through: every incoming record is an append (append.rs:31-53). */
+  final case class Append(vocab: DatasetVocabulary = DatasetVocabulary.Default)
+      extends MergeStrategy {
+    override def merge(prev: Option[DataFrame], incoming: DataFrame): DataFrame =
+      withOpFirst(incoming.withColumn(vocab.operationTypeColumn, lit(Op.Append)), vocab)
+    override def sortOrder(df: DataFrame): Seq[Column] = Nil
+  }
+
+  /**
+   * Ledger: append-only event log keyed by PK; drop incoming records whose key
+   * was already seen in any prior slice (ledger.rs:37-80 — a LeftAnti join).
+   */
+  final case class Ledger(
+      primaryKey: Seq[String],
+      vocab: DatasetVocabulary = DatasetVocabulary.Default
+  ) extends MergeStrategy {
+    require(primaryKey.nonEmpty, "ledger merge requires a primary key")
+
+    override def merge(prev: Option[DataFrame], incoming: DataFrame): DataFrame = {
+      val unseen = prev match {
+        case Some(p) => incoming.join(p.select(primaryKey.map(col): _*), primaryKey, "left_anti")
+        case None =>
+          // Validate PK columns exist even on the first batch.
+          incoming.select(primaryKey.map(col): _*)
+          incoming
+      }
+      withOpFirst(unseen.withColumn(vocab.operationTypeColumn, lit(Op.Append)), vocab)
+    }
+
+    override def sortOrder(df: DataFrame): Seq[Column] =
+      if (df.columns.contains(vocab.eventTimeColumn)) Seq(col(vocab.eventTimeColumn).asc)
+      else Nil
+  }
+
+  /**
+   * Snapshot: the incoming batch is a full snapshot of current state; diff it
+   * against the projected prior state and emit +A / -R / -C,+C changelog rows
+   * (snapshot.rs:221-323). First batch short-circuits to all-appends
+   * (snapshot.rs:332-356).
+   *
+   * The change predicate treats the event-time column specially: a null
+   * event time in the new snapshot is not, by itself, a change
+   * (snapshot.rs:129-138).
+   */
+  final case class Snapshot(
+      primaryKey: Seq[String],
+      compareColumns: Option[Seq[String]] = None,
+      vocab: DatasetVocabulary = DatasetVocabulary.Default
+  ) extends MergeStrategy {
+    require(primaryKey.nonEmpty, "snapshot merge requires a primary key")
+
+    override def merge(prev: Option[DataFrame], incoming: DataFrame): DataFrame =
+      prev match {
+        case None =>
+          withOpFirst(incoming.withColumn(vocab.operationTypeColumn, lit(Op.Append)), vocab)
+        case Some(ledger) =>
+          val dataCols = incoming.columns.toSeq
+          val oldState = Changelog
+            .project(ledger, primaryKey, vocab)
+            .select(dataCols.filter(ledger.columns.contains).map(col): _*)
+          CdcDiff.diff(
+            old = oldState,
+            incoming = incoming,
+            primaryKey = primaryKey,
+            compareColumns = compareColumns,
+            vocab = vocab,
+            incomingOps = false
+          )
+      }
+
+    override def sortOrder(df: DataFrame): Seq[Column] =
+      primaryKey.map(col(_).asc) :+ col(vocab.operationTypeColumn).asc
+  }
+
+  /**
+   * Upsert stream: incoming rows are upserts (+A) or retractions (-R) keyed by
+   * PK; reclassify them against the latest prior state into proper changelog
+   * events, deduplicating intermediate in-batch updates per key
+   * (upsert_stream.rs:350-444).
+   */
+  final case class UpsertStream(
+      primaryKey: Seq[String],
+      vocab: DatasetVocabulary = DatasetVocabulary.Default
+  ) extends MergeStrategy {
+    require(primaryKey.nonEmpty, "upsert merge requires a primary key")
+
+    override def merge(prev: Option[DataFrame], incoming: DataFrame): DataFrame = {
+      val opCol = vocab.operationTypeColumn
+      require(
+        incoming.columns.contains(opCol),
+        s"upsert stream input must carry an '$opCol' column"
+      )
+      // In-batch dedupe: keep only the last row per key (regardless of op), by
+      // arrival order (upsert_stream.rs:84-114). monotonically_increasing_id
+      // preserves the input's partition-major order without collapsing the
+      // batch to a single partition.
+      val arrival = "__graft_arrival"
+      val lastPerKey = {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(primaryKey.map(col): _*).orderBy(col(arrival).desc)
+        incoming
+          .withColumn(arrival, monotonically_increasing_id())
+          .withColumn("__rank", row_number().over(w))
+          .filter(col("__rank") === 1)
+          .drop("__rank", arrival)
+      }
+
+      val oldState = prev match {
+        case Some(ledger) =>
+          val dataCols = incoming.columns.filterNot(_ == opCol)
+          Some(
+            Changelog
+              .project(ledger, primaryKey, vocab)
+              .select(dataCols.filter(ledger.columns.contains).map(col): _*)
+          )
+        case None => None
+      }
+
+      oldState match {
+        case None =>
+          // First batch: drop retractions of nothing; everything else appends.
+          withOpFirst(
+            lastPerKey.filter(col(opCol) =!= Op.Retract).withColumn(opCol, lit(Op.Append)),
+            vocab
+          )
+        case Some(old) =>
+          CdcDiff.diff(
+            old = old,
+            incoming = lastPerKey,
+            primaryKey = primaryKey,
+            compareColumns = None,
+            vocab = vocab,
+            incomingOps = true
+          )
+      }
+    }
+
+    override def sortOrder(df: DataFrame): Seq[Column] =
+      primaryKey.map(col(_).asc) :+ col(vocab.operationTypeColumn).asc
+  }
+
+  /**
+   * Changelog stream: the input is already in RFC-015 changelog form; validate
+   * the op + PK columns exist and pass through (changelog_stream.rs:54-70).
+   */
+  final case class ChangelogStream(
+      primaryKey: Seq[String],
+      vocab: DatasetVocabulary = DatasetVocabulary.Default
+  ) extends MergeStrategy {
+    override def merge(prev: Option[DataFrame], incoming: DataFrame): DataFrame = {
+      val required = vocab.operationTypeColumn +: primaryKey
+      val missing = required.filterNot(incoming.columns.contains)
+      require(missing.isEmpty, s"changelog stream input missing columns: ${missing.mkString(", ")}")
+      withOpFirst(incoming, vocab)
+    }
+    override def sortOrder(df: DataFrame): Seq[Column] = Nil
+  }
+
+  private[operators] def withOpFirst(df: DataFrame, vocab: DatasetVocabulary): DataFrame = {
+    val op = vocab.operationTypeColumn
+    val rest = df.columns.filterNot(_ == op)
+    df.select((op +: rest.toSeq).map(col): _*)
+  }
+}
+
+/**
+ * Shared CDC diff between an old state and a new batch, emitting changelog
+ * rows. Correction pairs are produced in one pass with array+explode rather
+ * than a UNION ALL over a re-executed join.
+ */
+private[operators] object CdcDiff {
+
+  /**
+   * @param incomingOps when true the incoming batch carries an `op` column
+   *                    restricted to +A / -R (upsert semantics: join is LEFT,
+   *                    explicit retractions honored); when false the incoming
+   *                    batch is a bare snapshot (join is FULL OUTER, deletions
+   *                    inferred from absence).
+   */
+  def diff(
+      old: DataFrame,
+      incoming: DataFrame,
+      primaryKey: Seq[String],
+      compareColumns: Option[Seq[String]],
+      vocab: DatasetVocabulary,
+      incomingOps: Boolean
+  ): DataFrame = {
+    val opCol = vocab.operationTypeColumn
+    val dataCols: Seq[String] = (if (incomingOps) incoming.columns.filterNot(_ == opCol)
+                                 else incoming.columns).toSeq
+
+    val o = old.alias("old")
+    val n = incoming.alias("new")
+    def oc(c: String): Column = col(s"old.$c")
+    def nc(c: String): Column = col(s"new.$c")
+
+    val joinCond = primaryKey.map(k => oc(k) === nc(k)).reduce(_ && _)
+    val joined =
+      if (incomingOps) n.join(o, joinCond, "left_outer")
+      else o.join(n, joinCond, "full_outer")
+
+    val cmpCols = compareColumns.getOrElse(dataCols.filterNot(primaryKey.contains))
+    val changed = cmpCols
+      .map { c =>
+        val distinct = !(oc(c) <=> nc(c))
+        // A null event time in `new` is not, by itself, a change.
+        if (c == vocab.eventTimeColumn) nc(c).isNotNull && distinct else distinct
+      }
+      .reduceOption(_ || _)
+      .getOrElse(lit(false))
+
+    val oldExists = oc(primaryKey.head).isNotNull
+    val newExists = nc(primaryKey.head).isNotNull
+
+    val keep =
+      if (incomingOps)
+        (nc(opCol) === Op.Retract && oldExists) || (nc(opCol) =!= Op.Retract && changed)
+      else changed
+
+    def evt(op: Column, side: String => Column): Column =
+      struct(op.as(opCol) +: dataCols.map(c => side(c).as(c)): _*)
+
+    val retractEvt = evt(lit(Op.Retract), oc) // retraction carries old values
+    val appendEvt = evt(lit(Op.Append), nc)
+    val correctionPair = array(evt(lit(Op.CorrectFrom), oc), evt(lit(Op.CorrectTo), nc))
+
+    val events =
+      if (incomingOps)
+        when(nc(opCol) === Op.Retract, array(retractEvt))
+          .when(!oldExists, array(appendEvt))
+          .otherwise(correctionPair)
+      else
+        when(!oldExists, array(appendEvt))
+          .when(!newExists, array(retractEvt))
+          .otherwise(correctionPair)
+
+    joined
+      .filter(keep)
+      .select(explode(events).as("__evt"))
+      .select((opCol +: dataCols).map(c => col(s"__evt.$c").as(c)): _*)
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over embedding columns (`Array[Float]`).
+ *
+ * Baseline: brute-force cosine top-k — a broadcast of the query set against a
+ * partition-parallel scan of the corpus; exact, and at 100 TB still the right
+ * shape when the query set is small (broadcast join, no corpus shuffle).
+ *
+ * Scale path: sign-LSH (random hyperplanes) bucketing — corpus is shuffled
+ * once on a 2^planes-ary bucket key; queries probe only their own bucket
+ * (plus optional multi-probe), turning an O(|Q|·|C|) cross join into
+ * bucket-local joins.
+ */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), _ + _)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn > 0, d / nn).otherwise(lit(0.0))
+  }
+
+  /**
+   * Exact brute-force top-k: broadcast the (small) query set, score every
+   * corpus row, rank per query. Ties broken by corpus id for determinism.
+   */
+  def bruteForceTopK(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (cid, cvec)
+      qidCol: String,
+      qvecCol: String,
+      cidCol: String,
+      cvecCol: String,
+      k: Int
+  ): DataFrame = {
+    val scored = corpus
+      .join(broadcast(queries), col(qidCol) =!= col(cidCol))
+      .withColumn("cos", cosine(col(qvecCol), col(cvecCol)))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("cos").desc, col(cidCol))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(qidCol), col("rnk"), col(cidCol), col("cos"))
+  }
+
+  /** Deterministic random hyperplanes (seeded), as literal expression trees. */
+  private def planes(numPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /**
+   * Sign-LSH bucket id: bit p = sign(vec · plane_p). Uses a fixed seeded
+   * plane matrix baked into the plan as literals — no lookup table, no UDF.
+   * Assumes a fixed embedding dimension (`dim`).
+   */
+  def hyperplaneBucket(vec: Column, numPlanes: Int, dim: Int = 64, seed: Long = 42L): Column = {
+    val ps = planes(numPlanes, dim, seed)
+    val bits = ps.zipWithIndex.map { case (p, i) =>
+      val d = aggregate(
+        zip_with(vec, array(p.map(lit): _*), (x, w) => x.cast("double") * w),
+        lit(0.0),
+        _ + _
+      )
+      when(d > 0, shiftleft(lit(1), i)).otherwise(lit(0))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /**
+   * LSH-bucketed approximate top-k: corpus bucketed once (materialize/bucket
+   * this by key in a real pipeline); each query probes its own bucket.
+   * Recall < 1.0 by construction; raise `numPlanes` ↓bucket size, or lower it
+   * ↑recall.
+   */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      cidCol: String,
+      cvecCol: String,
+      k: Int,
+      numPlanes: Int = 8,
+      dim: Int = 64
+  ): DataFrame = {
+    val qb = broadcast(
+      queries.withColumn("bucket", hyperplaneBucket(col(qvecCol), numPlanes, dim))
+    )
+    val cb = corpus.withColumn("bucket", hyperplaneBucket(col(cvecCol), numPlanes, dim))
+    val scored = cb
+      .join(qb, Seq("bucket"))
+      .filter(col(qidCol) =!= col(cidCol))
+      .withColumn("cos", cosine(col(qvecCol), col(cvecCol)))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("cos").desc, col(cidCol))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(qidCol), col("rnk"), col(cidCol), col("cos"))
+  }
+}
