@@ -24,7 +24,12 @@ object SparkEntry {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** The events table carries TIMESTAMP(NANOS) which Spark 4 won't read
-    * natively: read nanos as long and floor-convert to microseconds. */
+    * natively: read nanos as long and floor-convert to microseconds. The
+    * legacy flag is set in our own mains' session builders (Verify/Bench);
+    * it is re-asserted here only because [[entry]] may be called with a
+    * driver-owned session that lacks it. Setting it is idempotent and it is
+    * read at parquet-scan planning time, so this is safe — but our own code
+    * never relies on this line. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(spark, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -210,17 +215,62 @@ object SparkEntry {
         .select(col("qid"), col("rnk").cast("bigint").as("rnk"), col("cid"))
         .orderBy(col("qid"), col("rnk"))
     },
-    // Rows-only checked (not expressible in portable SQL): MinHash LSH dedup.
+    // Hash-checked via the portable md5-derived hash family (see Text.scala):
+    // the DuckDB oracle replicates the full shingle→signature→band pipeline.
+    // est_jaccard = k/64.0 is exact in IEEE double on both engines.
     "dedup_minhash" -> { (s, dir) =>
       Dedup
         .minHashLsh(t(s, dir, "documents"), "doc_id", "text", minSim = 0.5)
-        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     },
+    // maxHamming=3 → 4 pigeonhole chunks of 16 bits: a 65k-value chunk-key
+    // space. (maxHamming=8 would mean 7-bit chunks = 128 distinct keys —
+    // on a clustered corpus the bucket self-join degenerates quadratically.)
     "dedup_simhash" -> { (s, dir) =>
       Dedup
-        .simHashDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+        .simHashDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- remaining merge strategies (SURVEY §2.2)
+    "merge_append" -> { (s, dir) =>
+      val inc = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .filter(col("o_orderkey") % 10 === 0)
+      MergeStrategy.Append().merge(None, inc).orderBy(col("o_orderkey"))
+    },
+    "merge_changelog_stream" -> { (s, dir) =>
+      MergeStrategy
+        .ChangelogStream(Seq("user_id"))
+        .merge(None, eventsLedger(s, dir))
+        .orderBy(col("offset"))
+    },
+    "merge_upsert" -> { (s, dir) =>
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val prevLedger = cust
+        .filter(col("c_custkey") % 4 =!= 0)
+        .withColumn("offset", col("c_custkey"))
+        .withColumn("op", lit(Op.Append))
+      val incoming = cust
+        .filter(col("c_custkey") % 3 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100)
+        .withColumn(
+          "op",
+          when(col("c_custkey") % 9 === 0, lit(Op.Retract)).otherwise(lit(Op.Append))
+        )
+      MergeStrategy
+        .UpsertStream(Seq("c_custkey"), arrivalOrder = Some(col("c_custkey")))
+        .merge(Some(prevLedger), incoming)
+        .orderBy(col("c_custkey"), col("op"))
+    },
+    "writer_stamp" -> { (s, dir) =>
+      val inc = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate").as("event_time"))
+        .filter(col("o_orderkey") % 100 === 0)
+      val sysTime = java.sql.Timestamp.from(java.time.Instant.parse("2020-06-01T00:00:00Z"))
+      Writer
+        .normalizeTimestamps(Writer.stampSystemColumns(inc, sysTime))
+        .orderBy(col("o_orderkey"))
     }
   )
 
@@ -331,6 +381,102 @@ object SparkEntry {
         |  SELECT qid, cid, list_cosine_similarity(qvec, cvec) AS cos FROM q, c WHERE qid <> cid)
         |SELECT qid, rnk, cid FROM (
         |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
-        |  FROM scored) WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+        |  FROM scored) WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // Replicates Dedup.minHashLsh exactly: portable hash family
+    // h_i(s) = ((2654435761*(i+1) mod p) * (hex32(md5(s)) mod p) + 40503*(i+13) mod p) mod p,
+    // p = 2^31-1; 64 hashes, 16 bands of 4, bucket cap 1000, est_jaccard >= 0.5.
+    "dedup_minhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE [array_to_string(toks[i+1:i+3], ' ') for i in range(len(toks) - 2)] END AS shingles
+        |  FROM tok),
+        |hv AS (
+        |  SELECT doc_id, ('0x' || substring(md5(s), 1, 8))::BIGINT % 2147483647 AS h
+        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+        |sig0 AS (
+        |  SELECT doc_id, i,
+        |         min(((2654435761 * (i+1) % 2147483647) * h + 40503 * (i+13) % 2147483647) % 2147483647) AS mh
+        |  FROM hv CROSS JOIN (SELECT unnest(range(64)) AS i) seeds
+        |  GROUP BY doc_id, i),
+        |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM sig0 GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, b AS band, array_to_string(sig[b*4+1:b*4+4], ',') AS bkey
+        |  FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bands
+        |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= 1000),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT id_a, id_b,
+        |    list_sum([CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END for i in range(64)]) / 64.0 AS est_jaccard
+        |  FROM pairs JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+        |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // Replicates Dedup.simHashDups: 64-char bit-string simhash from
+    // md5-derived token bits, 4-chunk (16-bit) pigeonhole candidates,
+    // hamming <= 3.
+    "dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS t
+        |  FROM documents),
+        |tbits AS (
+        |  SELECT doc_id, lpad(bin(('0x' || substring(md5(t), 1, 16))::UBIGINT), 64, '0') AS bits FROM tok),
+        |votes AS (
+        |  SELECT doc_id, j,
+        |         sum(CASE WHEN substring(bits, j+1, 1) = '1' THEN 1 ELSE -1 END) AS v
+        |  FROM tbits CROSS JOIN (SELECT unnest(range(64)) AS j) js
+        |  GROUP BY doc_id, j),
+        |sim0 AS (
+        |  SELECT doc_id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sh
+        |  FROM votes GROUP BY doc_id),
+        |sim AS (
+        |  SELECT d.doc_id AS id, coalesce(s.sh, repeat('0', 64)) AS sh
+        |  FROM documents d LEFT JOIN sim0 s ON d.doc_id = s.doc_id),
+        |chunked AS (
+        |  SELECT id, c AS chunk, substring(sh, 1 + c*16, 16) AS ckey
+        |  FROM sim CROSS JOIN (SELECT unnest(range(4)) AS c) cs),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM chunked a JOIN chunked b ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.id < b.id),
+        |ham AS (
+        |  SELECT id_a, id_b,
+        |    CAST(list_sum([CASE WHEN substring(sa.sh, i+1, 1) = substring(sb.sh, i+1, 1) THEN 0 ELSE 1 END for i in range(64)]) AS BIGINT) AS hamming
+        |  FROM pairs JOIN sim sa ON sa.id = id_a JOIN sim sb ON sb.id = id_b)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+    "merge_append" ->
+      """SELECT CAST(0 AS INT) AS op, o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""".stripMargin,
+    "merge_changelog_stream" ->
+      """SELECT CAST(event_id % 4 AS INT) AS op, event_id AS "offset", user_id, value
+        |FROM events ORDER BY "offset"""".stripMargin,
+    "merge_upsert" ->
+      """WITH old AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 4 <> 0),
+        |inc AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal,
+        |         CASE WHEN c_custkey % 9 = 0 THEN 1 ELSE 0 END AS iop
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |j AS (
+        |  SELECT inc.iop, inc.c_custkey AS nk, inc.c_name AS nnm, inc.c_acctbal AS nb,
+        |         old.c_custkey AS ok, old.c_name AS onm, old.c_acctbal AS ob
+        |  FROM inc LEFT JOIN old ON inc.c_custkey = old.c_custkey),
+        |keep AS (
+        |  SELECT * FROM j WHERE (iop = 1 AND ok IS NOT NULL)
+        |    OR (iop <> 1 AND ((onm IS DISTINCT FROM nnm) OR (ob IS DISTINCT FROM nb))))
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS INT) AS op, ok AS c_custkey, onm AS c_name, ob AS c_acctbal FROM keep WHERE iop = 1
+        |  UNION ALL
+        |  SELECT CAST(0 AS INT) AS op, nk, nnm, nb FROM keep WHERE iop <> 1 AND ok IS NULL
+        |  UNION ALL
+        |  SELECT CAST(2 AS INT) AS op, ok, onm, ob FROM keep WHERE iop <> 1 AND ok IS NOT NULL
+        |  UNION ALL
+        |  SELECT CAST(3 AS INT) AS op, nk, nnm, nb FROM keep WHERE iop <> 1 AND ok IS NOT NULL)
+        |ORDER BY c_custkey, op""".stripMargin,
+    "writer_stamp" ->
+      """SELECT o_orderkey, o_orderdate AS event_time,
+        |       TIMESTAMP '2020-06-01 00:00:00' AS system_time
+        |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin
   )
 }

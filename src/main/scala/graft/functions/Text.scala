@@ -105,8 +105,43 @@ object Text {
 
   /**
    * 64-bit rolling document fingerprint: xxhash64 of the normalized
-   * (lowercased, whitespace-collapsed) text — exact-dup detection key.
+   * (lowercased, whitespace-collapsed, then trimmed) text — exact-dup
+   * detection key. Collapse happens BEFORE trim so that non-space leading
+   * whitespace (tab, newline) is first collapsed to a space that trim can
+   * then remove — `trim` only strips ' ' in both Spark and DuckDB, so the
+   * reverse order fingerprints '\tabc' differently from 'abc'.
    */
   def fingerprint(text: Column): Column =
-    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+    xxhash64(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /**
+   * Cross-engine portable 31-bit string hash: the first 8 hex chars of md5,
+   * parsed as an integer, mod 2^31-1. Expressible identically in DuckDB as
+   * `('0x' || substring(md5(s),1,8))::BIGINT % 2147483647`, which is what
+   * makes MinHash signatures oracle-checkable (xxhash64 has no DuckDB
+   * equivalent). md5 is codegen'd (commons-codec) — slower than xxhash64 but
+   * still one digest per value, fully distributed.
+   */
+  def portableHash31(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long") % Hashing.P31
+
+  /**
+   * Cross-engine portable 64-bit hash rendered as a 64-char '0'/'1' bit
+   * string: first 16 hex chars of md5 → binary, left-padded. DuckDB:
+   * `lpad(bin(('0x' || substring(md5(s),1,16))::UBIGINT), 64, '0')`.
+   * Bit strings sidestep signed-64 overflow differences between engines
+   * (DuckDB errors on `1::BIGINT << 63`).
+   */
+  def portableHashBits(s: Column): Column =
+    lpad(conv(substring(md5(s), 1, 16), 16, 2), 64, "0")
+}
+
+/** Constants for the portable (Spark ≡ DuckDB) hash family. */
+object Hashing {
+  /** 2^31 - 1 (prime). Keeps a*h+b within signed-64 range in both engines. */
+  val P31: Long = 2147483647L
+  /** Knuth multiplicative constant for deriving the i-th hash function. */
+  val MulA: Long = 2654435761L
+  /** Additive mixing constant for deriving the i-th hash function. */
+  val MulB: Long = 40503L
 }

@@ -3,8 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
-import graft.functions.Text
+import graft.functions.{Hashing, Text}
 
 /**
  * Deduplication operators for large-scale corpus curation: exact,
@@ -12,8 +13,25 @@ import graft.functions.Text
  * codegen'd built-ins; the only shuffles are the groupBy on the dedup key
  * (exact) or the band/bucket key (LSH) — both hash-partitioned and
  * AQE-skew-safe, so the shapes hold at 100 TB.
+ *
+ * Hash functions are the portable md5-derived family from [[Text]] — the
+ * exact same arithmetic is expressible in DuckDB SQL, which is what lets the
+ * driver hash-compare MinHash/SimHash outputs against an oracle instead of a
+ * weak rows-only check.
  */
 object Dedup {
+
+  /**
+   * Spread a small input across the cluster before expression-heavy
+   * per-row work. A single small parquet file arrives as ONE partition, which
+   * would serialize the whole hash pipeline onto one core; a corpus at real
+   * scale already has many partitions and is left untouched (repartitioning
+   * 100 TB to `defaultParallelism` would be a catastrophic shuffle).
+   */
+  private[operators] def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /**
    * Exact dedup on a normalized-text fingerprint: one hash-groupBy shuffle.
@@ -32,24 +50,56 @@ object Dedup {
   }
 
   /**
-   * MinHash signature: k independent minimums of seeded xxhash64 over the
-   * document's shingle set. One projection, no shuffle.
+   * MinHash signature: k minimums over the shingle set of the hash family
+   * h_i(s) = (A_i * h(s) + B_i) mod p, where h is [[Text.portableHash31]],
+   * A_i = (MulA * (i+1)) mod p and B_i = (MulB * (i+13)) mod p.
+   *
+   * Single pass: the shingle array is evaluated once, each shingle is md5'd
+   * once, and the k mins fold through one `aggregate`/`zip_with` — unlike a
+   * `transform`-per-seed shape, which would instantiate the whole
+   * tokenize→shingle subtree k times (the round-1 scale-killer: 64 duplicated
+   * pipelines, 238 s for 5k docs).
    */
-  def minHashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(shingles, s => xxhash64(s, lit(i))))
-    }: _*)
+  def minHashSignature(shingles: Column, k: Int): Column = {
+    val p = Hashing.P31
+    val hashes = transform(shingles, s => Text.portableHash31(s))
+    aggregate(
+      hashes,
+      array_repeat(lit(p), k),
+      (acc, h) =>
+        zip_with(
+          acc,
+          transform(
+            sequence(lit(0), lit(k - 1)),
+            i => (lit(Hashing.MulA) * (i + 1) % p * h + lit(Hashing.MulB) * (i + 13) % p) % p
+          ),
+          (a, b) => least(a, b)
+        )
+    )
+  }
+
+  /** LSH band keys: the signature cut into `bands` slices of `r` values each,
+    * rendered as comma-joined strings. Band equality ⇔ slice equality, so no
+    * re-hash is needed — and the string form is portable to the SQL oracle. */
+  private def bandKeys(sig: Column, bands: Int, r: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => concat_ws(",", slice(sig, b * r + 1, lit(r)))
+    )
 
   /**
    * MinHash + LSH candidate pairs: band the signature (bands × rowsPerBand =
-   * k), hash each band, shuffle on (band, bandHash), and pair up documents
-   * that collide in at least one band. Estimated Jaccard = fraction of
-   * matching minhashes; pairs below `minSim` are dropped.
+   * k), shuffle on (band, bandKey), and pair up documents that collide in at
+   * least one band. Estimated Jaccard = fraction of matching minhashes; pairs
+   * below `minSim` are dropped.
    *
-   * Scale shape: |docs| × bands rows shuffled once; bucket-local self-join.
-   * Giant buckets (degenerate content) are capped at `maxBucket` docs to keep
-   * the quadratic pair-up bounded — at 100 TB a pathological bucket would
-   * otherwise dominate the stage.
+   * Scale shape: signatures are computed once and persisted (id + k longs —
+   * tiny next to the corpus); only (id, band, key) rows go through the band
+   * shuffle, NOT the signatures (carrying the k-wide array through the
+   * explode would multiply shuffle volume by bands). Surviving candidate
+   * pairs — a small set — join the signatures back for verification. Giant
+   * buckets (degenerate content) are capped at `maxBucket` docs to keep the
+   * quadratic pair-up bounded.
    */
   def minHashLsh(
       df: DataFrame,
@@ -63,36 +113,36 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
     val r = numHashes / bands
-    val sigs = df
+    val sigs = ensureParallelism(df)
       .select(
         col(idCol).as("id"),
         minHashSignature(Text.wordShingles(col(textCol), shingleLen), numHashes).as("sig")
       )
-    val banded = sigs
-      .select(
-        col("id"),
-        col("sig"),
-        posexplode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, lit(r))), b)
-          )
-        ).as(Seq("band", "bucket"))
-      )
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val banded = sigs.select(
+      col("id"),
+      posexplode(bandKeys(col("sig"), bands, r)).as(Seq("band", "bkey"))
+    )
     val capped = banded
       .withColumn(
         "__rn",
-        row_number().over(Window.partitionBy(col("band"), col("bucket")).orderBy(col("id")))
+        row_number().over(Window.partitionBy(col("band"), col("bkey")).orderBy(col("id")))
       )
       .filter(col("__rn") <= maxBucket)
       .drop("__rn")
 
-    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
+    val a = capped.select(col("band"), col("bkey"), col("id").as("id_a"))
+    val b = capped.select(col("band"), col("bkey"), col("id").as("id_b"))
+    val pairs = a
+      .join(b, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn(
         "est_jaccard",
         aggregate(
@@ -106,30 +156,25 @@ object Dedup {
   }
 
   /**
-   * 64-bit SimHash over whitespace tokens: per-token xxhash64, signed
-   * bit-vote per bit position, sign → bit. Pure expression pipeline.
+   * 64-bit SimHash over whitespace tokens, rendered as a 64-char '0'/'1'
+   * string: per-token portable hash bits, signed bit-vote per position,
+   * sign → bit. Single pass: tokens are hashed once up front
+   * (`transform` over the token array), then the 64 votes fold through one
+   * `aggregate`/`zip_with` — no per-seed re-tokenization.
+   *
+   * The bit-string representation (instead of a packed Int64) is what makes
+   * the operator oracle-checkable: DuckDB can build the identical string via
+   * `lpad(bin(hex::UBIGINT),64,'0')`, while signed-64 bit packing overflows
+   * differently across engines.
    */
   def simHash(text: Column): Column = {
+    val tokenBits = transform(Text.tokens(text), t => split(Text.portableHashBits(t), ""))
     val votes = aggregate(
-      Text.tokens(text),
+      tokenBits,
       array_repeat(lit(0), 64),
-      (acc, t) =>
-        zip_with(
-          acc,
-          transform(
-            sequence(lit(0), lit(63)),
-            j => when(call_function("shiftright", xxhash64(t), j).bitwiseAND(1) === 1, 1)
-              .otherwise(-1)
-          ),
-          (a, v) => a + v
-        )
+      (acc, bits) => zip_with(acc, bits, (a, c) => a + when(c === "1", 1).otherwise(-1))
     )
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)), (v, j) =>
-        when(v > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
-      lit(0L),
-      (acc, bit) => acc.bitwiseOR(bit)
-    )
+    concat_ws("", transform(votes, v => when(v > 0, "1").otherwise("0")))
   }
 
   /**
@@ -137,7 +182,7 @@ object Dedup {
    * most `maxHamming` bits. Candidate generation by the pigeonhole principle:
    * split the hash into `maxHamming + 1` chunks — any pair within the
    * distance budget must agree on at least one chunk — and shuffle on
-   * (chunkIdx, chunkValue). Exact Hamming verify via bit_count(xor).
+   * (chunkIdx, chunkValue). Exact Hamming verify over the zipped bit chars.
    */
   def simHashDups(
       df: DataFrame,
@@ -147,25 +192,38 @@ object Dedup {
   ): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
-    val hashed = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
-    val chunked = hashed.select(
-      col("id"),
-      col("sh"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(chunks - 1)),
-          c => call_function("shiftrightunsigned", col("sh"), c * bitsPer)
-            .bitwiseAND(if (bitsPer >= 64) lit(-1L) else lit((1L << bitsPer) - 1))
-        )
-      ).as(Seq("chunk", "ckey"))
-    )
+    // Unlike MinHash (where the k-long signature is too wide to carry through
+    // the band explode), the 64-char simhash string is 64 bytes — carrying it
+    // through the `chunks`-way explode costs less than a persist + two
+    // join-backs would, so the whole operator is one shuffle chain.
+    val chunked = ensureParallelism(df)
+      .select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
+      .select(
+        col("id"),
+        col("sh"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(chunks - 1)),
+            c => substring(col("sh"), lit(1) + c * bitsPer, lit(bitsPer))
+          )
+        ).as(Seq("chunk", "ckey"))
+      )
     val a = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("chunk", "ckey"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        aggregate(
+          zip_with(split(col("sh_a"), ""), split(col("sh_b"), ""),
+            (x, y) => when(x === y, 0).otherwise(1)),
+          lit(0),
+          (acc, v) => acc + v
+        ).cast("bigint").as("hamming")
+      )
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /**
@@ -201,13 +259,14 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       vecCol: String,
+      dim: Int,
       minCos: Double = 0.95,
       numPlanes: Int = 12
   ): DataFrame = {
     val withBucket = df.select(
       col(idCol).as("id"),
       col(vecCol).as("vec"),
-      Similarity.hyperplaneBucket(col(vecCol), numPlanes).as("bucket")
+      Similarity.hyperplaneBucket(col(vecCol), numPlanes, dim).as("bucket")
     )
     val a = withBucket.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = withBucket.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))

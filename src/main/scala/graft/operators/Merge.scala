@@ -29,18 +29,29 @@ sealed trait MergeStrategy {
   /** Reconcile `prev` (full prior ledger, if any) with the new batch. */
   def merge(prev: Option[DataFrame], incoming: DataFrame): DataFrame
 
-  /** Sort order used for offset assignment (ties broken by input order). */
+  /**
+   * Sort order used for offset assignment. Must be a TOTAL order over the
+   * merged output: offsets are assigned by a distributed sort + zipWithIndex
+   * (Writer.assignOffsets), and any tie would make offsets depend on
+   * partitioning/task-retry order. The reference sidesteps this by pinning
+   * `target_partitions = 1` (engine_config_embedded.rs:57); at scale we pin
+   * the order instead.
+   */
   def sortOrder(df: DataFrame): Seq[Column]
 }
 
 object MergeStrategy {
 
-  /** Pass-through: every incoming record is an append (append.rs:31-53). */
+  /** Pass-through: every incoming record is an append (append.rs:31-53).
+    * Sort order: event_time first (if present), then every remaining column —
+    * a deterministic total order (up to full-row duplicates, which are
+    * interchangeable) replacing the reference's "input order", which is not
+    * stable under multi-partition reads. */
   final case class Append(vocab: DatasetVocabulary = DatasetVocabulary.Default)
       extends MergeStrategy {
     override def merge(prev: Option[DataFrame], incoming: DataFrame): DataFrame =
       withOpFirst(incoming.withColumn(vocab.operationTypeColumn, lit(Op.Append)), vocab)
-    override def sortOrder(df: DataFrame): Seq[Column] = Nil
+    override def sortOrder(df: DataFrame): Seq[Column] = totalOrder(df, vocab)
   }
 
   /**
@@ -64,9 +75,14 @@ object MergeStrategy {
       withOpFirst(unseen.withColumn(vocab.operationTypeColumn, lit(Op.Append)), vocab)
     }
 
-    override def sortOrder(df: DataFrame): Seq[Column] =
-      if (df.columns.contains(vocab.eventTimeColumn)) Seq(col(vocab.eventTimeColumn).asc)
-      else Nil
+    override def sortOrder(df: DataFrame): Seq[Column] = {
+      // Reference sorts by event_time alone (ledger.rs:78); we append the PK
+      // as a tiebreaker so equal-timestamp rows get stable offsets.
+      val et =
+        if (df.columns.contains(vocab.eventTimeColumn)) Seq(col(vocab.eventTimeColumn).asc)
+        else Nil
+      et ++ primaryKey.map(col(_).asc)
+    }
   }
 
   /**
@@ -117,6 +133,7 @@ object MergeStrategy {
    */
   final case class UpsertStream(
       primaryKey: Seq[String],
+      arrivalOrder: Option[Column] = None,
       vocab: DatasetVocabulary = DatasetVocabulary.Default
   ) extends MergeStrategy {
     require(primaryKey.nonEmpty, "upsert merge requires a primary key")
@@ -128,18 +145,26 @@ object MergeStrategy {
         s"upsert stream input must carry an '$opCol' column"
       )
       // In-batch dedupe: keep only the last row per key (regardless of op), by
-      // arrival order (upsert_stream.rs:84-114). monotonically_increasing_id
-      // preserves the input's partition-major order without collapsing the
-      // batch to a single partition.
-      val arrival = "__graft_arrival"
+      // arrival order (upsert_stream.rs:84-114). The caller supplies an
+      // explicit arrival/sequence column (event_time, kafka offset, …):
+      // monotonically_increasing_id would be nondeterministic under
+      // multi-partition input or lineage recomputation. Falls back to the
+      // event-time column if present.
+      val arrival = arrivalOrder.getOrElse {
+        require(
+          incoming.columns.contains(vocab.eventTimeColumn),
+          "upsert stream needs an explicit arrivalOrder column (or an " +
+            s"'${vocab.eventTimeColumn}' column) to disambiguate in-batch updates deterministically"
+        )
+        col(vocab.eventTimeColumn)
+      }
       val lastPerKey = {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(primaryKey.map(col): _*).orderBy(col(arrival).desc)
+        val w = Window.partitionBy(primaryKey.map(col): _*).orderBy(arrival.desc)
         incoming
-          .withColumn(arrival, monotonically_increasing_id())
           .withColumn("__rank", row_number().over(w))
           .filter(col("__rank") === 1)
-          .drop("__rank", arrival)
+          .drop("__rank")
       }
 
       val oldState = prev match {
@@ -190,7 +215,12 @@ object MergeStrategy {
       require(missing.isEmpty, s"changelog stream input missing columns: ${missing.mkString(", ")}")
       withOpFirst(incoming, vocab)
     }
-    override def sortOrder(df: DataFrame): Seq[Column] = Nil
+    override def sortOrder(df: DataFrame): Seq[Column] = {
+      val et =
+        if (df.columns.contains(vocab.eventTimeColumn)) Seq(col(vocab.eventTimeColumn).asc)
+        else Nil
+      et ++ primaryKey.map(col(_).asc) :+ col(vocab.operationTypeColumn).asc
+    }
   }
 
   private[operators] def withOpFirst(df: DataFrame, vocab: DatasetVocabulary): DataFrame = {
@@ -198,6 +228,14 @@ object MergeStrategy {
     val rest = df.columns.filterNot(_ == op)
     df.select((op +: rest.toSeq).map(col): _*)
   }
+
+  /** event_time first if present, then every column in schema order — the
+    * deterministic total order used when no primary key exists. */
+  private[operators] def totalOrder(df: DataFrame, vocab: DatasetVocabulary): Seq[Column] = {
+    val et = vocab.eventTimeColumn
+    val rest = df.columns.filterNot(_ == et).toSeq
+    (if (df.columns.contains(et)) Seq(et) else Nil) ++ rest
+  }.map(col(_).asc)
 }
 
 /**

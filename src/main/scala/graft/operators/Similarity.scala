@@ -47,7 +47,8 @@ object Similarity {
       cvecCol: String,
       k: Int
   ): DataFrame = {
-    val scored = corpus
+    val scored = Dedup
+      .ensureParallelism(corpus)
       .join(broadcast(queries), col(qidCol) =!= col(cidCol))
       .withColumn("cos", cosine(col(qvecCol), col(cvecCol)))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("cos").desc, col(cidCol))
@@ -66,9 +67,13 @@ object Similarity {
   /**
    * Sign-LSH bucket id: bit p = sign(vec · plane_p). Uses a fixed seeded
    * plane matrix baked into the plan as literals — no lookup table, no UDF.
-   * Assumes a fixed embedding dimension (`dim`).
+   *
+   * `dim` must match the actual embedding dimension: `zip_with` null-pads
+   * mismatched lengths, which would silently send every vector to bucket 0
+   * and degrade the bucketed join into a cross join — so a mismatch fails
+   * fast with `raise_error` instead.
    */
-  def hyperplaneBucket(vec: Column, numPlanes: Int, dim: Int = 64, seed: Long = 42L): Column = {
+  def hyperplaneBucket(vec: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column = {
     val ps = planes(numPlanes, dim, seed)
     val bits = ps.zipWithIndex.map { case (p, i) =>
       val d = aggregate(
@@ -78,7 +83,15 @@ object Similarity {
       )
       when(d > 0, shiftleft(lit(1), i)).otherwise(lit(0))
     }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    val bucket = bits.reduce((a, b) => a.bitwiseOR(b))
+    when(
+      size(vec) === dim,
+      bucket
+    ).otherwise(
+      raise_error(
+        concat(lit(s"hyperplaneBucket: expected embedding dim $dim, got "), size(vec))
+      ).cast("int")
+    )
   }
 
   /**
@@ -95,8 +108,8 @@ object Similarity {
       cidCol: String,
       cvecCol: String,
       k: Int,
-      numPlanes: Int = 8,
-      dim: Int = 64
+      dim: Int,
+      numPlanes: Int = 8
   ): DataFrame = {
     val qb = broadcast(
       queries.withColumn("bucket", hyperplaneBucket(col(qvecCol), numPlanes, dim))
