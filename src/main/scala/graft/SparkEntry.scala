@@ -259,7 +259,7 @@ object SparkEntry {
           when(col("c_custkey") % 9 === 0, lit(Op.Retract)).otherwise(lit(Op.Append))
         )
       MergeStrategy
-        .UpsertStream(Seq("c_custkey"), arrivalOrder = Some(col("c_custkey")))
+        .UpsertStream(Seq("c_custkey"), arrivalOrderColumn = Some("c_custkey"))
         .merge(Some(prevLedger), incoming)
         .orderBy(col("c_custkey"), col("op"))
     },

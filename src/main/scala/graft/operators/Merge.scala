@@ -131,9 +131,21 @@ object MergeStrategy {
    * events, deduplicating intermediate in-batch updates per key
    * (upsert_stream.rs:350-444).
    */
+  /**
+   * @param arrivalOrderColumn column that defines in-batch arrival order
+   *        (event_time, a kafka offset, an ingest sequence number, …).
+   *        Required to make the "last update per key wins" dedupe
+   *        deterministic — monotonically_increasing_id would depend on
+   *        partitioning and lineage recomputation. Falls back to the
+   *        vocabulary's event-time column when None.
+   * @param dropArrivalColumn when the arrival column is transport-level
+   *        bookkeeping (not part of the data), set true to consume it during
+   *        dedupe and keep it out of the changelog output.
+   */
   final case class UpsertStream(
       primaryKey: Seq[String],
-      arrivalOrder: Option[Column] = None,
+      arrivalOrderColumn: Option[String] = None,
+      dropArrivalColumn: Boolean = false,
       vocab: DatasetVocabulary = DatasetVocabulary.Default
   ) extends MergeStrategy {
     require(primaryKey.nonEmpty, "upsert merge requires a primary key")
@@ -145,31 +157,32 @@ object MergeStrategy {
         s"upsert stream input must carry an '$opCol' column"
       )
       // In-batch dedupe: keep only the last row per key (regardless of op), by
-      // arrival order (upsert_stream.rs:84-114). The caller supplies an
-      // explicit arrival/sequence column (event_time, kafka offset, …):
-      // monotonically_increasing_id would be nondeterministic under
-      // multi-partition input or lineage recomputation. Falls back to the
-      // event-time column if present.
-      val arrival = arrivalOrder.getOrElse {
+      // arrival order (upsert_stream.rs:84-114).
+      val arrivalName = arrivalOrderColumn.getOrElse {
         require(
           incoming.columns.contains(vocab.eventTimeColumn),
-          "upsert stream needs an explicit arrivalOrder column (or an " +
+          "upsert stream needs an explicit arrivalOrderColumn (or an " +
             s"'${vocab.eventTimeColumn}' column) to disambiguate in-batch updates deterministically"
         )
-        col(vocab.eventTimeColumn)
+        vocab.eventTimeColumn
       }
+      require(
+        incoming.columns.contains(arrivalName),
+        s"arrival order column '$arrivalName' not found in the incoming batch"
+      )
       val lastPerKey = {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(primaryKey.map(col): _*).orderBy(arrival.desc)
-        incoming
+        val w = Window.partitionBy(primaryKey.map(col): _*).orderBy(col(arrivalName).desc)
+        val deduped = incoming
           .withColumn("__rank", row_number().over(w))
           .filter(col("__rank") === 1)
           .drop("__rank")
+        if (dropArrivalColumn) deduped.drop(arrivalName) else deduped
       }
 
       val oldState = prev match {
         case Some(ledger) =>
-          val dataCols = incoming.columns.filterNot(_ == opCol)
+          val dataCols = lastPerKey.columns.filterNot(_ == opCol)
           Some(
             Changelog
               .project(ledger, primaryKey, vocab)

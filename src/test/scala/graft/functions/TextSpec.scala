@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, input: String): T =
+    Seq(input).toDF("t").select(c.as("r")).head().getAs[T]("r")
+
+  test("tokenCount handles blanks and runs of whitespace") {
+    assert(one[Int](Text.tokenCount(col("t")), "") === 0)
+    assert(one[Int](Text.tokenCount(col("t")), "   ") === 0)
+    assert(one[Int](Text.tokenCount(col("t")), "one") === 1)
+    assert(one[Int](Text.tokenCount(col("t")), "  a\t b\n c ") === 3)
+  }
+
+  test("fingerprint normalizes case, inner whitespace, and non-space edges") {
+    def fp(s: String): Long = one[Long](Text.fingerprint(col("t")), s)
+    assert(fp("Hello  World") === fp("hello world"))
+    // tab-prefixed text must equal the plain text (collapse happens before trim)
+    assert(fp("\thello world") === fp("hello world"))
+    assert(fp("hello world\n") === fp("hello world"))
+    assert(fp("hello world") !== fp("hello worlds"))
+  }
+
+  test("wordShingles: n-grams with short-text fallback") {
+    def sh(s: String, n: Int): Seq[String] =
+      Seq(s).toDF("t").select(Text.wordShingles(col("t"), n).as("r")).head().getSeq[String](0)
+    assert(sh("a b c d", 3) === Seq("a b c", "b c d"))
+    assert(sh("a b", 3) === Seq("a b"))
+    assert(sh("", 3) === Seq(""))
+  }
+
+  test("charShingles slides over normalized text") {
+    def sh(s: String, n: Int): Seq[String] =
+      Seq(s).toDF("t").select(Text.charShingles(col("t"), n).as("r")).head().getSeq[String](0)
+    assert(sh("abcd", 3) === Seq("abc", "bcd"))
+    assert(sh("ab", 3) === Seq("ab"))
+  }
+
+  test("languageId picks the dominant profile; und for gibberish") {
+    def lid(s: String): String = one[String](Text.languageId(col("t")), s)
+    assert(lid("the cat and the dog went to the market") === "en")
+    assert(lid("der hund und die katze ist nicht da") === "de")
+    assert(lid("xyzzy qwerty plugh") === "und")
+  }
+
+  test("qualityScore is in [0,1] and orders text plausibly") {
+    def q(s: String): Double = one[Double](Text.qualityScore(col("t")), s)
+    val good = q(
+      "The quick brown fox jumps over the lazy dog and then runs across the wide field " +
+        "to find some food for its hungry family in the early morning light."
+    )
+    val bad = q("@@@ ### $$$ %%% ^^^ &&&")
+    assert(good >= 0.0 && good <= 1.0 && bad >= 0.0 && bad <= 1.0)
+    assert(good > bad)
+  }
+
+  test("approxBpeTokenCount splits words, digits and punctuation") {
+    assert(one[Int](Text.approxBpeTokenCount(col("t")), "hello world") === 2)
+    assert(one[Int](Text.approxBpeTokenCount(col("t")), "hello, world!") === 4)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.Text
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend today"), // near dup of 0
+    (3L, "completely different content about spark dataframes and catalyst optimizer rules"),
+    (4L, "  The   quick brown fox jumps over the lazy dog near the river bank today "), // ws/case dup of 0
+    (5L, "yet another unrelated document mentioning parquet files and shuffle partitions")
+  ).toDF("doc_id", "text")
+
+  test("exact: groups whitespace/case-normalized duplicates") {
+    val got = Dedup
+      .exact(docs, "doc_id", "text")
+      .select(col("canonical_id"), col("dup_count"))
+      .orderBy(col("canonical_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((0L, 3L), (2L, 1L), (3L, 1L), (5L, 1L)))
+  }
+
+  test("exactKeepFirst keeps the canonical row only") {
+    val got = Dedup.exactKeepFirst(docs, "doc_id", "text")
+    assert(got.select("doc_id").as[Long].collect().sorted.toSeq === Seq(0L, 2L, 3L, 5L))
+  }
+
+  test("minHashLsh: finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup
+      .minHashLsh(docs, "doc_id", "text", minSim = 0.5)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(pairs.contains((0L, 1L)), s"exact dup pair missing from $pairs")
+    assert(pairs.contains((0L, 4L)) && pairs.contains((1L, 4L)), s"normalized dup pairs missing from $pairs")
+    assert(pairs.contains((0L, 2L)), s"near-dup pair missing from $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"unrelated doc paired: $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), s"unrelated doc paired: $pairs")
+  }
+
+  test("minHashLsh: est_jaccard is 1.0 for identical docs") {
+    val est = Dedup
+      .minHashLsh(docs, "doc_id", "text", minSim = 0.5)
+      .filter(col("id_a") === 0L && col("id_b") === 1L)
+      .select("est_jaccard")
+      .as[Double]
+      .head()
+    assert(est === 1.0)
+  }
+
+  test("simHashDups: near dups within hamming budget; simhash is a 64-bit string") {
+    val sh = docs.select(Dedup.simHash(col("text")).as("sh")).as[String].collect()
+    assert(sh.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+    val pairs = Dedup
+      .simHashDups(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngramJaccard verifies candidate pairs exactly") {
+    val pairs = Seq((0L, 1L), (0L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup
+      .ngramJaccard(pairs, docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got((0L, 1L)) === 1.0)
+    assert(got((0L, 3L)) === 0.0)
+  }
+
+  test("embeddingDups: bucketed cosine near-dups") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.999f, 0.01f, 0.0f)), // near dup of 0
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("id", "vec")
+    val got = Dedup
+      .embeddingDups(vecs, "id", "vec", dim = 3, minCos = 0.99, numPlanes = 2)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(got === Set((0L, 1L)))
+  }
+
+  test("portable hashes match the DuckDB formulation (precomputed)") {
+    // Precomputed with duckdb:
+    //   SELECT ('0x'||substring(md5('hello'),1,8))::BIGINT % 2147483647  -> 1564557354
+    //   SELECT lpad(bin(('0x'||substring(md5('hello'),1,16))::UBIGINT),64,'0')
+    //     -> 0101110101000001010000000010101010111100010010110010101001110110
+    val row = Seq("hello")
+      .toDF("s")
+      .select(Text.portableHash31(col("s")).as("h31"), Text.portableHashBits(col("s")).as("bits"))
+      .head()
+    assert(row.getAs[Long]("h31") === 1564557354L)
+    assert(
+      row.getAs[String]("bits") ===
+        "0101110101000001010000000010101010111100010010110010101001110110"
+    )
+  }
+}
