@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.model.Op
+import graft.dataset.Dataset
+import graft.ingest.IngestWriter
+import graft.model.{MergeConf, Op}
+import graft.model.MetadataEvent.SetPollingSource
 import graft.operators.{Changelog, Dedup, MergeStrategy, Similarity, Writer}
 import graft.functions.Text
 
@@ -271,6 +274,60 @@ object SparkEntry {
       Writer
         .normalizeTimestamps(Writer.stampSystemColumns(inc, sysTime))
         .orderBy(col("o_orderkey"))
+    },
+
+    // ---- dataset + metadata chain (SURVEY §1, §2.1): ingest the orders
+    // table into a real on-disk dataset (three append slices, each with its
+    // own commit time), then re-open it schema-first through the chain.
+    "dataset_multislice" -> { (s, dir) =>
+      val base = t(s, dir, "orders").select(
+        col("o_orderdate").as("event_time"),
+        col("o_orderkey"),
+        col("o_custkey"),
+        col("o_totalprice")
+      )
+      val root = java.nio.file.Files.createTempDirectory("graft-multislice-")
+      val ds = Dataset.create(s, root, "orders_ds")
+      val strat = MergeStrategy.Append()
+      val times = Seq("2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z", "2024-01-03T00:00:00Z")
+      for (g <- 0 until 3)
+        IngestWriter.writeBatch(
+          ds,
+          base.filter(col("o_orderkey") % 3 === g),
+          strat,
+          java.time.Instant.parse(times(g)).toEpochMilli
+        )
+      Dataset.open(s, root).toDF().orderBy(col("offset"))
+    },
+    // The reference's cross-engine conformance fixture: cities CSV →
+    // snapshot merge over two ingest rounds (update + implicit retraction),
+    // committed through the full chain path (test_engine_transform.rs:395-648).
+    "ingest_city_csv" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft-city-")
+      val r1 = work.resolve("r1.csv")
+      val r2 = work.resolve("r2.csv")
+      java.nio.file.Files.writeString(
+        r1,
+        "city,population\nvancouver,675000\nseattle,733000\nkyiv,2884000\n"
+      )
+      java.nio.file.Files.writeString(
+        r2,
+        "city,population\nvancouver,675000\nseattle,750000\nodessa,1015000\n"
+      )
+      val ds = Dataset.create(s, work.resolve("ds"), "cities")
+      ds.chain.append(
+        SetPollingSource(
+          readFormat = "csv",
+          schemaDdl = Some("city STRING, population INT"),
+          merge = MergeConf("snapshot", primaryKey = Seq("city"))
+        ),
+        0L
+      )
+      IngestWriter.ingestFile(ds, r1.toString, java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+      IngestWriter.ingestFile(ds, r2.toString, java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli)
+      // third identical round must be a no-op (up-to-date)
+      IngestWriter.ingestFile(ds, r2.toString, java.time.Instant.parse("2024-03-01T00:00:00Z").toEpochMilli)
+      Dataset.open(s, work.resolve("ds")).toDF().orderBy(col("offset"))
     }
   )
 
@@ -477,6 +534,28 @@ object SparkEntry {
     "writer_stamp" ->
       """SELECT o_orderkey, o_orderdate AS event_time,
         |       TIMESTAMP '2020-06-01 00:00:00' AS system_time
-        |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin
+        |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin,
+    "dataset_multislice" ->
+      """WITH base AS (
+        |  SELECT o_orderkey % 3 AS g, o_orderdate AS event_time, o_orderkey, o_custkey, o_totalprice
+        |  FROM orders)
+        |SELECT row_number() OVER (ORDER BY g, event_time, o_orderkey) - 1 AS "offset",
+        |       CAST(0 AS INT) AS op,
+        |       CASE g WHEN 0 THEN TIMESTAMP '2024-01-01 00:00:00'
+        |              WHEN 1 THEN TIMESTAMP '2024-01-02 00:00:00'
+        |              ELSE TIMESTAMP '2024-01-03 00:00:00' END AS system_time,
+        |       event_time, o_orderkey, o_custkey, o_totalprice
+        |FROM base ORDER BY "offset"""".stripMargin,
+    "ingest_city_csv" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 00:00:00', 'kyiv', 2884000),
+        |  (CAST(1 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 00:00:00', 'seattle', 733000),
+        |  (CAST(2 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 00:00:00', 'vancouver', 675000),
+        |  (CAST(3 AS BIGINT), CAST(1 AS INT), TIMESTAMP '2024-02-01 00:00:00', TIMESTAMP '2024-02-01 00:00:00', 'kyiv', 2884000),
+        |  (CAST(4 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-02-01 00:00:00', TIMESTAMP '2024-02-01 00:00:00', 'odessa', 1015000),
+        |  (CAST(5 AS BIGINT), CAST(2 AS INT), TIMESTAMP '2024-02-01 00:00:00', TIMESTAMP '2024-02-01 00:00:00', 'seattle', 733000),
+        |  (CAST(6 AS BIGINT), CAST(3 AS INT), TIMESTAMP '2024-02-01 00:00:00', TIMESTAMP '2024-02-01 00:00:00', 'seattle', 750000)
+        |) AS t("offset", op, system_time, event_time, city, population)
+        |ORDER BY "offset"""".stripMargin
   )
 }

@@ -1,0 +1,81 @@
+package graft.dataset
+
+import java.nio.file.{Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.chain.MetadataChain
+import graft.model.DatasetVocabulary
+import graft.model.MetadataEvent._
+import graft.operators.Changelog
+
+/**
+ * A dataset = parquet slices + metadata chain, opened for reading.
+ *
+ * Reads are schema-first: the scan uses the schema recorded in the chain
+ * (SetDataSchema), never inference — mirroring `KamuTable`
+ * (src/infra/core/src/services/query/kamu_table.rs:161-211). File selection
+ * happens at the metadata level (slice list, as-of pinning, record-limit
+ * pruning) BEFORE `spark.read`, so Catalyst sees a plain multi-file parquet
+ * relation and all pushdown/pruning applies normally.
+ */
+final class Dataset(val spark: SparkSession, val chain: MetadataChain) {
+
+  def name: String = chain.seed.datasetName
+  def kind: String = chain.seed.datasetKind
+
+  def vocabulary: DatasetVocabulary = chain.vocabulary()
+
+  /** The dataset as a DataFrame, optionally pinned to a block hash. Empty
+    * chain → empty DataFrame with the declared schema (or empty schema). */
+  def toDF(asOf: Option[String] = None): DataFrame = {
+    val slices = chain.slices(asOf)
+    val ddl = chain.schemaDdl(asOf)
+    if (slices.isEmpty) {
+      val schema = ddl.map(StructType.fromDDL).getOrElse(new StructType())
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else {
+      val reader = ddl.map(d => spark.read.schema(StructType.fromDDL(d))).getOrElse(spark.read)
+      reader.parquet(chain.slicePaths(slices): _*)
+    }
+  }
+
+  /** Last `n` records: chain-level file pruning first (only the tail slices
+    * that cover `n` records are read), then the tail operator. */
+  def tail(n: Int, asOf: Option[String] = None): DataFrame = {
+    val slices = chain.slicesForLastRecords(n.toLong, asOf)
+    if (slices.isEmpty) toDF(asOf)
+    else {
+      val ddl = chain.schemaDdl(asOf)
+      val reader = ddl.map(d => spark.read.schema(StructType.fromDDL(d))).getOrElse(spark.read)
+      Changelog.tail(reader.parquet(chain.slicePaths(slices): _*), n, vocabulary)
+    }
+  }
+
+  /** Changelog→state projection using the PK recorded in the chain
+    * (query_service_impl.rs:630-738). */
+  def projectState(asOf: Option[String] = None): DataFrame = {
+    val pk = chain.primaryKey(asOf)
+    require(pk.nonEmpty, s"dataset $name has no primary key in its merge strategy")
+    Changelog.project(toDF(asOf), pk, vocabulary)
+  }
+}
+
+object Dataset {
+
+  def create(spark: SparkSession, root: Path, name: String, kind: String = "root",
+      systemTime: Long = 0L): Dataset = {
+    require(!exists(root), s"a dataset already exists at $root")
+    val chain = MetadataChain.create(root)
+    chain.append(Seed(name, kind), systemTime)
+    new Dataset(spark, chain)
+  }
+
+  def open(spark: SparkSession, root: Path): Dataset =
+    new Dataset(spark, MetadataChain.open(root))
+
+  def open(spark: SparkSession, root: String): Dataset = open(spark, Paths.get(root))
+
+  def exists(root: Path): Boolean = MetadataChain.exists(root)
+}

@@ -1,0 +1,110 @@
+package graft.model
+
+/**
+ * Metadata-chain domain model: a dataset's history is an append-only,
+ * hash-linked chain of blocks, each carrying one event.
+ *
+ * Mirrors the reference's `MetadataBlock` / `MetadataEvent`
+ * (src/odf/metadata/src/dtos/dtos_generated.rs:1231-1260) re-expressed as a
+ * plain Scala ADT. Times are epoch milliseconds (ODF normalizes all
+ * timestamps to ms UTC); hashes are lowercase hex SHA-256.
+ */
+final case class MetadataBlock(
+    sequenceNumber: Long,
+    prevBlockHash: Option[String],
+    systemTime: Long,
+    event: MetadataEvent
+)
+
+sealed trait MetadataEvent
+
+object MetadataEvent {
+
+  /** First block of every chain (dtos_generated.rs Seed). */
+  final case class Seed(datasetName: String, datasetKind: String) extends MetadataEvent
+
+  /** Remap the system-column names (SetVocab, dtos_generated.rs:1456). */
+  final case class SetVocab(
+      offsetColumn: Option[String] = None,
+      operationTypeColumn: Option[String] = None,
+      systemTimeColumn: Option[String] = None,
+      eventTimeColumn: Option[String] = None
+  ) extends MetadataEvent {
+    def toVocabulary: DatasetVocabulary = {
+      val d = DatasetVocabulary.Default
+      DatasetVocabulary(
+        offsetColumn.getOrElse(d.offsetColumn),
+        operationTypeColumn.getOrElse(d.operationTypeColumn),
+        systemTimeColumn.getOrElse(d.systemTimeColumn),
+        eventTimeColumn.getOrElse(d.eventTimeColumn)
+      )
+    }
+  }
+
+  /** Explicit dataset schema as a Spark DDL string (SetDataSchema,
+    * dtos_generated.rs:1406 — the reference stores an ODF schema; we store
+    * the Spark-native equivalent, `StructType.fromDDL`-compatible). */
+  final case class SetDataSchema(ddl: String) extends MetadataEvent
+
+  /** How a Root dataset ingests: reader format + options, optional
+    * preprocess SQL (runs against a temp view named `input`), and the merge
+    * strategy (SetPollingSource, dtos_generated.rs:1418, simplified to the
+    * parts that affect data). */
+  final case class SetPollingSource(
+      readFormat: String,
+      readOptions: Map[String, String] = Map.empty,
+      schemaDdl: Option[String] = None,
+      preprocessSql: Option[String] = None,
+      merge: MergeConf = MergeConf("append")
+  ) extends MetadataEvent
+
+  /** Declares a derivative dataset's transform (SetTransform,
+    * dtos_generated.rs:1445): named inputs + SQL steps. The last step (or the
+    * single query) produces the output; earlier steps become temp views. */
+  final case class SetTransform(
+      inputs: Seq[String],
+      steps: Seq[SqlStep]
+  ) extends MetadataEvent
+
+  final case class SqlStep(alias: Option[String], query: String)
+
+  /** A data slice added by ingest (AddData, dtos_generated.rs:904-921). */
+  final case class AddData(
+      prevOffset: Option[Long],
+      offsetStart: Long,
+      offsetEnd: Long,
+      numRecords: Long,
+      physicalHash: String,
+      logicalHash: String,
+      newWatermark: Option[Long],
+      sourceState: Option[String] = None
+  ) extends MetadataEvent
+
+  /** A data slice produced by a derivative transform run
+    * (ExecuteTransform, dtos_generated.rs:1171-1196). `newData` is None for
+    * runs that only advanced watermarks. */
+  final case class ExecuteTransform(
+      inputs: Seq[TransformInputState],
+      newData: Option[AddData]
+  ) extends MetadataEvent
+
+  /** Which half-open offset interval (prev, new] of an input this run saw. */
+  final case class TransformInputState(
+      datasetName: String,
+      prevOffset: Option[Long],
+      newOffset: Option[Long]
+  )
+
+  final case class SetInfo(description: String) extends MetadataEvent
+  final case class SetLicense(name: String, url: Option[String]) extends MetadataEvent
+}
+
+/** Merge strategy configuration stored in the chain; resolved to a
+  * [[graft.operators.MergeStrategy]] at ingest time. Kinds: append, ledger,
+  * snapshot, changelogStream, upsertStream. */
+final case class MergeConf(
+    kind: String,
+    primaryKey: Seq[String] = Nil,
+    compareColumns: Option[Seq[String]] = None,
+    arrivalOrderColumn: Option[String] = None
+)

@@ -1,0 +1,196 @@
+package graft.dataset
+
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.chain.MetadataChain
+import graft.ingest.{IngestWriter, Readers}
+import graft.model.{MergeConf, MetadataEvent}
+import graft.model.MetadataEvent._
+import graft.operators.MergeStrategy
+
+class DatasetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): Path = Files.createTempDirectory("graft-ds-")
+  private def ms(s: String): Long = Instant.parse(s).toEpochMilli
+
+  test("metadata chain: append, hash-link, visitors, reset") {
+    val root = tmpDir()
+    val chain = MetadataChain.create(root)
+    val (b0, h0) = chain.append(Seed("test", "root"), ms("2024-01-01T00:00:00Z"))
+    val (b1, h1) = chain.append(SetDataSchema("id BIGINT, v STRING"), ms("2024-01-01T00:00:01Z"))
+    val (b2, h2) = chain.append(
+      AddData(None, 0, 9, 10, "phys", "logi", Some(ms("2024-01-01T00:00:00Z"))),
+      ms("2024-01-01T00:00:02Z")
+    )
+    assert(b0.sequenceNumber === 0 && b0.prevBlockHash.isEmpty)
+    assert(b1.prevBlockHash === Some(h0) && b2.prevBlockHash === Some(h1))
+    assert(chain.head === Some((2L, h2)))
+
+    // round-trip through files
+    val reopened = MetadataChain.open(root)
+    assert(reopened.blocks().map(_.event) === Seq(b0.event, b1.event, b2.event))
+    assert(reopened.schemaDdl() === Some("id BIGINT, v STRING"))
+    assert(reopened.lastOffset() === Some(9L))
+    assert(reopened.watermark() === Some(ms("2024-01-01T00:00:00Z")))
+
+    // as-of view pins the prefix
+    assert(reopened.slices(Some(h1)).isEmpty)
+    assert(reopened.slices(Some(h2)).size === 1)
+
+    // reset rewinds head and drops unreachable blocks
+    reopened.reset(h1)
+    assert(reopened.head === Some((1L, h1)))
+    assert(reopened.blocks().size === 2)
+  }
+
+  test("record-limit pruning walks slices head-backwards") {
+    val root = tmpDir()
+    val chain = MetadataChain.create(root)
+    chain.append(Seed("t", "root"), 0)
+    for (i <- 0 until 4)
+      chain.append(
+        AddData(if (i == 0) None else Some(i * 100L - 1), i * 100L, i * 100L + 99, 100,
+          s"p$i", s"l$i", None),
+        i.toLong
+      )
+    assert(chain.slicesForLastRecords(50).map(_.physicalHash) === Seq("p3"))
+    assert(chain.slicesForLastRecords(100).map(_.physicalHash) === Seq("p3"))
+    assert(chain.slicesForLastRecords(101).map(_.physicalHash) === Seq("p2", "p3"))
+    assert(chain.slicesForLastRecords(1000).map(_.physicalHash) === Seq("p0", "p1", "p2", "p3"))
+  }
+
+  test("dataset: multi-slice append ingest, schema-first reopen, tail pruning") {
+    val root = tmpDir()
+    val ds = Dataset.create(spark, root, "events", systemTime = 0L)
+    val strat = MergeStrategy.Append()
+
+    val t1 = ms("2024-01-01T00:00:00Z")
+    val t2 = ms("2024-01-02T00:00:00Z")
+    val e1 = IngestWriter.writeBatch(
+      ds,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      strat,
+      t1
+    )
+    val e2 = IngestWriter.writeBatch(
+      ds,
+      Seq((3L, "c"), (4L, "d"), (5L, "e")).toDF("id", "v"),
+      strat,
+      t2
+    )
+    assert(e1.get.offsetStart === 0L && e1.get.offsetEnd === 1L)
+    assert(e2.get.prevOffset === Some(1L))
+    assert(e2.get.offsetStart === 2L && e2.get.offsetEnd === 4L)
+
+    // reopen: schema comes from the chain, data from both slices
+    val ds2 = Dataset.open(spark, root)
+    val df = ds2.toDF()
+    assert(df.columns.toSeq === Seq("offset", "op", "system_time", "event_time", "id", "v"))
+    assert(df.count() === 5)
+    assert(df.orderBy("offset").select("id").as[Long].collect().toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+
+    // watermarks: event_time fell back to system time, watermark advanced
+    assert(e1.get.newWatermark === Some(t1) && e2.get.newWatermark === Some(t2))
+
+    // tail reads only the slices needed
+    assert(ds2.chain.slicesForLastRecords(2).size === 1)
+    assert(ds2.tail(2).select("id").as[Long].collect().toSeq === Seq(4L, 5L))
+
+    // slice files are content-addressed
+    val hashes = ds2.chain.slices().map(_.physicalHash)
+    hashes.foreach(h => assert(Files.exists(root.resolve("data").resolve(h))))
+  }
+
+  test("csv snapshot ingest e2e: two rounds produce the expected changelog") {
+    // The reference's cross-engine conformance scenario: cities CSV →
+    // snapshot merge → update + implicit retraction
+    // (src/infra/core/tests/tests/engine/test_engine_transform.rs:395-648).
+    val root = tmpDir()
+    val csvDir = tmpDir()
+    val r1 = csvDir.resolve("r1.csv")
+    val r2 = csvDir.resolve("r2.csv")
+    Files.writeString(r1, "city,population\nvancouver,675000\nseattle,733000\nkyiv,2884000\n")
+    Files.writeString(r2, "city,population\nvancouver,675000\nseattle,750000\nodessa,1015000\n")
+
+    val ds = Dataset.create(spark, root, "cities", systemTime = 0L)
+    ds.chain.append(
+      SetPollingSource(
+        readFormat = "csv",
+        schemaDdl = Some("city STRING, population INT"),
+        merge = MergeConf("snapshot", primaryKey = Seq("city"))
+      ),
+      0L
+    )
+    val t1 = ms("2024-01-01T00:00:00Z")
+    val t2 = ms("2024-02-01T00:00:00Z")
+
+    val e1 = IngestWriter.ingestFile(ds, r1.toString, t1)
+    assert(e1.get.numRecords === 3)
+
+    val e2 = IngestWriter.ingestFile(ds, r2.toString, t2)
+    assert(e2.get.numRecords === 4)
+
+    // identical snapshot → up-to-date, nothing committed
+    assert(IngestWriter.ingestFile(ds, r2.toString, ms("2024-03-01T00:00:00Z")).isEmpty)
+
+    val got = Dataset.open(spark, root).toDF().orderBy("offset")
+    val ts1 = new Timestamp(t1)
+    val ts2 = new Timestamp(t2)
+    val expected = Seq(
+      (0L, 0, ts1, ts1, "kyiv", 2884000),
+      (1L, 0, ts1, ts1, "seattle", 733000),
+      (2L, 0, ts1, ts1, "vancouver", 675000),
+      (3L, 1, ts2, ts2, "kyiv", 2884000),
+      (4L, 0, ts2, ts2, "odessa", 1015000),
+      (5L, 2, ts2, ts2, "seattle", 733000),
+      (6L, 3, ts2, ts2, "seattle", 750000)
+    ).toDF("offset", "op", "system_time", "event_time", "city", "population")
+    assertSameRows(got, expected, ordered = true)
+
+    // changelog-projection service discovers the PK from the chain
+    val state = Dataset.open(spark, root).projectState().orderBy("city")
+    assert(
+      state.select("city", "population").as[(String, Int)].collect().toSeq ===
+        Seq(("odessa", 1015000), ("seattle", 750000), ("vancouver", 675000))
+    )
+
+    // logical hash is stable across repartitioning
+    val df = Dataset.open(spark, root).toDF()
+    assert(IngestWriter.logicalHash(df) === IngestWriter.logicalHash(df.repartition(7)))
+  }
+
+  test("readers: ndjson, single-doc json with subPath, preprocess sql") {
+    val dir = tmpDir()
+    val nd = dir.resolve("d.ndjson")
+    Files.writeString(nd, """{"id":1,"v":"a"}""" + "\n" + """{"id":2,"v":"b"}""" + "\n")
+    val got = Readers.ndjson(spark, nd.toString, Some("id BIGINT, v STRING"))
+    assert(got.orderBy("id").as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "b")))
+
+    val doc = dir.resolve("doc.json")
+    Files.writeString(doc, """{"meta":{"n":2},"items":[{"id":1,"v":"a"},{"id":2,"v":"b"}]}""")
+    val exploded = Readers.json(spark, doc.toString, subPath = Some("items"))
+    assert(exploded.orderBy("id").select("id").as[Long].collect().toSeq === Seq(1L, 2L))
+
+    // preprocess SQL runs between read and merge
+    val root = tmpDir()
+    val ds = Dataset.create(spark, root, "pp", systemTime = 0L)
+    ds.chain.append(
+      SetPollingSource(
+        readFormat = "ndjson",
+        schemaDdl = Some("id BIGINT, v STRING"),
+        preprocessSql = Some("SELECT id * 10 AS id, upper(v) AS v FROM input"),
+        merge = MergeConf("append")
+      ),
+      0L
+    )
+    IngestWriter.ingestFile(ds, nd.toString, ms("2024-01-01T00:00:00Z"))
+    val rows = ds.toDF().orderBy("offset").select("id", "v").as[(Long, String)].collect().toSeq
+    assert(rows === Seq((10L, "A"), (20L, "B")))
+  }
+}
