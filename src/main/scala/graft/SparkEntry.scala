@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.dataset.Dataset
 import graft.ingest.IngestWriter
 import graft.model.{MergeConf, Op}
-import graft.model.MetadataEvent.SetPollingSource
-import graft.operators.{Changelog, Dedup, MergeStrategy, Similarity, Writer}
+import graft.model.MetadataEvent.{SetPollingSource, SqlStep}
+import graft.operators.{Changelog, Dedup, MergeStrategy, Similarity, Temporal, Writer}
+import graft.query.QueryService
+import graft.transform.TransformService
 import graft.functions.Text
 
 /**
@@ -328,6 +330,109 @@ object SparkEntry {
       // third identical round must be a no-op (up-to-date)
       IngestWriter.ingestFile(ds, r2.toString, java.time.Instant.parse("2024-03-01T00:00:00Z").toEpochMilli)
       Dataset.open(s, work.resolve("ds")).toDF().orderBy(col("offset"))
+    },
+
+    // ---- derivative transforms (SURVEY §2.4): the city scenario extended
+    // with its `population * 10` derivative, executed incrementally over two
+    // ingest rounds + an up-to-date no-op (test_engine_transform.rs:651-712,
+    // transform_elaboration_service_impl.rs:46-112).
+    "transform_incremental" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft-deriv-")
+      val r1 = work.resolve("r1.csv")
+      val r2 = work.resolve("r2.csv")
+      java.nio.file.Files.writeString(
+        r1,
+        "city,population\nvancouver,675000\nseattle,733000\nkyiv,2884000\n"
+      )
+      java.nio.file.Files.writeString(
+        r2,
+        "city,population\nvancouver,675000\nseattle,750000\nodessa,1015000\n"
+      )
+      val root = Dataset.create(s, work.resolve("cities"), "cities")
+      root.chain.append(
+        SetPollingSource(
+          readFormat = "csv",
+          schemaDdl = Some("city STRING, population INT"),
+          merge = MergeConf("snapshot", primaryKey = Seq("city"))
+        ),
+        0L
+      )
+      val deriv = Dataset.create(s, work.resolve("cities_x10"), "cities_x10", kind = "derivative")
+      TransformService.setTransform(
+        deriv,
+        inputs = Seq("cities"),
+        steps = Seq(
+          SqlStep(None, "SELECT op, event_time, city, population * 10 AS population FROM cities")
+        ),
+        systemTime = 0L
+      )
+      def t(iso: String) = java.time.Instant.parse(iso).toEpochMilli
+      val resolve = (_: String) => Dataset.open(s, work.resolve("cities"))
+      IngestWriter.ingestFile(root, r1.toString, t("2024-01-01T00:00:00Z"))
+      TransformService.executeTransform(deriv, resolve, t("2024-01-05T00:00:00Z"))
+      IngestWriter.ingestFile(root, r2.toString, t("2024-02-01T00:00:00Z"))
+      TransformService.executeTransform(deriv, resolve, t("2024-02-05T00:00:00Z"))
+      // no new input -> UpToDate, no block
+      assert(
+        TransformService.executeTransform(deriv, resolve, t("2024-03-05T00:00:00Z")) ==
+          TransformService.UpToDate
+      )
+      Dataset.open(s, work.resolve("cities_x10")).toDF().orderBy(col("offset"))
+    },
+
+    // ---- query service (SURVEY §2.3): SQL-string entry, table-ref
+    // extraction, temp-view registration, as-of pinning to the post-round-1
+    // head (query_service_impl.rs:59-130, 585-602, 741-808).
+    "query_service_sql" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft-qs-")
+      val r1 = work.resolve("r1.csv")
+      val r2 = work.resolve("r2.csv")
+      java.nio.file.Files.writeString(
+        r1,
+        "city,population\nvancouver,675000\nseattle,733000\nkyiv,2884000\n"
+      )
+      java.nio.file.Files.writeString(
+        r2,
+        "city,population\nvancouver,675000\nseattle,750000\nodessa,1015000\n"
+      )
+      val ds = Dataset.create(s, work.resolve("cities"), "cities")
+      ds.chain.append(
+        SetPollingSource(
+          readFormat = "csv",
+          schemaDdl = Some("city STRING, population INT"),
+          merge = MergeConf("snapshot", primaryKey = Seq("city"))
+        ),
+        0L
+      )
+      IngestWriter.ingestFile(ds, r1.toString, java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+      val headAfterRound1 = ds.chain.head.get._2
+      IngestWriter.ingestFile(ds, r2.toString, java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli)
+      val qs = new QueryService(s, Map("cities" -> Dataset.open(s, work.resolve("cities"))))
+      // pinned to the round-1 head: seattle still 733000, odessa absent
+      qs.sql(
+        "SELECT city, population FROM cities WHERE population > 700000 ORDER BY city",
+        asOf = Map("cities" -> headAfterRound1)
+      )
+    },
+
+    // ---- temporal as-of join (SURVEY §2.4, §7.4.5): each even event joined
+    // with the latest %7 event of the same user at or before its timestamp.
+    "asof_join" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val left = ev
+        .filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = Temporal.latestPerKeyTime(
+        ev.filter(col("event_id") % 7 === 0)
+          .select(col("user_id"), col("ts").as("rts"), col("value")),
+        Seq("user_id"),
+        "rts",
+        tiebreak = col("value")
+      )
+      Temporal
+        .asOfJoin(left, right, Seq("user_id"), "ts", "rts")
+        .select(left("event_id"), left("user_id"), col("value").as("rate"))
+        .orderBy(col("event_id"))
     }
   )
 
@@ -556,6 +661,27 @@ object SparkEntry {
         |  (CAST(5 AS BIGINT), CAST(2 AS INT), TIMESTAMP '2024-02-01 00:00:00', TIMESTAMP '2024-02-01 00:00:00', 'seattle', 733000),
         |  (CAST(6 AS BIGINT), CAST(3 AS INT), TIMESTAMP '2024-02-01 00:00:00', TIMESTAMP '2024-02-01 00:00:00', 'seattle', 750000)
         |) AS t("offset", op, system_time, event_time, city, population)
-        |ORDER BY "offset"""".stripMargin
+        |ORDER BY "offset"""".stripMargin,
+    "transform_incremental" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-01-05 00:00:00', TIMESTAMP '2024-01-01 00:00:00', 'kyiv', 28840000),
+        |  (CAST(1 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-01-05 00:00:00', TIMESTAMP '2024-01-01 00:00:00', 'seattle', 7330000),
+        |  (CAST(2 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-01-05 00:00:00', TIMESTAMP '2024-01-01 00:00:00', 'vancouver', 6750000),
+        |  (CAST(3 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-02-05 00:00:00', TIMESTAMP '2024-02-01 00:00:00', 'odessa', 10150000),
+        |  (CAST(4 AS BIGINT), CAST(1 AS INT), TIMESTAMP '2024-02-05 00:00:00', TIMESTAMP '2024-02-01 00:00:00', 'kyiv', 28840000),
+        |  (CAST(5 AS BIGINT), CAST(2 AS INT), TIMESTAMP '2024-02-05 00:00:00', TIMESTAMP '2024-02-01 00:00:00', 'seattle', 7330000),
+        |  (CAST(6 AS BIGINT), CAST(3 AS INT), TIMESTAMP '2024-02-05 00:00:00', TIMESTAMP '2024-02-01 00:00:00', 'seattle', 7500000)
+        |) AS t("offset", op, system_time, event_time, city, population)
+        |ORDER BY "offset"""".stripMargin,
+    "query_service_sql" ->
+      """SELECT * FROM (VALUES ('kyiv', 2884000), ('seattle', 733000)) AS t(city, population)
+        |ORDER BY city""".stripMargin,
+    "asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 0),
+        |r0 AS (SELECT user_id, ts AS rts, value FROM events WHERE event_id % 7 = 0),
+        |r AS (SELECT * FROM r0 QUALIFY row_number() OVER (PARTITION BY user_id, rts ORDER BY value DESC) = 1)
+        |SELECT l.event_id, l.user_id, r.value AS rate
+        |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.rts
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -244,7 +244,7 @@ object MergeStrategy {
 
   /** event_time first if present, then every column in schema order — the
     * deterministic total order used when no primary key exists. */
-  private[operators] def totalOrder(df: DataFrame, vocab: DatasetVocabulary): Seq[Column] = {
+  def totalOrder(df: DataFrame, vocab: DatasetVocabulary): Seq[Column] = {
     val et = vocab.eventTimeColumn
     val rest = df.columns.filterNot(_ == et).toSeq
     (if (df.columns.contains(et)) Seq(et) else Nil) ++ rest

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal (as-of) join: enrich each left row with the most recent right row
+ * per key whose time is <= the left row's time — the reference's
+ * `FOR SYSTEM_TIME AS OF` temporal-table join
+ * (examples/currency_conversion/my.trading.transactions.cad.yaml:15-29,
+ * TemporalTable DTO dtos_generated.rs:1485).
+ *
+ * Spark-first shape (SURVEY §7.4.5): turn the right side into validity
+ * windows — valid_from = its own time, valid_to = the next time for the same
+ * key (`lead` window) — then a key-equi join with the range predicate as a
+ * join filter. Catalyst plans this as a hash/sort-merge join on the keys with
+ * a residual filter, NOT a cartesian product; per-key timeline history rides
+ * along one shuffle each side. DuckDB's native `ASOF JOIN` is the ready-made
+ * oracle.
+ */
+object Temporal {
+
+  /**
+   * @param right must be unique per (keys, rightTime) — dedupe upstream
+   *              (e.g. [[latestPerKeyTime]]) or the match is ambiguous.
+   */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      joinType: String = "inner"
+  ): DataFrame = {
+    require(Seq("inner", "left", "left_outer").contains(joinType), s"unsupported join type $joinType")
+    val w = Window.partitionBy(keys.map(right(_)): _*).orderBy(right(rightTime).asc)
+    val windowed = right
+      .withColumn("__valid_to", lead(right(rightTime), 1).over(w))
+    val cond = keys
+      .map(k => left(k) === windowed(k))
+      .reduce(_ && _) &&
+      left(leftTime) >= windowed(rightTime) &&
+      (windowed("__valid_to").isNull || left(leftTime) < windowed("__valid_to"))
+    left
+      .join(windowed, cond, joinType)
+      .drop("__valid_to")
+  }
+
+  /** Dedupe a timeline to one row per (keys, time): highest `tiebreak` wins. */
+  def latestPerKeyTime(
+      df: DataFrame,
+      keys: Seq[String],
+      time: String,
+      tiebreak: Column
+  ): DataFrame = {
+    val w = Window.partitionBy((keys :+ time).map(col): _*).orderBy(tiebreak.desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+}

@@ -1,0 +1,82 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
+
+import graft.dataset.Dataset
+
+/**
+ * Interactive SQL over datasets — the Spark-side equivalent of
+ * `QueryServiceImpl` (src/infra/core/src/services/query_service_impl.rs):
+ *
+ *  1. parse the statement and extract referenced table names
+ *     (:741-808 — the reference walks the sqlparser AST; we walk Catalyst's
+ *     unresolved `parsePlan`, which covers CTEs/joins/set-exprs for free),
+ *  2. pin every referenced dataset to a block hash (:59-130) so the query is
+ *     reproducible — an explicit pin via `asOf`, else the current head,
+ *  3. register each pinned dataset as a temp view and run `spark.sql`.
+ */
+final class QueryService(spark: SparkSession, datasets: Map[String, Dataset]) {
+
+  /** The pinned state a query ran against: dataset → block hash. */
+  final case class QueryState(inputs: Map[String, String])
+
+  /** Table names referenced by the statement (CTE aliases excluded). CTE
+    * definition bodies are not in `children` of UnresolvedWith, so they are
+    * traversed explicitly — a ref used only inside a CTE still gets pinned. */
+  def extractTableRefs(statement: String): Seq[String] = {
+    val plan: LogicalPlan = spark.sessionState.sqlParser.parsePlan(statement)
+    val withs = plan.collect { case w: UnresolvedWith => w }
+    val cteNames = withs.flatMap(_.cteRelations.map(_._1)).toSet
+    val roots: Seq[LogicalPlan] = plan +: withs.flatMap(_.cteRelations.map(_._2))
+    roots
+      .flatMap(_.collect { case r: UnresolvedRelation => r.multipartIdentifier.mkString(".") })
+      .distinct
+      .filterNot(cteNames.contains)
+  }
+
+  /** Run a SQL statement over pinned dataset state; returns the result and
+    * the state it was pinned to. Unknown references fall through to whatever
+    * views/tables already exist in the session. */
+  def sqlWithState(
+      statement: String,
+      asOf: Map[String, String] = Map.empty,
+      lastRecords: Option[Long] = None
+  ): (DataFrame, QueryState) = {
+    val refs = extractTableRefs(statement).filter(datasets.contains)
+    val pins = refs.map { name =>
+      val ds = datasets(name)
+      val hash = asOf.getOrElse(
+        name,
+        ds.chain.head
+          .map(_._2)
+          .getOrElse(throw new IllegalStateException(s"dataset $name has an empty chain"))
+      )
+      name -> hash
+    }.toMap
+    pins.foreach { case (name, hash) =>
+      val ds = datasets(name)
+      val df = lastRecords match {
+        case Some(n) => ds.tail(n.toInt, Some(hash))
+        case None    => ds.toDF(Some(hash))
+      }
+      df.createOrReplaceTempView(name)
+    }
+    (spark.sql(statement), QueryState(pins))
+  }
+
+  def sql(statement: String, asOf: Map[String, String] = Map.empty): DataFrame =
+    sqlWithState(statement, asOf)._1
+
+  /** Last-n service over a dataset (query_service_impl.rs:446-497). */
+  def tail(name: String, n: Int): DataFrame = datasets(name).tail(n)
+
+  /** State projection service with PK discovery (:630-738). */
+  def state(name: String): DataFrame = datasets(name).projectState()
+
+  /** Schema introspection (schema_service_impl.rs): DDL + JSON forms. */
+  def schemaDdl(name: String): Option[String] = datasets(name).chain.schemaDdl()
+  def schemaJson(name: String): Option[String] =
+    datasets(name).chain.schemaDdl().map(d => org.apache.spark.sql.types.StructType.fromDDL(d).json)
+}

@@ -1,0 +1,149 @@
+package graft.transform
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dataset.Dataset
+import graft.ingest.IngestWriter
+import graft.model.{MetadataEvent, Op}
+import graft.model.MetadataEvent._
+import graft.operators.{MergeStrategy, Writer}
+
+/**
+ * Incremental derivative transforms: a dataset declares a SQL transform over
+ * named inputs once (SetTransform), and every execution sees only the
+ * half-open offset interval (prevOffset, newOffset] of each input that is
+ * new since the last run — mirroring the reference's elaboration + execution
+ * services (src/infra/core/src/services/transform/
+ * transform_elaboration_service_impl.rs:46-112, transform_executor_impl.rs).
+ *
+ * Scale shape: the input slice is selected at the FILE level first (only
+ * chain slices overlapping the offset interval are scanned) with a residual
+ * offset filter pushed into the parquet scan — an incremental run over a
+ * 100 TB input reads only the new slice files.
+ */
+object TransformService {
+
+  sealed trait TransformResult
+  case object UpToDate extends TransformResult
+  final case class Updated(event: ExecuteTransform) extends TransformResult
+
+  /** Declare (or replace) the transform of a derivative dataset. */
+  def setTransform(ds: Dataset, inputs: Seq[String], steps: Seq[SqlStep], systemTime: Long): Unit =
+    ds.chain.append(SetTransform(inputs, steps), systemTime)
+
+  /** The (prev, new] offset interval of one input for the next run. */
+  private def inputInterval(
+      output: Dataset,
+      inputName: String,
+      input: Dataset
+  ): (Option[Long], Option[Long]) = {
+    val prev = output.chain
+      .lastExecuteTransform()
+      .flatMap(_.inputs.find(_.datasetName == inputName))
+      .flatMap(_.newOffset)
+    (prev, input.chain.lastOffset())
+  }
+
+  /** Scan only the slices of `input` that overlap (prev, new]. */
+  private def sliceDF(input: Dataset, prev: Option[Long], newOffset: Option[Long]): DataFrame = {
+    val vocab = input.vocabulary
+    val lo = prev.map(_ + 1).getOrElse(0L)
+    val hi = newOffset.getOrElse(-1L)
+    val slices = input.chain.slices().filter(s => s.offsetEnd >= lo && s.offsetStart <= hi)
+    if (slices.isEmpty) input.toDF().limit(0)
+    else {
+      val ddl = input.chain.schemaDdl()
+      val reader =
+        ddl.map(d => input.spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(d)))
+          .getOrElse(input.spark.read)
+      reader
+        .parquet(input.chain.slicePaths(slices): _*)
+        .filter(col(vocab.offsetColumn) >= lo && col(vocab.offsetColumn) <= hi)
+    }
+  }
+
+  /**
+   * Execute one incremental run of `output`'s declared transform. Inputs are
+   * resolved by name; each is registered as a temp view holding ONLY its new
+   * offset interval. Multi-step SQL: every step with an alias becomes a view;
+   * the last step (or the only one) produces the output rows, which are
+   * stamped, offset-assigned, written as a slice, and committed as an
+   * ExecuteTransform block.
+   */
+  def executeTransform(
+      output: Dataset,
+      resolve: String => Dataset,
+      systemTime: Long
+  ): TransformResult = {
+    val spark = output.spark
+    val decl = output.chain
+      .transform()
+      .getOrElse(throw new IllegalStateException(s"dataset ${output.name} has no SetTransform"))
+
+    val intervals = decl.inputs.map { name =>
+      val in = resolve(name)
+      val (prev, newOff) = inputInterval(output, name, in)
+      (name, in, prev, newOff)
+    }
+
+    if (intervals.forall { case (_, _, prev, newOff) => prev == newOff }) return UpToDate
+
+    intervals.foreach { case (name, in, prev, newOff) =>
+      sliceDF(in, prev, newOff).createOrReplaceTempView(name)
+    }
+    val result: DataFrame = decl.steps match {
+      case Seq() => throw new IllegalStateException("SetTransform with no steps")
+      case steps =>
+        steps.init.foreach { s =>
+          val alias =
+            s.alias.getOrElse(throw new IllegalStateException("intermediate step needs an alias"))
+          spark.sql(s.query).createOrReplaceTempView(alias)
+        }
+        spark.sql(steps.last.query)
+    }
+
+    val vocab = output.vocabulary
+    // Batch-SQL engines emit appends unless the query carries op through.
+    val withOp =
+      if (result.columns.contains(vocab.operationTypeColumn)) result
+      else result.withColumn(vocab.operationTypeColumn, lit(Op.Append))
+
+    val prevOffset = output.chain.lastOffset()
+    val stamped = Writer.stampSystemColumns(withOp, new Timestamp(systemTime), None, vocab)
+    val withOffsets = Writer.assignOffsets(
+      Writer.normalizeTimestamps(stamped),
+      MergeStrategy.totalOrder(stamped, vocab),
+      startOffset = prevOffset.map(_ + 1).getOrElse(0L),
+      vocab
+    )
+
+    val inputStates = intervals.map { case (name, _, prev, newOff) =>
+      TransformInputState(name, prev, newOff)
+    }
+    val newData = IngestWriter.writeSliceFile(output.chain, withOffsets).map {
+      case (file, physicalHash) =>
+        val written = spark.read.parquet(file.toString)
+        val stats = Writer
+          .computeStats(written, output.chain.watermark().map(new Timestamp(_)), vocab)
+          .get
+        if (output.chain.schemaDdl().isEmpty)
+          output.chain.append(SetDataSchema(written.schema.toDDL), systemTime)
+        AddData(
+          prevOffset = prevOffset,
+          offsetStart = stats.offsetStart,
+          offsetEnd = stats.offsetEnd,
+          numRecords = stats.numRecords,
+          physicalHash = physicalHash,
+          logicalHash = IngestWriter.logicalHash(written),
+          newWatermark = stats.newWatermark.map(_.getTime)
+        )
+    }
+
+    val event = ExecuteTransform(inputStates, newData)
+    output.chain.append(event, systemTime)
+    Updated(event)
+  }
+}

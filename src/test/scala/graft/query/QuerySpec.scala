@@ -1,0 +1,55 @@
+package graft.query
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Temporal
+
+class QuerySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extractTableRefs finds refs through joins and CTEs, excluding CTE aliases") {
+    val qs = new QueryService(spark, Map.empty)
+    val refs = qs.extractTableRefs(
+      """WITH top AS (SELECT * FROM orders WHERE o_totalprice > 10)
+        |SELECT * FROM top t JOIN customer c ON t.o_custkey = c.c_custkey
+        |UNION ALL SELECT * FROM archive.orders2""".stripMargin
+    )
+    assert(refs.toSet === Set("orders", "customer", "archive.orders2"))
+  }
+
+  test("asOfJoin picks the latest right row at or before each left time") {
+    def t(s: String) = Timestamp.from(Instant.parse(s))
+    val rates = Seq(
+      ("cad", t("2024-01-01T00:00:00Z"), 1.30),
+      ("cad", t("2024-01-03T00:00:00Z"), 1.35),
+      ("eur", t("2024-01-02T00:00:00Z"), 0.90)
+    ).toDF("cur", "rt", "rate")
+    val trades = Seq(
+      (1L, "cad", t("2024-01-02T12:00:00Z")), // between the two cad rates -> 1.30
+      (2L, "cad", t("2024-01-03T00:00:00Z")), // exactly at the second -> 1.35
+      (3L, "eur", t("2024-01-01T00:00:00Z")), // before any eur rate -> no match
+      (4L, "eur", t("2024-01-05T00:00:00Z")) // after -> 0.90
+    ).toDF("id", "cur", "tt")
+
+    val inner = Temporal
+      .asOfJoin(trades, rates, Seq("cur"), "tt", "rt")
+      .select(trades("id"), col("rate"))
+      .as[(Long, Double)]
+      .collect()
+      .toMap
+    assert(inner === Map(1L -> 1.30, 2L -> 1.35, 4L -> 0.90))
+
+    // left join keeps unmatched rows with null rate
+    val left = Temporal
+      .asOfJoin(trades, rates, Seq("cur"), "tt", "rt", joinType = "left")
+      .select(trades("id"), col("rate"))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)))
+      .toMap
+    assert(left(3L).isEmpty && left.size === 4)
+  }
+}
