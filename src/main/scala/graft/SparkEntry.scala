@@ -415,6 +415,43 @@ object SparkEntry {
       )
     },
 
+    // ---- maintenance (SURVEY §2.5): compaction must re-slice without
+    // changing a single row — same oracle as the uncompacted dataset.
+    "compaction" -> { (s, dir) =>
+      val base = t(s, dir, "orders").select(
+        col("o_orderdate").as("event_time"),
+        col("o_orderkey"),
+        col("o_custkey"),
+        col("o_totalprice")
+      )
+      val root = java.nio.file.Files.createTempDirectory("graft-compact-q-")
+      val ds = Dataset.create(s, root, "orders_ds")
+      val strat = MergeStrategy.Append()
+      val times = Seq("2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z", "2024-01-03T00:00:00Z")
+      for (g <- 0 until 3)
+        IngestWriter.writeBatch(
+          ds,
+          base.filter(col("o_orderkey") % 3 === g),
+          strat,
+          java.time.Instant.parse(times(g)).toEpochMilli
+        )
+      val compacted =
+        graft.maintenance.Maintenance.compact(Dataset.open(s, root), maxRecords = 1000000L)
+      require(compacted.chain.slices().size == 1, "compaction should merge to one slice")
+      require(
+        graft.maintenance.Maintenance.verify(compacted).isEmpty,
+        "compacted dataset must verify clean"
+      )
+      compacted.toDF().orderBy(col("offset"))
+    },
+    // ---- text analysis: n-gram-profile language id (heuristic replicated
+    // in the oracle via struct-max over (hits, lang) pairs).
+    "text_lang" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.languageId(col("text")).as("lang"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- temporal as-of join (SURVEY §2.4, §7.4.5): each even event joined
     // with the latest %7 event of the same user at or before its timestamp.
     "asof_join" -> { (s, dir) =>
@@ -676,6 +713,33 @@ object SparkEntry {
     "query_service_sql" ->
       """SELECT * FROM (VALUES ('kyiv', 2884000), ('seattle', 733000)) AS t(city, population)
         |ORDER BY city""".stripMargin,
+    // Compaction preserves every row exactly — same oracle as the
+    // uncompacted multi-slice dataset.
+    "compaction" ->
+      """WITH base AS (
+        |  SELECT o_orderkey % 3 AS g, o_orderdate AS event_time, o_orderkey, o_custkey, o_totalprice
+        |  FROM orders)
+        |SELECT row_number() OVER (ORDER BY g, event_time, o_orderkey) - 1 AS "offset",
+        |       CAST(0 AS INT) AS op,
+        |       CASE g WHEN 0 THEN TIMESTAMP '2024-01-01 00:00:00'
+        |              WHEN 1 THEN TIMESTAMP '2024-01-02 00:00:00'
+        |              ELSE TIMESTAMP '2024-01-03 00:00:00' END AS system_time,
+        |       event_time, o_orderkey, o_custkey, o_totalprice
+        |FROM base ORDER BY "offset"""".stripMargin,
+    "text_lang" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, list_max([
+        |    {'hits': len(list_filter(toks, t -> list_contains(['the','and','of','to','is','that','with','for'], t))), 'lang': 'en'},
+        |    {'hits': len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','ein','mit'], t))), 'lang': 'de'},
+        |    {'hits': len(list_filter(toks, t -> list_contains(['le','la','les','est','une','dans','pour','que'], t))), 'lang': 'fr'},
+        |    {'hits': len(list_filter(toks, t -> list_contains(['el','los','es','una','por','como','pero','más'], t))), 'lang': 'es'},
+        |    {'hits': len(list_filter(toks, t -> list_contains(['的','是','了','在','我','有','和','不'], t))), 'lang': 'zh'}
+        |  ]) AS best FROM tok)
+        |SELECT doc_id, CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang
+        |FROM scored ORDER BY doc_id""".stripMargin,
     "asof_join" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 0),
         |r0 AS (SELECT user_id, ts AS rts, value FROM events WHERE event_id % 7 = 0),

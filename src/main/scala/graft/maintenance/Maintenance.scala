@@ -1,0 +1,241 @@
+package graft.maintenance
+
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.chain.MetadataChain
+import graft.dataset.Dataset
+import graft.ingest.IngestWriter
+import graft.model.{MetadataBlock, MetadataEvent}
+import graft.model.MetadataEvent._
+import graft.operators.Writer
+
+/**
+ * Maintenance operators: compaction, verification, transform replay.
+ * Mirrors src/infra/core/src/services/{compaction/compaction_planner_impl.rs,
+ * verification_service_impl.rs}.
+ */
+object Maintenance {
+
+  /** Compaction defaults (compaction_planner_impl.rs:221-229). */
+  val MaxSliceRecords: Long = 300000L
+  val MaxSliceSizeBytes: Long = 1L << 30
+
+  /**
+   * Re-slice a dataset's data files into ≤ `maxRecords`-record slices. The
+   * chain is rewritten: non-data events are replayed in order, then one
+   * AddData per new slice (hashes change — like a git history rewrite). Data
+   * content, offsets and watermark are preserved exactly.
+   */
+  def compact(ds: Dataset, maxRecords: Long = MaxSliceRecords): Dataset = {
+    val spark = ds.spark
+    val chain = ds.chain
+    val vocab = ds.vocabulary
+    val all = ds.toDF()
+    val totalOpt = chain.lastOffset()
+    if (totalOpt.isEmpty) return ds // nothing to compact
+
+    val blocks = chain.blocks()
+    val oldDataFiles = chain.slices().map(_.physicalHash)
+    val finalWatermark = chain.watermark()
+
+    // Plan slice boundaries by offset ranges (offsets are dense 0..last).
+    val last = totalOpt.get
+    val bounds = (0L to last by maxRecords).map(lo => (lo, math.min(lo + maxRecords - 1, last)))
+
+    // Stage new slice parquet into a temp area first (so a failure midway
+    // leaves the original dataset intact), then rewrite the chain.
+    val staged = bounds.map { case (lo, hi) =>
+      val part = all.filter(col(vocab.offsetColumn) >= lo && col(vocab.offsetColumn) <= hi)
+      val tmpOut = Files.createTempDirectory("graft-compact-")
+      part
+        .orderBy(col(vocab.offsetColumn))
+        .coalesce(1)
+        .write
+        .mode("overwrite")
+        .option("compression", "snappy")
+        .parquet(tmpOut.toString)
+      val file = Files
+        .list(tmpOut)
+        .iterator()
+        .asScala
+        .find(p => p.getFileName.toString.startsWith("part-"))
+        .get
+      (lo, hi, file)
+    }
+
+    // Rewrite: drop all blocks, replay non-data events, append new AddData.
+    chain.blockHashes().headOption.foreach(h => chain.reset(h))
+    // reset keeps block 0 (Seed); remove it too by clearing the blocks dir
+    Files.list(chain.root.resolve("blocks")).iterator().asScala.toSeq.foreach(Files.delete)
+    Files.deleteIfExists(chain.root.resolve("refs").resolve("head"))
+
+    blocks.foreach { b =>
+      b.event match {
+        case _: AddData | _: ExecuteTransform => () // replaced below
+        case e                                => chain.append(e, b.systemTime)
+      }
+    }
+    var prevOffset: Option[Long] = None
+    staged.foreach { case (lo, hi, file) =>
+      // stats + logical hash BEFORE the move — the DataFrame is lazy over
+      // the staged path and would fail after the file relocates
+      val written = spark.read.parquet(file.toString)
+      val stats = Writer.computeStats(written, None, vocab).get
+      val logical = IngestWriter.logicalHash(written)
+      val hash = MetadataChain.sha256HexOfFile(file)
+      val target = chain.dataDir.resolve(hash)
+      if (!Files.exists(target)) Files.move(file, target)
+      chain.append(
+        AddData(
+          prevOffset = prevOffset,
+          offsetStart = lo,
+          offsetEnd = hi,
+          numRecords = stats.numRecords,
+          physicalHash = hash,
+          logicalHash = logical,
+          newWatermark = if (hi == last) finalWatermark else stats.newWatermark.map(_.getTime)
+        ),
+        System.currentTimeMillis()
+      )
+      prevOffset = Some(hi)
+    }
+    // Remove superseded data files (content-addressing may keep identical ones).
+    val kept = chain.slices().map(_.physicalHash).toSet
+    oldDataFiles.filterNot(kept.contains).foreach { h =>
+      Files.deleteIfExists(chain.dataDir.resolve(h))
+    }
+    Dataset.open(spark, chain.root)
+  }
+
+  // ---------------------------------------------------------------- verify
+
+  sealed trait Issue { def msg: String }
+  final case class ChainIssue(msg: String) extends Issue
+  final case class SliceIssue(physicalHash: String, msg: String) extends Issue
+
+  /**
+   * Integrity verification (verification_service_impl.rs:44-199):
+   *  - chain: each block file's hash matches its filename, prev links hold;
+   *  - slices: data file exists, physical hash matches bytes, logical hash
+   *    and record count match a recompute, offset intervals are contiguous.
+   */
+  def verify(ds: Dataset): Seq[Issue] = {
+    val chain = ds.chain
+    val issues = Seq.newBuilder[Issue]
+
+    // chain link integrity: recompute each block's hash from its file
+    val blocksDir = chain.root.resolve("blocks")
+    val files = Files
+      .list(blocksDir)
+      .iterator()
+      .asScala
+      .toSeq
+      .sortBy(_.getFileName.toString)
+    var prevHash: Option[String] = None
+    files.foreach { f =>
+      val name = f.getFileName.toString.stripSuffix(".json")
+      val declared = name.substring(name.indexOf('-') + 1)
+      val actual = MetadataChain.sha256HexOfFile(f)
+      if (actual != declared)
+        issues += ChainIssue(s"block $name: content hash $actual != filename hash $declared")
+      prevHash = Some(declared)
+    }
+    val blocks = chain.blocks()
+    blocks.sliding(2).foreach {
+      case Seq(a, b) =>
+        val aHash = chain.hashAt(a.sequenceNumber)
+        if (b.prevBlockHash != aHash)
+          issues += ChainIssue(
+            s"block ${b.sequenceNumber}: prevBlockHash ${b.prevBlockHash} != ${aHash}"
+          )
+      case _ => ()
+    }
+
+    // slice integrity
+    var prevEnd: Option[Long] = None
+    chain.slices().foreach { s =>
+      val file = chain.dataDir.resolve(s.physicalHash)
+      if (!Files.exists(file)) issues += SliceIssue(s.physicalHash, "data file missing")
+      else {
+        val actual = MetadataChain.sha256HexOfFile(file)
+        if (actual != s.physicalHash)
+          issues += SliceIssue(s.physicalHash, s"physical hash mismatch: $actual")
+        else
+          // content checks only when the bytes are intact — a corrupted file
+          // may not even parse as parquet
+          try {
+            val df = ds.spark.read.parquet(file.toString)
+            val logical = IngestWriter.logicalHash(df)
+            if (logical != s.logicalHash)
+              issues += SliceIssue(
+                s.physicalHash,
+                s"logical hash mismatch: $logical vs ${s.logicalHash}"
+              )
+            if (df.count() != s.numRecords)
+              issues += SliceIssue(s.physicalHash, "record count mismatch")
+          } catch {
+            case e: Exception =>
+              issues += SliceIssue(s.physicalHash, s"slice unreadable: ${e.getMessage}")
+          }
+      }
+      if (s.offsetStart != prevEnd.map(_ + 1).getOrElse(0L))
+        issues += SliceIssue(s.physicalHash, s"offset interval not contiguous at ${s.offsetStart}")
+      prevEnd = Some(s.offsetEnd)
+    }
+    issues.result()
+  }
+
+  /**
+   * Transform replay verification (transform_executor_impl.rs:226-366): for
+   * every ExecuteTransform block, re-run the declared SQL over the recorded
+   * input intervals and compare the logical hash of the output slice.
+   */
+  def verifyTransform(ds: Dataset, resolve: String => Dataset): Seq[Issue] = {
+    val spark = ds.spark
+    val chain = ds.chain
+    val vocab = ds.vocabulary
+    val decl = chain.transform().getOrElse(return Seq(ChainIssue("no SetTransform declared")))
+    val issues = Seq.newBuilder[Issue]
+
+    chain.blocks().foreach {
+      case MetadataBlock(_, _, systemTime, ExecuteTransform(inputs, Some(newData))) =>
+        inputs.foreach { st =>
+          val in = resolve(st.datasetName)
+          val lo = st.prevOffset.map(_ + 1).getOrElse(0L)
+          val hi = st.newOffset.getOrElse(-1L)
+          in.toDF()
+            .filter(col(in.vocabulary.offsetColumn) >= lo && col(in.vocabulary.offsetColumn) <= hi)
+            .createOrReplaceTempView(st.datasetName)
+        }
+        val result = {
+          decl.steps.init.foreach { s =>
+            spark.sql(s.query).createOrReplaceTempView(s.alias.get)
+          }
+          spark.sql(decl.steps.last.query)
+        }
+        val withOp =
+          if (result.columns.contains(vocab.operationTypeColumn)) result
+          else result.withColumn(vocab.operationTypeColumn, lit(graft.model.Op.Append))
+        val stamped = Writer.stampSystemColumns(withOp, new Timestamp(systemTime), None, vocab)
+        val replayed = Writer.assignOffsets(
+          Writer.normalizeTimestamps(stamped),
+          graft.operators.MergeStrategy.totalOrder(stamped, vocab),
+          startOffset = newData.offsetStart,
+          vocab
+        )
+        val hash = IngestWriter.logicalHash(replayed)
+        if (hash != newData.logicalHash)
+          issues += SliceIssue(
+            newData.physicalHash,
+            s"transform replay hash mismatch: $hash vs ${newData.logicalHash}"
+          )
+      case _ => ()
+    }
+    issues.result()
+  }
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.DatasetVocabulary
+import graft.operators.MergeStrategy
+
+/**
+ * Structured Streaming operators for derivative pipelines — the role the
+ * reference delegates to containerized Flink/RisingWave engines
+ * (SURVEY §2.4). These compose on streaming DataFrames (`readStream` →
+ * transform → `writeStream`); the same expressions also run in batch mode,
+ * which is how the specs drive them deterministically.
+ */
+object StreamingOps {
+
+  /** Tumbling-window aggregation with a watermark
+    * (examples/covid/canada.daily-cases.yaml:13-37 — `TUMBLE(...)`). */
+  def tumblingWindowAgg(
+      df: DataFrame,
+      timeCol: String,
+      windowDuration: String,
+      watermarkDelay: String,
+      keys: Seq[Column],
+      aggs: Seq[Column]
+  ): DataFrame =
+    df.withWatermark(timeCol, watermarkDelay)
+      .groupBy((window(col(timeCol), windowDuration) +: keys): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Sliding-window variant. */
+  def slidingWindowAgg(
+      df: DataFrame,
+      timeCol: String,
+      windowDuration: String,
+      slideDuration: String,
+      watermarkDelay: String,
+      keys: Seq[Column],
+      aggs: Seq[Column]
+  ): DataFrame =
+    df.withWatermark(timeCol, watermarkDelay)
+      .groupBy((window(col(timeCol), windowDuration, slideDuration) +: keys): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Session-window variant (gap-based). */
+  def sessionWindowAgg(
+      df: DataFrame,
+      timeCol: String,
+      gapDuration: String,
+      watermarkDelay: String,
+      keys: Seq[Column],
+      aggs: Seq[Column]
+  ): DataFrame =
+    df.withWatermark(timeCol, watermarkDelay)
+      .groupBy((session_window(col(timeCol), gapDuration) +: keys): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /**
+   * Stream-stream interval join
+   * (examples/overdue_shipments/com.acme.shipments.overdue.yaml:17-30):
+   * equi-keys + a bounded event-time range so state can be evicted by the
+   * watermarks.
+   */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftWatermark: (String, String), // (timeCol, delay)
+      rightWatermark: (String, String),
+      keys: Seq[(String, String)], // (leftCol, rightCol)
+      range: Column, // e.g. r("ts") between l("ts") and l("ts") + interval 2 days
+      joinType: String = "inner"
+  ): DataFrame = {
+    val l = left.withWatermark(leftWatermark._1, leftWatermark._2)
+    val r = right.withWatermark(rightWatermark._1, rightWatermark._2)
+    val cond = keys.map { case (lk, rk) => l(lk) === r(rk) }.reduce(_ && _) && range
+    l.join(r, cond, joinType)
+  }
+
+  /**
+   * Streaming top-N with retractions (examples/leaderboard/leaderboard.yaml:
+   * 9-25): each micro-batch recomputes the top-N and the previous ledger is
+   * CDC-diffed against it, emitting +A/-R/-C/+C changelog rows — exactly the
+   * Snapshot merge operator, reused (SURVEY §7.4.6). Use from `foreachBatch`:
+   * keep the returned ledger (prev ++ emitted) as the next batch's `prev`.
+   */
+  def topNRetractions(
+      prevLedger: Option[DataFrame],
+      currentState: DataFrame,
+      n: Int,
+      scoreOrder: Seq[Column],
+      primaryKey: Seq[String],
+      vocab: DatasetVocabulary = DatasetVocabulary.Default
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val topN = currentState
+      .withColumn("__rank", row_number().over(Window.orderBy(scoreOrder: _*)))
+      .filter(col("__rank") <= n)
+      .withColumnRenamed("__rank", "place")
+    MergeStrategy.Snapshot(primaryKey, vocab = vocab).merge(prevLedger, topN)
+  }
+}

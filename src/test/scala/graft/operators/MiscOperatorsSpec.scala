@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class MiscOperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------- nullability
+
+  test("assertNotNull passes clean data and fails on nulls with the column name") {
+    val clean = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(Nullability.assertNotNull(clean, Seq("id", "v")).count() === 2)
+
+    val dirty = Seq((1L, Some("a")), (2L, None)).toDF("id", "v")
+    val ex = intercept[Exception] {
+      Nullability.assertNotNull(dirty, Seq("v")).collect()
+    }
+    assert(ex.getMessage.contains("column 'v'"))
+  }
+
+  test("markNotNull flips the static nullable flag") {
+    val df = Seq((1L, Some("a"))).toDF("id", "v")
+    assert(df.schema("v").nullable)
+    val coerced = Nullability.markNotNull(df, Seq("v"))
+    assert(!coerced.schema("v").nullable)
+    assert(coerced.collect().toSeq === df.collect().toSeq)
+  }
+
+  test("assertArrayElementsNotNull rejects null elements") {
+    val bad = Seq(Seq[Option[Int]](Some(1), None)).toDF("a")
+    val ex = intercept[Exception] {
+      bad.select(Nullability.assertArrayElementsNotNull(col("a"), "a")).collect()
+    }
+    assert(ex.getMessage.contains("null element"))
+    val ok = Seq(Seq(1, 2, 3)).toDF("a")
+    assert(
+      ok.select(Nullability.assertArrayElementsNotNull(col("a"), "a").as("a"))
+        .head().getSeq[Int](0) === Seq(1, 2, 3)
+    )
+  }
+
+  // -------------------------------------------------------------- export
+
+  private val exportDf = Seq((1L, "x,\"y\"", 1.5), (2L, null, 2.0)).toDF("id", "s", "d")
+
+  test("response encoders: JsonAoS / JsonAoA / JsonSoA / CSV") {
+    assert(Export.jsonAoS(exportDf.orderBy("id")) ===
+      """[{"id":1,"s":"x,\"y\"","d":1.5},{"id":2,"d":2.0}]""")
+    assert(Export.jsonAoA(exportDf.orderBy("id")) ===
+      """[[1,"x,\"y\"",1.5],[2,null,2.0]]""")
+    assert(Export.jsonSoA(exportDf.orderBy("id")) ===
+      """{"id":[1,2],"s":["x,\"y\"",null],"d":[1.5,2.0]}""")
+    val csv = Export.csvString(exportDf.orderBy("id"))
+    assert(csv.linesIterator.toSeq === Seq("id,s,d", "1,\"x,\"\"y\"\"\",1.5", "2,null,2.0"))
+  }
+
+  test("export sinks round-trip through files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-export-")
+    Export.toParquet(exportDf, dir.resolve("p").toString, coalesce = Some(1))
+    assert(spark.read.parquet(dir.resolve("p").toString).count() === 2)
+    Export.toNdjson(exportDf, dir.resolve("j").toString, coalesce = Some(1))
+    assert(spark.read.json(dir.resolve("j").toString).count() === 2)
+    Export.toCsv(exportDf, dir.resolve("c").toString, coalesce = Some(1))
+    assert(spark.read.option("header", "true").csv(dir.resolve("c").toString).count() === 2)
+  }
+
+  // ---------------------------------------------------------- multimodal
+
+  test("multimodal: metadata struct, fingerprint, stub features are deterministic") {
+    val imgs = Seq(
+      (1L, "fake-image-bytes-aaaa".getBytes, "image/png", 64, 48),
+      (2L, "fake-image-bytes-bbbb".getBytes, "image/png", 32, 32)
+    ).toDF("id", "content", "mt", "w", "h")
+      .withColumn(
+        "meta",
+        Multimodal.withMediaMeta(col("mt"), col("w"), col("h"), lit(0L))
+      )
+
+    val feats = imgs
+      .select(col("id"), Multimodal.imageFeaturesStub(col("content"), 8).as("f"),
+        Multimodal.mediaFingerprint(col("content")).as("fp"),
+        Multimodal.mediaSize(col("content")).as("sz"))
+    val rows = feats.orderBy("id").collect()
+    assert(rows.forall(_.getSeq[Double](1).size == 8))
+    assert(rows.forall(_.getSeq[Double](1).forall(v => v >= -1.0 && v <= 1.0)))
+    assert(rows(0).getLong(2) !== rows(1).getLong(2)) // distinct content -> distinct fp
+    assert(rows(0).getLong(3) === "fake-image-bytes-aaaa".length.toLong)
+    // deterministic across evaluations
+    assert(feats.orderBy("id").collect().toSeq === rows.toSeq)
+  }
+
+  test("multimodal: frame sampling yields bounded binary slices; partition harness works") {
+    val vids = Seq((1L, Array.fill[Byte](1000)(7))).toDF("id", "content")
+    val frames = vids
+      .select(Multimodal.frameSampleStub(col("content"), n = 4, frameBytes = 16).as("fr"))
+      .head()
+      .getSeq[Array[Byte]](0)
+    assert(frames.size === 4 && frames.forall(_.length <= 16))
+
+    val out = Multimodal.processMediaPartitions(
+      vids,
+      "content",
+      StructType(Seq(StructField("id", LongType), StructField("n", IntegerType)))
+    )(rows => rows.map(r => Row(r.getLong(0), r.getAs[Array[Byte]](1).length)))
+    assert(out.head() === Row(1L, 1000))
+  }
+}

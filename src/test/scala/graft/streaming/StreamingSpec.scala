@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.Op
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  test("tumbling window agg over a real stream (MemoryStream, append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "k", "v")
+    val agg = StreamingOps.tumblingWindowAgg(
+      df,
+      timeCol = "ts",
+      windowDuration = "1 day",
+      watermarkDelay = "0 seconds",
+      keys = Seq(col("k")),
+      aggs = Seq(sum(col("v")).as("total"), count(lit(1)).as("n"))
+    )
+    val q = agg.writeStream.format("memory").queryName("tumbled").outputMode("append").start()
+    try {
+      mem.addData(
+        (t("2024-01-01T01:00:00Z"), "a", 1.0),
+        (t("2024-01-01T02:00:00Z"), "a", 2.0),
+        (t("2024-01-01T03:00:00Z"), "b", 5.0)
+      )
+      q.processAllAvailable()
+      // advance the watermark past day 1 so its windows close and emit
+      mem.addData((t("2024-01-03T00:00:00Z"), "a", 9.0))
+      q.processAllAvailable()
+      val got = spark
+        .table("tumbled")
+        .select(col("window.start").as("ws"), col("k"), col("total"), col("n"))
+        .as[(Timestamp, String, Double, Long)]
+        .collect()
+        .toSet
+      assert(
+        got === Set(
+          (t("2024-01-01T00:00:00Z"), "a", 3.0, 2L),
+          (t("2024-01-01T00:00:00Z"), "b", 5.0, 1L)
+        )
+      )
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join emits matched pairs within the range") {
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[(Long, Timestamp)]
+    val ships = MemoryStream[(Long, Timestamp)]
+    val joined = StreamingOps.intervalJoin(
+      orders.toDF().toDF("order_id", "ots"),
+      ships.toDF().toDF("ship_order_id", "sts"),
+      leftWatermark = ("ots", "0 seconds"),
+      rightWatermark = ("sts", "0 seconds"),
+      keys = Seq(("order_id", "ship_order_id")),
+      range = col("sts").between(col("ots"), col("ots") + expr("interval 2 days"))
+    )
+    val q = joined.writeStream.format("memory").queryName("shipped").outputMode("append").start()
+    try {
+      orders.addData((1L, t("2024-01-01T00:00:00Z")), (2L, t("2024-01-01T00:00:00Z")))
+      ships.addData((1L, t("2024-01-02T00:00:00Z")), (2L, t("2024-01-05T00:00:00Z")))
+      q.processAllAvailable()
+      val got = spark.table("shipped").select("order_id").as[Long].collect().toSeq
+      assert(got === Seq(1L)) // order 2 shipped outside the 2-day window
+    } finally q.stop()
+  }
+
+  test("topN with retractions emits leaderboard changes as changelog rows") {
+    // micro-batch 1: alice 10, bob 8, carol 5; top-2 = alice, bob
+    val s1 = Seq(("alice", 10L), ("bob", 8L), ("carol", 5L)).toDF("player", "score")
+    val d1 = StreamingOps.topNRetractions(
+      prevLedger = None,
+      currentState = s1,
+      n = 2,
+      scoreOrder = Seq(col("score").desc, col("player")),
+      primaryKey = Seq("player")
+    )
+    val got1 = d1.select("op", "player", "place").as[(Int, String, Int)].collect().toSet
+    assert(got1 === Set((Op.Append, "alice", 1), (Op.Append, "bob", 2)))
+
+    // ledger = emitted rows with offsets; batch 2: carol overtakes bob
+    val ledger1 = d1
+      .withColumn("offset", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("player"))).cast("long"))
+    val s2 = Seq(("alice", 10L), ("bob", 8L), ("carol", 12L)).toDF("player", "score")
+    val d2 = StreamingOps.topNRetractions(
+      prevLedger = Some(ledger1),
+      currentState = s2,
+      n = 2,
+      scoreOrder = Seq(col("score").desc, col("player")),
+      primaryKey = Seq("player")
+    )
+    val got2 = d2.select("op", "player", "place").as[(Int, String, Int)].collect().toSet
+    // carol enters at place 1, alice corrected 1->2, bob retracted
+    assert(
+      got2 === Set(
+        (Op.Append, "carol", 1),
+        (Op.CorrectFrom, "alice", 1),
+        (Op.CorrectTo, "alice", 2),
+        (Op.Retract, "bob", 2)
+      )
+    )
+  }
+}
