@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Changelog, MergeStrategy}
+
+/**
+ * The reference's three Criterion micro-benchmark shapes at 1M rows
+ * (src/infra/ingest-datafusion/benches/{cdc_project,snapshot,ledger}.rs),
+ * regenerated deterministically (hash-based, no RNG state) so the exact same
+ * parquet feeds both Spark (here) and DuckDB (tools/criterion_duckdb.py).
+ *
+ * Prints one JSON line with cold and warm timings; writes the generated
+ * tables to /tmp/graft-criterion for the DuckDB side.
+ */
+object CriterionBench {
+
+  private def h(seed: Int) = xxhash64(col("id"), lit(seed))
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val out = "/tmp/graft-criterion"
+
+    // --- cdc_project: 1M-row CDC ledger, 2-col PK, random op mix
+    // (cdc_project.rs:18-136)
+    val n = 1000000L
+    spark.range(n).select(
+      col("id").as("offset"),
+      pmod(h(1), lit(4)).cast("int").as("op"),
+      pmod(h(2), lit(100000)).as("pk1"),
+      pmod(h(3), lit(100)).as("pk2"),
+      pmod(h(4), lit(1000)).as("cmp1"),
+      pmod(h(5), lit(1000)).as("cmp2"),
+      h(6).as("aux1"),
+      h(7).as("aux2")
+    ).write.mode("overwrite").parquet(s"$out/cdc_ledger")
+
+    // --- snapshot: 1M-row prior state vs a new full snapshot with ~10%
+    // changed, ~5% deleted, ~5% inserted (snapshot.rs:196-218)
+    val state = spark.range(n).select(
+      pmod(h(2), lit(2000000)).as("pk1"),
+      pmod(h(3), lit(100)).as("pk2"),
+      pmod(h(4), lit(1000)).as("cmp1"),
+      pmod(h(5), lit(1000)).as("cmp2")
+    ).dropDuplicates("pk1", "pk2")
+    state
+      .withColumn("offset", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("pk1", "pk2")).cast("long") - 1)
+      .withColumn("op", lit(0))
+      .select("offset", "op", "pk1", "pk2", "cmp1", "cmp2")
+      .write.mode("overwrite").parquet(s"$out/snap_prev")
+    state
+      .filter(pmod(xxhash64(col("pk1"), col("pk2"), lit(10)), lit(20)) =!= 0) // ~5% deleted
+      .withColumn(
+        "cmp1",
+        when(pmod(xxhash64(col("pk1"), col("pk2"), lit(11)), lit(10)) === 0, col("cmp1") + 1)
+          .otherwise(col("cmp1")) // ~10% changed
+      )
+      .unionByName(
+        spark.range(n, n + n / 20).select( // ~5% new keys (outside pk range)
+          (pmod(h(2), lit(2000000)) + 2000000).as("pk1"),
+          pmod(h(3), lit(100)).as("pk2"),
+          pmod(h(4), lit(1000)).as("cmp1"),
+          pmod(h(5), lit(1000)).as("cmp2")
+        )
+      )
+      .write.mode("overwrite").parquet(s"$out/snap_new")
+
+    // --- ledger: 1M prior + 500k incoming, half already seen
+    // (ledger.rs:179-191)
+    spark.range(n).select(pmod(h(8), lit(10000000)).as("pk"), h(9).as("v"))
+      .dropDuplicates("pk")
+      .write.mode("overwrite").parquet(s"$out/ledger_prev")
+    spark.range(n - 250000, n + 250000)
+      .select(pmod(h(8), lit(10000000)).as("pk"), h(9).as("v"))
+      .dropDuplicates("pk")
+      .write.mode("overwrite").parquet(s"$out/ledger_new")
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val rows = f; ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    def cdcProject(): Long =
+      Changelog.project(spark.read.parquet(s"$out/cdc_ledger"), Seq("pk1", "pk2")).count()
+    def snapMerge(): Long =
+      MergeStrategy
+        .Snapshot(Seq("pk1", "pk2"))
+        .merge(Some(spark.read.parquet(s"$out/snap_prev")), spark.read.parquet(s"$out/snap_new"))
+        .count()
+    def ledgerMerge(): Long =
+      MergeStrategy
+        .Ledger(Seq("pk"))
+        .merge(Some(spark.read.parquet(s"$out/ledger_prev")), spark.read.parquet(s"$out/ledger_new"))
+        .count()
+
+    val results = Seq(
+      ("cdc_project", () => cdcProject()),
+      ("snapshot_merge", () => snapMerge()),
+      ("ledger_merge", () => ledgerMerge())
+    ).map { case (name, f) =>
+      val (cold, rows) = time(f())
+      val warm = (1 to 3).map(_ => time(f())._1).min
+      (name, cold, warm, rows)
+    }
+    val json = results
+      .map { case (n2, c, w, r) => s""""$n2":{"cold":$c,"warm":$w,"rows":$r}""" }
+      .mkString("{", ",", "}")
+    println(s"""CRITERION $json""")
+    spark.stop()
+  }
+}
