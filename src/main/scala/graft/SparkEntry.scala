@@ -332,6 +332,32 @@ object SparkEntry {
       Dataset.open(s, work.resolve("ds")).toDF().orderBy(col("offset"))
     },
 
+    // ---- geo readers (SURVEY §2.1): GeoJSON FeatureCollection ingested
+    // through the registry + append merge; geometry survives as a JSON
+    // string column (readers/geojson.rs:85-91).
+    "ingest_geojson" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft-geo-")
+      java.nio.file.Files.writeString(
+        work.resolve("cities.geojson"),
+        """{"type":"FeatureCollection","features":[
+          |{"type":"Feature","properties":{"name":"vancouver","pop":675000},"geometry":{"type":"Point","coordinates":[-123.1,49.3]}},
+          |{"type":"Feature","properties":{"name":"seattle","pop":733000},"geometry":{"type":"Point","coordinates":[-122.3,47.6]}}]}""".stripMargin
+      )
+      val ds = Dataset.create(s, work.resolve("ds"), "geo")
+      ds.chain.append(
+        SetPollingSource(readFormat = "geojson", merge = MergeConf("append")),
+        0L
+      )
+      IngestWriter.ingestFile(
+        ds,
+        work.resolve("cities.geojson").toString,
+        java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+      )
+      Dataset.open(s, work.resolve("ds")).toDF()
+        .select(col("offset"), col("op"), col("name"), col("pop"), col("geometry"))
+        .orderBy(col("offset"))
+    },
+
     // ---- derivative transforms (SURVEY §2.4): the city scenario extended
     // with its `population * 10` derivative, executed incrementally over two
     // ingest rounds + an up-to-date no-op (test_engine_transform.rs:651-712,
@@ -699,6 +725,11 @@ object SparkEntry {
         |  (CAST(6 AS BIGINT), CAST(3 AS INT), TIMESTAMP '2024-02-01 00:00:00', TIMESTAMP '2024-02-01 00:00:00', 'seattle', 750000)
         |) AS t("offset", op, system_time, event_time, city, population)
         |ORDER BY "offset"""".stripMargin,
+    "ingest_geojson" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(0 AS INT), 'seattle', 733000, '{"coordinates":[-122.3,47.6],"type":"Point"}'),
+        |  (CAST(1 AS BIGINT), CAST(0 AS INT), 'vancouver', 675000, '{"coordinates":[-123.1,49.3],"type":"Point"}')
+        |) AS t("offset", op, name, pop, geometry) ORDER BY "offset"""".stripMargin,
     "transform_incremental" ->
       """SELECT * FROM (VALUES
         |  (CAST(0 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-01-05 00:00:00', TIMESTAMP '2024-01-01 00:00:00', 'kyiv', 28840000),

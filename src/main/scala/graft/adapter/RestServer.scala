@@ -1,0 +1,120 @@
+package graft.adapter
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.dataset.Dataset
+import graft.ingest.IngestWriter
+import graft.operators.Export
+import graft.query.QueryService
+
+/**
+ * Minimal REST data API over a set of datasets — the reference's HTTP data
+ * adapter surface (src/adapter/http/src/data/{query_handler,ingest_handler}
+ * .rs), on the JDK's built-in HttpServer (zero extra dependencies; this is a
+ * control-plane adapter, not a data-plane component).
+ *
+ *   POST /query                  {"query":"SELECT …"} → {"data":[{…}],"state":{…}}
+ *   GET  /datasets               list dataset names
+ *   GET  /datasets/{name}/tail?n=10          last n records (JsonAoS)
+ *   POST /datasets/{name}/ingest?format=csv  push-ingest the request body
+ *                                (ingest_handler.rs:66-175)
+ */
+final class RestServer(
+    qs: QueryService,
+    datasets: Map[String, Dataset],
+    port: Int = 0
+) {
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): RestServer = {
+    server.createContext("/query", (ex: HttpExchange) => handle(ex)(handleQuery))
+    server.createContext("/datasets", (ex: HttpExchange) => handle(ex)(handleDatasets))
+    server.setExecutor(null)
+    server.start()
+    this
+  }
+
+  def stop(): Unit = server.stop(0)
+
+  private def handle(ex: HttpExchange)(f: HttpExchange => (Int, String)): Unit =
+    try {
+      val (code, body) = f(ex)
+      respond(ex, code, body)
+    } catch {
+      case e: Exception =>
+        respond(ex, 400, s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName))}}""")
+    } finally ex.close()
+
+  private def handleQuery(ex: HttpExchange): (Int, String) = {
+    if (ex.getRequestMethod != "POST") return (405, """{"error":"POST required"}""")
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val sql = extractJsonField(body, "query")
+      .getOrElse(return (400, """{"error":"body must be {\"query\":\"...\"}"}"""))
+    val skip = extractJsonField(body, "skip").map(_.toLong).getOrElse(0L)
+    val limit = extractJsonField(body, "limit").map(_.toInt).getOrElse(100)
+    val (df, state) = qs.sqlWithState(sql)
+    val data = Export.jsonAoS(qs.page(df, skip, limit))
+    val pins = state.inputs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    (200, s"""{"data":$data,"state":$pins}""")
+  }
+
+  private def handleDatasets(ex: HttpExchange): (Int, String) = {
+    val path = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
+    path match {
+      case Array("datasets") =>
+        (200, qs.knownDatasets.map(jstr).mkString("[", ",", "]"))
+      case Array("datasets", name, "tail") =>
+        val n = Option(ex.getRequestURI.getQuery)
+          .flatMap(_.split("&").find(_.startsWith("n=")))
+          .map(_.stripPrefix("n=").toInt)
+          .getOrElse(10)
+        (200, Export.jsonAoS(qs.tail(name, n)))
+      case Array("datasets", name, "ingest") =>
+        if (ex.getRequestMethod != "POST") return (405, """{"error":"POST required"}""")
+        val ds = datasets.getOrElse(name, return (404, s"""{"error":"unknown dataset $name"}"""))
+        val tmp: Path = Files.createTempFile("graft-push-", ".dat")
+        Files.write(tmp, ex.getRequestBody.readAllBytes())
+        val event =
+          IngestWriter.ingestFile(ds, tmp.toString, System.currentTimeMillis(), applyPrep = false)
+        event match {
+          case Some(e) =>
+            (200, s"""{"committed":true,"offsetStart":${e.offsetStart},"offsetEnd":${e.offsetEnd},"numRecords":${e.numRecords}}""")
+          case None => (200, """{"committed":false,"upToDate":true}""")
+        }
+      case _ => (404, """{"error":"not found"}""")
+    }
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+  }
+
+  /** Tiny extractor for one string/number field of a flat JSON object —
+    * avoids a parser dependency for the 2-field request body. */
+  private def extractJsonField(json: String, key: String): Option[String] = {
+    val str = ("\"" + key + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+    val num = ("\"" + key + "\"\\s*:\\s*(-?\\d+)").r
+    str
+      .findFirstMatchIn(json)
+      .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n"))
+      .orElse(num.findFirstMatchIn(json).map(_.group(1)))
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
+}

@@ -51,7 +51,8 @@ object IngestWriter {
       batch: DataFrame,
       merge: MergeStrategy,
       systemTime: Long,
-      eventTimeFallback: Option[Long] = None
+      eventTimeFallback: Option[Long] = None,
+      sourceState: Option[String] = None
   ): Option[AddData] = {
     val chain = ds.chain
     val vocab = ds.vocabulary
@@ -96,7 +97,8 @@ object IngestWriter {
           numRecords = stats.numRecords,
           physicalHash = physicalHash,
           logicalHash = logical,
-          newWatermark = stats.newWatermark.map(_.getTime)
+          newWatermark = stats.newWatermark.map(_.getTime),
+          sourceState = sourceState
         )
         chain.append(event, systemTime)
         Some(event)
@@ -104,22 +106,79 @@ object IngestWriter {
   }
 
   /** Ingest a file according to the chain's SetPollingSource declaration:
-    * read → optional preprocess SQL (over temp view `input`) → merge → commit.
-    * This is the `kamu pull` data path (polling_ingest_service_impl.rs:471+,
-    * engine_datafusion_inproc.rs:74-112). */
-  def ingestFile(ds: Dataset, path: String, systemTime: Long): Option[AddData] = {
+    * prep → read → optional preprocess SQL (over temp view `input`) → merge →
+    * commit. This is the `kamu pull` data path
+    * (polling_ingest_service_impl.rs:471+, engine_datafusion_inproc.rs:74-112). */
+  def ingestFile(
+      ds: Dataset,
+      path: String,
+      systemTime: Long,
+      sourceState: Option[String] = None,
+      applyPrep: Boolean = true
+  ): Option[AddData] = {
     val src = ds.chain
       .pollingSource()
       .getOrElse(throw new IllegalStateException(s"dataset ${ds.name} has no polling source"))
+    // Push ingest bypasses prep: the request body is already the prepared
+    // payload (the reference's push path decodes by body media type, not the
+    // polling fetch pipeline — ingest_handler.rs:66-175).
+    val prepSteps = if (applyPrep) src.prep.getOrElse(Nil) else Nil
+    val prepped = prepSteps.foldLeft(java.nio.file.Paths.get(path)) { (p, step) =>
+      step.kind match {
+        case "decompress" =>
+          Fetch.decompress(p, step.format.getOrElse("gzip"), step.subPath)
+        case "pipe" =>
+          Fetch.pipe(p, step.command.getOrElse(throw new IllegalArgumentException("pipe needs a command")))
+        case other => throw new IllegalArgumentException(s"unknown prep step: $other")
+      }
+    }
     val reader = Readers.forFormat(src.readFormat, src.schemaDdl, src.readOptions)
-    val raw = reader(ds.spark, path)
+    val raw = reader(ds.spark, prepped.toString)
     val prepared = src.preprocessSql match {
       case None => raw
       case Some(sql) =>
         raw.createOrReplaceTempView("input")
         ds.spark.sql(sql)
     }
-    writeBatch(ds, prepared, strategyFor(src.merge, ds.vocabulary), systemTime)
+    writeBatch(ds, prepared, strategyFor(src.merge, ds.vocabulary), systemTime, sourceState = sourceState)
+  }
+
+  /**
+   * One polling iteration: run the declared fetch step (with the previous
+   * source state from the chain), short-circuit to None when the source is
+   * unchanged, else prep/read/merge/commit each fetched payload
+   * (polling_ingest_service_impl.rs:115-365).
+   */
+  def pollOnce(ds: Dataset, systemTime: Long): Option[AddData] = {
+    val src = ds.chain
+      .pollingSource()
+      .getOrElse(throw new IllegalStateException(s"dataset ${ds.name} has no polling source"))
+    val fetch = src.fetch.getOrElse(
+      throw new IllegalStateException(s"dataset ${ds.name} has no fetch step — use ingestFile")
+    )
+    val prevState = ds.chain.slices().reverseIterator.collectFirst {
+      case s if s.sourceState.isDefined => s.sourceState.get
+    }
+    fetch.kind match {
+      case "url" =>
+        Fetch.url(fetch.url.get, prevState) match {
+          case None          => None // up to date
+          case Some(fetched) => ingestFile(ds, fetched.path.toString, systemTime, fetched.sourceState)
+        }
+      case "filesGlob" =>
+        val (files, newState) = Fetch.filesGlob(fetch.glob.get, prevState, fetch.eventTimeRegex)
+        if (files.isEmpty) None
+        else {
+          // Each file is one batch; commit state only on the last so a crash
+          // mid-way re-fetches the remainder.
+          files.init.foreach(f => ingestFile(ds, f.path.toString, systemTime))
+          ingestFile(ds, files.last.path.toString, systemTime, newState)
+        }
+      case "container" =>
+        val fetched = Fetch.container(fetch.command.get)
+        ingestFile(ds, fetched.path.toString, systemTime)
+      case other => throw new IllegalArgumentException(s"unknown fetch kind: $other")
+    }
   }
 
   /**

@@ -74,6 +74,31 @@ object Readers {
     }
   }
 
+  /** GeoJSON FeatureCollection (readers/geojson.rs:85-91): one row per
+    * feature — `properties` flattened to columns plus the `geometry` object
+    * re-serialized as a compact JSON string column. */
+  def geojson(
+      spark: SparkSession,
+      path: String,
+      options: Map[String, String] = Map.empty
+  ): DataFrame = {
+    val doc = spark.read.options(options).option("multiLine", "true").json(path)
+    doc
+      .select(explode(col("features")).as("__f"))
+      .select(col("__f.properties.*"), to_json(col("__f.geometry")).as("geometry"))
+  }
+
+  /** Newline-delimited GeoJSON — one Feature per line (readers/ndgeojson.rs:86-92). */
+  def ndgeojson(
+      spark: SparkSession,
+      path: String,
+      options: Map[String, String] = Map.empty
+  ): DataFrame =
+    spark.read
+      .options(options)
+      .json(path)
+      .select(col("properties.*"), to_json(col("geometry")).as("geometry"))
+
   /** Parquet ingest (readers/parquet.rs:68-88). */
   def parquet(
       spark: SparkSession,
@@ -96,11 +121,13 @@ object Readers {
       subPath: Option[String] = None
   ): Reader =
     normalize(format) match {
-      case "csv"     => (s, p) => csv(s, p, schemaDdl, options)
-      case "ndjson"  => (s, p) => ndjson(s, p, schemaDdl, options)
-      case "json"    => (s, p) => json(s, p, subPath, schemaDdl, options)
-      case "parquet" => (s, p) => parquet(s, p, schemaDdl)
-      case other     => throw new IllegalArgumentException(s"unsupported ingest format: $other")
+      case "csv"       => (s, p) => csv(s, p, schemaDdl, options)
+      case "ndjson"    => (s, p) => ndjson(s, p, schemaDdl, options)
+      case "json"      => (s, p) => json(s, p, subPath, schemaDdl, options)
+      case "parquet"   => (s, p) => parquet(s, p, schemaDdl)
+      case "geojson"   => (s, p) => geojson(s, p, options)
+      case "ndgeojson" => (s, p) => ndgeojson(s, p, options)
+      case other       => throw new IllegalArgumentException(s"unsupported ingest format: $other")
     }
 
   private def normalize(format: String): String = format.toLowerCase match {
@@ -108,6 +135,8 @@ object Readers {
     case "ndjson" | "jsonl" | "application/x-ndjson"          => "ndjson"
     case "json" | "application/json"                          => "json"
     case "parquet" | "application/vnd.apache.parquet" | "pqt" => "parquet"
+    case "geojson" | "application/geo+json"                   => "geojson"
+    case "ndgeojson" | "application/x-ndgeojson"              => "ndgeojson"
     case other                                                => other
   }
 

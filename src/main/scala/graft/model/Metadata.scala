@@ -46,17 +46,38 @@ object MetadataEvent {
     * the Spark-native equivalent, `StructType.fromDDL`-compatible). */
   final case class SetDataSchema(ddl: String) extends MetadataEvent
 
-  /** How a Root dataset ingests: reader format + options, optional
-    * preprocess SQL (runs against a temp view named `input`), and the merge
-    * strategy (SetPollingSource, dtos_generated.rs:1418, simplified to the
-    * parts that affect data). */
+  /** How a Root dataset ingests: optional fetch + prep steps, reader format
+    * + options, optional preprocess SQL (runs against a temp view named
+    * `input`), and the merge strategy (SetPollingSource,
+    * dtos_generated.rs:1418, simplified to the parts that affect data). */
   final case class SetPollingSource(
       readFormat: String,
       readOptions: Map[String, String] = Map.empty,
       schemaDdl: Option[String] = None,
       preprocessSql: Option[String] = None,
-      merge: MergeConf = MergeConf("append")
+      merge: MergeConf = MergeConf("append"),
+      fetch: Option[FetchConf] = None,
+      prep: Option[Seq[PrepConf]] = None
   ) extends MetadataEvent
+
+  /** Fetch step config (FetchStep, dtos_generated.rs:2229-2263 simplified).
+    * kind: url | filesGlob | container. */
+  final case class FetchConf(
+      kind: String,
+      url: Option[String] = None,
+      glob: Option[String] = None,
+      eventTimeRegex: Option[String] = None,
+      command: Option[Seq[String]] = None
+  )
+
+  /** Prep step config (PrepStep, dtos_generated.rs:2974,2602).
+    * kind: decompress | pipe. */
+  final case class PrepConf(
+      kind: String,
+      format: Option[String] = None,
+      subPath: Option[String] = None,
+      command: Option[Seq[String]] = None
+  )
 
   /** Declares a derivative dataset's transform (SetTransform,
     * dtos_generated.rs:1445): named inputs + SQL steps. The last step (or the

@@ -79,4 +79,19 @@ final class QueryService(spark: SparkSession, datasets: Map[String, Dataset]) {
   def schemaDdl(name: String): Option[String] = datasets(name).chain.schemaDdl()
   def schemaJson(name: String): Option[String] =
     datasets(name).chain.schemaDdl().map(d => org.apache.spark.sql.types.StructType.fromDDL(d).json)
+
+  /** Dataset-ref → table resolution (`to_table()` UDTF in the reference,
+    * src/infra/datafusion-udf/src/to_table.rs:22-128 — needed there for
+    * multi-tenant refs with '/'; here a direct resolver). */
+  def toTable(ref: String): DataFrame =
+    datasets
+      .getOrElse(ref, throw new IllegalArgumentException(s"unknown dataset ref: $ref"))
+      .toDF()
+
+  /** REST/GraphQL-style pagination (default limit 100 —
+    * adapter/graphql/src/queries/data.rs:22-90). */
+  def page(df: DataFrame, skip: Long = 0, limit: Int = 100): DataFrame =
+    df.offset(skip.toInt).limit(limit)
+
+  def knownDatasets: Seq[String] = datasets.keys.toSeq.sorted
 }

@@ -123,6 +123,19 @@ object TransformService {
     val inputStates = intervals.map { case (name, _, prev, newOff) =>
       TransformInputState(name, prev, newOff)
     }
+    // Watermark propagation (dtos_generated.rs:1171-1196): the derivative's
+    // watermark is the MIN of its inputs' watermarks (it cannot claim
+    // completeness beyond its least-complete input), clamped to never
+    // regress below the output's own previous watermark.
+    val inputWms = intervals.map { case (_, in, _, _) => in.chain.watermark() }
+    val propagated =
+      if (inputWms.nonEmpty && inputWms.forall(_.isDefined)) Some(inputWms.flatten.min) else None
+    val prevWm = output.chain.watermark()
+    val outWm = (propagated, prevWm) match {
+      case (Some(p), Some(o)) => Some(math.max(p, o))
+      case (p, o)             => p.orElse(o)
+    }
+
     val newData = IngestWriter.writeSliceFile(output.chain, withOffsets).map {
       case (file, physicalHash) =>
         val written = spark.read.parquet(file.toString)
@@ -138,7 +151,7 @@ object TransformService {
           numRecords = stats.numRecords,
           physicalHash = physicalHash,
           logicalHash = IngestWriter.logicalHash(written),
-          newWatermark = stats.newWatermark.map(_.getTime)
+          newWatermark = outWm
         )
     }
 
