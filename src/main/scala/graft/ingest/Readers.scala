@@ -127,6 +127,7 @@ object Readers {
       case "parquet"   => (s, p) => parquet(s, p, schemaDdl)
       case "geojson"   => (s, p) => geojson(s, p, options)
       case "ndgeojson" => (s, p) => ndgeojson(s, p, options)
+      case "shapefile" => (s, p) => Shapefile.read(s, p)
       case other       => throw new IllegalArgumentException(s"unsupported ingest format: $other")
     }
 
@@ -137,6 +138,7 @@ object Readers {
     case "parquet" | "application/vnd.apache.parquet" | "pqt" => "parquet"
     case "geojson" | "application/geo+json"                   => "geojson"
     case "ndgeojson" | "application/x-ndgeojson"              => "ndgeojson"
+    case "shapefile" | "shp" | "x-gis/x-shapefile"            => "shapefile"
     case other                                                => other
   }
 

@@ -16,7 +16,9 @@ import graft.operators.MergeStrategy
 object StreamingOps {
 
   /** Tumbling-window aggregation with a watermark
-    * (examples/covid/canada.daily-cases.yaml:13-37 — `TUMBLE(...)`). */
+    * (examples/covid/canada.daily-cases.yaml:13-37 — `TUMBLE(...)`).
+    * Pass `watermarkDelay = ""` when the stream already carries a watermark
+    * (e.g. downstream of an interval join — Spark forbids redefining it). */
   def tumblingWindowAgg(
       df: DataFrame,
       timeCol: String,
@@ -25,9 +27,12 @@ object StreamingOps {
       keys: Seq[Column],
       aggs: Seq[Column]
   ): DataFrame =
-    df.withWatermark(timeCol, watermarkDelay)
+    withWm(df, timeCol, watermarkDelay)
       .groupBy((window(col(timeCol), windowDuration) +: keys): _*)
       .agg(aggs.head, aggs.tail: _*)
+
+  private def withWm(df: DataFrame, timeCol: String, delay: String): DataFrame =
+    if (delay.isEmpty) df else df.withWatermark(timeCol, delay)
 
   /** Sliding-window variant. */
   def slidingWindowAgg(
@@ -39,7 +44,7 @@ object StreamingOps {
       keys: Seq[Column],
       aggs: Seq[Column]
   ): DataFrame =
-    df.withWatermark(timeCol, watermarkDelay)
+    withWm(df, timeCol, watermarkDelay)
       .groupBy((window(col(timeCol), windowDuration, slideDuration) +: keys): _*)
       .agg(aggs.head, aggs.tail: _*)
 
@@ -52,7 +57,7 @@ object StreamingOps {
       keys: Seq[Column],
       aggs: Seq[Column]
   ): DataFrame =
-    df.withWatermark(timeCol, watermarkDelay)
+    withWm(df, timeCol, watermarkDelay)
       .groupBy((session_window(col(timeCol), gapDuration) +: keys): _*)
       .agg(aggs.head, aggs.tail: _*)
 

@@ -74,6 +74,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed agg over a joined stream (overdue-shipments composition)") {
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[(Long, Timestamp)]
+    val ships = MemoryStream[(Long, Timestamp)]
+    val joined = StreamingOps.intervalJoin(
+      orders.toDF().toDF("order_id", "ots"),
+      ships.toDF().toDF("ship_order_id", "sts"),
+      leftWatermark = ("ots", "0 seconds"),
+      rightWatermark = ("sts", "0 seconds"),
+      keys = Seq(("order_id", "ship_order_id")),
+      range = col("sts").between(col("ots"), col("ots") + expr("interval 2 days"))
+    )
+    val agg = StreamingOps.tumblingWindowAgg(
+      joined, "ots", "1 day", "", Seq(), Seq(count(lit(1)).as("shipped")))
+    val q = agg.writeStream.format("memory").queryName("shipagg").outputMode("append").start()
+    try {
+      orders.addData((1L, t("2024-01-01T01:00:00Z")), (2L, t("2024-01-01T02:00:00Z")))
+      ships.addData((1L, t("2024-01-02T00:00:00Z")), (2L, t("2024-01-01T12:00:00Z")))
+      q.processAllAvailable()
+      // push watermarks far enough to close the join state AND the window
+      orders.addData((99L, t("2024-02-01T00:00:00Z")))
+      ships.addData((98L, t("2024-02-01T00:00:00Z")))
+      q.processAllAvailable()
+      val got = spark.table("shipagg")
+        .select(col("window.start").as("ws"), col("shipped"))
+        .as[(Timestamp, Long)].collect().toMap
+      assert(got(t("2024-01-01T00:00:00Z")) === 2L)
+    } finally q.stop()
+  }
+
   test("topN with retractions emits leaderboard changes as changelog rows") {
     // micro-batch 1: alice 10, bob 8, carol 5; top-2 = alice, bob
     val s1 = Seq(("alice", 10L), ("bob", 8L), ("carol", 5L)).toDF("player", "score")
