@@ -496,6 +496,94 @@ object SparkEntry {
         .asOfJoin(left, right, Seq("user_id"), "ts", "rts")
         .select(left("event_id"), left("user_id"), col("value").as("rate"))
         .orderBy(col("event_id"))
+    },
+
+    // ---- text analysis (beyond-reference LLM-pipeline surface): quality
+    // scoring and BPE-ish token counting, both pure codegen'd built-ins.
+    "text_quality" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+    "text_bpe" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.approxBpeTokenCount(col("text")).cast("bigint").as("n_bpe"))
+        .orderBy(col("doc_id"))
+    },
+    // Exact n-gram Jaccard verification over a deterministic candidate-pair
+    // set (adjacent doc ids) — the post-LSH verify stage in isolation.
+    "ngram_jaccard" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = docs
+        .select(col("doc_id").as("id_a"))
+        .filter(col("id_a") % 10 === 0)
+        .join(docs.select(col("doc_id").as("id_b")), col("id_b") === col("id_a") + 1)
+      Dedup.ngramJaccard(pairs, docs, "doc_id", "text", 3).orderBy(col("id_a"))
+    },
+
+    // ---- streaming window shapes run in batch mode (SURVEY §2.4 #44/#45):
+    // the same StreamingOps expressions the streaming specs drive, here
+    // executed as batch queries so the window semantics get a hard oracle.
+    "window_tumbling" -> { (s, dir) =>
+      graft.streaming.StreamingOps
+        .tumblingWindowAgg(
+          events(s, dir), "ts", "1 hour", watermarkDelay = "",
+          keys = Seq(col("event_type")),
+          aggs = Seq(
+            count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("total")
+          )
+        )
+        .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("total"))
+        .orderBy(col("wstart"), col("event_type"))
+    },
+    "window_sliding" -> { (s, dir) =>
+      graft.streaming.StreamingOps
+        .slidingWindowAgg(
+          events(s, dir), "ts", "1 hour", "30 minutes", watermarkDelay = "",
+          keys = Seq(col("event_type")),
+          aggs = Seq(count(lit(1)).as("n"))
+        )
+        .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+        .orderBy(col("wstart"), col("event_type"))
+    },
+    "window_session" -> { (s, dir) =>
+      graft.streaming.StreamingOps
+        .sessionWindowAgg(
+          events(s, dir), "ts", "5 minutes", watermarkDelay = "",
+          keys = Seq(col("user_id")),
+          aggs = Seq(count(lit(1)).as("n"))
+        )
+        .select(
+          col("user_id"),
+          col("session_window.start").as("sstart"),
+          col("session_window.end").as("send"),
+          col("n")
+        )
+        .orderBy(col("user_id"), col("sstart"))
+    },
+
+    // ---- REST/GraphQL pagination (SURVEY §2.3 #41) over a total order.
+    "pagination" -> { (s, dir) =>
+      val qs = new QueryService(s, Map.empty)
+      qs.page(
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey")),
+        skip = 100,
+        limit = 50
+      )
+    },
+
+    // ---- nullability assertion + schema marking (SURVEY §2.2 #29, §2.6
+    // #57): raise_error-based runtime assert, then non-null schema rewrite.
+    // A pass-through on non-null data; the raising path is spec-tested.
+    "nullability_assert" -> { (s, dir) =>
+      val df = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val asserted = graft.operators.Nullability.assertNotNull(df, Seq("o_orderkey", "o_custkey"))
+      graft.operators.Nullability
+        .markNotNull(asserted, Seq("o_orderkey", "o_custkey"))
+        .orderBy(col("o_orderkey"))
     }
   )
 
@@ -777,6 +865,81 @@ object SparkEntry {
         |r AS (SELECT * FROM r0 QUALIFY row_number() OVER (PARTITION BY user_id, rts ORDER BY value DESC) = 1)
         |SELECT l.event_id, l.user_id, r.value AS rate
         |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.rts
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    // Replicates Text.qualityScore term by term, same double-op order.
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS ntok,
+        |    CAST(len(text) AS DOUBLE) AS nchars,
+        |    CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) AS alpha,
+        |    CAST(len(list_filter(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0),
+        |      x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'], x))) AS DOUBLE) AS stophits
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    least(ntok / 50.0, 1.0) AS lenscore,
+        |    CASE WHEN (CASE WHEN ntok > 0 THEN nchars / ntok ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END AS wls,
+        |    CASE WHEN nchars > 0 THEN alpha / nchars ELSE 0.0 END AS ar,
+        |    least((CASE WHEN ntok > 0 THEN stophits / ntok ELSE 0.0 END) * 5.0, 1.0) AS ss
+        |  FROM t)
+        |SELECT doc_id, round(lenscore * 0.3 + wls * 0.2 + ar * 0.3 + ss * 0.2, 6) AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // approxBpeTokenCount ≡ word-char runs + isolated non-word non-space
+    // chars (the lookaround split isolates every non-word char; trim drops
+    // space pieces only).
+    "text_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9'']+'))
+        |     + len(regexp_extract_all(text, '[^A-Za-z0-9'' ]')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ngram_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE [array_to_string(toks[i+1:i+3], ' ') for i in range(len(toks) - 2)] END) AS sh
+        |  FROM tok),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 10 = 0)
+        |SELECT id_a, id_b,
+        |  CASE WHEN len(list_distinct(list_cat(sa.sh, sb.sh))) > 0
+        |       THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |          / CAST(len(list_distinct(list_cat(sa.sh, sb.sh))) AS DOUBLE)
+        |       ELSE 0.0 END AS jaccard
+        |FROM pairs JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        |ORDER BY id_a""".stripMargin,
+    "window_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "window_sliding" ->
+      """SELECT wstart, event_type, COUNT(*) AS n FROM (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - i * INTERVAL '30 minutes' AS wstart, event_type
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Gaps-and-islands sessionization; break at gap >= 5 min (Spark session
+    // windows are end-exclusive: end = last event + gap).
+    "window_session" ->
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '5 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, min(ts) AS sstart, max(ts) + INTERVAL '5 minutes' AS send, COUNT(*) AS n
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, sstart""".stripMargin,
+    "pagination" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin,
+    "nullability_assert" ->
+      """SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }
