@@ -584,10 +584,204 @@ object SparkEntry {
       graft.operators.Nullability
         .markNotNull(asserted, Seq("o_orderkey", "o_custkey"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // ---- LSH ANN + embedding near-dup (BASELINE.json north star), on
+    // quantized vectors + integer planes so bucket assignment and cosine are
+    // exact integer arithmetic — hash-checkable against the SQL oracle (the
+    // float-plane production path in Similarity/Dedup is spec-tested).
+    "ann_lsh" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val planes = Similarity.intPlanes(numPlanes = 6, dim = 64, seed = 42L)
+      val emb = t(s, dir, "embeddings")
+      val q = emb
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), Similarity.quantize(col("embedding")).as("qv"))
+      val c = emb.select(col("vec_id").as("cid"), Similarity.quantize(col("embedding")).as("cv"))
+      val qb = broadcast(q.withColumn("bucket", Similarity.intPlaneBucket(col("qv"), planes)))
+      val cb = c.withColumn("bucket", Similarity.intPlaneBucket(col("cv"), planes))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+      cb.join(qb, Seq("bucket"))
+        .filter(col("qid") =!= col("cid"))
+        .withColumn("cos", Similarity.intCosine(col("qv"), col("cv")))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("cid"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    "embed_neardup" -> { (s, dir) =>
+      val planes = Similarity.intPlanes(numPlanes = 4, dim = 64, seed = 7L)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), Similarity.quantize(col("embedding")).as("v"))
+      val wb = e.withColumn("bucket", Similarity.intPlaneBucket(col("v"), planes))
+      val a = wb.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
+      val b = wb.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+      a.join(b, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", Similarity.intCosine(col("va"), col("vb")))
+        .filter(col("cos") >= 0.3)
+        .select(col("id_a"), col("id_b"), col("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- export sinks + readers round-trip (SURVEY §2.1 #18): dataset →
+    // csv + ndjson files → read back through the ingest readers.
+    "export_roundtrip" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft-export-")
+      val df = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      graft.operators.Export.toCsv(df, work.resolve("csv").toString, coalesce = Some(1))
+      graft.operators.Export.toNdjson(df, work.resolve("nd").toString, coalesce = Some(1))
+      val ddl = Some("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+      val csvBack = graft.ingest.Readers.csv(s, work.resolve("csv").toString, ddl)
+      val ndBack = graft.ingest.Readers.ndjson(s, work.resolve("nd").toString, ddl)
+      csvBack
+        .withColumn("src", lit("csv"))
+        .unionByName(ndBack.withColumn("src", lit("ndjson")))
+        .orderBy(col("src"), col("n_nationkey"))
+    },
+
+    // ---- record-limit pruning + tail service (SURVEY §2.1 #2, §2.3 #35):
+    // chain-level slice pruning happens before the scan (only the last slice
+    // is read), then the tail operator.
+    "dataset_tail" -> { (s, dir) =>
+      val base = t(s, dir, "orders").select(
+        col("o_orderdate").as("event_time"),
+        col("o_orderkey"),
+        col("o_custkey"),
+        col("o_totalprice")
+      )
+      val root = java.nio.file.Files.createTempDirectory("graft-tail-")
+      val ds = Dataset.create(s, root, "orders_ds")
+      val strat = MergeStrategy.Append()
+      val times = Seq("2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z", "2024-01-03T00:00:00Z")
+      for (g <- 0 until 3)
+        IngestWriter.writeBatch(
+          ds,
+          base.filter(col("o_orderkey") % 3 === g),
+          strat,
+          java.time.Instant.parse(times(g)).toEpochMilli
+        )
+      Dataset.open(s, root).tail(50)
+    },
+
+    // ---- changelog-projection *service* (SURVEY §2.3 #36): current state of
+    // a dataset with the primary key discovered from the chain's merge conf.
+    "changelog_state" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft-state-")
+      java.nio.file.Files.writeString(
+        work.resolve("r1.csv"),
+        "city,population\nvancouver,675000\nseattle,733000\nkyiv,2884000\n"
+      )
+      java.nio.file.Files.writeString(
+        work.resolve("r2.csv"),
+        "city,population\nvancouver,675000\nseattle,750000\nodessa,1015000\n"
+      )
+      val ds = Dataset.create(s, work.resolve("ds"), "cities")
+      ds.chain.append(
+        SetPollingSource(
+          readFormat = "csv",
+          schemaDdl = Some("city STRING, population INT"),
+          merge = MergeConf("snapshot", primaryKey = Seq("city"))
+        ),
+        0L
+      )
+      IngestWriter.ingestFile(ds, work.resolve("r1.csv").toString,
+        java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+      IngestWriter.ingestFile(ds, work.resolve("r2.csv").toString,
+        java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli)
+      val qs = new QueryService(s, Map("cities" -> Dataset.open(s, work.resolve("ds"))))
+      qs.state("cities").orderBy(col("offset"))
+    },
+
+    // ---- raw-query preprocess during ingest (SURVEY §2.4 #51): SQL step
+    // over temp view `input` between read and merge
+    // (engine_datafusion_inproc.rs:74-112).
+    "ingest_preprocess" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft-prep-")
+      java.nio.file.Files.writeString(
+        work.resolve("r1.csv"),
+        "city,population\nvancouver,675000\nseattle,733000\nkyiv,2884000\n"
+      )
+      val ds = Dataset.create(s, work.resolve("ds"), "cities")
+      ds.chain.append(
+        SetPollingSource(
+          readFormat = "csv",
+          schemaDdl = Some("city STRING, population INT"),
+          preprocessSql = Some("SELECT city, population, population * 2 AS pop2 FROM input"),
+          merge = MergeConf("snapshot", primaryKey = Seq("city"))
+        ),
+        0L
+      )
+      IngestWriter.ingestFile(ds, work.resolve("r1.csv").toString,
+        java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+      Dataset.open(s, work.resolve("ds")).toDF().orderBy(col("offset"))
+    },
+
+    // ---- NDJSON reader through the registry + full ingest path (SURVEY
+    // §2.1 #5).
+    "ingest_ndjson" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft-ndjson-")
+      java.nio.file.Files.writeString(
+        work.resolve("cities.ndjson"),
+        """{"city":"vancouver","population":675000}
+          |{"city":"seattle","population":733000}
+          |""".stripMargin
+      )
+      val ds = Dataset.create(s, work.resolve("ds"), "cities")
+      ds.chain.append(
+        SetPollingSource(
+          readFormat = "ndjson",
+          schemaDdl = Some("city STRING, population INT"),
+          merge = MergeConf("snapshot", primaryKey = Seq("city"))
+        ),
+        0L
+      )
+      IngestWriter.ingestFile(ds, work.resolve("cities.ndjson").toString,
+        java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+      Dataset.open(s, work.resolve("ds")).toDF().orderBy(col("offset"))
+    },
+
+    // ---- single-document JSON reader with sub-path selection (SURVEY §2.1
+    // #4, readers/json.rs).
+    "ingest_json" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft-json-")
+      java.nio.file.Files.writeString(
+        work.resolve("doc.json"),
+        """{"data":{"cities":[
+          |{"city":"kyiv","population":2884000},
+          |{"city":"lviv","population":721000}]}}""".stripMargin
+      )
+      graft.ingest.Readers
+        .json(s, work.resolve("doc.json").toString,
+          subPath = Some("data.cities"),
+          schemaDdl = Some("city STRING, population INT"))
+        .orderBy(col("city"))
+    },
+
+    // ---- multimodal plumbing (beyond-reference): binary media columns with
+    // size/frame-count/sample-estimate over deterministic stubs — the
+    // decode step is stubbed, the distributed shape is real.
+    "multimodal_meta" -> { (s, dir) =>
+      val m = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      m.select(
+        col("doc_id"),
+        graft.operators.Multimodal.mediaSize(col("content")).as("nbytes"),
+        size(graft.operators.Multimodal.frameSampleStub(col("content"), 4, 16))
+          .cast("bigint").as("n_frames"),
+        graft.operators.Multimodal.audioStatsStub(col("content"))
+          .getField("est_samples").as("est_samples")
+      ).orderBy(col("doc_id"))
     }
   )
 
   // ------------------------------------------------------------- oracle SQL
+
+  /** DuckDB list-of-lists literal for an integer plane matrix — the oracle
+    * SQL bakes in the exact planes the Spark plan uses, so both engines run
+    * the identical (exact-integer) LSH arithmetic. */
+  private def planesLit(planes: Seq[Array[Long]]): String =
+    planes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -940,6 +1134,100 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin,
     "nullability_assert" ->
-      """SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey""".stripMargin
+      """SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey""".stripMargin,
+    "ann_lsh" -> {
+      val pls = planesLit(graft.operators.Similarity.intPlanes(numPlanes = 6, dim = 64, seed = 42L))
+      s"""WITH p AS (SELECT $pls AS pls),
+         |q AS (SELECT vec_id AS qid, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT)) AS qv
+         |      FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cid, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT)) AS cv
+         |      FROM embeddings),
+         |qb AS (SELECT qid, qv, list_sum([CASE WHEN list_dot_product(CAST(qv AS DOUBLE[]), CAST(pls[i+1] AS DOUBLE[])) > 0 THEN 1<<i ELSE 0 END for i in range(6)]) AS bucket
+         |       FROM q CROSS JOIN p),
+         |cb AS (SELECT cid, cv, list_sum([CASE WHEN list_dot_product(CAST(cv AS DOUBLE[]), CAST(pls[i+1] AS DOUBLE[])) > 0 THEN 1<<i ELSE 0 END for i in range(6)]) AS bucket
+         |       FROM c CROSS JOIN p),
+         |scored AS (
+         |  SELECT qid, cid,
+         |    CASE WHEN sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE))
+         |            * sqrt(CAST(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)) > 0
+         |         THEN CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)
+         |            / (sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE))
+         |             * sqrt(CAST(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)))
+         |         ELSE 0.0 END AS cos
+         |  FROM qb JOIN cb USING (bucket) WHERE qid <> cid)
+         |SELECT qid, rnk, cid FROM (
+         |  SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
+         |  FROM scored) WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+    },
+    "embed_neardup" -> {
+      val pls = planesLit(graft.operators.Similarity.intPlanes(numPlanes = 4, dim = 64, seed = 7L))
+      s"""WITH p AS (SELECT $pls AS pls),
+         |e AS (SELECT vec_id AS id, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT)) AS v
+         |      FROM embeddings),
+         |wb AS (SELECT id, v, list_sum([CASE WHEN list_dot_product(CAST(v AS DOUBLE[]), CAST(pls[i+1] AS DOUBLE[])) > 0 THEN 1<<i ELSE 0 END for i in range(4)]) AS bucket
+         |       FROM e CROSS JOIN p),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, a.v AS va, b.v AS vb
+         |  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.id < b.id),
+         |scored AS (
+         |  SELECT id_a, id_b,
+         |    CASE WHEN sqrt(CAST(list_dot_product(CAST(va AS DOUBLE[]), CAST(va AS DOUBLE[])) AS DOUBLE))
+         |            * sqrt(CAST(list_dot_product(CAST(vb AS DOUBLE[]), CAST(vb AS DOUBLE[])) AS DOUBLE)) > 0
+         |         THEN CAST(list_dot_product(CAST(va AS DOUBLE[]), CAST(vb AS DOUBLE[])) AS DOUBLE)
+         |            / (sqrt(CAST(list_dot_product(CAST(va AS DOUBLE[]), CAST(va AS DOUBLE[])) AS DOUBLE))
+         |             * sqrt(CAST(list_dot_product(CAST(vb AS DOUBLE[]), CAST(vb AS DOUBLE[])) AS DOUBLE)))
+         |         ELSE 0.0 END AS cos
+         |  FROM pairs)
+         |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin
+    },
+    "export_roundtrip" ->
+      """SELECT * FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey, 'csv' AS src FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, n_regionkey, 'ndjson' AS src FROM nation)
+        |ORDER BY src, n_nationkey""".stripMargin,
+    "dataset_tail" ->
+      """WITH base AS (
+        |  SELECT o_orderkey % 3 AS g, o_orderdate AS event_time, o_orderkey, o_custkey, o_totalprice
+        |  FROM orders),
+        |led AS (
+        |  SELECT row_number() OVER (ORDER BY g, event_time, o_orderkey) - 1 AS "offset",
+        |         CAST(0 AS INT) AS op,
+        |         CASE g WHEN 0 THEN TIMESTAMP '2024-01-01 00:00:00'
+        |                WHEN 1 THEN TIMESTAMP '2024-01-02 00:00:00'
+        |                ELSE TIMESTAMP '2024-01-03 00:00:00' END AS system_time,
+        |         event_time, o_orderkey, o_custkey, o_totalprice
+        |  FROM base)
+        |SELECT * FROM (SELECT * FROM led ORDER BY "offset" DESC LIMIT 50) ORDER BY "offset"""".stripMargin,
+    "changelog_state" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(2 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 00:00:00', 'vancouver', 675000),
+        |  (CAST(4 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-02-01 00:00:00', TIMESTAMP '2024-02-01 00:00:00', 'odessa', 1015000),
+        |  (CAST(6 AS BIGINT), CAST(3 AS INT), TIMESTAMP '2024-02-01 00:00:00', TIMESTAMP '2024-02-01 00:00:00', 'seattle', 750000)
+        |) AS t("offset", op, system_time, event_time, city, population)
+        |ORDER BY "offset"""".stripMargin,
+    "ingest_preprocess" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 00:00:00', 'kyiv', 2884000, 5768000),
+        |  (CAST(1 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 00:00:00', 'seattle', 733000, 1466000),
+        |  (CAST(2 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 00:00:00', 'vancouver', 675000, 1350000)
+        |) AS t("offset", op, system_time, event_time, city, population, pop2)
+        |ORDER BY "offset"""".stripMargin,
+    "ingest_ndjson" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 00:00:00', 'seattle', 733000),
+        |  (CAST(1 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 00:00:00', 'vancouver', 675000)
+        |) AS t("offset", op, system_time, event_time, city, population)
+        |ORDER BY "offset"""".stripMargin,
+    "ingest_json" ->
+      """SELECT * FROM (VALUES
+        |  ('kyiv', 2884000), ('lviv', 721000)
+        |) AS t(city, population) ORDER BY city""".stripMargin,
+    "multimodal_meta" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS nbytes FROM documents)
+        |SELECT doc_id, CAST(nbytes AS BIGINT) AS nbytes,
+        |  CAST(len(list_filter([1 + i*greatest(nbytes//4, 1) for i in range(4)], s -> s <= nbytes)) AS BIGINT) AS n_frames,
+        |  CAST(nbytes * 4 AS BIGINT) AS est_samples
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 }

@@ -74,7 +74,10 @@ object Multimodal {
         sequence(lit(0), lit(n - 1)),
         i => {
           val len = length(content)
-          val start = (i * greatest(len / n, lit(1))) + 1
+          // integer stride — keeps frame offsets (and thus counts) exact
+          // integer arithmetic, identical across engines for the oracle
+          val step = greatest(floor(len / n).cast("int"), lit(1))
+          val start = (i * step) + 1
           when(start <= len, substring(content, start, lit(frameBytes)).cast(BinaryType))
         }
       ),

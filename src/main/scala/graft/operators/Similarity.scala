@@ -125,4 +125,50 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col(qidCol), col("rnk"), col(cidCol), col("cos"))
   }
+
+  // -------------------------------------------------------------- portable
+  // Quantized variants: embeddings rounded to integers make every dot
+  // product exact integer arithmetic (sums stay far below 2^53), so the
+  // identical numbers fall out of any engine regardless of accumulation
+  // order. Float accumulation differences could otherwise flip a
+  // near-zero hyperplane sign between engines — with integers, bucket
+  // assignment and cosine scores are bit-reproducible, which is what lets
+  // the LSH operators be hash-checked against a SQL oracle.
+
+  /** Quantize a float vector to bigints: round(x * scale). */
+  def quantize(vec: Column, scale: Int = 1000): Column =
+    transform(vec, x => round(x.cast("double") * scale, 0).cast("long"))
+
+  /** Deterministic integer-valued hyperplanes (seeded gaussian × scale). */
+  def intPlanes(numPlanes: Int, dim: Int, seed: Long = 42L, scale: Int = 1000): Seq[Array[Long]] = {
+    val rnd = new Random(seed)
+    Seq.fill(numPlanes)(Array.fill(dim)(math.round(rnd.nextGaussian() * scale)))
+  }
+
+  /** Exact dot product of two bigint-array columns. */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+
+  /** Cosine over quantized vectors: exact integer dot/norms, then one double
+    * division — bit-identical across engines. */
+  def intCosine(a: Column, b: Column): Column = {
+    val nn = sqrt(intDot(a, a).cast("double")) * sqrt(intDot(b, b).cast("double"))
+    when(nn > 0, intDot(a, b).cast("double") / nn).otherwise(lit(0.0))
+  }
+
+  /** Sign-LSH bucket from explicit integer planes over a quantized vector.
+    * Same fail-fast dim contract as [[hyperplaneBucket]]. */
+  def intPlaneBucket(vec: Column, planes: Seq[Array[Long]]): Column = {
+    val dim = planes.head.length
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val d = aggregate(zip_with(vec, array(p.map(lit): _*), (x, y) => x * y), lit(0L), _ + _)
+      when(d > 0, shiftleft(lit(1), i)).otherwise(lit(0))
+    }
+    val bucket = bits.reduce((a, b) => a.bitwiseOR(b))
+    when(size(vec) === dim, bucket).otherwise(
+      raise_error(
+        concat(lit(s"intPlaneBucket: expected embedding dim $dim, got "), size(vec))
+      ).cast("int")
+    )
+  }
 }
