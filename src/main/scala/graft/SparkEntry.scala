@@ -598,12 +598,23 @@ object SparkEntry {
         .filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), Similarity.quantize(col("embedding")).as("qv"))
       val c = emb.select(col("vec_id").as("cid"), Similarity.quantize(col("embedding")).as("cv"))
-      val qb = broadcast(q.withColumn("bucket", Similarity.intPlaneBucket(col("qv"), planes)))
-      val cb = c.withColumn("bucket", Similarity.intPlaneBucket(col("cv"), planes))
+      // squared norms precomputed per side — per-vector work stays linear
+      val qb = broadcast(
+        q.withColumn("bucket", Similarity.intPlaneBucket(col("qv"), planes))
+          .withColumn("qn2", Similarity.intDot(col("qv"), col("qv")))
+      )
+      val cb = c
+        .withColumn("bucket", Similarity.intPlaneBucket(col("cv"), planes))
+        .withColumn("cn2", Similarity.intDot(col("cv"), col("cv")))
+      val nn = sqrt(col("qn2").cast("double")) * sqrt(col("cn2").cast("double"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
       cb.join(qb, Seq("bucket"))
         .filter(col("qid") =!= col("cid"))
-        .withColumn("cos", Similarity.intCosine(col("qv"), col("cv")))
+        .withColumn(
+          "cos",
+          when(nn > 0, Similarity.intDot(col("qv"), col("cv")).cast("double") / nn)
+            .otherwise(lit(0.0))
+        )
         .withColumn("rnk", row_number().over(w).cast("bigint"))
         .filter(col("rnk") <= 5)
         .select(col("qid"), col("rnk"), col("cid"))
@@ -613,12 +624,21 @@ object SparkEntry {
       val planes = Similarity.intPlanes(numPlanes = 4, dim = 64, seed = 7L)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), Similarity.quantize(col("embedding")).as("v"))
-      val wb = e.withColumn("bucket", Similarity.intPlaneBucket(col("v"), planes))
-      val a = wb.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
-      val b = wb.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+      val wb = e
+        .withColumn("bucket", Similarity.intPlaneBucket(col("v"), planes))
+        .withColumn("n2", Similarity.intDot(col("v"), col("v")))
+      val a = wb.select(
+        col("bucket"), col("id").as("id_a"), col("v").as("va"), col("n2").as("na2"))
+      val b = wb.select(
+        col("bucket"), col("id").as("id_b"), col("v").as("vb"), col("n2").as("nb2"))
+      val nn = sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))
       a.join(b, Seq("bucket"))
         .filter(col("id_a") < col("id_b"))
-        .withColumn("cos", Similarity.intCosine(col("va"), col("vb")))
+        .withColumn(
+          "cos",
+          when(nn > 0, Similarity.intDot(col("va"), col("vb")).cast("double") / nn)
+            .otherwise(lit(0.0))
+        )
         .filter(col("cos") >= 0.3)
         .select(col("id_a"), col("id_b"), col("cos"))
         .orderBy(col("id_a"), col("id_b"))

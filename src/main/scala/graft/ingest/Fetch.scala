@@ -109,6 +109,33 @@ object Fetch {
     Fetched(tmp, None)
   }
 
+  /**
+   * Subscribe to MQTT topics and drain until idle — each message payload
+   * becomes one NDJSON line of the fetched batch (fetch_service/mqtt.rs;
+   * payloads are expected to be single-line JSON documents, the reference's
+   * convention). Returns None when the poll drained nothing (up to date).
+   */
+  def mqtt(
+      host: String,
+      port: Int,
+      topics: Seq[String],
+      clientId: String = "graft",
+      maxMessages: Int = 10000,
+      idleTimeoutMs: Int = 1000
+  ): Option[Fetched] = {
+    val msgs = Mqtt.drain(host, port, topics, clientId, maxMessages, idleTimeoutMs)
+    if (msgs.isEmpty) None
+    else {
+      val tmp = Files.createTempFile("graft-mqtt-", ".ndjson")
+      val outBytes = msgs
+        .map(m => new String(m.payload, java.nio.charset.StandardCharsets.UTF_8).trim)
+        .filter(_.nonEmpty)
+        .mkString("", "\n", "\n")
+      Files.write(tmp, outBytes.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Some(Fetched(tmp, None))
+    }
+  }
+
   // ------------------------------------------------------------------ prep
 
   /** Gzip/zip decompression (prep_service.rs:31-108). For zip, `subPath`

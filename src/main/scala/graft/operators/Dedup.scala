@@ -263,16 +263,27 @@ object Dedup {
       minCos: Double = 0.95,
       numPlanes: Int = 12
   ): DataFrame = {
+    // Norm is per-vector: compute once per side before the quadratic pair-up
+    // (recomputed per pair it would dominate the bucket join at scale).
     val withBucket = df.select(
       col(idCol).as("id"),
       col(vecCol).as("vec"),
-      Similarity.hyperplaneBucket(col(vecCol), numPlanes, dim).as("bucket")
+      Similarity.hyperplaneBucket(col(vecCol), numPlanes, dim).as("bucket"),
+      Similarity.norm(col(vecCol)).as("nrm")
     )
-    val a = withBucket.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = withBucket.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val a = withBucket.select(
+      col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = withBucket.select(
+      col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", Similarity.cosine(col("vec_a"), col("vec_b")))
+      .withColumn(
+        "cos",
+        when(
+          col("nrm_a") * col("nrm_b") > 0,
+          Similarity.dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b"))
+        ).otherwise(lit(0.0))
+      )
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

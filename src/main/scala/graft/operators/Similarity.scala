@@ -47,10 +47,21 @@ object Similarity {
       cvecCol: String,
       k: Int
   ): DataFrame = {
-    val scored = Dedup
-      .ensureParallelism(corpus)
-      .join(broadcast(queries), col(qidCol) =!= col(cidCol))
-      .withColumn("cos", cosine(col(qvecCol), col(cvecCol)))
+    // Norms are per-vector: compute them once per side BEFORE the pair join.
+    // (Recomputing norm(a)*norm(b) per pair runs two extra interpreted
+    // higher-order aggregates per candidate — a 3× slowdown at minimum, and
+    // the difference between linear and quadratic total work at scale.)
+    val q2 = queries.withColumn("__qn", norm(col(qvecCol)))
+    val c2 = Dedup.ensureParallelism(corpus).withColumn("__cn", norm(col(cvecCol)))
+    val scored = c2
+      .join(broadcast(q2), col(qidCol) =!= col(cidCol))
+      .withColumn(
+        "cos",
+        when(
+          col("__qn") * col("__cn") > 0,
+          dot(col(qvecCol), col(cvecCol)) / (col("__qn") * col("__cn"))
+        ).otherwise(lit(0.0))
+      )
     val w = Window.partitionBy(col(qidCol)).orderBy(col("cos").desc, col(cidCol))
     scored
       .withColumn("rnk", row_number().over(w))
@@ -112,13 +123,23 @@ object Similarity {
       numPlanes: Int = 8
   ): DataFrame = {
     val qb = broadcast(
-      queries.withColumn("bucket", hyperplaneBucket(col(qvecCol), numPlanes, dim))
+      queries
+        .withColumn("bucket", hyperplaneBucket(col(qvecCol), numPlanes, dim))
+        .withColumn("__qn", norm(col(qvecCol)))
     )
-    val cb = corpus.withColumn("bucket", hyperplaneBucket(col(cvecCol), numPlanes, dim))
+    val cb = corpus
+      .withColumn("bucket", hyperplaneBucket(col(cvecCol), numPlanes, dim))
+      .withColumn("__cn", norm(col(cvecCol)))
     val scored = cb
       .join(qb, Seq("bucket"))
       .filter(col(qidCol) =!= col(cidCol))
-      .withColumn("cos", cosine(col(qvecCol), col(cvecCol)))
+      .withColumn(
+        "cos",
+        when(
+          col("__qn") * col("__cn") > 0,
+          dot(col(qvecCol), col(cvecCol)) / (col("__qn") * col("__cn"))
+        ).otherwise(lit(0.0))
+      )
     val w = Window.partitionBy(col(qidCol)).orderBy(col("cos").desc, col(cidCol))
     scored
       .withColumn("rnk", row_number().over(w))
@@ -150,7 +171,10 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
 
   /** Cosine over quantized vectors: exact integer dot/norms, then one double
-    * division — bit-identical across engines. */
+    * division — bit-identical across engines. NOTE: evaluates both norms per
+    * call; inside a pair join, precompute `intDot(v,v)` per side instead and
+    * divide by the product of the sqrts (see the ann_lsh/embed_neardup
+    * entries in SparkEntry). */
   def intCosine(a: Column, b: Column): Column = {
     val nn = sqrt(intDot(a, a).cast("double")) * sqrt(intDot(b, b).cast("double"))
     when(nn > 0, intDot(a, b).cast("double") / nn).otherwise(lit(0.0))
