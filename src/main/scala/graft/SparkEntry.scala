@@ -778,6 +778,18 @@ object SparkEntry {
         .orderBy(col("city"))
     },
 
+    // ---- dedup clustering: connected components over a deterministic
+    // pair chain (id -> id+1 except every 7th) — components are blocks of 7
+    // consecutive ids, so the expected labeling is closed-form.
+    "dedup_clusters" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = docs
+        .select(col("doc_id").as("id_a"))
+        .filter(col("id_a") % 7 =!= 6)
+        .join(docs.select(col("doc_id").as("id_b")), col("id_b") === col("id_a") + 1)
+      Dedup.connectedComponents(pairs).orderBy(col("id"))
+    },
+
     // ---- multimodal plumbing (beyond-reference): binary media columns with
     // size/frame-count/sample-estimate over deterministic stubs — the
     // decode step is stubbed, the distributed shape is real.
@@ -1243,6 +1255,9 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         |  ('kyiv', 2884000), ('lviv', 721000)
         |) AS t(city, population) ORDER BY city""".stripMargin,
+    "dedup_clusters" ->
+      """SELECT doc_id AS id, doc_id - (doc_id % 7) AS comp
+        |FROM documents ORDER BY id""".stripMargin,
     "multimodal_meta" ->
       """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS nbytes FROM documents)
         |SELECT doc_id, CAST(nbytes AS BIGINT) AS nbytes,

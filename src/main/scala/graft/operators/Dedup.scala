@@ -252,6 +252,63 @@ object Dedup {
   }
 
   /**
+   * Connected components over a near-dup pair list — the clustering stage of
+   * a fuzzy-dedup pipeline (pairs from [[minHashLsh]]/[[simHashDups]]/
+   * [[embeddingDups]] → clusters → one canonical doc per cluster).
+   *
+   * Min-label propagation: each vertex repeatedly takes the min label among
+   * itself and its neighbors until fixpoint. Converges in O(diameter)
+   * rounds — dedup clusters are near-cliques (diameter ≤ a few hops), so
+   * this beats the O(log n) large-star/small-star scheme in practice while
+   * staying pure DataFrame ops. Each round is one shuffle
+   * (join + groupBy on vertex id); lineage is truncated per round with
+   * `localCheckpoint` so plans don't grow with iterations.
+   *
+   * Returns (id, comp) where comp = min id reachable from id.
+   */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val sym = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dcomp")).as("ncomp"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(
+          col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          col("comp").as("__old")
+        )
+        .localCheckpoint()
+      changed = next.filter(col("comp") =!= col("__old")).count()
+      labels = next.select(col("id"), col("comp"))
+      i += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /**
+   * Keep one canonical copy per near-dup cluster: docs that are the min id
+   * of their component, plus all docs that appear in no pair.
+   */
+  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    df.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .filter(col("comp").isNull || col("comp") === col(idCol))
+      .drop("comp")
+  }
+
+  /**
    * Embedding near-dup pairs: cosine similarity above `minCos`, candidates
    * from sign-LSH buckets (see [[Similarity.hyperplaneBucket]]).
    */

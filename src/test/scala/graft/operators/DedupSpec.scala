@@ -110,4 +110,18 @@ class DedupSpec extends SparkSpec {
         "0101110101000001010000000010101010111100010010110010101001110110"
     )
   }
+
+  test("connected components: chains collapse to min label; canonical keep drops non-min") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L).toDF("doc_id")
+    val kept = Dedup.keepCanonical(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    // 1 and 10 are cluster canonicals; 5 is in no pair; the rest are dups
+    assert(kept === Set(1L, 5L, 10L))
+  }
 }
