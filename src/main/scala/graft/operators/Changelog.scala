@@ -23,23 +23,31 @@ import graft.model.{DatasetVocabulary, Op}
  */
 object Changelog {
 
-  /** Project a changelog DataFrame to the current state of each entity. */
+  /** Project a changelog DataFrame to the current state of each entity.
+    *
+    * Implemented as a `max_by(struct(*), offset)` hash aggregate rather than
+    * a `row_number` window: the window plan is exchange + full sort + window
+    * over every ledger row, while the aggregate plan does a map-side partial
+    * `max_by` first — the shuffle then carries at most one row per key per
+    * input partition instead of the entire ledger, and no sort happens at
+    * all. For a CDC ledger with many updates per key this is the difference
+    * between shuffling the history and shuffling the state. Offsets are
+    * unique by construction, so `max_by` is deterministic.
+    */
   def project(
       df: DataFrame,
       primaryKey: Seq[String],
       vocab: DatasetVocabulary = DatasetVocabulary.Default
   ): DataFrame = {
     require(primaryKey.nonEmpty, "changelog projection requires a primary key")
-    val w = Window
-      .partitionBy(primaryKey.map(col): _*)
-      .orderBy(col(vocab.offsetColumn).desc)
-    df.withColumn("__rank", row_number().over(w))
+    val cols = df.columns.toSeq
+    df.groupBy(primaryKey.map(col): _*)
+      .agg(max_by(struct(cols.map(col): _*), col(vocab.offsetColumn)).as("__r"))
+      .select(col("__r.*"))
       .filter(
-        col("__rank") === 1 &&
-          col(vocab.operationTypeColumn) =!= Op.Retract &&
+        col(vocab.operationTypeColumn) =!= Op.Retract &&
           col(vocab.operationTypeColumn) =!= Op.CorrectFrom
       )
-      .drop("__rank")
   }
 
   /**
