@@ -55,4 +55,30 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("expected embedding dim 64"))
   }
+
+  test("quantized path: quantize rounds half away from zero; intDot/intCosine exact") {
+    val df = Seq((1L, Array(0.0015f, -0.0015f, 1.0f))).toDF("id", "vec")
+    val q = df.select(Similarity.quantize(col("vec"), 1000).as("v"))
+    assert(q.head().getSeq[Long](0) === Seq(2L, -2L, 1000L))
+    val d = Seq((Array(1L, 2L, 3L), Array(4L, 5L, 6L))).toDF("a", "b")
+      .select(
+        Similarity.intDot(col("a"), col("b")).as("dot"),
+        Similarity.intCosine(col("a"), col("a")).as("self")
+      ).head()
+    assert(d.getLong(0) === 32L)
+    assert(d.getDouble(1) === 1.0)
+  }
+
+  test("intPlaneBucket: deterministic across calls, fails fast on wrong dim") {
+    val planes = Similarity.intPlanes(numPlanes = 4, dim = 3, seed = 5L)
+    assert(planes.map(_.toSeq) === Similarity.intPlanes(numPlanes = 4, dim = 3, seed = 5L).map(_.toSeq))
+    val df = Seq((1L, Array(10L, -3L, 7L)), (2L, Array(10L, -3L, 7L))).toDF("id", "v")
+    val buckets = df.select(Similarity.intPlaneBucket(col("v"), planes)).collect().map(_.getInt(0))
+    assert(buckets(0) === buckets(1)) // same vector -> same bucket
+    val bad = Seq((1L, Array(1L, 2L))).toDF("id", "v")
+    val ex = intercept[Exception] {
+      bad.select(Similarity.intPlaneBucket(col("v"), planes)).collect()
+    }
+    assert(ex.getMessage.contains("expected embedding dim 3"))
+  }
 }

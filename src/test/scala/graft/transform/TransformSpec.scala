@@ -1,0 +1,89 @@
+package graft.transform
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.dataset.Dataset
+import graft.ingest.IngestWriter
+import graft.model.MetadataEvent.SqlStep
+import graft.operators.MergeStrategy
+
+class TransformSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ms(s: String) = java.time.Instant.parse(s).toEpochMilli
+  private def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+
+  test("watermark propagation: derivative wm = min(input wms), clamped monotonic") {
+    val work = Files.createTempDirectory("graft-wm-")
+    def ingest(ds: Dataset, eventTime: String, sysTime: String): Unit =
+      IngestWriter.writeBatch(
+        ds,
+        Seq((ts(eventTime), eventTime)).toDF("event_time", "tag"),
+        MergeStrategy.Append(),
+        ms(sysTime)
+      )
+
+    val a = Dataset.create(spark, work.resolve("wma"), "wma")
+    val b = Dataset.create(spark, work.resolve("wmb"), "wmb")
+    ingest(a, "2024-01-10T00:00:00Z", "2024-06-01T00:00:00Z")
+    ingest(b, "2024-01-05T00:00:00Z", "2024-06-01T00:00:00Z")
+    assert(a.chain.watermark() === Some(ms("2024-01-10T00:00:00Z")))
+    assert(b.chain.watermark() === Some(ms("2024-01-05T00:00:00Z")))
+
+    val d = Dataset.create(spark, work.resolve("wmd"), "wmd", kind = "derivative")
+    TransformService.setTransform(
+      d,
+      Seq("wma", "wmb"),
+      Seq(SqlStep(None, "SELECT event_time, tag FROM wma UNION ALL SELECT event_time, tag FROM wmb")),
+      0L
+    )
+    val resolve = (n: String) => Dataset.open(spark, work.resolve(n))
+
+    // round 1: wm = min(2024-01-10, 2024-01-05)
+    assert(TransformService.executeTransform(d, resolve, ms("2024-06-02T00:00:00Z"))
+      .isInstanceOf[TransformService.Updated])
+    assert(resolve("wmd").chain.watermark() === Some(ms("2024-01-05T00:00:00Z")))
+
+    // nothing new -> UpToDate, wm untouched
+    assert(TransformService.executeTransform(d, resolve, ms("2024-06-03T00:00:00Z")) ==
+      TransformService.UpToDate)
+
+    // advance only b past a: derivative wm = min(1-10, 2-01) = a's wm
+    ingest(resolve("wmb"), "2024-02-01T00:00:00Z", "2024-06-04T00:00:00Z")
+    TransformService.executeTransform(d, resolve, ms("2024-06-05T00:00:00Z"))
+    assert(resolve("wmd").chain.watermark() === Some(ms("2024-01-10T00:00:00Z")))
+
+    // a regresses its event times (late data): input wm clamps (stays 1-10),
+    // derivative wm must not regress either
+    ingest(resolve("wma"), "2024-01-01T00:00:00Z", "2024-06-06T00:00:00Z")
+    TransformService.executeTransform(d, resolve, ms("2024-06-07T00:00:00Z"))
+    assert(resolve("wmd").chain.watermark() === Some(ms("2024-01-10T00:00:00Z")))
+  }
+
+  test("incremental intervals: each run sees only (prev, new] of each input") {
+    val work = Files.createTempDirectory("graft-inc-")
+    val a = Dataset.create(spark, work.resolve("inca"), "inca")
+    IngestWriter.writeBatch(
+      a, Seq((ts("2024-01-01T00:00:00Z"), "r1a"), (ts("2024-01-01T00:00:00Z"), "r1b"))
+        .toDF("event_time", "tag"),
+      MergeStrategy.Append(), ms("2024-06-01T00:00:00Z"))
+
+    val d = Dataset.create(spark, work.resolve("incd"), "incd", kind = "derivative")
+    TransformService.setTransform(
+      d, Seq("inca"), Seq(SqlStep(None, "SELECT event_time, tag FROM inca")), 0L)
+    val resolve = (n: String) => Dataset.open(spark, work.resolve(n))
+
+    TransformService.executeTransform(d, resolve, ms("2024-06-02T00:00:00Z"))
+    assert(resolve("incd").toDF().count() === 2)
+
+    IngestWriter.writeBatch(
+      resolve("inca"), Seq((ts("2024-01-02T00:00:00Z"), "r2a")).toDF("event_time", "tag"),
+      MergeStrategy.Append(), ms("2024-06-03T00:00:00Z"))
+    TransformService.executeTransform(d, resolve, ms("2024-06-04T00:00:00Z"))
+    val out = resolve("incd").toDF().orderBy("offset").collect()
+    // only ONE new row appended (the second run never re-read round 1)
+    assert(out.length === 3)
+    assert(out.map(_.getAs[String]("tag")).toSeq === Seq("r1a", "r1b", "r2a"))
+  }
+}
