@@ -778,6 +778,17 @@ object SparkEntry {
         .orderBy(col("city"))
     },
 
+    // ---- ESRI shapefile reader (SURVEY §2.1 #7): .shp + .dbf → attribute
+    // columns + GeoJSON geometry string, via the registry.
+    "ingest_shapefile" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft-shp-q-")
+      val shp = writeShapefileFixture(work)
+      graft.ingest.Readers
+        .forFormat("shapefile")(s, shp.toString)
+        .select(col("NAME"), col("POP"), col("geometry"))
+        .orderBy(col("NAME"))
+    },
+
     // ---- dedup clustering: connected components over a deterministic
     // pair chain (id -> id+1 except every 7th) — components are blocks of 7
     // consecutive ids, so the expected labeling is closed-form.
@@ -808,6 +819,67 @@ object SparkEntry {
   )
 
   // ------------------------------------------------------------- oracle SQL
+
+  /** A tiny 2-record ESRI shapefile (Point + Polygon) with its .dbf sidecar,
+    * built byte-by-byte from the public spec — the same fixture the
+    * ShapefileSpec uses, here feeding a CORRECTNESS entry. */
+  private def writeShapefileFixture(dir: java.nio.file.Path): java.nio.file.Path = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val point = {
+      val b = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(0, 1); b.putDouble(4, 30.5); b.putDouble(12, 50.25); b.array()
+    }
+    val polygon = {
+      val n = 4
+      val b = ByteBuffer.allocate(44 + 4 + 16 * n).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(0, 5); b.putInt(36, 1); b.putInt(40, n); b.putInt(44, 0)
+      val pts = Seq((0.0, 0.0), (4.0, 0.0), (0.0, 3.0), (0.0, 0.0))
+      pts.zipWithIndex.foreach { case ((x, y), i) =>
+        b.putDouble(48 + i * 16, x); b.putDouble(48 + i * 16 + 8, y)
+      }
+      b.array()
+    }
+    val records = Seq(point, polygon)
+    val totalWords = (100 + records.map(8 + _.length).sum) / 2
+    val out = ByteBuffer.allocate(totalWords * 2)
+    out.order(ByteOrder.BIG_ENDIAN); out.putInt(0, 9994); out.putInt(24, totalWords)
+    out.order(ByteOrder.LITTLE_ENDIAN); out.putInt(28, 1000); out.putInt(32, 1)
+    var pos = 100
+    records.zipWithIndex.foreach { case (rec, i) =>
+      out.order(ByteOrder.BIG_ENDIAN)
+      out.putInt(pos, i + 1); out.putInt(pos + 4, rec.length / 2)
+      var j = 0
+      while (j < rec.length) { out.put(pos + 8 + j, rec(j)); j += 1 }
+      pos += 8 + rec.length
+    }
+    val shp = dir.resolve("cities.shp")
+    java.nio.file.Files.write(shp, out.array())
+    // .dbf sidecar: NAME C(10), POP N(8)
+    val headerSize = 32 + 2 * 32 + 1
+    val recordSize = 1 + 10 + 8
+    val total = headerSize + 2 * recordSize + 1
+    val b = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0, 0x03.toByte); b.putInt(4, 2)
+    b.putShort(8, headerSize.toShort); b.putShort(10, recordSize.toShort)
+    def field(off: Int, name: String, typ: Char, len: Int): Unit = {
+      name.getBytes.zipWithIndex.foreach { case (c, i) => b.put(off + i, c) }
+      b.put(off + 11, typ.toByte); b.put(off + 16, len.toByte)
+    }
+    field(32, "NAME", 'C', 10); field(64, "POP", 'N', 8)
+    b.put(96, 0x0d.toByte)
+    def record(off: Int, name: String, pop: String): Unit = {
+      b.put(off, ' '.toByte)
+      name.padTo(10, ' ').getBytes.zipWithIndex.foreach { case (c, i) => b.put(off + 1 + i, c) }
+      pop.reverse.padTo(8, ' ').reverse.getBytes.zipWithIndex.foreach { case (c, i) =>
+        b.put(off + 11 + i, c)
+      }
+    }
+    record(headerSize, "kyiv", "2884000")
+    record(headerSize + recordSize, "triangle", "7")
+    b.put(total - 1, 0x1a.toByte)
+    java.nio.file.Files.write(dir.resolve("cities.dbf"), b.array())
+    shp
+  }
 
   /** DuckDB list-of-lists literal for an integer plane matrix — the oracle
     * SQL bakes in the exact planes the Spark plan uses, so both engines run
@@ -1255,6 +1327,11 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         |  ('kyiv', 2884000), ('lviv', 721000)
         |) AS t(city, population) ORDER BY city""".stripMargin,
+    "ingest_shapefile" ->
+      """SELECT * FROM (VALUES
+        |  ('kyiv', CAST(2884000 AS BIGINT), '{"type":"Point","coordinates":[30.5,50.25]}'),
+        |  ('triangle', CAST(7 AS BIGINT), '{"type":"Polygon","coordinates":[[[0,0],[4,0],[0,3],[0,0]]]}')
+        |) AS t(NAME, POP, geometry) ORDER BY NAME""".stripMargin,
     "dedup_clusters" ->
       """SELECT doc_id AS id, doc_id - (doc_id % 7) AS comp
         |FROM documents ORDER BY id""".stripMargin,
