@@ -112,6 +112,30 @@ object Maintenance {
     Dataset.open(spark, chain.root)
   }
 
+  /**
+   * `keep_metadata_only` compaction mode (compaction_planner_impl.rs — used
+   * to reclaim space on re-derivable datasets): every data-carrying block
+   * (AddData / ExecuteTransform) is dropped from the chain, data files are
+   * deleted, and only the declarative events (Seed, SetPollingSource,
+   * SetTransform, SetDataSchema, SetVocab, …) survive. The dataset reads as
+   * empty with its declared schema intact.
+   */
+  def keepMetadataOnly(ds: Dataset): Dataset = {
+    val chain = ds.chain
+    val blocks = chain.blocks()
+    val oldDataFiles = chain.slices().map(_.physicalHash)
+    Files.list(chain.root.resolve("blocks")).iterator().asScala.toSeq.foreach(Files.delete)
+    Files.deleteIfExists(chain.root.resolve("refs").resolve("head"))
+    blocks.foreach { b =>
+      b.event match {
+        case _: AddData | _: ExecuteTransform => ()
+        case e                                => chain.append(e, b.systemTime)
+      }
+    }
+    oldDataFiles.foreach(h => Files.deleteIfExists(chain.dataDir.resolve(h)))
+    Dataset.open(ds.spark, chain.root)
+  }
+
   // ---------------------------------------------------------------- verify
 
   sealed trait Issue { def msg: String }

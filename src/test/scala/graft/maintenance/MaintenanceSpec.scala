@@ -47,6 +47,26 @@ class MaintenanceSpec extends SparkSpec {
     assert(Maintenance.verify(compacted).isEmpty)
   }
 
+  test("keepMetadataOnly drops data blocks and files, keeps declarations") {
+    val ds = mkDataset(slices = 3, rowsPerSlice = 10)
+    assert(ds.chain.slices().size === 3)
+    val dataFiles = ds.chain.slices().map(_.physicalHash)
+    val schemaBefore = ds.chain.schemaDdl()
+    assert(schemaBefore.isDefined)
+
+    val stripped = Maintenance.keepMetadataOnly(ds)
+    assert(stripped.chain.slices().isEmpty)
+    assert(stripped.toDF().count() === 0)
+    // declared schema survives -> empty frame still has the right columns
+    assert(stripped.chain.schemaDdl() === schemaBefore)
+    assert(stripped.toDF().columns.nonEmpty)
+    // data files are gone from disk
+    dataFiles.foreach { h =>
+      assert(!java.nio.file.Files.exists(stripped.chain.dataDir.resolve(h)))
+    }
+    assert(Maintenance.verify(stripped).isEmpty)
+  }
+
   test("verify: clean dataset has no issues; tampering is detected") {
     val ds = mkDataset(slices = 2, rowsPerSlice = 5)
     assert(Maintenance.verify(ds).isEmpty)

@@ -140,4 +140,40 @@ class StreamingSpec extends SparkSpec {
       )
     )
   }
+
+  test("streaming ingest commits micro-batches to the chain; replayed batch is skipped") {
+    import graft.dataset.Dataset
+    import graft.operators.MergeStrategy
+    implicit val sqlCtx = spark.sqlContext
+
+    val root = java.nio.file.Files.createTempDirectory("graft-sing-")
+    val ds = Dataset.create(spark, root.resolve("ds"), "stream_ds", systemTime = 0L)
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("event_time", "tag")
+    var batchTime = 0L
+    val q = StreamingIngest.start(
+      ds, df, MergeStrategy.Append(),
+      clock = () => { batchTime += 1000; batchTime })
+    try {
+      mem.addData((t("2024-01-01T00:00:00Z"), "a"), (t("2024-01-01T01:00:00Z"), "b"))
+      q.processAllAvailable()
+      mem.addData((t("2024-01-02T00:00:00Z"), "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val reopened = Dataset.open(spark, root.resolve("ds"))
+    val rows = reopened.toDF().orderBy("offset").collect()
+    assert(rows.map(_.getAs[String]("tag")).toSeq === Seq("a", "b", "c"))
+    assert(reopened.chain.slices().size === 2)
+    assert(StreamingIngest.lastCommittedBatch(reopened) === Some(1L))
+
+    // crash-replay of an already-committed batch id -> skipped, chain unchanged
+    val replay = Seq((t("2024-01-02T00:00:00Z"), "c")).toDF("event_time", "tag")
+    assert(StreamingIngest.commitBatch(reopened, replay, MergeStrategy.Append(), 1L, 99L).isEmpty)
+    assert(Dataset.open(spark, root.resolve("ds")).toDF().count() === 3)
+    // a genuinely new batch id commits
+    val fresh = Seq((t("2024-01-03T00:00:00Z"), "d")).toDF("event_time", "tag")
+    assert(StreamingIngest.commitBatch(reopened, fresh, MergeStrategy.Append(), 2L, 100000L).isDefined)
+    assert(Dataset.open(spark, root.resolve("ds")).toDF().count() === 4)
+  }
 }
