@@ -112,13 +112,53 @@ object Dedup {
       maxBucket: Int = 1000
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
-    val r = numHashes / bands
     val sigs = ensureParallelism(df)
       .select(
         col(idCol).as("id"),
         minHashSignature(Text.wordShingles(col(textCol), shingleLen), numHashes).as("sig")
       )
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    lshPairsFromSignatures(sigs, numHashes, bands, minSim, maxBucket)
+  }
+
+  /**
+   * Scale-path MinHash LSH: identical banding/verification shape, signatures
+   * from the codegen'd [[graft.functions.MinHashSignatureExpr]] (xxhash64
+   * family — one tight JVM loop per row instead of interpreted higher-order
+   * functions; NOT cross-engine hash-portable, so the DuckDB oracle covers
+   * [[minHashLsh]] and this path is spec-tested against it).
+   */
+  def minHashLshFast(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minSim: Double = 0.6,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands evenly")
+    val sigs = ensureParallelism(df)
+      .select(
+        col(idCol).as("id"),
+        graft.functions.HashExpressions
+          .minhashSignatureFast(Text.wordShingles(col(textCol), shingleLen), numHashes)
+          .as("sig")
+      )
+    lshPairsFromSignatures(sigs, numHashes, bands, minSim, maxBucket)
+  }
+
+  /** Shared LSH tail: band the (id, sig) frame, bucket-join candidate pairs,
+    * verify by signature agreement. See [[minHashLsh]] for the scale notes. */
+  private def lshPairsFromSignatures(
+      sigsIn: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      minSim: Double,
+      maxBucket: Int
+  ): DataFrame = {
+    val r = numHashes / bands
+    val sigs = sigsIn.persist(StorageLevel.MEMORY_AND_DISK)
 
     val banded = sigs.select(
       col("id"),
@@ -221,6 +261,48 @@ object Dedup {
           lit(0),
           (acc, v) => acc + v
         ).cast("bigint").as("hamming")
+      )
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /**
+   * Scale-path SimHash near-dups: packed-long simhash from the codegen'd
+   * [[graft.functions.SimHash64Expr]], pigeonhole chunk keys by bit-shifts,
+   * exact Hamming verify via `bit_count(xor)` — every step whole-stage
+   * codegen'd (the bit-string variant [[simHashDups]] stays as the
+   * oracle-portable path).
+   */
+  def simHashDupsFast(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val mask = (1L << bitsPer) - 1
+    val chunked = ensureParallelism(df)
+      .select(
+        col(idCol).as("id"),
+        graft.functions.HashExpressions.simhash64Fast(Text.tokens(col(textCol))).as("sh")
+      )
+      .select(
+        col("id"),
+        col("sh"),
+        posexplode(
+          array((0 until chunks).map(ci =>
+            shiftrightunsigned(col("sh"), ci * bitsPer).bitwiseAND(lit(mask))): _*)
+        ).as(Seq("chunk", "ckey"))
+      )
+    val a = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("bigint").as("hamming")
       )
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")

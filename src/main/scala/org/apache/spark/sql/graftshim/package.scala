@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/**
+ * Minimal bridge to Spark's `private[sql]` Column↔Expression converters —
+ * the standard mechanism extension libraries use to expose native Catalyst
+ * expressions through the public Column API (Spark 4 hides the classic
+ * `Column(expr)` constructor behind `classic.ExpressionUtils`).
+ */
+package object graftshim {
+  def columnOf(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expressionOf(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftExtensions
+import graft.SparkSpec
+import graft.operators.Dedup
+
+class HashExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash signature: length, determinism, identity, sensitivity") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content with no shared words at all")
+    ).toDF("id", "text")
+    val sigs = docs
+      .select(
+        col("id"),
+        HashExpressions.minhashSignatureFast(Text.wordShingles(col("text"), 3), 32).as("sig")
+      )
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .toMap
+    assert(sigs.values.forall(_.size == 32))
+    assert(sigs(1L) === sigs(2L)) // identical text -> identical signature
+    assert(sigs(1L) !== sigs(3L))
+    val overlap = sigs(1L).zip(sigs(3L)).count { case (x, y) => x == y }
+    assert(overlap <= 3) // disjoint shingle sets share ~0 minima
+  }
+
+  test("interpreted eval and codegen produce identical results") {
+    val df = Seq((1L, Seq("a", "b", "c")), (2L, Seq.empty[String])).toDF("id", "arr")
+    def run(mode: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try df.select(
+        col("id"),
+        HashExpressions.minhashSignatureFast(col("arr"), 8).as("mh"),
+        HashExpressions.simhash64Fast(col("arr")).as("sh")
+      ).collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(run("NO_CODEGEN") === run("CODEGEN_ONLY"))
+    // empty array: deterministic sentinel minima, zero-vote simhash
+    val empty = run("CODEGEN_ONLY").find(_._1 == 2L).get
+    assert(empty._2.forall(_ == Long.MaxValue) && empty._3 === 0L)
+  }
+
+  test("fast LSH paths recover the planted near-dup like the portable paths") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val docs = Seq(
+      (1L, base),
+      (2L, base + "lambda"), // near-dup of 1
+      (3L, "unrelated words entirely disjoint from everything else here now")
+    ).toDF("id", "text")
+    val mh = Dedup.minHashLshFast(docs, "id", "text", minSim = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mh.contains((1L, 2L)) && !mh.exists(p => p._1 == 3L || p._2 == 3L))
+
+    // SimHash: derive the ground-truth hamming distances from the expression
+    // itself, then assert the pigeonhole operator returns EXACTLY the pairs
+    // within the threshold (hash-statistics-proof, unlike a fixed cutoff).
+    val shVals = docs
+      .select(col("id"), HashExpressions.simhash64Fast(Text.tokens(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(shVals(a) ^ shVals(b))
+    val d12 = dist(1L, 2L)
+    assert(d12 < dist(1L, 3L) && d12 < dist(2L, 3L)) // near-dup is nearest
+    val ids = shVals.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b && dist(a, b) <= d12
+    } yield (a, b)).toSet
+    val sh = Dedup.simHashDupsFast(docs, "id", "text", maxHamming = d12)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sh === expected && sh.contains((1L, 2L)))
+  }
+
+  test("SQL surface via GraftExtensions function builders") {
+    GraftExtensions.functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    val row = spark
+      .sql("SELECT minhash_signature(array('a','b'), 8) AS mh, simhash64(array('a','b')) AS sh")
+      .head()
+    assert(row.getSeq[Long](0).size === 8)
+    // matches the Column API exactly
+    val viaApi = spark.range(1)
+      .select(
+        HashExpressions.minhashSignatureFast(array(lit("a"), lit("b")), 8).as("mh"),
+        HashExpressions.simhash64Fast(array(lit("a"), lit("b"))).as("sh")
+      ).head()
+    assert(row.getSeq[Long](0) === viaApi.getSeq[Long](0))
+    assert(row.getLong(1) === viaApi.getLong(1))
+  }
+}
