@@ -21,6 +21,36 @@ class QuerySpec extends SparkSpec {
     assert(refs.toSet === Set("orders", "customer", "archive.orders2"))
   }
 
+  test("toTable resolves refs, schema introspection serves DDL + JSON, page bounds results") {
+    import graft.dataset.Dataset
+    import graft.ingest.IngestWriter
+    import graft.operators.MergeStrategy
+    val work = java.nio.file.Files.createTempDirectory("graft-qsvc-")
+    val ds = Dataset.create(spark, work.resolve("nums"), "nums")
+    IngestWriter.writeBatch(
+      ds,
+      spark.range(10).select(col("id"), (col("id") * 2).as("v")),
+      MergeStrategy.Append(),
+      systemTime = 1000L
+    )
+    val qs = new QueryService(spark, Map("nums" -> Dataset.open(spark, work.resolve("nums"))))
+
+    assert(qs.toTable("nums").count() === 10)
+    intercept[IllegalArgumentException](qs.toTable("nope"))
+
+    val ddl = qs.schemaDdl("nums")
+    assert(ddl.isDefined && ddl.get.contains("offset") && ddl.get.contains("v"))
+    val json = qs.schemaJson("nums").get
+    assert(json.contains("\"name\":\"v\"") && json.contains("struct"))
+
+    val pageRows = qs.page(qs.toTable("nums").orderBy("offset"), skip = 3, limit = 4)
+      .select("offset").as[Long].collect().toSeq
+    assert(pageRows === Seq(3L, 4L, 5L, 6L))
+    // default limit caps at 100
+    assert(qs.page(qs.toTable("nums").orderBy("offset")).count() === 10)
+    assert(qs.knownDatasets === Seq("nums"))
+  }
+
   test("asOfJoin picks the latest right row at or before each left time") {
     def t(s: String) = Timestamp.from(Instant.parse(s))
     val rates = Seq(

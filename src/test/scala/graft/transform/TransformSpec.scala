@@ -61,6 +61,32 @@ class TransformSpec extends SparkSpec {
     assert(resolve("wmd").chain.watermark() === Some(ms("2024-01-10T00:00:00Z")))
   }
 
+  test("multi-step SQL: intermediate steps become views, last step produces output") {
+    val work = Files.createTempDirectory("graft-steps-")
+    val a = Dataset.create(spark, work.resolve("stepa"), "stepa")
+    IngestWriter.writeBatch(
+      a,
+      Seq((ts("2024-01-01T00:00:00Z"), "x", 10L), (ts("2024-01-01T00:00:00Z"), "y", 4L))
+        .toDF("event_time", "k", "v"),
+      MergeStrategy.Append(), ms("2024-06-01T00:00:00Z"))
+
+    val d = Dataset.create(spark, work.resolve("stepd"), "stepd", kind = "derivative")
+    TransformService.setTransform(
+      d,
+      Seq("stepa"),
+      Seq(
+        SqlStep(Some("doubled"), "SELECT event_time, k, v * 2 AS v2 FROM stepa"),
+        SqlStep(Some("big"), "SELECT * FROM doubled WHERE v2 > 10"),
+        SqlStep(None, "SELECT event_time, k, v2 FROM big")
+      ),
+      0L
+    )
+    val resolve = (n: String) => Dataset.open(spark, work.resolve(n))
+    TransformService.executeTransform(d, resolve, ms("2024-06-02T00:00:00Z"))
+    val rows = resolve("stepd").toDF().select("k", "v2").as[(String, Long)].collect().toSeq
+    assert(rows === Seq(("x", 20L)))
+  }
+
   test("incremental intervals: each run sees only (prev, new] of each input") {
     val work = Files.createTempDirectory("graft-inc-")
     val a = Dataset.create(spark, work.resolve("inca"), "inca")
