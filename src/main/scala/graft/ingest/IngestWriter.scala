@@ -87,8 +87,15 @@ object IngestWriter {
         ).get
         val logical = logicalHash(written)
 
-        if (chain.schemaDdl().isEmpty)
-          chain.append(SetDataSchema(written.schema.toDDL), systemTime)
+        // First write declares the schema; a later batch whose written schema
+        // differs (e.g. a new column) appends a fresh SetDataSchema — the
+        // reference's schema-migration-across-slices behavior
+        // (test_query_service_impl.rs:991). Schema-first reads then use the
+        // DDL as of the pinned block: old slices read under a newer DDL get
+        // nulls for the added columns, as-of reads see the old shape.
+        val writtenDdl = written.schema.toDDL
+        if (!chain.schemaDdl().contains(writtenDdl))
+          chain.append(SetDataSchema(writtenDdl), systemTime)
 
         val event = AddData(
           prevOffset = prevOffset,

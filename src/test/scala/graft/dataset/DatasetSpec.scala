@@ -193,4 +193,49 @@ class DatasetSpec extends SparkSpec {
     val rows = ds.toDF().orderBy("offset").select("id", "v").as[(Long, String)].collect().toSeq
     assert(rows === Seq((10L, "A"), (20L, "B")))
   }
+
+  test("schema evolution across slices: added column nulls out old rows; as-of sees old shape") {
+    import graft.operators.MergeStrategy
+    val root = java.nio.file.Files.createTempDirectory("graft-evo-")
+    val ds = Dataset.create(spark, root, "evo")
+    IngestWriter.writeBatch(
+      ds,
+      Seq((1L, "a")).toDF("id", "v"),
+      MergeStrategy.Append(),
+      systemTime = 1000L
+    )
+    val headRound1 = ds.chain.head.get._2
+    val schemaEvents1 = ds.chain.blocks().count(_.event.isInstanceOf[MetadataEvent.SetDataSchema])
+    assert(schemaEvents1 === 1)
+
+    // second batch brings a new column
+    IngestWriter.writeBatch(
+      ds,
+      Seq((2L, "b", 99L)).toDF("id", "v", "extra"),
+      MergeStrategy.Append(),
+      systemTime = 2000L
+    )
+    val reopened = Dataset.open(spark, root)
+    assert(reopened.chain.blocks().count(_.event.isInstanceOf[MetadataEvent.SetDataSchema]) === 2)
+
+    // current read: union shape, old rows null in the new column
+    val now = reopened.toDF().orderBy("offset").select("id", "extra").collect()
+    assert(now.map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq ===
+      Seq((1L, None), (2L, Some(99L))))
+
+    // as-of the round-1 head: the old schema, no 'extra' column
+    val pinned = reopened.toDF(Some(headRound1))
+    assert(!pinned.columns.contains("extra"))
+    assert(pinned.count() === 1)
+
+    // a third batch with the SAME schema appends no redundant schema event
+    IngestWriter.writeBatch(
+      ds,
+      Seq((3L, "c", 100L)).toDF("id", "v", "extra"),
+      MergeStrategy.Append(),
+      systemTime = 3000L
+    )
+    assert(Dataset.open(spark, root).chain.blocks()
+      .count(_.event.isInstanceOf[MetadataEvent.SetDataSchema]) === 2)
+  }
 }
