@@ -801,6 +801,22 @@ object SparkEntry {
       Dedup.connectedComponents(pairs).orderBy(col("id"))
     },
 
+    // ---- end-to-end fuzzy dedup: LSH candidates → exact n-gram Jaccard
+    // verify → connected components → keep one canonical doc per cluster.
+    // The full pipeline a training-data curation job runs, as one entry.
+    "dedup_pipeline" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashLsh(docs, "doc_id", "text", minSim = 0.5)
+      val verified = Dedup
+        .ngramJaccard(pairs.select(col("id_a"), col("id_b")), docs, "doc_id", "text", 3)
+        .filter(col("jaccard") >= 0.4)
+        .select(col("id_a"), col("id_b"))
+      Dedup
+        .keepCanonical(docs, "doc_id", verified)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- multimodal plumbing (beyond-reference): binary media columns with
     // size/frame-count/sample-estimate over deterministic stubs — the
     // decode step is stubbed, the distributed shape is real.
@@ -880,6 +896,37 @@ object SparkEntry {
     java.nio.file.Files.write(dir.resolve("cities.dbf"), b.array())
     shp
   }
+
+  /** Shared CTE body replicating Dedup.minHashLsh in DuckDB SQL — used by
+    * the dedup_minhash oracle and composed further by dedup_pipeline. */
+  private val minhashOracleCtes: String =
+    """tok AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |    ELSE [array_to_string(toks[i+1:i+3], ' ') for i in range(len(toks) - 2)] END AS shingles
+      |  FROM tok),
+      |hv AS (
+      |  SELECT doc_id, ('0x' || substring(md5(s), 1, 8))::BIGINT % 2147483647 AS h
+      |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+      |sig0 AS (
+      |  SELECT doc_id, i,
+      |         min(((2654435761 * (i+1) % 2147483647) * h + 40503 * (i+13) % 2147483647) % 2147483647) AS mh
+      |  FROM hv CROSS JOIN (SELECT unnest(range(64)) AS i) seeds
+      |  GROUP BY doc_id, i),
+      |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM sig0 GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, b AS band, array_to_string(sig[b*4+1:b*4+4], ',') AS bkey
+      |  FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bands
+      |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= 1000),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |est AS (
+      |  SELECT id_a, id_b,
+      |    list_sum([CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END for i in range(64)]) / 64.0 AS est_jaccard
+      |  FROM pairs JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)""".stripMargin
 
   /** DuckDB list-of-lists literal for an integer plane matrix — the oracle
     * SQL bakes in the exact planes the Spark plan uses, so both engines run
@@ -997,34 +1044,8 @@ object SparkEntry {
     // h_i(s) = ((2654435761*(i+1) mod p) * (hex32(md5(s)) mod p) + 40503*(i+13) mod p) mod p,
     // p = 2^31-1; 64 hashes, 16 bands of 4, bucket cap 1000, est_jaccard >= 0.5.
     "dedup_minhash" ->
-      """WITH tok AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |    ELSE [array_to_string(toks[i+1:i+3], ' ') for i in range(len(toks) - 2)] END AS shingles
-        |  FROM tok),
-        |hv AS (
-        |  SELECT doc_id, ('0x' || substring(md5(s), 1, 8))::BIGINT % 2147483647 AS h
-        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
-        |sig0 AS (
-        |  SELECT doc_id, i,
-        |         min(((2654435761 * (i+1) % 2147483647) * h + 40503 * (i+13) % 2147483647) % 2147483647) AS mh
-        |  FROM hv CROSS JOIN (SELECT unnest(range(64)) AS i) seeds
-        |  GROUP BY doc_id, i),
-        |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM sig0 GROUP BY doc_id),
-        |banded AS (
-        |  SELECT doc_id, b AS band, array_to_string(sig[b*4+1:b*4+4], ',') AS bkey
-        |  FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bands
-        |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= 1000),
-        |pairs AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-        |est AS (
-        |  SELECT id_a, id_b,
-        |    list_sum([CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END for i in range(64)]) / 64.0 AS est_jaccard
-        |  FROM pairs JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
-        |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $minhashOracleCtes
+         |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
     // Replicates Dedup.simHashDups: 64-char bit-string simhash from
     // md5-derived token bits, 4-chunk (16-bit) pigeonhole candidates,
     // hamming <= 3.
@@ -1335,6 +1356,29 @@ object SparkEntry {
     "dedup_clusters" ->
       """SELECT doc_id AS id, doc_id - (doc_id % 7) AS comp
         |FROM documents ORDER BY id""".stripMargin,
+    // Full pipeline oracle: minhash CTEs → est >= 0.5 pairs → jaccard >= 0.4
+    // verify → transitive closure (recursive CTE) → min-label components →
+    // docs that are canonical or untouched.
+    "dedup_pipeline" ->
+      s"""WITH RECURSIVE $minhashOracleCtes,
+         |mp AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+         |shd AS (SELECT doc_id, list_distinct(shingles) AS dsh FROM sh),
+         |ver AS (
+         |  SELECT id_a, id_b FROM mp
+         |  JOIN shd sa ON sa.doc_id = id_a JOIN shd sb ON sb.doc_id = id_b
+         |  WHERE CASE WHEN len(list_distinct(list_cat(sa.dsh, sb.dsh))) > 0
+         |             THEN CAST(len(list_intersect(sa.dsh, sb.dsh)) AS DOUBLE)
+         |                / CAST(len(list_distinct(list_cat(sa.dsh, sb.dsh))) AS DOUBLE)
+         |             ELSE 0.0 END >= 0.4),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM ver UNION SELECT id_b, id_a FROM ver),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp <> id)
+         |ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS nbytes FROM documents)
         |SELECT doc_id, CAST(nbytes AS BIGINT) AS nbytes,
