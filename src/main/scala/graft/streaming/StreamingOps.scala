@@ -15,6 +15,30 @@ import graft.operators.MergeStrategy
  */
 object StreamingOps {
 
+  /**
+   * A dataset as a STREAMING DataFrame: every committed slice is an
+   * immutable, content-addressed file in `data/`, so Spark's file-stream
+   * source over that directory picks each new slice up exactly once —
+   * incremental derivative transforms become ordinary
+   * `datasetStream(ds) → transform → writeStream` pipelines with checkpoint
+   * state, the role the reference hands to containerized Flink/RisingWave
+   * (SURVEY §2.4). Schema comes from the chain (schema-first, no inference).
+   *
+   * Caveat (same as the reference's checkpointed engines): compaction
+   * rewrites slice files, so streaming consumers must be reset after a
+   * compaction of their input.
+   */
+  def datasetStream(ds: graft.dataset.Dataset): DataFrame = {
+    val ddl = ds.chain
+      .schemaDdl()
+      .getOrElse(throw new IllegalStateException(
+        s"dataset ${ds.name} has no declared schema yet — ingest at least one slice first"))
+    ds.spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      .format("parquet")
+      .load(ds.chain.dataDir.toString)
+  }
+
   /** Tumbling-window aggregation with a watermark
     * (examples/covid/canada.daily-cases.yaml:13-37 — `TUMBLE(...)`).
     * Pass `watermarkDelay = ""` when the stream already carries a watermark

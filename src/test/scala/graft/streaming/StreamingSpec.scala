@@ -141,6 +141,36 @@ class StreamingSpec extends SparkSpec {
     )
   }
 
+  test("datasetStream: committed slices arrive incrementally as streaming input") {
+    import graft.dataset.Dataset
+    import graft.ingest.IngestWriter
+    import graft.operators.MergeStrategy
+
+    val root = java.nio.file.Files.createTempDirectory("graft-dstream-")
+    val ds = Dataset.create(spark, root.resolve("src"), "src_ds", systemTime = 0L)
+    IngestWriter.writeBatch(
+      ds,
+      Seq((t("2024-01-01T00:00:00Z"), "a", 1L)).toDF("event_time", "k", "v"),
+      MergeStrategy.Append(), systemTime = 1000L)
+
+    val stream = StreamingOps.datasetStream(Dataset.open(spark, root.resolve("src")))
+    val q = stream
+      .selectExpr("k", "v * 10 AS v10")
+      .writeStream.format("memory").queryName("dstream_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dstream_out").count() === 1)
+      // a second committed slice arrives incrementally
+      IngestWriter.writeBatch(
+        ds,
+        Seq((t("2024-01-02T00:00:00Z"), "b", 2L)).toDF("event_time", "k", "v"),
+        MergeStrategy.Append(), systemTime = 2000L)
+      q.processAllAvailable()
+      val got = spark.table("dstream_out").as[(String, Long)].collect().toSet
+      assert(got === Set(("a", 10L), ("b", 20L)))
+    } finally q.stop()
+  }
+
   test("streaming ingest commits micro-batches to the chain; replayed batch is skipped") {
     import graft.dataset.Dataset
     import graft.operators.MergeStrategy
