@@ -801,6 +801,16 @@ object SparkEntry {
       Dedup.connectedComponents(pairs).orderBy(col("id"))
     },
 
+    // ---- exact dedup, keep-first form: one surviving row per distinct
+    // normalized content (fingerprint partition ≡ normalized-text partition
+    // in the oracle — same groups barring a 64-bit hash collision).
+    "dedup_keep_first" -> { (s, dir) =>
+      Dedup
+        .exactKeepFirst(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- end-to-end fuzzy dedup: LSH candidates → exact n-gram Jaccard
     // verify → connected components → keep one canonical doc per cluster.
     // The full pipeline a training-data curation job runs, as one entry.
@@ -1356,6 +1366,12 @@ object SparkEntry {
     "dedup_clusters" ->
       """SELECT doc_id AS id, doc_id - (doc_id % 7) AS comp
         |FROM documents ORDER BY id""".stripMargin,
+    "dedup_keep_first" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (
+        |    PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |    ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // Full pipeline oracle: minhash CTEs → est >= 0.5 pairs → jaccard >= 0.4
     // verify → transitive closure (recursive CTE) → min-label components →
     // docs that are canonical or untouched.
