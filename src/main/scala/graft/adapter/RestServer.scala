@@ -80,8 +80,18 @@ final class RestServer(
         val ds = datasets.getOrElse(name, return (404, s"""{"error":"unknown dataset $name"}"""))
         val tmp: Path = Files.createTempFile("graft-push-", ".dat")
         Files.write(tmp, ex.getRequestBody.readAllBytes())
-        val event =
-          IngestWriter.ingestFile(ds, tmp.toString, System.currentTimeMillis(), applyPrep = false)
+        // ?source=<name> routes through a declared AddPushSource; otherwise
+        // the polling source's read config is reused (prep skipped — the
+        // body is already the prepared payload, ingest_handler.rs:66-175).
+        val pushSource = Option(ex.getRequestURI.getQuery)
+          .flatMap(_.split("&").find(_.startsWith("source=")))
+          .map(_.stripPrefix("source="))
+        val event = pushSource match {
+          case Some(src) =>
+            IngestWriter.ingestPushSource(ds, src, tmp.toString, System.currentTimeMillis())
+          case None =>
+            IngestWriter.ingestFile(ds, tmp.toString, System.currentTimeMillis(), applyPrep = false)
+        }
         event match {
           case Some(e) =>
             (200, s"""{"committed":true,"offsetStart":${e.offsetStart},"offsetEnd":${e.offsetEnd},"numRecords":${e.numRecords}}""")

@@ -130,11 +130,31 @@ final class MetadataChain private (val root: Path) {
       case MetadataBlock(_, _, _, SetDataSchema(ddl)) => ddl
     }
 
-  /** Latest polling source declaration. */
+  /** Latest polling source declaration; None after a DisablePollingSource
+    * that follows it (dtos_generated.rs:1010). */
   def pollingSource(asOf: Option[String] = None): Option[SetPollingSource] =
-    blocks(asOf).reverseIterator.collectFirst {
-      case MetadataBlock(_, _, _, s: SetPollingSource) => s
-    }
+    blocks(asOf).reverseIterator
+      .collectFirst {
+        case MetadataBlock(_, _, _, s: SetPollingSource)  => Some(s)
+        case MetadataBlock(_, _, _, _: DisablePollingSource) => None
+      }
+      .flatten
+
+  /** Latest declaration of the named push source; None if disabled after
+    * (AddPushSource / DisablePushSource, dtos_generated.rs:880-903,1023). */
+  def pushSource(sourceName: String, asOf: Option[String] = None): Option[AddPushSource] =
+    blocks(asOf).reverseIterator
+      .collectFirst {
+        case MetadataBlock(_, _, _, s: AddPushSource) if s.sourceName == sourceName    => Some(s)
+        case MetadataBlock(_, _, _, DisablePushSource(n)) if n == sourceName           => None
+      }
+      .flatten
+
+  /** Latest attachments (SetAttachments). */
+  def attachments(asOf: Option[String] = None): Seq[Attachment] =
+    blocks(asOf).reverseIterator
+      .collectFirst { case MetadataBlock(_, _, _, SetAttachments(a)) => a }
+      .getOrElse(Nil)
 
   /** Latest transform declaration. */
   def transform(asOf: Option[String] = None): Option[SetTransform] =
@@ -142,10 +162,18 @@ final class MetadataChain private (val root: Path) {
       case MetadataBlock(_, _, _, t: SetTransform) => t
     }
 
-  /** Primary key from the merge strategy (changelog-projection service needs
-    * it — query_service_impl.rs:630-738). */
+  /** Primary key from the merge strategy — polling source first, else any
+    * push source that declares one (changelog-projection service needs it —
+    * query_service_impl.rs:630-738). */
   def primaryKey(asOf: Option[String] = None): Seq[String] =
-    pollingSource(asOf).map(_.merge.primaryKey).getOrElse(Nil)
+    pollingSource(asOf)
+      .map(_.merge.primaryKey)
+      .filter(_.nonEmpty)
+      .orElse(blocks(asOf).reverseIterator.collectFirst {
+        case MetadataBlock(_, _, _, s: AddPushSource) if s.merge.primaryKey.nonEmpty =>
+          s.merge.primaryKey
+      })
+      .getOrElse(Nil)
 
   /** All data slices in chain order (AddData + ExecuteTransform events). */
   def slices(asOf: Option[String] = None): Seq[AddData] =
@@ -211,7 +239,11 @@ object MetadataChain {
         classOf[AddData],
         classOf[ExecuteTransform],
         classOf[SetInfo],
-        classOf[SetLicense]
+        classOf[SetLicense],
+        classOf[SetAttachments],
+        classOf[AddPushSource],
+        classOf[DisablePushSource],
+        classOf[DisablePollingSource]
       ),
       "kind"
     ) {

@@ -150,6 +150,29 @@ object IngestWriter {
     writeBatch(ds, prepared, strategyFor(src.merge, ds.vocabulary), systemTime, sourceState = sourceState)
   }
 
+  /** Push-ingest a file through the chain's named AddPushSource declaration:
+    * read → optional preprocess → merge → commit (push_ingest_executor_impl
+    * .rs:73-346). No fetch/prep — the caller already delivered the bytes. */
+  def ingestPushSource(
+      ds: Dataset,
+      sourceName: String,
+      path: String,
+      systemTime: Long
+  ): Option[AddData] = {
+    val src = ds.chain
+      .pushSource(sourceName)
+      .getOrElse(throw new IllegalStateException(
+        s"dataset ${ds.name} has no enabled push source '$sourceName'"))
+    val raw = Readers.forFormat(src.readFormat, src.schemaDdl, src.readOptions)(ds.spark, path)
+    val prepared = src.preprocessSql match {
+      case None => raw
+      case Some(sql) =>
+        raw.createOrReplaceTempView("input")
+        ds.spark.sql(sql)
+    }
+    writeBatch(ds, prepared, strategyFor(src.merge, ds.vocabulary), systemTime)
+  }
+
   /**
    * One polling iteration: run the declared fetch step (with the previous
    * source state from the chain), short-circuit to None when the source is

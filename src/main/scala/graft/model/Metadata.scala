@@ -118,6 +118,28 @@ object MetadataEvent {
 
   final case class SetInfo(description: String) extends MetadataEvent
   final case class SetLicense(name: String, url: Option[String]) extends MetadataEvent
+
+  /** Embedded dataset attachments (SetAttachments, dtos_generated.rs:1390). */
+  final case class Attachment(name: String, content: String)
+  final case class SetAttachments(attachments: Seq[Attachment]) extends MetadataEvent
+
+  /** Named push-source declaration (AddPushSource, dtos_generated.rs:880-903):
+    * the polling source's read/preprocess/merge config minus fetch — data
+    * arrives via the push API instead of being pulled. */
+  final case class AddPushSource(
+      sourceName: String,
+      readFormat: String,
+      readOptions: Map[String, String] = Map.empty,
+      schemaDdl: Option[String] = None,
+      preprocessSql: Option[String] = None,
+      merge: MergeConf = MergeConf("append")
+  ) extends MetadataEvent
+
+  /** Disables the named push source (DisablePushSource, dtos_generated.rs:1023). */
+  final case class DisablePushSource(sourceName: String) extends MetadataEvent
+
+  /** Disables the polling source (DisablePollingSource, dtos_generated.rs:1010). */
+  final case class DisablePollingSource() extends MetadataEvent
 }
 
 /** Merge strategy configuration stored in the chain; resolved to a

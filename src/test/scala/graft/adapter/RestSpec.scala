@@ -77,6 +77,30 @@ class RestSpec extends SparkSpec {
 
       // unknown dataset ingest -> 404
       assert(post("/datasets/nope/ingest", "x").statusCode() === 404)
+
+      // declared push source: ?source= routes through AddPushSource config
+      ds.chain.append(
+        graft.model.MetadataEvent.AddPushSource(
+          "api",
+          readFormat = "ndjson",
+          schemaDdl = Some("city STRING, population INT"),
+          merge = MergeConf("snapshot", primaryKey = Seq("city"))
+        ),
+        5000L
+      )
+      val p3 = post(
+        "/datasets/cities/ingest?source=api",
+        """{"city":"seattle","population":750000}
+          |{"city":"kyiv","population":2884000}
+          |""".stripMargin
+      )
+      assert(p3.statusCode() === 200 && p3.body().contains(""""committed":true"""))
+      // kyiv appended; seattle unchanged (snapshot merge vs current state)
+      val afterPush = ds.toDF().filter("op = 0 AND city = 'kyiv'").count()
+      assert(afterPush === 1)
+      // unknown source name -> error payload
+      val p4 = post("/datasets/cities/ingest?source=nope", "{}")
+      assert(p4.statusCode() === 400 && p4.body().contains("no enabled push source"))
     } finally server.stop()
   }
 }

@@ -49,6 +49,39 @@ class DatasetSpec extends SparkSpec {
     assert(reopened.blocks().size === 2)
   }
 
+  test("source lifecycle events: push sources, disable semantics, attachments round-trip") {
+    val root = tmpDir()
+    val chain = MetadataChain.create(root)
+    chain.append(Seed("lc", "root"), 0L)
+    chain.append(
+      SetPollingSource(readFormat = "csv", merge = MergeConf("snapshot", primaryKey = Seq("k"))),
+      1L
+    )
+    chain.append(
+      AddPushSource("api", readFormat = "ndjson",
+        merge = MergeConf("upsertStream", primaryKey = Seq("k"))),
+      2L
+    )
+    chain.append(SetAttachments(Seq(Attachment("readme", "hello"))), 3L)
+
+    val reopened = MetadataChain.open(root)
+    assert(reopened.pollingSource().isDefined)
+    assert(reopened.pushSource("api").exists(_.readFormat == "ndjson"))
+    assert(reopened.pushSource("other").isEmpty)
+    assert(reopened.attachments() === Seq(Attachment("readme", "hello")))
+
+    // disable the polling source: visitor goes dark, push PK still discovered
+    reopened.append(DisablePollingSource(), 4L)
+    assert(reopened.pollingSource().isEmpty)
+    assert(reopened.primaryKey() === Seq("k")) // from the push source now
+    // disable the push source too
+    reopened.append(DisablePushSource("api"), 5L)
+    assert(reopened.pushSource("api").isEmpty)
+    // re-declaring re-enables
+    reopened.append(AddPushSource("api", readFormat = "csv"), 6L)
+    assert(reopened.pushSource("api").exists(_.readFormat == "csv"))
+  }
+
   test("record-limit pruning walks slices head-backwards") {
     val root = tmpDir()
     val chain = MetadataChain.create(root)
