@@ -51,6 +51,26 @@ class QuerySpec extends SparkSpec {
     assert(qs.knownDatasets === Seq("nums"))
   }
 
+  test("as-of pinning applies to refs used only inside a CTE") {
+    import graft.dataset.Dataset
+    import graft.ingest.IngestWriter
+    import graft.operators.MergeStrategy
+    val work = java.nio.file.Files.createTempDirectory("graft-ctepin-")
+    val ds = Dataset.create(spark, work.resolve("m"), "m")
+    IngestWriter.writeBatch(ds, Seq((1L, "a")).toDF("id", "v"), MergeStrategy.Append(), 1000L)
+    val head1 = ds.chain.head.get._2
+    IngestWriter.writeBatch(ds, Seq((2L, "b")).toDF("id", "v"), MergeStrategy.Append(), 2000L)
+
+    val qs = new QueryService(spark, Map("m" -> Dataset.open(spark, work.resolve("m"))))
+    val sql = "WITH c AS (SELECT * FROM m) SELECT count(*) AS n FROM c"
+    // head: both rows
+    assert(qs.sql(sql).head().getLong(0) === 2L)
+    // pinned to round 1 — the CTE body's ref is pinned too
+    val (pinned, state) = qs.sqlWithState(sql, asOf = Map("m" -> head1))
+    assert(pinned.head().getLong(0) === 1L)
+    assert(state.inputs === Map("m" -> head1))
+  }
+
   test("asOfJoin picks the latest right row at or before each left time") {
     def t(s: String) = Timestamp.from(Instant.parse(s))
     val rates = Seq(
