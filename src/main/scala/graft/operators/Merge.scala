@@ -110,7 +110,7 @@ object MergeStrategy {
           val dataCols = incoming.columns.toSeq
           val oldState = Changelog
             .project(ledger, primaryKey, vocab)
-            .select(dataCols.filter(ledger.columns.contains).map(col): _*)
+            .select(dataCols.filter(ledger.columns.contains).toIndexedSeq.map(col): _*)
           CdcDiff.diff(
             old = oldState,
             incoming = incoming,
@@ -186,7 +186,7 @@ object MergeStrategy {
           Some(
             Changelog
               .project(ledger, primaryKey, vocab)
-              .select(dataCols.filter(ledger.columns.contains).map(col): _*)
+              .select(dataCols.filter(ledger.columns.contains).toIndexedSeq.map(col): _*)
           )
         case None => None
       }

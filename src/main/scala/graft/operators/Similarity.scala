@@ -88,7 +88,7 @@ object Similarity {
     val ps = planes(numPlanes, dim, seed)
     val bits = ps.zipWithIndex.map { case (p, i) =>
       val d = aggregate(
-        zip_with(vec, array(p.map(lit): _*), (x, w) => x.cast("double") * w),
+        zip_with(vec, array(p.toIndexedSeq.map(lit): _*), (x, w) => x.cast("double") * w),
         lit(0.0),
         _ + _
       )
@@ -185,7 +185,7 @@ object Similarity {
   def intPlaneBucket(vec: Column, planes: Seq[Array[Long]]): Column = {
     val dim = planes.head.length
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val d = aggregate(zip_with(vec, array(p.map(lit): _*), (x, y) => x * y), lit(0L), _ + _)
+      val d = aggregate(zip_with(vec, array(p.toIndexedSeq.map(lit): _*), (x, y) => x * y), lit(0L), _ + _)
       when(d > 0, shiftleft(lit(1), i)).otherwise(lit(0))
     }
     val bucket = bits.reduce((a, b) => a.bitwiseOR(b))
