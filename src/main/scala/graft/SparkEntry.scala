@@ -612,7 +612,7 @@ object SparkEntry {
         .filter(col("qid") =!= col("cid"))
         .withColumn(
           "cos",
-          when(nn > 0, Similarity.intDot(col("qv"), col("cv")).cast("double") / nn)
+          when(nn > 0, Similarity.intDotFixed(col("qv"), col("cv"), 64).cast("double") / nn)
             .otherwise(lit(0.0))
         )
         .withColumn("rnk", row_number().over(w).cast("bigint"))
@@ -624,9 +624,11 @@ object SparkEntry {
       val planes = Similarity.intPlanes(numPlanes = 4, dim = 64, seed = 7L)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), Similarity.quantize(col("embedding")).as("v"))
+      // persist: both sides of the self-join consume the bucketed frame
       val wb = e
         .withColumn("bucket", Similarity.intPlaneBucket(col("v"), planes))
         .withColumn("n2", Similarity.intDot(col("v"), col("v")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = wb.select(
         col("bucket"), col("id").as("id_a"), col("v").as("va"), col("n2").as("na2"))
       val b = wb.select(
@@ -636,7 +638,7 @@ object SparkEntry {
         .filter(col("id_a") < col("id_b"))
         .withColumn(
           "cos",
-          when(nn > 0, Similarity.intDot(col("va"), col("vb")).cast("double") / nn)
+          when(nn > 0, Similarity.intDotFixed(col("va"), col("vb"), 64).cast("double") / nn)
             .otherwise(lit(0.0))
         )
         .filter(col("cos") >= 0.3)

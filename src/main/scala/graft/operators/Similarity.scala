@@ -170,6 +170,14 @@ object Similarity {
   def intDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
 
+  /** Exact dot product with a statically-known dimension, as a flat
+    * element_at sum — stays in whole-stage codegen, where the
+    * aggregate/zip_with fold of [[intDot]] runs interpreted. Use on the
+    * per-pair hot path of bucketed joins; vectors must have exactly `dim`
+    * elements (enforced upstream by [[intPlaneBucket]]'s dim assert). */
+  def intDotFixed(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+
   /** Cosine over quantized vectors: exact integer dot/norms, then one double
     * division — bit-identical across engines. NOTE: evaluates both norms per
     * call; inside a pair join, precompute `intDot(v,v)` per side instead and
