@@ -803,6 +803,22 @@ object SparkEntry {
       Dedup.connectedComponents(pairs).orderBy(col("id"))
     },
 
+    // ---- corpus quality filtering: the select stage of a training-data
+    // pipeline — quality score + language id + token-count window composed
+    // into one predicate.
+    "corpus_filter" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          Text.qualityScore(col("text")).as("quality"),
+          Text.languageId(col("text")).as("lang"),
+          Text.tokenCount(col("text")).cast("bigint").as("n_tokens")
+        )
+        .filter(col("quality") >= 0.5 && col("lang") === "en" && col("n_tokens").between(5, 1000))
+        .select(col("doc_id"), col("quality"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- exact dedup, keep-first form: one surviving row per distinct
     // normalized content (fingerprint partition ≡ normalized-text partition
     // in the oracle — same groups barring a 64-bit hash collision).
@@ -1368,6 +1384,35 @@ object SparkEntry {
     "dedup_clusters" ->
       """SELECT doc_id AS id, doc_id - (doc_id % 7) AS comp
         |FROM documents ORDER BY id""".stripMargin,
+    "corpus_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS ntok,
+        |    CAST(len(text) AS DOUBLE) AS nchars,
+        |    CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) AS alpha,
+        |    CAST(len(list_filter(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0),
+        |      x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'], x))) AS DOUBLE) AS stophits,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+        |    round(least(ntok / 50.0, 1.0) * 0.3
+        |      + (CASE WHEN (CASE WHEN ntok > 0 THEN nchars / ntok ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END) * 0.2
+        |      + (CASE WHEN nchars > 0 THEN alpha / nchars ELSE 0.0 END) * 0.3
+        |      + least((CASE WHEN ntok > 0 THEN stophits / ntok ELSE 0.0 END) * 5.0, 1.0) * 0.2, 6) AS quality,
+        |    list_max([
+        |      {'hits': len(list_filter(toks, t -> list_contains(['the','and','of','to','is','that','with','for'], t))), 'lang': 'en'},
+        |      {'hits': len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','ein','mit'], t))), 'lang': 'de'},
+        |      {'hits': len(list_filter(toks, t -> list_contains(['le','la','les','est','une','dans','pour','que'], t))), 'lang': 'fr'},
+        |      {'hits': len(list_filter(toks, t -> list_contains(['el','los','es','una','por','como','pero','más'], t))), 'lang': 'es'},
+        |      {'hits': len(list_filter(toks, t -> list_contains(['的','是','了','在','我','有','和','不'], t))), 'lang': 'zh'}
+        |    ]) AS best
+        |  FROM t)
+        |SELECT doc_id, quality, n_tokens FROM s
+        |WHERE quality >= 0.5 AND (CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END) = 'en'
+        |  AND n_tokens BETWEEN 5 AND 1000
+        |ORDER BY doc_id""".stripMargin,
     "dedup_keep_first" ->
       """SELECT doc_id FROM (
         |  SELECT doc_id, row_number() OVER (
