@@ -13,6 +13,12 @@ import graft.operators.{Changelog, MergeStrategy}
  *
  * Prints one JSON line with cold and warm timings; writes the generated
  * tables to /tmp/graft-criterion for the DuckDB side.
+ *
+ * Row count defaults to the reference's 1M and is overridable via the first
+ * program arg (e.g. `runMain graft.CriterionBench 10000000`) — the 10M run is
+ * where Spark's fixed per-job scheduling floor amortizes and the ratio vs a
+ * single-process engine reflects actual operator cost. Key spaces scale with
+ * n so the update/insert/delete mix keeps the 1M shape.
  */
 object CriterionBench {
 
@@ -24,17 +30,20 @@ object CriterionBench {
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Shuffle/spill scratch on tmpfs — the local-mode analog of pointing a
+      // cluster's spark.local.dir at fast NVMe. /tmp here is spinning ext4.
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val out = "/tmp/graft-criterion"
 
-    // --- cdc_project: 1M-row CDC ledger, 2-col PK, random op mix
+    // --- cdc_project: n-row CDC ledger, 2-col PK, random op mix
     // (cdc_project.rs:18-136)
-    val n = 1000000L
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     spark.range(n).select(
       col("id").as("offset"),
       pmod(h(1), lit(4)).cast("int").as("op"),
-      pmod(h(2), lit(100000)).as("pk1"),
+      pmod(h(2), lit(n / 10)).as("pk1"),
       pmod(h(3), lit(100)).as("pk2"),
       pmod(h(4), lit(1000)).as("cmp1"),
       pmod(h(5), lit(1000)).as("cmp2"),
@@ -45,14 +54,17 @@ object CriterionBench {
     // --- snapshot: 1M-row prior state vs a new full snapshot with ~10%
     // changed, ~5% deleted, ~5% inserted (snapshot.rs:196-218)
     val state = spark.range(n).select(
-      pmod(h(2), lit(2000000)).as("pk1"),
+      pmod(h(2), lit(2 * n)).as("pk1"),
       pmod(h(3), lit(100)).as("pk2"),
       pmod(h(4), lit(1000)).as("cmp1"),
       pmod(h(5), lit(1000)).as("cmp2")
     ).dropDuplicates("pk1", "pk2")
     state
-      .withColumn("offset", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("pk1", "pk2")).cast("long") - 1)
+      // Offsets here only need to be UNIQUE (each key appears once, so the
+      // per-key max_by/row_number in both engines is offset-independent) —
+      // monotonically_increasing_id keeps generation fully parallel where a
+      // global row_number window would funnel everything through one task.
+      .withColumn("offset", monotonically_increasing_id())
       .withColumn("op", lit(0))
       .select("offset", "op", "pk1", "pk2", "cmp1", "cmp2")
       .write.mode("overwrite").parquet(s"$out/snap_prev")
@@ -65,7 +77,7 @@ object CriterionBench {
       )
       .unionByName(
         spark.range(n, n + n / 20).select( // ~5% new keys (outside pk range)
-          (pmod(h(2), lit(2000000)) + 2000000).as("pk1"),
+          (pmod(h(2), lit(2 * n)) + 2 * n).as("pk1"),
           pmod(h(3), lit(100)).as("pk2"),
           pmod(h(4), lit(1000)).as("cmp1"),
           pmod(h(5), lit(1000)).as("cmp2")
@@ -75,11 +87,11 @@ object CriterionBench {
 
     // --- ledger: 1M prior + 500k incoming, half already seen
     // (ledger.rs:179-191)
-    spark.range(n).select(pmod(h(8), lit(10000000)).as("pk"), h(9).as("v"))
+    spark.range(n).select(pmod(h(8), lit(10 * n)).as("pk"), h(9).as("v"))
       .dropDuplicates("pk")
       .write.mode("overwrite").parquet(s"$out/ledger_prev")
-    spark.range(n - 250000, n + 250000)
-      .select(pmod(h(8), lit(10000000)).as("pk"), h(9).as("v"))
+    spark.range(n - n / 4, n + n / 4)
+      .select(pmod(h(8), lit(10 * n)).as("pk"), h(9).as("v"))
       .dropDuplicates("pk")
       .write.mode("overwrite").parquet(s"$out/ledger_new")
 
@@ -111,7 +123,7 @@ object CriterionBench {
     }
     val json = results
       .map { case (n2, c, w, r) => s""""$n2":{"cold":$c,"warm":$w,"rows":$r}""" }
-      .mkString("{", ",", "}")
+      .mkString(s"""{"n":$n,""", ",", "}")
     println(s"""CRITERION $json""")
     spark.stop()
   }

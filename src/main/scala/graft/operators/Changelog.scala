@@ -25,14 +25,23 @@ object Changelog {
 
   /** Project a changelog DataFrame to the current state of each entity.
     *
-    * Implemented as a `max_by(struct(*), offset)` hash aggregate rather than
-    * a `row_number` window: the window plan is exchange + full sort + window
-    * over every ledger row, while the aggregate plan does a map-side partial
-    * `max_by` first — the shuffle then carries at most one row per key per
-    * input partition instead of the entire ledger, and no sort happens at
-    * all. For a CDC ledger with many updates per key this is the difference
-    * between shuffling the history and shuffling the state. Offsets are
-    * unique by construction, so `max_by` is deterministic.
+    * Implemented as one hash aggregate of per-column `max_by(c, offset)`
+    * rather than a `row_number` window or a single `max_by(struct(*),
+    * offset)`: the window plan is exchange + full sort + window over every
+    * ledger row, and the struct-valued `max_by` carries a STRUCT aggregation
+    * buffer — which Spark cannot hold in the primitive-only
+    * `HashAggregateExec`, so the plan degrades to `ObjectHashAggregate`,
+    * which falls back to sort-based aggregation after
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` (default
+    * 128!) distinct keys — effectively a per-partition sort of the whole
+    * ledger. Per-column `max_by` keeps every aggregation buffer slot
+    * primitive, so the plan is a fully codegen'd vectorized hash aggregate
+    * with real map-side partial aggregation: the shuffle carries at most one
+    * row per key per input partition instead of the history. Measured 3.0 s
+    * → sub-second on the 10M-row criterion shape. Offsets are unique by
+    * construction, so every `max_by` picks the same (latest) row and the
+    * projection is deterministic; null values in non-key columns survive
+    * (max_by keeps the value at the extremum ordering, null or not).
     */
   def project(
       df: DataFrame,
@@ -41,9 +50,11 @@ object Changelog {
   ): DataFrame = {
     require(primaryKey.nonEmpty, "changelog projection requires a primary key")
     val cols = df.columns.toSeq
+    val others = cols.filterNot(primaryKey.contains)
+    val aggs = others.map(c => max_by(col(c), col(vocab.offsetColumn)).as(c))
     df.groupBy(primaryKey.map(col): _*)
-      .agg(max_by(struct(cols.map(col): _*), col(vocab.offsetColumn)).as("__r"))
-      .select(col("__r.*"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(cols.map(col): _*) // restore original column order
       .filter(
         col(vocab.operationTypeColumn) =!= Op.Retract &&
           col(vocab.operationTypeColumn) =!= Op.CorrectFrom

@@ -180,7 +180,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    pairs
+    val out = pairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn(
@@ -193,6 +193,14 @@ object Dedup {
       )
       .filter(col("est_jaccard") >= minSim)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      // Eagerly materialize the (small) surviving-pair list, cutting lineage
+      // back to the signature cache so it can be released right away —
+      // long-lived library callers don't accumulate cached blocks across
+      // invocations (the checkpoint blocks themselves are reclaimed by the
+      // ContextCleaner when the result frame is garbage collected).
+      .localCheckpoint()
+    sigs.unpersist(blocking = false)
+    out
   }
 
   /**
@@ -286,11 +294,16 @@ object Dedup {
     val hamming = (1 to 64)
       .map(j => when(substring(col("sh_a"), j, 1) === substring(col("sh_b"), j, 1), 0).otherwise(1))
       .reduce(_ + _)
-    a.join(b, Seq("chunk", "ckey"))
+    val out = a.join(b, Seq("chunk", "ckey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming.cast("bigint").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
+      // Same cache-lifecycle contract as lshPairsFromSignatures: materialize
+      // the pair list, then release the simhash cache eagerly.
+      .localCheckpoint()
+    hashed.unpersist(blocking = false)
+    out
   }
 
   /**

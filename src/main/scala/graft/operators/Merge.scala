@@ -66,7 +66,17 @@ object MergeStrategy {
 
     override def merge(prev: Option[DataFrame], incoming: DataFrame): DataFrame = {
       val unseen = prev match {
-        case Some(p) => incoming.join(p.select(primaryKey.map(col): _*), primaryKey, "left_anti")
+        // Anti join probes the full prior key set. The probe side reads ONLY
+        // the key columns (column pruning reaches the scan); the shuffle_hash
+        // hint keeps the plan a shuffled hash join — sort-merge would sort
+        // BOTH sides, and for an anti join the sort buys nothing (the build
+        // side is a hash set of keys). Catalyst still upgrades to broadcast
+        // when the prior key set is small enough.
+        case Some(p) =>
+          incoming.join(
+            p.select(primaryKey.map(col): _*).hint("shuffle_hash"),
+            primaryKey,
+            "left_anti")
         case None =>
           // Validate PK columns exist even on the first batch.
           incoming.select(primaryKey.map(col): _*)
