@@ -46,75 +46,118 @@ final class MetadataChain private (val root: Path) {
     }
   }
 
-  /** All blocks in sequence order (optionally only up to `asOfHash`). */
-  def blocks(asOfHash: Option[String] = None): Seq[MetadataBlock] = {
-    val all = Files
-      .list(blocksDir)
-      .iterator()
-      .asScala
-      .filter(_.getFileName.toString.endsWith(".json"))
-      .toSeq
-      .sortBy(_.getFileName.toString)
-      .map(p => (parseName(p), read(p)))
-    asOfHash match {
-      case None => all.map(_._2)
-      case Some(h) =>
-        val idx = all.indexWhere(_._1._2 == h)
-        require(idx >= 0, s"block $h not found in chain at $root")
-        all.take(idx + 1).map(_._2)
-    }
-  }
-
-  /** Hash of the block with the given sequence number. */
-  def hashAt(seq: Long): Option[String] =
+  /** hash → block file path, from the directory listing. The listing is an
+    * index, not the source of truth: chain membership is decided by walking
+    * `prevBlockHash` links back from the head ref (git-style), so staged or
+    * orphaned block files — e.g. a compaction rewrite in progress, or blocks
+    * abandoned by a reset — are simply unreachable rather than corrupting
+    * reads. */
+  private def blockFilesByHash(): Map[String, Path] =
     Files
       .list(blocksDir)
       .iterator()
       .asScala
-      .map(p => parseName(p))
-      .find(_._1 == seq)
-      .map(_._2)
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .map(p => parseName(p)._2 -> p)
+      .toMap
 
-  /** Append an event as a new block; returns (block, hash). */
-  def append(event: MetadataEvent, systemTime: Long): (MetadataBlock, String) = {
-    val (prevSeq, prevHash) = head.map { case (s, h) => (s, Some(h)) }.getOrElse((-1L, None))
-    val block = MetadataBlock(prevSeq + 1, prevHash, systemTime, event)
+  /** All blocks in sequence order (optionally only up to `asOfHash`),
+    * resolved by walking prev links back from the head (or `asOfHash`). */
+  def blocks(asOfHash: Option[String] = None): Seq[MetadataBlock] = {
+    val byHash = blockFilesByHash()
+    val start = asOfHash.orElse(head.map(_._2))
+    val acc = List.newBuilder[MetadataBlock]
+    var cur = start
+    while (cur.isDefined) {
+      val h = cur.get
+      val p = byHash.getOrElse(h, throw new IllegalStateException(
+        s"block $h not found in chain at $root"))
+      val b = read(p)
+      acc += b
+      cur = b.prevBlockHash
+    }
+    acc.result().reverse
+  }
+
+  /** (block, hash) pairs in sequence order — one walk, hashes from the
+    * content-addressed filenames. */
+  def blocksWithHashes(asOfHash: Option[String] = None): Seq[(MetadataBlock, String)] = {
+    val byHash = blockFilesByHash()
+    val start = asOfHash.orElse(head.map(_._2))
+    val acc = List.newBuilder[(MetadataBlock, String)]
+    var cur = start
+    while (cur.isDefined) {
+      val h = cur.get
+      val p = byHash.getOrElse(h, throw new IllegalStateException(
+        s"block $h not found in chain at $root"))
+      val b = read(p)
+      acc += ((b, h))
+      cur = b.prevBlockHash
+    }
+    acc.result().reverse
+  }
+
+  /** Hash of the reachable block with the given sequence number. */
+  def hashAt(seq: Long): Option[String] =
+    blocksWithHashes().collectFirst { case (b, h) if b.sequenceNumber == seq => h }
+
+  /** Write a block file WITHOUT moving the head ref — the staging half of an
+    * append. Returns (block, hash). Used by append and by chain rewrites
+    * (compaction), which stage a whole new chain next to the old one and
+    * commit with a single atomic [[setHead]]. */
+  def writeDetachedBlock(
+      prev: Option[(Long, String)],
+      event: MetadataEvent,
+      systemTime: Long
+  ): (MetadataBlock, String) = {
+    val block = MetadataBlock(prev.map(_._1 + 1).getOrElse(0L), prev.map(_._2), systemTime, event)
     val json = Serialization.write(block)(formats)
     val hash = sha256Hex(json.getBytes(StandardCharsets.UTF_8))
     Files.createDirectories(blocksDir)
-    Files.createDirectories(refsDir)
     Files.writeString(blocksDir.resolve(f"${block.sequenceNumber}%06d-$hash.json"), json)
-    Files.writeString(refsDir.resolve("head"), s"${block.sequenceNumber} $hash")
+    (block, hash)
+  }
+
+  /** Atomically move the head ref (write-temp + atomic rename) — the single
+    * commit point of every chain mutation: a crash before it leaves the old
+    * chain fully intact (staged block files are unreachable, not corrupting),
+    * a crash after it leaves the new chain fully committed. */
+  def setHead(seq: Long, hash: String): Unit = {
+    Files.createDirectories(refsDir)
+    val tmp = refsDir.resolve(s".head-tmp-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, s"$seq $hash")
+    Files.move(tmp, refsDir.resolve("head"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Append an event as a new block; returns (block, hash). */
+  def append(event: MetadataEvent, systemTime: Long): (MetadataBlock, String) = {
+    val (block, hash) = writeDetachedBlock(head, event, systemTime)
+    setHead(block.sequenceNumber, hash)
     (block, hash)
   }
 
   /** Rewind the head ref to an earlier block (Reset operator,
-    * src/infra/core/src/services/reset — blocks after it stay on disk but
-    * are no longer reachable; a subsequent append overwrites their files). */
+    * src/infra/core/src/services/reset). Blocks after it stay on disk but
+    * become unreachable (the head-backwards walk never sees them); a
+    * subsequent append branches off the reset point with a fresh hash. */
   def reset(toHash: String): Unit = {
-    val target = blocks().zip(blockHashes()).find(_._2 == toHash)
+    val target = blocksWithHashes().find(_._2 == toHash)
     require(target.isDefined, s"block $toHash not found in chain at $root")
-    val seq = target.get._1.sequenceNumber
-    // Drop now-unreachable block files so blocks() stays consistent.
-    Files
-      .list(blocksDir)
-      .iterator()
-      .asScala
-      .filter(p => parseName(p)._1 > seq)
-      .toSeq
-      .foreach(Files.delete)
-    Files.writeString(refsDir.resolve("head"), s"$seq $toHash")
+    setHead(target.get._1.sequenceNumber, toHash)
   }
 
-  def blockHashes(): Seq[String] =
-    Files
-      .list(blocksDir)
-      .iterator()
-      .asScala
-      .filter(_.getFileName.toString.endsWith(".json"))
-      .toSeq
-      .sortBy(_.getFileName.toString)
-      .map(p => parseName(p)._2)
+  def blockHashes(): Seq[String] = blocksWithHashes().map(_._2)
+
+  /** Delete block files no longer reachable from the head — the GC half of a
+    * chain rewrite. Safe to run (or crash and re-run) at any time. */
+  def gcUnreachableBlocks(): Unit = {
+    val reachable = blocksWithHashes().map(_._2).toSet
+    blockFilesByHash().foreach { case (h, p) =>
+      if (!reachable.contains(h)) Files.deleteIfExists(p)
+    }
+  }
 
   // ------------------------------------------------------------- visitors
 
@@ -162,17 +205,32 @@ final class MetadataChain private (val root: Path) {
       case MetadataBlock(_, _, _, t: SetTransform) => t
     }
 
+  /** Push sources currently enabled: latest AddPushSource per name, unless a
+    * DisablePushSource follows it — one pass, same disable semantics as
+    * `pushSource(name)`. */
+  def enabledPushSources(asOf: Option[String] = None): Seq[AddPushSource] = {
+    val latest = scala.collection.mutable.LinkedHashMap.empty[String, Option[AddPushSource]]
+    blocks(asOf).foreach {
+      case MetadataBlock(_, _, _, s: AddPushSource)     => latest(s.sourceName) = Some(s)
+      case MetadataBlock(_, _, _, DisablePushSource(n)) => latest(n) = None
+      case _                                            => ()
+    }
+    latest.values.flatten.toSeq
+  }
+
   /** Primary key from the merge strategy — polling source first, else any
-    * push source that declares one (changelog-projection service needs it —
-    * query_service_impl.rs:630-738). */
+    * ENABLED push source that declares one (changelog-projection service
+    * needs it — query_service_impl.rs:630-738). A disabled source's key is
+    * not used, consistent with `pushSource` disable semantics. */
   def primaryKey(asOf: Option[String] = None): Seq[String] =
     pollingSource(asOf)
       .map(_.merge.primaryKey)
       .filter(_.nonEmpty)
-      .orElse(blocks(asOf).reverseIterator.collectFirst {
-        case MetadataBlock(_, _, _, s: AddPushSource) if s.merge.primaryKey.nonEmpty =>
-          s.merge.primaryKey
-      })
+      .orElse(
+        enabledPushSources(asOf).reverseIterator
+          .map(_.merge.primaryKey)
+          .find(_.nonEmpty)
+      )
       .getOrElse(Nil)
 
   /** All data slices in chain order (AddData + ExecuteTransform events). */

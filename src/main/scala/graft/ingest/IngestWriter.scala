@@ -93,9 +93,16 @@ object IngestWriter {
         // (test_query_service_impl.rs:991). Schema-first reads then use the
         // DDL as of the pinned block: old slices read under a newer DDL get
         // nulls for the added columns, as-of reads see the old shape.
+        // Only COMPATIBLE evolution commits: additive columns or integral/
+        // float/decimal widening. A batch that drops or retypes a column is
+        // rejected here, before anything lands in the chain — otherwise head
+        // reads would fail on old slices (parquet type conflict) or silently
+        // hide the dropped column.
         val writtenDdl = written.schema.toDDL
-        if (!chain.schemaDdl().contains(writtenDdl))
+        if (!chain.schemaDdl().contains(writtenDdl)) {
+          chain.schemaDdl().foreach(prev => validateSchemaEvolution(prev, written.schema))
           chain.append(SetDataSchema(writtenDdl), systemTime)
+        }
 
         val event = AddData(
           prevOffset = prevOffset,
@@ -121,7 +128,8 @@ object IngestWriter {
       path: String,
       systemTime: Long,
       sourceState: Option[String] = None,
-      applyPrep: Boolean = true
+      applyPrep: Boolean = true,
+      eventTimeFallback: Option[Long] = None
   ): Option[AddData] = {
     val src = ds.chain
       .pollingSource()
@@ -147,7 +155,14 @@ object IngestWriter {
         raw.createOrReplaceTempView("input")
         ds.spark.sql(sql)
     }
-    writeBatch(ds, prepared, strategyFor(src.merge, ds.vocabulary), systemTime, sourceState = sourceState)
+    writeBatch(
+      ds,
+      prepared,
+      strategyFor(src.merge, ds.vocabulary),
+      systemTime,
+      eventTimeFallback = eventTimeFallback,
+      sourceState = sourceState
+    )
   }
 
   /** Push-ingest a file through the chain's named AddPushSource declaration:
@@ -200,15 +215,74 @@ object IngestWriter {
         if (files.isEmpty) None
         else {
           // Each file is one batch; commit state only on the last so a crash
-          // mid-way re-fetches the remainder.
-          files.init.foreach(f => ingestFile(ds, f.path.toString, systemTime))
-          ingestFile(ds, files.last.path.toString, systemTime, newState)
+          // mid-way re-fetches the remainder. The event time captured from
+          // the file name (EventTimeSource::FromPath) becomes the batch's
+          // event-time fallback.
+          def et(f: Fetch.GlobFile): Option[Long] = f.eventTimeFromPath.map(parseEventTime)
+          files.init.foreach(f =>
+            ingestFile(ds, f.path.toString, systemTime, eventTimeFallback = et(f)))
+          ingestFile(ds, files.last.path.toString, systemTime, newState,
+            eventTimeFallback = et(files.last))
         }
       case "container" =>
         val fetched = Fetch.container(fetch.command.get)
         ingestFile(ds, fetched.path.toString, systemTime)
       case other => throw new IllegalArgumentException(s"unknown fetch kind: $other")
     }
+  }
+
+  /** Event time captured from a file name: a bare date is midnight UTC,
+    * anything longer must be a full ISO-8601 instant. */
+  private def parseEventTime(sv: String): Long = {
+    val inst =
+      if (sv.length == 10) java.time.Instant.parse(sv + "T00:00:00Z")
+      else java.time.Instant.parse(sv)
+    inst.toEpochMilli
+  }
+
+  /** Can a column of parquet type `from` be read under declared type `to`?
+    * Identical always; otherwise the lossless widenings Spark's parquet
+    * readers support (SPARK-40876): integral up-casts, float→double,
+    * decimal precision growth that keeps all old values representable. */
+  private def widens(from: org.apache.spark.sql.types.DataType,
+                     to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (a, b) if a == b                        => true
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType)     => true
+      case (IntegerType, LongType)                 => true
+      case (FloatType, DoubleType)                 => true
+      case (a: DecimalType, b: DecimalType)        =>
+        b.scale >= a.scale && (b.precision - b.scale) >= (a.precision - a.scale)
+      case (ArrayType(a, _), ArrayType(b, _))      => widens(a, b)
+      case (StructType(af), StructType(bf))        =>
+        af.forall(f => bf.find(_.name == f.name).exists(g => widens(f.dataType, g.dataType)))
+      case _                                       => false
+    }
+  }
+
+  /** Reject incompatible schema changes at write time: every previously
+    * declared column must still exist with the same (or compatibly widened)
+    * type. New columns are fine — old slices read under the new DDL yield
+    * nulls for them. */
+  private[graft] def validateSchemaEvolution(
+      prevDdl: String,
+      written: org.apache.spark.sql.types.StructType
+  ): Unit = {
+    val prev = org.apache.spark.sql.types.StructType.fromDDL(prevDdl)
+    val problems = prev.fields.flatMap { f =>
+      written.fields.find(_.name == f.name) match {
+        case None => Some(s"column '${f.name}' dropped")
+        case Some(g) if !widens(f.dataType, g.dataType) =>
+          Some(s"column '${f.name}' retyped ${f.dataType.simpleString} -> ${g.dataType.simpleString}")
+        case _ => None
+      }
+    }
+    if (problems.nonEmpty)
+      throw new IllegalArgumentException(
+        s"incompatible schema evolution rejected: ${problems.mkString("; ")} " +
+          s"(only additive columns or lossless type widening are allowed)")
   }
 
   /**

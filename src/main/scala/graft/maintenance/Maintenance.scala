@@ -26,12 +26,23 @@ object Maintenance {
   val MaxSliceSizeBytes: Long = 1L << 30
 
   /**
-   * Re-slice a dataset's data files into ≤ `maxRecords`-record slices. The
-   * chain is rewritten: non-data events are replayed in order, then one
+   * Re-slice a dataset's data files into slices bounded by BOTH
+   * ≤ `maxRecords` records and ≤ `maxBytes` bytes — the reference planner
+   * enforces the two limits together (compaction_planner_impl.rs:221-229),
+   * so wide-row datasets split on size before they reach the record cap.
+   * The byte bound is applied via the observed average row size of the
+   * existing data files (compressed parquet), which staged slices match
+   * closely since they re-encode the same rows with the same codec.
+   *
+   * The chain is rewritten: non-data events are replayed in order, then one
    * AddData per new slice (hashes change — like a git history rewrite). Data
    * content, offsets and watermark are preserved exactly.
    */
-  def compact(ds: Dataset, maxRecords: Long = MaxSliceRecords): Dataset = {
+  def compact(
+      ds: Dataset,
+      maxRecords: Long = MaxSliceRecords,
+      maxBytes: Long = MaxSliceSizeBytes
+  ): Dataset = {
     val spark = ds.spark
     val chain = ds.chain
     val vocab = ds.vocabulary
@@ -43,9 +54,14 @@ object Maintenance {
     val oldDataFiles = chain.slices().map(_.physicalHash)
     val finalWatermark = chain.watermark()
 
-    // Plan slice boundaries by offset ranges (offsets are dense 0..last).
+    // Plan slice boundaries by offset ranges (offsets are dense 0..last),
+    // capped by whichever of the record / byte limits binds first.
     val last = totalOpt.get
-    val bounds = (0L to last by maxRecords).map(lo => (lo, math.min(lo + maxRecords - 1, last)))
+    val totalBytes = oldDataFiles.map(h => Files.size(chain.dataDir.resolve(h))).sum
+    val avgRowBytes = math.max(1L, totalBytes / math.max(1L, last + 1))
+    val recordsWithinBytes = math.max(1L, maxBytes / avgRowBytes)
+    val effectiveMax = math.min(maxRecords, recordsWithinBytes)
+    val bounds = (0L to last by effectiveMax).map(lo => (lo, math.min(lo + effectiveMax - 1, last)))
 
     // Stage new slice parquet into a temp area first (so a failure midway
     // leaves the original dataset intact), then rewrite the chain.
@@ -68,16 +84,19 @@ object Maintenance {
       (lo, hi, file)
     }
 
-    // Rewrite: drop all blocks, replay non-data events, append new AddData.
-    chain.blockHashes().headOption.foreach(h => chain.reset(h))
-    // reset keeps block 0 (Seed); remove it too by clearing the blocks dir
-    Files.list(chain.root.resolve("blocks")).iterator().asScala.toSeq.foreach(Files.delete)
-    Files.deleteIfExists(chain.root.resolve("refs").resolve("head"))
-
+    // Rewrite: STAGE a complete replacement chain next to the live one
+    // (detached block files never referenced by the head), then commit with
+    // one atomic head-ref rename. A crash at any point before the commit
+    // leaves the original chain fully readable — the staged blocks and data
+    // files are unreachable garbage, not corruption; a crash after it leaves
+    // the new chain fully committed and only the GC outstanding (re-runnable).
+    var prev: Option[(Long, String)] = None
     blocks.foreach { b =>
       b.event match {
         case _: AddData | _: ExecuteTransform => () // replaced below
-        case e                                => chain.append(e, b.systemTime)
+        case e =>
+          val (blk, h) = chain.writeDetachedBlock(prev, e, b.systemTime)
+          prev = Some((blk.sequenceNumber, h))
       }
     }
     var prevOffset: Option[Long] = None
@@ -90,7 +109,8 @@ object Maintenance {
       val hash = MetadataChain.sha256HexOfFile(file)
       val target = chain.dataDir.resolve(hash)
       if (!Files.exists(target)) Files.move(file, target)
-      chain.append(
+      val (blk, h) = chain.writeDetachedBlock(
+        prev,
         AddData(
           prevOffset = prevOffset,
           offsetStart = lo,
@@ -102,9 +122,13 @@ object Maintenance {
         ),
         System.currentTimeMillis()
       )
+      prev = Some((blk.sequenceNumber, h))
       prevOffset = Some(hi)
     }
-    // Remove superseded data files (content-addressing may keep identical ones).
+    // COMMIT: one atomic rename.
+    chain.setHead(prev.get._1, prev.get._2)
+    // GC (safe to crash + re-run): unreachable blocks, superseded data files.
+    chain.gcUnreachableBlocks()
     val kept = chain.slices().map(_.physicalHash).toSet
     oldDataFiles.filterNot(kept.contains).foreach { h =>
       Files.deleteIfExists(chain.dataDir.resolve(h))
@@ -124,14 +148,18 @@ object Maintenance {
     val chain = ds.chain
     val blocks = chain.blocks()
     val oldDataFiles = chain.slices().map(_.physicalHash)
-    Files.list(chain.root.resolve("blocks")).iterator().asScala.toSeq.foreach(Files.delete)
-    Files.deleteIfExists(chain.root.resolve("refs").resolve("head"))
+    // Same stage-then-atomic-commit shape as compact().
+    var prev: Option[(Long, String)] = None
     blocks.foreach { b =>
       b.event match {
         case _: AddData | _: ExecuteTransform => ()
-        case e                                => chain.append(e, b.systemTime)
+        case e =>
+          val (blk, h) = chain.writeDetachedBlock(prev, e, b.systemTime)
+          prev = Some((blk.sequenceNumber, h))
       }
     }
+    chain.setHead(prev.get._1, prev.get._2)
+    chain.gcUnreachableBlocks()
     oldDataFiles.foreach(h => Files.deleteIfExists(chain.dataDir.resolve(h)))
     Dataset.open(ds.spark, chain.root)
   }

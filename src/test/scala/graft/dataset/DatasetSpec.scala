@@ -271,4 +271,64 @@ class DatasetSpec extends SparkSpec {
     assert(Dataset.open(spark, root).chain.blocks()
       .count(_.event.isInstanceOf[MetadataEvent.SetDataSchema]) === 2)
   }
+
+  test("schema evolution: dropping or retyping a column is rejected at write time") {
+    import graft.operators.MergeStrategy
+    val root = java.nio.file.Files.createTempDirectory("graft-evo-bad-")
+    val ds = Dataset.create(spark, root, "evobad")
+    IngestWriter.writeBatch(ds, Seq((1L, "a", 5L)).toDF("id", "v", "n"),
+      MergeStrategy.Append(), systemTime = 1000L)
+    val blocksBefore = ds.chain.blocks().size
+
+    // dropped column
+    val eDrop = intercept[IllegalArgumentException] {
+      IngestWriter.writeBatch(ds, Seq((2L, "b")).toDF("id", "v"),
+        MergeStrategy.Append(), systemTime = 2000L)
+    }
+    assert(eDrop.getMessage.contains("'n' dropped"))
+
+    // retyped column (bigint -> string)
+    val eRetype = intercept[IllegalArgumentException] {
+      IngestWriter.writeBatch(ds, Seq((2L, "b", "oops")).toDF("id", "v", "n"),
+        MergeStrategy.Append(), systemTime = 2000L)
+    }
+    assert(eRetype.getMessage.contains("retyped"))
+
+    // nothing landed in the chain from either rejected batch
+    assert(ds.chain.blocks().size === blocksBefore)
+  }
+
+  test("schema evolution: lossless widening (int -> bigint) commits and old slices read back") {
+    import graft.operators.MergeStrategy
+    val root = java.nio.file.Files.createTempDirectory("graft-evo-widen-")
+    val ds = Dataset.create(spark, root, "evowiden")
+    IngestWriter.writeBatch(ds, Seq((1, "a")).toDF("n", "v"),
+      MergeStrategy.Append(), systemTime = 1000L)
+    IngestWriter.writeBatch(ds, Seq((2147483648L, "b")).toDF("n", "v"),
+      MergeStrategy.Append(), systemTime = 2000L)
+    val got = Dataset.open(spark, root).toDF().orderBy("offset")
+      .select("n").as[Long].collect().toSeq
+    assert(got === Seq(1L, 2147483648L))
+  }
+
+  test("primaryKey: a disabled push source's key is not used") {
+    import graft.model.MetadataEvent.{AddPushSource, DisablePushSource}
+    val root = tmpDir()
+    val ds = Dataset.create(spark, root, "pkdisable", systemTime = 0L)
+    ds.chain.append(
+      AddPushSource("src1", readFormat = "ndjson", schemaDdl = Some("id BIGINT, v STRING"),
+        merge = MergeConf("ledger", primaryKey = Seq("id"))),
+      0L
+    )
+    assert(ds.chain.primaryKey() === Seq("id"))
+    ds.chain.append(DisablePushSource("src1"), 1L)
+    assert(ds.chain.primaryKey() === Nil)
+    // a later enabled source with a key takes over
+    ds.chain.append(
+      AddPushSource("src2", readFormat = "ndjson", schemaDdl = Some("k BIGINT, v STRING"),
+        merge = MergeConf("ledger", primaryKey = Seq("k"))),
+      2L
+    )
+    assert(ds.chain.primaryKey() === Seq("k"))
+  }
 }

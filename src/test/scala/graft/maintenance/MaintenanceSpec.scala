@@ -47,6 +47,51 @@ class MaintenanceSpec extends SparkSpec {
     assert(Maintenance.verify(compacted).isEmpty)
   }
 
+  test("compact splits on the byte bound before the record cap for wide rows") {
+    val root = Files.createTempDirectory("graft-maint-wide-")
+    val ds = Dataset.create(spark, root, "wide", systemTime = 0L)
+    // ~1 KiB of incompressible payload per row so the byte budget binds.
+    for (i <- 0 until 4) {
+      IngestWriter.writeBatch(
+        ds,
+        spark.range(i * 10, i * 10 + 10).select(
+          col("id"),
+          sha2(concat(lit("wide-"), col("id").cast("string")), 512).as("p1"),
+          sha2(concat(lit("r2-"), col("id").cast("string")), 512).as("p2")
+        ),
+        MergeStrategy.Append(),
+        systemTime = 1000L * (i + 1)
+      )
+    }
+    val before = ds.toDF().orderBy("offset").collect()
+    val totalBytes = ds.chain.slices()
+      .map(s => Files.size(ds.chain.dataDir.resolve(s.physicalHash))).sum
+    // Budget ~= half the data: record cap alone (1M) would make ONE slice;
+    // the byte bound must force a split.
+    val compacted = Maintenance.compact(ds, maxRecords = 1000000L, maxBytes = totalBytes / 2)
+    assert(compacted.chain.slices().size >= 2)
+    assert(compacted.toDF().orderBy("offset").collect().toSeq === before.toSeq)
+    assert(Maintenance.verify(compacted).isEmpty)
+  }
+
+  test("compact staging crash leaves the original chain fully readable") {
+    val ds = mkDataset(slices = 3, rowsPerSlice = 10)
+    val before = ds.toDF().orderBy("offset").collect()
+    val headBefore = ds.chain.head
+    // Simulate a crash mid-rewrite: stage detached blocks (what compact()
+    // writes before its single atomic setHead) and never commit.
+    ds.chain.writeDetachedBlock(None, graft.model.MetadataEvent.SetInfo("staged-then-crashed"), 99L)
+    val reopened = Dataset.open(spark, ds.chain.root)
+    assert(reopened.chain.head === headBefore)
+    assert(reopened.toDF().orderBy("offset").collect().toSeq === before.toSeq)
+    // GC clears the orphaned staged block; chain still verifies clean.
+    reopened.chain.gcUnreachableBlocks()
+    assert(Maintenance.verify(reopened).isEmpty)
+    // and a real compaction on the recovered dataset still works
+    val compacted = Maintenance.compact(reopened, maxRecords = 15)
+    assert(compacted.toDF().orderBy("offset").collect().toSeq === before.toSeq)
+  }
+
   test("keepMetadataOnly drops data blocks and files, keeps declarations") {
     val ds = mkDataset(slices = 3, rowsPerSlice = 10)
     assert(ds.chain.slices().size === 3)
