@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.dataset.Dataset
 import graft.ingest.IngestWriter
 import graft.model.{MergeConf, Op}
-import graft.model.MetadataEvent.{SetPollingSource, SqlStep}
+import graft.model.MetadataEvent.{AddPushSource, FetchConf, PrepConf, SetPollingSource, SqlStep}
 import graft.operators.{Changelog, Dedup, MergeStrategy, Similarity, Temporal, Writer}
 import graft.query.QueryService
 import graft.transform.TransformService
@@ -859,6 +859,399 @@ object SparkEntry {
         graft.operators.Multimodal.audioStatsStub(col("content"))
           .getField("est_samples").as("est_samples")
       ).orderBy(col("doc_id"))
+    },
+
+    // ---- stream-stream interval join (SURVEY §2.4 #46), run in batch mode
+    // over the same expressions (EliminateEventTimeWatermark drops the
+    // watermark nodes on batch inputs): lineitems shipped within 30 days of
+    // their order's date.
+    "interval_join" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      graft.streaming.StreamingOps
+        .intervalJoin(
+          o, l,
+          leftWatermark = ("o_orderdate", "1 day"),
+          rightWatermark = ("l_shipdate", "1 day"),
+          keys = Seq(("o_orderkey", "l_orderkey")),
+          range = col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS")
+        )
+        .select(col("o_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        .orderBy(col("o_orderkey"), col("l_linenumber"))
+    },
+
+    // ---- windowed agg over a joined stream (SURVEY §2.4 #47): tumbling
+    // 1-day windows over the interval join's output.
+    "window_join_agg" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"))
+      val joined = graft.streaming.StreamingOps.intervalJoin(
+        o, l,
+        leftWatermark = ("o_orderdate", "1 day"),
+        rightWatermark = ("l_shipdate", "1 day"),
+        keys = Seq(("o_orderkey", "l_orderkey")),
+        range = col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS")
+      )
+      graft.streaming.StreamingOps
+        .tumblingWindowAgg(
+          joined, "l_shipdate", "1 day", watermarkDelay = "",
+          keys = Seq(),
+          aggs = Seq(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("qty"))
+        )
+        .select(col("window.start").as("wstart"), col("n"), col("qty"))
+        .orderBy(col("wstart"))
+    },
+
+    // ---- streaming top-N with retractions (SURVEY §2.4 #49): two
+    // micro-batches of a leaderboard (top-5 users by max event value), the
+    // second CDC-diffed against the first's ledger.
+    "topn_retractions" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir).select(col("user_id"), col("value"), col("event_id"))
+      def state(df: DataFrame): DataFrame =
+        df.groupBy("user_id").agg(max(col("value")).as("score"))
+      val order = Seq(col("score").desc, col("user_id").asc)
+      val d1 = graft.streaming.StreamingOps
+        .topNRetractions(None, state(ev.filter(col("event_id") % 2 === 0)), 5, order, Seq("user_id"))
+      val ledger1 = d1.withColumn(
+        "offset",
+        row_number().over(Window.orderBy(col("user_id"), col("op"))).cast("long") - 1)
+      val n1 = ledger1.count()
+      val d2 = graft.streaming.StreamingOps
+        .topNRetractions(Some(ledger1), state(ev), 5, order, Seq("user_id"))
+      val ledger2 = d2.withColumn(
+        "offset",
+        row_number().over(Window.orderBy(col("user_id"), col("op"))).cast("long") + lit(n1 - 1))
+      ledger1.select("offset", "op", "user_id", "score", "place")
+        .unionByName(ledger2.select("offset", "op", "user_id", "score", "place"))
+        .orderBy(col("offset"))
+    },
+
+    // ---- watermark propagation (SURVEY §2.4 #50): a two-input derivative's
+    // committed watermark is min(inputs' watermarks), clamped monotone.
+    "watermark_prop" -> { (s, dir) =>
+      import s.implicits._
+      def ts(iso: String) = new java.sql.Timestamp(java.time.Instant.parse(iso).toEpochMilli)
+      val work = java.nio.file.Files.createTempDirectory("graft-wmprop-")
+      val a = Dataset.create(s, work.resolve("a"), "a")
+      val b = Dataset.create(s, work.resolve("b"), "b")
+      IngestWriter.writeBatch(a, Seq((ts("2024-01-10T00:00:00Z"), 1L)).toDF("event_time", "v"),
+        MergeStrategy.Append(), systemTime = 1000L)
+      IngestWriter.writeBatch(b, Seq((ts("2024-01-07T00:00:00Z"), 2L)).toDF("event_time", "v"),
+        MergeStrategy.Append(), systemTime = 1000L)
+      val deriv = Dataset.create(s, work.resolve("d"), "d", kind = "derivative")
+      TransformService.setTransform(deriv, Seq("a", "b"),
+        Seq(SqlStep(None,
+          "SELECT op, event_time, v FROM a UNION ALL SELECT op, event_time, v FROM b")), 0L)
+      val resolve = (n: String) => Dataset.open(s, work.resolve(n))
+      TransformService.executeTransform(deriv, resolve, systemTime = 2000L)
+      val wm1 = deriv.chain.watermark().get
+      IngestWriter.writeBatch(b, Seq((ts("2024-01-15T00:00:00Z"), 3L)).toDF("event_time", "v"),
+        MergeStrategy.Append(), systemTime = 3000L)
+      TransformService.executeTransform(deriv, resolve, systemTime = 4000L)
+      val wm2 = deriv.chain.watermark().get
+      Seq(("run1", new java.sql.Timestamp(wm1)), ("run2", new java.sql.Timestamp(wm2)))
+        .toDF("run", "watermark").orderBy("run")
+    },
+
+    // ---- verification (SURVEY §2.5 #53) as a tamper matrix: a clean
+    // dataset verifies empty; each kind of corruption yields exactly the
+    // named issue class.
+    "verification_tamper" -> { (s, dir) =>
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      import graft.maintenance.Maintenance
+      def build(): Dataset = {
+        val root = java.nio.file.Files.createTempDirectory("graft-vtam-")
+        val ds = Dataset.create(s, root, "vt")
+        IngestWriter.writeBatch(ds, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+          MergeStrategy.Append(), 1000L)
+        IngestWriter.writeBatch(ds, Seq((3L, "c")).toDF("id", "v"),
+          MergeStrategy.Append(), 2000L)
+        ds
+      }
+      def kinds(is: Seq[Maintenance.Issue]): String =
+        is.map(_.getClass.getSimpleName).distinct.sorted.mkString(",")
+
+      val clean = build()
+      val r0 = Maintenance.verify(clean)
+
+      val flipped = build()
+      val sliceFile = flipped.chain.dataDir.resolve(flipped.chain.slices().head.physicalHash)
+      val bytes = java.nio.file.Files.readAllBytes(sliceFile)
+      bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0xFF).toByte
+      java.nio.file.Files.write(sliceFile, bytes)
+      val r1 = Maintenance.verify(flipped)
+
+      val edited = build()
+      val bf = java.nio.file.Files.list(edited.chain.root.resolve("blocks"))
+        .iterator().asScala.toSeq.sortBy(_.getFileName.toString).last
+      java.nio.file.Files.writeString(bf, java.nio.file.Files.readString(bf) + " ")
+      val r2 = Maintenance.verify(edited)
+
+      val missing = build()
+      java.nio.file.Files.delete(
+        missing.chain.dataDir.resolve(missing.chain.slices().head.physicalHash))
+      val r3 = Maintenance.verify(missing)
+
+      Seq(
+        ("block_edit", r2.size.toLong, kinds(r2)),
+        ("clean", r0.size.toLong, kinds(r0)),
+        ("missing_data", r3.size.toLong, kinds(r3)),
+        ("slice_flip", r1.size.toLong, kinds(r1))
+      ).toDF("tamper_case", "n_issues", "kind").orderBy("tamper_case")
+    },
+
+    // ---- response encoders (SURVEY §2.1 #19): a page encoded as JSON-AoS
+    // and CSV strings, parsed back — both must round-trip exactly.
+    "response_encoders" -> { (s, dir) =>
+      import s.implicits._
+      val page = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+        .limit(5)
+      val ddl = "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+      val jsonStr = graft.operators.Export.jsonAoS(page)
+      val csvStr = graft.operators.Export.csvString(page)
+      val fromJson = s.read.schema(ddl).json(Seq(jsonStr).toDS())
+      val fromCsv = s.read.option("header", "true").schema(ddl)
+        .csv(csvStr.linesIterator.toSeq.toDS())
+      fromJson.withColumn("enc", lit("json"))
+        .unionByName(fromCsv.withColumn("enc", lit("csv")))
+        .orderBy(col("enc"), col("o_orderkey"))
+    },
+
+    // ---- reset (SURVEY §2.5 #55): rewind to the head after batch 2; the
+    // third batch's rows and blocks are gone.
+    "reset" -> { (s, dir) =>
+      val base = t(s, dir, "orders").select(
+        col("o_orderdate").as("event_time"),
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val root = java.nio.file.Files.createTempDirectory("graft-reset-")
+      val ds = Dataset.create(s, root, "orders_reset")
+      val times = Seq("2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z", "2024-01-03T00:00:00Z")
+      var headAfter2: String = null
+      for (g <- 0 until 3) {
+        IngestWriter.writeBatch(ds, base.filter(col("o_orderkey") % 3 === g),
+          MergeStrategy.Append(), java.time.Instant.parse(times(g)).toEpochMilli)
+        if (g == 1) headAfter2 = ds.chain.head.get._2
+      }
+      ds.chain.reset(headAfter2)
+      Dataset.open(s, root).toDF().orderBy(col("offset"))
+    },
+
+    // ---- push ingest over REST (SURVEY §2.5 #56): two POSTs through a named
+    // AddPushSource with ledger merge; the duplicate key is dropped.
+    "push_ingest_rest" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft-pushrest-")
+      val ds = Dataset.create(s, work.resolve("ds"), "pushed")
+      ds.chain.append(
+        AddPushSource("api", readFormat = "ndjson", schemaDdl = Some("id BIGINT, v STRING"),
+          merge = MergeConf("ledger", primaryKey = Seq("id"))), 0L)
+      val qs = new QueryService(s, Map("pushed" -> ds))
+      val srv = new graft.adapter.RestServer(qs, Map("pushed" -> ds)).start()
+      try {
+        val client = java.net.http.HttpClient.newHttpClient()
+        def post(body: String): Unit = {
+          val req = java.net.http.HttpRequest
+            .newBuilder(java.net.URI.create(
+              s"http://127.0.0.1:${srv.boundPort}/datasets/pushed/ingest?source=api"))
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
+          val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+          require(resp.statusCode() == 200, s"push ingest failed: ${resp.body()}")
+        }
+        post("{\"id\":1,\"v\":\"a\"}\n{\"id\":2,\"v\":\"b\"}\n")
+        post("{\"id\":2,\"v\":\"dup\"}\n{\"id\":3,\"v\":\"c\"}\n")
+      } finally srv.stop()
+      Dataset.open(s, work.resolve("ds")).toDF()
+        .select("offset", "op", "id", "v").orderBy(col("offset"))
+    },
+
+    // ---- prep: decompress (SURVEY §2.1 #15): gzip'd CSV through the
+    // polling-source prep pipeline.
+    "ingest_decompress" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft-gz-")
+      val gz = work.resolve("cities.csv.gz")
+      val out = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(gz))
+      out.write("city,population\nvancouver,675000\nseattle,733000\n".getBytes("UTF-8"))
+      out.close()
+      val ds = Dataset.create(s, work.resolve("ds"), "gzcities")
+      ds.chain.append(
+        SetPollingSource(readFormat = "csv", schemaDdl = Some("city STRING, population INT"),
+          merge = MergeConf("append"),
+          prep = Some(Seq(PrepConf("decompress", format = Some("gzip"))))), 0L)
+      IngestWriter.ingestFile(ds, gz.toString,
+        java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+      Dataset.open(s, work.resolve("ds")).toDF().orderBy(col("offset"))
+    },
+
+    // ---- prep: pipe (SURVEY §2.1 #16): payload piped through `tr` before
+    // the reader sees it.
+    "ingest_pipe" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft-pipe-")
+      val src = work.resolve("cities.csv")
+      java.nio.file.Files.writeString(src, "city,population\nvancouver,675000\nseattle,733000\n")
+      val ds = Dataset.create(s, work.resolve("ds"), "pipecities")
+      ds.chain.append(
+        SetPollingSource(readFormat = "csv", schemaDdl = Some("city STRING, population INT"),
+          merge = MergeConf("append"),
+          prep = Some(Seq(PrepConf("pipe", command = Some(Seq("tr", "a-z", "A-Z")))))), 0L)
+      IngestWriter.ingestFile(ds, src.toString,
+        java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+      Dataset.open(s, work.resolve("ds")).toDF().orderBy(col("offset"))
+    },
+
+    // ---- fetch: filesGlob with event-time-from-path (SURVEY §2.1 #11):
+    // two polls; the second sees only the new file, the third is a no-op.
+    "fetch_glob" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft-glob-")
+      java.nio.file.Files.writeString(work.resolve("data-2024-01-01.csv"), "id,v\n1,a\n")
+      java.nio.file.Files.writeString(work.resolve("data-2024-01-02.csv"), "id,v\n2,b\n")
+      val ds = Dataset.create(s, work.resolve("ds"), "globds")
+      ds.chain.append(
+        SetPollingSource(readFormat = "csv", schemaDdl = Some("id BIGINT, v STRING"),
+          merge = MergeConf("ledger", primaryKey = Seq("id")),
+          fetch = Some(FetchConf(kind = "filesGlob",
+            glob = Some(work.resolve("data-*.csv").toString),
+            eventTimeRegex = Some("data-(\\d{4}-\\d{2}-\\d{2})\\.csv")))), 0L)
+      IngestWriter.pollOnce(ds, java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli)
+      java.nio.file.Files.writeString(work.resolve("data-2024-01-03.csv"), "id,v\n3,c\n")
+      IngestWriter.pollOnce(ds, java.time.Instant.parse("2024-02-02T00:00:00Z").toEpochMilli)
+      require(
+        IngestWriter.pollOnce(ds,
+          java.time.Instant.parse("2024-02-03T00:00:00Z").toEpochMilli).isEmpty,
+        "a poll with no new files must commit nothing")
+      Dataset.open(s, work.resolve("ds")).toDF().orderBy(col("offset"))
+    },
+
+    // ---- fetch: url with mtime/size caching state (SURVEY §2.1 #10): an
+    // unchanged source short-circuits to up-to-date; a changed one re-polls.
+    "fetch_url" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft-furl-")
+      val src = work.resolve("feed.csv")
+      java.nio.file.Files.writeString(src, "id,v\n1,a\n2,b\n")
+      java.nio.file.Files.setLastModifiedTime(src,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L))
+      val ds = Dataset.create(s, work.resolve("ds"), "urlds")
+      ds.chain.append(
+        SetPollingSource(readFormat = "csv", schemaDdl = Some("id BIGINT, v STRING"),
+          merge = MergeConf("ledger", primaryKey = Seq("id")),
+          fetch = Some(FetchConf(kind = "url", url = Some(src.toString)))), 0L)
+      require(IngestWriter.pollOnce(ds,
+        java.time.Instant.parse("2024-03-01T00:00:00Z").toEpochMilli).isDefined)
+      require(IngestWriter.pollOnce(ds,
+        java.time.Instant.parse("2024-03-02T00:00:00Z").toEpochMilli).isEmpty,
+        "unchanged mtime+size must short-circuit")
+      java.nio.file.Files.writeString(src, "id,v\n1,a\n2,b\n3,c\n")
+      java.nio.file.Files.setLastModifiedTime(src,
+        java.nio.file.attribute.FileTime.fromMillis(2000000L))
+      require(IngestWriter.pollOnce(ds,
+        java.time.Instant.parse("2024-03-03T00:00:00Z").toEpochMilli).isDefined)
+      Dataset.open(s, work.resolve("ds")).toDF().orderBy(col("offset"))
+    },
+
+    // ---- to_table resolution (SURVEY §2.3 #37).
+    "to_table" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft-tt-")
+      java.nio.file.Files.writeString(work.resolve("r1.csv"),
+        "city,population\nvancouver,675000\nseattle,733000\nkyiv,2884000\n")
+      val ds = Dataset.create(s, work.resolve("ds"), "cities")
+      ds.chain.append(
+        SetPollingSource(readFormat = "csv", schemaDdl = Some("city STRING, population INT"),
+          merge = MergeConf("snapshot", primaryKey = Seq("city"))), 0L)
+      IngestWriter.ingestFile(ds, work.resolve("r1.csv").toString,
+        java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+      val qs = new QueryService(s, Map("cities" -> Dataset.open(s, work.resolve("ds"))))
+      qs.toTable("cities").select("city", "population").orderBy("city")
+    },
+
+    // ---- schema introspection (SURVEY §2.3 #40): DDL and JSON forms agree;
+    // output is the ordered column list.
+    "schema_introspect" -> { (s, dir) =>
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("graft-si-")
+      java.nio.file.Files.writeString(work.resolve("r1.csv"),
+        "city,population\nvancouver,675000\n")
+      val ds = Dataset.create(s, work.resolve("ds"), "cities")
+      ds.chain.append(
+        SetPollingSource(readFormat = "csv", schemaDdl = Some("city STRING, population INT"),
+          merge = MergeConf("snapshot", primaryKey = Seq("city"))), 0L)
+      IngestWriter.ingestFile(ds, work.resolve("r1.csv").toString,
+        java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+      val qs = new QueryService(s, Map("cities" -> Dataset.open(s, work.resolve("ds"))))
+      val st = org.apache.spark.sql.types.StructType.fromDDL(qs.schemaDdl("cities").get)
+      require(
+        org.apache.spark.sql.types.DataType.fromJson(qs.schemaJson("cities").get) ==
+          org.apache.spark.sql.types.StructType(st.map(_.copy(nullable = true))) ||
+          org.apache.spark.sql.types.DataType.fromJson(qs.schemaJson("cities").get) == st,
+        "JSON schema form must agree with the DDL form")
+      st.fields.zipWithIndex.toSeq
+        .map { case (f, i) => (i, f.name, f.dataType.simpleString) }
+        .toDF("ordinal", "col_name", "col_type").orderBy("ordinal")
+    },
+
+    // ---- fetch: MQTT (SURVEY §2.1 #13): in-process broker, QoS 1 drain,
+    // NDJSON batch read back.
+    "mqtt_ingest" -> { (s, dir) =>
+      import graft.ingest.Mqtt
+      val msgs = Seq("t" -> "{\"id\":1,\"v\":\"a\"}", "t" -> "{\"id\":2,\"v\":\"b\"}")
+      val server = new java.net.ServerSocket(0)
+      val th = new Thread(() => {
+        val sock = server.accept()
+        try {
+          val in = new java.io.DataInputStream(
+            new java.io.BufferedInputStream(sock.getInputStream))
+          val o = new java.io.DataOutputStream(sock.getOutputStream)
+          Mqtt.readPacket(in) // CONNECT
+          o.write(Mqtt.connackPacket); o.flush()
+          Mqtt.readPacket(in) // SUBSCRIBE
+          o.write(Mqtt.subackPacket(1, 1)); o.flush()
+          msgs.zipWithIndex.foreach { case ((topic, payload), i) =>
+            o.write(Mqtt.publishPacketQos1(topic, payload.getBytes("UTF-8"), 100 + i))
+          }
+          o.flush()
+          (1 to msgs.size).foreach(_ => Mqtt.readPacket(in)) // PUBACKs
+        } finally sock.close()
+      })
+      th.setDaemon(true)
+      th.start()
+      val fetched =
+        try graft.ingest.Fetch.mqtt("127.0.0.1", server.getLocalPort, Seq("t"),
+          idleTimeoutMs = 2000).get
+        finally server.close()
+      graft.ingest.Readers.ndjson(s, fetched.path.toString, Some("id BIGINT, v STRING"))
+        .orderBy("id")
+    },
+
+    // ---- fetch: EthereumLogs (SURVEY §2.1 #14): block-range drain with
+    // resume state over a deterministic fake transport.
+    "eth_logs" -> { (s, dir) =>
+      import graft.ingest.EthLogs
+      val rpc = new EthLogs.EthRpc {
+        override def blockNumber(): Long = 120L
+        override def getLogs(from: Long, to: Long, f: EthLogs.LogFilter): Seq[EthLogs.EthLog] =
+          (from to to).filter(_ % 10 == 0).map(b =>
+            EthLogs.EthLog(b, s"0xtx$b", b % 4, "0xcontract", Seq("0xtopic0"), s"0xdata$b"))
+      }
+      val filter = EthLogs.LogFilter(fromBlock = Some(0))
+      val f1 = EthLogs.fetch(rpc, filter, None, batchBlocks = 50, maxBatches = 1).get
+      val f2 = EthLogs.fetch(rpc, filter, f1.sourceState, batchBlocks = 50, maxBatches = 2).get
+      require(EthLogs.fetch(rpc, filter, f2.sourceState, 50, 2).isEmpty,
+        "a drain past the head must be up-to-date")
+      val ddl = "blockNumber BIGINT, transactionHash STRING, logIndex BIGINT, data STRING"
+      graft.ingest.Readers.ndjson(s, f1.path.toString, Some(ddl))
+        .unionByName(graft.ingest.Readers.ndjson(s, f2.path.toString, Some(ddl)))
+        .orderBy(col("blockNumber"))
     }
   )
 
@@ -1447,6 +1840,134 @@ object SparkEntry {
         |SELECT doc_id, CAST(nbytes AS BIGINT) AS nbytes,
         |  CAST(len(list_filter([1 + i*greatest(nbytes//4, 1) for i in range(4)], s -> s <= nbytes)) AS BIGINT) AS n_frames,
         |  CAST(nbytes * 4 AS BIGINT) AS est_samples
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "interval_join" ->
+      """SELECT o.o_orderkey, l.l_linenumber, l.l_shipdate
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        | AND l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+        |WHERE o.o_orderkey % 50 = 0
+        |ORDER BY o.o_orderkey, l.l_linenumber""".stripMargin,
+    "window_join_agg" ->
+      """SELECT time_bucket(INTERVAL '1 day', l.l_shipdate) AS wstart, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        | AND l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+        |WHERE o.o_orderkey % 10 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Replicates the two-micro-batch leaderboard: top-5 after batch 1 (all
+    // appends), then the snapshot CDC diff against the full-data top-5
+    // (+A new entrant, -R dropped, -C/+C for score or place changes).
+    "topn_retractions" ->
+      """WITH s1 AS (SELECT user_id, max(value) AS score FROM events
+        |            WHERE event_id % 2 = 0 GROUP BY user_id),
+        |t1 AS (SELECT user_id, score,
+        |         CAST(row_number() OVER (ORDER BY score DESC, user_id) AS INT) AS place
+        |       FROM s1 QUALIFY place <= 5),
+        |s2 AS (SELECT user_id, max(value) AS score FROM events GROUP BY user_id),
+        |t2 AS (SELECT user_id, score,
+        |         CAST(row_number() OVER (ORDER BY score DESC, user_id) AS INT) AS place
+        |       FROM s2 QUALIFY place <= 5),
+        |d AS (SELECT t1.user_id AS ok, t1.score AS os, t1.place AS opl,
+        |             t2.user_id AS nk, t2.score AS ns, t2.place AS npl
+        |      FROM t1 FULL OUTER JOIN t2 ON t1.user_id = t2.user_id
+        |      WHERE t1.score IS DISTINCT FROM t2.score
+        |         OR t1.place IS DISTINCT FROM t2.place),
+        |ev2 AS (
+        |  SELECT 0 AS op, nk AS user_id, ns AS score, npl AS place FROM d WHERE ok IS NULL
+        |  UNION ALL SELECT 1, ok, os, opl FROM d WHERE nk IS NULL
+        |  UNION ALL SELECT 2, ok, os, opl FROM d WHERE ok IS NOT NULL AND nk IS NOT NULL
+        |  UNION ALL SELECT 3, nk, ns, npl FROM d WHERE ok IS NOT NULL AND nk IS NOT NULL),
+        |led AS (
+        |  SELECT 1 AS batch, 0 AS op, user_id, score, place FROM t1
+        |  UNION ALL SELECT 2, op, user_id, score, place FROM ev2)
+        |SELECT CAST(row_number() OVER (ORDER BY batch, user_id, op) - 1 AS BIGINT) AS "offset",
+        |       CAST(op AS INT) AS op, user_id, score, place
+        |FROM led ORDER BY "offset"""".stripMargin,
+    "watermark_prop" ->
+      """SELECT * FROM (VALUES
+        |  ('run1', TIMESTAMP '2024-01-07 00:00:00'),
+        |  ('run2', TIMESTAMP '2024-01-10 00:00:00')
+        |) AS t(run, watermark) ORDER BY run""".stripMargin,
+    "verification_tamper" ->
+      """SELECT * FROM (VALUES
+        |  ('block_edit', CAST(1 AS BIGINT), 'ChainIssue'),
+        |  ('clean', CAST(0 AS BIGINT), ''),
+        |  ('missing_data', CAST(1 AS BIGINT), 'SliceIssue'),
+        |  ('slice_flip', CAST(1 AS BIGINT), 'SliceIssue')
+        |) AS t(tamper_case, n_issues, kind) ORDER BY tamper_case""".stripMargin,
+    "response_encoders" ->
+      """WITH page AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  ORDER BY o_orderkey LIMIT 5)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, enc
+        |FROM page CROSS JOIN (VALUES ('csv'), ('json')) e(enc)
+        |ORDER BY enc, o_orderkey""".stripMargin,
+    // Reset drops batch 3 (g = 2): same shape as dataset_multislice minus it.
+    "reset" ->
+      """WITH base AS (
+        |  SELECT o_orderkey % 3 AS g, o_orderdate AS event_time, o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 < 2)
+        |SELECT row_number() OVER (ORDER BY g, event_time, o_orderkey) - 1 AS "offset",
+        |       CAST(0 AS INT) AS op,
+        |       CASE g WHEN 0 THEN TIMESTAMP '2024-01-01 00:00:00'
+        |              ELSE TIMESTAMP '2024-01-02 00:00:00' END AS system_time,
+        |       event_time, o_orderkey, o_custkey, o_totalprice
+        |FROM base ORDER BY "offset"""".stripMargin,
+    "push_ingest_rest" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(0 AS INT), CAST(1 AS BIGINT), 'a'),
+        |  (CAST(1 AS BIGINT), CAST(0 AS INT), CAST(2 AS BIGINT), 'b'),
+        |  (CAST(2 AS BIGINT), CAST(0 AS INT), CAST(3 AS BIGINT), 'c')
+        |) AS t("offset", op, id, v) ORDER BY "offset"""".stripMargin,
+    "ingest_decompress" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 00:00:00', 'seattle', 733000),
+        |  (CAST(1 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 00:00:00', 'vancouver', 675000)
+        |) AS t("offset", op, system_time, event_time, city, population)
+        |ORDER BY "offset"""".stripMargin,
+    "ingest_pipe" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 00:00:00', 'SEATTLE', 733000),
+        |  (CAST(1 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 00:00:00', 'VANCOUVER', 675000)
+        |) AS t("offset", op, system_time, event_time, city, population)
+        |ORDER BY "offset"""".stripMargin,
+    "fetch_glob" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-02-01 00:00:00', TIMESTAMP '2024-01-01 00:00:00', CAST(1 AS BIGINT), 'a'),
+        |  (CAST(1 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-02-01 00:00:00', TIMESTAMP '2024-01-02 00:00:00', CAST(2 AS BIGINT), 'b'),
+        |  (CAST(2 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-02-02 00:00:00', TIMESTAMP '2024-01-03 00:00:00', CAST(3 AS BIGINT), 'c')
+        |) AS t("offset", op, system_time, event_time, id, v)
+        |ORDER BY "offset"""".stripMargin,
+    "fetch_url" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-03-01 00:00:00', TIMESTAMP '2024-03-01 00:00:00', CAST(1 AS BIGINT), 'a'),
+        |  (CAST(1 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-03-01 00:00:00', TIMESTAMP '2024-03-01 00:00:00', CAST(2 AS BIGINT), 'b'),
+        |  (CAST(2 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-03-03 00:00:00', TIMESTAMP '2024-03-03 00:00:00', CAST(3 AS BIGINT), 'c')
+        |) AS t("offset", op, system_time, event_time, id, v)
+        |ORDER BY "offset"""".stripMargin,
+    "to_table" ->
+      """SELECT * FROM (VALUES
+        |  ('kyiv', 2884000), ('seattle', 733000), ('vancouver', 675000)
+        |) AS t(city, population) ORDER BY city""".stripMargin,
+    "schema_introspect" ->
+      """SELECT * FROM (VALUES
+        |  (0, 'offset', 'bigint'),
+        |  (1, 'op', 'int'),
+        |  (2, 'system_time', 'timestamp'),
+        |  (3, 'event_time', 'timestamp'),
+        |  (4, 'city', 'string'),
+        |  (5, 'population', 'int')
+        |) AS t(ordinal, col_name, col_type) ORDER BY ordinal""".stripMargin,
+    "mqtt_ingest" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'a'), (CAST(2 AS BIGINT), 'b')
+        |) AS t(id, v) ORDER BY id""".stripMargin,
+    "eth_logs" ->
+      """SELECT CAST(b AS BIGINT) AS "blockNumber", '0xtx' || b AS "transactionHash",
+        |       CAST(b % 4 AS BIGINT) AS "logIndex", '0xdata' || b AS data
+        |FROM (SELECT unnest(range(0, 121, 10)) AS b)
+        |ORDER BY "blockNumber"""".stripMargin
   )
 }

@@ -54,10 +54,16 @@ object Export {
       .mkString("{", ",", "}")
   }
 
-  /** CSV encoding with a header row. */
+  /** CSV encoding with a header row. A null cell encodes as an EMPTY field
+    * (like the reference's CSV writer, odf/data-utils/src/data/format/csv.rs)
+    * so it stays distinguishable from the literal string "null". */
   def csvString(df: DataFrame): String = {
     val header = df.columns.map(csvCell).mkString(",")
-    val body = df.collect().map(r => r.toSeq.map(v => csvCell(String.valueOf(v))).mkString(","))
+    val body = df.collect().map(r =>
+      r.toSeq.map {
+        case null => ""
+        case v    => csvCell(String.valueOf(v))
+      }.mkString(","))
     (header +: body).mkString("\n")
   }
 

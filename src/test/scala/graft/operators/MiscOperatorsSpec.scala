@@ -55,7 +55,8 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(Export.jsonSoA(exportDf.orderBy("id")) ===
       """{"id":[1,2],"s":["x,\"y\"",null],"d":[1.5,2.0]}""")
     val csv = Export.csvString(exportDf.orderBy("id"))
-    assert(csv.linesIterator.toSeq === Seq("id,s,d", "1,\"x,\"\"y\"\"\",1.5", "2,null,2.0"))
+    // null cell -> EMPTY field, not the string "null"
+    assert(csv.linesIterator.toSeq === Seq("id,s,d", "1,\"x,\"\"y\"\"\",1.5", "2,,2.0"))
   }
 
   test("export sinks round-trip through files") {
