@@ -986,22 +986,25 @@ object SparkEntry {
       val clean = build()
       val r0 = Maintenance.verify(clean)
 
+      // chain paths are Hadoop-FS; the fixtures are local, so tamper through
+      // java.nio via the URI
+      def local(p: org.apache.hadoop.fs.Path) = java.nio.file.Paths.get(p.toUri)
+
       val flipped = build()
-      val sliceFile = flipped.chain.dataDir.resolve(flipped.chain.slices().head.physicalHash)
+      val sliceFile = local(flipped.chain.dataFile(flipped.chain.slices().head.physicalHash))
       val bytes = java.nio.file.Files.readAllBytes(sliceFile)
       bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0xFF).toByte
       java.nio.file.Files.write(sliceFile, bytes)
       val r1 = Maintenance.verify(flipped)
 
       val edited = build()
-      val bf = java.nio.file.Files.list(edited.chain.root.resolve("blocks"))
-        .iterator().asScala.toSeq.sortBy(_.getFileName.toString).last
+      val bf = local(edited.chain.blockFiles().last)
       java.nio.file.Files.writeString(bf, java.nio.file.Files.readString(bf) + " ")
       val r2 = Maintenance.verify(edited)
 
       val missing = build()
       java.nio.file.Files.delete(
-        missing.chain.dataDir.resolve(missing.chain.slices().head.physicalHash))
+        local(missing.chain.dataFile(missing.chain.slices().head.physicalHash)))
       val r3 = Maintenance.verify(missing)
 
       Seq(

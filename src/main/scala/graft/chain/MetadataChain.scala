@@ -1,10 +1,11 @@
 package graft.chain
 
+import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
 import java.security.MessageDigest
 
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 
 import org.json4s.{Formats, ShortTypeHints}
 import org.json4s.jackson.Serialization
@@ -24,24 +25,69 @@ import graft.model.MetadataEvent._
  *   checkpoints/                  engine state for streaming transforms
  * }}}
  *
+ * All I/O goes through the Hadoop `FileSystem` API, so a dataset root can be
+ * any supported scheme — `file://`, `hdfs://`, `s3a://`, ... — the same way
+ * the reference registers object stores per session
+ * (src/infra/core/src/services/session_context_builder.rs:31-76). Chain
+ * membership is decided by walking `prevBlockHash` links back from the head
+ * ref (git-style); the directory listing is only an index. Head moves are
+ * write-temp + atomic rename — the single commit point of every mutation.
+ *
  * Blocks serialize as JSON (json4s, `kind` discriminator). The block hash is
  * SHA-256 over the canonical serialized form — `prevBlockHash` inside the
  * block is what makes the chain tamper-evident, like a git history.
  */
-final class MetadataChain private (val root: Path) {
+final class MetadataChain private (val root: Path, val fs: FileSystem, conf: Configuration) {
   import MetadataChain._
 
-  private def blocksDir: Path = root.resolve("blocks")
-  private def refsDir: Path = root.resolve("refs")
-  def dataDir: Path = root.resolve("data")
-  def checkpointsDir: Path = root.resolve("checkpoints")
+  def blocksDir: Path = new Path(root, "blocks")
+  private def refsDir: Path = new Path(root, "refs")
+  def dataDir: Path = new Path(root, "data")
+  def checkpointsDir: Path = new Path(root, "checkpoints")
+
+  /** Absolute path of a slice data file. */
+  def dataFile(physicalHash: String): Path = new Path(dataDir, physicalHash)
+
+  // --------------------------------------------------------------- raw I/O
+
+  /** Reads bypass FileSystem-level checksum verification (Hadoop's local FS
+    * keeps .crc sidecars): the chain carries its OWN integrity hashes —
+    * physical/logical slice hashes and content-addressed block files — and
+    * verification must be able to READ tampered bytes to report a precise
+    * hash-mismatch issue instead of dying on a ChecksumException. */
+  private def readFs: FileSystem = fs match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other                                      => other
+  }
+
+  private def readString(p: Path): String = {
+    val in = readFs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def writeString(p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Block files currently on disk, sorted by name (reachable or not). */
+  def blockFiles(): Seq[Path] =
+    if (!fs.exists(blocksDir)) Nil
+    else
+      fs.listStatus(blocksDir)
+        .toSeq
+        .map(_.getPath)
+        .filter(_.getName.endsWith(".json"))
+        .sortBy(_.getName)
 
   /** (sequenceNumber, blockHash) of the head, if any block exists. */
   def head: Option[(Long, String)] = {
-    val f = refsDir.resolve("head")
-    if (!Files.exists(f)) None
+    val f = new Path(refsDir, "head")
+    if (!fs.exists(f)) None
     else {
-      val Array(seq, hash) = Files.readString(f).trim.split(" ")
+      val Array(seq, hash) = readString(f).trim.split(" ")
       Some((seq.toLong, hash))
     }
   }
@@ -53,31 +99,12 @@ final class MetadataChain private (val root: Path) {
     * abandoned by a reset — are simply unreachable rather than corrupting
     * reads. */
   private def blockFilesByHash(): Map[String, Path] =
-    Files
-      .list(blocksDir)
-      .iterator()
-      .asScala
-      .filter(_.getFileName.toString.endsWith(".json"))
-      .map(p => parseName(p)._2 -> p)
-      .toMap
+    blockFiles().map(p => parseName(p)._2 -> p).toMap
 
   /** All blocks in sequence order (optionally only up to `asOfHash`),
     * resolved by walking prev links back from the head (or `asOfHash`). */
-  def blocks(asOfHash: Option[String] = None): Seq[MetadataBlock] = {
-    val byHash = blockFilesByHash()
-    val start = asOfHash.orElse(head.map(_._2))
-    val acc = List.newBuilder[MetadataBlock]
-    var cur = start
-    while (cur.isDefined) {
-      val h = cur.get
-      val p = byHash.getOrElse(h, throw new IllegalStateException(
-        s"block $h not found in chain at $root"))
-      val b = read(p)
-      acc += b
-      cur = b.prevBlockHash
-    }
-    acc.result().reverse
-  }
+  def blocks(asOfHash: Option[String] = None): Seq[MetadataBlock] =
+    blocksWithHashes(asOfHash).map(_._1)
 
   /** (block, hash) pairs in sequence order — one walk, hashes from the
     * content-addressed filenames. */
@@ -113,8 +140,8 @@ final class MetadataChain private (val root: Path) {
     val block = MetadataBlock(prev.map(_._1 + 1).getOrElse(0L), prev.map(_._2), systemTime, event)
     val json = Serialization.write(block)(formats)
     val hash = sha256Hex(json.getBytes(StandardCharsets.UTF_8))
-    Files.createDirectories(blocksDir)
-    Files.writeString(blocksDir.resolve(f"${block.sequenceNumber}%06d-$hash.json"), json)
+    fs.mkdirs(blocksDir)
+    writeString(new Path(blocksDir, f"${block.sequenceNumber}%06d-$hash.json"), json)
     (block, hash)
   }
 
@@ -123,12 +150,11 @@ final class MetadataChain private (val root: Path) {
     * chain fully intact (staged block files are unreachable, not corrupting),
     * a crash after it leaves the new chain fully committed. */
   def setHead(seq: Long, hash: String): Unit = {
-    Files.createDirectories(refsDir)
-    val tmp = refsDir.resolve(s".head-tmp-${java.util.UUID.randomUUID()}")
-    Files.writeString(tmp, s"$seq $hash")
-    Files.move(tmp, refsDir.resolve("head"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    fs.mkdirs(refsDir)
+    val tmp = new Path(refsDir, s".head-tmp-${java.util.UUID.randomUUID()}")
+    writeString(tmp, s"$seq $hash")
+    val fc = FileContext.getFileContext(root.toUri, conf)
+    fc.rename(tmp, new Path(refsDir, "head"), Options.Rename.OVERWRITE)
   }
 
   /** Append an event as a new block; returns (block, hash). */
@@ -155,7 +181,7 @@ final class MetadataChain private (val root: Path) {
   def gcUnreachableBlocks(): Unit = {
     val reachable = blocksWithHashes().map(_._2).toSet
     blockFilesByHash().foreach { case (h, p) =>
-      if (!reachable.contains(h)) Files.deleteIfExists(p)
+      if (!reachable.contains(h)) fs.delete(p, false)
     }
   }
 
@@ -277,7 +303,14 @@ final class MetadataChain private (val root: Path) {
 
   /** Absolute paths of the given slices' data files. */
   def slicePaths(ss: Seq[AddData]): Seq[String] =
-    ss.map(s => dataDir.resolve(s.physicalHash).toString)
+    ss.map(s => dataFile(s.physicalHash).toString)
+
+  /** SHA-256 of a file's bytes, streamed through this chain's FileSystem
+    * (raw, so tampered files hash instead of throwing — see [[readFs]]). */
+  def sha256HexOf(p: Path): String = MetadataChain.sha256HexOf(readFs, p)
+
+  private def read(p: Path): MetadataBlock =
+    Serialization.read[MetadataBlock](readString(p))(formats, manifest[MetadataBlock])
 }
 
 object MetadataChain {
@@ -312,28 +345,48 @@ object MetadataChain {
     }
   )
 
-  def create(root: Path): MetadataChain = {
-    Files.createDirectories(root.resolve("blocks"))
-    Files.createDirectories(root.resolve("refs"))
-    Files.createDirectories(root.resolve("data"))
-    Files.createDirectories(root.resolve("checkpoints"))
-    new MetadataChain(root)
+  private def resolve(root: Path, conf: Configuration): (Path, FileSystem) = {
+    val fs = root.getFileSystem(conf)
+    (fs.makeQualified(root), fs)
   }
 
-  def open(root: Path): MetadataChain = {
-    require(Files.isDirectory(root.resolve("blocks")), s"no metadata chain at $root")
-    new MetadataChain(root)
+  def create(root: Path, conf: Configuration): MetadataChain = {
+    val (qualified, fs) = resolve(root, conf)
+    fs.mkdirs(new Path(qualified, "blocks"))
+    fs.mkdirs(new Path(qualified, "refs"))
+    fs.mkdirs(new Path(qualified, "data"))
+    fs.mkdirs(new Path(qualified, "checkpoints"))
+    new MetadataChain(qualified, fs, conf)
   }
 
-  def exists(root: Path): Boolean =
-    Files.isDirectory(root.resolve("blocks")) && Files.exists(root.resolve("refs").resolve("head"))
+  def open(root: Path, conf: Configuration): MetadataChain = {
+    val (qualified, fs) = resolve(root, conf)
+    require(fs.isDirectory(new Path(qualified, "blocks")), s"no metadata chain at $root")
+    new MetadataChain(qualified, fs, conf)
+  }
 
-  private def read(p: Path): MetadataBlock =
-    Serialization.read[MetadataBlock](Files.readString(p))(formats, manifest[MetadataBlock])
+  def exists(root: Path, conf: Configuration): Boolean = {
+    val (qualified, fs) = resolve(root, conf)
+    fs.isDirectory(new Path(qualified, "blocks")) &&
+    fs.exists(new Path(new Path(qualified, "refs"), "head"))
+  }
+
+  // java.nio compatibility overloads (local filesystems, default Hadoop conf)
+
+  def create(root: java.nio.file.Path): MetadataChain =
+    create(new Path(root.toUri), defaultConf)
+
+  def open(root: java.nio.file.Path): MetadataChain =
+    open(new Path(root.toUri), defaultConf)
+
+  def exists(root: java.nio.file.Path): Boolean =
+    exists(new Path(root.toUri), defaultConf)
+
+  private def defaultConf: Configuration = new Configuration()
 
   /** blocks/NNNNNN-<hash>.json -> (seq, hash) */
-  private def parseName(p: Path): (Long, String) = {
-    val name = p.getFileName.toString.stripSuffix(".json")
+  private[graft] def parseName(p: Path): (Long, String) = {
+    val name = p.getName.stripSuffix(".json")
     val dash = name.indexOf('-')
     (name.substring(0, dash).toLong, name.substring(dash + 1))
   }
@@ -341,5 +394,21 @@ object MetadataChain {
   def sha256Hex(bytes: Array[Byte]): String =
     MessageDigest.getInstance("SHA-256").digest(bytes).map("%02x".format(_)).mkString
 
-  def sha256HexOfFile(p: Path): String = sha256Hex(Files.readAllBytes(p))
+  def sha256HexOfFile(p: java.nio.file.Path): String =
+    sha256Hex(java.nio.file.Files.readAllBytes(p))
+
+  /** SHA-256 streamed through a Hadoop FileSystem (no local materialize). */
+  def sha256HexOf(fs: FileSystem, p: Path): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) md.update(buf, 0, n)
+        n = in.read(buf)
+      }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
 }

@@ -64,18 +64,32 @@ final class Dataset(val spark: SparkSession, val chain: MetadataChain) {
 
 object Dataset {
 
+  private def hpath(root: Path) = new org.apache.hadoop.fs.Path(root.toUri)
+  private def conf(spark: SparkSession) = spark.sparkContext.hadoopConfiguration
+
   def create(spark: SparkSession, root: Path, name: String, kind: String = "root",
+      systemTime: Long = 0L): Dataset =
+    createAt(spark, hpath(root).toString, name, kind, systemTime)
+
+  /** Create at any Hadoop-FileSystem URI (`file://`, `hdfs://`, `s3a://`, or
+    * a bare local path), resolved through the session's Hadoop configuration
+    * — the object-store registry role of the reference's
+    * session_context_builder.rs:31-76. */
+  def createAt(spark: SparkSession, root: String, name: String, kind: String = "root",
       systemTime: Long = 0L): Dataset = {
-    require(!exists(root), s"a dataset already exists at $root")
-    val chain = MetadataChain.create(root)
+    val p = new org.apache.hadoop.fs.Path(root)
+    require(!MetadataChain.exists(p, conf(spark)), s"a dataset already exists at $root")
+    val chain = MetadataChain.create(p, conf(spark))
     chain.append(Seed(name, kind), systemTime)
     new Dataset(spark, chain)
   }
 
   def open(spark: SparkSession, root: Path): Dataset =
-    new Dataset(spark, MetadataChain.open(root))
+    new Dataset(spark, MetadataChain.open(hpath(root), conf(spark)))
 
-  def open(spark: SparkSession, root: String): Dataset = open(spark, Paths.get(root))
+  /** Open from any Hadoop-FileSystem URI or bare local path. */
+  def open(spark: SparkSession, root: String): Dataset =
+    new Dataset(spark, MetadataChain.open(new org.apache.hadoop.fs.Path(root), conf(spark)))
 
   def exists(root: Path): Boolean = MetadataChain.exists(root)
 }

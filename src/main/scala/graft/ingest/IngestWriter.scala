@@ -288,38 +288,39 @@ object IngestWriter {
   /**
    * Write a DataFrame as a single snappy parquet file under `data/<hash>`;
    * returns the final path + physical hash, or None for an empty input.
-   * Physical hash = SHA-256 of the file bytes; fine to compute driver-side
-   * because slices are size-bounded.
+   * Physical hash = SHA-256 of the file bytes, streamed through the chain's
+   * Hadoop FileSystem — fine to compute driver-side because slices are
+   * size-bounded. Staging happens INSIDE the data dir so the final move is a
+   * same-filesystem rename (atomic on HDFS/posix; no cross-store copy).
    */
   private[graft] def writeSliceFile(
       chain: MetadataChain,
       df: DataFrame
-  ): Option[(Path, String)] = {
-    val tmp = chain.dataDir.resolve(s"tmp-${java.util.UUID.randomUUID()}")
+  ): Option[(org.apache.hadoop.fs.Path, String)] = {
+    val fs = chain.fs
+    val tmp = new org.apache.hadoop.fs.Path(chain.dataDir, s"tmp-${java.util.UUID.randomUUID()}")
     df.coalesce(1)
       .write
       .mode("overwrite")
       .option("compression", "snappy")
       .parquet(tmp.toString)
-    val part = Files
-      .list(tmp)
-      .iterator()
-      .asScala
-      .find(p => p.getFileName.toString.startsWith("part-") && p.getFileName.toString.endsWith(".parquet"))
+    val part = fs.listStatus(tmp)
+      .map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
     val result = part.flatMap { p =>
       // A parquet file with zero rows still gets written; check row count via
       // footer-backed count (cheap on a single small file).
       val rows = df.sparkSession.read.parquet(p.toString).count()
       if (rows == 0) None
       else {
-        val hash = MetadataChain.sha256HexOfFile(p)
-        val target = chain.dataDir.resolve(hash)
-        if (!Files.exists(target)) Files.move(p, target)
+        val hash = chain.sha256HexOf(p)
+        val target = chain.dataFile(hash)
+        if (!fs.exists(target)) fs.rename(p, target)
         Some((target, hash))
       }
     }
     // clean up the tmp dir (part file moved out or empty)
-    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    fs.delete(tmp, true)
     result
   }
 

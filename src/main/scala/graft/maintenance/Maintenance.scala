@@ -56,18 +56,21 @@ object Maintenance {
 
     // Plan slice boundaries by offset ranges (offsets are dense 0..last),
     // capped by whichever of the record / byte limits binds first.
+    val fs = chain.fs
     val last = totalOpt.get
-    val totalBytes = oldDataFiles.map(h => Files.size(chain.dataDir.resolve(h))).sum
+    val totalBytes = oldDataFiles.map(h => fs.getFileStatus(chain.dataFile(h)).getLen).sum
     val avgRowBytes = math.max(1L, totalBytes / math.max(1L, last + 1))
     val recordsWithinBytes = math.max(1L, maxBytes / avgRowBytes)
     val effectiveMax = math.min(maxRecords, recordsWithinBytes)
     val bounds = (0L to last by effectiveMax).map(lo => (lo, math.min(lo + effectiveMax - 1, last)))
 
-    // Stage new slice parquet into a temp area first (so a failure midway
-    // leaves the original dataset intact), then rewrite the chain.
+    // Stage new slice parquet into a temp area INSIDE the data dir (same
+    // filesystem, so the final move is a rename; a failure midway leaves the
+    // original dataset intact), then rewrite the chain.
     val staged = bounds.map { case (lo, hi) =>
       val part = all.filter(col(vocab.offsetColumn) >= lo && col(vocab.offsetColumn) <= hi)
-      val tmpOut = Files.createTempDirectory("graft-compact-")
+      val tmpOut = new org.apache.hadoop.fs.Path(
+        chain.dataDir, s"tmp-compact-${java.util.UUID.randomUUID()}")
       part
         .orderBy(col(vocab.offsetColumn))
         .coalesce(1)
@@ -75,13 +78,11 @@ object Maintenance {
         .mode("overwrite")
         .option("compression", "snappy")
         .parquet(tmpOut.toString)
-      val file = Files
-        .list(tmpOut)
-        .iterator()
-        .asScala
-        .find(p => p.getFileName.toString.startsWith("part-"))
+      val file = fs.listStatus(tmpOut)
+        .map(_.getPath)
+        .find(_.getName.startsWith("part-"))
         .get
-      (lo, hi, file)
+      (lo, hi, file, tmpOut)
     }
 
     // Rewrite: STAGE a complete replacement chain next to the live one
@@ -100,15 +101,16 @@ object Maintenance {
       }
     }
     var prevOffset: Option[Long] = None
-    staged.foreach { case (lo, hi, file) =>
+    staged.foreach { case (lo, hi, file, tmpOut) =>
       // stats + logical hash BEFORE the move — the DataFrame is lazy over
       // the staged path and would fail after the file relocates
       val written = spark.read.parquet(file.toString)
       val stats = Writer.computeStats(written, None, vocab).get
       val logical = IngestWriter.logicalHash(written)
-      val hash = MetadataChain.sha256HexOfFile(file)
-      val target = chain.dataDir.resolve(hash)
-      if (!Files.exists(target)) Files.move(file, target)
+      val hash = chain.sha256HexOf(file)
+      val target = chain.dataFile(hash)
+      if (!fs.exists(target)) fs.rename(file, target)
+      fs.delete(tmpOut, true)
       val (blk, h) = chain.writeDetachedBlock(
         prev,
         AddData(
@@ -131,9 +133,9 @@ object Maintenance {
     chain.gcUnreachableBlocks()
     val kept = chain.slices().map(_.physicalHash).toSet
     oldDataFiles.filterNot(kept.contains).foreach { h =>
-      Files.deleteIfExists(chain.dataDir.resolve(h))
+      fs.delete(chain.dataFile(h), false)
     }
-    Dataset.open(spark, chain.root)
+    Dataset.open(spark, chain.root.toString)
   }
 
   /**
@@ -160,8 +162,8 @@ object Maintenance {
     }
     chain.setHead(prev.get._1, prev.get._2)
     chain.gcUnreachableBlocks()
-    oldDataFiles.foreach(h => Files.deleteIfExists(chain.dataDir.resolve(h)))
-    Dataset.open(ds.spark, chain.root)
+    oldDataFiles.foreach(h => chain.fs.delete(chain.dataFile(h), false))
+    Dataset.open(ds.spark, chain.root.toString)
   }
 
   // ---------------------------------------------------------------- verify
@@ -178,24 +180,16 @@ object Maintenance {
    */
   def verify(ds: Dataset): Seq[Issue] = {
     val chain = ds.chain
+    val fs = chain.fs
     val issues = Seq.newBuilder[Issue]
 
     // chain link integrity: recompute each block's hash from its file
-    val blocksDir = chain.root.resolve("blocks")
-    val files = Files
-      .list(blocksDir)
-      .iterator()
-      .asScala
-      .toSeq
-      .sortBy(_.getFileName.toString)
-    var prevHash: Option[String] = None
-    files.foreach { f =>
-      val name = f.getFileName.toString.stripSuffix(".json")
+    chain.blockFiles().foreach { f =>
+      val name = f.getName.stripSuffix(".json")
       val declared = name.substring(name.indexOf('-') + 1)
-      val actual = MetadataChain.sha256HexOfFile(f)
+      val actual = chain.sha256HexOf(f)
       if (actual != declared)
         issues += ChainIssue(s"block $name: content hash $actual != filename hash $declared")
-      prevHash = Some(declared)
     }
     val blocks = chain.blocks()
     blocks.sliding(2).foreach {
@@ -211,10 +205,10 @@ object Maintenance {
     // slice integrity
     var prevEnd: Option[Long] = None
     chain.slices().foreach { s =>
-      val file = chain.dataDir.resolve(s.physicalHash)
-      if (!Files.exists(file)) issues += SliceIssue(s.physicalHash, "data file missing")
+      val file = chain.dataFile(s.physicalHash)
+      if (!fs.exists(file)) issues += SliceIssue(s.physicalHash, "data file missing")
       else {
-        val actual = MetadataChain.sha256HexOfFile(file)
+        val actual = chain.sha256HexOf(file)
         if (actual != s.physicalHash)
           issues += SliceIssue(s.physicalHash, s"physical hash mismatch: $actual")
         else

@@ -17,6 +17,23 @@ object OdfTypes {
 
   val OdfTypeKey = "odf:type"
 
+  /** Split a comma-joined type-argument list at top level only — commas
+    * inside nested `<...>` / `(...)` belong to the nested type. */
+  private def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case ',' if depth == 0 => out += sb.toString.trim; sb.clear()
+      case c =>
+        if (c == '<' || c == '(') depth += 1
+        if (c == '>' || c == ')') depth -= 1
+        sb += c
+    }
+    if (sb.nonEmpty) out += sb.toString.trim
+    out.result()
+  }
+
   /** ODF logical type name → Spark type (+ whether widening occurred). */
   def toSpark(odf: String): DataType = odf match {
     case "Bool"                      => BooleanType
@@ -44,8 +61,30 @@ object OdfTypes {
       val args = s.stripPrefix("Decimal").stripPrefix("(").stripSuffix(")").split(",")
       val (p, sc) = (args(0).trim.toInt, args(1).trim.toInt)
       if (sc < 0) DecimalType(math.min(p - sc, 38), 0) else DecimalType(math.min(p, 38), sc)
+    case s if s.startsWith("Time(") && s.endsWith(")") =>
+      // Time with an explicit unit (s|ms|us|ns, dtos_generated.rs:769):
+      // count-since-midnight in that unit; the unit survives in odf:type.
+      LongType
+    case s if s.startsWith("Timestamp(") && s.endsWith(")") =>
+      // Unit-qualified timestamp; Spark is microsecond-precision internally,
+      // nanos truncate on ingest (the writer normalizes to ms anyway).
+      TimestampType
+    case s if s.startsWith("Binary(") && s.endsWith(")") =>
+      // Fixed-size binary (dtos_generated.rs:725): Spark has no fixed-width
+      // binary — the declared width survives in odf:type metadata.
+      BinaryType
     case s if s.startsWith("List<") && s.endsWith(">") =>
-      ArrayType(toSpark(s.stripPrefix("List<").stripSuffix(">")))
+      val e = s.stripPrefix("List<").stripSuffix(">")
+      ArrayType(toSpark(e), containsNull = e.startsWith("Option<"))
+    case s if s.startsWith("Map<") && s.endsWith(">") =>
+      val Seq(k, v) = splitTop(s.stripPrefix("Map<").stripSuffix(">"))
+      MapType(toSpark(k), toSpark(v), valueContainsNull = v.startsWith("Option<"))
+    case s if s.startsWith("Struct<") && s.endsWith(">") =>
+      StructType(splitTop(s.stripPrefix("Struct<").stripSuffix(">")).map { decl =>
+        val i = decl.indexOf(':')
+        require(i > 0, s"struct field declaration needs name:type, got '$decl'")
+        field(decl.take(i).trim, decl.drop(i + 1).trim)
+      })
     case s if s.startsWith("Option<") && s.endsWith(">") =>
       toSpark(s.stripPrefix("Option<").stripSuffix(">")) // nullability handled at field level
     case other => throw new IllegalArgumentException(s"unsupported ODF type: $other")
@@ -83,6 +122,11 @@ object OdfTypes {
       case _: DayTimeIntervalType => "Duration"
       case d: DecimalType       => s"Decimal(${d.precision},${d.scale})"
       case ArrayType(e, cn)     => s"List<${fromSpark(StructField("", e, nullable = cn))}>"
+      case MapType(k, v, vcn)   =>
+        s"Map<${fromSpark(StructField("", k, nullable = false))}," +
+          s"${fromSpark(StructField("", v, nullable = vcn))}>"
+      case StructType(fields)   =>
+        s"Struct<${fields.map(sf => s"${sf.name}:${fromSpark(sf)}").mkString(",")}>"
       case NullType             => "Null"
       case other                => throw new IllegalArgumentException(s"unmapped Spark type: $other")
     }

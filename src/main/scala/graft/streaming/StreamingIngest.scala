@@ -66,7 +66,8 @@ object StreamingIngest {
       queryName: String = "graft-ingest",
       clock: () => Long = () => System.currentTimeMillis()
   ): StreamingQuery = {
-    val checkpoint = ds.chain.checkpointsDir.resolve(s"streaming-$queryName")
+    val checkpoint =
+      new org.apache.hadoop.fs.Path(ds.chain.checkpointsDir, s"streaming-$queryName")
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint.toString)

@@ -311,6 +311,22 @@ class DatasetSpec extends SparkSpec {
     assert(got === Seq(1L, 2147483648L))
   }
 
+  test("datasets work with a file://-qualified root (Hadoop FileSystem routing)") {
+    import graft.operators.MergeStrategy
+    val dir = java.nio.file.Files.createTempDirectory("graft-fsuri-")
+    val uri = "file://" + dir.resolve("ds")
+    val ds = Dataset.createAt(spark, uri, "fsuri")
+    IngestWriter.writeBatch(ds, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      MergeStrategy.Append(), 1000L)
+    val re = Dataset.open(spark, uri)
+    assert(re.chain.root.toUri.getScheme === "file")
+    assert(re.toDF().orderBy("offset").select("id").as[Long].collect().toSeq === Seq(1L, 2L))
+    // compaction, GC, and verification all flow through the same FileSystem
+    val compacted = graft.maintenance.Maintenance.compact(re, maxRecords = 1L)
+    assert(compacted.chain.slices().size === 2)
+    assert(graft.maintenance.Maintenance.verify(compacted).isEmpty)
+  }
+
   test("primaryKey: a disabled push source's key is not used") {
     import graft.model.MetadataEvent.{AddPushSource, DisablePushSource}
     val root = tmpDir()

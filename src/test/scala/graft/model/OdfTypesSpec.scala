@@ -30,13 +30,46 @@ class OdfTypesSpec extends AnyFunSuite {
   }
 
   test("containers and round-trip without metadata") {
-    assert(OdfTypes.toSpark("List<Int64>") === ArrayType(LongType))
-    // default ArrayType has nullable elements -> element type gets the Option wrapper
+    // element nullability follows the Option<> wrapper both ways
+    assert(OdfTypes.toSpark("List<Int64>") === ArrayType(LongType, containsNull = false))
+    assert(OdfTypes.toSpark("List<Option<Int64>>") === ArrayType(LongType, containsNull = true))
     assert(OdfTypes.fromSpark(StructField("z", ArrayType(LongType), nullable = false)) === "List<Option<Int64>>")
     assert(
       OdfTypes.fromSpark(StructField("z", ArrayType(LongType, containsNull = false), nullable = false))
         === "List<Int64>"
     )
     assert(OdfTypes.fromSpark(StructField("t", TimestampType, nullable = true)) === "Option<Timestamp>")
+  }
+
+  test("Map and Struct types round-trip, including nested Struct-in-List") {
+    assert(OdfTypes.toSpark("Map<String,Int64>") ===
+      MapType(StringType, LongType, valueContainsNull = false))
+    assert(OdfTypes.toSpark("Map<String,Option<Int64>>") ===
+      MapType(StringType, LongType, valueContainsNull = true))
+
+    val st = OdfTypes.toSpark("Struct<a:Int32,b:Option<String>>").asInstanceOf[StructType]
+    assert(st.fields.map(_.name).toSeq === Seq("a", "b"))
+    assert(st("a").dataType === IntegerType && !st("a").nullable)
+    assert(st("b").dataType === StringType && st("b").nullable)
+
+    // nested: list of structs whose field is a map — commas split at top level only
+    val nested = "List<Struct<k:String,m:Map<String,Int32>>>"
+    val t = OdfTypes.toSpark(nested)
+    val elem = t.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    assert(elem("m").dataType === MapType(StringType, IntegerType, valueContainsNull = false))
+    // round-trip via a plain field (no metadata)
+    val back = OdfTypes.fromSpark(StructField("x", t, nullable = false))
+    assert(OdfTypes.toSpark(back) === t)
+  }
+
+  test("Time units, unit-qualified Timestamp, fixed-size Binary") {
+    assert(OdfTypes.toSpark("Time(ms)") === LongType)
+    assert(OdfTypes.toSpark("Time(ns)") === LongType)
+    assert(OdfTypes.toSpark("Timestamp(ns)") === TimestampType)
+    assert(OdfTypes.toSpark("Binary(16)") === BinaryType)
+    // the logical declaration survives in field metadata
+    val f = OdfTypes.field("fp", "Binary(16)")
+    assert(f.metadata.getString(OdfTypes.OdfTypeKey) === "Binary(16)")
+    assert(OdfTypes.fromSpark(f) === "Binary(16)")
   }
 }
