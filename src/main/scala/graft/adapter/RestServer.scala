@@ -18,8 +18,13 @@ import graft.query.QueryService
  * control-plane adapter, not a data-plane component).
  *
  *   POST /query                  {"query":"SELECT …"} → {"data":[{…}],"state":{…}}
+ *                                {"query":…,"format":"arrow"} → Arrow IPC bytes
+ *                                (the FlightSQL do_get_statement result
+ *                                surface, adapter/flight-sql/service.rs:871)
  *   GET  /datasets               list dataset names
  *   GET  /datasets/{name}/tail?n=10          last n records (JsonAoS)
+ *   GET  /datasets/{name}/schema?format=ddl|json|parquet|arrow
+ *                                (odf/data-utils/src/schema/format.rs)
  *   POST /datasets/{name}/ingest?format=csv  push-ingest the request body
  *                                (ingest_handler.rs:66-175)
  */
@@ -42,42 +47,75 @@ final class RestServer(
 
   def stop(): Unit = server.stop(0)
 
-  private def handle(ex: HttpExchange)(f: HttpExchange => (Int, String)): Unit =
+  private def handle(ex: HttpExchange)(f: HttpExchange => Response): Unit =
     try {
-      val (code, body) = f(ex)
-      respond(ex, code, body)
+      val r = f(ex)
+      respond(ex, r.code, r.body, r.contentType)
     } catch {
       case e: Exception =>
-        respond(ex, 400, s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName))}}""")
+        respond(ex, 400,
+          s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName))}}""".getBytes(StandardCharsets.UTF_8),
+          "application/json")
     } finally ex.close()
 
-  private def handleQuery(ex: HttpExchange): (Int, String) = {
-    if (ex.getRequestMethod != "POST") return (405, """{"error":"POST required"}""")
+  private final case class Response(code: Int, body: Array[Byte], contentType: String)
+  private def json(code: Int, s: String): Response =
+    Response(code, s.getBytes(StandardCharsets.UTF_8), "application/json")
+
+  private def handleQuery(ex: HttpExchange): Response = {
+    if (ex.getRequestMethod != "POST") return json(405, """{"error":"POST required"}""")
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     val sql = extractJsonField(body, "query")
-      .getOrElse(return (400, """{"error":"body must be {\"query\":\"...\"}"}"""))
+      .getOrElse(return json(400, """{"error":"body must be {\"query\":\"...\"}"}"""))
     val skip = extractJsonField(body, "skip").map(_.toLong).getOrElse(0L)
     val limit = extractJsonField(body, "limit").map(_.toInt).getOrElse(100)
     val (df, state) = qs.sqlWithState(sql)
-    val data = Export.jsonAoS(qs.page(df, skip, limit))
-    val pins = state.inputs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    (200, s"""{"data":$data,"state":$pins}""")
+    val page = qs.page(df, skip, limit)
+    extractJsonField(body, "format") match {
+      case Some("arrow") =>
+        // Result page as one Arrow IPC stream — what a FlightSQL client
+        // would fetch from do_get; state pins travel in a response header.
+        val pins = state.inputs.map { case (k, v) => s"$k=$v" }.mkString(";")
+        ex.getResponseHeaders.add("X-Graft-State", pins)
+        Response(200, graft.operators.ArrowCodec.toArrowIpc(page),
+          "application/vnd.apache.arrow.stream")
+      case _ =>
+        val data = Export.jsonAoS(page)
+        val pins =
+          state.inputs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+        json(200, s"""{"data":$data,"state":$pins}""")
+    }
   }
 
-  private def handleDatasets(ex: HttpExchange): (Int, String) = {
+  private def queryParam(ex: HttpExchange, key: String): Option[String] =
+    Option(ex.getRequestURI.getQuery)
+      .flatMap(_.split("&").find(_.startsWith(s"$key=")))
+      .map(_.stripPrefix(s"$key="))
+
+  private def handleDatasets(ex: HttpExchange): Response = {
     val path = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
     path match {
       case Array("datasets") =>
-        (200, qs.knownDatasets.map(jstr).mkString("[", ",", "]"))
+        json(200, qs.knownDatasets.map(jstr).mkString("[", ",", "]"))
       case Array("datasets", name, "tail") =>
-        val n = Option(ex.getRequestURI.getQuery)
-          .flatMap(_.split("&").find(_.startsWith("n=")))
-          .map(_.stripPrefix("n=").toInt)
-          .getOrElse(10)
-        (200, Export.jsonAoS(qs.tail(name, n)))
+        val n = queryParam(ex, "n").map(_.toInt).getOrElse(10)
+        json(200, Export.jsonAoS(qs.tail(name, n)))
+      case Array("datasets", name, "schema") =>
+        val form = queryParam(ex, "format").getOrElse("ddl")
+        val resolved = form match {
+          case "ddl"     => qs.schemaDdl(name).map(d => s"""{"format":"ddl","schema":${jstr(d)}}""")
+          case "json"    => qs.schemaJson(name).map(d => s"""{"format":"json","schema":$d}""")
+          case "parquet" => qs.schemaParquet(name).map(d => s"""{"format":"parquet","schema":${jstr(d)}}""")
+          case "arrow"   => qs.schemaArrowJson(name).map(d => s"""{"format":"arrow","schema":$d}""")
+          case other     => return json(400, s"""{"error":"unknown schema format $other"}""")
+        }
+        resolved
+          .map(json(200, _))
+          .getOrElse(json(404, s"""{"error":"dataset $name has no schema yet"}"""))
       case Array("datasets", name, "ingest") =>
-        if (ex.getRequestMethod != "POST") return (405, """{"error":"POST required"}""")
-        val ds = datasets.getOrElse(name, return (404, s"""{"error":"unknown dataset $name"}"""))
+        if (ex.getRequestMethod != "POST") return json(405, """{"error":"POST required"}""")
+        val ds = datasets.getOrElse(
+          name, return json(404, s"""{"error":"unknown dataset $name"}"""))
         val tmp: Path = Files.createTempFile("graft-push-", ".dat")
         Files.write(tmp, ex.getRequestBody.readAllBytes())
         // ?source=<name> routes through a declared AddPushSource; otherwise
@@ -94,18 +132,17 @@ final class RestServer(
         }
         event match {
           case Some(e) =>
-            (200, s"""{"committed":true,"offsetStart":${e.offsetStart},"offsetEnd":${e.offsetEnd},"numRecords":${e.numRecords}}""")
-          case None => (200, """{"committed":false,"upToDate":true}""")
+            json(200, s"""{"committed":true,"offsetStart":${e.offsetStart},"offsetEnd":${e.offsetEnd},"numRecords":${e.numRecords}}""")
+          case None => json(200, """{"committed":false,"upToDate":true}""")
         }
-      case _ => (404, """{"error":"not found"}""")
+      case _ => json(404, """{"error":"not found"}""")
     }
   }
 
-  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
-    val bytes = body.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.add("Content-Type", "application/json")
-    ex.sendResponseHeaders(code, bytes.length.toLong)
-    ex.getResponseBody.write(bytes)
+  private def respond(ex: HttpExchange, code: Int, body: Array[Byte], contentType: String): Unit = {
+    ex.getResponseHeaders.add("Content-Type", contentType)
+    ex.sendResponseHeaders(code, body.length.toLong)
+    ex.getResponseBody.write(body)
   }
 
   /** Tiny extractor for one string/number field of a flat JSON object —

@@ -263,7 +263,7 @@ final class MetadataChain private (val root: Path, val fs: FileSystem, conf: Con
   def slices(asOf: Option[String] = None): Seq[AddData] =
     blocks(asOf).collect {
       case MetadataBlock(_, _, _, a: AddData)                         => a
-      case MetadataBlock(_, _, _, ExecuteTransform(_, Some(newData))) => newData
+      case MetadataBlock(_, _, _, ExecuteTransform(_, Some(newData), _)) => newData
     }
 
   /** Head-backwards slice selection until `lastRecords` records are covered —

@@ -249,7 +249,7 @@ object Maintenance {
     val issues = Seq.newBuilder[Issue]
 
     chain.blocks().foreach {
-      case MetadataBlock(_, _, systemTime, ExecuteTransform(inputs, Some(newData))) =>
+      case MetadataBlock(_, _, systemTime, ExecuteTransform(inputs, Some(newData), _)) =>
         inputs.foreach { st =>
           val in = resolve(st.datasetName)
           val lo = st.prevOffset.map(_ + 1).getOrElse(0L)

@@ -101,12 +101,26 @@ object MetadataEvent {
       sourceState: Option[String] = None
   ) extends MetadataEvent
 
+  /** Content-addressed reference to an engine checkpoint directory — the
+    * `Checkpoint` artifact an ExecuteTransform carries in the reference
+    * (dtos_generated.rs:967,1199). `contentHash` digests the sorted
+    * (relative-path, file-hash) pairs of the checkpoint dir, so verification
+    * can prove the recorded engine state is the one on disk. */
+  final case class CheckpointRef(
+      name: String,
+      contentHash: String,
+      sizeBytes: Long
+  )
+
   /** A data slice produced by a derivative transform run
     * (ExecuteTransform, dtos_generated.rs:1171-1196). `newData` is None for
-    * runs that only advanced watermarks. */
+    * runs that only advanced watermarks; `newCheckpoint` records the
+    * engine-state artifact for streaming transforms (None for stateless
+    * batch SQL runs). */
   final case class ExecuteTransform(
       inputs: Seq[TransformInputState],
-      newData: Option[AddData]
+      newData: Option[AddData],
+      newCheckpoint: Option[CheckpointRef] = None
   ) extends MetadataEvent
 
   /** Which half-open offset interval (prev, new] of an input this run saw. */

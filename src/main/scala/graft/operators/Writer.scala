@@ -55,9 +55,18 @@ object Writer {
 
   /**
    * Deterministic, distributed offset assignment: total sort by the merge
-   * strategy's sort order, then zipWithIndex + startOffset. Column order is
-   * normalized to `offset, op, system_time, event_time, <data>`
-   * (writer.rs:374-383).
+   * strategy's sort order, then dense offsets from per-partition row indexes
+   * plus per-partition base offsets. Column order is normalized to
+   * `offset, op, system_time, event_time, <data>` (writer.rs:374-383).
+   *
+   * Stays in the Dataset API end to end (no RDD round-trip through boxed
+   * Rows): the sorted frame is localCheckpoint'd ONCE so both passes see the
+   * identical partitioning (a re-executed range sort could re-sample
+   * different boundaries), then `monotonically_increasing_id` encodes
+   * (partitionId << 33 | rowIndexInPartition) — a documented stable layout —
+   * from which a tiny per-partition count collect + broadcast base-offset
+   * join produces dense offsets entirely inside whole-stage codegen. The
+   * driver only ever sees one row per partition, never data.
    */
   def assignOffsets(
       df: DataFrame,
@@ -65,14 +74,30 @@ object Writer {
       startOffset: Long = 0L,
       vocab: DatasetVocabulary = DatasetVocabulary.Default
   ): DataFrame = {
-    val sorted = if (sortOrder.nonEmpty) df.orderBy(sortOrder: _*) else df
     val spark = df.sparkSession
-    val schema = StructType(StructField(vocab.offsetColumn, LongType, nullable = false) +: sorted.schema.fields)
-    val indexed = sorted.rdd
-      .zipWithIndex()
-      .map { case (row, idx) => Row.fromSeq((idx + startOffset) +: row.toSeq) }
-    val withOffset = spark.createDataFrame(indexed, schema)
-    normalizeColumnOrder(withOffset, vocab)
+    import spark.implicits._
+    val sorted =
+      (if (sortOrder.nonEmpty) df.orderBy(sortOrder: _*) else df).localCheckpoint()
+    val mid = monotonically_increasing_id()
+    val pid = shiftrightunsigned(col("__mid"), 33)
+    val idxInPartition = col("__mid").bitwiseAND(lit((1L << 33) - 1))
+    val withMid = sorted.withColumn("__mid", mid)
+    val counts = withMid
+      .groupBy(pid.as("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .orderBy("__pid")
+      .collect()
+    var acc = startOffset
+    val bases = counts.map { r =>
+      val b = (r.getLong(0), acc); acc += r.getLong(1); b
+    }.toSeq
+    val baseDf = bases.toDF("__pid", "__base")
+    val out = withMid
+      .withColumn("__pid", pid)
+      .join(broadcast(baseDf), Seq("__pid"))
+      .withColumn(vocab.offsetColumn, col("__base") + idxInPartition)
+      .drop("__pid", "__mid", "__base")
+    normalizeColumnOrder(Nullability.markNotNull(out, Seq(vocab.offsetColumn)), vocab)
   }
 
   /** `offset, op, system_time, event_time, <data cols in input order>`. */

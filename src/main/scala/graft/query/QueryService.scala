@@ -75,10 +75,21 @@ final class QueryService(spark: SparkSession, datasets: Map[String, Dataset]) {
   /** State projection service with PK discovery (:630-738). */
   def state(name: String): DataFrame = datasets(name).projectState()
 
-  /** Schema introspection (schema_service_impl.rs): DDL + JSON forms. */
+  /** Schema introspection (schema_service_impl.rs; response formats
+    * odf/data-utils/src/schema/format.rs): DDL, Spark-JSON, parquet message
+    * text, and Arrow schema JSON forms. */
   def schemaDdl(name: String): Option[String] = datasets(name).chain.schemaDdl()
   def schemaJson(name: String): Option[String] =
     datasets(name).chain.schemaDdl().map(d => org.apache.spark.sql.types.StructType.fromDDL(d).json)
+  def schemaParquet(name: String): Option[String] =
+    datasets(name).chain.schemaDdl().map { d =>
+      new org.apache.spark.sql.execution.datasources.parquet.SparkToParquetSchemaConverter()
+        .convert(org.apache.spark.sql.types.StructType.fromDDL(d))
+        .toString
+    }
+  def schemaArrowJson(name: String): Option[String] =
+    datasets(name).chain.schemaDdl().map(d =>
+      graft.operators.ArrowCodec.arrowSchema(org.apache.spark.sql.types.StructType.fromDDL(d)).toJson)
 
   /** Dataset-ref → table resolution (`to_table()` UDTF in the reference,
     * src/infra/datafusion-udf/src/to_table.rs:22-128 — needed there for

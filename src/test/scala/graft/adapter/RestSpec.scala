@@ -103,4 +103,70 @@ class RestSpec extends SparkSpec {
       assert(p4.statusCode() === 400 && p4.body().contains("no enabled push source"))
     } finally server.stop()
   }
+
+  test("REST adapter: Arrow IPC result surface and schema formats") {
+    import graft.operators.ArrowCodec
+    val ds = mkCityDataset()
+    val qs = new QueryService(spark, Map("cities" -> ds))
+    val server = new RestServer(qs, Map("cities" -> ds)).start()
+    val base = s"http://127.0.0.1:${server.boundPort}"
+    val client = HttpClient.newHttpClient()
+    try {
+      // query result as Arrow IPC bytes, parsed back by the codec
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(base + "/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"query":"SELECT city, population FROM cities WHERE op = 0 ORDER BY city","format":"arrow"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofByteArray()
+      )
+      assert(resp.statusCode() === 200)
+      assert(resp.headers().firstValue("Content-Type").get()
+        === "application/vnd.apache.arrow.stream")
+      assert(resp.headers().firstValue("X-Graft-State").get().startsWith("cities="))
+      val back = ArrowCodec.fromArrowIpc(spark, resp.body())
+      val rows = back.orderBy("city").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+      assert(rows === Seq(("seattle", 733000), ("vancouver", 675000)))
+
+      // schema formats
+      def get(path: String): String =
+        client.send(
+          HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+          HttpResponse.BodyHandlers.ofString()).body()
+      assert(get("/datasets/cities/schema").contains(""""format":"ddl""""))
+      assert(get("/datasets/cities/schema?format=json").contains(""""type":"struct""""))
+      val pq = get("/datasets/cities/schema?format=parquet")
+      assert(pq.contains("message") && pq.contains("city"))
+      val ar = get("/datasets/cities/schema?format=arrow")
+      assert(ar.contains(""""format":"arrow"""") && ar.contains("population"))
+      assert(get("/datasets/cities/schema?format=nope").contains("unknown schema format"))
+    } finally server.stop()
+  }
+
+  test("Arrow codec: all scalar types and nulls round-trip exactly") {
+    import graft.operators.ArrowCodec
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("b", BooleanType), StructField("i", IntegerType),
+      StructField("l", LongType), StructField("f", FloatType),
+      StructField("d", DoubleType), StructField("s", StringType),
+      StructField("bin", BinaryType), StructField("ts", TimestampType),
+      StructField("dt", DateType)))
+    val ts = java.sql.Timestamp.from(java.time.Instant.parse("2024-05-06T07:08:09.123456Z"))
+    val rows = Seq(
+      Row(true, 1, 2L, 1.5f, 2.5, "x", Array[Byte](1, 2), ts, java.sql.Date.valueOf("2024-05-06")),
+      Row(null, null, null, null, null, null, null, null, null))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    val bytes = ArrowCodec.toArrowIpc(df)
+    val back = ArrowCodec.fromArrowIpc(spark, bytes).orderBy(org.apache.spark.sql.functions.col("i").asc_nulls_last)
+    val got = back.collect()
+    assert(got.length === 2)
+    assert(got(0).getBoolean(0) === true && got(0).getInt(1) === 1 && got(0).getLong(2) === 2L)
+    assert(got(0).getAs[Array[Byte]](6).toSeq === Seq[Byte](1, 2))
+    assert(got(0).getAs[java.sql.Timestamp](7) === ts) // microsecond precision preserved
+    assert(got(0).getAs[java.sql.Date](8).toString === "2024-05-06")
+    assert((0 until 9).forall(got(1).isNullAt))
+  }
 }

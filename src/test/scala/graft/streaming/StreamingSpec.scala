@@ -171,6 +171,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transform: checkpoint artifact in the chain, kill-and-resume exactly-once") {
+    import graft.dataset.Dataset
+    import graft.ingest.IngestWriter
+    import graft.model.MetadataEvent
+    import graft.operators.MergeStrategy
+
+    val root = java.nio.file.Files.createTempDirectory("graft-stransform-")
+    val src = Dataset.create(spark, root.resolve("src"), "src_t", systemTime = 0L)
+    Dataset.create(spark, root.resolve("out"), "out_t", kind = "derivative", systemTime = 0L)
+    IngestWriter.writeBatch(src,
+      Seq((t("2024-01-01T00:00:00Z"), 1L)).toDF("event_time", "v"),
+      MergeStrategy.Append(), systemTime = 1000L)
+
+    def xform(df: org.apache.spark.sql.DataFrame) = df.selectExpr("event_time", "v * 10 AS v10")
+    var batchTime = 0L
+    val clock = () => { batchTime += 1000; batchTime }
+
+    val q1 = StreamingTransform.start(
+      Dataset.open(spark, root.resolve("out")),
+      Dataset.open(spark, root.resolve("src")), xform, "resume-test", clock)
+    try q1.processAllAvailable() finally q1.stop()
+
+    val after1 = Dataset.open(spark, root.resolve("out"))
+    assert(after1.toDF().select("v10").as[Long].collect().toSeq === Seq(10L))
+    val et1 = after1.chain.lastExecuteTransform().get
+    // checkpoint artifact recorded: name, content hash, nonzero size
+    assert(et1.newCheckpoint.isDefined)
+    assert(et1.newCheckpoint.get.name === "transform-resume-test")
+    assert(et1.newCheckpoint.get.contentHash.length === 64)
+    assert(et1.inputs === Seq(MetadataEvent.TransformInputState("src_t", None, Some(0L))))
+
+    // a second input slice lands while the query is DOWN
+    IngestWriter.writeBatch(src,
+      Seq((t("2024-01-02T00:00:00Z"), 2L)).toDF("event_time", "v"),
+      MergeStrategy.Append(), systemTime = 2000L)
+
+    // resume with the same query name: only the new slice is processed
+    val q2 = StreamingTransform.start(
+      Dataset.open(spark, root.resolve("out")),
+      Dataset.open(spark, root.resolve("src")), xform, "resume-test", clock)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val after2 = Dataset.open(spark, root.resolve("out"))
+    // each input row transformed exactly once across the restart
+    assert(after2.toDF().orderBy("offset").select("v10").as[Long].collect().toSeq
+      === Seq(10L, 20L))
+    val ets = after2.chain.blocks().map(_.event).collect {
+      case e: MetadataEvent.ExecuteTransform => e
+    }
+    assert(ets.size === 2)
+    assert(ets(1).inputs.head.prevOffset === Some(0L))
+    assert(ets(1).inputs.head.newOffset === Some(1L))
+
+    // a replayed micro-batch (stale input interval) is skipped outright
+    val staleInput = Dataset.open(spark, root.resolve("src")).toDF()
+    assert(StreamingTransform.commitBatch(
+      after2, "src_t", staleInput, xform(staleInput), 9999L).isEmpty)
+    assert(Dataset.open(spark, root.resolve("out")).toDF().count() === 2)
+  }
+
   test("streaming ingest commits micro-batches to the chain; replayed batch is skipped") {
     import graft.dataset.Dataset
     import graft.operators.MergeStrategy
