@@ -31,7 +31,8 @@ import graft.query.QueryService
 final class RestServer(
     qs: QueryService,
     datasets: Map[String, Dataset],
-    port: Int = 0
+    port: Int = 0,
+    nodeKey: Option[java.security.KeyPair] = None
 ) {
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -83,7 +84,19 @@ final class RestServer(
         val data = Export.jsonAoS(page)
         val pins =
           state.inputs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-        json(200, s"""{"data":$data,"state":$pins}""")
+        // {"proof":true} -> attach the signed commitment over the FULL result
+        // (query_types.rs:223-307); pagination happens after proving.
+        val proofJson =
+          if (body.replaceAll("\\s", "").contains("\"proof\":true")) {
+            val (_, proof) = qs.sqlProved(sql, nodeKey = nodeKey)
+            val fields = Seq(
+              s""""queryDigest":${jstr(proof.queryDigest)}""",
+              s""""resultHash":${jstr(proof.resultHash)}"""
+            ) ++ proof.signature.map(s => s""""signature":${jstr(s)}""") ++
+              proof.publicKey.map(k => s""""publicKey":${jstr(k)}""")
+            s""","proof":{${fields.mkString(",")}}"""
+          } else ""
+        json(200, s"""{"data":$data,"state":$pins$proofJson}""")
     }
   }
 

@@ -69,6 +69,35 @@ final class QueryService(spark: SparkSession, datasets: Map[String, Dataset]) {
   def sql(statement: String, asOf: Map[String, String] = Map.empty): DataFrame =
     sqlWithState(statement, asOf)._1
 
+  /** Run a statement and produce a verifiable [[QueryProof]] binding the
+    * statement digest, the pinned input block hashes, and the
+    * order-independent logical hash of the result — signed when a node key
+    * is given (query_types.rs:223-307). Note the proof hashes the FULL
+    * result; pagination happens after proving, like the reference. */
+  def sqlProved(
+      statement: String,
+      asOf: Map[String, String] = Map.empty,
+      nodeKey: Option[java.security.KeyPair] = None
+  ): (DataFrame, QueryProof) = {
+    val (df, state) = sqlWithState(statement, asOf)
+    val bare = QueryProof(
+      queryDigest = QueryProof.queryDigest(statement),
+      inputs = state.inputs,
+      resultHash = graft.ingest.IngestWriter.logicalHash(df)
+    )
+    (df, nodeKey.map(bare.signed).getOrElse(bare))
+  }
+
+  /** Reproduce a proof: re-run the statement against the PINNED block hashes
+    * and compare result hashes. True = the recorded result is what this
+    * dataset state yields today. */
+  def reproduce(statement: String, proof: QueryProof): Boolean = {
+    if (QueryProof.queryDigest(statement) != proof.queryDigest) return false
+    val (df, state) = sqlWithState(statement, asOf = proof.inputs)
+    state.inputs == proof.inputs &&
+    graft.ingest.IngestWriter.logicalHash(df) == proof.resultHash
+  }
+
   /** Last-n service over a dataset (query_service_impl.rs:446-497). */
   def tail(name: String, n: Int): DataFrame = datasets(name).tail(n)
 

@@ -143,6 +143,39 @@ class RestSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("REST adapter: signed query proof attached on request") {
+    import graft.query.QueryProof
+    val ds = mkCityDataset()
+    val qs = new QueryService(spark, Map("cities" -> ds))
+    val key = QueryProof.generateKeyPair()
+    val server = new RestServer(qs, Map("cities" -> ds), nodeKey = Some(key)).start()
+    val client = HttpClient.newHttpClient()
+    try {
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${server.boundPort}/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"query":"SELECT city FROM cities ORDER BY city","proof":true}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 200)
+      val body = resp.body()
+      assert(body.contains(""""proof":{"""))
+      assert(body.contains(""""signature":"""))
+      // extract + verify: pins from state, digest/hash/sig from proof
+      def field(k: String): String =
+        s""""$k":"([^"]+)"""".r.findFirstMatchIn(body).get.group(1)
+      val pin = """"cities":"([0-9a-f]+)"""".r.findFirstMatchIn(body).get.group(1)
+      val proof = QueryProof(
+        queryDigest = field("queryDigest"),
+        inputs = Map("cities" -> pin),
+        resultHash = field("resultHash"),
+        signature = Some(field("signature")),
+        publicKey = Some(field("publicKey")))
+      assert(proof.signatureValid)
+      assert(qs.reproduce("SELECT city FROM cities ORDER BY city", proof))
+    } finally server.stop()
+  }
+
   test("Arrow codec: all scalar types and nulls round-trip exactly") {
     import graft.operators.ArrowCodec
     import org.apache.spark.sql.Row

@@ -102,4 +102,44 @@ class QuerySpec extends SparkSpec {
       .toMap
     assert(left(3L).isEmpty && left.size === 4)
   }
+
+  test("query proofs: signed, reproducible against pinned state, tamper-evident") {
+    import graft.dataset.Dataset
+    import graft.ingest.IngestWriter
+    import graft.operators.MergeStrategy
+    val work = java.nio.file.Files.createTempDirectory("graft-proof-")
+    val ds = Dataset.create(spark, work.resolve("nums"), "nums")
+    IngestWriter.writeBatch(ds,
+      spark.range(10).select(col("id"), (col("id") * 2).as("v")),
+      MergeStrategy.Append(), systemTime = 1000L)
+    val qs = new QueryService(spark, Map("nums" -> Dataset.open(spark, work.resolve("nums"))))
+    val key = QueryProof.generateKeyPair()
+    val stmt = "SELECT id, v FROM nums WHERE id < 5"
+
+    val (df, proof) = qs.sqlProved(stmt, nodeKey = Some(key))
+    assert(df.count() === 5)
+    assert(proof.signatureValid)
+    assert(proof.inputs.keySet === Set("nums"))
+
+    // reproduction against the pinned block hash succeeds
+    assert(qs.reproduce(stmt, proof))
+
+    // ...even after NEW data lands (the pin isolates the proof from growth)
+    IngestWriter.writeBatch(ds,
+      spark.range(10, 20).select(col("id"), (col("id") * 2).as("v")),
+      MergeStrategy.Append(), systemTime = 2000L)
+    val qs2 = new QueryService(spark, Map("nums" -> Dataset.open(spark, work.resolve("nums"))))
+    assert(qs2.reproduce(stmt, proof))
+    // while a fresh un-pinned run sees the new head (different pin)
+    val (_, proof2) = qs2.sqlProved(stmt)
+    assert(proof2.inputs("nums") !== proof.inputs("nums"))
+
+    // tampering with any field breaks the signature
+    assert(!proof.copy(resultHash = "0" * 16).signatureValid)
+    assert(!proof.copy(inputs = Map("nums" -> "deadbeef")).signatureValid)
+    // a different statement fails reproduction outright
+    assert(!qs2.reproduce("SELECT id, v FROM nums", proof))
+    // a lying result hash fails reproduction
+    assert(!qs2.reproduce(stmt, proof.copy(resultHash = "0-0")))
+  }
 }
