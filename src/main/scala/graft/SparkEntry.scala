@@ -620,6 +620,24 @@ object SparkEntry {
         .select(col("qid"), col("rnk"), col("cid"))
         .orderBy(col("qid"), col("rnk"))
     },
+    // ---- IVF ANN (beyond-reference): deterministic k-means training +
+    // cell-probed search. nprobe = k probes every cell, which makes the
+    // pipeline EXACTLY brute force — so the exhaustive oracle checks the
+    // whole train→assign→probe→rank machinery; recall at nprobe < k is
+    // spec-tested (SimilaritySpec).
+    "ann_ivf" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val c = emb.select(col("vec_id").as("cid"), Similarity.quantize(col("embedding")).as("cv"))
+      val q = emb
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), Similarity.quantize(col("embedding")).as("qv"))
+      val cents = Similarity.ivfTrain(c, "cid", "cv", k = 8, iters = 2)
+      Similarity
+        .ivfTopK(q, c, "qid", "qv", "cid", "cv", k = 5, dim = 64, cents, nprobe = 8)
+        .select(col("qid"), col("rnk"), col("cid"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+
     "embed_neardup" -> { (s, dir) =>
       val planes = Similarity.intPlanes(numPlanes = 4, dim = 64, seed = 7L)
       val e = t(s, dir, "embeddings")
@@ -1708,6 +1726,25 @@ object SparkEntry {
          |  SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
          |  FROM scored) WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
     },
+    // Exhaustive oracle: with nprobe = k the IVF search space is the full
+    // corpus, so exact quantized-cosine top-5 is the ground truth.
+    "ann_ivf" ->
+      """WITH q AS (SELECT vec_id AS qid, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT)) AS qv
+        |      FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT)) AS cv
+        |      FROM embeddings),
+        |scored AS (
+        |  SELECT qid, cid,
+        |    CASE WHEN sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE))
+        |            * sqrt(CAST(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)) > 0
+        |         THEN CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)
+        |            / (sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE))
+        |             * sqrt(CAST(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)))
+        |         ELSE 0.0 END AS cos
+        |  FROM q CROSS JOIN c WHERE qid <> cid)
+        |SELECT qid, rnk, cid FROM (
+        |  SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
+        |  FROM scored) WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "embed_neardup" -> {
       val pls = planesLit(graft.operators.Similarity.intPlanes(numPlanes = 4, dim = 64, seed = 7L))
       s"""WITH p AS (SELECT $pls AS pls),

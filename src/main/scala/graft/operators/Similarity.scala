@@ -188,6 +188,128 @@ object Similarity {
     when(nn > 0, intDot(a, b).cast("double") / nn).otherwise(lit(0.0))
   }
 
+  // ------------------------------------------------------------------ IVF
+
+  /**
+   * IVF (inverted-file) coarse quantizer over QUANTIZED vectors: the
+   * classic ANN scale path — partition the corpus into k cells around
+   * k-means centroids, then search only the `nprobe` cells nearest each
+   * query. Candidate work drops from O(|Q|·|C|) to O(|Q|·|C|·nprobe/k).
+   *
+   * Training is deterministic Lloyd's: init = the k lowest-id vectors,
+   * fixed iteration count, centroid updates floored to integers — so the
+   * same corpus trains the same centroids on any engine/run, which is what
+   * lets the full train→assign→probe→rank pipeline be oracle-checked
+   * (with nprobe = k it degenerates to EXACT brute force — the
+   * correctness entry proves the machinery against the exhaustive oracle;
+   * recall at nprobe < k is spec-tested against [[bruteForceTopK]]).
+   *
+   * Centroids are k·dim longs — collected to the driver and baked into the
+   * assign/probe expressions as literals: no ML library, no UDFs, the
+   * whole plan stays in codegen. At 100 TB the corpus-side `ivfCell`
+   * assignment is the one full pass; a real pipeline materializes it
+   * (bucketBy(cell)) so queries only ever shuffle probe-cell candidates.
+   */
+  def ivfTrain(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 2
+  ): Seq[Array[Long]] = {
+    var centroids: Seq[Array[Long]] = corpus
+      .orderBy(col(idCol))
+      .limit(k)
+      .select(vecCol)
+      .collect()
+      .map(_.getSeq[Long](0).toArray)
+      .toSeq
+    for (_ <- 1 to iters) {
+      val sums = corpus
+        .withColumn("__cell", ivfCell(col(vecCol), centroids))
+        .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__pos", "__val")))
+        .groupBy("__cell", "__pos")
+        .agg(sum("__val").as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      centroids = centroids.zipWithIndex.map { case (old, ci) =>
+        byCell.get(ci) match {
+          case None => old // empty cell keeps its centroid
+          case Some(rows) =>
+            val arr = old.clone()
+            rows.foreach { r =>
+              // floor(sum/n): sums are exact bigints far below 2^53, so the
+              // double division floors identically on any engine.
+              arr(r.getInt(1)) = math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong
+            }
+            arr
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Nearest-centroid cell id by squared L2 distance (exact integer
+    * arithmetic; ties break to the lowest cell id via struct ordering). */
+  def ivfCell(vec: Column, centroids: Seq[Array[Long]]): Column =
+    array_min(array(centroidDistances(vec, centroids): _*)).getField("c")
+
+  private def centroidDistances(vec: Column, centroids: Seq[Array[Long]]): Seq[Column] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      val d = c.indices
+        .map { j =>
+          val diff = element_at(vec, j + 1) - lit(c(j))
+          diff * diff
+        }
+        .reduce(_ + _)
+      struct(d.as("d"), lit(i).as("c"))
+    }
+
+  /**
+   * IVF top-k search: corpus assigned to cells once; each query probes its
+   * `nprobe` nearest cells; exact quantized cosine + rank within the probed
+   * candidates. nprobe = number of centroids ⇒ exact brute force.
+   */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      cidCol: String,
+      cvecCol: String,
+      k: Int,
+      dim: Int,
+      centroids: Seq[Array[Long]],
+      nprobe: Int
+  ): DataFrame = {
+    val cb = Dedup
+      .ensureParallelism(corpus)
+      .withColumn("cell", ivfCell(col(cvecCol), centroids))
+      .withColumn("cn2", intDot(col(cvecCol), col(cvecCol)))
+    val probes = slice(
+      array_sort(array(centroidDistances(col(qvecCol), centroids): _*)),
+      1,
+      nprobe
+    )
+    val qb = broadcast(
+      queries
+        .withColumn("cell", explode(transform(probes, p => p.getField("c"))))
+        .withColumn("qn2", intDot(col(qvecCol), col(qvecCol)))
+    )
+    val nn = sqrt(col("qn2").cast("double")) * sqrt(col("cn2").cast("double"))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("cos").desc, col(cidCol))
+    cb.join(qb, Seq("cell"))
+      .filter(col(qidCol) =!= col(cidCol))
+      .withColumn(
+        "cos",
+        when(nn > 0, intDotFixed(col(qvecCol), col(cvecCol), dim).cast("double") / nn)
+          .otherwise(lit(0.0))
+      )
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col(qidCol), col("rnk"), col(cidCol), col("cos"))
+  }
+
   /** Sign-LSH bucket from explicit integer planes over a quantized vector.
     * Same fail-fast dim contract as [[hyperplaneBucket]]. */
   def intPlaneBucket(vec: Column, planes: Seq[Array[Long]]): Column = {

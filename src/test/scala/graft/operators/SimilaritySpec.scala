@@ -69,6 +69,40 @@ class SimilaritySpec extends SparkSpec {
     assert(d.getDouble(1) === 1.0)
   }
 
+  test("IVF: deterministic training, exhaustive probing = brute force, partial probing recalls clusters") {
+    // 3 well-separated clusters of quantized vectors around the axes
+    val vecs = (0 until 30).map { i =>
+      val base = i % 3 match {
+        case 0 => Array(1000L, 0L, 0L)
+        case 1 => Array(0L, 1000L, 0L)
+        case _ => Array(0L, 0L, 1000L)
+      }
+      (i.toLong, base.zipWithIndex.map { case (v, j) => v + ((i * 7 + j * 3) % 50) })
+    }
+    val c = vecs.toDF("cid", "cv")
+    val q = vecs.take(3).map { case (id, v) => (id + 100L, v) }.toDF("qid", "qv")
+
+    // training is deterministic run to run
+    val cents1 = Similarity.ivfTrain(c, "cid", "cv", k = 3, iters = 2)
+    val cents2 = Similarity.ivfTrain(c, "cid", "cv", k = 3, iters = 2)
+    assert(cents1.map(_.toSeq) === cents2.map(_.toSeq))
+
+    // nprobe = k (exhaustive) equals nprobe = 1 top hit for clustered data,
+    // and nprobe = 1 only scans ~1/3 of the corpus per query
+    val exhaustive = Similarity
+      .ivfTopK(q, c, "qid", "qv", "cid", "cv", k = 3, dim = 3, cents1, nprobe = 3)
+      .select("qid", "rnk", "cid").as[(Long, Long, Long)].collect().toSet
+    val probed = Similarity
+      .ivfTopK(q, c, "qid", "qv", "cid", "cv", k = 3, dim = 3, cents1, nprobe = 1)
+      .select("qid", "rnk", "cid").as[(Long, Long, Long)].collect().toSet
+    // each query's own cluster is in one cell after 2 Lloyd rounds on
+    // separated clusters -> single-probe recall is total here
+    assert(probed === exhaustive)
+    assert(exhaustive.size === 9)
+    // top hits stay within the query's cluster (ids ≡ qid mod 3)
+    exhaustive.foreach { case (qid, _, cid) => assert(cid % 3 === (qid - 100) % 3) }
+  }
+
   test("intPlaneBucket: deterministic across calls, fails fast on wrong dim") {
     val planes = Similarity.intPlanes(numPlanes = 4, dim = 3, seed = 5L)
     assert(planes.map(_.toSeq) === Similarity.intPlanes(numPlanes = 4, dim = 3, seed = 5L).map(_.toSeq))
