@@ -41,9 +41,21 @@ final class RestServer(
   def start(): RestServer = {
     server.createContext("/query", (ex: HttpExchange) => handle(ex)(handleQuery))
     server.createContext("/datasets", (ex: HttpExchange) => handle(ex)(handleDatasets))
+    server.createContext("/odata", (ex: HttpExchange) => handle(ex)(handleOData))
+    server.createContext("/graphql", (ex: HttpExchange) => handle(ex)(handleGraphQL))
     server.setExecutor(null)
     server.start()
     this
+  }
+
+  /** GraphQL data surface (adapter/graphql/src/queries/data.rs:26-91):
+    * POST /graphql {"query":"{ dataset(name: \"x\") { tail(limit: 5) } }"}. */
+  private def handleGraphQL(ex: HttpExchange): Response = {
+    if (ex.getRequestMethod != "POST") return json(405, """{"error":"POST required"}""")
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val doc = extractJsonField(body, "query")
+      .getOrElse(return json(400, """{"error":"body must be {\"query\":\"{...}\"}"}"""))
+    json(200, GraphQL.execute(qs, datasets, doc))
   }
 
   def stop(): Unit = server.stop(0)
@@ -104,6 +116,38 @@ final class RestServer(
     Option(ex.getRequestURI.getQuery)
       .flatMap(_.split("&").find(_.startsWith(s"$key=")))
       .map(_.stripPrefix(s"$key="))
+
+  /** URL-decoded query options (OData options carry spaces and quotes). */
+  private def queryOptions(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery)
+      .map(_.split("&").toSeq.flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            Some(
+              java.net.URLDecoder.decode(k, StandardCharsets.UTF_8) ->
+                java.net.URLDecoder.decode(v, StandardCharsets.UTF_8))
+          case _ => None
+        }
+      }.toMap)
+      .getOrElse(Map.empty)
+
+  /** OData v4 read surface (context.rs:71-162): service doc, $metadata,
+    * entity-set queries with $top/$skip/$select/$orderby/$filter. */
+  private def handleOData(ex: HttpExchange): Response = {
+    val path = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
+    path.toSeq match {
+      case Seq("odata") => json(200, OData.serviceDocument(qs, "/odata"))
+      case Seq("odata", "$metadata") =>
+        Response(200, OData.metadataXml(qs).getBytes(StandardCharsets.UTF_8), "application/xml")
+      case Seq("odata", name) =>
+        if (!datasets.contains(name))
+          return json(404, s"""{"error":"unknown entity set $name"}""")
+        val df = OData.entitySet(qs, name, queryOptions(ex))
+        json(200,
+          s"""{"@odata.context":"/odata/$$metadata#$name","value":${Export.jsonAoS(df)}}""")
+      case _ => json(404, """{"error":"not found"}""")
+    }
+  }
 
   private def handleDatasets(ex: HttpExchange): Response = {
     val path = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
