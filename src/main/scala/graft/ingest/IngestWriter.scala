@@ -57,9 +57,27 @@ object IngestWriter {
     val chain = ds.chain
     val vocab = ds.vocabulary
     val prevOffset = chain.lastOffset()
-    val prev = if (prevOffset.isDefined) Some(ds.toDF()) else None
 
-    val merged = merge.merge(prev, batch)
+    // Snapshot/Upsert merges only need the PRIOR STATE, not the full prior
+    // ledger — feed them the content-addressed state cache (O(state) per
+    // ingest instead of O(history); the reference reloads all prior data,
+    // writer.rs:233-272). Other strategies read the ledger as before.
+    val statePk = merge match {
+      case s: MergeStrategy.Snapshot      => Some(s.primaryKey)
+      case u: MergeStrategy.UpsertStream  => Some(u.primaryKey)
+      case _                              => None
+    }
+    val priorState: Option[DataFrame] =
+      if (prevOffset.isEmpty) None
+      else statePk.map(pk => loadPriorState(ds, pk))
+
+    val merged = (merge, priorState) match {
+      case (s: MergeStrategy.Snapshot, st @ Some(_))     => s.mergeState(st, batch)
+      case (u: MergeStrategy.UpsertStream, st @ Some(_)) => u.mergeState(st, batch)
+      case _ =>
+        val prev = if (prevOffset.isDefined) Some(ds.toDF()) else None
+        merge.merge(prev, batch)
+    }
     val stamped = Writer.stampSystemColumns(
       merged,
       new Timestamp(systemTime),
@@ -115,8 +133,66 @@ object IngestWriter {
           sourceState = sourceState
         )
         chain.append(event, systemTime)
+        // Roll the state cache forward incrementally: project(old state ∪ new
+        // slice) — O(state), never O(history). Best-effort: a failure here
+        // only means the next ingest rebuilds from the ledger.
+        statePk.foreach { pk =>
+          try updateStateCache(ds, pk, priorState, written)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
         Some(event)
     }
+  }
+
+  // ---------------------------------------------------------- state cache
+
+  /** Content-addressed state cache: the changelog projection of the dataset
+    * AS OF a head hash, at `stateCache/state-<headHash>`. Purely derived —
+    * a missing/stale entry rebuilds from the ledger; validity is by name
+    * (the head hash), so a crash mid-write at worst leaves an orphan dir
+    * that the next update garbage-collects. */
+  private def stateCachePath(ds: Dataset, headHash: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(ds.chain.root, "stateCache"), s"state-$headHash")
+
+  /** Prior state for a merge: the cache as of the current head when present,
+    * else a fresh projection of the ledger. */
+  private[graft] def loadPriorState(ds: Dataset, pk: Seq[String]): DataFrame = {
+    val cached = ds.chain.head.map(h => stateCachePath(ds, h._2)).filter(ds.chain.fs.exists)
+    cached match {
+      case Some(p) => ds.spark.read.parquet(p.toString)
+      case None    => graft.operators.Changelog.project(ds.toDF(), pk, ds.vocabulary)
+    }
+  }
+
+  private[graft] def stateCacheExists(ds: Dataset): Boolean =
+    ds.chain.head.exists(h => ds.chain.fs.exists(stateCachePath(ds, h._2)))
+
+  private def updateStateCache(
+      ds: Dataset,
+      pk: Seq[String],
+      oldState: Option[DataFrame],
+      newSlice: DataFrame
+  ): Unit = {
+    val vocab = ds.vocabulary
+    val combined = oldState match {
+      case Some(st) =>
+        graft.operators.Changelog.project(
+          st.unionByName(newSlice, allowMissingColumns = true), pk, vocab)
+      case None => graft.operators.Changelog.project(newSlice, pk, vocab)
+    }
+    val fs = ds.chain.fs
+    val head = ds.chain.head.get._2
+    val target = stateCachePath(ds, head)
+    val tmp = new org.apache.hadoop.fs.Path(target.getParent, s".tmp-${java.util.UUID.randomUUID()}")
+    combined.write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.exists(target)) fs.rename(tmp, target) else fs.delete(tmp, true)
+    // GC superseded cache entries (older heads)
+    if (fs.exists(target.getParent))
+      fs.listStatus(target.getParent)
+        .map(_.getPath)
+        .filter(p => p.getName.startsWith("state-") && p.getName != target.getName)
+        .foreach(p => fs.delete(p, true))
   }
 
   /** Ingest a file according to the chain's SetPollingSource declaration:

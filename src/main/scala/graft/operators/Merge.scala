@@ -113,14 +113,18 @@ object MergeStrategy {
     require(primaryKey.nonEmpty, "snapshot merge requires a primary key")
 
     override def merge(prev: Option[DataFrame], incoming: DataFrame): DataFrame =
-      prev match {
+      mergeState(prev.map(Changelog.project(_, primaryKey, vocab)), incoming)
+
+    /** Merge against an ALREADY-PROJECTED prior state (all ledger columns) —
+      * the O(state) path used when a state cache is available, instead of
+      * reprojecting the O(history) ledger (IngestWriter.writeBatch). */
+    def mergeState(priorState: Option[DataFrame], incoming: DataFrame): DataFrame =
+      priorState match {
         case None =>
           withOpFirst(incoming.withColumn(vocab.operationTypeColumn, lit(Op.Append)), vocab)
-        case Some(ledger) =>
+        case Some(state) =>
           val dataCols = incoming.columns.toSeq
-          val oldState = Changelog
-            .project(ledger, primaryKey, vocab)
-            .select(dataCols.filter(ledger.columns.contains).toIndexedSeq.map(col): _*)
+          val oldState = state.select(dataCols.filter(state.columns.contains).toIndexedSeq.map(col): _*)
           CdcDiff.diff(
             old = oldState,
             incoming = incoming,
@@ -160,7 +164,12 @@ object MergeStrategy {
   ) extends MergeStrategy {
     require(primaryKey.nonEmpty, "upsert merge requires a primary key")
 
-    override def merge(prev: Option[DataFrame], incoming: DataFrame): DataFrame = {
+    override def merge(prev: Option[DataFrame], incoming: DataFrame): DataFrame =
+      mergeState(prev.map(Changelog.project(_, primaryKey, vocab)), incoming)
+
+    /** Merge against an already-projected prior state — see
+      * [[Snapshot.mergeState]]. */
+    def mergeState(priorState: Option[DataFrame], incoming: DataFrame): DataFrame = {
       val opCol = vocab.operationTypeColumn
       require(
         incoming.columns.contains(opCol),
@@ -189,16 +198,17 @@ object MergeStrategy {
           .drop("__rank")
         if (dropArrivalColumn) deduped.drop(arrivalName) else deduped
       }
+      mergeDeduped(priorState, lastPerKey)
+    }
 
-      val oldState = prev match {
-        case Some(ledger) =>
-          val dataCols = lastPerKey.columns.filterNot(_ == opCol)
-          Some(
-            Changelog
-              .project(ledger, primaryKey, vocab)
-              .select(dataCols.filter(ledger.columns.contains).toIndexedSeq.map(col): _*)
-          )
-        case None => None
+    private def mergeDeduped(
+        priorState: Option[DataFrame],
+        lastPerKey: DataFrame
+    ): DataFrame = {
+      val opCol = vocab.operationTypeColumn
+      val oldState = priorState.map { state =>
+        val dataCols = lastPerKey.columns.filterNot(_ == opCol)
+        state.select(dataCols.filter(state.columns.contains).toIndexedSeq.map(col): _*)
       }
 
       oldState match {

@@ -311,6 +311,41 @@ class DatasetSpec extends SparkSpec {
     assert(got === Seq(1L, 2147483648L))
   }
 
+  test("state cache: snapshot ingest reuses the projected state and matches the rebuild path") {
+    import graft.operators.MergeStrategy
+    val rounds = Seq(
+      Seq(("kyiv", 2884000), ("seattle", 733000), ("vancouver", 675000)),
+      Seq(("odessa", 1015000), ("seattle", 750000), ("vancouver", 675000)), // kyiv retracted
+      Seq(("odessa", 1015000), ("seattle", 750000)) // vancouver retracted
+    )
+    def ingest(ds: Dataset, r: Int): Unit =
+      IngestWriter.writeBatch(ds, rounds(r).toDF("city", "population"),
+        MergeStrategy.Snapshot(Seq("city")), systemTime = 1000L * (r + 1))
+
+    // dsA: cache active; dsB: cache wiped before every round (always rebuilds)
+    val rootA = java.nio.file.Files.createTempDirectory("graft-scache-a-")
+    val rootB = java.nio.file.Files.createTempDirectory("graft-scache-b-")
+    val dsA = Dataset.create(spark, rootA, "ca")
+    val dsB = Dataset.create(spark, rootB, "cb")
+    for (r <- rounds.indices) {
+      ingest(dsA, r)
+      assert(IngestWriter.stateCacheExists(dsA)) // rolled forward per commit
+      val cacheDir = new org.apache.hadoop.fs.Path(dsB.chain.root, "stateCache")
+      dsB.chain.fs.delete(cacheDir, true)
+      ingest(dsB, r)
+    }
+    val a = dsA.toDF().orderBy("offset").collect().toSeq
+    val b = dsB.toDF().orderBy("offset").collect().toSeq
+    assert(a === b) // cached and rebuilt paths produce identical ledgers
+    // final state from the cache equals a fresh full-ledger projection
+    val cachedState = IngestWriter.loadPriorState(dsA, Seq("city"))
+      .select("city", "population").orderBy("city").collect().toSeq
+    val freshState = graft.operators.Changelog.project(dsA.toDF(), Seq("city"))
+      .select("city", "population").orderBy("city").collect().toSeq
+    assert(cachedState === freshState)
+    assert(cachedState.map(_.getString(0)) === Seq("odessa", "seattle"))
+  }
+
   test("datasets work with a file://-qualified root (Hadoop FileSystem routing)") {
     import graft.operators.MergeStrategy
     val dir = java.nio.file.Files.createTempDirectory("graft-fsuri-")
