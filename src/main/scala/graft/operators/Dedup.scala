@@ -420,6 +420,85 @@ object Dedup {
   }
 
   /**
+   * Connected components by alternating large-star / small-star rounds
+   * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+   * converges in O(log n) rounds regardless of graph diameter, where the
+   * min-label propagation of [[connectedComponents]] needs O(diameter)
+   * rounds. Dedup graphs are near-cliques, so label propagation usually
+   * wins there; use THIS variant when components can be long chains
+   * (entity-resolution edges, citation paths, linked-record graphs).
+   *
+   * Every round is two shuffles (a groupBy per star step) over an edge set
+   * that only shrinks toward the star form; convergence is detected by an
+   * order-independent edge-set checksum, no driver-side edge collection.
+   * Returns (id, comp) with comp = min id of the component, exactly like
+   * [[connectedComponents]].
+   */
+  def connectedComponentsLargeStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val allIds = pairs
+      .select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id")))
+      .distinct()
+      .localCheckpoint()
+    // canonical direction: src > dst
+    var edges = pairs
+      .filter(col("id_a") =!= col("id_b"))
+      .select(
+        greatest(col("id_a"), col("id_b")).as("src"),
+        least(col("id_a"), col("id_b")).as("dst"))
+      .distinct()
+      .localCheckpoint()
+
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(
+        count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("x")
+      ).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var prev = (-1L, -1L)
+    var cur = checksum(edges)
+    var i = 0
+    while (cur != prev && i < maxIter) {
+      // LARGE-STAR: for each node u, link every LARGER neighbor v to
+      // m = min(neighborhood(u) ∪ {u}).
+      val sym = edges
+        .select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(edges.select(col("dst").as("u"), col("src").as("v"))) // symmetric view
+      val minN = sym.groupBy("u").agg(min(least(col("v"), col("u"))).as("m"))
+      val large = sym
+        .join(minN, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst")) // v > u >= m keeps src > dst
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      // SMALL-STAR: for each node u, link every SMALLER-or-self neighbor to
+      // m = min(smaller-neighborhood(u) ∪ {u}).
+      val m2 = large.groupBy("src").agg(min(col("dst")).as("m"))
+      val small = large
+        .join(m2, "src")
+        .select(col("dst").as("u"), col("m"))
+        .unionByName(m2.select(col("src").as("u"), col("m")))
+        .filter(col("u") =!= col("m"))
+        .select(col("u").as("src"), col("m").as("dst"))
+        .distinct()
+        .localCheckpoint()
+      edges = small
+      prev = cur
+      cur = checksum(edges)
+      i += 1
+    }
+    require(cur == prev, s"connectedComponentsLargeStar did not converge in $maxIter rounds")
+    // Fixpoint = stars: every non-root points straight at its component min.
+    val comps = edges.select(col("src").as("id"), col("dst").as("comp"))
+    val roots = allIds
+      .join(comps, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    comps.unionByName(roots)
+  }
+
+  /**
    * Keep one canonical copy per near-dup cluster: docs that are the min id
    * of their component, plus all docs that appear in no pair.
    */

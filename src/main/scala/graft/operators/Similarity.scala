@@ -62,8 +62,23 @@ object Similarity {
           dot(col(qvecCol), col(cvecCol)) / (col("__qn") * col("__cn"))
         ).otherwise(lit(0.0))
       )
+    // Two-level exact top-k. A single window partitioned by qid would gather
+    // EVERY corpus candidate of a query into one task — per-task work grows
+    // with |corpus| and the plan stops scaling out. Level 1 keeps the top-k
+    // per (query, input partition): the global top-k is necessarily a subset
+    // of the union of per-partition top-ks, so level 2 ranks only
+    // k × numPartitions rows per query. Exact, and per-task work is bounded
+    // by the partition size regardless of corpus scale.
+    val w1 = Window
+      .partitionBy(col(qidCol), col("__part"))
+      .orderBy(col("cos").desc, col(cidCol))
+    val pruned = scored
+      .withColumn("__part", spark_partition_id())
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= k)
+      .drop("__r1", "__part")
     val w = Window.partitionBy(col(qidCol)).orderBy(col("cos").desc, col(cidCol))
-    scored
+    pruned
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col(qidCol), col("rnk"), col(cidCol), col("cos"))

@@ -124,4 +124,25 @@ class DedupSpec extends SparkSpec {
     // 1 and 10 are cluster canonicals; 5 is in no pair; the rest are dups
     assert(kept === Set(1L, 5L, 10L))
   }
+
+  test("large-star/small-star CC: long chains converge in O(log n), agrees with label propagation") {
+    // a 200-node chain: diameter 199 — label propagation would need ~200
+    // rounds, the star algorithm a handful
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponentsLargeStar(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size === 200)
+    assert(comps.values.toSet === Set(0L))
+
+    // random-ish graph: both algorithms produce identical components
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    val byStar = Dedup.connectedComponentsLargeStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byProp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byStar === byProp)
+  }
 }
