@@ -631,9 +631,12 @@ object SparkEntry {
       val q = emb
         .filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), Similarity.quantize(col("embedding")).as("qv"))
-      val cents = Similarity.ivfTrain(c, "cid", "cv", k = 8, iters = 2)
+      // k/iters kept small: with nprobe = k the RESULT is training-invariant
+      // (exhaustive), so the entry buys correctness coverage, not recall —
+      // recall quality at nprobe < k is SimilaritySpec's job.
+      val cents = Similarity.ivfTrain(c, "cid", "cv", k = 4, iters = 1)
       Similarity
-        .ivfTopK(q, c, "qid", "qv", "cid", "cv", k = 5, dim = 64, cents, nprobe = 8)
+        .ivfTopK(q, c, "qid", "qv", "cid", "cv", k = 5, dim = 64, cents, nprobe = 4)
         .select(col("qid"), col("rnk"), col("cid"))
         .orderBy(col("qid"), col("rnk"))
     },
