@@ -124,7 +124,7 @@ object MergeStrategy {
           withOpFirst(incoming.withColumn(vocab.operationTypeColumn, lit(Op.Append)), vocab)
         case Some(state) =>
           val dataCols = incoming.columns.toSeq
-          val oldState = state.select(dataCols.filter(state.columns.contains).toIndexedSeq.map(col): _*)
+          val oldState = MergeStrategy.alignToIncoming(state, incoming, dataCols)
           CdcDiff.diff(
             old = oldState,
             incoming = incoming,
@@ -207,8 +207,8 @@ object MergeStrategy {
     ): DataFrame = {
       val opCol = vocab.operationTypeColumn
       val oldState = priorState.map { state =>
-        val dataCols = lastPerKey.columns.filterNot(_ == opCol)
-        state.select(dataCols.filter(state.columns.contains).toIndexedSeq.map(col): _*)
+        val dataCols = lastPerKey.columns.filterNot(_ == opCol).toSeq
+        MergeStrategy.alignToIncoming(state, lastPerKey, dataCols)
       }
 
       oldState match {
@@ -254,6 +254,22 @@ object MergeStrategy {
         else Nil
       et ++ primaryKey.map(col(_).asc) :+ col(vocab.operationTypeColumn).asc
     }
+  }
+
+  /** Project the prior state onto the incoming batch's data columns,
+    * null-filling (with the incoming type) any column the state predates —
+    * so an additive schema evolution flows through the CDC diff as
+    * old-null-vs-new-value corrections instead of failing analysis. */
+  private[operators] def alignToIncoming(
+      state: DataFrame,
+      incoming: DataFrame,
+      dataCols: Seq[String]
+  ): DataFrame = {
+    val present = state.columns.toSet
+    state.select(dataCols.map { c =>
+      if (present.contains(c)) col(c)
+      else lit(null).cast(incoming.schema(c).dataType).as(c)
+    }: _*)
   }
 
   private[operators] def withOpFirst(df: DataFrame, vocab: DatasetVocabulary): DataFrame = {

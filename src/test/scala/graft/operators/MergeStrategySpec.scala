@@ -13,6 +13,26 @@ import graft.model.{DatasetVocabulary, Op}
  * fixtures with `year` as the event-time column.
  */
 class MergeStrategySpec extends SparkSpec {
+
+  test("snapshot merge: additive schema evolution diffs as old-null corrections") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val prevLedger = Seq((0L, graft.model.Op.Append, "a", 1))
+      .toDF("offset", "op", "k", "v")
+    // the new snapshot carries a column the prior state predates
+    val incoming = Seq(("a", 1, "x"), ("b", 2, "y")).toDF("k", "v", "extra")
+    val out = MergeStrategy.Snapshot(Seq("k"))
+      .merge(Some(prevLedger), incoming)
+      .select("op", "k", "v", "extra")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2), Option(r.getString(3))))
+      .toSet
+    assert(out === Set(
+      (graft.model.Op.Append, "b", 2, Some("y")),          // new key
+      (graft.model.Op.CorrectFrom, "a", 1, None),          // old state: extra was null
+      (graft.model.Op.CorrectTo, "a", 1, Some("x"))        // corrected to carry it
+    ))
+  }
   import spark.implicits._
 
   private val vocab = DatasetVocabulary(eventTimeColumn = "year")
