@@ -420,6 +420,35 @@ object Dedup {
   }
 
   /**
+   * Embedding near-dup pairs over a corpus previously materialized with
+   * [[Similarity.materializeLshCorpus]]: both sides of the self-join read
+   * the SAME bucketed table, so the join on `bucket` is storage-partitioned
+   * — the physical plan carries no shuffle exchange at all (asserted by
+   * `PlanSpec`). At 100 TB this is the difference between re-shuffling the
+   * corpus on every dedup run and shuffling it once at ingest.
+   */
+  def embeddingDupsFromTable(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      dim: Int,
+      minCos: Double = 0.95
+  ): DataFrame = {
+    val t = spark.table(table)
+    val a = t.select(col("bucket"), col("id").as("id_a"), col("v").as("va"), col("n2").as("na2"))
+    val b = t.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"), col("n2").as("nb2"))
+    val nn = sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn(
+        "cos",
+        when(nn > 0, Similarity.intDotFixed(col("va"), col("vb"), dim).cast("double") / nn)
+          .otherwise(lit(0.0))
+      )
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /**
    * Connected components by alternating large-star / small-star rounds
    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
    * converges in O(log n) rounds regardless of graph diameter, where the

@@ -203,6 +203,35 @@ object Similarity {
     when(nn > 0, intDot(a, b).cast("double") / nn).otherwise(lit(0.0))
   }
 
+  /**
+   * Materialize a corpus as a bucket-co-located table: each row carries its
+   * sign-LSH bucket and precomputed squared norm, and the table is
+   * `bucketBy(numBuckets, "bucket")` + `sortBy("bucket")` — so self-joins
+   * (near-dup pairing) and repeated query joins on `bucket` become
+   * storage-partitioned joins with ZERO corpus shuffle per run. This is the
+   * 100 TB shape: the corpus shuffles once at write time, never per query;
+   * only the (small) probe side moves at query time.
+   */
+  def materializeLshCorpus(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Seq[Array[Long]],
+      numBuckets: Int,
+      table: String
+  ): Unit =
+    df.select(
+        col(idCol).as("id"),
+        col(vecCol).as("v"),
+        intPlaneBucket(col(vecCol), planes).as("bucket"),
+        intDot(col(vecCol), col(vecCol)).as("n2")
+      )
+      .write
+      .bucketBy(numBuckets, "bucket")
+      .sortBy("bucket")
+      .mode("overwrite")
+      .saveAsTable(table)
+
   // ------------------------------------------------------------------ IVF
 
   /**

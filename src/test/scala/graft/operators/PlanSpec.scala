@@ -58,6 +58,53 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("unused"), "projection pruning failed to drop the unused column")
   }
 
+  test("bucketed corpus self-join is storage-partitioned: ZERO shuffle exchanges") {
+    import graft.operators.{Dedup, Similarity}
+    val planes = Similarity.intPlanes(numPlanes = 3, dim = 4, seed = 11L)
+    val corpus = spark.range(200).select(
+      col("id"),
+      array(col("id") % 7, col("id") % 5, col("id") % 3, lit(1L)).as("v"))
+    Similarity.materializeLshCorpus(corpus, "id", "v", planes, numBuckets = 4,
+      table = "plan_spec_corpus")
+    // Below the broadcast threshold the planner rightly prefers a broadcast
+    // join (and skips bucketing); the at-scale property under test is the
+    // NON-broadcastable case, so disable the threshold for the assertion.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dups = Dedup.embeddingDupsFromTable(spark, "plan_spec_corpus", dim = 4, minCos = 0.99)
+      val plan = formatted(dups)
+      // both scan legs read the bucketed layout and the whole
+      // pair-generation plan runs without a single shuffle
+      assert(!plan.contains("Exchange"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(dups.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS plan_spec_corpus")
+    }
+  }
+
+  test("tail and as-of reads prune slice FILES at the metadata level") {
+    import graft.dataset.Dataset
+    import graft.ingest.IngestWriter
+    val root = java.nio.file.Files.createTempDirectory("graft-prune-")
+    val ds = Dataset.create(spark, root, "prune")
+    for (i <- 0 until 3)
+      IngestWriter.writeBatch(ds,
+        spark.range(i * 10, i * 10 + 10).select(col("id"), (col("id") * 2).as("v")),
+        MergeStrategy.Append(), systemTime = 1000L * (i + 1))
+    val re = Dataset.open(spark, root)
+    assert(re.toDF().inputFiles.length === 3)
+    // tail(5) covers only the last slice -> exactly one file scanned
+    assert(re.tail(5).inputFiles.length === 1)
+    // as-of the first head -> only the first slice file
+    val firstDataHead = re.chain.blocksWithHashes()
+      .collectFirst { case (b, h) if b.event.isInstanceOf[graft.model.MetadataEvent.AddData] => h }
+      .get
+    assert(re.toDF(Some(firstDataHead)).inputFiles.length === 1)
+  }
+
   test("asof join and snapshot diff broadcast/hash where expected") {
     val trades = spark.range(100).select(col("id"), lit("cad").as("cur"),
       (col("id") * 1000).cast("timestamp").as("tt"))
