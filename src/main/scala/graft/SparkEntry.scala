@@ -667,6 +667,21 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // ---- bucketed-corpus variant of embed_neardup: same planes, same
+    // threshold, but the corpus is materialized as a bucketBy table and the
+    // self-join runs storage-partitioned (zero shuffle — PlanSpec pins the
+    // plan; this entry pins the VALUES against the same oracle).
+    "embed_neardup_bucketed" -> { (s, dir) =>
+      val planes = Similarity.intPlanes(numPlanes = 4, dim = 64, seed = 7L)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), Similarity.quantize(col("embedding")).as("v"))
+      Similarity.materializeLshCorpus(e, "id", "v", planes, numBuckets = 8,
+        table = "graft_embed_corpus")
+      graft.operators.Dedup
+        .embeddingDupsFromTable(s, "graft_embed_corpus", dim = 64, minCos = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ---- export sinks + readers round-trip (SURVEY §2.1 #18): dataset →
     // csv + ndjson files → read back through the ingest readers.
     "export_roundtrip" -> { (s, dir) =>
@@ -1379,6 +1394,31 @@ object SparkEntry {
   private def planesLit(planes: Seq[Array[Long]]): String =
     planes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
 
+  /** Shared by embed_neardup and embed_neardup_bucketed: identical planes
+    * and threshold, so the bucketed table execution must hash-match the
+    * same SQL. */
+  private val embedNeardupOracle: String = {
+    val pls = planesLit(graft.operators.Similarity.intPlanes(numPlanes = 4, dim = 64, seed = 7L))
+    s"""WITH p AS (SELECT $pls AS pls),
+       |e AS (SELECT vec_id AS id, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT)) AS v
+       |      FROM embeddings),
+       |wb AS (SELECT id, v, list_sum([CASE WHEN list_dot_product(CAST(v AS DOUBLE[]), CAST(pls[i+1] AS DOUBLE[])) > 0 THEN 1<<i ELSE 0 END for i in range(4)]) AS bucket
+       |       FROM e CROSS JOIN p),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, a.v AS va, b.v AS vb
+       |  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.id < b.id),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    CASE WHEN sqrt(CAST(list_dot_product(CAST(va AS DOUBLE[]), CAST(va AS DOUBLE[])) AS DOUBLE))
+       |            * sqrt(CAST(list_dot_product(CAST(vb AS DOUBLE[]), CAST(vb AS DOUBLE[])) AS DOUBLE)) > 0
+       |         THEN CAST(list_dot_product(CAST(va AS DOUBLE[]), CAST(vb AS DOUBLE[])) AS DOUBLE)
+       |            / (sqrt(CAST(list_dot_product(CAST(va AS DOUBLE[]), CAST(va AS DOUBLE[])) AS DOUBLE))
+       |             * sqrt(CAST(list_dot_product(CAST(vb AS DOUBLE[]), CAST(vb AS DOUBLE[])) AS DOUBLE)))
+       |         ELSE 0.0 END AS cos
+       |  FROM pairs)
+       |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1748,27 +1788,9 @@ object SparkEntry {
         |SELECT qid, rnk, cid FROM (
         |  SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
         |  FROM scored) WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
-    "embed_neardup" -> {
-      val pls = planesLit(graft.operators.Similarity.intPlanes(numPlanes = 4, dim = 64, seed = 7L))
-      s"""WITH p AS (SELECT $pls AS pls),
-         |e AS (SELECT vec_id AS id, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT)) AS v
-         |      FROM embeddings),
-         |wb AS (SELECT id, v, list_sum([CASE WHEN list_dot_product(CAST(v AS DOUBLE[]), CAST(pls[i+1] AS DOUBLE[])) > 0 THEN 1<<i ELSE 0 END for i in range(4)]) AS bucket
-         |       FROM e CROSS JOIN p),
-         |pairs AS (
-         |  SELECT a.id AS id_a, b.id AS id_b, a.v AS va, b.v AS vb
-         |  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.id < b.id),
-         |scored AS (
-         |  SELECT id_a, id_b,
-         |    CASE WHEN sqrt(CAST(list_dot_product(CAST(va AS DOUBLE[]), CAST(va AS DOUBLE[])) AS DOUBLE))
-         |            * sqrt(CAST(list_dot_product(CAST(vb AS DOUBLE[]), CAST(vb AS DOUBLE[])) AS DOUBLE)) > 0
-         |         THEN CAST(list_dot_product(CAST(va AS DOUBLE[]), CAST(vb AS DOUBLE[])) AS DOUBLE)
-         |            / (sqrt(CAST(list_dot_product(CAST(va AS DOUBLE[]), CAST(va AS DOUBLE[])) AS DOUBLE))
-         |             * sqrt(CAST(list_dot_product(CAST(vb AS DOUBLE[]), CAST(vb AS DOUBLE[])) AS DOUBLE)))
-         |         ELSE 0.0 END AS cos
-         |  FROM pairs)
-         |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin
-    },
+    "embed_neardup" -> embedNeardupOracle,
+    // Same values, bucketed execution — the oracle is identical by design.
+    "embed_neardup_bucketed" -> embedNeardupOracle,
     "export_roundtrip" ->
       """SELECT * FROM (
         |  SELECT n_nationkey, n_name, n_regionkey, 'csv' AS src FROM nation
