@@ -219,7 +219,17 @@ object Similarity {
       planes: Seq[Array[Long]],
       numBuckets: Int,
       table: String
-  ): Unit =
+  ): Unit = {
+    val spark = df.sparkSession
+    // A fresh (in-memory) catalog doesn't know about tables a PREVIOUS
+    // session materialized, but their managed locations persist in the
+    // warehouse dir — saveAsTable then fails with LOCATION_ALREADY_EXISTS.
+    // Drop both the catalog entry and any stale location first.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.select(
         col(idCol).as("id"),
         col(vecCol).as("v"),
@@ -231,6 +241,7 @@ object Similarity {
       .sortBy("bucket")
       .mode("overwrite")
       .saveAsTable(table)
+  }
 
   // ------------------------------------------------------------------ IVF
 
