@@ -95,15 +95,15 @@ object IngestWriter {
     slicePath match {
       case None => None // empty merge -> nothing to commit
       case Some((file, physicalHash)) =>
-        // Stats come from re-reading the written file, so they are guaranteed
-        // to describe the slice as persisted (writer.rs:613-712).
+        // Stats + logical hash in one pass over a re-read of the written
+        // file, so they are guaranteed to describe the slice as persisted
+        // (writer.rs:613-712).
         val written = ds.spark.read.parquet(file.toString)
-        val stats = Writer.computeStats(
+        val (stats, logical) = Writer.computeStatsAndHash(
           written,
           chain.watermark().map(new Timestamp(_)),
           vocab
         ).get
-        val logical = logicalHash(written)
 
         // First write declares the schema; a later batch whose written schema
         // differs (e.g. a new column) appends a fresh SetDataSchema — the
@@ -384,10 +384,16 @@ object IngestWriter {
       .map(_.getPath)
       .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
     val result = part.flatMap { p =>
-      // A parquet file with zero rows still gets written; check row count via
-      // footer-backed count (cheap on a single small file).
-      val rows = df.sparkSession.read.parquet(p.toString).count()
-      if (rows == 0) None
+      // A parquet file with zero rows still gets written (footer only, well
+      // under 1 KiB of payload); detect emptiness from the FILE SIZE instead
+      // of a count() scan — one fewer Spark job on every chain commit. The
+      // smallest 1-row snappy file observed is ~1.5 KiB; an empty single
+      // file is ~400-800 bytes of pure footer. The caller's stats pass
+      // (numRecords) is the authoritative check; this is the fast path for
+      // the common identical-snapshot no-op.
+      val isEmpty = fs.getFileStatus(p).getLen < 1024 &&
+        df.sparkSession.read.parquet(p.toString).isEmpty
+      if (isEmpty) None
       else {
         val hash = chain.sha256HexOf(p)
         val target = chain.dataFile(hash)

@@ -102,11 +102,10 @@ object Maintenance {
     }
     var prevOffset: Option[Long] = None
     staged.foreach { case (lo, hi, file, tmpOut) =>
-      // stats + logical hash BEFORE the move — the DataFrame is lazy over
-      // the staged path and would fail after the file relocates
+      // stats + logical hash (one pass) BEFORE the move — the DataFrame is
+      // lazy over the staged path and would fail after the file relocates
       val written = spark.read.parquet(file.toString)
-      val stats = Writer.computeStats(written, None, vocab).get
-      val logical = IngestWriter.logicalHash(written)
+      val (stats, logical) = Writer.computeStatsAndHash(written, None, vocab).get
       val hash = chain.sha256HexOf(file)
       val target = chain.dataFile(hash)
       if (!fs.exists(target)) fs.rename(file, target)

@@ -124,13 +124,29 @@ object Writer {
       df: DataFrame,
       prevWatermark: Option[Timestamp] = None,
       vocab: DatasetVocabulary = DatasetVocabulary.Default
-  ): Option[SliceStats] = {
+  ): Option[SliceStats] = computeStatsAndHash(df, prevWatermark, vocab).map(_._1)
+
+  /**
+   * Slice stats AND the layout-independent logical hash in ONE aggregation
+   * pass — the commit path needs both, and a chain commit is latency-bound
+   * by its job count, so they must not be two scans. The hash is the
+   * XOR-aggregate of per-row xxhash64 over all columns (order- and
+   * partitioning-independent; rows are unique by offset) suffixed with the
+   * row count — same encoding as [[graft.ingest.IngestWriter.logicalHash]].
+   */
+  def computeStatsAndHash(
+      df: DataFrame,
+      prevWatermark: Option[Timestamp] = None,
+      vocab: DatasetVocabulary = DatasetVocabulary.Default
+  ): Option[(SliceStats, String)] = {
     val row = df
+      .withColumn("__h", xxhash64(df.columns.map(col).toSeq: _*))
       .agg(
         min(col(vocab.offsetColumn)).as("o0"),
         max(col(vocab.offsetColumn)).as("o1"),
         count(lit(1)).as("n"),
-        max(col(vocab.eventTimeColumn)).as("wm")
+        max(col(vocab.eventTimeColumn)).as("wm"),
+        expr("bit_xor(__h)").as("x")
       )
       .head()
     if (row.getAs[Long]("n") == 0L) None
@@ -140,7 +156,9 @@ object Writer {
         case (Some(m), Some(p)) => Some(if (m.before(p)) p else m)
         case (m, p)             => m.orElse(p)
       }
-      Some(SliceStats(row.getAs[Long]("o0"), row.getAs[Long]("o1"), row.getAs[Long]("n"), wm))
+      val n = row.getAs[Long]("n")
+      val logical = f"${row.getAs[Long]("x")}%016x-$n%d"
+      Some((SliceStats(row.getAs[Long]("o0"), row.getAs[Long]("o1"), n, wm), logical))
     }
   }
 

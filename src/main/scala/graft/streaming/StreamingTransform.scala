@@ -93,8 +93,8 @@ object StreamingTransform {
     val newData = IngestWriter.writeSliceFile(output.chain, withOffsets).map {
       case (file, physicalHash) =>
         val written = output.spark.read.parquet(file.toString)
-        val stats = Writer
-          .computeStats(written, output.chain.watermark().map(new Timestamp(_)), vocab)
+        val (stats, logical) = Writer
+          .computeStatsAndHash(written, output.chain.watermark().map(new Timestamp(_)), vocab)
           .get
         if (output.chain.schemaDdl().isEmpty)
           output.chain.append(SetDataSchema(written.schema.toDDL), systemTime)
@@ -104,7 +104,7 @@ object StreamingTransform {
           offsetEnd = stats.offsetEnd,
           numRecords = stats.numRecords,
           physicalHash = physicalHash,
-          logicalHash = IngestWriter.logicalHash(written),
+          logicalHash = logical,
           newWatermark = stats.newWatermark.map(_.getTime)
         )
     }

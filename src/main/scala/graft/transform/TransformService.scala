@@ -139,8 +139,8 @@ object TransformService {
     val newData = IngestWriter.writeSliceFile(output.chain, withOffsets).map {
       case (file, physicalHash) =>
         val written = spark.read.parquet(file.toString)
-        val stats = Writer
-          .computeStats(written, output.chain.watermark().map(new Timestamp(_)), vocab)
+        val (stats, logical) = Writer
+          .computeStatsAndHash(written, output.chain.watermark().map(new Timestamp(_)), vocab)
           .get
         if (output.chain.schemaDdl().isEmpty)
           output.chain.append(SetDataSchema(written.schema.toDDL), systemTime)
@@ -150,7 +150,7 @@ object TransformService {
           offsetEnd = stats.offsetEnd,
           numRecords = stats.numRecords,
           physicalHash = physicalHash,
-          logicalHash = IngestWriter.logicalHash(written),
+          logicalHash = logical,
           newWatermark = outWm
         )
     }
