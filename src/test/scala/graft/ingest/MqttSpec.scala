@@ -154,10 +154,10 @@ class MqttSpec extends SparkSpec {
     t.setDaemon(true); t.start()
     try {
       val poll1 = Mqtt.drain("127.0.0.1", server.getLocalPort, Seq("t"),
-        clientId = "graft-resume", idleTimeoutMs = 1500)
+        clientId = "graft-resume", idleTimeoutMs = 3000)
       assert(poll1.map(m => new String(m.payload, UTF_8)) === Seq("""{"i":1}""", """{"i":2}"""))
       val poll2 = Mqtt.drain("127.0.0.1", server.getLocalPort, Seq("t"),
-        clientId = "graft-resume", idleTimeoutMs = 1500)
+        clientId = "graft-resume", idleTimeoutMs = 3000)
       // The resumed session sees ONLY what was published between polls —
       // nothing lost, nothing redelivered.
       assert(poll2.map(m => new String(m.payload, UTF_8)) === Seq("""{"i":3}""", """{"i":4}"""))
