@@ -366,15 +366,21 @@ object IngestWriter {
    * returns the final path + physical hash, or None for an empty input.
    * Physical hash = SHA-256 of the file bytes, streamed through the chain's
    * Hadoop FileSystem — fine to compute driver-side because slices are
-   * size-bounded. Staging happens INSIDE the data dir so the final move is a
-   * same-filesystem rename (atomic on HDFS/posix; no cross-store copy).
+   * size-bounded. Staging happens in a SIBLING `staging/` dir (same
+   * filesystem, so the final move is a rename — atomic on HDFS/posix, no
+   * cross-store copy) and NEVER inside `data/`: the data dir is also a
+   * Structured Streaming file source (StreamingOps.datasetStream), and a
+   * consumer listing it mid-write must only ever see final
+   * content-addressed files, not transient part files it would double-read.
    */
   private[graft] def writeSliceFile(
       chain: MetadataChain,
       df: DataFrame
   ): Option[(org.apache.hadoop.fs.Path, String)] = {
     val fs = chain.fs
-    val tmp = new org.apache.hadoop.fs.Path(chain.dataDir, s"tmp-${java.util.UUID.randomUUID()}")
+    val tmp = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(chain.root, "staging"),
+      s"tmp-${java.util.UUID.randomUUID()}")
     df.coalesce(1)
       .write
       .mode("overwrite")

@@ -64,13 +64,15 @@ object Maintenance {
     val effectiveMax = math.min(maxRecords, recordsWithinBytes)
     val bounds = (0L to last by effectiveMax).map(lo => (lo, math.min(lo + effectiveMax - 1, last)))
 
-    // Stage new slice parquet into a temp area INSIDE the data dir (same
+    // Stage new slice parquet into the sibling staging area (same
     // filesystem, so the final move is a rename; a failure midway leaves the
-    // original dataset intact), then rewrite the chain.
+    // original dataset intact, and streaming consumers of data/ never see
+    // transient files), then rewrite the chain.
     val staged = bounds.map { case (lo, hi) =>
       val part = all.filter(col(vocab.offsetColumn) >= lo && col(vocab.offsetColumn) <= hi)
       val tmpOut = new org.apache.hadoop.fs.Path(
-        chain.dataDir, s"tmp-compact-${java.util.UUID.randomUUID()}")
+        new org.apache.hadoop.fs.Path(chain.root, "staging"),
+        s"tmp-compact-${java.util.UUID.randomUUID()}")
       part
         .orderBy(col(vocab.offsetColumn))
         .coalesce(1)

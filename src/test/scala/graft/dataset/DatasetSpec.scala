@@ -346,6 +346,23 @@ class DatasetSpec extends SparkSpec {
     assert(cachedState.map(_.getString(0)) === Seq("odessa", "seattle"))
   }
 
+  test("data dir only ever holds final content-addressed slices (staging is a sibling)") {
+    import graft.operators.MergeStrategy
+    val root = java.nio.file.Files.createTempDirectory("graft-stagedir-")
+    val ds = Dataset.create(spark, root, "staged")
+    for (i <- 0 until 3)
+      IngestWriter.writeBatch(ds, Seq((i.toLong, s"v$i")).toDF("id", "v"),
+        MergeStrategy.Append(), systemTime = 1000L * (i + 1))
+    graft.maintenance.Maintenance.compact(Dataset.open(spark, root), maxRecords = 2)
+    val re = Dataset.open(spark, root)
+    val expected = re.chain.slices().map(_.physicalHash).toSet
+    val onDisk = re.chain.fs.listStatus(re.chain.dataDir)
+      .map(_.getPath.getName).filterNot(_.endsWith(".crc")).toSet
+    // nothing but the committed content-addressed slice files — a streaming
+    // consumer of data/ can never observe a transient staging artifact
+    assert(onDisk === expected)
+  }
+
   test("datasets work with a file://-qualified root (Hadoop FileSystem routing)") {
     import graft.operators.MergeStrategy
     val dir = java.nio.file.Files.createTempDirectory("graft-fsuri-")
