@@ -441,6 +441,35 @@ object SparkEntry {
       )
     },
 
+    // ---- DSv2 catalog (kamu_catalog.rs / kamu_table.rs:161-295): datasets
+    // visible to plain `spark.sql` as `<cat>.default.<name>`, with
+    // `VERSION AS OF '<block-hash>'` time travel = as-of pinning. Two
+    // commits; read both the head and the round-1 pin through the catalog.
+    "catalog_sql" -> { (s, dir) =>
+      val (ws, headAfter1) = Fixtures.cached(s"catalog_sql|$dir") {
+        val ws = java.nio.file.Files.createTempDirectory("graft-cat-")
+        val nation = t(s, dir, "nation").select(
+          col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+        val ds = Dataset.create(s, ws.resolve("nation_ds"), "nation_ds")
+        IngestWriter.writeBatch(ds, nation.filter(col("n_nationkey") < 12),
+          MergeStrategy.Append(), java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+        val h1 = ds.chain.head.get._2
+        IngestWriter.writeBatch(ds, nation.filter(col("n_nationkey") >= 12),
+          MergeStrategy.Append(), java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli)
+        (ws, h1)
+      }
+      // catalog name is derived from the workspace so re-registration across
+      // sf dirs never aliases a cached catalog instance to a stale root
+      val cat = s"graftcat_${Integer.toHexString(ws.toString.hashCode)}"
+      graft.query.GraftCatalog.register(s, cat, ws.toUri.toString)
+      s.sql(
+        s"""SELECT 'head' AS snap, n_nationkey, n_name FROM $cat.default.nation_ds
+           |UNION ALL
+           |SELECT 'pinned' AS snap, n_nationkey, n_name
+           |FROM $cat.default.nation_ds VERSION AS OF '$headAfter1'""".stripMargin
+      ).orderBy(col("snap"), col("n_nationkey"))
+    },
+
     // ---- maintenance (SURVEY §2.5): compaction must re-slice without
     // changing a single row — same oracle as the uncompacted dataset.
     "compaction" -> { (s, dir) =>
@@ -1636,6 +1665,15 @@ object SparkEntry {
     "query_service_sql" ->
       """SELECT * FROM (VALUES ('kyiv', 2884000), ('seattle', 733000)) AS t(city, population)
         |ORDER BY city""".stripMargin,
+    // Head sees both commits (all nations); the VERSION AS OF pin sees only
+    // commit 1 (n_nationkey < 12).
+    "catalog_sql" ->
+      """SELECT * FROM (
+        |  SELECT 'head' AS snap, CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation
+        |  UNION ALL
+        |  SELECT 'pinned' AS snap, CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+        |  FROM nation WHERE n_nationkey < 12
+        |) ORDER BY snap, n_nationkey""".stripMargin,
     // Compaction preserves every row exactly — same oracle as the
     // uncompacted multi-slice dataset.
     "compaction" ->

@@ -16,8 +16,16 @@ import graft.dataset.Dataset
  *  2. pin every referenced dataset to a block hash (:59-130) so the query is
  *     reproducible — an explicit pin via `asOf`, else the current head,
  *  3. register each pinned dataset as a temp view and run `spark.sql`.
+ *
+ * When `catalog` is set, step 3 routes the pinned reads through the DSv2
+ * [[GraftCatalog]] (`spark.read.option("versionAsOf", hash).table(...)`)
+ * instead of building DataFrames directly — same pinning semantics, but the
+ * scan resolves through the catalog path any external Spark consumer uses.
  */
-final class QueryService(spark: SparkSession, datasets: Map[String, Dataset]) {
+final class QueryService(
+    spark: SparkSession,
+    datasets: Map[String, Dataset],
+    catalog: Option[String] = None) {
 
   /** The pinned state a query ran against: dataset → block hash. */
   final case class QueryState(inputs: Map[String, String])
@@ -59,7 +67,12 @@ final class QueryService(spark: SparkSession, datasets: Map[String, Dataset]) {
       val ds = datasets(name)
       val df = lastRecords match {
         case Some(n) => ds.tail(n.toInt, Some(hash))
-        case None    => ds.toDF(Some(hash))
+        case None =>
+          catalog match {
+            case Some(cat) =>
+              spark.read.option("versionAsOf", hash).table(s"$cat.default.$name")
+            case None => ds.toDF(Some(hash))
+          }
       }
       df.createOrReplaceTempView(name)
     }
@@ -134,4 +147,27 @@ final class QueryService(spark: SparkSession, datasets: Map[String, Dataset]) {
     df.offset(skip.toInt).limit(limit)
 
   def knownDatasets: Seq[String] = datasets.keys.toSeq.sorted
+}
+
+object QueryService {
+
+  /** Open every dataset under a workspace directory and serve queries
+    * through a registered DSv2 [[GraftCatalog]] — dataset name = directory
+    * name, matching the catalog's `default` namespace layout. */
+  def viaCatalog(spark: SparkSession, catalogName: String, rootUri: String): QueryService = {
+    GraftCatalog.register(spark, catalogName, rootUri)
+    val root = new org.apache.hadoop.fs.Path(rootUri)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(hconf)
+    val datasets =
+      if (!fs.exists(root)) Map.empty[String, Dataset]
+      else
+        fs.listStatus(root)
+          .filter(_.isDirectory)
+          .map(_.getPath)
+          .filter(p => graft.chain.MetadataChain.exists(p, hconf))
+          .map(p => p.getName -> Dataset.open(spark, p.toString))
+          .toMap
+    new QueryService(spark, datasets, Some(catalogName))
+  }
 }
