@@ -911,19 +911,56 @@ object SparkEntry {
     },
 
     // ---- multimodal plumbing (beyond-reference): binary media columns with
-    // size/frame-count/sample-estimate over deterministic stubs — the
-    // decode step is stubbed, the distributed shape is real.
+    // size / synthetic-frame-count / sample-estimate — codegen'd expressions
+    // over payloads that have no JVM decoder (text-as-bytes here).
     "multimodal_meta" -> { (s, dir) =>
       val m = t(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
       m.select(
         col("doc_id"),
         graft.operators.Multimodal.mediaSize(col("content")).as("nbytes"),
-        size(graft.operators.Multimodal.frameSampleStub(col("content"), 4, 16))
+        size(graft.operators.Multimodal.frameSlices(col("content"), 4, 16))
           .cast("bigint").as("n_frames"),
-        graft.operators.Multimodal.audioStatsStub(col("content"))
-          .getField("est_samples").as("est_samples")
+        graft.operators.Multimodal.audioSampleEstimate(col("content")).as("est_samples")
       ).orderBy(col("doc_id"))
+    },
+
+    // ---- REAL multimodal decode (javax.imageio + javax.sound): generated
+    // PNGs with analytically-known dHash (horizontal ramp → every left<right
+    // comparison true → hash -1; constant/vertical ramp → 0) and WAV-PCM
+    // with analytically-known duration and RMS (square wave at 1/4 full
+    // scale → rms_q 250). The oracle is that closed-form ground truth —
+    // independent of the decoder implementation.
+    "multimodal_decode" -> { (s, dir) =>
+      import graft.operators.MediaCodec
+      def ramp(w: Int, h: Int, vertical: Boolean): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        for (y <- 0 until h; x <- 0 until w) {
+          val v = if (vertical) y * 255 / (h - 1) else x * 255 / (w - 1)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        MediaCodec.pngBytes(img)
+      }
+      def flat(w: Int, h: Int): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, 0x808080)
+        MediaCodec.pngBytes(img)
+      }
+      val square = MediaCodec.wavBytes(
+        Array.tabulate[Short](4000)(i => if (i % 2 == 0) 8192 else -8192), 8000)
+      val silence = MediaCodec.wavBytes(Array.fill[Short](2000)(0), 8000)
+      val rows = Seq(
+        (1L, "image/png", ramp(32, 16, vertical = false)),
+        (2L, "image/png", flat(8, 8)),
+        (3L, "image/png", ramp(16, 32, vertical = true)),
+        (4L, "audio/wav", square),
+        (5L, "audio/wav", silence)
+      )
+      import s.implicits._
+      val df = rows.toDF("id", "kind", "content").repartition(2)
+      graft.operators.Multimodal
+        .decodeMediaMeta(df, "id", "kind", "content")
+        .orderBy(col("id"))
     },
 
     // ---- stream-stream interval join (SURVEY §2.4 #46), run in batch mode
@@ -1944,6 +1981,18 @@ object SparkEntry {
         |  CAST(len(list_filter([1 + i*greatest(nbytes//4, 1) for i in range(4)], s -> s <= nbytes)) AS BIGINT) AS n_frames,
         |  CAST(nbytes * 4 AS BIGINT) AS est_samples
         |FROM m ORDER BY doc_id""".stripMargin,
+    // Closed-form expected decode results (see the entry's comment): the
+    // fixtures are constructed so width/height/channels/dhash/duration/rms
+    // are analytically known, not computed by the decoder under test.
+    "multimodal_decode" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'image/png', 32, 16, 3, CAST(-1 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'image/png', 8, 8, 1, CAST(0 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+        |  (CAST(3 AS BIGINT), 'image/png', 16, 32, 3, CAST(0 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+        |  (CAST(4 AS BIGINT), 'audio/wav', NULL, NULL, 1, CAST(NULL AS BIGINT), CAST(500 AS BIGINT), CAST(250 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), 'audio/wav', NULL, NULL, 1, CAST(NULL AS BIGINT), CAST(250 AS BIGINT), CAST(0 AS BIGINT))
+        |) AS t(id, media_type, width, height, channels, dhash, duration_ms, rms_q)
+        |ORDER BY id""".stripMargin,
     "interval_join" ->
       """SELECT o.o_orderkey, l.l_linenumber, l.l_shipdate
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey

@@ -1,0 +1,161 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+/**
+ * JVM-only media codecs for multimodal columns — no external libraries:
+ * `javax.imageio` (PNG/JPEG/BMP/GIF) and `javax.sound.sampled` (WAV PCM).
+ * These are the per-row decode calls [[Multimodal]] runs inside its
+ * partition-parallel harness; everything here is deterministic so decoded
+ * metadata can be hash-compared against an oracle.
+ */
+object MediaCodec {
+
+  final case class ImageMeta(
+      width: Int,
+      height: Int,
+      channels: Int,
+      dhash64: Long,
+      grayFeatures: Array[Float])
+
+  final case class AudioMeta(
+      sampleRate: Int,
+      channels: Int,
+      frames: Long,
+      durationMs: Long,
+      rmsQ: Long) // round(rms * 1000), rms normalized to [0,1] of full scale
+
+  // ------------------------------------------------------------- image side
+
+  /** Decode an image and derive: dimensions, channel count, a dHash-style
+    * 64-bit perceptual fingerprint (9x8 grayscale grid, bit set where the
+    * right cell is brighter than the left), and an 8x8 mean-gray feature
+    * vector (values in [0,1]) usable as a crude embedding. */
+  def decodeImage(bytes: Array[Byte]): ImageMeta = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image payload")
+    val grid9 = grayGrid(img, 9, 8)
+    var h = 0L
+    var bit = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (grid9(y)(x + 1) > grid9(y)(x)) h |= (1L << bit)
+        bit += 1
+        x += 1
+      }
+      y += 1
+    }
+    val grid8 = grayGrid(img, 8, 8)
+    val feats = new Array[Float](64)
+    var i = 0
+    while (i < 64) {
+      feats(i) = (grid8(i / 8)(i % 8) / 255.0).toFloat
+      i += 1
+    }
+    ImageMeta(img.getWidth, img.getHeight, img.getColorModel.getNumComponents, h, feats)
+  }
+
+  /** Area-averaged grayscale downscale to a `cols` x `rows` grid — exact
+    * integer pixel partitions, so the result is identical on every JVM. */
+  private def grayGrid(img: BufferedImage, cols: Int, rows: Int): Array[Array[Double]] = {
+    val (w, hgt) = (img.getWidth, img.getHeight)
+    val out = Array.ofDim[Double](rows, cols)
+    var cy = 0
+    while (cy < rows) {
+      val y0 = cy * hgt / rows
+      val y1 = math.max((cy + 1) * hgt / rows, y0 + 1)
+      var cx = 0
+      while (cx < cols) {
+        val x0 = cx * w / cols
+        val x1 = math.max((cx + 1) * w / cols, x0 + 1)
+        var sum = 0L
+        var n = 0
+        var y = y0
+        while (y < math.min(y1, hgt)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            sum += (r * 299 + g * 587 + b * 114) / 1000
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        out(cy)(cx) = if (n == 0) 0.0 else sum.toDouble / n
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
+
+  /** Encode a BufferedImage as PNG bytes (fixture/ingest helper). */
+  def pngBytes(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  // ------------------------------------------------------------- audio side
+
+  /** Decode a PCM WAV: format, frame count, duration, and RMS energy over
+    * all samples normalized to full scale (quantized to 1/1000 so the value
+    * is integral and portable for hash-compare). */
+  def decodeWavPcm(bytes: Array[Byte]): AudioMeta = {
+    val in: AudioInputStream = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      require(
+        fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED && fmt.getSampleSizeInBits == 16,
+        s"only 16-bit signed PCM supported, got $fmt"
+      )
+      val frames = in.getFrameLength
+      val data = in.readAllBytes()
+      var sumSq = 0.0
+      var n = 0
+      var i = 0
+      while (i + 1 < data.length) {
+        val s =
+          if (fmt.isBigEndian) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+          else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+        sumSq += s.toDouble * s.toDouble
+        n += 1
+        i += 2
+      }
+      val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n) / 32768.0
+      AudioMeta(
+        sampleRate = fmt.getSampleRate.toInt,
+        channels = fmt.getChannels,
+        frames = frames,
+        durationMs = frames * 1000L / fmt.getSampleRate.toInt,
+        rmsQ = math.round(rms * 1000.0)
+      )
+    } finally in.close()
+  }
+
+  /** Encode 16-bit signed mono PCM samples as WAV bytes. */
+  def wavBytes(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val raw = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      raw(2 * i) = (samples(i) & 0xff).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(raw), fmt, samples.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+}

@@ -6,16 +6,16 @@ import org.apache.spark.sql.types._
 
 /**
  * Multimodal columns for training-data pipelines: images / audio / video as
- * opaque `binary` columns plus a typed metadata struct. The Spark-side
- * plumbing — schema convention, partition-parallel batch iteration, stable
- * output shapes — is real and tested; the actual media decoding is STUBBED
- * (no image/audio codecs in this environment) behind deterministic fakes
- * that preserve every property the distributed plan cares about: output
- * cardinality, schema, and a content-derived value.
+ * opaque `binary` columns plus a typed metadata struct.
  *
- * On a real cluster the stubs swap for a codec call inside the same
- * `mapPartitions` loop (one JVM-side decode per row, batched per partition,
- * no driver involvement) — the plan shape does not change.
+ * The decode step is REAL for the formats the JDK ships codecs for —
+ * PNG/JPEG/BMP/GIF via `javax.imageio` and 16-bit PCM WAV via
+ * `javax.sound.sampled` (see [[MediaCodec]]) — run per row inside the
+ * partition-parallel harness below: one JVM-side decode per row, batched per
+ * partition, no driver involvement. Video keyframe extraction stays a
+ * deterministic byte-slicer ([[frameSlices]]) because the JDK has no video
+ * codec; its plumbing (schema, cardinality, partitioning) is identical to
+ * what a real decoder would use.
  */
 object Multimodal {
 
@@ -48,27 +48,26 @@ object Multimodal {
   def mediaSize(content: Column): Column = length(content).cast(LongType)
 
   /**
-   * STUB image feature extractor: binary content → float feature vector of
-   * `dim` elements. Deterministic fake features derived from content bytes —
-   * real codec/decoder drops in at the marked line. Runs as one
-   * partition-parallel pass (`mapPartitions` semantics via the expression
-   * pipeline; no UDF object churn per row).
+   * Synthetic feature vector for payloads that have NO JVM decoder (e.g.
+   * text-as-bytes, proprietary formats): `dim` deterministic hash-derived
+   * floats in [-1, 1]. Fully codegen'd — stays inside whole-stage codegen,
+   * unlike a decode that must leave the expression pipeline. For decodable
+   * images use [[decodeImageFeatures]] instead.
    */
-  def imageFeaturesStub(content: Column, dim: Int): Column = {
-    // STUB: replace `xxhash64(content, lit(i))`-derived values with a real
-    // decode + embed call when codecs are available.
+  def syntheticContentFeatures(content: Column, dim: Int): Column =
     transform(
       sequence(lit(0), lit(dim - 1)),
       i => (pmod(xxhash64(content, i), lit(1000)).cast(DoubleType) / 500.0) - 1.0
     )
-  }
 
   /**
-   * STUB frame sampler: "video" binary → `n` fixed-size byte slices taken at
-   * even offsets (stand-in for keyframe extraction; output cardinality and
-   * schema match the real operator: array<binary> of length <= n).
+   * Deterministic keyframe slicer: "video" binary → up to `n` fixed-size
+   * byte slices at even offsets. The JDK ships no video codec, so this is
+   * the honest stand-in: output cardinality and schema (array<binary>,
+   * length <= n) match a real keyframe extractor, and the real decoder
+   * replaces only the slicing expression.
    */
-  def frameSampleStub(content: Column, n: Int, frameBytes: Int = 64): Column =
+  def frameSlices(content: Column, n: Int, frameBytes: Int = 64): Column =
     filter(
       transform(
         sequence(lit(0), lit(n - 1)),
@@ -84,22 +83,88 @@ object Multimodal {
       f => f.isNotNull
     )
 
-  /**
-   * STUB audio feature: binary → (sample estimate, rms-like energy proxy).
-   * Deterministic from content; same shape as a real loudness extractor.
-   */
-  def audioStatsStub(content: Column): Column =
-    struct(
-      (length(content).cast(LongType) * 4).as("est_samples"),
-      (pmod(xxhash64(content), lit(10000)).cast(DoubleType) / 10000.0).as("energy")
-    )
+  /** Sample-count estimate from payload size (for un-decoded audio). */
+  def audioSampleEstimate(content: Column): Column =
+    (length(content).cast(LongType) * 4)
+
+  /** Output schema of [[decodeMediaMeta]]. */
+  val DecodedMetaType: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("media_type", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("dhash", LongType),
+    StructField("duration_ms", LongType),
+    StructField("rms_q", LongType)
+  ))
 
   /**
-   * Partition-parallel media batch processor: the `mapPartitions` harness a
-   * real decoder plugs into. `process` sees one partition's rows as a lazy
-   * iterator (constant memory) and returns one output row per input row.
-   * This is the Scala equivalent of the reference-north-star `mapInPandas`
-   * batch shape.
+   * REAL media decode over a binary column: images (PNG/JPEG/BMP/GIF) get
+   * width/height/channels and a dHash perceptual fingerprint; WAV-PCM audio
+   * gets channels, duration and quantized RMS energy. One output row per
+   * input row; runs partition-parallel with constant memory (one payload
+   * decoded at a time per task).
+   *
+   * `kindCol` carries a MIME-ish hint (`image/ * ` or `audio/ * `); rows
+   * whose payload fails to decode surface null metadata rather than failing
+   * the job — at 100 TB a corrupt member must not kill the pipeline.
+   */
+  def decodeMediaMeta(
+      df: DataFrame,
+      idCol: String,
+      kindCol: String,
+      contentCol: String
+  ): DataFrame = {
+    val in = df.select(
+      col(idCol).cast(LongType),
+      col(kindCol).cast(StringType),
+      col(contentCol).cast(BinaryType)
+    )
+    processMediaPartitions(in, contentCol, DecodedMetaType) { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val kind = r.getString(1)
+        val bytes = r.getAs[Array[Byte]](2)
+        try {
+          if (kind.startsWith("image/")) {
+            val m = MediaCodec.decodeImage(bytes)
+            Row(id, kind, m.width, m.height, m.channels, m.dhash64, null, null)
+          } else if (kind.startsWith("audio/")) {
+            val m = MediaCodec.decodeWavPcm(bytes)
+            Row(id, kind, null, null, m.channels, null, m.durationMs, m.rmsQ)
+          } else Row(id, kind, null, null, null, null, null, null)
+        } catch {
+          case _: Exception => Row(id, kind, null, null, null, null, null, null)
+        }
+      }
+    }
+  }
+
+  /** REAL image feature extraction: decode + 8x8 mean-gray grid → 64-dim
+    * float vector in [0,1], a drop-in embedding column for the ANN/near-dup
+    * operators ([[Similarity]]). Undecodable rows are dropped. */
+  def decodeImageFeatures(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType), col(contentCol).cast(BinaryType))
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("features", ArrayType(FloatType))
+    ))
+    processMediaPartitions(in, contentCol, schema) { rows =>
+      rows.flatMap { r =>
+        try {
+          val m = MediaCodec.decodeImage(r.getAs[Array[Byte]](1))
+          Some(Row(r.getLong(0), m.grayFeatures.toSeq))
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
+  /**
+   * Partition-parallel media batch processor: the `mapPartitions` harness
+   * every decoder above plugs into. `process` sees one partition's rows as a
+   * lazy iterator (constant memory). This is the Scala equivalent of the
+   * `mapInPandas` batch shape a PySpark pipeline would use.
    */
   def processMediaPartitions(
       df: DataFrame,

@@ -1,0 +1,81 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Real JDK media decode: javax.imageio images + javax.sound WAV-PCM,
+  * checked against closed-form ground truth (fixtures constructed so every
+  * decoded property is analytically known). */
+class MediaCodecSpec extends SparkSpec {
+
+  private def rampPng(w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = x * 255 / (w - 1)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    MediaCodec.pngBytes(img)
+  }
+
+  test("image decode: dimensions, channels, analytic dHash") {
+    val m = MediaCodec.decodeImage(rampPng(32, 16))
+    assert(m.width === 32 && m.height === 16 && m.channels === 3)
+    // horizontal ramp: every left<right cell comparison is true -> all 64 bits
+    assert(m.dhash64 === -1L)
+    // 8x8 gray features monotonically increase along each row
+    val row0 = m.grayFeatures.slice(0, 8)
+    assert(row0.zip(row0.tail).forall { case (a, b) => a < b })
+
+    val flat = new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 8; x <- 0 until 8) flat.setRGB(x, y, 0x808080)
+    val fm = MediaCodec.decodeImage(MediaCodec.pngBytes(flat))
+    assert(fm.channels === 1 && fm.dhash64 === 0L)
+  }
+
+  test("dHash is robust to rescaling (perceptual, not exact)") {
+    val small = MediaCodec.decodeImage(rampPng(32, 16))
+    val big = MediaCodec.decodeImage(rampPng(128, 64))
+    assert(small.dhash64 === big.dhash64)
+  }
+
+  test("wav decode: duration and RMS from PCM") {
+    val square = MediaCodec.wavBytes(
+      Array.tabulate[Short](4000)(i => if (i % 2 == 0) 8192 else -8192), 8000)
+    val m = MediaCodec.decodeWavPcm(square)
+    assert(m.sampleRate === 8000 && m.channels === 1 && m.frames === 4000L)
+    assert(m.durationMs === 500L)
+    assert(m.rmsQ === 250L) // |8192|/32768 = 0.25 exactly
+
+    val silence = MediaCodec.decodeWavPcm(MediaCodec.wavBytes(Array.fill[Short](2000)(0), 8000))
+    assert(m.sampleRate === 8000 && silence.durationMs === 250L && silence.rmsQ === 0L)
+  }
+
+  test("decodeMediaMeta runs partition-parallel and survives corrupt payloads") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "image/png", rampPng(16, 16)),
+      (2L, "audio/wav", MediaCodec.wavBytes(Array.fill[Short](800)(0), 8000)),
+      (3L, "image/png", "not an image".getBytes), // corrupt: must not kill the job
+      (4L, "application/octet-stream", Array[Byte](1, 2, 3))
+    ).toDF("id", "kind", "content").repartition(3)
+    val out = Multimodal.decodeMediaMeta(df, "id", "kind", "content").orderBy("id").collect()
+    assert(out.length === 4)
+    assert(out(0).getInt(2) === 16 && out(0).getInt(3) === 16)
+    assert(out(1).getLong(6) === 100L)
+    assert(out(2).isNullAt(2) && out(3).isNullAt(2))
+  }
+
+  test("decodeImageFeatures yields a 64-dim embedding column, drops undecodable rows") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, rampPng(32, 16)),
+      (2L, "garbage".getBytes)
+    ).toDF("id", "content")
+    val out = Multimodal.decodeImageFeatures(df, "id", "content").collect()
+    assert(out.length === 1 && out(0).getLong(0) === 1L)
+    assert(out(0).getSeq[Float](1).size === 64)
+  }
+}

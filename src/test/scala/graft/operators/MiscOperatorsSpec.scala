@@ -71,7 +71,7 @@ class MiscOperatorsSpec extends SparkSpec {
 
   // ---------------------------------------------------------- multimodal
 
-  test("multimodal: metadata struct, fingerprint, stub features are deterministic") {
+  test("multimodal: metadata struct, fingerprint, synthetic features are deterministic") {
     val imgs = Seq(
       (1L, "fake-image-bytes-aaaa".getBytes, "image/png", 64, 48),
       (2L, "fake-image-bytes-bbbb".getBytes, "image/png", 32, 32)
@@ -82,7 +82,7 @@ class MiscOperatorsSpec extends SparkSpec {
       )
 
     val feats = imgs
-      .select(col("id"), Multimodal.imageFeaturesStub(col("content"), 8).as("f"),
+      .select(col("id"), Multimodal.syntheticContentFeatures(col("content"), 8).as("f"),
         Multimodal.mediaFingerprint(col("content")).as("fp"),
         Multimodal.mediaSize(col("content")).as("sz"))
     val rows = feats.orderBy("id").collect()
@@ -97,7 +97,7 @@ class MiscOperatorsSpec extends SparkSpec {
   test("multimodal: frame sampling yields bounded binary slices; partition harness works") {
     val vids = Seq((1L, Array.fill[Byte](1000)(7))).toDF("id", "content")
     val frames = vids
-      .select(Multimodal.frameSampleStub(col("content"), n = 4, frameBytes = 16).as("fr"))
+      .select(Multimodal.frameSlices(col("content"), n = 4, frameBytes = 16).as("fr"))
       .head()
       .getSeq[Array[Byte]](0)
     assert(frames.size === 4 && frames.forall(_.length <= 16))
