@@ -1265,6 +1265,29 @@ object SparkEntry {
       Dataset.open(s, work.resolve("ds")).toDF().orderBy(col("offset"))
     },
 
+    // ---- fetch: Container (SURVEY §2.1 #12): exec a deterministic
+    // subprocess, consume its stdout as the fetched payload, ledger-merge
+    // across two polls (second poll re-emits old rows + one new; the
+    // left-anti merge keeps only the new one).
+    "fetch_container" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft-fcont-")
+      val feed = work.resolve("feed.ndjson")
+      java.nio.file.Files.writeString(feed, "{\"id\":1,\"v\":\"a\"}\n{\"id\":2,\"v\":\"b\"}\n")
+      val ds = Dataset.create(s, work.resolve("ds"), "contds")
+      ds.chain.append(
+        SetPollingSource(readFormat = "ndjson", schemaDdl = Some("id BIGINT, v STRING"),
+          merge = MergeConf("ledger", primaryKey = Seq("id")),
+          fetch = Some(FetchConf(kind = "container",
+            command = Some(Seq("sh", "-c", s"cat '$feed'"))))), 0L)
+      require(IngestWriter.pollOnce(ds,
+        java.time.Instant.parse("2024-03-01T00:00:00Z").toEpochMilli).isDefined)
+      java.nio.file.Files.writeString(feed,
+        "{\"id\":1,\"v\":\"a\"}\n{\"id\":2,\"v\":\"b\"}\n{\"id\":3,\"v\":\"c\"}\n")
+      require(IngestWriter.pollOnce(ds,
+        java.time.Instant.parse("2024-03-03T00:00:00Z").toEpochMilli).isDefined)
+      Dataset.open(s, work.resolve("ds")).toDF().orderBy(col("offset"))
+    },
+
     // ---- to_table resolution (SURVEY §2.3 #37).
     "to_table" -> { (s, dir) =>
       val work = java.nio.file.Files.createTempDirectory("graft-tt-")
@@ -2103,6 +2126,15 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         |  ('kyiv', 2884000), ('seattle', 733000), ('vancouver', 675000)
         |) AS t(city, population) ORDER BY city""".stripMargin,
+    // Same drain shape as fetch_url: poll 1 lands ids 1-2, poll 2 re-emits
+    // them plus id 3 and the ledger left-anti keeps only id 3.
+    "fetch_container" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-03-01 00:00:00', TIMESTAMP '2024-03-01 00:00:00', CAST(1 AS BIGINT), 'a'),
+        |  (CAST(1 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-03-01 00:00:00', TIMESTAMP '2024-03-01 00:00:00', CAST(2 AS BIGINT), 'b'),
+        |  (CAST(2 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-03-03 00:00:00', TIMESTAMP '2024-03-03 00:00:00', CAST(3 AS BIGINT), 'c')
+        |) AS t("offset", op, system_time, event_time, id, v)
+        |ORDER BY "offset"""".stripMargin,
     "schema_introspect" ->
       """SELECT * FROM (VALUES
         |  (0, 'offset', 'bigint'),
