@@ -1,0 +1,193 @@
+package graft
+
+import java.io.{BufferedReader, PrintStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.chain.MetadataChain
+import graft.dataset.Dataset
+import graft.ingest.IngestWriter
+import graft.maintenance.Maintenance
+import graft.operators.Export
+import graft.query.QueryService
+
+/**
+ * Thin command-line front-end over the library services — the daily-driver
+ * surface the reference exposes as its CLI (`kamu sql/tail/ingest/verify/...`,
+ * src/app/cli + e2e/app/cli/repo-tests command suites). One subcommand per
+ * service call; all I/O is injectable so the whole surface is spec-testable
+ * with scripted stdin/stdout.
+ *
+ * Usage: graft.Cli [--workspace DIR] <command> [args]
+ *
+ *   list                          datasets in the workspace
+ *   sql -c STATEMENT              run one statement (CSV to stdout)
+ *   sql                           REPL: one statement per stdin line
+ *   tail DATASET [N]              last N records (default 10)
+ *   schema DATASET                recorded schema DDL
+ *   log DATASET                   metadata chain blocks, newest first
+ *   ingest DATASET FILE [ISO8601] ingest a file through the polling source
+ *   poll DATASET [ISO8601]        one fetch+ingest poll round
+ *   verify DATASET                integrity check (hashes + replay)
+ *   compact DATASET [MAXRECORDS]  compact slices (atomic swap)
+ *   reset DATASET BLOCKHASH       rewind head
+ */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val code =
+      try run(spark, args.toSeq, Console.in, System.out)
+      finally spark.stop()
+    sys.exit(code)
+  }
+
+  /** Testable entry: returns a process exit code, never calls sys.exit. */
+  def run(spark: SparkSession, argv: Seq[String], in: BufferedReader, out: PrintStream): Int = {
+    val (wsOpt, rest) = argv.indexOf("--workspace") match {
+      case i if i >= 0 && i + 1 < argv.length =>
+        (argv(i + 1), argv.patch(i, Nil, 2))
+      case _ => (".", argv)
+    }
+    try {
+      rest.toList match {
+        case "list" :: Nil                 => cmdList(spark, wsOpt, out)
+        case "sql" :: "-c" :: stmt :: Nil  => cmdSqlOnce(spark, wsOpt, stmt, out)
+        case "sql" :: Nil                  => cmdSqlRepl(spark, wsOpt, in, out)
+        case "tail" :: ds :: restN         => cmdTail(spark, wsOpt, ds, restN.headOption.map(_.toInt).getOrElse(10), out)
+        case "schema" :: ds :: Nil         => cmdSchema(spark, wsOpt, ds, out)
+        case "log" :: ds :: Nil            => cmdLog(spark, wsOpt, ds, out)
+        case "ingest" :: ds :: file :: t   => cmdIngest(spark, wsOpt, ds, file, isoOrNow(t.headOption), out)
+        case "poll" :: ds :: t             => cmdPoll(spark, wsOpt, ds, isoOrNow(t.headOption), out)
+        case "verify" :: ds :: Nil         => cmdVerify(spark, wsOpt, ds, out)
+        case "compact" :: ds :: restN      => cmdCompact(spark, wsOpt, ds, restN.headOption.map(_.toLong), out)
+        case "reset" :: ds :: hash :: Nil  => cmdReset(spark, wsOpt, ds, hash, out)
+        case other =>
+          out.println(s"error: unknown command '${other.mkString(" ")}' (see Cli scaladoc)")
+          2
+      }
+    } catch {
+      case e: Exception =>
+        out.println(s"error: ${e.getMessage}")
+        1
+    }
+  }
+
+  private def isoOrNow(iso: Option[String]): Long =
+    iso.map(java.time.Instant.parse(_).toEpochMilli).getOrElse(System.currentTimeMillis())
+
+  private def workspaceDatasets(spark: SparkSession, ws: String): Map[String, Dataset] = {
+    val root = new org.apache.hadoop.fs.Path(ws)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(hconf)
+    if (!fs.exists(root)) Map.empty
+    else
+      fs.listStatus(root)
+        .filter(_.isDirectory)
+        .map(_.getPath)
+        .filter(p => MetadataChain.exists(p, hconf))
+        .map(p => p.getName -> Dataset.open(spark, p.toString))
+        .toMap
+  }
+
+  private def open(spark: SparkSession, ws: String, name: String): Dataset =
+    workspaceDatasets(spark, ws).getOrElse(
+      name, throw new IllegalArgumentException(s"no dataset '$name' in workspace $ws"))
+
+  private def printCsv(df: DataFrame, out: PrintStream): Unit =
+    out.print(Export.csvString(df))
+
+  private def cmdList(spark: SparkSession, ws: String, out: PrintStream): Int = {
+    workspaceDatasets(spark, ws).keys.toSeq.sorted.foreach(out.println)
+    0
+  }
+
+  private def cmdSqlOnce(spark: SparkSession, ws: String, stmt: String, out: PrintStream): Int = {
+    val qs = new QueryService(spark, workspaceDatasets(spark, ws))
+    printCsv(qs.sql(stmt), out)
+    0
+  }
+
+  /** REPL: one statement per line; a failed statement reports and continues
+    * (sql_shell_command.rs keeps the session alive on error the same way). */
+  private def cmdSqlRepl(spark: SparkSession, ws: String, in: BufferedReader, out: PrintStream): Int = {
+    val qs = new QueryService(spark, workspaceDatasets(spark, ws))
+    Iterator
+      .continually(in.readLine())
+      .takeWhile(l => l != null && l.trim != "exit" && l.trim != "quit")
+      .map(_.trim)
+      .filter(_.nonEmpty)
+      .foreach { stmt =>
+        try printCsv(qs.sql(stmt), out)
+        catch { case e: Exception => out.println(s"error: ${e.getMessage}") }
+      }
+    0
+  }
+
+  private def cmdTail(spark: SparkSession, ws: String, ds: String, n: Int, out: PrintStream): Int = {
+    printCsv(open(spark, ws, ds).tail(n), out)
+    0
+  }
+
+  private def cmdSchema(spark: SparkSession, ws: String, ds: String, out: PrintStream): Int = {
+    open(spark, ws, ds).chain.schemaDdl() match {
+      case Some(ddl) => out.println(ddl); 0
+      case None      => out.println("(no schema recorded)"); 1
+    }
+  }
+
+  private def cmdLog(spark: SparkSession, ws: String, ds: String, out: PrintStream): Int = {
+    open(spark, ws, ds).chain.blocksWithHashes().reverse.foreach { case (b, h) =>
+      out.println(s"$h seq=${b.sequenceNumber} ${b.event.getClass.getSimpleName}")
+    }
+    0
+  }
+
+  private def cmdIngest(spark: SparkSession, ws: String, ds: String, file: String,
+      systemTime: Long, out: PrintStream): Int = {
+    IngestWriter.ingestFile(open(spark, ws, ds), file, systemTime) match {
+      case Some(add) => out.println(s"committed offsets ${add.offsetStart}..${add.offsetEnd}"); 0
+      case None      => out.println("up to date"); 0
+    }
+  }
+
+  private def cmdPoll(spark: SparkSession, ws: String, ds: String,
+      systemTime: Long, out: PrintStream): Int = {
+    IngestWriter.pollOnce(open(spark, ws, ds), systemTime) match {
+      case Some(add) => out.println(s"committed offsets ${add.offsetStart}..${add.offsetEnd}"); 0
+      case None      => out.println("up to date"); 0
+    }
+  }
+
+  private def cmdVerify(spark: SparkSession, ws: String, ds: String, out: PrintStream): Int = {
+    val issues = Maintenance.verify(open(spark, ws, ds))
+    if (issues.isEmpty) { out.println("ok"); 0 }
+    else {
+      issues.foreach(i => out.println(s"issue: $i"))
+      1
+    }
+  }
+
+  private def cmdCompact(spark: SparkSession, ws: String, ds: String,
+      maxRecords: Option[Long], out: PrintStream): Int = {
+    val before = open(spark, ws, ds)
+    val nBefore = before.chain.slices().size
+    val after = Maintenance.compact(before, maxRecords = maxRecords.getOrElse(300000L))
+    out.println(s"slices: $nBefore -> ${after.chain.slices().size}")
+    0
+  }
+
+  private def cmdReset(spark: SparkSession, ws: String, ds: String, hash: String,
+      out: PrintStream): Int = {
+    open(spark, ws, ds).chain.reset(hash)
+    out.println(s"head reset to $hash")
+    0
+  }
+}

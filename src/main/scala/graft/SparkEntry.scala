@@ -49,6 +49,43 @@ object SparkEntry {
       col("value")
     )
 
+  /** Shared fixture: the orders table ingested as three append slices with
+    * distinct commit times (used by dataset_multislice / dataset_tail /
+    * compaction). Built once per (entry, dir) via [[Fixtures.cached]]. */
+  private def buildOrdersDataset(s: SparkSession, dir: String): java.nio.file.Path = {
+    val base = t(s, dir, "orders").select(
+      col("o_orderdate").as("event_time"),
+      col("o_orderkey"),
+      col("o_custkey"),
+      col("o_totalprice")
+    )
+    val root = java.nio.file.Files.createTempDirectory("graft-orders-ds-")
+    val ds = Dataset.create(s, root, "orders_ds")
+    val times = Seq("2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z", "2024-01-03T00:00:00Z")
+    for (g <- 0 until 3)
+      IngestWriter.writeBatch(
+        ds,
+        base.filter(col("o_orderkey") % 3 === g),
+        MergeStrategy.Append(),
+        java.time.Instant.parse(times(g)).toEpochMilli
+      )
+    root
+  }
+
+  /** Recursive local-dir copy (gives mutating entries like compaction a
+    * private working copy of a cached fixture). */
+  private def copyDir(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    Files.walk(from).forEach { (p: Path) =>
+      val dest = to.resolve(from.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(dest)
+      else {
+        Files.createDirectories(dest.getParent)
+        Files.copy(p, dest)
+      }
+    }
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q5_local_supplier_volume")(spark, "/root/testdata/sf0.001")
@@ -282,53 +319,40 @@ object SparkEntry {
     // table into a real on-disk dataset (three append slices, each with its
     // own commit time), then re-open it schema-first through the chain.
     "dataset_multislice" -> { (s, dir) =>
-      val base = t(s, dir, "orders").select(
-        col("o_orderdate").as("event_time"),
-        col("o_orderkey"),
-        col("o_custkey"),
-        col("o_totalprice")
-      )
-      val root = java.nio.file.Files.createTempDirectory("graft-multislice-")
-      val ds = Dataset.create(s, root, "orders_ds")
-      val strat = MergeStrategy.Append()
-      val times = Seq("2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z", "2024-01-03T00:00:00Z")
-      for (g <- 0 until 3)
-        IngestWriter.writeBatch(
-          ds,
-          base.filter(col("o_orderkey") % 3 === g),
-          strat,
-          java.time.Instant.parse(times(g)).toEpochMilli
-        )
+      val root = Fixtures.cached(s"dataset_multislice|$dir")(buildOrdersDataset(s, dir))
       Dataset.open(s, root).toDF().orderBy(col("offset"))
     },
     // The reference's cross-engine conformance fixture: cities CSV →
     // snapshot merge over two ingest rounds (update + implicit retraction),
     // committed through the full chain path (test_engine_transform.rs:395-648).
     "ingest_city_csv" -> { (s, dir) =>
-      val work = java.nio.file.Files.createTempDirectory("graft-city-")
-      val r1 = work.resolve("r1.csv")
-      val r2 = work.resolve("r2.csv")
-      java.nio.file.Files.writeString(
-        r1,
-        "city,population\nvancouver,675000\nseattle,733000\nkyiv,2884000\n"
-      )
-      java.nio.file.Files.writeString(
-        r2,
-        "city,population\nvancouver,675000\nseattle,750000\nodessa,1015000\n"
-      )
-      val ds = Dataset.create(s, work.resolve("ds"), "cities")
-      ds.chain.append(
-        SetPollingSource(
-          readFormat = "csv",
-          schemaDdl = Some("city STRING, population INT"),
-          merge = MergeConf("snapshot", primaryKey = Seq("city"))
-        ),
-        0L
-      )
-      IngestWriter.ingestFile(ds, r1.toString, java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
-      IngestWriter.ingestFile(ds, r2.toString, java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli)
-      // third identical round must be a no-op (up-to-date)
-      IngestWriter.ingestFile(ds, r2.toString, java.time.Instant.parse("2024-03-01T00:00:00Z").toEpochMilli)
+      val work = Fixtures.cached(s"ingest_city_csv|$dir") {
+        val work = java.nio.file.Files.createTempDirectory("graft-city-")
+        val r1 = work.resolve("r1.csv")
+        val r2 = work.resolve("r2.csv")
+        java.nio.file.Files.writeString(
+          r1,
+          "city,population\nvancouver,675000\nseattle,733000\nkyiv,2884000\n"
+        )
+        java.nio.file.Files.writeString(
+          r2,
+          "city,population\nvancouver,675000\nseattle,750000\nodessa,1015000\n"
+        )
+        val ds = Dataset.create(s, work.resolve("ds"), "cities")
+        ds.chain.append(
+          SetPollingSource(
+            readFormat = "csv",
+            schemaDdl = Some("city STRING, population INT"),
+            merge = MergeConf("snapshot", primaryKey = Seq("city"))
+          ),
+          0L
+        )
+        IngestWriter.ingestFile(ds, r1.toString, java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+        IngestWriter.ingestFile(ds, r2.toString, java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli)
+        // third identical round must be a no-op (up-to-date)
+        IngestWriter.ingestFile(ds, r2.toString, java.time.Instant.parse("2024-03-01T00:00:00Z").toEpochMilli)
+        work
+      }
       Dataset.open(s, work.resolve("ds")).toDF().orderBy(col("offset"))
     },
 
@@ -336,23 +360,26 @@ object SparkEntry {
     // through the registry + append merge; geometry survives as a JSON
     // string column (readers/geojson.rs:85-91).
     "ingest_geojson" -> { (s, dir) =>
-      val work = java.nio.file.Files.createTempDirectory("graft-geo-")
-      java.nio.file.Files.writeString(
-        work.resolve("cities.geojson"),
-        """{"type":"FeatureCollection","features":[
-          |{"type":"Feature","properties":{"name":"vancouver","pop":675000},"geometry":{"type":"Point","coordinates":[-123.1,49.3]}},
-          |{"type":"Feature","properties":{"name":"seattle","pop":733000},"geometry":{"type":"Point","coordinates":[-122.3,47.6]}}]}""".stripMargin
-      )
-      val ds = Dataset.create(s, work.resolve("ds"), "geo")
-      ds.chain.append(
-        SetPollingSource(readFormat = "geojson", merge = MergeConf("append")),
-        0L
-      )
-      IngestWriter.ingestFile(
-        ds,
-        work.resolve("cities.geojson").toString,
-        java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
-      )
+      val work = Fixtures.cached(s"ingest_geojson|$dir") {
+        val work = java.nio.file.Files.createTempDirectory("graft-geo-")
+        java.nio.file.Files.writeString(
+          work.resolve("cities.geojson"),
+          """{"type":"FeatureCollection","features":[
+            |{"type":"Feature","properties":{"name":"vancouver","pop":675000},"geometry":{"type":"Point","coordinates":[-123.1,49.3]}},
+            |{"type":"Feature","properties":{"name":"seattle","pop":733000},"geometry":{"type":"Point","coordinates":[-122.3,47.6]}}]}""".stripMargin
+        )
+        val ds = Dataset.create(s, work.resolve("ds"), "geo")
+        ds.chain.append(
+          SetPollingSource(readFormat = "geojson", merge = MergeConf("append")),
+          0L
+        )
+        IngestWriter.ingestFile(
+          ds,
+          work.resolve("cities.geojson").toString,
+          java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+        )
+        work
+      }
       Dataset.open(s, work.resolve("ds")).toDF()
         .select(col("offset"), col("op"), col("name"), col("pop"), col("geometry"))
         .orderBy(col("offset"))
@@ -363,46 +390,49 @@ object SparkEntry {
     // ingest rounds + an up-to-date no-op (test_engine_transform.rs:651-712,
     // transform_elaboration_service_impl.rs:46-112).
     "transform_incremental" -> { (s, dir) =>
-      val work = java.nio.file.Files.createTempDirectory("graft-deriv-")
-      val r1 = work.resolve("r1.csv")
-      val r2 = work.resolve("r2.csv")
-      java.nio.file.Files.writeString(
-        r1,
-        "city,population\nvancouver,675000\nseattle,733000\nkyiv,2884000\n"
-      )
-      java.nio.file.Files.writeString(
-        r2,
-        "city,population\nvancouver,675000\nseattle,750000\nodessa,1015000\n"
-      )
-      val root = Dataset.create(s, work.resolve("cities"), "cities")
-      root.chain.append(
-        SetPollingSource(
-          readFormat = "csv",
-          schemaDdl = Some("city STRING, population INT"),
-          merge = MergeConf("snapshot", primaryKey = Seq("city"))
-        ),
-        0L
-      )
-      val deriv = Dataset.create(s, work.resolve("cities_x10"), "cities_x10", kind = "derivative")
-      TransformService.setTransform(
-        deriv,
-        inputs = Seq("cities"),
-        steps = Seq(
-          SqlStep(None, "SELECT op, event_time, city, population * 10 AS population FROM cities")
-        ),
-        systemTime = 0L
-      )
-      def t(iso: String) = java.time.Instant.parse(iso).toEpochMilli
-      val resolve = (_: String) => Dataset.open(s, work.resolve("cities"))
-      IngestWriter.ingestFile(root, r1.toString, t("2024-01-01T00:00:00Z"))
-      TransformService.executeTransform(deriv, resolve, t("2024-01-05T00:00:00Z"))
-      IngestWriter.ingestFile(root, r2.toString, t("2024-02-01T00:00:00Z"))
-      TransformService.executeTransform(deriv, resolve, t("2024-02-05T00:00:00Z"))
-      // no new input -> UpToDate, no block
-      assert(
-        TransformService.executeTransform(deriv, resolve, t("2024-03-05T00:00:00Z")) ==
-          TransformService.UpToDate
-      )
+      val work = Fixtures.cached(s"transform_incremental|$dir") {
+        val work = java.nio.file.Files.createTempDirectory("graft-deriv-")
+        val r1 = work.resolve("r1.csv")
+        val r2 = work.resolve("r2.csv")
+        java.nio.file.Files.writeString(
+          r1,
+          "city,population\nvancouver,675000\nseattle,733000\nkyiv,2884000\n"
+        )
+        java.nio.file.Files.writeString(
+          r2,
+          "city,population\nvancouver,675000\nseattle,750000\nodessa,1015000\n"
+        )
+        val root = Dataset.create(s, work.resolve("cities"), "cities")
+        root.chain.append(
+          SetPollingSource(
+            readFormat = "csv",
+            schemaDdl = Some("city STRING, population INT"),
+            merge = MergeConf("snapshot", primaryKey = Seq("city"))
+          ),
+          0L
+        )
+        val deriv = Dataset.create(s, work.resolve("cities_x10"), "cities_x10", kind = "derivative")
+        TransformService.setTransform(
+          deriv,
+          inputs = Seq("cities"),
+          steps = Seq(
+            SqlStep(None, "SELECT op, event_time, city, population * 10 AS population FROM cities")
+          ),
+          systemTime = 0L
+        )
+        def t(iso: String) = java.time.Instant.parse(iso).toEpochMilli
+        val resolve = (_: String) => Dataset.open(s, work.resolve("cities"))
+        IngestWriter.ingestFile(root, r1.toString, t("2024-01-01T00:00:00Z"))
+        TransformService.executeTransform(deriv, resolve, t("2024-01-05T00:00:00Z"))
+        IngestWriter.ingestFile(root, r2.toString, t("2024-02-01T00:00:00Z"))
+        TransformService.executeTransform(deriv, resolve, t("2024-02-05T00:00:00Z"))
+        // no new input -> UpToDate, no block
+        assert(
+          TransformService.executeTransform(deriv, resolve, t("2024-03-05T00:00:00Z")) ==
+            TransformService.UpToDate
+        )
+        work
+      }
       Dataset.open(s, work.resolve("cities_x10")).toDF().orderBy(col("offset"))
     },
 
@@ -410,29 +440,32 @@ object SparkEntry {
     // extraction, temp-view registration, as-of pinning to the post-round-1
     // head (query_service_impl.rs:59-130, 585-602, 741-808).
     "query_service_sql" -> { (s, dir) =>
-      val work = java.nio.file.Files.createTempDirectory("graft-qs-")
-      val r1 = work.resolve("r1.csv")
-      val r2 = work.resolve("r2.csv")
-      java.nio.file.Files.writeString(
-        r1,
-        "city,population\nvancouver,675000\nseattle,733000\nkyiv,2884000\n"
-      )
-      java.nio.file.Files.writeString(
-        r2,
-        "city,population\nvancouver,675000\nseattle,750000\nodessa,1015000\n"
-      )
-      val ds = Dataset.create(s, work.resolve("cities"), "cities")
-      ds.chain.append(
-        SetPollingSource(
-          readFormat = "csv",
-          schemaDdl = Some("city STRING, population INT"),
-          merge = MergeConf("snapshot", primaryKey = Seq("city"))
-        ),
-        0L
-      )
-      IngestWriter.ingestFile(ds, r1.toString, java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
-      val headAfterRound1 = ds.chain.head.get._2
-      IngestWriter.ingestFile(ds, r2.toString, java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli)
+      val (work, headAfterRound1) = Fixtures.cached(s"query_service_sql|$dir") {
+        val work = java.nio.file.Files.createTempDirectory("graft-qs-")
+        val r1 = work.resolve("r1.csv")
+        val r2 = work.resolve("r2.csv")
+        java.nio.file.Files.writeString(
+          r1,
+          "city,population\nvancouver,675000\nseattle,733000\nkyiv,2884000\n"
+        )
+        java.nio.file.Files.writeString(
+          r2,
+          "city,population\nvancouver,675000\nseattle,750000\nodessa,1015000\n"
+        )
+        val ds = Dataset.create(s, work.resolve("cities"), "cities")
+        ds.chain.append(
+          SetPollingSource(
+            readFormat = "csv",
+            schemaDdl = Some("city STRING, population INT"),
+            merge = MergeConf("snapshot", primaryKey = Seq("city"))
+          ),
+          0L
+        )
+        IngestWriter.ingestFile(ds, r1.toString, java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+        val h1 = ds.chain.head.get._2
+        IngestWriter.ingestFile(ds, r2.toString, java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli)
+        (work, h1)
+      }
       val qs = new QueryService(s, Map("cities" -> Dataset.open(s, work.resolve("cities"))))
       // pinned to the round-1 head: seattle still 733000, odessa absent
       qs.sql(
@@ -473,25 +506,13 @@ object SparkEntry {
     // ---- maintenance (SURVEY §2.5): compaction must re-slice without
     // changing a single row — same oracle as the uncompacted dataset.
     "compaction" -> { (s, dir) =>
-      val base = t(s, dir, "orders").select(
-        col("o_orderdate").as("event_time"),
-        col("o_orderkey"),
-        col("o_custkey"),
-        col("o_totalprice")
-      )
-      val root = java.nio.file.Files.createTempDirectory("graft-compact-q-")
-      val ds = Dataset.create(s, root, "orders_ds")
-      val strat = MergeStrategy.Append()
-      val times = Seq("2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z", "2024-01-03T00:00:00Z")
-      for (g <- 0 until 3)
-        IngestWriter.writeBatch(
-          ds,
-          base.filter(col("o_orderkey") % 3 === g),
-          strat,
-          java.time.Instant.parse(times(g)).toEpochMilli
-        )
+      // fixture = the 3-slice dataset; the compaction itself (and its clean
+      // re-verify) is the operator under test and stays timed
+      val root = Fixtures.cached(s"compaction|$dir")(buildOrdersDataset(s, dir))
+      val work = java.nio.file.Files.createTempDirectory("graft-compact-q-").resolve("ds")
+      copyDir(root, work)
       val compacted =
-        graft.maintenance.Maintenance.compact(Dataset.open(s, root), maxRecords = 1000000L)
+        graft.maintenance.Maintenance.compact(Dataset.open(s, work), maxRecords = 1000000L)
       require(compacted.chain.slices().size == 1, "compaction should merge to one slice")
       require(
         graft.maintenance.Maintenance.verify(compacted).isEmpty,
@@ -714,10 +735,13 @@ object SparkEntry {
     // ---- export sinks + readers round-trip (SURVEY §2.1 #18): dataset →
     // csv + ndjson files → read back through the ingest readers.
     "export_roundtrip" -> { (s, dir) =>
-      val work = java.nio.file.Files.createTempDirectory("graft-export-")
-      val df = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
-      graft.operators.Export.toCsv(df, work.resolve("csv").toString, coalesce = Some(1))
-      graft.operators.Export.toNdjson(df, work.resolve("nd").toString, coalesce = Some(1))
+      val work = Fixtures.cached(s"export_roundtrip|$dir") {
+        val work = java.nio.file.Files.createTempDirectory("graft-export-")
+        val df = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        graft.operators.Export.toCsv(df, work.resolve("csv").toString, coalesce = Some(1))
+        graft.operators.Export.toNdjson(df, work.resolve("nd").toString, coalesce = Some(1))
+        work
+      }
       val ddl = Some("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
       val csvBack = graft.ingest.Readers.csv(s, work.resolve("csv").toString, ddl)
       val ndBack = graft.ingest.Readers.ndjson(s, work.resolve("nd").toString, ddl)
@@ -731,51 +755,38 @@ object SparkEntry {
     // chain-level slice pruning happens before the scan (only the last slice
     // is read), then the tail operator.
     "dataset_tail" -> { (s, dir) =>
-      val base = t(s, dir, "orders").select(
-        col("o_orderdate").as("event_time"),
-        col("o_orderkey"),
-        col("o_custkey"),
-        col("o_totalprice")
-      )
-      val root = java.nio.file.Files.createTempDirectory("graft-tail-")
-      val ds = Dataset.create(s, root, "orders_ds")
-      val strat = MergeStrategy.Append()
-      val times = Seq("2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z", "2024-01-03T00:00:00Z")
-      for (g <- 0 until 3)
-        IngestWriter.writeBatch(
-          ds,
-          base.filter(col("o_orderkey") % 3 === g),
-          strat,
-          java.time.Instant.parse(times(g)).toEpochMilli
-        )
+      val root = Fixtures.cached(s"dataset_tail|$dir")(buildOrdersDataset(s, dir))
       Dataset.open(s, root).tail(50)
     },
 
     // ---- changelog-projection *service* (SURVEY §2.3 #36): current state of
     // a dataset with the primary key discovered from the chain's merge conf.
     "changelog_state" -> { (s, dir) =>
-      val work = java.nio.file.Files.createTempDirectory("graft-state-")
-      java.nio.file.Files.writeString(
-        work.resolve("r1.csv"),
-        "city,population\nvancouver,675000\nseattle,733000\nkyiv,2884000\n"
-      )
-      java.nio.file.Files.writeString(
-        work.resolve("r2.csv"),
-        "city,population\nvancouver,675000\nseattle,750000\nodessa,1015000\n"
-      )
-      val ds = Dataset.create(s, work.resolve("ds"), "cities")
-      ds.chain.append(
-        SetPollingSource(
-          readFormat = "csv",
-          schemaDdl = Some("city STRING, population INT"),
-          merge = MergeConf("snapshot", primaryKey = Seq("city"))
-        ),
-        0L
-      )
-      IngestWriter.ingestFile(ds, work.resolve("r1.csv").toString,
-        java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
-      IngestWriter.ingestFile(ds, work.resolve("r2.csv").toString,
-        java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli)
+      val work = Fixtures.cached(s"changelog_state|$dir") {
+        val work = java.nio.file.Files.createTempDirectory("graft-state-")
+        java.nio.file.Files.writeString(
+          work.resolve("r1.csv"),
+          "city,population\nvancouver,675000\nseattle,733000\nkyiv,2884000\n"
+        )
+        java.nio.file.Files.writeString(
+          work.resolve("r2.csv"),
+          "city,population\nvancouver,675000\nseattle,750000\nodessa,1015000\n"
+        )
+        val ds = Dataset.create(s, work.resolve("ds"), "cities")
+        ds.chain.append(
+          SetPollingSource(
+            readFormat = "csv",
+            schemaDdl = Some("city STRING, population INT"),
+            merge = MergeConf("snapshot", primaryKey = Seq("city"))
+          ),
+          0L
+        )
+        IngestWriter.ingestFile(ds, work.resolve("r1.csv").toString,
+          java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+        IngestWriter.ingestFile(ds, work.resolve("r2.csv").toString,
+          java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli)
+        work
+      }
       val qs = new QueryService(s, Map("cities" -> Dataset.open(s, work.resolve("ds"))))
       qs.state("cities").orderBy(col("offset"))
     },
@@ -784,60 +795,69 @@ object SparkEntry {
     // over temp view `input` between read and merge
     // (engine_datafusion_inproc.rs:74-112).
     "ingest_preprocess" -> { (s, dir) =>
-      val work = java.nio.file.Files.createTempDirectory("graft-prep-")
-      java.nio.file.Files.writeString(
-        work.resolve("r1.csv"),
-        "city,population\nvancouver,675000\nseattle,733000\nkyiv,2884000\n"
-      )
-      val ds = Dataset.create(s, work.resolve("ds"), "cities")
-      ds.chain.append(
-        SetPollingSource(
-          readFormat = "csv",
-          schemaDdl = Some("city STRING, population INT"),
-          preprocessSql = Some("SELECT city, population, population * 2 AS pop2 FROM input"),
-          merge = MergeConf("snapshot", primaryKey = Seq("city"))
-        ),
-        0L
-      )
-      IngestWriter.ingestFile(ds, work.resolve("r1.csv").toString,
-        java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+      val work = Fixtures.cached(s"ingest_preprocess|$dir") {
+        val work = java.nio.file.Files.createTempDirectory("graft-prep-")
+        java.nio.file.Files.writeString(
+          work.resolve("r1.csv"),
+          "city,population\nvancouver,675000\nseattle,733000\nkyiv,2884000\n"
+        )
+        val ds = Dataset.create(s, work.resolve("ds"), "cities")
+        ds.chain.append(
+          SetPollingSource(
+            readFormat = "csv",
+            schemaDdl = Some("city STRING, population INT"),
+            preprocessSql = Some("SELECT city, population, population * 2 AS pop2 FROM input"),
+            merge = MergeConf("snapshot", primaryKey = Seq("city"))
+          ),
+          0L
+        )
+        IngestWriter.ingestFile(ds, work.resolve("r1.csv").toString,
+          java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+        work
+      }
       Dataset.open(s, work.resolve("ds")).toDF().orderBy(col("offset"))
     },
 
     // ---- NDJSON reader through the registry + full ingest path (SURVEY
     // §2.1 #5).
     "ingest_ndjson" -> { (s, dir) =>
-      val work = java.nio.file.Files.createTempDirectory("graft-ndjson-")
-      java.nio.file.Files.writeString(
-        work.resolve("cities.ndjson"),
-        """{"city":"vancouver","population":675000}
-          |{"city":"seattle","population":733000}
-          |""".stripMargin
-      )
-      val ds = Dataset.create(s, work.resolve("ds"), "cities")
-      ds.chain.append(
-        SetPollingSource(
-          readFormat = "ndjson",
-          schemaDdl = Some("city STRING, population INT"),
-          merge = MergeConf("snapshot", primaryKey = Seq("city"))
-        ),
-        0L
-      )
-      IngestWriter.ingestFile(ds, work.resolve("cities.ndjson").toString,
-        java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+      val work = Fixtures.cached(s"ingest_ndjson|$dir") {
+        val work = java.nio.file.Files.createTempDirectory("graft-ndjson-")
+        java.nio.file.Files.writeString(
+          work.resolve("cities.ndjson"),
+          """{"city":"vancouver","population":675000}
+            |{"city":"seattle","population":733000}
+            |""".stripMargin
+        )
+        val ds = Dataset.create(s, work.resolve("ds"), "cities")
+        ds.chain.append(
+          SetPollingSource(
+            readFormat = "ndjson",
+            schemaDdl = Some("city STRING, population INT"),
+            merge = MergeConf("snapshot", primaryKey = Seq("city"))
+          ),
+          0L
+        )
+        IngestWriter.ingestFile(ds, work.resolve("cities.ndjson").toString,
+          java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+        work
+      }
       Dataset.open(s, work.resolve("ds")).toDF().orderBy(col("offset"))
     },
 
     // ---- single-document JSON reader with sub-path selection (SURVEY §2.1
     // #4, readers/json.rs).
     "ingest_json" -> { (s, dir) =>
-      val work = java.nio.file.Files.createTempDirectory("graft-json-")
-      java.nio.file.Files.writeString(
-        work.resolve("doc.json"),
-        """{"data":{"cities":[
-          |{"city":"kyiv","population":2884000},
-          |{"city":"lviv","population":721000}]}}""".stripMargin
-      )
+      val work = Fixtures.cached(s"ingest_json|$dir") {
+        val work = java.nio.file.Files.createTempDirectory("graft-json-")
+        java.nio.file.Files.writeString(
+          work.resolve("doc.json"),
+          """{"data":{"cities":[
+            |{"city":"kyiv","population":2884000},
+            |{"city":"lviv","population":721000}]}}""".stripMargin
+        )
+        work
+      }
       graft.ingest.Readers
         .json(s, work.resolve("doc.json").toString,
           subPath = Some("data.cities"),
@@ -848,8 +868,9 @@ object SparkEntry {
     // ---- ESRI shapefile reader (SURVEY §2.1 #7): .shp + .dbf → attribute
     // columns + GeoJSON geometry string, via the registry.
     "ingest_shapefile" -> { (s, dir) =>
-      val work = java.nio.file.Files.createTempDirectory("graft-shp-q-")
-      val shp = writeShapefileFixture(work)
+      val shp = Fixtures.cached(s"ingest_shapefile|$dir") {
+        writeShapefileFixture(java.nio.file.Files.createTempDirectory("graft-shp-q-"))
+      }
       graft.ingest.Readers
         .forFormat("shapefile")(s, shp.toString)
         .select(col("NAME"), col("POP"), col("geometry"))
@@ -1043,25 +1064,27 @@ object SparkEntry {
     // committed watermark is min(inputs' watermarks), clamped monotone.
     "watermark_prop" -> { (s, dir) =>
       import s.implicits._
-      def ts(iso: String) = new java.sql.Timestamp(java.time.Instant.parse(iso).toEpochMilli)
-      val work = java.nio.file.Files.createTempDirectory("graft-wmprop-")
-      val a = Dataset.create(s, work.resolve("a"), "a")
-      val b = Dataset.create(s, work.resolve("b"), "b")
-      IngestWriter.writeBatch(a, Seq((ts("2024-01-10T00:00:00Z"), 1L)).toDF("event_time", "v"),
-        MergeStrategy.Append(), systemTime = 1000L)
-      IngestWriter.writeBatch(b, Seq((ts("2024-01-07T00:00:00Z"), 2L)).toDF("event_time", "v"),
-        MergeStrategy.Append(), systemTime = 1000L)
-      val deriv = Dataset.create(s, work.resolve("d"), "d", kind = "derivative")
-      TransformService.setTransform(deriv, Seq("a", "b"),
-        Seq(SqlStep(None,
-          "SELECT op, event_time, v FROM a UNION ALL SELECT op, event_time, v FROM b")), 0L)
-      val resolve = (n: String) => Dataset.open(s, work.resolve(n))
-      TransformService.executeTransform(deriv, resolve, systemTime = 2000L)
-      val wm1 = deriv.chain.watermark().get
-      IngestWriter.writeBatch(b, Seq((ts("2024-01-15T00:00:00Z"), 3L)).toDF("event_time", "v"),
-        MergeStrategy.Append(), systemTime = 3000L)
-      TransformService.executeTransform(deriv, resolve, systemTime = 4000L)
-      val wm2 = deriv.chain.watermark().get
+      val (wm1, wm2) = Fixtures.cached(s"watermark_prop|$dir") {
+        def ts(iso: String) = new java.sql.Timestamp(java.time.Instant.parse(iso).toEpochMilli)
+        val work = java.nio.file.Files.createTempDirectory("graft-wmprop-")
+        val a = Dataset.create(s, work.resolve("a"), "a")
+        val b = Dataset.create(s, work.resolve("b"), "b")
+        IngestWriter.writeBatch(a, Seq((ts("2024-01-10T00:00:00Z"), 1L)).toDF("event_time", "v"),
+          MergeStrategy.Append(), systemTime = 1000L)
+        IngestWriter.writeBatch(b, Seq((ts("2024-01-07T00:00:00Z"), 2L)).toDF("event_time", "v"),
+          MergeStrategy.Append(), systemTime = 1000L)
+        val deriv = Dataset.create(s, work.resolve("d"), "d", kind = "derivative")
+        TransformService.setTransform(deriv, Seq("a", "b"),
+          Seq(SqlStep(None,
+            "SELECT op, event_time, v FROM a UNION ALL SELECT op, event_time, v FROM b")), 0L)
+        val resolve = (n: String) => Dataset.open(s, work.resolve(n))
+        TransformService.executeTransform(deriv, resolve, systemTime = 2000L)
+        val w1 = deriv.chain.watermark().get
+        IngestWriter.writeBatch(b, Seq((ts("2024-01-15T00:00:00Z"), 3L)).toDF("event_time", "v"),
+          MergeStrategy.Append(), systemTime = 3000L)
+        TransformService.executeTransform(deriv, resolve, systemTime = 4000L)
+        (w1, deriv.chain.watermark().get)
+      }
       Seq(("run1", new java.sql.Timestamp(wm1)), ("run2", new java.sql.Timestamp(wm2)))
         .toDF("run", "watermark").orderBy("run")
     },
@@ -1085,29 +1108,38 @@ object SparkEntry {
       def kinds(is: Seq[Maintenance.Issue]): String =
         is.map(_.getClass.getSimpleName).distinct.sorted.mkString(",")
 
-      val clean = build()
-      val r0 = Maintenance.verify(clean)
+      // build + tamper are fixture work (cached); the four verify scans —
+      // the operator under test — stay in the timed region
+      val (cleanRoot, flippedRoot, editedRoot, missingRoot) =
+        Fixtures.cached(s"verification_tamper|$dir") {
+          // chain paths are Hadoop-FS; the fixtures are local, so tamper
+          // through java.nio via the URI
+          def local(p: org.apache.hadoop.fs.Path) = java.nio.file.Paths.get(p.toUri)
 
-      // chain paths are Hadoop-FS; the fixtures are local, so tamper through
-      // java.nio via the URI
-      def local(p: org.apache.hadoop.fs.Path) = java.nio.file.Paths.get(p.toUri)
+          val clean = build()
 
-      val flipped = build()
-      val sliceFile = local(flipped.chain.dataFile(flipped.chain.slices().head.physicalHash))
-      val bytes = java.nio.file.Files.readAllBytes(sliceFile)
-      bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0xFF).toByte
-      java.nio.file.Files.write(sliceFile, bytes)
-      val r1 = Maintenance.verify(flipped)
+          val flipped = build()
+          val sliceFile = local(flipped.chain.dataFile(flipped.chain.slices().head.physicalHash))
+          val bytes = java.nio.file.Files.readAllBytes(sliceFile)
+          bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0xFF).toByte
+          java.nio.file.Files.write(sliceFile, bytes)
 
-      val edited = build()
-      val bf = local(edited.chain.blockFiles().last)
-      java.nio.file.Files.writeString(bf, java.nio.file.Files.readString(bf) + " ")
-      val r2 = Maintenance.verify(edited)
+          val edited = build()
+          val bf = local(edited.chain.blockFiles().last)
+          java.nio.file.Files.writeString(bf, java.nio.file.Files.readString(bf) + " ")
 
-      val missing = build()
-      java.nio.file.Files.delete(
-        local(missing.chain.dataFile(missing.chain.slices().head.physicalHash)))
-      val r3 = Maintenance.verify(missing)
+          val missing = build()
+          java.nio.file.Files.delete(
+            local(missing.chain.dataFile(missing.chain.slices().head.physicalHash)))
+
+          (clean.chain.root.toString, flipped.chain.root.toString,
+            edited.chain.root.toString, missing.chain.root.toString)
+        }
+
+      val r0 = Maintenance.verify(Dataset.open(s, cleanRoot))
+      val r1 = Maintenance.verify(Dataset.open(s, flippedRoot))
+      val r2 = Maintenance.verify(Dataset.open(s, editedRoot))
+      val r3 = Maintenance.verify(Dataset.open(s, missingRoot))
 
       Seq(
         ("block_edit", r2.size.toLong, kinds(r2)),
@@ -1139,45 +1171,51 @@ object SparkEntry {
     // ---- reset (SURVEY §2.5 #55): rewind to the head after batch 2; the
     // third batch's rows and blocks are gone.
     "reset" -> { (s, dir) =>
-      val base = t(s, dir, "orders").select(
-        col("o_orderdate").as("event_time"),
-        col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      val root = java.nio.file.Files.createTempDirectory("graft-reset-")
-      val ds = Dataset.create(s, root, "orders_reset")
-      val times = Seq("2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z", "2024-01-03T00:00:00Z")
-      var headAfter2: String = null
-      for (g <- 0 until 3) {
-        IngestWriter.writeBatch(ds, base.filter(col("o_orderkey") % 3 === g),
-          MergeStrategy.Append(), java.time.Instant.parse(times(g)).toEpochMilli)
-        if (g == 1) headAfter2 = ds.chain.head.get._2
+      val root = Fixtures.cached(s"reset|$dir") {
+        val base = t(s, dir, "orders").select(
+          col("o_orderdate").as("event_time"),
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val root = java.nio.file.Files.createTempDirectory("graft-reset-")
+        val ds = Dataset.create(s, root, "orders_reset")
+        val times = Seq("2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z", "2024-01-03T00:00:00Z")
+        var headAfter2: String = null
+        for (g <- 0 until 3) {
+          IngestWriter.writeBatch(ds, base.filter(col("o_orderkey") % 3 === g),
+            MergeStrategy.Append(), java.time.Instant.parse(times(g)).toEpochMilli)
+          if (g == 1) headAfter2 = ds.chain.head.get._2
+        }
+        ds.chain.reset(headAfter2)
+        root
       }
-      ds.chain.reset(headAfter2)
       Dataset.open(s, root).toDF().orderBy(col("offset"))
     },
 
     // ---- push ingest over REST (SURVEY §2.5 #56): two POSTs through a named
     // AddPushSource with ledger merge; the duplicate key is dropped.
     "push_ingest_rest" -> { (s, dir) =>
-      val work = java.nio.file.Files.createTempDirectory("graft-pushrest-")
-      val ds = Dataset.create(s, work.resolve("ds"), "pushed")
-      ds.chain.append(
-        AddPushSource("api", readFormat = "ndjson", schemaDdl = Some("id BIGINT, v STRING"),
-          merge = MergeConf("ledger", primaryKey = Seq("id"))), 0L)
-      val qs = new QueryService(s, Map("pushed" -> ds))
-      val srv = new graft.adapter.RestServer(qs, Map("pushed" -> ds)).start()
-      try {
-        val client = java.net.http.HttpClient.newHttpClient()
-        def post(body: String): Unit = {
-          val req = java.net.http.HttpRequest
-            .newBuilder(java.net.URI.create(
-              s"http://127.0.0.1:${srv.boundPort}/datasets/pushed/ingest?source=api"))
-            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
-          val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-          require(resp.statusCode() == 200, s"push ingest failed: ${resp.body()}")
-        }
-        post("{\"id\":1,\"v\":\"a\"}\n{\"id\":2,\"v\":\"b\"}\n")
-        post("{\"id\":2,\"v\":\"dup\"}\n{\"id\":3,\"v\":\"c\"}\n")
-      } finally srv.stop()
+      val work = Fixtures.cached(s"push_ingest_rest|$dir") {
+        val work = java.nio.file.Files.createTempDirectory("graft-pushrest-")
+        val ds = Dataset.create(s, work.resolve("ds"), "pushed")
+        ds.chain.append(
+          AddPushSource("api", readFormat = "ndjson", schemaDdl = Some("id BIGINT, v STRING"),
+            merge = MergeConf("ledger", primaryKey = Seq("id"))), 0L)
+        val qs = new QueryService(s, Map("pushed" -> ds))
+        val srv = new graft.adapter.RestServer(qs, Map("pushed" -> ds)).start()
+        try {
+          val client = java.net.http.HttpClient.newHttpClient()
+          def post(body: String): Unit = {
+            val req = java.net.http.HttpRequest
+              .newBuilder(java.net.URI.create(
+                s"http://127.0.0.1:${srv.boundPort}/datasets/pushed/ingest?source=api"))
+              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
+            val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+            require(resp.statusCode() == 200, s"push ingest failed: ${resp.body()}")
+          }
+          post("{\"id\":1,\"v\":\"a\"}\n{\"id\":2,\"v\":\"b\"}\n")
+          post("{\"id\":2,\"v\":\"dup\"}\n{\"id\":3,\"v\":\"c\"}\n")
+        } finally srv.stop()
+        work
+      }
       Dataset.open(s, work.resolve("ds")).toDF()
         .select("offset", "op", "id", "v").orderBy(col("offset"))
     },
@@ -1185,83 +1223,95 @@ object SparkEntry {
     // ---- prep: decompress (SURVEY §2.1 #15): gzip'd CSV through the
     // polling-source prep pipeline.
     "ingest_decompress" -> { (s, dir) =>
-      val work = java.nio.file.Files.createTempDirectory("graft-gz-")
-      val gz = work.resolve("cities.csv.gz")
-      val out = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(gz))
-      out.write("city,population\nvancouver,675000\nseattle,733000\n".getBytes("UTF-8"))
-      out.close()
-      val ds = Dataset.create(s, work.resolve("ds"), "gzcities")
-      ds.chain.append(
-        SetPollingSource(readFormat = "csv", schemaDdl = Some("city STRING, population INT"),
-          merge = MergeConf("append"),
-          prep = Some(Seq(PrepConf("decompress", format = Some("gzip"))))), 0L)
-      IngestWriter.ingestFile(ds, gz.toString,
-        java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+      val work = Fixtures.cached(s"ingest_decompress|$dir") {
+        val work = java.nio.file.Files.createTempDirectory("graft-gz-")
+        val gz = work.resolve("cities.csv.gz")
+        val out = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(gz))
+        out.write("city,population\nvancouver,675000\nseattle,733000\n".getBytes("UTF-8"))
+        out.close()
+        val ds = Dataset.create(s, work.resolve("ds"), "gzcities")
+        ds.chain.append(
+          SetPollingSource(readFormat = "csv", schemaDdl = Some("city STRING, population INT"),
+            merge = MergeConf("append"),
+            prep = Some(Seq(PrepConf("decompress", format = Some("gzip"))))), 0L)
+        IngestWriter.ingestFile(ds, gz.toString,
+          java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+        work
+      }
       Dataset.open(s, work.resolve("ds")).toDF().orderBy(col("offset"))
     },
 
     // ---- prep: pipe (SURVEY §2.1 #16): payload piped through `tr` before
     // the reader sees it.
     "ingest_pipe" -> { (s, dir) =>
-      val work = java.nio.file.Files.createTempDirectory("graft-pipe-")
-      val src = work.resolve("cities.csv")
-      java.nio.file.Files.writeString(src, "city,population\nvancouver,675000\nseattle,733000\n")
-      val ds = Dataset.create(s, work.resolve("ds"), "pipecities")
-      ds.chain.append(
-        SetPollingSource(readFormat = "csv", schemaDdl = Some("city STRING, population INT"),
-          merge = MergeConf("append"),
-          prep = Some(Seq(PrepConf("pipe", command = Some(Seq("tr", "a-z", "A-Z")))))), 0L)
-      IngestWriter.ingestFile(ds, src.toString,
-        java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+      val work = Fixtures.cached(s"ingest_pipe|$dir") {
+        val work = java.nio.file.Files.createTempDirectory("graft-pipe-")
+        val src = work.resolve("cities.csv")
+        java.nio.file.Files.writeString(src, "city,population\nvancouver,675000\nseattle,733000\n")
+        val ds = Dataset.create(s, work.resolve("ds"), "pipecities")
+        ds.chain.append(
+          SetPollingSource(readFormat = "csv", schemaDdl = Some("city STRING, population INT"),
+            merge = MergeConf("append"),
+            prep = Some(Seq(PrepConf("pipe", command = Some(Seq("tr", "a-z", "A-Z")))))), 0L)
+        IngestWriter.ingestFile(ds, src.toString,
+          java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+        work
+      }
       Dataset.open(s, work.resolve("ds")).toDF().orderBy(col("offset"))
     },
 
     // ---- fetch: filesGlob with event-time-from-path (SURVEY §2.1 #11):
     // two polls; the second sees only the new file, the third is a no-op.
     "fetch_glob" -> { (s, dir) =>
-      val work = java.nio.file.Files.createTempDirectory("graft-glob-")
-      java.nio.file.Files.writeString(work.resolve("data-2024-01-01.csv"), "id,v\n1,a\n")
-      java.nio.file.Files.writeString(work.resolve("data-2024-01-02.csv"), "id,v\n2,b\n")
-      val ds = Dataset.create(s, work.resolve("ds"), "globds")
-      ds.chain.append(
-        SetPollingSource(readFormat = "csv", schemaDdl = Some("id BIGINT, v STRING"),
-          merge = MergeConf("ledger", primaryKey = Seq("id")),
-          fetch = Some(FetchConf(kind = "filesGlob",
-            glob = Some(work.resolve("data-*.csv").toString),
-            eventTimeRegex = Some("data-(\\d{4}-\\d{2}-\\d{2})\\.csv")))), 0L)
-      IngestWriter.pollOnce(ds, java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli)
-      java.nio.file.Files.writeString(work.resolve("data-2024-01-03.csv"), "id,v\n3,c\n")
-      IngestWriter.pollOnce(ds, java.time.Instant.parse("2024-02-02T00:00:00Z").toEpochMilli)
-      require(
-        IngestWriter.pollOnce(ds,
-          java.time.Instant.parse("2024-02-03T00:00:00Z").toEpochMilli).isEmpty,
-        "a poll with no new files must commit nothing")
+      val work = Fixtures.cached(s"fetch_glob|$dir") {
+        val work = java.nio.file.Files.createTempDirectory("graft-glob-")
+        java.nio.file.Files.writeString(work.resolve("data-2024-01-01.csv"), "id,v\n1,a\n")
+        java.nio.file.Files.writeString(work.resolve("data-2024-01-02.csv"), "id,v\n2,b\n")
+        val ds = Dataset.create(s, work.resolve("ds"), "globds")
+        ds.chain.append(
+          SetPollingSource(readFormat = "csv", schemaDdl = Some("id BIGINT, v STRING"),
+            merge = MergeConf("ledger", primaryKey = Seq("id")),
+            fetch = Some(FetchConf(kind = "filesGlob",
+              glob = Some(work.resolve("data-*.csv").toString),
+              eventTimeRegex = Some("data-(\\d{4}-\\d{2}-\\d{2})\\.csv")))), 0L)
+        IngestWriter.pollOnce(ds, java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli)
+        java.nio.file.Files.writeString(work.resolve("data-2024-01-03.csv"), "id,v\n3,c\n")
+        IngestWriter.pollOnce(ds, java.time.Instant.parse("2024-02-02T00:00:00Z").toEpochMilli)
+        require(
+          IngestWriter.pollOnce(ds,
+            java.time.Instant.parse("2024-02-03T00:00:00Z").toEpochMilli).isEmpty,
+          "a poll with no new files must commit nothing")
+        work
+      }
       Dataset.open(s, work.resolve("ds")).toDF().orderBy(col("offset"))
     },
 
     // ---- fetch: url with mtime/size caching state (SURVEY §2.1 #10): an
     // unchanged source short-circuits to up-to-date; a changed one re-polls.
     "fetch_url" -> { (s, dir) =>
-      val work = java.nio.file.Files.createTempDirectory("graft-furl-")
-      val src = work.resolve("feed.csv")
-      java.nio.file.Files.writeString(src, "id,v\n1,a\n2,b\n")
-      java.nio.file.Files.setLastModifiedTime(src,
-        java.nio.file.attribute.FileTime.fromMillis(1000000L))
-      val ds = Dataset.create(s, work.resolve("ds"), "urlds")
-      ds.chain.append(
-        SetPollingSource(readFormat = "csv", schemaDdl = Some("id BIGINT, v STRING"),
-          merge = MergeConf("ledger", primaryKey = Seq("id")),
-          fetch = Some(FetchConf(kind = "url", url = Some(src.toString)))), 0L)
-      require(IngestWriter.pollOnce(ds,
-        java.time.Instant.parse("2024-03-01T00:00:00Z").toEpochMilli).isDefined)
-      require(IngestWriter.pollOnce(ds,
-        java.time.Instant.parse("2024-03-02T00:00:00Z").toEpochMilli).isEmpty,
-        "unchanged mtime+size must short-circuit")
-      java.nio.file.Files.writeString(src, "id,v\n1,a\n2,b\n3,c\n")
-      java.nio.file.Files.setLastModifiedTime(src,
-        java.nio.file.attribute.FileTime.fromMillis(2000000L))
-      require(IngestWriter.pollOnce(ds,
-        java.time.Instant.parse("2024-03-03T00:00:00Z").toEpochMilli).isDefined)
+      val work = Fixtures.cached(s"fetch_url|$dir") {
+        val work = java.nio.file.Files.createTempDirectory("graft-furl-")
+        val src = work.resolve("feed.csv")
+        java.nio.file.Files.writeString(src, "id,v\n1,a\n2,b\n")
+        java.nio.file.Files.setLastModifiedTime(src,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L))
+        val ds = Dataset.create(s, work.resolve("ds"), "urlds")
+        ds.chain.append(
+          SetPollingSource(readFormat = "csv", schemaDdl = Some("id BIGINT, v STRING"),
+            merge = MergeConf("ledger", primaryKey = Seq("id")),
+            fetch = Some(FetchConf(kind = "url", url = Some(src.toString)))), 0L)
+        require(IngestWriter.pollOnce(ds,
+          java.time.Instant.parse("2024-03-01T00:00:00Z").toEpochMilli).isDefined)
+        require(IngestWriter.pollOnce(ds,
+          java.time.Instant.parse("2024-03-02T00:00:00Z").toEpochMilli).isEmpty,
+          "unchanged mtime+size must short-circuit")
+        java.nio.file.Files.writeString(src, "id,v\n1,a\n2,b\n3,c\n")
+        java.nio.file.Files.setLastModifiedTime(src,
+          java.nio.file.attribute.FileTime.fromMillis(2000000L))
+        require(IngestWriter.pollOnce(ds,
+          java.time.Instant.parse("2024-03-03T00:00:00Z").toEpochMilli).isDefined)
+        work
+      }
       Dataset.open(s, work.resolve("ds")).toDF().orderBy(col("offset"))
     },
 
@@ -1270,35 +1320,41 @@ object SparkEntry {
     // across two polls (second poll re-emits old rows + one new; the
     // left-anti merge keeps only the new one).
     "fetch_container" -> { (s, dir) =>
-      val work = java.nio.file.Files.createTempDirectory("graft-fcont-")
-      val feed = work.resolve("feed.ndjson")
-      java.nio.file.Files.writeString(feed, "{\"id\":1,\"v\":\"a\"}\n{\"id\":2,\"v\":\"b\"}\n")
-      val ds = Dataset.create(s, work.resolve("ds"), "contds")
-      ds.chain.append(
-        SetPollingSource(readFormat = "ndjson", schemaDdl = Some("id BIGINT, v STRING"),
-          merge = MergeConf("ledger", primaryKey = Seq("id")),
-          fetch = Some(FetchConf(kind = "container",
-            command = Some(Seq("sh", "-c", s"cat '$feed'"))))), 0L)
-      require(IngestWriter.pollOnce(ds,
-        java.time.Instant.parse("2024-03-01T00:00:00Z").toEpochMilli).isDefined)
-      java.nio.file.Files.writeString(feed,
-        "{\"id\":1,\"v\":\"a\"}\n{\"id\":2,\"v\":\"b\"}\n{\"id\":3,\"v\":\"c\"}\n")
-      require(IngestWriter.pollOnce(ds,
-        java.time.Instant.parse("2024-03-03T00:00:00Z").toEpochMilli).isDefined)
+      val work = Fixtures.cached(s"fetch_container|$dir") {
+        val work = java.nio.file.Files.createTempDirectory("graft-fcont-")
+        val feed = work.resolve("feed.ndjson")
+        java.nio.file.Files.writeString(feed, "{\"id\":1,\"v\":\"a\"}\n{\"id\":2,\"v\":\"b\"}\n")
+        val ds = Dataset.create(s, work.resolve("ds"), "contds")
+        ds.chain.append(
+          SetPollingSource(readFormat = "ndjson", schemaDdl = Some("id BIGINT, v STRING"),
+            merge = MergeConf("ledger", primaryKey = Seq("id")),
+            fetch = Some(FetchConf(kind = "container",
+              command = Some(Seq("sh", "-c", s"cat '$feed'"))))), 0L)
+        require(IngestWriter.pollOnce(ds,
+          java.time.Instant.parse("2024-03-01T00:00:00Z").toEpochMilli).isDefined)
+        java.nio.file.Files.writeString(feed,
+          "{\"id\":1,\"v\":\"a\"}\n{\"id\":2,\"v\":\"b\"}\n{\"id\":3,\"v\":\"c\"}\n")
+        require(IngestWriter.pollOnce(ds,
+          java.time.Instant.parse("2024-03-03T00:00:00Z").toEpochMilli).isDefined)
+        work
+      }
       Dataset.open(s, work.resolve("ds")).toDF().orderBy(col("offset"))
     },
 
     // ---- to_table resolution (SURVEY §2.3 #37).
     "to_table" -> { (s, dir) =>
-      val work = java.nio.file.Files.createTempDirectory("graft-tt-")
-      java.nio.file.Files.writeString(work.resolve("r1.csv"),
-        "city,population\nvancouver,675000\nseattle,733000\nkyiv,2884000\n")
-      val ds = Dataset.create(s, work.resolve("ds"), "cities")
-      ds.chain.append(
-        SetPollingSource(readFormat = "csv", schemaDdl = Some("city STRING, population INT"),
-          merge = MergeConf("snapshot", primaryKey = Seq("city"))), 0L)
-      IngestWriter.ingestFile(ds, work.resolve("r1.csv").toString,
-        java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+      val work = Fixtures.cached(s"to_table|$dir") {
+        val work = java.nio.file.Files.createTempDirectory("graft-tt-")
+        java.nio.file.Files.writeString(work.resolve("r1.csv"),
+          "city,population\nvancouver,675000\nseattle,733000\nkyiv,2884000\n")
+        val ds = Dataset.create(s, work.resolve("ds"), "cities")
+        ds.chain.append(
+          SetPollingSource(readFormat = "csv", schemaDdl = Some("city STRING, population INT"),
+            merge = MergeConf("snapshot", primaryKey = Seq("city"))), 0L)
+        IngestWriter.ingestFile(ds, work.resolve("r1.csv").toString,
+          java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+        work
+      }
       val qs = new QueryService(s, Map("cities" -> Dataset.open(s, work.resolve("ds"))))
       qs.toTable("cities").select("city", "population").orderBy("city")
     },
@@ -1307,15 +1363,18 @@ object SparkEntry {
     // output is the ordered column list.
     "schema_introspect" -> { (s, dir) =>
       import s.implicits._
-      val work = java.nio.file.Files.createTempDirectory("graft-si-")
-      java.nio.file.Files.writeString(work.resolve("r1.csv"),
-        "city,population\nvancouver,675000\n")
-      val ds = Dataset.create(s, work.resolve("ds"), "cities")
-      ds.chain.append(
-        SetPollingSource(readFormat = "csv", schemaDdl = Some("city STRING, population INT"),
-          merge = MergeConf("snapshot", primaryKey = Seq("city"))), 0L)
-      IngestWriter.ingestFile(ds, work.resolve("r1.csv").toString,
-        java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+      val work = Fixtures.cached(s"schema_introspect|$dir") {
+        val work = java.nio.file.Files.createTempDirectory("graft-si-")
+        java.nio.file.Files.writeString(work.resolve("r1.csv"),
+          "city,population\nvancouver,675000\n")
+        val ds = Dataset.create(s, work.resolve("ds"), "cities")
+        ds.chain.append(
+          SetPollingSource(readFormat = "csv", schemaDdl = Some("city STRING, population INT"),
+            merge = MergeConf("snapshot", primaryKey = Seq("city"))), 0L)
+        IngestWriter.ingestFile(ds, work.resolve("r1.csv").toString,
+          java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+        work
+      }
       val qs = new QueryService(s, Map("cities" -> Dataset.open(s, work.resolve("ds"))))
       val st = org.apache.spark.sql.types.StructType.fromDDL(qs.schemaDdl("cities").get)
       require(
@@ -1331,54 +1390,60 @@ object SparkEntry {
     // ---- fetch: MQTT (SURVEY §2.1 #13): in-process broker, QoS 1 drain,
     // NDJSON batch read back.
     "mqtt_ingest" -> { (s, dir) =>
-      import graft.ingest.Mqtt
-      val msgs = Seq("t" -> "{\"id\":1,\"v\":\"a\"}", "t" -> "{\"id\":2,\"v\":\"b\"}")
-      val server = new java.net.ServerSocket(0)
-      val th = new Thread(() => {
-        val sock = server.accept()
-        try {
-          val in = new java.io.DataInputStream(
-            new java.io.BufferedInputStream(sock.getInputStream))
-          val o = new java.io.DataOutputStream(sock.getOutputStream)
-          Mqtt.readPacket(in) // CONNECT
-          o.write(Mqtt.connackPacket); o.flush()
-          Mqtt.readPacket(in) // SUBSCRIBE
-          o.write(Mqtt.subackPacket(1, 1)); o.flush()
-          msgs.zipWithIndex.foreach { case ((topic, payload), i) =>
-            o.write(Mqtt.publishPacketQos1(topic, payload.getBytes("UTF-8"), 100 + i))
-          }
-          o.flush()
-          (1 to msgs.size).foreach(_ => Mqtt.readPacket(in)) // PUBACKs
-        } finally sock.close()
-      })
-      th.setDaemon(true)
-      th.start()
-      val fetched =
-        try graft.ingest.Fetch.mqtt("127.0.0.1", server.getLocalPort, Seq("t"),
-          idleTimeoutMs = 2000).get
-        finally server.close()
-      graft.ingest.Readers.ndjson(s, fetched.path.toString, Some("id BIGINT, v STRING"))
+      val fetchedPath = Fixtures.cached(s"mqtt_ingest|$dir") {
+        import graft.ingest.Mqtt
+        val msgs = Seq("t" -> "{\"id\":1,\"v\":\"a\"}", "t" -> "{\"id\":2,\"v\":\"b\"}")
+        val server = new java.net.ServerSocket(0)
+        val th = new Thread(() => {
+          val sock = server.accept()
+          try {
+            val in = new java.io.DataInputStream(
+              new java.io.BufferedInputStream(sock.getInputStream))
+            val o = new java.io.DataOutputStream(sock.getOutputStream)
+            Mqtt.readPacket(in) // CONNECT
+            o.write(Mqtt.connackPacket); o.flush()
+            Mqtt.readPacket(in) // SUBSCRIBE
+            o.write(Mqtt.subackPacket(1, 1)); o.flush()
+            msgs.zipWithIndex.foreach { case ((topic, payload), i) =>
+              o.write(Mqtt.publishPacketQos1(topic, payload.getBytes("UTF-8"), 100 + i))
+            }
+            o.flush()
+            (1 to msgs.size).foreach(_ => Mqtt.readPacket(in)) // PUBACKs
+          } finally sock.close()
+        })
+        th.setDaemon(true)
+        th.start()
+        val fetched =
+          try graft.ingest.Fetch.mqtt("127.0.0.1", server.getLocalPort, Seq("t"),
+            idleTimeoutMs = 2000).get
+          finally server.close()
+        fetched.path.toString
+      }
+      graft.ingest.Readers.ndjson(s, fetchedPath, Some("id BIGINT, v STRING"))
         .orderBy("id")
     },
 
     // ---- fetch: EthereumLogs (SURVEY §2.1 #14): block-range drain with
     // resume state over a deterministic fake transport.
     "eth_logs" -> { (s, dir) =>
-      import graft.ingest.EthLogs
-      val rpc = new EthLogs.EthRpc {
-        override def blockNumber(): Long = 120L
-        override def getLogs(from: Long, to: Long, f: EthLogs.LogFilter): Seq[EthLogs.EthLog] =
-          (from to to).filter(_ % 10 == 0).map(b =>
-            EthLogs.EthLog(b, s"0xtx$b", b % 4, "0xcontract", Seq("0xtopic0"), s"0xdata$b"))
+      val (p1, p2) = Fixtures.cached(s"eth_logs|$dir") {
+        import graft.ingest.EthLogs
+        val rpc = new EthLogs.EthRpc {
+          override def blockNumber(): Long = 120L
+          override def getLogs(from: Long, to: Long, f: EthLogs.LogFilter): Seq[EthLogs.EthLog] =
+            (from to to).filter(_ % 10 == 0).map(b =>
+              EthLogs.EthLog(b, s"0xtx$b", b % 4, "0xcontract", Seq("0xtopic0"), s"0xdata$b"))
+        }
+        val filter = EthLogs.LogFilter(fromBlock = Some(0))
+        val f1 = EthLogs.fetch(rpc, filter, None, batchBlocks = 50, maxBatches = 1).get
+        val f2 = EthLogs.fetch(rpc, filter, f1.sourceState, batchBlocks = 50, maxBatches = 2).get
+        require(EthLogs.fetch(rpc, filter, f2.sourceState, 50, 2).isEmpty,
+          "a drain past the head must be up-to-date")
+        (f1.path.toString, f2.path.toString)
       }
-      val filter = EthLogs.LogFilter(fromBlock = Some(0))
-      val f1 = EthLogs.fetch(rpc, filter, None, batchBlocks = 50, maxBatches = 1).get
-      val f2 = EthLogs.fetch(rpc, filter, f1.sourceState, batchBlocks = 50, maxBatches = 2).get
-      require(EthLogs.fetch(rpc, filter, f2.sourceState, 50, 2).isEmpty,
-        "a drain past the head must be up-to-date")
       val ddl = "blockNumber BIGINT, transactionHash STRING, logIndex BIGINT, data STRING"
-      graft.ingest.Readers.ndjson(s, f1.path.toString, Some(ddl))
-        .unionByName(graft.ingest.Readers.ndjson(s, f2.path.toString, Some(ddl)))
+      graft.ingest.Readers.ndjson(s, p1, Some(ddl))
+        .unionByName(graft.ingest.Readers.ndjson(s, p2, Some(ddl)))
         .orderBy(col("blockNumber"))
     }
   )

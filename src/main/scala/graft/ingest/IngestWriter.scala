@@ -130,7 +130,11 @@ object IngestWriter {
           physicalHash = physicalHash,
           logicalHash = logical,
           newWatermark = stats.newWatermark.map(_.getTime),
-          sourceState = sourceState
+          sourceState = sourceState,
+          logicalHashSha3 =
+            if (graft.operators.RecordDigest.enabled(ds.spark))
+              Some(graft.operators.RecordDigest.digest(written.orderBy(vocab.offsetColumn)))
+            else None
         )
         chain.append(event, systemTime)
         // Roll the state cache forward incrementally: project(old state ∪ new

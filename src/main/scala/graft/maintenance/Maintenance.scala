@@ -225,6 +225,17 @@ object Maintenance {
               )
             if (df.count() != s.numRecords)
               issues += SliceIssue(s.physicalHash, "record count mismatch")
+            // second logical hash (SHA3-256 record digest) — checked
+            // whenever the commit recorded one
+            s.logicalHashSha3.foreach { expected =>
+              val vocab = chain.vocabulary()
+              val sha3 = graft.operators.RecordDigest.digest(df.orderBy(vocab.offsetColumn))
+              if (sha3 != expected)
+                issues += SliceIssue(
+                  s.physicalHash,
+                  s"sha3 record digest mismatch: $sha3 vs $expected"
+                )
+            }
           } catch {
             case e: Exception =>
               issues += SliceIssue(s.physicalHash, s"slice unreadable: ${e.getMessage}")

@@ -98,7 +98,11 @@ object MetadataEvent {
       physicalHash: String,
       logicalHash: String,
       newWatermark: Option[Long],
-      sourceState: Option[String] = None
+      sourceState: Option[String] = None,
+      // optional second logical hash: layout-independent SHA3-256 record
+      // digest (operators.RecordDigest; hash.rs:24-64 family). Stamped when
+      // spark.graft.digest.sha3=true; verify checks it whenever present.
+      logicalHashSha3: Option[String] = None
   ) extends MetadataEvent
 
   /** Content-addressed reference to an engine checkpoint directory — the

@@ -1,0 +1,111 @@
+package graft
+
+import java.io.{BufferedReader, ByteArrayOutputStream, PrintStream, StringReader}
+import java.nio.file.Files
+
+import graft.dataset.Dataset
+import graft.ingest.IngestWriter
+import graft.model.MergeConf
+import graft.model.MetadataEvent.SetPollingSource
+
+/** Scripted stdin/stdout coverage of every Cli subcommand against a temp
+  * workspace (the reference's e2e CLI suites, in miniature). */
+class CliSpec extends SparkSpec {
+
+  private def runCli(args: String*): (Int, String) = runCliIn("", args: _*)
+
+  private def runCliIn(stdin: String, args: String*): (Int, String) = {
+    val bos = new ByteArrayOutputStream()
+    val code = Cli.run(spark, args.toSeq, new BufferedReader(new StringReader(stdin)),
+      new PrintStream(bos, true, "UTF-8"))
+    (code, bos.toString("UTF-8"))
+  }
+
+  private lazy val ws = {
+    val root = Files.createTempDirectory("graft-cli-ws-")
+    val csv = root.resolve("cities.csv")
+    Files.writeString(csv, "city,population\nvancouver,675000\nseattle,733000\n")
+    val ds = Dataset.create(spark, root.resolve("cities"), "cities")
+    ds.chain.append(
+      SetPollingSource(readFormat = "csv", schemaDdl = Some("city STRING, population INT"),
+        merge = MergeConf("snapshot", primaryKey = Seq("city"))), 0L)
+    IngestWriter.ingestFile(ds, csv.toString,
+      java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+    (root, csv)
+  }
+
+  test("list names workspace datasets") {
+    val (root, _) = ws
+    val (code, outStr) = runCli("--workspace", root.toString, "list")
+    assert(code === 0 && outStr.trim === "cities")
+  }
+
+  test("sql -c runs one statement as CSV") {
+    val (root, _) = ws
+    val (code, outStr) = runCli("--workspace", root.toString,
+      "sql", "-c", "SELECT city, population FROM cities ORDER BY city")
+    assert(code === 0)
+    assert(outStr.linesIterator.toSeq === Seq("city,population", "seattle,733000", "vancouver,675000"))
+  }
+
+  test("sql REPL executes statements line by line, survives errors, exits") {
+    val (root, _) = ws
+    val script = "SELECT count(*) AS n FROM cities\nSELECT broken FROM nowhere\nexit\n"
+    val (code, outStr) = runCliIn(script, "--workspace", root.toString, "sql")
+    assert(code === 0)
+    assert(outStr.contains("n\n2") || outStr.contains("n\r\n2"))
+    assert(outStr.contains("error:"))
+  }
+
+  test("tail and schema") {
+    val (root, _) = ws
+    val (c1, tailOut) = runCli("--workspace", root.toString, "tail", "cities", "1")
+    assert(c1 === 0 && tailOut.linesIterator.size === 2) // header + 1 row
+    val (c2, ddl) = runCli("--workspace", root.toString, "schema", "cities")
+    assert(c2 === 0 && ddl.contains("city") && ddl.contains("population"))
+  }
+
+  test("log lists chain blocks newest-first") {
+    val (root, _) = ws
+    val (code, outStr) = runCli("--workspace", root.toString, "log", "cities")
+    assert(code === 0)
+    val kinds = outStr.linesIterator.map(_.split(" ").last).toSeq
+    assert(kinds.head === "AddData" && kinds.last === "Seed")
+  }
+
+  test("ingest is idempotent (second identical round reports up to date)") {
+    val (root, csv) = ws
+    val (code, outStr) = runCli("--workspace", root.toString,
+      "ingest", "cities", csv.toString, "2024-02-01T00:00:00Z")
+    assert(code === 0 && outStr.trim === "up to date")
+  }
+
+  test("verify reports ok; compact folds slices; reset rewinds") {
+    val (root, csv) = ws
+    // second batch so compaction has two slices to fold
+    Files.writeString(csv, "city,population\nvancouver,675000\nseattle,733000\nkyiv,2884000\n")
+    val (ci, ingOut) = runCli("--workspace", root.toString,
+      "ingest", "cities", csv.toString, "2024-03-01T00:00:00Z")
+    assert(ci === 0 && ingOut.contains("committed"))
+
+    val (cv, vOut) = runCli("--workspace", root.toString, "verify", "cities")
+    assert(cv === 0 && vOut.trim === "ok")
+
+    val (cc, cOut) = runCli("--workspace", root.toString, "compact", "cities")
+    assert(cc === 0 && cOut.contains("-> 1"))
+
+    // reset to the post-compaction head (compaction rewrote the chain, so
+    // pre-compaction hashes are gone; a head reset is still a full exercise
+    // of the command path)
+    val headAfter = Dataset.open(spark, root.resolve("cities")).chain.head.get._2
+    val (cr, rOut) = runCli("--workspace", root.toString, "reset", "cities", headAfter)
+    assert(cr === 0 && rOut.contains(headAfter))
+  }
+
+  test("unknown command and unknown dataset fail with nonzero exit") {
+    val (root, _) = ws
+    assert(runCli("--workspace", root.toString, "frobnicate")._1 === 2)
+    val (code, outStr) = runCli("--workspace", root.toString, "tail", "nope")
+    assert(code === 1 && outStr.contains("error:"))
+  }
+}
