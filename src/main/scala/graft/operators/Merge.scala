@@ -60,29 +60,74 @@ object MergeStrategy {
    */
   final case class Ledger(
       primaryKey: Seq[String],
-      vocab: DatasetVocabulary = DatasetVocabulary.Default
+      vocab: DatasetVocabulary = DatasetVocabulary.Default,
+      // bloom pre-prune of the prior key set: only prior keys that MIGHT
+      // collide with the incoming batch are carried into the anti join.
+      // Kicks in when the prior key scan is too big to broadcast anyway.
+      bloomPrune: Boolean = true,
+      bloomPruneMinPrevBytes: Long = 32L << 20,
+      bloomFpp: Double = 0.02
   ) extends MergeStrategy {
     require(primaryKey.nonEmpty, "ledger merge requires a primary key")
 
     override def merge(prev: Option[DataFrame], incoming: DataFrame): DataFrame = {
       val unseen = prev match {
-        // Anti join probes the full prior key set. The probe side reads ONLY
-        // the key columns (column pruning reaches the scan); the shuffle_hash
+        // Anti join probes the prior key set. The probe side reads ONLY the
+        // key columns (column pruning reaches the scan); the shuffle_hash
         // hint keeps the plan a shuffled hash join — sort-merge would sort
         // BOTH sides, and for an anti join the sort buys nothing (the build
         // side is a hash set of keys). Catalyst still upgrades to broadcast
-        // when the prior key set is small enough.
+        // when the (pruned) prior key set is small enough.
         case Some(p) =>
-          incoming.join(
-            p.select(primaryKey.map(col): _*).hint("shuffle_hash"),
-            primaryKey,
-            "left_anti")
+          val pKeys = p.select(primaryKey.map(col): _*)
+          incoming.join(pruneProbeSide(pKeys, incoming).hint("shuffle_hash"),
+            primaryKey, "left_anti")
         case None =>
           // Validate PK columns exist even on the first batch.
           incoming.select(primaryKey.map(col): _*)
           incoming
       }
       withOpFirst(unseen.withColumn(vocab.operationTypeColumn, lit(Op.Append)), vocab)
+    }
+
+    /**
+     * At scale the prior ledger dwarfs the incoming batch (100 TB history vs
+     * one ingest round), and shuffling every prior key to anti-join a small
+     * batch is the dominant cost. Build a bloom filter over the INCOMING key
+     * hashes (one pass over the small side) and filter the prior key scan
+     * with Spark's native `BloomFilterMightContain` BEFORE the exchange:
+     * prior keys that cannot match any incoming key never shuffle. False
+     * positives only admit extra candidates — the anti join on the real key
+     * columns stays exact. Ledger keys are unique by construction, so the
+     * surviving candidate set is bounded by the incoming key count (+fpp)
+     * and AQE typically finishes with a broadcast anti join — the reference
+     * shape ledger.rs:37-80 with the probe cost made proportional to the
+     * batch, not the history.
+     */
+    private def pruneProbeSide(pKeys: DataFrame, incoming: DataFrame): DataFrame = {
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.graftshim.{columnOf, expressionOf}
+      val prevBytes = pKeys.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (!bloomPrune || prevBytes < BigInt(bloomPruneMinPrevBytes)) return pKeys
+      val keyHash = xxhash64(primaryKey.map(col): _*)
+      // one codegen'd aggregate pass over the incoming batch builds the
+      // filter (Spark's native BloomFilterAggregate — the same kernel the
+      // runtime-filter optimization uses); item estimate from plan stats,
+      // overshooting only costs filter bits
+      val incBytes = incoming.queryExecution.optimizedPlan.stats.sizeInBytes
+      val estItems = (incBytes / 8).max(BigInt(1L << 20)).min(BigInt(1L << 27)).toLong
+      val numBits = (estItems * 8).min(1L << 29)
+      val bytes = incoming
+        .select(columnOf(new BloomFilterAggregate(
+          expressionOf(keyHash), Literal(estItems), Literal(numBits)
+        ).toAggregateExpression()).as("bf"))
+        .head()
+        .getAs[Array[Byte]](0)
+      if (bytes == null) return pKeys // empty incoming: nothing can match
+      pKeys.where(columnOf(BloomFilterMightContain(
+        Literal(bytes, org.apache.spark.sql.types.BinaryType),
+        expressionOf(keyHash))))
     }
 
     override def sortOrder(df: DataFrame): Seq[Column] = {

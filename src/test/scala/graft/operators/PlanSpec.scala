@@ -46,6 +46,28 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "anti join fell back to sorting both sides")
   }
 
+  test("ledger bloom pre-prune: prior keys filtered by might_contain BEFORE the join, result exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-bloom-")
+    spark.range(1000).select(col("id").as("pk"), col("id").as("a"), col("id").as("b"))
+      .write.parquet(dir.resolve("prev").toString)
+    val prev = spark.read.parquet(dir.resolve("prev").toString)
+    val incoming = spark.range(500, 1500).select(col("id").as("pk"), col("id").as("v"))
+    // force the prune on (the fixture is tiny; at real scale the stats
+    // threshold triggers it), and check plan + semantics
+    val pruned = MergeStrategy.Ledger(Seq("pk"), bloomPruneMinPrevBytes = 0L)
+      .merge(Some(prev), incoming)
+    val plain = MergeStrategy.Ledger(Seq("pk"), bloomPrune = false)
+      .merge(Some(prev), incoming)
+    val plan = formatted(pruned)
+    assert(plan.contains("might_contain"), plan)
+    assert(plan.contains("ReadSchema: struct<pk:bigint>"), plan)
+    assertSameRows(
+      pruned.select("pk", "v").orderBy("pk"),
+      plain.select("pk", "v").orderBy("pk"),
+      ordered = true)
+    assert(pruned.count() === 500) // keys 1000..1499 are unseen
+  }
+
   test("filters and projections push down into parquet scans") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan2-")
     spark.range(1000).select(
