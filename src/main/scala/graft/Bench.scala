@@ -15,6 +15,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Optional comma-separated subset (e.g. the 15 classics at an alternate
+    // scale factor) — everything else about the harness stays identical.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -33,7 +41,7 @@ object Bench {
     // on the first higher-order-function-heavy query in a fresh JVM).
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     // Additional FULL-SCALE warm pass for the interpreted higher-order-
@@ -43,7 +51,7 @@ object Bench {
     // MinHash plan — and the sf0.001 pass above provably does not reach it.
     // Without this, a single noisy host run can record a 10x phantom.
     Seq("dedup_minhash", "corpus_filter", "ngram_jaccard").foreach { n =>
-      SparkEntry.queries.get(n).foreach { fn =>
+      selected.get(n).foreach { fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     }
@@ -60,7 +68,7 @@ object Bench {
     // for the identical MinHash plan). Steady-state is what the baseline
     // table records; cold-start is a JVM property, not an operator property.
     var errors = Map.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()

@@ -63,10 +63,14 @@ object MergeStrategy {
       vocab: DatasetVocabulary = DatasetVocabulary.Default,
       // bloom pre-prune of the prior key set: only prior keys that MIGHT
       // collide with the incoming batch are carried into the anti join.
-      // Kicks in when the prior key scan is too big to broadcast anyway.
+      // Kicks in when the prior key scan is too big to broadcast anyway AND
+      // the history dwarfs the batch — pruning costs one extra pass over the
+      // incoming side plus a per-prior-row filter probe, which only pays off
+      // when it removes most of the prior keys (measured: 3x SLOWER at
+      // incoming = prev/2, the criterion bench shape).
       bloomPrune: Boolean = true,
       bloomPruneMinPrevBytes: Long = 32L << 20,
-      bloomFpp: Double = 0.02
+      bloomPruneMinPrevToIncomingRatio: Double = 8.0
   ) extends MergeStrategy {
     require(primaryKey.nonEmpty, "ledger merge requires a primary key")
 
@@ -109,13 +113,19 @@ object MergeStrategy {
       import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
       import org.apache.spark.sql.graftshim.{columnOf, expressionOf}
       val prevBytes = pKeys.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (!bloomPrune || prevBytes < BigInt(bloomPruneMinPrevBytes)) return pKeys
+      val incBytes = incoming.queryExecution.optimizedPlan.stats.sizeInBytes
+      // Both gates are plan-stats driven: an absolute floor (below it the
+      // anti join broadcasts anyway) and a relative one (pruning a history
+      // comparable in size to the batch removes too little to repay the
+      // bloom-build pass + per-row probe).
+      if (!bloomPrune || prevBytes < BigInt(bloomPruneMinPrevBytes) ||
+        BigDecimal(prevBytes) < BigDecimal(incBytes) * bloomPruneMinPrevToIncomingRatio)
+        return pKeys
       val keyHash = xxhash64(primaryKey.map(col): _*)
       // one codegen'd aggregate pass over the incoming batch builds the
       // filter (Spark's native BloomFilterAggregate — the same kernel the
       // runtime-filter optimization uses); item estimate from plan stats,
       // overshooting only costs filter bits
-      val incBytes = incoming.queryExecution.optimizedPlan.stats.sizeInBytes
       val estItems = (incBytes / 8).max(BigInt(1L << 20)).min(BigInt(1L << 27)).toLong
       val numBits = (estItems * 8).min(1L << 29)
       val bytes = incoming

@@ -54,7 +54,8 @@ class PlanSpec extends SparkSpec {
     val incoming = spark.range(500, 1500).select(col("id").as("pk"), col("id").as("v"))
     // force the prune on (the fixture is tiny; at real scale the stats
     // threshold triggers it), and check plan + semantics
-    val pruned = MergeStrategy.Ledger(Seq("pk"), bloomPruneMinPrevBytes = 0L)
+    val pruned = MergeStrategy.Ledger(Seq("pk"),
+      bloomPruneMinPrevBytes = 0L, bloomPruneMinPrevToIncomingRatio = 0.0)
       .merge(Some(prev), incoming)
     val plain = MergeStrategy.Ledger(Seq("pk"), bloomPrune = false)
       .merge(Some(prev), incoming)

@@ -7,6 +7,7 @@ Also times every SparkEntry oracle query at a given sf dir:
   python3 tools/criterion_duckdb.py [sfDir verifyOutDir]
 """
 import json
+import os
 import sys
 import time
 
@@ -42,6 +43,11 @@ SELECT count(*) FROM read_parquet('{OUT}/ledger_new/*.parquet') n
 WHERE NOT EXISTS (SELECT 1 FROM read_parquet('{OUT}/ledger_prev/*.parquet') p WHERE p.pk = n.pk)
 """
 
+LEDGER_SMALL = f"""
+SELECT count(*) FROM read_parquet('{OUT}/ledger_new_small/*.parquet') n
+WHERE NOT EXISTS (SELECT 1 FROM read_parquet('{OUT}/ledger_prev/*.parquet') p WHERE p.pk = n.pk)
+"""
+
 
 def bench(con, name, sql):
     con.execute(sql)  # cold/warm-up
@@ -60,7 +66,10 @@ def main():
     con = duckdb.connect()
     con.execute("SET threads TO 32")
     out = {}
-    for name, sql in [("cdc_project", CDC_PROJECT), ("snapshot_merge", SNAPSHOT), ("ledger_merge", LEDGER)]:
+    shapes = [("cdc_project", CDC_PROJECT), ("snapshot_merge", SNAPSHOT), ("ledger_merge", LEDGER)]
+    if os.path.isdir(f"{OUT}/ledger_new_small"):
+        shapes.append(("ledger_merge_small", LEDGER_SMALL))
+    for name, sql in shapes:
         n, t, rows = bench(con, name, sql)
         out[n] = {"warm": round(t, 4), "rows": rows}
     print("CRITERION_DUCKDB", json.dumps(out))
