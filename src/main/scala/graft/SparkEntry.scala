@@ -110,11 +110,25 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
     "q3_shipping_priority" -> { (s, dir) =>
-      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-      val ord = t(s, dir, "orders").filter(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
-      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > to_timestamp(lit("1998-01-01 00:00:00")))
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      // Filter orders through the BUILDING customers FIRST (AQE broadcasts
+      // the customer side while it fits — no static hint, it grows with
+      // scale), then join lineitem against the shrunken orders with a
+      // shuffled-hash hint: the orders side builds a hash table and the
+      // 10x-larger lineitem side streams, where sort-merge would sort BOTH
+      // fact tables just to aggregate afterwards. (A lineitem pre-agg by
+      // l_orderkey measures SLOWER at sf10 — one hash group per order is
+      // most of the fact table, so it saves nothing.)
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01 00:00:00")))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(
           sum(
@@ -126,18 +140,36 @@ object SparkEntry {
         .limit(10)
     },
     "q5_local_supplier_volume" -> { (s, dir) =>
-      val dims = broadcast(
+      // Catalyst does not reorder joins without CBO stats, so the declared
+      // order IS the plan: push the region filter into supplier and customer
+      // through the constant-size dims broadcast FIRST. The fact pipeline
+      // then carries only ASIA rows — lineitem joins a shrunken supplier
+      // side (AQE broadcasts it while it fits; no static hint, it grows
+      // with scale) instead of shuffling full-width three times before the
+      // filter applies (measured 4x at sf10). Same shape the reference's
+      // DataFusion optimizer reaches via its own filter pushdown.
+      val asia = broadcast(
         t(s, dir, "nation")
           .join(t(s, dir, "region").filter(col("r_name") === "ASIA"), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
       )
+      val suppAsia = t(s, dir, "supplier")
+        .join(asia, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val custAsia = t(s, dir, "customer")
+        .join(asia.select(col("n_nationkey")), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"))
+      val ordAsia = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(custAsia, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"))
       t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+        .join(suppAsia, col("l_suppkey") === col("s_suppkey"))
         .join(
-          t(s, dir, "supplier"),
-          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey")
+          ordAsia,
+          col("l_orderkey") === col("o_orderkey") && col("c_nationkey") === col("s_nationkey")
         )
-        .join(dims, col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
           sum(
