@@ -166,8 +166,12 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
         .join(suppAsia, col("l_suppkey") === col("s_suppkey"))
+        // shuffled-hash, not sort-merge: the build side is hashed per
+        // partition (partition-size-bounded) and neither fact side is
+        // sorted; AQE still upgrades to broadcast when the pruned orders
+        // side fits.
         .join(
-          ordAsia,
+          ordAsia.hint("shuffle_hash"),
           col("l_orderkey") === col("o_orderkey") && col("c_nationkey") === col("s_nationkey")
         )
         .groupBy(col("n_name"))

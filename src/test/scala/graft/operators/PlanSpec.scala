@@ -69,6 +69,23 @@ class PlanSpec extends SparkSpec {
     assert(pruned.count() === 500) // keys 1000..1499 are unseen
   }
 
+  test("q3/q5 fact joins never sort-merge and lineitem scans stay pruned") {
+    // The round-5 sf10 run showed these two queries collapse when the
+    // declared join order shuffles the fact table before the dimension
+    // filters apply; pin the properties of the fixed shapes.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val q3 = formatted(graft.SparkEntry.queries("q3_shipping_priority")(spark, dir))
+    assert(!q3.contains("SortMergeJoin"), "q3 fell back to sorting both fact tables")
+    assert(!q3.contains("CartesianProduct"), q3)
+    val q5 = formatted(graft.SparkEntry.queries("q5_local_supplier_volume")(spark, dir))
+    assert(!q5.contains("SortMergeJoin"), "q5 fell back to sorting fact tables")
+    assert(!q5.contains("CartesianProduct"), q5)
+    assert(
+      q5.contains("struct<l_orderkey:bigint,l_suppkey:bigint,l_extendedprice:double,l_discount:double>"),
+      "q5 lineitem scan reads more than the 4 needed columns:\n" + q5)
+  }
+
   test("filters and projections push down into parquet scans") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan2-")
     spark.range(1000).select(
