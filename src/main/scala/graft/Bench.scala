@@ -23,7 +23,7 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -32,6 +32,19 @@ object Bench {
       // Shuffle/spill scratch on tmpfs — the local-mode analog of a
       // cluster's NVMe spark.local.dir; /tmp on this host is spinning ext4.
       .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      // Coalesce post-shuffle partitions to size, not to parallelism: tiny
+      // stages collapse to 1-2 tasks (A/B: 8.18s -> 6.43s over the 15
+      // classics at sf0.1) while the 8 MiB advisory keeps mid-size shuffles
+      // wide enough to feed all 32 threads (sf10 within noise both ways).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    // Optional extra session confs for tuning experiments, e.g.
+    // SPARK_GRAFT_CONF="spark.sql.adaptive.coalescePartitions.parallelismFirst=false;..."
+    val spark = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";").toSeq).filter(_.contains("="))
+      .foldLeft(builder) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
