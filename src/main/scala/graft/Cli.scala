@@ -28,6 +28,8 @@ import graft.query.QueryService
  *   log DATASET                   metadata chain blocks, newest first
  *   ingest DATASET FILE [ISO8601] ingest a file through the polling source
  *   poll DATASET [ISO8601]        one fetch+ingest poll round
+ *   pull DATASET [ISO8601]        recursive pull: poll roots, run transforms
+ *                                 in dependency order (kamu pull --recursive)
  *   verify DATASET                integrity check (hashes + replay)
  *   compact DATASET [MAXRECORDS]  compact slices (atomic swap)
  *   reset DATASET BLOCKHASH       rewind head
@@ -66,6 +68,7 @@ object Cli {
         case "log" :: ds :: Nil            => cmdLog(spark, wsOpt, ds, out)
         case "ingest" :: ds :: file :: t   => cmdIngest(spark, wsOpt, ds, file, isoOrNow(t.headOption), out)
         case "poll" :: ds :: t             => cmdPoll(spark, wsOpt, ds, isoOrNow(t.headOption), out)
+        case "pull" :: ds :: t             => cmdPull(spark, wsOpt, ds, isoOrNow(t.headOption), out)
         case "verify" :: ds :: Nil         => cmdVerify(spark, wsOpt, ds, out)
         case "compact" :: ds :: restN      => cmdCompact(spark, wsOpt, ds, restN.headOption.map(_.toLong), out)
         case "reset" :: ds :: hash :: Nil  => cmdReset(spark, wsOpt, ds, hash, out)
@@ -164,6 +167,28 @@ object Cli {
       case Some(add) => out.println(s"committed offsets ${add.offsetStart}..${add.offsetEnd}"); 0
       case None      => out.println("up to date"); 0
     }
+  }
+
+  private def cmdPull(spark: SparkSession, ws: String, ds: String,
+      systemTime: Long, out: PrintStream): Int = {
+    import graft.transform.TransformService
+    val datasets = workspaceDatasets(spark, ws)
+    val target = datasets.getOrElse(
+      ds, throw new IllegalArgumentException(s"no dataset '$ds' in workspace $ws"))
+    val resolve = (name: String) => datasets.getOrElse(
+      name, throw new IllegalArgumentException(s"unknown input dataset '$name'"))
+    TransformService.pullRecursive(target, resolve, systemTime).foreach {
+      case (name, TransformService.RootUpdated(add)) =>
+        out.println(s"$name: committed offsets ${add.offsetStart}..${add.offsetEnd}")
+      case (name, TransformService.RootUpToDate) =>
+        out.println(s"$name: up to date")
+      case (name, TransformService.Derived(TransformService.Updated(ev))) =>
+        val range = ev.newData.map(d => s"${d.offsetStart}..${d.offsetEnd}").getOrElse("none")
+        out.println(s"$name: transformed, offsets $range")
+      case (name, TransformService.Derived(TransformService.UpToDate)) =>
+        out.println(s"$name: up to date")
+    }
+    0
   }
 
   private def cmdVerify(spark: SparkSession, ws: String, ds: String, out: PrintStream): Int = {

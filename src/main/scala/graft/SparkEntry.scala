@@ -1303,6 +1303,63 @@ object SparkEntry {
       Dataset.open(s, work.resolve("ds")).toDF().orderBy(col("offset"))
     },
 
+    // ---- recursive pull (pull_command.rs, pull_request_planner_impl.rs):
+    // a depth-2 dependency chain — polling root -> x10 transform -> +5
+    // transform — driven ONLY by TransformService.pullRecursive on the leaf:
+    // each pull polls the root and runs both transforms in dependency order;
+    // the third pull is a full-graph no-op.
+    "pull_recursive" -> { (s, dir) =>
+      val work = Fixtures.cached(s"pull_recursive|$dir") {
+        val work = java.nio.file.Files.createTempDirectory("graft-pull-")
+        java.nio.file.Files.writeString(
+          work.resolve("cities-2024-01-01.csv"),
+          "city,population\nvancouver,675000\nseattle,733000\nkyiv,2884000\n")
+        val root = Dataset.create(s, work.resolve("cities"), "cities")
+        root.chain.append(
+          SetPollingSource(readFormat = "csv",
+            schemaDdl = Some("city STRING, population INT"),
+            merge = MergeConf("snapshot", primaryKey = Seq("city")),
+            fetch = Some(FetchConf(kind = "filesGlob",
+              glob = Some(work.resolve("cities-*.csv").toString),
+              eventTimeRegex = Some("cities-(\\d{4}-\\d{2}-\\d{2})\\.csv")))), 0L)
+        val x10 = Dataset.create(s, work.resolve("cities_x10"), "cities_x10", kind = "derivative")
+        TransformService.setTransform(x10, inputs = Seq("cities"),
+          steps = Seq(SqlStep(None,
+            "SELECT op, event_time, city, population * 10 AS population FROM cities")),
+          systemTime = 0L)
+        val p5 = Dataset.create(s, work.resolve("cities_p5"), "cities_p5", kind = "derivative")
+        TransformService.setTransform(p5, inputs = Seq("cities_x10"),
+          steps = Seq(SqlStep(None,
+            "SELECT op, event_time, city, population + 5 AS population FROM cities_x10")),
+          systemTime = 0L)
+
+        def t(iso: String) = java.time.Instant.parse(iso).toEpochMilli
+        val byName = Map(
+          "cities" -> work.resolve("cities"),
+          "cities_x10" -> work.resolve("cities_x10"),
+          "cities_p5" -> work.resolve("cities_p5"))
+        val resolve = (n: String) => Dataset.open(s, byName(n))
+        def pull(iso: String) =
+          TransformService.pullRecursive(Dataset.open(s, byName("cities_p5")), resolve, t(iso))
+
+        val r1 = pull("2024-01-05T00:00:00Z")
+        require(r1.map(_._1) == Seq("cities", "cities_x10", "cities_p5"),
+          s"pull order must be dependency order: $r1")
+        java.nio.file.Files.writeString(
+          work.resolve("cities-2024-02-01.csv"),
+          "city,population\nvancouver,675000\nseattle,750000\nodessa,1015000\n")
+        pull("2024-02-05T00:00:00Z")
+        val r3 = pull("2024-03-05T00:00:00Z")
+        require(r3.forall {
+          case (_, TransformService.RootUpToDate)                         => true
+          case (_, TransformService.Derived(TransformService.UpToDate))   => true
+          case _                                                          => false
+        }, s"third pull must be a full-graph no-op: $r3")
+        work
+      }
+      Dataset.open(s, work.resolve("cities_p5")).toDF().orderBy(col("offset"))
+    },
+
     // ---- fetch: filesGlob with event-time-from-path (SURVEY §2.1 #11):
     // two polls; the second sees only the new file, the third is a no-op.
     "fetch_glob" -> { (s, dir) =>
@@ -1828,6 +1885,17 @@ object SparkEntry {
         |  (CAST(4 AS BIGINT), CAST(1 AS INT), TIMESTAMP '2024-02-05 00:00:00', TIMESTAMP '2024-02-01 00:00:00', 'kyiv', 28840000),
         |  (CAST(5 AS BIGINT), CAST(2 AS INT), TIMESTAMP '2024-02-05 00:00:00', TIMESTAMP '2024-02-01 00:00:00', 'seattle', 7330000),
         |  (CAST(6 AS BIGINT), CAST(3 AS INT), TIMESTAMP '2024-02-05 00:00:00', TIMESTAMP '2024-02-01 00:00:00', 'seattle', 7500000)
+        |) AS t("offset", op, system_time, event_time, city, population)
+        |ORDER BY "offset"""".stripMargin,
+    "pull_recursive" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-01-05 00:00:00', TIMESTAMP '2024-01-01 00:00:00', 'kyiv', 28840005),
+        |  (CAST(1 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-01-05 00:00:00', TIMESTAMP '2024-01-01 00:00:00', 'seattle', 7330005),
+        |  (CAST(2 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-01-05 00:00:00', TIMESTAMP '2024-01-01 00:00:00', 'vancouver', 6750005),
+        |  (CAST(3 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-02-05 00:00:00', TIMESTAMP '2024-02-01 00:00:00', 'odessa', 10150005),
+        |  (CAST(4 AS BIGINT), CAST(1 AS INT), TIMESTAMP '2024-02-05 00:00:00', TIMESTAMP '2024-02-01 00:00:00', 'kyiv', 28840005),
+        |  (CAST(5 AS BIGINT), CAST(2 AS INT), TIMESTAMP '2024-02-05 00:00:00', TIMESTAMP '2024-02-01 00:00:00', 'seattle', 7330005),
+        |  (CAST(6 AS BIGINT), CAST(3 AS INT), TIMESTAMP '2024-02-05 00:00:00', TIMESTAMP '2024-02-01 00:00:00', 'seattle', 7500005)
         |) AS t("offset", op, system_time, event_time, city, population)
         |ORDER BY "offset"""".stripMargin,
     "query_service_sql" ->

@@ -159,4 +159,78 @@ object TransformService {
     output.chain.append(event, systemTime)
     Updated(event)
   }
+
+  // ------------------------------------------------------------ pull plan
+
+  /** One dataset's outcome in a recursive pull. */
+  sealed trait PullResult
+  /** Root dataset: one poll round committed new data. */
+  final case class RootUpdated(event: graft.model.MetadataEvent.AddData) extends PullResult
+  /** Root dataset: polled, nothing new (or polling disabled for this run). */
+  case object RootUpToDate extends PullResult
+  /** Derivative dataset: transform executed (or found up to date). */
+  final case class Derived(result: TransformResult) extends PullResult
+
+  /**
+   * Dependency-ordered pull plan for a target dataset: walk `SetTransform`
+   * inputs depth-first assigning every dataset the depth `1 + max(inputs)`
+   * (roots = 0); datasets sharing a depth are independent of each other, so
+   * the plan is a list of LEVELS in execution order — the reference's
+   * `PullGraphDepthFirstTraversal` (pull_request_planner_impl.rs:56-100).
+   * Throws on a dependency cycle (`IllegalStateException`).
+   */
+  def pullPlan(target: Dataset, resolve: String => Dataset): Seq[Seq[Dataset]] = {
+    val depths = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val byName = scala.collection.mutable.Map.empty[String, Dataset]
+    def visit(ds: Dataset, visiting: List[String]): Int = {
+      val name = ds.name
+      if (visiting.contains(name))
+        throw new IllegalStateException(
+          s"dependency cycle: ${(name :: visiting).reverse.mkString(" -> ")}")
+      depths.get(name) match {
+        case Some(d) => d
+        case None =>
+          byName(name) = ds
+          val d = ds.chain.transform() match {
+            case None       => 0
+            case Some(decl) =>
+              1 + decl.inputs.map(n => visit(resolve(n), name :: visiting)).max
+          }
+          depths(name) = d
+          d
+      }
+    }
+    visit(target, Nil)
+    depths.toSeq.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (_, names) => names.map { case (n, _) => byName(n) }
+    }
+  }
+
+  /**
+   * Pull a dataset and everything it depends on, in dependency order: roots
+   * run one ingest poll round (when they declare a polling source and
+   * `pollRoots` is set), derivatives run [[executeTransform]] — the
+   * reference's `kamu pull --recursive`
+   * (pull_command.rs, pull_request_planner_impl.rs:142-146 executes level by
+   * level). Returns (datasetName, result) in execution order.
+   */
+  def pullRecursive(
+      target: Dataset,
+      resolve: String => Dataset,
+      systemTime: Long,
+      pollRoots: Boolean = true
+  ): Seq[(String, PullResult)] =
+    pullPlan(target, resolve).flatten.map { ds =>
+      val result = ds.chain.transform() match {
+        case Some(_) => Derived(executeTransform(ds, resolve, systemTime))
+        case None =>
+          if (pollRoots && ds.chain.pollingSource().isDefined)
+            IngestWriter.pollOnce(ds, systemTime) match {
+              case Some(ev) => RootUpdated(ev)
+              case None     => RootUpToDate
+            }
+          else RootUpToDate
+      }
+      ds.name -> result
+    }
 }

@@ -108,4 +108,32 @@ class CliSpec extends SparkSpec {
     val (code, outStr) = runCli("--workspace", root.toString, "tail", "nope")
     assert(code === 1 && outStr.contains("error:"))
   }
+
+  test("pull runs the dependency graph: poll root, transform derivative, then no-op") {
+    import graft.model.MetadataEvent.{FetchConf, SqlStep}
+    import graft.transform.TransformService
+    val root = Files.createTempDirectory("graft-cli-pull-")
+    Files.writeString(root.resolve("towns-2024-01-01.csv"), "town,pop\nnola,364000\n")
+    val towns = Dataset.create(spark, root.resolve("towns"), "towns")
+    towns.chain.append(
+      SetPollingSource(readFormat = "csv", schemaDdl = Some("town STRING, pop INT"),
+        merge = MergeConf("ledger", primaryKey = Seq("town")),
+        fetch = Some(FetchConf(kind = "filesGlob",
+          glob = Some(root.resolve("towns-*.csv").toString),
+          eventTimeRegex = Some("towns-(\\d{4}-\\d{2}-\\d{2})\\.csv")))), 0L)
+    val big = Dataset.create(spark, root.resolve("towns_big"), "towns_big", kind = "derivative")
+    TransformService.setTransform(big, Seq("towns"),
+      Seq(SqlStep(None, "SELECT op, event_time, town, pop * 2 AS pop FROM towns")), 0L)
+
+    val (c1, out1) = runCli("--workspace", root.toString, "pull", "towns_big",
+      "2024-01-02T00:00:00Z")
+    assert(c1 === 0, out1)
+    assert(out1.linesIterator.toSeq === Seq(
+      "towns: committed offsets 0..0", "towns_big: transformed, offsets 0..0"), out1)
+
+    val (c2, out2) = runCli("--workspace", root.toString, "pull", "towns_big",
+      "2024-01-03T00:00:00Z")
+    assert(c2 === 0)
+    assert(out2.linesIterator.toSeq === Seq("towns: up to date", "towns_big: up to date"), out2)
+  }
 }

@@ -112,4 +112,26 @@ class TransformSpec extends SparkSpec {
     assert(out.length === 3)
     assert(out.map(_.getAs[String]("tag")).toSeq === Seq("r1a", "r1b", "r2a"))
   }
+
+  test("pullPlan: depth levels group independent datasets; cycles rejected") {
+    val work = Files.createTempDirectory("graft-plan-pull-")
+    def mk(name: String, inputs: Seq[String]): Dataset = {
+      val ds = Dataset.create(spark, work.resolve(name), name,
+        kind = if (inputs.isEmpty) "root" else "derivative")
+      if (inputs.nonEmpty)
+        TransformService.setTransform(ds, inputs,
+          Seq(SqlStep(None, s"SELECT * FROM ${inputs.head}")), 0L)
+      ds
+    }
+    // diamond: a -> (b, c) -> d ; b and c share depth 1 and are independent
+    mk("a", Nil); mk("b", Seq("a")); mk("c", Seq("a")); mk("d", Seq("b", "c"))
+    val resolve = (n: String) => Dataset.open(spark, work.resolve(n))
+    val plan = TransformService.pullPlan(resolve("d"), resolve)
+    assert(plan.map(_.map(_.name).sorted) === Seq(Seq("a"), Seq("b", "c"), Seq("d")))
+
+    // cycle: x -> y -> x must be rejected, not loop forever
+    mk("x", Seq("y")); mk("y", Seq("x"))
+    val e = intercept[IllegalStateException](TransformService.pullPlan(resolve("x"), resolve))
+    assert(e.getMessage.contains("cycle"))
+  }
 }
