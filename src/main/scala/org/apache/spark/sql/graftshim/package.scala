@@ -11,4 +11,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftshim {
   def columnOf(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expressionOf(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Mutate the live SparkContext conf (`private[spark]`; `getConf` only
+    * returns a copy). Needed when a setting must be visible to SESSIONS
+    * CREATED LATER — e.g. the isolated per-connection sessions the Thrift
+    * server opens merge their SQLConf defaults from here, not from the
+    * parent session's runtime conf. */
+  def setContextConf(sc: org.apache.spark.SparkContext, key: String, value: String): Unit =
+    sc.conf.set(key, value)
 }
