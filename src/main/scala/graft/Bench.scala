@@ -40,8 +40,9 @@ object Bench {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
     // Optional extra session confs for tuning experiments, e.g.
     // SPARK_GRAFT_CONF="spark.sql.adaptive.coalescePartitions.parallelismFirst=false;..."
+    // (';'-separated k=v pairs; values may contain '=' but not ';').
     val spark = sys.env.get("SPARK_GRAFT_CONF").toSeq
-      .flatMap(_.split(";").toSeq).filter(_.contains("="))
+      .flatMap(_.split(";").toSeq).filter(_.indexOf('=') > 0)
       .foldLeft(builder) { (b, kv) =>
         val Array(k, v) = kv.split("=", 2); b.config(k, v)
       }
@@ -116,7 +117,10 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${q(sfDir)}}"""
 
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    // A subset run must never overwrite the committed full-run record with
+    // a partial one of identical shape.
+    val defaultOut = if (only.isDefined) "bench_partial.json" else "bench.json"
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     Files.writeString(Paths.get(out), line + "\n")
     spark.stop()
     // Print last, after the session is down, so no executor log line trails it.

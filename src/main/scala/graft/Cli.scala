@@ -173,10 +173,10 @@ object Cli {
       systemTime: Long, out: PrintStream): Int = {
     import graft.transform.TransformService
     val datasets = workspaceDatasets(spark, ws)
-    val target = datasets.getOrElse(
-      ds, throw new IllegalArgumentException(s"no dataset '$ds' in workspace $ws"))
-    val resolve = (name: String) => datasets.getOrElse(
-      name, throw new IllegalArgumentException(s"unknown input dataset '$name'"))
+    def lookup(name: String): Dataset = datasets.getOrElse(
+      name, throw new IllegalArgumentException(s"no dataset '$name' in workspace $ws"))
+    val target = lookup(ds)
+    val resolve = (name: String) => lookup(name)
     TransformService.pullRecursive(target, resolve, systemTime).foreach {
       case (name, TransformService.RootUpdated(add)) =>
         out.println(s"$name: committed offsets ${add.offsetStart}..${add.offsetEnd}")

@@ -96,8 +96,16 @@ object CriterionBench {
 
   private def generate(
       spark: SparkSession, out: String, n: Long, skipExisting: Boolean = false): Unit = {
+    // Reuse is only valid against tables generated for the SAME n — a
+    // marker file records it, so `100000000 reuse` over leftover 1M tables
+    // regenerates instead of silently mislabeling the results.
+    val marker = java.nio.file.Paths.get(out, "n.txt")
+    val sameN = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker).trim == n.toString
     def need(table: String): Boolean =
-      !skipExisting || !new java.io.File(s"$out/$table").isDirectory
+      !(skipExisting && sameN) || !new java.io.File(s"$out/$table").isDirectory
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    // marker is (re)written only after generation completes — see end
 
     if (need("cdc_ledger")) spark.range(n).select(
       col("id").as("offset"),
@@ -164,5 +172,9 @@ object CriterionBench {
       .select(pmod(h(8), lit(10 * n)).as("pk"), h(9).as("v"))
       .dropDuplicates("pk")
       .write.mode("overwrite").parquet(s"$out/ledger_new_small")
+
+    // Written last: a crash above leaves no (or a stale) marker, so the next
+    // run regenerates rather than reusing a half-written table set.
+    java.nio.file.Files.writeString(marker, n.toString)
   }
 }

@@ -113,20 +113,25 @@ object MergeStrategy {
       import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
       import org.apache.spark.sql.graftshim.{columnOf, expressionOf}
       val prevBytes = pKeys.queryExecution.optimizedPlan.stats.sizeInBytes
-      val incBytes = incoming.queryExecution.optimizedPlan.stats.sizeInBytes
+      // Compare KEY projections on both sides — pKeys is already key-only,
+      // and a wide incoming schema would otherwise inflate its bytes ~row
+      // width / key width and suppress the prune in exactly the
+      // history-dwarfs-batch shape it targets.
+      val incKeyBytes = incoming.select(primaryKey.map(col): _*)
+        .queryExecution.optimizedPlan.stats.sizeInBytes
       // Both gates are plan-stats driven: an absolute floor (below it the
       // anti join broadcasts anyway) and a relative one (pruning a history
       // comparable in size to the batch removes too little to repay the
       // bloom-build pass + per-row probe).
       if (!bloomPrune || prevBytes < BigInt(bloomPruneMinPrevBytes) ||
-        BigDecimal(prevBytes) < BigDecimal(incBytes) * bloomPruneMinPrevToIncomingRatio)
+        BigDecimal(prevBytes) < BigDecimal(incKeyBytes) * bloomPruneMinPrevToIncomingRatio)
         return pKeys
       val keyHash = xxhash64(primaryKey.map(col): _*)
       // one codegen'd aggregate pass over the incoming batch builds the
       // filter (Spark's native BloomFilterAggregate — the same kernel the
-      // runtime-filter optimization uses); item estimate from plan stats,
-      // overshooting only costs filter bits
-      val estItems = (incBytes / 8).max(BigInt(1L << 20)).min(BigInt(1L << 27)).toLong
+      // runtime-filter optimization uses); item estimate from the key-only
+      // plan stats (≈ rows for a bigint key), overshooting only costs bits
+      val estItems = (incKeyBytes / 8).max(BigInt(1L << 20)).min(BigInt(1L << 27)).toLong
       val numBits = (estItems * 8).min(1L << 29)
       val bytes = incoming
         .select(columnOf(new BloomFilterAggregate(

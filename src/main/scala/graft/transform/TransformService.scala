@@ -194,7 +194,10 @@ object TransformService {
           val d = ds.chain.transform() match {
             case None       => 0
             case Some(decl) =>
-              1 + decl.inputs.map(n => visit(resolve(n), name :: visiting)).max
+              // maxOption: a zero-input SetTransform is degenerate but must
+              // not crash the planner; it executes (and returns UpToDate)
+              // like any other derivative.
+              1 + decl.inputs.map(n => visit(resolve(n), name :: visiting)).maxOption.getOrElse(-1)
           }
           depths(name) = d
           d
