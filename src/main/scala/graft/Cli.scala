@@ -30,6 +30,12 @@ import graft.query.QueryService
  *   poll DATASET [ISO8601]        one fetch+ingest poll round
  *   pull DATASET [ISO8601]        recursive pull: poll roots, run transforms
  *                                 in dependency order (kamu pull --recursive)
+ *   export DATASET PATH [FORMAT]  write full history: parquet|csv|ndjson
+ *                                 (kamu export, export_command.rs)
+ *   serve [--rest-port N] [--jdbc-port N]
+ *                                 REST (+OData/GraphQL) and JDBC servers over
+ *                                 the workspace until stdin closes or 'exit'
+ *                                 (kamu system api-server)
  *   verify DATASET                integrity check (hashes + replay)
  *   compact DATASET [MAXRECORDS]  compact slices (atomic swap)
  *   reset DATASET BLOCKHASH       rewind head
@@ -69,6 +75,8 @@ object Cli {
         case "ingest" :: ds :: file :: t   => cmdIngest(spark, wsOpt, ds, file, isoOrNow(t.headOption), out)
         case "poll" :: ds :: t             => cmdPoll(spark, wsOpt, ds, isoOrNow(t.headOption), out)
         case "pull" :: ds :: t             => cmdPull(spark, wsOpt, ds, isoOrNow(t.headOption), out)
+        case "export" :: ds :: path :: f   => cmdExport(spark, wsOpt, ds, path, f.headOption.getOrElse("parquet"), out)
+        case "serve" :: rest2              => cmdServe(spark, wsOpt, rest2, in, out)
         case "verify" :: ds :: Nil         => cmdVerify(spark, wsOpt, ds, out)
         case "compact" :: ds :: restN      => cmdCompact(spark, wsOpt, ds, restN.headOption.map(_.toLong), out)
         case "reset" :: ds :: hash :: Nil  => cmdReset(spark, wsOpt, ds, hash, out)
@@ -189,6 +197,50 @@ object Cli {
         out.println(s"$name: up to date")
     }
     0
+  }
+
+  private def cmdExport(spark: SparkSession, ws: String, ds: String, path: String,
+      format: String, out: PrintStream): Int = {
+    val df = open(spark, ws, ds).toDF()
+    format match {
+      case "parquet" => Export.toParquet(df, path)
+      case "csv"     => Export.toCsv(df, path)
+      case "ndjson"  => Export.toNdjson(df, path)
+      case other =>
+        out.println(s"error: unknown export format '$other' (parquet|csv|ndjson)")
+        return 2
+    }
+    out.println(s"exported ${df.count()} records to $path")
+    0
+  }
+
+  private def cmdServe(spark: SparkSession, ws: String, args: List[String],
+      in: BufferedReader, out: PrintStream): Int = {
+    def portArg(flag: String): Option[Int] = args.indexOf(flag) match {
+      case i if i >= 0 && i + 1 < args.length => Some(args(i + 1).toInt)
+      case _                                  => None
+    }
+    val datasets = workspaceDatasets(spark, ws)
+    val rest = new graft.adapter.RestServer(
+      new QueryService(spark, datasets), datasets, portArg("--rest-port").getOrElse(0)).start()
+    out.println(s"rest: http://127.0.0.1:${rest.boundPort}")
+    val stopJdbc = portArg("--jdbc-port").map { p =>
+      val stop = graft.adapter.JdbcServer.start(
+        spark, new org.apache.hadoop.fs.Path(ws).toUri.toString, p)
+      out.println(s"jdbc: jdbc:hive2://localhost:$p/")
+      stop
+    }
+    try {
+      // block until stdin closes or an 'exit' line — the testable analog of
+      // the reference's run-until-SIGINT api-server loop
+      Iterator.continually(in.readLine())
+        .takeWhile(l => l != null && l.trim != "exit")
+        .foreach(_ => ())
+      0
+    } finally {
+      rest.stop()
+      stopJdbc.foreach(_.apply())
+    }
   }
 
   private def cmdVerify(spark: SparkSession, ws: String, ds: String, out: PrintStream): Int = {

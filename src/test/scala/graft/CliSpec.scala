@@ -109,6 +109,46 @@ class CliSpec extends SparkSpec {
     assert(code === 1 && outStr.contains("error:"))
   }
 
+  test("export writes full history in each format") {
+    val (root, _) = ws
+    val dir = Files.createTempDirectory("graft-cli-export-")
+    val (code, outStr) = runCli("--workspace", root.toString,
+      "export", "cities", dir.resolve("out_csv").toString, "csv")
+    // other tests ingest into the shared workspace dataset; count is theirs
+    assert(code === 0 && "exported \\d+ records".r.findFirstIn(outStr).isDefined, outStr)
+    val files = Files.list(dir.resolve("out_csv")).toArray.map(_.toString)
+    assert(files.exists(_.endsWith(".csv")), files.mkString(","))
+    assert(runCli("--workspace", root.toString,
+      "export", "cities", dir.resolve("out_bad").toString, "xlsx")._1 === 2)
+  }
+
+  test("serve runs the REST surface until stdin says exit") {
+    val (root, _) = ws
+    val outBuf = new ByteArrayOutputStream()
+    val pipeOut = new java.io.PipedWriter()
+    val pipeIn = new BufferedReader(new java.io.PipedReader(pipeOut))
+    val runner = new Thread(() => {
+      Cli.run(spark, Seq("--workspace", root.toString, "serve"), pipeIn,
+        new PrintStream(outBuf, true, "UTF-8"))
+    })
+    runner.start()
+    try {
+      // wait for the bound-port line, then hit the REST tail endpoint
+      val port = Iterator.range(0, 100).map { _ =>
+        Thread.sleep(100)
+        "rest: http://127.0.0.1:(\\d+)".r.findFirstMatchIn(outBuf.toString("UTF-8")).map(_.group(1))
+      }.collectFirst { case Some(p) => p }.getOrElse(fail("serve never printed its port"))
+      val body = new String(
+        new java.net.URL(s"http://127.0.0.1:$port/datasets/cities/tail?n=1")
+          .openStream().readAllBytes(), "UTF-8")
+      assert(body.contains("population"), body)
+    } finally {
+      pipeOut.write("exit\n"); pipeOut.flush(); pipeOut.close()
+      runner.join(15000)
+      assert(!runner.isAlive, "serve did not shut down on 'exit'")
+    }
+  }
+
   test("pull runs the dependency graph: poll root, transform derivative, then no-op") {
     import graft.model.MetadataEvent.{FetchConf, SqlStep}
     import graft.transform.TransformService
