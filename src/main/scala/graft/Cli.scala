@@ -21,6 +21,8 @@ import graft.query.QueryService
  * Usage: graft.Cli [--workspace DIR] <command> [args]
  *
  *   list                          datasets in the workspace
+ *   add MANIFEST.json [ISO8601]   create a dataset from a DatasetSnapshot
+ *                                 manifest (kamu add, add_command.rs)
  *   sql -c STATEMENT              run one statement (CSV to stdout)
  *   sql                           REPL: one statement per stdin line
  *   tail DATASET [N]              last N records (default 10)
@@ -75,6 +77,7 @@ object Cli {
         case "ingest" :: ds :: file :: t   => cmdIngest(spark, wsOpt, ds, file, isoOrNow(t.headOption), out)
         case "poll" :: ds :: t             => cmdPoll(spark, wsOpt, ds, isoOrNow(t.headOption), out)
         case "pull" :: ds :: t             => cmdPull(spark, wsOpt, ds, isoOrNow(t.headOption), out)
+        case "add" :: file :: t            => cmdAdd(spark, wsOpt, file, isoOrNow(t.headOption), out)
         case "export" :: ds :: path :: f   => cmdExport(spark, wsOpt, ds, path, f.headOption.getOrElse("parquet"), out)
         case "serve" :: rest2              => cmdServe(spark, wsOpt, rest2, in, out)
         case "verify" :: ds :: Nil         => cmdVerify(spark, wsOpt, ds, out)
@@ -196,6 +199,15 @@ object Cli {
       case (name, TransformService.Derived(TransformService.UpToDate)) =>
         out.println(s"$name: up to date")
     }
+    0
+  }
+
+  private def cmdAdd(spark: SparkSession, ws: String, file: String,
+      systemTime: Long, out: PrintStream): Int = {
+    val snap = graft.dataset.DatasetSnapshot.parse(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(file)))
+    val ds = graft.dataset.DatasetSnapshot.add(spark, ws, snap, systemTime)
+    out.println(s"added ${ds.name} (${ds.kind}), ${snap.metadata.size + 1} blocks")
     0
   }
 

@@ -109,6 +109,33 @@ class CliSpec extends SparkSpec {
     assert(code === 1 && outStr.contains("error:"))
   }
 
+  test("add creates a dataset from a DatasetSnapshot manifest; it ingests and queries") {
+    val root = Files.createTempDirectory("graft-cli-add-")
+    val manifest = root.resolve("towns.json")
+    Files.writeString(manifest,
+      """{ "name": "towns", "kind": "root",
+        |  "metadata": [
+        |    { "kind": "SetPollingSource", "readFormat": "csv",
+        |      "schemaDdl": "town STRING, pop INT",
+        |      "merge": { "kind": "snapshot", "primaryKey": ["town"] } },
+        |    { "kind": "SetInfo", "description": "test towns" } ] }""".stripMargin)
+    val (code, outStr) = runCli("--workspace", root.toString,
+      "add", manifest.toString, "2024-01-01T00:00:00Z")
+    assert(code === 0 && outStr.trim === "added towns (root), 3 blocks", outStr)
+
+    // duplicate add is rejected
+    assert(runCli("--workspace", root.toString, "add", manifest.toString)._1 === 1)
+
+    // the manifest-declared source drives a real ingest round
+    val csv = root.resolve("t.csv")
+    Files.writeString(csv, "town,pop\nnola,364000\n")
+    val (ci, _) = runCli("--workspace", root.toString,
+      "ingest", "towns", csv.toString, "2024-01-02T00:00:00Z")
+    assert(ci === 0)
+    val (ct, tailOut) = runCli("--workspace", root.toString, "tail", "towns", "1")
+    assert(ct === 0 && tailOut.contains("nola"), tailOut)
+  }
+
   test("export writes full history in each format") {
     val (root, _) = ws
     val dir = Files.createTempDirectory("graft-cli-export-")
