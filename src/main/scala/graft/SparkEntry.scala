@@ -1807,7 +1807,8 @@ object SparkEntry {
         |  FROM documents d LEFT JOIN sim0 s ON d.doc_id = s.doc_id),
         |chunked AS (
         |  SELECT id, c AS chunk, substring(sh, 1 + c*16, 16) AS ckey
-        |  FROM sim CROSS JOIN (SELECT unnest(range(4)) AS c) cs),
+        |  FROM sim CROSS JOIN (SELECT unnest(range(4)) AS c) cs
+        |  QUALIFY row_number() OVER (PARTITION BY c, substring(sh, 1 + c*16, 16) ORDER BY id) <= 256),
         |pairs AS (
         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
         |  FROM chunked a JOIN chunked b ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.id < b.id),

