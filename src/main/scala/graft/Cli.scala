@@ -32,6 +32,18 @@ import graft.query.QueryService
  *   poll DATASET [ISO8601]        one fetch+ingest poll round
  *   pull DATASET [ISO8601]        recursive pull: poll roots, run transforms
  *                                 in dependency order (kamu pull --recursive)
+ *   lineage DATASET               upstream dependency tree
+ *                                 (kamu inspect lineage, provenance_service.rs)
+ *   repo add NAME URL             register a remote repository alias
+ *   repo list                     registered remotes
+ *   repo rm NAME                  remove a remote alias
+ *   push DATASET REMOTE [--force] sync the dataset to REMOTE (alias or URL)
+ *                                 (kamu push, sync_service.rs)
+ *   pull DATASET --from REMOTE [--force]
+ *                                 sync the dataset from REMOTE into the
+ *                                 workspace (created if absent)
+ *   status DATASET REMOTE         equal | ahead N | behind N | diverged
+ *                                 (remote_status_service_impl.rs)
  *   export DATASET PATH [FORMAT]  write full history: parquet|csv|ndjson
  *                                 (kamu export, export_command.rs)
  *   serve [--rest-port N] [--jdbc-port N]
@@ -76,7 +88,14 @@ object Cli {
         case "log" :: ds :: Nil            => cmdLog(spark, wsOpt, ds, out)
         case "ingest" :: ds :: file :: t   => cmdIngest(spark, wsOpt, ds, file, isoOrNow(t.headOption), out)
         case "poll" :: ds :: t             => cmdPoll(spark, wsOpt, ds, isoOrNow(t.headOption), out)
+        case "pull" :: ds :: "--from" :: remote :: fl => cmdPullRemote(spark, wsOpt, ds, remote, fl.contains("--force"), out)
         case "pull" :: ds :: t             => cmdPull(spark, wsOpt, ds, isoOrNow(t.headOption), out)
+        case "lineage" :: ds :: Nil        => cmdLineage(spark, wsOpt, ds, out)
+        case "repo" :: "add" :: n :: u :: Nil => cmdRepo(spark, wsOpt, r => { r.add(n, u); s"added $n -> $u" }, out)
+        case "repo" :: "list" :: Nil       => cmdRepo(spark, wsOpt, r => r.list().toSeq.sorted.map { case (n, u) => s"$n $u" }.mkString("\n"), out)
+        case "repo" :: "rm" :: n :: Nil    => cmdRepo(spark, wsOpt, r => { r.remove(n); s"removed $n" }, out)
+        case "push" :: ds :: remote :: fl  => cmdPush(spark, wsOpt, ds, remote, fl.contains("--force"), out)
+        case "status" :: ds :: remote :: Nil => cmdStatus(spark, wsOpt, ds, remote, out)
         case "add" :: file :: t            => cmdAdd(spark, wsOpt, file, isoOrNow(t.headOption), out)
         case "export" :: ds :: path :: f   => cmdExport(spark, wsOpt, ds, path, f.headOption.getOrElse("parquet"), out)
         case "serve" :: rest2              => cmdServe(spark, wsOpt, rest2, in, out)
@@ -202,6 +221,69 @@ object Cli {
     0
   }
 
+  private def cmdLineage(spark: SparkSession, ws: String, ds: String, out: PrintStream): Int = {
+    val datasets = workspaceDatasets(spark, ws)
+    val target = datasets.getOrElse(
+      ds, throw new IllegalArgumentException(s"no dataset '$ds' in workspace $ws"))
+    val resolve = (n: String) => datasets.getOrElse(
+      n, throw new IllegalArgumentException(s"lineage input '$n' not in workspace $ws"))
+    out.print(graft.transform.Lineage.render(target, resolve))
+    0
+  }
+
+  // ------------------------------------------------------- remote sync
+
+  private def hconf(spark: SparkSession) = spark.sparkContext.hadoopConfiguration
+
+  private def registry(spark: SparkSession, ws: String) =
+    new graft.sync.RemoteRegistry(new org.apache.hadoop.fs.Path(ws), hconf(spark))
+
+  private def cmdRepo(spark: SparkSession, ws: String,
+      f: graft.sync.RemoteRegistry => String, out: PrintStream): Int = {
+    val msg = f(registry(spark, ws))
+    if (msg.nonEmpty) out.println(msg)
+    0
+  }
+
+  /** `<remote-url>/<dataset-name>` — the dataset's root inside a repository,
+    * same layout a workspace uses. */
+  private def remoteDatasetRoot(spark: SparkSession, ws: String, ds: String, remote: String) =
+    new org.apache.hadoop.fs.Path(registry(spark, ws).resolve(remote), ds)
+
+  private def printSync(r: graft.sync.SyncService.SyncResult, out: PrintStream): Int = r match {
+    case graft.sync.SyncService.UpToDate => out.println("up to date"); 0
+    case graft.sync.SyncService.Updated(_, newHead, n, files) =>
+      out.println(s"synced $n block(s), $files data file(s), head $newHead"); 0
+  }
+
+  private def cmdPush(spark: SparkSession, ws: String, ds: String, remote: String,
+      force: Boolean, out: PrintStream): Int = {
+    val local = open(spark, ws, ds) // validates existence
+    printSync(graft.sync.SyncService.sync(
+      local.chain.root, remoteDatasetRoot(spark, ws, ds, remote), hconf(spark), force = force), out)
+  }
+
+  private def cmdPullRemote(spark: SparkSession, ws: String, ds: String, remote: String,
+      force: Boolean, out: PrintStream): Int =
+    printSync(graft.sync.SyncService.sync(
+      remoteDatasetRoot(spark, ws, ds, remote),
+      new org.apache.hadoop.fs.Path(ws, ds), hconf(spark), force = force), out)
+
+  private def cmdStatus(spark: SparkSession, ws: String, ds: String, remote: String,
+      out: PrintStream): Int = {
+    import graft.sync.SyncService
+    val local = open(spark, ws, ds)
+    val remoteRoot = remoteDatasetRoot(spark, ws, ds, remote)
+    if (!MetadataChain.exists(remoteRoot, hconf(spark))) { out.println("remote: absent"); 0 }
+    else SyncService.compare(
+      local.chain, MetadataChain.open(remoteRoot, hconf(spark))) match {
+      case SyncService.Equal       => out.println("equal"); 0
+      case SyncService.Ahead(b)    => out.println(s"ahead ${b.size}"); 0
+      case SyncService.Behind(n)   => out.println(s"behind $n"); 0
+      case SyncService.Diverged(s2, d) => out.println(s"diverged +$s2/-$d"); 1
+    }
+  }
+
   private def cmdAdd(spark: SparkSession, ws: String, file: String,
       systemTime: Long, out: PrintStream): Int = {
     val snap = graft.dataset.DatasetSnapshot.parse(
@@ -235,14 +317,18 @@ object Cli {
     val datasets = workspaceDatasets(spark, ws)
     val rest = new graft.adapter.RestServer(
       new QueryService(spark, datasets), datasets, portArg("--rest-port").getOrElse(0)).start()
-    out.println(s"rest: http://127.0.0.1:${rest.boundPort}")
-    val stopJdbc = portArg("--jdbc-port").map { p =>
-      val stop = graft.adapter.JdbcServer.start(
-        spark, new org.apache.hadoop.fs.Path(ws).toUri.toString, p)
-      out.println(s"jdbc: jdbc:hive2://localhost:$p/")
-      stop
-    }
+    // From here on the REST server is live: everything else (including JDBC
+    // startup, which can throw on a bound port or a bad --jdbc-port value)
+    // runs inside try/finally so an embedded caller never leaks it.
+    var stopJdbc: Option[() => Unit] = None
     try {
+      out.println(s"rest: http://127.0.0.1:${rest.boundPort}")
+      stopJdbc = portArg("--jdbc-port").map { p =>
+        val stop = graft.adapter.JdbcServer.start(
+          spark, new org.apache.hadoop.fs.Path(ws).toUri.toString, p)
+        out.println(s"jdbc: jdbc:hive2://localhost:$p/")
+        stop
+      }
       // block until stdin closes or an 'exit' line — the testable analog of
       // the reference's run-until-SIGINT api-server loop
       Iterator.continually(in.readLine())

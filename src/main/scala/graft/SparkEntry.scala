@@ -1213,6 +1213,71 @@ object SparkEntry {
 
     // ---- reset (SURVEY §2.5 #55): rewind to the head after batch 2; the
     // third batch's rows and blocks are gone.
+    // ---- lineage / provenance (provenance_service.rs:17, kamu inspect
+    // lineage): a diamond-ish graph — two roots, a mid derivative, a leaf
+    // reading both the mid and a root — queried as an edge list with depths.
+    "lineage" -> { (s, dir) =>
+      val work = Fixtures.cached(s"lineage|$dir") {
+        val work = java.nio.file.Files.createTempDirectory("graft-lineage-")
+        Dataset.create(s, work.resolve("cities"), "cities")
+        Dataset.create(s, work.resolve("weather"), "weather")
+        val x10 = Dataset.create(s, work.resolve("cities_x10"), "cities_x10", kind = "derivative")
+        TransformService.setTransform(x10, inputs = Seq("cities"),
+          steps = Seq(SqlStep(None, "SELECT * FROM cities")), systemTime = 0L)
+        val combo = Dataset.create(s, work.resolve("combo"), "combo", kind = "derivative")
+        TransformService.setTransform(combo, inputs = Seq("cities_x10", "weather"),
+          steps = Seq(SqlStep(None, "SELECT * FROM cities_x10")), systemTime = 0L)
+        work
+      }
+      val byName = Seq("cities", "weather", "cities_x10", "combo")
+        .map(n => n -> Dataset.open(s, work.resolve(n))).toMap
+      graft.transform.Lineage.toDF(s, byName("combo"), byName(_))
+    },
+
+    // ---- dataset sync (sync_service.rs:25, simple_transfer_protocol.rs):
+    // push two commits to a "remote" repo dir, commit a third locally, push
+    // again (the delta must be exactly 1 block + 1 data file), then pull
+    // into a fresh workspace — the pulled chain is hash-identical and its
+    // full history matches the oracle.
+    "sync_roundtrip" -> { (s, dir) =>
+      val pulledRoot = Fixtures.cached(s"sync_roundtrip|$dir") {
+        import graft.sync.SyncService
+        val base = t(s, dir, "orders").select(
+          col("o_orderdate").as("event_time"),
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val work = java.nio.file.Files.createTempDirectory("graft-sync-rt-")
+        val ds = Dataset.create(s, work.resolve("src"), "orders_ds")
+        val conf = s.sparkContext.hadoopConfiguration
+        val remote = new org.apache.hadoop.fs.Path(
+          work.resolve("remote").resolve("orders_ds").toUri)
+        val times = Seq("2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z", "2024-01-03T00:00:00Z")
+        def commit(g: Int): Unit = IngestWriter.writeBatch(
+          ds, base.filter(col("o_orderkey") % 3 === g), MergeStrategy.Append(),
+          java.time.Instant.parse(times(g)).toEpochMilli)
+        commit(0); commit(1)
+        SyncService.sync(ds.chain.root, remote, conf) match {
+          case u: SyncService.Updated => require(u.dataFilesCopied == 2, s"full push: $u")
+          case other                  => throw new IllegalStateException(s"push 1: $other")
+        }
+        commit(2)
+        SyncService.sync(ds.chain.root, remote, conf, verify = true) match {
+          case u: SyncService.Updated =>
+            require(u.numBlocks == 1 && u.dataFilesCopied == 1,
+              s"incremental push must move only the delta: $u")
+          case other => throw new IllegalStateException(s"push 2: $other")
+        }
+        val dstRoot = new org.apache.hadoop.fs.Path(
+          work.resolve("ws2").resolve("orders_ds").toUri)
+        SyncService.sync(remote, dstRoot, conf, verify = true)
+        val pulled = graft.chain.MetadataChain.open(dstRoot, conf)
+        require(pulled.blockHashes() == ds.chain.blockHashes(),
+          "pulled chain must be hash-identical to the source")
+        require(SyncService.compare(ds.chain, pulled) == SyncService.Equal)
+        dstRoot.toString
+      }
+      Dataset.open(s, pulledRoot).toDF().orderBy(col("offset"))
+    },
+
     "reset" -> { (s, dir) =>
       val root = Fixtures.cached(s"reset|$dir") {
         val base = t(s, dir, "orders").select(
@@ -2257,6 +2322,29 @@ object SparkEntry {
         |FROM page CROSS JOIN (VALUES ('csv'), ('json')) e(enc)
         |ORDER BY enc, o_orderkey""".stripMargin,
     // Reset drops batch 3 (g = 2): same shape as dataset_multislice minus it.
+    // Lineage graph shape (edges + depths) is fully deterministic.
+    "lineage" ->
+      """SELECT * FROM (VALUES
+        |  ('cities', 'root', 0, CAST(NULL AS VARCHAR)),
+        |  ('weather', 'root', 0, CAST(NULL AS VARCHAR)),
+        |  ('cities_x10', 'derivative', 1, 'cities'),
+        |  ('combo', 'derivative', 2, 'cities_x10'),
+        |  ('combo', 'derivative', 2, 'weather')
+        |) AS t(dataset, kind, depth, input)
+        |ORDER BY depth, dataset, input""".stripMargin,
+    // Sync preserves history byte-for-byte — the pulled dataset's full
+    // history equals the 3-batch source (same oracle as the multislice scan).
+    "sync_roundtrip" ->
+      """WITH base AS (
+        |  SELECT o_orderkey % 3 AS g, o_orderdate AS event_time, o_orderkey, o_custkey, o_totalprice
+        |  FROM orders)
+        |SELECT row_number() OVER (ORDER BY g, event_time, o_orderkey) - 1 AS "offset",
+        |       CAST(0 AS INT) AS op,
+        |       CASE g WHEN 0 THEN TIMESTAMP '2024-01-01 00:00:00'
+        |              WHEN 1 THEN TIMESTAMP '2024-01-02 00:00:00'
+        |              ELSE TIMESTAMP '2024-01-03 00:00:00' END AS system_time,
+        |       event_time, o_orderkey, o_custkey, o_totalprice
+        |FROM base ORDER BY "offset"""".stripMargin,
     "reset" ->
       """WITH base AS (
         |  SELECT o_orderkey % 3 AS g, o_orderdate AS event_time, o_orderkey, o_custkey, o_totalprice

@@ -187,6 +187,16 @@ object GraphQL {
               val n = sub.args.get("limit").map(_.toInt).getOrElse(10)
               Export.jsonAoS(qs.tail(name, n))
             case "state" => Export.jsonAoS(qs.state(name))
+            case "lineage" =>
+              // upstream dependency graph (provenance_service.rs:17; the
+              // reference exposes lineage via GraphQL dataset metadata)
+              val resolve = (n: String) => datasets.getOrElse(n,
+                throw new IllegalArgumentException(s"lineage input '$n' unknown"))
+              graft.transform.Lineage.nodes(datasets(name), resolve).map { nd =>
+                s"""{"name":${jstr(nd.name)},"kind":${jstr(nd.kind)},"depth":${nd.depth},""" +
+                  s""""head":${jstr(nd.headHash.getOrElse(""))},""" +
+                  s""""inputs":${nd.inputs.map(jstr).mkString("[", ",", "]")}}"""
+              }.mkString("[", ",", "]")
             case "query" =>
               val sql = sub.args.getOrElse("sql",
                 throw new IllegalArgumentException("query(sql:) argument required"))

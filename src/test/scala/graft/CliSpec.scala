@@ -202,5 +202,58 @@ class CliSpec extends SparkSpec {
       "2024-01-03T00:00:00Z")
     assert(c2 === 0)
     assert(out2.linesIterator.toSeq === Seq("towns: up to date", "towns_big: up to date"), out2)
+
+    val (c3, out3) = runCli("--workspace", root.toString, "lineage", "towns_big")
+    assert(c3 === 0)
+    assert(out3 === "towns_big (derivative)\n└── towns (root)\n", out3)
+  }
+
+  test("repo/push/status/pull --from: full remote sync lifecycle") {
+    val (root, csv) = ws
+    val remote = Files.createTempDirectory("graft-cli-remote-")
+
+    val (cAdd, _) = runCli("--workspace", root.toString,
+      "repo", "add", "origin", remote.toUri.toString)
+    assert(cAdd === 0)
+    val (cList, listOut) = runCli("--workspace", root.toString, "repo", "list")
+    assert(cList === 0 && listOut.startsWith("origin "))
+
+    // before any push the remote is absent
+    val (_, absent) = runCli("--workspace", root.toString, "status", "cities", "origin")
+    assert(absent.trim === "remote: absent")
+
+    val (cPush, pushOut) = runCli("--workspace", root.toString, "push", "cities", "origin")
+    assert(cPush === 0 && pushOut.startsWith("synced "), pushOut)
+    val (_, eq) = runCli("--workspace", root.toString, "status", "cities", "origin")
+    assert(eq.trim === "equal")
+
+    // a local commit makes us ahead; pushing again moves only the delta
+    val (_, _) = runCli("--workspace", root.toString,
+      "ingest", "cities", csv.toString, "2024-03-01T00:00:00Z") // up to date, no-op
+    IngestWriter.ingestFile(Dataset.open(spark, root.resolve("cities")),
+      { val f = root.resolve("more.csv")
+        Files.writeString(f, "city,population\nvancouver,675000\nseattle,733000\nkyiv,2884000\nodessa,1015000\n")
+        f.toString },
+      java.time.Instant.parse("2024-04-01T00:00:00Z").toEpochMilli)
+    val (_, ahead) = runCli("--workspace", root.toString, "status", "cities", "origin")
+    assert(ahead.trim === "ahead 1", ahead)
+    val (cPush2, push2) = runCli("--workspace", root.toString, "push", "cities", "origin")
+    assert(cPush2 === 0 && push2.contains("synced 1 block(s)"), push2)
+
+    // pull --from into a fresh workspace reproduces the dataset byte-for-byte
+    val ws2 = Files.createTempDirectory("graft-cli-ws2-")
+    val (cPull, pullOut) = runCli("--workspace", ws2.toString,
+      "pull", "cities", "--from", remote.toUri.toString)
+    assert(cPull === 0 && pullOut.startsWith("synced "), pullOut)
+    val a = Dataset.open(spark, root.resolve("cities")).chain.blockHashes()
+    val b = Dataset.open(spark, ws2.resolve("cities")).chain.blockHashes()
+    assert(a === b)
+    val (cTail, tailOut) = runCli("--workspace", ws2.toString, "tail", "cities", "5")
+    assert(cTail === 0 && tailOut.contains("odessa"), tailOut)
+
+    val (cRm, _) = runCli("--workspace", root.toString, "repo", "rm", "origin")
+    assert(cRm === 0)
+    val (_, listOut2) = runCli("--workspace", root.toString, "repo", "list")
+    assert(listOut2.trim.isEmpty)
   }
 }

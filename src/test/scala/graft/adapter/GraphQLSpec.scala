@@ -69,6 +69,11 @@ class GraphQLSpec extends SparkSpec {
     assert(GraphQL.execute(qs, dss, "{ nope }").contains(""""errors":[{"message":"unknown root field"""))
     assert(GraphQL.execute(qs, dss, """{ dataset(name: "nope") { name } }""")
       .contains("unknown dataset"))
+
+    // lineage field: a root dataset is its own single node
+    val lin = GraphQL.execute(qs, dss, """{ dataset(name: "cities") { lineage } }""")
+    assert(lin.contains(""""lineage":[{"name":"cities","kind":"root","depth":0"""), lin)
+    assert(lin.contains(""""inputs":[]"""), lin)
   }
 
   test("REST /graphql endpoint round-trips") {
