@@ -738,25 +738,9 @@ object SparkEntry {
       val planes = Similarity.intPlanes(numPlanes = 4, dim = 64, seed = 7L)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), Similarity.quantize(col("embedding")).as("v"))
-      // persist: both sides of the self-join consume the bucketed frame
-      val wb = e
-        .withColumn("bucket", Similarity.intPlaneBucket(col("v"), planes))
-        .withColumn("n2", Similarity.intDot(col("v"), col("v")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val a = wb.select(
-        col("bucket"), col("id").as("id_a"), col("v").as("va"), col("n2").as("na2"))
-      val b = wb.select(
-        col("bucket"), col("id").as("id_b"), col("v").as("vb"), col("n2").as("nb2"))
-      val nn = sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))
-      a.join(b, Seq("bucket"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn(
-          "cos",
-          when(nn > 0, Similarity.intDotFixed(col("va"), col("vb"), 64).cast("double") / nn)
-            .otherwise(lit(0.0))
-        )
-        .filter(col("cos") >= 0.3)
-        .select(col("id_a"), col("id_b"), col("cos"))
+      // ad-hoc (no materialized table) path: capped buckets, id-only bucket
+      // shuffle, vectors joined back onto surviving pairs only
+      Dedup.embeddingDupsQuantized(e, "id", "v", planes, dim = 64, minCos = 0.3)
         .orderBy(col("id_a"), col("id_b"))
     },
 

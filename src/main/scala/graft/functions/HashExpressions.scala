@@ -32,6 +32,17 @@ object HashExpressions {
     * long (bit j set when the signed vote of hash-bit j is positive). */
   def simhash64Fast(tokens: Column, seed: Long = 42L): Column =
     columnOf(SimHash64Expr(expressionOf(tokens), seed))
+
+  /** Column API: exact integer dot product of two array<long> columns in one
+    * tight JVM loop. Value-identical to the `aggregate(zip_with(...))`
+    * formulation (and to a flat `element_at` sum), so operators built on it
+    * stay DuckDB-oracle-checkable — unlike the hash expressions above, this
+    * is a pure-arithmetic kernel with no portability caveat. Exists because
+    * BOTH spellings fall off whole-stage codegen at embedding dimensions
+    * (HOFs are CodegenFallback; a dim-64 element_at sum blows the generated-
+    * method budget), measured 3.5-9x slower on the near-dup verify stage. */
+  def longDot(a: Column, b: Column): Column =
+    columnOf(LongDotExpr(expressionOf(a), expressionOf(b)))
 }
 
 /** k-minima MinHash signature: `array<string> -> array<long>` (length k,
@@ -118,6 +129,47 @@ case class SimHash64Expr(child: Expression, seed: Long)
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)
+}
+
+/** Exact dot product: `(array<long>, array<long>) -> long`, summed over the
+  * shorter length; null elements contribute 0. */
+case class LongDotExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires (array<long>, array<long>), got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LongDotExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, b) => s"${ev.value} = graft.functions.LongDotExpr.compute($a, $b);"
+    )
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDotExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object LongDotExpr {
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
 }
 
 object SimHash64Expr {

@@ -579,6 +579,21 @@ object Dedup {
   /**
    * Embedding near-dup pairs: cosine similarity above `minCos`, candidates
    * from sign-LSH buckets (see [[Similarity.hyperplaneBucket]]).
+   *
+   * Same scale discipline as [[lshPairsFromSignatures]]: the bucket
+   * self-join shuffles ONLY (bucket, id) rows — vectors and norms stay in a
+   * persisted side table and are joined back onto the (small) surviving
+   * candidate-pair set for cosine verification, so the wide `Array[Float]`
+   * column never rides the candidate-generation exchange. Degenerate buckets
+   * (near-zero or boilerplate embeddings hashing to one sign pattern) are
+   * capped at `maxBucket` docs, bounding the quadratic pair-up the same way
+   * the MinHash (1000) and SimHash (256) tails do.
+   *
+   * Recall caveat (shared with every capped LSH tail here): docs beyond
+   * `maxBucket` in one bucket contribute no candidate pairs from that
+   * bucket. The cap triggers only on degenerate near-identical content,
+   * where the surviving `maxBucket` members already chain the cluster
+   * together for [[connectedComponents]].
    */
   def embeddingDups(
       df: DataFrame,
@@ -586,22 +601,57 @@ object Dedup {
       vecCol: String,
       dim: Int,
       minCos: Double = 0.95,
-      numPlanes: Int = 12
+      numPlanes: Int = 12,
+      maxBucket: Int = 1000
   ): DataFrame = {
-    // Norm is per-vector: compute once per side before the quadratic pair-up
+    val (vecs, frame) = embeddingDupsFrame(df, idCol, vecCol, dim, minCos, numPlanes, maxBucket)
+    // cut lineage back so the vector cache can be released immediately
+    val out = frame.localCheckpoint()
+    vecs.unpersist(blocking = false)
+    out
+  }
+
+  /** [[embeddingDups]] before its lineage cut — (persisted vector table,
+    * lazy result frame), so `PlanSpec` can assert the exchange shapes. */
+  private[graft] def embeddingDupsFrame(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      minCos: Double,
+      numPlanes: Int,
+      maxBucket: Int
+  ): (DataFrame, DataFrame) = {
+    // Norm is per-vector: compute once before the quadratic pair-up
     // (recomputed per pair it would dominate the bucket join at scale).
-    val withBucket = df.select(
+    val vecs = df.select(
       col(idCol).as("id"),
       col(vecCol).as("vec"),
       Similarity.hyperplaneBucket(col(vecCol), numPlanes, dim).as("bucket"),
       Similarity.norm(col(vecCol)).as("nrm")
-    )
-    val a = withBucket.select(
-      col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
-    val b = withBucket.select(
-      col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
-    a.join(b, Seq("bucket"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    val banded = vecs.select(col("bucket"), col("id"))
+    val capped = banded
+      .withColumn(
+        "__rn",
+        row_number().over(Window.partitionBy(col("bucket")).orderBy(col("id")))
+      )
+      .filter(col("__rn") <= maxBucket)
+      .drop("__rn")
+
+    val a = capped.select(col("bucket"), col("id").as("id_a"))
+    val b = capped.select(col("bucket"), col("id").as("id_b"))
+    val pairs = a
+      .join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+
+    val out = pairs
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a")),
+        Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b")),
+        Seq("id_b"))
       .withColumn(
         "cos",
         when(
@@ -611,5 +661,61 @@ object Dedup {
       )
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
+    (vecs, out)
+  }
+
+  /**
+   * Quantized-integer variant of [[embeddingDups]] (same candidate
+   * discipline: capped buckets, id-only bucket shuffle, vector join-back
+   * onto surviving pairs) for corpora pre-quantized with
+   * [[Similarity.quantize]]. Cosine is exact integer dot / sqrt'd integer
+   * norms — bit-identical across engines, so this path is DuckDB-oracle-
+   * checkable where the float [[embeddingDups]] is not. The ad-hoc twin of
+   * [[embeddingDupsFromTable]]: same math, but buckets computed on the fly
+   * instead of read from a bucketed table.
+   */
+  def embeddingDupsQuantized(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Seq[Array[Long]],
+      dim: Int,
+      minCos: Double,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    val vecs = df.select(
+      col(idCol).as("id"),
+      col(vecCol).as("v"),
+      Similarity.intPlaneBucket(col(vecCol), planes).as("bucket"),
+      Similarity.intDot(col(vecCol), col(vecCol)).as("n2")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    val capped = vecs.select(col("bucket"), col("id"))
+      .withColumn(
+        "__rn",
+        row_number().over(Window.partitionBy(col("bucket")).orderBy(col("id")))
+      )
+      .filter(col("__rn") <= maxBucket)
+      .drop("__rn")
+
+    val pairs = capped.select(col("bucket"), col("id").as("id_a"))
+      .join(capped.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+
+    val nn = sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))
+    val out = pairs
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("n2").as("na2")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("n2").as("nb2")), Seq("id_b"))
+      .withColumn(
+        "cos",
+        when(nn > 0, Similarity.intDotFixed(col("va"), col("vb"), dim).cast("double") / nn)
+          .otherwise(lit(0.0))
+      )
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .localCheckpoint()
+    vecs.unpersist(blocking = false)
+    out
   }
 }

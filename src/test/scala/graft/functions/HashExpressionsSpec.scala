@@ -47,6 +47,31 @@ class HashExpressionsSpec extends SparkSpec {
     assert(empty._2.forall(_ == Long.MaxValue) && empty._3 === 0L)
   }
 
+  test("longDot: value-identical to the HOF formulation, null/empty/length-mismatch safe") {
+    val df = Seq(
+      (1L, Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long](4L, 5L, 6L)),      // 32
+      (2L, Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](4L, 5L, 6L)),    // null elem -> 0
+      (3L, Seq.empty[java.lang.Long], Seq[java.lang.Long](1L)),                    // empty
+      (4L, Seq[java.lang.Long](2L, 3L), Seq[java.lang.Long](10L, 10L, 99L))        // min-length
+    ).toDF("id", "a", "b")
+    def run(mode: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try df.select(col("id"), HashExpressions.longDot(col("a"), col("b")).as("d"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    val got = run("CODEGEN_ONLY")
+    assert(got === Map(1L -> 32L, 2L -> 22L, 3L -> 0L, 4L -> 50L))
+    assert(run("NO_CODEGEN") === got)
+    // matches the portable aggregate/zip_with spelling on equal-length,
+    // non-null vectors (zip_with null-PADS mismatched lengths; longDot sums
+    // over the min length — operators always pass fixed-dim vectors)
+    val hof = df.filter(col("id") === 1L).select(col("id"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0L), _ + _).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hof === Map(1L -> got(1L)))
+  }
+
   test("fast LSH paths recover the planted near-dup like the portable paths") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
     val docs = Seq(

@@ -95,6 +95,19 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((0L, 1L)))
   }
 
+  test("embeddingDups: maxBucket caps a degenerate bucket's quadratic pair-up") {
+    // 6 identical vectors land in one bucket; uncapped that is C(6,2)=15
+    // pairs, capped at 3 members it is C(3,2)=3 — and the kept members are
+    // the lowest ids (row_number ordered by id), chaining the cluster.
+    val vecs = (0L until 6L).map(i => (i, Array(1.0f, 0.0f, 0.0f))).toDF("id", "vec")
+    val uncapped = Dedup.embeddingDups(vecs, "id", "vec", dim = 3, minCos = 0.99, numPlanes = 2)
+    assert(uncapped.count() === 15)
+    val capped = Dedup.embeddingDups(vecs, "id", "vec", dim = 3, minCos = 0.99, numPlanes = 2,
+      maxBucket = 3)
+    val got = capped.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
   test("portable hashes match the DuckDB formulation (precomputed)") {
     // Precomputed with duckdb:
     //   SELECT ('0x'||substring(md5('hello'),1,8))::BIGINT % 2147483647  -> 1564557354

@@ -125,6 +125,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("embeddingDups ad-hoc path: candidate-generation exchanges carry ids, never vectors") {
+    val corpus = spark.range(300).select(
+      col("id"),
+      array((col("id") % 7).cast("float"), (col("id") % 5).cast("float"),
+        (col("id") % 3).cast("float"), lit(1.0f)).as("emb"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force real exchanges
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // static plan for collect()
+    try {
+      val (vecs, frame) = Dedup.embeddingDupsFrame(
+        corpus, "id", "emb", dim = 4, minCos = 0.99, numPlanes = 6, maxBucket = 1000)
+      try {
+        val exchanges = frame.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.output.map(_.name)
+        }
+        assert(exchanges.nonEmpty, "fixture too small to exercise shuffles")
+        // The bucket-keyed (candidate-generation) exchanges must ship only
+        // (bucket, id): the wide embedding column rides no bucket exchange.
+        val bucketExchanges = exchanges.filter(_.exists(_.startsWith("bucket")))
+        assert(bucketExchanges.nonEmpty, exchanges.toString)
+        bucketExchanges.foreach { cols =>
+          assert(!cols.exists(c => c.startsWith("vec") || c.startsWith("emb")),
+            s"vector column on a candidate-generation exchange: $cols")
+        }
+        assert(frame.count() > 0)
+      } finally vecs.unpersist(blocking = false)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("tail and as-of reads prune slice FILES at the metadata level") {
     import graft.dataset.Dataset
     import graft.ingest.IngestWriter
