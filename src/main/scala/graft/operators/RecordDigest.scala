@@ -27,12 +27,17 @@ import org.apache.spark.sql.types._
  *  - the canonical encoding below is fully documented, so any other engine
  *    can implement it from this scaladoc alone.
  *
- * Canonical encoding (v0):
+ * Canonical encoding (v1 — two-level, so computation distributes):
  *  - schema digest S = SHA3-256 over UTF-8 of `name:typeDDL;` per field, in
  *    field order (the nullable FLAG is excluded — it is layout metadata that
  *    flips on a parquet round-trip; null CONTENT is captured by the per-value
  *    markers below);
- *  - one digest D_i per top-level field: for each row in offset order,
+ *  - the row sequence is split into CHUNKS of exactly `rowsPerChunk` rows
+ *    (default 8192; the last chunk may be short). Chunk boundaries are a
+ *    function of the ROW SEQUENCE alone, never of file or partition layout,
+ *    so the digest stays layout-independent;
+ *  - per chunk c and top-level field i, d_{i,c} = SHA3-256 over the chunk's
+ *    rows in order, each encoded as
  *    null → byte 0x00; non-null → 0x01 ++ enc(value) with
  *      bool → 1 byte; integral (byte/short/int/long) → int64 LE;
  *      float/double → float64 IEEE-754 bits LE, NaN canonicalized, -0.0 → 0.0;
@@ -42,14 +47,29 @@ import org.apache.spark.sql.types._
  *      array → int32 LE length ++ element encodings (null markers included);
  *      map → int32 LE size ++ interleaved key/value encodings;
  *      struct → field encodings in order (null markers included);
+ *  - per field, D_i = SHA3-256(d_{i,0} ++ d_{i,1} ++ … ++ d_{i,k-1});
  *  - result = hex(SHA3-256(S ++ D_1 ++ … ++ D_n)).
+ *
+ * Scale shape: executors each hash the chunks they hold after one shuffle
+ * that aligns partition boundaries to chunk boundaries; the driver sees only
+ * k·n 32-byte sub-digests (rows/8192 per column), combined in chunk order —
+ * never the rows themselves. (v0 was a single-level digest streamed through
+ * the driver via toLocalIterator: correct, but the whole corpus moved
+ * through one machine; SHA3 state can't resume across partitions, so
+ * distributing required the explicit chunk level.)
  */
 object RecordDigest {
 
   /** Spark-conf switch: when "true", IngestWriter stamps AddData with this
-    * digest alongside the xxhash64-XOR fast hash. Off by default — it is a
-    * driver-side sequential pass over the committed slice. */
+    * digest alongside the xxhash64-XOR fast hash. Off by default — it costs
+    * an extra distributed pass (count + chunk-aligned shuffle) per commit. */
   val ConfKey = "spark.graft.digest.sha3"
+
+  /** Rows per chunk — part of the v1 digest definition, NOT a tuning knob:
+    * changing it changes every digest. 8192 keeps one chunk's rows in a few
+    * MB of executor memory while a billion-row slice still combines only
+    * ~122k sub-digests per column on the driver. */
+  val RowsPerChunk = 8192L
 
   def enabled(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.getOption(ConfKey).contains("true")
@@ -59,30 +79,69 @@ object RecordDigest {
   private def hex(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
 
   /** Digest the frame IN ITS CURRENT ROW ORDER (callers pass offset-ordered
-    * data). Streams via toLocalIterator — constant driver memory. */
-  def digest(df: DataFrame): String = {
+    * data). Distributed: rows never reach the driver. */
+  def digest(df: DataFrame): String = digest(df, RowsPerChunk)
+
+  /** `rowsPerChunk` is exposed for spec-testing the multi-chunk path on
+    * small frames; production callers use the canonical constant. */
+  private[graft] def digest(df: DataFrame, rowsPerChunk: Long): String = {
+    require(rowsPerChunk > 0, "rowsPerChunk must be positive")
     val schema = df.schema
+    val fields = schema.fields
     val schemaDigest = {
       val d = sha3()
-      schema.fields.foreach { f =>
+      fields.foreach { f =>
         d.update(s"${f.name}:${f.dataType.sql};".getBytes("UTF-8"))
       }
       d.digest()
     }
-    val colDigests = schema.fields.map(_ => sha3())
-    val it = df.toLocalIterator()
-    while (it.hasNext) {
-      val row = it.next()
-      var i = 0
-      while (i < colDigests.length) {
-        updateValue(colDigests(i), row.isNullAt(i), if (row.isNullAt(i)) null else row.get(i),
-          schema.fields(i).dataType)
-        i += 1
-      }
-    }
+
+    // zipWithIndex fixes the global row order (one count job), then one
+    // shuffle aligns partitions to chunk boundaries so every chunk's SHA3
+    // runs wholly on one executor. Cached so the count and the shuffle pass
+    // don't each recompute the upstream frame.
+    val indexed = df.rdd.zipWithIndex().map(_.swap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = indexed.count()
+    val nChunks = math.max(1L, (total + rowsPerChunk - 1) / rowsPerChunk).toInt
+    val chunkDigests: Array[(Long, Array[Array[Byte]])] =
+      if (total == 0) Array.empty
+      else
+        indexed
+          .partitionBy(new org.apache.spark.Partitioner {
+            override def numPartitions: Int = nChunks
+            override def getPartition(key: Any): Int =
+              (key.asInstanceOf[Long] / rowsPerChunk).toInt
+          })
+          .mapPartitionsWithIndex { (chunk, it) =>
+            val rows = it.toArray.sortBy(_._1)
+            if (rows.isEmpty) Iterator.empty
+            else {
+              val ds = fields.map(_ => sha3())
+              rows.foreach { case (_, row) =>
+                var i = 0
+                while (i < ds.length) {
+                  updateValue(ds(i), row.isNullAt(i),
+                    if (row.isNullAt(i)) null else row.get(i), fields(i).dataType)
+                  i += 1
+                }
+              }
+              Iterator((chunk.toLong, ds.map(_.digest())))
+            }
+          }
+          .collect()
+    indexed.unpersist(blocking = false)
+
+    val inOrder = chunkDigests.sortBy(_._1)
     val fin = sha3()
     fin.update(schemaDigest)
-    colDigests.foreach(d => fin.update(d.digest()))
+    var i = 0
+    while (i < fields.length) {
+      val di = sha3()
+      inOrder.foreach { case (_, cols) => di.update(cols(i)) }
+      fin.update(di.digest())
+      i += 1
+    }
     hex(fin.digest())
   }
 

@@ -19,9 +19,29 @@ class RecordDigestSpec extends SparkSpec {
   private def df2 = Seq((1L, Some("a")), (2L, None: Option[String])).toDF("id", "v")
 
   test("golden vector: digest matches an independent implementation of the spec") {
-    // hashlib.sha3_256 over the scaladoc'd encoding for rows (1,'a'), (2,null)
+    // hashlib.sha3_256 over the scaladoc'd v1 encoding for rows (1,'a'),
+    // (2,null): S = sha3("id:BIGINT;v:STRING;"), one chunk, D_i =
+    // sha3(chunk-digest), result = sha3(S ++ D_id ++ D_v)
     assert(df2.coalesce(1).digestedInOrder ===
-      "345dfed6ca81c703cf69e616a48d531d18553cdf35998887cd64b45b608b4989")
+      "e4d73fd438f78bd658557673d3068a7d9c9fffad516a5dc1620d07ced5175aa8")
+  }
+
+  test("golden vector: multi-chunk path (rowsPerChunk=1), independently computed") {
+    // same rows, chunk per row: D_i = sha3(d_{i,0} ++ d_{i,1})
+    assert(RecordDigest.digest(df2.orderBy("id"), rowsPerChunk = 1L) ===
+      "52d34771c34a68409133691e666592a3ac15458901cf93e0a84b8b7ca81f1a51")
+  }
+
+  test("chunked digest is partition-layout independent") {
+    val rows = (0L until 37L).map(i => (i, if (i % 5 == 0) None else Some(s"v$i")))
+    val one = rows.toDF("id", "v").coalesce(1)
+    val many = rows.toDF("id", "v").repartition(7)
+    // 37 rows with rowsPerChunk=4 → 10 chunks, none aligned to partitions
+    val a = RecordDigest.digest(one.orderBy("id"), rowsPerChunk = 4L)
+    val b = RecordDigest.digest(many.orderBy("id"), rowsPerChunk = 4L)
+    assert(a === b)
+    // and the chunk level really is part of the definition
+    assert(a !== RecordDigest.digest(one.orderBy("id"), rowsPerChunk = 8L))
   }
 
   private implicit class Ops(df: org.apache.spark.sql.DataFrame) {
