@@ -32,8 +32,16 @@ import graft.query.QueryService
  *   poll DATASET [ISO8601]        one fetch+ingest poll round
  *   pull DATASET [ISO8601]        recursive pull: poll roots, run transforms
  *                                 in dependency order (kamu pull --recursive)
+ *   search QUERY                  case-insensitive substring search over
+ *                                 dataset names/metadata (kamu search)
  *   lineage DATASET               upstream dependency tree
  *                                 (kamu inspect lineage, provenance_service.rs)
+ *   flow set DATASET SCHEDULE     schedule updates: 'every 15m' or 5-field
+ *                                 cron, UTC (flow system, schedules subset)
+ *   flow list                     scheduled datasets with last-run times
+ *   flow rm DATASET               unschedule
+ *   flow run [ISO8601]            run-due-now executor tick: pull exactly
+ *                                 the datasets whose schedule is due
  *   repo add NAME URL             register a remote repository alias
  *   repo list                     registered remotes
  *   repo rm NAME                  remove a remote alias
@@ -91,6 +99,12 @@ object Cli {
         case "pull" :: ds :: "--from" :: remote :: fl => cmdPullRemote(spark, wsOpt, ds, remote, fl.contains("--force"), out)
         case "pull" :: ds :: t             => cmdPull(spark, wsOpt, ds, isoOrNow(t.headOption), out)
         case "lineage" :: ds :: Nil        => cmdLineage(spark, wsOpt, ds, out)
+        case "search" :: q :: Nil          => cmdSearch(spark, wsOpt, q, out)
+        case "flow" :: "set" :: ds :: sched if sched.nonEmpty =>
+          cmdFlowSet(spark, wsOpt, ds, sched.mkString(" "), out)
+        case "flow" :: "list" :: Nil       => cmdFlowList(spark, wsOpt, out)
+        case "flow" :: "rm" :: ds :: Nil   => cmdFlowRm(spark, wsOpt, ds, out)
+        case "flow" :: "run" :: t          => cmdFlowRun(spark, wsOpt, isoOrNow(t.headOption), out)
         case "repo" :: "add" :: n :: u :: Nil => cmdRepo(spark, wsOpt, r => { r.add(n, u); s"added $n -> $u" }, out)
         case "repo" :: "list" :: Nil       => cmdRepo(spark, wsOpt, r => r.list().toSeq.sorted.map { case (n, u) => s"$n $u" }.mkString("\n"), out)
         case "repo" :: "rm" :: n :: Nil    => cmdRepo(spark, wsOpt, r => { r.remove(n); s"removed $n" }, out)
@@ -221,6 +235,12 @@ object Cli {
     0
   }
 
+  private def cmdSearch(spark: SparkSession, ws: String, q: String, out: PrintStream): Int = {
+    val hits = graft.query.Search.search(workspaceDatasets(spark, ws), q)
+    hits.foreach(h => out.println(s"${h.dataset}\t${h.field}\t${h.snippet}"))
+    if (hits.isEmpty) { out.println("(no matches)"); 1 } else 0
+  }
+
   private def cmdLineage(spark: SparkSession, ws: String, ds: String, out: PrintStream): Int = {
     val datasets = workspaceDatasets(spark, ws)
     val target = datasets.getOrElse(
@@ -228,6 +248,49 @@ object Cli {
     val resolve = (n: String) => datasets.getOrElse(
       n, throw new IllegalArgumentException(s"lineage input '$n' not in workspace $ws"))
     out.print(graft.transform.Lineage.render(target, resolve))
+    0
+  }
+
+  // ------------------------------------------------------------- flows
+
+  private def flowRegistry(spark: SparkSession, ws: String) =
+    new graft.flow.FlowService.Registry(
+      new org.apache.hadoop.fs.Path(ws), spark.sparkContext.hadoopConfiguration)
+
+  private def cmdFlowSet(spark: SparkSession, ws: String, ds: String, sched: String,
+      out: PrintStream): Int = {
+    open(spark, ws, ds) // validate the dataset exists
+    val parsed = graft.flow.FlowService.parseSchedule(sched)
+    flowRegistry(spark, ws).set(ds, parsed)
+    out.println(s"scheduled $ds: ${parsed.render}")
+    0
+  }
+
+  private def cmdFlowList(spark: SparkSession, ws: String, out: PrintStream): Int = {
+    val reg = flowRegistry(spark, ws)
+    val last = reg.lastRuns()
+    reg.schedules().toSeq.sortBy(_._1).foreach { case (ds, sched) =>
+      val lr = last.get(ds)
+        .map(t => java.time.Instant.ofEpochMilli(t).toString)
+        .getOrElse("never")
+      out.println(s"$ds\t${sched.render}\tlast-run=$lr")
+    }
+    0
+  }
+
+  private def cmdFlowRm(spark: SparkSession, ws: String, ds: String, out: PrintStream): Int = {
+    flowRegistry(spark, ws).remove(ds)
+    out.println(s"unscheduled $ds")
+    0
+  }
+
+  private def cmdFlowRun(spark: SparkSession, ws: String, now: Long, out: PrintStream): Int = {
+    val datasets = workspaceDatasets(spark, ws)
+    val resolve = (n: String) => datasets.getOrElse(
+      n, throw new IllegalArgumentException(s"no dataset '$n' in workspace $ws"))
+    graft.flow.FlowService.runDue(spark, flowRegistry(spark, ws), resolve, now).foreach {
+      case (name, ran) => out.println(s"$name: ${if (ran) "pulled" else "not due"}")
+    }
     0
   }
 

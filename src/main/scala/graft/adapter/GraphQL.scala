@@ -208,6 +208,15 @@ object GraphQL {
           s"${jstr(sub.name)}:$v"
         }
         .mkString("{", ",", "}")
+    case "search" =>
+      // src/adapter/graphql/src/queries/search.rs: case-insensitive
+      // substring search, paged
+      val q2 = f.args.getOrElse("query",
+        throw new IllegalArgumentException("search(query:) argument required"))
+      val limit = f.args.get("limit").map(_.toInt).getOrElse(15)
+      graft.query.Search.search(datasets, q2, limit).map { h =>
+        s"""{"dataset":${jstr(h.dataset)},"field":${jstr(h.field)},"snippet":${jstr(h.snippet)}}"""
+      }.mkString("[", ",", "]")
     case other => throw new IllegalArgumentException(s"unknown root field '$other'")
   }
 

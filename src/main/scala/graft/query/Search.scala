@@ -1,0 +1,62 @@
+package graft.query
+
+import graft.dataset.Dataset
+import graft.model.MetadataBlock
+import graft.model.MetadataEvent.{SetInfo, SetLicense}
+
+/**
+ * Dataset search over a workspace — the role of the reference's search
+ * surface (src/domain/search/, src/adapter/graphql/src/queries/search.rs:
+ * case-insensitive substring over dataset aliases, surfaced as CLI
+ * `kamu search` and GraphQL `search.query`). Extended here over the
+ * metadata a workspace actually carries: name, kind, SetInfo description,
+ * schema column names, license name, and attachment names/content.
+ *
+ * Scale note: this searches CHAIN METADATA (tiny, driver-side), not data —
+ * a workspace with thousands of datasets is a thousands-of-chains walk, not
+ * a Spark job. Content search over rows is what `QueryService.sql` is for;
+ * semantic search over descriptions reuses the embedding operators (see
+ * `Similarity.bruteForceTopK`).
+ */
+object Search {
+
+  /** One match: which dataset, which metadata field hit, and the matching
+    * text (trimmed to a short snippet). */
+  final case class Hit(dataset: String, field: String, snippet: String)
+
+  def search(datasets: Map[String, Dataset], query: String, limit: Int = 100): Seq[Hit] = {
+    val q = query.toLowerCase(java.util.Locale.ROOT)
+    def m(s: String): Boolean = s.toLowerCase(java.util.Locale.ROOT).contains(q)
+    def snip(s: String): String = {
+      val i = math.max(0, s.toLowerCase(java.util.Locale.ROOT).indexOf(q))
+      val from = math.max(0, i - 20)
+      val to = math.min(s.length, i + q.length + 40)
+      (if (from > 0) "…" else "") + s.substring(from, to).replace('\n', ' ') +
+        (if (to < s.length) "…" else "")
+    }
+
+    datasets.toSeq.sortBy(_._1).iterator.flatMap { case (name, ds) =>
+      val blocks = ds.chain.blocks()
+      val hits = Seq.newBuilder[Hit]
+      if (m(name)) hits += Hit(name, "name", name)
+      if (m(ds.kind)) hits += Hit(name, "kind", ds.kind)
+      // latest declarations win, like every other chain visitor
+      blocks.reverseIterator.collectFirst { case MetadataBlock(_, _, _, i: SetInfo) => i }
+        .filter(i => m(i.description))
+        .foreach(i => hits += Hit(name, "description", snip(i.description)))
+      blocks.reverseIterator.collectFirst { case MetadataBlock(_, _, _, l: SetLicense) => l }
+        .filter(l => m(l.name))
+        .foreach(l => hits += Hit(name, "license", l.name))
+      ds.chain.schemaDdl().filter(m).foreach { ddl =>
+        // report the matching column, not the whole DDL
+        val col = ddl.split(",").map(_.trim).find(m).getOrElse(ddl)
+        hits += Hit(name, "schema", snip(col))
+      }
+      ds.chain.attachments().filter(a => m(a.name) || m(a.content)).foreach { a =>
+        hits += Hit(name, "attachment",
+          if (m(a.name)) a.name else s"${a.name}: ${snip(a.content)}")
+      }
+      hits.result()
+    }.take(limit).toSeq
+  }
+}

@@ -208,6 +208,50 @@ class CliSpec extends SparkSpec {
     assert(out3 === "towns_big (derivative)\n└── towns (root)\n", out3)
   }
 
+  test("search finds datasets by name substring; misses exit nonzero") {
+    val (root, _) = ws
+    val (c1, hit) = runCli("--workspace", root.toString, "search", "CITI")
+    assert(c1 === 0 && hit.startsWith("cities\tname\tcities"), hit)
+    val (c2, miss) = runCli("--workspace", root.toString, "search", "zzz-nope")
+    assert(c2 === 1 && miss.trim === "(no matches)")
+  }
+
+  test("flow set/list/run/rm: scheduled pulls through the CLI") {
+    // private workspace: the flow executor POLLS roots, so the dataset needs
+    // a real fetch step (the shared fixture is ingest-file-driven)
+    val root = Files.createTempDirectory("graft-cli-flow-")
+    Files.writeString(root.resolve("f-2024-01-01.csv"), "town,pop\nnola,364000\n")
+    val towns = Dataset.create(spark, root.resolve("towns"), "towns")
+    towns.chain.append(
+      SetPollingSource(readFormat = "csv", schemaDdl = Some("town STRING, pop INT"),
+        merge = MergeConf("ledger", primaryKey = Seq("town")),
+        fetch = Some(graft.model.MetadataEvent.FetchConf(kind = "filesGlob",
+          glob = Some(root.resolve("f-*.csv").toString),
+          eventTimeRegex = Some("f-(\\d{4}-\\d{2}-\\d{2})\\.csv")))), 0L)
+
+    val (c1, setOut) = runCli("--workspace", root.toString, "flow", "set", "towns", "every", "1h")
+    assert(c1 === 0 && setOut.trim === "scheduled towns: every 1h")
+    // bad schedule and unknown dataset are rejected
+    assert(runCli("--workspace", root.toString, "flow", "set", "towns", "sometimes")._1 === 1)
+    assert(runCli("--workspace", root.toString, "flow", "set", "nope", "every", "1h")._1 === 1)
+
+    val (_, list1) = runCli("--workspace", root.toString, "flow", "list")
+    assert(list1.trim === "towns\tevery 1h\tlast-run=never", list1)
+
+    val (c2, run1) = runCli("--workspace", root.toString, "flow", "run", "2024-06-01T00:00:00Z")
+    assert(c2 === 0 && run1.trim === "towns: pulled", run1)
+    val (_, run2) = runCli("--workspace", root.toString, "flow", "run", "2024-06-01T00:30:00Z")
+    assert(run2.trim === "towns: not due", run2)
+    val (_, run3) = runCli("--workspace", root.toString, "flow", "run", "2024-06-01T01:00:00Z")
+    assert(run3.trim === "towns: pulled", run3)
+    val (_, list2) = runCli("--workspace", root.toString, "flow", "list")
+    assert(list2.contains("last-run=2024-06-01T01:00:00Z"), list2)
+
+    val (c3, _) = runCli("--workspace", root.toString, "flow", "rm", "towns")
+    assert(c3 === 0)
+    assert(runCli("--workspace", root.toString, "flow", "list")._2.trim.isEmpty)
+  }
+
   test("repo/push/status/pull --from: full remote sync lifecycle") {
     val (root, csv) = ws
     val remote = Files.createTempDirectory("graft-cli-remote-")
