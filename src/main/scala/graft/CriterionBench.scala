@@ -105,7 +105,14 @@ object CriterionBench {
     def need(table: String): Boolean =
       !(skipExisting && sameN) || !new java.io.File(s"$out/$table").isDirectory
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
-    // marker is (re)written only after generation completes — see end
+    // The marker is deleted BEFORE any table is overwritten and rewritten
+    // only after generation completes: a crash mid-generation leaves no
+    // marker at all, so a later `<old-n> reuse` run can never see a stale
+    // sameN=true over a mix of old-n and new-n tables.
+    val willWrite = !(skipExisting && sameN) ||
+      Seq("cdc_ledger", "snap_prev", "snap_new", "ledger_prev", "ledger_new", "ledger_new_small")
+        .exists(t => !new java.io.File(s"$out/$t").isDirectory)
+    if (willWrite) java.nio.file.Files.deleteIfExists(marker)
 
     if (need("cdc_ledger")) spark.range(n).select(
       col("id").as("offset"),

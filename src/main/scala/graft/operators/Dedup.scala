@@ -271,6 +271,15 @@ object Dedup {
    * split the hash into `maxHamming + 1` chunks — any pair within the
    * distance budget must agree on at least one chunk — and shuffle on
    * (chunkIdx, chunkValue). Exact Hamming verify over the zipped bit chars.
+   *
+   * RECALL CAVEAT: a chunk bucket holding more than `maxBucket` documents is
+   * truncated to its `maxBucket` lowest ids before the pair-up, so documents
+   * beyond the cap contribute no candidate pairs FROM THAT BUCKET (they may
+   * still pair through their other `maxHamming` chunks). Buckets that large
+   * are near-identical boilerplate in practice — BASELINE.md records a real
+   * 291-doc bucket at sf0.1 — where the surviving members already chain the
+   * cluster for [[connectedComponents]]; callers needing exhaustive pairs on
+   * such data must raise `maxBucket` and accept the quadratic bucket cost.
    */
   def simHashDups(
       df: DataFrame,

@@ -231,6 +231,75 @@ class StreamingSpec extends SparkSpec {
     assert(Dataset.open(spark, root.resolve("out")).toDF().count() === 2)
   }
 
+  test("changelog-input streaming transform: -C/+C/-R ops pass through, state stays correct") {
+    // README retraction matrix, rows 'Batch SQL transforms' / 'Streaming
+    // ingest': a transform that PROJECTS op propagates retractions and
+    // corrections exactly (what the reference pins for its Spark engine in
+    // test_engine_transform.rs:651-666 — Flink/RW cannot,
+    // :673-676,719-735).
+    import graft.dataset.Dataset
+    import graft.ingest.IngestWriter
+    import graft.operators.{Changelog, MergeStrategy}
+
+    val root = java.nio.file.Files.createTempDirectory("graft-chlog-stream-")
+    val src = Dataset.create(spark, root.resolve("src"), "src_cl", systemTime = 0L)
+    Dataset.create(spark, root.resolve("out"), "out_cl", kind = "derivative", systemTime = 0L)
+    // snapshot merge over three rounds -> +A, then -C/+C (update) and +A,
+    // then -R (kyiv disappears): every op kind lands in the source chain
+    val rounds = Seq(
+      Seq(("kyiv", 2884000), ("seattle", 733000)),
+      Seq(("kyiv", 2884000), ("seattle", 750000), ("odessa", 1015000)),
+      Seq(("seattle", 750000), ("odessa", 1015000)))
+    rounds.zipWithIndex.foreach { case (r, i) =>
+      IngestWriter.writeBatch(src, r.toDF("city", "population"),
+        MergeStrategy.Snapshot(Seq("city")), systemTime = 1000L * (i + 1))
+    }
+    val srcOps = src.toDF().orderBy("offset").select("op").as[Int].collect().toSeq
+    assert(srcOps.toSet === Set(Op.Append, Op.Retract, Op.CorrectFrom, Op.CorrectTo))
+
+    // map-only transform that CARRIES op: population scaled, ops untouched
+    def xform(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("op", "event_time", "city", "population * 10 AS population")
+    val q = StreamingTransform.start(
+      Dataset.open(spark, root.resolve("out")),
+      Dataset.open(spark, root.resolve("src")), xform, "chlog-test", () => 5000L)
+    try q.processAllAvailable() finally q.stop()
+
+    val out = Dataset.open(spark, root.resolve("out")).toDF()
+    // ops preserved 1:1 in offset order
+    assert(out.orderBy("offset").select("op").as[Int].collect().toSeq === srcOps)
+    // and the changelog still projects to the correct final state
+    val state = Changelog.project(out, Seq("city"))
+      .select("city", "population").as[(String, Int)].collect().toSet
+    assert(state === Set(("seattle", 7500000), ("odessa", 10150000)))
+  }
+
+  test("streaming window aggs are append-only: a retraction row is data, not a reversal") {
+    // README retraction matrix, row 'Streaming window aggs': pins the
+    // documented limitation (shared with the reference's streaming engines,
+    // test_engine_transform.rs:719-735) — route changelog streams through
+    // the batch incremental path instead.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Int, String, Double)]
+    val df = mem.toDF().toDF("ts", "op", "k", "v")
+    val agg = StreamingOps.tumblingWindowAgg(df, timeCol = "ts",
+      windowDuration = "1 hour", watermarkDelay = "0 seconds",
+      keys = Seq(col("k")), aggs = Seq(count(lit(1)).as("n"), sum(col("v")).as("total")))
+    val q = agg.writeStream.format("memory").queryName("retr_limit")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (t("2024-01-01T00:10:00Z"), Op.Append, "a", 10.0),
+        (t("2024-01-01T00:20:00Z"), Op.Retract, "a", 10.0), // NOT reversed
+        (t("2024-01-01T03:00:00Z"), Op.Append, "a", 1.0))   // advances watermark
+      q.processAllAvailable()
+      val row = spark.table("retr_limit")
+        .select("n", "total").as[(Long, Double)].collect()
+      // both rows counted: the -R row contributed like an append
+      assert(row.toSeq === Seq((2L, 20.0)))
+    } finally q.stop()
+  }
+
   test("streaming ingest commits micro-batches to the chain; replayed batch is skipped") {
     import graft.dataset.Dataset
     import graft.operators.MergeStrategy

@@ -89,6 +89,35 @@ def scale_documents(base, factor):
     return pa.concat_tables(reps)
 
 
+def scale_embeddings(base, factor, stride):
+    """Replicate embeddings with vec_id += i*stride (the DOCUMENTS stride, so
+    vec_id==doc_id joins stay aligned). Replica i>0 gets every vector
+    circularly shifted by i positions: an identical permutation preserves
+    all dot products and norms WITHIN a replica (duplicate structure
+    intact), while cross-replica cosines drop to random-vector levels — the
+    same ~K-times-the-clusters (not clusters-K-times-the-size) shape
+    scale_documents produces for text."""
+    reps = []
+    for i in range(factor):
+        rep = base
+        idx = rep.schema.get_field_index("vec_id")
+        rep = rep.set_column(
+            idx, rep.schema.field(idx),
+            pc.add(rep.column("vec_id"), pa.scalar(i * stride, type=rep.schema.field(idx).type)),
+        )
+        if i > 0:
+            edx = rep.schema.get_field_index("embedding")
+            typ = rep.schema.field(edx).type
+            shifted = pa.array(
+                [None if v is None else v[i % len(v):] + v[: i % len(v)]
+                 for v in rep.column("embedding").to_pylist()],
+                type=typ,
+            )
+            rep = rep.set_column(edx, rep.schema.field(edx), shifted)
+        reps.append(rep)
+    return pa.concat_tables(reps)
+
+
 def main():
     src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
     scale_docs = len(sys.argv) > 4 and sys.argv[4] == "--scale-docs"
@@ -101,6 +130,16 @@ def main():
                        row_group_size=64 * 1024)
         COPY.remove("documents")
         print(f"documents: {tables['documents'].num_rows} -> {docs.num_rows} rows (mutated)")
+        # embeddings share the documents id space (vec_id == doc_id): they
+        # must replicate with the SAME stride, or every replica beyond the
+        # first has no matching embedding rows and embedding-join entries
+        # quietly measure ~1/K of the corpus.
+        doc_stride = pc.max(tables["documents"].column("doc_id")).as_py() + 1
+        embs = scale_embeddings(tables["embeddings"], factor, doc_stride)
+        pq.write_table(embs, f"{dst}/embeddings.parquet", compression="snappy",
+                       row_group_size=64 * 1024)
+        COPY.remove("embeddings")
+        print(f"embeddings: {tables['embeddings'].num_rows} -> {embs.num_rows} rows (mutated)")
     stride = {
         name: pc.max(tables[t].column(c)).as_py() + 1 for name, (t, c) in STRIDES.items()
     }
