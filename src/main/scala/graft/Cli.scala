@@ -36,6 +36,10 @@ import graft.query.QueryService
  *                                 dataset names/metadata (kamu search)
  *   lineage DATASET               upstream dependency tree
  *                                 (kamu inspect lineage, provenance_service.rs)
+ *   webhook add DATASET URL SECRET
+ *                                 subscribe URL to DATASET.REF.UPDATED
+ *                                 events (RFC 9421-signed deliveries)
+ *   webhook list | webhook rm DATASET URL
  *   flow set DATASET SCHEDULE     schedule updates: 'every 15m' or 5-field
  *                                 cron, UTC (flow system, schedules subset)
  *   flow list                     scheduled datasets with last-run times
@@ -94,17 +98,31 @@ object Cli {
         case "tail" :: ds :: restN         => cmdTail(spark, wsOpt, ds, restN.headOption.map(_.toInt).getOrElse(10), out)
         case "schema" :: ds :: Nil         => cmdSchema(spark, wsOpt, ds, out)
         case "log" :: ds :: Nil            => cmdLog(spark, wsOpt, ds, out)
-        case "ingest" :: ds :: file :: t   => cmdIngest(spark, wsOpt, ds, file, isoOrNow(t.headOption), out)
-        case "poll" :: ds :: t             => cmdPoll(spark, wsOpt, ds, isoOrNow(t.headOption), out)
+        case "ingest" :: ds :: file :: t   =>
+          val st = isoOrNow(t.headOption)
+          notifyingHeadMoves(spark, wsOpt, out, st)(cmdIngest(spark, wsOpt, ds, file, st, out))
+        case "poll" :: ds :: t             =>
+          val st = isoOrNow(t.headOption)
+          notifyingHeadMoves(spark, wsOpt, out, st)(cmdPoll(spark, wsOpt, ds, st, out))
         case "pull" :: ds :: "--from" :: remote :: fl => cmdPullRemote(spark, wsOpt, ds, remote, fl.contains("--force"), out)
-        case "pull" :: ds :: t             => cmdPull(spark, wsOpt, ds, isoOrNow(t.headOption), out)
+        case "pull" :: ds :: t             =>
+          val st = isoOrNow(t.headOption)
+          notifyingHeadMoves(spark, wsOpt, out, st)(cmdPull(spark, wsOpt, ds, st, out))
         case "lineage" :: ds :: Nil        => cmdLineage(spark, wsOpt, ds, out)
         case "search" :: q :: Nil          => cmdSearch(spark, wsOpt, q, out)
+        case "webhook" :: "add" :: ds :: url :: secret :: Nil =>
+          cmdWebhook(spark, wsOpt, r => { r.add(graft.adapter.Webhooks.Subscription(ds, url, secret)); s"subscribed $ds -> $url" }, out)
+        case "webhook" :: "list" :: Nil =>
+          cmdWebhook(spark, wsOpt, r => r.list().map(s => s"${s.dataset}\t${s.url}\t${s.eventTypes.mkString(",")}").mkString("\n"), out)
+        case "webhook" :: "rm" :: ds :: url :: Nil =>
+          cmdWebhook(spark, wsOpt, r => { r.remove(ds, url); s"unsubscribed $ds -> $url" }, out)
         case "flow" :: "set" :: ds :: sched if sched.nonEmpty =>
           cmdFlowSet(spark, wsOpt, ds, sched.mkString(" "), out)
         case "flow" :: "list" :: Nil       => cmdFlowList(spark, wsOpt, out)
         case "flow" :: "rm" :: ds :: Nil   => cmdFlowRm(spark, wsOpt, ds, out)
-        case "flow" :: "run" :: t          => cmdFlowRun(spark, wsOpt, isoOrNow(t.headOption), out)
+        case "flow" :: "run" :: t          =>
+          val st = isoOrNow(t.headOption)
+          notifyingHeadMoves(spark, wsOpt, out, st)(cmdFlowRun(spark, wsOpt, st, out))
         case "repo" :: "add" :: n :: u :: Nil => cmdRepo(spark, wsOpt, r => { r.add(n, u); s"added $n -> $u" }, out)
         case "repo" :: "list" :: Nil       => cmdRepo(spark, wsOpt, r => r.list().toSeq.sorted.map { case (n, u) => s"$n $u" }.mkString("\n"), out)
         case "repo" :: "rm" :: n :: Nil    => cmdRepo(spark, wsOpt, r => { r.remove(n); s"removed $n" }, out)
@@ -249,6 +267,44 @@ object Cli {
       n, throw new IllegalArgumentException(s"lineage input '$n' not in workspace $ws"))
     out.print(graft.transform.Lineage.render(target, resolve))
     0
+  }
+
+  // ----------------------------------------------------------- webhooks
+
+  private def webhookRegistry(spark: SparkSession, ws: String) =
+    new graft.adapter.Webhooks.Registry(
+      new org.apache.hadoop.fs.Path(ws), spark.sparkContext.hadoopConfiguration)
+
+  private def cmdWebhook(spark: SparkSession, ws: String,
+      f: graft.adapter.Webhooks.Registry => String, out: PrintStream): Int = {
+    val msg = f(webhookRegistry(spark, ws))
+    if (msg.nonEmpty) out.println(msg)
+    0
+  }
+
+  /** Run `body`, then fire DATASET.REF.UPDATED for every workspace dataset
+    * whose head moved — dead subscribers report, never fail the command. */
+  private def notifyingHeadMoves[T](spark: SparkSession, ws: String, out: PrintStream,
+      systemTime: Long)(body: => T): T = {
+    val reg = webhookRegistry(spark, ws)
+    val subscribed = reg.list().map(_.dataset).toSet
+    def heads(): Map[String, Option[String]] =
+      workspaceDatasets(spark, ws).collect {
+        case (n, d) if subscribed.contains(n) => n -> d.chain.head.map(_._2)
+      }
+    val before = heads()
+    val result = body
+    if (subscribed.nonEmpty) heads().foreach { case (name, newHead) =>
+      val oldHead = before.getOrElse(name, None)
+      if (newHead.isDefined && newHead != oldHead)
+        graft.adapter.Webhooks
+          .notifyRefUpdated(reg, name, newHead.get, oldHead, systemTime)
+          .foreach { d =>
+            if (d.error.isDefined)
+              out.println(s"webhook ${d.subscription.url}: ${d.error.get}")
+          }
+    }
+    result
   }
 
   // ------------------------------------------------------------- flows
