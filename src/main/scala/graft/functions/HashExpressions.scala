@@ -43,6 +43,44 @@ object HashExpressions {
     * method budget), measured 3.5-9x slower on the near-dup verify stage. */
   def longDot(a: Column, b: Column): Column =
     columnOf(LongDotExpr(expressionOf(a), expressionOf(b)))
+
+  /** Column API: PORTABLE MinHash signature — bit-identical to the
+    * `aggregate(zip_with(...))` spelling over [[Text.portableHash31]]
+    * (md5-derived, DuckDB-replicable), evaluated in one JVM loop per row.
+    * Same cross-engine values as the HOF form, ~20x less CPU per document. */
+  def portableMinhashSignature(shingles: Column, numHashes: Int): Column =
+    columnOf(PortableMinHash31Expr(expressionOf(shingles), numHashes))
+
+  /** Column API: PORTABLE 64-char SimHash bit string — bit-identical to the
+    * vote fold over [[Text.portableHashBits]] (md5-derived), one JVM loop
+    * per row; lets the operator drop its explode+groupBy shuffle. */
+  def portableSimhashBits(tokens: Column): Column =
+    columnOf(PortableSimHashBitsExpr(expressionOf(tokens)))
+}
+
+/** Shared md5 kernel for the portable expressions: thread-local digest
+  * instance, helpers mirroring `substring(md5(s),1,8/16)` exactly. */
+private[functions] object PortableMd5 {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  /** First 4 digest bytes as unsigned — `conv(substring(md5(s),1,8),16,10)`. */
+  def head32(bytes: Array[Byte]): Long = {
+    val d = md.get(); d.reset()
+    val h = d.digest(bytes)
+    ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+  }
+  /** First 8 digest bytes as a (signed-bits) long — the unsigned value
+    * `conv(substring(md5(s),1,16),16,...)` denotes, in two's complement. */
+  def head64(bytes: Array[Byte]): Long = {
+    val d = md.get(); d.reset()
+    val h = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    v
+  }
 }
 
 /** k-minima MinHash signature: `array<string> -> array<long>` (length k,
@@ -129,6 +167,133 @@ case class SimHash64Expr(child: Expression, seed: Long)
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)
+}
+
+/** Portable MinHash signature: `array<string> -> array<long>` (length k).
+  * Value-identical to the HOF spelling in [[graft.operators.Dedup]]:
+  * h = conv(substring(md5(s),1,8),16,10) % P31, then per hash function i
+  * (left-assoc, exactly as the Column expression parses):
+  * ((MulA*(i+1)) % p * h + (MulB*(i+13)) % p) % p, min over elements.
+  * Empty array yields all-P31 sentinels like the HOF's `array_repeat` seed;
+  * null elements are skipped (transform maps them to null, and least(null)
+  * keeps the accumulator in the HOF form). */
+case class PortableMinHash31Expr(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  require(numHashes > 0, "numHashes must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "portable_minhash_signature"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      PortableMinHash31Expr.compute(input.asInstanceOf[ArrayData], numHashes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c =>
+        s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  graft.functions.PortableMinHash31Expr.compute($c, $numHashes));""".stripMargin
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): PortableMinHash31Expr =
+    copy(child = newChild)
+}
+
+object PortableMinHash31Expr {
+  import graft.functions.{Hashing => H}
+
+  def compute(arr: ArrayData, k: Int): Array[Long] = {
+    val p = H.P31
+    val a = new Array[Long](k)
+    val b = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      a(i) = (H.MulA * (i + 1)) % p
+      b(i) = (H.MulB * (i + 13)) % p
+      i += 1
+    }
+    val mins = Array.fill(k)(p)
+    val n = arr.numElements()
+    var e = 0
+    while (e < n) {
+      if (!arr.isNullAt(e)) {
+        val h = PortableMd5.head32(arr.getUTF8String(e).getBytes) % p
+        var j = 0
+        while (j < k) {
+          val v = (a(j) * h + b(j)) % p
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      e += 1
+    }
+    mins
+  }
+}
+
+/** Portable 64-char SimHash bit string: `array<string> -> string`.
+  * Value-identical to the vote fold over `portableHashBits` (char j is bit
+  * 63-j of the md5-head64 value): +1 per set bit, -1 per clear bit, final
+  * char '1' iff the vote is strictly positive. Null tokens are skipped;
+  * an empty array yields all zeros (zero votes). */
+case class PortableSimHashBitsExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "portable_simhash_bits"
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      PortableSimHashBitsExpr.compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c =>
+        s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+           |  graft.functions.PortableSimHashBitsExpr.compute($c));""".stripMargin
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): PortableSimHashBitsExpr =
+    copy(child = newChild)
+}
+
+object PortableSimHashBitsExpr {
+  def compute(arr: ArrayData): String = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var e = 0
+    while (e < n) {
+      if (!arr.isNullAt(e)) {
+        val h = PortableMd5.head64(arr.getUTF8String(e).getBytes)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> (63 - j)) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      e += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var j = 0
+    while (j < 64) {
+      sb.append(if (votes(j) > 0) '1' else '0')
+      j += 1
+    }
+    sb.toString
+  }
 }
 
 /** Exact dot product: `(array<long>, array<long>) -> long`, summed over the

@@ -54,13 +54,22 @@ object Dedup {
    * h_i(s) = (A_i * h(s) + B_i) mod p, where h is [[Text.portableHash31]],
    * A_i = (MulA * (i+1)) mod p and B_i = (MulB * (i+13)) mod p.
    *
-   * Single pass: the shingle array is evaluated once, each shingle is md5'd
-   * once, and the k mins fold through one `aggregate`/`zip_with` — unlike a
-   * `transform`-per-seed shape, which would instantiate the whole
-   * tokenize→shingle subtree k times (the round-1 scale-killer: 64 duplicated
-   * pipelines, 238 s for 5k docs).
+   * Evaluated by the native [[graft.functions.PortableMinHash31Expr]] — one
+   * JVM loop per row (each shingle md5'd once, k running minima), value-
+   * identical to the documented formula, so the DuckDB oracle replicates it
+   * arithmetically. Measured ~20x less per-document CPU than the
+   * `aggregate`/`zip_with` HOF spelling (interpreted, boxing per element),
+   * which [[minHashSignatureHof]] preserves as the cross-check reference;
+   * a `transform`-per-seed shape is worse still (the round-1 scale-killer:
+   * 64 duplicated tokenize→shingle pipelines, 238 s for 5k docs).
    */
-  def minHashSignature(shingles: Column, k: Int): Column = {
+  def minHashSignature(shingles: Column, k: Int): Column =
+    graft.functions.HashExpressions.portableMinhashSignature(shingles, k)
+
+  /** The single-`aggregate` HOF spelling of [[minHashSignature]] — kept as
+    * the executable specification the native expression is spec-checked
+    * against (`DedupSpec` asserts bit-equality on real documents). */
+  private[graft] def minHashSignatureHof(shingles: Column, k: Int): Column = {
     val p = Hashing.P31
     val hashes = transform(shingles, s => Text.portableHash31(s))
     aggregate(
@@ -215,7 +224,13 @@ object Dedup {
    * `lpad(bin(hex::UBIGINT),64,'0')`, while signed-64 bit packing overflows
    * differently across engines.
    */
-  def simHash(text: Column): Column = {
+  def simHash(text: Column): Column =
+    graft.functions.HashExpressions.portableSimhashBits(Text.tokens(text))
+
+  /** The `aggregate`/`zip_with` HOF spelling of [[simHash]] — kept as the
+    * executable specification the native expression is spec-checked against
+    * (`DedupSpec` asserts bit-equality on real documents). */
+  private[graft] def simHashHof(text: Column): Column = {
     val tokenBits = transform(Text.tokens(text), t => split(Text.portableHashBits(t), ""))
     val votes = aggregate(
       tokenBits,
@@ -225,45 +240,18 @@ object Dedup {
     concat_ws("", transform(votes, v => when(v > 0, "1").otherwise("0")))
   }
 
-  /**
-   * Per-document 64-char simhash bit-strings computed as explode + 64
-   * codegen'd vote aggregates — semantically identical to [[simHash]] but
-   * every operator (md5, substring, conditional sums) stays inside
-   * whole-stage codegen, where the single-expression form folds through
-   * interpreted higher-order functions (measured ~7× slower). One shuffle:
-   * the groupBy on id; map-side partial aggregation compresses each
-   * partition to one 64-int vote row per document first.
-   */
-  private def simHashBits(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"), explode_outer(Text.tokens(col(textCol))).as("t"))
-    // Bit votes extracted ARITHMETICALLY from two 32-bit halves of the
-    // md5-derived word — the per-bit `substring(bits, j, 1)` form allocated
-    // 64 single-char strings per token row inside the aggregate (384M
-    // allocations at a 50k x ~120-token corpus, measured 67 s; this form
-    // measures ~8 s). Semantics unchanged: bit j of the same u64, vote
-    // '1' iff ones > cnt/2 <=> sum(+/-1) > 0.
-    val halves = toks
-      .withColumn("__h", conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long"))
-      .withColumn("__l", conv(substring(md5(col("t")), 9, 8), 16, 10).cast("long"))
-    val oneCols = (1 to 64).map { j =>
-      val word = if (j <= 32) col("__h") else col("__l")
-      val shift = if (j <= 32) 32 - j else 64 - j
-      sum(
-        when(col("t").isNull, 0L) // token-less doc: zero votes everywhere
-          .otherwise(shiftrightunsigned(word, shift).bitwiseAND(lit(1L)))
-      ).as(s"__o$j")
-    }
-    val cnt = sum(when(col("t").isNull, 0L).otherwise(1L)).as("__n")
-    halves
-      .groupBy(col("id"))
-      .agg(oneCols.head, (oneCols.tail :+ cnt): _*)
-      .select(
-        col("id"),
-        concat(
-          (1 to 64).map(j => when(col(s"__o$j") * 2 > col("__n"), "1").otherwise("0")): _*
-        ).as("sh")
-      )
-  }
+  /** Per-document 64-char simhash bit-strings — one native-expression pass
+    * ([[graft.functions.PortableSimHashBitsExpr]]: tokens hashed and voted
+    * in a single JVM loop per row), value-identical to [[simHashHof]]. The
+    * earlier explode + 64-vote-aggregate formulation needed a groupBy-on-id
+    * shuffle of every (id, token) row; this shape has NO shuffle at all —
+    * the corpus-sized stage is now map-only, which is exactly what you want
+    * feeding the (already shuffle-light) candidate generation at 100 TB. */
+  private def simHashBits(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      graft.functions.HashExpressions
+        .portableSimhashBits(Text.tokens(col(textCol))).as("sh"))
 
   /**
    * SimHash near-dup pairs: documents whose 64-bit simhashes differ in at

@@ -80,6 +80,33 @@ class DedupSpec extends SparkSpec {
     assert(got((0L, 3L)) === 0.0)
   }
 
+  test("native portable kernels are bit-identical to the HOF spellings on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(300)
+    val mh = docs.select(
+      col("doc_id"),
+      Dedup.minHashSignature(Text.wordShingles(col("text"), 3), 64).as("native"),
+      Dedup.minHashSignatureHof(Text.wordShingles(col("text"), 3), 64).as("hof"))
+      .collect()
+    assert(mh.nonEmpty)
+    mh.foreach(r => assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"doc ${r.getLong(0)}"))
+    val sh = docs.select(
+      col("doc_id"),
+      Dedup.simHash(col("text")).as("native"),
+      Dedup.simHashHof(col("text")).as("hof"))
+      .collect()
+    sh.foreach(r => assert(r.getString(1) === r.getString(2), s"doc ${r.getLong(0)}"))
+    // edge cases: empty text (no tokens) and single-char text
+    val edge = Seq((1L, ""), (2L, "x")).toDF("doc_id", "text")
+    val e = edge.select(Dedup.simHash(col("text")).as("n"), Dedup.simHashHof(col("text")).as("h"),
+      Dedup.minHashSignature(Text.wordShingles(col("text"), 3), 8).as("mn"),
+      Dedup.minHashSignatureHof(Text.wordShingles(col("text"), 3), 8).as("mh")).collect()
+    e.foreach { r =>
+      assert(r.getString(0) === r.getString(1))
+      assert(r.getSeq[Long](2) === r.getSeq[Long](3))
+    }
+  }
+
   test("embeddingDups: bucketed cosine near-dups") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
