@@ -44,6 +44,20 @@ object HashExpressions {
   def longDot(a: Column, b: Column): Column =
     columnOf(LongDotExpr(expressionOf(a), expressionOf(b)))
 
+  /** Column API: exact dot product of an array<long> column with a LITERAL
+    * weight vector (LSH plane, IVF centroid) — one JVM loop, weights shipped
+    * once as a codegen reference object instead of a dim-wide literal array
+    * expression per row. Value-identical to `aggregate(zip_with(v, array(
+    * lits), *))`. */
+  def longDotLit(vec: Column, weights: Seq[Long]): Column =
+    columnOf(LongDotLitExpr(expressionOf(vec), weights))
+
+  /** Column API: squared euclidean distance of an array<long> column to a
+    * LITERAL center — value-identical to the `element_at` squared-diff sum
+    * (which blows the generated-method budget at embedding dims). */
+  def longSqDistLit(vec: Column, center: Seq[Long]): Column =
+    columnOf(LongSqDistLitExpr(expressionOf(vec), center))
+
   /** Column API: PORTABLE MinHash signature — bit-identical to the
     * `aggregate(zip_with(...))` spelling over [[Text.portableHash31]]
     * (md5-derived, DuckDB-replicable), evaluated in one JVM loop per row.
@@ -167,6 +181,81 @@ case class SimHash64Expr(child: Expression, seed: Long)
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)
+}
+
+/** Dot product with a literal weight vector: `array<long> -> long`, summed
+  * over the shorter of (vector, weights); null elements contribute 0. */
+case class LongDotLitExpr(child: Expression, weights: Seq[Long]) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<long>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_dot_lit"
+  private lazy val w = weights.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    LongDotLitExpr.compute(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("weights", w, "long[]")
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.LongDotLitExpr.compute($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LongDotLitExpr =
+    copy(child = newChild)
+}
+
+object LongDotLitExpr {
+  def compute(a: ArrayData, w: Array[Long]): Long = {
+    val n = math.min(a.numElements(), w.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) acc += a.getLong(i) * w(i)
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Squared euclidean distance to a literal center: `array<long> -> long`. */
+case class LongSqDistLitExpr(child: Expression, center: Seq[Long]) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<long>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_sqdist_lit"
+  private lazy val c0 = center.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    LongSqDistLitExpr.compute(input.asInstanceOf[ArrayData], c0)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("center", c0, "long[]")
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.LongSqDistLitExpr.compute($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LongSqDistLitExpr =
+    copy(child = newChild)
+}
+
+object LongSqDistLitExpr {
+  def compute(a: ArrayData, c: Array[Long]): Long = {
+    val n = math.min(a.numElements(), c.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) { val d = a.getLong(i) - c(i); acc += d * d }
+      i += 1
+    }
+    acc
+  }
 }
 
 /** Portable MinHash signature: `array<string> -> array<long>` (length k).

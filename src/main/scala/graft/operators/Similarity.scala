@@ -311,15 +311,15 @@ object Similarity {
   def ivfCell(vec: Column, centroids: Seq[Array[Long]]): Column =
     array_min(array(centroidDistances(vec, centroids): _*)).getField("c")
 
+  // Native per-centroid kernel: a flat element_at squared-diff sum blows the
+  // generated-method budget at embedding dims x centroid count and falls
+  // back to interpreted evaluation (measured 2s+ on a 2000-vector corpus);
+  // the literal center rides along as one codegen reference object.
   private def centroidDistances(vec: Column, centroids: Seq[Array[Long]]): Seq[Column] =
     centroids.zipWithIndex.map { case (c, i) =>
-      val d = c.indices
-        .map { j =>
-          val diff = element_at(vec, j + 1) - lit(c(j))
-          diff * diff
-        }
-        .reduce(_ + _)
-      struct(d.as("d"), lit(i).as("c"))
+      struct(
+        graft.functions.HashExpressions.longSqDistLit(vec, c.toIndexedSeq).as("d"),
+        lit(i).as("c"))
     }
 
   /**
@@ -372,7 +372,9 @@ object Similarity {
   def intPlaneBucket(vec: Column, planes: Seq[Array[Long]]): Column = {
     val dim = planes.head.length
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val d = aggregate(zip_with(vec, array(p.toIndexedSeq.map(lit): _*), (x, y) => x * y), lit(0L), _ + _)
+      // native literal-plane dot: value-identical to the
+      // aggregate/zip_with fold, evaluated in one codegen'd JVM loop
+      val d = graft.functions.HashExpressions.longDotLit(vec, p.toIndexedSeq)
       when(d > 0, shiftleft(lit(1), i)).otherwise(lit(0))
     }
     val bucket = bits.reduce((a, b) => a.bitwiseOR(b))
