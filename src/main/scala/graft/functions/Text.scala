@@ -65,7 +65,13 @@ object Text {
    * C4/Gopher text-quality filters: penalize very short docs, extreme mean
    * word length, high non-alpha ratio, and low stopword presence.
    */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    TextStatsExpr.stats(text).getField("quality")
+
+  /** The Column-algebra spelling of [[qualityScore]] — executable
+    * specification for the native kernel (`TextSpec` asserts equality over
+    * a real corpus). */
+  private[graft] def qualityScoreHof(text: Column): Column = {
     val nTok = tokenCount(text).cast("double")
     val nChars = length(text).cast("double")
     val meanWordLen = when(nTok > 0, nChars / nTok).otherwise(lit(0.0))
@@ -83,7 +89,7 @@ object Text {
     round(lenScore * 0.3 + wordLenScore * 0.2 + alphaRatio * 0.3 + stopScore * 0.2, 6)
   }
 
-  private val StopWords = Seq(
+  private[functions] val StopWords = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "with", "as", "was", "at", "by", "be", "this"
   )
@@ -93,7 +99,12 @@ object Text {
    * marker-word profiles; return the best-scoring language code or 'und'.
    * Deterministic, no external models; resolves ties by profile order.
    */
-  def languageId(text: Column): Column = {
+  def languageId(text: Column): Column =
+    TextStatsExpr.stats(text).getField("lang")
+
+  /** Column-algebra spelling of [[languageId]] — executable specification
+    * for the native kernel. */
+  private[graft] def languageIdHof(text: Column): Column = {
     val toks = tokens(text)
     val scores = LangProfiles.map { case (lang, markers) =>
       struct(
@@ -107,7 +118,7 @@ object Text {
 
   // Marker words chosen to be disjoint across profiles; array_max on
   // (hits, lang) structs breaks hit-ties by lang code descending.
-  private val LangProfiles: Seq[(String, Seq[String])] = Seq(
+  private[functions] val LangProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is", "that", "with", "for"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
     "fr" -> Seq("le", "la", "les", "est", "une", "dans", "pour", "que"),

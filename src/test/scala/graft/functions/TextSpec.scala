@@ -59,6 +59,35 @@ class TextSpec extends SparkSpec {
     assert(good > bad)
   }
 
+  test("native text_stats kernel is bit-identical to the Column spellings on a real corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val cmp = docs.select(
+      col("doc_id"),
+      Text.qualityScore(col("text")).as("qn"),
+      Text.qualityScoreHof(col("text")).as("qh"),
+      Text.languageId(col("text")).as("ln"),
+      Text.languageIdHof(col("text")).as("lh")
+    ).collect()
+    assert(cmp.length > 100)
+    cmp.foreach { r =>
+      assert(r.getDouble(1) === r.getDouble(2), s"quality mismatch doc ${r.getLong(0)}")
+      assert(r.getString(3) === r.getString(4), s"lang mismatch doc ${r.getLong(0)}")
+    }
+    // synthetic edges: empty, whitespace-only, tabs/newlines (trim is
+    // 0x20-only), unicode text, marker ties
+    val edge = Seq("", "   ", "\t\n the and of ", "der die und das ist",
+      "的 是 了", "zzz qqq", "le la мир café Straße").toDF("text")
+    val e = edge.select(
+      Text.qualityScore(col("text")).as("qn"), Text.qualityScoreHof(col("text")).as("qh"),
+      Text.languageId(col("text")).as("ln"), Text.languageIdHof(col("text")).as("lh"),
+      Text.tokenCount(col("text")).as("t")).collect()
+    e.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1), r.toString)
+      assert(r.getString(2) === r.getString(3), r.toString)
+    }
+  }
+
   test("approxBpeTokenCount splits words, digits and punctuation") {
     assert(one[Int](Text.approxBpeTokenCount(col("t")), "hello world") === 2)
     assert(one[Int](Text.approxBpeTokenCount(col("t")), "hello, world!") === 4)
