@@ -53,7 +53,11 @@ import graft.query.QueryService
  *                                 (kamu push, sync_service.rs)
  *   pull DATASET --from REMOTE [--force]
  *                                 sync the dataset from REMOTE into the
- *                                 workspace (created if absent)
+ *                                 workspace (created if absent); REMOTE may
+ *                                 be an alias, a FileSystem URI, or a served
+ *                                 node's http(s) URL (simple transfer
+ *                                 protocol; http remotes are pull/status
+ *                                 only)
  *   status DATASET REMOTE         equal | ahead N | behind N | diverged
  *                                 (remote_status_service_impl.rs)
  *   export DATASET PATH [FORMAT]  write full history: parquet|csv|ndjson
@@ -382,20 +386,37 @@ object Cli {
       local.chain.root, remoteDatasetRoot(spark, ws, ds, remote), hconf(spark), force = force), out)
   }
 
+  private def isHttp(url: String): Boolean =
+    url.startsWith("http://") || url.startsWith("https://")
+
   private def cmdPullRemote(spark: SparkSession, ws: String, ds: String, remote: String,
-      force: Boolean, out: PrintStream): Int =
-    printSync(graft.sync.SyncService.sync(
-      remoteDatasetRoot(spark, ws, ds, remote),
-      new org.apache.hadoop.fs.Path(ws, ds), hconf(spark), force = force), out)
+      force: Boolean, out: PrintStream): Int = {
+    val resolved = registry(spark, ws).resolve(remote)
+    val localRoot = new org.apache.hadoop.fs.Path(ws, ds)
+    val result =
+      if (isHttp(resolved)) // served node: simple-transfer-protocol client
+        graft.sync.HttpSync.pull(resolved, ds, localRoot, hconf(spark), force = force)
+      else graft.sync.SyncService.sync(
+        remoteDatasetRoot(spark, ws, ds, remote), localRoot, hconf(spark), force = force)
+    printSync(result, out)
+  }
 
   private def cmdStatus(spark: SparkSession, ws: String, ds: String, remote: String,
       out: PrintStream): Int = {
     import graft.sync.SyncService
     val local = open(spark, ws, ds)
-    val remoteRoot = remoteDatasetRoot(spark, ws, ds, remote)
-    if (!MetadataChain.exists(remoteRoot, hconf(spark))) { out.println("remote: absent"); 0 }
-    else SyncService.compare(
-      local.chain, MetadataChain.open(remoteRoot, hconf(spark))) match {
+    val resolved = registry(spark, ws).resolve(remote)
+    val status =
+      if (isHttp(resolved)) {
+        graft.sync.HttpSync.status(resolved, ds, local.chain.root, hconf(spark))
+      } else {
+        val remoteRoot = remoteDatasetRoot(spark, ws, ds, remote)
+        if (!MetadataChain.exists(remoteRoot, hconf(spark))) {
+          out.println("remote: absent"); return 0
+        }
+        SyncService.compare(local.chain, MetadataChain.open(remoteRoot, hconf(spark)))
+      }
+    status match {
       case SyncService.Equal       => out.println("equal"); 0
       case SyncService.Ahead(b)    => out.println(s"ahead ${b.size}"); 0
       case SyncService.Behind(n)   => out.println(s"behind $n"); 0

@@ -192,8 +192,66 @@ final class RestServer(
             json(200, s"""{"committed":true,"offsetStart":${e.offsetStart},"offsetEnd":${e.offsetEnd},"numRecords":${e.numRecords}}""")
           case None => json(200, """{"committed":false,"upToDate":true}""")
         }
+      // ---- simple transfer protocol (read side): enough surface for a
+      // remote client to mirror the chain — head ref, the content-addressed
+      // block/slice/checkpoint objects. The HTTP analog of the reference's
+      // dataset object endpoints backing SimpleTransferProtocol
+      // (src/infra/core/src/utils/simple_transfer_protocol.rs).
+      case Array("datasets", name, "sync", "head") =>
+        val ds = datasets.getOrElse(
+          name, return json(404, s"""{"error":"unknown dataset $name"}"""))
+        ds.chain.head match {
+          case Some((seq, hash)) => json(200, s"""{"seq":$seq,"hash":${jstr(hash)}}""")
+          case None              => json(404, """{"error":"empty chain"}""")
+        }
+      case Array("datasets", name, "sync", "blocks") =>
+        val ds = datasets.getOrElse(
+          name, return json(404, s"""{"error":"unknown dataset $name"}"""))
+        json(200, ds.chain.blockFiles().map(p => jstr(p.getName)).mkString("[", ",", "]"))
+      case Array("datasets", name, "sync", "blocks", blockFile) =>
+        serveChainFile(name, c => new org.apache.hadoop.fs.Path(c.blocksDir, blockFile))
+      case Array("datasets", name, "sync", "data", hash) =>
+        serveChainFile(name, _.dataFile(hash))
+      case Array("datasets", name, "sync", "checkpoints", ckpt) =>
+        val ds = datasets.getOrElse(
+          name, return json(404, s"""{"error":"unknown dataset $name"}"""))
+        val dir = new org.apache.hadoop.fs.Path(ds.chain.checkpointsDir, ckpt)
+        if (!ds.chain.fs.exists(dir)) return json(404, """{"error":"no such checkpoint"}""")
+        def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+          ds.chain.fs.listStatus(p).toSeq.sortBy(_.getPath.getName).flatMap { st =>
+            if (st.isDirectory) walk(st.getPath)
+            else Seq(st.getPath.toUri.getPath.stripPrefix(dir.toUri.getPath).stripPrefix("/"))
+          }
+        json(200, walk(dir).map(jstr).mkString("[", ",", "]"))
+      case Array("datasets", name, "sync", "checkpoints", ckpt, "file") =>
+        val rel = queryParam(ex, "path")
+          .getOrElse(return json(400, """{"error":"path param required"}"""))
+        require(!rel.contains(".."), "path traversal")
+        serveChainFile(name,
+          c => new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(c.checkpointsDir, ckpt), rel))
       case _ => json(404, """{"error":"not found"}""")
     }
+  }
+
+  /** Stream one content-addressed chain object (block / slice / checkpoint
+    * file) as application/octet-stream. */
+  private def serveChainFile(
+      name: String,
+      resolve: graft.chain.MetadataChain => org.apache.hadoop.fs.Path): Response = {
+    val ds = datasets.getOrElse(
+      name, return json(404, s"""{"error":"unknown dataset $name"}"""))
+    val p = resolve(ds.chain)
+    if (!ds.chain.fs.exists(p)) return json(404, """{"error":"no such object"}""")
+    // raw FS (no .crc sidecar verification): integrity is the CLIENT's job —
+    // every object is content-addressed and HttpSync verifies on receipt,
+    // same posture as MetadataChain's own raw reads
+    val fs = ds.chain.fs match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other                                      => other
+    }
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    Response(200, bytes, "application/octet-stream")
   }
 
   private def respond(ex: HttpExchange, code: Int, body: Array[Byte], contentType: String): Unit = {
