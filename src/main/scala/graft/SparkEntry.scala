@@ -1218,6 +1218,95 @@ object SparkEntry {
       graft.transform.Lineage.toDF(s, byName("combo"), byName(_))
     },
 
+    // ---- workspace metadata search (kamu search, adapter/graphql/src/
+    // queries/search.rs): substring hits over names/descriptions/schemas/
+    // licenses of a fixed two-dataset workspace.
+    "workspace_search" -> { (s, dir) =>
+      import s.implicits._
+      val work = Fixtures.cached(s"workspace_search|$dir") {
+        val work = java.nio.file.Files.createTempDirectory("graft-wsearch-")
+        val cities = Dataset.create(s, work.resolve("cities"), "cities")
+        cities.chain.append(graft.model.MetadataEvent.SetInfo(
+          "Population of world cities, updated monthly"), 1L)
+        cities.chain.append(graft.model.MetadataEvent.SetDataSchema(
+          "city STRING, population INT"), 2L)
+        val trades = Dataset.create(s, work.resolve("trades"), "trades", kind = "derivative")
+        trades.chain.append(graft.model.MetadataEvent.SetLicense("ODC-BY", None), 1L)
+        work
+      }
+      val datasets = Seq("cities", "trades")
+        .map(n => n -> Dataset.open(s, work.resolve(n))).toMap
+      graft.query.Search.search(datasets, "population")
+        .map(h => (h.dataset, h.field, h.snippet))
+        .toDF("dataset", "field", "snippet")
+        .orderBy("dataset", "field")
+    },
+
+    // ---- webhook RFC 9421 signing (webhook_signer_impl.rs:125-184): the
+    // full header construction for a fixed payload/secret/timestamp —
+    // independently recomputed in the oracle via DuckDB VALUES (goldens from
+    // python hmac/hashlib).
+    "webhook_signing" -> { (s, dir) =>
+      import s.implicits._
+      val payload = graft.adapter.Webhooks
+        .refUpdatedPayload("cities", "abc123", Some("def456")).getBytes("UTF-8")
+      val (sig, sigInput, digest) = graft.adapter.Webhooks.rfc9421Headers(
+        "oracle-secret", 1700000000000L, payload,
+        java.net.URI.create("http://node.example:8080/hook"))
+      Seq((new String(payload, "UTF-8"), digest, sig, sigInput))
+        .toDF("payload", "content_digest", "signature", "signature_input")
+    },
+
+    // ---- flow-lite cron schedules (flow-system schedules subset): exact
+    // next-fire instants for representative expressions, UTC.
+    "flow_schedule" -> { (s, dir) =>
+      import s.implicits._
+      import graft.flow.FlowService
+      def t(iso: String) = java.time.Instant.parse(iso).toEpochMilli
+      def nxt(expr: String, after: String): java.sql.Timestamp =
+        new java.sql.Timestamp(FlowService.Cron(expr).nextAfter(t(after)))
+      Seq(
+        ("0 9 * * *", "2024-01-01T08:59:00Z", nxt("0 9 * * *", "2024-01-01T08:59:00Z")),
+        ("0 9 * * *", "2024-01-01T09:00:00Z", nxt("0 9 * * *", "2024-01-01T09:00:00Z")),
+        ("30 6 * * 1", "2024-01-01T06:30:00Z", nxt("30 6 * * 1", "2024-01-01T06:30:00Z")),
+        ("*/20 * * * *", "2024-01-01T00:59:00Z", nxt("*/20 * * * *", "2024-01-01T00:59:00Z")),
+        ("0 0,12 1-15 * *", "2024-01-15T12:00:00Z", nxt("0 0,12 1-15 * *", "2024-01-15T12:00:00Z"))
+      ).toDF("expr", "after", "next_fire").orderBy("expr", "after")
+    },
+
+    // ---- HTTP sync (simple_transfer_protocol.rs over the REST sync
+    // endpoints): serve the 3-batch orders dataset from a node, pull it over
+    // http into a fresh workspace — chain hash-identical, history matches
+    // the same oracle as the FS sync_roundtrip.
+    "http_sync_roundtrip" -> { (s, dir) =>
+      val pulledRoot = Fixtures.cached(s"http_sync_roundtrip|$dir") {
+        val srcRoot = Fixtures.cached(s"http_sync_src|$dir")(buildOrdersDataset(s, dir))
+        val src = Dataset.open(s, srcRoot)
+        val served = Map(src.name -> src)
+        val srv = new graft.adapter.RestServer(
+          new QueryService(s, served), served).start()
+        try {
+          val work = java.nio.file.Files.createTempDirectory("graft-hsync-rt-")
+          val local = new org.apache.hadoop.fs.Path(work.resolve("orders_ds").toUri)
+          val conf = s.sparkContext.hadoopConfiguration
+          graft.sync.HttpSync.pull(
+            s"http://127.0.0.1:${srv.boundPort}", src.name, local, conf) match {
+            case u: graft.sync.SyncService.Updated =>
+              require(u.dataFilesCopied == 3, s"expected 3 slices over http: $u")
+            case other => throw new IllegalStateException(s"http pull: $other")
+          }
+          val pulled = graft.chain.MetadataChain.open(local, conf)
+          require(pulled.blockHashes() == src.chain.blockHashes(),
+            "pulled chain must be hash-identical to the served one")
+          require(graft.sync.HttpSync.status(
+            s"http://127.0.0.1:${srv.boundPort}", src.name, local, conf)
+            == graft.sync.SyncService.Equal)
+          local.toString
+        } finally srv.stop()
+      }
+      Dataset.open(s, pulledRoot).toDF().orderBy(col("offset"))
+    },
+
     // ---- dataset sync (sync_service.rs:25, simple_transfer_protocol.rs):
     // push two commits to a "remote" repo dir, commit a third locally, push
     // again (the delta must be exactly 1 block + 1 data file), then pull
@@ -2306,6 +2395,40 @@ object SparkEntry {
         |FROM page CROSS JOIN (VALUES ('csv'), ('json')) e(enc)
         |ORDER BY enc, o_orderkey""".stripMargin,
     // Reset drops batch 3 (g = 2): same shape as dataset_multislice minus it.
+    "workspace_search" ->
+      """SELECT * FROM (VALUES
+        |  ('cities', 'description', 'Population of world cities, updated monthly'),
+        |  ('cities', 'schema', 'population INT')
+        |) AS t(dataset, field, snippet) ORDER BY dataset, field""".stripMargin,
+    // Goldens recomputed independently with python hmac/hashlib over the
+    // documented RFC 9421 construction.
+    "webhook_signing" ->
+      """SELECT * FROM (VALUES (
+        |  '{"version":2,"dataset_id":"cities","block_ref":"head","new_hash":"abc123","old_hash":"def456"}',
+        |  'sha-256=:87rqYdsHOEcIO1VKfVugjLCOt45be3OLzBG4O0XGxqE=:',
+        |  'sig1=:m1lfPEui34O0BTtF2ShKPulYdfDqrGZLR9svgJULzeo=:',
+        |  'sig1=("@method" "@path" "@authority" "x-webhook-timestamp" "content-digest"); keyid="default"; alg="hmac-sha256"; created=1700000000'
+        |)) AS t(payload, content_digest, signature, signature_input)""".stripMargin,
+    "flow_schedule" ->
+      """SELECT * FROM (VALUES
+        |  ('*/20 * * * *', '2024-01-01T00:59:00Z', TIMESTAMP '2024-01-01 01:00:00'),
+        |  ('0 0,12 1-15 * *', '2024-01-15T12:00:00Z', TIMESTAMP '2024-02-01 00:00:00'),
+        |  ('0 9 * * *', '2024-01-01T08:59:00Z', TIMESTAMP '2024-01-01 09:00:00'),
+        |  ('0 9 * * *', '2024-01-01T09:00:00Z', TIMESTAMP '2024-01-02 09:00:00'),
+        |  ('30 6 * * 1', '2024-01-01T06:30:00Z', TIMESTAMP '2024-01-08 06:30:00')
+        |) AS t(expr, "after", next_fire) ORDER BY expr, "after"""".stripMargin,
+    // HTTP pull preserves history byte-for-byte, same oracle as the FS path.
+    "http_sync_roundtrip" ->
+      """WITH base AS (
+        |  SELECT o_orderkey % 3 AS g, o_orderdate AS event_time, o_orderkey, o_custkey, o_totalprice
+        |  FROM orders)
+        |SELECT row_number() OVER (ORDER BY g, event_time, o_orderkey) - 1 AS "offset",
+        |       CAST(0 AS INT) AS op,
+        |       CASE g WHEN 0 THEN TIMESTAMP '2024-01-01 00:00:00'
+        |              WHEN 1 THEN TIMESTAMP '2024-01-02 00:00:00'
+        |              ELSE TIMESTAMP '2024-01-03 00:00:00' END AS system_time,
+        |       event_time, o_orderkey, o_custkey, o_totalprice
+        |FROM base ORDER BY "offset"""".stripMargin,
     // Lineage graph shape (edges + depths) is fully deterministic.
     "lineage" ->
       """SELECT * FROM (VALUES
