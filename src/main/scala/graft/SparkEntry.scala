@@ -920,7 +920,10 @@ object SparkEntry {
     // pipeline — quality score + language id + token-count window composed
     // into one predicate.
     "corpus_filter" -> { (s, dir) =>
-      t(s, dir, "documents")
+      // spread the single-file corpus before the per-row scoring work (at
+      // real scale the corpus arrives already partitioned; see
+      // Dedup.ensureParallelism)
+      Dedup.ensureParallelism(t(s, dir, "documents"))
         .select(
           col("doc_id"),
           Text.qualityScore(col("text")).as("quality"),

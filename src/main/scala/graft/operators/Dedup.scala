@@ -28,7 +28,7 @@ object Dedup {
    * scale already has many partitions and is left untouched (repartitioning
    * 100 TB to `defaultParallelism` would be a catastrophic shuffle).
    */
-  private[operators] def ensureParallelism(df: DataFrame): DataFrame = {
+  private[graft] def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
@@ -395,7 +395,11 @@ object Dedup {
       textCol: String,
       shingleLen: Int = 3
   ): DataFrame = {
-    val sh = docs.select(
+    // spread BEFORE shingling: a single-file corpus arrives as one partition
+    // and would serialize the whole shingle computation onto one core (the
+    // verify stage of a 10x-corpus pipeline measured 25 s single-threaded
+    // against ~3 s spread)
+    val sh = ensureParallelism(docs).select(
       col(idCol).as("__jid"),
       array_distinct(Text.wordShingles(col(textCol), shingleLen)).as("__sh")
     )
