@@ -34,6 +34,8 @@ import graft.query.QueryService
  *                                 in dependency order (kamu pull --recursive)
  *   search QUERY                  case-insensitive substring search over
  *                                 dataset names/metadata (kamu search)
+ *   search --rank QUERY           rank datasets by hashed-TF cosine between
+ *                                 the query and name+description+schema
  *   lineage DATASET               upstream dependency tree
  *                                 (kamu inspect lineage, provenance_service.rs)
  *   webhook add DATASET URL SECRET
@@ -114,6 +116,7 @@ object Cli {
           notifyingHeadMoves(spark, wsOpt, out, st)(cmdPull(spark, wsOpt, ds, st, out))
         case "lineage" :: ds :: Nil        => cmdLineage(spark, wsOpt, ds, out)
         case "search" :: q :: Nil          => cmdSearch(spark, wsOpt, q, out)
+        case "search" :: "--rank" :: q :: Nil => cmdSearchRank(spark, wsOpt, q, out)
         case "webhook" :: "add" :: ds :: url :: secret :: Nil =>
           cmdWebhook(spark, wsOpt, r => { r.add(graft.adapter.Webhooks.Subscription(ds, url, secret)); s"subscribed $ds -> $url" }, out)
         case "webhook" :: "list" :: Nil =>
@@ -260,6 +263,12 @@ object Cli {
   private def cmdSearch(spark: SparkSession, ws: String, q: String, out: PrintStream): Int = {
     val hits = graft.query.Search.search(workspaceDatasets(spark, ws), q)
     hits.foreach(h => out.println(s"${h.dataset}\t${h.field}\t${h.snippet}"))
+    if (hits.isEmpty) { out.println("(no matches)"); 1 } else 0
+  }
+
+  private def cmdSearchRank(spark: SparkSession, ws: String, q: String, out: PrintStream): Int = {
+    val hits = graft.query.Search.rank(workspaceDatasets(spark, ws), q)
+    hits.foreach(h => out.println(f"${h.dataset}\t${h.score}%.4f"))
     if (hits.isEmpty) { out.println("(no matches)"); 1 } else 0
   }
 

@@ -46,7 +46,11 @@ object FlowService {
       else if (ms % 60000L == 0) s"${ms / 60000L}m"
       else s"${ms / 1000L}s"
   }
-  /** 5-field cron (min hour dom mon dow), UTC; `*`, lists, ranges, steps. */
+  /** 5-field cron (min hour dom mon dow), UTC; `*`, lists, ranges, steps.
+    * Note one deliberate simplification vs vixie-cron: when BOTH day-of-month
+    * and day-of-week are restricted, they are ANDed (Quartz-style), not ORed
+    * — the conjunction is the intuitive reading and the schedules subset
+    * here doesn't aim for crontab drop-in compatibility. */
   final case class Cron(expr: String) extends Schedule {
     private val fields = Cron.parse(expr)
     def render: String = expr

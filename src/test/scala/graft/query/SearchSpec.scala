@@ -47,4 +47,18 @@ class SearchSpec extends SparkSpec {
   test("limit caps the result list") {
     assert(Search.search(datasets, "e", limit = 2).size === 2)
   }
+
+  test("rank orders datasets by hashed-TF cosine relevance") {
+    val r = Search.rank(datasets, "city population data")
+    assert(r.nonEmpty && r.head.dataset === "cities", r.toString)
+    assert(r.forall(x => x.score > 0 && x.score <= 1.0))
+    // a query about trading should rank trades first (name + attachment-free
+    // text still carries 'trades' from the dataset name)
+    val t = Search.rank(datasets, "trades volumes")
+    assert(t.nonEmpty && t.head.dataset === "trades", t.toString)
+    // gibberish matches nothing
+    assert(Search.rank(datasets, "zzzxqwv") === Nil)
+    // deterministic
+    assert(Search.rank(datasets, "city population data") === r)
+  }
 }
