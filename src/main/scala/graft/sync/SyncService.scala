@@ -99,7 +99,7 @@ object SyncService {
     val src = MetadataChain.open(srcRoot, conf)
     val dstExists = MetadataChain.exists(dstRoot, conf)
     if (!dstExists && !createIfNotExists)
-      throw new SyncException(s"no dataset at $dstRoot and createIfNotExists=false", Behind(0))
+      throw new IllegalArgumentException(s"no dataset at $dstRoot and createIfNotExists=false")
     val dst =
       if (dstExists) MetadataChain.open(dstRoot, conf) else MetadataChain.create(dstRoot, conf)
 

@@ -300,6 +300,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("changelogStateStream: flatMapGroupsWithState folds -R/-C/+C into per-key state") {
+    // README retraction matrix: TRUE streaming consumption of retractions —
+    // per-key GroupState fold, emitting upserts and tombstones; final state
+    // equals the batch Changelog.project of the same ledger.
+    import graft.operators.Changelog
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[(Long, Int, String, Int)]
+    val df = mem.toDF().toDF("offset", "op", "city", "population")
+    val q = StreamingOps.changelogStateStream(df, Seq("city"))
+      .writeStream.format("memory").queryName("chlog_state").outputMode("update").start()
+    try {
+      // batch 1: two appends
+      mem.addData((0L, Op.Append, "kyiv", 2884000), (1L, Op.Append, "seattle", 733000))
+      q.processAllAvailable()
+      val b1 = spark.table("chlog_state")
+        .select("city", "population", "op").as[(String, Int, Int)].collect().toSet
+      assert(b1 === Set(("kyiv", 2884000, Op.Append), ("seattle", 733000, Op.Append)))
+
+      // batch 2: correction pair for seattle + retraction of kyiv — the
+      // -C/+C pair lands as one upsert, the -R as a tombstone
+      mem.addData(
+        (2L, Op.CorrectFrom, "seattle", 733000),
+        (3L, Op.CorrectTo, "seattle", 750000),
+        (4L, Op.Retract, "kyiv", 2884000))
+      q.processAllAvailable()
+      val b2 = spark.table("chlog_state")
+        .select("offset", "city", "population", "op").as[(Long, String, Int, Int)].collect()
+        .filter(_._1 >= 2L).toSet
+      assert(b2 === Set((3L, "seattle", 750000, Op.CorrectTo), (4L, "kyiv", 2884000, Op.Retract)))
+
+      // batch 3: kyiv re-appears after its retraction (state was removed)
+      mem.addData((5L, Op.Append, "kyiv", 2900000))
+      q.processAllAvailable()
+
+      // final state from the delta stream (last emission per key, drop
+      // tombstones) must equal the batch projection of the full ledger
+      val deltas = spark.table("chlog_state")
+        .select("offset", "op", "city", "population").as[(Long, Int, String, Int)].collect()
+      val lastPerKey = deltas.groupBy(_._3).view.mapValues(_.maxBy(_._1)).values
+        .filterNot(r => r._2 == Op.Retract || r._2 == Op.CorrectFrom)
+        .map(r => (r._3, r._4)).toSet
+      val ledger = Seq(
+        (0L, Op.Append, "kyiv", 2884000), (1L, Op.Append, "seattle", 733000),
+        (2L, Op.CorrectFrom, "seattle", 733000), (3L, Op.CorrectTo, "seattle", 750000),
+        (4L, Op.Retract, "kyiv", 2884000), (5L, Op.Append, "kyiv", 2900000)
+      ).toDF("offset", "op", "city", "population")
+      val batch = Changelog.project(ledger, Seq("city"))
+        .select("city", "population").as[(String, Int)].collect().toSet
+      assert(lastPerKey === batch)
+      assert(lastPerKey === Set(("seattle", 750000), ("kyiv", 2900000)))
+    } finally q.stop()
+  }
+
   test("streaming ingest commits micro-batches to the chain; replayed batch is skipped") {
     import graft.dataset.Dataset
     import graft.operators.MergeStrategy
