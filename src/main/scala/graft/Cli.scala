@@ -38,6 +38,8 @@ import graft.query.QueryService
  *                                 the query and name+description+schema
  *   lineage DATASET               upstream dependency tree
  *                                 (kamu inspect lineage, provenance_service.rs)
+ *   inspect DATASET               declared transform: inputs + SQL steps
+ *                                 (kamu inspect query)
  *   webhook add DATASET URL SECRET
  *                                 subscribe URL to DATASET.REF.UPDATED
  *                                 events (RFC 9421-signed deliveries)
@@ -115,6 +117,7 @@ object Cli {
           val st = isoOrNow(t.headOption)
           notifyingHeadMoves(spark, wsOpt, out, st)(cmdPull(spark, wsOpt, ds, st, out))
         case "lineage" :: ds :: Nil        => cmdLineage(spark, wsOpt, ds, out)
+        case "inspect" :: ds :: Nil        => cmdInspect(spark, wsOpt, ds, out)
         case "search" :: q :: Nil          => cmdSearch(spark, wsOpt, q, out)
         case "search" :: "--rank" :: q :: Nil => cmdSearchRank(spark, wsOpt, q, out)
         case "webhook" :: "add" :: ds :: url :: secret :: Nil =>
@@ -264,6 +267,27 @@ object Cli {
     val hits = graft.query.Search.search(workspaceDatasets(spark, ws), q)
     hits.foreach(h => out.println(s"${h.dataset}\t${h.field}\t${h.snippet}"))
     if (hits.isEmpty) { out.println("(no matches)"); 1 } else 0
+  }
+
+  private def cmdInspect(spark: SparkSession, ws: String, ds: String, out: PrintStream): Int = {
+    val d = open(spark, ws, ds)
+    d.chain.transform() match {
+      case None =>
+        out.println(s"${d.name} (${d.kind}): no transform declared")
+        d.chain.pollingSource().foreach { src =>
+          out.println(s"polling source: format=${src.readFormat} merge=${src.merge.kind}" +
+            (if (src.merge.primaryKey.nonEmpty) s" pk=${src.merge.primaryKey.mkString(",")}" else ""))
+        }
+        0
+      case Some(t) =>
+        out.println(s"${d.name} (${d.kind})")
+        out.println(s"inputs: ${t.inputs.mkString(", ")}")
+        t.steps.foreach { st =>
+          st.alias.foreach(a => out.println(s"-- $a:"))
+          out.println(st.query)
+        }
+        0
+    }
   }
 
   private def cmdSearchRank(spark: SparkSession, ws: String, q: String, out: PrintStream): Int = {

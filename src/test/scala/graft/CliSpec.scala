@@ -206,6 +206,15 @@ class CliSpec extends SparkSpec {
     val (c3, out3) = runCli("--workspace", root.toString, "lineage", "towns_big")
     assert(c3 === 0)
     assert(out3 === "towns_big (derivative)\n└── towns (root)\n", out3)
+
+    // inspect: the derivative shows its transform, the root its source
+    val (c4, out4) = runCli("--workspace", root.toString, "inspect", "towns_big")
+    assert(c4 === 0, out4)
+    assert(out4.linesIterator.toSeq === Seq("towns_big (derivative)", "inputs: towns",
+      "SELECT op, event_time, town, pop * 2 AS pop FROM towns"), out4)
+    val (c5, out5) = runCli("--workspace", root.toString, "inspect", "towns")
+    assert(c5 === 0 && out5.contains("no transform declared") &&
+      out5.contains("merge=ledger pk=town"), out5)
   }
 
   test("search finds datasets by name substring; misses exit nonzero") {
