@@ -142,6 +142,10 @@ object Cli {
         case "export" :: ds :: path :: f   => cmdExport(spark, wsOpt, ds, path, f.headOption.getOrElse("parquet"), out)
         case "serve" :: rest2              => cmdServe(spark, wsOpt, rest2, in, out)
         case "verify" :: ds :: Nil         => cmdVerify(spark, wsOpt, ds, out)
+        case "delete" :: ds :: fl          => cmdDelete(spark, wsOpt, ds, fl.contains("--force"), out)
+        case "rename" :: ds :: nw :: fl    => cmdRename(spark, wsOpt, ds, nw, fl.contains("--force"), out)
+        case "set-watermark" :: ds :: iso :: Nil => cmdSetWatermark(spark, wsOpt, ds, iso, out)
+        case "gc" :: rest2                 => cmdGc(spark, wsOpt, rest2.headOption, out)
         case "compact" :: ds :: restN      => cmdCompact(spark, wsOpt, ds, restN.headOption.map(_.toLong), out)
         case "reset" :: ds :: hash :: Nil  => cmdReset(spark, wsOpt, ds, hash, out)
         case other =>
@@ -415,8 +419,13 @@ object Cli {
   private def cmdPush(spark: SparkSession, ws: String, ds: String, remote: String,
       force: Boolean, out: PrintStream): Int = {
     val local = open(spark, ws, ds) // validates existence
-    printSync(graft.sync.SyncService.sync(
-      local.chain.root, remoteDatasetRoot(spark, ws, ds, remote), hconf(spark), force = force), out)
+    val resolved = registry(spark, ws).resolve(remote)
+    val result =
+      if (isHttp(resolved)) // served node: simple-transfer-protocol push
+        graft.sync.HttpSync.push(resolved, ds, local.chain.root, hconf(spark), force = force)
+      else graft.sync.SyncService.sync(
+        local.chain.root, remoteDatasetRoot(spark, ws, ds, remote), hconf(spark), force = force)
+    printSync(result, out)
   }
 
   private def isHttp(url: String): Boolean =
@@ -488,8 +497,19 @@ object Cli {
       case _                                  => None
     }
     val datasets = workspaceDatasets(spark, ws)
+    // An accepted HTTP push moves a served head — same webhook obligation as
+    // a local ingest/pull head move.
+    val onHeadMove: (String, String) => Unit = { (name, newHead) =>
+      val reg = webhookRegistry(spark, ws)
+      graft.adapter.Webhooks
+        .notifyRefUpdated(reg, name, newHead, None, System.currentTimeMillis())
+        .foreach { d =>
+          if (d.error.isDefined) out.println(s"webhook ${d.subscription.url}: ${d.error.get}")
+        }
+    }
     val rest = new graft.adapter.RestServer(
-      new QueryService(spark, datasets), datasets, portArg("--rest-port").getOrElse(0)).start()
+      new QueryService(spark, datasets), datasets, portArg("--rest-port").getOrElse(0),
+      workspaceRoot = Some(ws), onHeadMove = onHeadMove).start()
     // From here on the REST server is live: everything else (including JDBC
     // startup, which can throw on a bound port or a bad --jdbc-port value)
     // runs inside try/finally so an embedded caller never leaks it.
@@ -512,6 +532,100 @@ object Cli {
       rest.stop()
       stopJdbc.foreach(_.apply())
     }
+  }
+
+  /** Workspace datasets whose declared transform reads `name` — the
+    * dependents a delete/rename would break (delete_command.rs walks the
+    * same dependency graph before deleting). */
+  private def dependents(spark: SparkSession, ws: String, name: String): Seq[String] =
+    workspaceDatasets(spark, ws).collect {
+      case (n, d) if n != name && d.chain.transform().exists(_.inputs.contains(name)) => n
+    }.toSeq.sorted
+
+  /** Delete a dataset from the workspace (delete_command.rs): refuses while
+    * downstream transforms declare it as an input unless `--force`; also
+    * drops its flow schedule and webhook subscriptions. */
+  private def cmdDelete(spark: SparkSession, ws: String, ds: String,
+      force: Boolean, out: PrintStream): Int = {
+    val target = open(spark, ws, ds) // validates existence
+    val deps = dependents(spark, ws, ds)
+    if (deps.nonEmpty && !force) {
+      out.println(s"error: ${deps.mkString(", ")} depend(s) on $ds; use --force")
+      return 1
+    }
+    flowRegistry(spark, ws).remove(ds)
+    val wreg = webhookRegistry(spark, ws)
+    wreg.list().filter(_.dataset == ds).foreach(s => wreg.remove(ds, s.url))
+    target.chain.fs.delete(target.chain.root, true)
+    out.println(s"deleted $ds")
+    0
+  }
+
+  /** Rename a dataset's workspace alias (rename_command.rs). The Seed block
+    * is immutable history (the reference's dataset ID likewise survives a
+    * rename — alias and identity are separate); what changes is the
+    * directory name every workspace lookup keys on, plus the flow schedule
+    * and webhook subscriptions registered under the alias. Downstream
+    * transforms reference inputs BY NAME here, so rename refuses while
+    * dependents exist unless `--force` (the reference's ID-based inputs
+    * survive renames; ours would dangle). */
+  private def cmdRename(spark: SparkSession, ws: String, ds: String, newName: String,
+      force: Boolean, out: PrintStream): Int = {
+    val target = open(spark, ws, ds)
+    if (workspaceDatasets(spark, ws).contains(newName)) {
+      out.println(s"error: dataset '$newName' already exists")
+      return 1
+    }
+    val deps = dependents(spark, ws, ds)
+    if (deps.nonEmpty && !force) {
+      out.println(s"error: ${deps.mkString(", ")} read(s) from $ds by name; use --force")
+      return 1
+    }
+    val fs = target.chain.fs
+    val dest = new org.apache.hadoop.fs.Path(target.chain.root.getParent, newName)
+    require(fs.rename(target.chain.root, dest), s"rename ${target.chain.root} -> $dest failed")
+    // migrate alias-keyed registrations
+    val freg = flowRegistry(spark, ws)
+    freg.schedules().get(ds).foreach { sched => freg.set(newName, sched); freg.remove(ds) }
+    val wreg = webhookRegistry(spark, ws)
+    wreg.list().filter(_.dataset == ds).foreach { s =>
+      wreg.remove(ds, s.url)
+      wreg.add(s.copy(dataset = newName))
+    }
+    out.println(s"renamed $ds -> $newName")
+    0
+  }
+
+  /** Advance a root dataset's watermark without data
+    * (set_watermark_command.rs). */
+  private def cmdSetWatermark(spark: SparkSession, ws: String, ds: String, iso: String,
+      out: PrintStream): Int = {
+    val target = open(spark, ws, ds)
+    val wm = java.time.Instant.parse(iso).toEpochMilli
+    Maintenance.setWatermark(target, wm, System.currentTimeMillis())
+    out.println(s"watermark set to $iso")
+    0
+  }
+
+  /** Garbage-collect one dataset (or, with no argument, every dataset in the
+    * workspace) — gc_command.rs. */
+  private def cmdGc(spark: SparkSession, ws: String, ds: Option[String],
+      out: PrintStream): Int = {
+    val targets = ds match {
+      case Some(n) => Seq(n -> open(spark, ws, n))
+      case None    => workspaceDatasets(spark, ws).toSeq.sortBy(_._1)
+    }
+    var total = 0L
+    targets.foreach { case (name, d) =>
+      val r = Maintenance.gc(d)
+      total += r.bytesReclaimed
+      if (r.bytesReclaimed > 0 || r.stagingFilesDeleted > 0)
+        out.println(s"$name: ${r.blocksDeleted} block(s), ${r.dataFilesDeleted} data file(s), " +
+          s"${r.checkpointDirsDeleted} checkpoint dir(s), ${r.stagingFilesDeleted} staging " +
+          s"item(s), ${r.bytesReclaimed} bytes")
+    }
+    out.println(s"reclaimed $total bytes")
+    0
   }
 
   private def cmdVerify(spark: SparkSession, ws: String, ds: String, out: PrintStream): Int = {

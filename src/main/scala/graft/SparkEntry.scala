@@ -1310,6 +1310,40 @@ object SparkEntry {
       Dataset.open(s, pulledRoot).toDF().orderBy(col("offset"))
     },
 
+    // ---- HTTP push (the write half of the simple transfer protocol,
+    // simple_transfer_protocol.rs:251-352): push a local dataset INTO a
+    // served node (create + stage + negotiated delta + fast-forward head
+    // commit), then read it back FROM the node's workspace — chain
+    // hash-identical, same oracle as the pull direction.
+    "http_push_roundtrip" -> { (s, dir) =>
+      val nodeRoot = Fixtures.cached(s"http_push_roundtrip|$dir") {
+        val srcRoot = Fixtures.cached(s"http_sync_src|$dir")(buildOrdersDataset(s, dir))
+        val src = Dataset.open(s, srcRoot)
+        val nodeWs = java.nio.file.Files.createTempDirectory("graft-hpush-node-")
+        val qs = new QueryService(s, Map.empty)
+        val srv = new graft.adapter.RestServer(
+          qs, Map.empty, workspaceRoot = Some(nodeWs.toString)).start()
+        try {
+          val conf = s.sparkContext.hadoopConfiguration
+          val base = s"http://127.0.0.1:${srv.boundPort}"
+          graft.sync.HttpSync.push(base, src.name, src.chain.root, conf) match {
+            case u: graft.sync.SyncService.Updated =>
+              require(u.dataFilesCopied == 3, s"expected 3 slices pushed over http: $u")
+            case other => throw new IllegalStateException(s"http push: $other")
+          }
+          // a second push negotiates to nothing
+          require(graft.sync.HttpSync.push(base, src.name, src.chain.root, conf)
+            == graft.sync.SyncService.UpToDate, "re-push must be UpToDate")
+          val node = graft.chain.MetadataChain.open(
+            new org.apache.hadoop.fs.Path(nodeWs.resolve(src.name).toUri), conf)
+          require(node.blockHashes() == src.chain.blockHashes(),
+            "pushed chain must be hash-identical to the local one")
+          nodeWs.resolve(src.name).toString
+        } finally srv.stop()
+      }
+      Dataset.open(s, nodeRoot).toDF().orderBy(col("offset"))
+    },
+
     // ---- dataset sync (sync_service.rs:25, simple_transfer_protocol.rs):
     // push two commits to a "remote" repo dir, commit a third locally, push
     // again (the delta must be exactly 1 block + 1 data file), then pull
@@ -2422,6 +2456,18 @@ object SparkEntry {
         |) AS t(expr, "after", next_fire) ORDER BY expr, "after"""".stripMargin,
     // HTTP pull preserves history byte-for-byte, same oracle as the FS path.
     "http_sync_roundtrip" ->
+      """WITH base AS (
+        |  SELECT o_orderkey % 3 AS g, o_orderdate AS event_time, o_orderkey, o_custkey, o_totalprice
+        |  FROM orders)
+        |SELECT row_number() OVER (ORDER BY g, event_time, o_orderkey) - 1 AS "offset",
+        |       CAST(0 AS INT) AS op,
+        |       CASE g WHEN 0 THEN TIMESTAMP '2024-01-01 00:00:00'
+        |              WHEN 1 THEN TIMESTAMP '2024-01-02 00:00:00'
+        |              ELSE TIMESTAMP '2024-01-03 00:00:00' END AS system_time,
+        |       event_time, o_orderkey, o_custkey, o_totalprice
+        |FROM base ORDER BY "offset"""".stripMargin,
+    // HTTP push lands the identical history on the node, same oracle again.
+    "http_push_roundtrip" ->
       """WITH base AS (
         |  SELECT o_orderkey % 3 AS g, o_orderdate AS event_time, o_orderkey, o_custkey, o_totalprice
         |  FROM orders)

@@ -27,14 +27,46 @@ import graft.query.QueryService
  *                                (odf/data-utils/src/schema/format.rs)
  *   POST /datasets/{name}/ingest?format=csv  push-ingest the request body
  *                                (ingest_handler.rs:66-175)
+ *   GET  /datasets/{name}/sync/…             simple-transfer-protocol read side
+ *   PUT  /datasets/{name}/sync/{blocks,data,checkpoints}/…  push staging
+ *   POST /datasets/{name}/sync/{create,missing,head}        push negotiate+commit
+ *                                (simple_transfer_protocol.rs:251-352; objects
+ *                                re-hashed on receipt, head move is a validated
+ *                                fast-forward — see commitPushedHead)
  */
 final class RestServer(
     qs: QueryService,
-    datasets: Map[String, Dataset],
+    initialDatasets: Map[String, Dataset],
     port: Int = 0,
-    nodeKey: Option[java.security.KeyPair] = None
+    nodeKey: Option[java.security.KeyPair] = None,
+    workspaceRoot: Option[String] = None,
+    onHeadMove: (String, String) => Unit = (_, _) => ()
 ) {
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  /** Served datasets — grows when an HTTP push creates one (requires
+    * `workspaceRoot`, the directory new chains land under). */
+  @volatile private var datasets: Map[String, Dataset] = initialDatasets
+
+  private def registerDataset(name: String, ds: Dataset): Unit = synchronized {
+    datasets += name -> ds
+    qs.register(name, ds)
+  }
+
+  private def hconf = qs.spark.sparkContext.hadoopConfiguration
+
+  /** Chain a sync WRITE targets: a served dataset's, or one parked under
+    * `workspaceRoot` that has objects but no committed head yet. */
+  private def chainForPush(name: String): Option[graft.chain.MetadataChain] =
+    datasets.get(name).map(_.chain).orElse(workspaceRoot.flatMap { ws =>
+      val root = new org.apache.hadoop.fs.Path(ws, name)
+      // MetadataChain.exists requires a committed head; a chain parked by
+      // sync/create has none until the final head POST, so probe blocks/.
+      val fs = root.getFileSystem(hconf)
+      if (fs.isDirectory(new org.apache.hadoop.fs.Path(root, "blocks")))
+        Some(graft.chain.MetadataChain.open(root, hconf))
+      else None
+    })
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -197,6 +229,80 @@ final class RestServer(
       // block/slice/checkpoint objects. The HTTP analog of the reference's
       // dataset object endpoints backing SimpleTransferProtocol
       // (src/infra/core/src/utils/simple_transfer_protocol.rs).
+      // ---- simple transfer protocol (write side): the push surface. The
+      // reference gates pushes into a served node behind accounts; this node
+      // is single-tenant so the surface is open, but it is never TRUSTING:
+      // every block and slice is re-hashed against its content address on
+      // receipt, and the head only moves through a validated fast-forward
+      // commit (push flow of simple_transfer_protocol.rs:251-352).
+      case Array("datasets", name, "sync", "create") if ex.getRequestMethod == "POST" =>
+        val ws = workspaceRoot.getOrElse(
+          return json(403, """{"error":"node does not accept new datasets (no workspace root)"}"""))
+        if (chainForPush(name).isDefined) json(200, """{"created":false}""")
+        else {
+          graft.chain.MetadataChain.create(new org.apache.hadoop.fs.Path(ws, name), hconf)
+          json(200, """{"created":true}""")
+        }
+      // Negotiation: which of these objects is the server missing? Batched
+      // (one round-trip for the whole push plan), git-negotiation-style.
+      case Array("datasets", name, "sync", "missing") if ex.getRequestMethod == "POST" =>
+        val chain = chainForPush(name).getOrElse(
+          return json(404, s"""{"error":"unknown dataset $name"}"""))
+        implicit val formats: org.json4s.DefaultFormats.type = org.json4s.DefaultFormats
+        val req = org.json4s.jackson.JsonMethods.parse(
+          new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+        def want(field: String): Seq[String] =
+          (req \ field).extractOrElse[Seq[String]](Nil)
+        val haveBlocks = chain.blockFiles().map(_.getName).toSet
+        val missBlocks = want("blocks").filterNot(haveBlocks.contains)
+        val missData = want("data").filterNot(h => chain.fs.exists(chain.dataFile(h)))
+        json(200,
+          s"""{"blocks":${missBlocks.map(jstr).mkString("[", ",", "]")},""" +
+            s""""data":${missData.map(jstr).mkString("[", ",", "]")}}""")
+      case Array("datasets", name, "sync", "head") if ex.getRequestMethod == "POST" =>
+        commitPushedHead(name, new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      case Array("datasets", name, "sync", "data", hash) if ex.getRequestMethod == "PUT" =>
+        val chain = chainForPush(name).getOrElse(
+          return json(404, s"""{"error":"unknown dataset $name"}"""))
+        val bytes = ex.getRequestBody.readAllBytes()
+        val got = graft.chain.MetadataChain.sha256Hex(bytes)
+        if (got != hash)
+          return json(400, s"""{"error":"slice body hashes to $got, not its address $hash"}""")
+        val target = chain.dataFile(hash)
+        if (chain.fs.exists(target) && chain.fs.getFileStatus(target).getLen == bytes.length)
+          json(200, """{"received":false}""")
+        else { chain.writeObjectAtomic(target, bytes); json(200, """{"received":true}""") }
+      case Array("datasets", name, "sync", "blocks", blockFile) if ex.getRequestMethod == "PUT" =>
+        val chain = chainForPush(name).getOrElse(
+          return json(404, s"""{"error":"unknown dataset $name"}"""))
+        val bytes = ex.getRequestBody.readAllBytes()
+        val (seq, hash) = graft.chain.MetadataChain.parseName(
+          new org.apache.hadoop.fs.Path(blockFile))
+        val got = graft.chain.MetadataChain.sha256Hex(bytes)
+        if (got != hash)
+          return json(400, s"""{"error":"block body hashes to $got, not its address $hash"}""")
+        // must parse as a block whose declared sequence matches its name
+        val block = org.json4s.jackson.Serialization.read[graft.model.MetadataBlock](
+          new String(bytes, StandardCharsets.UTF_8))(
+          graft.chain.MetadataChain.formats, manifest[graft.model.MetadataBlock])
+        if (block.sequenceNumber != seq)
+          return json(400, s"""{"error":"block declares seq ${block.sequenceNumber} but is named $seq"}""")
+        chain.writeObjectAtomic(
+          new org.apache.hadoop.fs.Path(chain.blocksDir, blockFile), bytes)
+        json(200, """{"received":true}""")
+      case Array("datasets", name, "sync", "checkpoints", ckpt, "file")
+          if ex.getRequestMethod == "PUT" =>
+        val chain = chainForPush(name).getOrElse(
+          return json(404, s"""{"error":"unknown dataset $name"}"""))
+        val rel = queryParam(ex, "path")
+          .getOrElse(return json(400, """{"error":"path param required"}"""))
+        require(!rel.contains(".."), "path traversal")
+        chain.writeObjectAtomic(
+          new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(chain.checkpointsDir, ckpt),
+            java.net.URLDecoder.decode(rel, StandardCharsets.UTF_8)),
+          ex.getRequestBody.readAllBytes())
+        json(200, """{"received":true}""")
       case Array("datasets", name, "sync", "head") =>
         val ds = datasets.getOrElse(
           name, return json(404, s"""{"error":"unknown dataset $name"}"""))
@@ -207,7 +313,12 @@ final class RestServer(
       case Array("datasets", name, "sync", "blocks") =>
         val ds = datasets.getOrElse(
           name, return json(404, s"""{"error":"unknown dataset $name"}"""))
-        json(200, ds.chain.blockFiles().map(p => jstr(p.getName)).mkString("[", ",", "]"))
+        // the REACHABLE chain (head-backwards walk), NOT the blocks
+        // directory — after a forced push the directory still holds the
+        // abandoned branch's files, which are garbage, not history
+        json(200, ds.chain.blocksWithHashes()
+          .map { case (b, h) => jstr(f"${b.sequenceNumber}%06d-$h.json") }
+          .mkString("[", ",", "]"))
       case Array("datasets", name, "sync", "blocks", blockFile) =>
         serveChainFile(name, c => new org.apache.hadoop.fs.Path(c.blocksDir, blockFile))
       case Array("datasets", name, "sync", "data", hash) =>
@@ -231,6 +342,46 @@ final class RestServer(
           c => new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(c.checkpointsDir, ckpt), rel))
       case _ => json(404, """{"error":"not found"}""")
     }
+  }
+
+  /** The commit point of a push: validate that the proposed head names a
+    * complete, linked chain whose referenced data/checkpoint objects are all
+    * on disk, that the move is a fast-forward of the current head (unless
+    * `force`), then move the ref atomically and register the dataset if it
+    * arrived with this push. Everything before this was staging — a crashed
+    * push leaves the old head fully intact. */
+  private def commitPushedHead(name: String, body: String): Response = {
+    val chain = chainForPush(name).getOrElse(
+      return json(404, s"""{"error":"unknown dataset $name"}"""))
+    val seq = extractJsonField(body, "seq")
+      .getOrElse(return json(400, """{"error":"seq required"}""")).toLong
+    val hash = extractJsonField(body, "hash")
+      .getOrElse(return json(400, """{"error":"hash required"}"""))
+    val force = body.replaceAll("\\s", "").contains("\"force\":true")
+    // walk prev links from the proposed head — throws if any block is absent
+    val newChain = chain.blocksWithHashes(Some(hash))
+    if (newChain.last._1.sequenceNumber != seq)
+      return json(400, s"""{"error":"head $hash has seq ${newChain.last._1.sequenceNumber}, not $seq"}""")
+    // every object the new chain references must already be staged
+    val unstaged = newChain.flatMap { case (b, h) =>
+      (b.event match {
+        case a: graft.model.MetadataEvent.AddData => Seq(a.physicalHash)
+        case e: graft.model.MetadataEvent.ExecuteTransform => e.newData.map(_.physicalHash).toSeq
+        case _ => Nil
+      }).filterNot(ph => chain.fs.exists(chain.dataFile(ph))).map(ph => s"$h->$ph")
+    }
+    if (unstaged.nonEmpty)
+      return json(400, s"""{"error":"unstaged slice(s): ${unstaged.mkString(",")}"}""")
+    val notFastForward = chain.head.exists { case (curSeq, curHash) =>
+      !newChain.exists { case (b, h) => b.sequenceNumber == curSeq && h == curHash }
+    }
+    if (notFastForward && !force)
+      return json(409, """{"error":"push is not a fast-forward of the served head; use force"}""")
+    chain.setHead(seq, hash)
+    if (!datasets.contains(name))
+      registerDataset(name, new Dataset(qs.spark, chain))
+    onHeadMove(name, hash)
+    json(200, s"""{"committed":true,"seq":$seq,"hash":${jstr(hash)}}""")
   }
 
   /** Stream one content-addressed chain object (block / slice / checkpoint

@@ -145,6 +145,21 @@ final class MetadataChain private (val root: Path, val fs: FileSystem, conf: Con
     (block, hash)
   }
 
+  /** Land a content-addressed object (block / slice / checkpoint file) via
+    * write-temp + rename — the landing discipline every sync transport
+    * shares: a crash never leaves a truncated file under its final name, and
+    * a leftover target (e.g. from an interrupted copy under a non-atomic FS)
+    * is replaced, not appended to. */
+  def writeObjectAtomic(target: Path, bytes: Array[Byte]): Unit = {
+    val tmp = new Path(new Path(root, "staging"), s"obj-${java.util.UUID.randomUUID()}")
+    fs.mkdirs(tmp.getParent)
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    if (fs.exists(target)) fs.delete(target, false)
+    fs.mkdirs(target.getParent)
+    require(fs.rename(tmp, target), s"rename $tmp -> $target failed")
+  }
+
   /** Atomically move the head ref (write-temp + atomic rename) — the single
     * commit point of every chain mutation: a crash before it leaves the old
     * chain fully intact (staged block files are unreachable, not corrupting),
@@ -259,10 +274,12 @@ final class MetadataChain private (val root: Path, val fs: FileSystem, conf: Con
       )
       .getOrElse(Nil)
 
-  /** All data slices in chain order (AddData + ExecuteTransform events). */
+  /** All data-bearing slices in chain order (AddData + ExecuteTransform
+    * events). An AddData with no physical file (ODF's `new_data: None` form,
+    * produced by set-watermark) carries metadata only and is not a slice. */
   def slices(asOf: Option[String] = None): Seq[AddData] =
     blocks(asOf).collect {
-      case MetadataBlock(_, _, _, a: AddData)                         => a
+      case MetadataBlock(_, _, _, a: AddData) if a.physicalHash.nonEmpty   => a
       case MetadataBlock(_, _, _, ExecuteTransform(_, Some(newData), _)) => newData
     }
 
@@ -283,10 +300,13 @@ final class MetadataChain private (val root: Path, val fs: FileSystem, conf: Con
   def lastOffset(asOf: Option[String] = None): Option[Long] =
     slices(asOf).lastOption.map(_.offsetEnd)
 
-  /** Current watermark: latest non-empty newWatermark. */
+  /** Current watermark: latest non-empty newWatermark. Reads blocks
+    * directly (not [[slices]]) so a data-less set-watermark AddData counts. */
   def watermark(asOf: Option[String] = None): Option[Long] =
-    slices(asOf).reverseIterator.collectFirst {
-      case s if s.newWatermark.isDefined => s.newWatermark.get
+    blocks(asOf).reverseIterator.collectFirst {
+      case MetadataBlock(_, _, _, a: AddData) if a.newWatermark.isDefined => a.newWatermark.get
+      case MetadataBlock(_, _, _, ExecuteTransform(_, Some(d), _)) if d.newWatermark.isDefined =>
+        d.newWatermark.get
     }
 
   /** Last ExecuteTransform event (for incremental elaboration). */

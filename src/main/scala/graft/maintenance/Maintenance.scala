@@ -169,6 +169,91 @@ object Maintenance {
 
   // ---------------------------------------------------------------- verify
 
+  /**
+   * Advance a root dataset's watermark without ingesting data — the
+   * reference's set-watermark service (src/infra/core/src/services/watermark/
+   * set_watermark_planner_impl.rs:44-79): root datasets only (derivatives get
+   * theirs from transform inputs), watermark must advance monotonically.
+   * Appends ODF's data-less AddData form (`new_data: None`): no offsets move,
+   * no slice file exists, scans are unaffected — only
+   * [[MetadataChain.watermark]] sees it.
+   */
+  def setWatermark(ds: Dataset, newWatermark: Long, systemTime: Long): (MetadataBlock, String) = {
+    require(ds.kind == "root",
+      s"set-watermark targets root datasets; '${ds.name}' is a ${ds.kind}")
+    val current = ds.chain.watermark()
+    require(current.forall(_ < newWatermark),
+      s"watermark must advance: current ${current.get}, proposed $newWatermark")
+    val last = ds.chain.lastOffset()
+    ds.chain.append(
+      AddData(
+        prevOffset = last,
+        offsetStart = last.map(_ + 1).getOrElse(0L),
+        offsetEnd = last.getOrElse(-1L), // empty range: no records
+        numRecords = 0L,
+        physicalHash = "",
+        logicalHash = "",
+        newWatermark = Some(newWatermark)
+      ),
+      systemTime
+    )
+  }
+
+  /** What [[gc]] reclaimed. */
+  final case class GcReport(
+      blocksDeleted: Int,
+      dataFilesDeleted: Int,
+      checkpointDirsDeleted: Int,
+      stagingFilesDeleted: Int,
+      bytesReclaimed: Long
+  )
+
+  /**
+   * Garbage-collect one dataset's storage (the reference's `kamu system gc`
+   * role, gc_command.rs): delete blocks unreachable from the head (left by
+   * reset / forced sync / compaction), data files and checkpoint dirs no
+   * reachable block references, and staging leftovers from crashed
+   * writes/syncs. Safe to run (or crash and re-run) at any time — everything
+   * deleted is unreachable from the committed head by construction.
+   */
+  def gc(ds: Dataset): GcReport = {
+    val chain = ds.chain
+    val fs = chain.fs
+    def len(p: org.apache.hadoop.fs.Path): Long =
+      try { val s = fs.getContentSummary(p); s.getLength } catch { case _: Exception => 0L }
+
+    var bytes = 0L
+    // unreachable blocks
+    val reachable = chain.blocksWithHashes().map(_._2).toSet
+    val unreachableBlocks = chain.blockFiles()
+      .filterNot(p => reachable.contains(MetadataChain.parseName(p)._2))
+    unreachableBlocks.foreach { p => bytes += len(p); fs.delete(p, false) }
+    // data files no reachable slice references
+    val referenced = chain.slices().map(_.physicalHash).toSet
+    val orphanData =
+      if (!fs.exists(chain.dataDir)) Seq.empty
+      else fs.listStatus(chain.dataDir).toSeq.map(_.getPath)
+        .filterNot(p => referenced.contains(p.getName))
+    orphanData.foreach { p => bytes += len(p); fs.delete(p, false) }
+    // checkpoint dirs no reachable ExecuteTransform references
+    val referencedCkpts = chain.blocks().collect {
+      case MetadataBlock(_, _, _, ExecuteTransform(_, _, Some(ck))) => ck.name
+    }.toSet
+    val orphanCkpts =
+      if (!fs.exists(chain.checkpointsDir)) Seq.empty
+      else fs.listStatus(chain.checkpointsDir).toSeq.map(_.getPath)
+        .filterNot(p => referencedCkpts.contains(p.getName))
+    orphanCkpts.foreach { p => bytes += len(p); fs.delete(p, true) }
+    // staging leftovers (crashed compactions/syncs/pushes)
+    val stagingDir = new org.apache.hadoop.fs.Path(chain.root, "staging")
+    val staged =
+      if (!fs.exists(stagingDir)) Seq.empty
+      else fs.listStatus(stagingDir).toSeq.map(_.getPath)
+    staged.foreach { p => bytes += len(p); fs.delete(p, true) }
+
+    GcReport(unreachableBlocks.size, orphanData.size, orphanCkpts.size, staged.size, bytes)
+  }
+
   sealed trait Issue { def msg: String }
   final case class ChainIssue(msg: String) extends Issue
   final case class SliceIssue(physicalHash: String, msg: String) extends Issue

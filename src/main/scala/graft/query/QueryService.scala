@@ -23,9 +23,15 @@ import graft.dataset.Dataset
  * scan resolves through the catalog path any external Spark consumer uses.
  */
 final class QueryService(
-    spark: SparkSession,
-    datasets: Map[String, Dataset],
+    private[graft] val spark: SparkSession,
+    initial: Map[String, Dataset],
     catalog: Option[String] = None) {
+
+  /** Datasets added after construction (an HTTP push into a served node can
+    * create one); reads see `initial ++ registered`. */
+  private val registered = new scala.collection.concurrent.TrieMap[String, Dataset]()
+  def register(name: String, ds: Dataset): Unit = registered.put(name, ds)
+  private def datasets: Map[String, Dataset] = initial ++ registered
 
   /** The pinned state a query ran against: dataset → block hash. */
   final case class QueryState(inputs: Map[String, String])

@@ -11,18 +11,21 @@ import graft.chain.MetadataChain
 import graft.model.MetadataEvent.{AddData, ExecuteTransform}
 
 /**
- * Pull a dataset from a SERVED graft node (the `/datasets/<name>/sync/...`
- * endpoints of [[graft.adapter.RestServer]]) — the HTTP client half of the
- * reference's Simple Transfer Protocol (simple_transfer_protocol.rs; the
- * reference's `kamu pull <node-url>/<dataset>` story). Pull/status only:
- * pushing into a served node is an authenticated write surface the
- * reference gates behind accounts, which are out of scope here.
+ * Pull/push a dataset from/to a SERVED graft node (the
+ * `/datasets/<name>/sync/...` endpoints of [[graft.adapter.RestServer]]) —
+ * the HTTP client half of the reference's Simple Transfer Protocol
+ * (simple_transfer_protocol.rs; the reference's
+ * `kamu pull/push <node-url>/<dataset>` story). The reference gates pushes
+ * behind accounts; this node is single-tenant, so the push surface is open
+ * but never trusting — the SERVER re-hashes every object it receives.
  *
  * Same commit discipline as [[SyncService]]: content-addressed objects land
  * via write-temp + rename (an existing file is therefore complete and
  * skippable — natural resume), every transferred object is hash-verified
- * (an HTTP remote is never a trusted source), and the local head ref moves
- * only after everything is in place.
+ * (an HTTP remote is never a trusted source), and the head ref moves only
+ * after everything is in place. Push adds a batched negotiation round
+ * (`POST sync/missing`, git-style) so a resumed push re-sends only what the
+ * server still lacks.
  */
 object HttpSync {
 
@@ -148,12 +151,150 @@ object HttpSync {
     SyncService.Updated(oldHead.map(_._2), lastHash, remote.size - common, dataCopied)
   }
 
-  private def writeViaStaging(chain: MetadataChain, target: Path, bytes: Array[Byte]): Unit = {
-    val tmp = new Path(new Path(chain.root, "staging"), s"http-${java.util.UUID.randomUUID()}")
-    chain.fs.mkdirs(tmp.getParent)
-    val out = chain.fs.create(tmp, true)
-    try out.write(bytes) finally out.close()
-    chain.fs.mkdirs(target.getParent)
-    require(chain.fs.rename(tmp, target), s"rename $tmp -> $target failed")
+  private def writeViaStaging(chain: MetadataChain, target: Path, bytes: Array[Byte]): Unit =
+    chain.writeObjectAtomic(target, bytes)
+
+  // ------------------------------------------------------------------ push
+
+  private def send(
+      client: HttpClient,
+      method: String,
+      url: String,
+      body: Array[Byte]
+  ): (Int, Array[Byte]) = {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(url))
+        .method(method, HttpRequest.BodyPublishers.ofByteArray(body))
+        .build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def sendOk(client: HttpClient, method: String, url: String, body: Array[Byte]): Unit = {
+    val (code, resp) = send(client, method, url, body)
+    require(code == 200, s"$method $url -> HTTP $code: ${new String(resp, UTF_8)}")
+  }
+
+  /**
+   * Push the local dataset at `localRoot` into the node at `baseUrl` under
+   * `dataset` — the write half of the simple transfer protocol:
+   *
+   *  1. list the served chain (absent → `POST sync/create`, which the node
+   *     only honors when it serves a workspace root);
+   *  2. compare; equal → `UpToDate`, served-ahead/diverged → refuse unless
+   *     `force` (the head POST carries the force flag — the SERVER decides);
+   *  3. one `POST sync/missing` negotiation for the whole transfer plan,
+   *     then PUT only the missing slices/checkpoints/blocks (server re-hashes
+   *     each against its content address);
+   *  4. `POST sync/head` — the single commit point, validated server-side
+   *     (linked chain, staged objects, fast-forward).
+   */
+  def push(
+      baseUrl: String,
+      dataset: String,
+      localRoot: Path,
+      conf: Configuration,
+      force: Boolean = false,
+      client: HttpClient = HttpClient.newHttpClient()
+  ): SyncService.SyncResult = {
+    val base = s"${baseUrl.stripSuffix("/")}/datasets/$dataset"
+    val local = MetadataChain.open(localRoot, conf)
+    val srcBlocks = local.blocksWithHashes()
+    require(srcBlocks.nonEmpty, s"local dataset at $localRoot has no blocks to push")
+
+    val remoteNames =
+      try blockNames(client, base)
+      catch {
+        case _: IllegalArgumentException =>
+          sendOk(client, "POST", s"$base/sync/create", Array.emptyByteArray)
+          Nil
+      }
+    val remoteHashes = remoteNames.map(n => MetadataChain.parseName(new Path(n))._2)
+
+    val status = SyncService.compareHashes(srcBlocks, remoteHashes)
+    val toTransfer: Seq[(graft.model.MetadataBlock, String)] = status match {
+      case SyncService.Equal         => return SyncService.UpToDate
+      case SyncService.Ahead(blocks) => blocks
+      case other if !force =>
+        throw new SyncService.SyncException(
+          s"served chain for $dataset is ahead of or diverged from local; use force", other)
+      case _ =>
+        val have = remoteHashes.toSet
+        srcBlocks.filterNot { case (_, h) => have.contains(h) }
+    }
+
+    // one negotiation round for the whole plan
+    val planBlocks = toTransfer.map { case (b, h) => f"${b.sequenceNumber}%06d-$h.json" }
+    val planData = toTransfer.flatMap { case (b, _) =>
+      b.event match {
+        case a: AddData          => Seq(a.physicalHash)
+        case e: ExecuteTransform => e.newData.map(_.physicalHash).toSeq
+        case _                   => Nil
+      }
+    }.distinct
+    implicit val formats: org.json4s.DefaultFormats.type = org.json4s.DefaultFormats
+    val negotiation = org.json4s.jackson.JsonMethods.parse(new String(
+      send(client, "POST", s"$base/sync/missing",
+        org.json4s.jackson.Serialization.write(
+          Map("blocks" -> planBlocks, "data" -> planData)).getBytes(UTF_8)) match {
+        case (200, body) => body
+        case (code, body) =>
+          throw new IllegalStateException(s"negotiation -> HTTP $code: ${new String(body, UTF_8)}")
+      }, UTF_8))
+    val needBlocks = (negotiation \ "blocks").extract[Seq[String]].toSet
+    val needData = (negotiation \ "data").extract[Seq[String]].toSet
+
+    var dataCopied = 0
+    toTransfer.foreach { case (block, hash) =>
+      block.event match {
+        case a: AddData if needData.contains(a.physicalHash) =>
+          pushSlice(client, base, local, a.physicalHash); dataCopied += 1
+        case e: ExecuteTransform =>
+          e.newData.map(_.physicalHash).filter(needData.contains).foreach { ph =>
+            pushSlice(client, base, local, ph); dataCopied += 1
+          }
+          e.newCheckpoint.map(_.name).foreach { ckpt =>
+            pushCheckpointDir(client, base, local, ckpt)
+          }
+        case _ => ()
+      }
+      val blockName = f"${block.sequenceNumber}%06d-$hash.json"
+      if (needBlocks.contains(blockName)) {
+        val in = local.fs.open(new Path(local.blocksDir, blockName))
+        val bytes = try in.readAllBytes() finally in.close()
+        sendOk(client, "PUT", s"$base/sync/blocks/$blockName", bytes)
+      }
+    }
+
+    val (lastSeq, lastHash) = (srcBlocks.last._1.sequenceNumber, srcBlocks.last._2)
+    val forceField = if (force) ""","force":true""" else ""
+    sendOk(client, "POST", s"$base/sync/head",
+      s"""{"seq":$lastSeq,"hash":"$lastHash"$forceField}""".getBytes(UTF_8))
+    SyncService.Updated(
+      remoteHashes.lastOption, lastHash, toTransfer.size, dataCopied)
+  }
+
+  private def pushSlice(
+      client: HttpClient, base: String, local: MetadataChain, ph: String): Unit = {
+    val in = local.fs.open(local.dataFile(ph))
+    val bytes = try in.readAllBytes() finally in.close()
+    sendOk(client, "PUT", s"$base/sync/data/$ph", bytes)
+  }
+
+  private def pushCheckpointDir(
+      client: HttpClient, base: String, local: MetadataChain, ckpt: String): Unit = {
+    val dir = new Path(local.checkpointsDir, ckpt)
+    if (!local.fs.exists(dir)) return
+    def walk(p: Path): Seq[Path] =
+      local.fs.listStatus(p).toSeq.sortBy(_.getPath.getName).flatMap { st =>
+        if (st.isDirectory) walk(st.getPath) else Seq(st.getPath)
+      }
+    walk(dir).foreach { p =>
+      val rel = p.toUri.getPath.stripPrefix(dir.toUri.getPath).stripPrefix("/")
+      val in = local.fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      val enc = java.net.URLEncoder.encode(rel, "UTF-8")
+      sendOk(client, "PUT", s"$base/sync/checkpoints/$ckpt/file?path=$enc", bytes)
+    }
   }
 }

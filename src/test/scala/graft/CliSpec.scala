@@ -261,6 +261,98 @@ class CliSpec extends SparkSpec {
     assert(runCli("--workspace", root.toString, "flow", "list")._2.trim.isEmpty)
   }
 
+  test("set-watermark/delete/rename/gc: dataset lifecycle commands") {
+    import graft.model.MetadataEvent.SqlStep
+    import graft.transform.TransformService
+    val root = Files.createTempDirectory("graft-cli-life-")
+    Files.writeString(root.resolve("t.csv"), "town,pop\nnola,364000\nbr,227000\n")
+    val towns = Dataset.create(spark, root.resolve("towns"), "towns")
+    towns.chain.append(
+      SetPollingSource(readFormat = "csv", schemaDdl = Some("town STRING, pop INT"),
+        merge = MergeConf("ledger", primaryKey = Seq("town"))), 0L)
+    IngestWriter.ingestFile(towns, root.resolve("t.csv").toString,
+      java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+    val big = Dataset.create(spark, root.resolve("towns_big"), "towns_big", kind = "derivative")
+    TransformService.setTransform(big, Seq("towns"),
+      Seq(SqlStep(None, "SELECT op, event_time, town, pop * 2 AS pop FROM towns")), 0L)
+
+    // ---- set-watermark: advances without data; scans unaffected
+    val (w1, wOut) = runCli("--workspace", root.toString, "set-watermark", "towns",
+      "2024-02-01T00:00:00Z")
+    assert(w1 === 0 && wOut.trim === "watermark set to 2024-02-01T00:00:00Z", wOut)
+    assert(towns.chain.watermark() ===
+      Some(java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli))
+    val (q1, qOut) = runCli("--workspace", root.toString, "sql", "-c",
+      "SELECT count(*) AS n FROM towns")
+    assert(q1 === 0 && qOut.contains("2"), qOut)
+    // regression and derivative targets are refused
+    assert(runCli("--workspace", root.toString, "set-watermark", "towns",
+      "2024-01-15T00:00:00Z")._1 === 1)
+    assert(runCli("--workspace", root.toString, "set-watermark", "towns_big",
+      "2024-03-01T00:00:00Z")._1 === 1)
+    // compaction carries the block-level watermark onto the rewritten slice
+    graft.maintenance.Maintenance.compact(towns)
+    assert(towns.chain.watermark() ===
+      Some(java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli))
+
+    // ---- rename: refused while dependents read it by name; derivative renames
+    val (r1, rOut) = runCli("--workspace", root.toString, "rename", "towns", "cities2")
+    assert(r1 === 1 && rOut.contains("towns_big"), rOut)
+    assert(runCli("--workspace", root.toString, "flow", "set", "towns_big", "every", "1h")._1 === 0)
+    val (r2, _) = runCli("--workspace", root.toString, "rename", "towns_big", "towns_huge")
+    assert(r2 === 0)
+    val (_, ls) = runCli("--workspace", root.toString, "list")
+    assert(ls.linesIterator.toSeq.sorted === Seq("towns", "towns_huge"), ls)
+    // the flow schedule followed the rename
+    val (_, fl) = runCli("--workspace", root.toString, "flow", "list")
+    assert(fl.startsWith("towns_huge\t"), fl)
+    // rename onto an existing name is refused
+    assert(runCli("--workspace", root.toString, "rename", "towns_huge", "towns")._1 === 1)
+
+    // ---- delete: refused while dependents exist; force or bottom-up works
+    val (d1, dOut) = runCli("--workspace", root.toString, "delete", "towns")
+    assert(d1 === 1 && dOut.contains("towns_huge"), dOut)
+    assert(runCli("--workspace", root.toString, "delete", "towns_huge")._1 === 0)
+    assert(runCli("--workspace", root.toString, "delete", "towns")._1 === 0)
+    assert(runCli("--workspace", root.toString, "list")._2.trim.isEmpty)
+    // deleting a missing dataset errors
+    assert(runCli("--workspace", root.toString, "delete", "towns")._1 === 1)
+  }
+
+  test("gc reclaims unreachable blocks, orphan slices, and staging leftovers") {
+    val root = Files.createTempDirectory("graft-cli-gc-")
+    Files.writeString(root.resolve("a.csv"), "town,pop\nnola,364000\n")
+    Files.writeString(root.resolve("b.csv"), "town,pop\nbr,227000\n")
+    val towns = Dataset.create(spark, root.resolve("towns"), "towns")
+    towns.chain.append(
+      SetPollingSource(readFormat = "csv", schemaDdl = Some("town STRING, pop INT"),
+        merge = MergeConf("ledger", primaryKey = Seq("town"))), 0L)
+    IngestWriter.ingestFile(towns, root.resolve("a.csv").toString, 1000L)
+    val headAfterFirst = towns.chain.head.get._2
+    IngestWriter.ingestFile(towns, root.resolve("b.csv").toString, 2000L)
+    // leave a staging leftover like a crashed sync would
+    val staging = new org.apache.hadoop.fs.Path(towns.chain.root, "staging")
+    towns.chain.fs.mkdirs(staging)
+    val o = towns.chain.fs.create(new org.apache.hadoop.fs.Path(staging, "crashed"), true)
+    o.write("partial".getBytes("UTF-8")); o.close()
+
+    // nothing unreachable yet except staging
+    val (g1, gOut1) = runCli("--workspace", root.toString, "gc", "towns")
+    assert(g1 === 0 && gOut1.contains("1 staging item(s)"), gOut1)
+
+    // reset strands the second ingest's block + slice; gc reclaims both
+    towns.chain.reset(headAfterFirst)
+    val (g2, gOut2) = runCli("--workspace", root.toString, "gc")
+    assert(g2 === 0 && gOut2.contains("towns: 1 block(s), 1 data file(s)"), gOut2)
+    // the dataset still reads fine at the rewound head
+    val (q, qOut) = runCli("--workspace", root.toString, "sql", "-c",
+      "SELECT count(*) AS n FROM towns")
+    assert(q === 0 && qOut.contains("1"), qOut)
+    // second gc finds nothing
+    val (g3, gOut3) = runCli("--workspace", root.toString, "gc", "towns")
+    assert(g3 === 0 && gOut3.trim === "reclaimed 0 bytes", gOut3)
+  }
+
   test("repo/push/status/pull --from: full remote sync lifecycle") {
     val (root, csv) = ws
     val remote = Files.createTempDirectory("graft-cli-remote-")

@@ -106,6 +106,162 @@ class HttpSyncSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------------ push
+
+  /** A served node that accepts pushes: empty (or given) initial datasets
+    * over a workspace root new chains land under. */
+  private def withPushNode[T](initial: Map[String, Dataset] = Map.empty)(
+      f: (String, java.nio.file.Path, scala.collection.mutable.Buffer[(String, String)]) => T): T = {
+    val ws = Files.createTempDirectory("graft-hsync-node-")
+    val moves = scala.collection.mutable.Buffer.empty[(String, String)]
+    val srv = new RestServer(new QueryService(spark, initial), initial,
+      workspaceRoot = Some(ws.toString),
+      onHeadMove = (n, h) => moves += ((n, h))).start()
+    try f(s"http://127.0.0.1:${srv.boundPort}", ws, moves)
+    finally srv.stop()
+  }
+
+  private def httpGet(url: String): (Int, String) = {
+    val c = java.net.http.HttpClient.newHttpClient()
+    val r = c.send(
+      java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def httpSend(method: String, url: String, body: Array[Byte]): (Int, String) = {
+    val c = java.net.http.HttpClient.newHttpClient()
+    val r = c.send(
+      java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .method(method, java.net.http.HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("push to a served node: create, full, incremental, up-to-date; node serves it") {
+    val src = mkDataset("pushed1")
+    withPushNode() { (base, ws, moves) =>
+      val r1 = HttpSync.push(base, "pushed1", src.chain.root, hconf).asInstanceOf[Updated]
+      assert(r1.numBlocks === 3 && r1.dataFilesCopied === 1)
+      // the node registered it: list + tail + SQL all see the pushed dataset
+      assert(httpGet(s"$base/datasets")._2.contains("pushed1"))
+      val (tc, tb) = httpGet(s"$base/datasets/pushed1/tail?n=5")
+      assert(tc === 200 && tb.contains("\"a\"") && tb.contains("\"b\""), tb)
+      assert(moves.toList === List(("pushed1", src.chain.head.get._2)))
+      // chain on the node is hash-identical
+      val nodeChain = graft.chain.MetadataChain.open(
+        new Path(ws.resolve("pushed1").toUri), hconf)
+      assert(nodeChain.blockHashes() === src.chain.blockHashes())
+
+      assert(HttpSync.push(base, "pushed1", src.chain.root, hconf) === UpToDate)
+
+      // local advances -> incremental push is exactly the delta
+      IngestWriter.writeBatch(src, Seq((3L, "c")).toDF("id", "v"),
+        MergeStrategy.Ledger(Seq("id")), 2000L)
+      val r2 = HttpSync.push(base, "pushed1", src.chain.root, hconf).asInstanceOf[Updated]
+      assert(r2.numBlocks === 1 && r2.dataFilesCopied === 1)
+      assert(httpGet(s"$base/datasets/pushed1/tail?n=5")._2.contains("\"c\""))
+      assert(moves.size === 2)
+    }
+  }
+
+  test("push refuses non-fast-forward without force; force overwrites the served head") {
+    val src = mkDataset("pushed2")
+    withPushNode() { (base, _, _) =>
+      HttpSync.push(base, "pushed2", src.chain.root, hconf)
+      val headBefore = src.chain.head.get
+      // diverge locally: rewind one block, append something else
+      val prevHash = src.chain.blockHashes().dropRight(1).last
+      src.chain.reset(prevHash)
+      IngestWriter.writeBatch(src, Seq((7L, "x")).toDF("id", "v"),
+        MergeStrategy.Ledger(Seq("id")), 3000L)
+      val e = intercept[SyncException](HttpSync.push(base, "pushed2", src.chain.root, hconf))
+      assert(e.status.isInstanceOf[Diverged], e.status)
+      // forced push wins; the node now serves the new branch
+      val forced = HttpSync.push(base, "pushed2", src.chain.root, hconf, force = true)
+        .asInstanceOf[Updated]
+      assert(forced.newHead === src.chain.head.get._2)
+      assert(forced.newHead !== headBefore._2)
+      assert(HttpSync.status(base, "pushed2", src.chain.root, hconf) === Equal)
+    }
+  }
+
+  test("server re-hashes pushed objects and refuses a head over unstaged slices") {
+    val src = mkDataset("pushed3")
+    withPushNode() { (base, _, _) =>
+      val b = s"$base/datasets/pushed3"
+      assert(httpSend("POST", s"$b/sync/create", Array.emptyByteArray)._1 === 200)
+      // a slice whose bytes don't match the address it claims -> 400
+      val (dc, db) = httpSend("PUT", s"$b/sync/data/${"0" * 64}", "junk".getBytes("UTF-8"))
+      assert(dc === 400 && db.contains("hashes to"), db)
+      // stage ONLY the blocks (not the slice), then try to commit the head
+      val blocks = src.chain.blockFiles()
+      blocks.foreach { p =>
+        val in = src.chain.fs.open(p)
+        val bytes = try in.readAllBytes() finally in.close()
+        assert(httpSend("PUT", s"$b/sync/blocks/${p.getName}", bytes)._1 === 200)
+      }
+      val (hseq, hhash) = src.chain.head.get
+      val (hc, hb) = httpSend("POST", s"$b/sync/head",
+        s"""{"seq":$hseq,"hash":"$hhash"}""".getBytes("UTF-8"))
+      assert(hc === 400 && hb.contains("unstaged"), hb)
+      // a block renamed to a wrong address -> 400
+      val in = src.chain.fs.open(blocks.head)
+      val seedBytes = try in.readAllBytes() finally in.close()
+      val (bc, bb) = httpSend("PUT", s"$b/sync/blocks/000000-${"f" * 64}.json", seedBytes)
+      assert(bc === 400 && bb.contains("hashes to"), bb)
+      // stage the slice properly and the commit goes through
+      val ph = src.chain.slices().head.physicalHash
+      val din = src.chain.fs.open(src.chain.dataFile(ph))
+      val sliceBytes = try din.readAllBytes() finally din.close()
+      assert(httpSend("PUT", s"$b/sync/data/$ph", sliceBytes)._1 === 200)
+      assert(httpSend("POST", s"$b/sync/head",
+        s"""{"seq":$hseq,"hash":"$hhash"}""".getBytes("UTF-8"))._1 === 200)
+      assert(httpGet(s"$b/tail?n=5")._1 === 200)
+    }
+  }
+
+  test("a node without a workspace root refuses new datasets but accepts known ones") {
+    val src = mkDataset("pushed4")
+    // no workspaceRoot: push of an UNKNOWN dataset fails at create
+    withServed(src) { base =>
+      val other = mkDataset("pushed5")
+      val e = intercept[IllegalArgumentException](
+        HttpSync.push(base, "pushed5", other.chain.root, hconf))
+      assert(e.getMessage.contains("403"), e.getMessage)
+      // but a push into the ALREADY-SERVED dataset is accepted
+      val local = new Path(Files.createTempDirectory("graft-hsync-p4-").resolve("ds").toUri)
+      HttpSync.pull(base, "pushed4", local, hconf)
+      val localDs = Dataset.open(spark, local.toString)
+      IngestWriter.writeBatch(localDs, Seq((3L, "c")).toDF("id", "v"),
+        MergeStrategy.Ledger(Seq("id")), 2000L)
+      val r = HttpSync.push(base, "pushed4", local, hconf).asInstanceOf[Updated]
+      assert(r.numBlocks === 1)
+      assert(src.chain.head.get._2 === localDs.chain.head.get._2)
+    }
+  }
+
+  test("CLI push to an http remote via alias") {
+    val ws = Files.createTempDirectory("graft-hsync-cliws6-")
+    val src = Dataset.create(spark, ws.resolve("pushed6"), "pushed6")
+    IngestWriter.writeBatch(src, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      MergeStrategy.Ledger(Seq("id")), 1000L)
+    withPushNode() { (base, _, _) =>
+      import java.io.{BufferedReader, ByteArrayOutputStream, PrintStream, StringReader}
+      def cli(args: String*): (Int, String) = {
+        val bos = new ByteArrayOutputStream()
+        val code = graft.Cli.run(spark, args.toSeq,
+          new BufferedReader(new StringReader("")), new PrintStream(bos, true, "UTF-8"))
+        (code, bos.toString("UTF-8"))
+      }
+      assert(cli("--workspace", ws.toString, "repo", "add", "node", base)._1 === 0)
+      val (c, out) = cli("--workspace", ws.toString, "push", "pushed6", "node")
+      assert(c === 0 && out.startsWith("synced 3 block(s)"), out)
+      val (c2, st) = cli("--workspace", ws.toString, "status", "pushed6", "node")
+      assert(c2 === 0 && st.trim === "equal", st)
+    }
+  }
+
   test("CLI pull --from an http remote and status against it") {
     import java.io.{BufferedReader, ByteArrayOutputStream, PrintStream, StringReader}
     val src = mkDataset("served4")
