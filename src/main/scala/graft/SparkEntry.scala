@@ -7,7 +7,7 @@ import graft.dataset.Dataset
 import graft.ingest.IngestWriter
 import graft.model.{MergeConf, Op}
 import graft.model.MetadataEvent.{AddPushSource, FetchConf, PrepConf, SetPollingSource, SqlStep}
-import graft.operators.{Changelog, Dedup, MergeStrategy, Similarity, Temporal, Writer}
+import graft.operators.{Changelog, Corpus, Dedup, MergeStrategy, Similarity, Temporal, Writer}
 import graft.query.QueryService
 import graft.transform.TransformService
 import graft.functions.Text
@@ -932,6 +932,58 @@ object SparkEntry {
         )
         .filter(col("quality") >= 0.5 && col("lang") === "en" && col("n_tokens").between(5, 1000))
         .select(col("doc_id"), col("quality"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- corpus composition: deterministic per-source sampling (the
+    // domain-reweighting step of a pretraining mix). Row fate is a pure
+    // function of (source, doc_id) via the portable md5 hash — map-only,
+    // reproducible under any re-partitioning.
+    "corpus_sample" -> { (s, dir) =>
+      Corpus.sampleBySource(
+        t(s, dir, "documents"),
+        idCol = "doc_id", sourceCol = "source",
+        rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultRate = 0.1)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- token-budget shard packing: shard = exclusive-prefix-sum(tokens)
+    // div budget, computed as a two-level distributed prefix sum (per-range
+    // partials + broadcast offsets + per-range windows) — the oracle spells
+    // it as the plain global window.
+    "pack_shards" -> { (s, dir) =>
+      Corpus.packShards(
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            Text.tokenCount(col("text")).cast("bigint").as("n_tokens")),
+        idCol = "doc_id", tokenCol = "n_tokens", budget = 2000L, numBuckets = 16)
+        .select(col("doc_id"), col("n_tokens"), col("shard"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Gopher-style repetition quality stats: fraction of normalized
+    // chars in the top word-2-gram / in duplicated word-3-grams — one
+    // native-kernel pass per row (RepetitionStatsExpr; the explode-based
+    // spelling is the executable spec in CorpusSpec).
+    "rep_ratios" -> { (s, dir) =>
+      Dedup.ensureParallelism(t(s, dir, "documents"))
+        .select(col("doc_id"), Corpus.repetitionStats(col("text")).as("r"))
+        .select(col("doc_id"), col("r.top2").as("top2"), col("r.dup3").as("dup3"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- PII scrubbing: deterministic synthetic PII is injected in BOTH
+    // engines (the corpus itself is clean words), then masked by the same
+    // ordered regex passes — email, then phone, then IPv4.
+    "pii_scrub" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Corpus.scrubPii(concat(
+            lit("contact u"), col("doc_id").cast("string"), lit("@ex.com or +1 555-000"),
+            col("doc_id").cast("string"), lit(" at 10.0.0."),
+            (col("doc_id") % 256).cast("string"), lit(" "), col("text"))).as("scrubbed"))
         .orderBy(col("doc_id"))
     },
 
@@ -2292,6 +2344,68 @@ object SparkEntry {
     "dedup_clusters" ->
       """SELECT doc_id AS id, doc_id - (doc_id % 7) AS comp
         |FROM documents ORDER BY id""".stripMargin,
+    // Deterministic sampling: same md5-derived unit hash, same rate CASE.
+    "corpus_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE (('0x' || substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        % 2147483647) / 2147483647.0
+        |      < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+        |                    WHEN 'src2' THEN 0.25 ELSE 0.1 END
+        |ORDER BY doc_id""".stripMargin,
+    // Shard packing: the oracle is the naive global window; the engine's
+    // two-level prefix sum must agree because addition is associative.
+    "pack_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS BIGINT) AS shard
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // Repetition ratios: grouped n-gram counts, top-1 bigram coverage and
+    // duplicated-trigram coverage over the re-joined-token denominator.
+    "rep_ratios" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |den AS (SELECT doc_id, toks, len(array_to_string(toks, ' ')) AS denom FROM tok),
+        |bg AS (
+        |  SELECT doc_id, denom, unnest([toks[i+1] || ' ' || toks[i+2] for i in range(len(toks) - 1)]) AS g
+        |  FROM den WHERE len(toks) >= 2),
+        |bgtop AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) * len(g) / denom AS top2
+        |  FROM bg GROUP BY doc_id, denom, g
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g ASC) = 1),
+        |tg AS (
+        |  SELECT doc_id, denom,
+        |         unnest([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] for i in range(len(toks) - 2)]) AS g
+        |  FROM den WHERE len(toks) >= 3),
+        |tgc AS (SELECT doc_id, denom, g, count(*) AS c FROM tg GROUP BY doc_id, denom, g),
+        |tgdup AS (
+        |  SELECT doc_id, CAST(sum(c * len(g)) AS BIGINT) / denom AS dup3
+        |  FROM tgc WHERE c >= 2 GROUP BY doc_id, denom)
+        |SELECT d.doc_id,
+        |       coalesce(bgtop.top2, 0.0) AS top2,
+        |       coalesce(tgdup.dup3, 0.0) AS dup3
+        |FROM den d
+        |LEFT JOIN bgtop ON d.doc_id = bgtop.doc_id
+        |LEFT JOIN tgdup ON d.doc_id = tgdup.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // PII scrub: inject the same synthetic PII, mask with the same ordered
+    // regexes ('g' = replace all, Spark's default).
+    "pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        'contact u' || CAST(doc_id AS VARCHAR) || '@ex.com or +1 555-000' ||
+        |        CAST(doc_id AS VARCHAR) || ' at 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) || ' ' || text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g'),
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "corpus_filter" ->
       """WITH t AS (
         |  SELECT doc_id,

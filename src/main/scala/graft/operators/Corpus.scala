@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, RepetitionStatsExpr, Text}
+
+/**
+ * Training-corpus composition operators: deterministic per-source sampling
+ * (domain reweighting), token-budget shard packing, Gopher-style repetition
+ * quality stats, and PII scrubbing. These sit beside the dedup/similarity
+ * family as the remaining steps a 100 TB pretraining-data pipeline runs
+ * between "raw documents" and "training shards".
+ *
+ * Scale posture, per operator:
+ *  - sampling and scrubbing are map-only (codegen'd md5 / regex) — no
+ *    shuffle, no state;
+ *  - repetition stats are one native-kernel pass per row (map-only); the
+ *    explode-based Column spelling exists as an executable spec;
+ *  - shard packing needs a GLOBAL running sum, which is the textbook
+ *    two-level distributed prefix sum here: per-range partial sums (one
+ *    small aggregate), broadcast of the per-range offsets, then a window
+ *    partitioned BY RANGE — never a single-partition global window, which
+ *    is the naive spelling that serializes the whole corpus through one
+ *    task at scale.
+ */
+object Corpus {
+
+  // ------------------------------------------------------------- sampling
+
+  /**
+   * Deterministic per-source sampling — the domain-reweighting step of a
+   * pretraining mix (e.g. "keep 100% of wiki, 10% of common-crawl").
+   * Each row's fate is a pure function of (source, id): the portable 31-bit
+   * md5 hash of `source:id` mapped to [0,1) and compared to that source's
+   * rate. Re-running on any subset of the corpus, in any partitioning,
+   * keeps exactly the same rows — the property that matters when the corpus
+   * is re-sharded between runs. Map-only; the hash is codegen'd.
+   */
+  def sampleBySource(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0
+  ): DataFrame = {
+    val unit = Text.portableHash31(
+      concat(col(sourceCol), lit(":"), col(idCol).cast("string"))) / lit(Hashing.P31.toDouble)
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (source, r)) => when(col(sourceCol) === source, lit(r)).otherwise(acc)
+    }
+    df.filter(unit < rate)
+  }
+
+  // ------------------------------------------------------------- packing
+
+  /**
+   * Token-budget shard packing: assign each document (in `idCol` order) to
+   * a training shard such that each shard holds ~`budget` tokens —
+   * `shard = exclusive-prefix-sum(tokens) div budget`. Documents never
+   * split; a shard overshoots by at most one document.
+   *
+   * The prefix sum is two-level: ids are cut into `numBuckets` ranges,
+   * per-range token sums are aggregated (a `numBuckets`-row result), their
+   * exclusive running totals are broadcast-joined back, and the within-range
+   * window runs partitioned by range — each range's window is an independent
+   * task, so the only serial state is the numBuckets-row offset table.
+   * DuckDB's oracle spelling is the plain global window; results agree
+   * because addition is associative.
+   */
+  def packShards(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      budget: Long,
+      numBuckets: Int = 256
+  ): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val bounds = df.agg(
+      min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
+    if (bounds.isNullAt(0)) return df.withColumn("shard", lit(0L))
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (hi - lo) / numBuckets + 1)
+    val bucket = ((col(idCol).cast("long") - lo) / width).cast("long")
+
+    val withBucket = df.withColumn("_pack_bucket", bucket)
+    // small aggregate: one row per populated range
+    val perBucket = withBucket
+      .groupBy(col("_pack_bucket"))
+      .agg(sum(col(tokenCol)).cast("long").as("_bucket_tokens"))
+      .orderBy(col("_pack_bucket"))
+      .collect()
+    // exclusive running offset per range (numBuckets entries, driver-side)
+    var acc = 0L
+    val offsets = perBucket.map { r =>
+      val o = (r.getLong(0), acc)
+      acc += r.getLong(1)
+      o
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = offsets.toSeq.toDF("_pack_bucket", "_bucket_offset")
+
+    val win = Window
+      .partitionBy(col("_pack_bucket"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withBucket
+      .join(broadcast(offsetDf), "_pack_bucket")
+      .withColumn("_prefix",
+        col("_bucket_offset") + coalesce(sum(col(tokenCol)).over(win), lit(0L)))
+      .withColumn("shard", expr(s"_prefix div ${budget}"))
+      .drop("_pack_bucket", "_bucket_offset", "_prefix")
+  }
+
+  // ----------------------------------------------------------- repetition
+
+  /** Native one-pass repetition stats: struct<top2:double, dup3:double> —
+    * see [[graft.functions.RepetitionStatsExpr]]. */
+  def repetitionStats(text: Column): Column = RepetitionStatsExpr.stats(text)
+
+  /**
+   * Explode-based Column spelling of [[repetitionStats]] — the executable
+   * spec the kernel is bit-equality-tested against (CorpusSpec), shaped
+   * exactly like the DuckDB oracle: n-grams → grouped counts → top-1 /
+   * duplicated-coverage per document. Shuffles on (id, gram); correct at
+   * any scale but one pass of the native kernel beats three shuffles, so
+   * library callers get the kernel.
+   */
+  private[graft] def repetitionStatsExploded(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val denom = length(concat_ws(" ", toks))
+    val base = df.select(
+      col(idCol), toks.as("_toks"), denom.cast("long").as("_denom"))
+
+    def grams(n: Int) = base.select(
+      col(idCol), col("_denom"),
+      explode(Text.wordShingles(concat_ws(" ", col("_toks")), n)).as("_g"),
+      size(col("_toks")).as("_n"))
+      .filter(col("_n") >= n)
+
+    val top2 = grams(2)
+      .groupBy(col(idCol), col("_denom"), col("_g")).count()
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("count").desc, col("_g").asc)))
+      .filter(col("_rk") === 1)
+      .select(col(idCol),
+        (col("count") * length(col("_g")) / col("_denom")).as("top2"))
+
+    val dup3 = grams(3)
+      .groupBy(col(idCol), col("_denom"), col("_g")).count()
+      .filter(col("count") >= 2)
+      .groupBy(col(idCol), col("_denom"))
+      .agg(sum(col("count") * length(col("_g"))).as("_covered"))
+      .select(col(idCol), (col("_covered") / col("_denom")).as("dup3"))
+
+    df.select(col(idCol))
+      .join(top2, Seq(idCol), "left")
+      .join(dup3, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("top2"), lit(0.0)).as("top2"),
+        coalesce(col("dup3"), lit(0.0)).as("dup3"))
+  }
+
+  // ------------------------------------------------------------ scrubbing
+
+  /** Conservative cross-engine regexes (Java and RE2 agree on these). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /**
+   * PII scrubbing: mask emails, then phone-number-shaped digit runs, then
+   * IPv4 addresses with typed placeholders. Order matters (an email's
+   * domain must not be re-matched as a host, a masked phone must not leave
+   * digit fragments), and both engines apply the same order. Map-only,
+   * codegen'd `regexp_replace` — the 100 TB shape is "three regex passes
+   * over each partition", nothing more.
+   */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+}

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.Text
+
+/** Corpus-composition operators: deterministic sampling, shard packing
+  * (two-level prefix sum ≡ naive global window), repetition stats (native
+  * kernel ≡ explode-based spec), PII scrubbing, and the plan shapes that
+  * make each scale. */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .cache()
+
+  // ------------------------------------------------------------- sampling
+
+  test("sampleBySource is a pure function of (source, id): partitioning-invariant") {
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5)
+    val a = Corpus.sampleBySource(docs, "doc_id", "source", rates, defaultRate = 0.2)
+      .select("doc_id").as[Long].collect().sorted
+    val b = Corpus.sampleBySource(docs.repartition(17, col("lang")), "doc_id", "source",
+      rates, defaultRate = 0.2)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b))
+    // rate 1.0 keeps every src0 row; rate 0.0 keeps none
+    val src0 = docs.filter(col("source") === "src0").count()
+    assert(Corpus.sampleBySource(docs, "doc_id", "source", Map("src0" -> 1.0), 0.0)
+      .count() === src0)
+    assert(Corpus.sampleBySource(docs, "doc_id", "source", Map.empty, 0.0).count() === 0)
+    // sampling adds no shuffle: map-only plan
+    val plan = Corpus.sampleBySource(docs, "doc_id", "source", rates, 0.2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  // ------------------------------------------------------------- packing
+
+  private def naivePack(df: DataFrame, budget: Long): DataFrame =
+    df.withColumn("shard",
+      expr(s"coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED " +
+        s"PRECEDING AND 1 PRECEDING), 0) div $budget"))
+
+  test("packShards equals the naive global-window spelling, without its bottleneck") {
+    val withTokens = docs.select(col("doc_id"),
+      Text.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+    val packed = Corpus.packShards(withTokens, "doc_id", "n_tokens", budget = 500L,
+      numBuckets = 8)
+    assertSameRows(packed, naivePack(withTokens, 500L))
+
+    // the scale property: no single-partition exchange feeds the window
+    // (the naive spelling serializes the whole corpus through one task)
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+    val naivePlan = naivePack(withTokens, 500L).queryExecution.executedPlan.toString
+    assert(naivePlan.contains("SinglePartition"), naivePlan)
+
+    // shards are contiguous, non-empty id ranges, and every non-final shard's
+    // cumulative prefix crosses its upper boundary (a shard only closes once
+    // the running token count passes shard_end * budget — individual shards
+    // can hold fewer tokens when a straddling doc overshot the previous
+    // boundary, which is inherent to never splitting documents)
+    val byShard = packed.groupBy("shard")
+      .agg(sum("n_tokens").as("tok"), min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .orderBy("shard").collect()
+    var cum = 0L
+    byShard.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi") < b.getAs[Long]("lo")) // contiguous ranges
+        cum += a.getAs[Long]("tok")
+        assert(cum >= (a.getAs[Long]("shard") + 1) * 500L,
+          s"shard ${a.getAs[Long]("shard")} closed before crossing its boundary")
+      case _ => ()
+    }
+  }
+
+  test("packShards: empty input, single bucket, and id gaps") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
+    assert(Corpus.packShards(empty, "doc_id", "n_tokens", 100L).count() === 0)
+    // sparse, gappy ids across one bucket == many buckets
+    val gappy = Seq((5L, 60L), (900L, 60L), (90001L, 60L), (90002L, 10L), (1000000L, 200L))
+      .toDF("doc_id", "n_tokens")
+    assertSameRows(
+      Corpus.packShards(gappy, "doc_id", "n_tokens", 100L, numBuckets = 1),
+      Corpus.packShards(gappy, "doc_id", "n_tokens", 100L, numBuckets = 64))
+    val shards = Corpus.packShards(gappy, "doc_id", "n_tokens", 100L, numBuckets = 64)
+      .orderBy("doc_id").select("shard").as[Long].collect()
+    assert(shards.sameElements(Array(0L, 0L, 1L, 1L, 1L)), shards.mkString(","))
+  }
+
+  // ----------------------------------------------------------- repetition
+
+  test("repetition kernel is bit-equal to the explode-based spelling on the corpus") {
+    val kernel = docs.select(col("doc_id"), Corpus.repetitionStats(col("text")).as("r"))
+      .select(col("doc_id"), col("r.top2").as("top2"), col("r.dup3").as("dup3"))
+    val spec = Corpus.repetitionStatsExploded(docs, "doc_id", "text")
+    assertSameRows(kernel, spec) // exact, not approximate: same doubles
+  }
+
+  test("repetition stats: hand-computed edge cases") {
+    def stats(s: String): (Double, Double) = {
+      val r = Seq(s).toDF("t").select(Corpus.repetitionStats(col("t")).as("r"))
+        .select(col("r.top2"), col("r.dup3")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    assert(stats("") === ((0.0, 0.0)))
+    assert(stats("one") === ((0.0, 0.0)))             // < 2 tokens
+    // "a b": single bigram "a b" (len 3), denom 3 -> top2 = 1.0; < 3 tokens
+    assert(stats("a b") === ((1.0, 0.0)))
+    // "x y x y x": bigrams [x y, y x, x y, y x] -> top "x y" (tie broken
+    // lexicographically SMALLER), count 2, len 3, denom 9 -> 6/9
+    // trigrams [x y x, y x y, x y x] -> "x y x" twice, covered 2*5=10 -> 10/9
+    val (t2, d3) = stats("x y x y x")
+    assert(t2 === 6.0 / 9.0 && d3 === 10.0 / 9.0)
+    // case/whitespace normalization: tabs+case fold into the same tokens —
+    // toks [a,a,a], bigrams ["a a","a a"] count 2 len 3, denom 5 -> 6/5;
+    // the single trigram can't duplicate
+    assert(stats("A  a\ta") === ((6.0 / 5.0, 0.0)))
+  }
+
+  test("repetition kernel is map-only") {
+    val plan = docs.select(Corpus.repetitionStats(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  // ------------------------------------------------------------ scrubbing
+
+  test("scrubPii masks emails, phones, and IPv4s; leaves clean text alone") {
+    val in = Seq(
+      "write bob.smith+x@corp.example.org today",
+      "call +1 (555) 123-4567 or 555 987 6543 now",
+      "host 192.168.0.1 and 10.0.0.255 respond",
+      "plain words with numbers 42 and 7 survive",
+      "v1.2.3 is not an ip, nor is 1.2.3.4.5 fully one"
+    ).toDF("t")
+    val out = in.select(Corpus.scrubPii(col("t")).as("s")).as[String].collect()
+    assert(out(0) === "write <EMAIL> today")
+    assert(out(1) === "call <PHONE> or <PHONE> now")
+    assert(out(2) === "host <IP> and <IP> respond")
+    assert(out(3) === "plain words with numbers 42 and 7 survive")
+    // 1.2.3.4.5: the \b-anchored quad matches its prefix — documented
+    // behavior of the conservative regex (no lookahead, RE2-compatible)
+    assert(out(4).startsWith("v1.2.3 is not an ip"))
+    val plan = in.select(Corpus.scrubPii(col("t")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
