@@ -53,15 +53,16 @@ import graft.query.QueryService
  *   repo add NAME URL             register a remote repository alias
  *   repo list                     registered remotes
  *   repo rm NAME                  remove a remote alias
- *   push DATASET REMOTE [--force] sync the dataset to REMOTE (alias or URL)
- *                                 (kamu push, sync_service.rs)
+ *   push DATASET REMOTE [--force] sync the dataset to REMOTE (alias, any
+ *                                 FileSystem URI, or a served node's
+ *                                 http(s) URL — simple transfer protocol
+ *                                 write side) (kamu push, sync_service.rs)
  *   pull DATASET --from REMOTE [--force]
  *                                 sync the dataset from REMOTE into the
  *                                 workspace (created if absent); REMOTE may
  *                                 be an alias, a FileSystem URI, or a served
  *                                 node's http(s) URL (simple transfer
- *                                 protocol; http remotes are pull/status
- *                                 only)
+ *                                 protocol)
  *   status DATASET REMOTE         equal | ahead N | behind N | diverged
  *                                 (remote_status_service_impl.rs)
  *   export DATASET PATH [FORMAT]  write full history: parquet|csv|ndjson
@@ -73,6 +74,21 @@ import graft.query.QueryService
  *   verify DATASET                integrity check (hashes + replay)
  *   compact DATASET [MAXRECORDS]  compact slices (atomic swap)
  *   reset DATASET BLOCKHASH       rewind head
+ *   delete DATASET [--force]      remove a dataset (refuses while downstream
+ *                                 transforms read it; drops its flow/webhook
+ *                                 registrations) (kamu delete)
+ *   rename DATASET NEWNAME [--force]
+ *                                 rename the workspace alias; migrates
+ *                                 flow/webhook registrations (kamu rename)
+ *   set-watermark DATASET ISO8601 advance a root dataset's watermark without
+ *                                 data (kamu system set-watermark)
+ *   gc [DATASET]                  reclaim unreachable blocks, orphan slices/
+ *                                 checkpoints, staging leftovers (kamu
+ *                                 system gc)
+ *   lineage DATASET --dot         dependency graph as Graphviz DOT
+ *                                 (kamu system depgraph)
+ *   decode DATASET BLOCKHASH      print one metadata block's JSON
+ *                                 (kamu system decode)
  */
 object Cli {
 
@@ -116,7 +132,9 @@ object Cli {
         case "pull" :: ds :: t             =>
           val st = isoOrNow(t.headOption)
           notifyingHeadMoves(spark, wsOpt, out, st)(cmdPull(spark, wsOpt, ds, st, out))
-        case "lineage" :: ds :: Nil        => cmdLineage(spark, wsOpt, ds, out)
+        case "lineage" :: ds :: Nil        => cmdLineage(spark, wsOpt, ds, dot = false, out)
+        case "lineage" :: ds :: "--dot" :: Nil => cmdLineage(spark, wsOpt, ds, dot = true, out)
+        case "decode" :: ds :: hash :: Nil => cmdDecode(spark, wsOpt, ds, hash, out)
         case "inspect" :: ds :: Nil        => cmdInspect(spark, wsOpt, ds, out)
         case "search" :: q :: Nil          => cmdSearch(spark, wsOpt, q, out)
         case "search" :: "--rank" :: q :: Nil => cmdSearchRank(spark, wsOpt, q, out)
@@ -300,14 +318,32 @@ object Cli {
     if (hits.isEmpty) { out.println("(no matches)"); 1 } else 0
   }
 
-  private def cmdLineage(spark: SparkSession, ws: String, ds: String, out: PrintStream): Int = {
+  private def cmdLineage(spark: SparkSession, ws: String, ds: String, dot: Boolean,
+      out: PrintStream): Int = {
     val datasets = workspaceDatasets(spark, ws)
     val target = datasets.getOrElse(
       ds, throw new IllegalArgumentException(s"no dataset '$ds' in workspace $ws"))
     val resolve = (n: String) => datasets.getOrElse(
       n, throw new IllegalArgumentException(s"lineage input '$n' not in workspace $ws"))
-    out.print(graft.transform.Lineage.render(target, resolve))
+    out.print(
+      if (dot) graft.transform.Lineage.toDot(target, resolve)
+      else graft.transform.Lineage.render(target, resolve))
     0
+  }
+
+  /** Print one metadata block's JSON by hash (kamu system decode,
+    * system_decode_command.rs). */
+  private def cmdDecode(spark: SparkSession, ws: String, ds: String, hash: String,
+      out: PrintStream): Int = {
+    val chain = open(spark, ws, ds).chain
+    chain.blocksWithHashes().find(_._2 == hash) match {
+      case Some((block, _)) =>
+        out.println(org.json4s.jackson.Serialization.writePretty(block)(MetadataChain.formats))
+        0
+      case None =>
+        out.println(s"error: block $hash not found in ${ds}'s chain")
+        1
+    }
   }
 
   // ----------------------------------------------------------- webhooks

@@ -84,4 +84,23 @@ object Lineage {
     walk(target.name, "", isLast = true, isRoot = true)
     sb.result()
   }
+
+  /** The lineage as Graphviz DOT (`kamu system depgraph`; the writer lives
+    * in provenance_service_impl.rs:162-190 — `digraph datasets`,
+    * `rankdir = LR`, styled node per dataset, one edge per declared input).
+    * Deterministic order. */
+  def toDot(target: Dataset, resolve: String => Dataset): String = {
+    val ns = nodes(target, resolve)
+    val sb = new StringBuilder("digraph datasets {\n")
+    sb.append("rankdir = LR;\n")
+    ns.sortBy(_.name).foreach { n =>
+      val shape = if (n.kind == "derivative") "ellipse" else "box"
+      sb.append(s""""${n.name}" [shape=$shape];\n""")
+    }
+    ns.flatMap(n => n.inputs.sorted.map(i => i -> n.name)).sorted.foreach {
+      case (from, to) => sb.append(s""""$from" -> "$to";\n""")
+    }
+    sb.append("}\n")
+    sb.result()
+  }
 }

@@ -215,6 +215,21 @@ class CliSpec extends SparkSpec {
     val (c5, out5) = runCli("--workspace", root.toString, "inspect", "towns")
     assert(c5 === 0 && out5.contains("no transform declared") &&
       out5.contains("merge=ledger pk=town"), out5)
+
+    // depgraph form: Graphviz DOT with styled nodes and input edges
+    val (c6, dot) = runCli("--workspace", root.toString, "lineage", "towns_big", "--dot")
+    assert(c6 === 0, dot)
+    assert(dot.linesIterator.toSeq === Seq(
+      "digraph datasets {", "rankdir = LR;",
+      "\"towns\" [shape=box];", "\"towns_big\" [shape=ellipse];",
+      "\"towns\" -> \"towns_big\";", "}"), dot)
+
+    // decode prints one block's JSON by hash; a bogus hash errors
+    val head = Dataset.open(spark, root.resolve("towns")).chain.head.get._2
+    val (c7, blockJson) = runCli("--workspace", root.toString, "decode", "towns", head)
+    assert(c7 === 0 && blockJson.contains("\"kind\"") &&
+      blockJson.contains("\"AddData\""), blockJson)
+    assert(runCli("--workspace", root.toString, "decode", "towns", "f" * 64)._1 === 1)
   }
 
   test("search finds datasets by name substring; misses exit nonzero") {
