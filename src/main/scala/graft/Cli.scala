@@ -53,6 +53,14 @@ import graft.query.QueryService
  *   repo add NAME URL             register a remote repository alias
  *   repo list                     registered remotes
  *   repo rm NAME                  remove a remote alias
+ *   alias add DATASET REMOTE [--push|--pull]
+ *                                 set a per-dataset default remote (both
+ *                                 kinds when no flag) — push/status/pull
+ *                                 --from then work without naming a remote
+ *                                 (kamu repo alias, remote_aliases.rs)
+ *   alias list | alias rm DATASET [REMOTE] [--push|--pull]
+ *   new NAME [--derivative]       print a DatasetSnapshot manifest template
+ *                                 (kamu new; pipe into a file, edit, `add`)
  *   push DATASET REMOTE [--force] sync the dataset to REMOTE (alias, any
  *                                 FileSystem URI, or a served node's
  *                                 http(s) URL — simple transfer protocol
@@ -128,7 +136,8 @@ object Cli {
         case "poll" :: ds :: t             =>
           val st = isoOrNow(t.headOption)
           notifyingHeadMoves(spark, wsOpt, out, st)(cmdPoll(spark, wsOpt, ds, st, out))
-        case "pull" :: ds :: "--from" :: remote :: fl => cmdPullRemote(spark, wsOpt, ds, remote, fl.contains("--force"), out)
+        case "pull" :: ds :: "--from" :: Nil => cmdPullRemote(spark, wsOpt, ds, None, force = false, out)
+        case "pull" :: ds :: "--from" :: remote :: fl => cmdPullRemote(spark, wsOpt, ds, Some(remote), fl.contains("--force"), out)
         case "pull" :: ds :: t             =>
           val st = isoOrNow(t.headOption)
           notifyingHeadMoves(spark, wsOpt, out, st)(cmdPull(spark, wsOpt, ds, st, out))
@@ -154,8 +163,25 @@ object Cli {
         case "repo" :: "add" :: n :: u :: Nil => cmdRepo(spark, wsOpt, r => { r.add(n, u); s"added $n -> $u" }, out)
         case "repo" :: "list" :: Nil       => cmdRepo(spark, wsOpt, r => r.list().toSeq.sorted.map { case (n, u) => s"$n $u" }.mkString("\n"), out)
         case "repo" :: "rm" :: n :: Nil    => cmdRepo(spark, wsOpt, r => { r.remove(n); s"removed $n" }, out)
-        case "push" :: ds :: remote :: fl  => cmdPush(spark, wsOpt, ds, remote, fl.contains("--force"), out)
-        case "status" :: ds :: remote :: Nil => cmdStatus(spark, wsOpt, ds, remote, out)
+        case "alias" :: "add" :: ds :: remote :: fl =>
+          val kinds = Seq("push", "pull").filter(k => fl.contains(s"--$k")) match {
+            case Seq() => Seq("push", "pull") // no flag = both, like the reference
+            case ks    => ks
+          }
+          cmdRepo(spark, wsOpt, r => {
+            kinds.foreach(r.aliasAdd(ds, _, remote)); s"aliased $ds -> $remote (${kinds.mkString(",")})"
+          }, out)
+        case "alias" :: "list" :: Nil =>
+          cmdRepo(spark, wsOpt,
+            r => r.aliases().map(a => s"${a.dataset}\t${a.kind}\t${a.remote}").mkString("\n"), out)
+        case "alias" :: "rm" :: ds :: fl =>
+          val kind = Seq("push", "pull").find(k => fl.contains(s"--$k"))
+          val remote = fl.filterNot(_.startsWith("--")).headOption
+          cmdRepo(spark, wsOpt, r => { r.aliasRemove(ds, kind, remote); s"unaliased $ds" }, out)
+        case "push" :: ds :: Nil           => cmdPush(spark, wsOpt, ds, None, force = false, out)
+        case "push" :: ds :: "--force" :: Nil => cmdPush(spark, wsOpt, ds, None, force = true, out)
+        case "push" :: ds :: remote :: fl  => cmdPush(spark, wsOpt, ds, Some(remote), fl.contains("--force"), out)
+        case "status" :: ds :: restR if restR.size <= 1 => cmdStatus(spark, wsOpt, ds, restR.headOption, out)
         case "add" :: file :: t            => cmdAdd(spark, wsOpt, file, isoOrNow(t.headOption), out)
         case "export" :: ds :: path :: f   => cmdExport(spark, wsOpt, ds, path, f.headOption.getOrElse("parquet"), out)
         case "serve" :: rest2              => cmdServe(spark, wsOpt, rest2, in, out)
@@ -164,6 +190,7 @@ object Cli {
         case "rename" :: ds :: nw :: fl    => cmdRename(spark, wsOpt, ds, nw, fl.contains("--force"), out)
         case "set-watermark" :: ds :: iso :: Nil => cmdSetWatermark(spark, wsOpt, ds, iso, out)
         case "gc" :: rest2                 => cmdGc(spark, wsOpt, rest2.headOption, out)
+        case "new" :: name :: fl           => cmdNew(name, fl.contains("--derivative"), out)
         case "compact" :: ds :: restN      => cmdCompact(spark, wsOpt, ds, restN.headOption.map(_.toLong), out)
         case "reset" :: ds :: hash :: Nil  => cmdReset(spark, wsOpt, ds, hash, out)
         case other =>
@@ -452,43 +479,53 @@ object Cli {
       out.println(s"synced $n block(s), $files data file(s), head $newHead"); 0
   }
 
-  private def cmdPush(spark: SparkSession, ws: String, ds: String, remote: String,
+  private def cmdPush(spark: SparkSession, ws: String, ds: String, remote: Option[String],
       force: Boolean, out: PrintStream): Int = {
     val local = open(spark, ws, ds) // validates existence
-    val resolved = registry(spark, ws).resolve(remote)
+    val reg = registry(spark, ws)
+    val named = remote.getOrElse(reg.aliasResolve(ds, "push"))
+    val resolved = reg.resolve(named)
     val result =
       if (isHttp(resolved)) // served node: simple-transfer-protocol push
         graft.sync.HttpSync.push(resolved, ds, local.chain.root, hconf(spark), force = force)
       else graft.sync.SyncService.sync(
-        local.chain.root, remoteDatasetRoot(spark, ws, ds, remote), hconf(spark), force = force)
+        local.chain.root, remoteDatasetRoot(spark, ws, ds, named), hconf(spark), force = force)
     printSync(result, out)
   }
 
   private def isHttp(url: String): Boolean =
     url.startsWith("http://") || url.startsWith("https://")
 
-  private def cmdPullRemote(spark: SparkSession, ws: String, ds: String, remote: String,
+  private def cmdPullRemote(spark: SparkSession, ws: String, ds: String, remote: Option[String],
       force: Boolean, out: PrintStream): Int = {
-    val resolved = registry(spark, ws).resolve(remote)
+    val reg = registry(spark, ws)
+    val named = remote.getOrElse(reg.aliasResolve(ds, "pull"))
+    val resolved = reg.resolve(named)
     val localRoot = new org.apache.hadoop.fs.Path(ws, ds)
     val result =
       if (isHttp(resolved)) // served node: simple-transfer-protocol client
         graft.sync.HttpSync.pull(resolved, ds, localRoot, hconf(spark), force = force)
       else graft.sync.SyncService.sync(
-        remoteDatasetRoot(spark, ws, ds, remote), localRoot, hconf(spark), force = force)
+        remoteDatasetRoot(spark, ws, ds, named), localRoot, hconf(spark), force = force)
     printSync(result, out)
   }
 
-  private def cmdStatus(spark: SparkSession, ws: String, ds: String, remote: String,
+  private def cmdStatus(spark: SparkSession, ws: String, ds: String, remote: Option[String],
       out: PrintStream): Int = {
     import graft.sync.SyncService
     val local = open(spark, ws, ds)
-    val resolved = registry(spark, ws).resolve(remote)
+    val reg = registry(spark, ws)
+    // no remote argument: prefer the push alias, else the pull alias
+    val named = remote.getOrElse {
+      try reg.aliasResolve(ds, "push")
+      catch { case _: IllegalArgumentException => reg.aliasResolve(ds, "pull") }
+    }
+    val resolved = reg.resolve(named)
     val status =
       if (isHttp(resolved)) {
         graft.sync.HttpSync.status(resolved, ds, local.chain.root, hconf(spark))
       } else {
-        val remoteRoot = remoteDatasetRoot(spark, ws, ds, remote)
+        val remoteRoot = remoteDatasetRoot(spark, ws, ds, named)
         if (!MetadataChain.exists(remoteRoot, hconf(spark))) {
           out.println("remote: absent"); return 0
         }
@@ -640,6 +677,30 @@ object Cli {
     val wm = java.time.Instant.parse(iso).toEpochMilli
     Maintenance.setWatermark(target, wm, System.currentTimeMillis())
     out.println(s"watermark set to $iso")
+    0
+  }
+
+  /** Print a DatasetSnapshot manifest template to stdout (kamu new,
+    * new_dataset_command.rs — the reference writes `<name>.yaml`; this
+    * prints, so `graft new x > x.json` composes with `graft add x.json`). */
+  private def cmdNew(name: String, derivative: Boolean, out: PrintStream): Int = {
+    val body =
+      if (derivative)
+        s"""{ "name": "$name", "kind": "derivative",
+           |  "metadata": [
+           |    { "kind": "SetTransform",
+           |      "inputs": ["my_input"],
+           |      "steps": [ { "query": "SELECT op, event_time, * EXCEPT (op, event_time) FROM my_input" } ] }
+           |  ] }""".stripMargin
+      else
+        s"""{ "name": "$name", "kind": "root",
+           |  "metadata": [
+           |    { "kind": "SetPollingSource", "readFormat": "csv",
+           |      "schemaDdl": "id BIGINT, value STRING",
+           |      "merge": { "kind": "ledger", "primaryKey": ["id"] } },
+           |    { "kind": "SetInfo", "description": "describe $name here" }
+           |  ] }""".stripMargin
+    out.println(body)
     0
   }
 

@@ -42,4 +42,60 @@ final class RemoteRegistry(workspace: Path, conf: Configuration) {
     try out.write(Serialization.write(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
+
+  // ---------------------------------------------- per-dataset remote aliases
+
+  import RemoteRegistry.DatasetAlias
+
+  private val aliasFile = new Path(new Path(workspace, ".graft"), "aliases.json")
+
+  /**
+   * Per-dataset default remotes — the reference's `RemoteAliases`
+   * (`kamu repo alias add/delete/list`): `push <ds>` / `pull <ds> --from`
+   * with no remote argument resolve through these. A dataset may have many
+   * aliases per kind; the no-argument forms require exactly one.
+   */
+  def aliases(): Seq[DatasetAlias] =
+    if (!fs.exists(aliasFile)) Nil
+    else {
+      val in = fs.open(aliasFile)
+      val s = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+      Serialization.read[Seq[DatasetAlias]](s)
+    }
+
+  def aliasAdd(dataset: String, kind: String, remote: String): Unit = {
+    require(kind == "push" || kind == "pull", s"alias kind must be push|pull, got $kind")
+    val a = DatasetAlias(dataset, kind, remote)
+    if (!aliases().contains(a)) writeAliases(aliases() :+ a)
+  }
+
+  def aliasRemove(dataset: String, kind: Option[String], remote: Option[String]): Unit =
+    writeAliases(aliases().filterNot(a =>
+      a.dataset == dataset && kind.forall(_ == a.kind) && remote.forall(_ == a.remote)))
+
+  /** The single `kind` alias for `dataset`; error when absent or ambiguous. */
+  def aliasResolve(dataset: String, kind: String): String = {
+    val hits = aliases().filter(a => a.dataset == dataset && a.kind == kind)
+    hits match {
+      case Seq(one) => one.remote
+      case Seq() => throw new IllegalArgumentException(
+        s"no $kind alias for $dataset; name the remote or `alias add $dataset <remote> --$kind`")
+      case many => throw new IllegalArgumentException(
+        s"$dataset has ${many.size} $kind aliases (${many.map(_.remote).mkString(", ")}); name one")
+    }
+  }
+
+  private def writeAliases(as: Seq[DatasetAlias]): Unit = {
+    fs.mkdirs(aliasFile.getParent)
+    val out = fs.create(aliasFile, true)
+    try out.write(Serialization.write(as).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}
+
+object RemoteRegistry {
+  /** `kind` is "push" or "pull" (RemoteAliasKind,
+    * src/domain/core/src/services/remote/remote_aliases.rs). */
+  final case class DatasetAlias(dataset: String, kind: String, remote: String)
 }

@@ -368,6 +368,60 @@ class CliSpec extends SparkSpec {
     assert(g3 === 0 && gOut3.trim === "reclaimed 0 bytes", gOut3)
   }
 
+  test("alias add/list/rm: per-dataset remotes drive push/status/pull --from") {
+    val root = Files.createTempDirectory("graft-cli-alias-")
+    Files.writeString(root.resolve("a.csv"), "town,pop\nnola,364000\n")
+    val towns = Dataset.create(spark, root.resolve("towns"), "towns")
+    towns.chain.append(
+      SetPollingSource(readFormat = "csv", schemaDdl = Some("town STRING, pop INT"),
+        merge = MergeConf("ledger", primaryKey = Seq("town"))), 0L)
+    IngestWriter.ingestFile(towns, root.resolve("a.csv").toString, 1000L)
+    val repo = Files.createTempDirectory("graft-cli-alias-repo-")
+
+    // no alias -> push without a remote fails with guidance
+    val (c0, e0) = runCli("--workspace", root.toString, "push", "towns")
+    assert(c0 === 1 && e0.contains("no push alias"), e0)
+
+    assert(runCli("--workspace", root.toString, "repo", "add", "origin", repo.toString)._1 === 0)
+    val (c1, a1) = runCli("--workspace", root.toString, "alias", "add", "towns", "origin")
+    assert(c1 === 0 && a1.trim === "aliased towns -> origin (push,pull)", a1)
+    val (_, lst) = runCli("--workspace", root.toString, "alias", "list")
+    assert(lst.linesIterator.toSeq === Seq("towns\tpush\torigin", "towns\tpull\torigin"), lst)
+
+    // push + status through the alias, no remote named
+    val (c2, p1) = runCli("--workspace", root.toString, "push", "towns")
+    assert(c2 === 0 && p1.startsWith("synced"), p1)
+    val (c3, st) = runCli("--workspace", root.toString, "status", "towns")
+    assert(c3 === 0 && st.trim === "equal", st)
+
+    // a second workspace pulls through its own pull alias
+    val ws2 = Files.createTempDirectory("graft-cli-alias-ws2-")
+    assert(runCli("--workspace", ws2.toString, "repo", "add", "up", repo.toString)._1 === 0)
+    assert(runCli("--workspace", ws2.toString, "alias", "add", "towns", "up", "--pull")._1 === 0)
+    val (c4, p2) = runCli("--workspace", ws2.toString, "pull", "towns", "--from")
+    assert(c4 === 0 && p2.startsWith("synced"), p2)
+
+    // ambiguity is an error; rm restores the single-alias path
+    assert(runCli("--workspace", root.toString, "alias", "add", "towns", "elsewhere", "--push")._1 === 0)
+    val (c5, e5) = runCli("--workspace", root.toString, "push", "towns")
+    assert(c5 === 1 && e5.contains("2 push aliases"), e5)
+    assert(runCli("--workspace", root.toString, "alias", "rm", "towns", "elsewhere", "--push")._1 === 0)
+    assert(runCli("--workspace", root.toString, "push", "towns")._2.trim === "up to date")
+  }
+
+  test("new prints a manifest template that add accepts") {
+    val root = Files.createTempDirectory("graft-cli-new-")
+    val (c1, manifest) = runCli("new", "sensors")
+    assert(c1 === 0 && manifest.contains("\"SetPollingSource\""), manifest)
+    val f = root.resolve("sensors.json")
+    Files.writeString(f, manifest)
+    val (c2, added) = runCli("--workspace", root.toString, "add", f.toString)
+    assert(c2 === 0 && added.contains("added sensors (root)"), added)
+    // derivative template declares a transform
+    val (c3, dtempl) = runCli("new", "doubled", "--derivative")
+    assert(c3 === 0 && dtempl.contains("\"SetTransform\""), dtempl)
+  }
+
   test("repo/push/status/pull --from: full remote sync lifecycle") {
     val (root, csv) = ws
     val remote = Files.createTempDirectory("graft-cli-remote-")
