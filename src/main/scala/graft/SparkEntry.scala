@@ -949,6 +949,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- budgeted sampling: sample each source DOWN TO a token budget
+    // (rate = min(1, budget/total) from one small aggregate, broadcast back;
+    // the sample itself is the same deterministic hash — map-side).
+    "corpus_budget_sample" -> { (s, dir) =>
+      Corpus.sampleToBudget(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            Text.tokenCount(col("text")).cast("bigint").as("n_tokens")),
+        idCol = "doc_id", sourceCol = "source", tokenCol = "n_tokens",
+        budgets = Map("src3" -> 5000L, "src4" -> 100L))
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- benchmark decontamination: drop documents sharing a word 8-gram
+    // with the probe texts (docs 0-2 act as the "benchmark"); probe n-grams
+    // broadcast into a semi-join, contaminated ids anti-join back.
+    "decontaminate" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Corpus.decontaminate(
+        docs, idCol = "doc_id", textCol = "text",
+        probes = docs.filter(col("doc_id") < 3), probeTextCol = "text", n = 8)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- token-budget shard packing: shard = exclusive-prefix-sum(tokens)
     // div budget, computed as a two-level distributed prefix sum (per-range
     // partials + broadcast offsets + per-range windows) — the oracle spells
@@ -2352,6 +2378,39 @@ object SparkEntry {
         |      < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
         |                    WHEN 'src2' THEN 0.25 ELSE 0.1 END
         |ORDER BY doc_id""".stripMargin,
+    // Budgeted sampling: same hash, rate from the same per-source totals.
+    "corpus_budget_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total FROM d
+        |        WHERE source IN ('src3', 'src4') GROUP BY source),
+        |r AS (SELECT source,
+        |        least(1.0, CASE source WHEN 'src3' THEN 5000 WHEN 'src4' THEN 100 END / total) AS rate
+        |      FROM tot)
+        |SELECT d.doc_id, d.source, d.n_tokens
+        |FROM d LEFT JOIN r ON d.source = r.source
+        |WHERE r.rate IS NULL
+        |   OR (('0x' || substring(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        % 2147483647) / 2147483647.0 < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
+    // Decontamination: shared-8-gram docs vs the probe set (docs 0-2).
+    "decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |pg AS (
+        |  SELECT DISTINCT unnest([array_to_string(toks[i+1:i+8], ' ') for i in range(len(toks) - 7)]) AS g
+        |  FROM tok WHERE doc_id < 3 AND len(toks) >= 8),
+        |dg AS (
+        |  SELECT doc_id, unnest([array_to_string(toks[i+1:i+8], ' ') for i in range(len(toks) - 7)]) AS g
+        |  FROM tok WHERE len(toks) >= 8),
+        |bad AS (SELECT DISTINCT dg.doc_id FROM dg JOIN pg USING (g))
+        |SELECT d.doc_id, d.source FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY d.doc_id""".stripMargin,
     // Shard packing: the oracle is the naive global window; the engine's
     // two-level prefix sum must agree because addition is associative.
     "pack_shards" ->

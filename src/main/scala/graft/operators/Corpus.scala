@@ -53,6 +53,74 @@ object Corpus {
     df.filter(unit < rate)
   }
 
+  /**
+   * Sample each source DOWN TO a token budget — "mix to N tokens per
+   * domain", the budgeted form of [[sampleBySource]]: per-source rate =
+   * min(1, budget / total_tokens(source)), applied through the same
+   * deterministic (source, id) hash. Sources without a budget pass through.
+   *
+   * The rates come from one small per-source aggregate broadcast back as a
+   * join (never a window partitioned by source — that shuffles the whole
+   * corpus and serializes each source through one task's sort at scale);
+   * the sample itself stays map-side.
+   */
+  def sampleToBudget(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      tokenCol: String,
+      budgets: Map[String, Long]
+  ): DataFrame = {
+    if (budgets.isEmpty) return df
+    val totals = df
+      .filter(col(sourceCol).isin(budgets.keys.toSeq: _*))
+      .groupBy(col(sourceCol).as("_src"))
+      .agg(sum(col(tokenCol)).cast("long").as("_total"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val budgetDf = budgets.toSeq.toDF("_src", "_budget")
+    val rates = totals.join(budgetDf, "_src")
+      .select(col("_src"), least(lit(1.0), col("_budget") / col("_total")).as("_rate"))
+    val unit = Text.portableHash31(
+      concat(col(sourceCol), lit(":"), col(idCol).cast("string"))) / lit(Hashing.P31.toDouble)
+    df.join(broadcast(rates), df(sourceCol) === col("_src"), "left")
+      .filter(col("_rate").isNull || unit < col("_rate"))
+      .drop("_src", "_rate")
+  }
+
+  // ------------------------------------------------- decontamination
+
+  /**
+   * Benchmark decontamination: drop every document sharing at least one
+   * word `n`-gram with the probe corpus (eval/benchmark texts) — the
+   * standard guard against test-set leakage into training data. The probe
+   * side is small by nature (benchmarks, not corpora): its distinct
+   * n-grams broadcast into a semi-join against the exploded document
+   * n-grams, then contaminated ids anti-join back. At 100 TB the document
+   * side streams through the broadcast probe table — no corpus shuffle;
+   * the only exploded columns shipped are (id, gram) pairs that survive
+   * the broadcast-hash probe.
+   */
+  def decontaminate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      probes: DataFrame,
+      probeTextCol: String,
+      n: Int = 8
+  ): DataFrame = {
+    val probeGrams = probes
+      .select(explode(Text.wordShingles(col(probeTextCol), n)).as("_g"))
+      .filter(size(split(col("_g"), " ")) === n) // short probes yield no n-gram
+      .distinct()
+    val contaminated = docs
+      .select(col(idCol), explode(Text.wordShingles(col(textCol), n)).as("_g"))
+      .join(broadcast(probeGrams), "_g")
+      .select(col(idCol))
+      .distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------------- packing
 
   /**

@@ -39,6 +39,49 @@ class CorpusSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("sampleToBudget cuts each budgeted source toward its token budget") {
+    val withTokens = docs.select(col("doc_id"), col("source"),
+      Text.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+    val totals = withTokens.groupBy("source").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = totals("src0") / 3
+    val out = Corpus.sampleToBudget(withTokens, "doc_id", "source", "n_tokens",
+      Map("src0" -> budget))
+    // unbudgeted sources pass through untouched
+    assertSameRows(
+      out.filter(col("source") =!= "src0"),
+      withTokens.filter(col("source") =!= "src0"))
+    // the budgeted source lands near its budget (hash sampling is unbiased;
+    // tolerance is wide because per-source doc counts are small here)
+    val kept = out.filter(col("source") === "src0").agg(sum("n_tokens")).head().getLong(0)
+    assert(kept < totals("src0"), "budget must actually cut")
+    // a budget >= total keeps everything
+    assert(Corpus.sampleToBudget(withTokens, "doc_id", "source", "n_tokens",
+      Map("src0" -> totals("src0"))).count() === withTokens.count())
+  }
+
+  test("decontaminate drops exactly the docs sharing a word n-gram with the probes") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog at dawn"),
+      (2L, "a quick brown fox jumps over the lazy dog sometimes"), // shares an 8-gram with 1
+      (3L, "the quick brown fox naps beside the lazy dog at dawn"), // longest common run is 4
+      (4L, "completely unrelated text about spark and data engines"),
+      (5L, "short text")
+    ).toDF("doc_id", "text")
+    val probes = corpus.filter(col("doc_id") === 1)
+    val clean = Corpus.decontaminate(corpus, "doc_id", "text", probes, "text", n = 8)
+      .select("doc_id").as[Long].collect().sorted
+    assert(clean.sameElements(Array(3L, 4L, 5L)), clean.mkString(","))
+    // a probe shorter than n contaminates nothing (no complete n-gram)
+    val shortProbe = Seq("quick brown fox").toDF("text")
+    assert(Corpus.decontaminate(corpus, "doc_id", "text", shortProbe, "text", n = 8)
+      .count() === corpus.count())
+    // the probe side broadcasts (document side is never shuffled whole)
+    val plan = Corpus.decontaminate(corpus, "doc_id", "text", probes, "text", n = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   // ------------------------------------------------------------- packing
 
   private def naivePack(df: DataFrame, budget: Long): DataFrame =
