@@ -95,7 +95,21 @@ final class RestServer(
   private def handle(ex: HttpExchange)(f: HttpExchange => Response): Unit =
     try {
       val r = f(ex)
-      respond(ex, r.code, r.body, r.contentType)
+      r.stream match {
+        case Some((open, len)) =>
+          ex.getResponseHeaders.add("Content-Type", r.contentType)
+          ex.sendResponseHeaders(r.code, if (len == 0) -1 else len)
+          val in = open()
+          try {
+            val buf = new Array[Byte](1 << 16)
+            var n = in.read(buf)
+            while (n >= 0) {
+              if (n > 0) ex.getResponseBody.write(buf, 0, n)
+              n = in.read(buf)
+            }
+          } finally in.close()
+        case None => respond(ex, r.code, r.body, r.contentType)
+      }
     } catch {
       case e: Exception =>
         respond(ex, 400,
@@ -103,7 +117,14 @@ final class RestServer(
           "application/json")
     } finally ex.close()
 
-  private final case class Response(code: Int, body: Array[Byte], contentType: String)
+  /** `stream` (when set) wins over `body`: (open-input, length) copied to
+    * the wire in 64 KiB chunks — chain objects are up to ~1 GiB and are
+    * never buffered whole. */
+  private final case class Response(
+      code: Int,
+      body: Array[Byte],
+      contentType: String,
+      stream: Option[(() => java.io.InputStream, Long)] = None)
   private def json(code: Int, s: String): Response =
     Response(code, s.getBytes(StandardCharsets.UTF_8), "application/json")
 
@@ -264,14 +285,11 @@ final class RestServer(
       case Array("datasets", name, "sync", "data", hash) if ex.getRequestMethod == "PUT" =>
         val chain = chainForPush(name).getOrElse(
           return json(404, s"""{"error":"unknown dataset $name"}"""))
-        val bytes = ex.getRequestBody.readAllBytes()
-        val got = graft.chain.MetadataChain.sha256Hex(bytes)
-        if (got != hash)
-          return json(400, s"""{"error":"slice body hashes to $got, not its address $hash"}""")
-        val target = chain.dataFile(hash)
-        if (chain.fs.exists(target) && chain.fs.getFileStatus(target).getLen == bytes.length)
-          json(200, """{"received":false}""")
-        else { chain.writeObjectAtomic(target, bytes); json(200, """{"received":true}""") }
+        // streamed to staging with an on-the-fly digest — a slice is up to
+        // ~1 GiB and is never buffered whole; a mismatch deletes the temp
+        // and 400s (writeObjectAtomicFrom throws before any rename)
+        chain.writeObjectAtomicFrom(chain.dataFile(hash), ex.getRequestBody, Some(hash))
+        json(200, """{"received":true}""")
       case Array("datasets", name, "sync", "blocks", blockFile) if ex.getRequestMethod == "PUT" =>
         val chain = chainForPush(name).getOrElse(
           return json(404, s"""{"error":"unknown dataset $name"}"""))
@@ -297,11 +315,11 @@ final class RestServer(
         val rel = queryParam(ex, "path")
           .getOrElse(return json(400, """{"error":"path param required"}"""))
         require(!rel.contains(".."), "path traversal")
-        chain.writeObjectAtomic(
+        chain.writeObjectAtomicFrom(
           new org.apache.hadoop.fs.Path(
             new org.apache.hadoop.fs.Path(chain.checkpointsDir, ckpt),
             java.net.URLDecoder.decode(rel, StandardCharsets.UTF_8)),
-          ex.getRequestBody.readAllBytes())
+          ex.getRequestBody, expectedSha256 = None)
         json(200, """{"received":true}""")
       case Array("datasets", name, "sync", "head") =>
         val ds = datasets.getOrElse(
@@ -400,9 +418,8 @@ final class RestServer(
       case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
       case other                                      => other
     }
-    val in = fs.open(p)
-    val bytes = try in.readAllBytes() finally in.close()
-    Response(200, bytes, "application/octet-stream")
+    Response(200, Array.emptyByteArray, "application/octet-stream",
+      stream = Some((() => fs.open(p), fs.getFileStatus(p).getLen)))
   }
 
   private def respond(ex: HttpExchange, code: Int, body: Array[Byte], contentType: String): Unit = {

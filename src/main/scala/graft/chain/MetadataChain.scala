@@ -150,14 +150,47 @@ final class MetadataChain private (val root: Path, val fs: FileSystem, conf: Con
     * shares: a crash never leaves a truncated file under its final name, and
     * a leftover target (e.g. from an interrupted copy under a non-atomic FS)
     * is replaced, not appended to. */
-  def writeObjectAtomic(target: Path, bytes: Array[Byte]): Unit = {
+  def writeObjectAtomic(target: Path, bytes: Array[Byte]): Unit =
+    writeObjectAtomicFrom(target, new java.io.ByteArrayInputStream(bytes), None)
+
+  /**
+   * Streaming form of [[writeObjectAtomic]]: copy `in` to the staging temp
+   * in 64 KiB chunks, digesting as it flows, and only rename into place when
+   * the digest matches `expectedSha256` (when given) — a mismatching upload
+   * is deleted, never named. This is what keeps sync transfers O(buffer),
+   * not O(object): a compacted slice is up to 1 GiB, and neither side of a
+   * transfer should ever hold one in memory. Returns (bytesWritten, sha256).
+   */
+  def writeObjectAtomicFrom(
+      target: Path,
+      in: java.io.InputStream,
+      expectedSha256: Option[String]
+  ): (Long, String) = {
     val tmp = new Path(new Path(root, "staging"), s"obj-${java.util.UUID.randomUUID()}")
     fs.mkdirs(tmp.getParent)
+    val md = MessageDigest.getInstance("SHA-256")
+    var n = 0L
     val out = fs.create(tmp, true)
-    try out.write(bytes) finally out.close()
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var r = in.read(buf)
+      while (r >= 0) {
+        if (r > 0) { md.update(buf, 0, r); out.write(buf, 0, r); n += r }
+        r = in.read(buf)
+      }
+    } finally out.close()
+    val got = md.digest().map("%02x".format(_)).mkString
+    expectedSha256.foreach { want =>
+      if (got != want) {
+        fs.delete(tmp, false)
+        throw new IllegalArgumentException(
+          s"object for $target fails its content address (hashes to $got, not $want)")
+      }
+    }
     if (fs.exists(target)) fs.delete(target, false)
     fs.mkdirs(target.getParent)
     require(fs.rename(tmp, target), s"rename $tmp -> $target failed")
+    (n, got)
   }
 
   /** Atomically move the head ref (write-temp + atomic rename) — the single

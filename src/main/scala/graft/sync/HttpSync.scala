@@ -37,6 +37,19 @@ object HttpSync {
     resp.body()
   }
 
+  /** Streaming GET for chain objects (slices up to ~1 GiB): the body flows
+    * straight into the staging write, never buffered whole. */
+  private def getStream(client: HttpClient, url: String): java.io.InputStream = {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofInputStream())
+    if (resp.statusCode() != 200) {
+      try resp.body().close() catch { case _: Exception => () }
+      throw new IllegalArgumentException(s"GET $url -> HTTP ${resp.statusCode()}")
+    }
+    resp.body()
+  }
+
   /** Block file names from the listing endpoint, seq-sorted. */
   private def blockNames(client: HttpClient, base: String): Seq[String] = {
     implicit val formats: org.json4s.DefaultFormats.type = org.json4s.DefaultFormats
@@ -123,10 +136,11 @@ object HttpSync {
         }
         dataRefs.foreach { ph =>
           if (!local.fs.exists(local.dataFile(ph))) {
-            val slice = get(client, s"$base/sync/data/$ph")
-            require(MetadataChain.sha256Hex(slice) == ph,
-              s"remote slice $ph fails its content address")
-            writeViaStaging(local, local.dataFile(ph), slice)
+            // streamed: digest computed as the body flows into staging; a
+            // mismatch deletes the temp and throws before any rename
+            val in = getStream(client, s"$base/sync/data/$ph")
+            try local.writeObjectAtomicFrom(local.dataFile(ph), in, Some(ph))
+            finally in.close()
             dataCopied += 1
           }
         }
@@ -138,8 +152,9 @@ object HttpSync {
             val target = new Path(new Path(local.checkpointsDir, ckpt), rel)
             if (!local.fs.exists(target)) {
               val enc = java.net.URLEncoder.encode(rel, "UTF-8")
-              writeViaStaging(local, target,
-                get(client, s"$base/sync/checkpoints/$ckpt/file?path=$enc"))
+              val in = getStream(client, s"$base/sync/checkpoints/$ckpt/file?path=$enc")
+              try local.writeObjectAtomicFrom(target, in, expectedSha256 = None)
+              finally in.close()
             }
           }
         }
@@ -274,12 +289,22 @@ object HttpSync {
       remoteHashes.lastOption, lastHash, toTransfer.size, dataCopied)
   }
 
-  private def pushSlice(
-      client: HttpClient, base: String, local: MetadataChain, ph: String): Unit = {
-    val in = local.fs.open(local.dataFile(ph))
-    val bytes = try in.readAllBytes() finally in.close()
-    sendOk(client, "PUT", s"$base/sync/data/$ph", bytes)
+  /** Streaming PUT of a local file (slices are up to ~1 GiB — never
+    * buffered whole; chunked transfer from the chain's FileSystem). */
+  private def putFile(
+      client: HttpClient, url: String, local: MetadataChain, p: Path): Unit = {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(url))
+        .method("PUT", HttpRequest.BodyPublishers.ofInputStream(() => local.fs.open(p)))
+        .build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    require(resp.statusCode() == 200,
+      s"PUT $url -> HTTP ${resp.statusCode()}: ${new String(resp.body(), UTF_8)}")
   }
+
+  private def pushSlice(
+      client: HttpClient, base: String, local: MetadataChain, ph: String): Unit =
+    putFile(client, s"$base/sync/data/$ph", local, local.dataFile(ph))
 
   private def pushCheckpointDir(
       client: HttpClient, base: String, local: MetadataChain, ckpt: String): Unit = {
@@ -291,10 +316,8 @@ object HttpSync {
       }
     walk(dir).foreach { p =>
       val rel = p.toUri.getPath.stripPrefix(dir.toUri.getPath).stripPrefix("/")
-      val in = local.fs.open(p)
-      val bytes = try in.readAllBytes() finally in.close()
       val enc = java.net.URLEncoder.encode(rel, "UTF-8")
-      sendOk(client, "PUT", s"$base/sync/checkpoints/$ckpt/file?path=$enc", bytes)
+      putFile(client, s"$base/sync/checkpoints/$ckpt/file?path=$enc", local, p)
     }
   }
 }
