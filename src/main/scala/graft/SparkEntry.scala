@@ -1013,6 +1013,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- the full pretraining-corpus pipeline as ONE oracle-checked unit:
+    // quality/language/length filter → repetition filter (native kernel) →
+    // exact dedup keep-first → per-source token-budget sampling → shard
+    // packing. Every stage is the library operator a real curation job
+    // would call; the oracle recomputes all five stages in DuckDB.
+    "corpus_pipeline" -> { (s, dir) =>
+      val docs = Dedup.ensureParallelism(t(s, dir, "documents"))
+      val stats = docs.select(
+        col("doc_id"), col("source"), col("text"),
+        Text.qualityScore(col("text")).as("quality"),
+        Text.languageId(col("text")).as("lang"),
+        Text.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+        Corpus.repetitionStats(col("text")).as("r"))
+      val filtered = stats.filter(
+        col("quality") >= 0.5 && col("lang") === "en" &&
+          col("n_tokens").between(5, 1000) &&
+          col("r.top2") <= 0.1 && col("r.dup3") <= 0.1)
+      val deduped = Dedup.exactKeepFirst(filtered, "doc_id", "text")
+      val sampled = Corpus.sampleToBudget(deduped, "doc_id", "source", "n_tokens",
+        budgets = Map("src5" -> 400L, "src6" -> 400L))
+      Corpus.packShards(
+        sampled.select(col("doc_id"), col("source"), col("n_tokens")),
+        idCol = "doc_id", tokenCol = "n_tokens", budget = 1000L, numBuckets = 16)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("shard"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- exact dedup, keep-first form: one surviving row per distinct
     // normalized content (fingerprint partition ≡ normalized-text partition
     // in the oracle — same groups barring a 64-bit hash collision).
@@ -2411,6 +2438,79 @@ object SparkEntry {
         |SELECT d.doc_id, d.source FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY d.doc_id""".stripMargin,
+    // Full pipeline: the five stages recomputed in DuckDB, in the same
+    // order — filter (quality/lang/length/repetition), keep-first dedup on
+    // normalized text, budgeted sampling, prefix-sum shard packing.
+    "corpus_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS ntok,
+        |    CAST(len(text) AS DOUBLE) AS nchars,
+        |    CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) AS alpha,
+        |    CAST(len(list_filter(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0),
+        |      x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'], x))) AS DOUBLE) AS stophits,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |den AS (SELECT doc_id, toks, len(array_to_string(toks, ' ')) AS denom FROM t),
+        |bg AS (
+        |  SELECT doc_id, denom, unnest([toks[i+1] || ' ' || toks[i+2] for i in range(len(toks) - 1)]) AS g
+        |  FROM den WHERE len(toks) >= 2),
+        |bgtop AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) * len(g) / denom AS top2
+        |  FROM bg GROUP BY doc_id, denom, g
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g ASC) = 1),
+        |tg AS (
+        |  SELECT doc_id, denom,
+        |         unnest([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] for i in range(len(toks) - 2)]) AS g
+        |  FROM den WHERE len(toks) >= 3),
+        |tgc AS (SELECT doc_id, denom, g, count(*) AS c FROM tg GROUP BY doc_id, denom, g),
+        |tgdup AS (
+        |  SELECT doc_id, CAST(sum(c * len(g)) AS BIGINT) / denom AS dup3
+        |  FROM tgc WHERE c >= 2 GROUP BY doc_id, denom),
+        |s AS (
+        |  SELECT doc_id, source, text, CAST(ntok AS BIGINT) AS n_tokens,
+        |    round(least(ntok / 50.0, 1.0) * 0.3
+        |      + (CASE WHEN (CASE WHEN ntok > 0 THEN nchars / ntok ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END) * 0.2
+        |      + (CASE WHEN nchars > 0 THEN alpha / nchars ELSE 0.0 END) * 0.3
+        |      + least((CASE WHEN ntok > 0 THEN stophits / ntok ELSE 0.0 END) * 5.0, 1.0) * 0.2, 6) AS quality,
+        |    list_max([
+        |      {'hits': len(list_filter(toks, x -> list_contains(['the','and','of','to','is','that','with','for'], x))), 'lang': 'en'},
+        |      {'hits': len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','ein','mit'], x))), 'lang': 'de'},
+        |      {'hits': len(list_filter(toks, x -> list_contains(['le','la','les','est','une','dans','pour','que'], x))), 'lang': 'fr'},
+        |      {'hits': len(list_filter(toks, x -> list_contains(['el','los','es','una','por','como','pero','más'], x))), 'lang': 'es'},
+        |      {'hits': len(list_filter(toks, x -> list_contains(['的','是','了','在','我','有','和','不'], x))), 'lang': 'zh'}
+        |    ]) AS best
+        |  FROM t),
+        |f AS (
+        |  SELECT s.doc_id, s.source, s.text, s.n_tokens
+        |  FROM s LEFT JOIN bgtop ON s.doc_id = bgtop.doc_id
+        |         LEFT JOIN tgdup ON s.doc_id = tgdup.doc_id
+        |  WHERE s.quality >= 0.5
+        |    AND (CASE WHEN s.best.hits > 0 THEN s.best.lang ELSE 'und' END) = 'en'
+        |    AND s.n_tokens BETWEEN 5 AND 1000
+        |    AND coalesce(bgtop.top2, 0.0) <= 0.1 AND coalesce(tgdup.dup3, 0.0) <= 0.1),
+        |dd AS (
+        |  SELECT doc_id, source, n_tokens FROM (
+        |    SELECT f.*, row_number() OVER (
+        |      PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rn
+        |    FROM f) WHERE rn = 1),
+        |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total FROM dd
+        |        WHERE source IN ('src5', 'src6') GROUP BY source),
+        |r AS (SELECT source,
+        |        least(1.0, CASE source WHEN 'src5' THEN 400 WHEN 'src6' THEN 400 END / total) AS rate
+        |      FROM tot),
+        |sam AS (
+        |  SELECT dd.doc_id, dd.source, dd.n_tokens
+        |  FROM dd LEFT JOIN r ON dd.source = r.source
+        |  WHERE r.rate IS NULL
+        |     OR (('0x' || substring(md5(dd.source || ':' || CAST(dd.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |          % 2147483647) / 2147483647.0 < r.rate)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000 AS BIGINT) AS shard
+        |FROM sam ORDER BY doc_id""".stripMargin,
     // Shard packing: the oracle is the naive global window; the engine's
     // two-level prefix sum must agree because addition is associative.
     "pack_shards" ->
