@@ -72,7 +72,12 @@ object Corpus {
       budgets: Map[String, Long]
   ): DataFrame = {
     if (budgets.isEmpty) return df
-    val totals = df
+    // The rate subtree re-evaluates this input once per downstream action;
+    // cut the lineage so an expensive upstream (filters, dedup shuffles) is
+    // computed exactly once (same discipline as Dedup's localCheckpoint
+    // lineage cuts — the input here is a slim projection, not raw text).
+    val input = df.localCheckpoint()
+    val totals = input
       .filter(col(sourceCol).isin(budgets.keys.toSeq: _*))
       .groupBy(col(sourceCol).as("_src"))
       .agg(sum(col(tokenCol)).cast("long").as("_total"))
@@ -83,7 +88,7 @@ object Corpus {
       .select(col("_src"), least(lit(1.0), col("_budget") / col("_total")).as("_rate"))
     val unit = Text.portableHash31(
       concat(col(sourceCol), lit(":"), col(idCol).cast("string"))) / lit(Hashing.P31.toDouble)
-    df.join(broadcast(rates), df(sourceCol) === col("_src"), "left")
+    input.join(broadcast(rates), input(sourceCol) === col("_src"), "left")
       .filter(col("_rate").isNull || unit < col("_rate"))
       .drop("_src", "_rate")
   }
@@ -145,14 +150,18 @@ object Corpus {
       numBuckets: Int = 256
   ): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val bounds = df.agg(
+    // Three passes follow (id bounds, per-range sums, the packed output);
+    // cut the lineage so each pass scans the materialized slim input, not a
+    // re-execution of whatever pipeline produced it.
+    val input = df.localCheckpoint()
+    val bounds = input.agg(
       min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
-    if (bounds.isNullAt(0)) return df.withColumn("shard", lit(0L))
+    if (bounds.isNullAt(0)) return input.withColumn("shard", lit(0L))
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val width = math.max(1L, (hi - lo) / numBuckets + 1)
     val bucket = ((col(idCol).cast("long") - lo) / width).cast("long")
 
-    val withBucket = df.withColumn("_pack_bucket", bucket)
+    val withBucket = input.withColumn("_pack_bucket", bucket)
     // small aggregate: one row per populated range
     val perBucket = withBucket
       .groupBy(col("_pack_bucket"))

@@ -305,10 +305,14 @@ class CliSpec extends SparkSpec {
       "2024-01-15T00:00:00Z")._1 === 1)
     assert(runCli("--workspace", root.toString, "set-watermark", "towns_big",
       "2024-03-01T00:00:00Z")._1 === 1)
+    // integrity verification tolerates the data-less block
+    val (v1, vOut) = runCli("--workspace", root.toString, "verify", "towns")
+    assert(v1 === 0 && vOut.trim === "ok", vOut)
     // compaction carries the block-level watermark onto the rewritten slice
     graft.maintenance.Maintenance.compact(towns)
     assert(towns.chain.watermark() ===
       Some(java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli))
+    assert(runCli("--workspace", root.toString, "verify", "towns")._2.trim === "ok")
 
     // ---- rename: refused while dependents read it by name; derivative renames
     val (r1, rOut) = runCli("--workspace", root.toString, "rename", "towns", "cities2")
