@@ -61,6 +61,7 @@ import graft.query.QueryService
  *   alias list | alias rm DATASET [REMOTE] [--push|--pull]
  *   new NAME [--derivative]       print a DatasetSnapshot manifest template
  *                                 (kamu new; pipe into a file, edit, `add`)
+ *   completions bash              shell completion script (kamu completions)
  *   push DATASET REMOTE [--force] sync the dataset to REMOTE (alias, any
  *                                 FileSystem URI, or a served node's
  *                                 http(s) URL — simple transfer protocol
@@ -191,6 +192,7 @@ object Cli {
         case "set-watermark" :: ds :: iso :: Nil => cmdSetWatermark(spark, wsOpt, ds, iso, out)
         case "gc" :: rest2                 => cmdGc(spark, wsOpt, rest2.headOption, out)
         case "new" :: name :: fl           => cmdNew(name, fl.contains("--derivative"), out)
+        case "completions" :: shell :: Nil => cmdCompletions(shell, out)
         case "compact" :: ds :: restN      => cmdCompact(spark, wsOpt, ds, restN.headOption.map(_.toLong), out)
         case "reset" :: ds :: hash :: Nil  => cmdReset(spark, wsOpt, ds, hash, out)
         case other =>
@@ -678,6 +680,31 @@ object Cli {
     Maintenance.setWatermark(target, wm, System.currentTimeMillis())
     out.println(s"watermark set to $iso")
     0
+  }
+
+  /** Every top-level subcommand, for help/completions. */
+  private[graft] val Subcommands: Seq[String] = Seq(
+    "add", "alias", "compact", "completions", "decode", "delete", "export", "flow",
+    "gc", "ingest", "inspect", "lineage", "list", "log", "new", "poll", "pull",
+    "push", "rename", "repo", "reset", "schema", "search", "serve",
+    "set-watermark", "sql", "status", "tail", "verify", "webhook")
+
+  /** Emit a shell completion script (kamu completions, completions_command
+    * .rs — bash only here; the word list is the real `Subcommands`). */
+  private def cmdCompletions(shell: String, out: PrintStream): Int = shell match {
+    case "bash" =>
+      out.println(
+        s"""_graft() {
+           |  local cur=$${COMP_WORDS[COMP_CWORD]}
+           |  if [ $$COMP_CWORD -eq 1 ]; then
+           |    COMPREPLY=( $$(compgen -W "${Subcommands.mkString(" ")}" -- "$$cur") )
+           |  fi
+           |}
+           |complete -F _graft graft""".stripMargin)
+      0
+    case other =>
+      out.println(s"error: unsupported shell '$other' (bash)")
+      2
   }
 
   /** Print a DatasetSnapshot manifest template to stdout (kamu new,

@@ -390,6 +390,19 @@ final class RestServer(
     }
     if (unstaged.nonEmpty)
       return json(400, s"""{"error":"unstaged slice(s): ${unstaged.mkString(",")}"}""")
+    // optimistic concurrency: the client states which head its plan was
+    // based on ("prev": hash, or "" when it saw an empty chain); if another
+    // push moved the head since, reject instead of silently absorbing —
+    // the loser re-negotiates against the new head (compare-and-swap, the
+    // reference's BlockRef CAS semantics). `force` overrides, and a client
+    // that omits the field (older protocol) gets the fast-forward check only.
+    val basedOn = extractJsonField(body, "prev")
+    val moved = basedOn.exists { prev =>
+      chain.head.map(_._2) != (if (prev.isEmpty) None else Some(prev))
+    }
+    if (moved && !force)
+      return json(409,
+        """{"error":"served head moved since the push was planned; re-sync and retry"}""")
     val notFastForward = chain.head.exists { case (curSeq, curHash) =>
       !newChain.exists { case (b, h) => b.sequenceNumber == curSeq && h == curHash }
     }

@@ -283,8 +283,12 @@ object HttpSync {
 
     val (lastSeq, lastHash) = (srcBlocks.last._1.sequenceNumber, srcBlocks.last._2)
     val forceField = if (force) ""","force":true""" else ""
+    // CAS: name the head this plan was computed against — a concurrent push
+    // that lands first makes the server reject ours with 409 (re-run push
+    // to re-negotiate) instead of silently replaying history on top.
+    val prev = remoteHashes.lastOption.getOrElse("")
     sendOk(client, "POST", s"$base/sync/head",
-      s"""{"seq":$lastSeq,"hash":"$lastHash"$forceField}""".getBytes(UTF_8))
+      s"""{"seq":$lastSeq,"hash":"$lastHash","prev":"$prev"$forceField}""".getBytes(UTF_8))
     SyncService.Updated(
       remoteHashes.lastOption, lastHash, toTransfer.size, dataCopied)
   }

@@ -413,6 +413,14 @@ class CliSpec extends SparkSpec {
     assert(runCli("--workspace", root.toString, "push", "towns")._2.trim === "up to date")
   }
 
+  test("completions emits a bash script covering every subcommand") {
+    val (c, script) = runCli("completions", "bash")
+    assert(c === 0 && script.contains("complete -F _graft graft"), script)
+    Seq("push", "set-watermark", "gc", "rename", "decode").foreach(w =>
+      assert(script.contains(w), s"missing $w"))
+    assert(runCli("completions", "tcsh")._1 === 2)
+  }
+
   test("new prints a manifest template that add accepts") {
     val root = Files.createTempDirectory("graft-cli-new-")
     val (c1, manifest) = runCli("new", "sensors")

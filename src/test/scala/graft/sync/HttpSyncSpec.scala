@@ -221,6 +221,29 @@ class HttpSyncSpec extends SparkSpec {
     }
   }
 
+  test("head commit is compare-and-swap: a stale 'prev' is rejected with 409") {
+    val src = mkDataset("pushed7")
+    withPushNode() { (base, _, _) =>
+      HttpSync.push(base, "pushed7", src.chain.root, hconf)
+      val h1 = src.chain.head.get._2
+      IngestWriter.writeBatch(src, Seq((3L, "c")).toDF("id", "v"),
+        MergeStrategy.Ledger(Seq("id")), 2000L)
+      HttpSync.push(base, "pushed7", src.chain.root, hconf)
+      val (seq2, h2) = src.chain.head.get
+      // a pusher whose plan was based on h1 must NOT be able to move the
+      // head now that it is h2 — even to a value whose chain is complete
+      val (c1, b1) = httpSend("POST", s"$base/datasets/pushed7/sync/head",
+        s"""{"seq":$seq2,"hash":"$h2","prev":"$h1"}""".getBytes("UTF-8"))
+      assert(c1 === 409 && b1.contains("moved"), s"$c1 $b1")
+      // based on the CURRENT head it goes through (idempotent re-commit)
+      assert(httpSend("POST", s"$base/datasets/pushed7/sync/head",
+        s"""{"seq":$seq2,"hash":"$h2","prev":"$h2"}""".getBytes("UTF-8"))._1 === 200)
+      // omitting prev (older client) falls back to the fast-forward check
+      assert(httpSend("POST", s"$base/datasets/pushed7/sync/head",
+        s"""{"seq":$seq2,"hash":"$h2"}""".getBytes("UTF-8"))._1 === 200)
+    }
+  }
+
   test("a node without a workspace root refuses new datasets but accepts known ones") {
     val src = mkDataset("pushed4")
     // no workspaceRoot: push of an UNKNOWN dataset fails at create
