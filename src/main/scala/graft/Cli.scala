@@ -631,6 +631,7 @@ object Cli {
     flowRegistry(spark, ws).remove(ds)
     val wreg = webhookRegistry(spark, ws)
     wreg.list().filter(_.dataset == ds).foreach(s => wreg.remove(ds, s.url))
+    registry(spark, ws).aliasRemove(ds, kind = None, remote = None)
     target.chain.fs.delete(target.chain.root, true)
     out.println(s"deleted $ds")
     0
@@ -666,6 +667,11 @@ object Cli {
     wreg.list().filter(_.dataset == ds).foreach { s =>
       wreg.remove(ds, s.url)
       wreg.add(s.copy(dataset = newName))
+    }
+    val rreg = registry(spark, ws)
+    rreg.aliases().filter(_.dataset == ds).foreach { a =>
+      rreg.aliasRemove(ds, Some(a.kind), Some(a.remote))
+      rreg.aliasAdd(newName, a.kind, a.remote)
     }
     out.println(s"renamed $ds -> $newName")
     0

@@ -318,13 +318,16 @@ class CliSpec extends SparkSpec {
     val (r1, rOut) = runCli("--workspace", root.toString, "rename", "towns", "cities2")
     assert(r1 === 1 && rOut.contains("towns_big"), rOut)
     assert(runCli("--workspace", root.toString, "flow", "set", "towns_big", "every", "1h")._1 === 0)
+    assert(runCli("--workspace", root.toString, "alias", "add", "towns_big", "origin")._1 === 0)
     val (r2, _) = runCli("--workspace", root.toString, "rename", "towns_big", "towns_huge")
     assert(r2 === 0)
     val (_, ls) = runCli("--workspace", root.toString, "list")
     assert(ls.linesIterator.toSeq.sorted === Seq("towns", "towns_huge"), ls)
-    // the flow schedule followed the rename
+    // the flow schedule and remote aliases followed the rename
     val (_, fl) = runCli("--workspace", root.toString, "flow", "list")
     assert(fl.startsWith("towns_huge\t"), fl)
+    val (_, al) = runCli("--workspace", root.toString, "alias", "list")
+    assert(al.linesIterator.forall(_.startsWith("towns_huge\t")) && al.nonEmpty, al)
     // rename onto an existing name is refused
     assert(runCli("--workspace", root.toString, "rename", "towns_huge", "towns")._1 === 1)
 
@@ -332,6 +335,8 @@ class CliSpec extends SparkSpec {
     val (d1, dOut) = runCli("--workspace", root.toString, "delete", "towns")
     assert(d1 === 1 && dOut.contains("towns_huge"), dOut)
     assert(runCli("--workspace", root.toString, "delete", "towns_huge")._1 === 0)
+    // delete dropped the renamed dataset's alias entries too
+    assert(runCli("--workspace", root.toString, "alias", "list")._2.trim.isEmpty)
     assert(runCli("--workspace", root.toString, "delete", "towns")._1 === 0)
     assert(runCli("--workspace", root.toString, "list")._2.trim.isEmpty)
     // deleting a missing dataset errors

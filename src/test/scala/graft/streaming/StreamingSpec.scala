@@ -14,6 +14,41 @@ class StreamingSpec extends SparkSpec {
 
   private def t(s: String): Timestamp = Timestamp.from(Instant.parse(s))
 
+  test("corpus kernels run unchanged over a stream (quality gate on live docs)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    // the full map-side curation stage: stats kernels + repetition kernel +
+    // PII scrub — pure expressions, so the streaming plan is identical to
+    // the batch one (no state, no watermark needed)
+    val curated = df.select(
+        col("doc_id"),
+        graft.operators.Corpus.scrubPii(col("text")).as("clean"),
+        graft.functions.Text.qualityScore(col("text")).as("quality"),
+        graft.operators.Corpus.repetitionStats(col("text")).as("r"))
+      .filter(col("r.top2") < 0.9)
+    val q = curated.writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "write bob@example.com a normal sentence about data engines"),
+        (2L, "spam spam spam spam spam spam"),
+        (3L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      val rows = spark.table("curated")
+        .select("doc_id", "clean").as[(Long, String)].collect().toMap
+      assert(rows.keySet === Set(1L, 3L)) // doc 2 fails the repetition gate
+      assert(rows(1L).contains("<EMAIL>") && !rows(1L).contains("bob@"))
+      // streamed values are bit-identical to the batch evaluation
+      val batch = Seq((1L, "write bob@example.com a normal sentence about data engines"))
+        .toDF("doc_id", "text")
+        .select(graft.functions.Text.qualityScore(col("text"))).head().getDouble(0)
+      val streamed = spark.table("curated").filter(col("doc_id") === 1)
+        .select("quality").head().getDouble(0)
+      assert(batch === streamed)
+    } finally q.stop()
+  }
+
   test("tumbling window agg over a real stream (MemoryStream, append mode)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
