@@ -963,6 +963,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- document chunking: sliding 40-token windows with 8-token overlap
+    // (stride 32) — context-window-sized training samples, map-only.
+    "chunk_docs" -> { (s, dir) =>
+      Corpus.chunkDocs(t(s, dir, "documents"), idCol = "doc_id", textCol = "text",
+        chunkTokens = 40, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
     // ---- benchmark decontamination: drop documents sharing a word 8-gram
     // with the probe texts (docs 0-2 act as the "benchmark"); probe n-grams
     // broadcast into a semi-join, contaminated ids anti-join back.
@@ -2423,6 +2431,22 @@ object SparkEntry {
         |   OR (('0x' || substring(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
         |        % 2147483647) / 2147483647.0 < r.rate
         |ORDER BY d.doc_id""".stripMargin,
+    // Chunking: same window starts, same inclusive 1-based token slices.
+    "chunk_docs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+        |c AS (SELECT doc_id, toks, n,
+        |        CASE WHEN n = 0 THEN 0
+        |             ELSE greatest(1, CAST(ceil((n - 40) * 1.0 / 32) AS BIGINT) + 1) END AS nchunks
+        |      FROM n)
+        |SELECT doc_id, i AS chunk_id,
+        |       array_to_string(toks[i*32+1:i*32+40], ' ') AS chunk,
+        |       CAST(least(40, n - i*32) AS BIGINT) AS n_chunk_tokens
+        |FROM (SELECT doc_id, toks, n, unnest(range(nchunks)) AS i FROM c)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     // Decontamination: shared-8-gram docs vs the probe set (docs 0-2).
     "decontaminate" ->
       """WITH tok AS (

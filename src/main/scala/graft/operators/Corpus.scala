@@ -93,6 +93,52 @@ object Corpus {
       .drop("_src", "_rate")
   }
 
+  // ------------------------------------------------------------- chunking
+
+  /**
+   * Split documents into sliding token windows — the step that turns raw
+   * documents into context-window-sized training samples. Chunks are
+   * `chunkTokens` whitespace tokens with `overlap` tokens shared between
+   * consecutive chunks (stride = chunkTokens − overlap); the final chunk
+   * takes whatever remains, and a document shorter than one chunk yields
+   * itself. Output: (id, chunk_id, chunk, n_chunk_tokens), zero rows for
+   * empty documents.
+   *
+   * Map-only: the window starts are a per-row `transform` over a sequence,
+   * exploded — no shuffle, no state, and each output row carries only its
+   * own slice of the text.
+   */
+  def chunkDocs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      overlap: Int = 0
+  ): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlap >= 0 && overlap < chunkTokens, "overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlap
+    val toks = when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    val n = size(toks)
+    // ceil((n - chunk) / stride) + 1 window starts, at least one for any
+    // non-empty doc — the final start covers the tail without losing tokens
+    val nChunks = when(n === 0, lit(0L)).otherwise(
+      greatest(lit(1L), ceil((n - chunkTokens) / lit(stride.toDouble)) + 1L))
+    val chunks = when(n === 0, array().cast("array<struct<chunk:string,n:int>>"))
+      .otherwise(transform(
+        sequence(lit(0L), nChunks - 1L),
+        i => struct(
+          concat_ws(" ", slice(toks, (i * stride + 1L).cast("int"), lit(chunkTokens))).as("chunk"),
+          least(lit(chunkTokens), n - (i * stride).cast("int")).as("n"))))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "c")))
+      .select(
+        col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("c.chunk").as("chunk"),
+        col("c.n").cast("long").as("n_chunk_tokens"))
+  }
+
   // ------------------------------------------------- decontamination
 
   /**

@@ -136,6 +136,37 @@ class CorpusSpec extends SparkSpec {
     assert(shards.sameElements(Array(0L, 0L, 1L, 1L, 1L)), shards.mkString(","))
   }
 
+  test("chunkDocs: sliding windows cover every token, tails included") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens
+      (2L, "x y"),                 // shorter than one chunk
+      (3L, "")                     // empty -> no chunks
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunkDocs(corpus, "doc_id", "text", chunkTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "chunk", "n_chunk_tokens")
+      .as[(Long, Long, String, Long)].collect()
+    // stride 3: starts 0,3,6 -> [a..d],[d..g],[g..j]; doc 2 yields itself
+    assert(out.toSeq === Seq(
+      (1L, 0L, "a b c d", 4L), (1L, 1L, "d e f g", 4L), (1L, 2L, "g h i j", 4L),
+      (2L, 0L, "x y", 2L)))
+
+    // invariant on the real corpus: chunk tokens sum to n + overlap*(chunks-1)
+    // per doc — every token appears, overlaps counted exactly once extra
+    val docs2 = docs.filter(col("doc_id") < 200) // limit() would inject its own exchange
+    val chunked = Corpus.chunkDocs(docs2, "doc_id", "text", chunkTokens = 40, overlap = 8)
+    val perDoc = chunked.groupBy("doc_id")
+      .agg(sum("n_chunk_tokens").as("s"), count(lit(1)).as("k"))
+    val base = docs2.select(col("doc_id"),
+      Text.tokenCount(col("text")).cast("bigint").as("n"))
+    val bad = perDoc.join(base, "doc_id")
+      .filter(col("s") =!= col("n") + lit(8) * (col("k") - 1))
+    assert(bad.count() === 0)
+    // map-only plan: explode, no Exchange
+    val plan = chunked.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   // ----------------------------------------------------------- repetition
 
   test("repetition kernel is bit-equal to the explode-based spelling on the corpus") {
