@@ -963,6 +963,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- deterministic training order + per-source upsampling: wiki-style
+    // sources replicated k epochs, then the whole mix shuffled by the
+    // portable (salt,id) hash — reproducible on any cluster shape.
+    "corpus_mix" -> { (s, dir) =>
+      val up = Corpus.upsample(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        sourceCol = "source", epochs = Map("src0" -> 3, "src1" -> 2))
+      Corpus.shuffleOrder(up.withColumn("id2",
+          concat(col("doc_id").cast("string"), lit("e"), col("epoch").cast("string"))),
+          idCol = "id2", salt = 7L)
+        .select(col("doc_id"), col("source"), col("epoch").cast("bigint").as("epoch"))
+        .limit(120)
+    },
+
     // ---- document chunking: sliding 40-token windows with 8-token overlap
     // (stride 32) — context-window-sized training samples, map-only.
     "chunk_docs" -> { (s, dir) =>
@@ -2431,6 +2445,17 @@ object SparkEntry {
         |   OR (('0x' || substring(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
         |        % 2147483647) / 2147483647.0 < r.rate
         |ORDER BY d.doc_id""".stripMargin,
+    // Mix construction: same epoch replication, same (salt,id) hash order.
+    "corpus_mix" ->
+      """WITH up AS (
+        |  SELECT doc_id, source,
+        |         unnest(range(CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2 ELSE 1 END)) AS epoch
+        |  FROM documents),
+        |k AS (SELECT doc_id, source, epoch,
+        |        CAST(doc_id AS VARCHAR) || 'e' || CAST(epoch AS VARCHAR) AS id2 FROM up)
+        |SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch FROM k
+        |ORDER BY (('0x' || substring(md5('7:' || id2), 1, 8))::BIGINT % 2147483647) ASC, id2 ASC
+        |LIMIT 120""".stripMargin,
     // Chunking: same window starts, same inclusive 1-based token slices.
     "chunk_docs" ->
       """WITH d AS (

@@ -93,6 +93,39 @@ object Corpus {
       .drop("_src", "_rate")
   }
 
+  /**
+   * Deterministic corpus shuffle: a reproducible pseudo-random training
+   * order from the portable hash of (salt, id) — reshuffling between epochs
+   * is `salt = epoch`. The order is a total one (hash, then id to break the
+   * rare collision), computed the same on any cluster shape; the only
+   * movement is the one range-partitioned sort any global ordering costs.
+   */
+  def shuffleOrder(df: DataFrame, idCol: String, salt: Long = 0L): DataFrame =
+    df.orderBy(
+      Text.portableHash31(concat(lit(salt.toString), lit(":"), col(idCol).cast("string"))).asc,
+      col(idCol).asc)
+
+  /**
+   * Source upsampling — the "epochs per source" half of a training mix
+   * (e.g. wiki ×3, books ×2, web ×1): each row is replicated its source's
+   * epoch count with an `epoch` column (0-based) distinguishing the copies.
+   * Map-side explode of a literal sequence; sources without an entry keep
+   * one copy. Pair with [[shuffleOrder]]`(salt = epoch)` downstream so
+   * copies of a document land apart in the training order.
+   */
+  def upsample(
+      df: DataFrame,
+      sourceCol: String,
+      epochs: Map[String, Int],
+      defaultEpochs: Int = 1
+  ): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(_ >= 1), "epoch counts must be >= 1")
+    val n = epochs.toSeq.sortBy(_._1).foldLeft(lit(defaultEpochs)) {
+      case (acc, (source, k)) => when(col(sourceCol) === source, lit(k)).otherwise(acc)
+    }
+    df.withColumn("epoch", explode(sequence(lit(0), n - 1)))
+  }
+
   // ------------------------------------------------------------- chunking
 
   /**

@@ -136,6 +136,31 @@ class CorpusSpec extends SparkSpec {
     assert(shards.sameElements(Array(0L, 0L, 1L, 1L, 1L)), shards.mkString(","))
   }
 
+  test("upsample + shuffleOrder: epoch replication and reproducible training order") {
+    val up = Corpus.upsample(docs.select("doc_id", "source"), "source",
+      Map("src0" -> 3, "src1" -> 2))
+    val counts = up.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("src0") === base("src0") * 3)
+    assert(counts("src1") === base("src1") * 2)
+    assert(counts.filterNot(k => Set("src0", "src1")(k._1)) ===
+      base.filterNot(k => Set("src0", "src1")(k._1)))
+    // epochs are distinct per copy
+    assert(up.filter(col("source") === "src0").select("epoch").distinct().count() === 3)
+
+    // shuffle: deterministic across partitionings, different across salts
+    val a = Corpus.shuffleOrder(docs, "doc_id", salt = 1).select("doc_id")
+      .as[Long].collect()
+    val b = Corpus.shuffleOrder(docs.repartition(13), "doc_id", salt = 1).select("doc_id")
+      .as[Long].collect()
+    assert(a.sameElements(b))
+    val c = Corpus.shuffleOrder(docs, "doc_id", salt = 2).select("doc_id")
+      .as[Long].collect()
+    assert(!a.sameElements(c) && a.sorted.sameElements(c.sorted))
+  }
+
   test("chunkDocs: sliding windows cover every token, tails included") {
     val corpus = Seq(
       (1L, "a b c d e f g h i j"), // 10 tokens
