@@ -221,6 +221,29 @@ class HttpSyncSpec extends SparkSpec {
     }
   }
 
+  test("an interrupted initial push resumes: negotiation skips staged objects") {
+    val src = mkDataset("pushed8") // Seed + schema + AddData, one slice
+    withPushNode() { (base, _, _) =>
+      val b = s"$base/datasets/pushed8"
+      // simulate a crashed first push: dataset created, the slice and one
+      // block staged, head never committed — the node does not list it yet
+      assert(httpSend("POST", s"$b/sync/create", Array.emptyByteArray)._1 === 200)
+      val ph = src.chain.slices().head.physicalHash
+      val din = src.chain.fs.open(src.chain.dataFile(ph))
+      val sliceBytes = try din.readAllBytes() finally din.close()
+      assert(httpSend("PUT", s"$b/sync/data/$ph", sliceBytes)._1 === 200)
+      val firstBlock = src.chain.blockFiles().head
+      val bin = src.chain.fs.open(firstBlock)
+      val blockBytes = try bin.readAllBytes() finally bin.close()
+      assert(httpSend("PUT", s"$b/sync/blocks/${firstBlock.getName}", blockBytes)._1 === 200)
+      // the resumed push completes the dataset WITHOUT re-sending the slice
+      val r = HttpSync.push(base, "pushed8", src.chain.root, hconf).asInstanceOf[Updated]
+      assert(r.numBlocks === 3 && r.dataFilesCopied === 0, r.toString)
+      assert(HttpSync.status(base, "pushed8", src.chain.root, hconf) === Equal)
+      assert(httpGet(s"$b/tail?n=5")._1 === 200)
+    }
+  }
+
   test("head commit is compare-and-swap: a stale 'prev' is rejected with 409") {
     val src = mkDataset("pushed7")
     withPushNode() { (base, _, _) =>
