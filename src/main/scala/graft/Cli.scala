@@ -62,6 +62,8 @@ import graft.query.QueryService
  *   new NAME [--derivative]       print a DatasetSnapshot manifest template
  *                                 (kamu new; pipe into a file, edit, `add`)
  *   completions bash              shell completion script (kamu completions)
+ *   diagnose                      workspace health: per-dataset chain shape
+ *                                 + full verification (kamu system diagnose)
  *   push DATASET REMOTE [--force] sync the dataset to REMOTE (alias, any
  *                                 FileSystem URI, or a served node's
  *                                 http(s) URL — simple transfer protocol
@@ -193,6 +195,7 @@ object Cli {
         case "gc" :: rest2                 => cmdGc(spark, wsOpt, rest2.headOption, out)
         case "new" :: name :: fl           => cmdNew(name, fl.contains("--derivative"), out)
         case "completions" :: shell :: Nil => cmdCompletions(shell, out)
+        case "diagnose" :: Nil             => cmdDiagnose(spark, wsOpt, out)
         case "compact" :: ds :: restN      => cmdCompact(spark, wsOpt, ds, restN.headOption.map(_.toLong), out)
         case "reset" :: ds :: hash :: Nil  => cmdReset(spark, wsOpt, ds, hash, out)
         case other =>
@@ -690,10 +693,30 @@ object Cli {
 
   /** Every top-level subcommand, for help/completions. */
   private[graft] val Subcommands: Seq[String] = Seq(
-    "add", "alias", "compact", "completions", "decode", "delete", "export", "flow",
-    "gc", "ingest", "inspect", "lineage", "list", "log", "new", "poll", "pull",
-    "push", "rename", "repo", "reset", "schema", "search", "serve",
-    "set-watermark", "sql", "status", "tail", "verify", "webhook")
+    "add", "alias", "compact", "completions", "decode", "delete", "diagnose",
+    "export", "flow", "gc", "ingest", "inspect", "lineage", "list", "log", "new",
+    "poll", "pull", "push", "rename", "repo", "reset", "schema", "search",
+    "serve", "set-watermark", "sql", "status", "tail", "verify", "webhook")
+
+  /** Workspace health report (kamu system diagnose,
+    * system_diagnose_command.rs): per dataset — chain shape, head,
+    * watermark, full integrity verification; exit 1 when any check fails. */
+  private def cmdDiagnose(spark: SparkSession, ws: String, out: PrintStream): Int = {
+    val datasets = workspaceDatasets(spark, ws).toSeq.sortBy(_._1)
+    if (datasets.isEmpty) { out.println("no datasets"); return 0 }
+    var failures = 0
+    datasets.foreach { case (name, d) =>
+      val blocks = d.chain.blockHashes().size
+      val slices = d.chain.slices().size
+      val wm = d.chain.watermark()
+        .map(m => java.time.Instant.ofEpochMilli(m).toString).getOrElse("-")
+      val issues = Maintenance.verify(d)
+      val status = if (issues.isEmpty) "ok" else { failures += 1; "FAIL" }
+      out.println(s"$name\t${d.kind}\tblocks=$blocks\tslices=$slices\twatermark=$wm\t$status")
+      issues.foreach(i => out.println(s"  issue: ${i.msg}"))
+    }
+    if (failures == 0) 0 else 1
+  }
 
   /** Emit a shell completion script (kamu completions, completions_command
     * .rs — bash only here; the word list is the real `Subcommands`). */

@@ -27,6 +27,23 @@ object Export {
   def toNdjson(df: DataFrame, path: String, coalesce: Option[Int] = None): Unit =
     shaped(df, coalesce).write.mode("overwrite").json(path)
 
+  /**
+   * Training-shard sink: one `shard=N/` directory per value of `shardCol`
+   * (the output of [[Corpus.packShards]]), each holding a single ndjson
+   * (or parquet) file — the layout a training loader streams shard by
+   * shard. The repartition ON the shard column routes each shard through
+   * one task, so a shard is one file, not `spark.sql.shuffle.partitions`
+   * fragments; distinct shards still write in parallel across tasks.
+   */
+  def toShardedNdjson(df: DataFrame, shardCol: String, path: String): Unit =
+    df.repartition(org.apache.spark.sql.functions.col(shardCol))
+      .write.mode("overwrite").partitionBy(shardCol).json(path)
+
+  /** Parquet form of [[toShardedNdjson]] (same layout, columnar files). */
+  def toShardedParquet(df: DataFrame, shardCol: String, path: String): Unit =
+    df.repartition(org.apache.spark.sql.functions.col(shardCol))
+      .write.mode("overwrite").partitionBy(shardCol).parquet(path)
+
   private def shaped(df: DataFrame, n: Option[Int]): DataFrame =
     n.map(df.coalesce).getOrElse(df)
 

@@ -418,6 +418,25 @@ class CliSpec extends SparkSpec {
     assert(runCli("--workspace", root.toString, "push", "towns")._2.trim === "up to date")
   }
 
+  test("diagnose reports workspace health and flags a tampered dataset") {
+    val root = Files.createTempDirectory("graft-cli-diag-")
+    Files.writeString(root.resolve("a.csv"), "town,pop\nnola,364000\n")
+    val towns = Dataset.create(spark, root.resolve("towns"), "towns")
+    towns.chain.append(
+      SetPollingSource(readFormat = "csv", schemaDdl = Some("town STRING, pop INT"),
+        merge = MergeConf("ledger", primaryKey = Seq("town"))), 0L)
+    IngestWriter.ingestFile(towns, root.resolve("a.csv").toString, 1000L)
+    val (c1, ok) = runCli("--workspace", root.toString, "diagnose")
+    assert(c1 === 0 && ok.startsWith("towns\troot\tblocks=4\tslices=1") &&
+      ok.trim.endsWith("ok"), ok)
+    // tamper a slice: diagnose fails with the issue listed
+    val ph = towns.chain.slices().head.physicalHash
+    val slicePath = java.nio.file.Paths.get(towns.chain.dataFile(ph).toUri)
+    Files.write(slicePath, Files.readAllBytes(slicePath) ++ Array[Byte](1))
+    val (c2, bad) = runCli("--workspace", root.toString, "diagnose")
+    assert(c2 === 1 && bad.contains("FAIL") && bad.contains("issue:"), bad)
+  }
+
   test("completions emits a bash script covering every subcommand") {
     val (c, script) = runCli("completions", "bash")
     assert(c === 0 && script.contains("complete -F _graft graft"), script)

@@ -192,6 +192,24 @@ class CorpusSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("packed shards round-trip through the sharded training sink") {
+    val withTokens = docs.select(col("doc_id"), col("text"),
+      Text.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+    val packed = Corpus.packShards(withTokens, "doc_id", "n_tokens", budget = 2000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards-").toString
+    Export.toShardedNdjson(packed, "shard", dir)
+    // one shard=N directory per shard, each with a single data file
+    val shardDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard="))
+    assert(shardDirs.length === packed.select("shard").distinct().count())
+    shardDirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.startsWith("part-")) === 1, d.getName)
+    }
+    // read-back equals the packed frame (shard comes back from the dir name)
+    val back = spark.read.json(dir)
+      .select(col("doc_id"), col("n_tokens"), col("shard").cast("long").as("shard"))
+    assertSameRows(back, packed.select("doc_id", "n_tokens", "shard"))
+  }
+
   // ----------------------------------------------------------- repetition
 
   test("repetition kernel is bit-equal to the explode-based spelling on the corpus") {
