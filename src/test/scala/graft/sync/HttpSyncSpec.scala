@@ -221,6 +221,28 @@ class HttpSyncSpec extends SparkSpec {
     }
   }
 
+  test("push transfers checkpoint directories referenced by ExecuteTransform blocks") {
+    val src = mkDataset("pushed9")
+    val ckDir = new Path(src.chain.checkpointsDir, "ck9")
+    src.chain.fs.mkdirs(new Path(ckDir, "state"))
+    val o = src.chain.fs.create(new Path(new Path(ckDir, "state"), "1.delta"), true)
+    o.write("engine-state-9".getBytes("UTF-8")); o.close()
+    src.chain.append(ExecuteTransform(
+      Seq(TransformInputState("up", None, Some(0L))), None,
+      Some(CheckpointRef("ck9", "unused", 14L))), 4000L)
+
+    withPushNode() { (base, ws, _) =>
+      HttpSync.push(base, "pushed9", src.chain.root, hconf)
+      val node = graft.chain.MetadataChain.open(
+        new Path(ws.resolve("pushed9").toUri), hconf)
+      val f = new Path(new Path(new Path(node.checkpointsDir, "ck9"), "state"), "1.delta")
+      assert(node.fs.exists(f))
+      val in = node.fs.open(f)
+      assert(new String(try in.readAllBytes() finally in.close(), "UTF-8") === "engine-state-9")
+      assert(node.blockHashes() === src.chain.blockHashes())
+    }
+  }
+
   test("an interrupted initial push resumes: negotiation skips staged objects") {
     val src = mkDataset("pushed8") // Seed + schema + AddData, one slice
     withPushNode() { (base, _, _) =>
