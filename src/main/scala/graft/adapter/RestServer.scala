@@ -170,6 +170,29 @@ final class RestServer(
       .flatMap(_.split("&").find(_.startsWith(s"$key=")))
       .map(_.stripPrefix(s"$key="))
 
+  /** Checkpoint file paths arrive from the network (URI.getPath / getQuery —
+    * both decoded exactly ONCE by java.net.URI; nothing here decodes again,
+    * so double-encoded traversal like %252e%252e stays inert as literal
+    * "%2e%2e"). A name/path is usable only if every `/`-separated segment is
+    * non-empty and free of `.`/`..`, it is relative, and it carries no
+    * backslash or `:` (Hadoop Path treats `C:`/`scheme:` children as
+    * absolute, discarding the parent). Returns the resolved path and
+    * re-checks containment under `base` on the normalized URI as a final
+    * guard. */
+  private def resolveUnder(
+      base: org.apache.hadoop.fs.Path,
+      rel: String): Option[org.apache.hadoop.fs.Path] = {
+    def segs(s: String): Option[Seq[String]] =
+      if (s.isEmpty || s.startsWith("/") || s.contains("\\") || s.contains(":")) None
+      else Some(s.split("/", -1).toSeq).filter(
+        _.forall(seg => seg.nonEmpty && seg != "." && seg != ".."))
+    segs(rel).map(_.foldLeft(base)(new org.apache.hadoop.fs.Path(_, _))).filter {
+      resolved =>
+        val basePath = base.toUri.normalize.getPath.stripSuffix("/")
+        resolved.toUri.normalize.getPath.startsWith(basePath + "/")
+    }
+  }
+
   /** URL-decoded query options (OData options carry spaces and quotes). */
   private def queryOptions(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery)
@@ -314,12 +337,10 @@ final class RestServer(
           return json(404, s"""{"error":"unknown dataset $name"}"""))
         val rel = queryParam(ex, "path")
           .getOrElse(return json(400, """{"error":"path param required"}"""))
-        require(!rel.contains(".."), "path traversal")
-        chain.writeObjectAtomicFrom(
-          new org.apache.hadoop.fs.Path(
-            new org.apache.hadoop.fs.Path(chain.checkpointsDir, ckpt),
-            java.net.URLDecoder.decode(rel, StandardCharsets.UTF_8)),
-          ex.getRequestBody, expectedSha256 = None)
+        val target = resolveUnder(chain.checkpointsDir, ckpt)
+          .flatMap(dir => resolveUnder(dir, rel))
+          .getOrElse(return json(400, """{"error":"invalid checkpoint path"}"""))
+        chain.writeObjectAtomicFrom(target, ex.getRequestBody, expectedSha256 = None)
         json(200, """{"received":true}""")
       case Array("datasets", name, "sync", "head") =>
         val ds = datasets.getOrElse(
@@ -344,7 +365,8 @@ final class RestServer(
       case Array("datasets", name, "sync", "checkpoints", ckpt) =>
         val ds = datasets.getOrElse(
           name, return json(404, s"""{"error":"unknown dataset $name"}"""))
-        val dir = new org.apache.hadoop.fs.Path(ds.chain.checkpointsDir, ckpt)
+        val dir = resolveUnder(ds.chain.checkpointsDir, ckpt)
+          .getOrElse(return json(400, """{"error":"invalid checkpoint path"}"""))
         if (!ds.chain.fs.exists(dir)) return json(404, """{"error":"no such checkpoint"}""")
         def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
           ds.chain.fs.listStatus(p).toSeq.sortBy(_.getPath.getName).flatMap { st =>
@@ -355,9 +377,12 @@ final class RestServer(
       case Array("datasets", name, "sync", "checkpoints", ckpt, "file") =>
         val rel = queryParam(ex, "path")
           .getOrElse(return json(400, """{"error":"path param required"}"""))
-        require(!rel.contains(".."), "path traversal")
-        serveChainFile(name,
-          c => new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(c.checkpointsDir, ckpt), rel))
+        val ds0 = datasets.getOrElse(
+          name, return json(404, s"""{"error":"unknown dataset $name"}"""))
+        val target = resolveUnder(ds0.chain.checkpointsDir, ckpt)
+          .flatMap(dir => resolveUnder(dir, rel))
+          .getOrElse(return json(400, """{"error":"invalid checkpoint path"}"""))
+        serveChainFile(name, _ => target)
       case _ => json(404, """{"error":"not found"}""")
     }
   }

@@ -50,13 +50,33 @@ object HttpSync {
     resp.body()
   }
 
-  /** Block file names from the listing endpoint, seq-sorted. */
+  private val BlockNamePattern = """\d{6,}-[0-9a-f]{64}\.json""".r
+
+  /** Block file names from the listing endpoint, seq-sorted. The listing is
+    * UNTRUSTED input that later lands in `Path(blocksDir, name)` — anything
+    * but the strict `NNNNNN-<sha256>.json` shape (one path segment, no
+    * separators) is rejected before it can name a file elsewhere. */
   private def blockNames(client: HttpClient, base: String): Seq[String] = {
     implicit val formats: org.json4s.DefaultFormats.type = org.json4s.DefaultFormats
-    org.json4s.jackson.Serialization
+    val names = org.json4s.jackson.Serialization
       .read[Seq[String]](new String(get(client, s"$base/sync/blocks"), UTF_8))
       .sorted
+    names.foreach(n => require(BlockNamePattern.matches(n),
+      s"remote block listing entry '$n' is not a valid block name"))
+    names
   }
+
+  /** Validate a path from an UNTRUSTED remote (checkpoint names out of block
+    * events, file paths out of the checkpoint listing) before it is joined
+    * under a local directory: must be relative, free of `.`/`..`/empty
+    * segments, and carry no backslash or scheme/drive colon (Hadoop Path
+    * treats `scheme:`/`C:` children as absolute, discarding the parent).
+    * Mirrors RestServer.resolveUnder on the serving side. */
+  private def requireSafeRel(kind: String, s: String): Unit =
+    require(
+      s.nonEmpty && !s.startsWith("/") && !s.contains("\\") && !s.contains(":") &&
+        s.split("/", -1).forall(seg => seg.nonEmpty && seg != "." && seg != ".."),
+      s"$kind '$s' from remote is not a safe relative path")
 
   /** Compare the LOCAL chain against a served one without transferring
     * anything (block hashes come from the content-addressed names) — same
@@ -117,48 +137,61 @@ object HttpSync {
 
     val have = local.blockFiles().map(_.getName).toSet
     var dataCopied = 0
-    names.foreach { blockName =>
-      if (!have.contains(blockName)) {
-        val (_, hash) = MetadataChain.parseName(new Path(blockName))
-        val bytes = get(client, s"$base/sync/blocks/$blockName")
-        require(MetadataChain.sha256Hex(bytes) == hash,
-          s"remote block $blockName fails its content address")
-        writeViaStaging(local, new Path(local.blocksDir, blockName), bytes)
-        // fetch the objects this block references
-        val block = org.json4s.jackson.Serialization
-          .read[graft.model.MetadataBlock](new String(bytes, UTF_8))(
-            MetadataChain.formats, manifest[graft.model.MetadataBlock])
-        val (dataRefs, ckptRefs) = block.event match {
-          case a: AddData          => (Seq(a.physicalHash), Nil)
-          case e: ExecuteTransform =>
-            (e.newData.map(_.physicalHash).toSeq, e.newCheckpoint.map(_.name).toSeq)
-          case _                   => (Nil, Nil)
+    // Every remote block past the COMMITTED common prefix is (re)checked —
+    // a block file staged by a crashed pull proves nothing about the objects
+    // it references (the head moves last, so only committed blocks carry the
+    // everything-present invariant). Skipping on block presence alone would
+    // let a crash between block write and data fetch commit a head over a
+    // missing slice on the re-run.
+    names.drop(common).foreach { blockName =>
+      val (_, hash) = MetadataChain.parseName(new Path(blockName))
+      val blockPath = new Path(local.blocksDir, blockName)
+      val bytes =
+        if (have.contains(blockName)) {
+          val in = local.fs.open(blockPath)
+          try in.readAllBytes() finally in.close()
+        } else get(client, s"$base/sync/blocks/$blockName")
+      require(MetadataChain.sha256Hex(bytes) == hash,
+        s"remote block $blockName fails its content address")
+      val block = org.json4s.jackson.Serialization
+        .read[graft.model.MetadataBlock](new String(bytes, UTF_8))(
+          MetadataChain.formats, manifest[graft.model.MetadataBlock])
+      val (dataRefs, ckptRefs) = block.event match {
+        case a: AddData          => (Seq(a.physicalHash), Nil)
+        case e: ExecuteTransform =>
+          (e.newData.map(_.physicalHash).toSeq, e.newCheckpoint.map(_.name).toSeq)
+        case _                   => (Nil, Nil)
+      }
+      dataRefs.foreach { ph =>
+        if (!local.fs.exists(local.dataFile(ph))) {
+          // streamed: digest computed as the body flows into staging; a
+          // mismatch deletes the temp and throws before any rename
+          val in = getStream(client, s"$base/sync/data/$ph")
+          try local.writeObjectAtomicFrom(local.dataFile(ph), in, Some(ph))
+          finally in.close()
+          dataCopied += 1
         }
-        dataRefs.foreach { ph =>
-          if (!local.fs.exists(local.dataFile(ph))) {
-            // streamed: digest computed as the body flows into staging; a
-            // mismatch deletes the temp and throws before any rename
-            val in = getStream(client, s"$base/sync/data/$ph")
-            try local.writeObjectAtomicFrom(local.dataFile(ph), in, Some(ph))
+      }
+      ckptRefs.foreach { ckpt =>
+        requireSafeRel("checkpoint name", ckpt)
+        require(!ckpt.contains("/"), s"checkpoint name '$ckpt' is not a single segment")
+        implicit val formats: org.json4s.DefaultFormats.type = org.json4s.DefaultFormats
+        val rels = org.json4s.jackson.Serialization.read[Seq[String]](
+          new String(get(client, s"$base/sync/checkpoints/$ckpt"), UTF_8))
+        rels.foreach { rel =>
+          requireSafeRel("checkpoint file path", rel)
+          val target = new Path(new Path(local.checkpointsDir, ckpt), rel)
+          if (!local.fs.exists(target)) {
+            val enc = java.net.URLEncoder.encode(rel, "UTF-8")
+            val in = getStream(client, s"$base/sync/checkpoints/$ckpt/file?path=$enc")
+            try local.writeObjectAtomicFrom(target, in, expectedSha256 = None)
             finally in.close()
-            dataCopied += 1
-          }
-        }
-        ckptRefs.foreach { ckpt =>
-          implicit val formats: org.json4s.DefaultFormats.type = org.json4s.DefaultFormats
-          val rels = org.json4s.jackson.Serialization.read[Seq[String]](
-            new String(get(client, s"$base/sync/checkpoints/$ckpt"), UTF_8))
-          rels.foreach { rel =>
-            val target = new Path(new Path(local.checkpointsDir, ckpt), rel)
-            if (!local.fs.exists(target)) {
-              val enc = java.net.URLEncoder.encode(rel, "UTF-8")
-              val in = getStream(client, s"$base/sync/checkpoints/$ckpt/file?path=$enc")
-              try local.writeObjectAtomicFrom(target, in, expectedSha256 = None)
-              finally in.close()
-            }
           }
         }
       }
+      // the block file lands only after every object it references is in
+      // place — data-first/block-last, same ordering as SyncService.sync
+      if (!have.contains(blockName)) writeViaStaging(local, blockPath, bytes)
     }
 
     val (lastSeq, lastHash) = remote.last

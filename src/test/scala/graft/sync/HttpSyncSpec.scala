@@ -106,6 +106,91 @@ class HttpSyncSpec extends SparkSpec {
     }
   }
 
+  test("pull resume re-fetches referenced data even when the block file is already staged") {
+    val src = mkDataset("served7")
+    withServed(src) { base =>
+      val local = new Path(Files.createTempDirectory("graft-hsync-l7-").resolve("ds").toUri)
+      // simulate a crashed pull that died between block write and data fetch:
+      // the AddData block file is staged locally, its slice is NOT
+      val localChain = graft.chain.MetadataChain.create(local, hconf)
+      val (headSeq, headHash) = src.chain.head.get
+      val blockName = f"$headSeq%06d-$headHash.json"
+      val in = src.chain.fs.open(new Path(src.chain.blocksDir, blockName))
+      val blockBytes = try in.readAllBytes() finally in.close()
+      localChain.writeObjectAtomic(new Path(localChain.blocksDir, blockName), blockBytes)
+      // the resumed pull must notice the missing slice despite the staged block
+      val r = HttpSync.pull(base, "served7", local, hconf).asInstanceOf[Updated]
+      assert(r.dataFilesCopied === 1, r.toString)
+      val pulled = Dataset.open(spark, local.toString)
+      assertSameRows(pulled.toDF(), src.toDF())
+    }
+  }
+
+  test("pull refuses a malicious remote: traversal block names and checkpoint paths") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    // a real, internally-consistent source chain with a checkpoint...
+    val src = mkDataset("evilsrc")
+    val ckDir = new Path(src.chain.checkpointsDir, "cke")
+    src.chain.fs.mkdirs(ckDir)
+    val o = src.chain.fs.create(new Path(ckDir, "1.delta"), true)
+    o.write("s".getBytes("UTF-8")); o.close()
+    src.chain.append(ExecuteTransform(
+      Seq(TransformInputState("up", None, Some(0L))), None,
+      Some(CheckpointRef("cke", "unused", 1L))), 4000L)
+    // ...served by a node that lies in exactly one place per scenario
+    def serveNode[T](tamperListing: Boolean)(f: String => T): T = {
+      val srv = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      def reply(ex: HttpExchange, code: Int, body: Array[Byte]): Unit = {
+        ex.sendResponseHeaders(code, body.length)
+        ex.getResponseBody.write(body); ex.close()
+      }
+      srv.createContext("/datasets/evil/sync/", (ex: HttpExchange) => {
+        val segs = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).drop(3)
+        val body: Array[Byte] = segs.toList match {
+          case "blocks" :: Nil =>
+            val names = src.chain.blocksWithHashes()
+              .map { case (b, h) => f"${b.sequenceNumber}%06d-$h.json" }
+            val listed = if (tamperListing) names :+ ("../" + names.last) else names
+            listed.map(n => "\"" + n + "\"").mkString("[", ",", "]").getBytes("UTF-8")
+          case "blocks" :: name :: Nil =>
+            val i = src.chain.fs.open(new Path(src.chain.blocksDir, name))
+            try i.readAllBytes() finally i.close()
+          case "data" :: ph :: Nil =>
+            val i = src.chain.fs.open(src.chain.dataFile(ph))
+            try i.readAllBytes() finally i.close()
+          case "checkpoints" :: "cke" :: Nil =>
+            // the lie: a traversal path in the checkpoint file listing
+            """["../../../pwn-ckpt"]""".getBytes("UTF-8")
+          case "checkpoints" :: "cke" :: "file" :: Nil =>
+            "owned".getBytes("UTF-8")
+          case other => s"unexpected $other".getBytes("UTF-8")
+        }
+        reply(ex, 200, body)
+      })
+      srv.start()
+      try f(s"http://127.0.0.1:${srv.getAddress.getPort}")
+      finally srv.stop(0)
+    }
+    // scenario 1: a block listing entry that climbs out of blocksDir
+    serveNode(tamperListing = true) { base =>
+      val local = new Path(Files.createTempDirectory("graft-hsync-evil1-").resolve("ds").toUri)
+      val e = intercept[IllegalArgumentException](HttpSync.pull(base, "evil", local, hconf))
+      assert(e.getMessage.contains("not a valid block name"), e.getMessage)
+    }
+    // scenario 2: a checkpoint listing whose paths climb out of the dataset
+    serveNode(tamperListing = false) { base =>
+      val tmp = Files.createTempDirectory("graft-hsync-evil2-")
+      val local = new Path(tmp.resolve("ds").toUri)
+      val e = intercept[IllegalArgumentException](HttpSync.pull(base, "evil", local, hconf))
+      assert(e.getMessage.contains("not a safe relative path"), e.getMessage)
+      assert(!Files.exists(tmp.resolve("pwn-ckpt")) &&
+        !Files.exists(tmp.getParent.resolve("pwn-ckpt")))
+      // and no head was committed over the refused pull
+      assert(!graft.chain.MetadataChain.exists(local, hconf) ||
+        graft.chain.MetadataChain.open(local, hconf).head.isEmpty)
+    }
+  }
+
   // ------------------------------------------------------------------ push
 
   /** A served node that accepts pushes: empty (or given) initial datasets
@@ -306,6 +391,39 @@ class HttpSyncSpec extends SparkSpec {
       val r = HttpSync.push(base, "pushed4", local, hconf).asInstanceOf[Updated]
       assert(r.numBlocks === 1)
       assert(src.chain.head.get._2 === localDs.chain.head.get._2)
+    }
+  }
+
+  test("checkpoint sync endpoints refuse path traversal and absolute paths") {
+    val src = mkDataset("served5")
+    val probe = Files.createTempDirectory("graft-hsync-probe-")
+    withServed(src) { base =>
+      val b = s"$base/datasets/served5/sync/checkpoints"
+      val body = "pwn".getBytes("UTF-8")
+      // single-encoded ../ — decoded once by URI, must be rejected
+      assert(httpSend("PUT", s"$b/ck/file?path=%2e%2e%2fpwn1", body)._1 === 400)
+      // absolute path — Hadoop Path(parent, absolute) would discard parent
+      val abs = java.net.URLEncoder.encode(probe.resolve("pwn2").toString, "UTF-8")
+      assert(httpSend("PUT", s"$b/ck/file?path=$abs", body)._1 === 400)
+      // scheme-qualified child is absolute to Hadoop Path too
+      assert(httpSend("PUT", s"$b/ck/file?path=file:%2f%2ftmp%2fpwn3", body)._1 === 400)
+      // ckpt path segment itself cannot climb (…/checkpoints/%2e%2e/file)
+      assert(httpSend("PUT", s"$b/%2e%2e/file?path=x", body)._1 === 400)
+      // double-encoded ../ decodes ONCE to literal "%2e%2e" — it must NOT be
+      // decoded a second time into a working traversal; whatever the server
+      // does with it, nothing may land outside the checkpoints dir
+      httpSend("PUT", s"$b/ck/file?path=%252e%252e%252fpwn4", body)
+      val outside = new Path(src.chain.checkpointsDir.getParent, "pwn4")
+      assert(!src.chain.fs.exists(outside))
+      assert(!src.chain.fs.exists(new Path(src.chain.root.getParent, "pwn4")))
+      // reads are gated identically: no absolute or climbing reads
+      assert(httpGet(s"$b/ck/file?path=%2e%2e%2f%2e%2e%2fhead")._1 === 400)
+      assert(httpGet(s"$b/ck/file?path=%2fetc%2fhostname")._1 === 400)
+      assert(httpGet(s"$b/%2e%2e%2f")._1 !== 200)
+      // and the legitimate round-trip still works
+      assert(httpSend("PUT", s"$b/ck/file?path=state%2f1.delta", body)._1 === 200)
+      val (gc, gb) = httpGet(s"$b/ck/file?path=state%2f1.delta")
+      assert(gc === 200 && gb === "pwn", s"$gc $gb")
     }
   }
 
