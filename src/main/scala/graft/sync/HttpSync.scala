@@ -112,7 +112,8 @@ object HttpSync {
       localRoot: Path,
       conf: Configuration,
       force: Boolean = false,
-      client: HttpClient = HttpClient.newHttpClient()
+      client: HttpClient = HttpClient.newHttpClient(),
+      parallelism: Int = 8
   ): SyncService.SyncResult = {
     val base = s"${baseUrl.stripSuffix("/")}/datasets/$dataset"
     val names = blockNames(client, base)
@@ -136,62 +137,79 @@ object HttpSync {
     }
 
     val have = local.blockFiles().map(_.getName).toSet
-    var dataCopied = 0
     // Every remote block past the COMMITTED common prefix is (re)checked —
     // a block file staged by a crashed pull proves nothing about the objects
     // it references (the head moves last, so only committed blocks carry the
     // everything-present invariant). Skipping on block presence alone would
     // let a crash between block write and data fetch commit a head over a
     // missing slice on the re-run.
-    names.drop(common).foreach { blockName =>
-      val (_, hash) = MetadataChain.parseName(new Path(blockName))
-      val blockPath = new Path(local.blocksDir, blockName)
-      val bytes =
-        if (have.contains(blockName)) {
-          val in = local.fs.open(blockPath)
-          try in.readAllBytes() finally in.close()
-        } else get(client, s"$base/sync/blocks/$blockName")
-      require(MetadataChain.sha256Hex(bytes) == hash,
-        s"remote block $blockName fails its content address")
-      val block = org.json4s.jackson.Serialization
+    //
+    // Transfer runs in phases so independent objects move concurrently
+    // (HttpClient is thread-safe; a slice-count dataset pulls thousands of
+    // ≤1 GiB objects): (1) block bytes, verified; (2) checkpoint listings,
+    // validated; (3) data slices + checkpoint files on a bounded pool;
+    // (4) block files land only after every referenced object — same
+    // objects-first/blocks-last/head-last ordering as SyncService.sync.
+    val pending = names.drop(common)
+    val blockBytes: Seq[(String, Array[Byte])] =
+      SyncService.inParallel(parallelism, pending.map { blockName => () =>
+        val (_, hash) = MetadataChain.parseName(new Path(blockName))
+        val bytes =
+          if (have.contains(blockName)) {
+            val in = local.fs.open(new Path(local.blocksDir, blockName))
+            try in.readAllBytes() finally in.close()
+          } else get(client, s"$base/sync/blocks/$blockName")
+        require(MetadataChain.sha256Hex(bytes) == hash,
+          s"remote block $blockName fails its content address")
+        blockName -> bytes
+      })
+
+    val parsedEvents = blockBytes.map { case (_, bytes) =>
+      org.json4s.jackson.Serialization
         .read[graft.model.MetadataBlock](new String(bytes, UTF_8))(
-          MetadataChain.formats, manifest[graft.model.MetadataBlock])
-      val (dataRefs, ckptRefs) = block.event match {
-        case a: AddData          => (Seq(a.physicalHash), Nil)
-        case e: ExecuteTransform =>
-          (e.newData.map(_.physicalHash).toSeq, e.newCheckpoint.map(_.name).toSeq)
-        case _                   => (Nil, Nil)
-      }
-      dataRefs.foreach { ph =>
-        if (!local.fs.exists(local.dataFile(ph))) {
-          // streamed: digest computed as the body flows into staging; a
-          // mismatch deletes the temp and throws before any rename
-          val in = getStream(client, s"$base/sync/data/$ph")
-          try local.writeObjectAtomicFrom(local.dataFile(ph), in, Some(ph))
-          finally in.close()
-          dataCopied += 1
-        }
-      }
-      ckptRefs.foreach { ckpt =>
-        requireSafeRel("checkpoint name", ckpt)
-        require(!ckpt.contains("/"), s"checkpoint name '$ckpt' is not a single segment")
-        implicit val formats: org.json4s.DefaultFormats.type = org.json4s.DefaultFormats
-        val rels = org.json4s.jackson.Serialization.read[Seq[String]](
-          new String(get(client, s"$base/sync/checkpoints/$ckpt"), UTF_8))
-        rels.foreach { rel =>
-          requireSafeRel("checkpoint file path", rel)
-          val target = new Path(new Path(local.checkpointsDir, ckpt), rel)
-          if (!local.fs.exists(target)) {
-            val enc = java.net.URLEncoder.encode(rel, "UTF-8")
-            val in = getStream(client, s"$base/sync/checkpoints/$ckpt/file?path=$enc")
-            try local.writeObjectAtomicFrom(target, in, expectedSha256 = None)
-            finally in.close()
-          }
-        }
-      }
-      // the block file lands only after every object it references is in
-      // place — data-first/block-last, same ordering as SyncService.sync
-      if (!have.contains(blockName)) writeViaStaging(local, blockPath, bytes)
+          MetadataChain.formats, manifest[graft.model.MetadataBlock]).event
+    }
+    val dataRefs = parsedEvents.flatMap {
+      case a: AddData          => Seq(a.physicalHash)
+      case e: ExecuteTransform => e.newData.map(_.physicalHash).toSeq
+      case _                   => Nil
+    }.distinct.filterNot(ph => local.fs.exists(local.dataFile(ph)))
+    val ckptRefs = parsedEvents.flatMap {
+      case e: ExecuteTransform => e.newCheckpoint.map(_.name).toSeq
+      case _                   => Nil
+    }.distinct
+    val ckptFiles: Seq[(String, String)] = ckptRefs.flatMap { ckpt =>
+      requireSafeRel("checkpoint name", ckpt)
+      require(!ckpt.contains("/"), s"checkpoint name '$ckpt' is not a single segment")
+      implicit val formats: org.json4s.DefaultFormats.type = org.json4s.DefaultFormats
+      val rels = org.json4s.jackson.Serialization.read[Seq[String]](
+        new String(get(client, s"$base/sync/checkpoints/$ckpt"), UTF_8))
+      rels.foreach(requireSafeRel("checkpoint file path", _))
+      rels.map(ckpt -> _)
+    }.filterNot { case (ckpt, rel) =>
+      local.fs.exists(new Path(new Path(local.checkpointsDir, ckpt), rel))
+    }
+
+    val sliceFetches: Seq[() => Unit] = dataRefs.map { ph => () =>
+      // streamed: digest computed as the body flows into staging; a
+      // mismatch deletes the temp and throws before any rename
+      val in = getStream(client, s"$base/sync/data/$ph")
+      try local.writeObjectAtomicFrom(local.dataFile(ph), in, Some(ph))
+      finally in.close()
+    }
+    val ckptFetches: Seq[() => Unit] = ckptFiles.map { case (ckpt, rel) => () =>
+      val enc = java.net.URLEncoder.encode(rel, "UTF-8")
+      val in = getStream(client, s"$base/sync/checkpoints/$ckpt/file?path=$enc")
+      try local.writeObjectAtomicFrom(
+        new Path(new Path(local.checkpointsDir, ckpt), rel), in, expectedSha256 = None)
+      finally in.close()
+    }
+    SyncService.inParallel(parallelism, sliceFetches ++ ckptFetches)
+    val dataCopied = dataRefs.size
+
+    blockBytes.foreach { case (blockName, bytes) =>
+      if (!have.contains(blockName))
+        writeViaStaging(local, new Path(local.blocksDir, blockName), bytes)
     }
 
     val (lastSeq, lastHash) = remote.last
@@ -243,7 +261,8 @@ object HttpSync {
       localRoot: Path,
       conf: Configuration,
       force: Boolean = false,
-      client: HttpClient = HttpClient.newHttpClient()
+      client: HttpClient = HttpClient.newHttpClient(),
+      parallelism: Int = 8
   ): SyncService.SyncResult = {
     val base = s"${baseUrl.stripSuffix("/")}/datasets/$dataset"
     val local = MetadataChain.open(localRoot, conf)
@@ -292,27 +311,30 @@ object HttpSync {
     val needBlocks = (negotiation \ "blocks").extract[Seq[String]].toSet
     val needData = (negotiation \ "data").extract[Seq[String]].toSet
 
-    var dataCopied = 0
-    toTransfer.foreach { case (block, hash) =>
-      block.event match {
-        case a: AddData if needData.contains(a.physicalHash) =>
-          pushSlice(client, base, local, a.physicalHash); dataCopied += 1
-        case e: ExecuteTransform =>
-          e.newData.map(_.physicalHash).filter(needData.contains).foreach { ph =>
-            pushSlice(client, base, local, ph); dataCopied += 1
-          }
-          e.newCheckpoint.map(_.name).foreach { ckpt =>
-            pushCheckpointDir(client, base, local, ckpt)
-          }
-        case _ => ()
+    // All PUTs are independent and the server re-validates the complete
+    // plan at the head POST (staged objects, linked chain, fast-forward),
+    // so slices, checkpoint files, and blocks upload concurrently on a
+    // bounded pool; the head POST below stays the single commit point.
+    val pushSlices: Seq[() => Unit] = planData.filter(needData.contains)
+      .map(ph => () => pushSlice(client, base, local, ph))
+    val pushCkptFiles: Seq[() => Unit] = toTransfer.flatMap { case (b, _) =>
+      b.event match {
+        case e: ExecuteTransform => e.newCheckpoint.map(_.name).toSeq
+        case _                   => Nil
       }
-      val blockName = f"${block.sequenceNumber}%06d-$hash.json"
-      if (needBlocks.contains(blockName)) {
-        val in = local.fs.open(new Path(local.blocksDir, blockName))
-        val bytes = try in.readAllBytes() finally in.close()
-        sendOk(client, "PUT", s"$base/sync/blocks/$blockName", bytes)
-      }
+    }.distinct.flatMap(ckpt => checkpointFilePushes(client, base, local, ckpt))
+    val pushBlocks: Seq[() => Unit] = toTransfer.collect {
+      case (block, hash)
+          if needBlocks.contains(f"${block.sequenceNumber}%06d-$hash.json") =>
+        () => {
+          val blockName = f"${block.sequenceNumber}%06d-$hash.json"
+          val in = local.fs.open(new Path(local.blocksDir, blockName))
+          val bytes = try in.readAllBytes() finally in.close()
+          sendOk(client, "PUT", s"$base/sync/blocks/$blockName", bytes)
+        }
     }
+    SyncService.inParallel(parallelism, pushSlices ++ pushCkptFiles ++ pushBlocks)
+    val dataCopied = pushSlices.size
 
     val (lastSeq, lastHash) = (srcBlocks.last._1.sequenceNumber, srcBlocks.last._2)
     val forceField = if (force) ""","force":true""" else ""
@@ -343,15 +365,17 @@ object HttpSync {
       client: HttpClient, base: String, local: MetadataChain, ph: String): Unit =
     putFile(client, s"$base/sync/data/$ph", local, local.dataFile(ph))
 
-  private def pushCheckpointDir(
-      client: HttpClient, base: String, local: MetadataChain, ckpt: String): Unit = {
+  /** One upload thunk per file in a checkpoint directory. */
+  private def checkpointFilePushes(
+      client: HttpClient, base: String, local: MetadataChain, ckpt: String
+  ): Seq[() => Unit] = {
     val dir = new Path(local.checkpointsDir, ckpt)
-    if (!local.fs.exists(dir)) return
+    if (!local.fs.exists(dir)) return Nil
     def walk(p: Path): Seq[Path] =
       local.fs.listStatus(p).toSeq.sortBy(_.getPath.getName).flatMap { st =>
         if (st.isDirectory) walk(st.getPath) else Seq(st.getPath)
       }
-    walk(dir).foreach { p =>
+    walk(dir).map { p => () =>
       val rel = p.toUri.getPath.stripPrefix(dir.toUri.getPath).stripPrefix("/")
       val enc = java.net.URLEncoder.encode(rel, "UTF-8")
       putFile(client, s"$base/sync/checkpoints/$ckpt/file?path=$enc", local, p)

@@ -54,6 +54,29 @@ object SyncService {
   final class SyncException(msg: String, val status: ChainsStatus)
       extends RuntimeException(msg)
 
+  /** Run independent transfer tasks on a bounded pool and return their
+    * results in input order; the first failure propagates (its cause, not
+    * the ExecutionException wrapper) and interrupts the rest. Safe for
+    * object transfer because every copy is idempotent (content-addressed,
+    * staged via temp + rename) — an interrupted copy leaves only a temp
+    * file. The reference benchmarks exactly this parallel variant of its
+    * simple transfer protocol
+    * (src/infra/core/tests/benches/parallel_simple_transfer_protocol.rs). */
+  private[sync] def inParallel[T](parallelism: Int, tasks: Seq[() => T]): Seq[T] = {
+    if (tasks.isEmpty) return Nil
+    if (tasks.size == 1 || parallelism <= 1) return tasks.map(_())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, tasks.size))
+    try {
+      val futures = tasks.map(t =>
+        pool.submit(new java.util.concurrent.Callable[T] { def call(): T = t() }))
+      futures.map { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdownNow()
+  }
+
   /** Compare two chains by their sequence of block hashes (block hashes chain
     * through `prevBlockHash`, so a common prefix of hashes IS a common
     * history, git-style). */
@@ -94,7 +117,8 @@ object SyncService {
       conf: Configuration,
       createIfNotExists: Boolean = true,
       force: Boolean = false,
-      verify: Boolean = false
+      verify: Boolean = false,
+      parallelism: Int = 8
   ): SyncResult = {
     val src = MetadataChain.open(srcRoot, conf)
     val dstExists = MetadataChain.exists(dstRoot, conf)
@@ -124,28 +148,49 @@ object SyncService {
         srcBlocks.filterNot { case (_, h) => have.contains(h) }
     }
 
-    var dataCopied = 0
-    toTransfer.foreach { case (block, hash) =>
-      // data slices + checkpoints referenced by this block
-      val (dataRefs, ckptRefs) = block.event match {
-        case a: AddData               => (Seq(a.physicalHash), Nil)
-        case e: ExecuteTransform      =>
-          (e.newData.map(_.physicalHash).toSeq, e.newCheckpoint.map(_.name).toSeq)
-        case _                        => (Nil, Nil)
+    // Transfer plan: at 100 TB a dataset is thousands of ≤1 GiB slices, so
+    // the copies — all independent content-addressed objects — run on a
+    // bounded pool instead of one driver-thread loop. Ordering invariant
+    // kept globally: data + checkpoints land first, block files second, the
+    // head (the commit point) moves last — a crash at any point leaves only
+    // objects no committed block references, and the re-run resumes.
+    val events = toTransfer.map(_._1.event)
+    val dataRefs = events.flatMap {
+      case a: AddData          => Seq(a.physicalHash)
+      case e: ExecuteTransform => e.newData.map(_.physicalHash).toSeq
+      case _                   => Nil
+    }.distinct
+    val ckptRefs = events.flatMap {
+      case e: ExecuteTransform => e.newCheckpoint.map(_.name).toSeq
+      case _                   => Nil
+    }.distinct
+
+    def listFiles(p: Path): Seq[Path] =
+      if (!src.fs.exists(p)) Nil
+      else src.fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) listFiles(st.getPath) else Seq(st.getPath)
       }
-      dataRefs.foreach { ph =>
+
+    val dataCopied = new java.util.concurrent.atomic.AtomicInteger(0)
+    val objectCopies: Seq[() => Unit] =
+      dataRefs.map { ph => () =>
         if (copyFile(src.fs, src.dataFile(ph), dst.fs, dst.dataFile(ph), dst.root)) {
-          dataCopied += 1
+          dataCopied.incrementAndGet()
           if (verify) {
             val got = MetadataChain.sha256HexOf(dst.fs, dst.dataFile(ph))
             require(got == ph, s"transferred slice $ph hashes to $got at destination")
           }
         }
-      }
-      ckptRefs.foreach { name =>
-        copyDir(src.fs, new Path(src.checkpointsDir, name),
-          dst.fs, new Path(dst.checkpointsDir, name), dst.root)
-      }
+      } ++
+        ckptRefs.flatMap { name =>
+          val srcDir = new Path(src.checkpointsDir, name)
+          val dstDir = new Path(dst.checkpointsDir, name)
+          listFiles(srcDir).map { p => () =>
+            val rel = p.toUri.getPath.stripPrefix(srcDir.toUri.getPath).stripPrefix("/")
+            copyFile(src.fs, p, dst.fs, new Path(dstDir, rel), dst.root): Unit
+          }
+        }
+    val blockCopies: Seq[() => Unit] = toTransfer.map { case (block, hash) => () =>
       val blockName = f"${block.sequenceNumber}%06d-$hash.json"
       if (copyFile(src.fs, new Path(src.blocksDir, blockName),
           dst.fs, new Path(dst.blocksDir, blockName), dst.root) && verify) {
@@ -155,10 +200,12 @@ object SyncService {
         require(got == hash, s"transferred block $hash hashes to $got at destination")
       }
     }
+    inParallel(parallelism, objectCopies)
+    inParallel(parallelism, blockCopies)
 
     val (newSeq, newHead) = (srcBlocks.last._1.sequenceNumber, srcBlocks.last._2)
     dst.setHead(newSeq, newHead)
-    Updated(dstHead.map(_._2), newHead, toTransfer.size, dataCopied)
+    Updated(dstHead.map(_._2), newHead, toTransfer.size, dataCopied.get())
   }
 
   /** Copy one file if the destination doesn't already have it at the same
@@ -191,19 +238,5 @@ object SyncService {
     dstFs.mkdirs(dstPath.getParent)
     require(dstFs.rename(tmp, dstPath), s"rename $tmp -> $dstPath failed")
     true
-  }
-
-  /** Recursively copy a checkpoint directory (small engine-state files). */
-  private def copyDir(
-      srcFs: FileSystem, srcDir: Path,
-      dstFs: FileSystem, dstDir: Path,
-      dstDatasetRoot: Path
-  ): Unit = {
-    if (!srcFs.exists(srcDir)) return
-    srcFs.listStatus(srcDir).foreach { st =>
-      val target = new Path(dstDir, st.getPath.getName)
-      if (st.isDirectory) copyDir(srcFs, st.getPath, dstFs, target, dstDatasetRoot)
-      else copyFile(srcFs, st.getPath, dstFs, target, dstDatasetRoot)
-    }
   }
 }

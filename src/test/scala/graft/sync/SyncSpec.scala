@@ -105,6 +105,44 @@ class SyncSpec extends SparkSpec {
     assert(Dataset.open(spark, dst.toString).chain.blockHashes() === src.chain.blockHashes())
   }
 
+  test("concurrent transfer: a multi-slice dataset syncs on a pool with identical hashes") {
+    val root = Files.createTempDirectory("graft-sync-par-")
+    val src = Dataset.create(spark, root, "par")
+    (1 to 12).foreach { i =>
+      IngestWriter.writeBatch(src, Seq((i.toLong, s"v$i")).toDF("id", "v"),
+        MergeStrategy.Ledger(Seq("id")), i * 1000L)
+    }
+    val dst = tmpRoot("pardst")
+    // verify=true re-hashes every slice and block at the destination inside
+    // the concurrently-running copy tasks — any corruption under parallelism
+    // fails here, not just at the final chain compare
+    val r = sync(src.chain.root, dst, hconf, verify = true, parallelism = 8)
+      .asInstanceOf[Updated]
+    assert(r.dataFilesCopied === 12)
+    val pulled = Dataset.open(spark, dst.toString)
+    assert(pulled.chain.blockHashes() === src.chain.blockHashes())
+    assertSameRows(pulled.toDF(), src.toDF())
+    // byte-level: each content-addressed slice re-hashes to its name
+    pulled.chain.blockHashes()
+    val dstChain = pulled.chain
+    dstChain.slices().foreach { s =>
+      val got = MetadataChain.sha256HexOf(dstChain.fs, dstChain.dataFile(s.physicalHash))
+      assert(got === s.physicalHash)
+    }
+  }
+
+  test("inParallel: results keep input order; a task failure propagates its own cause") {
+    val out = SyncService.inParallel(4, (1 to 20).map(i => () => i * 2))
+    assert(out === (2 to 40 by 2))
+    val boom = intercept[IllegalStateException] {
+      SyncService.inParallel(4, Seq(
+        () => 1,
+        () => throw new IllegalStateException("task failed"),
+        () => 3))
+    }
+    assert(boom.getMessage === "task failed")
+  }
+
   test("cross-scheme push (file:// → mock://) and pull back into a fresh workspace") {
     MockFileSystem.register(hconf)
     val src = mkDataset("x1")
