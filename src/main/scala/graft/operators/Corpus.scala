@@ -139,7 +139,12 @@ object Corpus {
    *
    * Map-only: the window starts are a per-row `transform` over a sequence,
    * exploded — no shuffle, no state, and each output row carries only its
-   * own slice of the text.
+   * own slice of the text. The token array is LET-BOUND through a
+   * single-element `transform` wrapper (the [[Text.wordShingles]] pattern):
+   * referencing the `split` expression tree directly inside the per-chunk
+   * lambda would re-tokenize the document once per chunk — O(chunks×tokens)
+   * per doc in interpreted HOF eval; bound as a lambda variable it is
+   * computed once.
    */
   def chunkDocs(
       df: DataFrame,
@@ -151,19 +156,23 @@ object Corpus {
     require(chunkTokens > 0, "chunkTokens must be positive")
     require(overlap >= 0 && overlap < chunkTokens, "overlap must be in [0, chunkTokens)")
     val stride = chunkTokens - overlap
-    val toks = when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+    val toksExpr = when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
       .otherwise(split(trim(col(textCol)), "\\s+"))
-    val n = size(toks)
-    // ceil((n - chunk) / stride) + 1 window starts, at least one for any
-    // non-empty doc — the final start covers the tail without losing tokens
-    val nChunks = when(n === 0, lit(0L)).otherwise(
-      greatest(lit(1L), ceil((n - chunkTokens) / lit(stride.toDouble)) + 1L))
-    val chunks = when(n === 0, array().cast("array<struct<chunk:string,n:int>>"))
-      .otherwise(transform(
-        sequence(lit(0L), nChunks - 1L),
-        i => struct(
-          concat_ws(" ", slice(toks, (i * stride + 1L).cast("int"), lit(chunkTokens))).as("chunk"),
-          least(lit(chunkTokens), n - (i * stride).cast("int")).as("n"))))
+    val chunks = flatten(transform(
+      array(toksExpr),
+      toks => {
+        val n = size(toks)
+        // ceil((n - chunk) / stride) + 1 window starts, at least one for any
+        // non-empty doc — the final start covers the tail without losing tokens
+        val nChunks = when(n === 0, lit(0L)).otherwise(
+          greatest(lit(1L), ceil((n - chunkTokens) / lit(stride.toDouble)) + 1L))
+        when(n === 0, array().cast("array<struct<chunk:string,n:int>>"))
+          .otherwise(transform(
+            sequence(lit(0L), nChunks - 1L),
+            i => struct(
+              concat_ws(" ", slice(toks, (i * stride + 1L).cast("int"), lit(chunkTokens))).as("chunk"),
+              least(lit(chunkTokens), n - (i * stride).cast("int")).as("n"))))
+      }))
     df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "c")))
       .select(
         col(idCol),
