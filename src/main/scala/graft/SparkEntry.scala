@@ -28,16 +28,29 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) which Spark 4 won't read
-    * natively: read nanos as long and floor-convert to microseconds. The
-    * legacy flag is set in our own mains' session builders (Verify/Bench);
-    * it is re-asserted here only because [[entry]] may be called with a
-    * driver-owned session that lacks it. Setting it is idempotent and it is
-    * read at parquet-scan planning time, so this is safe — but our own code
-    * never relies on this line. */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
+  /** The events table's `ts` physical encoding has varied across testdata
+    * generations (TIMESTAMP(NANOS) → read as BIGINT under the legacy
+    * nanosAsLong flag; TIMESTAMP(MICROS, ntz) → read as TIMESTAMP_NTZ), so
+    * this helper keys on the OBSERVED Spark type — never on a remembered
+    * encoding — and normalizes to TimestampType (µs, UTC instants):
+    *   - LongType: nanos-as-long → floor-divide to micros. The legacy flag is
+    *     re-asserted first because the scan only yields LongType when it is
+    *     set at planning time; setting it is idempotent and our own mains
+    *     (Verify/Bench) already carry it.
+    *   - TimestampNTZType: wall values are UTC by fixture contract; all our
+    *     session builders pin spark.sql.session.timeZone=UTC, so the cast is
+    *     an exact reinterpretation of the same micros value.
+    *   - TimestampType: already instant-typed, pass through. */
+  private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Events table recast as an RFC-015 changelog ledger (offset, op, pk, value). */
