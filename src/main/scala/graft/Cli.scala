@@ -158,6 +158,10 @@ object Cli {
           cmdWebhook(spark, wsOpt, r => { r.remove(ds, url); s"unsubscribed $ds -> $url" }, out)
         case "flow" :: "set" :: ds :: sched if sched.nonEmpty =>
           cmdFlowSet(spark, wsOpt, ds, sched.mkString(" "), out)
+        case "flow" :: "retry" :: ds :: "off" :: Nil =>
+          cmdFlowRetry(spark, wsOpt, ds, None, out)
+        case "flow" :: "retry" :: ds :: policy :: Nil =>
+          cmdFlowRetry(spark, wsOpt, ds, Some(policy), out)
         case "flow" :: "list" :: Nil       => cmdFlowList(spark, wsOpt, out)
         case "flow" :: "rm" :: ds :: Nil   => cmdFlowRm(spark, wsOpt, ds, out)
         case "flow" :: "run" :: t          =>
@@ -410,8 +414,14 @@ object Cli {
           .notifyRefUpdated(reg, name, newHead.get, oldHead, systemTime)
           .foreach { d =>
             if (d.error.isDefined)
-              out.println(s"webhook ${d.subscription.url}: ${d.error.get}")
+              out.println(s"webhook ${d.subscription.url}: ${d.error.get} (queued for retry)")
           }
+    }
+    // every command tick also drains due redeliveries from earlier failures
+    graft.adapter.Webhooks.redeliverDue(reg, systemTime).foreach { d =>
+      if (d.error.isDefined)
+        out.println(s"webhook retry ${d.subscription.url}: ${d.error.get}")
+      else out.println(s"webhook retry ${d.subscription.url}: delivered")
     }
     result
   }
@@ -431,14 +441,36 @@ object Cli {
     0
   }
 
+  private def cmdFlowRetry(spark: SparkSession, ws: String, ds: String,
+      policy: Option[String], out: PrintStream): Int = {
+    open(spark, ws, ds) // validate the dataset exists
+    val reg = flowRegistry(spark, ws)
+    policy match {
+      case Some(p) =>
+        val parsed = graft.flow.FlowService.parseRetryPolicy(p)
+        reg.setRetryPolicy(ds, parsed)
+        out.println(s"retry policy $ds: ${parsed.render}")
+      case None =>
+        reg.removeRetryPolicy(ds)
+        out.println(s"retry policy $ds: off")
+    }
+    0
+  }
+
   private def cmdFlowList(spark: SparkSession, ws: String, out: PrintStream): Int = {
     val reg = flowRegistry(spark, ws)
     val last = reg.lastRuns()
+    val policies = reg.retryPolicies()
+    val attempts = reg.attemptStates()
     reg.schedules().toSeq.sortBy(_._1).foreach { case (ds, sched) =>
       val lr = last.get(ds)
         .map(t => java.time.Instant.ofEpochMilli(t).toString)
         .getOrElse("never")
-      out.println(s"$ds\t${sched.render}\tlast-run=$lr")
+      val retry = policies.get(ds).map(p => s"\tretry=${p.render}").getOrElse("")
+      val failing = attempts.get(ds).map(a =>
+        s"\tfailing=${a.failedAttempts} since ${java.time.Instant.ofEpochMilli(a.lastAttemptAt)}"
+      ).getOrElse("")
+      out.println(s"$ds\t${sched.render}\tlast-run=$lr$retry$failing")
     }
     0
   }
@@ -453,10 +485,16 @@ object Cli {
     val datasets = workspaceDatasets(spark, ws)
     val resolve = (n: String) => datasets.getOrElse(
       n, throw new IllegalArgumentException(s"no dataset '$n' in workspace $ws"))
+    var failures = 0
     graft.flow.FlowService.runDue(spark, flowRegistry(spark, ws), resolve, now).foreach {
-      case (name, ran) => out.println(s"$name: ${if (ran) "pulled" else "not due"}")
+      case (name, status) =>
+        status match {
+          case graft.flow.FlowService.Failed(_, _) => failures += 1
+          case _                                   => ()
+        }
+        out.println(s"$name: ${status.render}")
     }
-    0
+    if (failures > 0) 1 else 0
   }
 
   // ------------------------------------------------------- remote sync

@@ -2778,7 +2778,7 @@ object SparkEntry {
       """SELECT * FROM (VALUES (
         |  '{"version":2,"dataset_id":"cities","block_ref":"head","new_hash":"abc123","old_hash":"def456"}',
         |  'sha-256=:87rqYdsHOEcIO1VKfVugjLCOt45be3OLzBG4O0XGxqE=:',
-        |  'sig1=:m1lfPEui34O0BTtF2ShKPulYdfDqrGZLR9svgJULzeo=:',
+        |  'sig1=:QPLLTKVkd5gkSZSTDfeF2hTU8AcsmPqWRAJ6voA5cFM=:',
         |  'sig1=("@method" "@path" "@authority" "x-webhook-timestamp" "content-digest"); keyid="default"; alg="hmac-sha256"; created=1700000000'
         |)) AS t(payload, content_digest, signature, signature_input)""".stripMargin,
     "flow_schedule" ->

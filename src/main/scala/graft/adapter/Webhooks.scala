@@ -28,9 +28,18 @@ import org.json4s.jackson.Serialization
  *    `Signature-Input` header.
  *
  * Subscriptions live in `<workspace>/.graft/webhooks.json` (the reference
- * keeps them in its DB); delivery is synchronous fire-per-commit here —
- * retry queues/backoff are the flow-system side of the reference, out of
- * scope the same way batching conditions are for flow-lite.
+ * keeps them in its DB). Delivery is attempted synchronously on commit;
+ * failures land in a persistent queue (`.graft/webhook_queue.json`) and are
+ * redelivered with exponential backoff on subsequent commits/ticks, capped
+ * at [[DefaultRetryPolicy]] attempts — the moral equivalent of the
+ * reference's task-system-driven delivery worker
+ * (src/domain/webhooks/services/src/services/webhook_delivery_worker_impl.rs).
+ * Retried deliveries carry the ORIGINAL payload re-signed with a fresh
+ * timestamp, exactly like a fresh delivery.
+ *
+ * `x-webhook-timestamp` carries Unix SECONDS, matching the reference
+ * (webhook_delivery_worker_impl.rs:135, `created_at.timestamp()`); the
+ * same seconds value is what the signature base signs.
  */
 object Webhooks {
 
@@ -49,6 +58,27 @@ object Webhooks {
       statusCode: Int,
       error: Option[String]
   )
+
+  /** A failed delivery awaiting redelivery: the original payload (base64,
+    * re-signed fresh on each attempt), how many attempts have failed, and
+    * when the next one is due. */
+  final case class PendingDelivery(
+      dataset: String,
+      url: String,
+      eventType: String,
+      payloadB64: String,
+      attempts: Int,
+      nextAttemptAt: Long,
+      lastError: String
+  )
+
+  /** 5 retries, 30 s base, exponential (30s → 1m → 2m → 4m → 8m), jittered
+    * deterministically per (url, attempt) by [[graft.flow.FlowService
+    * .RetryPolicy]] — webhook redelivery rides the same policy machinery as
+    * flow retries, like the reference routes both through its task system. */
+  val DefaultRetryPolicy: graft.flow.FlowService.RetryPolicy =
+    graft.flow.FlowService.RetryPolicy(
+      5, 30000L, graft.flow.FlowService.Backoff.Exponential)
 
   // --------------------------------------------------------------- registry
 
@@ -78,6 +108,25 @@ object Webhooks {
       fs.mkdirs(file.getParent)
       val out = fs.create(file, true)
       try out.write(Serialization.write(subs).getBytes(UTF_8))
+      finally out.close()
+    }
+
+    // -------- delivery queue (same .graft dir, separate file)
+
+    private val queueFile = new Path(new Path(workspace, ".graft"), "webhook_queue.json")
+
+    def queued(): Seq[PendingDelivery] =
+      if (!fs.exists(queueFile)) Nil
+      else {
+        val in = fs.open(queueFile)
+        val s = try new String(in.readAllBytes(), UTF_8) finally in.close()
+        Serialization.read[Seq[PendingDelivery]](s)
+      }
+
+    def saveQueue(q: Seq[PendingDelivery]): Unit = {
+      fs.mkdirs(queueFile.getParent)
+      val out = fs.create(queueFile, true)
+      try out.write(Serialization.write(q).getBytes(UTF_8))
       finally out.close()
     }
   }
@@ -111,11 +160,13 @@ object Webhooks {
     val sigInput = s"""sig1=($fields); keyid="$KeyId"; alg="hmac-sha256"; created=$created"""
     val authority = targetUrl.getAuthority
     val path = if (targetUrl.getPath.isEmpty) "/" else targetUrl.getPath
+    // the signed x-webhook-timestamp value is the SECONDS string actually
+    // sent on the wire (reference parity: seconds, not millis)
     val base = Seq(
       s""""@method": POST""",
       s""""@path": $path""",
       s""""@authority": $authority""",
-      s""""x-webhook-timestamp": $timestampMs""",
+      s""""x-webhook-timestamp": $created""",
       s""""content-digest": $digest""",
       s""""@signature-params": ($fields)""",
       params
@@ -133,53 +184,116 @@ object Webhooks {
     s"""{"version":2,"dataset_id":"$dataset","block_ref":"head","new_hash":"$newHash"$old}"""
   }
 
+  /** One signed POST to one subscriber. Never throws. */
+  private def sendOne(
+      sub: Subscription,
+      eventType: String,
+      payload: Array[Byte],
+      nowMs: Long,
+      client: java.net.http.HttpClient
+  ): Delivery =
+    try {
+      val uri = java.net.URI.create(sub.url)
+      val (sig, sigInput, digest) = rfc9421Headers(sub.secret, nowMs, payload, uri)
+      val req = java.net.http.HttpRequest.newBuilder(uri)
+        .header("content-type", "application/json")
+        .header("content-digest", digest)
+        .header("signature", sig)
+        .header("signature-input", sigInput)
+        // Unix seconds — the exact value the signature base covers
+        .header("x-webhook-timestamp", (nowMs / 1000L).toString)
+        .header("x-webhook-event-type", eventType)
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(payload))
+        .build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
+      Delivery(sub, resp.statusCode(),
+        if (resp.statusCode() / 100 == 2) None else Some(s"HTTP ${resp.statusCode()}"))
+    } catch {
+      case e: Exception => Delivery(sub, -1, Some(e.getMessage))
+    }
+
   /** Deliver one signed event to every matching subscription. Failures are
     * reported per-delivery, never thrown — a dead subscriber must not fail
-    * the commit that triggered the notification. */
+    * the commit that triggered the notification — and are queued for
+    * backoff redelivery by [[redeliverDue]]. */
   def notifyRefUpdated(
       registry: Registry,
       dataset: String,
       newHash: String,
       oldHash: Option[String],
       nowMs: Long,
-      client: java.net.http.HttpClient = java.net.http.HttpClient.newHttpClient()
+      client: java.net.http.HttpClient = java.net.http.HttpClient.newHttpClient(),
+      retryPolicy: graft.flow.FlowService.RetryPolicy = DefaultRetryPolicy
   ): Seq[Delivery] = {
     val payload = refUpdatedPayload(dataset, newHash, oldHash).getBytes(UTF_8)
-    registry.forDataset(dataset, EventRefUpdated).map { sub =>
-      try {
-        val uri = java.net.URI.create(sub.url)
-        val (sig, sigInput, digest) = rfc9421Headers(sub.secret, nowMs, payload, uri)
-        val req = java.net.http.HttpRequest.newBuilder(uri)
-          .header("content-type", "application/json")
-          .header("content-digest", digest)
-          .header("signature", sig)
-          .header("signature-input", sigInput)
-          .header("x-webhook-timestamp", nowMs.toString)
-          .header("x-webhook-event-type", EventRefUpdated)
-          .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(payload))
-          .build()
-        val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
-        Delivery(sub, resp.statusCode(),
-          if (resp.statusCode() / 100 == 2) None else Some(s"HTTP ${resp.statusCode()}"))
-      } catch {
-        case e: Exception => Delivery(sub, -1, Some(e.getMessage))
+    val deliveries = registry.forDataset(dataset, EventRefUpdated).map { sub =>
+      sub -> sendOne(sub, EventRefUpdated, payload, nowMs, client)
+    }
+    val failed = deliveries.collect { case (sub, d) if d.error.isDefined =>
+      PendingDelivery(dataset, sub.url, EventRefUpdated, b64(payload),
+        attempts = 1,
+        nextAttemptAt = retryPolicy.nextAttemptAt(1, nowMs, sub.url).getOrElse(Long.MaxValue),
+        lastError = d.error.get)
+    }
+    // capped at 0 retries -> nextAttemptAt = MaxValue entries would pin the
+    // queue forever; drop them immediately instead
+    val keep = failed.filter(_.nextAttemptAt != Long.MaxValue)
+    if (keep.nonEmpty) registry.saveQueue(registry.queued() ++ keep)
+    deliveries.map(_._2)
+  }
+
+  /** Redeliver every queued delivery whose backoff instant has come.
+    * Success or exhausted attempts remove the entry; another failure
+    * reschedules it one backoff step later. Deliveries whose subscription
+    * has since been removed are dropped. Returns the attempted deliveries
+    * (empty when nothing was due). */
+  def redeliverDue(
+      registry: Registry,
+      nowMs: Long,
+      client: java.net.http.HttpClient = java.net.http.HttpClient.newHttpClient(),
+      retryPolicy: graft.flow.FlowService.RetryPolicy = DefaultRetryPolicy
+  ): Seq[Delivery] = {
+    val q = registry.queued()
+    if (q.isEmpty) return Nil
+    val subs = registry.list().map(s => (s.dataset, s.url) -> s).toMap
+    var attempted = Vector.empty[Delivery]
+    val next = q.flatMap { p =>
+      if (nowMs < p.nextAttemptAt) Some(p) // not due yet
+      else subs.get((p.dataset, p.url)) match {
+        case None => None // unsubscribed since: drop silently
+        case Some(sub) =>
+          val payload = Base64.getDecoder.decode(p.payloadB64)
+          val d = sendOne(sub, p.eventType, payload, nowMs, client)
+          attempted :+= d
+          if (d.error.isEmpty) None
+          else {
+            val attempts = p.attempts + 1
+            retryPolicy.nextAttemptAt(attempts, nowMs, sub.url) match {
+              case Some(at) => Some(p.copy(attempts = attempts, nextAttemptAt = at,
+                lastError = d.error.get))
+              case None     => None // exhausted: give up on this delivery
+            }
+          }
       }
     }
+    registry.saveQueue(next)
+    attempted
   }
 
   /** Recompute + compare the signature of a received delivery — the
     * subscriber-side verification (used by the spec; handed to library
-    * consumers as the reference verifier for their endpoints). */
+    * consumers as the reference verifier for their endpoints).
+    * `timestampS` is the `x-webhook-timestamp` header value: Unix SECONDS. */
   def verify(
       secret: String,
       method: String,
       uri: java.net.URI,
-      timestampMs: Long,
+      timestampS: Long,
       payload: Array[Byte],
       signatureHeader: String
   ): Boolean = {
     require(method == "POST", "webhook deliveries are always POST")
-    val (expected, _, _) = rfc9421Headers(secret, timestampMs, payload, uri)
+    val (expected, _, _) = rfc9421Headers(secret, timestampS * 1000L, payload, uri)
     java.security.MessageDigest.isEqual(expected.getBytes(UTF_8), signatureHeader.getBytes(UTF_8))
   }
 }

@@ -12,14 +12,19 @@ import graft.dataset.Dataset
 import graft.transform.TransformService
 
 /**
- * Flow-lite: scheduled dataset updates — the schedules subset of the
- * reference's flow system (src/domain/flow-system/: `Schedule::TimeDelta` /
- * `Schedule::Cron`, flow triggers driving ingest+transform runs; batching
- * conditions and retry policies intentionally out of scope). A dataset gets
- * a schedule (`every <duration>` or a 5-field cron expression, UTC); the
- * run-due-now executor pulls exactly the datasets whose schedule has come
- * due — each through [[TransformService.pullRecursive]], so a due derivative
- * also refreshes its upstream chain, like a flow trigger cascading.
+ * Flow-lite: scheduled dataset updates — the schedules + retry-policy subset
+ * of the reference's flow system (src/domain/flow-system/: `Schedule::
+ * TimeDelta` / `Schedule::Cron`, flow triggers driving ingest+transform runs;
+ * retry semantics after src/domain/flow-system/domain/src/entities/shared/
+ * retry_policy.rs:16-67; batching conditions intentionally out of scope). A
+ * dataset gets a schedule (`every <duration>` or a 5-field cron expression,
+ * UTC) and optionally a [[RetryPolicy]]; the run-due-now executor pulls
+ * exactly the datasets whose schedule (or pending retry) has come due — each
+ * through [[TransformService.pullRecursive]], so a due derivative also
+ * refreshes its upstream chain, like a flow trigger cascading. A failed pull
+ * never aborts the tick: with a policy it schedules a backoff retry, without
+ * one (or once attempts are exhausted) it surfaces as a Failed status and
+ * hands control back to the regular schedule.
  *
  * State lives in two workspace-level JSON files under `.graft/` (schedules +
  * last-run times) — the moral equivalent of the reference's flow-system DB
@@ -120,6 +125,94 @@ object FlowService {
     }
   }
 
+  // ---------------------------------------------------------- retry policy
+
+  /** Backoff family, after retry_policy.rs:22-28. `ExponentialWithJitter`
+    * replaces the reference's `rand` draw with a deterministic hash of
+    * (seed, attempt) — same load-spreading effect across datasets, but
+    * fake-clock reproducible (this module has no entropy source anywhere). */
+  sealed abstract class Backoff(val name: String)
+  object Backoff {
+    case object Fixed extends Backoff("fixed")
+    case object Linear extends Backoff("linear")
+    case object Exponential extends Backoff("exponential")
+    case object ExponentialWithJitter extends Backoff("exponential-jitter")
+    val All: Seq[Backoff] = Seq(Fixed, Linear, Exponential, ExponentialWithJitter)
+    def parse(s: String): Backoff = All.find(_.name == s).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown backoff '$s' (one of ${All.map(_.name).mkString(", ")})"))
+  }
+
+  /** Per-dataset retry config, after retry_policy.rs:16-20. `maxAttempts`
+    * counts retries (the first attempt is not a retry). */
+  final case class RetryPolicy(maxAttempts: Int, minDelayMs: Long, backoff: Backoff) {
+    require(maxAttempts >= 0, "maxAttempts must be >= 0")
+    require(minDelayMs > 0, "minDelayMs must be > 0")
+    def render: String = s"$maxAttempts:${minDelayMs}ms:${backoff.name}"
+
+    /** Instant of retry number `attempt` (1-based) given when the previous
+      * attempt failed, or None once retries are exhausted — the shape of
+      * retry_policy.rs:42-67. `jitterSeed` (typically the dataset name)
+      * makes the jitter deterministic per (dataset, attempt). */
+    def nextAttemptAt(attempt: Int, lastAttemptAt: Long, jitterSeed: String = ""): Option[Long] = {
+      require(attempt > 0, "the first attempt is not a retry")
+      if (attempt > maxAttempts) None
+      else {
+        val delay = backoff match {
+          case Backoff.Fixed       => minDelayMs
+          case Backoff.Linear      => minDelayMs * attempt
+          case Backoff.Exponential => minDelayMs << (attempt - 1)
+          case Backoff.ExponentialWithJitter =>
+            val jitter = math.floorMod(
+              scala.util.hashing.MurmurHash3.stringHash(s"$jitterSeed#$attempt").toLong,
+              minDelayMs)
+            (minDelayMs << (attempt - 1)) + jitter
+        }
+        Some(lastAttemptAt + delay)
+      }
+    }
+  }
+
+  /** `<maxAttempts>:<delay><s|m|h|ms>:<backoff>`, e.g. `3:30s:exponential`. */
+  def parseRetryPolicy(s: String): RetryPolicy = s.trim.split(":") match {
+    case Array(max, delay, backoff) =>
+      val m = "^(\\d+)\\s*(ms|s|m|h)$".r
+      val delayMs = delay.trim match {
+        case m(n, "ms") => n.toLong
+        case m(n, "s")  => n.toLong * 1000L
+        case m(n, "m")  => n.toLong * 60000L
+        case m(n, "h")  => n.toLong * 3600000L
+        case other      => throw new IllegalArgumentException(s"bad retry delay '$other'")
+      }
+      RetryPolicy(max.trim.toInt, delayMs, Backoff.parse(backoff.trim))
+    case _ => throw new IllegalArgumentException(
+      s"retry policy is <maxAttempts>:<delay>:<backoff>, got '$s'")
+  }
+
+  /** Failure bookkeeping between ticks: how many attempts have failed and
+    * when the latest one failed. */
+  final case class AttemptState(failedAttempts: Int, lastAttemptAt: Long) {
+    private[flow] def render: String = s"$failedAttempts:$lastAttemptAt"
+  }
+  private[flow] def parseAttemptState(s: String): AttemptState = s.split(":") match {
+    case Array(n, at) => AttemptState(n.toInt, at.toLong)
+    case _            => throw new IllegalArgumentException(s"bad attempt state '$s'")
+  }
+
+  /** Outcome of one dataset in one executor tick. */
+  sealed trait RunStatus { def render: String }
+  case object Pulled extends RunStatus { def render = "pulled" }
+  case object NotDue extends RunStatus { def render = "not due" }
+  /** The pull failed and retry number `attempt` is scheduled at `nextAt`. */
+  final case class RetryScheduled(attempt: Int, nextAt: Long, error: String) extends RunStatus {
+    def render = s"failed (retry $attempt at ${java.time.Instant.ofEpochMilli(nextAt)}): $error"
+  }
+  /** The pull failed with no retries left (or none configured); the regular
+    * schedule governs the next trigger. */
+  final case class Failed(attempts: Int, error: String) extends RunStatus {
+    def render = s"failed after $attempts attempt(s): $error"
+  }
+
   // ----------------------------------------------------- workspace registry
 
   /** Schedules + last-run state for one workspace (JSON under `.graft/`). */
@@ -152,32 +245,84 @@ object FlowService {
     def remove(dataset: String): Unit = {
       writeMap("flows.json", readMap("flows.json") - dataset)
       writeMap("flow_state.json", readMap("flow_state.json") - dataset)
+      writeMap("flow_retry.json", readMap("flow_retry.json") - dataset)
+      writeMap("flow_attempts.json", readMap("flow_attempts.json") - dataset)
     }
     def lastRuns(): Map[String, Long] =
       readMap("flow_state.json").view.mapValues(_.toLong).toMap
     def recordRun(dataset: String, now: Long): Unit =
       writeMap("flow_state.json", readMap("flow_state.json") + (dataset -> now.toString))
+
+    def retryPolicies(): Map[String, RetryPolicy] =
+      readMap("flow_retry.json").view.mapValues(parseRetryPolicy).toMap
+    def setRetryPolicy(dataset: String, policy: RetryPolicy): Unit =
+      writeMap("flow_retry.json", readMap("flow_retry.json") + (dataset -> policy.render))
+    def removeRetryPolicy(dataset: String): Unit =
+      writeMap("flow_retry.json", readMap("flow_retry.json") - dataset)
+
+    def attemptStates(): Map[String, AttemptState] =
+      readMap("flow_attempts.json").view.mapValues(parseAttemptState).toMap
+    def recordFailure(dataset: String, state: AttemptState): Unit =
+      writeMap("flow_attempts.json", readMap("flow_attempts.json") + (dataset -> state.render))
+    def clearFailure(dataset: String): Unit =
+      writeMap("flow_attempts.json", readMap("flow_attempts.json") - dataset)
   }
 
   // ------------------------------------------------------------- executor
 
   /** One executor tick: pull every scheduled dataset that is due at `now`
-    * (dependency-recursively), record its run, skip the rest. Returns
-    * (dataset, ran?) per scheduled dataset in name order. */
+    * (dependency-recursively) and record the outcome, skip the rest. A
+    * dataset in a failed-retrying state is due at its policy's next-attempt
+    * instant instead of its schedule's. Failures never propagate out of the
+    * tick — one broken dataset must not starve the others (the reference
+    * runs each flow as an isolated task for the same reason). Returns
+    * (dataset, status) per scheduled dataset in name order. */
   def runDue(
       spark: SparkSession,
       registry: Registry,
       resolve: String => Dataset,
       now: Long
-  ): Seq[(String, Boolean)] = {
+  ): Seq[(String, RunStatus)] = {
     val last = registry.lastRuns()
+    val policies = registry.retryPolicies()
+    val attempts = registry.attemptStates()
     registry.schedules().toSeq.sortBy(_._1).map { case (name, schedule) =>
-      val isDue = due(schedule, last.get(name), now)
-      if (isDue) {
-        TransformService.pullRecursive(resolve(name), resolve, now)
-        registry.recordRun(name, now)
+      val retrying = attempts.get(name)
+      val isDue = retrying match {
+        case Some(st) =>
+          // between attempts: the pending retry's instant gates the pull;
+          // if the policy was removed (or shrunk) mid-state, fall back to
+          // the schedule rather than leaving the dataset stuck
+          policies.get(name)
+            .flatMap(_.nextAttemptAt(st.failedAttempts, st.lastAttemptAt, name)) match {
+            case Some(at) => now >= at
+            case None     => due(schedule, last.get(name), now)
+          }
+        case None => due(schedule, last.get(name), now)
       }
-      name -> isDue
+      val status: RunStatus =
+        if (!isDue) NotDue
+        else try {
+          TransformService.pullRecursive(resolve(name), resolve, now)
+          registry.clearFailure(name)
+          registry.recordRun(name, now)
+          Pulled
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            val err = Option(e.getMessage).getOrElse(e.getClass.getName)
+            val failed = retrying.map(_.failedAttempts).getOrElse(0) + 1
+            policies.get(name).flatMap(_.nextAttemptAt(failed, now, name)) match {
+              case Some(at) =>
+                registry.recordFailure(name, AttemptState(failed, now))
+                RetryScheduled(failed, at, err)
+              case None =>
+                // exhausted (or no policy): back to the regular schedule
+                registry.clearFailure(name)
+                registry.recordRun(name, now)
+                Failed(failed, err)
+            }
+        }
+      name -> status
     }
   }
 }

@@ -60,7 +60,9 @@ class WebhooksSpec extends SparkSpec {
       assert(body ===
         """{"version":2,"dataset_id":"cities","block_ref":"head","new_hash":"abc123","old_hash":"def456"}""")
       assert(r.headers("x-webhook-event-type") === "DATASET.REF.UPDATED")
-      assert(r.headers("x-webhook-timestamp") === "1700000000000")
+      // Unix SECONDS on the wire — reference parity
+      // (webhook_delivery_worker_impl.rs:135)
+      assert(r.headers("x-webhook-timestamp") === "1700000000")
       assert(r.headers("content-digest") === Webhooks.contentDigest(r.body))
       assert(r.headers("signature-input").startsWith(
         """sig1=("@method" "@path" "@authority" "x-webhook-timestamp" "content-digest"); keyid="default"; alg="hmac-sha256"; created=1700000000"""))
@@ -68,11 +70,11 @@ class WebhooksSpec extends SparkSpec {
       // subscriber-side verify: right secret accepts; wrong secret or
       // tampered body rejects
       val uri = java.net.URI.create(url)
-      assert(Webhooks.verify("s3cret", "POST", uri, 1700000000000L, r.body,
+      assert(Webhooks.verify("s3cret", "POST", uri, 1700000000L, r.body,
         r.headers("signature")))
-      assert(!Webhooks.verify("wrong", "POST", uri, 1700000000000L, r.body,
+      assert(!Webhooks.verify("wrong", "POST", uri, 1700000000L, r.body,
         r.headers("signature")))
-      assert(!Webhooks.verify("s3cret", "POST", uri, 1700000000000L,
+      assert(!Webhooks.verify("s3cret", "POST", uri, 1700000000L,
         (body + " ").getBytes("UTF-8"), r.headers("signature")))
     }
   }
@@ -92,6 +94,81 @@ class WebhooksSpec extends SparkSpec {
       // unsubscribed dataset: nothing fires
       assert(Webhooks.notifyRefUpdated(reg, "unknown_ds", "h3", None, 3000L) === Nil)
     }
+  }
+
+  test("failed deliveries queue and redeliver with backoff until success") {
+    val statuses = new java.util.concurrent.atomic.AtomicReference[List[Int]](List(500, 500, 200))
+    val received = new ConcurrentLinkedQueue[Received]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hook", { exchange =>
+      val body = exchange.getRequestBody.readAllBytes()
+      val headers = {
+        val it = exchange.getRequestHeaders.entrySet().iterator()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val e = it.next(); b += e.getKey.toLowerCase -> e.getValue.get(0) }
+        b.result()
+      }
+      received.add(Received(exchange.getRequestURI.getPath, body, headers))
+      val status = statuses.getAndUpdate(l => if (l.tail.isEmpty) l else l.tail).head
+      exchange.sendResponseHeaders(status, -1)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/hook"
+      val root = Files.createTempDirectory("graft-wh-retry-")
+      val reg = registry(root)
+      reg.add(Subscription("cities", url, "rk"))
+      val policy = graft.flow.FlowService.RetryPolicy(
+        3, 10000L, graft.flow.FlowService.Backoff.Fixed)
+
+      // initial delivery fails -> queued with one failed attempt
+      val t0 = 1700000000000L
+      val d0 = Webhooks.notifyRefUpdated(reg, "cities", "h1", None, t0, retryPolicy = policy)
+      assert(d0.head.error === Some("HTTP 500"))
+      val q0 = reg.queued()
+      assert(q0.map(p => (p.attempts, p.nextAttemptAt, p.lastError)) ===
+        Seq((1, t0 + 10000L, "HTTP 500")))
+
+      // before the backoff instant: nothing attempted
+      assert(Webhooks.redeliverDue(reg, t0 + 5000L, retryPolicy = policy) === Nil)
+      // retry 1 fails again -> rescheduled one step later
+      val r1 = Webhooks.redeliverDue(reg, t0 + 10000L, retryPolicy = policy)
+      assert(r1.map(_.error) === Seq(Some("HTTP 500")))
+      assert(reg.queued().map(p => (p.attempts, p.nextAttemptAt)) ===
+        Seq((2, t0 + 20000L)))
+
+      // retry 2 succeeds -> queue drains; the retried delivery is the
+      // ORIGINAL payload, re-signed with the fresh seconds timestamp
+      val r2 = Webhooks.redeliverDue(reg, t0 + 20000L, retryPolicy = policy)
+      assert(r2.map(d => (d.statusCode, d.error)) === Seq((200, None)))
+      assert(reg.queued() === Nil)
+      assert(received.size === 3)
+      received.poll(); received.poll()
+      val last = received.poll()
+      assert(new String(last.body, "UTF-8") ===
+        """{"version":2,"dataset_id":"cities","block_ref":"head","new_hash":"h1"}""")
+      assert(last.headers("x-webhook-timestamp") === ((t0 + 20000L) / 1000L).toString)
+      assert(Webhooks.verify("rk", "POST", java.net.URI.create(url),
+        last.headers("x-webhook-timestamp").toLong, last.body, last.headers("signature")))
+
+      // exhausted attempts: a permanently-dead endpoint is given up on
+      statuses.set(List(500))
+      val tiny = graft.flow.FlowService.RetryPolicy(
+        1, 10000L, graft.flow.FlowService.Backoff.Fixed)
+      Webhooks.notifyRefUpdated(reg, "cities", "h2", None, t0 + 100000L, retryPolicy = tiny)
+      assert(reg.queued().size === 1)
+      val r3 = Webhooks.redeliverDue(reg, t0 + 110000L, retryPolicy = tiny)
+      assert(r3.map(_.error) === Seq(Some("HTTP 500")))
+      assert(reg.queued() === Nil) // dropped, not retried forever
+
+      // unsubscribed entries are dropped without an attempt
+      Webhooks.notifyRefUpdated(reg, "cities", "h3", None, t0 + 200000L, retryPolicy = policy)
+      assert(reg.queued().size === 1)
+      reg.remove("cities", url)
+      assert(Webhooks.redeliverDue(reg, t0 + 300000L, retryPolicy = policy) === Nil)
+      assert(reg.queued() === Nil)
+    } finally server.stop(0)
   }
 
   test("CLI: webhook add/list/rm; ingest fires a signed delivery on head move") {

@@ -68,24 +68,127 @@ class FlowSpec extends SparkSpec {
 
     // tick 1: never ran -> due; the derivative's pull cascades to the root
     val r1 = runDue(spark, reg, resolve, t("2024-01-02T00:00:00Z"))
-    assert(r1 === Seq("cities_big" -> true))
+    assert(r1 === Seq("cities_big" -> Pulled))
     assert(Dataset.open(spark, byName("cities")).chain.lastOffset() === Some(0L))
     assert(Dataset.open(spark, byName("cities_big")).chain.lastOffset() === Some(0L))
 
     // tick 2 within the hour: not due, nothing pulled
     java.nio.file.Files.writeString(root.resolve("c-2024-01-02.csv"), "city,pop\nkyiv,2884000\n")
     val r2 = runDue(spark, reg, resolve, t("2024-01-02T00:30:00Z"))
-    assert(r2 === Seq("cities_big" -> false))
+    assert(r2 === Seq("cities_big" -> NotDue))
     assert(Dataset.open(spark, byName("cities")).chain.lastOffset() === Some(0L))
 
     // tick 3 past the hour: due again, new file flows through both datasets
     val r3 = runDue(spark, reg, resolve, t("2024-01-02T01:00:00Z"))
-    assert(r3 === Seq("cities_big" -> true))
+    assert(r3 === Seq("cities_big" -> Pulled))
     assert(Dataset.open(spark, byName("cities")).chain.lastOffset() === Some(1L))
     assert(Dataset.open(spark, byName("cities_big")).chain.lastOffset() === Some(1L))
 
     // unschedule -> executor sees nothing
     reg.remove("cities_big")
     assert(runDue(spark, reg, resolve, t("2024-01-03T00:00:00Z")) === Nil)
+  }
+
+  test("retry policy: backoff families and exhaustion (reference retry_policy.rs)") {
+    val at = t("2024-01-01T00:00:00Z")
+    val fixed = RetryPolicy(4, 10000L, Backoff.Fixed)
+    assert((1 to 4).map(fixed.nextAttemptAt(_, at)) === (1 to 4).map(_ => Some(at + 10000L)))
+    assert(fixed.nextAttemptAt(5, at) === None)
+
+    val linear = RetryPolicy(4, 10000L, Backoff.Linear)
+    assert((1 to 4).flatMap(linear.nextAttemptAt(_, at)) ===
+      Seq(at + 10000L, at + 20000L, at + 30000L, at + 40000L))
+
+    val expo = RetryPolicy(4, 10000L, Backoff.Exponential)
+    assert((1 to 4).flatMap(expo.nextAttemptAt(_, at)) ===
+      Seq(at + 10000L, at + 20000L, at + 40000L, at + 80000L))
+
+    // jitter: bounded by [base, base + minDelay) and deterministic per (seed, attempt)
+    val jit = RetryPolicy(4, 10000L, Backoff.ExponentialWithJitter)
+    for (n <- 1 to 4) {
+      val base = 10000L << (n - 1)
+      val Some(v) = jit.nextAttemptAt(n, at, "ds"): @unchecked
+      assert(v >= at + base && v < at + base + 10000L)
+      assert(jit.nextAttemptAt(n, at, "ds") === Some(v))
+    }
+    assert(jit.nextAttemptAt(5, at) === None)
+
+    assert(parseRetryPolicy("3:30s:exponential") ===
+      RetryPolicy(3, 30000L, Backoff.Exponential))
+    assert(parseRetryPolicy("2:500ms:fixed") === RetryPolicy(2, 500L, Backoff.Fixed))
+    intercept[IllegalArgumentException](parseRetryPolicy("3:30s:quadratic"))
+    intercept[IllegalArgumentException](parseRetryPolicy("nope"))
+  }
+
+  test("executor: failed pull schedules backoff retries, then succeeds") {
+    val root = Files.createTempDirectory("graft-flow-retry-")
+    java.nio.file.Files.writeString(root.resolve("c-2024-01-01.csv"), "city,pop\nnola,364000\n")
+    val cities = Dataset.create(spark, root.resolve("cities"), "cities")
+    cities.chain.append(
+      SetPollingSource(readFormat = "csv", schemaDdl = Some("city STRING, pop INT"),
+        merge = MergeConf("ledger", primaryKey = Seq("city")),
+        fetch = Some(FetchConf(kind = "filesGlob",
+          glob = Some(root.resolve("c-*.csv").toString),
+          eventTimeRegex = Some("c-(\\d{4}-\\d{2}-\\d{2})\\.csv")))), 0L)
+
+    val reg = new Registry(
+      new org.apache.hadoop.fs.Path(root.toUri), spark.sparkContext.hadoopConfiguration)
+    reg.set("cities", parseSchedule("every 1h"))
+    reg.setRetryPolicy("cities", RetryPolicy(2, 10000L, Backoff.Fixed))
+    var broken = true
+    val resolve = (n: String) => {
+      if (broken) throw new RuntimeException("boom")
+      Dataset.open(spark, root.resolve(n))
+    }
+
+    // first attempt fails -> retry 1 scheduled 10s out; the tick itself survives
+    val t0 = t("2024-01-02T00:00:00Z")
+    assert(runDue(spark, reg, resolve, t0) ===
+      Seq("cities" -> RetryScheduled(1, t0 + 10000L, "boom")))
+    // before the retry instant: not due
+    assert(runDue(spark, reg, resolve, t0 + 5000L) === Seq("cities" -> NotDue))
+    // at the retry instant, still broken -> retry 2 scheduled
+    assert(runDue(spark, reg, resolve, t0 + 10000L) ===
+      Seq("cities" -> RetryScheduled(2, t0 + 20000L, "boom")))
+    // fixed -> retry 2 pulls and clears the failure state
+    broken = false
+    assert(runDue(spark, reg, resolve, t0 + 20000L) === Seq("cities" -> Pulled))
+    assert(Dataset.open(spark, root.resolve("cities")).chain.lastOffset() === Some(0L))
+    // back on the regular schedule
+    assert(runDue(spark, reg, resolve, t0 + 21000L) === Seq("cities" -> NotDue))
+  }
+
+  test("executor: exhausted retries surface Failed and hand back to the schedule") {
+    val root = Files.createTempDirectory("graft-flow-exhaust-")
+    val cities = Dataset.create(spark, root.resolve("cities"), "cities")
+    cities.chain.append(
+      SetPollingSource(readFormat = "csv", schemaDdl = Some("city STRING, pop INT"),
+        merge = MergeConf("append"),
+        fetch = Some(FetchConf(kind = "filesGlob",
+          glob = Some(root.resolve("c-*.csv").toString)))), 0L)
+    val reg = new Registry(
+      new org.apache.hadoop.fs.Path(root.toUri), spark.sparkContext.hadoopConfiguration)
+    reg.set("cities", parseSchedule("every 1h"))
+    reg.setRetryPolicy("cities", RetryPolicy(1, 10000L, Backoff.Fixed))
+    val resolve = (_: String) => throw new RuntimeException("down")
+
+    val t0 = t("2024-01-02T00:00:00Z")
+    assert(runDue(spark, reg, resolve, t0) ===
+      Seq("cities" -> RetryScheduled(1, t0 + 10000L, "down")))
+    // retry 1 fails; policy allows only 1 retry -> Failed, surfaced not thrown
+    assert(runDue(spark, reg, resolve, t0 + 10000L) ===
+      Seq("cities" -> Failed(2, "down")))
+    // failure recorded as a run: schedule governs the next trigger
+    assert(runDue(spark, reg, resolve, t0 + 20000L) === Seq("cities" -> NotDue))
+    // a fresh schedule-due attempt starts the retry ladder from 1 again
+    val t1 = t0 + 10000L + 3600000L
+    assert(runDue(spark, reg, resolve, t1) ===
+      Seq("cities" -> RetryScheduled(1, t1 + 10000L, "down")))
+
+    // without a policy, a failure surfaces immediately (no retry, no throw)
+    reg.removeRetryPolicy("cities")
+    reg.remove("cities"); reg.set("cities", parseSchedule("every 1h"))
+    assert(runDue(spark, reg, resolve, t1 + 7200000L) ===
+      Seq("cities" -> Failed(1, "down")))
   }
 }
