@@ -193,6 +193,15 @@ object Corpus {
    * side streams through the broadcast probe table — no corpus shuffle;
    * the only exploded columns shipped are (id, gram) pairs that survive
    * the broadcast-hash probe.
+   *
+   * The broadcast is STATS-GATED, not unconditional (the discipline of
+   * [[MergeStrategy]]'s `pruneProbeSide`): a caller handing a corpus-sized
+   * "probe" set must get a plan downgrade, never a driver OOM. The gate
+   * estimates the exploded-gram footprint from the probe text's optimized
+   * plan stats (each word starts one n-gram, so the distinct grams are
+   * ≤ n× the text bytes); over `broadcastMaxBytes` the semi-join falls
+   * back to a gram-keyed shuffled-hash join — still id+gram shuffles only,
+   * never document payloads.
    */
   def decontaminate(
       docs: DataFrame,
@@ -200,15 +209,21 @@ object Corpus {
       textCol: String,
       probes: DataFrame,
       probeTextCol: String,
-      n: Int = 8
+      n: Int = 8,
+      broadcastMaxBytes: Long = 256L << 20
   ): DataFrame = {
     val probeGrams = probes
       .select(explode(Text.wordShingles(col(probeTextCol), n)).as("_g"))
       .filter(size(split(col("_g"), " ")) === n) // short probes yield no n-gram
       .distinct()
+    val probeTextBytes =
+      probes.select(col(probeTextCol)).queryExecution.optimizedPlan.stats.sizeInBytes
+    val probeSide =
+      if (probeTextBytes * n <= BigInt(broadcastMaxBytes)) broadcast(probeGrams)
+      else probeGrams.hint("shuffle_hash")
     val contaminated = docs
       .select(col(idCol), explode(Text.wordShingles(col(textCol), n)).as("_g"))
-      .join(broadcast(probeGrams), "_g")
+      .join(probeSide, "_g")
       .select(col(idCol))
       .distinct()
     docs.join(contaminated, Seq(idCol), "left_anti")

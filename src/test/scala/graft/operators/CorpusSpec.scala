@@ -80,6 +80,13 @@ class CorpusSpec extends SparkSpec {
     val plan = Corpus.decontaminate(corpus, "doc_id", "text", probes, "text", n = 8)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
+    // an oversized probe set downgrades to a shuffled gram join instead of
+    // an unconditional driver-side broadcast — same rows either way
+    val gated = Corpus.decontaminate(corpus, "doc_id", "text", probes, "text",
+      n = 8, broadcastMaxBytes = 1L)
+    assert(!gated.queryExecution.analyzed.toString.contains("broadcast"),
+      gated.queryExecution.analyzed.toString)
+    assert(gated.select("doc_id").as[Long].collect().sorted.sameElements(Array(3L, 4L, 5L)))
   }
 
   // ------------------------------------------------------------- packing
