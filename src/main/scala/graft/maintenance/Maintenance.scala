@@ -62,30 +62,53 @@ object Maintenance {
     val avgRowBytes = math.max(1L, totalBytes / math.max(1L, last + 1))
     val recordsWithinBytes = math.max(1L, maxBytes / avgRowBytes)
     val effectiveMax = math.min(maxRecords, recordsWithinBytes)
-    val bounds = (0L to last by effectiveMax).map(lo => (lo, math.min(lo + effectiveMax - 1, last)))
+    val numSlices = last / effectiveMax + 1
 
-    // Stage new slice parquet into the sibling staging area (same
-    // filesystem, so the final move is a rename; a failure midway leaves the
-    // original dataset intact, and streaming consumers of data/ never see
-    // transient files), then rewrite the chain.
-    val staged = bounds.map { case (lo, hi) =>
-      val part = all.filter(col(vocab.offsetColumn) >= lo && col(vocab.offsetColumn) <= hi)
-      val tmpOut = new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(chain.root, "staging"),
-        s"tmp-compact-${java.util.UUID.randomUUID()}")
-      part
-        .orderBy(col(vocab.offsetColumn))
-        .coalesce(1)
-        .write
-        .mode("overwrite")
-        .option("compression", "snappy")
-        .parquet(tmpOut.toString)
-      val file = fs.listStatus(tmpOut)
-        .map(_.getPath)
-        .find(_.getName.startsWith("part-"))
-        .get
-      (lo, hi, file, tmpOut)
-    }
+    // Stage ALL new slices in ONE Spark job (same-filesystem staging area, so
+    // the final moves are renames and a midway failure leaves the original
+    // dataset intact): tag each row with its target slice id (integer `div`
+    // on the dense offsets — exact), hash-repartition so every slice's rows
+    // land in a single task, sort within tasks, and let the parquet writer
+    // split one complete file per `_slice=N/` directory. One scan + one
+    // shuffle replaces the former per-slice filter+sort+write loop — that
+    // shape was O(slices) serial driver-submitted jobs, each re-scanning the
+    // filtered input, which at 100 TB / thousands of slices is thousands of
+    // serial full scans.
+    val sliceCol = expr(s"${vocab.offsetColumn} div $effectiveMax")
+    val stagingOut = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(chain.root, "staging"),
+      s"tmp-compact-${java.util.UUID.randomUUID()}")
+    // one shuffle partition per slice (capped: past the cap tasks carry a
+    // few slices each, still one complete file per slice)
+    val writeParts = math.min(numSlices, 10000L).toInt
+    all
+      .withColumn("_slice", sliceCol)
+      .repartition(writeParts, col("_slice"))
+      .sortWithinPartitions(col("_slice"), col(vocab.offsetColumn))
+      .write
+      .partitionBy("_slice")
+      .mode("overwrite")
+      .option("compression", "snappy")
+      .parquet(stagingOut.toString)
+
+    // Per-slice stats + logical hashes in ONE aggregation pass — the
+    // XOR-of-row-hashes construction of [[Writer.computeStatsAndHash]],
+    // grouped by slice id (the XOR aggregate distributes over grouping).
+    // Hash input is the original column set in original order, exactly what
+    // re-reading a staged file would yield (`_slice` lives in the directory
+    // name, not the file). The collected result is numSlices rows — metadata
+    // scale, never data scale.
+    val sliceStats = all
+      .withColumn("__h", xxhash64(all.columns.map(col).toSeq: _*))
+      .groupBy(sliceCol.as("_slice"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col(vocab.eventTimeColumn)).as("wm"),
+        expr("bit_xor(__h)").as("x")
+      )
+      .collect()
+      .map(r => r.getAs[Long]("_slice") -> r)
+      .toMap
 
     // Rewrite: STAGE a complete replacement chain next to the live one
     // (detached block files never referenced by the head), then commit with
@@ -103,31 +126,38 @@ object Maintenance {
       }
     }
     var prevOffset: Option[Long] = None
-    staged.foreach { case (lo, hi, file, tmpOut) =>
-      // stats + logical hash (one pass) BEFORE the move — the DataFrame is
-      // lazy over the staged path and would fail after the file relocates
-      val written = spark.read.parquet(file.toString)
-      val (stats, logical) = Writer.computeStatsAndHash(written, None, vocab).get
+    (0L until numSlices).foreach { i =>
+      val lo = i * effectiveMax
+      val hi = math.min(lo + effectiveMax - 1, last)
+      val sliceDir = new org.apache.hadoop.fs.Path(stagingOut, s"_slice=$i")
+      val file = fs.listStatus(sliceDir)
+        .map(_.getPath)
+        .find(_.getName.startsWith("part-"))
+        .get
+      val st = sliceStats(i)
+      val logical = f"${st.getAs[Long]("x")}%016x-${st.getAs[Long]("n")}%d"
       val hash = chain.sha256HexOf(file)
       val target = chain.dataFile(hash)
       if (!fs.exists(target)) fs.rename(file, target)
-      fs.delete(tmpOut, true)
       val (blk, h) = chain.writeDetachedBlock(
         prev,
         AddData(
           prevOffset = prevOffset,
           offsetStart = lo,
           offsetEnd = hi,
-          numRecords = stats.numRecords,
+          numRecords = st.getAs[Long]("n"),
           physicalHash = hash,
           logicalHash = logical,
-          newWatermark = if (hi == last) finalWatermark else stats.newWatermark.map(_.getTime)
+          newWatermark =
+            if (hi == last) finalWatermark
+            else Option(st.getAs[java.sql.Timestamp]("wm")).map(_.getTime)
         ),
         System.currentTimeMillis()
       )
       prev = Some((blk.sequenceNumber, h))
       prevOffset = Some(hi)
     }
+    fs.delete(stagingOut, true)
     // COMMIT: one atomic rename.
     chain.setHead(prev.get._1, prev.get._2)
     // GC (safe to crash + re-run): unreachable blocks, superseded data files.

@@ -74,6 +74,28 @@ class MaintenanceSpec extends SparkSpec {
     assert(Maintenance.verify(compacted).isEmpty)
   }
 
+  test("compact submits O(1) Spark jobs regardless of output slice count") {
+    val ds = mkDataset(slices = 6, rowsPerSlice = 10) // 60 rows
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val compacted = Maintenance.compact(ds, maxRecords = 10) // 6 output slices
+      assert(compacted.chain.slices().size === 6)
+      // actions block, so all jobs have started; give the async listener
+      // bus a moment to drain before reading the counter
+      Thread.sleep(2000)
+      // one staged write + one grouped stats pass (AQE may split each into
+      // a couple of stage-jobs) — the old per-slice loop submitted 2+ jobs
+      // PER SLICE (12+ here), growing without bound in the slice count
+      assert(jobs.get <= 8, s"compact submitted ${jobs.get} jobs for 6 slices")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("compact staging crash leaves the original chain fully readable") {
     val ds = mkDataset(slices = 3, rowsPerSlice = 10)
     val before = ds.toDF().orderBy("offset").collect()
