@@ -144,8 +144,11 @@ object StreamingOps {
    * Scale shape: state lives in Spark's keyed state store, partitioned by
    * the grouping key — per-key fold work only, no corpus-wide shuffle
    * beyond the groupByKey exchange, checkpointable and restartable like any
-   * stateful query. Keys are the stringified PK (null-safe, unit-separator
-   * joined), so any PK arity works without a bespoke encoder.
+   * stateful query. Keys are the stringified PK, null-safe: components
+   * are joined with NUL (U+0000) and a null component is marked by the
+   * SOH (U+0001) sentinel — both pinned, since changing either would
+   * change checkpointed state keys — so any PK arity works without a
+   * bespoke encoder.
    */
   def changelogStateStream(
       changelog: DataFrame,
