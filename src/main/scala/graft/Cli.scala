@@ -46,10 +46,18 @@ import graft.query.QueryService
  *   webhook list | webhook rm DATASET URL
  *   flow set DATASET SCHEDULE     schedule updates: 'every 15m' or 5-field
  *                                 cron, UTC (flow system, schedules subset)
- *   flow list                     scheduled datasets with last-run times
+ *   flow retry DATASET POLICY|off retry policy for failed pulls:
+ *                                 <maxAttempts>:<delay>:<backoff>, e.g.
+ *                                 3:30s:exponential (backoff one of fixed|
+ *                                 linear|exponential|exponential-jitter —
+ *                                 retry_policy.rs)
+ *   flow list                     scheduled datasets with last-run times,
+ *                                 retry policies, and failing-attempt state
  *   flow rm DATASET               unschedule
  *   flow run [ISO8601]            run-due-now executor tick: pull exactly
- *                                 the datasets whose schedule is due
+ *                                 the datasets whose schedule (or pending
+ *                                 backoff retry) is due; failures retry per
+ *                                 policy instead of aborting the tick
  *   repo add NAME URL             register a remote repository alias
  *   repo list                     registered remotes
  *   repo rm NAME                  remove a remote alias
@@ -65,9 +73,11 @@ import graft.query.QueryService
  *   diagnose                      workspace health: per-dataset chain shape
  *                                 + full verification (kamu system diagnose)
  *   push DATASET REMOTE [--force] sync the dataset to REMOTE (alias, any
- *                                 FileSystem URI, or a served node's
- *                                 http(s) URL — simple transfer protocol
- *                                 write side) (kamu push, sync_service.rs)
+ *                                 FileSystem URI, a served node's http(s)
+ *                                 URL — simple transfer protocol write
+ *                                 side — or a multi-tenant ref
+ *                                 repo[/account]/dataset, dataset_alias.rs)
+ *                                 (kamu push, sync_service.rs)
  *   pull DATASET --from REMOTE [--force]
  *                                 sync the dataset from REMOTE into the
  *                                 workspace (created if absent); REMOTE may
@@ -511,10 +521,12 @@ object Cli {
     0
   }
 
-  /** `<remote-url>/<dataset-name>` — the dataset's root inside a repository,
-    * same layout a workspace uses. */
-  private def remoteDatasetRoot(spark: SparkSession, ws: String, ds: String, remote: String) =
-    new org.apache.hadoop.fs.Path(registry(spark, ws).resolve(remote), ds)
+  /** Resolve a remote ref (alias, URL, or multi-tenant
+    * `repo[/account]/dataset`) to (base, remote dataset path) — the dataset's
+    * root inside a repository is `<base>/<remotePath>`, same layout a
+    * workspace uses, with an account as one extra directory level. */
+  private def resolveRemoteRef(spark: SparkSession, ws: String, ds: String, remote: String) =
+    registry(spark, ws).resolveRef(remote, ds)
 
   private def printSync(r: graft.sync.SyncService.SyncResult, out: PrintStream): Int = r match {
     case graft.sync.SyncService.UpToDate => out.println("up to date"); 0
@@ -527,12 +539,13 @@ object Cli {
     val local = open(spark, ws, ds) // validates existence
     val reg = registry(spark, ws)
     val named = remote.getOrElse(reg.aliasResolve(ds, "push"))
-    val resolved = reg.resolve(named)
+    val (resolved, remotePath) = resolveRemoteRef(spark, ws, ds, named)
     val result =
       if (isHttp(resolved)) // served node: simple-transfer-protocol push
-        graft.sync.HttpSync.push(resolved, ds, local.chain.root, hconf(spark), force = force)
+        graft.sync.HttpSync.push(resolved, remotePath, local.chain.root, hconf(spark), force = force)
       else graft.sync.SyncService.sync(
-        local.chain.root, remoteDatasetRoot(spark, ws, ds, named), hconf(spark), force = force)
+        local.chain.root, new org.apache.hadoop.fs.Path(resolved, remotePath),
+        hconf(spark), force = force)
     printSync(result, out)
   }
 
@@ -543,13 +556,14 @@ object Cli {
       force: Boolean, out: PrintStream): Int = {
     val reg = registry(spark, ws)
     val named = remote.getOrElse(reg.aliasResolve(ds, "pull"))
-    val resolved = reg.resolve(named)
+    val (resolved, remotePath) = resolveRemoteRef(spark, ws, ds, named)
     val localRoot = new org.apache.hadoop.fs.Path(ws, ds)
     val result =
       if (isHttp(resolved)) // served node: simple-transfer-protocol client
-        graft.sync.HttpSync.pull(resolved, ds, localRoot, hconf(spark), force = force)
+        graft.sync.HttpSync.pull(resolved, remotePath, localRoot, hconf(spark), force = force)
       else graft.sync.SyncService.sync(
-        remoteDatasetRoot(spark, ws, ds, named), localRoot, hconf(spark), force = force)
+        new org.apache.hadoop.fs.Path(resolved, remotePath), localRoot,
+        hconf(spark), force = force)
     printSync(result, out)
   }
 
@@ -563,12 +577,12 @@ object Cli {
       try reg.aliasResolve(ds, "push")
       catch { case _: IllegalArgumentException => reg.aliasResolve(ds, "pull") }
     }
-    val resolved = reg.resolve(named)
+    val (resolved, remotePath) = resolveRemoteRef(spark, ws, ds, named)
     val status =
       if (isHttp(resolved)) {
-        graft.sync.HttpSync.status(resolved, ds, local.chain.root, hconf(spark))
+        graft.sync.HttpSync.status(resolved, remotePath, local.chain.root, hconf(spark))
       } else {
-        val remoteRoot = remoteDatasetRoot(spark, ws, ds, named)
+        val remoteRoot = new org.apache.hadoop.fs.Path(resolved, remotePath)
         if (!MetadataChain.exists(remoteRoot, hconf(spark))) {
           out.println("remote: absent"); return 0
         }

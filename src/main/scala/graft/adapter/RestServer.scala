@@ -33,6 +33,11 @@ import graft.query.QueryService
  *                                (simple_transfer_protocol.rs:251-352; objects
  *                                re-hashed on receipt, head move is a validated
  *                                fast-forward — see commitPushedHead)
+ *
+ * Every /datasets route also accepts the multi-tenant two-segment form
+ * `/datasets/{account}/{name}/…` (reference dataset_alias.rs): the account
+ * folds into the dataset key `account/name`, stored one directory level
+ * under the workspace root.
  */
 final class RestServer(
     qs: QueryService,
@@ -56,9 +61,12 @@ final class RestServer(
   private def hconf = qs.spark.sparkContext.hadoopConfiguration
 
   /** Chain a sync WRITE targets: a served dataset's, or one parked under
-    * `workspaceRoot` that has objects but no committed head yet. */
+    * `workspaceRoot` that has objects but no committed head yet. The name
+    * arrives from the network — every `/`-segment (one, or account/name)
+    * must be traversal-safe before it touches the filesystem. */
   private def chainForPush(name: String): Option[graft.chain.MetadataChain] =
     datasets.get(name).map(_.chain).orElse(workspaceRoot.flatMap { ws =>
+      if (!name.split("/", -1).forall(graft.sync.RemoteRegistry.safeSegment)) return None
       val root = new org.apache.hadoop.fs.Path(ws, name)
       // MetadataChain.exists requires a committed head; a chain parked by
       // sync/create has none until the final head POST, so probe blocks/.
@@ -225,8 +233,25 @@ final class RestServer(
     }
   }
 
+  /** Endpoint keywords that follow the dataset segment(s) in /datasets
+    * routes — used to disambiguate `/datasets/{name}/tail` from the
+    * multi-tenant `/datasets/{account}/{name}/tail`. */
+  private val DatasetEndpoints = Set("tail", "schema", "ingest", "sync")
+
   private def handleDatasets(ex: HttpExchange): Response = {
-    val path = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
+    val raw = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
+    // Multi-tenant refs (reference dataset_alias.rs `account/dataset`): when
+    // the second segment is not an endpoint keyword but the third is, fold
+    // `{account}/{name}` into one dataset key — an account is a directory
+    // level under the workspace root, nothing more. Both segments must be
+    // traversal-safe; unsafe ones fall through to the 404 arm.
+    val path =
+      if (raw.length >= 4 && raw(0) == "datasets" &&
+        !DatasetEndpoints(raw(2)) && DatasetEndpoints(raw(3)) &&
+        graft.sync.RemoteRegistry.safeSegment(raw(1)) &&
+        graft.sync.RemoteRegistry.safeSegment(raw(2)))
+        Array("datasets", raw(1) + "/" + raw(2)) ++ raw.drop(3)
+      else raw
     path match {
       case Array("datasets") =>
         json(200, qs.knownDatasets.map(jstr).mkString("[", ",", "]"))
@@ -282,6 +307,8 @@ final class RestServer(
       case Array("datasets", name, "sync", "create") if ex.getRequestMethod == "POST" =>
         val ws = workspaceRoot.getOrElse(
           return json(403, """{"error":"node does not accept new datasets (no workspace root)"}"""))
+        if (!name.split("/", -1).forall(graft.sync.RemoteRegistry.safeSegment))
+          return json(400, s"""{"error":"invalid dataset name"}""")
         if (chainForPush(name).isDefined) json(200, """{"created":false}""")
         else {
           graft.chain.MetadataChain.create(new org.apache.hadoop.fs.Path(ws, name), hconf)

@@ -36,6 +36,39 @@ final class RemoteRegistry(workspace: Path, conf: Configuration) {
   def resolve(nameOrUrl: String): String =
     list().getOrElse(nameOrUrl, nameOrUrl) // unknown alias → treat as a URL
 
+  /**
+   * Resolve a possibly multi-tenant remote ref to (base URL, remote dataset
+   * path) — the reference's `DatasetRefRemote` grammar
+   * (src/odf/metadata/src/identity/dataset_refs.rs, rendered
+   * `repo/account/dataset` with the account optional,
+   * dataset_alias.rs `DatasetAliasRemote`):
+   *
+   *   - `origin`                    → (url(origin), defaultDataset)
+   *   - `origin/cities`             → (url(origin), "cities")
+   *   - `origin/alice/cities`      → (url(origin), "alice/cities")
+   *   - a URL (has "://")           → (URL, defaultDataset)
+   *
+   * The remote path nests under the repository root (an account is a
+   * directory level — works identically on any Hadoop FS and on the HTTP
+   * routes, which accept `/datasets/{account}/{name}/…`). Segments are
+   * validated against traversal.
+   */
+  def resolveRef(ref: String, defaultDataset: String): (String, String) = {
+    if (ref.contains("://")) return (ref, defaultDataset)
+    ref.split("/", -1).toSeq match {
+      case Seq(repo) => (resolve(repo), defaultDataset)
+      case repo +: rest if rest.nonEmpty && rest.length <= 2 =>
+        require(rest.forall(RemoteRegistry.safeSegment),
+          s"invalid dataset ref segment in '$ref'")
+        val url = list().getOrElse(repo,
+          throw new IllegalArgumentException(
+            s"'$repo' is not a known repository (of ref '$ref'); `repo add` it first"))
+        (url, rest.mkString("/"))
+      case _ => throw new IllegalArgumentException(
+        s"remote ref '$ref' has too many segments (repo[/account]/dataset)")
+    }
+  }
+
   private def write(m: Map[String, String]): Unit = {
     fs.mkdirs(file.getParent)
     val out = fs.create(file, true)
@@ -98,4 +131,10 @@ object RemoteRegistry {
   /** `kind` is "push" or "pull" (RemoteAliasKind,
     * src/domain/core/src/services/remote/remote_aliases.rs). */
   final case class DatasetAlias(dataset: String, kind: String, remote: String)
+
+  /** One account/dataset path segment: non-empty, no traversal, no
+    * separator or control characters. */
+  def safeSegment(s: String): Boolean =
+    s.nonEmpty && s != "." && s != ".." &&
+      s.forall(c => c > ' ' && c != '/' && c != '\\' && c != ':')
 }

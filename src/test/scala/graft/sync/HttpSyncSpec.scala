@@ -448,6 +448,78 @@ class HttpSyncSpec extends SparkSpec {
     }
   }
 
+  test("multi-tenant refs: push/pull/serve an account/dataset over HTTP") {
+    val src = mkDataset("mt_cities")
+    withPushNode() { (base, ws, moves) =>
+      // push under an account prefix: the node parks it at <ws>/alice/mt_cities
+      val r1 = HttpSync.push(base, "alice/mt_cities", src.chain.root, hconf).asInstanceOf[Updated]
+      assert(r1.numBlocks === 3 && r1.dataFilesCopied === 1)
+      assert(moves.toList === List(("alice/mt_cities", src.chain.head.get._2)))
+      val nodeChain = graft.chain.MetadataChain.open(
+        new Path(ws.resolve("alice").resolve("mt_cities").toUri), hconf)
+      assert(nodeChain.blockHashes() === src.chain.blockHashes())
+      // the account-qualified read routes serve it
+      val (tc, tb) = httpGet(s"$base/datasets/alice/mt_cities/tail?n=5")
+      assert(tc === 200 && tb.contains("\"a\""), tb)
+      assert(HttpSync.push(base, "alice/mt_cities", src.chain.root, hconf) === UpToDate)
+      // and a fresh workspace pulls it back through the same ref
+      val local = new Path(Files.createTempDirectory("graft-hsync-mt-").resolve("c").toUri)
+      val r2 = HttpSync.pull(base, "alice/mt_cities", local, hconf).asInstanceOf[Updated]
+      assert(r2.numBlocks === 3)
+      assertSameRows(Dataset.open(spark, local.toString).toDF(), src.toDF())
+      // a traversal-shaped name is rejected by the create route
+      val (bc, bb) = httpSend("POST", s"$base/datasets/bad%2F..%2Fescape/sync/create",
+        Array.emptyByteArray)
+      assert(bc === 400 || bc === 404, s"$bc $bb")
+    }
+  }
+
+  test("CLI: push/pull through a repo/account/dataset ref (FS remote)") {
+    import java.io.{BufferedReader, ByteArrayOutputStream, PrintStream, StringReader}
+    val ws = Files.createTempDirectory("graft-mtref-ws-")
+    val repo = Files.createTempDirectory("graft-mtref-repo-")
+    val src = Dataset.create(spark, ws.resolve("cities"), "cities")
+    IngestWriter.writeBatch(src, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      MergeStrategy.Ledger(Seq("id")), 1000L)
+    def cli(args: String*): (Int, String) = {
+      val bos = new ByteArrayOutputStream()
+      val code = graft.Cli.run(spark, args.toSeq,
+        new BufferedReader(new StringReader("")), new PrintStream(bos, true, "UTF-8"))
+      (code, bos.toString("UTF-8"))
+    }
+    assert(cli("--workspace", ws.toString, "repo", "add", "hub", repo.toString)._1 === 0)
+    // push to hub/alice/cities -> lands at <repo>/alice/cities
+    val (c1, out1) = cli("--workspace", ws.toString, "push", "cities", "hub/alice/cities")
+    assert(c1 === 0 && out1.startsWith("synced 3 block(s)"), out1)
+    val remoteChain = graft.chain.MetadataChain.open(
+      new Path(repo.resolve("alice").resolve("cities").toUri), hconf)
+    assert(remoteChain.blockHashes() === src.chain.blockHashes())
+    // status through the same ref
+    val (c2, st) = cli("--workspace", ws.toString, "status", "cities", "hub/alice/cities")
+    assert(c2 === 0 && st.trim === "equal", st)
+    // a second workspace pulls through the multi-tenant ref
+    val ws2 = Files.createTempDirectory("graft-mtref-ws2-")
+    assert(cli("--workspace", ws2.toString, "repo", "add", "hub", repo.toString)._1 === 0)
+    val (c3, out3) = cli("--workspace", ws2.toString,
+      "pull", "cities", "--from", "hub/alice/cities")
+    assert(c3 === 0 && out3.startsWith("synced 3 block(s)"), out3)
+    assertSameRows(
+      Dataset.open(spark, ws2.resolve("cities").toString).toDF(), src.toDF())
+  }
+
+  test("resolveRef: grammar, unknown repo, traversal rejection") {
+    val ws = Files.createTempDirectory("graft-resolveref-")
+    val reg = new RemoteRegistry(new Path(ws.toUri), hconf)
+    reg.add("hub", "/repos/hub")
+    assert(reg.resolveRef("hub", "cities") === ("/repos/hub", "cities"))
+    assert(reg.resolveRef("hub/towns", "cities") === ("/repos/hub", "towns"))
+    assert(reg.resolveRef("hub/alice/towns", "cities") === ("/repos/hub", "alice/towns"))
+    assert(reg.resolveRef("file:///direct/url", "cities") === ("file:///direct/url", "cities"))
+    intercept[IllegalArgumentException](reg.resolveRef("nope/alice/towns", "cities"))
+    intercept[IllegalArgumentException](reg.resolveRef("hub/../towns", "cities"))
+    intercept[IllegalArgumentException](reg.resolveRef("hub/a/b/c", "cities"))
+  }
+
   test("CLI pull --from an http remote and status against it") {
     import java.io.{BufferedReader, ByteArrayOutputStream, PrintStream, StringReader}
     val src = mkDataset("served4")
