@@ -541,7 +541,9 @@ object Cli {
     val named = remote.getOrElse(reg.aliasResolve(ds, "push"))
     val (resolved, remotePath) = resolveRemoteRef(spark, ws, ds, named)
     val result =
-      if (isHttp(resolved)) // served node: simple-transfer-protocol push
+      if (isWs(resolved)) // served node: smart-transfer-protocol push (WS)
+        graft.sync.SmartSync.push(resolved, remotePath, local.chain.root, hconf(spark), force = force)
+      else if (isHttp(resolved)) // served node: simple-transfer-protocol push
         graft.sync.HttpSync.push(resolved, remotePath, local.chain.root, hconf(spark), force = force)
       else graft.sync.SyncService.sync(
         local.chain.root, new org.apache.hadoop.fs.Path(resolved, remotePath),
@@ -552,6 +554,9 @@ object Cli {
   private def isHttp(url: String): Boolean =
     url.startsWith("http://") || url.startsWith("https://")
 
+  private def isWs(url: String): Boolean =
+    url.startsWith("ws://") || url.startsWith("wss://")
+
   private def cmdPullRemote(spark: SparkSession, ws: String, ds: String, remote: Option[String],
       force: Boolean, out: PrintStream): Int = {
     val reg = registry(spark, ws)
@@ -559,7 +564,9 @@ object Cli {
     val (resolved, remotePath) = resolveRemoteRef(spark, ws, ds, named)
     val localRoot = new org.apache.hadoop.fs.Path(ws, ds)
     val result =
-      if (isHttp(resolved)) // served node: simple-transfer-protocol client
+      if (isWs(resolved)) // served node: smart-transfer-protocol client (WS)
+        graft.sync.SmartSync.pull(resolved, remotePath, localRoot, hconf(spark), force = force)
+      else if (isHttp(resolved)) // served node: simple-transfer-protocol client
         graft.sync.HttpSync.pull(resolved, remotePath, localRoot, hconf(spark), force = force)
       else graft.sync.SyncService.sync(
         new org.apache.hadoop.fs.Path(resolved, remotePath), localRoot,
@@ -579,7 +586,9 @@ object Cli {
     }
     val (resolved, remotePath) = resolveRemoteRef(spark, ws, ds, named)
     val status =
-      if (isHttp(resolved)) {
+      if (isWs(resolved)) {
+        graft.sync.SmartSync.status(resolved, remotePath, local.chain.root, hconf(spark))
+      } else if (isHttp(resolved)) {
         graft.sync.HttpSync.status(resolved, remotePath, local.chain.root, hconf(spark))
       } else {
         val remoteRoot = new org.apache.hadoop.fs.Path(resolved, remotePath)
@@ -644,8 +653,12 @@ object Cli {
     // startup, which can throw on a bound port or a bad --jdbc-port value)
     // runs inside try/finally so an embedded caller never leaks it.
     var stopJdbc: Option[() => Unit] = None
+    var smart: Option[graft.sync.SmartTransferServer] = None
     try {
       out.println(s"rest: http://127.0.0.1:${rest.boundPort}")
+      smart = Some(new graft.sync.SmartTransferServer(
+        rest, portArg("--smart-port").getOrElse(0)).start())
+      out.println(s"smart: ws://127.0.0.1:${smart.get.boundPort}")
       stopJdbc = portArg("--jdbc-port").map { p =>
         val stop = graft.adapter.JdbcServer.start(
           spark, new org.apache.hadoop.fs.Path(ws).toUri.toString, p)
@@ -659,6 +672,7 @@ object Cli {
         .foreach(_ => ())
       0
     } finally {
+      smart.foreach(_.stop())
       rest.stop()
       stopJdbc.foreach(_.apply())
     }

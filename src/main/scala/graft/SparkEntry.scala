@@ -1484,6 +1484,51 @@ object SparkEntry {
       Dataset.open(s, nodeRoot).toDF().orderBy(col("offset"))
     },
 
+    // ---- smart transfer protocol (smart_protocol/axum_server_push_protocol
+    // .rs:182-577, axum_server_pull_protocol.rs:108-348, messages.rs): the
+    // WebSocket-negotiated node-to-node sync. Push the fixture dataset into
+    // an empty node over WS (CAS + metadata tar.gz batch + HttpUpload
+    // strategies + validated commit), then pull it back into a fresh
+    // workspace over WS (transfer plan + batch + HttpDownload strategies).
+    // The pulled chain is hash-identical; same oracle as the simple-protocol
+    // round trips.
+    "smart_sync_roundtrip" -> { (s, dir) =>
+      val pulledRoot = Fixtures.cached(s"smart_sync_roundtrip|$dir") {
+        val srcRoot = Fixtures.cached(s"http_sync_src|$dir")(buildOrdersDataset(s, dir))
+        val src = Dataset.open(s, srcRoot)
+        val nodeWs = java.nio.file.Files.createTempDirectory("graft-smart-node-")
+        val rest = new graft.adapter.RestServer(
+          new QueryService(s, Map.empty), Map.empty,
+          workspaceRoot = Some(nodeWs.toString)).start()
+        val smart = new graft.sync.SmartTransferServer(rest).start()
+        try {
+          val conf = s.sparkContext.hadoopConfiguration
+          val base = s"ws://127.0.0.1:${smart.boundPort}"
+          graft.sync.SmartSync.push(base, src.name, src.chain.root, conf) match {
+            case u: graft.sync.SyncService.Updated =>
+              require(u.dataFilesCopied == 3, s"expected 3 slices pushed over ws: $u")
+            case other => throw new IllegalStateException(s"smart push: $other")
+          }
+          require(graft.sync.SmartSync.push(base, src.name, src.chain.root, conf)
+            == graft.sync.SyncService.UpToDate, "re-push must be UpToDate")
+          val work = java.nio.file.Files.createTempDirectory("graft-smart-rt-")
+          val local = new org.apache.hadoop.fs.Path(work.resolve("orders_ds").toUri)
+          graft.sync.SmartSync.pull(base, src.name, local, conf) match {
+            case u: graft.sync.SyncService.Updated =>
+              require(u.dataFilesCopied == 3, s"expected 3 slices pulled over ws: $u")
+            case other => throw new IllegalStateException(s"smart pull: $other")
+          }
+          require(graft.sync.SmartSync.status(base, src.name, local, conf)
+            == graft.sync.SyncService.Equal, "post-pull status must be Equal")
+          val pulled = graft.chain.MetadataChain.open(local, conf)
+          require(pulled.blockHashes() == src.chain.blockHashes(),
+            "pulled chain must be hash-identical to the pushed one")
+          local.toString
+        } finally { smart.stop(); rest.stop() }
+      }
+      Dataset.open(s, pulledRoot).toDF().orderBy(col("offset"))
+    },
+
     // ---- dataset sync (sync_service.rs:25, simple_transfer_protocol.rs):
     // push two commits to a "remote" repo dir, commit a third locally, push
     // again (the delta must be exactly 1 block + 1 data file), then pull
@@ -2791,6 +2836,18 @@ object SparkEntry {
         |) AS t(expr, "after", next_fire) ORDER BY expr, "after"""".stripMargin,
     // HTTP pull preserves history byte-for-byte, same oracle as the FS path.
     "http_sync_roundtrip" ->
+      """WITH base AS (
+        |  SELECT o_orderkey % 3 AS g, o_orderdate AS event_time, o_orderkey, o_custkey, o_totalprice
+        |  FROM orders)
+        |SELECT row_number() OVER (ORDER BY g, event_time, o_orderkey) - 1 AS "offset",
+        |       CAST(0 AS INT) AS op,
+        |       CASE g WHEN 0 THEN TIMESTAMP '2024-01-01 00:00:00'
+        |              WHEN 1 THEN TIMESTAMP '2024-01-02 00:00:00'
+        |              ELSE TIMESTAMP '2024-01-03 00:00:00' END AS system_time,
+        |       event_time, o_orderkey, o_custkey, o_totalprice
+        |FROM base ORDER BY "offset"""".stripMargin,
+    // The smart (WS) protocol round-trips the identical history, same oracle.
+    "smart_sync_roundtrip" ->
       """WITH base AS (
         |  SELECT o_orderkey % 3 AS g, o_orderdate AS event_time, o_orderkey, o_custkey, o_totalprice
         |  FROM orders)

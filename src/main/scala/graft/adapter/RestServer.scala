@@ -401,6 +401,31 @@ final class RestServer(
             else Seq(st.getPath.toUri.getPath.stripPrefix(dir.toUri.getPath).stripPrefix("/"))
           }
         json(200, walk(dir).map(jstr).mkString("[", ",", "]"))
+      // whole-checkpoint tar.gz bundle — the one-object-per-checkpoint view
+      // the smart transfer protocol's ObjectFileReference(Checkpoint, hash)
+      // expects (protocol_dataset_helper.rs:396-434 serves a checkpoint as a
+      // single content-addressed object; this chain stores a directory, so
+      // the bundle is the single-object encoding of it)
+      case Array("datasets", name, "sync", "checkpoints", ckpt, "bundle")
+          if ex.getRequestMethod == "PUT" =>
+        val chain = chainForPush(name).getOrElse(
+          return json(404, s"""{"error":"unknown dataset $name"}"""))
+        val dir = resolveUnder(chain.checkpointsDir, ckpt)
+          .getOrElse(return json(400, """{"error":"invalid checkpoint path"}"""))
+        graft.sync.SmartProtocol.untarGz(ex.getRequestBody).foreach { case (rel, bytes) =>
+          val target = resolveUnder(dir, rel)
+            .getOrElse(return json(400, s"""{"error":"invalid bundle entry path"}"""))
+          chain.writeObjectAtomic(target, bytes)
+        }
+        json(200, """{"received":true}""")
+      case Array("datasets", name, "sync", "checkpoints", ckpt, "bundle") =>
+        val ds = datasets.getOrElse(
+          name, return json(404, s"""{"error":"unknown dataset $name"}"""))
+        val dir = resolveUnder(ds.chain.checkpointsDir, ckpt)
+          .getOrElse(return json(400, """{"error":"invalid checkpoint path"}"""))
+        if (!ds.chain.fs.exists(dir)) return json(404, """{"error":"no such checkpoint"}""")
+        Response(200, graft.sync.SmartProtocol.packDirTarGz(ds.chain.fs, dir),
+          "application/tar+gzip")
       case Array("datasets", name, "sync", "checkpoints", ckpt, "file") =>
         val rel = queryParam(ex, "path")
           .getOrElse(return json(400, """{"error":"path param required"}"""))
@@ -421,17 +446,33 @@ final class RestServer(
     * arrived with this push. Everything before this was staging — a crashed
     * push leaves the old head fully intact. */
   private def commitPushedHead(name: String, body: String): Response = {
-    val chain = chainForPush(name).getOrElse(
-      return json(404, s"""{"error":"unknown dataset $name"}"""))
     val seq = extractJsonField(body, "seq")
       .getOrElse(return json(400, """{"error":"seq required"}""")).toLong
     val hash = extractJsonField(body, "hash")
       .getOrElse(return json(400, """{"error":"hash required"}"""))
     val force = body.replaceAll("\\s", "").contains("\"force\":true")
+    val basedOn = extractJsonField(body, "prev")
+    syncCommitHead(name, seq, hash, basedOn, force) match {
+      case Left((code, msg)) => json(code, s"""{"error":${jstr(msg)}}""")
+      case Right(())         => json(200, s"""{"committed":true,"seq":$seq,"hash":${jstr(hash)}}""")
+    }
+  }
+
+  /** Validated head move shared by the HTTP push surface and the smart
+    * transfer protocol's push-complete phase ([[graft.sync.SmartTransferServer]]):
+    * the proposed head must name a complete linked chain whose referenced
+    * data objects are all staged; `basedOn` is the optimistic-concurrency
+    * base ("" = planned against an empty chain, None = skip the CAS check);
+    * non-fast-forward moves need `force`. */
+  private[graft] def syncCommitHead(
+      name: String, seq: Long, hash: String,
+      basedOn: Option[String], force: Boolean): Either[(Int, String), Unit] = {
+    val chain = chainForPush(name).getOrElse(
+      return Left(404 -> s"unknown dataset $name"))
     // walk prev links from the proposed head — throws if any block is absent
     val newChain = chain.blocksWithHashes(Some(hash))
     if (newChain.last._1.sequenceNumber != seq)
-      return json(400, s"""{"error":"head $hash has seq ${newChain.last._1.sequenceNumber}, not $seq"}""")
+      return Left(400 -> s"head $hash has seq ${newChain.last._1.sequenceNumber}, not $seq")
     // every object the new chain references must already be staged
     val unstaged = newChain.flatMap { case (b, h) =>
       (b.event match {
@@ -441,30 +482,51 @@ final class RestServer(
       }).filterNot(ph => chain.fs.exists(chain.dataFile(ph))).map(ph => s"$h->$ph")
     }
     if (unstaged.nonEmpty)
-      return json(400, s"""{"error":"unstaged slice(s): ${unstaged.mkString(",")}"}""")
+      return Left(400 -> s"unstaged slice(s): ${unstaged.mkString(",")}")
     // optimistic concurrency: the client states which head its plan was
     // based on ("prev": hash, or "" when it saw an empty chain); if another
     // push moved the head since, reject instead of silently absorbing —
     // the loser re-negotiates against the new head (compare-and-swap, the
     // reference's BlockRef CAS semantics). `force` overrides, and a client
     // that omits the field (older protocol) gets the fast-forward check only.
-    val basedOn = extractJsonField(body, "prev")
     val moved = basedOn.exists { prev =>
       chain.head.map(_._2) != (if (prev.isEmpty) None else Some(prev))
     }
     if (moved && !force)
-      return json(409,
-        """{"error":"served head moved since the push was planned; re-sync and retry"}""")
+      return Left(409 -> "served head moved since the push was planned; re-sync and retry")
     val notFastForward = chain.head.exists { case (curSeq, curHash) =>
       !newChain.exists { case (b, h) => b.sequenceNumber == curSeq && h == curHash }
     }
     if (notFastForward && !force)
-      return json(409, """{"error":"push is not a fast-forward of the served head; use force"}""")
+      return Left(409 -> "push is not a fast-forward of the served head; use force")
     chain.setHead(seq, hash)
     if (!datasets.contains(name))
       registerDataset(name, new Dataset(qs.spark, chain))
     onHeadMove(name, hash)
-    json(200, s"""{"committed":true,"seq":$seq,"hash":${jstr(hash)}}""")
+    Right(())
+  }
+
+  /** Read-side chain of a served dataset (smart transfer pull phase). */
+  private[graft] def syncReadChain(name: String): Option[graft.chain.MetadataChain] =
+    datasets.get(name).map(_.chain)
+
+  /** Write-target chain: served, or parked under the workspace root by a
+    * not-yet-committed push (smart transfer push phase). */
+  private[graft] def syncPushChain(name: String): Option[graft.chain.MetadataChain] =
+    chainForPush(name)
+
+  /** Create an empty chain for an incoming push (smart transfer equivalent
+    * of `POST sync/create`) — only when this node serves a workspace root. */
+  private[graft] def syncCreateDataset(name: String): Either[String, graft.chain.MetadataChain] = {
+    val ws = workspaceRoot.getOrElse(
+      return Left("node does not accept new datasets (no workspace root)"))
+    if (!name.split("/", -1).forall(graft.sync.RemoteRegistry.safeSegment))
+      return Left(s"invalid dataset name '$name'")
+    chainForPush(name) match {
+      case Some(c) => Right(c)
+      case None =>
+        Right(graft.chain.MetadataChain.create(new org.apache.hadoop.fs.Path(ws, name), hconf))
+    }
   }
 
   /** Stream one content-addressed chain object (block / slice / checkpoint
