@@ -184,6 +184,24 @@ class SmartSyncSpec extends SparkSpec {
     }
   }
 
+  test("smart sync carries multi-tenant account/dataset refs end-to-end") {
+    val src = mkDataset("sp6")
+    val ws0 = Files.createTempDirectory("graft-smart-node6-")
+    withSmartNode(Map.empty, workspace = Some(ws0)) { (ws, rest) =>
+      // the WS route name spans path segments: /datasets/alice/data/protocol/…
+      val r = SmartSync.push(ws, "alice/data", src.chain.root, hconf)
+        .asInstanceOf[Updated]
+      assert(r.numBlocks === 3)
+      assert(rest.syncReadChain("alice/data").map(_.blockHashes())
+        === Some(src.chain.blockHashes()))
+      val local = new Path(Files.createTempDirectory("graft-smart-l6-").resolve("ds").toUri)
+      val p = SmartSync.pull(ws, "alice/data", local, hconf).asInstanceOf[Updated]
+      assert(p.numBlocks === 3 && p.dataFilesCopied === 1)
+      assert(graft.chain.MetadataChain.open(local, hconf).blockHashes()
+        === src.chain.blockHashes())
+    }
+  }
+
   test("message codec round-trips, including serde's array-of-ints payload") {
     import SmartProtocol._
     val plan = TransferPlan(3, 2, 100, 1234, 56789)
