@@ -32,6 +32,11 @@ import graft.model.MetadataEvent.{AddData, ExecuteTransform}
 object SmartSync {
   import SmartProtocol._
 
+  /** Default object refs per ObjectsRequest message — bounds negotiation
+    * message size on thousands-of-slices datasets (push pages via
+    * `is_truncated`, pull by issuing successive requests). */
+  val DefaultObjectBatchSize = 1000
+
   /** `ws://host:port` (or `http://` — normalized) base of the smart endpoint. */
   private def wsUri(base: String, dataset: String, mode: String): String = {
     val b = base.stripSuffix("/")
@@ -136,7 +141,8 @@ object SmartSync {
       conf: Configuration,
       force: Boolean = false,
       client: HttpClient = HttpClient.newHttpClient(),
-      parallelism: Int = 8
+      parallelism: Int = 8,
+      objectBatchSize: Int = DefaultObjectBatchSize
   ): SyncService.SyncResult = {
     val exists = MetadataChain.exists(localRoot, conf)
     val local = if (exists) MetadataChain.open(localRoot, conf)
@@ -199,15 +205,22 @@ object SmartSync {
         dataRefs.map(a => ObjectFileReference("DataSlice", a.physicalHash, 0L)) ++
           ckptRefs.map(c => ObjectFileReference("Checkpoint", c.name, c.sizeBytes))
       if (wanted.nonEmpty) {
-        val stratResp = expectOk(
-          ws.call(renderObjectsRequest(wanted, isTruncated = None)), "Pull(ObjectsRequest)")
-        val strategies = (stratResp \ "object_transfer_strategies") match {
-          case JArray(items) => items.map(s =>
-            (parseObjectRef(s \ "object_file"), parseTransferUrl(s \ "download_from")))
-          case other => throw new SmartProtocolException("Pull(ObjectsRequest)", compact(other))
+        // paged: one ObjectsRequest per objectBatchSize refs (the server's
+        // objects loop accepts any number of requests), so a thousands-of-
+        // slices pull never builds one unbounded message — the reference
+        // client leaves this as a TODO (ws_tungstenite_client.rs:307)
+        val strategies = wanted.grouped(objectBatchSize).toSeq.flatMap { page =>
+          val stratResp = expectOk(
+            ws.call(renderObjectsRequest(page, isTruncated = None)), "Pull(ObjectsRequest)")
+          val got = (stratResp \ "object_transfer_strategies") match {
+            case JArray(items) => items.map(s =>
+              (parseObjectRef(s \ "object_file"), parseTransferUrl(s \ "download_from")))
+            case other => throw new SmartProtocolException("Pull(ObjectsRequest)", compact(other))
+          }
+          require(got.size == page.size,
+            s"server returned ${got.size} strategies for ${page.size} objects")
+          got
         }
-        require(strategies.size == wanted.size,
-          s"server returned ${strategies.size} strategies for ${wanted.size} objects")
         val fetches: Seq[() => Unit] = strategies.map { case (ref, from) => () =>
           ref.objectType match {
             case "Checkpoint" =>
@@ -252,7 +265,8 @@ object SmartSync {
       conf: Configuration,
       force: Boolean = false,
       client: HttpClient = HttpClient.newHttpClient(),
-      parallelism: Int = 8
+      parallelism: Int = 8,
+      objectBatchSize: Int = DefaultObjectBatchSize
   ): SyncService.SyncResult = {
     val local = MetadataChain.open(localRoot, conf)
     val srcBlocks = local.blocksWithHashes()
@@ -326,41 +340,48 @@ object SmartSync {
         expectOk(ws.call(compact(JObject(
           "new_blocks" -> renderBlocksBatch(BlocksBatch(blockBytes))))), "Push(MetadataRequest)")
 
-        // objects phase
+        // objects phase — paged via `is_truncated` (the wire flag the server
+        // loops on; the reference client leaves paging as a TODO,
+        // ws_tungstenite_client.rs:307): each page gets its strategies, its
+        // bounded-pool uploads, and its own Complete progress handshake
         var slicesUploaded = 0
         if (delta.nonEmpty) {
           val objs =
             dataRefs.zip(dataSizes).map { case (a, sz) =>
               ObjectFileReference("DataSlice", a.physicalHash, sz) } ++
               ckptRefs.map(c => ObjectFileReference("Checkpoint", c.name, c.sizeBytes))
-          val stratResp = expectOk(
-            ws.call(renderObjectsRequest(objs, isTruncated = Some(false))),
-            "Push(ObjectsRequest)")
-          val strategies = (stratResp \ "object_transfer_strategies") match {
-            case JArray(items) => items.map { s =>
-              (parseObjectRef(s \ "object_file"),
-                (s \ "push_strategy") match { case JString(v) => v; case _ => "HttpUpload" },
-                (s \ "upload_to") match {
-                  case JNull | JNothing => None
-                  case u                => Some(parseTransferUrl(u))
-                })
+          val pages = objs.grouped(objectBatchSize).toSeq
+          pages.zipWithIndex.foreach { case (page, i) =>
+            val more = i < pages.size - 1
+            val stratResp = expectOk(
+              ws.call(renderObjectsRequest(page, isTruncated = Some(more))),
+              "Push(ObjectsRequest)")
+            val strategies = (stratResp \ "object_transfer_strategies") match {
+              case JArray(items) => items.map { s =>
+                (parseObjectRef(s \ "object_file"),
+                  (s \ "push_strategy") match { case JString(v) => v; case _ => "HttpUpload" },
+                  (s \ "upload_to") match {
+                    case JNull | JNothing => None
+                    case u                => Some(parseTransferUrl(u))
+                  })
+              }
+              case other => throw new SmartProtocolException("Push(ObjectsRequest)", compact(other))
             }
-            case other => throw new SmartProtocolException("Push(ObjectsRequest)", compact(other))
-          }
-          val toUpload = strategies.collect { case (ref, "HttpUpload", Some(to)) => (ref, to) }
-          slicesUploaded = toUpload.count(_._1.objectType != "Checkpoint")
-          val uploads: Seq[() => Unit] = toUpload.map { case (ref, to) => () =>
-            ref.objectType match {
-              case "Checkpoint" =>
-                val bundle = packDirTarGz(local.fs, new Path(local.checkpointsDir, ref.physicalHash))
-                putStream(client, to.url, () => new java.io.ByteArrayInputStream(bundle))
-              case _ =>
-                putStream(client, to.url, () => local.fs.open(local.dataFile(ref.physicalHash)))
+            val toUpload = strategies.collect { case (ref, "HttpUpload", Some(to)) => (ref, to) }
+            slicesUploaded += toUpload.count(_._1.objectType != "Checkpoint")
+            val uploads: Seq[() => Unit] = toUpload.map { case (ref, to) => () =>
+              ref.objectType match {
+                case "Checkpoint" =>
+                  val bundle = packDirTarGz(local.fs, new Path(local.checkpointsDir, ref.physicalHash))
+                  putStream(client, to.url, () => new java.io.ByteArrayInputStream(bundle))
+                case _ =>
+                  putStream(client, to.url, () => local.fs.open(local.dataFile(ref.physicalHash)))
+              }
             }
+            SyncService.inParallel(parallelism, uploads)
+            // upload progress: Complete unblocks the server's progress loop
+            ws.send(compact(JObject("details" -> JString("Complete"))))
           }
-          SyncService.inParallel(parallelism, uploads)
-          // upload progress: Complete unblocks the server's progress loop
-          ws.send(compact(JObject("details" -> JString("Complete"))))
         }
 
         // complete phase: server commits (CAS + fast-forward) and confirms

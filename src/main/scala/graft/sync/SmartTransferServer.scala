@@ -38,6 +38,9 @@ final class SmartTransferServer(rest: RestServer, port: Int = 0) {
   private val serverSocket = new ServerSocket(port, 50, InetAddress.getByName("127.0.0.1"))
   @volatile private var running = true
   private val open = java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
+  /** One thread per live protocol session, hard-capped — a flood of opens
+    * gets a polite 503 instead of unbounded threads. */
+  private val MaxConcurrentSessions = 64
 
   def boundPort: Int = serverSocket.getLocalPort
 
@@ -49,6 +52,12 @@ final class SmartTransferServer(rest: RestServer, port: Int = 0) {
       while (running) {
         try {
           val sock = serverSocket.accept()
+          if (open.size >= MaxConcurrentSessions) {
+            try {
+              Ws.writeRejectResponse(sock.getOutputStream, 503, "too many sessions")
+              sock.close()
+            } catch { case _: Exception => () }
+          } else {
           open.add(sock)
           val worker = new Thread(() => {
             try handleConnection(sock)
@@ -57,6 +66,7 @@ final class SmartTransferServer(rest: RestServer, port: Int = 0) {
           }, s"smart-transfer-conn-${sock.getPort}")
           worker.setDaemon(true)
           worker.start()
+          }
         } catch { case _: Exception => () } // accept fails only on stop()
       }
     }, "smart-transfer-accept")

@@ -184,6 +184,25 @@ class SmartSyncSpec extends SparkSpec {
     }
   }
 
+  test("object transfer paging: batch size 1 still round-trips (is_truncated loop)") {
+    val src = mkDataset("sp7")
+    IngestWriter.writeBatch(src, Seq((3L, "c")).toDF("id", "v"),
+      MergeStrategy.Ledger(Seq("id")), 2000L) // second slice -> 2 data objects
+    val ws0 = Files.createTempDirectory("graft-smart-node7-")
+    withSmartNode(Map.empty, workspace = Some(ws0)) { (ws, rest) =>
+      val r = SmartSync.push(ws, "sp7", src.chain.root, hconf, objectBatchSize = 1)
+        .asInstanceOf[Updated]
+      assert(r.dataFilesCopied === 2, r.toString)
+      assert(rest.syncReadChain("sp7").map(_.blockHashes()) === Some(src.chain.blockHashes()))
+      val local = new Path(Files.createTempDirectory("graft-smart-l7-").resolve("ds").toUri)
+      val p = SmartSync.pull(ws, "sp7", local, hconf, objectBatchSize = 1)
+        .asInstanceOf[Updated]
+      assert(p.dataFilesCopied === 2, p.toString)
+      assert(graft.chain.MetadataChain.open(local, hconf).blockHashes()
+        === src.chain.blockHashes())
+    }
+  }
+
   test("smart sync carries multi-tenant account/dataset refs end-to-end") {
     val src = mkDataset("sp6")
     val ws0 = Files.createTempDirectory("graft-smart-node6-")
