@@ -492,6 +492,61 @@ object SparkEntry {
       Dataset.open(s, work.resolve("cities_x10")).toDF().orderBy(col("offset"))
     },
 
+    // ---- stateful streaming transform (SURVEY §2.4; the reference's
+    // checkpointed-engine story, engine_io_strategy.rs:93-176): hourly
+    // windowed aggregation over the events table declared with
+    // engine="spark-streaming", executed as FOUR incremental pulls over
+    // ts-ordered input slices. Window state persists across runs in the
+    // recorded checkpoint artifact (a window spanning two slices counts
+    // events from both); append mode emits each finalized window exactly
+    // once; the far-future sentinel slice closes the last real window (its
+    // own window never closes, so it is absent from the output).
+    "transform_stateful_stream" -> { (s, dir) =>
+      val work = Fixtures.cached(s"transform_stateful_stream|$dir") {
+        val work = java.nio.file.Files.createTempDirectory("graft-ststream-")
+        val ev = events(s, dir)
+          .select(col("ts").as("event_time"), col("event_id"), col("value"))
+        // ts-ordered tercile slices (exact percentiles on epoch micros; ties
+        // stay in one slice, so no slice ever carries data older than a
+        // previous slice's max — nothing is ever late under a 0s watermark)
+        val qs = ev.agg(
+          expr("percentile(unix_micros(event_time), 0.3333)").as("q1"),
+          expr("percentile(unix_micros(event_time), 0.6667)").as("q2")).head()
+        val (b1, b2) = (qs.getDouble(0), qs.getDouble(1))
+        val maxTs = ev.agg(max(col("event_time"))).head().getTimestamp(0)
+        val src = Dataset.create(s, work.resolve("src"), "evsrc")
+        val out = Dataset.create(s, work.resolve("out"), "evagg", kind = "derivative")
+        TransformService.setTransform(
+          out, inputs = Seq("evsrc"),
+          steps = Seq(SqlStep(None,
+            """SELECT window.start AS window_start, count(*) AS n,
+              |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+              |FROM evsrc GROUP BY window(event_time, '1 hour')""".stripMargin)),
+          systemTime = 0L,
+          engine = Some("spark-streaming"))
+        val resolve = (_: String) => Dataset.open(s, work.resolve("src"))
+        val slices = Seq(
+          ev.filter(expr(s"unix_micros(event_time) <= $b1")),
+          ev.filter(expr(s"unix_micros(event_time) > $b1 AND unix_micros(event_time) <= $b2")),
+          ev.filter(expr(s"unix_micros(event_time) > $b2")),
+          // sentinel: +30 days, closes every real window, never emits itself
+          s.range(1).select(
+            lit(new java.sql.Timestamp(maxTs.getTime + 30L * 86400 * 1000)).as("event_time"),
+            lit(-1L).as("event_id"), lit(0.0).as("value"))
+        )
+        slices.zipWithIndex.foreach { case (slice, i) =>
+          IngestWriter.writeBatch(src, slice, MergeStrategy.Append(), 1000L * (i + 1))
+          val r = TransformService.executeTransform(
+            Dataset.open(s, work.resolve("out")), resolve, 1000L * (i + 1) + 500)
+          require(r.isInstanceOf[TransformService.Updated], s"run ${i + 1}: $r")
+        }
+        work
+      }
+      Dataset.open(s, work.resolve("out")).toDF()
+        .select(col("window_start"), col("n"), col("total"))
+        .orderBy(col("window_start"))
+    },
+
     // ---- query service (SURVEY §2.3): SQL-string entry, table-ref
     // extraction, temp-view registration, as-of pinning to the post-round-1
     // head (query_service_impl.rs:59-130, 585-602, 741-808).
@@ -2237,6 +2292,14 @@ object SparkEntry {
         |  (CAST(0 AS BIGINT), CAST(0 AS INT), 'seattle', 733000, '{"coordinates":[-122.3,47.6],"type":"Point"}'),
         |  (CAST(1 AS BIGINT), CAST(0 AS INT), 'vancouver', 675000, '{"coordinates":[-123.1,49.3],"type":"Point"}')
         |) AS t("offset", op, name, pop, geometry) ORDER BY "offset"""".stripMargin,
+    // Stateful streaming windowed agg: after the sentinel run every real
+    // hourly window has been finalized exactly once, so the emitted set
+    // equals the batch hourly aggregation over the whole events table (the
+    // sentinel's own window never closes and is absent on both sides).
+    "transform_stateful_stream" ->
+      """SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "transform_incremental" ->
       """SELECT * FROM (VALUES
         |  (CAST(0 AS BIGINT), CAST(0 AS INT), TIMESTAMP '2024-01-05 00:00:00', TIMESTAMP '2024-01-01 00:00:00', 'kyiv', 28840000),

@@ -375,6 +375,24 @@ object Maintenance {
     val decl = chain.transform().getOrElse(return Seq(ChainIssue("no SetTransform declared")))
     val issues = Seq.newBuilder[Issue]
 
+    // A stateful streaming transform's output depends on checkpointed engine
+    // state, so a from-scratch batch replay would NOT reproduce it (the
+    // reference verifies such datasets through the engine's own checkpointed
+    // replay). Instead, prove the recorded engine state is the one on disk:
+    // the LAST ExecuteTransform's checkpoint content hash must match a
+    // re-hash of the checkpoint dir (per-slice physical/logical hashes are
+    // covered by the block-hash verification pass).
+    if (decl.engine.contains("spark-streaming")) {
+      chain.lastExecuteTransform().flatMap(_.newCheckpoint).foreach { ck =>
+        val got = graft.streaming.StreamingTransform.hashCheckpointDir(
+          chain.fs, new org.apache.hadoop.fs.Path(chain.checkpointsDir, ck.name))
+        if (!got.exists(_.contentHash == ck.contentHash))
+          issues += ChainIssue(
+            s"streaming checkpoint '${ck.name}' content hash mismatch — engine state tampered or lost")
+      }
+      return issues.result()
+    }
+
     chain.blocks().foreach {
       case MetadataBlock(_, _, systemTime, ExecuteTransform(inputs, Some(newData), _)) =>
         inputs.foreach { st =>

@@ -82,9 +82,18 @@ object MetadataEvent {
   /** Declares a derivative dataset's transform (SetTransform,
     * dtos_generated.rs:1445): named inputs + SQL steps. The last step (or the
     * single query) produces the output; earlier steps become temp views. */
+  /** `engine` selects the execution mode, like the reference's
+    * `Transform::Sql.engine` ("spark"/"flink"/"datafusion",
+    * dtos_generated.rs Transform): None/other = stateless batch SQL over the
+    * (prev,new] input slices; `Some("spark-streaming")` = STATEFUL Structured
+    * Streaming SQL — windowed aggregations whose state store persists in the
+    * recorded checkpoint artifact across incremental runs (the role the
+    * reference hands to its checkpointed Flink engine). Absent in chains
+    * written before this field existed (reads as None — batch). */
   final case class SetTransform(
       inputs: Seq[String],
-      steps: Seq[SqlStep]
+      steps: Seq[SqlStep],
+      engine: Option[String] = None
   ) extends MetadataEvent
 
   final case class SqlStep(alias: Option[String], query: String)

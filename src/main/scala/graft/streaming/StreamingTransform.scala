@@ -119,6 +119,122 @@ object StreamingTransform {
   }
 
   /**
+   * One incremental run of a STATEFUL streaming transform — windowed
+   * aggregations (or any watermark-governed stateful query) whose Spark
+   * state store persists ACROSS runs in the dataset's checkpoint artifact.
+   * This is the pull-based analog of the reference's checkpointed Flink
+   * engine (`prev_checkpoint_path`/`new_checkpoint_path` handover,
+   * engine_io_strategy.rs:93-176): each run resumes the state recorded by
+   * the previous ExecuteTransform, absorbs exactly the input slices the
+   * file-source log has not seen, emits only the rows the watermark has
+   * FINALIZED (append mode — rows are emitted once, ever), and commits one
+   * ExecuteTransform carrying the new data slice (None when no window
+   * closed) plus the content-hashed checkpoint.
+   *
+   * Crash discipline: emitted batches are staged to a scratch dir keyed by
+   * batchId BEFORE the streaming checkpoint advances past them, and the
+   * scratch dir is cleared only after the chain commit — a crash between
+   * checkpoint advance and chain commit leaves the staged output for the
+   * next run to commit (emissions are never lost, never doubled: the stage
+   * write is an idempotent overwrite by batchId).
+   *
+   * `transform` maps the watermarked streaming input to a streaming result
+   * (e.g. `tumblingWindowAgg` flattened to plain columns). Determinism: with
+   * Trigger.AvailableNow each run's batch split depends only on the new
+   * files, and window finalization depends only on data — replaying the
+   * same slice sequence from a fresh checkpoint reproduces the output
+   * bit-for-bit.
+   */
+  def runStateful(
+      output: Dataset,
+      input: Dataset,
+      transform: DataFrame => DataFrame,
+      queryName: String = "stateful",
+      clock: () => Long = () => System.currentTimeMillis()
+  ): Option[ExecuteTransform] = {
+    val spark = output.spark
+    val fs = output.chain.fs
+    val checkpoint = new Path(output.chain.checkpointsDir, s"transform-$queryName")
+    val stage = new Path(output.chain.root, s"scratch/stream-stage-$queryName")
+    val inputName = input.name
+
+    val prevHi = output.chain
+      .lastExecuteTransform()
+      .flatMap(_.inputs.find(_.datasetName == inputName))
+      .flatMap(_.newOffset)
+    val hiNow = input.chain.lastOffset()
+    val staleStage = fs.exists(stage) && fs.listStatus(stage).nonEmpty
+    if (prevHi == hiNow && !staleStage) return None // nothing new, nothing parked
+
+    val stream = StreamingOps.datasetStream(input)
+    val q = transform(stream).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint.toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // idempotent by batchId: a retried batch overwrites its own stage dir
+        batch.write.mode("overwrite").parquet(new Path(stage, s"batch-$batchId").toString)
+        ()
+      }
+      .queryName(s"graft-stateful-$queryName")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val systemTime = clock()
+    val vocab = output.vocabulary
+    val staged =
+      if (!fs.exists(stage)) Nil
+      else fs.listStatus(stage).toSeq.map(_.getPath).sortBy(_.getName)
+    val emitted: Option[DataFrame] = staged match {
+      case Nil   => None
+      case paths =>
+        val df = spark.read.parquet(paths.map(_.toString): _*)
+        if (df.isEmpty) None else Some(df)
+    }
+
+    val prevOffset = output.chain.lastOffset()
+    val newData = emitted.flatMap { df =>
+      val withOp =
+        if (df.columns.contains(vocab.operationTypeColumn)) df
+        else df.withColumn(vocab.operationTypeColumn, lit(Op.Append))
+      val stamped = Writer.stampSystemColumns(withOp, new Timestamp(systemTime), None, vocab)
+      val withOffsets = Writer.assignOffsets(
+        Writer.normalizeTimestamps(stamped),
+        MergeStrategy.totalOrder(stamped, vocab),
+        startOffset = prevOffset.map(_ + 1).getOrElse(0L),
+        vocab
+      )
+      IngestWriter.writeSliceFile(output.chain, withOffsets).map { case (file, physicalHash) =>
+        val written = spark.read.parquet(file.toString)
+        val (stats, logical) = Writer
+          .computeStatsAndHash(written, output.chain.watermark().map(new Timestamp(_)), vocab)
+          .get
+        if (output.chain.schemaDdl().isEmpty)
+          output.chain.append(SetDataSchema(written.schema.toDDL), systemTime)
+        graft.model.MetadataEvent.AddData(
+          prevOffset = prevOffset,
+          offsetStart = stats.offsetStart,
+          offsetEnd = stats.offsetEnd,
+          numRecords = stats.numRecords,
+          physicalHash = physicalHash,
+          logicalHash = logical,
+          newWatermark = stats.newWatermark.map(_.getTime)
+        )
+      }
+    }
+
+    val ckpt = hashCheckpointDir(fs, checkpoint)
+    val event = ExecuteTransform(
+      Seq(TransformInputState(inputName, prevHi, hiNow)),
+      newData,
+      ckpt
+    )
+    output.chain.append(event, systemTime)
+    fs.delete(stage, true) // commit point passed: staged output is in the chain
+    Some(event)
+  }
+
+  /**
    * Start the continuous derivative query: input dataset as a file stream
    * over its committed slices → `transform` per micro-batch → chain commit.
    * The streaming checkpoint lives under the output dataset's

@@ -30,9 +30,12 @@ object TransformService {
   case object UpToDate extends TransformResult
   final case class Updated(event: ExecuteTransform) extends TransformResult
 
-  /** Declare (or replace) the transform of a derivative dataset. */
-  def setTransform(ds: Dataset, inputs: Seq[String], steps: Seq[SqlStep], systemTime: Long): Unit =
-    ds.chain.append(SetTransform(inputs, steps), systemTime)
+  /** Declare (or replace) the transform of a derivative dataset. `engine`
+    * `Some("spark-streaming")` marks a STATEFUL streaming transform (state
+    * continuity via the recorded checkpoint artifact); None = batch SQL. */
+  def setTransform(ds: Dataset, inputs: Seq[String], steps: Seq[SqlStep], systemTime: Long,
+      engine: Option[String] = None): Unit =
+    ds.chain.append(SetTransform(inputs, steps, engine), systemTime)
 
   /** The (prev, new] offset interval of one input for the next run. */
   private def inputInterval(
@@ -82,6 +85,32 @@ object TransformService {
     val decl = output.chain
       .transform()
       .getOrElse(throw new IllegalStateException(s"dataset ${output.name} has no SetTransform"))
+
+    // stateful streaming engine: state-store continuity across runs — the
+    // run consumes whatever input slices its file-source log has not seen
+    // and emits only watermark-finalized rows (StreamingTransform.runStateful)
+    if (decl.engine.contains("spark-streaming")) {
+      require(decl.inputs.size == 1,
+        "spark-streaming transforms take exactly one input (stream-stream composition lives in the SQL)")
+      val in = resolve(decl.inputs.head)
+      val fn: DataFrame => DataFrame = { stream =>
+        // event-time column + zero delay: watermark = max event time seen,
+        // so a window finalizes as soon as any later-time slice arrives
+        val wm = stream.withWatermark(in.vocabulary.eventTimeColumn, "0 seconds")
+        wm.createOrReplaceTempView(decl.inputs.head)
+        decl.steps.init.foreach { s =>
+          val alias =
+            s.alias.getOrElse(throw new IllegalStateException("intermediate step needs an alias"))
+          spark.sql(s.query).createOrReplaceTempView(alias)
+        }
+        spark.sql(decl.steps.last.query)
+      }
+      return graft.streaming.StreamingTransform.runStateful(
+        output, in, fn, queryName = "decl", clock = () => systemTime) match {
+        case Some(ev) => Updated(ev)
+        case None     => UpToDate
+      }
+    }
 
     val intervals = decl.inputs.map { name =>
       val in = resolve(name)
