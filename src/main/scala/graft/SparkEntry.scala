@@ -1103,6 +1103,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- corpus-wide line dedup (CCNet/RefinedWeb boilerplate removal):
+    // the fixture text has no newlines, so segment boundaries are
+    // synthesized identically in both engines (every ' the ' becomes a
+    // separator — sequential non-overlapping replacement in both). Segments
+    // of >=6 chars shared by >=2 documents are removed everywhere; the
+    // Spark side hashes segments (xxhash64) and probes the collected sorted
+    // set map-only, the oracle works on the literal segment strings — the
+    // rewritten text must agree exactly.
+    "dedup_lines" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), regexp_replace(col("text"), " the ", "\n").as("text"))
+      Corpus.dedupLines(docs, "doc_id", "text", sep = "\n", minDocs = 2, minLineChars = 6)
+        .select(col("doc_id"), col("text"), col("removed_lines"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- the full pretraining-corpus pipeline as ONE oracle-checked unit:
     // quality/language/length filter → repetition filter (native kernel) →
     // exact dedup keep-first → per-source token-budget sampling → shard
@@ -2735,6 +2751,26 @@ object SparkEntry {
         |      '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g'),
         |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_lines" ->
+      """WITH docs AS (
+        |  SELECT doc_id, replace(text, ' the ', chr(10)) AS text FROM documents),
+        |sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
+        |lines AS (
+        |  SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, unnest(ls) AS line FROM sp),
+        |dup AS (
+        |  SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines WHERE length(line) >= 6)
+        |  GROUP BY line HAVING count(*) >= 2),
+        |kept AS (
+        |  SELECT doc_id, pos, line FROM lines
+        |  WHERE length(line) < 6 OR line NOT IN (SELECT line FROM dup)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+        |         count(*) AS kept_n
+        |  FROM kept GROUP BY doc_id),
+        |base AS (SELECT doc_id, len(string_split(text, chr(10))) AS total_n FROM docs)
+        |SELECT b.doc_id, coalesce(a.text, '') AS text,
+        |       CAST(b.total_n - coalesce(a.kept_n, 0) AS BIGINT) AS removed_lines
+        |FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
     "corpus_filter" ->
       """WITH t AS (
         |  SELECT doc_id,

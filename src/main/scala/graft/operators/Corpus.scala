@@ -365,4 +365,96 @@ object Corpus {
         regexp_replace(text, EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
+
+  // ------------------------------------------------------------ line dedup
+
+  /**
+   * Corpus-wide line (paragraph) dedup — the CCNet/RefinedWeb boilerplate
+   * stage: a line that occurs in at least `minDocs` DISTINCT documents is
+   * removed from every document that carries it (navbars, cookie banners,
+   * license footers). Lines shorter than `minLineChars` never count and are
+   * never removed (they are structure, not boilerplate). Each document's
+   * surviving lines are rejoined with `sep` in original order; the returned
+   * frame is the input with `textCol` rewritten plus a `removed_lines`
+   * count.
+   *
+   * Scale shape, two paths behind one semantics:
+   *  - detection is one aggregation whose shuffle carries 8-byte line
+   *    hashes only (`array_distinct` inside each document makes plain
+   *    `count(*)` a distinct-document count — no (id, line) distinct
+   *    shuffle, no text bytes);
+   *  - the duplicated-hash set is tiny next to the corpus (it IS the
+   *    boilerplate), so the default path collects it (capped at
+   *    `collectMaxLines`), ships it once as a codegen reference object, and
+   *    rewrites every document MAP-ONLY via binary-searched membership
+   *    ([[graft.functions.SetExpressions.longSetContains]]) — the corpus
+   *    text never shuffles;
+   *  - past the cap, the fallback is explode -> hash anti-join -> regroup:
+   *    one text shuffle, still never a driver-side set.
+   *
+   * `sep` is a literal separator (quoted before it reaches the regex-based
+   * `split`), matching DuckDB's plain-string `string_split` in the oracle.
+   */
+  def dedupLines(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n",
+      minDocs: Int = 2,
+      minLineChars: Int = 6,
+      collectMaxLines: Long = 4L << 20
+  ): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would remove every eligible line")
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    def lineArr(c: Column) = split(c, sepRe, -1)
+
+    val dupHashes = docs
+      .select(explode(array_distinct(
+        filter(lineArr(col(textCol)), l => length(l) >= minLineChars))).as("_l"))
+      .select(xxhash64(col("_l")).as("_h"))
+      .groupBy(col("_h")).count()
+      .filter(col("count") >= minDocs)
+      .select(col("_h"))
+
+    val nDup = dupHashes.count() // small: one row per duplicated line
+    if (nDup == 0L) return docs.withColumn("removed_lines", lit(0L))
+
+    if (nDup <= collectMaxLines) {
+      // map-only rewrite: probe the sorted set in place, no corpus shuffle
+      val set = dupHashes.orderBy(col("_h")).collect().map(_.getLong(0))
+      docs
+        .withColumn("_lines", lineArr(col(textCol)))
+        .withColumn("_kept", filter(col("_lines"), l =>
+          length(l) < minLineChars ||
+            !graft.functions.SetExpressions.longSetContains(xxhash64(l), set)))
+        .withColumn("removed_lines",
+          (size(col("_lines")) - size(col("_kept"))).cast("long"))
+        .withColumn(textCol, array_join(col("_kept"), sep))
+        .drop("_lines", "_kept")
+    } else {
+      // distributed rewrite: one text shuffle (the regroup), hash-only join
+      val ex = docs.select(
+        col(idCol).as("_ddl_id"),
+        posexplode(lineArr(col(textCol))).as(Seq("_pos", "_l")))
+      val kept = ex.join(
+        dupHashes.hint("shuffle_hash"),
+        xxhash64(col("_l")) === col("_h") && length(col("_l")) >= minLineChars,
+        "left_anti")
+      val rebuilt = kept
+        .groupBy(col("_ddl_id"))
+        .agg(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("_pos"), col("_l")))),
+              x => x("_l")),
+            sep).as("_newtext"),
+          count(lit(1)).as("_kept_n"))
+      docs
+        .join(rebuilt, col(idCol) === col("_ddl_id"), "left")
+        .withColumn("removed_lines",
+          (size(lineArr(col(textCol))) - coalesce(col("_kept_n"), lit(0L))).cast("long"))
+        .withColumn(textCol, coalesce(col("_newtext"), lit("")))
+        .drop("_ddl_id", "_newtext", "_kept_n")
+    }
+  }
 }

@@ -118,4 +118,24 @@ class HashExpressionsSpec extends SparkSpec {
     assert(row.getSeq[Long](0) === viaApi.getSeq[Long](0))
     assert(row.getLong(1) === viaApi.getLong(1))
   }
+
+  test("longSetContains: binary-searched membership, codegen ≡ interpreted") {
+    val set = Array(-40L, -1L, 0L, 7L, 7000000000L).sorted
+    val df = Seq(-41L, -40L, -1L, 0L, 1L, 7L, 8L, 7000000000L, Long.MaxValue).toDF("v")
+    def run(mode: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try df.select(col("v"), SetExpressions.longSetContains(col("v"), set).as("in"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    val got = run("CODEGEN_ONLY")
+    assert(got === Map(-41L -> false, -40L -> true, -1L -> true, 0L -> true,
+      1L -> false, 7L -> true, 8L -> false, 7000000000L -> true, Long.MaxValue -> false))
+    assert(run("NO_CODEGEN") === got)
+    // unsorted / duplicated sets are refused (callers sort-distinct)
+    val bad = intercept[Exception] {
+      df.select(SetExpressions.longSetContains(col("v"), Array(3L, 2L))).collect()
+    }
+    assert(bad.getMessage.contains("ascending"))
+  }
 }

@@ -275,4 +275,52 @@ class CorpusSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  // ----------------------------------------------------------- line dedup
+
+  test("dedupLines removes corpus-duplicated lines, keeps short/unique ones") {
+    val in = Seq(
+      (1L, "unique alpha line\nSHARED BOILERPLATE LINE\nok\nunique beta line"),
+      (2L, "SHARED BOILERPLATE LINE\nok\nanother original thought"),
+      (3L, "SHARED BOILERPLATE LINE"),
+      (4L, "totally original document"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = Corpus.dedupLines(in, "doc_id", "text", minDocs = 2, minLineChars = 6)
+      .select("doc_id", "text", "removed_lines")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // the >=6-char line shared by docs 1,2,3 is removed everywhere
+    assert(out(1L) === (("unique alpha line\nok\nunique beta line", 1L)))
+    // "ok" is shared by 1 and 2 but below minLineChars: kept
+    assert(out(2L) === (("ok\nanother original thought", 1L)))
+    // a doc reduced to nothing becomes the empty string
+    assert(out(3L) === (("", 1L)))
+    assert(out(4L) === (("totally original document", 0L)))
+    assert(out(5L) === (("", 0L)))
+  }
+
+  test("dedupLines map-only rewrite: no Exchange, and both paths agree") {
+    val base = docs.select(col("doc_id"),
+      regexp_replace(col("text"), " the ", "\n").as("text"))
+    val small = Corpus.dedupLines(base, "doc_id", "text")
+    // the returned (small-path) frame is scan + project — the corpus text
+    // never shuffles; only the detection aggregation (already executed)
+    // paid a hash-width shuffle
+    val plan = small.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // the explode -> anti-join -> regroup fallback computes the same corpus
+    val big = Corpus.dedupLines(base, "doc_id", "text", collectMaxLines = 0L)
+    assertSameRows(
+      small.select("doc_id", "text", "removed_lines").orderBy("doc_id"),
+      big.select("doc_id", "text", "removed_lines").orderBy("doc_id"))
+    // and something was actually removed in this fixture
+    assert(small.agg(sum("removed_lines")).head().getLong(0) > 0)
+  }
+
+  test("dedupLines is a no-op pass-through when nothing repeats") {
+    val in = Seq((1L, "only one\ndocument here")).toDF("doc_id", "text")
+    val out = Corpus.dedupLines(in, "doc_id", "text")
+    assertSameRows(out.select("doc_id", "text"), in)
+    assert(out.select("removed_lines").head().getLong(0) === 0L)
+  }
 }
