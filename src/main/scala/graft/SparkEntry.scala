@@ -321,6 +321,22 @@ object SparkEntry {
         .minHashLsh(t(s, dir, "documents"), "doc_id", "text", minSim = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     },
+    // ---- incremental near-dup: 4/5 of the corpus is banded ONCE into a
+    // bucketed LSH index (corpus-side cap applies there), then the held-out
+    // 1/5 probes it as a "new batch" — no corpus re-hash, no corpus
+    // shuffle. The oracle recomputes the same split with the portable md5
+    // signature pipeline.
+    "dedup_minhash_incremental" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.materializeMinhashIndex(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        table = "graft_minhash_idx", numBuckets = 8)
+      Dedup
+        .minHashLshAgainstIndex(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          table = "graft_minhash_idx", minSim = 0.5)
+        .orderBy(col("id_new"), col("id_corpus"))
+    },
     // maxHamming=3 → 4 pigeonhole chunks of 16 bits: a 65k-value chunk-key
     // space. (maxHamming=8 would mean 7-bit chunks = 128 distinct keys —
     // on a clustered corpus the bucket self-join degenerates quadratically.)
@@ -2216,6 +2232,29 @@ object SparkEntry {
     "dedup_minhash" ->
       s"""WITH $minhashOracleCtes
          |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // Incremental variant: corpus (doc_id%5<>0) banded with the index-side
+    // cap, new batch (doc_id%5=0) uncapped, pairs across the split only.
+    "dedup_minhash_incremental" ->
+      s"""WITH $minhashOracleCtes,
+         |banded_c AS (
+         |  SELECT doc_id, b AS band, array_to_string(sig[b*4+1:b*4+4], ',') AS bkey
+         |  FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bands
+         |  WHERE doc_id % 5 <> 0
+         |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= 1000),
+         |banded_n AS (
+         |  SELECT doc_id, b AS band, array_to_string(sig[b*4+1:b*4+4], ',') AS bkey
+         |  FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bands
+         |  WHERE doc_id % 5 = 0),
+         |pairs_i AS (
+         |  SELECT DISTINCT n.doc_id AS id_new, c.doc_id AS id_corpus
+         |  FROM banded_n n JOIN banded_c c
+         |    ON n.band = c.band AND n.bkey = c.bkey AND n.doc_id <> c.doc_id),
+         |est_i AS (
+         |  SELECT id_new, id_corpus,
+         |    list_sum([CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END for i in range(64)]) / 64.0 AS est_jaccard
+         |  FROM pairs_i JOIN sig sa ON sa.doc_id = id_new JOIN sig sb ON sb.doc_id = id_corpus)
+         |SELECT id_new, id_corpus, est_jaccard FROM est_i
+         |WHERE est_jaccard >= 0.5 ORDER BY id_new, id_corpus""".stripMargin,
     // Replicates Dedup.simHashDups: 64-char bit-string simhash from
     // md5-derived token bits, 4-chunk (16-bit) pigeonhole candidates,
     // hamming <= 3.

@@ -157,6 +157,127 @@ object Dedup {
     lshPairsFromSignatures(sigs, numHashes, bands, minSim, maxBucket)
   }
 
+  /**
+   * Materialize a REUSABLE MinHash LSH index of a corpus: the incremental
+   * form of [[minHashLsh]]. Two bucketed tables are written —
+   * `<table>_buckets` (band, bkey, id), bucketed by (band, bkey), giant
+   * buckets pre-capped at `maxBucket` ids; and `<table>_sigs` (id, sig),
+   * bucketed by id. A later [[minHashLshAgainstIndex]] probes new documents
+   * against the index WITHOUT re-hashing or re-shuffling the corpus: both
+   * joins read the corpus through its bucketed layout, so only the (small)
+   * new batch moves. This is the dedup analog of the dataset model's
+   * incremental transforms — at 100 TB the corpus is banded once at ingest,
+   * and each increment pays O(new batch), not O(corpus).
+   *
+   * `fast = true` switches to the codegen'd xxhash64 signature kernel (not
+   * cross-engine portable; the DuckDB oracle covers the portable family,
+   * and the fast family is spec-tested equal in shape).
+   */
+  def materializeMinhashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucket: Int = 1000,
+      numBuckets: Int = 64,
+      fast: Boolean = false
+  ): Unit = {
+    require(numHashes % bands == 0, "numHashes must divide into bands evenly")
+    val r = numHashes / bands
+    val spark = df.sparkSession
+    val sigs = ensureParallelism(df).select(
+      col(idCol).as("id"),
+      signatureOf(col(textCol), shingleLen, numHashes, fast).as("sig")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs
+      .select(col("id"), posexplode(bandKeys(col("sig"), bands, r)).as(Seq("band", "bkey")))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("band"), col("bkey")).orderBy(col("id"))))
+      .filter(col("__rn") <= maxBucket)
+      .drop("__rn")
+    def save(d: DataFrame, name: String, keys: String*): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+      val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+      val loc = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      d.write.bucketBy(numBuckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .mode("overwrite").saveAsTable(name)
+    }
+    save(banded, s"${table}_buckets", "band", "bkey")
+    save(sigs, s"${table}_sigs", "id")
+    sigs.unpersist(blocking = false)
+  }
+
+  /**
+   * Near-dup pairs of a NEW batch against a corpus indexed by
+   * [[materializeMinhashIndex]] (same shingleLen/numHashes/bands/fast as at
+   * materialization — the index stores banded keys, not parameters).
+   * Returns (id_new, id_corpus, est_jaccard) with `est_jaccard >= minSim`;
+   * rows whose ids collide with their own corpus entry (re-ingest of an
+   * already-indexed document) are excluded by id inequality.
+   *
+   * Scale shape: the new batch is hashed and banded (map-only), joined to
+   * the bucketed corpus band table, then the surviving candidates join the
+   * bucketed signature table — the corpus is never re-hashed, and neither
+   * corpus table is re-shuffled (bucketed scan join); shuffle volume is
+   * O(new batch + candidates).
+   */
+  def minHashLshAgainstIndex(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minSim: Double = 0.6,
+      fast: Boolean = false
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands evenly")
+    val r = numHashes / bands
+    val spark = newDocs.sparkSession
+    val newSigs = ensureParallelism(newDocs).select(
+      col(idCol).as("id_new"),
+      signatureOf(col(textCol), shingleLen, numHashes, fast).as("sig_new")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    val newBanded = newSigs.select(
+      col("id_new"),
+      posexplode(bandKeys(col("sig_new"), bands, r)).as(Seq("band", "bkey")))
+    val cand = newBanded
+      .join(spark.table(s"${table}_buckets"), Seq("band", "bkey"))
+      .filter(col("id_new") =!= col("id"))
+      .select(col("id_new"), col("id").as("id_corpus"))
+      .dropDuplicates("id_new", "id_corpus")
+    val out = cand
+      .join(spark.table(s"${table}_sigs").select(col("id").as("id_corpus"), col("sig")),
+        Seq("id_corpus"))
+      .join(newSigs, Seq("id_new"))
+      .withColumn(
+        "est_jaccard",
+        aggregate(
+          zip_with(col("sig_new"), col("sig"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0),
+          (acc, v) => acc + v
+        ).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= minSim)
+      .select(col("id_new"), col("id_corpus"), col("est_jaccard"))
+      .localCheckpoint()
+    newSigs.unpersist(blocking = false)
+    out
+  }
+
+  /** Signature family selector shared by the batch and index paths. */
+  private def signatureOf(text: Column, shingleLen: Int, k: Int, fast: Boolean): Column =
+    if (fast)
+      graft.functions.HashExpressions
+        .minhashSignatureFast(Text.wordShingles(text, shingleLen), k)
+    else minHashSignature(Text.wordShingles(text, shingleLen), k)
+
   /** Shared LSH tail: band the (id, sig) frame, bucket-join candidate pairs,
     * verify by signature agreement. See [[minHashLsh]] for the scale notes. */
   private def lshPairsFromSignatures(

@@ -185,4 +185,49 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byStar === byProp)
   }
+
+  test("minhash index probe ≡ batch minHashLsh restricted to cross-split pairs") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = real.filter(col("doc_id") % 5 =!= 0)
+    val batch = real.filter(col("doc_id") % 5 === 0)
+    Dedup.materializeMinhashIndex(corpus, "doc_id", "text",
+      table = "graft_test_mh_idx", numBuckets = 4)
+    val inc = Dedup.minHashLshAgainstIndex(batch, "doc_id", "text",
+      table = "graft_test_mh_idx", minSim = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ground truth: the one-shot batch operator over the full corpus,
+    // keeping only pairs that straddle the split (either orientation)
+    val all = Dedup.minHashLsh(real, "doc_id", "text", minSim = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = all.flatMap { case (a, b, j) =>
+      if (a % 5 == 0 && b % 5 != 0) Some((a, b, j))
+      else if (b % 5 == 0 && a % 5 != 0) Some((b, a, j))
+      else None
+    }.toSet
+    assert(inc === expected)
+    assert(inc.nonEmpty, "fixture should contain cross-split near-dups")
+    // fast family: same machinery, codegen'd xxhash64 signatures — compare
+    // against the fast BATCH operator (the two families estimate jaccard
+    // from different hash minima, so near-threshold pairs legitimately
+    // differ across families, never within one)
+    Dedup.materializeMinhashIndex(corpus, "doc_id", "text",
+      table = "graft_test_mh_idx_fast", numBuckets = 4, fast = true)
+    val incFast = Dedup.minHashLshAgainstIndex(batch, "doc_id", "text",
+      table = "graft_test_mh_idx_fast", minSim = 0.5, fast = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectedFast = Dedup.minHashLshFast(real, "doc_id", "text", minSim = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        if (a % 5 == 0 && b % 5 != 0) Some((a, b))
+        else if (b % 5 == 0 && a % 5 != 0) Some((b, a))
+        else None
+      }.toSet
+    assert(incFast === expectedFast)
+    // the index is physically bucketed on its join keys, so probe joins
+    // read the corpus through its layout instead of re-shuffling it
+    val desc = spark.sql("DESCRIBE EXTENDED graft_test_mh_idx_buckets")
+      .collect().map(r => s"${r.getString(0)}=${r.getString(1)}").mkString("\n")
+    assert(desc.contains("Num Buckets=4"), desc)
+    assert(desc.contains("band") && desc.contains("bkey"), desc)
+  }
 }
