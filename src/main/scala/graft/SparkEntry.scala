@@ -1119,6 +1119,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- hashed linear quality classifier: deterministic dyadic weights
+    // (k/1024 — sums are exact in double, so summation order and engine
+    // cannot change the logit), same portable md5 token hash both sides.
+    "quality_classifier" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("score", Corpus.scoreHashedLinear(col("text"), qcWeights))
+        .select(col("doc_id"), col("score"), (col("score") > 0).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- corpus-wide line dedup (CCNet/RefinedWeb boilerplate removal):
     // the fixture text has no newlines, so segment boundaries are
     // synthesized identically in both engines (every ' the ' becomes a
@@ -2060,6 +2070,15 @@ object SparkEntry {
 
   /** Shared CTE body replicating Dedup.minHashLsh in DuckDB SQL — used by
     * the dedup_minhash oracle and composed further by dedup_pipeline. */
+  /** Deterministic dyadic classifier weights (k/1024, k in [-2048, 2048]):
+    * exact in double, so per-token sums are order- and engine-independent.
+    * The SQL literal prints all 10 fractional digits — 2^-10 is exact
+    * there too. */
+  private val qcWeights: Seq[Double] =
+    (0 until 64).map(i => (((i + 1) * 2654435761L) % 4097L - 2048L) / 1024.0)
+  private val qcWeightsSql: String =
+    qcWeights.map(w => f"$w%.10f").mkString("[", ", ", "]")
+
   private val minhashOracleCtes: String =
     """tok AS (
       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
@@ -2790,6 +2809,15 @@ object SparkEntry {
         |      '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g'),
         |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "quality_classifier" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, coalesce(list_sum(list_transform(toks,
+         |    t -> ($qcWeightsSql)[(('0x' || substring(md5(t), 1, 8))::BIGINT % 2147483647) % 64 + 1])), 0.0) AS score
+         |  FROM tok)
+         |SELECT doc_id, score, score > 0 AS keep FROM s ORDER BY doc_id""".stripMargin,
     "dedup_lines" ->
       """WITH docs AS (
         |  SELECT doc_id, replace(text, ' the ', chr(10)) AS text FROM documents),

@@ -366,6 +366,35 @@ object Corpus {
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
 
+  // ----------------------------------------------------- quality classifier
+
+  /**
+   * Model-based quality scoring with the hashing trick — the linear
+   * text-classifier stage (fastText-style) a large curation pipeline runs
+   * after the heuristic filters: each token hashes to one of `dim = |weights|`
+   * buckets via the cross-engine portable 31-bit hash, and the document's
+   * score is the raw logit `bias + Σ weights[h(token) mod dim]` (token
+   * multiplicity counts, as in a bag-of-words model). Returns the LOGIT, not
+   * a probability: monotone links (sigmoid) and keep-thresholds compose on
+   * top, and the logit itself is exactly representable — and therefore
+   * oracle-checkable and summation-order-independent — whenever the weights
+   * are dyadic rationals (k/2^n), which trained weights can always be
+   * rounded to.
+   *
+   * Map-only: the model ships once inside the expression tree (a constant-
+   * folded literal array), every token does one md5 + one array index — no
+   * shuffle, no UDF, no state. At 100 TB this is a single streaming pass.
+   */
+  def scoreHashedLinear(text: Column, weights: Seq[Double], bias: Double = 0.0): Column = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val dim = weights.length
+    val warr = array(weights.map(lit): _*)
+    aggregate(
+      Text.tokens(text),
+      lit(bias),
+      (acc, t) => acc + element_at(warr, (Text.portableHash31(t) % dim).cast("int") + 1))
+  }
+
   // ------------------------------------------------------------ line dedup
 
   /**

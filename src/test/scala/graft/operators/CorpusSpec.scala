@@ -276,6 +276,29 @@ class CorpusSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  // -------------------------------------------------- hashed linear scorer
+
+  test("scoreHashedLinear: bag-of-words logit — multiplicity, bias, map-only") {
+    val w = (0 until 16).map(i => (i - 8) / 1024.0)
+    val in = Seq((1L, "alpha"), (2L, "alpha alpha"), (3L, ""), (4L, "  ")).toDF("id", "t")
+    val got = in.select(col("id"),
+      Corpus.scoreHashedLinear(col("t"), w, bias = 0.5).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // blank text scores exactly the bias
+    assert(got(3L) === 0.5 && got(4L) === 0.5)
+    // token multiplicity: doubled token moves the logit twice as far
+    assert(got(2L) - 0.5 === 2 * (got(1L) - 0.5))
+    // dyadic weights: the logit is an exact multiple of 2^-10 over the bias
+    assert(((got(1L) - 0.5) * 1024).isWhole)
+    // map-only plan, and partitioning cannot change the score
+    val big = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = big.select(col("doc_id"), Corpus.scoreHashedLinear(col("text"), w).as("s"))
+    assert(!a.queryExecution.executedPlan.toString.contains("Exchange"))
+    val b = big.repartition(13).select(col("doc_id"),
+      Corpus.scoreHashedLinear(col("text"), w).as("s"))
+    assertSameRows(a.orderBy("doc_id"), b.orderBy("doc_id"), ordered = true)
+  }
+
   // ----------------------------------------------------------- line dedup
 
   test("dedupLines removes corpus-duplicated lines, keeps short/unique ones") {
