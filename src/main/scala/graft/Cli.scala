@@ -110,11 +110,23 @@ import graft.query.QueryService
  *                                 (kamu system depgraph)
  *   decode DATASET BLOCKHASH      print one metadata block's JSON
  *                                 (kamu system decode)
+ *   init [--exists-ok]            mark the directory as a workspace
+ *                                 (kamu init, init_command.rs; implicit
+ *                                 workspaces keep working without it)
+ *   config list|get KEY|set KEY [VALUE]
+ *                                 workspace-scoped config at
+ *                                 .graft/config.json; set with no value
+ *                                 unsets (kamu config, config_command.rs).
+ *                                 Read by: compact.maxSliceRecords,
+ *                                 serve.rest.port, serve.smart.port,
+ *                                 serve.jdbc.port
+ *   info                          engine/runtime/workspace summary
+ *                                 (kamu system info)
  */
 object Cli {
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val spark = SessionDefaults.tuned(SparkSession.builder())
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
       .appName("graft-cli")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -208,6 +220,17 @@ object Cli {
         case "set-watermark" :: ds :: iso :: Nil => cmdSetWatermark(spark, wsOpt, ds, iso, out)
         case "gc" :: rest2                 => cmdGc(spark, wsOpt, rest2.headOption, out)
         case "new" :: name :: fl           => cmdNew(name, fl.contains("--derivative"), out)
+        case "init" :: fl                  => cmdInit(spark, wsOpt, fl.contains("--exists-ok"), out)
+        case "config" :: "list" :: Nil =>
+          cmdConfig(spark, wsOpt, c =>
+            c.list().toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("\n"), out)
+        case "config" :: "get" :: k :: Nil =>
+          cmdConfig(spark, wsOpt, c => c.get(k).getOrElse(s"(unset) $k"), out)
+        case "config" :: "set" :: k :: v :: Nil =>
+          cmdConfig(spark, wsOpt, c => { c.set(k, v); s"set $k=$v" }, out)
+        case "config" :: "set" :: k :: Nil => // no value = unset, like the reference
+          cmdConfig(spark, wsOpt, c => { c.unset(k); s"unset $k" }, out)
+        case "info" :: Nil                 => cmdInfo(spark, wsOpt, out)
         case "completions" :: shell :: Nil => cmdCompletions(shell, out)
         case "diagnose" :: Nil             => cmdDiagnose(spark, wsOpt, out)
         case "compact" :: ds :: restN      => cmdCompact(spark, wsOpt, ds, restN.headOption.map(_.toLong), out)
@@ -631,10 +654,12 @@ object Cli {
 
   private def cmdServe(spark: SparkSession, ws: String, args: List[String],
       in: BufferedReader, out: PrintStream): Int = {
-    def portArg(flag: String): Option[Int] = args.indexOf(flag) match {
+    // explicit flag > workspace config > ephemeral port
+    val cfg = workspaceConfig(spark, ws)
+    def portArg(flag: String): Option[Int] = (args.indexOf(flag) match {
       case i if i >= 0 && i + 1 < args.length => Some(args(i + 1).toInt)
       case _                                  => None
-    }
+    }).orElse(cfg.getInt(s"serve.${flag.stripPrefix("--").stripSuffix("-port")}.port"))
     val datasets = workspaceDatasets(spark, ws)
     // An accepted HTTP push moves a served head — same webhook obligation as
     // a local ingest/pull head move.
@@ -759,14 +784,58 @@ object Cli {
 
   /** Every top-level subcommand, for help/completions. */
   private[graft] val Subcommands: Seq[String] = Seq(
-    "add", "alias", "compact", "completions", "decode", "delete", "diagnose",
-    "export", "flow", "gc", "ingest", "inspect", "lineage", "list", "log", "new",
-    "poll", "pull", "push", "rename", "repo", "reset", "schema", "search",
-    "serve", "set-watermark", "sql", "status", "tail", "verify", "webhook")
+    "add", "alias", "compact", "completions", "config", "decode", "delete",
+    "diagnose", "export", "flow", "gc", "info", "ingest", "init", "inspect",
+    "lineage", "list", "log", "new", "poll", "pull", "push", "rename", "repo",
+    "reset", "schema", "search", "serve", "set-watermark", "sql", "status",
+    "tail", "verify", "webhook")
 
   /** Workspace health report (kamu system diagnose,
     * system_diagnose_command.rs): per dataset — chain shape, head,
     * watermark, full integrity verification; exit 1 when any check fails. */
+  private def workspaceConfig(spark: SparkSession, ws: String): WorkspaceConfig =
+    new WorkspaceConfig(new org.apache.hadoop.fs.Path(ws),
+      spark.sparkContext.hadoopConfiguration)
+
+  /** `init` — mark a directory as a workspace (reference: init_command.rs).
+    * Creates `.graft/` with an empty config. Unlike the reference, every
+    * other command also works on an un-inited directory (implicit
+    * workspaces) — init exists for explicitness and tooling, not as a
+    * gate. */
+  private def cmdInit(spark: SparkSession, ws: String, existsOk: Boolean,
+      out: PrintStream): Int = {
+    val marker = new org.apache.hadoop.fs.Path(ws, ".graft")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      out.println(s"workspace already initialized at $ws")
+      if (existsOk) 0 else 1
+    } else {
+      val cfg = workspaceConfig(spark, ws)
+      cfg.set("workspace.version", "1")
+      out.println(s"initialized workspace at $ws")
+      0
+    }
+  }
+
+  private def cmdConfig(spark: SparkSession, ws: String,
+      f: WorkspaceConfig => String, out: PrintStream): Int = {
+    out.println(f(workspaceConfig(spark, ws)))
+    0
+  }
+
+  /** `info` — version/runtime/workspace summary (reference:
+    * system_info_command.rs). */
+  private def cmdInfo(spark: SparkSession, ws: String, out: PrintStream): Int = {
+    val v = Option(getClass.getPackage.getImplementationVersion).getOrElse("dev")
+    val ds = workspaceDatasets(spark, ws)
+    out.println(s"graft $v")
+    out.println(s"spark ${spark.version}")
+    out.println(s"scala ${scala.util.Properties.versionNumberString}")
+    out.println(s"java ${System.getProperty("java.version")}")
+    out.println(s"workspace $ws (${ds.size} datasets)")
+    0
+  }
+
   private def cmdDiagnose(spark: SparkSession, ws: String, out: PrintStream): Int = {
     val datasets = workspaceDatasets(spark, ws).toSeq.sortBy(_._1)
     if (datasets.isEmpty) { out.println("no datasets"); return 0 }
@@ -860,7 +929,11 @@ object Cli {
       maxRecords: Option[Long], out: PrintStream): Int = {
     val before = open(spark, ws, ds)
     val nBefore = before.chain.slices().size
-    val after = Maintenance.compact(before, maxRecords = maxRecords.getOrElse(300000L))
+    // explicit arg > workspace config > library default
+    val limit = maxRecords
+      .orElse(workspaceConfig(spark, ws).getLong("compact.maxSliceRecords"))
+      .getOrElse(300000L)
+    val after = Maintenance.compact(before, maxRecords = limit)
     out.println(s"slices: $nBefore -> ${after.chain.slices().size}")
     0
   }

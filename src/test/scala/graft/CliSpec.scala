@@ -506,4 +506,51 @@ class CliSpec extends SparkSpec {
     val (_, listOut2) = runCli("--workspace", root.toString, "repo", "list")
     assert(listOut2.trim.isEmpty)
   }
+
+  test("init / config / info: workspace marker, scoped config, consumers") {
+    val root = Files.createTempDirectory("graft-cli-init-")
+    val (c0, out0) = runCli("--workspace", root.toString, "init")
+    assert(c0 === 0 && out0.contains("initialized"), out0)
+    // re-init fails, --exists-ok tolerates
+    val (c1, _) = runCli("--workspace", root.toString, "init")
+    assert(c1 === 1)
+    assert(runCli("--workspace", root.toString, "init", "--exists-ok")._1 === 0)
+
+    // set / get / list / unset round-trip
+    assert(runCli("--workspace", root.toString,
+      "config", "set", "compact.maxSliceRecords", "2")._1 === 0)
+    val (_, got) = runCli("--workspace", root.toString,
+      "config", "get", "compact.maxSliceRecords")
+    assert(got.trim === "2", got)
+    val (_, listed) = runCli("--workspace", root.toString, "config", "list")
+    assert(listed.contains("compact.maxSliceRecords=2")
+      && listed.contains("workspace.version=1"), listed)
+
+    // the config value actually drives compaction: 5 rows at max 2 → 3 slices
+    val csv = root.resolve("n.csv")
+    Files.writeString(csv, "id,v\n1,a\n2,b\n3,c\n4,d\n5,e\n")
+    val ds = Dataset.create(spark, root.resolve("nums"), "nums")
+    ds.chain.append(
+      SetPollingSource(readFormat = "csv", schemaDdl = Some("id INT, v STRING"),
+        merge = MergeConf("append")), 0L)
+    IngestWriter.ingestFile(ds, csv.toString,
+      java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli)
+    val (cc, ccOut) = runCli("--workspace", root.toString, "compact", "nums")
+    assert(cc === 0 && ccOut.trim.endsWith("-> 3"), ccOut)
+
+    val (_, unsetOut) = runCli("--workspace", root.toString,
+      "config", "set", "compact.maxSliceRecords")
+    assert(unsetOut.contains("unset"), unsetOut)
+    assert(runCli("--workspace", root.toString,
+      "config", "get", "compact.maxSliceRecords")._2.contains("(unset)"))
+
+    // a non-integer value for an integer key surfaces as a clean error
+    runCli("--workspace", root.toString, "config", "set", "compact.maxSliceRecords", "soon")
+    val (cBad, badOut) = runCli("--workspace", root.toString, "compact", "nums")
+    assert(cBad === 1 && badOut.contains("must be an integer"), badOut)
+
+    val (ci, infoOut) = runCli("--workspace", root.toString, "info")
+    assert(ci === 0 && infoOut.contains(s"spark ${spark.version}")
+      && infoOut.contains("1 datasets"), infoOut)
+  }
 }
