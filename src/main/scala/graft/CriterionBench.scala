@@ -25,7 +25,7 @@ object CriterionBench {
   private def h(seed: Int) = xxhash64(col("id"), lit(seed))
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val spark = SessionDefaults.tuned(SparkSession.builder())
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
