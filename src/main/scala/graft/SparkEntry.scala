@@ -1119,6 +1119,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- corpus-wide top-K n-grams (the BPE-trainer pair-count step at
+    // n=2): map-side-combined counts, distributed TakeOrdered top-K,
+    // deterministic tie-break on the gram.
+    "top_ngrams" -> { (s, dir) =>
+      Corpus.topNgrams(t(s, dir, "documents"), "text", n = 2, k = 50)
+    },
+
+    // ---- domain filtering: deterministic synthetic URLs (doc_id mod 7
+    // picks the host in BOTH engines); suffix-blocklist drops hosts under
+    // spam.example / ads.net, and the unparseable-host row drops too.
+    "domain_filter" -> { (s, dir) =>
+      val hosts = array(
+        lit("ads.spam.example"), lit("en.wikipedia.org"), lit("blog.example.net"),
+        lit("spam.example"), lit("example.edu"), lit("tracker.ads.net"), lit(""))
+      val url = concat(lit("https://"),
+        element_at(hosts, (col("doc_id") % 7).cast("int") + 1),
+        lit("/page/"), col("doc_id").cast("string"))
+      val docs = t(s, dir, "documents").select(col("doc_id"), url.as("url"))
+      Corpus.filterByDomain(docs, "doc_id", "url", Seq("spam.example", "ads.net"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- hashed linear quality classifier: deterministic dyadic weights
     // (k/1024 — sums are exact in double, so summation order and engine
     // cannot change the logit), same portable md5 token hash both sides.
@@ -2809,6 +2831,28 @@ object SparkEntry {
         |      '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g'),
         |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "top_ngrams" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i+1:i+2], ' ') for i in range(len(toks) - 1)] END AS grams
+        |  FROM tok),
+        |c AS (SELECT unnest(grams) AS gram FROM g)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS gram_count FROM c
+        |GROUP BY gram ORDER BY gram_count DESC, gram LIMIT 50""".stripMargin,
+    // Independent derivation: with hosts picked by doc_id mod 7, exactly
+    // the wikipedia/blog/edu rows survive (blocked suffixes and the
+    // unparseable empty host drop).
+    "domain_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'https://' || (['ads.spam.example','en.wikipedia.org','blog.example.net',
+        |                    'spam.example','example.edu','tracker.ads.net',''])[CAST(doc_id % 7 AS INT) + 1]
+        |      || '/page/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents)
+        |SELECT doc_id, url FROM d WHERE doc_id % 7 IN (1, 2, 4) ORDER BY doc_id""".stripMargin,
     "quality_classifier" ->
       s"""WITH tok AS (
          |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS toks

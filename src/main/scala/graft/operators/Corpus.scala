@@ -366,6 +366,75 @@ object Corpus {
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
 
+  // --------------------------------------------------------- n-gram counts
+
+  /**
+   * Corpus-wide top-K word n-grams by document frequency or raw count — the
+   * counting step a tokenizer trainer (BPE merge selection ranks adjacent
+   * pair counts; n = 2) and a corpus profiler both run. Shuffle carries
+   * (gram, partial count) after map-side combine; the final top-K is
+   * Spark's distributed TakeOrdered (each partition offers its K best) —
+   * no global sort materializes. Ties break on the gram string so the
+   * result is deterministic and oracle-checkable.
+   */
+  def topNgrams(
+      docs: DataFrame,
+      textCol: String,
+      n: Int,
+      k: Int,
+      perDocument: Boolean = false
+  ): DataFrame = {
+    require(n >= 1 && k >= 1, "n and k must be positive")
+    val grams = docs.select(explode(Text.wordShingles(col(textCol), n)).as("gram"))
+    val base =
+      if (perDocument)
+        docs.select(explode(array_distinct(Text.wordShingles(col(textCol), n))).as("gram"))
+      else grams
+    base.groupBy(col("gram"))
+      .agg(count(lit(1)).as("gram_count"))
+      .orderBy(col("gram_count").desc, col("gram"))
+      .limit(k)
+  }
+
+  // ------------------------------------------------------------ URL filter
+
+  /**
+   * Domain filtering — the URL-level curation stage (block spam/adult/SEO
+   * domains, keep the rest): extract the host from a URL column and drop
+   * rows whose host OR any parent domain is blocklisted (`ads.example.com`
+   * is blocked by `example.com`). Each host explodes into its dot-suffixes
+   * (~2-5 labels), which EQUI-join the broadcast blocklist — never a
+   * nested-loop scan of the list per row — and the matching ids anti-join
+   * back. Rows with no parseable host are DROPPED (conservative:
+   * unparseable provenance is not keepable provenance).
+   */
+  def filterByDomain(
+      docs: DataFrame,
+      idCol: String,
+      urlCol: String,
+      blockedDomains: Seq[String]
+  ): DataFrame = {
+    require(blockedDomains.nonEmpty, "empty blocklist: nothing to filter")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def host(c: Column) = lower(regexp_extract(c, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1))
+    // every dot-suffix of the host: ads.ex.com -> [ads.ex.com, ex.com, com]
+    def suffixes(h: Column) = {
+      val labels = split(h, "\\.")
+      transform(sequence(lit(0), size(labels) - 1),
+        i => array_join(slice(labels, i + 1, size(labels)), "."))
+    }
+    val blocked = blockedDomains.map(_.toLowerCase).distinct.toDF("_fbd_sfx")
+    val bad = docs
+      .select(col(idCol).as("_fbd_id"), explode(suffixes(host(col(urlCol)))).as("_fbd_sfx"))
+      .join(broadcast(blocked), Seq("_fbd_sfx"))
+      .select(col("_fbd_id"))
+      .distinct()
+    docs
+      .filter(length(host(col(urlCol))) > 0)
+      .join(bad, col(idCol) === col("_fbd_id"), "left_anti")
+  }
+
   // ----------------------------------------------------- quality classifier
 
   /**

@@ -276,6 +276,45 @@ class CorpusSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  // ---------------------------------------------------------- top n-grams
+
+  test("topNgrams: corpus vs per-document counts, deterministic ties") {
+    val in = Seq(
+      (1L, "a b a b"),   // grams: "a b","b a","a b"
+      (2L, "a b"),       // gram: "a b"
+      (3L, "z")          // short doc: single gram "z"
+    ).toDF("doc_id", "text")
+    val top = Corpus.topNgrams(in, "text", n = 2, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(top.head === ("a b" -> 3L))
+    assert(top.toMap === Map("a b" -> 3L, "b a" -> 1L, "z" -> 1L))
+    // per-document frequency counts each gram once per doc
+    val df = Corpus.topNgrams(in, "text", n = 2, k = 10, perDocument = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df === Map("a b" -> 2L, "b a" -> 1L, "z" -> 1L))
+    // ties order by gram string: k=2 must take "a b" then "b a"
+    val top2 = Corpus.topNgrams(in, "text", n = 2, k = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(top2 === Seq("a b", "b a"))
+  }
+
+  // --------------------------------------------------------- domain filter
+
+  test("filterByDomain: suffix blocklist, parent domains, unparseable drop") {
+    val in = Seq(
+      (1L, "https://en.wikipedia.org/wiki/Spark"),
+      (2L, "https://ads.spam.example/banner"),   // blocked via parent
+      (3L, "https://spam.example/index"),        // blocked exactly
+      (4L, "HTTPS://SPAM.EXAMPLE/shout"),        // case-insensitive host
+      (5L, "not a url at all"),                  // unparseable -> dropped
+      (6L, "https://example.net/ok"),
+      (7L, "https://notspam.example.net/ok")     // example.net NOT blocked; suffix match is label-aligned
+    ).toDF("doc_id", "url")
+    val kept = Corpus.filterByDomain(in, "doc_id", "url", Seq("spam.example", "ads.net"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 6L, 7L))
+  }
+
   // -------------------------------------------------- hashed linear scorer
 
   test("scoreHashedLinear: bag-of-words logit — multiplicity, bias, map-only") {
