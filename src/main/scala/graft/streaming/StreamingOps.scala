@@ -39,6 +39,37 @@ object StreamingOps {
       .load(ds.chain.dataDir.toString)
   }
 
+  /**
+   * Streaming exact dedup — drop arriving rows whose fingerprint was
+   * already admitted within the watermark horizon: the LLM-pipeline dedup
+   * stage applied AT INGEST TIME instead of as a batch sweep. Built on
+   * `dropDuplicatesWithinWatermark`, so the state store holds one
+   * fingerprint per admitted row and EVICTS it once the watermark passes
+   * its event time + delay — state is bounded by the horizon's arrival
+   * rate, never by corpus size, which is what lets this run forever.
+   * Rows are emitted the moment they are admitted (no buffering).
+   *
+   * Horizon semantics are the contract: a duplicate arriving after its
+   * original's state expired is admitted again. For dedup against ALL
+   * history, probe a materialized index instead
+   * ([[graft.operators.Dedup.minHashLshAgainstIndex]]) or ingest through
+   * the ledger merge strategy.
+   *
+   * `fingerprint` is any deterministic Column over the row — e.g.
+   * `Text.fingerprint(col("text"))` for content identity, or a raw key
+   * column for id identity.
+   */
+  def dedupStream(
+      df: DataFrame,
+      timeCol: String,
+      watermarkDelay: String,
+      fingerprint: Column
+  ): DataFrame =
+    df.withColumn("_dedup_fp", fingerprint)
+      .withWatermark(timeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("_dedup_fp")
+      .drop("_dedup_fp")
+
   /** Tumbling-window aggregation with a watermark
     * (examples/covid/canada.daily-cases.yaml:13-37 — `TUMBLE(...)`).
     * Pass `watermarkDelay = ""` when the stream already carries a watermark

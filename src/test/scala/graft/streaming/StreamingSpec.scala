@@ -87,6 +87,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream: within-horizon dups dropped, state evicts past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "id", "text")
+    val deduped = StreamingOps.dedupStream(
+      df, timeCol = "ts", watermarkDelay = "10 minutes",
+      fingerprint = graft.functions.Text.fingerprint(col("text")))
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      def ids = spark.table("dedup_stream").select("id").as[Long].collect().toSet
+      // same content twice in one batch: one admitted
+      mem.addData(
+        (t("2024-01-01T10:00:00Z"), 1L, "the same document"),
+        (t("2024-01-01T10:00:00Z"), 2L, "the same document"),
+        (t("2024-01-01T10:00:00Z"), 3L, "a different document"))
+      q.processAllAvailable()
+      assert(ids === Set(1L, 3L))
+      // a later in-horizon duplicate is dropped (state still alive)
+      mem.addData((t("2024-01-01T10:05:00Z"), 4L, "the same document"))
+      q.processAllAvailable()
+      assert(ids === Set(1L, 3L))
+      // advance the watermark past the fingerprint's expiry (10:00+10m),
+      // then the SAME content is admitted again: horizon semantics
+      mem.addData((t("2024-01-01T10:30:00Z"), 5L, "watermark mover"))
+      q.processAllAvailable()
+      mem.addData((t("2024-01-01T10:25:00Z"), 6L, "the same document"))
+      q.processAllAvailable()
+      assert(ids === Set(1L, 3L, 5L, 6L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join emits matched pairs within the range") {
     implicit val sqlCtx = spark.sqlContext
     val orders = MemoryStream[(Long, Timestamp)]
