@@ -818,6 +818,21 @@ object SparkEntry {
         .orderBy(col("qid"), col("rnk"))
     },
 
+    // ---- SQ8 compressed ANN: per-dim [min,max] trained on the corpus,
+    // byte codes (packed binary on the Spark side, plain integer lists in
+    // the oracle — identical values by construction), exact integer dots.
+    "ann_sq8" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val (mins, maxs) = Similarity.sq8Train(emb, "embedding", dim = 64)
+      val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity
+        .sq8TopK(q, c, "qid", "qv", "cid", "cv", k = 5, mins, maxs)
+        .select(col("qid"), col("rnk"), col("cid"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+
     "embed_neardup" -> { (s, dir) =>
       val planes = Similarity.intPlanes(numPlanes = 4, dim = 64, seed = 7L)
       val e = t(s, dir, "embeddings")
@@ -2570,6 +2585,29 @@ object SparkEntry {
         |      FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS cid, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT)) AS cv
         |      FROM embeddings),
+        |scored AS (
+        |  SELECT qid, cid,
+        |    CASE WHEN sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE))
+        |            * sqrt(CAST(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)) > 0
+        |         THEN CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)
+        |            / (sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE))
+        |             * sqrt(CAST(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)))
+        |         ELSE 0.0 END AS cos
+        |  FROM q CROSS JOIN c WHERE qid <> cid)
+        |SELECT qid, rnk, cid FROM (
+        |  SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
+        |  FROM scored) WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "ann_sq8" ->
+      """WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ex AS (SELECT vec_id, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS pos FROM c0),
+        |st AS (SELECT pos, min(val) AS mn, max(val) AS mx FROM ex GROUP BY pos),
+        |enc AS (
+        |  SELECT vec_id, list(CASE WHEN mx = mn THEN 0
+        |      ELSE least(255, greatest(0, CAST(floor((val - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT))) END
+        |      ORDER BY pos) AS cv
+        |  FROM ex JOIN st USING (pos) GROUP BY vec_id),
+        |q AS (SELECT vec_id AS qid, cv AS qv FROM enc WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid, cv FROM enc),
         |scored AS (
         |  SELECT qid, cid,
         |    CASE WHEN sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE))

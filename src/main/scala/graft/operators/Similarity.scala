@@ -84,6 +84,101 @@ object Similarity {
       .select(col(qidCol), col("rnk"), col(cidCol), col("cos"))
   }
 
+  // ------------------------------------------------------------------- SQ8
+
+  /**
+   * SQ8 scalar quantization — the FAISS-style compressed-vector scale path:
+   * each dimension maps to ONE unsigned byte via a per-dimension [min, max]
+   * range learned from the corpus, and vectors ship as `binary` codes — 8x
+   * smaller than the long-quantized form in memory and shuffles, which at
+   * 100 TB is the difference between an in-memory ANN corpus and a spilled
+   * one. Distances are exact integer arithmetic over the codes
+   * ([[graft.functions.ByteCodes.byteDot]], codegen'd), so the whole
+   * train → encode → score → rank pipeline stays DuckDB-oracle-checkable.
+   *
+   * Training is ONE aggregation (dim rows collected — 2·dim doubles on the
+   * driver, never data-sized). Codes use `floor(x·255/(range) + 0.5)` with
+   * identical operation order in both engines — IEEE doubles make the codes
+   * bit-equal, and everything after is integer.
+   */
+  def sq8Train(corpus: DataFrame, vecCol: String, dim: Int): (Seq[Double], Seq[Double]) = {
+    val rows = corpus
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("_pos", "_val")))
+      .groupBy(col("_pos"))
+      .agg(min(col("_val")).as("_mn"), max(col("_val")).as("_mx"))
+      .orderBy(col("_pos"))
+      .collect()
+    require(rows.length == dim, s"sq8Train: expected $dim dims, got ${rows.length}")
+    (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
+  }
+
+  /** Per-element SQ8 codes as array<long> in [0, 255] (the portable,
+    * oracle-visible form; pack with [[graft.functions.ByteCodes.packBytes]]
+    * for storage). A collapsed dimension (max == min) codes to 0. */
+  def sq8Codes(vec: Column, mins: Seq[Double], maxs: Seq[Double]): Column = {
+    require(mins.length == maxs.length, "mins/maxs length mismatch")
+    val mn = array(mins.map(lit): _*)
+    val mx = array(maxs.map(lit): _*)
+    transform(vec.cast("array<double>"), (x, i) => {
+      val lo = element_at(mn, i + 1)
+      val hi = element_at(mx, i + 1)
+      when(hi === lo, lit(0L)).otherwise(
+        least(lit(255L), greatest(lit(0L),
+          floor((x - lo) * lit(255.0) / (hi - lo) + lit(0.5)))))
+    })
+  }
+
+  /**
+   * Approximate top-k over SQ8-compressed vectors: both sides encode to
+   * packed byte codes, scoring is the native byte dot (one multiply-add per
+   * BYTE, in whole-stage codegen), ranking is the same two-level exact
+   * top-k as [[bruteForceTopK]] — per-task work bounded by partition size.
+   * The query side broadcasts; the corpus never shuffles.
+   */
+  def sq8TopK(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (cid, cvec)
+      qidCol: String,
+      qvecCol: String,
+      cidCol: String,
+      cvecCol: String,
+      k: Int,
+      mins: Seq[Double],
+      maxs: Seq[Double]
+  ): DataFrame = {
+    import graft.functions.ByteCodes
+    val q = queries.select(
+      col(qidCol),
+      ByteCodes.packBytes(sq8Codes(col(qvecCol), mins, maxs)).as("__qc"))
+      .withColumn("__qn", sqrt(ByteCodes.byteDot(col("__qc"), col("__qc")).cast("double")))
+    val c = Dedup.ensureParallelism(corpus).select(
+      col(cidCol),
+      ByteCodes.packBytes(sq8Codes(col(cvecCol), mins, maxs)).as("__cc"))
+      .withColumn("__cn", sqrt(ByteCodes.byteDot(col("__cc"), col("__cc")).cast("double")))
+    val scored = c
+      .join(broadcast(q), col(qidCol) =!= col(cidCol))
+      .withColumn(
+        "cos",
+        when(
+          col("__qn") * col("__cn") > 0,
+          ByteCodes.byteDot(col("__qc"), col("__cc")).cast("double") /
+            (col("__qn") * col("__cn"))
+        ).otherwise(lit(0.0)))
+    val w1 = Window
+      .partitionBy(col(qidCol), col("__part"))
+      .orderBy(col("cos").desc, col(cidCol))
+    val pruned = scored
+      .withColumn("__part", spark_partition_id())
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= k)
+      .drop("__r1", "__part")
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("cos").desc, col(cidCol))
+    pruned
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(qidCol), col("rnk"), col(cidCol), col("cos"))
+  }
+
   /** Deterministic random hyperplanes (seeded), as literal expression trees. */
   private def planes(numPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
     val rnd = new Random(seed)

@@ -138,4 +138,22 @@ class HashExpressionsSpec extends SparkSpec {
     }
     assert(bad.getMessage.contains("ascending"))
   }
+
+  test("packBytes/byteDot: unsigned semantics, clamping, codegen ≡ interpreted") {
+    val df = Seq(
+      (1L, Seq(0L, 128L, 255L), Seq(1L, 1L, 1L)),      // high bytes stay unsigned
+      (2L, Seq(-5L, 300L, 7L), Seq(255L, 255L, 0L)),    // clamped to 0 / 255
+      (3L, Seq.empty[Long], Seq(9L))                    // length-mismatch-safe
+    ).toDF("id", "a", "b")
+    def run(mode: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try df.select(col("id"),
+        ByteCodes.byteDot(ByteCodes.packBytes(col("a")), ByteCodes.packBytes(col("b"))).as("d"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    val got = run("CODEGEN_ONLY")
+    assert(got === Map(1L -> (0L + 128L + 255L), 2L -> (0L * 255L + 255L * 255L), 3L -> 0L))
+    assert(run("NO_CODEGEN") === got)
+  }
 }

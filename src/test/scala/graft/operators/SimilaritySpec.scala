@@ -115,4 +115,37 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("expected embedding dim 3"))
   }
+
+  test("SQ8: codes clamp to [0,255], collapsed dims code to 0, pack round-trips") {
+    val df = Seq((1L, Array(0.0f, 5.0f, 7.0f)), (2L, Array(10.0f, 5.0f, 3.0f))).toDF("id", "v")
+    val (mins, maxs) = Similarity.sq8Train(df, "v", dim = 3)
+    assert(mins === Seq(0.0, 5.0, 3.0) && maxs === Seq(10.0, 5.0, 7.0))
+    val codes = df
+      .select(col("id"), Similarity.sq8Codes(col("v"), mins, maxs).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // dim 0: [0,10] -> 0 and 255; dim 1 collapsed -> 0; dim 2: [3,7] -> 255 and 0
+    assert(codes(1L) === Seq(0L, 0L, 255L))
+    assert(codes(2L) === Seq(255L, 0L, 0L))
+    // pack -> byteDot equals the plain integer dot over the code lists
+    val packed = df
+      .select(graft.functions.ByteCodes
+        .packBytes(Similarity.sq8Codes(col("v"), mins, maxs)).as("p"))
+    val dots = packed.crossJoin(packed.select(col("p").as("p2")))
+      .select(graft.functions.ByteCodes.byteDot(col("p"), col("p2")).as("d"))
+      .as[Long].collect().sorted
+    assert(dots === Array(0L, 0L, 255L * 255L, 255L * 255L).sorted)
+  }
+
+  test("SQ8 topK recalls brute-force exactly on well-separated fixtures") {
+    val (mins, maxs) = Similarity.sq8Train(corpus, "cvec", dim = 3)
+    val got = Similarity
+      .sq8TopK(queries, corpus, "qid", "qvec", "cid", "cvec", k = 2, mins, maxs)
+      .select("qid", "rnk", "cid")
+      .as[(Long, Int, Long)]
+      .collect()
+      .toSet
+    // same answer as bruteForceTopK on this fixture: compression is lossy
+    // but the clusters are far apart
+    assert(got === Set((1L, 1, 10L), (1L, 2, 11L), (2L, 1, 12L), (2L, 2, 13L)))
+  }
 }
