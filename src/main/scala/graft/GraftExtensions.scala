@@ -60,6 +60,26 @@ object GraftExtensions {
           case other =>
             throw new IllegalArgumentException(s"simhash64(arr[, seed]) got ${other.size} args")
         }
+    ),
+    (
+      new FunctionIdentifier("keccak256"),
+      new ExpressionInfo(classOf[graft.functions.Keccak256Expr].getName, "keccak256"),
+      (args: Seq[Expression]) =>
+        args match {
+          case Seq(v) => graft.functions.Keccak256Expr(v, prefixed = false)
+          case other =>
+            throw new IllegalArgumentException(s"keccak256(value) got ${other.size} args")
+        }
+    ),
+    (
+      new FunctionIdentifier("eth_event_selector"),
+      new ExpressionInfo(classOf[graft.functions.Keccak256Expr].getName, "eth_event_selector"),
+      (args: Seq[Expression]) =>
+        args match {
+          case Seq(v) => graft.functions.Keccak256Expr(v, prefixed = true)
+          case other =>
+            throw new IllegalArgumentException(s"eth_event_selector(signature) got ${other.size} args")
+        }
     )
   )
 }
