@@ -1134,6 +1134,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- deterministic train/val/test split: (salt, id)-hash against
+    // cumulative weight boundaries; the oracle embeds the EXACT double
+    // boundaries (full decimal expansion) so both engines compare the same
+    // bits.
+    "corpus_split" -> { (s, dir) =>
+      Corpus.splitCorpus(t(s, dir, "documents").select(col("doc_id")), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = 7L)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- corpus-wide top-K n-grams (the BPE-trainer pair-count step at
     // n=2): map-side-combined counts, distributed TakeOrdered top-K,
     // deterministic tie-break on the gram.
@@ -2116,6 +2126,25 @@ object SparkEntry {
   private val qcWeightsSql: String =
     qcWeights.map(w => f"$w%.10f").mkString("[", ", ", "]")
 
+  /** corpus_split oracle: the cumulative boundaries are embedded as the
+    * EXACT decimal expansion of the Scala-side doubles (BigDecimal of the
+    * bits), so DuckDB parses bit-identical boundary values and the
+    * comparison `u < bound` agrees everywhere. */
+  private val corpusSplitOracle: String = {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val total = splits.map(_._2).sum
+    val bounds = splits.scanLeft(0.0) { case (a, (_, w)) => a + w / total }.tail
+    def d(x: Double) = new java.math.BigDecimal(x).toPlainString
+    s"""SELECT doc_id,
+       |  CASE WHEN u < ${d(bounds(0))} THEN 'train'
+       |       WHEN u < ${d(bounds(1))} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id,
+       |  (('0x' || substring(md5('split:7:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |    % 2147483647) / 2147483647.0 AS u
+       |  FROM documents) ORDER BY doc_id""".stripMargin
+  }
+
   private val minhashOracleCtes: String =
     """tok AS (
       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
@@ -2869,6 +2898,7 @@ object SparkEntry {
         |      '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g'),
         |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "corpus_split" -> corpusSplitOracle,
     "top_ngrams" ->
       """WITH tok AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks

@@ -366,6 +366,39 @@ object Corpus {
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
 
+  // -------------------------------------------------------------- splitting
+
+  /**
+   * Deterministic train/validation/test splitting — the final assignment
+   * step before shards are written: each row lands in exactly one named
+   * split with probability proportional to its weight, decided purely by
+   * the portable (salt, id) hash mapped to [0, 1) against the cumulative
+   * weight boundaries. Re-running on any subset, any partitioning, or any
+   * engine reproduces the same assignment (same property as
+   * [[sampleBySource]]); changing `salt` draws a fresh split. Map-only —
+   * adds one codegen'd md5 and a nested CASE per row.
+   */
+  def splitCorpus(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      salt: Long = 0L,
+      splitCol: String = "split"
+  ): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "splits must have positive weights")
+    require(splits.map(_._1).distinct.length == splits.length, "split names must be unique")
+    val total = splits.map(_._2).sum
+    val unit = Text.portableHash31(
+      concat(lit(s"split:$salt:"), col(idCol).cast("string"))) / lit(Hashing.P31.toDouble)
+    // cumulative upper boundaries; the last split takes the remainder so
+    // floating error can never leave a row unassigned
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    val assigned = splits.init.zip(bounds.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), hi), els) => when(unit < hi, lit(name)).otherwise(els)
+    }
+    df.withColumn(splitCol, assigned)
+  }
+
   // --------------------------------------------------------- n-gram counts
 
   /**

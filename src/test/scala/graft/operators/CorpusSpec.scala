@@ -276,6 +276,42 @@ class CorpusSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  // -------------------------------------------------------------- splitting
+
+  test("splitCorpus: exhaustive, deterministic, partitioning-invariant, salt-sensitive") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Corpus.splitCorpus(docs, "doc_id", splits, salt = 7L)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every row assigned to exactly one of the named splits
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(a.size === docs.count())
+    // proportions in the right ballpark (hash is unbiased; fixture is small)
+    val frac = a.values.count(_ == "train").toDouble / a.size
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+    // partitioning cannot change any assignment
+    val b = Corpus.splitCorpus(docs.repartition(13, col("lang")), "doc_id", splits, salt = 7L)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+    // a different salt draws a different split
+    val c = Corpus.splitCorpus(docs, "doc_id", splits, salt = 8L)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a !== c)
+    // map-only
+    val plan = Corpus.splitCorpus(docs, "doc_id", splits)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // duplicate names / non-positive weights refused
+    intercept[IllegalArgumentException] {
+      Corpus.splitCorpus(docs, "doc_id", Seq("a" -> 1.0, "a" -> 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.splitCorpus(docs, "doc_id", Seq("a" -> 0.0))
+    }
+  }
+
   // ---------------------------------------------------------- top n-grams
 
   test("topNgrams: corpus vs per-document counts, deterministic ties") {
