@@ -858,6 +858,20 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // ---- SemDeDup semantic dedup (beyond-reference): k-means cells, drop
+    // any doc with an earlier >=minCos cell-mate, keep the rest. Seed
+    // centroids (iters = 0) are the first k vectors by id — exactly
+    // replicable in the oracle, so the oracle pins cell ASSIGNMENT plus the
+    // keep rule; trained-centroid behavior (a containment/refinement
+    // property, not a fixed answer) is DedupSpec's job.
+    "semantic_dedup" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), Similarity.quantize(col("embedding")).as("v"))
+      val cents = Similarity.ivfTrain(e, "id", "v", k = 8, iters = 0)
+      Dedup.semanticDedupQuantized(e, "id", "v", cents, dim = 64, minCos = 0.3)
+        .orderBy(col("id"))
+    },
+
     // ---- export sinks + readers round-trip (SURVEY §2.1 #18): dataset →
     // csv + ndjson files → read back through the ingest readers.
     "export_roundtrip" -> { (s, dir) =>
@@ -2652,6 +2666,37 @@ object SparkEntry {
     "embed_neardup" -> embedNeardupOracle,
     // Same values, bucketed execution — the oracle is identical by design.
     "embed_neardup_bucketed" -> embedNeardupOracle,
+    // Full SemDeDup replication: seed centroids = first 8 quantized vectors,
+    // nearest-cell assignment by exact integer squared L2 (ties to the
+    // lowest cell id), per-cell cap, within-cell pairwise quantized cosine,
+    // drop ids with an earlier >=0.3 cell-mate.
+    "semantic_dedup" ->
+      """WITH v AS (SELECT vec_id AS id, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT)) AS v
+        |           FROM embeddings),
+        |cents AS (SELECT CAST(id AS INTEGER) AS ci, v AS cv FROM v WHERE id < 8),
+        |asg AS (
+        |  SELECT id, v, ci AS cell,
+        |         CAST(list_dot_product(CAST(v AS DOUBLE[]), CAST(v AS DOUBLE[])) AS DOUBLE) AS n2
+        |  FROM v CROSS JOIN cents
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY
+        |      list_dot_product(CAST(v AS DOUBLE[]), CAST(v AS DOUBLE[]))
+        |      - 2 * list_dot_product(CAST(v AS DOUBLE[]), CAST(cv AS DOUBLE[]))
+        |      + list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])), ci) = 1),
+        |capped AS (SELECT id, cell FROM asg
+        |           QUALIFY row_number() OVER (PARTITION BY cell ORDER BY id) <= 1000),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b FROM capped a JOIN capped b USING (cell)
+        |  WHERE a.id < b.id),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |    CASE WHEN sqrt(va.n2) * sqrt(vb.n2) > 0
+        |         THEN CAST(list_dot_product(CAST(va.v AS DOUBLE[]), CAST(vb.v AS DOUBLE[])) AS DOUBLE)
+        |            / (sqrt(va.n2) * sqrt(vb.n2))
+        |         ELSE 0.0 END AS cos
+        |  FROM pairs JOIN asg va ON va.id = id_a JOIN asg vb ON vb.id = id_b),
+        |dropped AS (SELECT DISTINCT id_b AS id FROM scored WHERE cos >= 0.3)
+        |SELECT id, cell FROM asg WHERE id NOT IN (SELECT id FROM dropped)
+        |ORDER BY id""".stripMargin,
     "export_roundtrip" ->
       """SELECT * FROM (
         |  SELECT n_nationkey, n_name, n_regionkey, 'csv' AS src FROM nation

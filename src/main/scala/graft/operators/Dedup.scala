@@ -840,4 +840,73 @@ object Dedup {
     vecs.unpersist(blocking = false)
     out
   }
+
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023,
+   * arXiv:2303.09540): cluster document embeddings into k cells
+   * ([[Similarity.ivfTrain]] centroids) and drop every document that has an
+   * EARLIER (lower-id) cell-mate within cosine `minCos`. Returns the kept
+   * rows as (id, cell).
+   *
+   * Greedy keep-first semantics (the NeMo-Curator formulation): a document
+   * is dropped iff some lower-id document in the SAME cell is `>= minCos`
+   * similar. Kept/dropped status does not chain — the rule is a pure
+   * pairwise predicate, so it is deterministic under any partitioning and
+   * exactly replicable in the DuckDB oracle.
+   *
+   * Scale: clustering bounds the quadratic step to within-cell pairs — k
+   * grows with the corpus so the expected cell stays constant-sized, and
+   * `maxCell` is the same hard cap the LSH buckets carry, so one degenerate
+   * cell can never go quadratic. The self-join shuffles (cell, id) only;
+   * vectors join back onto candidate pairs, and only surviving drop-ids
+   * reach the final anti-join.
+   */
+  def semanticDedupQuantized(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Array[Long]],
+      dim: Int,
+      minCos: Double,
+      maxCell: Int = 1000
+  ): DataFrame = {
+    val vecs = df.select(
+      col(idCol).as("id"),
+      col(vecCol).as("v"),
+      Similarity.ivfCell(col(vecCol), centroids).cast("int").as("cell"),
+      Similarity.intDot(col(vecCol), col(vecCol)).as("n2")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    val capped = vecs.select(col("cell"), col("id"))
+      .withColumn(
+        "__rn",
+        row_number().over(Window.partitionBy(col("cell")).orderBy(col("id")))
+      )
+      .filter(col("__rn") <= maxCell)
+      .drop("__rn")
+
+    val pairs = capped.select(col("cell"), col("id").as("id_a"))
+      .join(capped.select(col("cell"), col("id").as("id_b")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+
+    val nn = sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))
+    val dropped = pairs
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("n2").as("na2")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("n2").as("nb2")), Seq("id_b"))
+      .withColumn(
+        "cos",
+        when(nn > 0, Similarity.intDotFixed(col("va"), col("vb"), dim).cast("double") / nn)
+          .otherwise(lit(0.0))
+      )
+      .filter(col("cos") >= minCos)
+      .select(col("id_b").as("id"))
+      .distinct()
+
+    val out = vecs.select(col("id"), col("cell"))
+      .join(dropped, Seq("id"), "left_anti")
+      .localCheckpoint()
+    vecs.unpersist(blocking = false)
+    out
+  }
 }

@@ -230,4 +230,76 @@ class DedupSpec extends SparkSpec {
     assert(desc.contains("Num Buckets=4"), desc)
     assert(desc.contains("band") && desc.contains("bkey"), desc)
   }
+
+  test("semanticDedupQuantized: greedy keep-first within cells") {
+    val vecs = Seq(
+      (0L, Array(1000L, 0L, 0L)),
+      (1L, Array(999L, 10L, 0L)), // near-dup of 0 -> dropped
+      (2L, Array(0L, 1000L, 0L)),
+      (3L, Array(5L, 998L, 0L)), // near-dup of 2 -> dropped
+      (4L, Array(0L, 0L, 1000L)), // alone in its cell
+      (5L, Array(990L, 30L, 0L)) // near-dup of 0 -> dropped
+    ).toDF("id", "v")
+    val cents = Seq(Array(1000L, 0L, 0L), Array(0L, 1000L, 0L), Array(0L, 0L, 1000L))
+    val kept = Dedup
+      .semanticDedupQuantized(vecs, "id", "v", cents, dim = 3, minCos = 0.99)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .toSet
+    assert(kept === Set((0L, 0), (2L, 1), (4L, 2)))
+  }
+
+  test("semanticDedupQuantized: single cell == global greedy; more cells only keep MORE") {
+    val data = (0L until 40L).map { i =>
+      val rnd = new scala.util.Random(i * 7 + 3)
+      (i, Array.fill(8)((rnd.nextInt(2001) - 1000).toLong))
+    }
+    val df = data.toDF("id", "v").repartition(5)
+    val tau = 0.4
+    val one = Dedup
+      .semanticDedupQuantized(df, "id", "v", Seq(Array.fill(8)(0L)), dim = 8, minCos = tau)
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      val nn = math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble)
+      if (nn > 0) d / nn else 0.0
+    }
+    val droppedTruth = data.collect {
+      case (j, vj) if data.exists { case (i, vi) => i < j && cos(vi, vj) >= tau } => j
+    }.toSet
+    assert(droppedTruth.nonEmpty, "fixture should contain semantic near-dups")
+    assert(one === data.map(_._1).toSet -- droppedTruth)
+    // trained cells remove cross-cell comparisons, so the kept set can only
+    // grow — and the run is partitioning-invariant
+    val cents = Similarity.ivfTrain(df, "id", "v", k = 4, iters = 2)
+    val multi = Dedup
+      .semanticDedupQuantized(df, "id", "v", cents, dim = 8, minCos = tau)
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(one.subsetOf(multi))
+    val multiRepart = Dedup
+      .semanticDedupQuantized(df.repartition(13), "id", "v", cents, dim = 8, minCos = tau)
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(multi === multiRepart)
+  }
+
+  test("semanticDedupQuantized: maxCell caps pairing; capped-out docs stay KEPT") {
+    // 20 identical vectors in one cell: pairs form only among the cap's
+    // lowest 5 ids, so 1-4 drop against 0 and every capped-out id survives —
+    // the cap degrades to keeping too much, never to dropping unverified.
+    val vecs = (0L until 20L).map(i => (i, Array(1000L, 0L, 0L))).toDF("id", "v")
+    val kept = Dedup
+      .semanticDedupQuantized(vecs, "id", "v", Seq(Array(0L, 0L, 0L)), dim = 3,
+        minCos = 0.99, maxCell = 5)
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(kept === (Set(0L) ++ (5L until 20L)))
+  }
 }
