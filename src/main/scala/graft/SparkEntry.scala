@@ -1190,6 +1190,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- bigram stupid-backoff LM perplexity (CCNet quality filter):
+    // model trained on the documents table itself, scored back over it.
+    // Per-token ln p floored onto a 1e-6 integer grid before summation, so
+    // the aggregate is order-independent and hash-comparable.
+    "lm_perplexity" -> { (s, dir) =>
+      val docs = Dedup.ensureParallelism(t(s, dir, "documents"))
+      val lm = Corpus.trainNgramLm(docs, "text")
+      Corpus.scoreNgramLm(docs, "doc_id", "text", lm)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- corpus-wide line dedup (CCNet/RefinedWeb boilerplate removal):
     // the fixture text has no newlines, so segment boundaries are
     // synthesized identically in both engines (every ' the ' becomes a
@@ -2975,6 +2986,33 @@ object SparkEntry {
          |    t -> ($qcWeightsSql)[(('0x' || substring(md5(t), 1, 8))::BIGINT % 2147483647) % 64 + 1])), 0.0) AS score
          |  FROM tok)
          |SELECT doc_id, score, score > 0 AS keep FROM s ORDER BY doc_id""".stripMargin,
+    // Full LM replication: same tokenization, counts, stupid backoff
+    // (alpha = 0.4), add-one unigram smoothing, and the 1e-6 floor-grid
+    // per-token log-probs summed as exact integers.
+    "lm_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |ex0 AS (
+        |  SELECT doc_id, toks, unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS i FROM tok),
+        |ex AS (
+        |  SELECT doc_id, tok, CASE WHEN i = 1 THEN NULL ELSE toks[i - 1] END AS prev FROM ex0),
+        |uni AS (SELECT tok, count(*) AS c1 FROM ex GROUP BY tok),
+        |bi AS (SELECT prev, tok, count(*) AS c2 FROM ex WHERE prev IS NOT NULL GROUP BY prev, tok),
+        |tot AS (SELECT count(*) AS n, count(DISTINCT tok) AS v FROM ex),
+        |sc AS (
+        |  SELECT e.doc_id,
+        |    CAST(floor(ln(
+        |      CASE WHEN b.c2 IS NOT NULL THEN CAST(b.c2 AS DOUBLE) / cp.c1
+        |           WHEN e.prev IS NOT NULL THEN 0.4 * (CAST(coalesce(u.c1, 0) + 1 AS DOUBLE) / (t.n + t.v))
+        |           ELSE CAST(coalesce(u.c1, 0) + 1 AS DOUBLE) / (t.n + t.v) END) * 1000000.0) AS BIGINT) AS lp
+        |  FROM ex e CROSS JOIN tot t
+        |  LEFT JOIN uni u ON u.tok = e.tok
+        |  LEFT JOIN uni cp ON cp.tok = e.prev
+        |  LEFT JOIN bi b ON b.prev = e.prev AND b.tok = e.tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(lp) * -1 AS DOUBLE) / 1000000.0 / count(*) AS logppl
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_lines" ->
       """WITH docs AS (
         |  SELECT doc_id, replace(text, ' the ', chr(10)) AS text FROM documents),

@@ -497,6 +497,100 @@ object Corpus {
       (acc, t) => acc + element_at(warr, (Text.portableHash31(t) % dim).cast("int") + 1))
   }
 
+  // ----------------------------------------------------- n-gram LM scoring
+
+  /** A bigram stupid-backoff language model held as DATA, not driver state:
+    * `unigrams` (tok, c1) and `bigrams` (prev, tok, c2) are DataFrames, so a
+    * model trained on a reference corpus of any size stays distributed —
+    * nothing model-sized ever reaches the driver. `n` = total training
+    * tokens, `v` = vocabulary size (the only driver-side scalars). */
+  final case class NgramLm(unigrams: DataFrame, bigrams: DataFrame, n: Long, v: Long)
+
+  /** Let-bound (tok, prev) stream of a document's tokens — map-only; the
+    * token array is bound ONCE through the single-element `transform`
+    * binder (the chunkDocs lesson: a plain `val` alias of the tokenizer
+    * expression re-evaluates it per reference). `prev` is null at position
+    * 0; `element_at` is 1-based, so index i reads ts[i-1]. */
+  private def tokenPairs(text: Column): Column =
+    flatten(transform(array(Text.tokens(text)), ts =>
+      transform(ts, (t, i) =>
+        struct(
+          t.as("tok"),
+          when(i === 0, lit(null).cast("string"))
+            .otherwise(element_at(ts, i)).as("prev")))))
+
+  /**
+   * Train a bigram stupid-backoff LM (Brants et al. 2007, "Large Language
+   * Models in Machine Translation") on a reference corpus — the CCNet
+   * (Wenzek et al. 2020) recipe of perplexity-based quality filtering, with
+   * the n-gram counts kept as DataFrames instead of a driver-resident KenLM
+   * binary. Two count aggregations, hash-partitioned on token keys; the
+   * token stream is persisted only for the duration of training so the
+   * corpus is tokenized once, and the model tables stay cached for scoring.
+   */
+  def trainNgramLm(docs: DataFrame, textCol: String): NgramLm = {
+    import org.apache.spark.storage.StorageLevel
+    val ex = docs
+      .select(explode(tokenPairs(col(textCol))).as("p"))
+      .select(col("p.tok").as("tok"), col("p.prev").as("prev"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val uni = ex.groupBy("tok").agg(count(lit(1)).as("c1"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bi = ex.filter(col("prev").isNotNull)
+      .groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val totals = uni.agg(sum(col("c1")).as("n"), count(lit(1)).as("v")).head()
+    bi.count() // force materialization before the token stream is released
+    ex.unpersist(blocking = false)
+    NgramLm(uni, bi, totals.getLong(0), totals.getLong(1))
+  }
+
+  /**
+   * Score documents by mean negative log-probability per token under the
+   * LM: p(t|prev) = c2(prev,t)/c1(prev) when the bigram was seen, else
+   * alpha * p1(t); p1(t) = (c1(t)+1)/(N+V) (add-one smoothing covers OOV
+   * tokens when the model was trained on a different corpus). Returns one
+   * row per document with >= 1 token: (id, n_tokens, logppl) where logppl
+   * is -mean ln p — lower = more fluent under the reference corpus; CCNet
+   * keeps the low-perplexity head/middle of this distribution.
+   *
+   * Exactness discipline: each token's ln p is FLOORED onto a 1e-6 grid and
+   * summed as an exact integer, so the aggregate is order-independent and
+   * engine-portable — a raw double sum would depend on Spark's partial-
+   * aggregation order and could never hash-match the oracle. Every other
+   * step (count ratios, the final divisions) is IEEE-exact. The model joins
+   * are plain hash joins on token keys; AQE broadcasts the model sides when
+   * runtime sizes allow, and at 100 TB they degrade gracefully to shuffled
+   * joins — the model never has to fit anywhere in particular.
+   */
+  def scoreNgramLm(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      lm: NgramLm,
+      alpha: Double = 0.4
+  ): DataFrame = {
+    val ex = docs
+      .select(col(idCol), explode(tokenPairs(col(textCol))).as("p"))
+      .select(col(idCol), col("p.tok").as("tok"), col("p.prev").as("prev"))
+    val joined = ex
+      .join(lm.unigrams.select(col("tok"), col("c1").as("ctok")), Seq("tok"), "left")
+      .join(lm.unigrams.select(col("tok").as("prev"), col("c1").as("cprev")), Seq("prev"), "left")
+      .join(lm.bigrams, Seq("prev", "tok"), "left")
+    val p1 = (coalesce(col("ctok"), lit(0L)) + 1).cast("double") / lit((lm.n + lm.v).toDouble)
+    val p = when(col("cprev").isNotNull && col("c2").isNotNull,
+        col("c2").cast("double") / col("cprev"))
+      .when(col("prev").isNotNull, lit(alpha) * p1)
+      .otherwise(p1)
+    joined
+      .withColumn("lp", floor(log(p) * lit(1000000.0)))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        ((sum(col("lp")) * lit(-1L)).cast("double") / lit(1000000.0) / count(lit(1)))
+          .as("logppl"))
+  }
+
   // ------------------------------------------------------------ line dedup
 
   /**

@@ -421,4 +421,72 @@ class CorpusSpec extends SparkSpec {
     assertSameRows(out.select("doc_id", "text"), in)
     assert(out.select("removed_lines").head().getLong(0) === 0L)
   }
+
+  // ---------------------------------------------------- n-gram LM scoring
+
+  /** Independent plain-Scala reference of train + score (same formulas,
+    * different execution path — driver loops vs Catalyst expressions). */
+  private def refNgramScore(
+      train: Seq[String],
+      doc: String,
+      alpha: Double = 0.4
+  ): (Long, Double) = {
+    def toks(s: String) = s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val all = train.flatMap(toks)
+    val uni = all.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val bi = train
+      .flatMap { t => val ts = toks(t); ts.zip(ts.drop(1)).map { case (a, b) => (a, b) } }
+      .groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val (n, v) = (all.size.toLong, uni.size.toLong)
+    val ts = toks(doc)
+    val lps = ts.zipWithIndex.map { case (tok, i) =>
+      val p1 = (uni.getOrElse(tok, 0L) + 1).toDouble / (n + v).toDouble
+      val p =
+        if (i == 0) p1
+        else bi.get((ts(i - 1), tok)) match {
+          case Some(c2) => c2.toDouble / uni(ts(i - 1))
+          case None     => alpha * p1
+        }
+      math.floor(math.log(p) * 1000000.0).toLong
+    }
+    (ts.size.toLong, (lps.sum * -1L).toDouble / 1000000.0 / ts.size)
+  }
+
+  test("ngram LM: backoff paths match an independent reference, incl. OOV docs") {
+    val train = Seq(
+      "the cat sat on the mat",
+      "the cat ate the fish",
+      "a dog sat on a log"
+    )
+    val lm = Corpus.trainNgramLm(train.zipWithIndex.map(_.swap).toDF("id", "text"), "text")
+    assert(lm.n === 17L)
+    assert(lm.v === train.flatMap(_.split(" ")).distinct.size.toLong)
+    val score = Seq(
+      (0L, "the cat sat on the mat"), // all bigrams seen
+      (1L, "the dog ate a fish"), // unseen bigrams -> backoff
+      (2L, "quantum flux capacitor"), // fully OOV -> add-one unigrams
+      (3L, "the") // single token: unigram path only
+    ).toDF("id", "text")
+    val got = Corpus
+      .scoreNgramLm(score, "id", "text", lm)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    for ((id, doc) <- Seq(0L -> "the cat sat on the mat", 1L -> "the dog ate a fish",
+        2L -> "quantum flux capacitor", 3L -> "the"))
+      assert(got(id) === refNgramScore(train, doc), s"doc $id")
+    // fluent-under-the-model text scores LOWER than OOV noise
+    assert(got(0L)._2 < got(2L)._2)
+  }
+
+  test("ngram LM: scoring is partitioning-invariant and empty docs are skipped") {
+    val lm = Corpus.trainNgramLm(docs, "text")
+    val withEmpty = docs
+      .select(col("doc_id"), when(col("doc_id") === 0L, lit("   ")).otherwise(col("text")).as("text"))
+    val a = Corpus.scoreNgramLm(withEmpty, "doc_id", "text", lm)
+    val b = Corpus.scoreNgramLm(withEmpty.repartition(7), "doc_id", "text", lm)
+    assertSameRows(a.orderBy("doc_id"), b.orderBy("doc_id"))
+    assert(!a.select("doc_id").as[Long].collect().contains(0L))
+  }
 }
