@@ -1201,6 +1201,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- BPE train + apply: the oracle checks the tokenizer's LOSSLESS
+    // round-trip (pieces rejoined == the normalized word sequence — true
+    // for every merge table only if encode applies merges consistently);
+    // exact piece-level semantics (merge order, tie-breaks, multi-
+    // occurrence merging) are CorpusSpec's hand-verified cases.
+    "bpe_roundtrip" -> { (s, dir) =>
+      val docs = Dedup.ensureParallelism(t(s, dir, "documents"))
+      val model = Corpus.trainBpe(docs, "text", numMerges = 100)
+      Corpus.applyBpe(docs, "doc_id", "text", model)
+        .select(
+          col("doc_id"),
+          trim(regexp_replace(concat_ws("", col("pieces")), "</w>", " ")).as("text_rt"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- corpus-wide line dedup (CCNet/RefinedWeb boilerplate removal):
     // the fixture text has no newlines, so segment boundaries are
     // synthesized identically in both engines (every ' the ' becomes a
@@ -3013,6 +3028,12 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens,
         |  CAST(sum(lp) * -1 AS DOUBLE) / 1000000.0 / count(*) AS logppl
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The normalized word sequence the BPE pieces must rejoin to.
+    "bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  array_to_string(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                              t -> len(t) > 0), ' ') AS text_rt
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_lines" ->
       """WITH docs AS (
         |  SELECT doc_id, replace(text, ' the ', chr(10)) AS text FROM documents),

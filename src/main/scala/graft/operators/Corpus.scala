@@ -591,6 +591,127 @@ object Corpus {
           .as("logppl"))
   }
 
+  // ----------------------------------------------------------- BPE training
+
+  /** A trained byte-pair-encoding merge table; rank = merge priority
+    * (earlier learned = applied first). */
+  final case class BpeModel(merges: Seq[(String, String)]) {
+    lazy val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
+  }
+
+  /**
+   * Train a BPE subword vocabulary (Sennrich et al. 2016, "Neural Machine
+   * Translation of Rare Words with Subword Units") the way production
+   * tokenizer trainers do: from a WORD-FREQUENCY table, not the raw corpus.
+   * The corpus pass is one distributed word count; only the top `maxWords`
+   * (count desc, word asc) reach the driver, which runs the classic merge
+   * loop on the frequency dict — `numMerges` iterations over at most
+   * `maxWords` entries, independent of corpus size. The dropped long tail
+   * is words too rare to influence any merge decision; raise `maxWords` if
+   * the corpus vocabulary is genuinely that flat.
+   *
+   * Determinism: the winning pair each round is (max count, then
+   * lexicographically smallest pair) — re-training on the same counts
+   * always yields the same merges. Words are lowercased whitespace tokens
+   * ([[Text.tokens]]) spelled as characters plus a terminal `</w>` symbol.
+   */
+  def trainBpe(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxWords: Int = 50000
+  ): BpeModel = {
+    val words = docs
+      .select(explode(Text.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    var vocab: Array[(Vector[String], Long)] =
+      words.map { case (w, c) => (w.map(_.toString).toVector :+ "</w>", c) }
+    val merges = Vector.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- vocab; i <- 0 until syms.size - 1) {
+        val p = (syms(i), syms(i + 1))
+        pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val best = pairCounts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        vocab = vocab.map { case (syms, c) => (mergePair(syms, best), c) }
+        round += 1
+      }
+    }
+    BpeModel(merges.result())
+  }
+
+  /** One left-to-right non-overlapping merge of `pair` in a symbol seq. */
+  private def mergePair(syms: Vector[String], pair: (String, String)): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.size) {
+      if (i < syms.size - 1 && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+        out += (pair._1 + pair._2); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Greedy BPE encode of one word: repeatedly merge the lowest-rank pair
+    * present (all its occurrences) until no ranked pair remains — the
+    * standard inference rule, inverse-consistent with training order. */
+  private[operators] def encodeWord(
+      w: String,
+      ranks: Map[(String, String), Int]
+  ): Vector[String] = {
+    var syms = w.map(_.toString).toVector :+ "</w>"
+    var done = syms.size < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var best: (String, String) = null
+      var i = 0
+      while (i < syms.size - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; best = (syms(i), syms(i + 1)) }
+        i += 1
+      }
+      if (best == null) done = true
+      else {
+        syms = mergePair(syms, best)
+        done = syms.size < 2
+      }
+    }
+    syms
+  }
+
+  /**
+   * Apply a trained BPE model: (id, pieces) with one `Array[String]` of
+   * subword pieces per document (word-terminal pieces carry the `</w>`
+   * marker, so the token stream is losslessly invertible to the normalized
+   * word sequence). Tokenization stays in Catalyst ([[Text.tokens]]); only
+   * the per-word merge loop — data-dependent iteration, inexpressible in
+   * built-ins — runs in `mapPartitions`, map-only with the rank table
+   * broadcast once. One streaming pass at any scale.
+   */
+  def applyBpe(docs: DataFrame, idCol: String, textCol: String, model: BpeModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = spark.sparkContext.broadcast(model.ranks)
+    docs
+      .select(col(idCol).cast("long"), Text.tokens(col(textCol)))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val r = ranks.value
+        it.map { case (id, toks) => (id, toks.flatMap(w => encodeWord(w, r))) }
+      }
+      .toDF(idCol, "pieces")
+  }
+
   // ------------------------------------------------------------ line dedup
 
   /**

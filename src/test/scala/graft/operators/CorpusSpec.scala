@@ -489,4 +489,52 @@ class CorpusSpec extends SparkSpec {
     assertSameRows(a.orderBy("doc_id"), b.orderBy("doc_id"))
     assert(!a.select("doc_id").as[Long].collect().contains(0L))
   }
+
+  // -------------------------------------------------------- BPE tokenizer
+
+  test("BPE: hand-verified training on a tiny vocab (ties break lexicographically)") {
+    // vocab: "aa" x3 = [a,a,</w>], "ab" x1 = [a,b,</w>]
+    // round 1: (a,a)=3 ties (a,</w>)=3 -> lex smallest ("a","</w>") wins
+    //          ("</w>" < "a"); "aa" becomes [a, a</w>]
+    // round 2: (a,a</w>)=3 beats (a,b)=1, (b,</w>)=1
+    val docs = Seq((0L, "aa aa aa ab")).toDF("id", "text")
+    val model = Corpus.trainBpe(docs, "text", numMerges = 2)
+    assert(model.merges === Seq(("a", "</w>"), ("a", "a</w>")))
+    val got = Corpus.applyBpe(docs, "id", "text", model)
+      .select("pieces").as[Seq[String]].head()
+    assert(got === Seq("aa</w>", "aa</w>", "aa</w>", "a", "b", "</w>"))
+  }
+
+  test("BPE: encodeWord applies lowest-rank merges greedily, all occurrences") {
+    val ranks = Map(("l", "o") -> 0, ("lo", "w") -> 1)
+    assert(Corpus.encodeWord("low", ranks) === Vector("low", "</w>"))
+    val ranks2 = Map(("a", "n") -> 0, ("b", "an") -> 1)
+    assert(Corpus.encodeWord("banana", ranks2) === Vector("ban", "an", "a", "</w>"))
+    assert(Corpus.encodeWord("x", Map.empty) === Vector("x", "</w>"))
+  }
+
+  test("BPE: fixture training is deterministic, compresses, and round-trips losslessly") {
+    val m1 = Corpus.trainBpe(docs, "text", numMerges = 60)
+    val m2 = Corpus.trainBpe(docs.repartition(7), "text", numMerges = 60)
+    assert(m1.merges === m2.merges)
+    assert(m1.merges.size === 60)
+    val enc = Corpus.applyBpe(docs, "doc_id", "text", m1).cache()
+    val stats = enc
+      .select(size(col("pieces")).cast("long").as("np"))
+      .agg(sum("np")).head().getLong(0)
+    val chars = docs
+      .select(length(col("text")).cast("long").as("nc"))
+      .agg(sum("nc")).head().getLong(0)
+    assert(stats < chars, s"pieces $stats should compress below $chars chars")
+    // lossless: pieces rejoin to the normalized word sequence for EVERY doc
+    val bad = enc
+      .join(docs, "doc_id")
+      .select(
+        trim(regexp_replace(concat_ws("", col("pieces")), "</w>", " ")).as("rt"),
+        array_join(Text.tokens(col("text")), " ").as("want"))
+      .filter(col("rt") =!= col("want"))
+      .count()
+    assert(bad === 0L)
+    enc.unpersist(blocking = false)
+  }
 }
