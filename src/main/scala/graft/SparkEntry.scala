@@ -1201,6 +1201,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- DSIR importance scoring: hashed unigram+bigram bag models of a
+    // target slice (src0) vs the whole corpus; per-bucket micro-scaled log
+    // ratios (exact integers) summed per doc. The oracle recomputes the
+    // entire featurize→count→weight→score pipeline.
+    "dsir_score" -> { (s, dir) =>
+      val docs = Dedup.ensureParallelism(t(s, dir, "documents"))
+      val model =
+        Corpus.trainDsir(docs.filter(col("source") === "src0"), docs, "text", buckets = 1024)
+      Corpus.scoreDsir(docs, "doc_id", "text", model)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- BPE train + apply: the oracle checks the tokenizer's LOSSLESS
     // round-trip (pieces rejoined == the normalized word sequence — true
     // for every merge table only if encode applies merges consistently);
@@ -3028,6 +3040,32 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens,
         |  CAST(sum(lp) * -1 AS DOUBLE) / 1000000.0 / count(*) AS logppl
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Full DSIR replication: same portable hash buckets, add-one smoothed
+    // count models, 1e-6 floor-grid log ratios, exact integer micro-sums.
+    "dsir_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |ex0 AS (SELECT doc_id, source, toks, unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS i FROM tok),
+        |ex AS (SELECT doc_id, source, tok, CASE WHEN i = 1 THEN NULL ELSE toks[i - 1] END AS prev FROM ex0),
+        |feats AS (
+        |  SELECT doc_id, source, CAST((('0x' || substring(md5(tok), 1, 8))::BIGINT % 2147483647) % 1024 AS INT) AS b FROM ex
+        |  UNION ALL
+        |  SELECT doc_id, source, CAST((('0x' || substring(md5(prev || ' ' || tok), 1, 8))::BIGINT % 2147483647) % 1024 AS INT) AS b
+        |  FROM ex WHERE prev IS NOT NULL),
+        |tc AS (SELECT b, count(*) AS c FROM feats WHERE source = 'src0' GROUP BY b),
+        |rc AS (SELECT b, count(*) AS c FROM feats GROUP BY b),
+        |tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM tc) AS nt, (SELECT sum(c) FROM rc) AS nr),
+        |w AS (
+        |  SELECT rc.b,
+        |    CAST(floor(1000000.0 * (ln((coalesce(tc.c, 0) + 1.0) / (t.nt + 1024.0))
+        |                          - ln((rc.c + 1.0) / (t.nr + 1024.0)))) AS BIGINT) AS wm
+        |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot t),
+        |sc AS (
+        |  SELECT doc_id, CAST(sum(wm) AS DOUBLE) / 1000000.0 AS score
+        |  FROM feats JOIN w USING (b) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(sc.score, 0.0) AS score
+        |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // The normalized word sequence the BPE pieces must rejoin to.
     "bpe_roundtrip" ->
       """SELECT doc_id,

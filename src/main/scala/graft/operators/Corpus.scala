@@ -591,6 +591,114 @@ object Corpus {
           .as("logppl"))
   }
 
+  // ------------------------------------------------- DSIR importance weights
+
+  /** A trained DSIR model: per-bucket micro-scaled log importance ratios
+    * (floor(1e6 * (ln p_target[b] - ln p_raw[b]))) — exact integers, so
+    * document scores sum order-independently. Driver footprint is exactly
+    * `buckets` longs regardless of corpus size. */
+  final case class DsirModel(weights: Array[Long]) {
+    def buckets: Int = weights.length
+  }
+
+  /** Hashed n-gram feature stream (DSIR's featurization): one bucket per
+    * unigram plus one per bigram (`prev + " " + tok` — tokens are
+    * whitespace-split so the space separator is unambiguous), via the
+    * cross-engine portable 31-bit hash. Map-only, let-bound token array. */
+  private def hashedNgramBuckets(text: Column, buckets: Int): Column =
+    flatten(transform(tokenPairs(text), p => {
+      def b(c: Column) = (Text.portableHash31(c) % buckets).cast("int")
+      val tok = p.getField("tok")
+      val prev = p.getField("prev")
+      when(prev.isNotNull, array(b(tok), b(concat(prev, lit(" "), tok))))
+        .otherwise(array(b(tok)))
+    }))
+
+  /**
+   * Train DSIR importance weights (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling"): fit hashed-n-gram bag
+   * models of a TARGET corpus (what you want more of — e.g. wiki-like text)
+   * and the RAW corpus, take per-bucket log ratios. Two count aggregations;
+   * only `buckets`-sized count vectors reach the driver. Add-one smoothing
+   * keeps every bucket finite; ratios are floored onto the 1e-6 grid so
+   * every downstream sum is exact.
+   */
+  def trainDsir(
+      target: DataFrame,
+      raw: DataFrame,
+      textCol: String,
+      buckets: Int = 1024
+  ): DsirModel = {
+    def counts(df: DataFrame): Array[Long] = {
+      val rows = df
+        .select(explode(hashedNgramBuckets(col(textCol), buckets)).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+        .collect()
+      val arr = Array.fill(buckets)(0L)
+      rows.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+      arr
+    }
+    val (tc, rc) = (counts(target), counts(raw))
+    val (nt, nr) = (tc.sum, rc.sum)
+    val w = Array.tabulate(buckets) { b =>
+      math.floor(1000000.0 * (
+        math.log((tc(b) + 1.0) / (nt + buckets.toDouble)) -
+          math.log((rc(b) + 1.0) / (nr + buckets.toDouble)))).toLong
+    }
+    DsirModel(w)
+  }
+
+  /**
+   * Score documents by summed hashed-n-gram importance weight: high = looks
+   * like the target distribution. `score` is the exact micro-sum / 1e6; the
+   * micro-sum itself is an integer aggregate of the model's integer
+   * weights, so partial-aggregation order cannot change it. Map-only: the
+   * weight table rides the plan as ONE array literal (a single codegen
+   * reference object, not `buckets` expression nodes).
+   */
+  def scoreDsir(docs: DataFrame, idCol: String, textCol: String, model: DsirModel): DataFrame = {
+    val warr = lit(model.weights)
+    docs.select(
+      col(idCol),
+      (aggregate(
+        hashedNgramBuckets(col(textCol), model.buckets),
+        lit(0L),
+        (acc, b) => acc + element_at(warr, b + 1)
+      ).cast("double") / lit(1000000.0)).as("score"))
+  }
+
+  /**
+   * Gumbel-top-k importance RESAMPLING (the selection step of DSIR):
+   * sample k documents without replacement with probability proportional
+   * to exp(score) by ranking on score + Gumbel noise. The noise is the
+   * DETERMINISTIC hash-Gumbel -ln(-ln(u)), u = (portable_hash31(salt:id)
+   * + 1) / 2^31 — reproducible under any partitioning, and floored onto
+   * the same 1e-6 grid so the ranking key is an exact integer with an id
+   * tie-break. Distributed TakeOrdered; nothing corpus-sized converges.
+   */
+  def resampleDsir(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: DsirModel,
+      k: Int,
+      salt: Long = 0L
+  ): DataFrame = {
+    val warr = lit(model.weights)
+    val micro = aggregate(
+      hashedNgramBuckets(col(textCol), model.buckets),
+      lit(0L),
+      (acc, b) => acc + element_at(warr, b + 1))
+    val u = (Text.portableHash31(concat_ws(":", lit(salt), col(idCol))) + 1)
+      .cast("double") / lit(2147483648.0)
+    val gumbelMicro = floor(-log(-log(u)) * lit(1000000.0))
+    docs
+      .withColumn("key", micro + gumbelMicro)
+      .orderBy(col("key").desc, col(idCol))
+      .limit(k)
+      .drop("key")
+  }
+
   // ----------------------------------------------------------- BPE training
 
   /** A trained byte-pair-encoding merge table; rank = merge priority

@@ -490,6 +490,62 @@ class CorpusSpec extends SparkSpec {
     assert(!a.select("doc_id").as[Long].collect().contains(0L))
   }
 
+  // ------------------------------------------------------- DSIR selection
+
+  /** Independent JVM replication of the portable 31-bit hash (MessageDigest
+    * vs Spark's md5 expression). */
+  private def refHash31(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 2147483647L
+  }
+
+  private def refDsirFeatures(text: String, buckets: Int): Seq[Int] = {
+    val ts = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val uni = ts.map(t => (refHash31(t) % buckets).toInt)
+    val bi = ts.zip(ts.drop(1)).map { case (a, b) => (refHash31(a + " " + b) % buckets).toInt }
+    uni ++ bi
+  }
+
+  test("DSIR: scores match an independent reference; target-like text wins; empty docs 0") {
+    val targetTexts = Seq("apple banana apple banana", "banana cherry apple")
+    val rawTexts = targetTexts ++ Seq("zebra yak walrus zebra", "yak walrus yak zebra walrus")
+    val target = targetTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val raw = rawTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val buckets = 64
+    val m = Corpus.trainDsir(target, raw, "text", buckets)
+    // reference weights from reference features
+    val tCounts = Array.fill(buckets)(0L)
+    targetTexts.flatMap(refDsirFeatures(_, buckets)).foreach(b => tCounts(b) += 1)
+    val rCounts = Array.fill(buckets)(0L)
+    rawTexts.flatMap(refDsirFeatures(_, buckets)).foreach(b => rCounts(b) += 1)
+    val (nt, nr) = (tCounts.sum, rCounts.sum)
+    val refW = Array.tabulate(buckets) { b =>
+      math.floor(1000000.0 * (math.log((tCounts(b) + 1.0) / (nt + buckets.toDouble)) -
+        math.log((rCounts(b) + 1.0) / (nr + buckets.toDouble)))).toLong
+    }
+    assert(m.weights.toSeq === refW.toSeq)
+    val scoreDf = raw.union(Seq((9L, "   ")).toDF("id", "text"))
+    val got = Corpus.scoreDsir(scoreDf, "id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((t, i) <- rawTexts.zipWithIndex) {
+      val expect = refDsirFeatures(t, buckets).map(refW(_)).sum.toDouble / 1000000.0
+      assert(got(i.toLong) === expect, s"doc $i")
+    }
+    assert(got(0L) > got(2L), "target-like text must outscore off-target text")
+    assert(got(9L) === 0.0)
+  }
+
+  test("DSIR resampling: k-bounded, partitioning-invariant, salt-sensitive") {
+    val m = Corpus.trainDsir(docs.filter(col("source") === "src0"), docs, "text", buckets = 256)
+    def ids(df: DataFrame) = df.select("doc_id").as[Long].collect().toSeq
+    val a = ids(Corpus.resampleDsir(docs, "doc_id", "text", m, k = 50))
+    val b = ids(Corpus.resampleDsir(docs.repartition(9), "doc_id", "text", m, k = 50))
+    assert(a === b)
+    assert(a.size === 50 && a.distinct.size === 50)
+    val c = ids(Corpus.resampleDsir(docs, "doc_id", "text", m, k = 50, salt = 1L))
+    assert(c.toSet !== a.toSet, "salt must change the Gumbel draw")
+  }
+
   // -------------------------------------------------------- BPE tokenizer
 
   test("BPE: hand-verified training on a tiny vocab (ties break lexicographically)") {
