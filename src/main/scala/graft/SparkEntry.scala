@@ -37,9 +37,11 @@ object SparkEntry {
     *     re-asserted first because the scan only yields LongType when it is
     *     set at planning time; setting it is idempotent and our own mains
     *     (Verify/Bench) already carry it.
-    *   - TimestampNTZType: wall values are UTC by fixture contract; all our
-    *     session builders pin spark.sql.session.timeZone=UTC, so the cast is
-    *     an exact reinterpretation of the same micros value.
+    *   - TimestampNTZType: wall values are UTC by fixture contract; the
+    *     session timezone is re-pinned to UTC first (same driver-owned-
+    *     session discipline as the legacy flag above) so the cast is an
+    *     exact reinterpretation of the same micros value even when the
+    *     caller's session was built with another zone.
     *   - TimestampType: already instant-typed, pass through. */
   private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -48,6 +50,7 @@ object SparkEntry {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _: org.apache.spark.sql.types.TimestampNTZType =>
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }

@@ -75,10 +75,12 @@ object Webhooks {
   /** 5 retries, 30 s base, exponential (30s → 1m → 2m → 4m → 8m), jittered
     * deterministically per (url, attempt) by [[graft.flow.FlowService
     * .RetryPolicy]] — webhook redelivery rides the same policy machinery as
-    * flow retries, like the reference routes both through its task system. */
+    * flow retries, like the reference routes both through its task system.
+    * The jitter spreads simultaneous redeliveries of many subscribers after
+    * a shared outage; the delivery sites pass the subscriber URL as seed. */
   val DefaultRetryPolicy: graft.flow.FlowService.RetryPolicy =
     graft.flow.FlowService.RetryPolicy(
-      5, 30000L, graft.flow.FlowService.Backoff.Exponential)
+      5, 30000L, graft.flow.FlowService.Backoff.ExponentialWithJitter)
 
   // --------------------------------------------------------------- registry
 

@@ -450,7 +450,9 @@ object Corpus {
     require(blockedDomains.nonEmpty, "empty blocklist: nothing to filter")
     val spark = docs.sparkSession
     import spark.implicits._
-    def host(c: Column) = lower(regexp_extract(c, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1))
+    // schemes are case-insensitive (RFC 3986 §3.1): lower the URL BEFORE
+    // extraction so HTTPS:// parses like https:// instead of dropping the row
+    def host(c: Column) = regexp_extract(lower(c), "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
     // every dot-suffix of the host: ads.ex.com -> [ads.ex.com, ex.com, com]
     def suffixes(h: Column) = {
       val labels = split(h, "\\.")
@@ -807,17 +809,21 @@ object Corpus {
    * broadcast once. One streaming pass at any scale.
    */
   def applyBpe(docs: DataFrame, idCol: String, textCol: String, model: BpeModel): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val ranks = spark.sparkContext.broadcast(model.ranks)
-    docs
-      .select(col(idCol).cast("long"), Text.tokens(col(textCol)))
-      .as[(Long, Seq[String])]
-      .mapPartitions { it =>
-        val r = ranks.value
-        it.map { case (id, toks) => (id, toks.flatMap(w => encodeWord(w, r))) }
+    import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+    val ranks = docs.sparkSession.sparkContext.broadcast(model.ranks)
+    // id stays whatever type the caller has (UUID strings are common corpus
+    // keys) — the row encoder carries the observed field through unchanged
+    val in = docs.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+    val outSchema = StructType(Seq(
+      in.schema.head,
+      StructField("pieces", ArrayType(StringType, containsNull = false))))
+    in.mapPartitions { it =>
+      val r = ranks.value
+      it.map { row =>
+        val toks = row.getSeq[String](1)
+        org.apache.spark.sql.Row(row.get(0), toks.flatMap(w => encodeWord(w, r)))
       }
-      .toDF(idCol, "pieces")
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   // ------------------------------------------------------------ line dedup
@@ -869,6 +875,10 @@ object Corpus {
       .groupBy(col("_h")).count()
       .filter(col("count") >= minDocs)
       .select(col("_h"))
+      // materialize the detection aggregation ONCE: count(), the sorted-set
+      // collect, and the fallback join all read these 8-byte rows — without
+      // this the full-corpus explode+groupBy would execute twice
+      .localCheckpoint()
 
     val nDup = dupHashes.count() // small: one row per duplicated line
     if (nDup == 0L) return docs.withColumn("removed_lines", lit(0L))

@@ -62,13 +62,21 @@ object Similarity {
           dot(col(qvecCol), col(cvecCol)) / (col("__qn") * col("__cn"))
         ).otherwise(lit(0.0))
       )
-    // Two-level exact top-k. A single window partitioned by qid would gather
-    // EVERY corpus candidate of a query into one task — per-task work grows
-    // with |corpus| and the plan stops scaling out. Level 1 keeps the top-k
-    // per (query, input partition): the global top-k is necessarily a subset
-    // of the union of per-partition top-ks, so level 2 ranks only
-    // k × numPartitions rows per query. Exact, and per-task work is bounded
-    // by the partition size regardless of corpus scale.
+    twoLevelTopK(scored, qidCol, cidCol, k)
+  }
+
+  /**
+   * Two-level exact top-k over a scored (qid, cid, cos) pair frame. A single
+   * window partitioned by qid would gather EVERY corpus candidate of a query
+   * into one task — per-task work grows with |corpus| and the plan stops
+   * scaling out. Level 1 keeps the top-k per (query, input partition): the
+   * global top-k is necessarily a subset of the union of per-partition
+   * top-ks, so level 2 ranks only k × numPartitions rows per query. Exact,
+   * and per-task work is bounded by the partition size regardless of corpus
+   * scale. Ties break on ascending cid at both levels (the levels MUST
+   * agree, or level 1 could prune a row level 2 would have ranked).
+   */
+  private def twoLevelTopK(scored: DataFrame, qidCol: String, cidCol: String, k: Int): DataFrame = {
     val w1 = Window
       .partitionBy(col(qidCol), col("__part"))
       .orderBy(col("cos").desc, col(cidCol))
@@ -164,19 +172,7 @@ object Similarity {
           ByteCodes.byteDot(col("__qc"), col("__cc")).cast("double") /
             (col("__qn") * col("__cn"))
         ).otherwise(lit(0.0)))
-    val w1 = Window
-      .partitionBy(col(qidCol), col("__part"))
-      .orderBy(col("cos").desc, col(cidCol))
-    val pruned = scored
-      .withColumn("__part", spark_partition_id())
-      .withColumn("__r1", row_number().over(w1))
-      .filter(col("__r1") <= k)
-      .drop("__r1", "__part")
-    val w = Window.partitionBy(col(qidCol)).orderBy(col("cos").desc, col(cidCol))
-    pruned
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col(qidCol), col("rnk"), col(cidCol), col("cos"))
+    twoLevelTopK(scored, qidCol, cidCol, k)
   }
 
   /** Deterministic random hyperplanes (seeded), as literal expression trees. */

@@ -136,7 +136,10 @@ object StreamingTransform {
    * scratch dir is cleared only after the chain commit — a crash between
    * checkpoint advance and chain commit leaves the staged output for the
    * next run to commit (emissions are never lost, never doubled: the stage
-   * write is an idempotent overwrite by batchId).
+   * write is an idempotent overwrite by batchId, and a crash AFTER the
+   * chain commit but before cleanup is recognized via the `_commit_intent`
+   * marker, so already-committed parked batches are cleared, never
+   * re-emitted).
    *
    * `transform` maps the watermarked streaming input to a streaming result
    * (e.g. `tumblingWindowAgg` flattened to plain columns). Determinism: with
@@ -163,7 +166,33 @@ object StreamingTransform {
       .flatMap(_.inputs.find(_.datasetName == inputName))
       .flatMap(_.newOffset)
     val hiNow = input.chain.lastOffset()
-    val staleStage = fs.exists(stage) && fs.listStatus(stage).nonEmpty
+
+    // Crash-resume disambiguation: a `_commit_intent` marker is written just
+    // before the chain append (recording the block seq the commit will land
+    // at and the input interval). If the marker's block EXISTS in the chain,
+    // the previous run crashed between append and stage cleanup — the
+    // parked batches are already committed and re-reading them would DOUBLE
+    // the emission; clear the stage. If it does not, the crash was before
+    // the append and the parked batches still need committing.
+    val markerPath = new Path(stage, "_commit_intent")
+    if (fs.exists(markerPath)) {
+      val in = fs.open(markerPath)
+      val txt = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val Array(seqS, prevS, hiS) = txt.trim.split(",", -1)
+      def opt(s: String): Option[Long] = if (s.isEmpty) None else Some(s.toLong)
+      val committed = output.chain.blocksWithHashes().exists { case (b, _) =>
+        b.sequenceNumber == seqS.toLong && (b.event match {
+          case e: ExecuteTransform =>
+            e.inputs == Seq(TransformInputState(inputName, opt(prevS), opt(hiS)))
+          case _ => false
+        })
+      }
+      if (committed) fs.delete(stage, true)
+    }
+
+    val staleStage = fs.exists(stage) &&
+      fs.listStatus(stage).exists(_.getPath.getName.startsWith("batch-"))
     if (prevHi == hiNow && !staleStage) return None // nothing new, nothing parked
 
     val stream = StreamingOps.datasetStream(input)
@@ -184,7 +213,8 @@ object StreamingTransform {
     val vocab = output.vocabulary
     val staged =
       if (!fs.exists(stage)) Nil
-      else fs.listStatus(stage).toSeq.map(_.getPath).sortBy(_.getName)
+      else fs.listStatus(stage).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("batch-")).sortBy(_.getName)
     val emitted: Option[DataFrame] = staged match {
       case Nil   => None
       case paths =>
@@ -229,6 +259,13 @@ object StreamingTransform {
       newData,
       ckpt
     )
+    // marker first (see resume logic above): records where this commit will
+    // land so a crash between append and cleanup is recognizable
+    val nextSeq = output.chain.head.map(_._1 + 1).getOrElse(0L)
+    output.chain.writeObjectAtomic(
+      markerPath,
+      s"$nextSeq,${prevHi.getOrElse("")},${hiNow.getOrElse("")}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     output.chain.append(event, systemTime)
     fs.delete(stage, true) // commit point passed: staged output is in the chain
     Some(event)

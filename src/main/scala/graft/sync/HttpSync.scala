@@ -164,11 +164,26 @@ object HttpSync {
         blockName -> bytes
       })
 
-    val parsedEvents = blockBytes.map { case (_, bytes) =>
+    val parsedBlocks = blockBytes.map { case (_, bytes) =>
       org.json4s.jackson.Serialization
         .read[graft.model.MetadataBlock](new String(bytes, UTF_8))(
-          MetadataChain.formats, manifest[graft.model.MetadataBlock]).event
+          MetadataChain.formats, manifest[graft.model.MetadataBlock])
     }
+    // Chain-linkage validation (UNTRUSTED remote): content addresses prove
+    // each block's BYTES, not their order — before any commit, the delta
+    // must be the contiguous prev-hash-linked continuation of the committed
+    // prefix, or setHead below would corrupt the local chain.
+    require(remote.map(_._1) == remote.indices.map(_.toLong),
+      s"remote listing is not a contiguous chain: seqs ${remote.map(_._1).mkString(",")}")
+    parsedBlocks.zipWithIndex.foreach { case (b, i) =>
+      val at = common + i
+      require(b.sequenceNumber == remote(at)._1,
+        s"remote block ${pending(i)} declares seq ${b.sequenceNumber}, listed as ${remote(at)._1}")
+      val expectPrev = if (at == 0) None else Some(remote(at - 1)._2)
+      require(b.prevBlockHash == expectPrev,
+        s"remote block ${pending(i)} prev-links to ${b.prevBlockHash}, chain expects $expectPrev")
+    }
+    val parsedEvents = parsedBlocks.map(_.event)
     val dataRefs = parsedEvents.flatMap {
       case a: AddData          => Seq(a.physicalHash)
       case e: ExecuteTransform => e.newData.map(_.physicalHash).toSeq

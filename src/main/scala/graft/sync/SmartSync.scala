@@ -172,11 +172,20 @@ object SmartSync {
       val metaResp = ws.call(compact(JObject())) // DatasetPullMetadataRequest {}
       val batch = parseBlocksBatch(parse(metaResp) \ "blocks")
       val blocks = batch.blocks.map { case (n, b) => (n, b, verifyBlock(n, b)) }
-      // the delta must extend our committed head contiguously
-      blocks.headOption.foreach { case (_, _, b) =>
-        val expected = localBlocks.lastOption.map(_._1.sequenceNumber + 1).getOrElse(0L)
-        require(b.sequenceNumber == expected,
-          s"batch starts at seq ${b.sequenceNumber}, local head expects $expected")
+      // the delta must extend our committed head contiguously AND be
+      // internally prev-hash-linked before anything is written: per-block
+      // content addresses prove nothing about ORDER, and committing a head
+      // over a gapped or shuffled batch would corrupt the local chain
+      // (UNTRUSTED remote discipline — same as the HTTP pull path)
+      var expectSeq = localBlocks.lastOption.map(_._1.sequenceNumber + 1).getOrElse(0L)
+      var expectPrev: Option[String] = localBlocks.lastOption.map(_._2)
+      blocks.foreach { case (name, _, b) =>
+        require(b.sequenceNumber == expectSeq,
+          s"batch block $name has seq ${b.sequenceNumber}, chain expects $expectSeq")
+        require(b.prevBlockHash == expectPrev,
+          s"batch block $name prev-links to ${b.prevBlockHash}, chain expects $expectPrev")
+        expectPrev = Some(MetadataChain.parseName(new Path(name))._2)
+        expectSeq += 1
       }
 
       // objects phase: ask for every data slice + checkpoint the delta

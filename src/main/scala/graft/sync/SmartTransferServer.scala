@@ -67,7 +67,9 @@ final class SmartTransferServer(rest: RestServer, port: Int = 0) {
           worker.setDaemon(true)
           worker.start()
           }
-        } catch { case _: Exception => () } // accept fails only on stop()
+          // stop() closing the socket lands here too; a PERSISTENT accept
+          // failure (fd exhaustion) must back off instead of busy-spinning
+        } catch { case _: Exception => if (running) Thread.sleep(50) }
       }
     }, "smart-transfer-accept")
     acceptor.setDaemon(true)

@@ -344,11 +344,12 @@ class CorpusSpec extends SparkSpec {
       (4L, "HTTPS://SPAM.EXAMPLE/shout"),        // case-insensitive host
       (5L, "not a url at all"),                  // unparseable -> dropped
       (6L, "https://example.net/ok"),
-      (7L, "https://notspam.example.net/ok")     // example.net NOT blocked; suffix match is label-aligned
+      (7L, "https://notspam.example.net/ok"),    // example.net NOT blocked; suffix match is label-aligned
+      (8L, "HTTPS://GOOD.Example.ORG/page")      // scheme case-insensitive (RFC 3986): parses, kept
     ).toDF("doc_id", "url")
     val kept = Corpus.filterByDomain(in, "doc_id", "url", Seq("spam.example", "ads.net"))
       .select("doc_id").as[Long].collect().toSet
-    assert(kept === Set(1L, 6L, 7L))
+    assert(kept === Set(1L, 6L, 7L, 8L))
   }
 
   // -------------------------------------------------- hashed linear scorer
@@ -567,6 +568,14 @@ class CorpusSpec extends SparkSpec {
     val ranks2 = Map(("a", "n") -> 0, ("b", "an") -> 1)
     assert(Corpus.encodeWord("banana", ranks2) === Vector("ban", "an", "a", "</w>"))
     assert(Corpus.encodeWord("x", Map.empty) === Vector("x", "</w>"))
+  }
+
+  test("BPE: applyBpe keeps non-numeric id columns intact") {
+    val docsS = Seq(("doc-a", "aa aa aa ab")).toDF("uid", "text")
+    val model = Corpus.trainBpe(docsS, "text", numMerges = 2)
+    val row = Corpus.applyBpe(docsS, "uid", "text", model).head()
+    assert(row.getString(0) === "doc-a")
+    assert(row.getSeq[String](1).nonEmpty)
   }
 
   test("BPE: fixture training is deterministic, compresses, and round-trips losslessly") {

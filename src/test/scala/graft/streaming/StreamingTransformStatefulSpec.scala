@@ -138,4 +138,32 @@ class StreamingTransformStatefulSpec extends SparkSpec {
       "staged output parked by a crashed run must be committed by the next run")
     assert(stageEmpty())
   }
+
+  test("crash AFTER chain commit, before stage cleanup: parked batches are not re-committed") {
+    val (src, out) = mkPair("crash2")
+    ingest(src, 1000L, (t("2024-03-01T10:05:00Z"), 1L))
+    run(out, src, 2000L)
+    ingest(src, 3000L, (t("2024-04-01T00:00:00Z"), 0L)) // sentinel: hour 10 emits
+    run(out, src, 4000L)
+    val committedRows = out.toDF().count()
+    assert(committedRows > 0)
+    // simulate the crash window: the emitted batch is still parked in the
+    // stage dir AND the _commit_intent marker points at the block that DID
+    // commit it — exactly what a crash between append and delete leaves
+    val stage = new org.apache.hadoop.fs.Path(out.chain.root, "scratch/stream-stage-decl")
+    val emitted = out.toDF().drop("offset", "op", "system_time")
+    emitted.write.parquet(new org.apache.hadoop.fs.Path(stage, "batch-7").toString)
+    val (lastSeq, _) = out.chain.head.get
+    val st = out.chain.lastExecuteTransform().get.inputs.head
+    out.chain.writeObjectAtomic(
+      new org.apache.hadoop.fs.Path(stage, "_commit_intent"),
+      s"$lastSeq,${st.prevOffset.getOrElse("")},${st.newOffset.getOrElse("")}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // next run: nothing new on the input; the marker proves the parked
+    // batch is already in the chain -> stage cleared, nothing appended
+    val r = run(out, src, 5000L)
+    assert(r === TransformService.UpToDate)
+    assert(out.toDF().count() === committedRows, "no doubled emission")
+    assert(!out.chain.fs.exists(stage) || out.chain.fs.listStatus(stage).isEmpty)
+  }
 }
