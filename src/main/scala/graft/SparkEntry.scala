@@ -1204,6 +1204,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- exact substring-span dedup (Lee et al. 2022 spelling): 20-token
+    // windows at stride 10; corpus-duplicated windows keep their first
+    // (doc, start) occurrence and are cut everywhere else. Spark matches by
+    // xxhash64 of the window, the oracle by the window string itself.
+    "dedup_spans" -> { (s, dir) =>
+      val docs = Dedup.ensureParallelism(t(s, dir, "documents"))
+      Corpus.dedupSpans(docs, "doc_id", "text", windowTokens = 20, stride = 10)
+        .select(col("doc_id"), col("text"), col("removed_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- DSIR importance scoring: hashed unigram+bigram bag models of a
     // target slice (src0) vs the whole corpus; per-bucket micro-scaled log
     // ratios (exact integers) summed per doc. The oracle recomputes the
@@ -3043,6 +3054,31 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens,
         |  CAST(sum(lp) * -1 AS DOUBLE) / 1000000.0 / count(*) AS logppl
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Span-dedup replication on the window STRINGS (no hash needed in SQL):
+    // same windows, same keep-first rule, same token-level rebuild.
+    "dedup_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, u.s * 10 AS start,
+        |         array_to_string(toks[u.s * 10 + 1 : u.s * 10 + 20], ' ') AS wkey
+        |  FROM tok, unnest(range(CASE WHEN len(toks) >= 20 THEN (len(toks) - 20) // 10 + 1 ELSE 0 END)) AS u(s)),
+        |w2 AS (
+        |  SELECT doc_id, start,
+        |         row_number() OVER (PARTITION BY wkey ORDER BY doc_id, start) AS rn,
+        |         count(*) OVER (PARTITION BY wkey) AS cnt
+        |  FROM wins),
+        |sp AS (SELECT doc_id, list(start) AS starts FROM w2 WHERE cnt >= 2 AND rn >= 2 GROUP BY doc_id),
+        |rb AS (
+        |  SELECT t.doc_id, toks,
+        |    CASE WHEN sp.starts IS NULL THEN toks
+        |         ELSE [toks[i + 1] for i in range(len(toks))
+        |               if len(list_filter(sp.starts, s -> i >= s AND i < s + 20)) = 0] END AS kept
+        |  FROM tok t LEFT JOIN sp USING (doc_id))
+        |SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS text,
+        |       CAST(len(toks) - len(kept) AS BIGINT) AS removed_tokens
+        |FROM rb ORDER BY doc_id""".stripMargin,
     // Full DSIR replication: same portable hash buckets, add-one smoothed
     // count models, 1e-6 floor-grid log ratios, exact integer micro-sums.
     "dsir_score" ->

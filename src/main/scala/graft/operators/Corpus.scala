@@ -593,6 +593,74 @@ object Corpus {
           .as("logppl"))
   }
 
+  // ----------------------------------------------------- span (chunk) dedup
+
+  /**
+   * Exact substring-span dedup (the practical spelling of Lee et al. 2022,
+   * "Deduplicating Training Data Makes Language Models Better"): a token
+   * window of `windowTokens` that occurs MORE THAN ONCE corpus-wide keeps
+   * its first occurrence (lowest (doc, start)) and is CUT from every other
+   * one. Where the paper builds a corpus-wide suffix array, this hashes
+   * fixed-length windows at `stride` — stride = windowTokens (disjoint
+   * chunks, the RETRO-style variant) costs one window per W tokens;
+   * stride 1 detects every shared W-token span at W× the rows. Matching is
+   * case- and whitespace-token-sensitive; the rewrite is token-level, so
+   * inter-token whitespace is normalized to single spaces in the output.
+   *
+   * Scale shape: the only shuffle carries (hash, doc, start) triples —
+   * never text; flag ranking is one window over the hash partition;
+   * the rewrite is a map-side array filter against each doc's own flagged
+   * starts (corpus text never shuffles — spans join back id-grouped,
+   * boilerplate-sized).
+   */
+  def dedupSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 50,
+      stride: Int = 50
+  ): DataFrame = {
+    require(windowTokens >= 1 && stride >= 1, "windowTokens and stride must be positive")
+    // case-preserving whitespace tokens: exact-substring matching is
+    // case-sensitive (unlike the lowercased Text.tokens used for dedup keys)
+    def toksOf(c: Column) = filter(split(trim(c), "\\s+"), t => length(t) > 0)
+    val winCol = flatten(transform(array(toksOf(col(textCol))), ts => {
+      val n = size(ts)
+      // Column `/` is fractional; the cast truncates — exact floor-div here
+      // because the guarded branch has n >= windowTokens (non-negative)
+      val nWin = ((n - windowTokens) / stride).cast("int") + 1
+      // sequence(0, -1) would count DOWN; guard the short-doc case explicitly
+      when(n >= windowTokens,
+        transform(sequence(lit(0), nWin - 1), w => {
+          val start = w * stride
+          struct(
+            start.as("start"),
+            xxhash64(concat_ws(" ", slice(ts, start + 1, lit(windowTokens)))).as("h"))
+        })
+      ).otherwise(array().cast("array<struct<start:int,h:bigint>>"))
+    }))
+    val wins = docs
+      .select(col(idCol).as("_ds_id"), explode(winCol).as("w"))
+      .select(col("_ds_id"), col("w.start").as("_start"), col("w.h").as("_h"))
+    val byHash = Window.partitionBy(col("_h"))
+    val flagged = wins
+      .withColumn("_rn", row_number().over(byHash.orderBy(col("_ds_id"), col("_start"))))
+      .withColumn("_cnt", count(lit(1)).over(byHash))
+      .filter(col("_cnt") >= 2 && col("_rn") >= 2)
+    val spans = flagged.groupBy(col("_ds_id")).agg(collect_list(col("_start")).as("_starts"))
+    docs
+      .join(spans, col(idCol) === col("_ds_id"), "left")
+      .withColumn("_toks", toksOf(col(textCol)))
+      .withColumn("_kept",
+        when(col("_starts").isNull, col("_toks"))
+          .otherwise(filter(col("_toks"), (t, i) =>
+            !exists(col("_starts"), s => i >= s && i < s + windowTokens))))
+      .withColumn("removed_tokens",
+        (size(col("_toks")) - size(col("_kept"))).cast("long"))
+      .withColumn(textCol, array_join(col("_kept"), " "))
+      .drop("_ds_id", "_starts", "_toks", "_kept")
+  }
+
   // ------------------------------------------------- DSIR importance weights
 
   /** A trained DSIR model: per-bucket micro-scaled log importance ratios

@@ -491,6 +491,44 @@ class CorpusSpec extends SparkSpec {
     assert(!a.select("doc_id").as[Long].collect().contains(0L))
   }
 
+  // ----------------------------------------------------------- span dedup
+
+  test("dedupSpans: corpus-duplicated windows keep first occurrence, cut elsewhere") {
+    // shared 4-token span "w x y z" at doc 1 pos 0 and doc 2 pos 2 (stride-
+    // aligned); doc 3 repeats its own first window in-doc; doc 4 too short
+    val in = Seq(
+      (1L, "w x y z tail one two"),
+      (2L, "pre amble w x y z end"),
+      (3L, "a b c d a b c d"),
+      (4L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val out = Corpus.dedupSpans(in, "doc_id", "text", windowTokens = 4, stride = 2)
+      .select("doc_id", "text", "removed_tokens")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // doc 1: first occurrence keeps everything
+    assert(out(1L) === (("w x y z tail one two", 0L)))
+    // doc 2: the shared window (start 2) is cut; "pre amble" and "end" stay
+    assert(out(2L) === (("pre amble end", 4L)))
+    // doc 3: "a b c d" at start 4 duplicates start 0 -> second one cut
+    assert(out(3L) === (("a b c d", 4L)))
+    // doc 4: shorter than the window, untouched (whitespace-normalized)
+    assert(out(4L) === (("tiny doc", 0L)))
+  }
+
+  test("dedupSpans is partitioning-invariant and a no-op without duplication") {
+    val base = docs.select(col("doc_id"), col("text"))
+    val a = Corpus.dedupSpans(base, "doc_id", "text", windowTokens = 20, stride = 10)
+    val b = Corpus.dedupSpans(base.repartition(7), "doc_id", "text", windowTokens = 20, stride = 10)
+    assertSameRows(a.orderBy("doc_id"), b.orderBy("doc_id"))
+    assert(a.agg(sum("removed_tokens")).head().getLong(0) > 0,
+      "fixture should contain duplicated spans")
+    val unique = Seq((1L, "all distinct tokens here never repeated anywhere else"))
+      .toDF("doc_id", "text")
+    val u = Corpus.dedupSpans(unique, "doc_id", "text", windowTokens = 4, stride = 2).head()
+    assert(u.getAs[String]("text") === "all distinct tokens here never repeated anywhere else")
+    assert(u.getAs[Long]("removed_tokens") === 0L)
+  }
+
   // ------------------------------------------------------- DSIR selection
 
   /** Independent JVM replication of the portable 31-bit hash (MessageDigest
