@@ -772,9 +772,18 @@ object Corpus {
   // ----------------------------------------------------------- BPE training
 
   /** A trained byte-pair-encoding merge table; rank = merge priority
-    * (earlier learned = applied first). */
-  final case class BpeModel(merges: Seq[(String, String)]) {
+    * (earlier learned = applied first). `alphabet` is the base symbol set
+    * observed at training (characters + the `</w>` terminal), so the
+    * id vocabulary below is a pure function of the MODEL — stable across
+    * corpora, re-shardings, and engines. */
+  final case class BpeModel(merges: Seq[(String, String)], alphabet: Seq[String]) {
     lazy val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
+
+    /** piece → id: sorted base alphabet first, then merge products in rank
+      * order (the standard trainer layout). Deterministic given the model. */
+    lazy val vocab: Map[String, Int] =
+      (alphabet.sorted ++ merges.map { case (a, b) => a + b })
+        .distinct.zipWithIndex.toMap
   }
 
   /**
@@ -825,7 +834,8 @@ object Corpus {
         round += 1
       }
     }
-    BpeModel(merges.result())
+    val alphabet = (words.flatMap(_._1.map(_.toString)).distinct :+ "</w>").toSeq
+    BpeModel(merges.result(), alphabet)
   }
 
   /** One left-to-right non-overlapping merge of `pair` in a symbol seq. */
@@ -892,6 +902,27 @@ object Corpus {
         org.apache.spark.sql.Row(row.get(0), toks.flatMap(w => encodeWord(w, r)))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /**
+   * Tokenize to INTEGER ids — the (id, token_ids) frame a training pipeline
+   * chunks ([[chunkDocs]]) and packs ([[packShards]]): [[applyBpe]] pieces
+   * mapped through the model vocabulary as ONE map literal (codegen'd
+   * lookup, no join). Pieces outside the vocabulary — characters never seen
+   * at training — encode as `unkId` (-1 by default), the usual UNK slot.
+   */
+  def encodeBpeIds(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: BpeModel,
+      unkId: Int = -1
+  ): DataFrame = {
+    val vmap = typedlit(model.vocab)
+    applyBpe(docs, idCol, textCol, model)
+      .withColumn("token_ids",
+        transform(col("pieces"), p => coalesce(element_at(vmap, p), lit(unkId))))
+      .drop("pieces")
   }
 
   // ------------------------------------------------------------ line dedup

@@ -608,6 +608,22 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.encodeWord("x", Map.empty) === Vector("x", "</w>"))
   }
 
+  test("BPE: id encoding is the model-stable inverse of the piece stream; OOV -> unk") {
+    val docsT = Seq((0L, "aa aa aa ab")).toDF("id", "text")
+    val model = Corpus.trainBpe(docsT, "text", numMerges = 2)
+    // vocab layout: sorted alphabet then merge products, ids dense from 0
+    assert(model.vocab.keySet === Set("a", "b", "</w>", "a</w>", "aa</w>"))
+    assert(model.vocab.values.toSeq.sorted === (0 until 5))
+    val inv = model.vocab.map(_.swap)
+    val got = Corpus.encodeBpeIds(
+      Seq((1L, "aa ab"), (2L, "aq")).toDF("id", "text"), "id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // ids decode back to exactly the piece stream
+    assert(got(1L).map(inv) === Seq("aa</w>", "a", "b", "</w>"))
+    // 'q' never seen at training -> unk
+    assert(got(2L) === Seq(model.vocab("a"), -1, model.vocab("</w>")))
+  }
+
   test("BPE: applyBpe keeps non-numeric id columns intact") {
     val docsS = Seq(("doc-a", "aa aa aa ab")).toDF("uid", "text")
     val model = Corpus.trainBpe(docsS, "text", numMerges = 2)
