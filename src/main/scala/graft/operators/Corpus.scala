@@ -506,7 +506,13 @@ object Corpus {
     * model trained on a reference corpus of any size stays distributed —
     * nothing model-sized ever reaches the driver. `n` = total training
     * tokens, `v` = vocabulary size (the only driver-side scalars). */
-  final case class NgramLm(unigrams: DataFrame, bigrams: DataFrame, n: Long, v: Long)
+  final case class NgramLm(unigrams: DataFrame, bigrams: DataFrame, n: Long, v: Long) {
+    /** Drop the cached model tables (training persists them for scoring). */
+    def release(): Unit = {
+      unigrams.unpersist(blocking = false)
+      bigrams.unpersist(blocking = false)
+    }
+  }
 
   /** Let-bound (tok, prev) stream of a document's tokens — map-only; the
     * token array is bound ONCE through the single-element `transform`
@@ -564,6 +570,11 @@ object Corpus {
    * are plain hash joins on token keys; AQE broadcasts the model sides when
    * runtime sizes allow, and at 100 TB they degrade gracefully to shuffled
    * joins — the model never has to fit anywhere in particular.
+   *
+   * The prev-token count c1(prev) is only consumed when the bigram WAS seen
+   * (the backoff path never divides by it), so it rides the bigram table
+   * via a MODEL-side join — the exploded corpus stream pays two join
+   * shuffles, not three.
    */
   def scoreNgramLm(
       docs: DataFrame,
@@ -575,13 +586,13 @@ object Corpus {
     val ex = docs
       .select(col(idCol), explode(tokenPairs(col(textCol))).as("p"))
       .select(col(idCol), col("p.tok").as("tok"), col("p.prev").as("prev"))
+    val biWithPrev = lm.bigrams
+      .join(lm.unigrams.select(col("tok").as("prev"), col("c1").as("cprev")), Seq("prev"))
     val joined = ex
       .join(lm.unigrams.select(col("tok"), col("c1").as("ctok")), Seq("tok"), "left")
-      .join(lm.unigrams.select(col("tok").as("prev"), col("c1").as("cprev")), Seq("prev"), "left")
-      .join(lm.bigrams, Seq("prev", "tok"), "left")
+      .join(biWithPrev, Seq("prev", "tok"), "left")
     val p1 = (coalesce(col("ctok"), lit(0L)) + 1).cast("double") / lit((lm.n + lm.v).toDouble)
-    val p = when(col("cprev").isNotNull && col("c2").isNotNull,
-        col("c2").cast("double") / col("cprev"))
+    val p = when(col("c2").isNotNull, col("c2").cast("double") / col("cprev"))
       .when(col("prev").isNotNull, lit(alpha) * p1)
       .otherwise(p1)
     joined

@@ -574,6 +574,13 @@ class CorpusSpec extends SparkSpec {
     assert(got(9L) === 0.0)
   }
 
+  test("DSIR scoring is map-only: no Exchange in the plan") {
+    val m = Corpus.DsirModel(Array.tabulate(64)(i => (i - 32) * 1000L))
+    val plan = Corpus.scoreDsir(docs, "doc_id", "text", m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("DSIR resampling: k-bounded, partitioning-invariant, salt-sensitive") {
     val m = Corpus.trainDsir(docs.filter(col("source") === "src0"), docs, "text", buckets = 256)
     def ids(df: DataFrame) = df.select("doc_id").as[Long].collect().toSeq
