@@ -126,6 +126,43 @@ class HttpSyncSpec extends SparkSpec {
     }
   }
 
+  test("pull refuses a gapped remote chain: listing must be contiguous and prev-linked") {
+    // a COMPLIANT server cannot serve a gap (its own head-walk throws), so
+    // model the malicious/buggy one: a raw HTTP server listing src's blocks
+    // MINUS the middle — every listed block still passes its content
+    // address, so only the chain-linkage validation can refuse the pull
+    val src = mkDataset("servedgap")
+    IngestWriter.writeBatch(src, Seq((3L, "c")).toDF("id", "v"),
+      MergeStrategy.Ledger(Seq("id")), 2000L) // >= 3 blocks on the chain now
+    val names = src.chain.blockFiles().map(_.getName).sorted
+    assert(names.size >= 3)
+    val gapped = names.patch(1, Nil, 1) // drop the middle block
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/datasets/servedgap/sync/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val segs = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).drop(3)
+      val body: Array[Byte] = segs.toList match {
+        case "blocks" :: Nil =>
+          gapped.map(n => "\"" + n + "\"").mkString("[", ",", "]").getBytes("UTF-8")
+        case "blocks" :: n :: Nil =>
+          val in = src.chain.fs.open(new Path(src.chain.blocksDir, n))
+          try in.readAllBytes() finally in.close()
+        case _ => Array.emptyByteArray
+      }
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body); ex.close()
+    })
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      val local = new Path(Files.createTempDirectory("graft-hsync-gap-").resolve("ds").toUri)
+      val e = intercept[IllegalArgumentException](
+        HttpSync.pull(base, "servedgap", local, hconf))
+      assert(e.getMessage.contains("contiguous chain"), e.getMessage)
+      assert(!graft.chain.MetadataChain.exists(local, hconf))
+    } finally srv.stop(0)
+  }
+
   test("pull refuses a malicious remote: traversal block names and checkpoint paths") {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
     // a real, internally-consistent source chain with a checkpoint...
