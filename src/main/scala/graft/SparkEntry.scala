@@ -1364,6 +1364,36 @@ object SparkEntry {
         .orderBy(col("id"))
     },
 
+    // ---- perceptual image near-dup: REAL decode → dHash → pigeonhole
+    // Hamming bands. 9x8 PNGs make every grayGrid cell exactly one pixel,
+    // so each dhash bit is a hand-set comparison and the near-dup pairs are
+    // closed-form: flat (0) vs one-bright-pixel (1) at hamming 1; full ramp
+    // (-1) vs one-flattened-step ramp at hamming 1; across groups >= 60.
+    "image_neardup" -> { (s, dir) =>
+      import graft.operators.MediaCodec
+      def px(vals: Array[Array[Int]]): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(
+          9, 8, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        for (y <- 0 until 8; x <- 0 until 9) {
+          val v = vals(y)(x); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        MediaCodec.pngBytes(img)
+      }
+      val flat = Array.fill(8, 9)(100)
+      val flatOne = { val a = Array.fill(8, 9)(100); a(0)(1) = 200; a }
+      val ramp = Array.tabulate(8, 9)((_, x) => x * 25)
+      val rampOne = { val a = Array.tabulate(8, 9)((_, x) => x * 25); a(7)(5) = a(7)(4); a }
+      import s.implicits._
+      val df = Seq((1L, px(flat)), (2L, px(flatOne)), (3L, px(ramp)), (4L, px(rampOne)))
+        .toDF("id", "content")
+        .withColumn("kind", lit("image/png"))
+        .repartition(2)
+      val meta = graft.operators.Multimodal.decodeMediaMeta(df, "id", "kind", "content")
+      Dedup.dhashDups(meta.select(col("id"), col("dhash")), "id", "dhash",
+          maxHamming = 3, bands = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ---- stream-stream interval join (SURVEY §2.4 #46), run in batch mode
     // over the same expressions (EliminateEventTimeWatermark drops the
     // watermark nodes on batch inputs): lineitems shipped within 30 days of
@@ -3207,6 +3237,12 @@ object SparkEntry {
         |  (CAST(5 AS BIGINT), 'audio/wav', NULL, NULL, 1, CAST(NULL AS BIGINT), CAST(250 AS BIGINT), CAST(0 AS BIGINT))
         |) AS t(id, media_type, width, height, channels, dhash, duration_ms, rms_q)
         |ORDER BY id""".stripMargin,
+    // Closed-form pairs (see the entry's fixture construction).
+    "image_neardup" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), 1),
+        |  (CAST(3 AS BIGINT), CAST(4 AS BIGINT), 1)
+        |) AS t(id_a, id_b, hamming) ORDER BY id_a, id_b""".stripMargin,
     "interval_join" ->
       """SELECT o.o_orderkey, l.l_linenumber, l.l_shipdate
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey

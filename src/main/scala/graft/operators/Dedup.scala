@@ -842,6 +842,60 @@ object Dedup {
   }
 
   /**
+   * Perceptual image near-dup detection over 64-bit dHash fingerprints
+   * ([[MediaCodec.decodeImage]]'s `dhash64`) — the image-side analog of
+   * SimHash text dedup. Pigeonhole exactness: two hashes within Hamming
+   * distance <= bands-1 agree EXACTLY on at least one of `bands` contiguous
+   * bit segments, so candidate generation is an equi-join on
+   * (band, segment) — the shuffle carries (id, hash, 16-bit key) rows only,
+   * per-bucket capped like every LSH family here — and surviving pairs are
+   * verified with `bit_count(a ^ b) <= maxHamming` (codegen'd). Returns
+   * (id_a, id_b, hamming), each pair once even when it collides in several
+   * bands. Requires maxHamming < bands (the pigeonhole guarantee) and
+   * bands | 64.
+   */
+  def dhashDups(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0, s"bands must be >= 2 and divide 64, got $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands, got $maxHamming >= $bands")
+    val seg = 64 / bands
+    val mask = if (seg == 64) -1L else (1L << seg) - 1
+    val h = df.select(col(idCol).as("id"), col(hashCol).cast("long").as("h"))
+    val banded = h
+      .select(col("id"), col("h"), explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          shiftrightunsigned(col("h"), b * seg).bitwiseAND(lit(mask)).as("bkey"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("h"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val capped = banded
+      .withColumn(
+        "_rn",
+        row_number().over(Window.partitionBy(col("band"), col("bkey")).orderBy(col("id"))))
+      .filter(col("_rn") <= maxBucket)
+      .drop("_rn")
+    val pairs = capped
+      .select(col("band"), col("bkey"), col("id").as("id_a"), col("h").as("ha"))
+      .join(
+        capped.select(col("band"), col("bkey"), col("id").as("id_b"), col("h").as("hb")),
+        Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ha"), col("hb"))
+      .distinct()
+    pairs
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /**
    * SemDeDup-style semantic deduplication (Abbas et al. 2023,
    * arXiv:2303.09540): cluster document embeddings into k cells
    * ([[Similarity.ivfTrain]] centroids) and drop every document that has an

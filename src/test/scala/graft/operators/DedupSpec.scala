@@ -231,6 +231,30 @@ class DedupSpec extends SparkSpec {
     assert(desc.contains("band") && desc.contains("bkey"), desc)
   }
 
+  test("dhashDups: pigeonhole bands find exactly the pairs within the Hamming budget") {
+    val base = 0x0123456789abcdefL
+    val vecs = Seq(
+      (1L, base),
+      (2L, base ^ 0x7L), // 3 flipped bits -> within budget
+      (3L, base ^ 0x1111L), // 4 bits, all in band 0: candidate, verify rejects
+      (4L, ~base) // 64 bits apart: no shared band, never a candidate
+    ).toDF("id", "h")
+    val got = Dedup.dhashDups(vecs, "id", "h", maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === Set((1L, 2L, 3)))
+  }
+
+  test("dhashDups: identical hashes collide in every band but pair once; cap bounds pairing") {
+    val same = (1L to 6L).map(i => (i, 42L)).toDF("id", "h")
+    val pairs = Dedup.dhashDups(same, "id", "h", maxHamming = 1, bands = 4)
+    assert(pairs.count() === 15) // C(6,2), each exactly once despite 4 band hits
+    val capped = Dedup.dhashDups(same, "id", "h", maxHamming = 1, bands = 4, maxBucket = 3)
+    assert(capped.select("id_a", "id_b").as[(Long, Long)].collect().toSet ===
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    intercept[IllegalArgumentException](
+      Dedup.dhashDups(same, "id", "h", maxHamming = 4, bands = 4))
+  }
+
   test("semanticDedupQuantized: greedy keep-first within cells") {
     val vecs = Seq(
       (0L, Array(1000L, 0L, 0L)),
