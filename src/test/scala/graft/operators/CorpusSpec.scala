@@ -631,6 +631,25 @@ class CorpusSpec extends SparkSpec {
     assert(got(2L) === Seq(model.vocab("a"), -1, model.vocab("</w>")))
   }
 
+  test("BPE ids feed chunking/packing: tokenize -> count -> packShards composition") {
+    val model = Corpus.trainBpe(docs, "text", numMerges = 40)
+    val ids = Corpus.encodeBpeIds(docs, "doc_id", "text", model)
+      .withColumn("n_tok", size(col("token_ids")).cast("long"))
+    // every fixture doc tokenizes to something, no unk on self-encoded text
+    assert(ids.filter(col("n_tok") === 0L).count() === 0L)
+    assert(ids.filter(array_contains(col("token_ids"), -1)).count() === 0L)
+    val packed = Corpus.packShards(ids, "doc_id", "n_tok", budget = 2000L)
+    // documents are never split, so a shard can overshoot the budget by at
+    // most one document; coverage is exactly once per doc
+    val maxDoc = ids.agg(max("n_tok")).head().getLong(0)
+    val byShard = packed.groupBy("shard")
+      .agg(sum("n_tok").as("tok"), count(lit(1)).as("docs"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(byShard.forall(_._1 < 2000L + maxDoc))
+    assert(byShard.size > 1)
+    assert(byShard.map(_._2).sum === docs.count())
+  }
+
   test("BPE: applyBpe keeps non-numeric id columns intact") {
     val docsS = Seq(("doc-a", "aa aa aa ab")).toDF("uid", "text")
     val model = Corpus.trainBpe(docsS, "text", numMerges = 2)
