@@ -155,6 +155,45 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     },
+    // ---- q3 over CO-BUCKETED fact tables: both facts written bucketBy the
+    // join key once, so the lineitem ⋈ orders join is storage-partitioned —
+    // zero Exchange on either fact side (PlanSpec pins the no-shuffle plan
+    // with broadcasts disabled). At 100 TB this layout replaces the
+    // per-query fact shuffle with a one-time write. Same oracle as q3.
+    "q3_bucketed" -> { (s, dir) =>
+      Fixtures.cached(s"q3_bucketed|$dir") {
+        graft.operators.Bucketing.materializeBucketed(
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"), col("l_shipdate")),
+          "graft_q3b_lineitem", "l_orderkey", 16, Seq("l_orderkey"))
+        graft.operators.Bucketing.materializeBucketed(
+          t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority")),
+          "graft_q3b_orders", "o_orderkey", 16, Seq("o_orderkey"))
+        java.lang.Boolean.TRUE
+      }
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = s.table("graft_q3b_orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      s.table("graft_q3b_lineitem")
+        .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01 00:00:00")))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(
+          sum(
+            col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount").cast("decimal(18,2)"))
+          ).cast("double").as("revenue")
+        )
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
     "q5_local_supplier_volume" -> { (s, dir) =>
       // Catalyst does not reorder joins without CBO stats, so the declared
       // order IS the plan: push the region filter into supplier and customer
@@ -2276,6 +2315,17 @@ object SparkEntry {
   private def planesLit(planes: Seq[Array[Long]]): String =
     planes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
 
+  /** Shared by q3_shipping_priority and q3_bucketed (same values, the
+    * bucketed entry differs only in storage layout / join strategy). */
+  private val q3Oracle: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
   /** Shared by embed_neardup and embed_neardup_bucketed: identical planes
     * and threshold, so the bucketed table execution must hash-match the
     * same SQL. */
@@ -2310,14 +2360,9 @@ object SparkEntry {
         | COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
-    "q3_shipping_priority" ->
-      """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
-        |FROM customer, orders, lineitem
-        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
-        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
-        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q3_shipping_priority" -> q3Oracle,
+    // Same values, co-bucketed storage-partitioned execution.
+    "q3_bucketed" -> q3Oracle,
     "q5_local_supplier_volume" ->
       """SELECT n_name,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue

@@ -313,27 +313,14 @@ object Similarity {
       numBuckets: Int,
       table: String
   ): Unit = {
-    val spark = df.sparkSession
-    // A fresh (in-memory) catalog doesn't know about tables a PREVIOUS
-    // session materialized, but their managed locations persist in the
-    // warehouse dir — saveAsTable then fails with LOCATION_ALREADY_EXISTS.
-    // Drop both the catalog entry and any stale location first.
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
-    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    df.select(
+    Bucketing.materializeBucketed(
+      df.select(
         col(idCol).as("id"),
         col(vecCol).as("v"),
         intPlaneBucket(col(vecCol), planes).as("bucket"),
         intDot(col(vecCol), col(vecCol)).as("n2")
-      )
-      .write
-      .bucketBy(numBuckets, "bucket")
-      .sortBy("bucket")
-      .mode("overwrite")
-      .saveAsTable(table)
+      ),
+      table, "bucket", numBuckets, sortCols = Seq("bucket"))
   }
 
   // ------------------------------------------------------------------ IVF

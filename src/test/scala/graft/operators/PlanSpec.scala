@@ -125,6 +125,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("co-bucketed q3: fact join AND aggregation run with zero shuffle exchanges") {
+    val dir = "/root/testdata/sf0.001"
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // the at-scale case
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // static plan for collect()
+    try {
+      val b = graft.SparkEntry.queries("q3_bucketed")(spark, dir)
+      val shuffles = b.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // the dims broadcast is the ONLY exchange: the fact join reads both
+      // bucketed layouts, and the groupBy is satisfied by the same
+      // clustering (l_orderkey is a grouping key), so nothing shuffles
+      assert(shuffles.isEmpty, b.queryExecution.executedPlan.toString)
+      assert(b.queryExecution.executedPlan.toString.contains("Bucketed: true"))
+      // and the values are exactly the plain q3 entry's
+      assertSameRows(
+        b,
+        graft.SparkEntry.queries("q3_shipping_priority")(spark, dir),
+        ordered = true)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      spark.sql("DROP TABLE IF EXISTS graft_q3b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS graft_q3b_orders")
+    }
+  }
+
   test("embeddingDups ad-hoc path: candidate-generation exchanges carry ids, never vectors") {
     val corpus = spark.range(300).select(
       col("id"),
