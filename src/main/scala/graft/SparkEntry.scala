@@ -161,25 +161,29 @@ object SparkEntry {
     // with broadcasts disabled). At 100 TB this layout replaces the
     // per-query fact shuffle with a one-time write. Same oracle as q3.
     "q3_bucketed" -> { (s, dir) =>
-      Fixtures.cached(s"q3_bucketed|$dir") {
+      // dir-scoped table names + a catalog existence check, NOT the
+      // process-wide Fixtures cache: a dropped table (test cleanup) or a
+      // second data dir re-materializes instead of reading stale/missing
+      // tables behind a poisoned memo entry
+      val (lTab, oTab) = q3BucketedTables(dir)
+      if (!s.catalog.tableExists(lTab) || !s.catalog.tableExists(oTab)) {
         graft.operators.Bucketing.materializeBucketed(
           t(s, dir, "lineitem")
             .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"), col("l_shipdate")),
-          "graft_q3b_lineitem", "l_orderkey", 16, Seq("l_orderkey"))
+          lTab, "l_orderkey", 16, Seq("l_orderkey"))
         graft.operators.Bucketing.materializeBucketed(
           t(s, dir, "orders")
             .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority")),
-          "graft_q3b_orders", "o_orderkey", 16, Seq("o_orderkey"))
-        java.lang.Boolean.TRUE
+          oTab, "o_orderkey", 16, Seq("o_orderkey"))
       }
       val cust = t(s, dir, "customer")
         .filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey"))
-      val ord = s.table("graft_q3b_orders")
+      val ord = s.table(oTab)
         .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      s.table("graft_q3b_lineitem")
+      s.table(lTab)
         .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01 00:00:00")))
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
         .join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
@@ -2314,6 +2318,13 @@ object SparkEntry {
     * the identical (exact-integer) LSH arithmetic. */
   private def planesLit(planes: Seq[Array[Long]]): String =
     planes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  /** Dir-scoped bucketed-fact table names for q3_bucketed (shared with the
+    * PlanSpec cleanup). */
+  private[graft] def q3BucketedTables(dir: String): (String, String) = {
+    val tag = f"${dir.hashCode & 0x7fffffff}%08x"
+    (s"graft_q3b_lineitem_$tag", s"graft_q3b_orders_$tag")
+  }
 
   /** Shared by q3_shipping_priority and q3_bucketed (same values, the
     * bucketed entry differs only in storage layout / join strategy). */

@@ -507,7 +507,10 @@ object Corpus {
     * nothing model-sized ever reaches the driver. `n` = total training
     * tokens, `v` = vocabulary size (the only driver-side scalars). */
   final case class NgramLm(unigrams: DataFrame, bigrams: DataFrame, n: Long, v: Long) {
-    /** Drop the cached model tables (training persists them for scoring). */
+    /** Drop the cached model tables (training persists them for scoring) —
+      * long-lived sessions that train many models must call this or
+      * `catalog.clearCache()` between them, or the block manager grows by
+      * two model tables per training run. */
     def release(): Unit = {
       unigrams.unpersist(blocking = false)
       bigrams.unpersist(blocking = false)
@@ -653,11 +656,12 @@ object Corpus {
     val wins = docs
       .select(col(idCol).as("_ds_id"), explode(winCol).as("w"))
       .select(col("_ds_id"), col("w.start").as("_start"), col("w.h").as("_h"))
-    val byHash = Window.partitionBy(col("_h"))
+    // _rn >= 2 already implies the hash occurs at least twice — no separate
+    // count window needed; rank 1 is the kept first occurrence
     val flagged = wins
-      .withColumn("_rn", row_number().over(byHash.orderBy(col("_ds_id"), col("_start"))))
-      .withColumn("_cnt", count(lit(1)).over(byHash))
-      .filter(col("_cnt") >= 2 && col("_rn") >= 2)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_h")).orderBy(col("_ds_id"), col("_start"))))
+      .filter(col("_rn") >= 2)
     val spans = flagged.groupBy(col("_ds_id")).agg(collect_list(col("_start")).as("_starts"))
     docs
       .join(spans, col(idCol) === col("_ds_id"), "left")
@@ -791,7 +795,10 @@ object Corpus {
     lazy val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
 
     /** piece → id: sorted base alphabet first, then merge products in rank
-      * order (the standard trainer layout). Deterministic given the model. */
+      * order (the standard trainer layout). Deterministic given the model.
+      * `distinct` is semantics, not hygiene: two different merges can build
+      * the SAME piece string (("ab","c") and ("a","bc") both yield "abc"),
+      * and one piece must mean one id. */
     lazy val vocab: Map[String, Int] =
       (alphabet.sorted ++ merges.map { case (a, b) => a + b })
         .distinct.zipWithIndex.toMap
@@ -812,6 +819,10 @@ object Corpus {
    * lexicographically smallest pair) — re-training on the same counts
    * always yields the same merges. Words are lowercased whitespace tokens
    * ([[Text.tokens]]) spelled as characters plus a terminal `</w>` symbol.
+   * The terminal is reserved: a corpus whose TOKENS contain the literal
+   * substring `</w>` would alias it (the classic-BPE caveat — production
+   * tokenizers byte-escape it away); pre-scrub such corpora before
+   * training, as the round-trip rebuild maps every `</w>` to a word break.
    */
   def trainBpe(
       docs: DataFrame,
@@ -909,7 +920,9 @@ object Corpus {
     in.mapPartitions { it =>
       val r = ranks.value
       it.map { row =>
-        val toks = row.getSeq[String](1)
+        // null text tokenizes to null (split of a null column) — treat as
+        // empty like every explode-based operator does, don't NPE the job
+        val toks = Option(row.getSeq[String](1)).getOrElse(Seq.empty)
         org.apache.spark.sql.Row(row.get(0), toks.flatMap(w => encodeWord(w, r)))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))

@@ -120,6 +120,13 @@ object HttpSync {
     require(names.nonEmpty, s"remote dataset $dataset has no blocks")
     val remote = names.map(n => MetadataChain.parseName(new Path(n)))
 
+    // Listing-shape validation FIRST (UNTRUSTED remote): reject a gapped or
+    // shuffled chain before a single block body is fetched — on a large
+    // chain that is thousands of saved requests (the per-block declared-seq
+    // and prev-hash checks below still need the bodies).
+    require(remote.map(_._1) == remote.indices.map(_.toLong),
+      s"remote listing is not a contiguous chain: seqs ${remote.map(_._1).mkString(",")}")
+
     val exists = MetadataChain.exists(localRoot, conf)
     val local = if (exists) MetadataChain.open(localRoot, conf)
                 else MetadataChain.create(localRoot, conf)
@@ -172,9 +179,8 @@ object HttpSync {
     // Chain-linkage validation (UNTRUSTED remote): content addresses prove
     // each block's BYTES, not their order — before any commit, the delta
     // must be the contiguous prev-hash-linked continuation of the committed
-    // prefix, or setHead below would corrupt the local chain.
-    require(remote.map(_._1) == remote.indices.map(_.toLong),
-      s"remote listing is not a contiguous chain: seqs ${remote.map(_._1).mkString(",")}")
+    // prefix (listing contiguity was already enforced pre-fetch above), or
+    // setHead below would corrupt the local chain.
     parsedBlocks.zipWithIndex.foreach { case (b, i) =>
       val at = common + i
       require(b.sequenceNumber == remote(at)._1,

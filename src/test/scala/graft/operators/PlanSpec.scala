@@ -149,8 +149,9 @@ class PlanSpec extends SparkSpec {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
       spark.conf.set("spark.sql.adaptive.enabled", prevA)
-      spark.sql("DROP TABLE IF EXISTS graft_q3b_lineitem")
-      spark.sql("DROP TABLE IF EXISTS graft_q3b_orders")
+      val (lTab, oTab) = graft.SparkEntry.q3BucketedTables(dir)
+      spark.sql(s"DROP TABLE IF EXISTS $lTab")
+      spark.sql(s"DROP TABLE IF EXISTS $oTab")
     }
   }
 
