@@ -47,6 +47,87 @@ object Export {
   private def shaped(df: DataFrame, n: Option[Int]): DataFrame =
     n.map(df.coalesce).getOrElse(df)
 
+  /**
+   * Memory-mappable training shards: one `shard=<k>/tokens.bin` per shard
+   * of little-endian int32 token ids, documents concatenated in
+   * (shard, order) order — the flat-token format GPT-style data loaders
+   * mmap directly — plus a `_meta.json` per shard recording token and
+   * document counts.
+   *
+   * Scale shape: ONE repartition on the shard column routes each shard's
+   * rows to the executor that writes it; `sortWithinPartitions` makes every
+   * shard's rows arrive contiguously in document order, so the task streams
+   * ids through a buffered writer — O(buffer) memory regardless of shard
+   * size. Files land via write-temp-then-rename, so a retried task
+   * overwrites its own output idempotently. (The ndjson/parquet shard sinks
+   * above are the record-oriented variants; this is the packed-token one.)
+   */
+  def toTokenBinShards(
+      df: DataFrame,
+      shardCol: String,
+      orderCol: String,
+      idsCol: String,
+      path: String
+  ): Unit = {
+    val base = new org.apache.hadoop.fs.Path(path)
+    val conf0 = df.sparkSession.sparkContext.hadoopConfiguration
+    val fs0 = base.getFileSystem(conf0)
+    if (fs0.exists(base)) fs0.delete(base, true) // overwrite semantics
+    fs0.mkdirs(base)
+    val baseUri = fs0.makeQualified(base).toUri.toString
+    df.select(
+        col(shardCol).cast("long").as("s"),
+        col(orderCol).as("o"),
+        col(idsCol).cast("array<int>").as("ids"))
+      .repartition(col("s"))
+      .sortWithinPartitions(col("s"), col("o"))
+      .foreachPartition { (it: Iterator[Row]) =>
+        // executors re-derive the FS from the qualified URI (the Hadoop
+        // Configuration itself is not serializable)
+        val base = new org.apache.hadoop.fs.Path(baseUri)
+        val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        var cur = Long.MinValue
+        var out: java.io.OutputStream = null
+        var tmp: org.apache.hadoop.fs.Path = null
+        var nTok = 0L
+        var nDoc = 0L
+        def finish(): Unit = if (out != null) {
+          out.close()
+          val dir = new org.apache.hadoop.fs.Path(base, s"shard=$cur")
+          val fin = new org.apache.hadoop.fs.Path(dir, "tokens.bin")
+          fs.delete(fin, false)
+          require(fs.rename(tmp, fin), s"rename $tmp -> $fin failed")
+          val meta = fs.create(new org.apache.hadoop.fs.Path(dir, "_meta.json"), true)
+          try meta.write(s"""{"tokens":$nTok,"docs":$nDoc}""".getBytes("UTF-8"))
+          finally meta.close()
+          out = null
+        }
+        it.foreach { row =>
+          val s = row.getLong(0)
+          if (s != cur || out == null) {
+            finish()
+            cur = s
+            nTok = 0L; nDoc = 0L
+            val dir = new org.apache.hadoop.fs.Path(base, s"shard=$cur")
+            fs.mkdirs(dir)
+            tmp = new org.apache.hadoop.fs.Path(dir, ".tokens.bin.inprogress")
+            out = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
+          }
+          val ids = Option(row.getSeq[Int](2)).getOrElse(Seq.empty)
+          var i = 0
+          while (i < ids.length) {
+            val v = ids(i)
+            out.write(v & 0xff); out.write((v >> 8) & 0xff)
+            out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+            i += 1
+          }
+          nTok += ids.length
+          nDoc += 1
+        }
+        finish()
+      }
+  }
+
   // ---------------------------------------------------------- encoders
 
   /** JSON array-of-structs: `[{"a":1,"b":"x"}, …]` — built Spark-side with

@@ -650,6 +650,34 @@ class CorpusSpec extends SparkSpec {
     assert(byShard.map(_._2).sum === docs.count())
   }
 
+  test("toTokenBinShards: mmap-ready little-endian int32 shards in doc order") {
+    val in = Seq(
+      (0L, 10L, Seq(1, 2, 3)),
+      (1L, 10L, Seq(4)),
+      (2L, 11L, Seq(5, 6)),
+      (3L, 11L, Seq(7))
+    ).toDF("doc_id", "shard", "token_ids").repartition(3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tokbin-").toString
+    Export.toTokenBinShards(in, "shard", "doc_id", "token_ids", dir)
+    def readShard(k: Long): Seq[Int] = {
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, s"shard=$k", "tokens.bin"))
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until bytes.length / 4).map(_ => bb.getInt)
+    }
+    assert(readShard(10L) === Seq(1, 2, 3, 4))
+    assert(readShard(11L) === Seq(5, 6, 7))
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "shard=10", "_meta.json")), "UTF-8")
+    assert(meta === """{"tokens":4,"docs":2}""")
+    // overwrite semantics: a re-run replaces, never appends
+    Export.toTokenBinShards(in, "shard", "doc_id", "token_ids", dir)
+    assert(readShard(10L) === Seq(1, 2, 3, 4))
+    // no stray temp files
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "shard=10", ".tokens.bin.inprogress")))
+  }
+
   test("BPE: applyBpe keeps non-numeric id columns intact") {
     val docsS = Seq(("doc-a", "aa aa aa ab")).toDF("uid", "text")
     val model = Corpus.trainBpe(docsS, "text", numMerges = 2)
