@@ -1247,6 +1247,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- GPT-style sequence packing: the corpus token stream in doc order
+    // cut into fixed 512-token training sequences (docs cross boundaries).
+    // Output rejoins each sequence as text so the hash compare is exact.
+    "pack_sequences" -> { (s, dir) =>
+      val docs = Dedup.ensureParallelism(t(s, dir, "documents"))
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      Corpus.packSequences(docs, "doc_id", "toks", seqLen = 512)
+        .select(col("seq_id"), col("n_tokens"), array_join(col("token_ids"), " ").as("seq_text"))
+        .orderBy(col("seq_id"))
+    },
+
     // ---- exact substring-span dedup (Lee et al. 2022 spelling): 20-token
     // windows at stride 10; corpus-duplicated windows keep their first
     // (doc, start) occurrence and are cut everywhere else. Spark matches by
@@ -3140,6 +3151,17 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens,
         |  CAST(sum(lp) * -1 AS DOUBLE) / 1000000.0 / count(*) AS logppl
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Token-level replication: global offset by (doc, position), sequence =
+    // offset div 512, tokens rejoined in offset order.
+    "pack_sequences" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS i FROM tok),
+        |g AS (SELECT tok, row_number() OVER (ORDER BY doc_id, i) - 1 AS off FROM ex)
+        |SELECT off // 512 AS seq_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       string_agg(tok, ' ' ORDER BY off) AS seq_text
+        |FROM g GROUP BY seq_id ORDER BY seq_id""".stripMargin,
     // Span-dedup replication on the window STRINGS (no hash needed in SQL):
     // same windows, same keep-first rule, same token-level rebuild.
     "dedup_spans" ->

@@ -257,9 +257,29 @@ object Corpus {
     // cut the lineage so each pass scans the materialized slim input, not a
     // re-execution of whatever pipeline produced it.
     val input = df.localCheckpoint()
+    withGlobalPrefix(input, idCol, tokenCol, numBuckets) match {
+      case None => input.withColumn("shard", lit(0L))
+      case Some(p) =>
+        p.withColumn("shard", expr(s"_prefix div ${budget}")).drop("_prefix")
+    }
+  }
+
+  /** Exclusive global running sum of `weightCol` in ascending `idCol`
+    * order — the two-level distributed prefix sum shared by
+    * [[packShards]]/[[packSequences]]: per-range partial sums (one small
+    * aggregate, numBuckets rows to the driver), the running offsets
+    * broadcast back, then a window partitioned BY RANGE — never a
+    * single-partition global window. Adds `_prefix`; callers pass a slim,
+    * localCheckpointed input. None when the input is empty. */
+  private def withGlobalPrefix(
+      input: DataFrame,
+      idCol: String,
+      weightCol: String,
+      numBuckets: Int
+  ): Option[DataFrame] = {
     val bounds = input.agg(
       min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
-    if (bounds.isNullAt(0)) return input.withColumn("shard", lit(0L))
+    if (bounds.isNullAt(0)) return None
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val width = math.max(1L, (hi - lo) / numBuckets + 1)
     val bucket = ((col(idCol).cast("long") - lo) / width).cast("long")
@@ -268,7 +288,7 @@ object Corpus {
     // small aggregate: one row per populated range
     val perBucket = withBucket
       .groupBy(col("_pack_bucket"))
-      .agg(sum(col(tokenCol)).cast("long").as("_bucket_tokens"))
+      .agg(sum(col(weightCol)).cast("long").as("_bucket_tokens"))
       .orderBy(col("_pack_bucket"))
       .collect()
     // exclusive running offset per range (numBuckets entries, driver-side)
@@ -278,7 +298,7 @@ object Corpus {
       acc += r.getLong(1)
       o
     }
-    val spark = df.sparkSession
+    val spark = input.sparkSession
     import spark.implicits._
     val offsetDf = offsets.toSeq.toDF("_pack_bucket", "_bucket_offset")
 
@@ -286,12 +306,68 @@ object Corpus {
       .partitionBy(col("_pack_bucket"))
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    withBucket
+    Some(withBucket
       .join(broadcast(offsetDf), "_pack_bucket")
       .withColumn("_prefix",
-        col("_bucket_offset") + coalesce(sum(col(tokenCol)).over(win), lit(0L)))
-      .withColumn("shard", expr(s"_prefix div ${budget}"))
-      .drop("_pack_bucket", "_bucket_offset", "_prefix")
+        col("_bucket_offset") + coalesce(sum(col(weightCol)).over(win), lit(0L)))
+      .drop("_pack_bucket", "_bucket_offset"))
+  }
+
+  /**
+   * GPT-style sequence packing: concatenate every document's tokens in
+   * ascending `idCol` order into one global stream and cut it into
+   * fixed-`seqLen` training sequences — documents cross sequence boundaries
+   * (the canonical pretraining input pipeline; boundary/EOS handling is the
+   * loader's attention-mask concern). Returns (seq_id, n_tokens,
+   * token_ids): every sequence carries exactly seqLen tokens except the
+   * final remainder.
+   *
+   * Scale shape: the global token offset is the same two-level prefix sum
+   * as [[packShards]]; each document then SLICES its own token array into
+   * the at most ceil(n/seqLen)+1 sequences it overlaps — no token-level
+   * explode — and one hash shuffle on seq_id reassembles the pieces with an
+   * array_sort by global position. Shuffled rows = O(docs +
+   * totalTokens/seqLen), each carrying only its slice.
+   */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      idsCol: String,
+      seqLen: Int,
+      numBuckets: Int = 256
+  ): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val input = df
+      .select(col(idCol), col(idsCol).as("_ps_ids"), size(col(idsCol)).cast("long").as("_ps_n"))
+      .localCheckpoint()
+    withGlobalPrefix(input, idCol, "_ps_n", numBuckets) match {
+      case None =>
+        input.select(
+          lit(0L).as("seq_id"), lit(0L).as("n_tokens"), col("_ps_ids").as("token_ids"))
+          .limit(0)
+      case Some(p) =>
+        val L = seqLen.toLong
+        val pieces = p
+          .filter(col("_ps_n") > 0)
+          .select(
+            col("_prefix"), col("_ps_ids"), col("_ps_n"),
+            explode(sequence(
+              expr(s"_prefix div $L"),
+              expr(s"(_prefix + _ps_n - 1) div $L"))).as("seq_id"))
+          .withColumn("_from", greatest(lit(0L), col("seq_id") * L - col("_prefix")))
+          .withColumn("_until", least(col("_ps_n"), (col("seq_id") + 1) * L - col("_prefix")))
+          .select(
+            col("seq_id"),
+            (col("_prefix") + col("_from")).as("_gpos"),
+            expr("slice(_ps_ids, cast(_from + 1 as int), cast(_until - _from as int))").as("_piece"))
+        pieces
+          .groupBy(col("seq_id"))
+          .agg(flatten(transform(
+            array_sort(collect_list(struct(col("_gpos"), col("_piece")))),
+            x => x.getField("_piece"))).as("token_ids"))
+          .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+          .select(col("seq_id"), col("n_tokens"), col("token_ids"))
+    }
   }
 
   // ----------------------------------------------------------- repetition

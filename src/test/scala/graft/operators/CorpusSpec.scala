@@ -491,6 +491,50 @@ class CorpusSpec extends SparkSpec {
     assert(!a.select("doc_id").as[Long].collect().contains(0L))
   }
 
+  // ------------------------------------------------------ sequence packing
+
+  test("packSequences: fixed-length cuts across document boundaries") {
+    val in = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("d", "e")),
+      (3L, Seq.empty[String]),
+      (4L, Seq("f"))
+    ).toDF("doc_id", "toks").repartition(3)
+    val got = Corpus.packSequences(in, "doc_id", "toks", seqLen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2))).sortBy(_._1)
+    assert(got === Seq(
+      (0L, 2L, Seq("a", "b")), (1L, 2L, Seq("c", "d")), (2L, 2L, Seq("e", "f"))))
+    val rem = Corpus.packSequences(in, "doc_id", "toks", seqLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2))).sortBy(_._1)
+    assert(rem === Seq((0L, 4L, Seq("a", "b", "c", "d")), (1L, 2L, Seq("e", "f"))))
+    assert(Corpus.packSequences(in.limit(0), "doc_id", "toks", 4).count() === 0)
+  }
+
+  test("packSequences equals the naive token-explode spelling; partitioning-invariant") {
+    val docsT = docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    def shape(df: DataFrame) = df.select(
+      col("seq_id"), col("n_tokens"), array_join(col("token_ids"), " ").as("seq_text"))
+    val fast = shape(Corpus.packSequences(docsT, "doc_id", "toks", seqLen = 100))
+    val naive = docsT
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("i", "tok")))
+      .withColumn("off",
+        row_number().over(Window.orderBy(col("doc_id"), col("i"))).cast("long") - 1)
+      .withColumn("seq_id", expr("off div 100"))
+      .groupBy("seq_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("off"), col("tok")))),
+            x => x.getField("tok")),
+          " ").as("seq_text"))
+      .select(col("seq_id"), col("n_tokens"), col("seq_text"))
+    assertSameRows(fast.orderBy("seq_id"), naive.orderBy("seq_id"))
+    val repart = shape(
+      Corpus.packSequences(docsT.repartition(7), "doc_id", "toks", seqLen = 100))
+    assertSameRows(fast.orderBy("seq_id"), repart.orderBy("seq_id"))
+  }
+
   // ----------------------------------------------------------- span dedup
 
   test("dedupSpans: corpus-duplicated windows keep first occurrence, cut elsewhere") {
