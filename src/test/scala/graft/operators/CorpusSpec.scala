@@ -535,6 +535,29 @@ class CorpusSpec extends SparkSpec {
     assertSameRows(fast.orderBy("seq_id"), repart.orderBy("seq_id"))
   }
 
+  test("full tokenizer loop: BPE ids -> packSequences -> bin shards -> identical stream") {
+    val model = Corpus.trainBpe(docs, "text", numMerges = 30)
+    val ids = Corpus.encodeBpeIds(docs, "doc_id", "text", model)
+    val seqs = Corpus.packSequences(ids, "doc_id", "token_ids", seqLen = 256)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tokloop-").toString
+    // one shard per 4 sequences, then the bin files must replay the exact
+    // global token stream the per-doc encoder produced
+    Export.toTokenBinShards(
+      seqs.withColumn("shard", expr("seq_id div 4")),
+      "shard", "seq_id", "token_ids", dir)
+    val expected = ids.orderBy("doc_id")
+      .select("token_ids").as[Seq[Int]].collect().flatten.toSeq
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard="))
+      .sortBy(f => f.getName.stripPrefix("shard=").toLong)
+    val got = shardDirs.flatMap { d =>
+      val bytes = java.nio.file.Files.readAllBytes(d.toPath.resolve("tokens.bin"))
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until bytes.length / 4).map(_ => bb.getInt)
+    }.toSeq
+    assert(got === expected)
+  }
+
   // ----------------------------------------------------------- span dedup
 
   test("dedupSpans: corpus-duplicated windows keep first occurrence, cut elsewhere") {
