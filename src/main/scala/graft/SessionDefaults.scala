@@ -29,11 +29,19 @@ import org.apache.spark.sql.SparkSession
  * every plan falls back to the shuffled-hash shapes the queries pin with
  * hints — these settings only ever REMOVE work when runtime evidence says
  * a side fits.
+ *
+ * `requireAllClusterKeysForCoPartition=false` is the third knob: a join
+ * whose sides are ALREADY hash-partitioned on a common subset of
+ * corresponding join keys (co-bucketed fact tables joined on the bucket
+ * column plus a secondary key — q5_bucketed) is accepted as co-partitioned
+ * instead of re-shuffling on the full key set. It never introduces a
+ * shuffle; it only skips one when the storage layout already paid for it.
  */
 object SessionDefaults {
   val joinTuning: Seq[(String, String)] = Seq(
     "spark.sql.autoBroadcastJoinThreshold" -> "64m",
-    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "256m"
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "256m",
+    "spark.sql.requireAllClusterKeysForCoPartition" -> "false"
   )
 
   /** Apply the shared tuning to a session builder. */

@@ -161,21 +161,7 @@ object SparkEntry {
     // with broadcasts disabled). At 100 TB this layout replaces the
     // per-query fact shuffle with a one-time write. Same oracle as q3.
     "q3_bucketed" -> { (s, dir) =>
-      // dir-scoped table names + a catalog existence check, NOT the
-      // process-wide Fixtures cache: a dropped table (test cleanup) or a
-      // second data dir re-materializes instead of reading stale/missing
-      // tables behind a poisoned memo entry
-      val (lTab, oTab) = q3BucketedTables(dir)
-      if (!s.catalog.tableExists(lTab) || !s.catalog.tableExists(oTab)) {
-        graft.operators.Bucketing.materializeBucketed(
-          t(s, dir, "lineitem")
-            .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"), col("l_shipdate")),
-          lTab, "l_orderkey", 16, Seq("l_orderkey"))
-        graft.operators.Bucketing.materializeBucketed(
-          t(s, dir, "orders")
-            .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority")),
-          oTab, "o_orderkey", 16, Seq("o_orderkey"))
-      }
+      val (lTab, oTab) = ensureBucketedFacts(s, dir)
       val cust = t(s, dir, "customer")
         .filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey"))
@@ -196,6 +182,51 @@ object SparkEntry {
         )
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
+    },
+
+    // ---- q5 over the same co-bucketed facts. The fact join carries a
+    // second equi-key (customer nation == supplier nation) on top of the
+    // bucket column, so co-partitioning needs the subset rule
+    // (requireAllClusterKeysForCoPartition=false — a SessionDefaults knob;
+    // re-asserted here for driver-owned sessions, same discipline as the
+    // events helper): both scans are hash-partitioned on the CORRESPONDING
+    // orderkey position and the planner accepts that instead of
+    // re-shuffling on the full key set. Dims broadcast explicitly; the one
+    // remaining fact-path shuffle is the |nations|-row final aggregation.
+    "q5_bucketed" -> { (s, dir) =>
+      s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      val (lTab, oTab) = ensureBucketedFacts(s, dir)
+      val asia = broadcast(
+        t(s, dir, "nation")
+          .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name")))
+      val suppAsia = broadcast(
+        t(s, dir, "supplier")
+          .join(asia, col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_nationkey"), col("n_name")))
+      val custAsia = broadcast(
+        t(s, dir, "customer")
+          .join(asia.select(col("n_nationkey")), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_nationkey")))
+      val ordAsia = s.table(oTab)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(custAsia, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"))
+      s.table(lTab)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+        .join(suppAsia, col("l_suppkey") === col("s_suppkey"))
+        .join(
+          ordAsia.hint("merge"),
+          col("l_orderkey") === col("o_orderkey") && col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(
+            col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount").cast("decimal(18,2)"))
+          ).cast("double").as("revenue")
+        )
+        .orderBy(col("revenue").desc, col("n_name"))
     },
 
     "q5_local_supplier_volume" -> { (s, dir) =>
@@ -2330,11 +2361,32 @@ object SparkEntry {
   private def planesLit(planes: Seq[Array[Long]]): String =
     planes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
 
-  /** Dir-scoped bucketed-fact table names for q3_bucketed (shared with the
-    * PlanSpec cleanup). */
+  /** Dir-scoped bucketed-fact table names for the q3/q5 bucketed entries
+    * (shared with the PlanSpec cleanup). */
   private[graft] def q3BucketedTables(dir: String): (String, String) = {
     val tag = f"${dir.hashCode & 0x7fffffff}%08x"
     (s"graft_q3b_lineitem_$tag", s"graft_q3b_orders_$tag")
+  }
+
+  /** Materialize the co-bucketed fact tables once per (dir, catalog) —
+    * dir-scoped names + a catalog existence check, NOT a process-wide memo:
+    * a dropped table (test cleanup) or a second data dir re-materializes
+    * instead of reading stale or missing tables. Shared by q3_bucketed and
+    * q5_bucketed, so the projection carries both queries' columns. */
+  private def ensureBucketedFacts(s: SparkSession, dir: String): (String, String) = {
+    val (lTab, oTab) = q3BucketedTables(dir)
+    if (!s.catalog.tableExists(lTab) || !s.catalog.tableExists(oTab)) {
+      graft.operators.Bucketing.materializeBucketed(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+            col("l_discount"), col("l_shipdate")),
+        lTab, "l_orderkey", 16, Seq("l_orderkey"))
+      graft.operators.Bucketing.materializeBucketed(
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority")),
+        oTab, "o_orderkey", 16, Seq("o_orderkey"))
+    }
+    (lTab, oTab)
   }
 
   /** Shared by q3_shipping_priority and q3_bucketed (same values, the
@@ -2347,6 +2399,17 @@ object SparkEntry {
       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** Shared by q5_local_supplier_volume and q5_bucketed (same values, the
+    * bucketed entry differs only in storage layout / join strategy). */
+  private val q5Oracle: String =
+    """SELECT n_name,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
   /** Shared by embed_neardup and embed_neardup_bucketed: identical planes
     * and threshold, so the bucketed table execution must hash-match the
@@ -2385,14 +2448,9 @@ object SparkEntry {
     "q3_shipping_priority" -> q3Oracle,
     // Same values, co-bucketed storage-partitioned execution.
     "q3_bucketed" -> q3Oracle,
-    "q5_local_supplier_volume" ->
-      """SELECT n_name,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
-        |FROM customer, orders, lineitem, supplier, nation, region
-        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
-        |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-        |  AND r_name = 'ASIA'
-        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q5_local_supplier_volume" -> q5Oracle,
+    // Same values, co-bucketed storage-partitioned execution.
+    "q5_bucketed" -> q5Oracle,
     "q6_forecast_revenue" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem

@@ -146,6 +146,23 @@ class PlanSpec extends SparkSpec {
         b,
         graft.SparkEntry.queries("q3_shipping_priority")(spark, dir),
         ordered = true)
+      // q5 over the same layout: subset co-partitioning carries the
+      // two-key fact join on the orderkey buckets, so NO shuffle touches a
+      // fact key — the remaining exchanges are the |nations|-row final agg
+      // and presentation sort, plus dim-sized ones forced by this test's
+      // own disabled-broadcast conf (they broadcast in real sessions)
+      val b5 = graft.SparkEntry.queries("q5_bucketed")(spark, dir)
+      val factShuffles = b5.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if Seq("orderkey", "custkey", "suppkey")
+              .exists(e.outputPartitioning.toString.toLowerCase.contains) => e
+      }
+      assert(factShuffles.isEmpty, b5.queryExecution.executedPlan.toString)
+      assert(b5.queryExecution.executedPlan.toString.contains("Bucketed: true"))
+      assertSameRows(
+        b5,
+        graft.SparkEntry.queries("q5_local_supplier_volume")(spark, dir),
+        ordered = true)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
       spark.conf.set("spark.sql.adaptive.enabled", prevA)
