@@ -1440,7 +1440,10 @@ object SparkEntry {
         (2L, "image/png", flat(8, 8)),
         (3L, "image/png", ramp(16, 32, vertical = true)),
         (4L, "audio/wav", square),
-        (5L, "audio/wav", silence)
+        (5L, "audio/wav", silence),
+        // minimal valid MP4 box skeleton: dimensions/duration/track count
+        // are the construction parameters, closed-form like the rest
+        (6L, "video/mp4", MediaCodec.mp4Bytes(640, 360, durationMs = 2500))
       )
       import s.implicits._
       val df = rows.toDF("id", "kind", "content").repartition(2)
@@ -3370,7 +3373,8 @@ object SparkEntry {
         |  (CAST(2 AS BIGINT), 'image/png', 8, 8, 1, CAST(0 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
         |  (CAST(3 AS BIGINT), 'image/png', 16, 32, 3, CAST(0 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
         |  (CAST(4 AS BIGINT), 'audio/wav', NULL, NULL, 1, CAST(NULL AS BIGINT), CAST(500 AS BIGINT), CAST(250 AS BIGINT)),
-        |  (CAST(5 AS BIGINT), 'audio/wav', NULL, NULL, 1, CAST(NULL AS BIGINT), CAST(250 AS BIGINT), CAST(0 AS BIGINT))
+        |  (CAST(5 AS BIGINT), 'audio/wav', NULL, NULL, 1, CAST(NULL AS BIGINT), CAST(250 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(6 AS BIGINT), 'video/mp4', 640, 360, 1, CAST(NULL AS BIGINT), CAST(2500 AS BIGINT), CAST(NULL AS BIGINT))
         |) AS t(id, media_type, width, height, channels, dhash, duration_ms, rms_q)
         |ORDER BY id""".stripMargin,
     // Closed-form pairs (see the entry's fixture construction).

@@ -142,6 +142,87 @@ object MediaCodec {
     } finally in.close()
   }
 
+  // ------------------------------------------------------------- video side
+
+  final case class VideoMeta(width: Int, height: Int, durationMs: Long, tracks: Int)
+
+  /**
+   * Parse MP4 / ISO-BMFF container metadata WITHOUT any codec: walk the box
+   * tree (32-bit size + fourcc headers, 64-bit extended sizes honored),
+   * read `mvhd` (timescale + movie duration, versions 0 and 1) and every
+   * `trak`/`tkhd` (16.16 fixed-point width/height; the first visual track
+   * wins). The container structure alone yields the curation metadata a
+   * 100 TB pipeline needs — dimensions, duration, track count; FRAME decode
+   * needs codecs this environment does not ship and stays out of scope.
+   * Malformed input throws; [[Multimodal.decodeMediaMeta]] surfaces nulls.
+   */
+  def decodeMp4Meta(bytes: Array[Byte]): VideoMeta = {
+    val bb = java.nio.ByteBuffer.wrap(bytes) // big-endian
+    def u32(off: Int): Long = bb.getInt(off) & 0xffffffffL
+    def boxes(from: Int, until: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var off = from
+      while (off + 8 <= until) {
+        val size = u32(off)
+        val typ = new String(bytes, off + 4, 4, "ISO-8859-1")
+        val (boxSize, hdr) =
+          if (size == 1) (bb.getLong(off + 8), 16) else (size, 8)
+        require(boxSize >= hdr && off + boxSize <= until, s"malformed box '$typ' at $off")
+        out += ((typ, off + hdr, off + boxSize.toInt))
+        off += boxSize.toInt
+      }
+      out.result()
+    }
+    val moov = boxes(0, bytes.length).collectFirst { case ("moov", s, e) => (s, e) }
+      .getOrElse(throw new IllegalArgumentException("no moov box"))
+    val kids = boxes(moov._1, moov._2)
+    val (mvhdS, _) = kids.collectFirst { case ("mvhd", s, e) => (s, e) }
+      .getOrElse(throw new IllegalArgumentException("no mvhd box"))
+    val mvhdV = bytes(mvhdS) & 0xff
+    val (timescale, duration) =
+      if (mvhdV == 1) (u32(mvhdS + 20), bb.getLong(mvhdS + 24))
+      else (u32(mvhdS + 12), u32(mvhdS + 16))
+    require(timescale > 0, "mvhd timescale is zero")
+    var tracks = 0
+    var w = 0
+    var h = 0
+    kids.foreach {
+      case ("trak", s, e) =>
+        tracks += 1
+        boxes(s, e).collectFirst { case ("tkhd", ts, _) => ts }.foreach { ts =>
+          // v0: 4 ver/flags + 4+4 times + 4 id + 4 res + 4 dur + 8 res +
+          // 2+2+2+2 layer/alt/vol/res + 36 matrix = width at 76; v1 times
+          // and duration widen by 12 total
+          val base = if ((bytes(ts) & 0xff) == 1) 88 else 76
+          val wi = (u32(ts + base) >> 16).toInt
+          val hi = (u32(ts + base + 4) >> 16).toInt
+          if (wi > 0 && w == 0) { w = wi; h = hi }
+        }
+      case _ => ()
+    }
+    VideoMeta(w, h, duration * 1000L / timescale, tracks)
+  }
+
+  /** Build a minimal valid MP4 metadata skeleton — ftyp + moov(mvhd + one
+    * visual trak(tkhd)) — the video fixture/test helper (the container
+    * analog of [[pngBytes]]/[[wavBytes]]). */
+  def mp4Bytes(width: Int, height: Int, durationMs: Long, timescale: Int = 1000): Array[Byte] = {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ payload
+    val dur = durationMs * timescale / 1000L
+    val mvhd = new Array[Byte](100) // v0 full box payload
+    System.arraycopy(be32(timescale.toLong), 0, mvhd, 12, 4)
+    System.arraycopy(be32(dur), 0, mvhd, 16, 4)
+    val tkhd = new Array[Byte](84) // v0 full box payload
+    System.arraycopy(be32(width.toLong << 16), 0, tkhd, 76, 4)
+    System.arraycopy(be32(height.toLong << 16), 0, tkhd, 80, 4)
+    box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0) ++ "isom".getBytes("ISO-8859-1")) ++
+      box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
+  }
+
   /** Encode 16-bit signed mono PCM samples as WAV bytes. */
   def wavBytes(samples: Array[Short], sampleRate: Int): Array[Byte] = {
     val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)

@@ -102,13 +102,17 @@ object Multimodal {
   /**
    * REAL media decode over a binary column: images (PNG/JPEG/BMP/GIF) get
    * width/height/channels and a dHash perceptual fingerprint; WAV-PCM audio
-   * gets channels, duration and quantized RMS energy. One output row per
-   * input row; runs partition-parallel with constant memory (one payload
-   * decoded at a time per task).
+   * gets channels, duration and quantized RMS energy; MP4 video containers
+   * get width/height/duration from the box tree ([[MediaCodec
+   * .decodeMp4Meta]] — `channels` carries the track count; frame decode
+   * needs codecs this environment does not ship). One output row per input
+   * row; runs partition-parallel with constant memory (one payload decoded
+   * at a time per task).
    *
-   * `kindCol` carries a MIME-ish hint (`image/ * ` or `audio/ * `); rows
-   * whose payload fails to decode surface null metadata rather than failing
-   * the job — at 100 TB a corrupt member must not kill the pipeline.
+   * `kindCol` carries a MIME-ish hint (`image/ * `, `audio/ * `,
+   * `video/ * `); rows whose payload fails to decode surface null metadata
+   * rather than failing the job — at 100 TB a corrupt member must not kill
+   * the pipeline.
    */
   def decodeMediaMeta(
       df: DataFrame,
@@ -133,6 +137,9 @@ object Multimodal {
           } else if (kind.startsWith("audio/")) {
             val m = MediaCodec.decodeWavPcm(bytes)
             Row(id, kind, null, null, m.channels, null, m.durationMs, m.rmsQ)
+          } else if (kind.startsWith("video/")) {
+            val m = MediaCodec.decodeMp4Meta(bytes)
+            Row(id, kind, m.width, m.height, m.tracks, null, m.durationMs, null)
           } else Row(id, kind, null, null, null, null, null, null)
         } catch {
           case _: Exception => Row(id, kind, null, null, null, null, null, null)

@@ -68,6 +68,26 @@ class MediaCodecSpec extends SparkSpec {
     assert(out(2).isNullAt(2) && out(3).isNullAt(2))
   }
 
+  test("decodeMp4Meta: box-tree walk yields dimensions, duration, tracks") {
+    val m = MediaCodec.decodeMp4Meta(MediaCodec.mp4Bytes(1920, 1080, durationMs = 123456))
+    assert(m === MediaCodec.VideoMeta(1920, 1080, 123456L, 1))
+    // v1 mvhd (64-bit times): hand-build by widening the fixture's fields
+    val v0 = MediaCodec.mp4Bytes(320, 240, durationMs = 2000, timescale = 90000)
+    assert(MediaCodec.decodeMp4Meta(v0).durationMs === 2000L)
+    // malformed payloads throw; the partition decoder surfaces nulls
+    intercept[Exception](MediaCodec.decodeMp4Meta("notamp4".getBytes))
+    intercept[Exception](MediaCodec.decodeMp4Meta(Array[Byte](0, 0, 0, 9, 'm', 'o', 'o', 'v')))
+    import spark.implicits._
+    val df = Seq(
+      (1L, "video/mp4", MediaCodec.mp4Bytes(640, 360, 2500)),
+      (2L, "video/mp4", "garbage".getBytes)
+    ).toDF("id", "kind", "content")
+    val out = Multimodal.decodeMediaMeta(df, "id", "kind", "content").orderBy("id").collect()
+    assert(out(0).getInt(2) === 640 && out(0).getInt(3) === 360)
+    assert(out(0).getInt(4) === 1 && out(0).getLong(6) === 2500L)
+    assert(out(1).isNullAt(2) && out(1).isNullAt(6))
+  }
+
   test("decodeImageFeatures yields a 64-dim embedding column, drops undecodable rows") {
     import spark.implicits._
     val df = Seq(
