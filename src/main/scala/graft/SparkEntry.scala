@@ -2378,7 +2378,11 @@ object SparkEntry {
     * q5_bucketed, so the projection carries both queries' columns. */
   private def ensureBucketedFacts(s: SparkSession, dir: String): (String, String) = {
     val (lTab, oTab) = q3BucketedTables(dir)
-    if (!s.catalog.tableExists(lTab) || !s.catalog.tableExists(oTab)) {
+    // presence AND schema: a table materialized by an older projection
+    // (e.g. pre-l_suppkey) must re-materialize, not fail analysis forever
+    def ok(tab: String, needed: String): Boolean =
+      s.catalog.tableExists(tab) && s.table(tab).columns.contains(needed)
+    if (!ok(lTab, "l_suppkey") || !ok(oTab, "o_custkey")) {
       graft.operators.Bucketing.materializeBucketed(
         t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),

@@ -75,6 +75,13 @@ object Export {
     if (fs0.exists(base)) fs0.delete(base, true) // overwrite semantics
     fs0.mkdirs(base)
     val baseUri = fs0.makeQualified(base).toUri.toString
+    // the Hadoop Configuration is not serializable: ship its ENTRIES and
+    // rebuild on executors, so spark.hadoop.* / credentials / defaultFS
+    // settings reach object-store writers exactly as every driver-side FS
+    // access sees them
+    import scala.jdk.CollectionConverters._
+    val confEntries: Seq[(String, String)] =
+      conf0.iterator().asScala.map(e => e.getKey -> e.getValue).toSeq
     df.select(
         col(shardCol).cast("long").as("s"),
         col(orderCol).as("o"),
@@ -82,10 +89,15 @@ object Export {
       .repartition(col("s"))
       .sortWithinPartitions(col("s"), col("o"))
       .foreachPartition { (it: Iterator[Row]) =>
-        // executors re-derive the FS from the qualified URI (the Hadoop
-        // Configuration itself is not serializable)
+        val conf = new org.apache.hadoop.conf.Configuration() // defaults, then overlay
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
         val base = new org.apache.hadoop.fs.Path(baseUri)
-        val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = base.getFileSystem(conf)
+        // attempt-unique temp name: under speculation or zombie retries two
+        // attempts write DISTINCT temps and the final delete+rename is a
+        // whole-file last-writer-wins, never interleaved bytes
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         var cur = Long.MinValue
         var out: java.io.OutputStream = null
         var tmp: org.apache.hadoop.fs.Path = null
@@ -94,12 +106,14 @@ object Export {
         def finish(): Unit = if (out != null) {
           out.close()
           val dir = new org.apache.hadoop.fs.Path(base, s"shard=$cur")
-          val fin = new org.apache.hadoop.fs.Path(dir, "tokens.bin")
-          fs.delete(fin, false)
-          require(fs.rename(tmp, fin), s"rename $tmp -> $fin failed")
+          // meta lands BEFORE the bin is renamed into place: readers keying
+          // on tokens.bin presence always see a complete meta
           val meta = fs.create(new org.apache.hadoop.fs.Path(dir, "_meta.json"), true)
           try meta.write(s"""{"tokens":$nTok,"docs":$nDoc}""".getBytes("UTF-8"))
           finally meta.close()
+          val fin = new org.apache.hadoop.fs.Path(dir, "tokens.bin")
+          fs.delete(fin, false)
+          require(fs.rename(tmp, fin), s"rename $tmp -> $fin failed")
           out = null
         }
         it.foreach { row =>
@@ -110,18 +124,19 @@ object Export {
             nTok = 0L; nDoc = 0L
             val dir = new org.apache.hadoop.fs.Path(base, s"shard=$cur")
             fs.mkdirs(dir)
-            tmp = new org.apache.hadoop.fs.Path(dir, ".tokens.bin.inprogress")
+            tmp = new org.apache.hadoop.fs.Path(dir, s".tokens.bin.$attempt.inprogress")
             out = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
           }
-          val ids = Option(row.getSeq[Int](2)).getOrElse(Seq.empty)
-          var i = 0
-          while (i < ids.length) {
-            val v = ids(i)
-            out.write(v & 0xff); out.write((v >> 8) & 0xff)
-            out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
-            i += 1
+          // null ELEMENTS are corrupt members: skip them (and keep counts
+          // consistent with the bytes written) instead of NPE-ing the job
+          val ids = Option(row.getSeq[Any](2)).getOrElse(Seq.empty)
+          ids.foreach {
+            case v: Int =>
+              out.write(v & 0xff); out.write((v >> 8) & 0xff)
+              out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+              nTok += 1
+            case _ => ()
           }
-          nTok += ids.length
           nDoc += 1
         }
         finish()

@@ -166,7 +166,9 @@ object MediaCodec {
         val size = u32(off)
         val typ = new String(bytes, off + 4, 4, "ISO-8859-1")
         val (boxSize, hdr) =
-          if (size == 1) (bb.getLong(off + 8), 16) else (size, 8)
+          if (size == 1) (bb.getLong(off + 8), 16)
+          else if (size == 0) ((until - off).toLong, 8) // spec: extends to end
+          else (size, 8)
         require(boxSize >= hdr && off + boxSize <= until, s"malformed box '$typ' at $off")
         out += ((typ, off + hdr, off + boxSize.toInt))
         off += boxSize.toInt

@@ -139,7 +139,10 @@ object Multimodal {
             Row(id, kind, null, null, m.channels, null, m.durationMs, m.rmsQ)
           } else if (kind.startsWith("video/")) {
             val m = MediaCodec.decodeMp4Meta(bytes)
-            Row(id, kind, m.width, m.height, m.tracks, null, m.durationMs, null)
+            // no visual track (audio-only .m4a tagged video/*): null
+            // dimensions, matching the image/audio null-metadata convention
+            val (w, h) = if (m.width > 0) (m.width, m.height) else (null, null)
+            Row(id, kind, w, h, m.tracks, null, m.durationMs, null)
           } else Row(id, kind, null, null, null, null, null, null)
         } catch {
           case _: Exception => Row(id, kind, null, null, null, null, null, null)

@@ -740,9 +740,9 @@ class CorpusSpec extends SparkSpec {
     // overwrite semantics: a re-run replaces, never appends
     Export.toTokenBinShards(in, "shard", "doc_id", "token_ids", dir)
     assert(readShard(10L) === Seq(1, 2, 3, 4))
-    // no stray temp files
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(dir, "shard=10", ".tokens.bin.inprogress")))
+    // no stray temp files (attempt-unique .inprogress names all renamed)
+    assert(new java.io.File(dir, "shard=10").listFiles()
+      .forall(!_.getName.contains("inprogress")))
   }
 
   test("BPE: applyBpe keeps non-numeric id columns intact") {

@@ -71,9 +71,9 @@ class MediaCodecSpec extends SparkSpec {
   test("decodeMp4Meta: box-tree walk yields dimensions, duration, tracks") {
     val m = MediaCodec.decodeMp4Meta(MediaCodec.mp4Bytes(1920, 1080, durationMs = 123456))
     assert(m === MediaCodec.VideoMeta(1920, 1080, 123456L, 1))
-    // v1 mvhd (64-bit times): hand-build by widening the fixture's fields
-    val v0 = MediaCodec.mp4Bytes(320, 240, durationMs = 2000, timescale = 90000)
-    assert(MediaCodec.decodeMp4Meta(v0).durationMs === 2000L)
+    // a non-1000 timescale converts through exactly
+    val ts90k = MediaCodec.mp4Bytes(320, 240, durationMs = 2000, timescale = 90000)
+    assert(MediaCodec.decodeMp4Meta(ts90k).durationMs === 2000L)
     // malformed payloads throw; the partition decoder surfaces nulls
     intercept[Exception](MediaCodec.decodeMp4Meta("notamp4".getBytes))
     intercept[Exception](MediaCodec.decodeMp4Meta(Array[Byte](0, 0, 0, 9, 'm', 'o', 'o', 'v')))
@@ -86,6 +86,41 @@ class MediaCodecSpec extends SparkSpec {
     assert(out(0).getInt(2) === 640 && out(0).getInt(3) === 360)
     assert(out(0).getInt(4) === 1 && out(0).getLong(6) === 2500L)
     assert(out(1).isNullAt(2) && out(1).isNullAt(6))
+  }
+
+  test("decodeMp4Meta: v1 boxes (64-bit times) and the size-0 last box") {
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def box(t: String, p: Array[Byte]) =
+      be32(p.length + 8L) ++ t.getBytes("ISO-8859-1") ++ p
+    // mvhd v1: ver=1, 8-byte times, timescale@20, 8-byte duration@24
+    val mvhd = Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+      be32(90000) ++ be64(180000L) ++ new Array[Byte](80)
+    // tkhd v1: widened times/duration put 16.16 width at payload offset 88
+    val tkhd = Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++ be32(1) ++ be32(0) ++
+      be64(180000L) ++ new Array[Byte](8 + 2 + 2 + 2 + 2 + 36) ++
+      be32(1280L << 16) ++ be32(720L << 16)
+    val moov = box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
+    // trailing size-0 box "extends to end of file" — ISO-BMFF-legal
+    val mdat0 = be32(0) ++ "mdat".getBytes("ISO-8859-1") ++ Array[Byte](1, 2, 3)
+    assert(MediaCodec.decodeMp4Meta(moov ++ mdat0) ===
+      MediaCodec.VideoMeta(1280, 720, 2000L, 1)) // 180000 / 90000 ticks = 2 s
+  }
+
+  test("decodeMediaMeta: audio-only mp4 reports null dimensions, real duration") {
+    // strip the trak from the fixture: no visual track
+    val full = MediaCodec.mp4Bytes(640, 360, 2500)
+    val m = MediaCodec.decodeMp4Meta(full)
+    assert(m.tracks === 1)
+    import spark.implicits._
+    // rebuild with zero-sized width/height track -> width stays 0 -> nulls
+    val noVid = MediaCodec.mp4Bytes(0, 0, 2500)
+    val out = Multimodal.decodeMediaMeta(
+      Seq((1L, "video/mp4", noVid)).toDF("id", "kind", "content"),
+      "id", "kind", "content").head()
+    assert(out.isNullAt(2) && out.isNullAt(3))
+    assert(out.getLong(6) === 2500L)
   }
 
   test("decodeImageFeatures yields a 64-dim embedding column, drops undecodable rows") {
