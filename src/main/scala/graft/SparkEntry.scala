@@ -949,6 +949,30 @@ object SparkEntry {
         .orderBy(col("id"))
     },
 
+    // ---- perceptual AUDIO near-dup: real WAV decode → 64-bit loudness-
+    // envelope hash → the SAME banded-Hamming machinery as images. Each
+    // fixture window is a constant-amplitude square wave, so every envelope
+    // bit is a hand-set amplitude comparison and the pairs are closed-form:
+    // strictly-rising (-1) vs one-flattened-step at hamming 1; constant (0)
+    // vs one-spike (bit 39) at hamming 1; across groups >= 62.
+    "audio_neardup" -> { (s, dir) =>
+      import graft.operators.MediaCodec
+      def wav(amps: Int => Int): Array[Byte] =
+        MediaCodec.wavBytes(Array.tabulate[Short](65 * 16) { i =>
+          val a = amps(i / 16); (if (i % 2 == 0) a else -a).toShort
+        }, 8000)
+      import s.implicits._
+      val df = Seq(
+        (1L, wav(w => 100 + w * 50)),
+        (2L, wav(w => if (w == 33) 100 + 32 * 50 else 100 + w * 50)),
+        (3L, wav(_ => 500)),
+        (4L, wav(w => if (w == 40) 5000 else 500))
+      ).toDF("id", "content").repartition(2)
+      val hashed = graft.operators.Multimodal.audioEnvelopeHashes(df, "id", "content")
+      Dedup.dhashDups(hashed, "id", "env_hash", maxHamming = 3, bands = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ---- export sinks + readers round-trip (SURVEY §2.1 #18): dataset →
     // csv + ndjson files → read back through the ingest readers.
     "export_roundtrip" -> { (s, dir) =>
@@ -3381,6 +3405,12 @@ object SparkEntry {
         |  (CAST(6 AS BIGINT), 'video/mp4', 640, 360, 1, CAST(NULL AS BIGINT), CAST(2500 AS BIGINT), CAST(NULL AS BIGINT))
         |) AS t(id, media_type, width, height, channels, dhash, duration_ms, rms_q)
         |ORDER BY id""".stripMargin,
+    // Closed-form pairs (see the entry's fixture construction).
+    "audio_neardup" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), 1),
+        |  (CAST(3 AS BIGINT), CAST(4 AS BIGINT), 1)
+        |) AS t(id_a, id_b, hamming) ORDER BY id_a, id_b""".stripMargin,
     // Closed-form pairs (see the entry's fixture construction).
     "image_neardup" ->
       """SELECT * FROM (VALUES

@@ -142,6 +142,51 @@ object MediaCodec {
     } finally in.close()
   }
 
+  /**
+   * 64-bit loudness-envelope fingerprint of a PCM WAV — the audio analog of
+   * the image dHash: the sample stream splits into 65 exact integer-
+   * partition windows, and bit i is set when window i+1 is louder (higher
+   * mean square) than window i. Robust to volume-preserving re-encodes,
+   * cheap, and [[Dedup.dhashDups]] consumes it unchanged for banded
+   * Hamming near-dup search. Mean squares compare as exact-rounded doubles
+   * (sum/length), so the hash is deterministic on any JVM.
+   */
+  def audioEnvelopeHash64(bytes: Array[Byte]): Long = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16, "expect 16-bit PCM")
+      val raw = in.readAllBytes()
+      val n = raw.length / 2
+      val windows = 65
+      val ms = new Array[Double](windows)
+      var w = 0
+      while (w < windows) {
+        val s0 = w.toLong * n / windows
+        val s1 = math.max((w + 1).toLong * n / windows, s0 + 1)
+        var sumSq = 0.0
+        var j = s0
+        while (j < math.min(s1, n)) {
+          val lo = raw(2 * j.toInt) & 0xff
+          val hi = raw(2 * j.toInt + 1)
+          val v = (hi << 8) | lo
+          sumSq += v.toDouble * v
+          j += 1
+        }
+        val len = math.min(s1, n.toLong) - s0
+        ms(w) = if (len <= 0) 0.0 else sumSq / len
+        w += 1
+      }
+      var h = 0L
+      var i = 0
+      while (i < 64) {
+        if (ms(i + 1) > ms(i)) h |= (1L << i)
+        i += 1
+      }
+      h
+    } finally in.close()
+  }
+
   // ------------------------------------------------------------- video side
 
   final case class VideoMeta(width: Int, height: Int, durationMs: Long, tracks: Int)

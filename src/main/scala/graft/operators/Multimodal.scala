@@ -170,6 +170,24 @@ object Multimodal {
     }
   }
 
+  /** REAL audio fingerprinting: PCM WAV → 64-bit loudness-envelope hash
+    * ([[MediaCodec.audioEnvelopeHash64]]), a drop-in `hashCol` for
+    * [[Dedup.dhashDups]] banded Hamming near-dup search — the audio leg of
+    * the perceptual-dedup family. Undecodable rows are dropped. */
+  def audioEnvelopeHashes(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType), col(contentCol).cast(BinaryType))
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("env_hash", LongType)
+    ))
+    processMediaPartitions(in, contentCol, schema) { rows =>
+      rows.flatMap { r =>
+        try Some(Row(r.getLong(0), MediaCodec.audioEnvelopeHash64(r.getAs[Array[Byte]](1))))
+        catch { case _: Exception => None }
+      }
+    }
+  }
+
   /**
    * Partition-parallel media batch processor: the `mapPartitions` harness
    * every decoder above plugs into. `process` sees one partition's rows as a
