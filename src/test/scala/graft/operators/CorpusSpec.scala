@@ -745,6 +745,22 @@ class CorpusSpec extends SparkSpec {
       .forall(!_.getName.contains("inprogress")))
   }
 
+  test("toTokenBinShards writes through a NON-default FS scheme (executor conf propagation)") {
+    // the executors rebuild their Hadoop conf from the session's entries;
+    // a bare Configuration() would not know fs.mock.impl and the write
+    // would fail — this pins the conf shipping end-to-end
+    graft.chain.MockFileSystem.register(spark.sparkContext.hadoopConfiguration)
+    val local = java.nio.file.Files.createTempDirectory("graft-tokbin-mock-")
+    val dir = s"mock://${local.toAbsolutePath}/bins"
+    val in = Seq((0L, 7L, Seq(1, 2)), (1L, 7L, Seq(3))).toDF("doc_id", "shard", "token_ids")
+    Export.toTokenBinShards(in, "shard", "doc_id", "token_ids", dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/shard=7/tokens.bin")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = { val s = fs.open(p); try s.readAllBytes() finally s.close() }
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert((0 until bytes.length / 4).map(_ => bb.getInt) === Seq(1, 2, 3))
+  }
+
   test("BPE: applyBpe keeps non-numeric id columns intact") {
     val docsS = Seq(("doc-a", "aa aa aa ab")).toDF("uid", "text")
     val model = Corpus.trainBpe(docsS, "text", numMerges = 2)
