@@ -98,6 +98,51 @@ object MediaCodec {
     out
   }
 
+  /**
+   * Deterministic area-averaged RGB resize, re-encoded as PNG — the
+   * thumbnail/normalization step of an image-curation pipeline. Every
+   * target pixel is the per-channel floor-mean of its exact integer-
+   * partition source block (same partition rule as [[decodeImage]]'s
+   * grayGrid): no Graphics2D interpolation, so the output is bit-identical
+   * on any JVM. Throws on undecodable input (callers drop such rows).
+   */
+  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, "target dimensions must be positive")
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image payload")
+    val (sw, sh) = (img.getWidth, img.getHeight)
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var ty = 0
+    while (ty < h) {
+      val y0 = ty * sh / h
+      val y1 = math.max((ty + 1) * sh / h, y0 + 1)
+      var tx = 0
+      while (tx < w) {
+        val x0 = tx * sw / w
+        val x1 = math.max((tx + 1) * sw / w, x0 + 1)
+        var (r, g, b) = (0L, 0L, 0L)
+        var n = 0
+        var y = y0
+        while (y < math.min(y1, sh)) {
+          var x = x0
+          while (x < math.min(x1, sw)) {
+            val p = img.getRGB(x, y)
+            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        if (n == 0) n = 1
+        out.setRGB(tx, ty,
+          ((r / n).toInt << 16) | ((g / n).toInt << 8) | (b / n).toInt)
+        tx += 1
+      }
+      ty += 1
+    }
+    pngBytes(out)
+  }
+
   /** Encode a BufferedImage as PNG bytes (fixture/ingest helper). */
   def pngBytes(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

@@ -170,6 +170,24 @@ object Multimodal {
     }
   }
 
+  /** REAL image resizing: binary column in, deterministically area-averaged
+    * PNG thumbnails out ([[MediaCodec.resizeImage]]) — the normalization
+    * step before feature extraction or storage. Map-only, constant memory
+    * per task; undecodable rows are dropped. */
+  def resizeImages(df: DataFrame, idCol: String, contentCol: String, w: Int, h: Int): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType), col(contentCol).cast(BinaryType))
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("content", BinaryType)
+    ))
+    processMediaPartitions(in, contentCol, schema) { rows =>
+      rows.flatMap { r =>
+        try Some(Row(r.getLong(0), MediaCodec.resizeImage(r.getAs[Array[Byte]](1), w, h)))
+        catch { case _: Exception => None }
+      }
+    }
+  }
+
   /** REAL audio fingerprinting: PCM WAV → 64-bit loudness-envelope hash
     * ([[MediaCodec.audioEnvelopeHash64]]), a drop-in `hashCol` for
     * [[Dedup.dhashDups]] banded Hamming near-dup search — the audio leg of

@@ -143,6 +143,29 @@ class MediaCodecSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 0L)))
   }
 
+  test("resizeImage: exact area-average per block, round-trips through PNG") {
+    // 4x4 grayscale quadrants 0 / 64 / 128 / 192 -> 2x2 of exactly those means
+    val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val v = (if (y < 2) 0 else 128) + (if (x < 2) 0 else 64)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val small = MediaCodec.resizeImage(MediaCodec.pngBytes(img), 2, 2)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(small))
+    assert(back.getWidth === 2 && back.getHeight === 2)
+    val got = for (y <- 0 until 2; x <- 0 until 2) yield back.getRGB(x, y) & 0xff
+    assert(got === Seq(0, 64, 128, 192))
+    // distributed: resized dims visible through decode, garbage dropped
+    import spark.implicits._
+    val out = Multimodal.resizeImages(
+      Seq((1L, MediaCodec.pngBytes(img)), (2L, "junk".getBytes)).toDF("id", "content"),
+      "id", "content", w = 2, h = 2)
+    val meta = Multimodal.decodeMediaMeta(
+      out.withColumn("kind", org.apache.spark.sql.functions.lit("image/png")),
+      "id", "kind", "content").collect()
+    assert(meta.map(r => (r.getLong(0), r.getInt(2), r.getInt(3))).toSeq === Seq((1L, 2, 2)))
+  }
+
   test("decodeImageFeatures yields a 64-dim embedding column, drops undecodable rows") {
     import spark.implicits._
     val df = Seq(
