@@ -956,17 +956,13 @@ object SparkEntry {
     // strictly-rising (-1) vs one-flattened-step at hamming 1; constant (0)
     // vs one-spike (bit 39) at hamming 1; across groups >= 62.
     "audio_neardup" -> { (s, dir) =>
-      import graft.operators.MediaCodec
-      def wav(amps: Int => Int): Array[Byte] =
-        MediaCodec.wavBytes(Array.tabulate[Short](65 * 16) { i =>
-          val a = amps(i / 16); (if (i % 2 == 0) a else -a).toShort
-        }, 8000)
+      import graft.operators.MediaCodec.squareWav
       import s.implicits._
       val df = Seq(
-        (1L, wav(w => 100 + w * 50)),
-        (2L, wav(w => if (w == 33) 100 + 32 * 50 else 100 + w * 50)),
-        (3L, wav(_ => 500)),
-        (4L, wav(w => if (w == 40) 5000 else 500))
+        (1L, squareWav(w => 100 + w * 50)),
+        (2L, squareWav(w => if (w == 33) 100 + 32 * 50 else 100 + w * 50)),
+        (3L, squareWav(_ => 500)),
+        (4L, squareWav(w => if (w == 40) 5000 else 500))
       ).toDF("id", "content").repartition(2)
       val hashed = graft.operators.Multimodal.audioEnvelopeHashes(df, "id", "content")
       Dedup.dhashDups(hashed, "id", "env_hash", maxHamming = 3, bands = 4)

@@ -61,6 +61,15 @@ object MediaCodec {
     ImageMeta(img.getWidth, img.getHeight, img.getColorModel.getNumComponents, h, feats)
   }
 
+  /** Exact integer partition of `src` cells into `dst` blocks: block t
+    * covers [start, end) with end > start and end <= src for t < dst — the
+    * ONE partition rule shared by [[grayGrid]] (the dHash/feature grid) and
+    * [[resizeImage]], so thumbnails and fingerprints can never desync. */
+  private def blockBounds(t: Int, dst: Int, src: Int): (Int, Int) = {
+    val p0 = t * src / dst
+    (p0, math.max((t + 1) * src / dst, p0 + 1))
+  }
+
   /** Area-averaged grayscale downscale to a `cols` x `rows` grid — exact
     * integer pixel partitions, so the result is identical on every JVM. */
   private def grayGrid(img: BufferedImage, cols: Int, rows: Int): Array[Array[Double]] = {
@@ -68,12 +77,10 @@ object MediaCodec {
     val out = Array.ofDim[Double](rows, cols)
     var cy = 0
     while (cy < rows) {
-      val y0 = cy * hgt / rows
-      val y1 = math.max((cy + 1) * hgt / rows, y0 + 1)
+      val (y0, y1) = blockBounds(cy, rows, hgt)
       var cx = 0
       while (cx < cols) {
-        val x0 = cx * w / cols
-        val x1 = math.max((cx + 1) * w / cols, x0 + 1)
+        val (x0, x1) = blockBounds(cx, cols, w)
         var sum = 0L
         var n = 0
         var y = y0
@@ -114,14 +121,12 @@ object MediaCodec {
     val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var ty = 0
     while (ty < h) {
-      val y0 = ty * sh / h
-      val y1 = math.max((ty + 1) * sh / h, y0 + 1)
+      val (y0, y1) = blockBounds(ty, h, sh)
       var tx = 0
       while (tx < w) {
-        val x0 = tx * sw / w
-        val x1 = math.max((tx + 1) * sw / w, x0 + 1)
+        val (x0, x1) = blockBounds(tx, w, sw)
         var (r, g, b) = (0L, 0L, 0L)
-        var n = 0
+        var n = 0 // always >= 1: blockBounds guarantees a non-empty block
         var y = y0
         while (y < math.min(y1, sh)) {
           var x = x0
@@ -133,7 +138,6 @@ object MediaCodec {
           }
           y += 1
         }
-        if (n == 0) n = 1
         out.setRGB(tx, ty,
           ((r / n).toInt << 16) | ((g / n).toInt << 8) | (b / n).toInt)
         tx += 1
@@ -200,7 +204,12 @@ object MediaCodec {
     val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
     try {
       val fmt = in.getFormat
-      require(fmt.getSampleSizeInBits == 16, "expect 16-bit PCM")
+      // same contract as decodeWavPcm: signed 16-bit PCM only, endianness
+      // honored — AudioSystem also opens AIFF/AU (big-endian) and unsigned
+      // PCM, which would silently byte-swap or sign-flip every sample
+      require(
+        fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED && fmt.getSampleSizeInBits == 16,
+        s"only 16-bit signed PCM supported, got $fmt")
       val raw = in.readAllBytes()
       val n = raw.length / 2
       val windows = 65
@@ -212,9 +221,9 @@ object MediaCodec {
         var sumSq = 0.0
         var j = s0
         while (j < math.min(s1, n)) {
-          val lo = raw(2 * j.toInt) & 0xff
-          val hi = raw(2 * j.toInt + 1)
-          val v = (hi << 8) | lo
+          val v =
+            if (fmt.isBigEndian) ((raw(2 * j.toInt) << 8) | (raw(2 * j.toInt + 1) & 0xff)).toShort
+            else ((raw(2 * j.toInt + 1) << 8) | (raw(2 * j.toInt) & 0xff)).toShort
           sumSq += v.toDouble * v
           j += 1
         }
@@ -231,6 +240,20 @@ object MediaCodec {
       h
     } finally in.close()
   }
+
+  /** Square-wave WAV with one constant amplitude per equal window — the
+    * fixture whose [[audioEnvelopeHash64]] bits are exactly the hand-set
+    * per-window amplitude comparisons (shared by the `audio_neardup` oracle
+    * entry and the spec goldens, so they can never drift apart). */
+  def squareWav(
+      amps: Int => Int,
+      windows: Int = 65,
+      perWindow: Int = 16,
+      sampleRate: Int = 8000
+  ): Array[Byte] =
+    wavBytes(Array.tabulate[Short](windows * perWindow) { i =>
+      val a = amps(i / perWindow); (if (i % 2 == 0) a else -a).toShort
+    }, sampleRate)
 
   // ------------------------------------------------------------- video side
 

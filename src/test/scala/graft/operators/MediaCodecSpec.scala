@@ -124,21 +124,19 @@ class MediaCodecSpec extends SparkSpec {
   }
 
   test("audioEnvelopeHash64: hand-set amplitude steps map to exact bits") {
-    def wav(amps: Int => Int): Array[Byte] =
-      MediaCodec.wavBytes(Array.tabulate[Short](65 * 16) { i =>
-        val a = amps(i / 16); (if (i % 2 == 0) a else -a).toShort
-      }, 8000)
-    assert(MediaCodec.audioEnvelopeHash64(wav(w => 100 + w * 50)) === -1L)
-    assert(MediaCodec.audioEnvelopeHash64(wav(_ => 500)) === 0L)
-    assert(MediaCodec.audioEnvelopeHash64(wav(w => if (w == 40) 5000 else 500)) === (1L << 39))
+    import MediaCodec.squareWav
+    assert(MediaCodec.audioEnvelopeHash64(squareWav(w => 100 + w * 50)) === -1L)
+    assert(MediaCodec.audioEnvelopeHash64(squareWav(_ => 500)) === 0L)
+    assert(MediaCodec.audioEnvelopeHash64(
+      squareWav(w => if (w == 40) 5000 else 500)) === (1L << 39))
     // one flattened step clears exactly that comparison's bit
     val oneFlat = MediaCodec.audioEnvelopeHash64(
-      wav(w => if (w == 33) 100 + 32 * 50 else 100 + w * 50))
+      squareWav(w => if (w == 33) 100 + 32 * 50 else 100 + w * 50))
     assert(oneFlat === (-1L & ~(1L << 32)))
     // distributed helper drops undecodables, keeps hashes
     import spark.implicits._
     val out = Multimodal.audioEnvelopeHashes(
-      Seq((1L, wav(_ => 500)), (2L, "junk".getBytes)).toDF("id", "content"),
+      Seq((1L, squareWav(_ => 500)), (2L, "junk".getBytes)).toDF("id", "content"),
       "id", "content").collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 0L)))
   }
