@@ -874,6 +874,40 @@ object SparkEntry {
         .select(col("qid"), col("rnk"), col("cid"))
         .orderBy(col("qid"), col("rnk"))
     },
+    // ---- multi-probe LSH ANN (Lv et al. 2007): each query also probes its
+    // Hamming-1 neighbor buckets, recovering single-table recall; corpus
+    // side unchanged (one bucket per vector, equi-join on bucket). Same
+    // quantized-exact discipline as ann_lsh.
+    "ann_lsh_multiprobe" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val planes = Similarity.intPlanes(numPlanes = 6, dim = 64, seed = 42L)
+      val emb = t(s, dir, "embeddings")
+      val q = emb
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), Similarity.quantize(col("embedding")).as("qv"))
+      val c = emb.select(col("vec_id").as("cid"), Similarity.quantize(col("embedding")).as("cv"))
+      val baseB = Similarity.intPlaneBucket(col("qv"), planes)
+      val probes = array((baseB +: (0 until 6).map(i => baseB.bitwiseXOR(lit(1 << i)))): _*)
+      val qb = broadcast(
+        q.withColumn("bucket", explode(probes))
+          .withColumn("qn2", Similarity.intDot(col("qv"), col("qv"))))
+      val cb = c
+        .withColumn("bucket", Similarity.intPlaneBucket(col("cv"), planes))
+        .withColumn("cn2", Similarity.intDot(col("cv"), col("cv")))
+      val nn = sqrt(col("qn2").cast("double")) * sqrt(col("cn2").cast("double"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+      cb.join(qb, Seq("bucket"))
+        .filter(col("qid") =!= col("cid"))
+        .withColumn(
+          "cos",
+          when(nn > 0, Similarity.intDotFixed(col("qv"), col("cv"), 64).cast("double") / nn)
+            .otherwise(lit(0.0)))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("cid"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+
     // ---- IVF ANN (beyond-reference): deterministic k-means training +
     // cell-probed search. nprobe = k probes every cell, which makes the
     // pipeline EXACTLY brute force — so the exhaustive oracle checks the
@@ -2851,6 +2885,34 @@ object SparkEntry {
          |             * sqrt(CAST(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)))
          |         ELSE 0.0 END AS cos
          |  FROM qb JOIN cb USING (bucket) WHERE qid <> cid)
+         |SELECT qid, rnk, cid FROM (
+         |  SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
+         |  FROM scored) WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+    },
+    // Multi-probe replication: same buckets, candidates = pairs whose
+    // buckets are within Hamming distance 1 (the query's own bucket plus
+    // its single-bit flips).
+    "ann_lsh_multiprobe" -> {
+      val pls = planesLit(graft.operators.Similarity.intPlanes(numPlanes = 6, dim = 64, seed = 42L))
+      s"""WITH p AS (SELECT $pls AS pls),
+         |q AS (SELECT vec_id AS qid, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT)) AS qv
+         |      FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cid, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT)) AS cv
+         |      FROM embeddings),
+         |qb AS (SELECT qid, qv, list_sum([CASE WHEN list_dot_product(CAST(qv AS DOUBLE[]), CAST(pls[i+1] AS DOUBLE[])) > 0 THEN 1<<i ELSE 0 END for i in range(6)]) AS bucket
+         |       FROM q CROSS JOIN p),
+         |cb AS (SELECT cid, cv, list_sum([CASE WHEN list_dot_product(CAST(cv AS DOUBLE[]), CAST(pls[i+1] AS DOUBLE[])) > 0 THEN 1<<i ELSE 0 END for i in range(6)]) AS bucket
+         |       FROM c CROSS JOIN p),
+         |scored AS (
+         |  SELECT qid, cid,
+         |    CASE WHEN sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE))
+         |            * sqrt(CAST(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)) > 0
+         |         THEN CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)
+         |            / (sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE))
+         |             * sqrt(CAST(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)))
+         |         ELSE 0.0 END AS cos
+         |  FROM qb JOIN cb ON bit_count(xor(CAST(qb.bucket AS BIGINT), CAST(cb.bucket AS BIGINT))) <= 1
+         |  WHERE qid <> cid)
          |SELECT qid, rnk, cid FROM (
          |  SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
          |  FROM scored) WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin

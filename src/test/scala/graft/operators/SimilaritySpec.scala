@@ -48,6 +48,20 @@ class SimilaritySpec extends SparkSpec {
     got.get(2L).foreach(c => assert(c === 12L))
   }
 
+  test("lshTopK multi-probe: candidates are a superset of single-probe, never fewer hits") {
+    def hits(flips: Int) = Similarity
+      .lshTopK(queries, corpus, "qid", "qvec", "cid", "cvec", k = 3, dim = 3,
+        numPlanes = 2, probeFlips = flips)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val single = hits(0)
+    val multi = hits(1)
+    assert(single.subsetOf(multi),
+      s"multi-probe must contain every single-probe hit: $single vs $multi")
+    intercept[IllegalArgumentException](
+      Similarity.lshTopK(queries, corpus, "qid", "qvec", "cid", "cvec", k = 1, dim = 3,
+        numPlanes = 2, probeFlips = 2))
+  }
+
   test("hyperplaneBucket raises on dimension mismatch instead of silently bucketing") {
     val bad = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "vec")
     val ex = intercept[Exception] {
