@@ -30,6 +30,12 @@ object Bucketing {
       sortCols: Seq[String] = Nil
   ): Unit = {
     require(numBuckets > 0, "numBuckets must be positive")
+    // Unqualified names only: the stale-location cleanup below computes the
+    // managed path as wh/<name>, which is wrong for db-qualified tables
+    // (db.tbl lives at wh/db.db/tbl), and the backticked DROP would quote
+    // the whole qualified name as one identifier.
+    require(!table.contains("."),
+      s"materializeBucketed takes an unqualified table name, got '$table'")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))

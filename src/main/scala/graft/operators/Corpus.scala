@@ -674,6 +674,12 @@ object Corpus {
     val p = when(col("c2").isNotNull, col("c2").cast("double") / col("cprev"))
       .when(col("prev").isNotNull, lit(alpha) * p1)
       .otherwise(p1)
+    // Residual cross-engine risk: the 1e-6 floor grid assumes ln() agrees
+    // between the JVM's Math.log and the oracle engine's libm. Both are only
+    // ~1-ulp accurate, so a log value landing within an ulp of a grid
+    // boundary can floor differently across engines — astronomically rare on
+    // real counts, but a lone hash-mismatch here should be adjudicated as
+    // host-libm noise (re-check the per-row lp deltas), not an operator bug.
     joined
       .withColumn("lp", floor(log(p) * lit(1000000.0)))
       .groupBy(col(idCol))
@@ -821,10 +827,14 @@ object Corpus {
     val warr = lit(model.weights)
     docs.select(
       col(idCol),
-      (aggregate(
-        hashedNgramBuckets(col(textCol), model.buckets),
-        lit(0L),
-        (acc, b) => acc + element_at(warr, b + 1)
+      // coalesce: NULL text propagates a null aggregate — it must score 0.0
+      // exactly like empty text (the documented no-evidence case)
+      (coalesce(
+        aggregate(
+          hashedNgramBuckets(col(textCol), model.buckets),
+          lit(0L),
+          (acc, b) => acc + element_at(warr, b + 1)),
+        lit(0L)
       ).cast("double") / lit(1000000.0)).as("score"))
   }
 
@@ -846,10 +856,13 @@ object Corpus {
       salt: Long = 0L
   ): DataFrame = {
     val warr = lit(model.weights)
-    val micro = aggregate(
-      hashedNgramBuckets(col(textCol), model.buckets),
-      lit(0L),
-      (acc, b) => acc + element_at(warr, b + 1))
+    // coalesce: null text carries zero evidence, same as empty (scoreDsir)
+    val micro = coalesce(
+      aggregate(
+        hashedNgramBuckets(col(textCol), model.buckets),
+        lit(0L),
+        (acc, b) => acc + element_at(warr, b + 1)),
+      lit(0L))
     val u = (Text.portableHash31(concat_ws(":", lit(salt), col(idCol))) + 1)
       .cast("double") / lit(2147483648.0)
     val gumbelMicro = floor(-log(-log(u)) * lit(1000000.0))

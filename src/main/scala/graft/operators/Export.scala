@@ -69,6 +69,16 @@ object Export {
       idsCol: String,
       path: String
   ): Unit = {
+    // ids must already be integral: a silent cast("array<int>") would turn
+    // unparseable/overflowing elements into nulls the writer then skips —
+    // token loss with plausible-looking counts. Fail the schema mistake here.
+    import org.apache.spark.sql.types._
+    df.schema(idsCol).dataType match {
+      case ArrayType(et, _) if Seq[DataType](ByteType, ShortType, IntegerType).contains(et) => ()
+      case other =>
+        throw new IllegalArgumentException(
+          s"toTokenBinShards: '$idsCol' must be an array of int32-safe integers, got $other")
+    }
     val base = new org.apache.hadoop.fs.Path(path)
     val conf0 = df.sparkSession.sparkContext.hadoopConfiguration
     val fs0 = base.getFileSystem(conf0)
@@ -107,10 +117,17 @@ object Export {
           out.close()
           val dir = new org.apache.hadoop.fs.Path(base, s"shard=$cur")
           // meta lands BEFORE the bin is renamed into place: readers keying
-          // on tokens.bin presence always see a complete meta
-          val meta = fs.create(new org.apache.hadoop.fs.Path(dir, "_meta.json"), true)
+          // on tokens.bin presence always see a complete meta. Same
+          // attempt-unique temp + whole-file rename as the bin itself —
+          // a direct overwrite-create could be observed truncated by a
+          // reader racing a speculative second attempt.
+          val metaTmp = new org.apache.hadoop.fs.Path(dir, s"._meta.json.$attempt.inprogress")
+          val meta = fs.create(metaTmp, true)
           try meta.write(s"""{"tokens":$nTok,"docs":$nDoc}""".getBytes("UTF-8"))
           finally meta.close()
+          val metaFin = new org.apache.hadoop.fs.Path(dir, "_meta.json")
+          fs.delete(metaFin, false)
+          require(fs.rename(metaTmp, metaFin), s"rename $metaTmp -> $metaFin failed")
           val fin = new org.apache.hadoop.fs.Path(dir, "tokens.bin")
           fs.delete(fin, false)
           require(fs.rename(tmp, fin), s"rename $tmp -> $fin failed")

@@ -20,6 +20,33 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
+  /**
+   * Stats-gate for the ANN query side (the discipline of
+   * [[Corpus.decontaminate]]): every top-k operator broadcasts its query set
+   * — the right plan when queries are a handful of probes — but a caller
+   * routing a corpus-sized query batch through top-k (corpus-vs-corpus
+   * joins) must get a plan downgrade, never a driver OOM. The gate estimates
+   * the query side's in-flight bytes from its optimized-plan stats times the
+   * operator's probe fan-out (multi-probe/nprobe explode the query side
+   * BEFORE the join); over `maxBytes` the side ships with `fallbackHint`
+   * instead of `broadcast`:
+   *   - equi-key joins (LSH bucket, IVF cell) downgrade to `shuffle_hash` —
+   *     both sides shuffle on the key, memory bounded per task;
+   *   - the non-equi brute-force/SQ8 pair joins downgrade to
+   *     `shuffle_replicate_nl` — the candidate set is inherently all-pairs,
+   *     so the distributed cartesian is the honest plan once the probe side
+   *     stops fitting on the driver.
+   */
+  private def gateQuerySide(
+      q: DataFrame,
+      fanOut: Int,
+      maxBytes: Long,
+      fallbackHint: String
+  ): DataFrame = {
+    val bytes = q.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes * fanOut <= BigInt(maxBytes)) broadcast(q) else q.hint(fallbackHint)
+  }
+
   /** Dot product of two float-array columns, accumulated in double. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), _ + _)
@@ -45,7 +72,8 @@ object Similarity {
       qvecCol: String,
       cidCol: String,
       cvecCol: String,
-      k: Int
+      k: Int,
+      broadcastMaxBytes: Long = 256L << 20
   ): DataFrame = {
     // Norms are per-vector: compute them once per side BEFORE the pair join.
     // (Recomputing norm(a)*norm(b) per pair runs two extra interpreted
@@ -54,7 +82,9 @@ object Similarity {
     val q2 = queries.withColumn("__qn", norm(col(qvecCol)))
     val c2 = Dedup.ensureParallelism(corpus).withColumn("__cn", norm(col(cvecCol)))
     val scored = c2
-      .join(broadcast(q2), col(qidCol) =!= col(cidCol))
+      .join(
+        gateQuerySide(q2, 1, broadcastMaxBytes, "shuffle_replicate_nl"),
+        col(qidCol) =!= col(cidCol))
       .withColumn(
         "cos",
         when(
@@ -152,7 +182,8 @@ object Similarity {
       cvecCol: String,
       k: Int,
       mins: Seq[Double],
-      maxs: Seq[Double]
+      maxs: Seq[Double],
+      broadcastMaxBytes: Long = 256L << 20
   ): DataFrame = {
     import graft.functions.ByteCodes
     val q = queries.select(
@@ -164,7 +195,9 @@ object Similarity {
       ByteCodes.packBytes(sq8Codes(col(cvecCol), mins, maxs)).as("__cc"))
       .withColumn("__cn", sqrt(ByteCodes.byteDot(col("__cc"), col("__cc")).cast("double")))
     val scored = c
-      .join(broadcast(q), col(qidCol) =!= col(cidCol))
+      .join(
+        gateQuerySide(q, 1, broadcastMaxBytes, "shuffle_replicate_nl"),
+        col(qidCol) =!= col(cidCol))
       .withColumn(
         "cos",
         when(
@@ -227,7 +260,8 @@ object Similarity {
       k: Int,
       dim: Int,
       numPlanes: Int = 8,
-      probeFlips: Int = 0
+      probeFlips: Int = 0,
+      broadcastMaxBytes: Long = 256L << 20
   ): DataFrame = {
     // Multi-probe LSH (Lv et al. 2007): with probeFlips = 1 each query also
     // probes every Hamming-1 neighbor of its own bucket — numPlanes+1
@@ -242,10 +276,16 @@ object Similarity {
     val qbuckets =
       if (probeFlips == 0) array(baseB)
       else array((baseB +: (0 until numPlanes).map(i => baseB.bitwiseXOR(lit(1 << i)))): _*)
-    val qb = broadcast(
+    // Fan-out passed explicitly: size-only plan stats do not multiply a
+    // Generate's row count, so the exploded frame's estimate would miss the
+    // (numPlanes+1)× multi-probe blow-up the broadcast actually pays.
+    val qb = gateQuerySide(
       queries
         .withColumn("bucket", explode(qbuckets))
-        .withColumn("__qn", norm(col(qvecCol)))
+        .withColumn("__qn", norm(col(qvecCol))),
+      fanOut = if (probeFlips == 0) 1 else numPlanes + 1,
+      broadcastMaxBytes,
+      "shuffle_hash"
     )
     val cb = corpus
       .withColumn("bucket", hyperplaneBucket(col(cvecCol), numPlanes, dim))
@@ -429,7 +469,8 @@ object Similarity {
       k: Int,
       dim: Int,
       centroids: Seq[Array[Long]],
-      nprobe: Int
+      nprobe: Int,
+      broadcastMaxBytes: Long = 256L << 20
   ): DataFrame = {
     val cb = Dedup
       .ensureParallelism(corpus)
@@ -440,10 +481,13 @@ object Similarity {
       1,
       nprobe
     )
-    val qb = broadcast(
+    val qb = gateQuerySide(
       queries
         .withColumn("cell", explode(transform(probes, p => p.getField("c"))))
-        .withColumn("qn2", intDot(col(qvecCol), col(qvecCol)))
+        .withColumn("qn2", intDot(col(qvecCol), col(qvecCol))),
+      fanOut = nprobe,
+      broadcastMaxBytes,
+      "shuffle_hash"
     )
     val nn = sqrt(col("qn2").cast("double")) * sqrt(col("cn2").cast("double"))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("cos").desc, col(cidCol))

@@ -162,4 +162,43 @@ class SimilaritySpec extends SparkSpec {
     // but the clusters are far apart
     assert(got === Set((1L, 1, 10L), (1L, 2, 11L), (2L, 1, 12L), (2L, 2, 13L)))
   }
+
+  test("query-side broadcast is stats-gated: oversized query sets downgrade the plan") {
+    def hasBroadcast(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("BroadcastExchange")
+
+    // tiny probe sets broadcast (the default plan)…
+    assert(hasBroadcast(
+      Similarity.bruteForceTopK(queries, corpus, "qid", "qvec", "cid", "cvec", k = 2)))
+    assert(hasBroadcast(
+      Similarity.lshTopK(queries, corpus, "qid", "qvec", "cid", "cvec",
+        k = 2, dim = 3, numPlanes = 2, probeFlips = 1)))
+
+    // …but a query side over the gate must NOT reach the driver: every ANN
+    // entry point downgrades instead of OOMing. Gate forced tiny so the
+    // fixture stands in for a corpus-sized probe batch.
+    val tiny = 1L
+    assert(!hasBroadcast(
+      Similarity.bruteForceTopK(queries, corpus, "qid", "qvec", "cid", "cvec",
+        k = 2, broadcastMaxBytes = tiny)))
+    assert(!hasBroadcast(
+      Similarity.lshTopK(queries, corpus, "qid", "qvec", "cid", "cvec",
+        k = 2, dim = 3, numPlanes = 2, probeFlips = 1, broadcastMaxBytes = tiny)))
+    assert(!hasBroadcast(
+      Similarity.sq8TopK(queries, corpus, "qid", "qvec", "cid", "cvec", k = 2,
+        mins = Seq(0, 0, 0), maxs = Seq(1, 1, 1), broadcastMaxBytes = tiny)))
+    val qq = queries.select(col("qid"), Similarity.quantize(col("qvec")).as("qvec"))
+    val qc = corpus.select(col("cid"), Similarity.quantize(col("cvec")).as("cvec"))
+    val cents = Similarity.ivfTrain(qc, "cid", "cvec", k = 2, iters = 0)
+    assert(!hasBroadcast(
+      Similarity.ivfTopK(qq, qc, "qid", "qvec", "cid", "cvec", k = 2, dim = 3,
+        centroids = cents, nprobe = 1, broadcastMaxBytes = tiny)))
+
+    // the downgraded plans still return the exact same rows
+    val gated = Similarity
+      .bruteForceTopK(queries, corpus, "qid", "qvec", "cid", "cvec",
+        k = 2, broadcastMaxBytes = tiny)
+      .select("qid", "rnk", "cid").as[(Long, Int, Long)].collect().toSet
+    assert(gated === Set((1L, 1, 10L), (1L, 2, 11L), (2L, 1, 12L), (2L, 2, 13L)))
+  }
 }
