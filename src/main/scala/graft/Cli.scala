@@ -46,6 +46,12 @@ import graft.query.QueryService
  *   webhook list | webhook rm DATASET URL
  *   flow set DATASET SCHEDULE     schedule updates: 'every 15m' or 5-field
  *                                 cron, UTC (flow system, schedules subset)
+ *   flow set DATASET --reactive RULE|off
+ *                                 event-driven trigger for a derivative:
+ *                                 'immediate' or buffer:<minRecords>:<iv>
+ *                                 (+':recover' to re-pull on upstream
+ *                                 resets) — fires off upstream head moves,
+ *                                 batching_rule.rs/reactive_rule.rs
  *   flow retry DATASET POLICY|off retry policy for failed pulls:
  *                                 <maxAttempts>:<delay>:<backoff>, e.g.
  *                                 3:30s:exponential (backoff one of fixed|
@@ -55,9 +61,10 @@ import graft.query.QueryService
  *                                 retry policies, and failing-attempt state
  *   flow rm DATASET               unschedule
  *   flow run [ISO8601]            run-due-now executor tick: pull exactly
- *                                 the datasets whose schedule (or pending
- *                                 backoff retry) is due; failures retry per
- *                                 policy instead of aborting the tick
+ *                                 the datasets whose schedule, reactive
+ *                                 rule, or pending backoff retry is due;
+ *                                 failures retry per policy instead of
+ *                                 aborting the tick
  *   repo add NAME URL             register a remote repository alias
  *   repo list                     registered remotes
  *   repo rm NAME                  remove a remote alias
@@ -178,6 +185,10 @@ object Cli {
           cmdWebhook(spark, wsOpt, r => r.list().map(s => s"${s.dataset}\t${s.url}\t${s.eventTypes.mkString(",")}").mkString("\n"), out)
         case "webhook" :: "rm" :: ds :: url :: Nil =>
           cmdWebhook(spark, wsOpt, r => { r.remove(ds, url); s"unsubscribed $ds -> $url" }, out)
+        case "flow" :: "set" :: ds :: "--reactive" :: "off" :: Nil =>
+          cmdFlowReactive(spark, wsOpt, ds, None, out)
+        case "flow" :: "set" :: ds :: "--reactive" :: rule :: Nil =>
+          cmdFlowReactive(spark, wsOpt, ds, Some(rule), out)
         case "flow" :: "set" :: ds :: sched if sched.nonEmpty =>
           cmdFlowSet(spark, wsOpt, ds, sched.mkString(" "), out)
         case "flow" :: "retry" :: ds :: "off" :: Nil =>
@@ -474,6 +485,22 @@ object Cli {
     0
   }
 
+  private def cmdFlowReactive(spark: SparkSession, ws: String, ds: String,
+      rule: Option[String], out: PrintStream): Int = {
+    open(spark, ws, ds) // validate the dataset exists
+    val reg = flowRegistry(spark, ws)
+    rule match {
+      case Some(r) =>
+        val parsed = graft.flow.FlowService.parseReactiveRule(r)
+        reg.setReactiveRule(ds, parsed)
+        out.println(s"reactive $ds: ${parsed.render}")
+      case None =>
+        reg.removeReactiveRule(ds)
+        out.println(s"reactive $ds: off")
+    }
+    0
+  }
+
   private def cmdFlowRetry(spark: SparkSession, ws: String, ds: String,
       policy: Option[String], out: PrintStream): Int = {
     open(spark, ws, ds) // validate the dataset exists
@@ -495,7 +522,11 @@ object Cli {
     val last = reg.lastRuns()
     val policies = reg.retryPolicies()
     val attempts = reg.attemptStates()
-    reg.schedules().toSeq.sortBy(_._1).foreach { case (ds, sched) =>
+    val schedules = reg.schedules()
+    val reactives = reg.reactiveRules()
+    (schedules.keySet ++ reactives.keySet).toSeq.sorted.foreach { ds =>
+      val trigger = (schedules.get(ds).map(_.render).toSeq ++
+        reactives.get(ds).map(r => s"reactive=${r.render}").toSeq).mkString(" ")
       val lr = last.get(ds)
         .map(t => java.time.Instant.ofEpochMilli(t).toString)
         .getOrElse("never")
@@ -503,7 +534,7 @@ object Cli {
       val failing = attempts.get(ds).map(a =>
         s"\tfailing=${a.failedAttempts} since ${java.time.Instant.ofEpochMilli(a.lastAttemptAt)}"
       ).getOrElse("")
-      out.println(s"$ds\t${sched.render}\tlast-run=$lr$retry$failing")
+      out.println(s"$ds\t$trigger\tlast-run=$lr$retry$failing")
     }
     0
   }

@@ -1799,6 +1799,58 @@ object SparkEntry {
       ).toDF("expr", "after", "next_fire").orderBy("expr", "after")
     },
 
+    // ---- reactive/batching rules (batching_rule.rs + reactive_rule.rs):
+    // a buffer:3:1h derivative trigger driven through five executor ticks —
+    // upstream commits accumulate, the rule fires at min-records, retracts
+    // when up to date, and fires a lone record once the batching deadline
+    // passes. The emitted rows are the tick-by-tick decision log.
+    "flow_reactive" -> { (s, dir) =>
+      import s.implicits._
+      import graft.flow.FlowService
+      def t(iso: String) = java.time.Instant.parse(iso).toEpochMilli
+      val root = java.nio.file.Files.createTempDirectory("graft-flowreactive-")
+      val cities = graft.dataset.Dataset.create(s, root.resolve("cities"), "cities")
+      cities.chain.append(
+        graft.model.MetadataEvent.SetPollingSource(
+          readFormat = "csv", schemaDdl = Some("city STRING, pop INT"),
+          merge = graft.model.MergeConf("ledger", primaryKey = Seq("city")),
+          fetch = Some(graft.model.MetadataEvent.FetchConf(kind = "filesGlob",
+            glob = Some(root.resolve("c-*.csv").toString),
+            eventTimeRegex = Some("c-(\\d{4}-\\d{2}-\\d{2})\\.csv")))), 0L)
+      val big = graft.dataset.Dataset.create(
+        s, root.resolve("cities_big"), "cities_big", kind = "derivative")
+      graft.transform.TransformService.setTransform(big, Seq("cities"),
+        Seq(graft.model.MetadataEvent.SqlStep(None,
+          "SELECT op, event_time, city, pop * 2 AS pop FROM cities")), 0L)
+      val reg = new FlowService.Registry(
+        new org.apache.hadoop.fs.Path(root.toUri), s.sparkContext.hadoopConfiguration)
+      reg.setReactiveRule("cities_big", FlowService.parseReactiveRule("buffer:3:1h"))
+      val resolve = (n: String) => graft.dataset.Dataset.open(s, root.resolve(n))
+      def ingest(day: String, row: String, at: Long): Unit = {
+        java.nio.file.Files.writeString(root.resolve(s"c-$day.csv"), s"city,pop\n$row\n")
+        require(graft.ingest.IngestWriter.pollOnce(resolve("cities"), at).isDefined)
+      }
+      val t0 = t("2024-03-01T00:00:00Z")
+      ingest("2024-03-01", "nola,364000", t0)
+      val ticks = Seq(
+        t0 + 60000L -> { () => ingest("2024-03-02", "kyiv,2884000", t0 + 600000L) },
+        t0 + 660000L -> { () => ingest("2024-03-03", "lima,9752000", t0 + 1200000L) },
+        t0 + 1260000L -> { () => () },
+        t0 + 1320000L -> { () => ingest("2024-03-04", "oslo,709000", t0 + 7200000L) },
+        t0 + 7260000L -> { () => () },
+        t0 + 7200000L + 3600000L -> { () => () }
+      )
+      val log = ticks.map { case (at, after) =>
+        val Seq(("cities_big", status)) = FlowService.runDue(s, reg, resolve, at): @unchecked
+        after()
+        (new java.sql.Timestamp(at), status.render)
+      }
+      val downstream = resolve("cities_big").chain.lastOffset().getOrElse(-1L)
+      log.toDF("tick", "decision")
+        .withColumn("downstream_last_offset", lit(downstream))
+        .orderBy("tick")
+    },
+
     // ---- HTTP sync (simple_transfer_protocol.rs over the REST sync
     // endpoints): serve the 3-batch orders dataset from a node, pull it over
     // http into a fresh workspace — chain hash-identical, history matches
@@ -3561,6 +3613,19 @@ object SparkEntry {
         |  ('0 9 * * *', '2024-01-01T09:00:00Z', TIMESTAMP '2024-01-02 09:00:00'),
         |  ('30 6 * * 1', '2024-01-01T06:30:00Z', TIMESTAMP '2024-01-08 06:30:00')
         |) AS t(expr, "after", next_fire) ORDER BY expr, "after"""".stripMargin,
+    // The expected tick-by-tick decision log of the buffer:3:1h scenario:
+    // 1 then 2 records buffer (deadline anchored at the FIRST unconsumed
+    // commit), the 3rd fires, up-to-date retracts, and a lone late record
+    // fires on the deadline.
+    "flow_reactive" ->
+      """SELECT * FROM (VALUES
+        |  (TIMESTAMP '2024-03-01 00:01:00', 'batching 1/3 records until 2024-03-01T01:00:00Z', CAST(3 AS BIGINT)),
+        |  (TIMESTAMP '2024-03-01 00:11:00', 'batching 2/3 records until 2024-03-01T01:00:00Z', CAST(3 AS BIGINT)),
+        |  (TIMESTAMP '2024-03-01 00:21:00', 'pulled', CAST(3 AS BIGINT)),
+        |  (TIMESTAMP '2024-03-01 00:22:00', 'not due', CAST(3 AS BIGINT)),
+        |  (TIMESTAMP '2024-03-01 02:01:00', 'batching 1/3 records until 2024-03-01T03:00:00Z', CAST(3 AS BIGINT)),
+        |  (TIMESTAMP '2024-03-01 03:00:00', 'pulled', CAST(3 AS BIGINT))
+        |) AS t(tick, decision, downstream_last_offset) ORDER BY tick""".stripMargin,
     // HTTP pull preserves history byte-for-byte, same oracle as the FS path.
     "http_sync_roundtrip" ->
       """WITH base AS (

@@ -9,6 +9,7 @@ import org.json4s.jackson.Serialization
 import org.apache.spark.sql.SparkSession
 
 import graft.dataset.Dataset
+import graft.model.MetadataEvent
 import graft.transform.TransformService
 
 /**
@@ -125,6 +126,156 @@ object FlowService {
     }
   }
 
+  // -------------------------------------------------------- reactive rules
+
+  /** When should a derivative react to NEW upstream data — after the
+    * reference's `BatchingRule` (src/domain/flow-system/domain/src/entities/
+    * shared/batching_rule.rs:18-25): fire on any change, or buffer until
+    * enough records accumulated / long enough waited. */
+  sealed trait BatchingRule { def render: String }
+  object BatchingRule {
+    case object Immediate extends BatchingRule { def render = "immediate" }
+    /** Buffer upstream changes until `minRecords` accumulated across inputs
+      * OR `maxIntervalMs` elapsed since the FIRST unconsumed upstream commit
+      * (batching_rule.rs:328-341: deadline = primary activation time + max
+      * interval). Validation mirrors batching_rule.rs:35-55. */
+    final case class Buffering(minRecords: Long, maxIntervalMs: Long) extends BatchingRule {
+      require(minRecords > 0, "minRecords to await must be positive")
+      require(maxIntervalMs > 0, "max batching interval must be positive")
+      require(maxIntervalMs <= 24L * 3600000L, "max batching interval must not exceed 24 hours")
+      def render: String = s"buffer:$minRecords:${Every.human(maxIntervalMs)}"
+    }
+  }
+
+  /** Reaction to a BREAKING upstream change (head rewritten — reset or
+    * history rewrite), after reactive_rule.rs `BreakingChangeRule`: ignore
+    * it, or re-pull immediately to recover the derivative. */
+  sealed trait BreakingChangeRule { def render: String }
+  object BreakingChangeRule {
+    case object NoAction extends BreakingChangeRule { def render = "no-action" }
+    case object Recover extends BreakingChangeRule { def render = "recover" }
+  }
+
+  /** A derivative's event-driven trigger, after reactive_rule.rs:17-20:
+    * fires off UPSTREAM DATASET EVENTS (head movement observed at tick
+    * time), not a clock. */
+  final case class ReactiveRule(
+      forNewData: BatchingRule,
+      forBreakingChange: BreakingChangeRule = BreakingChangeRule.NoAction
+  ) {
+    def render: String = forBreakingChange match {
+      case BreakingChangeRule.NoAction => forNewData.render
+      case BreakingChangeRule.Recover  => s"${forNewData.render}:recover"
+    }
+  }
+
+  /** `immediate` | `buffer:<minRecords>:<interval>` with optional
+    * `:recover` suffix, e.g. `buffer:1000:15m:recover`. */
+  def parseReactiveRule(s: String): ReactiveRule = {
+    val parts = s.trim.split(":").toList
+    val (body, breaking) =
+      if (parts.lastOption.contains("recover"))
+        (parts.init, BreakingChangeRule.Recover: BreakingChangeRule)
+      else (parts, BreakingChangeRule.NoAction: BreakingChangeRule)
+    val m = "^(\\d+)\\s*(ms|s|m|h)$".r
+    val rule = body match {
+      case List("immediate") => BatchingRule.Immediate
+      case List("buffer", n, iv) =>
+        val ivMs = iv.trim match {
+          case m(v, "ms") => v.toLong
+          case m(v, "s")  => v.toLong * 1000L
+          case m(v, "m")  => v.toLong * 60000L
+          case m(v, "h")  => v.toLong * 3600000L
+          case other      => throw new IllegalArgumentException(s"bad batching interval '$other'")
+        }
+        BatchingRule.Buffering(n.trim.toLong, ivMs)
+      case _ => throw new IllegalArgumentException(
+        s"reactive rule is 'immediate' or 'buffer:<minRecords>:<interval>' (+':recover'), got '$s'")
+    }
+    ReactiveRule(rule, breaking)
+  }
+
+  /** Outcome of evaluating a reactive rule against the current chains. */
+  sealed trait ReactiveDecision
+  /** Enough new upstream data (or the batching deadline passed): pull now. */
+  final case class FireNewData(accumulatedRecords: Long) extends ReactiveDecision
+  /** An upstream head regressed (reset / history rewrite) and the rule says
+    * Recover: pull now to re-derive. */
+  case object FireBreaking extends ReactiveDecision
+  /** New data exists but the batching condition is not yet met. */
+  final case class Buffering(accumulatedRecords: Long, minRecords: Long, deadlineAt: Long)
+      extends ReactiveDecision
+  /** Nothing unconsumed upstream (or a breaking change with NoAction). */
+  case object Idle extends ReactiveDecision
+
+  /**
+   * Evaluate a reactive rule for `output` at `now` — the pull-based
+   * re-expression of flow_scheduling_service_impl.rs:295-341: where the
+   * reference accumulates pushed activation causes in its flow DB, here the
+   * accumulation is DERIVED from the chains at tick time, so it can never
+   * drift from what a pull would actually consume:
+   *   - consumed offset per input = the output's last ExecuteTransform
+   *     input state (exactly what the next incremental run slices from);
+   *   - accumulated records   = Σ over inputs (head − consumed) — offsets
+   *     are dense, so the difference IS the record count;
+   *   - the batching deadline anchors at the SYSTEM TIME OF THE EARLIEST
+   *     UNCONSUMED upstream block (the primary activation cause's time);
+   *   - an upstream head BELOW the consumed offset is a breaking change
+   *     (reset / rewritten history) routed via `forBreakingChange`.
+   * Roots (no SetTransform) are never reactive — they have no inputs.
+   */
+  def evaluateReactive(
+      output: Dataset,
+      resolve: String => Dataset,
+      rule: ReactiveRule,
+      now: Long
+  ): ReactiveDecision = {
+    val decl = output.chain.transform().getOrElse(return Idle)
+    val lastRun = output.chain.lastExecuteTransform()
+    var accumulated = 0L
+    var firstNewAt = Long.MaxValue
+    var breaking = false
+    decl.inputs.foreach { name =>
+      val in = resolve(name)
+      val consumed = lastRun
+        .flatMap(_.inputs.find(_.datasetName == name))
+        .flatMap(_.newOffset)
+        .getOrElse(-1L)
+      val head = in.chain.lastOffset().getOrElse(-1L)
+      if (head < consumed) breaking = true
+      else if (head > consumed) {
+        accumulated += head - consumed
+        // earliest unconsumed data block's commit time (walk is O(blocks),
+        // and chains are metadata — thousands of blocks, not data-sized)
+        val at = in.chain.blocks().iterator
+          .filter { b =>
+            val slice = b.event match {
+              case a: MetadataEvent.AddData          => Some(a)
+              case e: MetadataEvent.ExecuteTransform => e.newData
+              case _                                 => None
+            }
+            slice.exists(_.offsetEnd > consumed)
+          }
+          .map(_.systemTime)
+          .nextOption()
+          .getOrElse(now)
+        firstNewAt = math.min(firstNewAt, at)
+      }
+    }
+    if (breaking) rule.forBreakingChange match {
+      case BreakingChangeRule.Recover  => FireBreaking
+      case BreakingChangeRule.NoAction => Idle
+    }
+    else if (accumulated == 0L) Idle
+    else rule.forNewData match {
+      case BatchingRule.Immediate => FireNewData(accumulated)
+      case BatchingRule.Buffering(minRecords, maxIntervalMs) =>
+        val deadline = firstNewAt + maxIntervalMs
+        if (accumulated >= minRecords || now >= deadline) FireNewData(accumulated)
+        else Buffering(accumulated, minRecords, deadline)
+    }
+  }
+
   // ---------------------------------------------------------- retry policy
 
   /** Backoff family, after retry_policy.rs:22-28. `ExponentialWithJitter`
@@ -203,6 +354,12 @@ object FlowService {
   sealed trait RunStatus { def render: String }
   case object Pulled extends RunStatus { def render = "pulled" }
   case object NotDue extends RunStatus { def render = "not due" }
+  /** Reactive rule saw new upstream data but is still buffering it. */
+  final case class Batching(accumulated: Long, minRecords: Long, deadlineAt: Long)
+      extends RunStatus {
+    def render =
+      s"batching $accumulated/$minRecords records until ${java.time.Instant.ofEpochMilli(deadlineAt)}"
+  }
   /** The pull failed and retry number `attempt` is scheduled at `nextAt`. */
   final case class RetryScheduled(attempt: Int, nextAt: Long, error: String) extends RunStatus {
     def render = s"failed (retry $attempt at ${java.time.Instant.ofEpochMilli(nextAt)}): $error"
@@ -247,7 +404,15 @@ object FlowService {
       writeMap("flow_state.json", readMap("flow_state.json") - dataset)
       writeMap("flow_retry.json", readMap("flow_retry.json") - dataset)
       writeMap("flow_attempts.json", readMap("flow_attempts.json") - dataset)
+      writeMap("flow_reactive.json", readMap("flow_reactive.json") - dataset)
     }
+
+    def reactiveRules(): Map[String, ReactiveRule] =
+      readMap("flow_reactive.json").view.mapValues(parseReactiveRule).toMap
+    def setReactiveRule(dataset: String, rule: ReactiveRule): Unit =
+      writeMap("flow_reactive.json", readMap("flow_reactive.json") + (dataset -> rule.render))
+    def removeReactiveRule(dataset: String): Unit =
+      writeMap("flow_reactive.json", readMap("flow_reactive.json") - dataset)
     def lastRuns(): Map[String, Long] =
       readMap("flow_state.json").view.mapValues(_.toLong).toMap
     def recordRun(dataset: String, now: Long): Unit =
@@ -270,13 +435,17 @@ object FlowService {
 
   // ------------------------------------------------------------- executor
 
-  /** One executor tick: pull every scheduled dataset that is due at `now`
-    * (dependency-recursively) and record the outcome, skip the rest. A
-    * dataset in a failed-retrying state is due at its policy's next-attempt
-    * instant instead of its schedule's. Failures never propagate out of the
-    * tick — one broken dataset must not starve the others (the reference
-    * runs each flow as an isolated task for the same reason). Returns
-    * (dataset, status) per scheduled dataset in name order. */
+  /** One executor tick: pull every scheduled OR reactively-due dataset at
+    * `now` (dependency-recursively) and record the outcome, skip the rest.
+    * A dataset in a failed-retrying state is due at its policy's
+    * next-attempt instant instead of its schedule's/rule's. Schedule fires
+    * poll roots recursively (clock-driven refresh of the whole chain);
+    * reactive fires run transforms only (`pollRoots = false`) — the
+    * upstream data they react to has already been ingested by ITS OWN flow,
+    * exactly like the reference's input-flow-success triggers. Failures
+    * never propagate out of the tick — one broken dataset must not starve
+    * the others (the reference runs each flow as an isolated task for the
+    * same reason). Returns (dataset, status) in name order. */
   def runDue(
       spark: SparkSession,
       registry: Registry,
@@ -286,42 +455,63 @@ object FlowService {
     val last = registry.lastRuns()
     val policies = registry.retryPolicies()
     val attempts = registry.attemptStates()
-    registry.schedules().toSeq.sortBy(_._1).map { case (name, schedule) =>
+    val schedules = registry.schedules()
+    val reactives = registry.reactiveRules()
+    (schedules.keySet ++ reactives.keySet).toSeq.sorted.map { name =>
+      val schedule = schedules.get(name)
       val retrying = attempts.get(name)
-      val isDue = retrying match {
-        case Some(st) =>
-          // between attempts: the pending retry's instant gates the pull;
-          // if the policy was removed (or shrunk) mid-state, fall back to
-          // the schedule rather than leaving the dataset stuck
+      def scheduleDue: Boolean = schedule.exists(s => due(s, last.get(name), now))
+      val status: RunStatus = try {
+        // retry gating first: a failed dataset waits for its retry instant,
+        // not its schedule's or rule's. If the policy was removed (or
+        // shrunk) mid-state, fall back to the regular triggers rather than
+        // leaving the dataset stuck.
+        val retryGate: Option[Boolean] = retrying.map { st =>
           policies.get(name)
-            .flatMap(_.nextAttemptAt(st.failedAttempts, st.lastAttemptAt, name)) match {
-            case Some(at) => now >= at
-            case None     => due(schedule, last.get(name), now)
-          }
-        case None => due(schedule, last.get(name), now)
-      }
-      val status: RunStatus =
-        if (!isDue) NotDue
-        else try {
-          TransformService.pullRecursive(resolve(name), resolve, now)
+            .flatMap(_.nextAttemptAt(st.failedAttempts, st.lastAttemptAt, name))
+            .map(at => now >= at)
+            .getOrElse(scheduleDue || reactives.get(name).exists(r =>
+              evaluateReactive(resolve(name), resolve, r, now) match {
+                case FireNewData(_) | FireBreaking => true
+                case _                             => false
+              }))
+        }
+        def pull(pollRoots: Boolean): RunStatus = {
+          TransformService.pullRecursive(resolve(name), resolve, now, pollRoots = pollRoots)
           registry.clearFailure(name)
           registry.recordRun(name, now)
           Pulled
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            val err = Option(e.getMessage).getOrElse(e.getClass.getName)
-            val failed = retrying.map(_.failedAttempts).getOrElse(0) + 1
-            policies.get(name).flatMap(_.nextAttemptAt(failed, now, name)) match {
-              case Some(at) =>
-                registry.recordFailure(name, AttemptState(failed, now))
-                RetryScheduled(failed, at, err)
-              case None =>
-                // exhausted (or no policy): back to the regular schedule
-                registry.clearFailure(name)
-                registry.recordRun(name, now)
-                Failed(failed, err)
+        }
+        retryGate match {
+          case Some(true)  => pull(pollRoots = schedule.isDefined)
+          case Some(false) => NotDue
+          case None if scheduleDue => pull(pollRoots = true)
+          case None =>
+            reactives.get(name) match {
+              case None => NotDue
+              case Some(rule) =>
+                evaluateReactive(resolve(name), resolve, rule, now) match {
+                  case FireNewData(_) | FireBreaking   => pull(pollRoots = false)
+                  case Buffering(acc, minRecords, ddl) => Batching(acc, minRecords, ddl)
+                  case Idle                            => NotDue
+                }
             }
         }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          val err = Option(e.getMessage).getOrElse(e.getClass.getName)
+          val failed = retrying.map(_.failedAttempts).getOrElse(0) + 1
+          policies.get(name).flatMap(_.nextAttemptAt(failed, now, name)) match {
+            case Some(at) =>
+              registry.recordFailure(name, AttemptState(failed, now))
+              RetryScheduled(failed, at, err)
+            case None =>
+              // exhausted (or no policy): back to the regular triggers
+              registry.clearFailure(name)
+              registry.recordRun(name, now)
+              Failed(failed, err)
+          }
+      }
       name -> status
     }
   }

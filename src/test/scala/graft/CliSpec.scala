@@ -276,6 +276,55 @@ class CliSpec extends SparkSpec {
     assert(runCli("--workspace", root.toString, "flow", "list")._2.trim.isEmpty)
   }
 
+  test("flow set --reactive: event-driven derivative updates through the CLI") {
+    val root = Files.createTempDirectory("graft-cli-reactive-")
+    Files.writeString(root.resolve("f-2024-01-01.csv"), "town,pop\nnola,364000\n")
+    val towns = Dataset.create(spark, root.resolve("towns"), "towns")
+    towns.chain.append(
+      SetPollingSource(readFormat = "csv", schemaDdl = Some("town STRING, pop INT"),
+        merge = MergeConf("ledger", primaryKey = Seq("town")),
+        fetch = Some(graft.model.MetadataEvent.FetchConf(kind = "filesGlob",
+          glob = Some(root.resolve("f-*.csv").toString),
+          eventTimeRegex = Some("f-(\\d{4}-\\d{2}-\\d{2})\\.csv")))), 0L)
+    val big = Dataset.create(spark, root.resolve("towns_big"), "towns_big", kind = "derivative")
+    graft.transform.TransformService.setTransform(big, Seq("towns"),
+      Seq(graft.model.MetadataEvent.SqlStep(None,
+        "SELECT op, event_time, town, pop * 2 AS pop FROM towns")), 0L)
+
+    // lifecycle: set, visible in list, bad rule/dataset rejected
+    val (c1, setOut) = runCli("--workspace", root.toString,
+      "flow", "set", "towns_big", "--reactive", "buffer:2:1h")
+    assert(c1 === 0 && setOut.trim === "reactive towns_big: buffer:2:1h")
+    assert(runCli("--workspace", root.toString,
+      "flow", "set", "towns_big", "--reactive", "sometimes")._1 === 1)
+    assert(runCli("--workspace", root.toString,
+      "flow", "set", "nope", "--reactive", "immediate")._1 === 1)
+    val (_, list1) = runCli("--workspace", root.toString, "flow", "list")
+    assert(list1.trim === "towns_big\treactive=buffer:2:1h\tlast-run=never", list1)
+
+    // upstream ingests one record (its own flow): downstream batches…
+    assert(graft.ingest.IngestWriter.pollOnce(
+      graft.dataset.Dataset.open(spark, root.resolve("towns")),
+      java.time.Instant.parse("2024-06-01T00:00:00Z").toEpochMilli).isDefined)
+    val (_, run1) = runCli("--workspace", root.toString, "flow", "run", "2024-06-01T00:10:00Z")
+    assert(run1.trim === "towns_big: batching 1/2 records until 2024-06-01T01:00:00Z", run1)
+    // …and a second record crosses the threshold on the next tick
+    Files.writeString(root.resolve("f-2024-01-02.csv"), "town,pop\nkyiv,2884000\n")
+    assert(graft.ingest.IngestWriter.pollOnce(
+      graft.dataset.Dataset.open(spark, root.resolve("towns")),
+      java.time.Instant.parse("2024-06-01T00:20:00Z").toEpochMilli).isDefined)
+    val (_, run2) = runCli("--workspace", root.toString, "flow", "run", "2024-06-01T00:30:00Z")
+    assert(run2.trim === "towns_big: pulled", run2)
+    assert(graft.dataset.Dataset.open(spark, root.resolve("towns_big"))
+      .chain.lastOffset() === Some(1L))
+
+    // off detaches the trigger
+    val (c2, offOut) = runCli("--workspace", root.toString,
+      "flow", "set", "towns_big", "--reactive", "off")
+    assert(c2 === 0 && offOut.trim === "reactive towns_big: off")
+    assert(runCli("--workspace", root.toString, "flow", "list")._2.trim.isEmpty)
+  }
+
   test("set-watermark/delete/rename/gc: dataset lifecycle commands") {
     import graft.model.MetadataEvent.SqlStep
     import graft.transform.TransformService

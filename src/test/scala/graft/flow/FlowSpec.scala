@@ -191,4 +191,151 @@ class FlowSpec extends SparkSpec {
     assert(runDue(spark, reg, resolve, t1 + 7200000L) ===
       Seq("cities" -> Failed(1, "down")))
   }
+
+  test("reactive rules: parse, render, validation (reference batching_rule.rs/reactive_rule.rs)") {
+    assert(parseReactiveRule("immediate") ===
+      ReactiveRule(BatchingRule.Immediate, BreakingChangeRule.NoAction))
+    assert(parseReactiveRule("immediate:recover").forBreakingChange ===
+      BreakingChangeRule.Recover)
+    val b = parseReactiveRule("buffer:1000:15m")
+    assert(b === ReactiveRule(BatchingRule.Buffering(1000L, 900000L)))
+    assert(b.render === "buffer:1000:15m")
+    assert(parseReactiveRule("buffer:5:2h:recover").render === "buffer:5:2h:recover")
+    // validation bounds mirror batching_rule.rs:35-55 (incl. the 24h cap)
+    intercept[IllegalArgumentException](parseReactiveRule("buffer:0:15m"))
+    intercept[IllegalArgumentException](parseReactiveRule("buffer:5:0s"))
+    intercept[IllegalArgumentException](parseReactiveRule("buffer:5:25h"))
+    intercept[IllegalArgumentException](parseReactiveRule("sometimes"))
+    assert(parseReactiveRule("buffer:1:24h") ===
+      ReactiveRule(BatchingRule.Buffering(1L, 86400000L)))
+  }
+
+  /** Root `cities` (filesGlob CSV ledger) + derivative `cities_big`. */
+  private def reactiveFixture(): (java.nio.file.Path, Registry, String => graft.dataset.Dataset) = {
+    val root = Files.createTempDirectory("graft-flow-reactive-")
+    val cities = Dataset.create(spark, root.resolve("cities"), "cities")
+    cities.chain.append(
+      SetPollingSource(readFormat = "csv", schemaDdl = Some("city STRING, pop INT"),
+        merge = MergeConf("ledger", primaryKey = Seq("city")),
+        fetch = Some(FetchConf(kind = "filesGlob",
+          glob = Some(root.resolve("c-*.csv").toString),
+          eventTimeRegex = Some("c-(\\d{4}-\\d{2}-\\d{2})\\.csv")))), 0L)
+    val big = Dataset.create(spark, root.resolve("cities_big"), "cities_big", kind = "derivative")
+    TransformService.setTransform(big, Seq("cities"),
+      Seq(SqlStep(None, "SELECT op, event_time, city, pop * 2 AS pop FROM cities")), 0L)
+    val reg = new Registry(
+      new org.apache.hadoop.fs.Path(root.toUri), spark.sparkContext.hadoopConfiguration)
+    (root, reg, (n: String) => Dataset.open(spark, root.resolve(n)))
+  }
+
+  test("reactive buffering: fires at min-records, anchors the deadline at the first commit") {
+    val (root, reg, resolve) = reactiveFixture()
+    reg.setReactiveRule("cities_big", parseReactiveRule("buffer:3:1h"))
+
+    // nothing upstream yet: idle, not batching
+    val t0 = t("2024-03-01T00:00:00Z")
+    assert(runDue(spark, reg, resolve, t0) === Seq("cities_big" -> NotDue))
+
+    // upstream's own flow ingests 1 record -> under the threshold: batching,
+    // deadline anchored at THIS first unconsumed commit's system time
+    java.nio.file.Files.writeString(root.resolve("c-2024-03-01.csv"), "city,pop\nnola,364000\n")
+    assert(IngestWriter.pollOnce(resolve("cities"), t0).isDefined)
+    assert(runDue(spark, reg, resolve, t0 + 60000L) ===
+      Seq("cities_big" -> Batching(1L, 3L, t0 + 3600000L)))
+    assert(resolve("cities_big").chain.lastOffset() === None) // no pull yet
+
+    // a second record 10m later: still batching, deadline UNMOVED (it
+    // anchors at the earliest unconsumed block, not the latest)
+    java.nio.file.Files.writeString(root.resolve("c-2024-03-02.csv"), "city,pop\nkyiv,2884000\n")
+    assert(IngestWriter.pollOnce(resolve("cities"), t0 + 600000L).isDefined)
+    assert(runDue(spark, reg, resolve, t0 + 660000L) ===
+      Seq("cities_big" -> Batching(2L, 3L, t0 + 3600000L)))
+
+    // third record crosses min-records -> fires; transform consumes all 3.
+    // A new upstream FILE that its own flow has NOT ingested yet must stay
+    // un-ingested: reactive fires run transforms only (pollRoots = false).
+    java.nio.file.Files.writeString(root.resolve("c-2024-03-03.csv"), "city,pop\nlima,9752000\n")
+    assert(IngestWriter.pollOnce(resolve("cities"), t0 + 1200000L).isDefined)
+    java.nio.file.Files.writeString(root.resolve("c-2024-03-04.csv"), "city,pop\noslo,709000\n")
+    assert(runDue(spark, reg, resolve, t0 + 1260000L) === Seq("cities_big" -> Pulled))
+    assert(resolve("cities_big").chain.lastOffset() === Some(2L))
+    assert(resolve("cities").chain.lastOffset() === Some(2L), "reactive fire must not poll roots")
+
+    // retract on up-to-date: everything consumed -> idle again
+    assert(runDue(spark, reg, resolve, t0 + 1320000L) === Seq("cities_big" -> NotDue))
+
+    // the max-batching-interval path: one record under the threshold fires
+    // anyway once the deadline passes
+    val t1 = t0 + 7200000L
+    assert(IngestWriter.pollOnce(resolve("cities"), t1).isDefined) // the oslo file
+    assert(runDue(spark, reg, resolve, t1 + 60000L) ===
+      Seq("cities_big" -> Batching(1L, 3L, t1 + 3600000L)))
+    assert(runDue(spark, reg, resolve, t1 + 3600000L) === Seq("cities_big" -> Pulled))
+    assert(resolve("cities_big").chain.lastOffset() === Some(3L))
+  }
+
+  test("reactive immediate fires on any upstream move; breaking changes route per rule") {
+    val (root, reg, resolve) = reactiveFixture()
+    reg.setReactiveRule("cities_big", parseReactiveRule("immediate"))
+
+    val t0 = t("2024-03-01T00:00:00Z")
+    java.nio.file.Files.writeString(root.resolve("c-2024-03-01.csv"), "city,pop\nnola,364000\n")
+    assert(IngestWriter.pollOnce(resolve("cities"), t0).isDefined)
+    assert(runDue(spark, reg, resolve, t0 + 1000L) === Seq("cities_big" -> Pulled))
+    assert(resolve("cities_big").chain.lastOffset() === Some(0L))
+    assert(runDue(spark, reg, resolve, t0 + 2000L) === Seq("cities_big" -> NotDue))
+
+    // ingest one more batch, then REWIND the upstream head: consumed > head
+    java.nio.file.Files.writeString(root.resolve("c-2024-03-02.csv"), "city,pop\nkyiv,2884000\n")
+    assert(IngestWriter.pollOnce(resolve("cities"), t0 + 3000L).isDefined)
+    assert(runDue(spark, reg, resolve, t0 + 4000L) === Seq("cities_big" -> Pulled))
+    val cities = resolve("cities")
+    val beforeKyiv = cities.chain.blocksWithHashes()
+      .takeWhile(!_._1.event.isInstanceOf[graft.model.MetadataEvent.AddData])
+      .last._2
+    val afterFirstAdd = cities.chain.blocksWithHashes()
+      .find(_._1.event.isInstanceOf[graft.model.MetadataEvent.AddData]).get._2
+    cities.chain.reset(afterFirstAdd) // head back to offset 0; derivative consumed 1
+
+    // NoAction (default): the breaking change is ignored
+    assert(runDue(spark, reg, resolve, t0 + 5000L) === Seq("cities_big" -> NotDue))
+    // Recover: fires immediately
+    reg.setReactiveRule("cities_big", parseReactiveRule("immediate:recover"))
+    assert(runDue(spark, reg, resolve, t0 + 6000L) === Seq("cities_big" -> Pulled))
+    assert(beforeKyiv.nonEmpty) // fixture sanity
+  }
+
+  test("reactive rules compose with retry policies; schedule and rule may coexist") {
+    val (root, reg, resolve0) = reactiveFixture()
+    reg.setReactiveRule("cities_big", parseReactiveRule("immediate"))
+    reg.setRetryPolicy("cities_big", RetryPolicy(2, 10000L, Backoff.Fixed))
+
+    val t0 = t("2024-03-01T00:00:00Z")
+    java.nio.file.Files.writeString(root.resolve("c-2024-03-01.csv"), "city,pop\nnola,364000\n")
+    assert(IngestWriter.pollOnce(resolve0("cities"), t0).isDefined)
+
+    // the reactive fire FAILS -> same backoff ladder as scheduled pulls
+    var broken = true
+    val resolve = (n: String) => { if (broken) throw new RuntimeException("boom"); resolve0(n) }
+    assert(runDue(spark, reg, resolve, t0 + 1000L) ===
+      Seq("cities_big" -> RetryScheduled(1, t0 + 11000L, "boom")))
+    assert(runDue(spark, reg, resolve, t0 + 2000L) === Seq("cities_big" -> NotDue))
+    broken = false
+    assert(runDue(spark, reg, resolve, t0 + 11000L) === Seq("cities_big" -> Pulled))
+    assert(resolve0("cities_big").chain.lastOffset() === Some(0L))
+
+    // a schedule on the SAME dataset still fires on the clock (union of
+    // triggers), even with nothing new upstream — and re-polls roots
+    reg.set("cities_big", parseSchedule("every 1h"))
+    java.nio.file.Files.writeString(root.resolve("c-2024-03-02.csv"), "city,pop\nkyiv,2884000\n")
+    assert(runDue(spark, reg, resolve, t0 + 3700000L) === Seq("cities_big" -> Pulled))
+    assert(resolve0("cities").chain.lastOffset() === Some(1L), "scheduled fire polls roots")
+    assert(resolve0("cities_big").chain.lastOffset() === Some(1L))
+
+    // removing the rule detaches the event trigger; the schedule remains
+    reg.removeReactiveRule("cities_big")
+    java.nio.file.Files.writeString(root.resolve("c-2024-03-03.csv"), "city,pop\nlima,9752000\n")
+    assert(IngestWriter.pollOnce(resolve0("cities"), t0 + 3710000L).isDefined)
+    assert(runDue(spark, reg, resolve, t0 + 3720000L) === Seq("cities_big" -> NotDue))
+  }
 }
