@@ -414,6 +414,30 @@ object SparkEntry {
           table = "graft_minhash_idx", minSim = 0.5)
         .orderBy(col("id_new"), col("id_corpus"))
     },
+    // ---- index MAINTENANCE: probe → append → re-probe. Generation 0
+    // probes an index of doc_id%5∈{1,2,3}; the %5=4 batch is then APPENDED
+    // in place (insertInto through the bucket spec — no rebuild, O(batch)
+    // bytes moved) and generation 1 re-probes. The oracle recomputes both
+    // generations, replicating the append's capacity-fill cap semantics.
+    "dedup_minhash_append" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.materializeMinhashIndex(
+        docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 4), "doc_id", "text",
+        table = "graft_minhash_apx", numBuckets = 8)
+      val probe = docs.filter(col("doc_id") % 5 === 0)
+      val gen0 = Dedup
+        .minHashLshAgainstIndex(probe, "doc_id", "text",
+          table = "graft_minhash_apx", minSim = 0.5)
+        .withColumn("gen", lit(0L))
+      Dedup.appendToMinhashIndex(
+        docs.filter(col("doc_id") % 5 === 4), "doc_id", "text",
+        table = "graft_minhash_apx")
+      val gen1 = Dedup
+        .minHashLshAgainstIndex(probe, "doc_id", "text",
+          table = "graft_minhash_apx", minSim = 0.5)
+        .withColumn("gen", lit(1L))
+      gen0.unionByName(gen1).orderBy(col("gen"), col("id_new"), col("id_corpus"))
+    },
     // maxHamming=3 → 4 pigeonhole chunks of 16 bits: a 65k-value chunk-key
     // space. (maxHamming=8 would mean 7-bit chunks = 128 distinct keys —
     // on a clustered corpus the bucket self-join degenerates quadratically.)
@@ -2674,6 +2698,51 @@ object SparkEntry {
          |  FROM pairs_i JOIN sig sa ON sa.doc_id = id_new JOIN sig sb ON sb.doc_id = id_corpus)
          |SELECT id_new, id_corpus, est_jaccard FROM est_i
          |WHERE est_jaccard >= 0.5 ORDER BY id_new, id_corpus""".stripMargin,
+    // Probe → append → re-probe: gen 0 = index of doc_id%5∈{1,2,3}; gen 1
+    // adds the %5=4 batch with APPEND cap semantics (existing rows keep
+    // their seats; the batch fills each bucket's remaining capacity in
+    // doc_id order) — exactly what appendToMinhashIndex admits.
+    "dedup_minhash_append" ->
+      s"""WITH $minhashOracleCtes,
+         |banded_c0 AS (
+         |  SELECT doc_id, b AS band, array_to_string(sig[b*4+1:b*4+4], ',') AS bkey
+         |  FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bands
+         |  WHERE doc_id % 5 IN (1, 2, 3)
+         |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= 1000),
+         |banded_a AS (
+         |  SELECT doc_id, b AS band, array_to_string(sig[b*4+1:b*4+4], ',') AS bkey
+         |  FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bands
+         |  WHERE doc_id % 5 = 4),
+         |cnt0 AS (SELECT band, bkey, count(*) AS n0 FROM banded_c0 GROUP BY band, bkey),
+         |banded_c1 AS (
+         |  SELECT doc_id, band, bkey FROM banded_c0
+         |  UNION ALL
+         |  SELECT doc_id, band, bkey FROM (
+         |    SELECT a.doc_id, a.band, a.bkey,
+         |           row_number() OVER (PARTITION BY a.band, a.bkey ORDER BY a.doc_id) AS rn,
+         |           coalesce(c.n0, 0) AS n0
+         |    FROM banded_a a LEFT JOIN cnt0 c ON a.band = c.band AND a.bkey = c.bkey)
+         |  WHERE rn + n0 <= 1000),
+         |banded_p AS (
+         |  SELECT doc_id, b AS band, array_to_string(sig[b*4+1:b*4+4], ',') AS bkey
+         |  FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bands
+         |  WHERE doc_id % 5 = 0),
+         |pairs_g AS (
+         |  SELECT CAST(0 AS BIGINT) AS gen, DISTINCT_pairs.* FROM (
+         |    SELECT DISTINCT p.doc_id AS id_new, c.doc_id AS id_corpus
+         |    FROM banded_p p JOIN banded_c0 c
+         |      ON p.band = c.band AND p.bkey = c.bkey AND p.doc_id <> c.doc_id) DISTINCT_pairs
+         |  UNION ALL
+         |  SELECT CAST(1 AS BIGINT) AS gen, DISTINCT_pairs.* FROM (
+         |    SELECT DISTINCT p.doc_id AS id_new, c.doc_id AS id_corpus
+         |    FROM banded_p p JOIN banded_c1 c
+         |      ON p.band = c.band AND p.bkey = c.bkey AND p.doc_id <> c.doc_id) DISTINCT_pairs),
+         |est_g AS (
+         |  SELECT gen, id_new, id_corpus,
+         |    list_sum([CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END for i in range(64)]) / 64.0 AS est_jaccard
+         |  FROM pairs_g JOIN sig sa ON sa.doc_id = id_new JOIN sig sb ON sb.doc_id = id_corpus)
+         |SELECT id_new, id_corpus, est_jaccard, gen FROM est_g
+         |WHERE est_jaccard >= 0.5 ORDER BY gen, id_new, id_corpus""".stripMargin,
     // Replicates Dedup.simHashDups: 64-char bit-string simhash from
     // md5-derived token bits, 4-chunk (16-bit) pigeonhole candidates,
     // hamming <= 3.

@@ -214,6 +214,68 @@ object Dedup {
   }
 
   /**
+   * Append a new batch into a [[materializeMinhashIndex]] index IN PLACE —
+   * the maintenance half of the incremental dedup loop: probe the batch
+   * ([[minHashLshAgainstIndex]]), commit it, then append it here so the
+   * NEXT batch sees it. `insertInto` writes through the tables' existing
+   * bucket spec (new bucket files land beside the old ones; readers merge
+   * per bucket id), so an append moves O(new batch) bytes — the index is
+   * NEVER rebuilt, which at 100 TB ingest cadence is the difference between
+   * an O(batch) tick and an O(corpus) one.
+   *
+   * The per-bucket cap is maintained on append: each (band, bkey)'s
+   * remaining capacity (maxBucket − existing rows, from one aggregation
+   * that reads the bucketed table with no shuffle) admits the new batch's
+   * lowest-id rows. With monotonically increasing ids across batches (the
+   * dataset model's offset discipline) an appended index is ROW-IDENTICAL
+   * to a fresh full materialization of the union — `DedupSpec` pins this.
+   * Ids already present in the index are skipped (idempotent re-ingest).
+   */
+  def appendToMinhashIndex(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucket: Int = 1000,
+      fast: Boolean = false
+  ): Unit = {
+    require(numHashes % bands == 0, "numHashes must divide into bands evenly")
+    val r = numHashes / bands
+    val spark = newDocs.sparkSession
+    val known = spark.table(s"${table}_sigs").select(col("id"))
+    val newSigs = ensureParallelism(newDocs)
+      .select(
+        col(idCol).as("id"),
+        signatureOf(col(textCol), shingleLen, numHashes, fast).as("sig"))
+      .join(known, Seq("id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bucketsTable = s"${table}_buckets"
+    // remaining capacity per bucket the batch touches: the count aggregates
+    // the corpus table ON ITS OWN bucketing keys — a bucketed scan, no
+    // corpus shuffle; only (band, bkey, n) rows meet the new batch
+    val existing = spark.table(bucketsTable)
+      .groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("__n"))
+    val newBanded = newSigs
+      .select(col("id"), posexplode(bandKeys(col("sig"), bands, r)).as(Seq("band", "bkey")))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("band"), col("bkey")).orderBy(col("id"))))
+      .join(existing, Seq("band", "bkey"), "left")
+      .filter(col("__rn") + coalesce(col("__n"), lit(0L)) <= maxBucket)
+    // insertInto is positional: line the columns up with the stored layout
+    newBanded
+      .select(spark.table(bucketsTable).columns.map(col).toSeq: _*)
+      .write.insertInto(bucketsTable)
+    newSigs
+      .select(spark.table(s"${table}_sigs").columns.map(col).toSeq: _*)
+      .write.insertInto(s"${table}_sigs")
+    newSigs.unpersist(blocking = false)
+  }
+
+  /**
    * Near-dup pairs of a NEW batch against a corpus indexed by
    * [[materializeMinhashIndex]] (same shingleLen/numHashes/bands/fast as at
    * materialization — the index stores banded keys, not parameters).

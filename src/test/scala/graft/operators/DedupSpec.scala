@@ -231,6 +231,50 @@ class DedupSpec extends SparkSpec {
     assert(desc.contains("band") && desc.contains("bkey"), desc)
   }
 
+  test("appendToMinhashIndex ≡ fresh full materialization (increasing ids); cap maintained") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val half = real.count() / 2
+    val corpus = real.filter(col("doc_id") < half)
+    val batch = real.filter(col("doc_id") >= half) // ids strictly after the corpus'
+    Dedup.materializeMinhashIndex(corpus, "doc_id", "text",
+      table = "graft_test_mh_app", numBuckets = 4)
+    Dedup.appendToMinhashIndex(batch, "doc_id", "text", table = "graft_test_mh_app")
+    Dedup.materializeMinhashIndex(real, "doc_id", "text",
+      table = "graft_test_mh_fresh", numBuckets = 4)
+    def rows(t: String) = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.get(2).toString)).toSet
+    assert(rows("graft_test_mh_app_buckets").map(r => (r._1, r._2, r._3)) ===
+      rows("graft_test_mh_fresh_buckets").map(r => (r._1, r._2, r._3)))
+    assert(spark.table("graft_test_mh_app_sigs").count() ===
+      spark.table("graft_test_mh_fresh_sigs").count())
+    // probing the appended index ≡ probing the fresh one
+    val probe = real.limit(20)
+    def hits(t: String) = Dedup.minHashLshAgainstIndex(probe, "doc_id", "text", table = t,
+      minSim = 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits("graft_test_mh_app") === hits("graft_test_mh_fresh"))
+    // idempotent re-ingest: appending the same batch again changes nothing
+    val before = spark.table("graft_test_mh_app_sigs").count()
+    Dedup.appendToMinhashIndex(batch, "doc_id", "text", table = "graft_test_mh_app")
+    assert(spark.table("graft_test_mh_app_sigs").count() === before)
+
+    // cap maintenance: 6 identical docs, cap 4 — append admits only up to
+    // the remaining capacity, exactly like a fresh capped materialization
+    import spark.implicits._
+    val dupA = (0L until 3L).map(i => (i, "same same same same")).toDF("doc_id", "text")
+    val dupB = (3L until 6L).map(i => (i, "same same same same")).toDF("doc_id", "text")
+    Dedup.materializeMinhashIndex(dupA, "doc_id", "text",
+      table = "graft_test_mh_cap", numBuckets = 2, maxBucket = 4)
+    Dedup.appendToMinhashIndex(dupB, "doc_id", "text",
+      table = "graft_test_mh_cap", maxBucket = 4)
+    val perBucket = spark.table("graft_test_mh_cap_buckets")
+      .groupBy("band", "bkey").count().select("count").as[Long].collect()
+    assert(perBucket.forall(_ === 4L), s"every bucket capped at 4: ${perBucket.toSeq}")
+    // the admitted ids are the LOWEST ids, same as a fresh capped build
+    val ids = spark.table("graft_test_mh_cap_buckets")
+      .select("id").distinct().as[Long].collect().sorted
+    assert(ids.toSeq === Seq(0L, 1L, 2L, 3L))
+  }
+
   test("dhashDups: pigeonhole bands find exactly the pairs within the Hamming budget") {
     val base = 0x0123456789abcdefL
     val vecs = Seq(
