@@ -932,6 +932,25 @@ object SparkEntry {
         .orderBy(col("qid"), col("rnk"))
     },
 
+    // ---- multi-TABLE LSH ANN: 3 independent 6-plane tables, candidates =
+    // union of per-table bucket matches — the recall lever single-table LSH
+    // lacks (recall ~1-(1-r)^L vs r). Corpus side is one row per
+    // (table, vector), equi-joined on (table, bucket); SimilaritySpec pins
+    // recall >= single-table on the sf0.1 fixture.
+    "ann_lsh_multitable" -> { (s, dir) =>
+      val tables = (0 until 3).map(t =>
+        Similarity.intPlanes(numPlanes = 6, dim = 64, seed = 42L + t))
+      val emb = t(s, dir, "embeddings")
+      val q = emb
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), Similarity.quantize(col("embedding")).as("qv"))
+      val c = emb.select(col("vec_id").as("cid"), Similarity.quantize(col("embedding")).as("cv"))
+      Similarity
+        .lshTopKMultiTable(q, c, "qid", "qv", "cid", "cv", k = 5, planeTables = tables)
+        .select(col("qid"), col("rnk").cast("bigint").as("rnk"), col("cid"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+
     // ---- IVF ANN (beyond-reference): deterministic k-means training +
     // cell-probed search. nprobe = k probes every cell, which makes the
     // pipeline EXACTLY brute force — so the exhaustive oracle checks the
@@ -949,6 +968,26 @@ object SparkEntry {
       val cents = Similarity.ivfTrain(c, "cid", "cv", k = 4, iters = 1)
       Similarity
         .ivfTopK(q, c, "qid", "qv", "cid", "cv", k = 5, dim = 64, cents, nprobe = 4)
+        .select(col("qid"), col("rnk"), col("cid"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+
+    // ---- bucketed-corpus IVF: cells assigned ONCE at materialization
+    // (bucketBy(cell) table), probes read the pruned bucketed scan with no
+    // corpus shuffle and no per-query cell re-assignment — the at-scale
+    // shape ivfTopK's doc promises. Same exhaustive oracle as ann_ivf
+    // (nprobe = k), PlanSpec pins the no-corpus-Exchange plan.
+    "ann_ivf_bucketed" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val c = emb.select(col("vec_id").as("cid"), Similarity.quantize(col("embedding")).as("cv"))
+      val q = emb
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), Similarity.quantize(col("embedding")).as("qv"))
+      val cents = Similarity.ivfTrain(c, "cid", "cv", k = 4, iters = 1)
+      Similarity.materializeIvfCorpus(c, "cid", "cv", cents, numBuckets = 8,
+        table = "graft_ivf_corpus")
+      Similarity
+        .ivfTopKFromTable(s, "graft_ivf_corpus", q, "qid", "qv", k = 5, cents, nprobe = 4)
         .select(col("qid"), col("rnk"), col("cid"))
         .orderBy(col("qid"), col("rnk"))
     },
@@ -2494,6 +2533,26 @@ object SparkEntry {
   private def planesLit(planes: Seq[Array[Long]]): String =
     planes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
 
+  /** Exhaustive quantized-cosine top-5 — the ground truth for both IVF
+    * entries (nprobe = k makes the probe set the full corpus). */
+  private val annIvfOracle: String =
+    """WITH q AS (SELECT vec_id AS qid, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT)) AS qv
+      |      FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS cid, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT)) AS cv
+      |      FROM embeddings),
+      |scored AS (
+      |  SELECT qid, cid,
+      |    CASE WHEN sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE))
+      |            * sqrt(CAST(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)) > 0
+      |         THEN CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)
+      |            / (sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE))
+      |             * sqrt(CAST(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)))
+      |         ELSE 0.0 END AS cos
+      |  FROM q CROSS JOIN c WHERE qid <> cid)
+      |SELECT qid, rnk, cid FROM (
+      |  SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
+      |  FROM scored) WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
   /** Dir-scoped bucketed-fact table names for the q3/q5 bucketed entries
     * (shared with the PlanSpec cleanup). */
   private[graft] def q3BucketedTables(dir: String): (String, String) = {
@@ -3039,24 +3098,43 @@ object SparkEntry {
          |  FROM scored) WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
     },
     // Exhaustive oracle: with nprobe = k the IVF search space is the full
-    // corpus, so exact quantized-cosine top-5 is the ground truth.
-    "ann_ivf" ->
-      """WITH q AS (SELECT vec_id AS qid, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT)) AS qv
-        |      FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id AS cid, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT)) AS cv
-        |      FROM embeddings),
-        |scored AS (
-        |  SELECT qid, cid,
-        |    CASE WHEN sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE))
-        |            * sqrt(CAST(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)) > 0
-        |         THEN CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)
-        |            / (sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE))
-        |             * sqrt(CAST(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)))
-        |         ELSE 0.0 END AS cos
-        |  FROM q CROSS JOIN c WHERE qid <> cid)
-        |SELECT qid, rnk, cid FROM (
-        |  SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
-        |  FROM scored) WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // corpus, so exact quantized-cosine top-5 is the ground truth. The
+    // bucketed-table variant runs the identical pipeline off the
+    // materialized layout — same answer, same oracle.
+    "ann_ivf" -> annIvfOracle,
+    "ann_ivf_bucketed" -> annIvfOracle,
+    // Union-of-tables replication: bucket per (table, planes[t]); a
+    // candidate is any pair sharing a bucket in ANY of the 3 tables.
+    "ann_lsh_multitable" -> {
+      val tbl = (0 until 3).map(t => planesLit(
+        graft.operators.Similarity.intPlanes(numPlanes = 6, dim = 64, seed = 42L + t)))
+        .mkString("[", ",", "]")
+      s"""WITH p AS (SELECT $tbl AS tbl),
+         |q AS (SELECT vec_id AS qid, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT)) AS qv
+         |      FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cid, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT)) AS cv
+         |      FROM embeddings),
+         |qb AS (SELECT qid, t,
+         |  list_sum([CASE WHEN list_dot_product(CAST(qv AS DOUBLE[]), CAST(tbl[t+1][i+1] AS DOUBLE[])) > 0 THEN 1<<i ELSE 0 END for i in range(6)]) AS bucket
+         |  FROM q CROSS JOIN p CROSS JOIN (SELECT unnest(range(3)) AS t) ts),
+         |cb AS (SELECT cid, t,
+         |  list_sum([CASE WHEN list_dot_product(CAST(cv AS DOUBLE[]), CAST(tbl[t+1][i+1] AS DOUBLE[])) > 0 THEN 1<<i ELSE 0 END for i in range(6)]) AS bucket
+         |  FROM c CROSS JOIN p CROSS JOIN (SELECT unnest(range(3)) AS t) ts),
+         |cand AS (
+         |  SELECT DISTINCT qid, cid FROM qb JOIN cb USING (t, bucket) WHERE qid <> cid),
+         |scored AS (
+         |  SELECT qid, cid,
+         |    CASE WHEN sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE))
+         |            * sqrt(CAST(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)) > 0
+         |         THEN CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)
+         |            / (sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE))
+         |             * sqrt(CAST(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)))
+         |         ELSE 0.0 END AS cos
+         |  FROM cand JOIN q USING (qid) JOIN c USING (cid))
+         |SELECT qid, rnk, cid FROM (
+         |  SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
+         |  FROM scored) WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+    },
     "ann_sq8" ->
       """WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |ex AS (SELECT vec_id, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS pos FROM c0),

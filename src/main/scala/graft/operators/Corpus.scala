@@ -912,6 +912,19 @@ object Corpus {
    * substring `</w>` would alias it (the classic-BPE caveat — production
    * tokenizers byte-escape it away); pre-scrub such corpora before
    * training, as the round-trip rebuild maps every `</w>` to a word break.
+   *
+   * The merge loop maintains pair counts INCREMENTALLY (the optimization
+   * every production trainer ships): merging (a,b) touches only the words
+   * that contain (a,b) — their old adjacencies are debited, their rewritten
+   * ones credited, and a tree-ordered active set yields each round's argmax
+   * in O(log #pairs). A 32k-merge train is seconds of driver time instead
+   * of hours (the naive rescan is O(rounds × vocab × word length)). A
+   * per-round distributed aggregation would be the WRONG shape here: the
+   * histogram is ≤ maxWords rows by construction — already the product of
+   * the one distributed corpus pass — and 32k rounds × the job-scheduling
+   * floor is hours of overhead for work a single core finishes in
+   * microseconds per round. CorpusSpec pins this loop byte-identical to
+   * the naive reference rescan.
    */
   def trainBpe(
       docs: DataFrame,
@@ -926,27 +939,68 @@ object Corpus {
       .limit(maxWords)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    var vocab: Array[(Vector[String], Long)] =
+    val vocab: Array[(Vector[String], Long)] =
       words.map { case (w, c) => (w.map(_.toString).toVector :+ "</w>", c) }
-    val merges = Vector.newBuilder[(String, String)]
-    var round = 0
-    var exhausted = false
-    while (round < numMerges && !exhausted) {
-      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
-      for ((syms, c) <- vocab; i <- 0 until syms.size - 1) {
-        val p = (syms(i), syms(i + 1))
-        pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
-      }
-      if (pairCounts.isEmpty) exhausted = true
-      else {
-        val best = pairCounts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
-        merges += best
-        vocab = vocab.map { case (syms, c) => (mergePair(syms, best), c) }
-        round += 1
+    val alphabet = (words.flatMap(_._1.map(_.toString)).distinct :+ "</w>").toSeq
+    BpeModel(mergeLoop(vocab, numMerges), alphabet)
+  }
+
+  /** The incremental merge loop over a (symbols, count) word histogram. */
+  private def mergeLoop(
+      vocab: Array[(Vector[String], Long)],
+      numMerges: Int
+  ): Vector[(String, String)] = {
+    import scala.collection.mutable
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val pairToWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    // active mirrors counts as (count, a, b) snapshots so the round argmax
+    // — max count, then lexicographically smallest — is first() in a
+    // TreeSet; every count change swaps the snapshot (2 × log n)
+    val active = new java.util.TreeSet[(Long, String, String)](
+      Ordering.by((t: (Long, String, String)) => (-t._1, t._2, t._3)))
+    def credit(p: (String, String), delta: Long): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old != 0L) active.remove((old, p._1, p._2))
+      val now = old + delta
+      if (now != 0L) { counts(p) = now; active.add((now, p._1, p._2)) }
+      else counts.remove(p)
+    }
+    def forPairs(syms: Vector[String])(f: ((String, String)) => Unit): Unit = {
+      var i = 0
+      while (i < syms.size - 1) { f((syms(i), syms(i + 1))); i += 1 }
+    }
+    vocab.zipWithIndex.foreach { case ((syms, c), wi) =>
+      forPairs(syms) { p =>
+        credit(p, c)
+        pairToWords.getOrElseUpdate(p, mutable.HashSet.empty) += wi
       }
     }
-    val alphabet = (words.flatMap(_._1.map(_.toString)).distinct :+ "</w>").toSeq
-    BpeModel(merges.result(), alphabet)
+    val merges = Vector.newBuilder[(String, String)]
+    var round = 0
+    while (round < numMerges && !active.isEmpty) {
+      val top = active.first()
+      val best = (top._2, top._3)
+      merges += best
+      // only words containing the winning pair change; each swaps its old
+      // adjacency contributions for its rewritten ones
+      pairToWords.remove(best).foreach(_.toArray.foreach { wi =>
+        val (syms, c) = vocab(wi)
+        forPairs(syms) { p =>
+          credit(p, -c)
+          if (p != best) pairToWords.get(p).foreach { s =>
+            s -= wi; if (s.isEmpty) pairToWords.remove(p)
+          }
+        }
+        val rewritten = mergePair(syms, best)
+        vocab(wi) = (rewritten, c)
+        forPairs(rewritten) { p =>
+          credit(p, c)
+          pairToWords.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+        }
+      })
+      round += 1
+    }
+    merges.result()
   }
 
   /** One left-to-right non-overlapping merge of `pair` in a symbol seq. */

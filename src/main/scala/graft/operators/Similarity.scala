@@ -503,6 +503,137 @@ object Similarity {
       .select(col(qidCol), col("rnk"), col(cidCol), col("cos"))
   }
 
+  /**
+   * Multi-TABLE sign-LSH top-k over quantized vectors — the standard recall
+   * lever a single hyperplane table lacks (one table at `p` planes recalls
+   * ~(1−θ/π)^p per neighbor; L independent tables recall
+   * 1−(1−(1−θ/π)^p)^L): each of `planeTables` is an independent seeded
+   * plane matrix, every vector gets one bucket PER table, and a candidate
+   * is any corpus row sharing a (table, bucket) cell with the query — the
+   * union of per-table matches. Scoring is the exact quantized cosine.
+   *
+   * Scale shape: the corpus carries one row per (table, vector) — L× the
+   * index footprint, the classic multi-table trade — produced map-only and
+   * equi-joined on (table, bucket); no corpus shuffle in the broadcast
+   * regime, stats-gated like every other query side. Duplicate candidates
+   * (pairs colliding in several tables) are deduped on scored (qid, cid)
+   * pairs, so the dedup shuffle carries ids + one double, never vectors.
+   */
+  def lshTopKMultiTable(
+      queries: DataFrame,
+      corpus: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      cidCol: String,
+      cvecCol: String,
+      k: Int,
+      planeTables: Seq[Seq[Array[Long]]],
+      broadcastMaxBytes: Long = 256L << 20
+  ): DataFrame = {
+    require(planeTables.nonEmpty, "need at least one plane table")
+    def tableBuckets(vec: Column): Column = explode(array(
+      planeTables.zipWithIndex.map { case (ps, t) =>
+        struct(lit(t).as("t"), intPlaneBucket(vec, ps).as("bucket"))
+      }: _*))
+    val qb = gateQuerySide(
+      queries
+        .withColumn("__tb", tableBuckets(col(qvecCol)))
+        .select(col(qidCol), col(qvecCol),
+          col("__tb.t").as("t"), col("__tb.bucket").as("bucket"))
+        .withColumn("__qn2", intDot(col(qvecCol), col(qvecCol))),
+      fanOut = planeTables.size,
+      broadcastMaxBytes,
+      "shuffle_hash"
+    )
+    val cb = Dedup.ensureParallelism(corpus)
+      .withColumn("__tb", tableBuckets(col(cvecCol)))
+      .select(col(cidCol), col(cvecCol),
+        col("__tb.t").as("t"), col("__tb.bucket").as("bucket"))
+      .withColumn("__cn2", intDot(col(cvecCol), col(cvecCol)))
+    val nn = sqrt(col("__qn2").cast("double")) * sqrt(col("__cn2").cast("double"))
+    val scored = cb
+      .join(qb, Seq("t", "bucket"))
+      .filter(col(qidCol) =!= col(cidCol))
+      .withColumn(
+        "cos",
+        when(nn > 0, intDot(col(qvecCol), col(cvecCol)).cast("double") / nn)
+          .otherwise(lit(0.0)))
+      .select(col(qidCol), col(cidCol), col("cos"))
+      .dropDuplicates(qidCol, cidCol)
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("cos").desc, col(cidCol))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(qidCol), col("rnk"), col(cidCol), col("cos"))
+  }
+
+  /**
+   * Materialize an IVF corpus as a cell-co-located bucketed table (the IVF
+   * analog of [[materializeLshCorpus]]): each row carries its nearest-
+   * centroid cell and squared norm, written `bucketBy(numBuckets, "cell")`.
+   * [[ivfTopKFromTable]] then probes it with ZERO corpus work per query —
+   * no cell re-assignment (the 100 TB full pass happens once, here) and no
+   * corpus shuffle (the scan feeds the probe join directly).
+   */
+  def materializeIvfCorpus(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Array[Long]],
+      numBuckets: Int,
+      table: String
+  ): Unit =
+    Bucketing.materializeBucketed(
+      df.select(
+        col(idCol).as("id"),
+        col(vecCol).as("v"),
+        ivfCell(col(vecCol), centroids).as("cell"),
+        intDot(col(vecCol), col(vecCol)).as("n2")
+      ),
+      table, "cell", numBuckets, sortCols = Seq("cell"))
+
+  /** IVF top-k against a [[materializeIvfCorpus]] table: queries probe
+    * their `nprobe` nearest cells (same `centroids` as at materialization);
+    * the corpus side is a pruned bucketed scan — cells precomputed, no
+    * Exchange (PlanSpec pins this). */
+  def ivfTopKFromTable(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      centroids: Seq[Array[Long]],
+      nprobe: Int,
+      broadcastMaxBytes: Long = 256L << 20
+  ): DataFrame = {
+    val probes = slice(
+      array_sort(array(centroidDistances(col(qvecCol), centroids): _*)),
+      1,
+      nprobe
+    )
+    val qb = gateQuerySide(
+      queries
+        .withColumn("cell", explode(transform(probes, p => p.getField("c"))))
+        .withColumn("qn2", intDot(col(qvecCol), col(qvecCol))),
+      fanOut = nprobe,
+      broadcastMaxBytes,
+      "shuffle_hash"
+    )
+    val cb = spark.table(table)
+    val nn = sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("cos").desc, col("id"))
+    cb.join(qb, Seq("cell"))
+      .filter(col(qidCol) =!= col("id"))
+      .withColumn(
+        "cos",
+        when(nn > 0, intDot(col(qvecCol), col("v")).cast("double") / nn)
+          .otherwise(lit(0.0)))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col(qidCol), col("rnk"), col("id").as("cid"), col("cos"))
+  }
+
   /** Sign-LSH bucket from explicit integer planes over a quantized vector.
     * Same fail-fast dim contract as [[hyperplaneBucket]]. */
   def intPlaneBucket(vec: Column, planes: Seq[Array[Long]]): Column = {

@@ -674,6 +674,81 @@ class CorpusSpec extends SparkSpec {
     assert(got === Seq("aa</w>", "aa</w>", "aa</w>", "a", "b", "</w>"))
   }
 
+  test("BPE: incremental merge loop is byte-identical to the naive per-round rescan") {
+    // reference implementation: recount every pair from scratch each round
+    // (the O(rounds × vocab × len) spelling trainBpe's incremental loop
+    // replaces) — kept HERE as the equivalence oracle
+    def naiveMerges(
+        words: Array[(String, Long)], numMerges: Int): Vector[(String, String)] = {
+      var vocab: Array[(Vector[String], Long)] =
+        words.map { case (w, c) => (w.map(_.toString).toVector :+ "</w>", c) }
+      val merges = Vector.newBuilder[(String, String)]
+      var round = 0
+      var exhausted = false
+      while (round < numMerges && !exhausted) {
+        val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, c) <- vocab; i <- 0 until syms.size - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
+        }
+        if (pairCounts.isEmpty) exhausted = true
+        else {
+          val best = pairCounts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+          merges += best
+          vocab = vocab.map { case (syms, c) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.size) {
+              if (i < syms.size - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+                out += (best._1 + best._2); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.result(), c)
+          }
+          round += 1
+        }
+      }
+      merges.result()
+    }
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val words = real
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(50000)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val model = Corpus.trainBpe(real, "text", numMerges = 80)
+    assert(model.merges === naiveMerges(words, 80))
+  }
+
+  test("BPE: a 1000-merge train finishes in seconds (incremental pair counts)") {
+    // the parquet fixtures only carry ~31 distinct words (supply exhausts
+    // after ~106 merges), so build a 20k-word corpus with hex "words" —
+    // deterministic, and rich enough that 1000 merges never run dry
+    val corpus = spark.range(20000)
+      .select((col("id") % 4000).as("id"), md5(col("id").cast("string")).as("text"))
+      .groupBy("id").agg(concat_ws(" ", collect_list(col("text"))).as("text"))
+    val t0 = System.nanoTime()
+    val model = Corpus.trainBpe(corpus, "text", numMerges = 1000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(model.merges.size === 1000, s"only ${model.merges.size} merges learned")
+    assert(model.merges.size === model.merges.distinct.size, "a pair merged twice")
+    // generous bound: the driver loop itself is milliseconds; the word
+    // count dominates. The naive rescan took minutes at this setting.
+    assert(secs < 60.0, s"1000-merge train took ${secs}s")
+  }
+
+  test("BPE: merge-supply exhaustion stops cleanly with every word fully merged") {
+    val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val model = Corpus.trainBpe(real, "text", numMerges = 100000)
+    assert(model.merges.nonEmpty && model.merges.size < 1000,
+      s"tiny-vocab fixture should exhaust early, got ${model.merges.size}")
+    // exhausted = no adjacent pair left anywhere: every word is ONE piece
+    val pieces = Corpus.applyBpe(real.limit(50), "doc_id", "text", model)
+      .select(explode(col("pieces")).as("p"))
+    assert(pieces.filter(!col("p").endsWith("</w>")).count() === 0L,
+      "after exhaustion every piece must be a whole word")
+  }
+
   test("BPE: encodeWord applies lowest-rank merges greedily, all occurrences") {
     val ranks = Map(("l", "o") -> 0, ("lo", "w") -> 1)
     assert(Corpus.encodeWord("low", ranks) === Vector("low", "</w>"))

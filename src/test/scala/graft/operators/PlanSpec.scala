@@ -172,6 +172,61 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bucketed IVF probe: the corpus scan feeds the join with NO Exchange") {
+    import graft.operators.Similarity
+    val corpus = spark.range(500).select(
+      col("id").as("cid"),
+      array(col("id") % 13, col("id") % 7, col("id") % 5, lit(1L)).as("cv"))
+    val queries = spark.range(5).select(
+      col("id").as("qid"),
+      array(col("id") % 13, col("id") % 7, col("id") % 5, lit(1L)).as("qv"))
+    val cents = Similarity.ivfTrain(corpus, "cid", "cv", k = 3, iters = 1)
+    Similarity.materializeIvfCorpus(corpus, "cid", "cv", cents, numBuckets = 4,
+      table = "plan_spec_ivf")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAdaptive = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // the at-scale case
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // static plan for collect()
+    try {
+      val topk = Similarity.ivfTopKFromTable(spark, "plan_spec_ivf", queries,
+        "qid", "qv", k = 3, cents, nprobe = 2)
+      val plan = topk.queryExecution.executedPlan
+      // cells were assigned at write time: the probe plan reads them from
+      // the bucketed layout and the corpus scan reaches the join without
+      // any Exchange BETWEEN scan and join (the per-query rank shuffle
+      // above the join carries only scored candidate rows — that one is
+      // expected). "Between" = a shuffle whose subtree has the corpus scan
+      // but no join yet.
+      val corpusShuffled = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.exists { e =>
+        val hasScan = e.child.collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.tableIdentifier.exists(_.table == "plan_spec_ivf") => f
+        }.isDefined
+        val hasJoin = e.child.collectFirst {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+        }.isDefined
+        hasScan && !hasJoin
+      }
+      assert(!corpusShuffled, plan.toString)
+      assert(plan.toString.contains("Bucketed: true"), plan.toString)
+      // the corpus cell comes from the stored layout, not a per-probe
+      // recomputation: the table scan reads the cell column
+      val scanReadsCell = plan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.tableIdentifier.exists(_.table == "plan_spec_ivf") =>
+          f.output.exists(_.name == "cell")
+      }
+      assert(scanReadsCell.contains(true), plan.toString)
+      assert(topk.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAdaptive)
+      spark.sql("DROP TABLE IF EXISTS plan_spec_ivf")
+    }
+  }
+
   test("embeddingDups ad-hoc path: candidate-generation exchanges carry ids, never vectors") {
     val corpus = spark.range(300).select(
       col("id"),
