@@ -2576,11 +2576,11 @@ object SparkEntry {
         t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
             col("l_discount"), col("l_shipdate")),
-        lTab, "l_orderkey", 16, Seq("l_orderkey"))
+        lTab, "l_orderkey", 32, Seq("l_orderkey"))
       graft.operators.Bucketing.materializeBucketed(
         t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority")),
-        oTab, "o_orderkey", 16, Seq("o_orderkey"))
+        oTab, "o_orderkey", 32, Seq("o_orderkey"))
     }
     (lTab, oTab)
   }
