@@ -40,9 +40,12 @@ import graft.query.QueryService
  *                                 (kamu inspect lineage, provenance_service.rs)
  *   inspect DATASET               declared transform: inputs + SQL steps
  *                                 (kamu inspect query)
- *   webhook add DATASET URL SECRET
+ *   webhook add DATASET URL SECRET [TYPES]
  *                                 subscribe URL to DATASET.REF.UPDATED
- *                                 events (RFC 9421-signed deliveries)
+ *                                 events (RFC 9421-signed deliveries);
+ *                                 TYPES = comma list to also/instead get
+ *                                 FLOW.RUN.FAILED and
+ *                                 DATASET.VERIFICATION.FAILED pages
  *   webhook list | webhook rm DATASET URL
  *   flow set DATASET SCHEDULE     schedule updates: 'every 15m' or 5-field
  *                                 cron, UTC (flow system, schedules subset)
@@ -181,6 +184,14 @@ object Cli {
         case "search" :: "--rank" :: q :: Nil => cmdSearchRank(spark, wsOpt, q, out)
         case "webhook" :: "add" :: ds :: url :: secret :: Nil =>
           cmdWebhook(spark, wsOpt, r => { r.add(graft.adapter.Webhooks.Subscription(ds, url, secret)); s"subscribed $ds -> $url" }, out)
+        case "webhook" :: "add" :: ds :: url :: secret :: types :: Nil =>
+          val ts = types.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val unknown = ts.filterNot(graft.adapter.Webhooks.AllEventTypes.contains)
+          if (unknown.nonEmpty) { out.println(
+            s"error: unknown event type(s): ${unknown.mkString(", ")} (one of ${graft.adapter.Webhooks.AllEventTypes.mkString(", ")})"); 1 }
+          else cmdWebhook(spark, wsOpt, r => {
+            r.add(graft.adapter.Webhooks.Subscription(ds, url, secret, eventTypes = ts))
+            s"subscribed $ds -> $url (${ts.mkString(",")})" }, out)
         case "webhook" :: "list" :: Nil =>
           cmdWebhook(spark, wsOpt, r => r.list().map(s => s"${s.dataset}\t${s.url}\t${s.eventTypes.mkString(",")}").mkString("\n"), out)
         case "webhook" :: "rm" :: ds :: url :: Nil =>
@@ -550,11 +561,17 @@ object Cli {
     val resolve = (n: String) => datasets.getOrElse(
       n, throw new IllegalArgumentException(s"no dataset '$n' in workspace $ws"))
     var failures = 0
+    val wreg = webhookRegistry(spark, ws)
     graft.flow.FlowService.runDue(spark, flowRegistry(spark, ws), resolve, now).foreach {
       case (name, status) =>
         status match {
-          case graft.flow.FlowService.Failed(_, _) => failures += 1
-          case _                                   => ()
+          case graft.flow.FlowService.Failed(attempts, err) =>
+            failures += 1
+            // retries exhausted (or none configured): page subscribers
+            graft.adapter.Webhooks.notifyEvent(
+              wreg, name, graft.adapter.Webhooks.EventFlowFailed,
+              graft.adapter.Webhooks.flowFailedPayload(name, attempts, err), now)
+          case _ => ()
         }
         out.println(s"$name: ${status.render}")
     }
@@ -952,6 +969,11 @@ object Cli {
     if (issues.isEmpty) { out.println("ok"); 0 }
     else {
       issues.foreach(i => out.println(s"issue: $i"))
+      // integrity failures page subscribers through the signed queue
+      graft.adapter.Webhooks.notifyEvent(
+        webhookRegistry(spark, ws), ds, graft.adapter.Webhooks.EventVerificationFailed,
+        graft.adapter.Webhooks.verificationFailedPayload(ds, issues.mkString("; ")),
+        System.currentTimeMillis())
       1
     }
   }

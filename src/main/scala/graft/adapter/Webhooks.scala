@@ -44,6 +44,15 @@ import org.json4s.jackson.Serialization
 object Webhooks {
 
   val EventRefUpdated = "DATASET.REF.UPDATED"
+  /** Beyond the reference's two-type catalog (webhook_event_type.rs:17-19:
+    * TEST + DATASET.REF.UPDATED): operational failure events, delivered
+    * through the same signed queue — a subscriber can page on a pipeline
+    * break, not only on successful head moves. */
+  val EventFlowFailed = "FLOW.RUN.FAILED"
+  val EventVerificationFailed = "DATASET.VERIFICATION.FAILED"
+  val EventTest = "TEST"
+  val AllEventTypes: Seq[String] =
+    Seq(EventRefUpdated, EventFlowFailed, EventVerificationFailed, EventTest)
   val KeyId = "default"
 
   final case class Subscription(
@@ -214,25 +223,42 @@ object Webhooks {
       case e: Exception => Delivery(sub, -1, Some(e.getMessage))
     }
 
+  /** The FLOW.RUN.FAILED payload (beyond-reference; version field and
+    * dataset_id key follow the ref-updated payload's conventions). */
+  def flowFailedPayload(dataset: String, attempts: Int, error: String): String = {
+    implicit val formats: DefaultFormats.type = DefaultFormats
+    Serialization.write(Map(
+      "version" -> 1, "dataset_id" -> dataset, "event" -> "flow_run_failed",
+      "attempts" -> attempts, "error" -> error))
+  }
+
+  /** The DATASET.VERIFICATION.FAILED payload (beyond-reference). */
+  def verificationFailedPayload(dataset: String, detail: String): String = {
+    implicit val formats: DefaultFormats.type = DefaultFormats
+    Serialization.write(Map(
+      "version" -> 1, "dataset_id" -> dataset, "event" -> "verification_failed",
+      "detail" -> detail))
+  }
+
   /** Deliver one signed event to every matching subscription. Failures are
     * reported per-delivery, never thrown — a dead subscriber must not fail
     * the commit that triggered the notification — and are queued for
     * backoff redelivery by [[redeliverDue]]. */
-  def notifyRefUpdated(
+  def notifyEvent(
       registry: Registry,
       dataset: String,
-      newHash: String,
-      oldHash: Option[String],
+      eventType: String,
+      payloadJson: String,
       nowMs: Long,
       client: java.net.http.HttpClient = java.net.http.HttpClient.newHttpClient(),
       retryPolicy: graft.flow.FlowService.RetryPolicy = DefaultRetryPolicy
   ): Seq[Delivery] = {
-    val payload = refUpdatedPayload(dataset, newHash, oldHash).getBytes(UTF_8)
-    val deliveries = registry.forDataset(dataset, EventRefUpdated).map { sub =>
-      sub -> sendOne(sub, EventRefUpdated, payload, nowMs, client)
+    val payload = payloadJson.getBytes(UTF_8)
+    val deliveries = registry.forDataset(dataset, eventType).map { sub =>
+      sub -> sendOne(sub, eventType, payload, nowMs, client)
     }
     val failed = deliveries.collect { case (sub, d) if d.error.isDefined =>
-      PendingDelivery(dataset, sub.url, EventRefUpdated, b64(payload),
+      PendingDelivery(dataset, sub.url, eventType, b64(payload),
         attempts = 1,
         nextAttemptAt = retryPolicy.nextAttemptAt(1, nowMs, sub.url).getOrElse(Long.MaxValue),
         lastError = d.error.get)
@@ -243,6 +269,19 @@ object Webhooks {
     if (keep.nonEmpty) registry.saveQueue(registry.queued() ++ keep)
     deliveries.map(_._2)
   }
+
+  /** [[notifyEvent]] specialized to the reference's DATASET.REF.UPDATED. */
+  def notifyRefUpdated(
+      registry: Registry,
+      dataset: String,
+      newHash: String,
+      oldHash: Option[String],
+      nowMs: Long,
+      client: java.net.http.HttpClient = java.net.http.HttpClient.newHttpClient(),
+      retryPolicy: graft.flow.FlowService.RetryPolicy = DefaultRetryPolicy
+  ): Seq[Delivery] =
+    notifyEvent(registry, dataset, EventRefUpdated,
+      refUpdatedPayload(dataset, newHash, oldHash), nowMs, client, retryPolicy)
 
   /** Redeliver every queued delivery whose backoff instant has come.
     * Success or exhausted attempts remove the entry; another failure

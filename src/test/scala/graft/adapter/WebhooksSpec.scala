@@ -214,4 +214,69 @@ class WebhooksSpec extends SparkSpec {
       assert(cli("--workspace", root.toString, "webhook", "list")._2.trim.isEmpty)
     }
   }
+
+  test("failure events deliver through the queue, filtered by subscription event types") {
+    withServer(200) { (url, received) =>
+      val root = Files.createTempDirectory("graft-wh-fail-")
+      val reg = registry(root)
+      // default subscription listens to REF.UPDATED only — no failure pages
+      reg.add(Subscription("cities", url, "k"))
+      reg.add(Subscription("cities", url + "?pager", "k2",
+        eventTypes = Seq(Webhooks.EventFlowFailed, Webhooks.EventVerificationFailed)))
+
+      val d1 = Webhooks.notifyEvent(reg, "cities", Webhooks.EventFlowFailed,
+        Webhooks.flowFailedPayload("cities", attempts = 3, error = "boom \"quoted\""),
+        1700000000000L)
+      assert(d1.map(d => (d.statusCode, d.error)) === Seq((200, None)))
+      assert(received.size === 1, "only the pager subscription matches")
+      val r1 = received.poll()
+      assert(r1.headers("x-webhook-event-type") === "FLOW.RUN.FAILED")
+      val body1 = new String(r1.body, "UTF-8")
+      assert(body1.contains(""""dataset_id":"cities"""") && body1.contains(""""attempts":3"""))
+      assert(body1.contains("""boom \"quoted\"""")) // JSON-escaped, not mangled
+      assert(Webhooks.verify("k2", "POST", java.net.URI.create(url + "?pager"),
+        r1.headers("x-webhook-timestamp").toLong, r1.body, r1.headers("signature")))
+
+      val d2 = Webhooks.notifyEvent(reg, "cities", Webhooks.EventVerificationFailed,
+        Webhooks.verificationFailedPayload("cities", "slice 2 hash mismatch"), 1700000001000L)
+      assert(d2.size === 1 && received.size === 1)
+      assert(received.poll().headers("x-webhook-event-type") === "DATASET.VERIFICATION.FAILED")
+    }
+  }
+
+  test("CLI: flow run pages FLOW.RUN.FAILED subscribers on exhausted failures") {
+    import java.io.{BufferedReader, ByteArrayOutputStream, PrintStream, StringReader}
+    withServer(200) { (url, received) =>
+      val root = Files.createTempDirectory("graft-wh-flowfail-")
+      // a root dataset whose polling source reads a MISSING glob dir is
+      // fine (no files = up to date); break it with an invalid fetch kind
+      val ds = graft.dataset.Dataset.create(spark, root.resolve("towns"), "towns")
+      ds.chain.append(
+        graft.model.MetadataEvent.SetPollingSource(readFormat = "csv",
+          schemaDdl = Some("town STRING, pop INT"),
+          merge = graft.model.MergeConf("ledger", primaryKey = Seq("town")),
+          fetch = Some(graft.model.MetadataEvent.FetchConf(kind = "url",
+            url = Some("http://127.0.0.1:1/unreachable.csv")))), 0L)
+
+      def cli(args: String*): (Int, String) = {
+        val bos = new ByteArrayOutputStream()
+        val code = graft.Cli.run(spark, args.toSeq,
+          new BufferedReader(new StringReader("")), new PrintStream(bos, true, "UTF-8"))
+        (code, bos.toString("UTF-8"))
+      }
+      assert(cli("--workspace", root.toString, "webhook", "add", "towns", url, "k",
+        "FLOW.RUN.FAILED")._1 === 0)
+      assert(cli("--workspace", root.toString, "webhook", "add", "towns", url, "k",
+        "NOT.A.TYPE")._1 === 1)
+      assert(cli("--workspace", root.toString, "flow", "set", "towns", "every", "1h")._1 === 0)
+
+      val (code, out) = cli("--workspace", root.toString,
+        "flow", "run", "2024-06-01T00:00:00Z")
+      assert(code === 1 && out.contains("failed"), out)
+      assert(received.size === 1)
+      val r = received.poll()
+      assert(r.headers("x-webhook-event-type") === "FLOW.RUN.FAILED")
+      assert(new String(r.body, "UTF-8").contains(""""dataset_id":"towns""""))
+    }
+  }
 }
