@@ -1569,6 +1569,37 @@ object SparkEntry {
         .orderBy(col("id"))
     },
 
+    // ---- REAL video frame sampling: full MP4 sample tables (stts/stsz/
+    // stsc/stco/stss) built by the fixture, frames selected per interval
+    // at the CONTAINER level (seek-to-previous, tail-inclusive), payloads
+    // sliced from mdat. ASCII frame payloads make the output closed-form.
+    "video_frame_sample" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.{MediaCodec, Multimodal}
+      def frames(vid: Long, n: Int): Seq[Array[Byte]] =
+        (0 until n).map(i => s"frame-$i-of-$vid".getBytes("UTF-8"))
+      val vids = Seq(
+        // 10 frames at 4 fps, keyframe every 3rd
+        (6L, MediaCodec.mp4BytesWithSamples(
+          640, 360, frames(6L, 10), frameDurMs = 250, syncEvery = 3)),
+        // 5 frames at 2.5 fps, all keyframes
+        (7L, MediaCodec.mp4BytesWithSamples(
+          320, 240, frames(7L, 5), frameDurMs = 400))
+      ).toDF("vid", "content").repartition(2)
+      def sampled(keyOnly: Boolean, mode: String) = Multimodal
+        .sampleVideoFrames(vids, "vid", "content", everyMs = 1000, keyframesOnly = keyOnly)
+        .select(
+          lit(mode).as("mode"),
+          col("id").as("vid"),
+          col("frame_idx").cast("bigint").as("frame_idx"),
+          col("pts_ms"),
+          col("keyframe"),
+          col("frame").cast("string").as("payload"))
+      sampled(keyOnly = false, "all")
+        .unionByName(sampled(keyOnly = true, "key"))
+        .orderBy(col("mode"), col("vid"), col("frame_idx"))
+    },
+
     // ---- perceptual image near-dup: REAL decode → dHash → pigeonhole
     // Hamming bands. 9x8 PNGs make every grayGrid cell exactly one pixel,
     // so each dhash bit is a hand-set comparison and the near-dup pairs are
@@ -3674,6 +3705,28 @@ object SparkEntry {
         |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), 1),
         |  (CAST(3 AS BIGINT), CAST(4 AS BIGINT), 1)
         |) AS t(id_a, id_b, hamming) ORDER BY id_a, id_b""".stripMargin,
+    // Closed-form: video 6 = 10 frames @250ms (sync every 3rd), video 7 =
+    // 5 frames @400ms (all sync); targets 0,1000,2000(,3000) pick the last
+    // frame at-or-before each (tail-inclusive), keyframesOnly restricts to
+    // sync samples. Payloads are the fixture's ASCII frame bytes.
+    "video_frame_sample" ->
+      """SELECT * FROM (VALUES
+        |  ('all', CAST(6 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), true,  'frame-0-of-6'),
+        |  ('all', CAST(6 AS BIGINT), CAST(4 AS BIGINT), CAST(1000 AS BIGINT), false, 'frame-4-of-6'),
+        |  ('all', CAST(6 AS BIGINT), CAST(8 AS BIGINT), CAST(2000 AS BIGINT), false, 'frame-8-of-6'),
+        |  ('all', CAST(6 AS BIGINT), CAST(9 AS BIGINT), CAST(2250 AS BIGINT), true,  'frame-9-of-6'),
+        |  ('all', CAST(7 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), true,  'frame-0-of-7'),
+        |  ('all', CAST(7 AS BIGINT), CAST(2 AS BIGINT), CAST(800 AS BIGINT), true,  'frame-2-of-7'),
+        |  ('all', CAST(7 AS BIGINT), CAST(4 AS BIGINT), CAST(1600 AS BIGINT), true,  'frame-4-of-7'),
+        |  ('key', CAST(6 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), true,  'frame-0-of-6'),
+        |  ('key', CAST(6 AS BIGINT), CAST(3 AS BIGINT), CAST(750 AS BIGINT), true,  'frame-3-of-6'),
+        |  ('key', CAST(6 AS BIGINT), CAST(6 AS BIGINT), CAST(1500 AS BIGINT), true,  'frame-6-of-6'),
+        |  ('key', CAST(6 AS BIGINT), CAST(9 AS BIGINT), CAST(2250 AS BIGINT), true,  'frame-9-of-6'),
+        |  ('key', CAST(7 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), true,  'frame-0-of-7'),
+        |  ('key', CAST(7 AS BIGINT), CAST(2 AS BIGINT), CAST(800 AS BIGINT), true,  'frame-2-of-7'),
+        |  ('key', CAST(7 AS BIGINT), CAST(4 AS BIGINT), CAST(1600 AS BIGINT), true,  'frame-4-of-7')
+        |) AS t(mode, vid, frame_idx, pts_ms, keyframe, payload)
+        |ORDER BY mode, vid, frame_idx""".stripMargin,
     "interval_join" ->
       """SELECT o.o_orderkey, l.l_linenumber, l.l_shipdate
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey

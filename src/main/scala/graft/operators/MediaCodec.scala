@@ -318,6 +318,152 @@ object MediaCodec {
     VideoMeta(w, h, duration * 1000L / timescale, tracks)
   }
 
+  /** One addressable video sample (frame) located by the container's
+    * sample tables: presentation time, file byte range, sync flag. */
+  final case class FrameRef(index: Int, ptsMs: Long, offset: Long, size: Long, sync: Boolean)
+
+  /**
+   * Enumerate a track's samples from the MP4 sample tables — `stts`
+   * (decode deltas), `stsz` (sizes), `stsc`+`stco`/`co64` (chunk layout →
+   * file offsets), `stss` (sync samples; absent = every sample is sync),
+   * timed by the track's `mdhd` timescale. This is everything frame
+   * SAMPLING needs: selection is pure container arithmetic; only the
+   * selected frames' bytes are ever touched, and codec decode of those
+   * bytes stays an external concern (this environment ships no codecs).
+   * The first track that carries a sample table wins (the fixture builder
+   * writes one visual track).
+   */
+  def mp4Samples(bytes: Array[Byte]): Seq[FrameRef] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    def u32(off: Int): Long = bb.getInt(off) & 0xffffffffL
+    def boxes(from: Int, until: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var off = from
+      while (off + 8 <= until) {
+        val size = u32(off)
+        val typ = new String(bytes, off + 4, 4, "ISO-8859-1")
+        val (boxSize, hdr) =
+          if (size == 1) (bb.getLong(off + 8), 16)
+          else if (size == 0) ((until - off).toLong, 8)
+          else (size, 8)
+        require(boxSize >= hdr && off + boxSize <= until, s"malformed box '$typ' at $off")
+        out += ((typ, off + hdr, off + boxSize.toInt))
+        off += boxSize.toInt
+      }
+      out.result()
+    }
+    def child(kids: Seq[(String, Int, Int)], typ: String): Option[(Int, Int)] =
+      kids.collectFirst { case (`typ`, s, e) => (s, e) }
+    val moov = child(boxes(0, bytes.length), "moov")
+      .getOrElse(throw new IllegalArgumentException("no moov box"))
+    val stblTrack = boxes(moov._1, moov._2).collect { case ("trak", s, e) =>
+      for {
+        mdia <- child(boxes(s, e), "mdia")
+        minf <- child(boxes(mdia._1, mdia._2), "minf")
+        stbl <- child(boxes(minf._1, minf._2), "stbl")
+      } yield (mdia, stbl)
+    }.flatten.headOption.getOrElse(
+      throw new IllegalArgumentException("no track with a sample table"))
+    val (mdia, stbl) = stblTrack
+    val mdhd = child(boxes(mdia._1, mdia._2), "mdhd")
+      .getOrElse(throw new IllegalArgumentException("no mdhd box"))
+    val timescale =
+      if ((bytes(mdhd._1) & 0xff) == 1) u32(mdhd._1 + 20) else u32(mdhd._1 + 12)
+    require(timescale > 0, "mdhd timescale is zero")
+    val tbl = boxes(stbl._1, stbl._2)
+    def full(typ: String): (Int, Int) = child(tbl, typ)
+      .getOrElse(throw new IllegalArgumentException(s"no $typ box"))
+
+    // stts -> absolute decode times per sample
+    val (sttsS, _) = full("stts")
+    val sttsN = u32(sttsS + 4).toInt
+    val pts = Seq.newBuilder[Long]
+    var t = 0L
+    var off = sttsS + 8
+    for (_ <- 0 until sttsN) {
+      val n = u32(off).toInt; val delta = u32(off + 4)
+      for (_ <- 0 until n) { pts += t * 1000L / timescale; t += delta }
+      off += 8
+    }
+    val ptsArr = pts.result()
+
+    // stsz -> per-sample byte sizes
+    val (stszS, _) = full("stsz")
+    val fixedSize = u32(stszS + 4)
+    val count = u32(stszS + 8).toInt
+    val sizes: IndexedSeq[Long] =
+      if (fixedSize != 0) IndexedSeq.fill(count)(fixedSize)
+      else (0 until count).map(i => u32(stszS + 12 + i * 4))
+
+    // stsc + stco/co64 -> file offset per sample (chunk base + intra-chunk)
+    val (stscS, _) = full("stsc")
+    val stscN = u32(stscS + 4).toInt
+    val stscEntries = (0 until stscN).map { i =>
+      (u32(stscS + 8 + i * 12).toInt, u32(stscS + 12 + i * 12).toInt)
+    } // (firstChunk 1-based, samplesPerChunk)
+    val chunkOffsets: IndexedSeq[Long] = child(tbl, "stco") match {
+      case Some((s, _)) =>
+        val n = u32(s + 4).toInt; (0 until n).map(i => u32(s + 8 + i * 4))
+      case None =>
+        val (s, _) = full("co64")
+        val n = u32(s + 4).toInt; (0 until n).map(i => bb.getLong(s + 8 + i * 8))
+    }
+    val offsets = new Array[Long](count)
+    var sample = 0
+    for (ci <- chunkOffsets.indices if sample < count) {
+      val perChunk = stscEntries.reverse
+        .collectFirst { case (first, n) if first <= ci + 1 => n }
+        .getOrElse(stscEntries.head._2)
+      var within = chunkOffsets(ci)
+      for (_ <- 0 until perChunk if sample < count) {
+        offsets(sample) = within
+        within += sizes(sample)
+        sample += 1
+      }
+    }
+    require(sample == count, s"chunk layout covers $sample of $count samples")
+
+    // stss -> sync set (absent: all sync)
+    val sync: Int => Boolean = child(tbl, "stss") match {
+      case None => _ => true
+      case Some((s, _)) =>
+        val n = u32(s + 4).toInt
+        val set = (0 until n).map(i => u32(s + 8 + i * 4).toInt - 1).toSet // 1-based
+        set.contains
+    }
+    (0 until count).map(i => FrameRef(i, ptsArr(i), offsets(i), sizes(i), sync(i)))
+  }
+
+  /**
+   * Pick one frame per `everyMs` of presentation time: for each target
+   * t = 0, everyMs, 2·everyMs, … the LAST candidate sample with pts ≤ t
+   * (seek-to-previous semantics — what a player's keyframe seek does).
+   * Targets run one interval PAST the last pts, so the stream tail is
+   * always represented (sampling a 250 ms-spaced stream every 100 ms
+   * returns every frame, including the last). `keyframesOnly` restricts
+   * candidates to sync samples (decodable without inter-frame state — the
+   * variant a training pipeline feeds straight to an image decoder).
+   * Duplicate picks collapse.
+   */
+  def sampleFrameRefs(
+      frames: Seq[FrameRef],
+      everyMs: Long,
+      keyframesOnly: Boolean
+  ): Seq[FrameRef] = {
+    require(everyMs > 0, "everyMs must be positive")
+    if (frames.isEmpty) return Nil
+    val candidates = if (keyframesOnly) frames.filter(_.sync) else frames
+    if (candidates.isEmpty) return Nil
+    val lastPts = frames.map(_.ptsMs).max
+    val picks = Seq.newBuilder[FrameRef]
+    var target = 0L
+    while (target < lastPts + everyMs) {
+      candidates.takeWhile(_.ptsMs <= target).lastOption.foreach(picks += _)
+      target += everyMs
+    }
+    picks.result().distinctBy(_.index)
+  }
+
   /** Build a minimal valid MP4 metadata skeleton — ftyp + moov(mvhd + one
     * visual trak(tkhd)) — the video fixture/test helper (the container
     * analog of [[pngBytes]]/[[wavBytes]]). */
@@ -336,6 +482,68 @@ object MediaCodec {
     System.arraycopy(be32(height.toLong << 16), 0, tkhd, 80, 4)
     box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0) ++ "isom".getBytes("ISO-8859-1")) ++
       box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
+  }
+
+  /**
+   * Build a complete MP4 with real sample tables and payload — ftyp +
+   * moov(mvhd + trak(tkhd + mdia(mdhd + hdlr + minf(stbl(stts stsz stsc
+   * stco [stss]))))) + mdat holding `frames` back to back. `syncEvery`
+   * marks every Nth frame (0-based multiples) as a sync sample; pass 1 for
+   * all-keyframe streams. The frame-sampling fixture/test helper.
+   */
+  def mp4BytesWithSamples(
+      width: Int,
+      height: Int,
+      frames: Seq[Array[Byte]],
+      frameDurMs: Long,
+      syncEvery: Int = 1,
+      timescale: Int = 1000
+  ): Array[Byte] = {
+    require(frames.nonEmpty && frameDurMs > 0 && syncEvery > 0)
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ payload
+    val n = frames.size
+    val delta = frameDurMs * timescale / 1000L
+    val dur = delta * n
+    val mvhd = new Array[Byte](100)
+    System.arraycopy(be32(timescale.toLong), 0, mvhd, 12, 4)
+    System.arraycopy(be32(dur), 0, mvhd, 16, 4)
+    val tkhd = new Array[Byte](84)
+    System.arraycopy(be32(width.toLong << 16), 0, tkhd, 76, 4)
+    System.arraycopy(be32(height.toLong << 16), 0, tkhd, 80, 4)
+    val mdhd = new Array[Byte](24)
+    System.arraycopy(be32(timescale.toLong), 0, mdhd, 12, 4)
+    System.arraycopy(be32(dur), 0, mdhd, 16, 4)
+    val hdlr = new Array[Byte](25) // ver/flags + predefined + 'vide' + 12 res + NUL name
+    System.arraycopy("vide".getBytes("ISO-8859-1"), 0, hdlr, 8, 4)
+    val stts = be32(0) ++ be32(1) ++ be32(n.toLong) ++ be32(delta)
+    val stsz = be32(0) ++ be32(0) ++ be32(n.toLong) ++
+      frames.flatMap(f => be32(f.length.toLong)).toArray
+    val stsc = be32(0) ++ be32(1) ++ be32(1) ++ be32(n.toLong) ++ be32(1)
+    val syncs = (0 until n).filter(_ % syncEvery == 0)
+    val stss =
+      if (syncEvery == 1) Array.emptyByteArray
+      else box("stss", be32(0) ++ be32(syncs.size.toLong) ++
+        syncs.flatMap(i => be32(i + 1L)).toArray)
+    // stco needs the mdat payload's file offset: assemble with a
+    // placeholder, then patch (moov size is independent of the value)
+    def moovWith(stcoOffset: Long): Array[Byte] = {
+      val stco = be32(0) ++ be32(1) ++ be32(stcoOffset)
+      val stbl = box("stbl",
+        box("stts", stts) ++ box("stsz", stsz) ++ box("stsc", stsc) ++
+          box("stco", stco) ++ stss)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", box("mdhd", mdhd) ++ box("hdlr", hdlr) ++ minf)
+      box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd) ++ mdia))
+    }
+    val ftyp = box("ftyp",
+      "isom".getBytes("ISO-8859-1") ++ be32(0) ++ "isom".getBytes("ISO-8859-1"))
+    val moovLen = moovWith(0L).length
+    val mdatPayloadAt = ftyp.length + moovLen + 8L // after the mdat header
+    ftyp ++ moovWith(mdatPayloadAt) ++ box("mdat", frames.flatten.toArray)
   }
 
   /** Encode 16-bit signed mono PCM samples as WAV bytes. */

@@ -188,6 +188,48 @@ object Multimodal {
     }
   }
 
+  /**
+   * REAL video frame sampling at the CONTAINER level: the MP4 sample
+   * tables ([[MediaCodec.mp4Samples]]) locate every frame's byte range,
+   * pts, and sync flag; one frame per `everyMs` of presentation time is
+   * selected (seek-to-previous; `keyframesOnly` restricts to sync samples)
+   * and its payload sliced out as an opaque `binary` — codec decode of the
+   * selected frames stays an external stage, exactly like a production
+   * pipeline that ships sampled frames to a GPU decoder. Map-only and
+   * constant-memory per row beyond the row's own bytes; undecodable or
+   * table-less containers are dropped.
+   */
+  def sampleVideoFrames(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      everyMs: Long,
+      keyframesOnly: Boolean = false
+  ): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType), col(contentCol).cast(BinaryType))
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("pts_ms", LongType),
+      StructField("keyframe", BooleanType),
+      StructField("frame", BinaryType)
+    ))
+    processMediaPartitions(in, contentCol, schema) { rows =>
+      rows.flatMap { r =>
+        try {
+          val bytes = r.getAs[Array[Byte]](1)
+          MediaCodec
+            .sampleFrameRefs(MediaCodec.mp4Samples(bytes), everyMs, keyframesOnly)
+            .map { f =>
+              Row(r.getLong(0), f.index, f.ptsMs, f.sync,
+                java.util.Arrays.copyOfRange(
+                  bytes, f.offset.toInt, (f.offset + f.size).toInt))
+            }
+        } catch { case _: Exception => Nil }
+      }
+    }
+  }
+
   /** REAL audio fingerprinting: PCM WAV → 64-bit loudness-envelope hash
     * ([[MediaCodec.audioEnvelopeHash64]]), a drop-in `hashCol` for
     * [[Dedup.dhashDups]] banded Hamming near-dup search — the audio leg of

@@ -174,4 +174,47 @@ class MediaCodecSpec extends SparkSpec {
     assert(out.length === 1 && out(0).getLong(0) === 1L)
     assert(out(0).getSeq[Float](1).size === 64)
   }
+
+  test("mp4Samples: sample tables round-trip through the fixture builder") {
+    val frames = (0 until 6).map(i => s"payload$i!".getBytes("UTF-8"))
+    val mp4 = MediaCodec.mp4BytesWithSamples(
+      320, 240, frames, frameDurMs = 200, syncEvery = 2)
+    // the container still parses as plain metadata
+    val meta = MediaCodec.decodeMp4Meta(mp4)
+    assert(meta.width === 320 && meta.height === 240 && meta.durationMs === 1200)
+    val refs = MediaCodec.mp4Samples(mp4)
+    assert(refs.map(_.ptsMs) === Seq(0L, 200L, 400L, 600L, 800L, 1000L))
+    assert(refs.map(_.sync) === Seq(true, false, true, false, true, false))
+    // byte ranges point at the exact payloads inside mdat
+    refs.zipWithIndex.foreach { case (f, i) =>
+      val got = new String(mp4, f.offset.toInt, f.size.toInt, "UTF-8")
+      assert(got === s"payload$i!", s"frame $i")
+    }
+  }
+
+  test("sampleFrameRefs: seek-to-previous per interval; keyframesOnly restricts") {
+    val frames = (0 until 10).map(i =>
+      MediaCodec.FrameRef(i, i * 250L, i * 10L, 10L, sync = i % 3 == 0))
+    // tail-inclusive: the final target one interval past lastPts picks 9
+    val all = MediaCodec.sampleFrameRefs(frames, everyMs = 1000L, keyframesOnly = false)
+    assert(all.map(_.index) === Seq(0, 4, 8, 9))
+    val key = MediaCodec.sampleFrameRefs(frames, everyMs = 1000L, keyframesOnly = true)
+    assert(key.map(_.index) === Seq(0, 3, 6, 9))
+    // interval denser than frames: duplicates collapse, every frame at most once
+    val dense = MediaCodec.sampleFrameRefs(frames, everyMs = 100L, keyframesOnly = false)
+    assert(dense.map(_.index) === (0 until 10))
+    assert(MediaCodec.sampleFrameRefs(Nil, 1000L, keyframesOnly = false) === Nil)
+  }
+
+  test("sampleVideoFrames: distributed frame extraction, opaque payload column") {
+    import spark.implicits._
+    val mp4 = MediaCodec.mp4BytesWithSamples(
+      320, 240, (0 until 4).map(i => s"F$i".getBytes("UTF-8")), frameDurMs = 500)
+    val df = Seq((1L, mp4), (2L, "junk".getBytes)).toDF("id", "content")
+    val got = Multimodal.sampleVideoFrames(df, "id", "content", everyMs = 1000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        new String(r.getAs[Array[Byte]](4), "UTF-8")))
+    // junk row dropped; video 1 sampled at 0/1000/2000 (tail-inclusive)
+    assert(got.toSeq === Seq((1L, 0, 0L, "F0"), (1L, 2, 1000L, "F2"), (1L, 3, 1500L, "F3")))
+  }
 }
