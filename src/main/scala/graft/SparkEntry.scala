@@ -1032,6 +1032,24 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // ---- index MAINTENANCE for the embedding corpus: materialize HALF
+    // the vectors, APPEND the other half in place (insertInto through the
+    // bucket spec — O(batch) bytes, no corpus rewrite), then pair over the
+    // table. The appended table holds the same ROWS as a fresh full
+    // materialization, so the full-corpus oracle applies unchanged.
+    "embed_neardup_append" -> { (s, dir) =>
+      val planes = Similarity.intPlanes(numPlanes = 4, dim = 64, seed = 7L)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), Similarity.quantize(col("embedding")).as("v"))
+      Similarity.materializeLshCorpus(e.filter(col("id") % 2 === 0), "id", "v", planes,
+        numBuckets = 8, table = "graft_embed_app")
+      Similarity.appendToLshCorpus(e.filter(col("id") % 2 === 1), "id", "v", planes,
+        table = "graft_embed_app")
+      graft.operators.Dedup
+        .embeddingDupsFromTable(s, "graft_embed_app", dim = 64, minCos = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ---- SemDeDup semantic dedup (beyond-reference): k-means cells, drop
     // any doc with an earlier >=minCos cell-mate, keep the rest. Seed
     // centroids (iters = 0) are the first k vectors by id — exactly
@@ -1392,6 +1410,38 @@ object SparkEntry {
       val docs = Dedup.ensureParallelism(t(s, dir, "documents"))
       val lm = Corpus.trainNgramLm(docs, "text")
       Corpus.scoreNgramLm(docs, "doc_id", "text", lm)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- CCNet-style perplexity bucketing (Wenzek et al. 2020): LM-score
+    // every document, cut the corpus into head/middle/tail thirds by EXACT
+    // perplexity rank — distributed total sort + zipWithIndex, never a
+    // single-partition ntile window. Exactness is what lets the oracle
+    // replicate the cut with row_number arithmetic.
+    "ppl_buckets" -> { (s, dir) =>
+      val docs = Dedup.ensureParallelism(t(s, dir, "documents"))
+      val lm = Corpus.trainNgramLm(docs, "text")
+      Corpus.pplBuckets(docs, "doc_id", "text", lm, numBuckets = 3)
+        .select(col("doc_id"), col("logppl"), col("bucket"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Unicode text cleaning: NFC (native codegen'd Normalizer
+    // expression) + control/tab -> space + space-run collapse + trim,
+    // newlines preserved. Synthetic rows exercise decomposed accents and
+    // C0/DEL bytes the lorem corpus lacks; DuckDB replicates with
+    // nfc_normalize + the same regex pipeline.
+    "text_normalize" -> { (s, dir) =>
+      import s.implicits._
+      val synth = Seq(
+        (100001L, "cafe" + "\u0301" + "  du   monde"), // decomposed accent -> NFC-composed
+        (100002L, "a\tb" + "\u0001" + "c" + "\u007f" + "d"), // tab + C0 + DEL -> spaces
+        (100003L, "  keep\nnewlines   intact  ")
+      ).toDF("doc_id", "text")
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(synth)
+        .select(col("doc_id"),
+          graft.functions.Normalize.cleanText(col("text")).as("clean"))
         .orderBy(col("doc_id"))
     },
 
@@ -3192,6 +3242,9 @@ object SparkEntry {
     "embed_neardup" -> embedNeardupOracle,
     // Same values, bucketed execution — the oracle is identical by design.
     "embed_neardup_bucketed" -> embedNeardupOracle,
+    // Append builds the same row set as a fresh full materialization, so
+    // pairing over the appended table matches the full-corpus oracle.
+    "embed_neardup_append" -> embedNeardupOracle,
     // Full SemDeDup replication: seed centroids = first 8 quantized vectors,
     // nearest-cell assignment by exact integer squared L2 (ties to the
     // lowest cell id), per-cell cap, within-cell pairwise quantized cosine,
@@ -3528,6 +3581,52 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens,
         |  CAST(sum(lp) * -1 AS DOUBLE) / 1000000.0 / count(*) AS logppl
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Same LM pipeline, then the exact 3-way rank cut:
+    // bucket = floor(0-based-rank * 3 / n) over (logppl, doc_id) order.
+    "ppl_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |ex0 AS (
+        |  SELECT doc_id, toks, unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS i FROM tok),
+        |ex AS (
+        |  SELECT doc_id, tok, CASE WHEN i = 1 THEN NULL ELSE toks[i - 1] END AS prev FROM ex0),
+        |uni AS (SELECT tok, count(*) AS c1 FROM ex GROUP BY tok),
+        |bi AS (SELECT prev, tok, count(*) AS c2 FROM ex WHERE prev IS NOT NULL GROUP BY prev, tok),
+        |tot AS (SELECT count(*) AS n, count(DISTINCT tok) AS v FROM ex),
+        |sc AS (
+        |  SELECT e.doc_id,
+        |    CAST(floor(ln(
+        |      CASE WHEN b.c2 IS NOT NULL THEN CAST(b.c2 AS DOUBLE) / cp.c1
+        |           WHEN e.prev IS NOT NULL THEN 0.4 * (CAST(coalesce(u.c1, 0) + 1 AS DOUBLE) / (t.n + t.v))
+        |           ELSE CAST(coalesce(u.c1, 0) + 1 AS DOUBLE) / (t.n + t.v) END) * 1000000.0) AS BIGINT) AS lp
+        |  FROM ex e CROSS JOIN tot t
+        |  LEFT JOIN uni u ON u.tok = e.tok
+        |  LEFT JOIN uni cp ON cp.tok = e.prev
+        |  LEFT JOIN bi b ON b.prev = e.prev AND b.tok = e.tok),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(lp) * -1 AS DOUBLE) / 1000000.0 / count(*) AS logppl
+        |  FROM sc GROUP BY doc_id),
+        |nn AS (SELECT count(*) AS n FROM agg)
+        |SELECT doc_id, logppl,
+        |  (row_number() OVER (ORDER BY logppl, doc_id) - 1) * 3 // n AS bucket
+        |FROM agg CROSS JOIN nn ORDER BY doc_id""".stripMargin,
+    // nfc_normalize + the identical regex pipeline (RE2 and Java agree on
+    // literal \xNN character-class ranges); newline survives, runs of
+    // spaces collapse, trim last.
+    "text_normalize" ->
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(100001 AS BIGINT), 'cafe' || chr(769) || '  du   monde'),
+        |    (CAST(100002 AS BIGINT), 'a' || chr(9) || 'b' || chr(1) || 'c' || chr(127) || 'd'),
+        |    (CAST(100003 AS BIGINT), '  keep' || chr(10) || 'newlines   intact  ')
+        |  ) AS v(doc_id, text))
+        |SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |    '[\x00-\x09\x0B-\x1F\x7F]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+        |FROM src ORDER BY doc_id""".stripMargin,
     // Token-level replication: global offset by (doc, position), sequence =
     // offset div 512, tokens rejoined in offset order.
     "pack_sequences" ->

@@ -689,6 +689,57 @@ object Corpus {
           .as("logppl"))
   }
 
+  /**
+   * EXACT rank-based bucketing: rows sorted by (`scoreCol`, `idCol`) split
+   * into `numBuckets` near-equal groups — bucket = floor(rank·buckets/n),
+   * rank 0-based. This is the distributed spelling of `ntile` WITHOUT the
+   * single-partition window `ntile` forces: the sort is a range-partitioned
+   * total sort and ranks come from `zipWithIndex` (one extra count pass,
+   * deterministic given the deterministic sort — the same machinery as
+   * offset assignment). Exact at any scale, unlike sampled-percentile
+   * thresholds — and exactness is what makes it oracle-checkable.
+   */
+  def rankBuckets(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      numBuckets: Int
+  ): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val spark = df.sparkSession
+    val n = df.count()
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          "bucket", org.apache.spark.sql.types.LongType, nullable = false))
+    if (n == 0L) return spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val ranked = df
+      .orderBy(col(scoreCol), col(idCol))
+      .rdd.zipWithIndex()
+      .map { case (row, idx) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx * numBuckets / n)
+      }
+    spark.createDataFrame(ranked, schema)
+  }
+
+  /**
+   * CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+   * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+   * score every document with the n-gram LM ([[scoreNgramLm]]) and cut the
+   * corpus into head/middle/tail (or `numBuckets`) groups by perplexity
+   * rank — bucket 0 = lowest perplexity = most in-domain. The grouping is
+   * exact rank splitting ([[rankBuckets]]), not sampled thresholds.
+   */
+  def pplBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      lm: NgramLm,
+      numBuckets: Int = 3
+  ): DataFrame =
+    rankBuckets(scoreNgramLm(docs, idCol, textCol, lm), idCol, "logppl", numBuckets)
+
   // ----------------------------------------------------- span (chunk) dedup
 
   /**

@@ -377,6 +377,37 @@ object Similarity {
       table, "bucket", numBuckets, sortCols = Seq("bucket"))
   }
 
+  /**
+   * Append a new batch into a [[materializeLshCorpus]] table in place —
+   * the maintenance half of the bucketed-embedding-corpus loop, the
+   * vector sibling of [[Dedup.appendToMinhashIndex]]: `insertInto` writes
+   * through the table's bucket spec (new bucket files land beside the old;
+   * readers merge per bucket id), so an ingest tick moves O(batch) vector
+   * bytes and the corpus is never re-bucketed. Ids already present are
+   * skipped (idempotent re-ingest). Same `planes` as at materialization —
+   * the table stores buckets, not parameters.
+   */
+  def appendToLshCorpus(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Seq[Array[Long]],
+      table: String
+  ): Unit = {
+    val spark = df.sparkSession
+    val known = spark.table(table).select(col("id"))
+    val rows = df
+      .select(
+        col(idCol).as("id"),
+        col(vecCol).as("v"),
+        intPlaneBucket(col(vecCol), planes).as("bucket"),
+        intDot(col(vecCol), col(vecCol)).as("n2"))
+      .join(known, Seq("id"), "left_anti")
+    rows
+      .select(spark.table(table).columns.map(col).toSeq: _*)
+      .write.insertInto(table)
+  }
+
   // ------------------------------------------------------------------ IVF
 
   /**

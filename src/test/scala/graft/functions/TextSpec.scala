@@ -92,4 +92,18 @@ class TextSpec extends SparkSpec {
     assert(one[Int](Text.approxBpeTokenCount(col("t")), "hello world") === 2)
     assert(one[Int](Text.approxBpeTokenCount(col("t")), "hello, world!") === 4)
   }
+
+  test("Normalize.nfc composes; cleanText strips controls, collapses, keeps newlines") {
+    import graft.functions.Normalize
+    // decomposed e + combining acute -> composed é (U+00E9)
+    assert(one[String](Normalize.nfc(col("t")), "cafe" + "\u0301") === "caf" + "\u00e9")
+    // already-NFC input takes the no-alloc fast path and round-trips
+    assert(one[String](Normalize.nfc(col("t")), "plain ascii") === "plain ascii")
+    assert(one[String](Normalize.cleanText(col("t")), "a\tb" + "\u0001" + "c" + "\u007f" + "d") === "a b c d")
+    assert(one[String](Normalize.cleanText(col("t")), "  keep\nlines   x  ") === "keep\nlines x")
+    // null-safe
+    val r = spark.sql("SELECT CAST(NULL AS STRING) AS t")
+      .select(Normalize.cleanText(col("t"))).head()
+    assert(r.isNullAt(0))
+  }
 }

@@ -674,6 +674,43 @@ class CorpusSpec extends SparkSpec {
     assert(got === Seq("aa</w>", "aa</w>", "aa</w>", "a", "b", "</w>"))
   }
 
+  test("rankBuckets: exact rank thirds, deterministic ties, degenerate sizes") {
+    val df = Seq(
+      (1L, 3.0), (2L, 1.0), (3L, 2.0), (4L, 1.0), (5L, 5.0), (6L, 4.0)
+    ).toDF("id", "score")
+    val got = Corpus.rankBuckets(df, "id", "score", numBuckets = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // sorted by (score, id): 2,4,3,1,6,5 -> buckets 0,0,1,1,2,2
+    assert(got === Map(2L -> 0L, 4L -> 0L, 3L -> 1L, 1L -> 1L, 6L -> 2L, 5L -> 2L))
+    // more buckets than rows: each row its own bucket, no crash
+    val tiny = Corpus.rankBuckets(df.limit(2), "id", "score", numBuckets = 10)
+      .select("bucket").as[Long].collect().sorted
+    assert(tiny.length === 2 && tiny.distinct.length === 2)
+    // empty input: empty output with the bucket column present
+    val empty = Corpus.rankBuckets(df.limit(0), "id", "score", 3)
+    assert(empty.columns.contains("bucket") && empty.count() === 0)
+  }
+
+  test("pplBuckets: head/middle/tail thirds ordered by perplexity") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lm = Corpus.trainNgramLm(real, "text")
+    val b = Corpus.pplBuckets(real, "doc_id", "text", lm, numBuckets = 3).cache()
+    val n = b.count()
+    val sizes = b.groupBy("bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet === Set(0L, 1L, 2L))
+    assert(sizes.values.max - sizes.values.min <= 1, s"near-equal thirds: $sizes")
+    assert(sizes.values.sum === n)
+    // bucket boundaries respect the score order: max(logppl) in bucket 0
+    // <= min in bucket 1, etc. (ties broken by id can't cross buckets here)
+    val stats = b.groupBy("bucket")
+      .agg(min("logppl").as("mn"), max("logppl").as("mx"))
+      .orderBy("bucket").collect()
+    assert(stats(0).getDouble(2) <= stats(1).getDouble(1) + 1e-12)
+    assert(stats(1).getDouble(2) <= stats(2).getDouble(1) + 1e-12)
+    b.unpersist()
+  }
+
   test("BPE: incremental merge loop is byte-identical to the naive per-round rescan") {
     // reference implementation: recount every pair from scratch each round
     // (the O(rounds × vocab × len) spelling trainBpe's incremental loop

@@ -163,6 +163,34 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Set((1L, 1, 10L), (1L, 2, 11L), (2L, 1, 12L), (2L, 2, 13L)))
   }
 
+  test("appendToLshCorpus: appended table holds the fresh materialization's rows; idempotent") {
+    val planes = Similarity.intPlanes(numPlanes = 3, dim = 4, seed = 11L)
+    val all = spark.range(300).select(
+      col("id"),
+      array(col("id") % 7, col("id") % 5, col("id") % 3, lit(1L)).as("v"))
+    Similarity.materializeLshCorpus(all.filter(col("id") < 150), "id", "v", planes,
+      numBuckets = 4, table = "sim_app_corpus")
+    Similarity.appendToLshCorpus(all.filter(col("id") >= 150), "id", "v", planes,
+      table = "sim_app_corpus")
+    Similarity.materializeLshCorpus(all, "id", "v", planes,
+      numBuckets = 4, table = "sim_fresh_corpus")
+    def rows(t: String) = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getInt(2), r.getLong(3))).toSet
+    assert(rows("sim_app_corpus") === rows("sim_fresh_corpus"))
+    // re-appending the same batch is a no-op (id anti-join)
+    Similarity.appendToLshCorpus(all.filter(col("id") >= 150), "id", "v", planes,
+      table = "sim_app_corpus")
+    assert(spark.table("sim_app_corpus").count() === 300L)
+    // and downstream pairing over the appended table == over the fresh one
+    val a = Dedup.embeddingDupsFromTable(spark, "sim_app_corpus", dim = 4, minCos = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val f = Dedup.embeddingDupsFromTable(spark, "sim_fresh_corpus", dim = 4, minCos = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === f && a.nonEmpty)
+    spark.sql("DROP TABLE IF EXISTS sim_app_corpus")
+    spark.sql("DROP TABLE IF EXISTS sim_fresh_corpus")
+  }
+
   test("multi-table LSH: recall@10 >= single-table on the sf0.1 embedding fixture") {
     val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 50)
