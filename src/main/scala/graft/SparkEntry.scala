@@ -1322,6 +1322,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- graded contamination: per-document fraction of 8-gram positions
+    // hitting the benchmark set (docs 0-2 stand in as the benchmark, so
+    // they score 1.0 and overlapping docs score their true overlap).
+    "contamination_score" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Corpus.contaminationScore(
+        docs, idCol = "doc_id", textCol = "text",
+        probes = docs.filter(col("doc_id") < 3), probeTextCol = "text", n = 8)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- token-budget shard packing: shard = exclusive-prefix-sum(tokens)
     // div budget, computed as a two-level distributed prefix sum (per-range
     // partials + broadcast offsets + per-range windows) — the oracle spells
@@ -1410,6 +1421,14 @@ object SparkEntry {
       val docs = Dedup.ensureParallelism(t(s, dir, "documents"))
       val lm = Corpus.trainNgramLm(docs, "text")
       Corpus.scoreNgramLm(docs, "doc_id", "text", lm)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Gopher rule-based quality filter (Rae et al. 2021 A1.1): per-rule
+    // measurements + verdicts + the conjunction, all exact counting and one
+    // final double division per ratio — replicated term by term in DuckDB.
+    "gopher_rules" -> { (s, dir) =>
+      Corpus.gopherRules(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
 
@@ -3395,6 +3414,27 @@ object SparkEntry {
         |SELECT d.doc_id, d.source FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY d.doc_id""".stripMargin,
+    // Graded variant: gram positions hitting the distinct benchmark grams,
+    // over total gram positions. Docs with < 8 tokens have no grams and no
+    // row, same as the Spark side.
+    "contamination_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |pg AS (
+        |  SELECT DISTINCT unnest([array_to_string(toks[i+1:i+8], ' ') for i in range(len(toks) - 7)]) AS g
+        |  FROM tok WHERE doc_id < 3 AND len(toks) >= 8),
+        |dg AS (
+        |  SELECT doc_id, unnest([array_to_string(toks[i+1:i+8], ' ') for i in range(len(toks) - 7)]) AS g
+        |  FROM tok WHERE len(toks) >= 8),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM dg GROUP BY doc_id),
+        |hit AS (SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS contaminated_grams
+        |        FROM dg JOIN pg USING (g) GROUP BY dg.doc_id)
+        |SELECT t.doc_id, t.n_grams,
+        |  coalesce(h.contaminated_grams, 0) AS contaminated_grams,
+        |  CAST(coalesce(h.contaminated_grams, 0) AS DOUBLE) / t.n_grams AS contamination
+        |FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     // Full pipeline: the five stages recomputed in DuckDB, in the same
     // order — filter (quality/lang/length/repetition), keep-first dedup on
     // normalized text, budgeted sampling, prefix-sum shard packing.
@@ -3581,6 +3621,57 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens,
         |  CAST(sum(lp) * -1 AS DOUBLE) / 1000000.0 / count(*) AS logppl
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Term-by-term Gopher replication: same tokenization, same counting,
+    // same single double-division per ratio, same thresholds.
+    "gopher_rules" ->
+      """WITH tok AS (
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |    list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0) AS BIGINT) AS sum_len,
+        |    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+        |      + CAST((len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT) AS symbols,
+        |    string_split(text, chr(10)) AS lines,
+        |    CAST(coalesce(list_sum(list_transform(toks,
+        |      t -> CASE WHEN regexp_matches(t, '[a-z]') THEN 1 ELSE 0 END)), 0) AS BIGINT) AS alpha_words,
+        |    CAST(CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END AS BIGINT) AS stopword_hits
+        |  FROM tok),
+        |m2 AS (
+        |  SELECT doc_id, n_words,
+        |    CASE WHEN n_words > 0 THEN CAST(sum_len AS DOUBLE) / n_words ELSE 0.0 END AS mean_word_len,
+        |    CASE WHEN n_words > 0 THEN CAST(symbols AS DOUBLE) / n_words ELSE 0.0 END AS symbol_ratio,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(coalesce(list_sum(list_transform(lines,
+        |      l -> CASE WHEN ltrim(l) LIKE '- %' OR ltrim(l) LIKE '* %' OR ltrim(l) LIKE chr(8226) || '%' THEN 1 ELSE 0 END)), 0) AS BIGINT) AS bullet_lines,
+        |    CAST(coalesce(list_sum(list_transform(lines,
+        |      l -> CASE WHEN rtrim(l) LIKE '%...' THEN 1 ELSE 0 END)), 0) AS BIGINT) AS ellipsis_lines,
+        |    CASE WHEN n_words > 0 THEN CAST(alpha_words AS DOUBLE) / n_words ELSE 0.0 END AS alpha_frac,
+        |    stopword_hits
+        |  FROM m),
+        |m3 AS (
+        |  SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+        |    CASE WHEN n_lines > 0 THEN CAST(bullet_lines AS DOUBLE) / n_lines ELSE 0.0 END AS bullet_frac,
+        |    CASE WHEN n_lines > 0 THEN CAST(ellipsis_lines AS DOUBLE) / n_lines ELSE 0.0 END AS ellipsis_frac,
+        |    alpha_frac, stopword_hits
+        |  FROM m2)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+        |  ellipsis_frac, alpha_frac, stopword_hits,
+        |  (n_words >= 50 AND n_words <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND symbol_ratio <= 0.1
+        |    AND bullet_frac <= 0.1 AND ellipsis_frac <= 0.3
+        |    AND alpha_frac >= 0.8 AND stopword_hits >= 2) AS pass
+        |FROM m3 ORDER BY doc_id""".stripMargin,
     // Same LM pipeline, then the exact 3-way rank cut:
     // bucket = floor(0-based-rank * 3 / n) over (logppl, doc_id) order.
     "ppl_buckets" ->

@@ -229,6 +229,52 @@ object Corpus {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /**
+   * GRADED contamination: instead of [[decontaminate]]'s boolean drop, the
+   * fraction of each document's word n-grams (counted as positions, not
+   * distinct grams) that appear in the benchmark probe set — the number a
+   * pipeline thresholds or audits ("89% of this doc is benchmark text" vs
+   * "one stray 8-gram"). Same probe-side stats gate and same scale shape:
+   * the corpus streams through the broadcast probe table; only (id, gram)
+   * pairs that HIT ship to the count, and documents never shuffle.
+   */
+  def contaminationScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      probes: DataFrame,
+      probeTextCol: String,
+      n: Int = 8,
+      broadcastMaxBytes: Long = 256L << 20
+  ): DataFrame = {
+    val probeGrams = probes
+      .select(explode(Text.wordShingles(col(probeTextCol), n)).as("_g"))
+      .filter(size(split(col("_g"), " ")) === n)
+      .distinct()
+    val probeTextBytes =
+      probes.select(col(probeTextCol)).queryExecution.optimizedPlan.stats.sizeInBytes
+    val probeSide =
+      if (probeTextBytes * n <= BigInt(broadcastMaxBytes)) broadcast(probeGrams)
+      else probeGrams.hint("shuffle_hash")
+    val grams = docs
+      .select(col(idCol), explode(Text.wordShingles(col(textCol), n)).as("_g"))
+      .filter(size(split(col("_g"), " ")) === n) // short docs have no n-gram
+    val hits = grams
+      .join(probeSide, "_g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("contaminated_grams"))
+    grams
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_grams"),
+        coalesce(col("contaminated_grams"), lit(0L)).as("contaminated_grams"),
+        (coalesce(col("contaminated_grams"), lit(0L)).cast("double") / col("n_grams"))
+          .as("contamination"))
+  }
+
   // ------------------------------------------------------------- packing
 
   /**
@@ -687,6 +733,86 @@ object Corpus {
         count(lit(1)).as("n_tokens"),
         ((sum(col("lp")) * lit(-1L)).cast("double") / lit(1000000.0) / count(lit(1)))
           .as("logppl"))
+  }
+
+  /**
+   * Gopher rule-based quality filter (Rae et al. 2021, "Scaling Language
+   * Models: Methods, Analysis & Insights from Training Gopher", A1.1) —
+   * the canonical named document filter every web-scale corpus pipeline
+   * runs before model-based scoring. Emits each rule's measurement and
+   * verdict plus the conjunction, so a pipeline can both filter and audit
+   * WHY a document fell:
+   *   - word count within [minWords, maxWords];
+   *   - mean word length within [minMeanWordLen, maxMeanWordLen];
+   *   - symbol-to-word ratio (`#` or `...`) ≤ maxSymbolRatio;
+   *   - ≤ maxBulletFrac of lines start with a bullet,
+   *     ≤ maxEllipsisFrac end with an ellipsis;
+   *   - ≥ minAlphaFrac of words contain a letter;
+   *   - at least minStopwordHits of the 8 Gopher stop words appear.
+   * Map-only (one pass, all Catalyst built-ins, no shuffle); every
+   * measurement is exact integer arithmetic plus one final double
+   * division, so the whole frame is DuckDB-hash-checkable.
+   */
+  def gopherRules(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletFrac: Double = 0.1,
+      maxEllipsisFrac: Double = 0.3,
+      minAlphaFrac: Double = 0.8,
+      minStopwordHits: Int = 2
+  ): DataFrame = {
+    // null text behaves like empty text throughout (the no-evidence case)
+    val toks = coalesce(Text.tokens(col(textCol)), array().cast("array<string>"))
+    val nWords = size(toks).cast("long")
+    val sumLen = coalesce(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)), lit(0L))
+    val meanLen = when(nWords > 0, sumLen.cast("double") / nWords).otherwise(lit(0.0))
+    def occurrences(needle: String): Column =
+      ((length(col(textCol)) -
+        length(replace(col(textCol), lit(needle), lit("")))) / needle.length).cast("long")
+    val symbols = coalesce(occurrences("#") + occurrences("..."), lit(0L))
+    val symbolRatio = when(nWords > 0, symbols.cast("double") / nWords).otherwise(lit(0.0))
+    val lines = split(coalesce(col(textCol), lit("")), "\n")
+    val nLines = size(lines).cast("long")
+    val bulletLines = coalesce(aggregate(
+      lines, lit(0L),
+      (acc, l) => acc + when(
+        ltrim(l).startsWith("- ") || ltrim(l).startsWith("* ") ||
+          ltrim(l).startsWith("•"), 1L).otherwise(0L)), lit(0L))
+    val ellipsisLines = coalesce(aggregate(
+      lines, lit(0L),
+      (acc, l) => acc + when(rtrim(l).endsWith("..."), 1L).otherwise(0L)), lit(0L))
+    val bulletFrac = when(nLines > 0, bulletLines.cast("double") / nLines).otherwise(lit(0.0))
+    val ellipsisFrac =
+      when(nLines > 0, ellipsisLines.cast("double") / nLines).otherwise(lit(0.0))
+    val alphaWords = coalesce(aggregate(
+      toks, lit(0L), (acc, t) => acc + when(t.rlike("[a-z]"), 1L).otherwise(0L)), lit(0L))
+    val alphaFrac = when(nWords > 0, alphaWords.cast("double") / nWords).otherwise(lit(0.0))
+    val stopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopwordHits = stopwords
+      .map(w => when(array_contains(toks, w), 1L).otherwise(0L))
+      .reduce(_ + _)
+    docs.select(
+      col(idCol),
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"),
+      alphaFrac.as("alpha_frac"),
+      stopwordHits.as("stopword_hits"),
+      (nWords >= minWords && nWords <= maxWords &&
+        meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
+        symbolRatio <= maxSymbolRatio &&
+        bulletFrac <= maxBulletFrac && ellipsisFrac <= maxEllipsisFrac &&
+        alphaFrac >= minAlphaFrac &&
+        stopwordHits >= minStopwordHits).as("pass"))
   }
 
   /**

@@ -674,6 +674,48 @@ class CorpusSpec extends SparkSpec {
     assert(got === Seq("aa</w>", "aa</w>", "aa</w>", "a", "b", "</w>"))
   }
 
+  test("gopherRules: each rule trips on its own fixture; null text is the empty doc") {
+    val goodBody = ("the data pipeline reads records and that process must have " +
+      "finished with clean results before the next stage starts to consume them " +
+      "because every batch of rows needs to be checked once more against the " +
+      "expected totals that auditors have published with care and every worker " +
+      "will then confirm the final ledger is complete before it reports back").trim
+    val rows = Seq(
+      (1L, goodBody), // passes every rule
+      (2L, "short text"), // n_words < 50
+      (3L, Seq.fill(60)("#").mkString(" ")), // symbol ratio 1.0, no letters
+      (4L, (1 to 60).map(i => s"- bullet $i").mkString("\n")), // all bullet lines
+      (5L, (1 to 60).map(i => s"trailing thought $i...").mkString("\n")), // ellipsis lines
+      (6L, Seq.fill(60)("zq").mkString(" ")), // no stopwords (alpha fine)
+      (7L, null.asInstanceOf[String]) // null text = empty doc
+    ).toDF("id", "text")
+    val got = Corpus.gopherRules(rows, "id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(8) === true, got(1L).toString)
+    assert(got(2L).getBoolean(8) === false && got(2L).getLong(1) === 2L)
+    assert(got(3L).getBoolean(8) === false && got(3L).getDouble(3) === 1.0 &&
+      got(3L).getDouble(6) === 0.0)
+    assert(got(4L).getBoolean(8) === false && got(4L).getDouble(4) === 1.0)
+    assert(got(5L).getBoolean(8) === false && got(5L).getDouble(5) === 1.0)
+    assert(got(6L).getBoolean(8) === false && got(6L).getLong(7) === 0L)
+    assert(got(7L).getBoolean(8) === false && got(7L).getLong(1) === 0L &&
+      !got(7L).isNullAt(8), "null text must yield a definite verdict")
+  }
+
+  test("contaminationScore: exact gram-position fractions; benchmark docs score 1.0") {
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"), // the benchmark doc (3 8-grams)
+      (1L, "a b c d e f g h x y"), // shares exactly gram positions 0 of 3
+      (2L, "p q r s t u v w x y"), // disjoint
+      (3L, "too short") // < 8 tokens: no grams, no row
+    ).toDF("doc_id", "text")
+    val got = Corpus.contaminationScore(
+      docs, "doc_id", "text", probes = docs.filter(col("doc_id") === 0), "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got === Seq((0L, 3L, 3L, 1.0), (1L, 3L, 1L, 1.0 / 3), (2L, 3L, 0L, 0.0)))
+  }
+
   test("rankBuckets: exact rank thirds, deterministic ties, degenerate sizes") {
     val df = Seq(
       (1L, 3.0), (2L, 1.0), (3L, 2.0), (4L, 1.0), (5L, 5.0), (6L, 4.0)
