@@ -1274,6 +1274,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- temperature (α = 0.5) mixture sampling, XLM-R-style: rates from
+    // integer micro-weights floor(sqrt(n_s)·1e6) so the normalizer is an
+    // order-free integer sum and every rate is one exact double division —
+    // DuckDB recomputes rates AND selection bit-identically.
+    "temperature_sample" -> { (s, dir) =>
+      Corpus.temperatureSample(
+        t(s, dir, "documents"),
+        idCol = "doc_id", sourceCol = "source", budgetDocs = 200L)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- budgeted sampling: sample each source DOWN TO a token budget
     // (rate = min(1, budget/total) from one small aggregate, broadcast back;
     // the sample itself is the same deterministic hash — map-side).
@@ -3354,6 +3366,18 @@ object SparkEntry {
         |      < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
         |                    WHEN 'src2' THEN 0.25 ELSE 0.1 END
         |ORDER BY doc_id""".stripMargin,
+    // Temperature sampling: integer micro-weights -> exact rate division ->
+    // same selection hash as corpus_sample.
+    "temperature_sample" ->
+      """WITH n AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |w AS (SELECT source, n, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS w FROM n),
+        |z AS (SELECT sum(w) AS z FROM w),
+        |r AS (SELECT source, least(1.0, CAST(200 * w AS DOUBLE) / (CAST(z AS DOUBLE) * n)) AS rate
+        |      FROM w CROSS JOIN z)
+        |SELECT d.doc_id, d.source FROM documents d JOIN r ON r.source = d.source
+        |WHERE (('0x' || substring(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        % 2147483647) / 2147483647.0 < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
     // Budgeted sampling: same hash, rate from the same per-source totals.
     "corpus_budget_sample" ->
       """WITH d AS (

@@ -54,6 +54,46 @@ object Corpus {
   }
 
   /**
+   * Temperature-based mixture sampling (the multilingual α-sampling rule of
+   * XLM-R, Conneau et al. 2020 §3.1, and mT5): source s is sampled with
+   * probability ∝ n_s^α, flattening the head sources (α < 1) so low-resource
+   * sources keep representation. Rates target `budgetDocs` expected kept
+   * documents overall: rate_s = min(1, budgetDocs · w_s / (Z · n_s)) with
+   * w_s = floor(n_s^α · 1e6) as INTEGER micro-weights and Z = Σ w_s — the
+   * integer quantization makes Z an order-free exact sum, so the one double
+   * division per source is bit-identical on any engine (α = 0.5 keeps even
+   * the weights deterministic: IEEE sqrt is correctly rounded, where general
+   * pow is ~1 ulp — the α to use when cross-engine checking matters).
+   * Selection applies the rates through [[sampleBySource]]'s deterministic
+   * (source, id) hash: one |sources|-row aggregate on the driver, then a
+   * map-only filter — no corpus shuffle.
+   */
+  def temperatureSample(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      budgetDocs: Long,
+      alpha: Double = 0.5
+  ): DataFrame = {
+    require(budgetDocs > 0 && alpha > 0, "budgetDocs and alpha must be positive")
+    val counts = df
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val micro = counts.map { case (s, n) =>
+      val w = if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+      s -> math.floor(w * 1e6).toLong
+    }
+    val z = micro.values.sum
+    val rates = counts.map { case (s, n) =>
+      s -> math.min(1.0, (budgetDocs * micro(s)).toDouble / (z.toDouble * n))
+    }
+    sampleBySource(df, idCol, sourceCol, rates, defaultRate = 0.0)
+  }
+
+  /**
    * Sample each source DOWN TO a token budget — "mix to N tokens per
    * domain", the budgeted form of [[sampleBySource]]: per-source rate =
    * min(1, budget / total_tokens(source)), applied through the same

@@ -674,6 +674,34 @@ class CorpusSpec extends SparkSpec {
     assert(got === Seq("aa</w>", "aa</w>", "aa</w>", "a", "b", "</w>"))
   }
 
+  test("temperatureSample: alpha<1 flattens the mix toward low-resource sources") {
+    // 900 docs from 'big', 100 from 'small' — proportional sampling keeps
+    // 9:1; sqrt-temperature keeps 3:1 (sqrt(900):sqrt(100))
+    val df = (0L until 1000L).map(i =>
+      (i, if (i < 900) "big" else "small")).toDF("id", "source")
+    val kept = Corpus.temperatureSample(df, "id", "source", budgetDocs = 200L)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val big = kept.getOrElse("big", 0L).toDouble
+    val small = kept.getOrElse("small", 0L).toDouble
+    assert(small > 0, "low-resource source must survive")
+    val ratio = big / small
+    assert(ratio > 1.5 && ratio < 6.0, s"expect ~3:1 mix, got $ratio ($kept)")
+    assert(math.abs(big + small - 200.0) < 60.0, s"expected ~200 kept, got ${big + small}")
+    // deterministic: same inputs, same sample
+    val again = Corpus.temperatureSample(df, "id", "source", budgetDocs = 200L)
+      .select("id").as[Long].collect().sorted.toSeq
+    val first = Corpus.temperatureSample(df, "id", "source", budgetDocs = 200L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again === first)
+    // alpha = 1 degenerates to proportional sampling
+    val prop = Corpus.temperatureSample(df, "id", "source", budgetDocs = 200L, alpha = 1.0)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pRatio = prop.getOrElse("big", 0L).toDouble / math.max(1.0, prop.getOrElse("small", 0L).toDouble)
+    assert(pRatio > ratio, s"alpha=1 must be more head-heavy: $pRatio vs $ratio")
+  }
+
   test("gopherRules: each rule trips on its own fixture; null text is the empty doc") {
     val goodBody = ("the data pipeline reads records and that process must have " +
       "finished with clean results before the next stage starts to consume them " +
