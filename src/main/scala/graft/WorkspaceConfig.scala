@@ -49,10 +49,7 @@ final class WorkspaceConfig(workspace: Path, conf: Configuration) {
 
   def unset(key: String): Unit = write(list() - key)
 
-  private def write(m: Map[String, String]): Unit = {
-    fs.mkdirs(file.getParent)
-    val out = fs.create(file, true)
-    try out.write(Serialization.write(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  private def write(m: Map[String, String]): Unit =
+    graft.FsAtomic.write(fs, file,
+      Serialization.write(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
 }

@@ -115,12 +115,8 @@ object Webhooks {
     def forDataset(dataset: String, eventType: String): Seq[Subscription] =
       list().filter(s => s.dataset == dataset && s.eventTypes.contains(eventType))
 
-    private def write(subs: Seq[Subscription]): Unit = {
-      fs.mkdirs(file.getParent)
-      val out = fs.create(file, true)
-      try out.write(Serialization.write(subs).getBytes(UTF_8))
-      finally out.close()
-    }
+    private def write(subs: Seq[Subscription]): Unit =
+      graft.FsAtomic.write(fs, file, Serialization.write(subs).getBytes(UTF_8))
 
     // -------- delivery queue (same .graft dir, separate file)
 
@@ -134,12 +130,8 @@ object Webhooks {
         Serialization.read[Seq[PendingDelivery]](s)
       }
 
-    def saveQueue(q: Seq[PendingDelivery]): Unit = {
-      fs.mkdirs(queueFile.getParent)
-      val out = fs.create(queueFile, true)
-      try out.write(Serialization.write(q).getBytes(UTF_8))
-      finally out.close()
-    }
+    def saveQueue(q: Seq[PendingDelivery]): Unit =
+      graft.FsAtomic.write(fs, queueFile, Serialization.write(q).getBytes(UTF_8))
   }
 
   // ---------------------------------------------------------------- signing

@@ -13,25 +13,29 @@ import graft.model.MetadataEvent
 import graft.transform.TransformService
 
 /**
- * Flow-lite: scheduled dataset updates — the schedules + retry-policy subset
- * of the reference's flow system (src/domain/flow-system/: `Schedule::
- * TimeDelta` / `Schedule::Cron`, flow triggers driving ingest+transform runs;
- * retry semantics after src/domain/flow-system/domain/src/entities/shared/
- * retry_policy.rs:16-67; batching conditions intentionally out of scope). A
- * dataset gets a schedule (`every <duration>` or a 5-field cron expression,
- * UTC) and optionally a [[RetryPolicy]]; the run-due-now executor pulls
- * exactly the datasets whose schedule (or pending retry) has come due — each
- * through [[TransformService.pullRecursive]], so a due derivative also
- * refreshes its upstream chain, like a flow trigger cascading. A failed pull
- * never aborts the tick: with a policy it schedules a backoff retry, without
- * one (or once attempts are exhausted) it surfaces as a Failed status and
- * hands control back to the regular schedule.
+ * Flow system: scheduled AND event-driven dataset updates — the schedules,
+ * retry-policy, and reactive/batching subset of the reference's flow system
+ * (src/domain/flow-system/: `Schedule::TimeDelta` / `Schedule::Cron`; retry
+ * semantics after src/domain/flow-system/domain/src/entities/shared/
+ * retry_policy.rs:16-67; reactive/batching semantics after batching_rule.rs
+ * and reactive_rule.rs). A dataset gets a schedule (`every <duration>` or a
+ * 5-field cron expression, UTC), and/or a [[ReactiveRule]] that fires off
+ * upstream head movement (gated by min-records / max-batching-interval),
+ * and optionally a [[RetryPolicy]]; the run-due-now executor pulls exactly
+ * the datasets whose trigger (or pending retry) has come due — each through
+ * [[TransformService.pullRecursive]], so a due derivative also refreshes
+ * its upstream chain, like a flow trigger cascading. A failed pull never
+ * aborts the tick: with a policy it schedules a backoff retry, without one
+ * (or once attempts are exhausted) it surfaces as a Failed status and hands
+ * control back to the regular triggers.
  *
- * State lives in two workspace-level JSON files under `.graft/` (schedules +
- * last-run times) — the moral equivalent of the reference's flow-system DB
- * tables, deliberately OUTSIDE the metadata chain: a schedule is operational
- * config of this workspace, not part of the dataset's verifiable history
- * (the reference keeps flow configs in its database for the same reason).
+ * State lives in workspace-level JSON files under `.graft/` (schedules,
+ * reactive rules, last-run times, retry state) — the moral equivalent of
+ * the reference's flow-system DB tables, deliberately OUTSIDE the metadata
+ * chain: a trigger is operational config of this workspace, not part of the
+ * dataset's verifiable history (the reference keeps flow configs in its
+ * database for the same reason). Reactive ACCUMULATION, by contrast, is
+ * derived from the chains at tick time and never stored.
  *
  * Everything takes explicit `now` millis — fake-clock testable, no wall
  * clock anywhere.
@@ -388,12 +392,9 @@ object FlowService {
         Serialization.read[Map[String, String]](s)
       }
     }
-    private def writeMap(name: String, m: Map[String, String]): Unit = {
-      fs.mkdirs(dir)
-      val out = fs.create(new Path(dir, name), true)
-      try out.write(Serialization.write(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
+    private def writeMap(name: String, m: Map[String, String]): Unit =
+      graft.FsAtomic.write(fs, new Path(dir, name),
+        Serialization.write(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
     def schedules(): Map[String, Schedule] =
       readMap("flows.json").view.mapValues(parseSchedule).toMap

@@ -303,9 +303,15 @@ object Corpus {
       .join(probeSide, "_g")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("contaminated_grams"))
-    grams
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"))
+    // per-doc gram totals are pure arithmetic on the token count — computed
+    // map-side, so the only (id, gram) rows that ever shuffle are the HITS
+    // surviving the probe join, not the corpus-sized gram stream
+    docs
+      .select(
+        col(idCol),
+        greatest(lit(0L),
+          (size(Text.tokens(col(textCol))) - (n - 1)).cast("long")).as("n_grams"))
+      .filter(col("n_grams") > 0)
       .join(hits, Seq(idCol), "left")
       .select(
         col(idCol),

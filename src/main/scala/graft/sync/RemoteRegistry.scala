@@ -69,12 +69,9 @@ final class RemoteRegistry(workspace: Path, conf: Configuration) {
     }
   }
 
-  private def write(m: Map[String, String]): Unit = {
-    fs.mkdirs(file.getParent)
-    val out = fs.create(file, true)
-    try out.write(Serialization.write(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  private def write(m: Map[String, String]): Unit =
+    graft.FsAtomic.write(fs, file,
+      Serialization.write(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   // ---------------------------------------------- per-dataset remote aliases
 
@@ -119,12 +116,9 @@ final class RemoteRegistry(workspace: Path, conf: Configuration) {
     }
   }
 
-  private def writeAliases(as: Seq[DatasetAlias]): Unit = {
-    fs.mkdirs(aliasFile.getParent)
-    val out = fs.create(aliasFile, true)
-    try out.write(Serialization.write(as).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  private def writeAliases(as: Seq[DatasetAlias]): Unit =
+    graft.FsAtomic.write(fs, aliasFile,
+      Serialization.write(as).getBytes(java.nio.charset.StandardCharsets.UTF_8))
 }
 
 object RemoteRegistry {
