@@ -1462,6 +1462,26 @@ object SparkEntry {
     // newlines preserved. Synthetic rows exercise decomposed accents and
     // C0/DEL bytes the lorem corpus lacks; DuckDB replicates with
     // nfc_normalize + the same regex pipeline.
+    // ---- HTML -> text (regex tier): script/style subtrees and comments
+    // dropped wholesale, tags to spaces, the six dominant entities decoded
+    // in one pass (&amp; last), then the cleanText whitespace discipline.
+    "strip_html" -> { (s, dir) =>
+      import s.implicits._
+      val pages = Seq(
+        (1L, "<html><head><title>T</title><style>p{color:red}</style></head>" +
+          "<body><h1>Hello &amp; welcome</h1><!-- note -->" +
+          "<p>1 &lt; 2, &quot;x&quot;&nbsp;&#39;y&#39;</p>" +
+          "<script>var x = '<p>not text</p>';</script><p>end</p></body></html>"),
+        (2L, "no markup at all"),
+        (3L, "a &amp;lt; b") // double-escaped decodes exactly once
+      ).toDF("doc_id", "html")
+      pages
+        .select(col("doc_id"),
+          graft.functions.Normalize
+            .cleanText(graft.functions.Normalize.stripHtml(col("html"))).as("text"))
+        .orderBy(col("doc_id"))
+    },
+
     "text_normalize" -> { (s, dir) =>
       import s.implicits._
       val synth = Seq(
@@ -3729,6 +3749,25 @@ object SparkEntry {
     // nfc_normalize + the identical regex pipeline (RE2 and Java agree on
     // literal \xNN character-class ranges); newline survives, runs of
     // spaces collapse, trim last.
+    // Identical regex + replace chain in DuckDB (RE2 and Java agree on
+    // these patterns, incl. inline (?is) flags and lazy quantifiers).
+    "strip_html" ->
+      """WITH src AS (SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), '<html><head><title>T</title><style>p{color:red}</style></head><body><h1>Hello &amp; welcome</h1><!-- note --><p>1 &lt; 2, &quot;x&quot;&nbsp;&#39;y&#39;</p><script>var x = ''<p>not text</p>'';</script><p>end</p></body></html>'),
+        |  (CAST(2 AS BIGINT), 'no markup at all'),
+        |  (CAST(3 AS BIGINT), 'a &amp;lt; b')
+        |) AS v(doc_id, html))
+        |SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(nfc_normalize(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(html,
+        |        '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |        '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&')),
+        |    '[\x00-\x09\x0B-\x1F\x7F]', ' ', 'g'), ' +', ' ', 'g')) AS text
+        |FROM src ORDER BY doc_id""".stripMargin,
     "text_normalize" ->
       """WITH src AS (
         |  SELECT doc_id, text FROM documents

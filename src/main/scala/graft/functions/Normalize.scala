@@ -35,6 +35,29 @@ object Normalize {
       regexp_replace(
         regexp_replace(nfc(text), "[\\x00-\\x09\\x0B-\\x1F\\x7F]", " "),
         " +", " "))
+
+  /**
+   * HTML → text for crawl corpora, the regex tier (a full DOM parse is an
+   * external stage; this is the deterministic, oracle-checkable cut every
+   * pipeline applies first): drop script/style SUBTREES and comments
+   * wholesale, turn every remaining tag into a space, then decode the six
+   * entities that dominate real pages (`&lt; &gt; &quot; &#39; &nbsp;`
+   * and `&amp;` LAST, so `&amp;lt;` decodes to the literal `&lt;` exactly
+   * once — the standard single-pass rule). Compose with [[cleanText]] for
+   * whitespace discipline. Every step is a regex/replace with identical
+   * Java-regex and RE2 semantics, so the operator hash-checks cross-engine.
+   */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(
+      html, "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "<[^>]*>", " ")
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (from, to)) =>
+        replace(acc, lit(from), lit(to))
+      }
+  }
 }
 
 case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {

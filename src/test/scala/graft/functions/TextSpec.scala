@@ -106,4 +106,20 @@ class TextSpec extends SparkSpec {
       .select(Normalize.cleanText(col("t"))).head()
     assert(r.isNullAt(0))
   }
+
+  test("stripHtml: subtrees dropped, tags to spaces, entities decoded once") {
+    import graft.functions.Normalize
+    def strip(s: String): String =
+      one[String](Normalize.cleanText(Normalize.stripHtml(col("t"))), s)
+    assert(strip("<p>a</p><p>b</p>") === "a b")
+    assert(strip("x<script>ignore<p>this</p></script>y") === "x y")
+    assert(strip("x<style a=b>p{}</style>y<!-- c -->z") === "x y z")
+    // script spanning lines, case-insensitive tag
+    assert(strip("a<SCRIPT>\nmulti\nline\n</SCRIPT>b") === "a b")
+    assert(strip("1 &lt; 2 &amp;&amp; 3 &gt; 2, &quot;q&quot; &#39;s&#39;") ===
+      """1 < 2 && 3 > 2, "q" 's'""")
+    // double-escaped decodes exactly once, never recursively
+    assert(strip("a &amp;lt; b") === "a &lt; b")
+    assert(strip("plain text unchanged") === "plain text unchanged")
+  }
 }
