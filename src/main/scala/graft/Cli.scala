@@ -60,6 +60,8 @@ import graft.query.QueryService
  *                                 3:30s:exponential (backoff one of fixed|
  *                                 linear|exponential|exponential-jitter —
  *                                 retry_policy.rs)
+ *   flow pause|resume DATASET     suspend/restore a dataset's triggers
+ *                                 without losing its config
  *   flow list                     scheduled datasets with last-run times,
  *                                 retry policies, and failing-attempt state
  *   flow rm DATASET               unschedule
@@ -206,6 +208,8 @@ object Cli {
           cmdFlowRetry(spark, wsOpt, ds, None, out)
         case "flow" :: "retry" :: ds :: policy :: Nil =>
           cmdFlowRetry(spark, wsOpt, ds, Some(policy), out)
+        case "flow" :: "pause" :: ds :: Nil  => cmdFlowPause(spark, wsOpt, ds, pause = true, out)
+        case "flow" :: "resume" :: ds :: Nil => cmdFlowPause(spark, wsOpt, ds, pause = false, out)
         case "flow" :: "list" :: Nil       => cmdFlowList(spark, wsOpt, out)
         case "flow" :: "rm" :: ds :: Nil   => cmdFlowRm(spark, wsOpt, ds, out)
         case "flow" :: "run" :: t          =>
@@ -528,6 +532,15 @@ object Cli {
     0
   }
 
+  private def cmdFlowPause(spark: SparkSession, ws: String, ds: String, pause: Boolean,
+      out: PrintStream): Int = {
+    open(spark, ws, ds) // validate the dataset exists
+    val reg = flowRegistry(spark, ws)
+    if (pause) { reg.pause(ds); out.println(s"paused $ds") }
+    else { reg.resume(ds); out.println(s"resumed $ds") }
+    0
+  }
+
   private def cmdFlowList(spark: SparkSession, ws: String, out: PrintStream): Int = {
     val reg = flowRegistry(spark, ws)
     val last = reg.lastRuns()
@@ -535,9 +548,11 @@ object Cli {
     val attempts = reg.attemptStates()
     val schedules = reg.schedules()
     val reactives = reg.reactiveRules()
+    val pausedSet = reg.paused()
     (schedules.keySet ++ reactives.keySet).toSeq.sorted.foreach { ds =>
       val trigger = (schedules.get(ds).map(_.render).toSeq ++
-        reactives.get(ds).map(r => s"reactive=${r.render}").toSeq).mkString(" ")
+        reactives.get(ds).map(r => s"reactive=${r.render}").toSeq ++
+        (if (pausedSet.contains(ds)) Seq("PAUSED") else Nil)).mkString(" ")
       val lr = last.get(ds)
         .map(t => java.time.Instant.ofEpochMilli(t).toString)
         .getOrElse("never")

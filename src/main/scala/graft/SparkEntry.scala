@@ -992,6 +992,27 @@ object SparkEntry {
         .orderBy(col("qid"), col("rnk"))
     },
 
+    // ---- IVF index MAINTENANCE: half the corpus materialized, half
+    // APPENDED in place (new vectors land in their nearest existing cell,
+    // FAISS IndexIVF.add-style) — row set identical to a fresh build, so
+    // the exhaustive oracle applies unchanged.
+    "ann_ivf_append" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val c = emb.select(col("vec_id").as("cid"), Similarity.quantize(col("embedding")).as("cv"))
+      val q = emb
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), Similarity.quantize(col("embedding")).as("qv"))
+      val cents = Similarity.ivfTrain(c, "cid", "cv", k = 4, iters = 1)
+      Similarity.materializeIvfCorpus(c.filter(col("cid") % 2 === 0), "cid", "cv", cents,
+        numBuckets = 8, table = "graft_ivf_app")
+      Similarity.appendToIvfCorpus(c.filter(col("cid") % 2 === 1), "cid", "cv", cents,
+        table = "graft_ivf_app")
+      Similarity
+        .ivfTopKFromTable(s, "graft_ivf_app", q, "qid", "qv", k = 5, cents, nprobe = 4)
+        .select(col("qid"), col("rnk"), col("cid"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+
     // ---- SQ8 compressed ANN: per-dim [min,max] trained on the corpus,
     // byte codes (packed binary on the Spark side, plain integer lists in
     // the oracle — identical values by construction), exact integer dots.
@@ -1434,6 +1455,15 @@ object SparkEntry {
       val lm = Corpus.trainNgramLm(docs, "text")
       Corpus.scoreNgramLm(docs, "doc_id", "text", lm)
         .orderBy(col("doc_id"))
+    },
+
+    // ---- sentence-window chunking (the RAG variant of chunk_docs):
+    // greedy [^.!?]+[.!?]* sentence scan (no lookbehind — Java regex and
+    // RE2 agree), 3-sentence windows with 1 shared sentence.
+    "chunk_sentences" -> { (s, dir) =>
+      Corpus.chunkSentences(t(s, dir, "documents"), "doc_id", "text",
+        maxSentences = 3, overlap = 1)
+        .orderBy(col("doc_id"), col("chunk_id"))
     },
 
     // ---- Gopher rule-based quality filter (Rae et al. 2021 A1.1): per-rule
@@ -3235,6 +3265,7 @@ object SparkEntry {
     // materialized layout — same answer, same oracle.
     "ann_ivf" -> annIvfOracle,
     "ann_ivf_bucketed" -> annIvfOracle,
+    "ann_ivf_append" -> annIvfOracle,
     // Union-of-tables replication: bucket per (table, planes[t]); a
     // candidate is any pair sharing a bucket in ANY of the 3 tables.
     "ann_lsh_multitable" -> {
@@ -3665,6 +3696,24 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens,
         |  CAST(sum(lp) * -1 AS DOUBLE) / 1000000.0 / count(*) AS logppl
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Same sentence scan, same window arithmetic (1-based inclusive list
+    // slices in DuckDB == slice(start, length) in Spark).
+    "chunk_sentences" ->
+      """WITH sent AS (
+        |  SELECT doc_id, list_filter(list_transform(
+        |    regexp_extract_all(coalesce(text, ''), '[^.!?]+[.!?]*'),
+        |    s -> trim(s)), s -> len(s) > 0) AS sents
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, sents, len(sents) AS n,
+        |    CASE WHEN len(sents) = 0 THEN 0
+        |         ELSE greatest(1, CAST(ceil((len(sents) - 3) / 2.0) AS BIGINT) + 1) END AS n_chunks
+        |  FROM sent),
+        |e AS (SELECT doc_id, unnest(range(n_chunks)) AS chunk_id, sents, n FROM w WHERE n_chunks > 0)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  array_to_string(sents[chunk_id*2 + 1 : chunk_id*2 + 3], ' ') AS chunk,
+        |  CAST(least(3, n - chunk_id*2) AS BIGINT) AS n_sentences
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
     // Term-by-term Gopher replication: same tokenization, same counting,
     // same single double-division per ratio, same thresholds.
     "gopher_rules" ->

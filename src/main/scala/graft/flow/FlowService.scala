@@ -358,6 +358,8 @@ object FlowService {
   sealed trait RunStatus { def render: String }
   case object Pulled extends RunStatus { def render = "pulled" }
   case object NotDue extends RunStatus { def render = "not due" }
+  /** Trigger paused (reference `pause_flow_trigger`): config kept, skipped. */
+  case object Paused extends RunStatus { def render = "paused" }
   /** Reactive rule saw new upstream data but is still buffering it. */
   final case class Batching(accumulated: Long, minRecords: Long, deadlineAt: Long)
       extends RunStatus {
@@ -406,6 +408,7 @@ object FlowService {
       writeMap("flow_retry.json", readMap("flow_retry.json") - dataset)
       writeMap("flow_attempts.json", readMap("flow_attempts.json") - dataset)
       writeMap("flow_reactive.json", readMap("flow_reactive.json") - dataset)
+      writeMap("flow_paused.json", readMap("flow_paused.json") - dataset)
     }
 
     def reactiveRules(): Map[String, ReactiveRule] =
@@ -414,6 +417,14 @@ object FlowService {
       writeMap("flow_reactive.json", readMap("flow_reactive.json") + (dataset -> rule.render))
     def removeReactiveRule(dataset: String): Unit =
       writeMap("flow_reactive.json", readMap("flow_reactive.json") - dataset)
+
+    /** Paused triggers (the reference's `pause_flow_trigger`): the dataset
+      * keeps its schedule/rule/retry config but the executor skips it. */
+    def paused(): Set[String] = readMap("flow_paused.json").keySet
+    def pause(dataset: String): Unit =
+      writeMap("flow_paused.json", readMap("flow_paused.json") + (dataset -> "paused"))
+    def resume(dataset: String): Unit =
+      writeMap("flow_paused.json", readMap("flow_paused.json") - dataset)
     def lastRuns(): Map[String, Long] =
       readMap("flow_state.json").view.mapValues(_.toLong).toMap
     def recordRun(dataset: String, now: Long): Unit =
@@ -458,11 +469,12 @@ object FlowService {
     val attempts = registry.attemptStates()
     val schedules = registry.schedules()
     val reactives = registry.reactiveRules()
+    val pausedSet = registry.paused()
     (schedules.keySet ++ reactives.keySet).toSeq.sorted.map { name =>
       val schedule = schedules.get(name)
       val retrying = attempts.get(name)
       def scheduleDue: Boolean = schedule.exists(s => due(s, last.get(name), now))
-      val status: RunStatus = try {
+      val status: RunStatus = if (pausedSet.contains(name)) Paused else try {
         // retry gating first: a failed dataset waits for its retry instant,
         // not its schedule's or rule's. If the policy was removed (or
         // shrunk) mid-state, fall back to the regular triggers rather than

@@ -221,6 +221,52 @@ object Corpus {
         col("c.n").cast("long").as("n_chunk_tokens"))
   }
 
+  /**
+   * SENTENCE-window chunking — the RAG/retrieval-corpus variant of
+   * [[chunkDocs]]: text splits into sentences (a greedy
+   * `[^.!?]+[.!?]*` scan, terminators kept with their sentence — no
+   * lookbehind, so the same regex runs identically on Java regex and RE2),
+   * then windows of `maxSentences` with `overlap` sentences shared between
+   * consecutive chunks. Map-only; the tail window always lands, so every
+   * sentence appears in at least one chunk.
+   */
+  def chunkSentences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxSentences: Int,
+      overlap: Int = 0
+  ): DataFrame = {
+    require(maxSentences > 0, "maxSentences must be positive")
+    require(overlap >= 0 && overlap < maxSentences, "overlap must be in [0, maxSentences)")
+    val stride = maxSentences - overlap
+    val sentsExpr = filter(
+      transform(
+        regexp_extract_all(coalesce(col(textCol), lit("")), lit("[^.!?]+[.!?]*"), lit(0)),
+        s => trim(s)),
+      s => length(s) > 0)
+    val chunks = flatten(transform(
+      array(sentsExpr),
+      sents => {
+        val n = size(sents)
+        val nChunks = when(n === 0, lit(0L)).otherwise(
+          greatest(lit(1L), ceil((n - maxSentences) / lit(stride.toDouble)) + 1L))
+        when(n === 0, array().cast("array<struct<chunk:string,n:int>>"))
+          .otherwise(transform(
+            sequence(lit(0L), nChunks - 1L),
+            i => struct(
+              concat_ws(" ",
+                slice(sents, (i * stride + 1L).cast("int"), lit(maxSentences))).as("chunk"),
+              least(lit(maxSentences), n - (i * stride).cast("int")).as("n"))))
+      }))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "c")))
+      .select(
+        col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("c.chunk").as("chunk"),
+        col("c.n").cast("long").as("n_sentences"))
+  }
+
   // ------------------------------------------------- decontamination
 
   /**

@@ -623,6 +623,33 @@ object Similarity {
       ),
       table, "cell", numBuckets, sortCols = Seq("cell"))
 
+  /** Append a new batch into a [[materializeIvfCorpus]] table in place —
+    * completes the index-maintenance trio (MinHash bands, LSH buckets, IVF
+    * cells): O(batch) insert through the bucket spec, idempotent on
+    * re-ingested ids, same `centroids` as at materialization. Centroid
+    * DRIFT is the one thing an append cannot fix — re-train + re-materialize
+    * when the corpus distribution moves; between re-trains, appended
+    * vectors land in their nearest EXISTING cell, exactly like FAISS
+    * `IndexIVF.add`. */
+  def appendToIvfCorpus(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Array[Long]],
+      table: String
+  ): Unit = {
+    val spark = df.sparkSession
+    val known = spark.table(table).select(col("id"))
+    df.select(
+        col(idCol).as("id"),
+        col(vecCol).as("v"),
+        ivfCell(col(vecCol), centroids).as("cell"),
+        intDot(col(vecCol), col(vecCol)).as("n2"))
+      .join(known, Seq("id"), "left_anti")
+      .select(spark.table(table).columns.map(col).toSeq: _*)
+      .write.insertInto(table)
+  }
+
   /** IVF top-k against a [[materializeIvfCorpus]] table: queries probe
     * their `nprobe` nearest cells (same `centroids` as at materialization);
     * the corpus side is a pruned bucketed scan — cells precomputed, no

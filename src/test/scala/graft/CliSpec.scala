@@ -318,6 +318,20 @@ class CliSpec extends SparkSpec {
     assert(graft.dataset.Dataset.open(spark, root.resolve("towns_big"))
       .chain.lastOffset() === Some(1L))
 
+    // pause holds the trigger (still listed, marked PAUSED), resume restores
+    Files.writeString(root.resolve("f-2024-01-03.csv"), "town,pop\nlima,9752000\n")
+    assert(graft.ingest.IngestWriter.pollOnce(
+      graft.dataset.Dataset.open(spark, root.resolve("towns")),
+      java.time.Instant.parse("2024-06-01T00:40:00Z").toEpochMilli).isDefined)
+    assert(runCli("--workspace", root.toString, "flow", "pause", "towns_big")._1 === 0)
+    val (_, runP) = runCli("--workspace", root.toString, "flow", "run", "2024-06-01T00:50:00Z")
+    assert(runP.trim === "towns_big: paused", runP)
+    assert(runCli("--workspace", root.toString, "flow", "list")._2.contains("PAUSED"))
+    assert(runCli("--workspace", root.toString, "flow", "resume", "towns_big")._1 === 0)
+    // resumed: the rule evaluates again (1 new record < the buffer of 2)
+    val (_, runR) = runCli("--workspace", root.toString, "flow", "run", "2024-06-01T00:55:00Z")
+    assert(runR.trim.startsWith("towns_big: batching 1/2"), runR)
+
     // off detaches the trigger
     val (c2, offOut) = runCli("--workspace", root.toString,
       "flow", "set", "towns_big", "--reactive", "off")

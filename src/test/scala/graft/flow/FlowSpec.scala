@@ -305,6 +305,29 @@ class FlowSpec extends SparkSpec {
     assert(beforeKyiv.nonEmpty) // fixture sanity
   }
 
+  test("pause suspends every trigger kind without losing config; resume restores") {
+    val (root, reg, resolve) = reactiveFixture()
+    reg.set("cities_big", parseSchedule("every 1h"))
+    reg.setReactiveRule("cities_big", parseReactiveRule("immediate"))
+
+    val t0 = t("2024-03-01T00:00:00Z")
+    java.nio.file.Files.writeString(root.resolve("c-2024-03-01.csv"), "city,pop\nnola,364000\n")
+    assert(IngestWriter.pollOnce(resolve("cities"), t0).isDefined)
+
+    // paused: both the due schedule AND the pending reactive fire are held
+    reg.pause("cities_big")
+    assert(runDue(spark, reg, resolve, t0 + 1000L) === Seq("cities_big" -> Paused))
+    assert(resolve("cities_big").chain.lastOffset() === None)
+    // resume: the held work executes on the next tick, config intact
+    reg.resume("cities_big")
+    assert(runDue(spark, reg, resolve, t0 + 2000L) === Seq("cities_big" -> Pulled))
+    assert(resolve("cities_big").chain.lastOffset() === Some(0L))
+    // remove() also clears pause state
+    reg.pause("cities_big")
+    reg.remove("cities_big")
+    assert(reg.paused() === Set.empty[String])
+  }
+
   test("reactive rules compose with retry policies; schedule and rule may coexist") {
     val (root, reg, resolve0) = reactiveFixture()
     reg.setReactiveRule("cities_big", parseReactiveRule("immediate"))

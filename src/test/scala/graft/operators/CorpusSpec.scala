@@ -674,6 +674,30 @@ class CorpusSpec extends SparkSpec {
     assert(got === Seq("aa</w>", "aa</w>", "aa</w>", "a", "b", "</w>"))
   }
 
+  test("chunkSentences: windows with overlap, tail covered, terminators kept") {
+    val df = Seq(
+      (1L, "One. Two! Three? Four. Five."),
+      (2L, "No terminator here"),
+      (3L, ""),
+      (4L, "Single.")
+    ).toDF("id", "text")
+    val got = Corpus.chunkSentences(df, "id", "text", maxSentences = 3, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.filter(_._1 == 1L) === Seq(
+      (1L, 0L, "One. Two! Three?", 3L),
+      (1L, 1L, "Three? Four. Five.", 3L)))
+    // terminator-less text is one sentence; empty text yields no chunks
+    assert(got.filter(_._1 == 2L) === Seq((2L, 0L, "No terminator here", 1L)))
+    assert(!got.exists(_._1 == 3L))
+    assert(got.filter(_._1 == 4L) === Seq((4L, 0L, "Single.", 1L)))
+    // every sentence of a long doc appears in at least one chunk
+    val long = Seq((9L, (1 to 10).map(i => s"S$i.").mkString(" "))).toDF("id", "text")
+    val chunks = Corpus.chunkSentences(long, "id", "text", maxSentences = 4, overlap = 2)
+      .select("chunk").as[String].collect()
+    (1 to 10).foreach(i => assert(chunks.exists(_.contains(s"S$i.")), s"S$i missing"))
+  }
+
   test("temperatureSample: alpha<1 flattens the mix toward low-resource sources") {
     // 900 docs from 'big', 100 from 'small' — proportional sampling keeps
     // 9:1; sqrt-temperature keeps 3:1 (sqrt(900):sqrt(100))

@@ -189,6 +189,20 @@ class SimilaritySpec extends SparkSpec {
     assert(a === f && a.nonEmpty)
     spark.sql("DROP TABLE IF EXISTS sim_app_corpus")
     spark.sql("DROP TABLE IF EXISTS sim_fresh_corpus")
+
+    // IVF flavor: same row-identity + idempotence contract on cells
+    val cents = Similarity.ivfTrain(all, "id", "v", k = 3, iters = 1)
+    Similarity.materializeIvfCorpus(all.filter(col("id") < 150), "id", "v", cents,
+      numBuckets = 4, table = "sim_app_ivf")
+    Similarity.appendToIvfCorpus(all.filter(col("id") >= 150), "id", "v", cents,
+      table = "sim_app_ivf")
+    Similarity.appendToIvfCorpus(all.filter(col("id") >= 150), "id", "v", cents,
+      table = "sim_app_ivf") // idempotent
+    Similarity.materializeIvfCorpus(all, "id", "v", cents,
+      numBuckets = 4, table = "sim_fresh_ivf")
+    assert(rows("sim_app_ivf") === rows("sim_fresh_ivf"))
+    spark.sql("DROP TABLE IF EXISTS sim_app_ivf")
+    spark.sql("DROP TABLE IF EXISTS sim_fresh_ivf")
   }
 
   test("multi-table LSH: recall@10 >= single-table on the sf0.1 embedding fixture") {
