@@ -100,10 +100,13 @@ import graft.query.QueryService
  *                                 (remote_status_service_impl.rs)
  *   export DATASET PATH [FORMAT]  write full history: parquet|csv|ndjson
  *                                 (kamu export, export_command.rs)
- *   serve [--rest-port N] [--jdbc-port N]
+ *   serve [--rest-port N] [--jdbc-port N] [--flow-interval DUR]
  *                                 REST (+OData/GraphQL) and JDBC servers over
  *                                 the workspace until stdin closes or 'exit'
- *                                 (kamu system api-server)
+ *                                 (kamu system api-server); --flow-interval
+ *                                 (e.g. 30s) co-runs the flow executor on a
+ *                                 wall-clock tick, like the reference's
+ *                                 embedded flow agent
  *   verify DATASET                integrity check (hashes + replay)
  *   compact DATASET [MAXRECORDS]  compact slices (atomic swap)
  *   reset DATASET BLOCKHASH       rewind head
@@ -742,6 +745,8 @@ object Cli {
     // runs inside try/finally so an embedded caller never leaks it.
     var stopJdbc: Option[() => Unit] = None
     var smart: Option[graft.sync.SmartTransferServer] = None
+    val flowAgentStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    var flowAgent: Option[Thread] = None
     try {
       out.println(s"rest: http://127.0.0.1:${rest.boundPort}")
       smart = Some(new graft.sync.SmartTransferServer(
@@ -753,6 +758,56 @@ object Cli {
         out.println(s"jdbc: jdbc:hive2://localhost:$p/")
         stop
       }
+      // Embedded flow agent (the reference's api-server runs its flow
+      // system the same way): tick the run-due-now executor on a wall-clock
+      // interval while the node serves. Off unless --flow-interval (or the
+      // serve.flow.interval workspace config) is set — batch workflows
+      // drive ticks explicitly with `flow run` and a controlled clock.
+      val flowIntervalMs: Option[Long] = ((args.indexOf("--flow-interval") match {
+        case i if i >= 0 && i + 1 < args.length => Some(args(i + 1))
+        case _                                  => None
+      }).orElse(cfg.get("serve.flow.interval"))).map { d =>
+        val m = "^(\\d+)\\s*(ms|s|m|h)$".r
+        d.trim match {
+          case m(n, "ms") => n.toLong
+          case m(n, "s")  => n.toLong * 1000L
+          case m(n, "m")  => n.toLong * 60000L
+          case m(n, "h")  => n.toLong * 3600000L
+          case other => throw new IllegalArgumentException(s"bad flow interval '$other'")
+        }
+      }
+      flowIntervalMs.foreach { iv =>
+        out.println(s"flow agent: tick every ${iv}ms")
+        val agent = new Thread(() => {
+          while (!flowAgentStop.get()) {
+            try {
+              // re-list each tick: pushes can create datasets while serving
+              val ds = workspaceDatasets(spark, ws)
+              val resolve = (n: String) => ds.getOrElse(n,
+                throw new IllegalArgumentException(s"no dataset '$n' in workspace $ws"))
+              val now = System.currentTimeMillis()
+              notifyingHeadMoves(spark, ws, out, now) {
+                graft.flow.FlowService.runDue(spark, flowRegistry(spark, ws), resolve, now)
+                  .foreach {
+                    case (_, graft.flow.FlowService.NotDue) => ()
+                    case (_, graft.flow.FlowService.Paused) => ()
+                    case (n, st) => out.println(s"flow $n: ${st.render}")
+                  }
+              }
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                out.println(s"flow agent error: ${Option(e.getMessage).getOrElse(e)}")
+            }
+            var waited = 0L
+            while (waited < iv && !flowAgentStop.get()) {
+              val step = math.min(50L, iv); Thread.sleep(step); waited += step
+            }
+          }
+        }, "graft-flow-agent")
+        agent.setDaemon(true)
+        agent.start()
+        flowAgent = Some(agent)
+      }
       // block until stdin closes or an 'exit' line — the testable analog of
       // the reference's run-until-SIGINT api-server loop
       Iterator.continually(in.readLine())
@@ -760,6 +815,8 @@ object Cli {
         .foreach(_ => ())
       0
     } finally {
+      flowAgentStop.set(true)
+      flowAgent.foreach(_.join(3000))
       smart.foreach(_.stop())
       rest.stop()
       stopJdbc.foreach(_.apply())

@@ -176,6 +176,48 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("serve --flow-interval co-runs the flow agent: due datasets pull without manual ticks") {
+    val root = Files.createTempDirectory("graft-cli-serveflow-")
+    Files.writeString(root.resolve("t-2024-01-01.csv"), "town,pop\nnola,364000\n")
+    val towns = Dataset.create(spark, root.resolve("towns"), "towns")
+    towns.chain.append(
+      SetPollingSource(readFormat = "csv", schemaDdl = Some("town STRING, pop INT"),
+        merge = MergeConf("ledger", primaryKey = Seq("town")),
+        fetch = Some(graft.model.MetadataEvent.FetchConf(kind = "filesGlob",
+          glob = Some(root.resolve("t-*.csv").toString),
+          eventTimeRegex = Some("t-(\\d{4}-\\d{2}-\\d{2})\\.csv")))), 0L)
+    // schedule is due immediately (never ran)
+    val (cs, _) = {
+      val bos = new ByteArrayOutputStream()
+      (Cli.run(spark, Seq("--workspace", root.toString, "flow", "set", "towns", "every", "1h"),
+        new BufferedReader(new java.io.StringReader("")),
+        new PrintStream(bos, true, "UTF-8")), bos)
+    }
+    assert(cs === 0)
+
+    val outBuf = new ByteArrayOutputStream()
+    val pipeOut = new java.io.PipedWriter()
+    val pipeIn = new BufferedReader(new java.io.PipedReader(pipeOut))
+    val runner = new Thread(() => {
+      Cli.run(spark,
+        Seq("--workspace", root.toString, "serve", "--flow-interval", "200ms"),
+        pipeIn, new PrintStream(outBuf, true, "UTF-8"))
+    })
+    runner.start()
+    try {
+      val pulled = Iterator.range(0, 150).exists { _ =>
+        Thread.sleep(100)
+        Dataset.open(spark, root.resolve("towns")).chain.lastOffset().contains(0L)
+      }
+      assert(pulled, s"flow agent never pulled:\n${outBuf.toString("UTF-8")}")
+      assert(outBuf.toString("UTF-8").contains("flow towns: pulled"))
+    } finally {
+      pipeOut.write("exit\n"); pipeOut.flush(); pipeOut.close()
+      runner.join(15000)
+      assert(!runner.isAlive, "serve did not shut down on 'exit'")
+    }
+  }
+
   test("pull runs the dependency graph: poll root, transform derivative, then no-op") {
     import graft.model.MetadataEvent.{FetchConf, SqlStep}
     import graft.transform.TransformService

@@ -172,6 +172,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("text operators are map-only: zero shuffles in their plans") {
+    // these process 100 TB as a single scan-project pass — a shuffle
+    // appearing in any of them is a scale regression
+    import graft.functions.Normalize
+    import graft.operators.Corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "gopher_rules" -> Corpus.gopherRules(docs, "doc_id", "text"),
+      "clean_text" -> docs.select(col("doc_id"), Normalize.cleanText(col("text"))),
+      "strip_html" -> docs.select(col("doc_id"), Normalize.stripHtml(col("text"))),
+      "chunk_sentences" -> Corpus.chunkSentences(docs, "doc_id", "text", 3, 1),
+      "chunk_docs" -> Corpus.chunkDocs(docs, "doc_id", "text", 64, 8)
+    )
+    cases.foreach { case (name, df) =>
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty, s"$name must be map-only:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
   test("bucketed IVF probe: the corpus scan feeds the join with NO Exchange") {
     import graft.operators.Similarity
     val corpus = spark.range(500).select(
