@@ -1457,6 +1457,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- within-doc repeated-line removal (in-page headers/footers): each
+    // doc keeps the first occurrence of every >=6-char line, map-only HOF
+    // prefix scan; short lines always pass (legitimate repeats).
+    "dedup_lines_doc" -> { (s, dir) =>
+      import s.implicits._
+      val synth = Seq(
+        (100001L, "SITE HEADER\nreal content one.\nSITE HEADER\nmore content.\nSITE HEADER"),
+        (100002L, "a\nx longer line here\na\nx longer line here\na"),
+        (100003L, "unique one\nunique two")
+      ).toDF("doc_id", "text")
+      Corpus.dedupLinesInDoc(
+        t(s, dir, "documents").select(col("doc_id"), col("text")).unionByName(synth),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // ---- sentence-window chunking (the RAG variant of chunk_docs):
     // greedy [^.!?]+[.!?]* sentence scan (no lookbehind — Java regex and
     // RE2 agree), 3-sentence windows with 1 shared sentence.
@@ -3696,6 +3712,22 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens,
         |  CAST(sum(lp) * -1 AS DOUBLE) / 1000000.0 / count(*) AS logppl
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Same keep-first prefix scan with DuckDB's 1-based indexed lambda.
+    "dedup_lines_doc" ->
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(100001 AS BIGINT), 'SITE HEADER' || chr(10) || 'real content one.' || chr(10) || 'SITE HEADER' || chr(10) || 'more content.' || chr(10) || 'SITE HEADER'),
+        |    (CAST(100002 AS BIGINT), 'a' || chr(10) || 'x longer line here' || chr(10) || 'a' || chr(10) || 'x longer line here' || chr(10) || 'a'),
+        |    (CAST(100003 AS BIGINT), 'unique one' || chr(10) || 'unique two')
+        |  ) AS v(doc_id, text)),
+        |l AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS lines FROM src)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(lines,
+        |    (x, i) -> len(x) < 6 OR coalesce(list_position(lines[1:i-1], x), 0) = 0),
+        |    chr(10)) AS text
+        |FROM l ORDER BY doc_id""".stripMargin,
     // Same sentence scan, same window arithmetic (1-based inclusive list
     // slices in DuckDB == slice(start, length) in Spark).
     "chunk_sentences" ->

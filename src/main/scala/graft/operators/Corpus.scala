@@ -1390,6 +1390,35 @@ object Corpus {
    * `sep` is a literal separator (quoted before it reaches the regex-based
    * `split`), matching DuckDB's plain-string `string_split` in the oracle.
    */
+  /**
+   * WITHIN-document repeated-line removal — the in-doc rewrite sibling of
+   * the corpus-wide [[dedupLines]]: each document keeps only the FIRST
+   * occurrence of every line (repeated in-page headers/footers/nav blocks),
+   * other lines pass through in order. Pure higher-order-function
+   * arithmetic over the line array — map-only, no shuffle, no state; the
+   * per-line prefix scan is O(lines²) per document, bounded by document
+   * size, never by corpus size. Lines shorter than `minLineChars` are
+   * never dropped (blank separators and one-word lines repeat legitimately).
+   */
+  def dedupLinesInDoc(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n",
+      minLineChars: Int = 6
+  ): DataFrame = {
+    val lines = split(coalesce(col(textCol), lit("")),
+      java.util.regex.Pattern.quote(sep))
+    val kept = filter(
+      transform(lines, (l, i) => struct(l.as("l"), i.as("i"))),
+      s => length(s.getField("l")) < minLineChars ||
+        coalesce(
+          array_position(slice(lines, lit(1), s.getField("i")), s.getField("l")),
+          lit(0L)) === 0L)
+    docs.withColumn(textCol,
+      concat_ws(sep, transform(kept, s => s.getField("l"))))
+  }
+
   def dedupLines(
       docs: DataFrame,
       idCol: String,

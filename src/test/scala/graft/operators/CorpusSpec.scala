@@ -674,6 +674,27 @@ class CorpusSpec extends SparkSpec {
     assert(got === Seq("aa</w>", "aa</w>", "aa</w>", "a", "b", "</w>"))
   }
 
+  test("dedupLinesInDoc: keep-first per doc, short lines always pass, map-only") {
+    val df = Seq(
+      (1L, "HEADER LINE\nbody one.\nHEADER LINE\nbody two.\nHEADER LINE"),
+      (2L, "a\nb\na\nb\na"), // short lines: all kept
+      (3L, null.asInstanceOf[String]),
+      (4L, "only line")
+    ).toDF("id", "text")
+    val got = Corpus.dedupLinesInDoc(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "HEADER LINE\nbody one.\nbody two.")
+    assert(got(2L) === "a\nb\na\nb\na")
+    assert(got(3L) === "") // null text -> empty, not NPE
+    assert(got(4L) === "only line")
+    // map-only plan
+    val shuffles = Corpus.dedupLinesInDoc(df, "id", "text")
+      .queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    assert(shuffles.isEmpty)
+  }
+
   test("chunkSentences: windows with overlap, tail covered, terminators kept") {
     val df = Seq(
       (1L, "One. Two! Three? Four. Five."),
