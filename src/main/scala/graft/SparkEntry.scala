@@ -951,6 +951,26 @@ object SparkEntry {
         .orderBy(col("qid"), col("rnk"))
     },
 
+    // ---- the at-scale multi-table layout: one row per (table, vector)
+    // bucketed by (t, bucket), probed with zero corpus shuffle. Same
+    // candidates, same oracle as the ad-hoc multi-table entry.
+    "ann_lsh_multitable_bucketed" -> { (s, dir) =>
+      val tables = (0 until 3).map(t =>
+        Similarity.intPlanes(numPlanes = 6, dim = 64, seed = 42L + t))
+      val emb = t(s, dir, "embeddings")
+      val q = emb
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), Similarity.quantize(col("embedding")).as("qv"))
+      val c = emb.select(col("vec_id").as("cid"), Similarity.quantize(col("embedding")).as("cv"))
+      Similarity.materializeLshCorpusMultiTable(c, "cid", "cv", tables,
+        numBuckets = 8, table = "graft_lsh_mt")
+      Similarity
+        .lshTopKMultiTableFromTable(s, "graft_lsh_mt", q, "qid", "qv", k = 5,
+          planeTables = tables)
+        .select(col("qid"), col("rnk").cast("bigint").as("rnk"), col("cid"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+
     // ---- IVF ANN (beyond-reference): deterministic k-means training +
     // cell-probed search. nprobe = k probes every cell, which makes the
     // pipeline EXACTLY brute force — so the exhaustive oracle checks the
@@ -2711,6 +2731,39 @@ object SparkEntry {
   private def planesLit(planes: Seq[Array[Long]]): String =
     planes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
 
+  /** Union-of-3-tables candidates + exact quantized cosine — shared by
+    * the ad-hoc and bucketed-layout multi-table entries. */
+  private val annLshMultitableOracle: String = {
+      val tbl = (0 until 3).map(t => planesLit(
+        graft.operators.Similarity.intPlanes(numPlanes = 6, dim = 64, seed = 42L + t)))
+        .mkString("[", ",", "]")
+      s"""WITH p AS (SELECT $tbl AS tbl),
+         |q AS (SELECT vec_id AS qid, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT)) AS qv
+         |      FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cid, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT)) AS cv
+         |      FROM embeddings),
+         |qb AS (SELECT qid, t,
+         |  list_sum([CASE WHEN list_dot_product(CAST(qv AS DOUBLE[]), CAST(tbl[t+1][i+1] AS DOUBLE[])) > 0 THEN 1<<i ELSE 0 END for i in range(6)]) AS bucket
+         |  FROM q CROSS JOIN p CROSS JOIN (SELECT unnest(range(3)) AS t) ts),
+         |cb AS (SELECT cid, t,
+         |  list_sum([CASE WHEN list_dot_product(CAST(cv AS DOUBLE[]), CAST(tbl[t+1][i+1] AS DOUBLE[])) > 0 THEN 1<<i ELSE 0 END for i in range(6)]) AS bucket
+         |  FROM c CROSS JOIN p CROSS JOIN (SELECT unnest(range(3)) AS t) ts),
+         |cand AS (
+         |  SELECT DISTINCT qid, cid FROM qb JOIN cb USING (t, bucket) WHERE qid <> cid),
+         |scored AS (
+         |  SELECT qid, cid,
+         |    CASE WHEN sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE))
+         |            * sqrt(CAST(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)) > 0
+         |         THEN CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)
+         |            / (sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE))
+         |             * sqrt(CAST(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)))
+         |         ELSE 0.0 END AS cos
+         |  FROM cand JOIN q USING (qid) JOIN c USING (cid))
+         |SELECT qid, rnk, cid FROM (
+         |  SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
+         |  FROM scored) WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  }
+
   /** Exhaustive quantized-cosine top-5 — the ground truth for both IVF
     * entries (nprobe = k makes the probe set the full corpus). */
   private val annIvfOracle: String =
@@ -3283,37 +3336,11 @@ object SparkEntry {
     "ann_ivf_bucketed" -> annIvfOracle,
     "ann_ivf_append" -> annIvfOracle,
     // Union-of-tables replication: bucket per (table, planes[t]); a
-    // candidate is any pair sharing a bucket in ANY of the 3 tables.
-    "ann_lsh_multitable" -> {
-      val tbl = (0 until 3).map(t => planesLit(
-        graft.operators.Similarity.intPlanes(numPlanes = 6, dim = 64, seed = 42L + t)))
-        .mkString("[", ",", "]")
-      s"""WITH p AS (SELECT $tbl AS tbl),
-         |q AS (SELECT vec_id AS qid, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT)) AS qv
-         |      FROM embeddings WHERE vec_id < 10),
-         |c AS (SELECT vec_id AS cid, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT)) AS cv
-         |      FROM embeddings),
-         |qb AS (SELECT qid, t,
-         |  list_sum([CASE WHEN list_dot_product(CAST(qv AS DOUBLE[]), CAST(tbl[t+1][i+1] AS DOUBLE[])) > 0 THEN 1<<i ELSE 0 END for i in range(6)]) AS bucket
-         |  FROM q CROSS JOIN p CROSS JOIN (SELECT unnest(range(3)) AS t) ts),
-         |cb AS (SELECT cid, t,
-         |  list_sum([CASE WHEN list_dot_product(CAST(cv AS DOUBLE[]), CAST(tbl[t+1][i+1] AS DOUBLE[])) > 0 THEN 1<<i ELSE 0 END for i in range(6)]) AS bucket
-         |  FROM c CROSS JOIN p CROSS JOIN (SELECT unnest(range(3)) AS t) ts),
-         |cand AS (
-         |  SELECT DISTINCT qid, cid FROM qb JOIN cb USING (t, bucket) WHERE qid <> cid),
-         |scored AS (
-         |  SELECT qid, cid,
-         |    CASE WHEN sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE))
-         |            * sqrt(CAST(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)) > 0
-         |         THEN CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)
-         |            / (sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE))
-         |             * sqrt(CAST(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)))
-         |         ELSE 0.0 END AS cos
-         |  FROM cand JOIN q USING (qid) JOIN c USING (cid))
-         |SELECT qid, rnk, cid FROM (
-         |  SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
-         |  FROM scored) WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
-    },
+    // candidate is any pair sharing a bucket in ANY of the 3 tables. The
+    // bucketed-layout variant computes the identical candidates off the
+    // stored (t, bucket) rows — same oracle.
+    "ann_lsh_multitable_bucketed" -> annLshMultitableOracle,
+    "ann_lsh_multitable" -> annLshMultitableOracle,
     "ann_sq8" ->
       """WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |ex AS (SELECT vec_id, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS pos FROM c0),

@@ -28,8 +28,21 @@ object Bucketing {
       bucketCol: String,
       numBuckets: Int,
       sortCols: Seq[String] = Nil
+  ): Unit =
+    materializeBucketedBy(df, table, Seq(bucketCol), numBuckets, sortCols)
+
+  /** Composite-key variant: `bucketBy(numBuckets, cols...)` — the layout
+    * for joins on a multi-part key (e.g. the multi-table LSH corpus's
+    * (table, bucket)). */
+  def materializeBucketedBy(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil
   ): Unit = {
     require(numBuckets > 0, "numBuckets must be positive")
+    require(bucketCols.nonEmpty, "need at least one bucket column")
     // Unqualified names only: the stale-location cleanup below computes the
     // managed path as wh/<name>, which is wrong for db-qualified tables
     // (db.tbl lives at wh/db.db/tbl), and the backticked DROP would quote
@@ -42,7 +55,8 @@ object Bucketing {
     val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    val w = df.write.bucketBy(numBuckets, bucketCol).mode("overwrite")
+    val w = df.write.bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .mode("overwrite")
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }

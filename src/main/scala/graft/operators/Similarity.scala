@@ -378,6 +378,82 @@ object Similarity {
   }
 
   /**
+   * Materialize the MULTI-TABLE LSH corpus: one row per (table, vector)
+   * with the per-table bucket, written `bucketBy(numBuckets, t, bucket)` —
+   * [[lshTopKMultiTableFromTable]] then probes all L tables with ZERO
+   * corpus shuffle (the L× row fan-out is paid once at write time, the
+   * classic multi-table space-for-recall trade made durable).
+   */
+  def materializeLshCorpusMultiTable(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planeTables: Seq[Seq[Array[Long]]],
+      numBuckets: Int,
+      table: String
+  ): Unit = {
+    require(planeTables.nonEmpty, "need at least one plane table")
+    val rows = df
+      .withColumn("__tb", explode(array(
+        planeTables.zipWithIndex.map { case (ps, t) =>
+          struct(lit(t).as("t"), intPlaneBucket(col(vecCol), ps).as("bucket"))
+        }: _*)))
+      .select(
+        col(idCol).as("id"),
+        col(vecCol).as("v"),
+        col("__tb.t").as("t"),
+        col("__tb.bucket").as("bucket"),
+        intDot(col(vecCol), col(vecCol)).as("n2"))
+    Bucketing.materializeBucketedBy(rows, table, Seq("t", "bucket"), numBuckets,
+      sortCols = Seq("t", "bucket"))
+  }
+
+  /** Multi-table top-k against a [[materializeLshCorpusMultiTable]] table:
+    * the query side computes its L (table, bucket) probes map-side and
+    * joins the stored layout — no corpus shuffle, no per-query bucket
+    * re-assignment; dedup + rank as in [[lshTopKMultiTable]]. */
+  def lshTopKMultiTableFromTable(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      planeTables: Seq[Seq[Array[Long]]],
+      broadcastMaxBytes: Long = 256L << 20
+  ): DataFrame = {
+    val qb = gateQuerySide(
+      queries
+        .withColumn("__tb", explode(array(
+          planeTables.zipWithIndex.map { case (ps, t) =>
+            struct(lit(t).as("t"), intPlaneBucket(col(qvecCol), ps).as("bucket"))
+          }: _*)))
+        .select(col(qidCol), col(qvecCol),
+          col("__tb.t").as("t"), col("__tb.bucket").as("bucket"))
+        .withColumn("__qn2", intDot(col(qvecCol), col(qvecCol))),
+      fanOut = planeTables.size,
+      broadcastMaxBytes,
+      "shuffle_hash"
+    )
+    val cb = spark.table(table)
+    val nn = sqrt(col("__qn2").cast("double")) * sqrt(col("n2").cast("double"))
+    val scored = cb
+      .join(qb, Seq("t", "bucket"))
+      .filter(col(qidCol) =!= col("id"))
+      .withColumn(
+        "cos",
+        when(nn > 0, intDot(col(qvecCol), col("v")).cast("double") / nn)
+          .otherwise(lit(0.0)))
+      .select(col(qidCol), col("id").as("cid"), col("cos"))
+      .dropDuplicates(qidCol, "cid")
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("cos").desc, col("cid"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(qidCol), col("rnk"), col("cid"), col("cos"))
+  }
+
+  /**
    * Append a new batch into a [[materializeLshCorpus]] table in place —
    * the maintenance half of the bucketed-embedding-corpus loop, the
    * vector sibling of [[Dedup.appendToMinhashIndex]]: `insertInto` writes

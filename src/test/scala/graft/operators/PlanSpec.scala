@@ -248,6 +248,47 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bucketed multi-table LSH probe: corpus scan feeds the join with NO Exchange") {
+    import graft.operators.Similarity
+    val tables = (0 until 2).map(t => Similarity.intPlanes(numPlanes = 3, dim = 4, seed = 11L + t))
+    val corpus = spark.range(400).select(
+      col("id").as("cid"),
+      array(col("id") % 13, col("id") % 7, col("id") % 5, lit(1L)).as("cv"))
+    val queries = spark.range(5).select(
+      col("id").as("qid"),
+      array(col("id") % 13, col("id") % 7, col("id") % 5, lit(1L)).as("qv"))
+    Similarity.materializeLshCorpusMultiTable(corpus, "cid", "cv", tables,
+      numBuckets = 4, table = "plan_spec_lsh_mt")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAdaptive = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val topk = Similarity.lshTopKMultiTableFromTable(spark, "plan_spec_lsh_mt",
+        queries, "qid", "qv", k = 3, planeTables = tables)
+      val plan = topk.queryExecution.executedPlan
+      val corpusShuffled = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.exists { e =>
+        val hasScan = e.child.collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.tableIdentifier.exists(_.table == "plan_spec_lsh_mt") => f
+        }.isDefined
+        val hasJoin = e.child.collectFirst {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+        }.isDefined
+        hasScan && !hasJoin
+      }
+      assert(!corpusShuffled, plan.toString)
+      assert(plan.toString.contains("Bucketed: true"), plan.toString)
+      assert(topk.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAdaptive)
+      spark.sql("DROP TABLE IF EXISTS plan_spec_lsh_mt")
+    }
+  }
+
   test("embeddingDups ad-hoc path: candidate-generation exchanges carry ids, never vectors") {
     val corpus = spark.range(300).select(
       col("id"),
