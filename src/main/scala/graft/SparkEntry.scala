@@ -1573,6 +1573,18 @@ object SparkEntry {
         .orderBy(col("seq_id"))
     },
 
+    // ---- document-boundary positions per packed sequence (what a
+    // trainer's attention-mask reset consumes): within-seq offsets where a
+    // new doc begins; continuation-only sequences have none.
+    "pack_sequence_bounds" -> { (s, dir) =>
+      val docs = Dedup.ensureParallelism(t(s, dir, "documents"))
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      Corpus.packSequences(docs, "doc_id", "toks", seqLen = 512)
+        .select(col("seq_id"), col("n_tokens"),
+          concat_ws(",", transform(col("doc_starts"), x => x.cast("string"))).as("doc_starts"))
+        .orderBy(col("seq_id"))
+    },
+
     // ---- exact substring-span dedup (Lee et al. 2022 spelling): 20-token
     // windows at stride 10; corpus-duplicated windows keep their first
     // (doc, start) occurrence and are cut everywhere else. Spark matches by
@@ -3900,6 +3912,23 @@ object SparkEntry {
         |SELECT off // 512 AS seq_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |       string_agg(tok, ' ' ORDER BY off) AS seq_text
         |FROM g GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+    // Boundary replication: each doc's first token's global offset -> its
+    // sequence and within-seq position.
+    "pack_sequence_bounds" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS i FROM tok),
+        |g AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id, i) - 1 AS off FROM ex),
+        |seqs AS (SELECT off // 512 AS seq_id, CAST(count(*) AS BIGINT) AS n_tokens FROM g GROUP BY seq_id),
+        |starts AS (SELECT doc_id, min(off) AS off0 FROM g GROUP BY doc_id),
+        |bounds AS (
+        |  SELECT off0 // 512 AS seq_id,
+        |         string_agg(CAST(off0 % 512 AS VARCHAR), ',' ORDER BY off0) AS doc_starts
+        |  FROM starts GROUP BY seq_id)
+        |SELECT s.seq_id, s.n_tokens, coalesce(b.doc_starts, '') AS doc_starts
+        |FROM seqs s LEFT JOIN bounds b ON b.seq_id = s.seq_id
+        |ORDER BY s.seq_id""".stripMargin,
     // Span-dedup replication on the window STRINGS (no hash needed in SQL):
     // same windows, same keep-first rule, same token-level rebuild.
     "dedup_spans" ->

@@ -481,7 +481,8 @@ object Corpus {
     withGlobalPrefix(input, idCol, "_ps_n", numBuckets) match {
       case None =>
         input.select(
-          lit(0L).as("seq_id"), lit(0L).as("n_tokens"), col("_ps_ids").as("token_ids"))
+          lit(0L).as("seq_id"), lit(0L).as("n_tokens"), col("_ps_ids").as("token_ids"),
+          array().cast("array<bigint>").as("doc_starts"))
           .limit(0)
       case Some(p) =>
         val L = seqLen.toLong
@@ -496,15 +497,23 @@ object Corpus {
           .withColumn("_until", least(col("_ps_n"), (col("seq_id") + 1) * L - col("_prefix")))
           .select(
             col("seq_id"),
+            col("_from"),
             (col("_prefix") + col("_from")).as("_gpos"),
             expr("slice(_ps_ids, cast(_from + 1 as int), cast(_until - _from as int))").as("_piece"))
+        // doc_starts: within-sequence offsets where a NEW document begins
+        // (_from == 0 means this piece is its document's head) — the
+        // boundary positions a trainer's attention-mask reset consumes.
+        // A sequence that only CONTINUES a long document has none.
         pieces
           .groupBy(col("seq_id"))
-          .agg(flatten(transform(
-            array_sort(collect_list(struct(col("_gpos"), col("_piece")))),
-            x => x.getField("_piece"))).as("token_ids"))
+          .agg(
+            flatten(transform(
+              array_sort(collect_list(struct(col("_gpos"), col("_piece")))),
+              x => x.getField("_piece"))).as("token_ids"),
+            sort_array(collect_list(
+              when(col("_from") === 0L, col("_gpos") - col("seq_id") * L))).as("doc_starts"))
           .withColumn("n_tokens", size(col("token_ids")).cast("long"))
-          .select(col("seq_id"), col("n_tokens"), col("token_ids"))
+          .select(col("seq_id"), col("n_tokens"), col("token_ids"), col("doc_starts"))
     }
   }
 

@@ -674,6 +674,25 @@ class CorpusSpec extends SparkSpec {
     assert(got === Seq("aa</w>", "aa</w>", "aa</w>", "a", "b", "</w>"))
   }
 
+  test("packSequences doc_starts: boundary offsets per sequence, none for pure continuation") {
+    // docs of 3, 5, 4 tokens packed at seqLen 4:
+    // global stream offsets: d1 [0,3), d2 [3,8), d3 [8,12)
+    // seq 0 = [0,4): starts d1@0, d2@3 ; seq 1 = [4,8): continuation only
+    // seq 2 = [8,12): starts d3@0
+    val df = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("d", "e", "f", "g", "h")),
+      (3L, Seq("i", "j", "k", "l"))
+    ).toDF("id", "toks")
+    val got = Corpus.packSequences(df, "id", "toks", seqLen = 4)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getSeq[String](2), r.getSeq[Long](3)))
+      .toMap
+    assert(got(0L) === (Seq("a", "b", "c", "d"), Seq(0L, 3L)))
+    assert(got(1L) === (Seq("e", "f", "g", "h"), Seq.empty[Long]))
+    assert(got(2L) === (Seq("i", "j", "k", "l"), Seq(0L)))
+  }
+
   test("dedupLinesInDoc: keep-first per doc, short lines always pass, map-only") {
     val df = Seq(
       (1L, "HEADER LINE\nbody one.\nHEADER LINE\nbody two.\nHEADER LINE"),
