@@ -1048,6 +1048,27 @@ object SparkEntry {
         .orderBy(col("qid"), col("rnk"))
     },
 
+    // ---- SQ8 codes inside the bucketed LSH corpus — compression × layout:
+    // 8× smaller rows, zero corpus shuffle per probe, bucket-pruned
+    // candidates scored by the codegen'd byte dot. Buckets from the
+    // quantized vectors (ann_lsh's planes), codes from ann_sq8's per-dim
+    // ranges; the oracle composes both constructions.
+    "ann_sq8_bucketed" -> { (s, dir) =>
+      val planes = Similarity.intPlanes(numPlanes = 6, dim = 64, seed = 42L)
+      val emb = t(s, dir, "embeddings")
+      val (mins, maxs) = Similarity.sq8Train(emb, "embedding", dim = 64)
+      Similarity.materializeLshCorpusSq8(
+        emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+        planes, mins, maxs, numBuckets = 8, table = "graft_sq8_corpus")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity
+        .sq8TopKFromTable(s, "graft_sq8_corpus", q, "qid", "qv", k = 5,
+          planes, mins, maxs)
+        .select(col("qid"), col("rnk"), col("cid"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+
     "embed_neardup" -> { (s, dir) =>
       val planes = Similarity.intPlanes(numPlanes = 4, dim = 64, seed = 7L)
       val e = t(s, dir, "embeddings")
@@ -3376,6 +3397,40 @@ object SparkEntry {
         |SELECT qid, rnk, cid FROM (
         |  SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
         |  FROM scored) WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // LSH-bucket candidates (ann_lsh's plane construction on the quantized
+    // vectors) scored by SQ8-code cosine (ann_sq8's encoding) — the two
+    // exact-integer constructions composed.
+    "ann_sq8_bucketed" -> {
+      val pls = planesLit(graft.operators.Similarity.intPlanes(numPlanes = 6, dim = 64, seed = 42L))
+      s"""WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT $pls AS pls),
+         |iq AS (SELECT vec_id, list_transform(v, x -> CAST(round(x*1000) AS BIGINT)) AS qv FROM c0),
+         |bk AS (SELECT vec_id,
+         |  list_sum([CASE WHEN list_dot_product(CAST(qv AS DOUBLE[]), CAST(pls[i+1] AS DOUBLE[])) > 0 THEN 1<<i ELSE 0 END for i in range(6)]) AS bucket
+         |  FROM iq CROSS JOIN p),
+         |ex AS (SELECT vec_id, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS pos FROM c0),
+         |st AS (SELECT pos, min(val) AS mn, max(val) AS mx FROM ex GROUP BY pos),
+         |enc AS (
+         |  SELECT vec_id, list(CASE WHEN mx = mn THEN 0
+         |      ELSE least(255, greatest(0, CAST(floor((val - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT))) END
+         |      ORDER BY pos) AS cv
+         |  FROM ex JOIN st USING (pos) GROUP BY vec_id),
+         |rows0 AS (SELECT e.vec_id, e.cv, b.bucket FROM enc e JOIN bk b ON b.vec_id = e.vec_id),
+         |q AS (SELECT vec_id AS qid, cv AS qv, bucket FROM rows0 WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cid, cv, bucket FROM rows0),
+         |scored AS (
+         |  SELECT qid, cid,
+         |    CASE WHEN sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE))
+         |            * sqrt(CAST(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)) > 0
+         |         THEN CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)
+         |            / (sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE))
+         |             * sqrt(CAST(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE)))
+         |         ELSE 0.0 END AS cos
+         |  FROM q JOIN c USING (bucket) WHERE qid <> cid)
+         |SELECT qid, rnk, cid FROM (
+         |  SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
+         |  FROM scored) WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+    },
     "embed_neardup" -> embedNeardupOracle,
     // Same values, bucketed execution — the oracle is identical by design.
     "embed_neardup_bucketed" -> embedNeardupOracle,

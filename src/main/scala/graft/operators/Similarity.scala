@@ -208,6 +208,81 @@ object Similarity {
     twoLevelTopK(scored, qidCol, cidCol, k)
   }
 
+  /**
+   * The compression × layout composition — SQ8 byte codes INSIDE the
+   * bucketed LSH corpus: rows are (id, packed byte code, bucket, n2) with
+   * the sign-LSH bucket from the quantized vector and the exact integer
+   * squared norm of the code, written `bucketBy(bucket)`. At 100 TB this
+   * is the corpus ANN wants to live in: 8× smaller than long vectors (the
+   * difference between an in-memory table and a spilled one), shuffled
+   * ZERO times per query, buckets pruning candidates. Codes and buckets
+   * are both exact-integer constructions, so the probe stays
+   * DuckDB-oracle-checkable end to end.
+   */
+  def materializeLshCorpusSq8(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String, // raw float embedding
+      planes: Seq[Array[Long]],
+      mins: Seq[Double],
+      maxs: Seq[Double],
+      numBuckets: Int,
+      table: String
+  ): Unit = {
+    import graft.functions.ByteCodes
+    val code = ByteCodes.packBytes(sq8Codes(col(vecCol), mins, maxs))
+    Bucketing.materializeBucketed(
+      df.select(
+        col(idCol).as("id"),
+        code.as("code"),
+        intPlaneBucket(quantize(col(vecCol)), planes).as("bucket"))
+        .withColumn("n2", ByteCodes.byteDot(col("code"), col("code"))),
+      table, "bucket", numBuckets, sortCols = Seq("bucket"))
+  }
+
+  /** SQ8 top-k against a [[materializeLshCorpusSq8]] table: the query side
+    * packs its own codes and computes its own buckets map-side (same
+    * planes/mins/maxs as at write); candidates are bucket matches scored
+    * by the codegen'd byte dot; the corpus feeds the join straight off its
+    * bucketed scan. */
+  def sq8TopKFromTable(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      queries: DataFrame, // (qid, raw float vec)
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      planes: Seq[Array[Long]],
+      mins: Seq[Double],
+      maxs: Seq[Double],
+      broadcastMaxBytes: Long = 256L << 20
+  ): DataFrame = {
+    import graft.functions.ByteCodes
+    val qb = gateQuerySide(
+      queries
+        .select(
+          col(qidCol),
+          ByteCodes.packBytes(sq8Codes(col(qvecCol), mins, maxs)).as("__qc"),
+          intPlaneBucket(quantize(col(qvecCol)), planes).as("bucket"))
+        .withColumn("__qn2", ByteCodes.byteDot(col("__qc"), col("__qc"))),
+      fanOut = 1,
+      broadcastMaxBytes,
+      "shuffle_hash"
+    )
+    val cb = spark.table(table)
+    val nn = sqrt(col("__qn2").cast("double")) * sqrt(col("n2").cast("double"))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("cos").desc, col("id"))
+    cb.join(qb, Seq("bucket"))
+      .filter(col(qidCol) =!= col("id"))
+      .withColumn(
+        "cos",
+        when(nn > 0, ByteCodes.byteDot(col("__qc"), col("code")).cast("double") / nn)
+          .otherwise(lit(0.0)))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col(qidCol), col("rnk"), col("id").as("cid"), col("cos"))
+  }
+
   /** Deterministic random hyperplanes (seeded), as literal expression trees. */
   private def planes(numPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
     val rnd = new Random(seed)

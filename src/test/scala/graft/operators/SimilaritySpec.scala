@@ -205,6 +205,47 @@ class SimilaritySpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS sim_fresh_ivf")
   }
 
+  test("SQ8 bucketed corpus: 8x smaller rows, candidates == LSH buckets, scores == SQ8") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planes = Similarity.intPlanes(numPlanes = 4, dim = 64, seed = 42L)
+    val (mins, maxs) = Similarity.sq8Train(emb, "embedding", dim = 64)
+    Similarity.materializeLshCorpusSq8(
+      emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+      planes, mins, maxs, numBuckets = 4, table = "sim_sq8_corpus")
+    // the stored code is ONE byte per dimension
+    val row = spark.table("sim_sq8_corpus").head()
+    assert(row.getAs[Array[Byte]]("code").length === 64)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = Similarity.sq8TopKFromTable(spark, "sim_sq8_corpus", q, "qid", "qv",
+      k = 3, planes, mins, maxs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: same buckets + same SQ8 scoring spelled with the ad-hoc
+    // operators — quantized bucket filter over the sq8 pair scores
+    val cb = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      Similarity.intPlaneBucket(Similarity.quantize(col("embedding")), planes).as("cb"))
+    val qb = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid2"), col("embedding").as("qv2"),
+        Similarity.intPlaneBucket(Similarity.quantize(col("embedding")), planes).as("qb"))
+    import graft.functions.ByteCodes
+    val qc = qb.withColumn("qcode", ByteCodes.packBytes(Similarity.sq8Codes(col("qv2"), mins, maxs)))
+    val cc = cb.withColumn("ccode", ByteCodes.packBytes(Similarity.sq8Codes(col("cv"), mins, maxs)))
+    val nn = sqrt(ByteCodes.byteDot(col("qcode"), col("qcode")).cast("double")) *
+      sqrt(ByteCodes.byteDot(col("ccode"), col("ccode")).cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid2")).orderBy(col("cos").desc, col("cid"))
+    val expected = cc.join(qc, col("qb") === col("cb") && col("qid2") =!= col("cid"))
+      .withColumn("cos",
+        when(nn > 0, ByteCodes.byteDot(col("qcode"), col("ccode")).cast("double") / nn)
+          .otherwise(lit(0.0)))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select(col("qid2"), col("rnk"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected && got.nonEmpty)
+    spark.sql("DROP TABLE IF EXISTS sim_sq8_corpus")
+  }
+
   test("multi-table LSH: recall@10 >= single-table on the sf0.1 embedding fixture") {
     val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 50)
