@@ -1531,6 +1531,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- the round-9 cleaning/filter stack composed END TO END, one
+    // oracle: strip HTML → normalize → in-doc line dedup → Gopher rules
+    // (stopword threshold 1 — the fixture lexicon carries only 'the') →
+    // bigram-LM trained ON THE SURVIVORS → drop the worst-perplexity third.
+    // Stage interplay is the point: the LM sees only post-filter text, and
+    // the rank cut sees only LM-scored survivors.
+    "corpus_pipeline_v2" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.Normalize
+      val synth = Seq(
+        (100001L, "NAV MENU\n<p>the pipeline cleans the markup and the repeated " +
+          "navigation lines before the quality rules measure the words</p>\nNAV MENU\n" +
+          "after the cleaning stage the remaining text must still carry enough words " +
+          "for the gopher length rule to accept the document as real content for the " +
+          "training corpus we build here today\nNAV MENU"),
+        (100002L, "### ### ### ###")
+      ).toDF("doc_id", "text")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text")).unionByName(synth)
+      val cleaned = Corpus.dedupLinesInDoc(
+        docs.withColumn("text", Normalize.cleanText(Normalize.stripHtml(col("text")))),
+        "doc_id", "text")
+      val keep = Corpus.gopherRules(cleaned, "doc_id", "text", minStopwordHits = 1)
+        .filter(col("pass")).select("doc_id")
+      val survivors = cleaned.join(keep, "doc_id")
+      val lm = Corpus.trainNgramLm(survivors, "text")
+      Corpus.pplBuckets(survivors, "doc_id", "text", lm, numBuckets = 3)
+        .filter(col("bucket") < 2)
+        .join(survivors, "doc_id")
+        .select(col("doc_id"), col("bucket"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- CCNet-style perplexity bucketing (Wenzek et al. 2020): LM-score
     // every document, cut the corpus into head/middle/tail thirds by EXACT
     // perplexity rank — distributed total sort + zipWithIndex, never a
@@ -1798,6 +1830,33 @@ object SparkEntry {
       sampled(keyOnly = false, "all")
         .unionByName(sampled(keyOnly = true, "key"))
         .orderBy(col("mode"), col("vid"), col("frame_idx"))
+    },
+
+    // ---- REAL audio segmentation: PCM WAVs cut into fixed training
+    // windows (sample-exact slices re-encoded as standalone WAVs), then
+    // RE-DECODED through the metadata decoder — frames, duration, and rms
+    // of every segment are closed-form from the constant-amplitude
+    // fixtures, and the re-decode proves each segment is a valid WAV.
+    "audio_segments" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.{MediaCodec, Multimodal}
+      val a1 = MediaCodec.wavBytes(
+        Array.tabulate[Short](8000)(i => if (i < 4000) 8192 else 0), 8000)
+      val a2 = MediaCodec.wavBytes(Array.fill[Short](2400)(16384), 8000)
+      val wavs = Seq((1L, a1), (2L, a2)).toDF("aid", "content").repartition(2)
+      val segs = Multimodal
+        .sliceAudioSegments(wavs, "aid", "content", everyMs = 250, segmentMs = 250)
+        .select((col("id") * 100 + col("seg_idx")).as("id"),
+          lit("audio/wav").as("kind"), col("wav").as("content"),
+          col("start_ms"), col("frames"))
+      val meta = Multimodal.decodeMediaMeta(
+        segs.select("id", "kind", "content"), "id", "kind", "content")
+        .select(col("id"), col("duration_ms"), col("rms_q"))
+      segs.select(col("id").as("sid"), col("start_ms"), col("frames"))
+        .join(meta, col("sid") === col("id"))
+        .select(col("sid"), col("start_ms"), col("frames"),
+          col("duration_ms"), col("rms_q"))
+        .orderBy(col("sid"))
     },
 
     // ---- perceptual image near-dup: REAL decode → dHash → pigeonhole
@@ -3891,6 +3950,105 @@ object SparkEntry {
         |    AND bullet_frac <= 0.1 AND ellipsis_frac <= 0.3
         |    AND alpha_frac >= 0.8 AND stopword_hits >= 2) AS pass
         |FROM m3 ORDER BY doc_id""".stripMargin,
+    // Every stage recomputed in sequence: the strip/clean chain, the
+    // in-doc keep-first line scan, the Gopher terms (stopword threshold 1),
+    // the survivor-trained LM, and the rank cut.
+    "corpus_pipeline_v2" ->
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(100001 AS BIGINT), 'NAV MENU' || chr(10) || '<p>the pipeline cleans the markup and the repeated navigation lines before the quality rules measure the words</p>' || chr(10) || 'NAV MENU' || chr(10) || 'after the cleaning stage the remaining text must still carry enough words for the gopher length rule to accept the document as real content for the training corpus we build here today' || chr(10) || 'NAV MENU'),
+        |    (CAST(100002 AS BIGINT), '### ### ### ###')
+        |  ) AS v(doc_id, text)),
+        |cln0 AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(regexp_replace(regexp_replace(text,
+        |          '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |        '&nbsp;', ' '), '&amp;', '&')),
+        |      '[\x00-\x09\x0B-\x1F\x7F]', ' ', 'g'), ' +', ' ', 'g')) AS text
+        |  FROM src),
+        |lns AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM cln0),
+        |cln AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_filter(lines,
+        |      (x, i) -> len(x) < 6 OR coalesce(list_position(lines[1:i-1], x), 0) = 0),
+        |      chr(10)) AS text
+        |  FROM lns),
+        |tokg AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM cln),
+        |mg AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0) AS BIGINT) AS sum_len,
+        |    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+        |      + CAST((len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT) AS symbols,
+        |    string_split(text, chr(10)) AS lines,
+        |    CAST(coalesce(list_sum(list_transform(toks,
+        |      t -> CASE WHEN regexp_matches(t, '[a-z]') THEN 1 ELSE 0 END)), 0) AS BIGINT) AS alpha_words,
+        |    CAST(CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END AS BIGINT) AS stopword_hits
+        |  FROM tokg),
+        |keep AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, n_words,
+        |      CASE WHEN n_words > 0 THEN CAST(sum_len AS DOUBLE) / n_words ELSE 0.0 END AS mean_word_len,
+        |      CASE WHEN n_words > 0 THEN CAST(symbols AS DOUBLE) / n_words ELSE 0.0 END AS symbol_ratio,
+        |      CASE WHEN len(lines) > 0 THEN CAST(coalesce(list_sum(list_transform(lines,
+        |        l -> CASE WHEN ltrim(l) LIKE '- %' OR ltrim(l) LIKE '* %' OR ltrim(l) LIKE chr(8226) || '%' THEN 1 ELSE 0 END)), 0) AS DOUBLE) / len(lines) ELSE 0.0 END AS bullet_frac,
+        |      CASE WHEN len(lines) > 0 THEN CAST(coalesce(list_sum(list_transform(lines,
+        |        l -> CASE WHEN rtrim(l) LIKE '%...' THEN 1 ELSE 0 END)), 0) AS DOUBLE) / len(lines) ELSE 0.0 END AS ellipsis_frac,
+        |      CASE WHEN n_words > 0 THEN CAST(alpha_words AS DOUBLE) / n_words ELSE 0.0 END AS alpha_frac,
+        |      stopword_hits
+        |    FROM mg)
+        |  WHERE n_words >= 50 AND n_words <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.1 AND ellipsis_frac <= 0.3
+        |    AND alpha_frac >= 0.8 AND stopword_hits >= 1),
+        |surv AS (SELECT c.doc_id, c.text FROM cln c JOIN keep k ON k.doc_id = c.doc_id),
+        |tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM surv),
+        |ex0 AS (
+        |  SELECT doc_id, toks, unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS i FROM tok),
+        |ex AS (
+        |  SELECT doc_id, tok, CASE WHEN i = 1 THEN NULL ELSE toks[i - 1] END AS prev FROM ex0),
+        |uni AS (SELECT tok, count(*) AS c1 FROM ex GROUP BY tok),
+        |bi AS (SELECT prev, tok, count(*) AS c2 FROM ex WHERE prev IS NOT NULL GROUP BY prev, tok),
+        |tot AS (SELECT count(*) AS n, count(DISTINCT tok) AS v FROM ex),
+        |sc AS (
+        |  SELECT e.doc_id,
+        |    CAST(floor(ln(
+        |      CASE WHEN b.c2 IS NOT NULL THEN CAST(b.c2 AS DOUBLE) / cp.c1
+        |           WHEN e.prev IS NOT NULL THEN 0.4 * (CAST(coalesce(u.c1, 0) + 1 AS DOUBLE) / (t.n + t.v))
+        |           ELSE CAST(coalesce(u.c1, 0) + 1 AS DOUBLE) / (t.n + t.v) END) * 1000000.0) AS BIGINT) AS lp
+        |  FROM ex e CROSS JOIN tot t
+        |  LEFT JOIN uni u ON u.tok = e.tok
+        |  LEFT JOIN uni cp ON cp.tok = e.prev
+        |  LEFT JOIN bi b ON b.prev = e.prev AND b.tok = e.tok),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(lp) * -1 AS DOUBLE) / 1000000.0 / count(*) AS logppl
+        |  FROM sc GROUP BY doc_id),
+        |nn AS (SELECT count(*) AS n FROM agg),
+        |bkt AS (
+        |  SELECT doc_id, (row_number() OVER (ORDER BY logppl, doc_id) - 1) * 3 // n AS bucket
+        |  FROM agg CROSS JOIN nn)
+        |SELECT b.doc_id, b.bucket, s.text
+        |FROM bkt b JOIN surv s ON s.doc_id = b.doc_id
+        |WHERE b.bucket < 2 ORDER BY b.doc_id""".stripMargin,
     // Same LM pipeline, then the exact 3-way rank cut:
     // bucket = floor(0-based-rank * 3 / n) over (logppl, doc_id) order.
     "ppl_buckets" ->
@@ -4150,6 +4308,18 @@ object SparkEntry {
         |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), 1),
         |  (CAST(3 AS BIGINT), CAST(4 AS BIGINT), 1)
         |) AS t(id_a, id_b, hamming) ORDER BY id_a, id_b""".stripMargin,
+    // Closed-form: audio 1 = 1 s @8 kHz (first half amp 8192, second half
+    // silence) → 4 × 250 ms segments with rms 250,250,0,0; audio 2 =
+    // 300 ms @16384 → one full segment + a 400-frame (50 ms) tail, rms 500.
+    "audio_segments" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(100 AS BIGINT), CAST(0 AS BIGINT), CAST(2000 AS BIGINT), CAST(250 AS BIGINT), CAST(250 AS BIGINT)),
+        |  (CAST(101 AS BIGINT), CAST(250 AS BIGINT), CAST(2000 AS BIGINT), CAST(250 AS BIGINT), CAST(250 AS BIGINT)),
+        |  (CAST(102 AS BIGINT), CAST(500 AS BIGINT), CAST(2000 AS BIGINT), CAST(250 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(103 AS BIGINT), CAST(750 AS BIGINT), CAST(2000 AS BIGINT), CAST(250 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(200 AS BIGINT), CAST(0 AS BIGINT), CAST(2000 AS BIGINT), CAST(250 AS BIGINT), CAST(500 AS BIGINT)),
+        |  (CAST(201 AS BIGINT), CAST(250 AS BIGINT), CAST(400 AS BIGINT), CAST(50 AS BIGINT), CAST(500 AS BIGINT))
+        |) AS t(sid, start_ms, frames, duration_ms, rms_q) ORDER BY sid""".stripMargin,
     // Closed-form: video 6 = 10 frames @250ms (sync every 3rd), video 7 =
     // 5 frames @400ms (all sync); targets 0,1000,2000(,3000) pick the last
     // frame at-or-before each (tail-inclusive), keyframesOnly restricts to

@@ -192,6 +192,54 @@ object MediaCodec {
   }
 
   /**
+   * Cut a 16-bit mono PCM WAV into fixed `segmentMs` windows stepping
+   * `everyMs` — the audio analog of video frame sampling (ASR/audio-model
+   * training consumes fixed windows, not whole files). Sample-exact: each
+   * segment is a frame-range slice of the decoded PCM re-encoded as WAV,
+   * so a segment's samples are byte-identical to the source range. The
+   * final partial window is kept (like the tail-inclusive frame sampler).
+   * Returns (startMs, frames, wav bytes) per segment.
+   */
+  def sliceWavSegments(
+      bytes: Array[Byte],
+      everyMs: Long,
+      segmentMs: Long
+  ): Seq[(Long, Long, Array[Byte])] = {
+    require(everyMs > 0 && segmentMs > 0, "everyMs and segmentMs must be positive")
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      require(
+        fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"only 16-bit signed mono PCM supported, got $fmt")
+      val rate = fmt.getSampleRate.toInt
+      val data = in.readAllBytes()
+      val frames = data.length / 2
+      val out = Seq.newBuilder[(Long, Long, Array[Byte])]
+      var startMs = 0L
+      while (startMs * rate / 1000L < frames) {
+        val from = (startMs * rate / 1000L).toInt
+        val until = math.min(frames.toLong, (startMs + segmentMs) * rate / 1000L).toInt
+        if (until > from) {
+          val samples = new Array[Short](until - from)
+          var i = 0
+          while (i < samples.length) {
+            val o = (from + i) * 2
+            samples(i) =
+              if (fmt.isBigEndian) ((data(o) << 8) | (data(o + 1) & 0xff)).toShort
+              else ((data(o + 1) << 8) | (data(o) & 0xff)).toShort
+            i += 1
+          }
+          out += ((startMs, (until - from).toLong, wavBytes(samples, rate)))
+        }
+        startMs += everyMs
+      }
+      out.result()
+    } finally in.close()
+  }
+
+  /**
    * 64-bit loudness-envelope fingerprint of a PCM WAV — the audio analog of
    * the image dHash: the sample stream splits into 65 exact integer-
    * partition windows, and bit i is set when window i+1 is louder (higher

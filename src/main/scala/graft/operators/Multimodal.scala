@@ -230,6 +230,38 @@ object Multimodal {
     }
   }
 
+  /** REAL audio segmentation: PCM WAV → fixed training windows
+    * ([[MediaCodec.sliceWavSegments]]) as (id, seg_idx, start_ms, frames,
+    * wav binary) — sample-exact slices re-encoded as standalone WAVs, the
+    * audio leg of the frame-sampling family. Map-only; undecodable or
+    * non-PCM rows are dropped. */
+  def sliceAudioSegments(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      everyMs: Long,
+      segmentMs: Long
+  ): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType), col(contentCol).cast(BinaryType))
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("seg_idx", IntegerType),
+      StructField("start_ms", LongType),
+      StructField("frames", LongType),
+      StructField("wav", BinaryType)
+    ))
+    processMediaPartitions(in, contentCol, schema) { rows =>
+      rows.flatMap { r =>
+        try {
+          MediaCodec.sliceWavSegments(r.getAs[Array[Byte]](1), everyMs, segmentMs)
+            .zipWithIndex.map { case ((startMs, frames, wav), i) =>
+              Row(r.getLong(0), i, startMs, frames, wav)
+            }
+        } catch { case _: Exception => Nil }
+      }
+    }
+  }
+
   /** REAL audio fingerprinting: PCM WAV → 64-bit loudness-envelope hash
     * ([[MediaCodec.audioEnvelopeHash64]]), a drop-in `hashCol` for
     * [[Dedup.dhashDups]] banded Hamming near-dup search — the audio leg of

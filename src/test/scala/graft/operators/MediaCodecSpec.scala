@@ -206,6 +206,40 @@ class MediaCodecSpec extends SparkSpec {
     assert(MediaCodec.sampleFrameRefs(Nil, 1000L, keyframesOnly = false) === Nil)
   }
 
+  test("sliceWavSegments: sample-exact windows, tail kept, round-trips through decode") {
+    val src = Array.tabulate[Short](8000)(i => if (i < 4000) 8192 else -8192)
+    val wav = MediaCodec.wavBytes(src, 8000)
+    val segs = MediaCodec.sliceWavSegments(wav, everyMs = 250, segmentMs = 250)
+    assert(segs.map(s => (s._1, s._2)) === Seq((0L, 2000L), (250L, 2000L), (500L, 2000L), (750L, 2000L)))
+    // byte-exact round trip: re-decoded segment samples == the source range
+    val seg1 = AudioSystemHelpers.samples(segs(1)._3)
+    assert(seg1 === src.slice(2000, 4000).toSeq)
+    // tail partial window
+    val tail = MediaCodec.sliceWavSegments(
+      MediaCodec.wavBytes(Array.fill[Short](2400)(100), 8000), 250, 250)
+    assert(tail.map(s => (s._1, s._2)) === Seq((0L, 2000L), (250L, 400L)))
+    // distributed path drops undecodable rows
+    import spark.implicits._
+    val df = Seq((1L, wav), (2L, "junk".getBytes)).toDF("id", "content")
+    val got = Multimodal.sliceAudioSegments(df, "id", "content", 250, 250).collect()
+    assert(got.length === 4 && got.forall(_.getLong(0) === 1L))
+  }
+
+  private object AudioSystemHelpers {
+    def samples(wav: Array[Byte]): Seq[Short] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      try {
+        val data = in.readAllBytes()
+        val fmt = in.getFormat
+        (0 until data.length / 2).map { i =>
+          if (fmt.isBigEndian) ((data(i * 2) << 8) | (data(i * 2 + 1) & 0xff)).toShort
+          else ((data(i * 2 + 1) << 8) | (data(i * 2) & 0xff)).toShort
+        }
+      } finally in.close()
+    }
+  }
+
   test("sampleVideoFrames: distributed frame extraction, opaque payload column") {
     import spark.implicits._
     val mp4 = MediaCodec.mp4BytesWithSamples(
