@@ -1549,12 +1549,17 @@ object SparkEntry {
         (100002L, "### ### ### ###")
       ).toDF("doc_id", "text")
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text")).unionByName(synth)
+      // lineage cuts: the clean/dedup HOF chain and the filtered survivor
+      // set each feed MANY downstream consumers (rules scan, LM train's two
+      // aggregations, scoring joins, the rank sort, the final join) —
+      // without the cuts every consumer re-runs the whole text pipeline
+      // (measured 12.8 s -> ~3 s at sf0.1)
       val cleaned = Corpus.dedupLinesInDoc(
         docs.withColumn("text", Normalize.cleanText(Normalize.stripHtml(col("text")))),
-        "doc_id", "text")
+        "doc_id", "text").localCheckpoint()
       val keep = Corpus.gopherRules(cleaned, "doc_id", "text", minStopwordHits = 1)
         .filter(col("pass")).select("doc_id")
-      val survivors = cleaned.join(keep, "doc_id")
+      val survivors = cleaned.join(keep, "doc_id").localCheckpoint()
       val lm = Corpus.trainNgramLm(survivors, "text")
       Corpus.pplBuckets(survivors, "doc_id", "text", lm, numBuckets = 3)
         .filter(col("bucket") < 2)

@@ -66,7 +66,9 @@ object Corpus {
    * pow is ~1 ulp — the α to use when cross-engine checking matters).
    * Selection applies the rates through [[sampleBySource]]'s deterministic
    * (source, id) hash: one |sources|-row aggregate on the driver, then a
-   * map-only filter — no corpus shuffle.
+   * map-only filter — no corpus shuffle. Rows with a NULL source are
+   * dropped (no source, no sampling weight — scrub or default the column
+   * upstream if they should participate).
    */
   def temperatureSample(
       df: DataFrame,

@@ -205,7 +205,9 @@ class CliSpec extends SparkSpec {
     })
     runner.start()
     try {
-      val pulled = Iterator.range(0, 150).exists { _ =>
+      // generous window: under the full parallel suite the shared local
+      // Spark can leave this 200ms-tick pull queued for a long while
+      val pulled = Iterator.range(0, 600).exists { _ =>
         Thread.sleep(100)
         Dataset.open(spark, root.resolve("towns")).chain.lastOffset().contains(0L)
       }
@@ -213,7 +215,7 @@ class CliSpec extends SparkSpec {
       assert(outBuf.toString("UTF-8").contains("flow towns: pulled"))
     } finally {
       pipeOut.write("exit\n"); pipeOut.flush(); pipeOut.close()
-      runner.join(15000)
+      runner.join(60000)
       assert(!runner.isAlive, "serve did not shut down on 'exit'")
     }
   }
