@@ -414,6 +414,19 @@ object SparkEntry {
           table = "graft_minhash_idx", minSim = 0.5)
         .orderBy(col("id_new"), col("id_corpus"))
     },
+    // ---- cross-corpus NEAR-dedup: drop training docs near-duplicating
+    // any benchmark doc (MinHash est. Jaccard >= 0.5) — the near-dup tier
+    // of decontamination; a paraphrase slips the exact-n-gram check but
+    // not this one. Split on doc_id % 7: refs are the %7==0 slice.
+    "dedup_against" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.dedupAgainst(
+        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", minSim = 0.5)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- index MAINTENANCE: probe → append → re-probe. Generation 0
     // probes an index of doc_id%5∈{1,2,3}; the %5=4 batch is then APPENDED
     // in place (insertInto through the bucket spec — no rebuild, O(batch)
@@ -3085,6 +3098,29 @@ object SparkEntry {
          |  FROM pairs_i JOIN sig sa ON sa.doc_id = id_new JOIN sig sb ON sb.doc_id = id_corpus)
          |SELECT id_new, id_corpus, est_jaccard FROM est_i
          |WHERE est_jaccard >= 0.5 ORDER BY id_new, id_corpus""".stripMargin,
+    // Cross-split near-dup hits (ref side capped like the operator), then
+    // the anti-join back to the surviving training docs.
+    "dedup_against" ->
+      s"""WITH $minhashOracleCtes,
+         |bd AS (
+         |  SELECT doc_id, b AS band, array_to_string(sig[b*4+1:b*4+4], ',') AS bkey
+         |  FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bands
+         |  WHERE doc_id % 7 <> 0),
+         |br AS (
+         |  SELECT doc_id, b AS band, array_to_string(sig[b*4+1:b*4+4], ',') AS bkey
+         |  FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bands
+         |  WHERE doc_id % 7 = 0
+         |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= 1000),
+         |cand AS (
+         |  SELECT DISTINCT d.doc_id AS did, r.doc_id AS rid
+         |  FROM bd d JOIN br r ON d.band = r.band AND d.bkey = r.bkey),
+         |hit AS (
+         |  SELECT DISTINCT did FROM cand
+         |  JOIN sig sa ON sa.doc_id = did JOIN sig sb ON sb.doc_id = rid
+         |  WHERE list_sum([CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END for i in range(64)]) / 64.0 >= 0.5)
+         |SELECT doc_id, source FROM documents
+         |WHERE doc_id % 7 <> 0 AND doc_id NOT IN (SELECT did FROM hit)
+         |ORDER BY doc_id""".stripMargin,
     // Probe → append → re-probe: gen 0 = index of doc_id%5∈{1,2,3}; gen 1
     // adds the %5=4 batch with APPEND cap semantics (existing rows keep
     // their seats; the batch fills each bucket's remaining capacity in

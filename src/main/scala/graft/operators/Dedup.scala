@@ -333,6 +333,73 @@ object Dedup {
     out
   }
 
+  /**
+   * CROSS-corpus near-dedup: drop every document of `docs` that
+   * near-duplicates (MinHash-estimated Jaccard ≥ `minSim`) ANY document of
+   * `refDocs` — train/eval separation at the NEAR-dup level, where
+   * [[Corpus.decontaminate]] is the exact-shared-n-gram level (a
+   * paraphrased benchmark passage slips the n-gram check but not this
+   * one). Both sides hash map-only; the band join carries (id, band, key)
+   * rows; surviving candidate pairs verify by signature agreement and the
+   * hit ids anti-join back — document text never shuffles. The reference
+   * side is typically benchmark-sized; at 100 TB the corpus side is the
+   * stream and the machinery is exactly [[minHashLshAgainstIndex]]'s (use
+   * the materialized index when `refDocs` is itself corpus-sized).
+   */
+  def dedupAgainst(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      refDocs: DataFrame,
+      refIdCol: String,
+      refTextCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minSim: Double = 0.6,
+      maxBucket: Int = 1000,
+      fast: Boolean = false
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands evenly")
+    val r = numHashes / bands
+    val docSigs = ensureParallelism(docs).select(
+      col(idCol).as("__did"),
+      signatureOf(col(textCol), shingleLen, numHashes, fast).as("__dsig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val refSigs = ensureParallelism(refDocs).select(
+      col(refIdCol).as("__rid"),
+      signatureOf(col(refTextCol), shingleLen, numHashes, fast).as("__rsig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val docBanded = docSigs.select(
+      col("__did"), posexplode(bandKeys(col("__dsig"), bands, r)).as(Seq("band", "bkey")))
+    val refBanded = refSigs
+      .select(col("__rid"), posexplode(bandKeys(col("__rsig"), bands, r)).as(Seq("band", "bkey")))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("band"), col("bkey")).orderBy(col("__rid"))))
+      .filter(col("__rn") <= maxBucket)
+    val cand = docBanded
+      .join(refBanded, Seq("band", "bkey"))
+      .select(col("__did"), col("__rid"))
+      .dropDuplicates("__did", "__rid")
+    val hits = cand
+      .join(refSigs, Seq("__rid"))
+      .join(docSigs, Seq("__did"))
+      .withColumn(
+        "__est",
+        aggregate(
+          zip_with(col("__dsig"), col("__rsig"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0),
+          (acc, v) => acc + v
+        ).cast("double") / numHashes)
+      .filter(col("__est") >= minSim)
+      .select(col("__did").as(idCol))
+      .distinct()
+    val out = docs.join(hits, Seq(idCol), "left_anti")
+    docSigs.unpersist(blocking = false)
+    refSigs.unpersist(blocking = false)
+    out
+  }
+
   /** Signature family selector shared by the batch and index paths. */
   private def signatureOf(text: Column, shingleLen: Int, k: Int, fast: Boolean): Column =
     if (fast)

@@ -231,6 +231,27 @@ class DedupSpec extends SparkSpec {
     assert(desc.contains("band") && desc.contains("bkey"), desc)
   }
 
+  test("dedupAgainst: drops near-dups of the reference side only, keeps the rest") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = real.filter(col("doc_id") % 5 =!= 0)
+    val refs = real.filter(col("doc_id") % 5 === 0)
+    val kept = Dedup.dedupAgainst(docs, "doc_id", "text", refs, "doc_id", "text", minSim = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // ground truth: batch pairs restricted to cross-split orientation
+    val crossDup = Dedup.minHashLsh(real, "doc_id", "text", minSim = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect {
+        case (a, b) if a % 5 != 0 && b % 5 == 0 => a
+        case (a, b) if b % 5 != 0 && a % 5 == 0 => b
+      }.toSet
+    val docIds = docs.select("doc_id").as[Long].collect().toSet
+    assert(kept === docIds -- crossDup)
+    assert(crossDup.nonEmpty, "fixture should contain cross-split near-dups")
+    // near-dups WITHIN the training side are untouched (this is not self-dedup)
+    val selfDup = Dedup.minHashLsh(docs, "doc_id", "text", minSim = 0.5).count()
+    assert(selfDup > 0 && (kept & docIds).nonEmpty)
+  }
+
   test("appendToMinhashIndex ≡ fresh full materialization (increasing ids); cap maintained") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val half = real.count() / 2
