@@ -1581,6 +1581,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- distributed Naive Bayes quality classifier: trained on the
+    // corpus itself (positive class = src0 documents), scored over every
+    // document — training is pure token counting plus a final ln floor
+    // onto the 1e-6 grid, so model and scores are engine-exact.
+    "nb_classifier" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("lbl", col("source") === "src0")
+      val model = Corpus.trainNaiveBayes(docs, "text", "lbl")
+      val out = Corpus.scoreNaiveBayes(docs, "doc_id", "text", model)
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      model.unpersist()
+      out
+    },
+
     // ---- CCNet-style perplexity bucketing (Wenzek et al. 2020): LM-score
     // every document, cut the corpus into head/middle/tail thirds by EXACT
     // perplexity rank — distributed total sort + zipWithIndex, never a
@@ -3991,6 +4006,45 @@ object SparkEntry {
         |    AND bullet_frac <= 0.1 AND ellipsis_frac <= 0.3
         |    AND alpha_frac >= 0.8 AND stopword_hits >= 2) AS pass
         |FROM m3 ORDER BY doc_id""".stripMargin,
+    // Same counts, same ln floors, same integer sums.
+    "nb_classifier" ->
+      """WITH tok AS (
+        |  SELECT doc_id, (source = 'src0') AS lbl,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |ex AS (SELECT doc_id, lbl, unnest(toks) AS tok FROM tok),
+        |cnt AS (
+        |  SELECT tok,
+        |    sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS cp,
+        |    sum(CASE WHEN lbl THEN 0 ELSE 1 END) AS cn
+        |  FROM ex GROUP BY tok),
+        |tot AS (SELECT sum(cp) AS np, sum(cn) AS nn, count(*) AS v FROM cnt),
+        |w AS (
+        |  SELECT tok,
+        |    CAST(floor(ln(CAST(cp + 1 AS DOUBLE) / (np + v)) * 1000000.0) AS BIGINT)
+        |    - CAST(floor(ln(CAST(cn + 1 AS DOUBLE) / (nn + v)) * 1000000.0) AS BIGINT) AS w
+        |  FROM cnt CROSS JOIN tot),
+        |oov AS (
+        |  SELECT CAST(floor(ln(CAST(1 AS DOUBLE) / (np + v)) * 1000000.0) AS BIGINT)
+        |       - CAST(floor(ln(CAST(1 AS DOUBLE) / (nn + v)) * 1000000.0) AS BIGINT) AS ow
+        |  FROM tot),
+        |dc AS (
+        |  SELECT sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS dp,
+        |         sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS dn
+        |  FROM documents),
+        |bias AS (
+        |  SELECT CAST(floor(ln(CAST(dp AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |       - CAST(floor(ln(CAST(dn AS DOUBLE)) * 1000000.0) AS BIGINT) AS b
+        |  FROM dc),
+        |sc AS (
+        |  SELECT e.doc_id, sum(coalesce(w.w, o.ow)) AS s
+        |  FROM ex e LEFT JOIN w ON w.tok = e.tok CROSS JOIN oov o
+        |  GROUP BY e.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(sc.s, 0) + b.b AS DOUBLE) / 1000000.0 AS score,
+        |  (CAST(coalesce(sc.s, 0) + b.b AS DOUBLE) / 1000000.0) > 0.0 AS pred
+        |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id CROSS JOIN bias b
+        |ORDER BY d.doc_id""".stripMargin,
     // Every stage recomputed in sequence: the strip/clean chain, the
     // in-doc keep-first line scan, the Gopher terms (stopword threshold 1),
     // the survivor-trained LM, and the rank cut.

@@ -724,6 +724,94 @@ object Corpus {
       (acc, t) => acc + element_at(warr, (Text.portableHash31(t) % dim).cast("int") + 1))
   }
 
+  /**
+   * A multinomial Naive Bayes text classifier held as DATA: per-token
+   * log-likelihood-ratio micro-weights (tok, w) as a DataFrame — a model
+   * trained on a corpus of any size stays distributed. `biasMicro` is the
+   * class log-prior ratio; `oovMicro` the smoothing-only weight every
+   * unseen token scores (both 1e-6-grid integers, the only driver-side
+   * scalars). */
+  final case class NbModel(tokenWeights: DataFrame, biasMicro: Long, oovMicro: Long) {
+    def unpersist(): Unit = tokenWeights.unpersist(blocking = false)
+  }
+
+  /**
+   * Train a multinomial Naive Bayes quality classifier — the counts-based
+   * model every web-pipeline "looks like Wikipedia?" filter starts from
+   * (the CCNet/fastText lineage), and the one whose TRAINING is fully
+   * distributed AND exactly reproducible: everything is token counting
+   * until a final `floor(ln(count ratio)·1e6)` per token, so the model —
+   * and every score, an integer sum of grid weights — is engine-exact
+   * (same ln-grid discipline as [[trainNgramLm]] scoring).
+   *
+   *   w(tok)  = ⌊ln((c⁺+1)/(n⁺+v))·1e6⌋ − ⌊ln((c⁻+1)/(n⁻+v))·1e6⌋
+   *   bias    = ⌊ln(d⁺)·1e6⌋ − ⌊ln(d⁻)·1e6⌋  (class doc counts)
+   *   score   = bias + Σ_tokens w(tok) (OOV tokens score the c=0 weight)
+   *
+   * Training is ONE aggregation over (label, token) counts; scoring is one
+   * model-side join against the exploded token stream — the corpus text
+   * never shuffles, only (id, tok) pairs do. Both classes must be present.
+   */
+  def trainNaiveBayes(
+      docs: DataFrame,
+      textCol: String,
+      labelCol: String // boolean: true = positive class
+  ): NbModel = {
+    import org.apache.spark.storage.StorageLevel
+    val toks = docs.select(col(labelCol).as("_lbl"),
+      explode(Text.tokens(col(textCol))).as("tok"))
+    val counts = toks
+      .groupBy(col("tok"))
+      .agg(
+        sum(when(col("_lbl"), 1L).otherwise(0L)).as("cp"),
+        sum(when(col("_lbl"), 0L).otherwise(1L)).as("cn"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tot = counts.agg(
+      sum("cp").cast("long"), sum("cn").cast("long"), count(lit(1))).head()
+    val np: Long = tot.getLong(0)
+    val nn: Long = tot.getLong(1)
+    val v: Long = tot.getLong(2)
+    require(np > 0 && nn > 0, "both classes need at least one training token")
+    def grid(c: Column, n: Long): Column =
+      floor(log((c + 1).cast("double") / lit((n + v).toDouble)) * 1e6).cast("long")
+    val weights = counts
+      .select(col("tok"), (grid(col("cp"), np) - grid(col("cn"), nn)).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    weights.count()
+    counts.unpersist(blocking = false)
+    val dCounts = docs.agg(
+      sum(when(col(labelCol), 1L).otherwise(0L)),
+      sum(when(col(labelCol), 0L).otherwise(1L))).head()
+    val (dp, dn) = (dCounts.getLong(0), dCounts.getLong(1))
+    def gridS(c: Long, n: Long): Long =
+      math.floor(math.log((c + 1).toDouble / (n + v).toDouble) * 1e6).toLong
+    NbModel(
+      tokenWeights = weights,
+      biasMicro = math.floor(math.log(dp.toDouble) * 1e6).toLong -
+        math.floor(math.log(dn.toDouble) * 1e6).toLong,
+      oovMicro = gridS(0, np) - gridS(0, nn))
+  }
+
+  /** Score a corpus with a [[trainNaiveBayes]] model: (id, score, pred) —
+    * `score` is the exact grid sum / 1e6 (positive ⇒ positive class). One
+    * explode + one model-side join; only (id, tok) pairs shuffle. */
+  def scoreNaiveBayes(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: NbModel
+  ): DataFrame = {
+    val ex = docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("tok"))
+    ex.join(model.tokenWeights, Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("w"), lit(model.oovMicro))).as("_sum"))
+      .join(docs.select(col(idCol)), Seq(idCol), "right")
+      .select(
+        col(idCol),
+        ((coalesce(col("_sum"), lit(0L)) + model.biasMicro).cast("double") / 1e6).as("score"))
+      .withColumn("pred", col("score") > 0.0)
+  }
+
   // ----------------------------------------------------- n-gram LM scoring
 
   /** A bigram stupid-backoff language model held as DATA, not driver state:

@@ -738,6 +738,32 @@ class CorpusSpec extends SparkSpec {
     (1 to 10).foreach(i => assert(chunks.exists(_.contains(s"S$i.")), s"S$i missing"))
   }
 
+  test("naive Bayes classifier: separates vocabularies, OOV neutral-ish, empty doc = prior") {
+    val train = Seq(
+      (1L, "good clean prose with substance and depth", true),
+      (2L, "more good prose with clarity and substance", true),
+      (3L, "spam junk buy now cheap deal", false),
+      (4L, "junk spam cheap clicks now", false)
+    ).toDF("id", "text", "lbl")
+    val model = Corpus.trainNaiveBayes(train, "text", "lbl")
+    val test = Seq(
+      (10L, "clean prose with depth"),
+      (11L, "cheap spam deal now"),
+      (12L, "") // no tokens: score = prior only (balanced classes -> ~0)
+    ).toDF("id", "text")
+    val got = Corpus.scoreNaiveBayes(test, "id", "text", model)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(got(10L)._2 === true, s"positive vocab must classify positive: ${got(10L)}")
+    assert(got(11L)._2 === false, s"negative vocab must classify negative: ${got(11L)}")
+    assert(math.abs(got(12L)._1) < 0.01, s"empty doc scores the prior: ${got(12L)}")
+    assert(got(10L)._1 > got(11L)._1)
+    // determinism across partitionings
+    val again = Corpus.scoreNaiveBayes(test.repartition(7), "id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again === got.map { case (k, (s, _)) => k -> s })
+    model.unpersist()
+  }
+
   test("temperatureSample: alpha<1 flattens the mix toward low-resource sources") {
     // 900 docs from 'big', 100 from 'small' — proportional sampling keeps
     // 9:1; sqrt-temperature keeps 3:1 (sqrt(900):sqrt(100))
