@@ -205,9 +205,11 @@ class CliSpec extends SparkSpec {
     })
     runner.start()
     try {
-      // generous window: under the full parallel suite the shared local
-      // Spark can leave this 200ms-tick pull queued for a long while
-      val pulled = Iterator.range(0, 600).exists { _ =>
+      // very generous window: under the full parallel suite (38 suites on
+      // one shared local Spark) a single pull's jobs can sit queued for
+      // minutes — the exists() exits on success, so the healthy-path cost
+      // stays a couple of seconds and the window only pays off under load
+      val pulled = Iterator.range(0, 2400).exists { _ =>
         Thread.sleep(100)
         Dataset.open(spark, root.resolve("towns")).chain.lastOffset().contains(0L)
       }
