@@ -19,10 +19,28 @@ object FsAtomic {
     val out = fs.create(tmp, true)
     try out.write(bytes)
     finally out.close()
-    fs.delete(target, false)
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(s"atomic replace of $target failed")
+    // FileContext rename with OVERWRITE is a single atomic replace — no
+    // delete-then-rename window where a reader finds the target absent
+    // (the same primitive the chain's setHead uses). Schemes without an
+    // AbstractFileSystem binding (e.g. test-only mock FSes) fall back to
+    // delete + rename: still whole-file, just with an absent-target window.
+    val fc =
+      try Some(org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf))
+      catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None }
+    fc match {
+      case Some(ctx) =>
+        try ctx.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        catch {
+          case e: Exception =>
+            fs.delete(tmp, false)
+            throw new java.io.IOException(s"atomic replace of $target failed", e)
+        }
+      case None =>
+        fs.delete(target, false)
+        if (!fs.rename(tmp, target)) {
+          fs.delete(tmp, false)
+          throw new java.io.IOException(s"atomic replace of $target failed")
+        }
     }
   }
 }

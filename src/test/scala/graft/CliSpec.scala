@@ -214,7 +214,13 @@ class CliSpec extends SparkSpec {
         Dataset.open(spark, root.resolve("towns")).chain.lastOffset().contains(0L)
       }
       assert(pulled, s"flow agent never pulled:\n${outBuf.toString("UTF-8")}")
-      assert(outBuf.toString("UTF-8").contains("flow towns: pulled"))
+      // the chain commit is observable BEFORE the agent prints its status
+      // line (the tick still runs webhook scans in between) — poll briefly
+      val printed = Iterator.range(0, 300).exists { _ =>
+        if (outBuf.toString("UTF-8").contains("flow towns: pulled")) true
+        else { Thread.sleep(100); false }
+      }
+      assert(printed, s"status line never printed:\n${outBuf.toString("UTF-8")}")
     } finally {
       pipeOut.write("exit\n"); pipeOut.flush(); pipeOut.close()
       runner.join(60000)
