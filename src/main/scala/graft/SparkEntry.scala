@@ -1511,6 +1511,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- line-level content filter (RefinedWeb-style): lines survive with
+    // >= 3 words of which >= 50% carry a letter — short crumbs, number
+    // rows, and symbol rows drop, prose passes. Map-only HOF.
+    "filter_lines" -> { (s, dir) =>
+      import s.implicits._
+      val synth = Seq(
+        (100001L, "Home\nthe widget survey covers every " +
+          "model we ship today\n42 1942 17\n*** *** ***\nprices include the tax"),
+        (100002L, "$ % #\n99")
+      ).toDF("doc_id", "text")
+      Corpus.filterLines(
+        t(s, dir, "documents").select(col("doc_id"), col("text")).unionByName(synth),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // ---- within-doc repeated-line removal (in-page headers/footers): each
     // doc keeps the first occurrence of every >=6-char line, map-only HOF
     // prefix scan; short lines always pass (legitimate repeats).
@@ -3921,6 +3937,26 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens,
         |  CAST(sum(lp) * -1 AS DOUBLE) / 1000000.0 / count(*) AS logppl
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Same per-line token arithmetic in DuckDB lambdas.
+    "filter_lines" ->
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(100001 AS BIGINT), 'Home' || chr(10) || 'the widget survey covers every model we ship today' || chr(10) || '42 1942 17' || chr(10) || '*** *** ***' || chr(10) || 'prices include the tax'),
+        |    (CAST(100002 AS BIGINT), '$ % #' || chr(10) || '99')
+        |  ) AS v(doc_id, text))
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_filter(string_split(coalesce(text, ''), chr(10)), l ->
+        |    len(list_filter(regexp_split_to_array(lower(trim(l)), '\s+'), t -> len(t) > 0)) >= 3
+        |    AND (CASE WHEN len(list_filter(regexp_split_to_array(lower(trim(l)), '\s+'), t -> len(t) > 0)) > 0
+        |          THEN CAST(coalesce(list_sum(list_transform(
+        |                 list_filter(regexp_split_to_array(lower(trim(l)), '\s+'), t -> len(t) > 0),
+        |                 t -> CASE WHEN regexp_matches(t, '[a-z]') THEN 1 ELSE 0 END)), 0) AS DOUBLE)
+        |             / len(list_filter(regexp_split_to_array(lower(trim(l)), '\s+'), t -> len(t) > 0))
+        |          ELSE 0.0 END) >= 0.5),
+        |    chr(10)), '') AS text
+        |FROM src ORDER BY doc_id""".stripMargin,
     // Same keep-first prefix scan with DuckDB's 1-based indexed lambda.
     "dedup_lines_doc" ->
       """WITH src AS (

@@ -1499,6 +1499,38 @@ object Corpus {
    * size, never by corpus size. Lines shorter than `minLineChars` are
    * never dropped (blank separators and one-word lines repeat legitimately).
    */
+  /**
+   * Line-level content filter (the RefinedWeb/trafilatura-style rule that
+   * complements [[dedupLinesInDoc]]): a line survives when it carries at
+   * least `minWords` whitespace tokens AND at least `minAlphaFrac` of them
+   * contain a letter — nav crumbs, counters, and symbol rows drop while
+   * prose lines pass. Map-only HOF arithmetic; documents whose every line
+   * drops become empty strings (compose with a later length filter).
+   */
+  def filterLines(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n",
+      minWords: Int = 3,
+      minAlphaFrac: Double = 0.5
+  ): DataFrame = {
+    require(minWords >= 0 && minAlphaFrac >= 0.0 && minAlphaFrac <= 1.0,
+      "minWords >= 0, minAlphaFrac in [0,1]")
+    val lines = split(coalesce(col(textCol), lit("")),
+      java.util.regex.Pattern.quote(sep))
+    val kept = filter(lines, l => {
+      val toks = filter(split(lower(trim(l)), "\\s+"), t => length(t) > 0)
+      val n = size(toks)
+      val alpha = coalesce(
+        aggregate(toks, lit(0L), (acc, t) => acc + when(t.rlike("[a-z]"), 1L).otherwise(0L)),
+        lit(0L))
+      n >= minWords &&
+        when(n > 0, alpha.cast("double") / n).otherwise(lit(0.0)) >= minAlphaFrac
+    })
+    docs.withColumn(textCol, concat_ws(sep, kept))
+  }
+
   def dedupLinesInDoc(
       docs: DataFrame,
       idCol: String,

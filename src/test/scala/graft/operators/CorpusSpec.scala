@@ -693,6 +693,24 @@ class CorpusSpec extends SparkSpec {
     assert(got(2L) === (Seq("i", "j", "k", "l"), Seq(0L)))
   }
 
+  test("filterLines: word-count and alpha-fraction rules per line, map-only") {
+    val df = Seq(
+      (1L, "Home\nthe prose line survives here\n1 2 3 4\n$$$ xx yy zz"),
+      (2L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = Corpus.filterLines(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 'Home' = 1 word (drop); numbers row alpha 0 (drop); '$$$ xx yy zz' =
+    // 4 words, 3 alpha = 0.75 (keep); prose keeps; null text -> ''
+    assert(got(1L) === "the prose line survives here\n$$$ xx yy zz")
+    assert(got(2L) === "")
+    val shuffles = Corpus.filterLines(df, "id", "text")
+      .queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    assert(shuffles.isEmpty)
+  }
+
   test("dedupLinesInDoc: keep-first per doc, short lines always pass, map-only") {
     val df = Seq(
       (1L, "HEADER LINE\nbody one.\nHEADER LINE\nbody two.\nHEADER LINE"),
