@@ -2927,8 +2927,13 @@ object SparkEntry {
 
   /** Dir-scoped bucketed-fact table names for the q3/q5 bucketed entries
     * (shared with the PlanSpec cleanup). */
+  /** Bucket count of the q3/q5 fact tables — folded into the table tag so a
+    * layout change invalidates stale tables from older checkouts instead of
+    * silently benchmarking the old layout. */
+  private[graft] val FactBuckets = 32
+
   private[graft] def q3BucketedTables(dir: String): (String, String) = {
-    val tag = f"${dir.hashCode & 0x7fffffff}%08x"
+    val tag = f"${dir.hashCode & 0x7fffffff}%08x_b$FactBuckets"
     (s"graft_q3b_lineitem_$tag", s"graft_q3b_orders_$tag")
   }
 
@@ -2948,11 +2953,11 @@ object SparkEntry {
         t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
             col("l_discount"), col("l_shipdate")),
-        lTab, "l_orderkey", 32, Seq("l_orderkey"))
+        lTab, "l_orderkey", FactBuckets, Seq("l_orderkey"))
       graft.operators.Bucketing.materializeBucketed(
         t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority")),
-        oTab, "o_orderkey", 32, Seq("o_orderkey"))
+        oTab, "o_orderkey", FactBuckets, Seq("o_orderkey"))
     }
     (lTab, oTab)
   }

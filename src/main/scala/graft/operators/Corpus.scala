@@ -78,7 +78,11 @@ object Corpus {
       alpha: Double = 0.5
   ): DataFrame = {
     require(budgetDocs > 0 && alpha > 0, "budgetDocs and alpha must be positive")
+    // NULL sources are dropped per the contract above — filter BEFORE the
+    // aggregate so a null never becomes a Map key (sampleBySource sorts its
+    // rate keys; a null String key would NPE there).
     val counts = df
+      .filter(col(sourceCol).isNotNull)
       .groupBy(col(sourceCol))
       .agg(count(lit(1)).as("__n"))
       .collect()
@@ -90,7 +94,9 @@ object Corpus {
     }
     val z = micro.values.sum
     val rates = counts.map { case (s, n) =>
-      s -> math.min(1.0, (budgetDocs * micro(s)).toDouble / (z.toDouble * n))
+      // numerator in Double: budgetDocs * micro(s) as a Long multiply
+      // silently overflows for large corpora (budget ~1e9 × micro ~1e11)
+      s -> math.min(1.0, budgetDocs.toDouble * micro(s).toDouble / (z.toDouble * n))
     }
     sampleBySource(df, idCol, sourceCol, rates, defaultRate = 0.0)
   }
@@ -1493,11 +1499,16 @@ object Corpus {
    * WITHIN-document repeated-line removal — the in-doc rewrite sibling of
    * the corpus-wide [[dedupLines]]: each document keeps only the FIRST
    * occurrence of every line (repeated in-page headers/footers/nav blocks),
-   * other lines pass through in order. Pure higher-order-function
-   * arithmetic over the line array — map-only, no shuffle, no state; the
-   * per-line prefix scan is O(lines²) per document, bounded by document
-   * size, never by corpus size. Lines shorter than `minLineChars` are
-   * never dropped (blank separators and one-word lines repeat legitimately).
+   * other lines pass through in order. One `aggregate` left-fold over the
+   * line array — map-only, no shuffle, no state. The fold receives the line
+   * array ONCE as its input (array HOFs are interpreted; a lambda that
+   * reached back to the outer `split` tree would re-split the whole
+   * document per line — the let-binding discipline of [[chunkDocs]]), and
+   * each line is checked against the lines KEPT so far, not a slice of all
+   * preceding lines — O(lines × distinct-kept) instead of O(lines²) plus
+   * O(lines × textlen). Lines shorter than `minLineChars` are never dropped
+   * (blank separators and one-word lines repeat legitimately), and can
+   * never shadow a long line: equal strings have equal length.
    */
   /**
    * Line-level content filter (the RefinedWeb/trafilatura-style rule that
@@ -1540,14 +1551,17 @@ object Corpus {
   ): DataFrame = {
     val lines = split(coalesce(col(textCol), lit("")),
       java.util.regex.Pattern.quote(sep))
-    val kept = filter(
-      transform(lines, (l, i) => struct(l.as("l"), i.as("i"))),
-      s => length(s.getField("l")) < minLineChars ||
-        coalesce(
-          array_position(slice(lines, lit(1), s.getField("i")), s.getField("l")),
-          lit(0L)) === 0L)
-    docs.withColumn(textCol,
-      concat_ws(sep, transform(kept, s => s.getField("l"))))
+    // running-seen fold: drop a line iff it is long enough to be eligible
+    // AND already present among the kept lines (its first occurrence — an
+    // equal string is equally long, so it was kept, never minLineChars-
+    // skipped). `lines` is the aggregate's input, evaluated exactly once.
+    val kept = aggregate(
+      lines,
+      array().cast("array<string>"),
+      (acc, l) =>
+        when(length(l) >= minLineChars && array_contains(acc, l), acc)
+          .otherwise(concat(acc, array(l))))
+    docs.withColumn(textCol, concat_ws(sep, kept))
   }
 
   def dedupLines(

@@ -265,6 +265,15 @@ object Dedup {
         row_number().over(Window.partitionBy(col("band"), col("bkey")).orderBy(col("id"))))
       .join(existing, Seq("band", "bkey"), "left")
       .filter(col("__rn") + coalesce(col("__n"), lit(0L)) <= maxBucket)
+      // crash-safe re-run: a prior append that died between the two
+      // insertIntos may have committed these band rows already (the _sigs
+      // anti-join above can't see that — the batch never reached _sigs).
+      // Anti-joining on (band, bkey, id) makes the bucket insert idempotent
+      // too; the join keys cover the bucket spec, so the corpus side is a
+      // bucketed scan and only the batch shuffles.
+      .join(
+        spark.table(bucketsTable).select(col("band"), col("bkey"), col("id")),
+        Seq("band", "bkey", "id"), "left_anti")
     // insertInto is positional: line the columns up with the stored layout
     newBanded
       .select(spark.table(bucketsTable).columns.map(col).toSeq: _*)

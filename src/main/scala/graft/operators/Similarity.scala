@@ -44,7 +44,16 @@ object Similarity {
       fallbackHint: String
   ): DataFrame = {
     val bytes = q.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes * fanOut <= BigInt(maxBytes)) broadcast(q) else q.hint(fallbackHint)
+    // Plans with no real stats (RDD-backed frames, some views/streaming
+    // sources) report the spark.sql.defaultSizeInBytes sentinel, i.e.
+    // "unknown", not "huge" — without this check a genuinely tiny probe set
+    // would silently lose its broadcast and pay the shuffle fallback. Treat
+    // unknown as small (the query side of a top-k is a probe set by
+    // contract; a corpus-sized caller still downgrades whenever stats exist).
+    val unknown = bytes == BigInt(
+      q.sparkSession.sessionState.conf.defaultSizeInBytes)
+    if (unknown || bytes * fanOut <= BigInt(maxBytes)) broadcast(q)
+    else q.hint(fallbackHint)
   }
 
   /** Dot product of two float-array columns, accumulated in double. */
