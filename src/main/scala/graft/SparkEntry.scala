@@ -1315,6 +1315,35 @@ object SparkEntry {
         .join(docs.select(col("doc_id").as("id_b")), col("id_b") === col("id_a") + 1)
       Dedup.connectedComponents(pairs).orderBy(col("id"))
     },
+    // ---- INCREMENTAL cluster maintenance: the last O(corpus) step of the
+    // ingest tick becomes O(batch). Initial index + cluster table over
+    // doc_id%5∈{1,2,3}; two ticks (%5=4, then %5=0) each append the batch to
+    // the MinHash index, probe it (pairs cover batch-vs-corpus AND
+    // batch-internal dups), and fold ONLY those pairs into the persistent
+    // cluster table via quotient-graph min-label propagation seeded with the
+    // stored roots. The final resolved table must equal a fresh full CC over
+    // the union's pair set — the oracle recomputes exactly that with a
+    // recursive CTE (bucket caps never bite at this SF, so append-ordered
+    // index fill ≡ fresh banding).
+    "dedup_clusters_incremental" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val init = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 4)
+      Dedup.materializeMinhashIndex(init, "doc_id", "text",
+        table = "graft_minhash_ccl", numBuckets = 8)
+      Dedup.materializeClusters(
+        Dedup.minHashLsh(init, "doc_id", "text", minSim = 0.5),
+        table = "graft_minhash_ccl", numBuckets = 8)
+      for (m <- Seq(4, 0)) {
+        val batch = docs.filter(col("doc_id") % 5 === m)
+        Dedup.appendToMinhashIndex(batch, "doc_id", "text", table = "graft_minhash_ccl")
+        val pairs = Dedup
+          .minHashLshAgainstIndex(batch, "doc_id", "text",
+            table = "graft_minhash_ccl", minSim = 0.5)
+          .select(col("id_new").as("id_a"), col("id_corpus").as("id_b"))
+        Dedup.appendToClusters(pairs, table = "graft_minhash_ccl")
+      }
+      Dedup.readClusters(s, "graft_minhash_ccl").orderBy(col("id"))
+    },
 
     // ---- corpus quality filtering: the select stage of a training-data
     // pipeline — quality score + language id + token-count window composed
@@ -3655,6 +3684,18 @@ object SparkEntry {
     "dedup_clusters" ->
       """SELECT doc_id AS id, doc_id - (doc_id % 7) AS comp
         |FROM documents ORDER BY id""".stripMargin,
+    // Fresh full connected components over the union's MinHash pair set
+    // (recursive-CTE transitive closure; comp = min reachable id) — the
+    // incremental path must land on exactly this table.
+    "dedup_clusters_incremental" ->
+      s"""WITH RECURSIVE $minhashOracleCtes,
+         |e AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+         |edge AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edge
+         |  UNION
+         |  SELECT r.a, x.b FROM reach r JOIN edge x ON r.b = x.a)
+         |SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a ORDER BY id""".stripMargin,
     // Deterministic sampling: same md5-derived unit hash, same rate CASE.
     "corpus_sample" ->
       """SELECT doc_id, source FROM documents

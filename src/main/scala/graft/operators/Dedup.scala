@@ -198,19 +198,33 @@ object Dedup {
         row_number().over(Window.partitionBy(col("band"), col("bkey")).orderBy(col("id"))))
       .filter(col("__rn") <= maxBucket)
       .drop("__rn")
-    def save(d: DataFrame, name: String, keys: String*): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS `$name`")
-      val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
-      val loc = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-      d.write.bucketBy(numBuckets, keys.head, keys.tail: _*)
-        .sortBy(keys.head, keys.tail: _*)
-        .mode("overwrite").saveAsTable(name)
-    }
-    save(banded, s"${table}_buckets", "band", "bkey")
-    save(sigs, s"${table}_sigs", "id")
+    save(spark, banded, s"${table}_buckets", numBuckets, "band", "bkey")
+    save(spark, sigs, s"${table}_sigs", numBuckets, "id")
     sigs.unpersist(blocking = false)
+  }
+
+  /** Drop-then-save a (optionally bucketed) managed table, clearing any
+    * stale warehouse directory first (a previous run's leftover files would
+    * otherwise fail or shadow the overwrite). `numBuckets <= 0` saves a
+    * plain unbucketed table. */
+  private def save(
+      spark: org.apache.spark.sql.SparkSession,
+      d: DataFrame,
+      name: String,
+      numBuckets: Int,
+      keys: String*
+  ): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    val w = d.write.mode("overwrite")
+    if (numBuckets > 0)
+      w.bucketBy(numBuckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .saveAsTable(name)
+    else w.saveAsTable(name)
   }
 
   /**
@@ -834,6 +848,177 @@ object Dedup {
     df.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .filter(col("comp").isNull || col("comp") === col(idCol))
       .drop("comp")
+  }
+
+  // ------------------------------------------------------ cluster index
+  //
+  // Persistent cluster assignment beside a dedup index — the missing
+  // O(batch) piece of the incremental ingest tick. [[connectedComponents]]
+  // recomputes from the FULL pair set; at 100 TB that is the one remaining
+  // O(corpus) step per tick. The cluster index stores two tables:
+  //
+  //   `<table>_clusters` (id, comp)  — bucketed by id; comp is the root the
+  //       id had WHEN ITS ROW WAS WRITTEN. Rows are immutable and appended
+  //       O(batch) per tick (insertInto through the bucket spec, exactly
+  //       like the MinHash index tables).
+  //   `<table>_roots` (root, parent) — the small union-find remap: roots
+  //       retired by later merges point at their current root. Kept at
+  //       depth 1 (every parent IS a current root) by re-compressing the
+  //       whole remap on each append — the remap is O(#merged clusters),
+  //       orders of magnitude below the corpus, so its per-tick rewrite is
+  //       cheap; [[compactClusters]] folds it into `_clusters` entirely.
+  //
+  // Resolution is therefore one small left join:
+  //   comp(id) = coalesce(remap[comp0], comp0).
+  //
+  // An append maps the batch pairs onto the QUOTIENT graph (each stored
+  // endpoint replaced by its current root — one bucketed-scan join on id,
+  // only the batch shuffles), runs min-label propagation on that
+  // batch-sized graph, appends rows for previously-unstored ids with their
+  // FINAL label, and records retired roots in the remap. Re-running a
+  // crashed append is a no-op: stored ids resolve to their (already merged)
+  // roots, so the quotient graph collapses to self-loops.
+
+  /**
+   * Materialize the persistent cluster index of a near-dup pair set.
+   * `pairs` must carry `id_a`/`id_b` (the output shape of [[minHashLsh]],
+   * [[simHashDups]], [[embeddingDups]]); only ids that appear in at least
+   * one pair get rows — ids in no pair are their own cluster by convention
+   * (exactly [[keepCanonical]]'s null-comp rule).
+   */
+  def materializeClusters(
+      pairs: DataFrame,
+      table: String,
+      numBuckets: Int = 64
+  ): Unit = {
+    val spark = pairs.sparkSession
+    val comps = connectedComponents(pairs) // already localCheckpoint-backed
+    save(spark, comps, s"${table}_clusters", numBuckets, "id")
+    save(spark,
+      comps.limit(0).select(col("id").as("root"), col("comp").as("parent")),
+      s"${table}_roots", 0)
+  }
+
+  /**
+   * Fold a new batch's near-dup pairs into the cluster index IN PLACE — the
+   * clustering half of the incremental dedup tick (probe the batch against
+   * the MinHash index AFTER appending it, so the probe's pair set covers
+   * both batch-vs-corpus and batch-internal duplicates, then feed those
+   * pairs here). Cost is O(batch + touched roots), never O(corpus):
+   *
+   *  1. each pair endpoint resolves to its current root — a bucketed-scan
+   *     left join on `_clusters` (batch side shuffles, corpus side does
+   *     not) plus the small remap join;
+   *  2. min-label propagation runs on the quotient graph (roots + new ids
+   *     — batch-sized by construction);
+   *  3. previously-unstored ids are appended with their final label
+   *     (insertInto through the bucket spec — O(batch) bytes);
+   *  4. roots retired by a merge land in the remap, and the remap is
+   *     re-compressed so every surviving entry points at a CURRENT root
+   *     (depth stays 1; resolution stays a single join).
+   *
+   * A new doc that bridges two existing clusters merges them: both old
+   * roots map to the merged min. Re-running the same batch is a no-op
+   * (all endpoints already share roots — the quotient graph is self-loops).
+   */
+  def appendToClusters(newPairs: DataFrame, table: String): Unit = {
+    val spark = newPairs.sparkSession
+    val clustersTable = s"${table}_clusters"
+    val rootsTable = s"${table}_roots"
+    val stored = spark.table(clustersTable)
+    val remap = spark.table(rootsTable)
+
+    val pairs = newPairs
+      .select(col("id_a"), col("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+    val ids = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id")))
+      .distinct()
+    // current root per endpoint; `was_stored` marks ids whose root came from
+    // the index (only those roots can be referenced by stored rows — every
+    // comp/parent value has its own row by construction, so an id absent
+    // from `_clusters` is referenced by nothing and needs no remap entry).
+    // Checkpointed: everything below derives from it, and the remap table
+    // it reads is overwritten at step 4.
+    val rootOf = ids
+      .join(stored, Seq("id"), "left")
+      .join(remap.withColumnRenamed("root", "comp"), Seq("comp"), "left")
+      .select(
+        col("id"),
+        coalesce(col("parent"), col("comp"), col("id")).as("root"),
+        col("comp").isNotNull.as("was_stored"))
+      .localCheckpoint()
+
+    val qEdges = pairs
+      .join(rootOf.select(col("id").as("id_a"), col("root").as("__ra")), "id_a")
+      .join(rootOf.select(col("id").as("id_b"), col("root").as("__rb")), "id_b")
+      .select(col("__ra").as("id_a"), col("__rb").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+    // quotient labels: (id = root, comp = final label); roots untouched by
+    // any cross-root edge are absent and keep their label
+    val labels = connectedComponents(qEdges)
+
+    val labeled = rootOf
+      .join(labels.select(col("id").as("root"), col("comp")), Seq("root"), "left")
+      .select(col("id"), coalesce(col("comp"), col("root")).as("comp"),
+        col("root"), col("was_stored"))
+    val newRows = labeled
+      .join(stored.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("comp"))
+      .localCheckpoint() // materialize before writing into a table it reads
+    newRows
+      .select(stored.columns.map(col).toSeq: _*)
+      .write.insertInto(clustersTable)
+
+    // retired roots -> remap; re-compress surviving entries through the new
+    // merges so depth stays 1. updates' roots were current (never remap
+    // keys), so the union is key-disjoint.
+    val updates = labels
+      .filter(col("comp") =!= col("id"))
+      .join(
+        labeled.filter(col("was_stored")).select(col("root").as("id")).distinct(),
+        Seq("id"))
+      .select(col("id").as("root"), col("comp").as("parent"))
+    val newRemap = remap
+      .join(
+        updates.select(col("root").as("parent"), col("parent").as("__p")),
+        Seq("parent"), "left")
+      .select(col("root"), coalesce(col("__p"), col("parent")).as("parent"))
+      .unionByName(updates)
+      .localCheckpoint() // materialize before overwriting the table it reads
+    save(spark, newRemap, rootsTable, 0)
+  }
+
+  /** Resolved cluster assignment (id, comp) from a cluster index: one left
+    * join of the immutable per-id rows through the small root remap. */
+  def readClusters(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
+    spark.table(s"${table}_clusters")
+      .join(
+        spark.table(s"${table}_roots").withColumnRenamed("root", "comp"),
+        Seq("comp"), "left")
+      .select(col("id"), coalesce(col("parent"), col("comp")).as("comp"))
+
+  /**
+   * Fold the root remap into `_clusters` and truncate it — a full O(corpus)
+   * rewrite, so this is MAINTENANCE (run when the remap has grown enough
+   * that its broadcast join bothers readers), never part of the tick. The
+   * rewrite stages into a temp table and renames, so a crash leaves either
+   * the old or the new index, not a half-written one.
+   */
+  def compactClusters(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      numBuckets: Int = 64
+  ): Unit = {
+    val clustersTable = s"${table}_clusters"
+    val tmp = s"${clustersTable}_compact_tmp"
+    save(spark, readClusters(spark, table), tmp, numBuckets, "id")
+    spark.sql(s"DROP TABLE IF EXISTS `$clustersTable`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$clustersTable`")
+    val empty = spark.table(s"${table}_roots").limit(0)
+    save(spark, empty.localCheckpoint(), s"${table}_roots", 0)
   }
 
   /**

@@ -391,4 +391,57 @@ class DedupSpec extends SparkSpec {
       .toSet
     assert(kept === (Set(0L) ++ (5L until 20L)))
   }
+
+  private def resolvedClusters(table: String): Map[Long, Long] =
+    Dedup.readClusters(spark, table).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("cluster index: a bridging doc MERGES two existing clusters; ≡ fresh CC") {
+    val tab = "graft_cci_spec"
+    val init = Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    Dedup.materializeClusters(init, tab, numBuckets = 4)
+    assert(resolvedClusters(tab) === Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+
+    // doc 10 pairs with BOTH clusters -> single component rooted at 1
+    val batch = Seq((10L, 2L), (10L, 5L)).toDF("id_a", "id_b")
+    Dedup.appendToClusters(batch, tab)
+    assert(resolvedClusters(tab) === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 10L -> 1L))
+
+    // equivalence with a fresh full recompute over the union pair set
+    val fresh = Dedup.connectedComponents(init.unionByName(batch))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resolvedClusters(tab) === fresh)
+
+    // only the retired root is remapped, and it points at a CURRENT root
+    val remap = spark.table(s"${tab}_roots").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(remap === Map(5L -> 1L))
+  }
+
+  test("cluster index: re-rooting append compresses the remap; re-run is a no-op; compact folds") {
+    val tab = "graft_cci_spec2"
+    Dedup.materializeClusters(Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b"), tab, numBuckets = 4)
+    Dedup.appendToClusters(Seq((10L, 2L), (10L, 5L)).toDF("id_a", "id_b"), tab)
+
+    // id 0 < every existing root: the merged component re-roots to 0, and
+    // the surviving remap entries must be re-compressed onto the new root
+    val tick2 = Seq((0L, 6L)).toDF("id_a", "id_b")
+    Dedup.appendToClusters(tick2, tab)
+    val all0 = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 0L, 6L -> 0L, 10L -> 0L)
+    assert(resolvedClusters(tab) === all0)
+    val remap = spark.table(s"${tab}_roots").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(remap === Map(5L -> 0L, 1L -> 0L), "remap must stay depth-1 (all parents current roots)")
+
+    // crashed-retry / duplicate-delivery safety: same batch again, no change
+    Dedup.appendToClusters(tick2, tab)
+    assert(resolvedClusters(tab) === all0)
+    assert(spark.table(s"${tab}_clusters").count() === 6L)
+
+    // compaction folds the remap into the rows and truncates it
+    Dedup.compactClusters(spark, tab, numBuckets = 4)
+    assert(resolvedClusters(tab) === all0)
+    assert(spark.table(s"${tab}_roots").count() === 0L)
+    assert(spark.table(s"${tab}_clusters").filter(col("comp") =!= 0L).count() === 0L)
+  }
 }
