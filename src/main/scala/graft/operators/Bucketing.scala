@@ -60,4 +60,19 @@ object Bucketing {
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }
+
+  /** Unbucketed sibling of [[materializeBucketed]] — same drop + stale-
+    * location cleanup — for the small side tables an index keeps beside its
+    * bucketed corpus (cell statistics, root remaps). */
+  def materializePlain(df: DataFrame, table: String): Unit = {
+    require(!table.contains("."),
+      s"materializePlain takes an unqualified table name, got '$table'")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode("overwrite").saveAsTable(table)
+  }
 }

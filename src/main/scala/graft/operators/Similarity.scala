@@ -773,7 +773,7 @@ object Similarity {
       centroids: Seq[Array[Long]],
       numBuckets: Int,
       table: String
-  ): Unit =
+  ): Unit = {
     Bucketing.materializeBucketed(
       df.select(
         col(idCol).as("id"),
@@ -782,6 +782,31 @@ object Similarity {
         intDot(col(vecCol), col(vecCol)).as("n2")
       ),
       table, "cell", numBuckets, sortCols = Seq("cell"))
+    val spark = df.sparkSession
+    // training-time cell occupancy — the reference point of the append-path
+    // staleness gate. One bucketed aggregate on the just-written table (no
+    // shuffle), k rows.
+    Bucketing.materializePlain(
+      spark.table(table).groupBy(col("cell")).agg(count(lit(1)).as("n_train")),
+      s"${table}_cellstats")
+  }
+
+  /**
+   * Post-append staleness of an IVF corpus: how far the CURRENT cell
+   * occupancy has drifted from the TRAINING-time occupancy stored by
+   * [[materializeIvfCorpus]]. `maxShareRatio` is the worst per-cell growth
+   * of occupancy SHARE (add-one smoothed, so fresh mass landing in a cell
+   * that was near-empty at training — the classic drift signature — shows
+   * up even when absolute counts stay small); the gate `tripped` means
+   * recall has likely decayed and [[retrainIvfCorpus]] should run. Indexes
+   * materialized before cell stats existed report `maxShareRatio = 1` and
+   * never trip.
+   */
+  case class IvfStaleness(
+      totalTrain: Long,
+      totalNow: Long,
+      maxShareRatio: Double,
+      tripped: Boolean)
 
   /** Append a new batch into a [[materializeIvfCorpus]] table in place —
     * completes the index-maintenance trio (MinHash bands, LSH buckets, IVF
@@ -796,8 +821,9 @@ object Similarity {
       idCol: String,
       vecCol: String,
       centroids: Seq[Array[Long]],
-      table: String
-  ): Unit = {
+      table: String,
+      maxSkew: Double = 4.0
+  ): IvfStaleness = {
     val spark = df.sparkSession
     val known = spark.table(table).select(col("id"))
     df.select(
@@ -808,6 +834,67 @@ object Similarity {
       .join(known, Seq("id"), "left_anti")
       .select(spark.table(table).columns.map(col).toSeq: _*)
       .write.insertInto(table)
+    ivfStaleness(spark, table, centroids.size, maxSkew)
+  }
+
+  /** Compute [[IvfStaleness]] of an IVF corpus vs its stored training-time
+    * cell stats: one bucketed count aggregate (no corpus shuffle) collected
+    * as k rows — a bounded, metadata-sized check, never a scan of vectors. */
+  def ivfStaleness(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      k: Int,
+      maxSkew: Double = 4.0
+  ): IvfStaleness = {
+    if (!spark.catalog.tableExists(s"${table}_cellstats"))
+      return IvfStaleness(0L, 0L, 1.0, tripped = false)
+    val rows = spark.table(table)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_now"))
+      .join(spark.table(s"${table}_cellstats"), Seq("cell"), "full_outer")
+      .select(
+        coalesce(col("n_now"), lit(0L)).as("n_now"),
+        coalesce(col("n_train"), lit(0L)).as("n_train"))
+      .collect()
+    val totalNow = rows.map(_.getLong(0)).sum
+    val totalTrain = rows.map(_.getLong(1)).sum
+    val maxRatio = rows.foldLeft(1.0) { (acc, r) =>
+      val shareNow = (r.getLong(0) + 1.0) / (totalNow + k)
+      val shareTrain = (r.getLong(1) + 1.0) / (totalTrain + k)
+      math.max(acc, shareNow / shareTrain)
+    }
+    IvfStaleness(totalTrain, totalNow, maxRatio, tripped = maxRatio > maxSkew)
+  }
+
+  /**
+   * Re-train the IVF centroids on the CURRENT corpus and re-materialize the
+   * table + its cell stats — the O(corpus) maintenance step the staleness
+   * gate triggers (FAISS re-train after heavy `add`s). The rewrite stages
+   * into a temp table and renames, so a crash leaves either the old or the
+   * new index. Returns the new centroids (callers must use them for every
+   * later probe/append — cells are only meaningful with their centroids).
+   */
+  def retrainIvfCorpus(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      k: Int,
+      numBuckets: Int,
+      iters: Int = 2
+  ): Seq[Array[Long]] = {
+    // reads stay against the OLD table (dropped only after tmp is fully
+    // written) — no checkpoint of the corpus needed
+    val current = spark.table(table).select(col("id"), col("v"))
+    val centroids = ivfTrain(current, "id", "v", k, iters)
+    val tmp = s"${table}_retrain_tmp"
+    materializeIvfCorpus(current, "id", "v", centroids, numBuckets, tmp)
+    // cellstats of tmp was written against the tmp table name; recompute
+    // both tables under the final name via rename + plain rewrite
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    Bucketing.materializePlain(
+      spark.table(s"${tmp}_cellstats").localCheckpoint(),
+      s"${table}_cellstats")
+    spark.sql(s"DROP TABLE IF EXISTS `${tmp}_cellstats`")
+    centroids
   }
 
   /** IVF top-k against a [[materializeIvfCorpus]] table: queries probe

@@ -313,4 +313,62 @@ class SimilaritySpec extends SparkSpec {
       .select("qid", "rnk", "cid").as[(Long, Int, Long)].collect().toSet
     assert(gated === Set((1L, 1, 10L), (1L, 2, 11L), (2L, 1, 12L), (2L, 2, 13L)))
   }
+
+  test("IVF staleness gate: skewed appends trip it; retrain matches fresh-trained recall") {
+    // training corpus: 99 vectors in cluster A, 1 in cluster B (ids 0 and 1
+    // seed the two centroids, so training separates A from B)
+    def vec(cluster: Int, i: Long) = cluster match {
+      case 0 => Array(1000L + i % 3, i % 2, 0L, 0L) // A
+      case _ => Array(0L, 0L, 1000L + i % 3, i % 2) // B
+    }
+    val init = ((0L until 1L).map(i => (i, vec(0, i))) ++ Seq((1L, vec(1, 1L))) ++
+      (2L until 100L).map(i => (i, vec(0, i)))).toDF("id", "v")
+    val cents = Similarity.ivfTrain(init, "id", "v", k = 2, iters = 2)
+    Similarity.materializeIvfCorpus(init, "id", "v", cents, numBuckets = 4,
+      table = "sim_stale_ivf")
+
+    // a small same-distribution append does NOT trip the gate
+    val calm = Seq((100L, vec(0, 100L)), (101L, vec(0, 101L)), (102L, vec(1, 102L)))
+      .toDF("id", "v")
+    val s1 = Similarity.appendToIvfCorpus(calm, "id", "v", cents, table = "sim_stale_ivf")
+    assert(!s1.tripped, s"calm append must not trip: $s1")
+
+    // 300 vectors into the near-empty-at-training B cell: share explodes
+    val skew = (200L until 500L).map(i => (i, vec(1, i))).toDF("id", "v")
+    val s2 = Similarity.appendToIvfCorpus(skew, "id", "v", cents, table = "sim_stale_ivf")
+    assert(s2.tripped && s2.maxShareRatio > 4.0, s"skewed append must trip: $s2")
+    assert(s2.totalTrain === 100L && s2.totalNow === 403L)
+
+    // retrain on the drifted corpus == fresh training on the same union
+    val retrained = Similarity.retrainIvfCorpus(spark, "sim_stale_ivf", k = 2, numBuckets = 4)
+    val union = init.unionByName(calm).unionByName(skew)
+    val freshCents = Similarity.ivfTrain(union, "id", "v", k = 2, iters = 2)
+    assert(retrained.map(_.toSeq) === freshCents.map(_.toSeq),
+      "retraining reads the same rows, so centroids must match fresh training")
+    Similarity.materializeIvfCorpus(union, "id", "v", freshCents, numBuckets = 4,
+      table = "sim_stale_fresh")
+
+    def recall(table: String, cents: Seq[Array[Long]]): Double = {
+      val qs = union.filter(col("id") % 50 === 0)
+        .select(col("id").as("qid"), col("v").as("qv"))
+      val got = Similarity.ivfTopKFromTable(spark, table, qs, "qid", "qv",
+        k = 3, cents, nprobe = 1)
+        .select("qid", "cid").as[(Long, Long)].collect().toSet
+      val truth = Similarity.bruteForceTopK(
+        qs, union.select(col("id").as("cid"), col("v").as("cv")),
+        "qid", "qv", "cid", "cv", k = 3)
+        .select("qid", "cid").as[(Long, Long)].collect().toSet
+      (got intersect truth).size.toDouble / truth.size
+    }
+    val rRetrained = recall("sim_stale_ivf", retrained)
+    val rFresh = recall("sim_stale_fresh", freshCents)
+    assert(rRetrained >= rFresh, s"retrained recall $rRetrained < fresh $rFresh")
+    // and retraining resets the gate
+    val s3 = Similarity.ivfStaleness(spark, "sim_stale_ivf", k = 2)
+    assert(!s3.tripped && s3.totalTrain === 403L)
+    spark.sql("DROP TABLE IF EXISTS sim_stale_ivf")
+    spark.sql("DROP TABLE IF EXISTS sim_stale_ivf_cellstats")
+    spark.sql("DROP TABLE IF EXISTS sim_stale_fresh")
+    spark.sql("DROP TABLE IF EXISTS sim_stale_fresh_cellstats")
+  }
 }
