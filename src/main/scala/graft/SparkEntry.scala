@@ -1626,6 +1626,57 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- the FULL INGEST TICK, end to end — what a 100 TB pipeline
+    // actually runs per poll: clean/filter the new batch (RefinedWeb line
+    // filter → Gopher rules → language id), probe it against the standing
+    // MinHash index, drop near-dups of the committed corpus, append the
+    // survivors to the index IN PLACE, and commit them as a ledger slice.
+    // Two ticks on top of an initial corpus; every stage touches O(batch)
+    // data — the corpus participates only through its bucketed index scans
+    // and the ledger's bloom-pruned key anti-join. The oracle recomputes
+    // both generations' survivors from scratch (filters, pairs, and the
+    // earlier-generations-only dedup rule) plus the ledger offsets.
+    "corpus_ingest_tick" -> { (s, dir) =>
+      val root = Fixtures.cached(s"corpus_ingest_tick|$dir") {
+        val work = java.nio.file.Files.createTempDirectory("graft-ctick-")
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+        // the cleaning battery: line filter REWRITES text, Gopher + lang
+        // gate on the rewritten text. Checkpointed — each cleaned batch
+        // feeds the commit, the index append, and the probe.
+        def cleaned(d: DataFrame): DataFrame = {
+          val lf = Corpus.filterLines(d, "doc_id", "text")
+          val keep = Corpus.gopherRules(lf, "doc_id", "text", minStopwordHits = 1)
+            .filter(col("pass")).select("doc_id")
+          lf.join(keep, "doc_id")
+            .filter(graft.functions.Text.languageId(col("text")) === "en")
+            .localCheckpoint()
+        }
+        val ds = Dataset.create(s, work.resolve("corpus"), "corpus")
+        def commit(batch: DataFrame, iso: String): Unit =
+          IngestWriter.writeBatch(ds,
+            batch.select(col("doc_id"), col("source"), col("text")),
+            MergeStrategy.Ledger(Seq("doc_id")),
+            java.time.Instant.parse(iso).toEpochMilli)
+        val s0 = cleaned(docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 4))
+        commit(s0, "2024-01-01T00:00:00Z")
+        Dedup.materializeMinhashIndex(s0, "doc_id", "text",
+          table = "graft_tick_idx", numBuckets = 8)
+        for ((m, iso) <- Seq((4, "2024-01-02T00:00:00Z"), (0, "2024-01-03T00:00:00Z"))) {
+          val batch = cleaned(docs.filter(col("doc_id") % 5 === m))
+          val dupIds = Dedup.minHashLshAgainstIndex(batch, "doc_id", "text",
+            table = "graft_tick_idx", minSim = 0.5)
+            .select(col("id_new").as("doc_id")).distinct()
+          val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti").localCheckpoint()
+          Dedup.appendToMinhashIndex(survivors, "doc_id", "text", table = "graft_tick_idx")
+          commit(survivors, iso)
+        }
+        work
+      }
+      Dataset.open(s, root.resolve("corpus")).toDF()
+        .select(col("offset"), col("doc_id"), col("source"))
+        .orderBy(col("offset"))
+    },
+
     // ---- distributed Naive Bayes quality classifier: trained on the
     // corpus itself (positive class = src0 documents), scored over every
     // document — training is pure token counting plus a final ln floor
@@ -4088,6 +4139,111 @@ object SparkEntry {
         |    AND bullet_frac <= 0.1 AND ellipsis_frac <= 0.3
         |    AND alpha_frac >= 0.8 AND stopword_hits >= 2) AS pass
         |FROM m3 ORDER BY doc_id""".stripMargin,
+    // Full-tick recomputation: RefinedWeb line filter rewrites text; Gopher
+    // (stopword threshold 1) + language id gate the rewrite; MinHash pairs
+    // over the SURVIVORS' cleaned text; a later-generation doc drops iff it
+    // pairs (est >= 0.5) with a COMMITTED doc of an earlier generation
+    // (gen-1 drops don't shield gen-2 — they never reached the index);
+    // ledger offsets = row_number over (commit order, doc_id). Bucket caps
+    // are omitted: they never bite at these SFs (max occupancy 6 << 1000).
+    "corpus_ingest_tick" ->
+      """WITH lf AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 5 IN (1,2,3) THEN 0 WHEN doc_id % 5 = 4 THEN 1 ELSE 2 END AS gen,
+        |    coalesce(array_to_string(list_filter(string_split(coalesce(text, ''), chr(10)), l ->
+        |      len(list_filter(regexp_split_to_array(lower(trim(l)), '\s+'), t -> len(t) > 0)) >= 3
+        |      AND (CASE WHEN len(list_filter(regexp_split_to_array(lower(trim(l)), '\s+'), t -> len(t) > 0)) > 0
+        |            THEN CAST(coalesce(list_sum(list_transform(
+        |                   list_filter(regexp_split_to_array(lower(trim(l)), '\s+'), t -> len(t) > 0),
+        |                   t -> CASE WHEN regexp_matches(t, '[a-z]') THEN 1 ELSE 0 END)), 0) AS DOUBLE)
+        |               / len(list_filter(regexp_split_to_array(lower(trim(l)), '\s+'), t -> len(t) > 0))
+        |            ELSE 0.0 END) >= 0.5),
+        |      chr(10)), '') AS text
+        |  FROM documents),
+        |tokg AS (
+        |  SELECT doc_id, source, gen, text,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM lf),
+        |mg AS (
+        |  SELECT doc_id, source, gen, text, toks,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0) AS BIGINT) AS sum_len,
+        |    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+        |      + CAST((len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT) AS symbols,
+        |    string_split(text, chr(10)) AS lines,
+        |    CAST(coalesce(list_sum(list_transform(toks,
+        |      t -> CASE WHEN regexp_matches(t, '[a-z]') THEN 1 ELSE 0 END)), 0) AS BIGINT) AS alpha_words,
+        |    CAST(CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END AS BIGINT) AS stopword_hits,
+        |    (list_max([
+        |      {'hits': len(list_filter(toks, t -> list_contains(['the','and','of','to','is','that','with','for'], t))), 'lang': 'en'},
+        |      {'hits': len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','ein','mit'], t))), 'lang': 'de'},
+        |      {'hits': len(list_filter(toks, t -> list_contains(['le','la','les','est','une','dans','pour','que'], t))), 'lang': 'fr'},
+        |      {'hits': len(list_filter(toks, t -> list_contains(['el','los','es','una','por','como','pero','más'], t))), 'lang': 'es'},
+        |      {'hits': len(list_filter(toks, t -> list_contains(['的','是','了','在','我','有','和','不'], t))), 'lang': 'zh'}
+        |    ])) AS best
+        |  FROM tokg),
+        |surv AS (
+        |  SELECT doc_id, source, gen, toks FROM mg
+        |  WHERE (CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END) = 'en'
+        |    AND n_words >= 50 AND n_words <= 100000
+        |    AND (CASE WHEN n_words > 0 THEN CAST(sum_len AS DOUBLE) / n_words ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+        |    AND (CASE WHEN n_words > 0 THEN CAST(symbols AS DOUBLE) / n_words ELSE 0.0 END) <= 0.1
+        |    AND (CASE WHEN len(lines) > 0 THEN CAST(coalesce(list_sum(list_transform(lines,
+        |          l -> CASE WHEN ltrim(l) LIKE '- %' OR ltrim(l) LIKE '* %' OR ltrim(l) LIKE chr(8226) || '%' THEN 1 ELSE 0 END)), 0) AS DOUBLE) / len(lines) ELSE 0.0 END) <= 0.1
+        |    AND (CASE WHEN len(lines) > 0 THEN CAST(coalesce(list_sum(list_transform(lines,
+        |          l -> CASE WHEN rtrim(l) LIKE '%...' THEN 1 ELSE 0 END)), 0) AS DOUBLE) / len(lines) ELSE 0.0 END) <= 0.3
+        |    AND (CASE WHEN n_words > 0 THEN CAST(alpha_words AS DOUBLE) / n_words ELSE 0.0 END) >= 0.8
+        |    AND stopword_hits >= 1),
+        |shg AS (
+        |  SELECT doc_id, gen, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE [array_to_string(toks[i+1:i+3], ' ') for i in range(len(toks) - 2)] END AS shingles
+        |  FROM surv),
+        |hvg AS (
+        |  SELECT doc_id, gen, ('0x' || substring(md5(s), 1, 8))::BIGINT % 2147483647 AS h
+        |  FROM (SELECT doc_id, gen, unnest(shingles) AS s FROM shg)),
+        |sig0g AS (
+        |  SELECT doc_id, gen, i,
+        |         min(((2654435761 * (i+1) % 2147483647) * h + 40503 * (i+13) % 2147483647) % 2147483647) AS mh
+        |  FROM hvg CROSS JOIN (SELECT unnest(range(64)) AS i) seeds
+        |  GROUP BY doc_id, gen, i),
+        |sigg AS (SELECT doc_id, gen, list(mh ORDER BY i) AS sig FROM sig0g GROUP BY doc_id, gen),
+        |bandedg AS (
+        |  SELECT doc_id, gen, b AS band, array_to_string(sig[b*4+1:b*4+4], ',') AS bkey
+        |  FROM sigg CROSS JOIN (SELECT unnest(range(16)) AS b) bands),
+        |dups AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, a.gen AS ga, b.doc_id AS id_b, b.gen AS gb
+        |  FROM bandedg a JOIN bandedg b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id <> b.doc_id
+        |  WHERE a.gen > b.gen),
+        |dupj AS (
+        |  SELECT id_a, ga, id_b, gb,
+        |    list_sum([CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END for i in range(64)]) / 64.0 AS ej
+        |  FROM dups JOIN sigg sa ON sa.doc_id = id_a JOIN sigg sb ON sb.doc_id = id_b),
+        |hits AS (SELECT id_a, ga, id_b, gb FROM dupj WHERE ej >= 0.5),
+        |k1 AS (
+        |  SELECT doc_id FROM surv WHERE gen = 1
+        |    AND doc_id NOT IN (SELECT id_a FROM hits WHERE ga = 1 AND gb = 0)),
+        |k2 AS (
+        |  SELECT doc_id FROM surv WHERE gen = 2
+        |    AND doc_id NOT IN (
+        |      SELECT id_a FROM hits
+        |      WHERE ga = 2 AND (gb = 0 OR id_b IN (SELECT doc_id FROM k1)))),
+        |fin AS (
+        |  SELECT doc_id, source, gen FROM surv WHERE gen = 0
+        |  UNION ALL
+        |  SELECT s.doc_id, s.source, s.gen FROM surv s JOIN k1 ON s.doc_id = k1.doc_id WHERE s.gen = 1
+        |  UNION ALL
+        |  SELECT s.doc_id, s.source, s.gen FROM surv s JOIN k2 ON s.doc_id = k2.doc_id WHERE s.gen = 2)
+        |SELECT CAST(row_number() OVER (ORDER BY gen, doc_id) - 1 AS BIGINT) AS "offset",
+        |  doc_id, source
+        |FROM fin ORDER BY "offset"""".stripMargin,
     // Same counts, same ln floors, same integer sums.
     "nb_classifier" ->
       """WITH tok AS (
