@@ -323,6 +323,30 @@ object Dedup {
       minSim: Double = 0.6,
       fast: Boolean = false
   ): DataFrame = {
+    val (out, newSigs) =
+      probeIndexPlan(newDocs, idCol, textCol, table, shingleLen, numHashes, bands, minSim, fast)
+    // checkpoint: the probe fans out to several consumers (dedup decision,
+    // cluster pairs) and the persisted batch signatures can be released
+    val cp = out.localCheckpoint()
+    newSigs.unpersist(blocking = false)
+    cp
+  }
+
+  /** [[minHashLshAgainstIndex]] BEFORE its lineage cut — exposed so
+    * `PlanSpec` can pin the probe's physical plan (the checkpointed result
+    * is an opaque ExistingRDD). Returns (probe, persisted batch signatures
+    * for the caller to unpersist). */
+  private[operators] def probeIndexPlan(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      shingleLen: Int,
+      numHashes: Int,
+      bands: Int,
+      minSim: Double,
+      fast: Boolean
+  ): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
     val r = numHashes / bands
     val spark = newDocs.sparkSession
@@ -351,9 +375,7 @@ object Dedup {
         ).cast("double") / numHashes)
       .filter(col("est_jaccard") >= minSim)
       .select(col("id_new"), col("id_corpus"), col("est_jaccard"))
-      .localCheckpoint()
-    newSigs.unpersist(blocking = false)
-    out
+    (out, newSigs)
   }
 
   /**

@@ -350,4 +350,66 @@ class PlanSpec extends SparkSpec {
     val plan = formatted(Temporal.asOfJoin(trades, rates, Seq("cur"), "tt", "rt"))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("ingest tick: index probe and cluster joins read the corpus WITHOUT an Exchange") {
+    // The corpus_ingest_tick / dedup_clusters_incremental loop's at-scale
+    // claim: every per-tick exchange is batch-sized. The corpus only
+    // participates through its bucketed layouts — pin that the probe's two
+    // corpus scans (_buckets, _sigs) and the cluster table's id-join feed
+    // their joins with no Exchange in between (the batch side may shuffle;
+    // it is batch-sized by construction).
+    val docs = spark.range(400).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map(j => pmod(col("id") * 7 + j, lit(50)).cast("string")): _*)
+        .as("text"))
+    Dedup.materializeMinhashIndex(docs, "doc_id", "text",
+      table = "plan_tick_idx", numBuckets = 4)
+    Dedup.materializeClusters(
+      Dedup.minHashLsh(docs, "doc_id", "text", minSim = 0.5),
+      table = "plan_tick_idx", numBuckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAdaptive = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def corpusShuffled(df: DataFrame, tables: String*): Boolean =
+        df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.exists { e =>
+          val hasScan = e.child.collectFirst {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec
+                if f.tableIdentifier.exists(t => tables.contains(t.table)) => f
+          }.isDefined
+          val hasJoin = e.child.collectFirst {
+            case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+          }.isDefined
+          hasScan && !hasJoin
+        }
+      val batch = spark.range(380, 420).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(j => pmod(col("id") * 7 + j, lit(50)).cast("string")): _*)
+          .as("text"))
+      val (probe, sigs) = Dedup.probeIndexPlan(batch, "doc_id", "text",
+        table = "plan_tick_idx", shingleLen = 3, numHashes = 64, bands = 16,
+        minSim = 0.5, fast = false)
+      assert(!corpusShuffled(probe, "plan_tick_idx_buckets", "plan_tick_idx_sigs"),
+        probe.queryExecution.executedPlan.toString)
+      assert(formatted(probe).contains("Bucketed: true"), formatted(probe))
+      sigs.unpersist(blocking = false)
+
+      // the appendToClusters endpoint-resolution shape: batch ids against
+      // the id-bucketed cluster table
+      val ids = spark.range(380, 420).select(col("id"))
+      val rootOf = ids.join(spark.table("plan_tick_idx_clusters"), Seq("id"), "left")
+      assert(!corpusShuffled(rootOf, "plan_tick_idx_clusters"),
+        rootOf.queryExecution.executedPlan.toString)
+      assert(probe.count() >= 0 && rootOf.count() === 40)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAdaptive)
+      Seq("plan_tick_idx_buckets", "plan_tick_idx_sigs",
+        "plan_tick_idx_clusters", "plan_tick_idx_roots")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
 }
