@@ -1590,11 +1590,12 @@ object SparkEntry {
     },
 
     // ---- the round-9 cleaning/filter stack composed END TO END, one
-    // oracle: strip HTML → normalize → in-doc line dedup → Gopher rules
-    // (stopword threshold 1 — the fixture lexicon carries only 'the') →
-    // bigram-LM trained ON THE SURVIVORS → drop the worst-perplexity third.
-    // Stage interplay is the point: the LM sees only post-filter text, and
-    // the rank cut sees only LM-scored survivors.
+    // oracle: strip HTML → normalize → in-doc line dedup → RefinedWeb
+    // line filter → Gopher rules (stopword threshold 1 — the fixture
+    // lexicon carries only 'the') → bigram-LM trained ON THE SURVIVORS →
+    // drop the worst-perplexity third. Stage interplay is the point: the
+    // line filter rewrites the text the rules measure, the LM sees only
+    // post-filter text, and the rank cut sees only LM-scored survivors.
     "corpus_pipeline_v2" -> { (s, dir) =>
       import s.implicits._
       import graft.functions.Normalize
@@ -1612,8 +1613,10 @@ object SparkEntry {
       // aggregations, scoring joins, the rank sort, the final join) —
       // without the cuts every consumer re-runs the whole text pipeline
       // (measured 12.8 s -> ~3 s at sf0.1)
-      val cleaned = Corpus.dedupLinesInDoc(
-        docs.withColumn("text", Normalize.cleanText(Normalize.stripHtml(col("text")))),
+      val cleaned = Corpus.filterLines(
+        Corpus.dedupLinesInDoc(
+          docs.withColumn("text", Normalize.cleanText(Normalize.stripHtml(col("text")))),
+          "doc_id", "text"),
         "doc_id", "text").localCheckpoint()
       val keep = Corpus.gopherRules(cleaned, "doc_id", "text", minStopwordHits = 1)
         .filter(col("pass")).select("doc_id")
@@ -4313,10 +4316,22 @@ object SparkEntry {
         |      (x, i) -> len(x) < 6 OR coalesce(list_position(lines[1:i-1], x), 0) = 0),
         |      chr(10)) AS text
         |  FROM lns),
+        |clf AS (
+        |  SELECT doc_id,
+        |    coalesce(array_to_string(list_filter(string_split(coalesce(text, ''), chr(10)), l ->
+        |      len(list_filter(regexp_split_to_array(lower(trim(l)), '\s+'), t -> len(t) > 0)) >= 3
+        |      AND (CASE WHEN len(list_filter(regexp_split_to_array(lower(trim(l)), '\s+'), t -> len(t) > 0)) > 0
+        |            THEN CAST(coalesce(list_sum(list_transform(
+        |                   list_filter(regexp_split_to_array(lower(trim(l)), '\s+'), t -> len(t) > 0),
+        |                   t -> CASE WHEN regexp_matches(t, '[a-z]') THEN 1 ELSE 0 END)), 0) AS DOUBLE)
+        |               / len(list_filter(regexp_split_to_array(lower(trim(l)), '\s+'), t -> len(t) > 0))
+        |            ELSE 0.0 END) >= 0.5),
+        |      chr(10)), '') AS text
+        |  FROM cln),
         |tokg AS (
         |  SELECT doc_id, text,
         |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
-        |  FROM cln),
+        |  FROM clf),
         |mg AS (
         |  SELECT doc_id,
         |    CAST(len(toks) AS BIGINT) AS n_words,
@@ -4351,7 +4366,7 @@ object SparkEntry {
         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
         |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.1 AND ellipsis_frac <= 0.3
         |    AND alpha_frac >= 0.8 AND stopword_hits >= 1),
-        |surv AS (SELECT c.doc_id, c.text FROM cln c JOIN keep k ON k.doc_id = c.doc_id),
+        |surv AS (SELECT c.doc_id, c.text FROM clf c JOIN keep k ON k.doc_id = c.doc_id),
         |tok AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
         |  FROM surv),
