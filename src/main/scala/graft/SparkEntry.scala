@@ -7,7 +7,7 @@ import graft.dataset.Dataset
 import graft.ingest.IngestWriter
 import graft.model.{MergeConf, Op}
 import graft.model.MetadataEvent.{AddPushSource, FetchConf, PrepConf, SetPollingSource, SqlStep}
-import graft.operators.{Changelog, Corpus, Dedup, MergeStrategy, Similarity, Temporal, Writer}
+import graft.operators.{Changelog, Corpus, Dedup, MergeStrategy, Profile, Similarity, Temporal, Writer}
 import graft.query.QueryService
 import graft.transform.TransformService
 import graft.functions.Text
@@ -1416,6 +1416,38 @@ object SparkEntry {
           idCol = "id2", salt = 7L)
         .select(col("doc_id"), col("source"), col("epoch").cast("bigint").as("epoch"))
         .limit(120)
+    },
+
+    // ---- EXACTLY-n-per-stratum sampling: salted two-stage hash rank (a
+    // global top-n row is always within its salt bucket's top-n, so the
+    // stages compose exactly); the full rows never shuffle — the ≤ n·|strata|
+    // survivors semi-join back broadcast-sized.
+    "stratified_sample" -> { (s, dir) =>
+      Corpus.stratifiedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        idCol = "doc_id", stratumCol = "source", n = 15)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- deterministic shard cut: exact 0-based rank in (hash, id) order,
+    // shard = floor(pos·S/N) — the contiguous-equal-shards layout a
+    // trainer's data loader reads; range-partitioned total sort +
+    // zipWithIndex, nothing single-partition.
+    "corpus_shards" -> { (s, dir) =>
+      Corpus.shuffleShards(
+        t(s, dir, "documents"), idCol = "doc_id", numShards = 7, salt = 3L)
+        .orderBy(col("position"))
+    },
+
+    // ---- one-pass per-column profile: count / non-null / EXACT distinct /
+    // min / max for five columns through a single Expand aggregate job;
+    // min/max rendered as strings for a uniform schema.
+    "profile_table" -> { (s, dir) =>
+      Profile.profile(
+        t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+          "o_orderdate"))
+        .orderBy(col("col_name"))
     },
 
     // ---- document chunking: sliding 40-token windows with 8-token overlap
@@ -3799,6 +3831,37 @@ object SparkEntry {
         |SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch FROM k
         |ORDER BY (('0x' || substring(md5('7:' || id2), 1, 8))::BIGINT % 2147483647) ASC, id2 ASC
         |LIMIT 120""".stripMargin,
+    // Exactly-n-per-stratum: the two-stage salted rank composes to the
+    // plain global per-stratum rank, which is what the oracle computes.
+    "stratified_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      ('0x' || substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2147483647,
+        |      doc_id) AS r
+        |  FROM documents WHERE source IS NOT NULL)
+        |WHERE r <= 15 ORDER BY doc_id""".stripMargin,
+    // Shard cut: exact rank in (hash, id) order, integer shard arithmetic.
+    "corpus_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5('3:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2147483647 AS h
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM h),
+        |p AS (SELECT doc_id,
+        |        CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS position FROM h)
+        |SELECT doc_id, position, CAST(position * 7 // n AS BIGINT) AS shard
+        |FROM p CROSS JOIN n ORDER BY position""".stripMargin,
+    // Per-column profile: one UNION ALL branch per profiled column.
+    "profile_table" ->
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_orderdate")
+        .map(c =>
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows, count($c) AS n_nonnull,
+             |  count(DISTINCT $c) AS n_distinct,
+             |  CAST(min($c) AS VARCHAR) AS min_value, CAST(max($c) AS VARCHAR) AS max_value
+             |FROM orders""".stripMargin)
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name"),
     // Chunking: same window starts, same inclusive 1-based token slices.
     "chunk_docs" ->
       """WITH d AS (

@@ -174,6 +174,95 @@ object Corpus {
     df.withColumn("epoch", explode(sequence(lit(0), n - 1)))
   }
 
+  /**
+   * EXACTLY-n-per-stratum deterministic sampling — the reservoir-sample
+   * shape of [[sampleBySource]] (that one keeps a RATE, this one keeps a
+   * COUNT): within each stratum, keep the `n` rows with the smallest
+   * portable hash of `stratum:id` — a uniform n-subset under the hash's
+   * mixing, identical across reruns, partitionings, and engines. Rows with
+   * a NULL stratum are dropped (no stratum, no quota).
+   *
+   * Scale shape: the rank runs on a slim (stratum, id, hash) projection in
+   * two stages — a salted pre-rank over (stratum, hash mod 64) diffuses a
+   * hot stratum across 64 reducers and keeps ≤ 64·n candidates per stratum
+   * (any global top-n row is necessarily in its salt bucket's top-n), then
+   * the final per-stratum rank sorts only those bounded candidate sets.
+   * The full rows never move: survivors semi-join back on id, and the
+   * keeper side is ≤ n·|strata| rows — broadcast-sized by construction.
+   */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      n: Int,
+      salts: Int = 64
+  ): DataFrame = {
+    require(n > 0 && salts > 0, "n and salts must be positive")
+    val slim = df
+      .filter(col(stratumCol).isNotNull)
+      .select(
+        col(stratumCol).as("__s"),
+        col(idCol).as("__id"),
+        Text.portableHash31(
+          concat(col(stratumCol), lit(":"), col(idCol).cast("string"))).as("__h"))
+    val pre = slim
+      .withColumn("__r1", row_number().over(
+        Window.partitionBy(col("__s"), pmod(col("__h"), lit(salts.toLong)))
+          .orderBy(col("__h"), col("__id"))))
+      .filter(col("__r1") <= n)
+    val keep = pre
+      .withColumn("__r2", row_number().over(
+        Window.partitionBy(col("__s")).orderBy(col("__h"), col("__id"))))
+      .filter(col("__r2") <= n)
+      .select(col("__id").as(idCol))
+    df.join(broadcast(keep), Seq(idCol), "left_semi")
+  }
+
+  /**
+   * Deterministic global shuffle INTO SHARDS: [[shuffleOrder]]'s
+   * reproducible permutation plus an exact position, cut into `numShards`
+   * near-equal contiguous shards — the layout a trainer's data loader
+   * actually consumes (shard s = one contiguous file set, every rank reads
+   * its own shards, no coordination). position = exact 0-based rank in
+   * (hash, id) order; shard = floor(position · S / N) — the same exact
+   * integer cut as [[rankBuckets]], never a sampled-boundary partitioner
+   * that drifts between runs. Returns the slim (id, position, shard)
+   * assignment; join it back or feed it to a partitioned writer.
+   *
+   * Scale shape: one range-partitioned total sort of a (hash, id)
+   * projection + zipWithIndex (the offset-assignment machinery). The
+   * documents themselves don't move until the caller writes shards.
+   */
+  def shuffleShards(
+      df: DataFrame,
+      idCol: String,
+      numShards: Int,
+      salt: Long = 0L
+  ): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val spark = df.sparkSession
+    val slim = df.select(
+      col(idCol),
+      Text.portableHash31(
+        concat(lit(salt.toString), lit(":"), col(idCol).cast("string"))).as("__h"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      slim.schema.fields.head,
+      org.apache.spark.sql.types.StructField(
+        "position", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "shard", org.apache.spark.sql.types.LongType, nullable = false)))
+    val n = slim.count()
+    if (n == 0L) return spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val ranked = slim
+      .orderBy(col("__h").asc, col(idCol).asc)
+      .rdd.zipWithIndex()
+      .map { case (row, pos) =>
+        org.apache.spark.sql.Row(row.get(0), pos, pos * numShards / n)
+      }
+    spark.createDataFrame(ranked, schema)
+  }
+
   // ------------------------------------------------------------- chunking
 
   /**

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * One-pass table profiling — the "what is actually in this table" scan a
+ * 100 TB ingest runs before (and after) every pipeline change: per-column
+ * row/non-null/distinct counts and min/max, computed in a SINGLE aggregate
+ * job over the table (Catalyst plans the multi-distinct through one Expand
+ * pass — one scan, one shuffle, map-side partials for the non-distinct
+ * stats). The reference exposes the same need through its schema/stats
+ * surfaces (`kamu inspect schema`, parquet footer stats); this is the
+ * content-level complement.
+ *
+ * Distinct counts are EXACT, which is what makes the operator
+ * oracle-checkable; the Expand pass multiplies scan rows by
+ * (#profiled columns + 1), so at extreme widths or corpus sizes the
+ * approx variant below trades exactness for a constant-memory sketch.
+ */
+object Profile {
+
+  /** Per-column profile of `columns` (default: all top-level columns).
+    * Output: one row per column —
+    * (col_name, n_rows, n_nonnull, n_distinct, min_value, max_value),
+    * min/max rendered as strings so the schema is uniform across column
+    * types. NULLs are excluded from distinct/min/max (SQL semantics). The
+    * only driver-side data is the single aggregate row. */
+  def profile(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+    val spark = df.sparkSession
+    val names = if (columns.nonEmpty) columns else df.columns.toSeq
+    require(names.nonEmpty, "nothing to profile")
+    val aggs: Seq[Column] = names.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__c_$c"),
+        countDistinct(col(c)).as(s"__d_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val all = count(lit(1)).as("__n") +: aggs
+    val row = df.agg(all.head, all.tail: _*).collect()(0)
+    val n = row.getLong(0)
+    val out = names.zipWithIndex.map { case (c, i) =>
+      val base = 1 + i * 4
+      (c, n, row.getLong(base), row.getLong(base + 1),
+        if (row.isNullAt(base + 2)) null else row.getString(base + 2),
+        if (row.isNullAt(base + 3)) null else row.getString(base + 3))
+    }
+    import spark.implicits._
+    out.toDF("col_name", "n_rows", "n_nonnull", "n_distinct",
+      "min_value", "max_value")
+  }
+
+  /** The sketch variant for schemas/scales where exact multi-distinct is
+    * too heavy: approx_count_distinct (HyperLogLog++, `rsd` relative
+    * error) replaces the Expand pass with constant-size per-column
+    * sketches — one scan, no row multiplication. Not oracle-comparable
+    * across engines (sketch internals differ); same output schema. */
+  def profileApprox(df: DataFrame, columns: Seq[String] = Nil,
+      rsd: Double = 0.05): DataFrame = {
+    val spark = df.sparkSession
+    val names = if (columns.nonEmpty) columns else df.columns.toSeq
+    require(names.nonEmpty, "nothing to profile")
+    val aggs: Seq[Column] = names.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__c_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__d_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val all = count(lit(1)).as("__n") +: aggs
+    val row = df.agg(all.head, all.tail: _*).collect()(0)
+    val n = row.getLong(0)
+    val out = names.zipWithIndex.map { case (c, i) =>
+      val base = 1 + i * 4
+      (c, n, row.getLong(base), row.getLong(base + 1),
+        if (row.isNullAt(base + 2)) null else row.getString(base + 2),
+        if (row.isNullAt(base + 3)) null else row.getString(base + 3))
+    }
+    import spark.implicits._
+    out.toDF("col_name", "n_rows", "n_nonnull", "n_distinct",
+      "min_value", "max_value")
+  }
+}

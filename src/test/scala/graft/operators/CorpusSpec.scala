@@ -168,6 +168,81 @@ class CorpusSpec extends SparkSpec {
     assert(!a.sameElements(c) && a.sorted.sameElements(c.sorted))
   }
 
+  test("stratifiedSample: exactly n per stratum, salt-stage-count invariant, nulls dropped") {
+    val withNull = docs.select("doc_id", "source")
+      .unionByName(Seq((90001L, null.asInstanceOf[String])).toDF("doc_id", "source"))
+    val out = Corpus.stratifiedSample(withNull, "doc_id", "source", n = 3)
+    val perStratum = out.groupBy("source").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(perStratum.keySet.forall(_.isDefined), "null stratum must be dropped")
+    assert(perStratum.values.forall(_ === 3L))
+    // the two-stage salted rank composes to the plain global rank: the
+    // kept set is identical at any salt count (1 = unsalted reference)
+    val ref = Corpus.stratifiedSample(withNull, "doc_id", "source", n = 3, salts = 1)
+      .select("doc_id").as[Long].collect().sorted
+    val salted = Corpus.stratifiedSample(withNull, "doc_id", "source", n = 3, salts = 7)
+      .select("doc_id").as[Long].collect().sorted
+    assert(ref.sameElements(salted))
+    // partitioning-invariant
+    val rep = Corpus.stratifiedSample(
+      withNull.repartition(13), "doc_id", "source", n = 3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(ref.sameElements(rep))
+    // a stratum smaller than n keeps all its rows
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
+    assert(Corpus.stratifiedSample(tiny, "doc_id", "source", n = 5).count() === 3)
+  }
+
+  test("shuffleShards: a permutation cut into near-equal contiguous shards") {
+    val out = Corpus.shuffleShards(docs, "doc_id", numShards = 4, salt = 9L).cache()
+    val n = docs.count()
+    assert(out.count() === n)
+    // positions are exactly 0..n-1 (a permutation)
+    assert(out.agg(min("position"), max("position"), countDistinct("position"))
+      .as[(Long, Long, Long)].head() === ((0L, n - 1, n)))
+    // shards are near-equal (sizes differ by at most 1) and contiguous in
+    // position order
+    val sizes = out.groupBy("shard").count().select("count").as[Long].collect()
+    assert(sizes.length === 4 && sizes.max - sizes.min <= 1)
+    val byPos = out.orderBy("position").select("shard").as[Long].collect()
+    assert(byPos.sameElements(byPos.sorted))
+    // deterministic across partitionings; shard matches position arithmetic
+    val rep = Corpus.shuffleShards(docs.repartition(11), "doc_id", 4, salt = 9L)
+      .orderBy("position").select("doc_id").as[Long].collect()
+    assert(rep.sameElements(out.orderBy("position").select("doc_id").as[Long].collect()))
+    assert(out.filter(
+      col("shard") =!= floor(col("position") * 4 / n).cast("long")).count() === 0)
+    out.unpersist()
+  }
+
+  test("Profile.profile: one-row aggregate, exact stats, null handling") {
+    val df = Seq(
+      (1L, Some("a"), Some(10)),
+      (2L, Some("b"), None),
+      (3L, None, Some(30)),
+      (4L, Some("a"), Some(10))
+    ).toDF("id", "s", "v")
+    val p = Profile.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("id").getLong(1) === 4L && p("id").getLong(2) === 4L &&
+      p("id").getLong(3) === 4L && p("id").getString(4) === "1" &&
+      p("id").getString(5) === "4")
+    assert(p("s").getLong(2) === 3L && p("s").getLong(3) === 2L &&
+      p("s").getString(4) === "a" && p("s").getString(5) === "b")
+    assert(p("v").getLong(2) === 3L && p("v").getLong(3) === 2L)
+    // all-null column: zero nonnull/distinct, null min/max
+    val alln = Profile.profile(
+      Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+        .toDF("id", "s"), Seq("s")).head()
+    assert(alln.getLong(2) === 0L && alln.getLong(3) === 0L &&
+      alln.isNullAt(4) && alln.isNullAt(5))
+    // approx variant: same schema, counts exact, distinct within rsd slack
+    val a = Profile.profileApprox(docs, Seq("doc_id", "source")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = docs.select("source").distinct().count()
+    assert(math.abs(a("source").getLong(3) - exact).toDouble / exact < 0.3)
+  }
+
   test("chunkDocs: sliding windows cover every token, tails included") {
     val corpus = Seq(
       (1L, "a b c d e f g h i j"), // 10 tokens
