@@ -1345,6 +1345,19 @@ object SparkEntry {
       Dedup.readClusters(s, "graft_minhash_ccl").orderBy(col("id"))
     },
 
+    // ---- keep-BEST fuzzy dedup: near-dup clusters from MinHash pairs,
+    // winner per cluster = max n_chars (ties to smallest id), docs in no
+    // pair survive. The quality-aware variant of dedup_minhash's keep-first.
+    "dedup_keep_best" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashLsh(docs, "doc_id", "text", minSim = 0.5)
+        .select(col("id_a"), col("id_b"))
+      Dedup.keepBestPerCluster(
+        docs.select(col("doc_id"), col("n_chars")),
+        idCol = "doc_id", scoreCol = "n_chars", pairs = pairs)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- corpus quality filtering: the select stage of a training-data
     // pipeline — quality score + language id + token-count window composed
     // into one predicate.
@@ -1416,6 +1429,16 @@ object SparkEntry {
           idCol = "id2", salt = 7L)
         .select(col("doc_id"), col("source"), col("epoch").cast("bigint").as("epoch"))
         .limit(120)
+    },
+
+    // ---- BM25 keyword retrieval: idf and every per-term summand floored
+    // onto the 1e-6 grid so the document score is an order-free integer
+    // sum; one corpus-stats aggregate, then map-only scoring with
+    // let-bound token arrays, distributed TakeOrdered top-k.
+    "bm25_search" -> { (s, dir) =>
+      Corpus.bm25Search(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("customer", "spark", "merge"), topK = 15)
+        .withColumnRenamed("id", "doc_id")
     },
 
     // ---- EXACTLY-n-per-stratum sampling: salted two-stage hash rank (a
@@ -3782,6 +3805,26 @@ object SparkEntry {
          |  UNION
          |  SELECT r.a, x.b FROM reach r JOIN edge x ON r.b = x.a)
          |SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a ORDER BY id""".stripMargin,
+    // Keep-best: fresh CC over the same MinHash pair set, winner per
+    // component by (n_chars DESC, id ASC), survivors = docs minus losers.
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashOracleCtes,
+         |e AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+         |edge AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edge
+         |  UNION
+         |  SELECT r.a, x.b FROM reach r JOIN edge x ON r.b = x.a),
+         |cc AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+         |w AS (
+         |  SELECT id FROM (
+         |    SELECT cc.id,
+         |      row_number() OVER (PARTITION BY comp ORDER BY d.n_chars DESC, cc.id ASC) AS r
+         |    FROM cc JOIN documents d ON d.doc_id = cc.id) WHERE r = 1),
+         |losers AS (SELECT id FROM cc WHERE id NOT IN (SELECT id FROM w))
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM losers)
+         |ORDER BY doc_id""".stripMargin,
     // Deterministic sampling: same md5-derived unit hash, same rate CASE.
     "corpus_sample" ->
       """SELECT doc_id, source FROM documents
@@ -3831,6 +3874,39 @@ object SparkEntry {
         |SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch FROM k
         |ORDER BY (('0x' || substring(md5('7:' || id2), 1, 8))::BIGINT % 2147483647) ASC, id2 ASC
         |LIMIT 120""".stripMargin,
+    // BM25: identical stats, idf grid, summand grid, and float-expression
+    // association term by term ((idf·tf)·(1.2+1.0) / (tf + 1.2·(0.25 +
+    // ((0.75·dl)·n)/total))); score = exact integer sum.
+    "bm25_search" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total,
+        |        CAST(sum(CASE WHEN list_contains(toks, 'customer') THEN 1 ELSE 0 END) AS BIGINT) AS dfc,
+        |        CAST(sum(CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END) AS BIGINT) AS dfm,
+        |        CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS BIGINT) AS dfs
+        |      FROM d),
+        |i AS (SELECT n, total,
+        |        CAST(floor(ln(1.0 + (n - dfc + 0.5) / (dfc + 0.5)) * 1000000.0) AS BIGINT) AS idfc,
+        |        CAST(floor(ln(1.0 + (n - dfm + 0.5) / (dfm + 0.5)) * 1000000.0) AS BIGINT) AS idfm,
+        |        CAST(floor(ln(1.0 + (n - dfs + 0.5) / (dfs + 0.5)) * 1000000.0) AS BIGINT) AS idfs
+        |      FROM g),
+        |tf AS (SELECT doc_id, dl,
+        |         CAST(len(list_filter(toks, x -> x = 'customer')) AS DOUBLE) AS tfc,
+        |         CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tfm,
+        |         CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tfs
+        |       FROM d),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(floor(idfc * tfc * (1.2 + 1.0) / (tfc + 1.2 * (0.25 + 0.75 * dl * n / total))) AS BIGINT)
+        |  + CAST(floor(idfm * tfm * (1.2 + 1.0) / (tfm + 1.2 * (0.25 + 0.75 * dl * n / total))) AS BIGINT)
+        |  + CAST(floor(idfs * tfs * (1.2 + 1.0) / (tfs + 1.2 * (0.25 + 0.75 * dl * n / total))) AS BIGINT)
+        |      AS score_micro
+        |  FROM tf CROSS JOIN i)
+        |SELECT doc_id, score_micro FROM sc WHERE score_micro > 0
+        |ORDER BY score_micro DESC, doc_id LIMIT 15""".stripMargin,
     // Exactly-n-per-stratum: the two-stage salted rank composes to the
     // plain global per-stratum rank, which is what the oracle computes.
     "stratified_sample" ->

@@ -749,6 +749,77 @@ object Corpus {
       .limit(k)
   }
 
+  // ------------------------------------------------------------ BM25 search
+
+  /**
+   * BM25 keyword retrieval over the corpus (Robertson & Zaragoza 2009; the
+   * Lucene `k1/b` formulation with the always-positive `ln(1 + (N-df+0.5)/
+   * (df+0.5))` idf): score every document against a bag of query terms,
+   * return the top-K. The retrieval primitive behind "find training docs
+   * about X" curation queries and contamination triage.
+   *
+   * Exactness: idf is floored onto the 1e-6 integer grid per term (computed
+   * from one |terms|-column aggregate), and each per-term summand —
+   * idf_micro · tf·(k1+1) / (tf + k1·(1−b+b·dl·N/Σdl)) — is floored onto
+   * the same grid BEFORE the cross-term sum, so the final score is an
+   * order-free integer sum of longs that any engine reproduces bit-exactly.
+   *
+   * Scale shape: one pass computes (N, Σdl, df_t...) as a single aggregate
+   * row; scoring is then MAP-ONLY over the token arrays (per-term `filter`
+   * counts — a scan, not an inverted index: right for one-off curation
+   * queries over parquet; a standing search service would materialize the
+   * posting lists instead). Top-K is Spark's distributed TakeOrdered.
+   */
+  def bm25Search(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      topK: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(terms.nonEmpty && topK > 0, "need query terms and topK > 0")
+    val qs = terms.map(_.toLowerCase).distinct.sorted
+    val toks = docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+    val statAggs =
+      Seq(count(lit(1)).as("__n"), sum(size(col("toks"))).cast("long").as("__total")) ++
+        qs.map(t => sum(when(array_contains(col("toks"), t), 1L).otherwise(0L)))
+    val stat = toks.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+    val n = stat.getLong(0)
+    val total = stat.getLong(1)
+    require(n > 0 && total > 0, "corpus is empty")
+    val idfMicro = qs.zipWithIndex.map { case (t, i) =>
+      val dfT = stat.getLong(2 + i).toDouble
+      t -> math.floor(math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5)) * 1e6).toLong
+    }.toMap
+    // Both the token array and each term's tf are LET-BOUND through
+    // single-element `transform` wrappers (the chunkDocs pattern): the
+    // document is tokenized ONCE per row and each tf array scan runs once
+    // even though tf appears in numerator and denominator — referencing
+    // the raw expression trees instead would re-evaluate them per use in
+    // interpreted HOF eval.
+    val score = transform(
+      array(Text.tokens(col(textCol))),
+      ts => {
+        val dlTerm = lit(b) * size(ts).cast("double") * lit(n.toDouble) / lit(total.toDouble)
+        qs.map { t =>
+          transform(
+            array(size(filter(ts, x => x === lit(t))).cast("double")),
+            tf =>
+              floor(lit(idfMicro(t).toDouble) * tf * lit(k1 + 1.0) /
+                (tf + lit(k1) * (lit(1.0 - b) + dlTerm))).cast("long")
+          ).getItem(0)
+        }.reduce(_ + _)
+      }
+    ).getItem(0)
+    docs
+      .select(col(idCol).as("id"), score.as("score_micro"))
+      .filter(col("score_micro") > 0L)
+      .orderBy(col("score_micro").desc, col("id"))
+      .limit(topK)
+  }
+
   // ------------------------------------------------------------ URL filter
 
   /**

@@ -872,6 +872,37 @@ object Dedup {
       .drop("comp")
   }
 
+  /**
+   * Keep the BEST member of every near-dup cluster — [[keepCanonical]]
+   * keeps the smallest id; training pipelines usually keep the
+   * highest-QUALITY member instead (the fuzzy-dedup stage of
+   * RefinedWeb/FineWeb-style pipelines retains the representative with the
+   * best quality signal, not the first-crawled copy). Winner per connected
+   * component = max `scoreCol`, ties to the smallest id; docs in no pair
+   * survive untouched. Returns the surviving rows of `df`.
+   *
+   * Scale shape: CC runs on the id-only pair set; scores join onto the
+   * (id, comp) labels — a slim two-column shuffle; the winner per
+   * component is one `max_by` hash aggregate; and only LOSER ids reach the
+   * final anti-join against the corpus, so the full rows never shuffle.
+   */
+  def keepBestPerCluster(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      pairs: DataFrame
+  ): DataFrame = {
+    val members = connectedComponents(pairs)
+    val scored = members.join(
+      df.select(col(idCol).as("id"), col(scoreCol).as("__sc")), "id")
+    val winners = scored
+      .groupBy(col("comp"))
+      .agg(max_by(col("id"), struct(col("__sc"), -col("id"))).as("id"))
+      .select(col("id"))
+    val losers = members.select(col("id")).join(winners, Seq("id"), "left_anti")
+    df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------ cluster index
   //
   // Persistent cluster assignment beside a dedup index — the missing

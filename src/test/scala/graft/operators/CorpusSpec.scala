@@ -243,6 +243,42 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(a("source").getLong(3) - exact).toDouble / exact < 0.3)
   }
 
+  test("bm25Search: tf saturation, length normalization, rare-term idf, no exchange") {
+    val corpus = Seq(
+      (1L, ("spark " * 5 + "filler " * 45).trim), // stuffed AND long: dl=50
+      (2L, "spark merge"),                        // short doc, both terms
+      (3L, "spark filler"),                       // short doc, one term
+      (4L, "filler filler filler filler filler"), // no terms
+      (5L, "merge")                               // rare term only
+    ).toDF("doc_id", "text")
+    val out = Corpus.bm25Search(corpus, "doc_id", "text",
+      terms = Seq("spark", "merge"), topK = 10)
+    val ranked = out.collect().map(r => r.getLong(0) -> r.getLong(1))
+    // doc 4 scores 0 and is dropped
+    assert(!ranked.map(_._1).contains(4L))
+    // doc 2 (both terms, short) beats everything; 3 (one common term,
+    // short) beats 1 (term-stuffed but long: tf saturates, length norm
+    // penalizes)
+    val pos = ranked.map(_._1).zipWithIndex.toMap
+    assert(pos(2L) === 0)
+    assert(pos(3L) < pos(1L))
+    // rare term (merge: df=2) outscores common term (spark: df=3) at tf=1
+    // and equal length: docs 5 vs 3's spark summand — compare via scores
+    assert(ranked.toMap.apply(5L) > 0L)
+    // the top-k is a distributed TakeOrdered (each partition offers its k
+    // best), never a global sort exchange — and scoring adds no exchange
+    // of its own (asserted on the parquet-backed corpus: a local-relation
+    // fixture constant-folds into a LocalTableScan and proves nothing)
+    val plan = Corpus.bm25Search(docs, "doc_id", "text", Seq("spark"), 3)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    // deterministic across partitionings
+    val rep = Corpus.bm25Search(corpus.repartition(7), "doc_id", "text",
+      Seq("spark", "merge"), 10).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rep.sameElements(ranked))
+  }
+
   test("chunkDocs: sliding windows cover every token, tails included") {
     val corpus = Seq(
       (1L, "a b c d e f g h i j"), // 10 tokens

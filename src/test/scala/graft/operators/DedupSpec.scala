@@ -165,6 +165,22 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 5L, 10L))
   }
 
+  test("keepBestPerCluster: winner by score not id; ties to smallest id; isolated rows survive") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val docs = Seq(
+      (1L, 5.0), (2L, 9.0), (3L, 7.0), (4L, 9.0), // cluster {1,2,3,4}: 2 and 4 tie at 9 -> 2 wins
+      (5L, 0.0),                                  // isolated
+      (10L, 1.0), (11L, 2.0)                      // cluster {10,11}: 11 wins on score
+    ).toDF("doc_id", "q")
+    val kept = Dedup.keepBestPerCluster(docs, "doc_id", "q", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 5L, 11L))
+    // degenerate: no pairs -> everything survives
+    assert(Dedup.keepBestPerCluster(docs, "doc_id", "q",
+      spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b")).count() === 7)
+  }
+
   test("large-star/small-star CC: long chains converge in O(log n), agrees with label propagation") {
     // a 200-node chain: diameter 199 — label propagation would need ~200
     // rounds, the star algorithm a handful
