@@ -989,6 +989,24 @@ object SparkEntry {
     // pipeline EXACTLY brute force — so the exhaustive oracle checks the
     // whole train→assign→probe→rank machinery; recall at nprobe < k is
     // spec-tested (SimilaritySpec).
+    // ---- product quantization, trained AND searched under the oracle: m=4
+    // subspace codebooks from the same deterministic integer k-means as IVF
+    // (the DuckDB oracle retrains them — two unrolled Lloyd iterations —
+    // instead of receiving literals), corpus stored as 4 codes/vector, ADC
+    // ranking with per-QUERY lookup tables. The one ANN entry whose
+    // training is cross-engine-verified, not just its search.
+    "ann_pq" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val c = emb.select(col("vec_id").as("cid"), Similarity.quantize(col("embedding")).as("cv"))
+      val q = emb
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), Similarity.quantize(col("embedding")).as("qv"))
+      val books = Similarity.pqTrain(c, "cid", "cv", dim = 64, m = 4, k = 16, iters = 2)
+      Similarity
+        .pqTopK(q, c, "qid", "qv", "cid", "cv", k = 5, books, dim = 64)
+        .orderBy(col("qid"), col("rnk"))
+    },
+
     "ann_ivf" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val c = emb.select(col("vec_id").as("cid"), Similarity.quantize(col("embedding")).as("cv"))
@@ -1429,6 +1447,19 @@ object SparkEntry {
           idCol = "id2", salt = 7L)
         .select(col("doc_id"), col("source"), col("epoch").cast("bigint").as("epoch"))
         .limit(120)
+    },
+
+    // ---- Z-order clustering key: per-column shift-scaled codes (exact
+    // integer arithmetic, min/max from one bounded aggregate) interleaved
+    // by a static shift/mask expression — writing range-partitioned by this
+    // key gives parquet min/max pruning on BOTH columns at once.
+    "zorder_layout" -> { (s, dir) =>
+      graft.operators.Bucketing.withZorderKey(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey")),
+        cols = Seq("l_orderkey", "l_partkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("zkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
     // ---- BM25 keyword retrieval: idf and every per-term summand floored
@@ -3063,6 +3094,60 @@ object SparkEntry {
       |  SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
       |  FROM scored) WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
+  /** ann_pq oracle: RETRAINS the per-subspace codebooks in SQL — the same
+    * deterministic integer Lloyd's as `Similarity.ivfTrain` (16-lowest-id
+    * init, floor(sum/n) updates, empty cells carry forward, assignment
+    * ties to the lowest centroid), two iterations unrolled — then encodes
+    * the corpus and ranks queries by exact-integer ADC distance. */
+  private val annPqOracle: String = {
+    // one Lloyd iteration: assign (a) -> per-dim update (u) -> next books
+    def iter(prev: String, a: String, u: String, next: String) =
+      s"""$a AS (
+         |  SELECT vec_id, s, j FROM (
+         |    SELECT t.vec_id, t.s, c.j,
+         |      row_number() OVER (PARTITION BY t.vec_id, t.s
+         |        ORDER BY list_sum(list_transform(range(16), i -> (t.sv[i+1] - c.sv[i+1]) * (t.sv[i+1] - c.sv[i+1]))), c.j) AS r
+         |    FROM sub t JOIN $prev c ON c.s = t.s) WHERE r = 1),
+         |$u AS (
+         |  SELECT a.s, a.j, ii.i,
+         |    CAST(floor(CAST(sum(t.sv[ii.i+1]) AS DOUBLE) / count(*)) AS BIGINT) AS val
+         |  FROM $a a JOIN sub t ON t.vec_id = a.vec_id AND t.s = a.s
+         |  CROSS JOIN (SELECT unnest(range(16)) AS i) ii
+         |  GROUP BY a.s, a.j, ii.i),
+         |$next AS (
+         |  SELECT c.s, c.j, coalesce(u.sv, c.sv) AS sv
+         |  FROM $prev c LEFT JOIN (SELECT s, j, list(val ORDER BY i) AS sv FROM $u GROUP BY s, j) u
+         |    ON u.s = c.s AND u.j = c.j)"""
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, ss.s, qv[ss.s*16+1 : ss.s*16+16] AS sv
+       |  FROM v CROSS JOIN (SELECT unnest(range(4)) AS s) ss),
+       |init AS (SELECT vec_id, rnk - 1 AS j FROM (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rnk FROM v) WHERE rnk <= 16),
+       |c0 AS (SELECT t.s, i.j, t.sv FROM init i JOIN sub t ON t.vec_id = i.vec_id),
+       |${iter("c0", "a1", "u1", "c1")},
+       |${iter("c1", "a2", "u2", "c2")},
+       |codes AS (
+       |  SELECT vec_id, s, j AS code FROM (
+       |    SELECT t.vec_id, t.s, c.j,
+       |      row_number() OVER (PARTITION BY t.vec_id, t.s
+       |        ORDER BY list_sum(list_transform(range(16), i -> (t.sv[i+1] - c.sv[i+1]) * (t.sv[i+1] - c.sv[i+1]))), c.j) AS r
+       |    FROM sub t JOIN c2 c ON c.s = t.s) WHERE r = 1),
+       |q AS (SELECT vec_id AS qid, s, sv AS qsv FROM sub WHERE vec_id < 10),
+       |adc AS (
+       |  SELECT q.qid, cd.vec_id AS cid,
+       |    sum(list_sum(list_transform(range(16), i -> (q.qsv[i+1] - c.sv[i+1]) * (q.qsv[i+1] - c.sv[i+1])))) AS dist
+       |  FROM q
+       |  JOIN codes cd ON cd.s = q.s AND cd.vec_id <> q.qid
+       |  JOIN c2 c ON c.s = q.s AND c.j = cd.code
+       |  GROUP BY q.qid, cd.vec_id)
+       |SELECT qid, rnk, cid FROM (
+       |  SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS BIGINT) AS rnk
+       |  FROM adc) WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  }
+
   /** Dir-scoped bucketed-fact table names for the q3/q5 bucketed entries
     * (shared with the PlanSpec cleanup). */
   /** Bucket count of the q3/q5 fact tables — folded into the table tag so a
@@ -3639,6 +3724,7 @@ object SparkEntry {
     // corpus, so exact quantized-cosine top-5 is the ground truth. The
     // bucketed-table variant runs the identical pipeline off the
     // materialized layout — same answer, same oracle.
+    "ann_pq" -> annPqOracle,
     "ann_ivf" -> annIvfOracle,
     "ann_ivf_bucketed" -> annIvfOracle,
     "ann_ivf_append" -> annIvfOracle,
@@ -3874,6 +3960,23 @@ object SparkEntry {
         |SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch FROM k
         |ORDER BY (('0x' || substring(md5('7:' || id2), 1, 8))::BIGINT % 2147483647) ASC, id2 ASC
         |LIMIT 120""".stripMargin,
+    // Z-order: shift widths from binary bit length (len(bin(span)) ==
+    // 64 - numberOfLeadingZeros(span)), then the same shift/mask interleave.
+    "zorder_layout" ->
+      """WITH g AS (SELECT CAST(min(l_orderkey) AS BIGINT) AS minx, CAST(max(l_orderkey) AS BIGINT) AS maxx,
+        |                  CAST(min(l_partkey) AS BIGINT) AS miny, CAST(max(l_partkey) AS BIGINT) AS maxy
+        |           FROM lineitem),
+        |s AS (SELECT minx, miny,
+        |        greatest(0, CASE WHEN maxx = minx THEN 0 ELSE len(bin(maxx - minx)) END - 16) AS sx,
+        |        greatest(0, CASE WHEN maxy = miny THEN 0 ELSE len(bin(maxy - miny)) END - 16) AS sy
+        |      FROM g),
+        |c AS (SELECT l_orderkey, l_linenumber,
+        |        (l_orderkey - minx) >> sx AS cx,
+        |        (l_partkey - miny) >> sy AS cy
+        |      FROM lineitem CROSS JOIN s)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(list_sum([(((cx >> i) & 1) << (2*i)) + (((cy >> i) & 1) << (2*i + 1)) for i in range(16)]) AS BIGINT) AS zkey
+        |FROM c ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // BM25: identical stats, idf grid, summand grid, and float-expression
     // association term by term ((idf·tf)·(1.2+1.0) / (tf + 1.2·(0.25 +
     // ((0.75·dl)·n)/total))); score = exact integer sum.

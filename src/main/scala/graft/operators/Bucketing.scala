@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /**
  * Co-located table materialization — the 100 TB join-layout tool. A table
@@ -59,6 +60,83 @@ object Bucketing {
       .mode("overwrite")
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
+  }
+
+  // -------------------------------------------------------------- Z-order
+
+  /**
+   * Morton (Z-order) interleave key over k integral columns — the
+   * multi-dimensional clustering layout (the OPTIMIZE ZORDER of
+   * Delta/Iceberg): rows written range-partitioned and sorted by this key
+   * give parquet min/max pruning leverage on EVERY participating column at
+   * once, where a plain sort helps only its leading column. Each column is
+   * scaled to `bits` bits by a pure RIGHT SHIFT of (v − min) — no division,
+   * so the code is exact integer arithmetic end to end and any engine
+   * reproduces it bit-identically (the shift width is the column's bit
+   * length minus `bits`, from one bounded min/max aggregate). The
+   * interleave itself is a static shift/mask expression — whole-stage
+   * codegen, map-only.
+   */
+  def zorderKey(
+      cols: Seq[Column],
+      mins: Seq[Long],
+      maxs: Seq[Long],
+      bits: Int = 16
+  ): Column = {
+    val k = cols.size
+    require(k >= 1 && k * bits <= 63, "need 1..k columns with k*bits <= 63")
+    require(mins.size == k && maxs.size == k, "one (min,max) per column")
+    val codes = cols.zipWithIndex.map { case (c, j) =>
+      val span = maxs(j) - mins(j)
+      val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(span)
+      val s = math.max(0, bitLen - bits)
+      shiftright(c.cast("long") - lit(mins(j)), s)
+    }
+    (for (i <- 0 until bits; j <- 0 until k)
+      yield shiftleft(shiftright(codes(j), i).bitwiseAND(lit(1L)), i * k + j))
+      .reduce(_ + _)
+  }
+
+  /** Attach the Z-order key of `cols` as `keyCol` — min/max come from one
+    * bounded aggregate over the input. The read side of [[zorderWrite]];
+    * exposed separately so the key is oracle-checkable. */
+  def withZorderKey(
+      df: DataFrame,
+      cols: Seq[String],
+      bits: Int = 16,
+      keyCol: String = "zkey"
+  ): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    require(!(0 until cols.size * 2).exists(row.isNullAt),
+      "zorder columns must be non-null (or the table empty-checked upstream)")
+    val mins = cols.indices.map(j => row.getLong(2 * j))
+    val maxs = cols.indices.map(j => row.getLong(2 * j + 1))
+    df.withColumn(keyCol, zorderKey(cols.map(col), mins, maxs, bits))
+  }
+
+  /**
+   * Materialize `df` Z-ordered on `cols`: key → repartitionByRange(`files`)
+   * → sortWithinPartitions → plain parquet table. Each output file then
+   * covers a compact hyper-box of the column space, so a filter on ANY of
+   * the z-ordered columns prunes most files from its parquet min/max stats
+   * alone — the scan-side complement of [[materializeBucketed]]'s
+   * join-side layout.
+   */
+  def zorderWrite(
+      df: DataFrame,
+      table: String,
+      cols: Seq[String],
+      files: Int,
+      bits: Int = 16
+  ): Unit = {
+    require(files > 0, "files must be positive")
+    val keyed = withZorderKey(df, cols, bits, keyCol = "__zkey")
+    materializePlain(
+      keyed.repartitionByRange(files, col("__zkey"))
+        .sortWithinPartitions(col("__zkey"))
+        .drop("__zkey"),
+      table)
   }
 
   /** Unbucketed sibling of [[materializeBucketed]] — same drop + stale-

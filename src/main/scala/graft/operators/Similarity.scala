@@ -694,6 +694,100 @@ object Similarity {
       .select(col(qidCol), col("rnk"), col(cidCol), col("cos"))
   }
 
+  // -------------------------------------------------------------------- PQ
+
+  /**
+   * Product-quantization codebooks (Jégou et al. 2011, "Product
+   * Quantization for Nearest Neighbor Search"): the quantized vector space
+   * splits into `m` contiguous subspaces and each subspace gets its own
+   * k-means codebook — a vector is then stored as m SMALL CODES (m bytes at
+   * k=16..256) instead of dim longs, the compression that keeps a 100 TB
+   * ANN corpus in memory (SQ8 compresses 8×; PQ at m=4 over 64 dims
+   * compresses 128×, at the cost of quantization error ADC ranking
+   * absorbs).
+   *
+   * Training REUSES [[ivfTrain]] per subspace — the same deterministic
+   * integer Lloyd's (k-lowest-id init, fixed iterations, floor(sum/n)
+   * updates, empty cells keep their centroid), so codebooks are a pure
+   * function of the corpus and the `ann_pq` oracle RETRAINS them in SQL
+   * (two unrolled iterations) rather than receiving them as literals —
+   * the one ANN entry whose TRAINING is cross-engine-verified, not just
+   * its search. m small aggregates per iteration; at real scale train on
+   * a sample, encode everything.
+   */
+  def pqTrain(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      k: Int = 16,
+      iters: Int = 2
+  ): Seq[Seq[Array[Long]]] = {
+    require(m >= 1 && dim % m == 0, "m must divide dim")
+    val d = dim / m
+    (0 until m).map { s =>
+      ivfTrain(
+        corpus.select(col(idCol), slice(col(vecCol), s * d + 1, d).as(vecCol)),
+        idCol, vecCol, k, iters)
+    }
+  }
+
+  /** PQ codes as array<int> (code s = nearest centroid of subspace s, ties
+    * to the lowest index — [[ivfCell]] semantics per subspace). */
+  def pqCodes(vec: Column, books: Seq[Seq[Array[Long]]], dim: Int): Column = {
+    val m = books.size
+    val d = dim / m
+    array(books.zipWithIndex.map { case (bk, s) =>
+      ivfCell(slice(vec, s * d + 1, d), bk).cast("int")
+    }: _*)
+  }
+
+  /**
+   * PQ top-k by ADC (asymmetric distance computation): each QUERY builds
+   * its m·k lookup table of exact integer squared distances to every
+   * codebook entry ONCE (a per-query-row array, never per candidate), and
+   * each candidate pair costs m array lookups + m-1 adds — the corpus side
+   * touches only its m-code arrays, never raw vectors. Approximate by
+   * construction (distances are to codebook entries, not the true vector);
+   * rank = ADC distance ascending, ties to the lowest cid — bit-exactly
+   * reproducible, which is what the oracle checks. Same two-level exact
+   * top-k and stats-gated query broadcast as every other ANN entry point.
+   */
+  def pqTopK(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (cid, cvec)
+      qidCol: String,
+      qvecCol: String,
+      cidCol: String,
+      cvecCol: String,
+      k: Int,
+      books: Seq[Seq[Array[Long]]],
+      dim: Int,
+      broadcastMaxBytes: Long = 256L << 20
+  ): DataFrame = {
+    val m = books.size
+    val d = dim / m
+    val kSub = books.head.size
+    val lut = for (s <- 0 until m; j <- 0 until kSub) yield
+      graft.functions.HashExpressions.longSqDistLit(
+        slice(col(qvecCol), s * d + 1, d), books(s)(j).toIndexedSeq)
+    val q = queries.select(col(qidCol), array(lut: _*).as("__lut"))
+    val c = Dedup.ensureParallelism(corpus)
+      .select(col(cidCol), pqCodes(col(cvecCol), books, dim).as("__codes"))
+    val dist = (0 until m)
+      .map(s => element_at(col("__lut"),
+        lit(s * kSub + 1) + element_at(col("__codes"), s + 1)))
+      .reduce(_ + _)
+    val scored = c
+      .join(
+        gateQuerySide(q, 1, broadcastMaxBytes, "shuffle_replicate_nl"),
+        col(qidCol) =!= col(cidCol))
+      .withColumn("cos", -dist.cast("double")) // twoLevelTopK ranks desc
+    twoLevelTopK(scored, qidCol, cidCol, k)
+      .select(col(qidCol), col("rnk").cast("bigint").as("rnk"), col(cidCol))
+  }
+
   /**
    * Multi-TABLE sign-LSH top-k over quantized vectors — the standard recall
    * lever a single hyperplane table lacks (one table at `p` planes recalls

@@ -117,6 +117,60 @@ class SimilaritySpec extends SparkSpec {
     exhaustive.foreach { case (qid, _, cid) => assert(cid % 3 === (qid - 100) % 3) }
   }
 
+  test("PQ: per-subspace codebooks, codes in range, clustered recall, determinism") {
+    // 4 well-separated clusters in 8 dims: cluster c peaks in dims 2c, 2c+1
+    val vecs = (0 until 40).map { i =>
+      val cl = i % 4
+      val v = Array.tabulate(8)(j =>
+        if (j / 2 == cl) 1000L + ((i * 13 + j) % 40) else (i * 7 + j * 3) % 30L)
+      (i.toLong, v)
+    }
+    val c = vecs.toDF("cid", "cv")
+    val q = vecs.take(4).map { case (id, v) => (id + 100L, v) }.toDF("qid", "qv")
+    val books = Similarity.pqTrain(c, "cid", "cv", dim = 8, m = 4, k = 4, iters = 2)
+    // m codebooks of k centroids of dim/m values each; deterministic
+    assert(books.size === 4 && books.forall(b => b.size === 4 && b.forall(_.length === 2)))
+    val books2 = Similarity.pqTrain(c, "cid", "cv", dim = 8, m = 4, k = 4, iters = 2)
+    assert(books.map(_.map(_.toSeq)) === books2.map(_.map(_.toSeq)))
+    // codes are m small ints in [0, k)
+    val codes = c.select(Similarity.pqCodes(col("cv"), books, dim = 8).as("p"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.forall(p => p.size === 4 && p.forall(x => x >= 0 && x < 4)))
+    // ADC top-k on separated clusters finds the query's own cluster
+    val top = Similarity
+      .pqTopK(q, c, "qid", "qv", "cid", "cv", k = 5, books, dim = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(top.length === 20)
+    top.foreach { case (qid, _, cid) => assert(cid % 4 === (qid - 100) % 4) }
+    // partitioning-invariant
+    val rep = Similarity
+      .pqTopK(q, c.repartition(7), "qid", "qv", "cid", "cv", k = 5, books, dim = 8)
+      .as[(Long, Long, Long)].collect().sorted
+    assert(rep.sameElements(top.sorted))
+  }
+
+  test("PQ recall@10 vs brute force on the sf0.001 embedding fixture") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val c = emb.select(col("vec_id").as("cid"), Similarity.quantize(col("embedding")).as("cv"))
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), Similarity.quantize(col("embedding")).as("qv"))
+    val exact = Similarity
+      .bruteForceTopK(q, c, "qid", "qv", "cid", "cv", k = 10)
+      .select("qid", "cid").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // m=8 (8 dims/subspace) keeps enough resolution on near-uniform data
+    val books = Similarity.pqTrain(c, "cid", "cv", dim = 64, m = 8, k = 16, iters = 2)
+    val pq = Similarity
+      .pqTopK(q, c, "qid", "qv", "cid", "cv", k = 10, books, dim = 64)
+      .select("qid", "cid").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.keys.toSeq.map(k => (pq(k) & exact(k)).size / 10.0).sum / exact.size
+    // near-uniform fixtures are ANN's worst case (cf. the LSH tables in
+    // BASELINE.md); PQ's 128x compression must still beat random chance
+    // (10/500 = 0.02) by a wide margin
+    assert(recall > 0.15, s"recall@10 = $recall")
+  }
+
   test("intPlaneBucket: deterministic across calls, fails fast on wrong dim") {
     val planes = Similarity.intPlanes(numPlanes = 4, dim = 3, seed = 5L)
     assert(planes.map(_.toSeq) === Similarity.intPlanes(numPlanes = 4, dim = 3, seed = 5L).map(_.toSeq))
