@@ -812,6 +812,19 @@ object SparkEntry {
       Dedup.ngramJaccard(pairs, docs, "doc_id", "text", 3).orderBy(col("id_a"))
     },
 
+    // ---- character-level verify tier: exact Levenshtein over the same
+    // candidate shape (bounded pairs, 1000-char prefix cap), sim kept at a
+    // low floor so the entry emits rows. Integer distance in both engines.
+    "edit_distance_verify" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = docs
+        .select(col("doc_id").as("id_a"))
+        .filter(col("id_a") % 10 === 0)
+        .join(docs.select(col("doc_id").as("id_b")), col("id_b") === col("id_a") + 1)
+      Dedup.editDistanceVerify(pairs, docs, "doc_id", "text", minSim = 0.2)
+        .orderBy(col("id_a"))
+    },
+
     // ---- streaming window shapes run in batch mode (SURVEY §2.4 #44/#45):
     // the same StreamingOps expressions the streaming specs drive, here
     // executed as batch queries so the window semantics get a hard oracle.
@@ -1004,6 +1017,27 @@ object SparkEntry {
       val books = Similarity.pqTrain(c, "cid", "cv", dim = 64, m = 4, k = 16, iters = 2)
       Similarity
         .pqTopK(q, c, "qid", "qv", "cid", "cv", k = 5, books, dim = 64)
+        .orderBy(col("qid"), col("rnk"))
+    },
+
+    // ---- IVF-PQ: the composed at-scale layout — bucketed coarse cells
+    // (pruned no-shuffle probes) over PQ-coded rows (m ints per vector).
+    // nprobe = k makes the cell restriction vanish, so the result must
+    // equal plain PQ's ADC ranking — the same codebook-retraining oracle
+    // checks the whole composition.
+    "ann_ivfpq" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val c = emb.select(col("vec_id").as("cid"), Similarity.quantize(col("embedding")).as("cv"))
+      val q = emb
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), Similarity.quantize(col("embedding")).as("qv"))
+      val cents = Similarity.ivfTrain(c, "cid", "cv", k = 4, iters = 1)
+      val books = Similarity.pqTrain(c, "cid", "cv", dim = 64, m = 4, k = 16, iters = 2)
+      Similarity.materializeIvfPqCorpus(c, "cid", "cv", cents, books,
+        dim = 64, numBuckets = 4, table = "graft_ann_ivfpq")
+      Similarity
+        .ivfPqTopKFromTable(s, "graft_ann_ivfpq", q, "qid", "qv",
+          k = 5, cents, books, dim = 64, nprobe = 4)
         .orderBy(col("qid"), col("rnk"))
     },
 
@@ -1462,6 +1496,28 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
+    // ---- Unicode-script profile: exact per-script letter counts by
+    // regex deletion + dominant-script label (CCNet routes by script
+    // before any LM sees the text). Map-only.
+    "text_scripts" -> { (s, dir) =>
+      import s.implicits._
+      val synth = Seq(
+        (100001L, "Привет мир это тест кириллицы"),
+        (100002L, "这是一个中文测试文档"),
+        (100003L, "هذا اختبار عربي"),
+        (100004L, "mixed Привет hello 世界"),
+        (100005L, "1234 ... !!!")
+      ).toDF("doc_id", "text")
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(synth)
+        .select(col("doc_id"), Text.scriptProfile(col("text")).as("sp"))
+        .select(col("doc_id"),
+          col("sp.latin").as("latin"), col("sp.cyrillic").as("cyrillic"),
+          col("sp.han").as("han"), col("sp.arabic").as("arabic"),
+          col("sp.letters").as("letters"), col("sp.script").as("script"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- BM25 keyword retrieval: idf and every per-term summand floored
     // onto the 1e-6 grid so the document score is an order-free integer
     // sum; one corpus-stats aggregate, then map-only scoring with
@@ -1602,6 +1658,28 @@ object SparkEntry {
         lit("/page/"), col("doc_id").cast("string"))
       val docs = t(s, dir, "documents").select(col("doc_id"), url.as("url"))
       Corpus.filterByDomain(docs, "doc_id", "url", Seq("spam.example", "ads.net"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- URL canonicalization + URL-level dedup (the cheapest crawl
+    // dedup tier): messy synthetic URLs (case, www., default ports,
+    // tracking params, fragments) collapse onto canonical keys; keep =
+    // lowest doc_id per key. Map-only canonicalization, (key,id) shuffle.
+    "url_canonicalize" -> { (s, dir) =>
+      val hostVariants = array(
+        lit("HTTP://Example.COM:80"), lit("https://www.Example.com:443"),
+        lit("https://news.example.org"), lit("http://example.com"))
+      val url = concat(
+        element_at(hostVariants, (col("doc_id") % 4).cast("int") + 1),
+        lit("/Article/"), (col("doc_id") % 50).cast("string"),
+        lit("?utm_source=x&id="), (col("doc_id") % 25).cast("string"),
+        lit("&utm_campaign=y#frag"))
+      val docs = t(s, dir, "documents").select(col("doc_id"), url.as("url"))
+      val kept = Corpus.dedupByUrl(docs, "doc_id", "url").select(col("doc_id"), lit(1L).as("kept"))
+      docs
+        .withColumn("url_canon", Corpus.canonicalizeUrl(col("url")))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("url_canon"), coalesce(col("kept"), lit(0L)).as("kept"))
         .orderBy(col("doc_id"))
     },
 
@@ -3640,6 +3718,24 @@ object SparkEntry {
         |       ELSE 0.0 END AS jaccard
         |FROM pairs JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
         |ORDER BY id_a""".stripMargin,
+    // Levenshtein is exact-integer in both engines; same prefix cap, same
+    // 1 - dist/maxlen arithmetic.
+    "edit_distance_verify" ->
+      """WITH t AS (SELECT doc_id, substring(coalesce(text, ''), 1, 1000) AS t FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 10 = 0),
+        |sc AS (
+        |  SELECT id_a, id_b,
+        |    CAST(levenshtein(ta.t, tb.t) AS BIGINT) AS dist,
+        |    CAST(greatest(len(ta.t), len(tb.t)) AS BIGINT) AS mx
+        |  FROM pairs JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b)
+        |SELECT id_a, id_b, dist,
+        |  CASE WHEN mx = 0 THEN 1.0 ELSE 1.0 - CAST(dist AS DOUBLE) / CAST(mx AS DOUBLE) END AS sim
+        |FROM sc
+        |WHERE (CASE WHEN mx = 0 THEN 1.0 ELSE 1.0 - CAST(dist AS DOUBLE) / CAST(mx AS DOUBLE) END) >= 0.2
+        |ORDER BY id_a""".stripMargin,
     "window_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
@@ -3725,6 +3821,7 @@ object SparkEntry {
     // bucketed-table variant runs the identical pipeline off the
     // materialized layout — same answer, same oracle.
     "ann_pq" -> annPqOracle,
+    "ann_ivfpq" -> annPqOracle, // nprobe = k ⇒ cell pruning vanishes ⇒ ≡ PQ
     "ann_ivf" -> annIvfOracle,
     "ann_ivf_bucketed" -> annIvfOracle,
     "ann_ivf_append" -> annIvfOracle,
@@ -3977,6 +4074,65 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber,
         |  CAST(list_sum([(((cx >> i) & 1) << (2*i)) + (((cy >> i) & 1) << (2*i + 1)) for i in range(16)]) AS BIGINT) AS zkey
         |FROM c ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // URL canonicalization: same regex chain (DuckDB needs the 'g' flag —
+    // its regexp_replace is first-match by default where Spark's is
+    // global — and \1 backreferences where Spark uses $1).
+    "url_canonicalize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    ['HTTP://Example.COM:80', 'https://www.Example.com:443',
+        |     'https://news.example.org', 'http://example.com'][CAST(doc_id % 4 AS INT) + 1]
+        |    || '/Article/' || CAST(doc_id % 50 AS VARCHAR)
+        |    || '?utm_source=x&id=' || CAST(doc_id % 25 AS VARCHAR)
+        |    || '&utm_campaign=y#frag' AS url
+        |  FROM documents),
+        |cn AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^([^:/?#]+://[^/?#]*)', 1))
+        |                || regexp_extract(regexp_replace(url, '#.*$', ''), '^[^:/?#]+://[^/?#]*(.*)$', 1),
+        |              '://www\.', '://'),
+        |            '^(http://[^/:?#]+):80([/?#]|$)', '\1\2'),
+        |          '^(https://[^/:?#]+):443([/?#]|$)', '\1\2'),
+        |        '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+        |      '\?&', '?', 'g'), '[?&]+$', '') AS url_canon
+        |  FROM d)
+        |SELECT doc_id, url_canon,
+        |  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY url_canon) THEN 1 ELSE 0 END
+        |    ::BIGINT AS kept
+        |FROM cn ORDER BY doc_id""".stripMargin,
+    // Script profile: count-by-deletion with RE2's \p{Latin} (= Java's
+    // \p{IsLatin}); dominant pick replicates the priority tie-break.
+    "text_scripts" ->
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(100001 AS BIGINT), 'Привет мир это тест кириллицы'),
+        |    (CAST(100002 AS BIGINT), '这是一个中文测试文档'),
+        |    (CAST(100003 AS BIGINT), 'هذا اختبار عربي'),
+        |    (CAST(100004 AS BIGINT), 'mixed Привет hello 世界'),
+        |    (CAST(100005 AS BIGINT), '1234 ... !!!')
+        |  ) AS v(doc_id, text)),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) - len(regexp_replace(t, '[\p{Latin}]', '', 'g')) AS BIGINT) AS latin,
+        |    CAST(len(t) - len(regexp_replace(t, '[\p{Cyrillic}]', '', 'g')) AS BIGINT) AS cyrillic,
+        |    CAST(len(t) - len(regexp_replace(t, '[\p{Han}]', '', 'g')) AS BIGINT) AS han,
+        |    CAST(len(t) - len(regexp_replace(t, '[\p{Arabic}]', '', 'g')) AS BIGINT) AS arabic,
+        |    CAST(len(t) - len(regexp_replace(t, '[\p{L}]', '', 'g')) AS BIGINT) AS letters
+        |  FROM (SELECT doc_id, coalesce(text, '') AS t FROM src))
+        |SELECT doc_id, latin, cyrillic, han, arabic, letters,
+        |  CASE WHEN greatest(latin, cyrillic, han, arabic) = 0 THEN 'und'
+        |       WHEN latin >= cyrillic AND latin >= han AND latin >= arabic THEN 'latin'
+        |       WHEN cyrillic >= han AND cyrillic >= arabic THEN 'cyrillic'
+        |       WHEN han >= arabic THEN 'han'
+        |       ELSE 'arabic' END AS script
+        |FROM c ORDER BY doc_id""".stripMargin,
     // BM25: identical stats, idf grid, summand grid, and float-expression
     // association term by term ((idf·tf)·(1.2+1.0) / (tf + 1.2·(0.25 +
     // ((0.75·dl)·n)/total))); score = exact integer sum.

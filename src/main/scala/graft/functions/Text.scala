@@ -127,6 +127,39 @@ object Text {
   )
 
   /**
+   * Unicode-script profile — the signal a multilingual pipeline routes on
+   * BEFORE any language model sees the text (CCNet splits its crawl by
+   * script first; mixed-script text is its own spam signature). Returns a
+   * struct of exact per-script LETTER counts (latin, cyrillic, han,
+   * arabic, letters) plus the dominant script label ('und' when no
+   * letters; ties break latin > cyrillic > han > arabic by the struct-max
+   * construction). Counts are count-by-deletion over Unicode script
+   * classes — map-only, and exact integers any regex engine with script
+   * properties reproduces (RE2 spells the class \p{Latin} where Java
+   * wants \p{IsLatin}; same sets).
+   */
+  def scriptProfile(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    def cnt(javaClass: String): Column =
+      (length(t) - length(regexp_replace(t, s"[\\p{$javaClass}]", ""))).cast("long")
+    val latin = cnt("IsLatin")
+    val cyr = cnt("IsCyrillic")
+    val han = cnt("IsHan")
+    val arab = cnt("IsArabic")
+    val letters = cnt("L")
+    // max over (count, priority, label): ties go to the HIGHER priority
+    val best = array_max(array(
+      struct(latin.as("n"), lit(4).as("p"), lit("latin").as("s")),
+      struct(cyr.as("n"), lit(3).as("p"), lit("cyrillic").as("s")),
+      struct(han.as("n"), lit(2).as("p"), lit("han").as("s")),
+      struct(arab.as("n"), lit(1).as("p"), lit("arabic").as("s"))))
+    struct(
+      latin.as("latin"), cyr.as("cyrillic"), han.as("han"), arab.as("arabic"),
+      letters.as("letters"),
+      when(best.getField("n") > 0, best.getField("s")).otherwise(lit("und")).as("script"))
+  }
+
+  /**
    * 64-bit rolling document fingerprint: xxhash64 of the normalized
    * (lowercased, whitespace-collapsed, then trimmed) text — exact-dup
    * detection key. Collapse happens BEFORE trim so that non-space leading

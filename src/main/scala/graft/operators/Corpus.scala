@@ -749,6 +749,43 @@ object Corpus {
       .limit(k)
   }
 
+  /**
+   * URL canonicalization — the key-normalization step of URL-level crawl
+   * dedup (the cheapest dedup tier: dedup on canonical URL BEFORE any
+   * content hash touches the bytes): lowercase scheme+host (path case is
+   * semantic and kept), drop `www.`, drop default ports (:80 http /
+   * :443 https), strip fragments and tracking params (`utm_*`, `fbclid`,
+   * `gclid`), collapse the dangling `?`/`&` separators that removal
+   * leaves. Pure regex pipeline without lookarounds — map-only,
+   * reproducible in any regex engine. Non-absolute URLs (no `scheme://`)
+   * canonicalize to the empty string; filter or pass them through
+   * upstream.
+   */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(coalesce(url, lit("")), "#.*$", "")
+    val hostLower = concat(
+      lower(regexp_extract(noFrag, "^([^:/?#]+://[^/?#]*)", 1)),
+      regexp_extract(noFrag, "^[^:/?#]+://[^/?#]*(.*)$", 1))
+    val noWww = regexp_replace(hostLower, "://www\\.", "://")
+    val noPort = regexp_replace(
+      regexp_replace(noWww, "^(http://[^/:?#]+):80([/?#]|$)", "$1$2"),
+      "^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
+    val noTrack = regexp_replace(noPort, "(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", "")
+    regexp_replace(regexp_replace(noTrack, "\\?&", "?"), "[?&]+$", "")
+  }
+
+  /** URL-level dedup: keep the lowest-id row per canonical URL. The
+    * groupBy shuffles (canonical, id) pairs only; survivors semi-join
+    * back, so full rows never move. */
+  def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val keep = df
+      .select(canonicalizeUrl(col(urlCol)).as("__cu"), col(idCol))
+      .groupBy(col("__cu"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   // ------------------------------------------------------------ BM25 search
 
   /**

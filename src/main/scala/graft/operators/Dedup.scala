@@ -679,6 +679,44 @@ object Dedup {
   }
 
   /**
+   * Edit-distance verification of candidate pairs — the character-level
+   * complement of [[ngramJaccard]]'s token-level verify (catches the
+   * near-dups shingles miss: OCR noise, single-char edits inside words).
+   * Returns (id_a, id_b, dist, sim) with sim = 1 − dist/max(len) kept at
+   * `minSim`; Levenshtein is an exact integer both here and in the oracle
+   * engine, so the stage is bit-checkable.
+   *
+   * Scale shape: texts join onto the (bounded) candidate pair set — NEVER
+   * all pairs; per-pair cost is O(|a|·|b|), so this is the verify tier for
+   * short fields (titles, lines, URLs) or as the FINAL filter after
+   * cheaper tiers pruned the candidates. `maxLen` hard-caps the quadratic
+   * per-pair work; longer texts compare a prefix (documented FAISS-style
+   * truncation, deterministic).
+   */
+  def editDistanceVerify(
+      pairs: DataFrame, // (id_a, id_b)
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSim: Double = 0.8,
+      maxLen: Int = 1000
+  ): DataFrame = {
+    val t = ensureParallelism(docs).select(
+      col(idCol).as("__jid"),
+      substring(coalesce(col(textCol), lit("")), 1, maxLen).as("__t"))
+    pairs
+      .join(t.withColumnRenamed("__jid", "id_a").withColumnRenamed("__t", "t_a"), "id_a")
+      .join(t.withColumnRenamed("__jid", "id_b").withColumnRenamed("__t", "t_b"), "id_b")
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b")).cast("long"))
+      .withColumn("__mx", greatest(length(col("t_a")), length(col("t_b"))).cast("long"))
+      .withColumn("sim",
+        when(col("__mx") === 0L, lit(1.0))
+          .otherwise(lit(1.0) - col("dist").cast("double") / col("__mx").cast("double")))
+      .filter(col("sim") >= minSim)
+      .select(col("id_a"), col("id_b"), col("dist"), col("sim"))
+  }
+
+  /**
    * Exact n-gram Jaccard similarity for candidate pairs, verified by set
    * intersection over word shingles. Use after LSH candidate generation; as a
    * standalone all-pairs operator it is quadratic and only for small inputs.

@@ -789,6 +789,81 @@ object Similarity {
   }
 
   /**
+   * IVF-PQ corpus — the FAISS `IndexIVFPQ` layout, THE at-scale ANN
+   * structure: coarse-quantizer cells bound the candidate set (bucketed
+   * table, probes read a pruned no-shuffle scan) while rows store m PQ
+   * CODES instead of vectors (id + cell + m small ints — at m=4 over
+   * 64-dim longs, ~30× less table than the raw IVF corpus). A billion
+   * vectors fit in executor memory as codes where raw vectors would
+   * spill; the price is ADC-approximate ranking, which `nprobe = k`
+   * reduces to plain PQ (how the oracle checks the whole composition).
+   */
+  def materializeIvfPqCorpus(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Array[Long]],
+      books: Seq[Seq[Array[Long]]],
+      dim: Int,
+      numBuckets: Int,
+      table: String
+  ): Unit =
+    Bucketing.materializeBucketed(
+      df.select(
+        col(idCol).as("id"),
+        ivfCell(col(vecCol), centroids).as("cell"),
+        pqCodes(col(vecCol), books, dim).as("codes")),
+      table, "cell", numBuckets, sortCols = Seq("cell"))
+
+  /** IVF-PQ probe: queries fan out to their `nprobe` nearest cells carrying
+    * their ADC lookup table; the bucketed join prunes to probed cells with
+    * no corpus shuffle; candidates cost m lookups each. Rank = ADC distance
+    * ascending, ties to the lowest id (per-query window — candidates are
+    * already cell-bounded). */
+  def ivfPqTopKFromTable(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      centroids: Seq[Array[Long]],
+      books: Seq[Seq[Array[Long]]],
+      dim: Int,
+      nprobe: Int,
+      broadcastMaxBytes: Long = 256L << 20
+  ): DataFrame = {
+    val m = books.size
+    val d = dim / m
+    val kSub = books.head.size
+    val probes = slice(
+      array_sort(array(centroidDistances(col(qvecCol), centroids): _*)),
+      1, nprobe)
+    val lut = for (s <- 0 until m; j <- 0 until kSub) yield
+      graft.functions.HashExpressions.longSqDistLit(
+        slice(col(qvecCol), s * d + 1, d), books(s)(j).toIndexedSeq)
+    val qb = gateQuerySide(
+      queries
+        .withColumn("cell", explode(transform(probes, p => p.getField("c"))))
+        .select(col(qidCol), col("cell"), array(lut: _*).as("__lut")),
+      fanOut = nprobe,
+      broadcastMaxBytes,
+      "shuffle_hash")
+    val dist = (0 until m)
+      .map(s => element_at(col("__lut"),
+        lit(s * kSub + 1) + element_at(col("codes"), s + 1)))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("cos").desc, col("id"))
+    spark.table(table)
+      .join(qb, Seq("cell"))
+      .filter(col(qidCol) =!= col("id"))
+      .withColumn("cos", -dist.cast("double"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col(qidCol), col("rnk"), col("id").as("cid"))
+  }
+
+  /**
    * Multi-TABLE sign-LSH top-k over quantized vectors — the standard recall
    * lever a single hyperplane table lacks (one table at `p` planes recalls
    * ~(1−θ/π)^p per neighbor; L independent tables recall

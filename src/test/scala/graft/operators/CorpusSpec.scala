@@ -279,6 +279,53 @@ class CorpusSpec extends SparkSpec {
     assert(rep.sameElements(ranked))
   }
 
+  test("canonicalizeUrl: case, www, default ports, tracking params, fragments") {
+    val cases = Seq(
+      ("HTTP://Example.COM:80/Path/X?utm_source=a&id=1#frag", "http://example.com/Path/X?id=1"),
+      ("https://www.Example.com:443/a", "https://example.com/a"),
+      ("https://site.org/p?utm_a=1&utm_b=2", "https://site.org/p"),
+      ("https://site.org/p?id=1&gclid=xyz", "https://site.org/p?id=1"),
+      ("https://site.org:8443/p", "https://site.org:8443/p"), // non-default port kept
+      ("relative/path", ""), // non-absolute -> empty
+      (null.asInstanceOf[String], "")
+    )
+    val got = cases.map(_._1).toDF("url")
+      .select(Corpus.canonicalizeUrl(col("url"))).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g === e) }
+
+    // URL dedup keeps the lowest id per canonical key
+    val docs = Seq(
+      (1L, "https://www.a.com/x?utm_c=1"),
+      (2L, "https://a.com/x"),
+      (3L, "HTTPS://A.com/x#f"),
+      (4L, "https://a.com/y")
+    ).toDF("doc_id", "url")
+    assert(Corpus.dedupByUrl(docs, "doc_id", "url")
+      .select("doc_id").as[Long].collect().sorted.sameElements(Array(1L, 4L)))
+  }
+
+  test("scriptProfile: per-script counts, dominant label, und on letterless text") {
+    val rows = Seq(
+      (1L, "hello world"),
+      (2L, "Привет мир"),
+      (3L, "你好世界"),
+      (4L, "مرحبا"),
+      (5L, "123 !!!"),
+      (6L, "hi Привет мир") // cyrillic outnumbers latin
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), Text.scriptProfile(col("text")).as("sp"))
+      .select(col("doc_id"), col("sp.latin"), col("sp.cyrillic"), col("sp.han"),
+        col("sp.arabic"), col("sp.letters"), col("sp.script"))
+      .as[(Long, Long, Long, Long, Long, Long, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rows(1L) === ((1L, 10L, 0L, 0L, 0L, 10L, "latin")))
+    assert(rows(2L) === ((2L, 0L, 9L, 0L, 0L, 9L, "cyrillic")))
+    assert(rows(3L) === ((3L, 0L, 0L, 4L, 0L, 4L, "han")))
+    assert(rows(4L)._7 === "arabic" && rows(4L)._5 === 5L)
+    assert(rows(5L)._7 === "und" && rows(5L)._6 === 0L)
+    assert(rows(6L)._7 === "cyrillic")
+  }
+
   test("chunkDocs: sliding windows cover every token, tails included") {
     val corpus = Seq(
       (1L, "a b c d e f g h i j"), // 10 tokens

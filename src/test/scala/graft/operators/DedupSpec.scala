@@ -181,6 +181,31 @@ class DedupSpec extends SparkSpec {
       spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b")).count() === 7)
   }
 
+  test("editDistanceVerify: exact distances, sim floor, prefix cap, empty texts") {
+    val docs = Seq(
+      (1L, "kitten"), (2L, "sitting"),       // classic distance 3
+      (3L, "abc"), (4L, "abc"),              // identical -> sim 1
+      (5L, ""), (6L, ""),                    // both empty -> sim 1 by convention
+      (7L, "abc"), (8L, "xyz0")              // disjoint -> sim 0
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)).toDF("id_a", "id_b")
+    val out = Dedup.editDistanceVerify(pairs, docs, "doc_id", "text", minSim = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out((1L, 2L)) === ((3L, 1.0 - 3.0 / 7.0)))
+    assert(out((3L, 4L)) === ((0L, 1.0)))
+    assert(out((5L, 6L)) === ((0L, 1.0)))
+    assert(out((7L, 8L))._2 === 0.0)
+    // the sim floor drops dissimilar pairs
+    assert(Dedup.editDistanceVerify(pairs, docs, "doc_id", "text", minSim = 0.5)
+      .count() === 3)
+    // prefix cap bounds the quadratic work: distance is over the prefix
+    val long = Seq((1L, "a" * 50 + "X"), (2L, "a" * 50 + "Y")).toDF("doc_id", "text")
+    val capped = Dedup.editDistanceVerify(
+      Seq((1L, 2L)).toDF("id_a", "id_b"), long, "doc_id", "text",
+      minSim = 0.0, maxLen = 50)
+    assert(capped.select("dist").as[Long].head() === 0L)
+  }
+
   test("large-star/small-star CC: long chains converge in O(log n), agrees with label propagation") {
     // a 200-node chain: diameter 199 — label propagation would need ~200
     // rounds, the star algorithm a handful

@@ -248,6 +248,56 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ probe: code-only corpus scan, no Exchange between scan and join") {
+    import graft.operators.Similarity
+    val corpus = spark.range(500).select(
+      col("id").as("cid"),
+      array(col("id") % 13, col("id") % 7, col("id") % 5, lit(1L)).as("cv"))
+    val queries = spark.range(5).select(
+      col("id").as("qid"),
+      array(col("id") % 13, col("id") % 7, col("id") % 5, lit(1L)).as("qv"))
+    val cents = Similarity.ivfTrain(corpus, "cid", "cv", k = 3, iters = 1)
+    val books = Similarity.pqTrain(corpus, "cid", "cv", dim = 4, m = 2, k = 4, iters = 1)
+    Similarity.materializeIvfPqCorpus(corpus, "cid", "cv", cents, books,
+      dim = 4, numBuckets = 4, table = "plan_spec_ivfpq")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAdaptive = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val topk = Similarity.ivfPqTopKFromTable(spark, "plan_spec_ivfpq", queries,
+        "qid", "qv", k = 3, cents, books, dim = 4, nprobe = 2)
+      val plan = topk.queryExecution.executedPlan
+      val corpusShuffled = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.exists { e =>
+        val hasScan = e.child.collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.tableIdentifier.exists(_.table == "plan_spec_ivfpq") => f
+        }.isDefined
+        val hasJoin = e.child.collectFirst {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+        }.isDefined
+        hasScan && !hasJoin
+      }
+      assert(!corpusShuffled, plan.toString)
+      assert(plan.toString.contains("Bucketed: true"), plan.toString)
+      // the corpus side of the probe carries CODES, never raw vectors:
+      // the table scan's output is exactly (id, cell, codes)
+      val scanCols = plan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.tableIdentifier.exists(_.table == "plan_spec_ivfpq") =>
+          f.output.map(_.name).toSet
+      }
+      assert(scanCols.contains(Set("id", "cell", "codes")), plan.toString)
+      assert(topk.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAdaptive)
+      spark.sql("DROP TABLE IF EXISTS plan_spec_ivfpq")
+    }
+  }
+
   test("bucketed multi-table LSH probe: corpus scan feeds the join with NO Exchange") {
     import graft.operators.Similarity
     val tables = (0 until 2).map(t => Similarity.intPlanes(numPlanes = 3, dim = 4, seed = 11L + t))

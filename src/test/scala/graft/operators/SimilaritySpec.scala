@@ -171,6 +171,35 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.15, s"recall@10 = $recall")
   }
 
+  test("IVF-PQ: nprobe = k equals plain PQ; partial probing stays within probed cells") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val c = emb.select(col("vec_id").as("cid"), Similarity.quantize(col("embedding")).as("cv"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), Similarity.quantize(col("embedding")).as("qv"))
+    val cents = Similarity.ivfTrain(c, "cid", "cv", k = 4, iters = 1)
+    val books = Similarity.pqTrain(c, "cid", "cv", dim = 64, m = 4, k = 8, iters = 1)
+    Similarity.materializeIvfPqCorpus(c, "cid", "cv", cents, books,
+      dim = 64, numBuckets = 4, table = "spec_ivfpq")
+    try {
+      val full = Similarity.ivfPqTopKFromTable(spark, "spec_ivfpq", q,
+        "qid", "qv", k = 5, cents, books, dim = 64, nprobe = 4)
+        .as[(Long, Long, Long)].collect().sorted
+      val pq = Similarity.pqTopK(q, c, "qid", "qv", "cid", "cv", k = 5, books, dim = 64)
+        .as[(Long, Long, Long)].collect().sorted
+      assert(full.sameElements(pq))
+      // nprobe = 1 candidates all come from the query's own nearest cell
+      val probed = Similarity.ivfPqTopKFromTable(spark, "spec_ivfpq", q,
+        "qid", "qv", k = 5, cents, books, dim = 64, nprobe = 1)
+        .select("cid").as[Long].collect().toSet
+      val cellOf = spark.table("spec_ivfpq").select("id", "cell")
+        .as[(Long, Int)].collect().toMap
+      val qCells = q.select(col("qid"),
+        graft.operators.Similarity.ivfCell(col("qv"), cents).as("cell"))
+        .as[(Long, Int)].collect().map(_._2).toSet
+      assert(probed.forall(cid => qCells.contains(cellOf(cid))))
+    } finally spark.sql("DROP TABLE IF EXISTS spec_ivfpq")
+  }
+
   test("intPlaneBucket: deterministic across calls, fails fast on wrong dim") {
     val planes = Similarity.intPlanes(numPlanes = 4, dim = 3, seed = 5L)
     assert(planes.map(_.toSeq) === Similarity.intPlanes(numPlanes = 4, dim = 3, seed = 5L).map(_.toSeq))
