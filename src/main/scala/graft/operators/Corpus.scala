@@ -857,6 +857,88 @@ object Corpus {
       .limit(topK)
   }
 
+  /**
+   * Materialize the standing-search layout for [[bm25Search]]: a posting
+   * table (term, id, tf) bucketed AND sorted by term, plus a stats table
+   * (one row: N, total token count). Query scans carry a pushed
+   * `term IN (...)` filter, and the term-sorted parquet layout turns it
+   * into row-group/page pruning — the index reads postings of the QUERY
+   * terms instead of re-tokenizing the corpus per query (what the
+   * scan-path [[bm25Search]] does; right for one-off curation queries,
+   * wrong for a query workload). The bucket spec additionally gives any
+   * posting-to-posting join (phrase/AND intersection on id would bucket
+   * by id instead) its shuffle-free layout lever.
+   */
+  def materializeBm25Index(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      numBuckets: Int = 64
+  ): Unit = {
+    val toks = docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+    Bucketing.materializeBucketed(
+      toks
+        .select(col("id"), size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"))
+        .groupBy(col("term"), col("id"), col("dl"))
+        .agg(count(lit(1)).as("tf")),
+      table, "term", numBuckets, sortCols = Seq("term"))
+    Bucketing.materializePlain(
+      toks.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks"))).cast("long").as("total_tokens")),
+      s"${table}_stats")
+  }
+
+  /** BM25 top-k against a [[materializeBm25Index]] table: per-term df from
+    * the pruned posting scan, the same 1e-6-grid idf/summand arithmetic as
+    * [[bm25Search]] — the two paths return IDENTICAL rows (spec-pinned;
+    * the entry shares the scan path's oracle). Scale shape: every scan in
+    * the plan carries `term IN (query terms)`; candidate rows = postings
+    * of the query terms only; the final sum groups (id, score) pairs. */
+  def bm25SearchFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      terms: Seq[String],
+      topK: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(terms.nonEmpty && topK > 0, "need query terms and topK > 0")
+    val qs = terms.map(_.toLowerCase).distinct.sorted
+    val stat = spark.table(s"${table}_stats").collect()(0)
+    val n = stat.getLong(0)
+    val total = stat.getLong(1)
+    require(n > 0 && total > 0, "index is empty")
+    val postings = spark.table(table)
+      .filter(col("term").isin(qs.map(_.asInstanceOf[Any]): _*))
+    val dfs = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idfMicro = qs.map { t =>
+      val dfT = dfs.getOrElse(t, 0L).toDouble
+      t -> math.floor(math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5)) * 1e6).toLong
+    }.toMap
+    val idfArr = qs.map(t => t -> idfMicro(t))
+    val idfCol = idfArr.tail.foldLeft(
+      when(col("term") === idfArr.head._1, lit(idfArr.head._2.toDouble))) {
+      case (acc, (t, v)) => acc.when(col("term") === t, lit(v.toDouble))
+    }.otherwise(lit(0.0))
+    val tf = col("tf").cast("double")
+    val summand = floor(
+      idfCol * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl").cast("double") * lit(n.toDouble) / lit(total.toDouble)))
+    ).cast("long")
+    postings
+      .select(col("id"), summand.as("__s"))
+      .groupBy(col("id"))
+      .agg(sum(col("__s")).as("score_micro"))
+      .filter(col("score_micro") > 0L)
+      .orderBy(col("score_micro").desc, col("id"))
+      .limit(topK)
+  }
+
   // ------------------------------------------------------------ URL filter
 
   /**

@@ -863,6 +863,32 @@ object Similarity {
       .select(col(qidCol), col("rnk"), col("id").as("cid"))
   }
 
+  /** Append new vectors into a [[materializeIvfPqCorpus]] table in place —
+    * completes the index-maintenance story for the PQ family: O(batch)
+    * insert through the bucket spec, idempotent on re-ingested ids, with
+    * FROZEN centroids and codebooks (FAISS `IndexIVFPQ.add` semantics —
+    * distribution drift is [[ivfStaleness]]/retrain's job; the table
+    * shares the IVF `cell` column so the staleness gate applies as-is). */
+  def appendToIvfPqCorpus(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Array[Long]],
+      books: Seq[Seq[Array[Long]]],
+      dim: Int,
+      table: String
+  ): Unit = {
+    val spark = df.sparkSession
+    val known = spark.table(table).select(col("id"))
+    df.select(
+        col(idCol).as("id"),
+        ivfCell(col(vecCol), centroids).as("cell"),
+        pqCodes(col(vecCol), books, dim).as("codes"))
+      .join(known, Seq("id"), "left_anti")
+      .select(spark.table(table).columns.map(col).toSeq: _*)
+      .write.insertInto(table)
+  }
+
   /**
    * Multi-TABLE sign-LSH top-k over quantized vectors — the standard recall
    * lever a single hyperplane table lacks (one table at `p` planes recalls

@@ -200,6 +200,60 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS spec_ivfpq")
   }
 
+  test("IVF-PQ append: appended table row-identical to fresh build; idempotent re-append") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val c = emb.select(col("vec_id").as("cid"), Similarity.quantize(col("embedding")).as("cv"))
+    val cents = Similarity.ivfTrain(c, "cid", "cv", k = 4, iters = 1)
+    val books = Similarity.pqTrain(c, "cid", "cv", dim = 64, m = 4, k = 8, iters = 1)
+    try {
+      Similarity.materializeIvfPqCorpus(c, "cid", "cv", cents, books,
+        dim = 64, numBuckets = 4, table = "spec_ivfpq_fresh")
+      Similarity.materializeIvfPqCorpus(c.filter(col("cid") >= 250), "cid", "cv",
+        cents, books, dim = 64, numBuckets = 4, table = "spec_ivfpq_app")
+      Similarity.appendToIvfPqCorpus(c.filter(col("cid") < 250), "cid", "cv",
+        cents, books, dim = 64, table = "spec_ivfpq_app")
+      def rows(t: String) = spark.table(t)
+        .select(col("id"), col("cell"), col("codes").cast("string"))
+        .as[(Long, Int, String)].collect().sorted
+      assert(rows("spec_ivfpq_app").sameElements(rows("spec_ivfpq_fresh")))
+      // re-appending the same batch is a no-op (anti-join on known ids)
+      Similarity.appendToIvfPqCorpus(c.filter(col("cid") < 250), "cid", "cv",
+        cents, books, dim = 64, table = "spec_ivfpq_app")
+      assert(spark.table("spec_ivfpq_app").count() === c.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS spec_ivfpq_fresh")
+      spark.sql("DROP TABLE IF EXISTS spec_ivfpq_app")
+    }
+  }
+
+  test("bm25SearchFromIndex equals the scan path bit-for-bit; postings scan is term-pruned") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    try {
+      Corpus.materializeBm25Index(docs, "doc_id", "text",
+        table = "spec_bm25_idx", numBuckets = 4)
+      val scan = Corpus.bm25Search(docs, "doc_id", "text",
+        Seq("customer", "spark", "merge"), topK = 20)
+        .as[(Long, Long)].collect()
+      val idx = Corpus.bm25SearchFromIndex(spark, "spec_bm25_idx",
+        Seq("customer", "spark", "merge"), topK = 20)
+        .as[(Long, Long)].collect()
+      assert(idx.sameElements(scan))
+      // the posting scans carry the pushed term filter (EqualTo for one
+      // term, In for several) — the term-sorted parquet layout turns that
+      // into row-group/page pruning
+      val plan1 = Corpus.bm25SearchFromIndex(spark, "spec_bm25_idx", Seq("spark"), 5)
+        .queryExecution.executedPlan.toString
+      assert(plan1.contains("EqualTo(term,spark)"), plan1)
+      val plan3 = Corpus.bm25SearchFromIndex(spark, "spec_bm25_idx",
+        Seq("customer", "spark", "merge"), 5)
+        .queryExecution.executedPlan.toString
+      assert(plan3.contains("In(term"), plan3)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS spec_bm25_idx")
+      spark.sql("DROP TABLE IF EXISTS spec_bm25_idx_stats")
+    }
+  }
+
   test("intPlaneBucket: deterministic across calls, fails fast on wrong dim") {
     val planes = Similarity.intPlanes(numPlanes = 4, dim = 3, seed = 5L)
     assert(planes.map(_.toSeq) === Similarity.intPlanes(numPlanes = 4, dim = 3, seed = 5L).map(_.toSeq))
