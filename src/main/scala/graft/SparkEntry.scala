@@ -365,6 +365,37 @@ object SparkEntry {
       Writer.assignOffsets(li, Seq(col("l_orderkey").asc, col("l_linenumber").asc))
     },
 
+    // ---- incremental materialized rollup over a snapshot-CDC dataset:
+    // two ingest ticks (tick 2 adds the %3==0 keys AND rewrites the
+    // priority of %7==0 keys, so the changelog carries +A, -C and +C);
+    // the rollup advances from the file-pruned NEW slices only, with
+    // op-weighted exact-decimal partials — and must equal a fresh GROUP BY
+    // over the FINAL STATE, which is what the oracle recomputes.
+    "rollup_incremental" -> { (s, dir) =>
+      import graft.operators.Rollup
+      Fixtures.cached(s"rollup_incremental|$dir") {
+        val work = java.nio.file.Files.createTempDirectory("graft-rollup-")
+        val ds = Dataset.create(s, work.resolve("orders"), "orders_cdc")
+        val base = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        def tick(batch: DataFrame, iso: String): Unit =
+          IngestWriter.writeBatch(ds, batch, MergeStrategy.Snapshot(Seq("o_orderkey")),
+            java.time.Instant.parse(iso).toEpochMilli)
+        tick(base.filter(col("o_orderkey") % 3 =!= 0), "2024-01-01T00:00:00Z")
+        Rollup.refresh(Dataset.open(s, work.resolve("orders")), "graft_rollup",
+          dims = Seq("o_orderpriority"), sumCols = Seq("o_totalprice"))
+        tick(
+          base.withColumn("o_orderpriority",
+            when(col("o_orderkey") % 7 === 0, lit("X-URGENT")).otherwise(col("o_orderpriority"))),
+          "2024-01-02T00:00:00Z")
+        Rollup.refresh(Dataset.open(s, work.resolve("orders")), "graft_rollup",
+          dims = Seq("o_orderpriority"), sumCols = Seq("o_totalprice"))
+        work
+      }
+      Rollup.read(s, "graft_rollup", Seq("o_totalprice"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // ---- LLM-pipeline operators (BASELINE.json north star)
     "dedup_exact" -> { (s, dir) =>
       Dedup
@@ -4226,6 +4257,16 @@ object SparkEntry {
     // entry shares it — posting-path ≡ scan-path is the property.
     "bm25_search" -> bm25Oracle,
     "bm25_search_indexed" -> bm25Oracle,
+    // Incrementally-maintained rollup ≡ fresh GROUP BY over the final
+    // state (op-weighted decimal partials are order-free, so the
+    // maintained value is bit-equal, not just approximately right).
+    "rollup_incremental" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_o_totalprice
+        |FROM (SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'X-URGENT' ELSE o_orderpriority END
+        |        AS o_orderpriority, o_totalprice
+        |      FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Exactly-n-per-stratum: the two-stage salted rank composes to the
     // plain global per-stratum rank, which is what the oracle computes.
     "stratified_sample" ->

@@ -41,6 +41,25 @@ final class Dataset(val spark: SparkSession, val chain: MetadataChain) {
     }
   }
 
+  /** The changelog rows with offset > `prevOffset` (everything when None) —
+    * the (prev, head] read every incremental consumer performs, with
+    * chain-level FILE pruning first: only slices overlapping the interval
+    * are handed to the parquet reader, so a consumer that is nearly caught
+    * up reads O(new data), not O(history). (Same mechanism as transform
+    * input slicing; exposed for rollup/index maintenance.) */
+  def changesSince(prevOffset: Option[Long]): DataFrame = {
+    val lo = prevOffset.map(_ + 1).getOrElse(0L)
+    val slices = chain.slices().filter(_.offsetEnd >= lo)
+    if (slices.isEmpty) toDF().limit(0)
+    else {
+      val ddl = chain.schemaDdl()
+      val reader = ddl.map(d => spark.read.schema(StructType.fromDDL(d))).getOrElse(spark.read)
+      reader
+        .parquet(chain.slicePaths(slices): _*)
+        .filter(org.apache.spark.sql.functions.col(vocabulary.offsetColumn) >= lo)
+    }
+  }
+
   /** Last `n` records: chain-level file pruning first (only the tail slices
     * that cover `n` records are read), then the tail operator. */
   def tail(n: Int, asOf: Option[String] = None): DataFrame = {
