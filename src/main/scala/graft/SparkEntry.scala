@@ -1635,6 +1635,48 @@ object SparkEntry {
         .orderBy(col("position"))
     },
 
+    // ---- EXACT quantiles: value at 0-based sorted index floor(p·(n−1)) —
+    // one range-partitioned total sort + zipWithIndex, deterministic and
+    // engine-exact where approx_percentile is neither.
+    "profile_quantiles" -> { (s, dir) =>
+      Profile.quantiles(t(s, dir, "lineitem"), "l_quantity",
+        Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0))
+        .orderBy(col("p"))
+    },
+
+    // ---- incrementally-maintained CUBE: every grouping set of
+    // (priority, status) advanced per tick by the same op-weighted
+    // partials; oracle recomputes the full CUBE over the final state
+    // (grouping_id bit conventions agree: leftmost dim = MSB, 1 = rolled
+    // up).
+    "rollup_cube_incremental" -> { (s, dir) =>
+      import graft.operators.Rollup
+      Fixtures.cached(s"rollup_cube_incremental|$dir") {
+        val work = java.nio.file.Files.createTempDirectory("graft-rollupcube-")
+        val ds = Dataset.create(s, work.resolve("orders"), "orders_cdc")
+        val base = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"), col("o_totalprice"))
+        def tick(batch: DataFrame, iso: String): Unit =
+          IngestWriter.writeBatch(ds, batch, MergeStrategy.Snapshot(Seq("o_orderkey")),
+            java.time.Instant.parse(iso).toEpochMilli)
+        tick(base.filter(col("o_orderkey") % 3 =!= 0), "2024-01-01T00:00:00Z")
+        Rollup.refresh(Dataset.open(s, work.resolve("orders")), "graft_rollup_cube",
+          dims = Seq("o_orderpriority", "o_orderstatus"), sumCols = Seq("o_totalprice"),
+          cube = true)
+        tick(
+          base.withColumn("o_orderpriority",
+            when(col("o_orderkey") % 7 === 0, lit("X-URGENT")).otherwise(col("o_orderpriority"))),
+          "2024-01-02T00:00:00Z")
+        Rollup.refresh(Dataset.open(s, work.resolve("orders")), "graft_rollup_cube",
+          dims = Seq("o_orderpriority", "o_orderstatus"), sumCols = Seq("o_totalprice"),
+          cube = true)
+        work
+      }
+      Rollup.read(s, "graft_rollup_cube", Seq("o_totalprice"))
+        .withColumn("gid", col("gid").cast("long"))
+        .orderBy(col("gid"), col("o_orderpriority"), col("o_orderstatus"))
+    },
+
     // ---- one-pass per-column profile: count / non-null / EXACT distinct /
     // min / max for five columns through a single Expand aggregate job;
     // min/max rendered as strings for a uniform schema.
@@ -4257,6 +4299,27 @@ object SparkEntry {
     // entry shares it — posting-path ≡ scan-path is the property.
     "bm25_search" -> bm25Oracle,
     "bm25_search_indexed" -> bm25Oracle,
+    // Exact quantile selection: same index arithmetic.
+    "profile_quantiles" ->
+      """WITH s AS (SELECT l_quantity AS value,
+        |             row_number() OVER (ORDER BY l_quantity) - 1 AS r FROM lineitem),
+        |n AS (SELECT count(*) AS n FROM s),
+        |q AS (SELECT unnest([0.0, 0.25, 0.5, 0.9, 0.99, 1.0]) AS p)
+        |SELECT p, value
+        |FROM q CROSS JOIN n JOIN s ON s.r = CAST(floor(p * (n - 1)) AS BIGINT)
+        |ORDER BY p""".stripMargin,
+    // Maintained CUBE ≡ fresh CUBE over the final state; NULLS FIRST
+    // matches Spark's ASC default.
+    "rollup_cube_incremental" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_o_totalprice
+        |FROM (SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'X-URGENT' ELSE o_orderpriority END
+        |        AS o_orderpriority, o_orderstatus, o_totalprice
+        |      FROM orders)
+        |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
     // Incrementally-maintained rollup ≡ fresh GROUP BY over the final
     // state (op-weighted decimal partials are order-free, so the
     // maintained value is bit-equal, not just approximately right).

@@ -51,6 +51,38 @@ object Profile {
       "min_value", "max_value")
   }
 
+  /**
+   * EXACT quantiles of one column at arbitrary probabilities — the p50/p95
+   * profile numbers approx_percentile only estimates. Selection rule:
+   * value at 0-based sorted index floor(p·(n−1)) (lower interpolation —
+   * a value FROM the data, never an average of two), so the result is
+   * deterministic and engine-exact. One range-partitioned total sort +
+   * zipWithIndex (the rankBuckets machinery — nothing single-partition),
+   * then a membership filter on the target ranks; ties by value don't
+   * matter because selection is by index into the sorted multiset.
+   * Returns (p, value) rows.
+   */
+  def quantiles(df: DataFrame, valueCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0), "ps must be in [0,1]")
+    val spark = df.sparkSession
+    val slim = df.select(col(valueCol)).filter(col(valueCol).isNotNull)
+    val n = slim.count()
+    require(n > 0, "no non-null values to profile")
+    val targets: Map[Long, Seq[Double]] = ps.distinct
+      .groupBy(p => math.floor(p * (n - 1)).toLong)
+      .map { case (i, pp) => i -> pp.sorted }
+    val hit = slim
+      .orderBy(col(valueCol))
+      .rdd.zipWithIndex()
+      .filter { case (_, i) => targets.contains(i) }
+      .flatMap { case (row, i) => targets(i).map(p => org.apache.spark.sql.Row(p, row.get(0))) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "p", org.apache.spark.sql.types.DoubleType, nullable = false),
+      df.schema(valueCol).copy(name = "value")))
+    spark.createDataFrame(hit, schema)
+  }
+
   /** The sketch variant for schemas/scales where exact multi-distinct is
     * too heavy: approx_count_distinct (HyperLogLog++, `rsd` relative
     * error) replaces the Expand pass with constant-size per-column

@@ -43,8 +43,18 @@ object Rollup {
 
   /** Advance (or initialize) the rollup of `ds` grouped by `dims` with
     * count + exact decimal sums of `sumCols`. Reads only offsets past the
-    * stored high-water mark; a no-op when the dataset has not moved. */
-  def refresh(ds: Dataset, table: String, dims: Seq[String], sumCols: Seq[String]): Unit = {
+    * stored high-water mark; a no-op when the dataset has not moved.
+    * With `cube = true` the table maintains EVERY grouping set of `dims`
+    * (the full CUBE plus a `gid` grouping-id column) — weighted partials
+    * merge per grouping set exactly like the plain path, so the
+    * maintained cube equals a fresh CUBE over the current state. */
+  def refresh(
+      ds: Dataset,
+      table: String,
+      dims: Seq[String],
+      sumCols: Seq[String],
+      cube: Boolean = false
+  ): Unit = {
     require(dims.nonEmpty, "need at least one dimension")
     val spark = ds.spark
     val vocab = ds.vocabulary
@@ -59,9 +69,14 @@ object Rollup {
       sum(w).as("n_rows") +:
         sumCols.map(c =>
           sum(w * col(c).cast("decimal(18,6)")).cast("decimal(38,6)").as(sumCol(c)))
-    val delta = ds.changesSince(prev)
-      .groupBy(dims.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
+    val keyCols = (if (cube) Seq(col("gid")) else Nil) ++ dims.map(col)
+    val newRows = ds.changesSince(prev)
+    val delta =
+      if (cube)
+        newRows.cube(dims.map(col): _*)
+          .agg(grouping_id().as("gid"), aggs: _*)
+      else
+        newRows.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val merged =
       if (prev.isEmpty) delta
       else {
@@ -70,14 +85,15 @@ object Rollup {
             sumCols.map(c => sum(col(sumCol(c))).cast("decimal(38,6)").as(sumCol(c)))
         spark.table(table).unionByName(
             delta.select(spark.table(table).columns.map(col).toSeq: _*))
-          .groupBy(dims.map(col): _*)
+          .groupBy(keyCols: _*)
           .agg(mAggs.head, mAggs.tail: _*)
       }
     // cut lineage before the overwrite: `merged` READS the table it is
     // about to replace
     Bucketing.materializePlain(
       merged.filter(col("n_rows") =!= 0L)
-        .select((dims.map(col) :+ col("n_rows")) ++ sumCols.map(c => col(sumCol(c))): _*)
+        .select((dims.map(col) ++ (if (cube) Seq(col("gid")) else Nil) :+ col("n_rows")) ++
+          sumCols.map(c => col(sumCol(c))): _*)
         .localCheckpoint(),
       table)
     Bucketing.materializePlain(

@@ -279,6 +279,20 @@ class CorpusSpec extends SparkSpec {
     assert(rep.sameElements(ranked))
   }
 
+  test("Profile.quantiles: exact index selection, nulls excluded, duplicate-heavy data") {
+    val df = spark.range(100).select(col("id").cast("double").as("v"))
+      .unionByName(Seq(null.asInstanceOf[java.lang.Double]).map(Option(_).map(_.toDouble))
+        .toDF("v"))
+    val q = Profile.quantiles(df, "v", Seq(0.0, 0.5, 1.0)).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(q === Map(0.0 -> 0.0, 0.5 -> 49.0, 1.0 -> 99.0)) // floor(0.5*99)=49
+    // heavy duplication: selection is by index into the sorted multiset
+    val dup = (Seq.fill(90)(1.0) ++ Seq.fill(10)(100.0)).toDF("v")
+    val q2 = Profile.quantiles(dup, "v", Seq(0.5, 0.95)).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(q2 === Map(0.5 -> 1.0, 0.95 -> 100.0))
+  }
+
   test("canonicalizeUrl: case, www, default ports, tracking params, fragments") {
     val cases = Seq(
       ("HTTP://Example.COM:80/Path/X?utm_source=a&id=1#frag", "http://example.com/Path/X?id=1"),
