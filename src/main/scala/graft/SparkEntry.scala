@@ -1635,6 +1635,30 @@ object SparkEntry {
         .orderBy(col("position"))
     },
 
+    // ---- data-quality expectations (the Deequ/dbt-test gate an ingest
+    // runs before committing): all row-local rules in ONE aggregate pass;
+    // unique = one key-count aggregate; FK = one anti-join. Two synthetic
+    // bad rows make every rule's violation count non-trivial.
+    "expectations" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Expectations
+      import graft.operators.Expectations._
+      val synth = Seq(
+        (-1L, Option.empty[Long], "Z", -5.0),
+        (-1L, Option(-12345L), "Z", -5.0)
+      ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        .unionByName(synth)
+      Expectations.run(src, Seq(
+        notNull("o_custkey"),
+        inRange("o_totalprice", 0.0, 1000000.0),
+        inSet("o_orderstatus", Seq("F", "O", "P")),
+        Unique("unique:o_orderkey", Seq("o_orderkey")),
+        ForeignKey("fk:o_custkey", "o_custkey", t(s, dir, "customer"), "c_custkey")))
+        .orderBy(col("rule"))
+    },
+
     // ---- EXACT quantiles: value at 0-based sorted index floor(p·(n−1)) —
     // one range-partitioned total sort + zipWithIndex, deterministic and
     // engine-exact where approx_percentile is neither.
@@ -4299,6 +4323,39 @@ object SparkEntry {
     // entry shares it — posting-path ≡ scan-path is the property.
     "bm25_search" -> bm25Oracle,
     "bm25_search_indexed" -> bm25Oracle,
+    // Expectations: each rule is one UNION ALL branch with identical
+    // violation semantics (unique surplus = total − distinct).
+    "expectations" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(-1 AS BIGINT), CAST(NULL AS BIGINT), 'Z', -5.0),
+        |    (CAST(-1 AS BIGINT), CAST(-12345 AS BIGINT), 'Z', -5.0)
+        |  ) AS v(o_orderkey, o_custkey, o_orderstatus, o_totalprice))
+        |SELECT rule, violations, violations = 0 AS pass FROM (
+        |  SELECT 'not_null:o_custkey' AS rule,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'range:o_totalprice',
+        |    CAST(sum(CASE WHEN coalesce(o_totalprice >= 0.0 AND o_totalprice <= 1000000.0, false)
+        |                  THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'in_set:o_orderstatus',
+        |    CAST(sum(CASE WHEN o_orderstatus IN ('F', 'O', 'P') THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'unique:o_orderkey',
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'fk:o_custkey',
+        |    CAST((SELECT count(*) FROM src
+        |          WHERE o_custkey IS NOT NULL
+        |            AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+        |) ORDER BY rule""".stripMargin,
     // Exact quantile selection: same index arithmetic.
     "profile_quantiles" ->
       """WITH s AS (SELECT l_quantity AS value,
