@@ -1614,6 +1614,24 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     },
 
+    // ---- search-index APPEND: index built from half the corpus, the rest
+    // appended O(batch) through the bucket spec (stats advance with the
+    // batch) — queries over the appended index must equal the scan path
+    // over the full corpus, so it shares bm25_search's oracle.
+    "bm25_search_appended" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Fixtures.cached(s"bm25_index_app|$dir") {
+        Corpus.materializeBm25Index(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", table = "graft_bm25_app", numBuckets = 8)
+        Corpus.appendToBm25Index(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", table = "graft_bm25_app")
+        java.lang.Boolean.TRUE
+      }
+      Corpus.bm25SearchFromIndex(s, "graft_bm25_app",
+        terms = Seq("customer", "spark", "merge"), topK = 15)
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // ---- EXACTLY-n-per-stratum sampling: salted two-stage hash rank (a
     // global top-n row is always within its salt bucket's top-n, so the
     // stages compose exactly); the full rows never shuffle — the ≤ n·|strata|
@@ -4323,6 +4341,7 @@ object SparkEntry {
     // entry shares it — posting-path ≡ scan-path is the property.
     "bm25_search" -> bm25Oracle,
     "bm25_search_indexed" -> bm25Oracle,
+    "bm25_search_appended" -> bm25Oracle, // appended index ≡ scan path
     // Expectations: each rule is one UNION ALL branch with identical
     // violation semantics (unique surplus = total − distinct).
     "expectations" ->

@@ -890,6 +890,47 @@ object Corpus {
       s"${table}_stats")
   }
 
+  /** Append new documents into a [[materializeBm25Index]] posting table in
+    * place — the search-index member of the O(batch) maintenance trio
+    * (MinHash bands, LSH/IVF/PQ cells, now postings): new docs tokenize
+    * map-only, their (term, id, dl, tf) rows insert through the bucket
+    * spec, and the stats table advances by the batch's counts. Idempotent
+    * on re-ingested ids (anti-join against the posting table's id set —
+    * a column-pruned scan of the id column, no shuffle of the index).
+    * BM25 scores naturally drift from exactness as N/avgdl move; that is
+    * inherent to incremental BM25 (Lucene behaves the same between
+    * merges) — but because [[bm25SearchFromIndex]] reads BOTH stats and
+    * postings at query time, scores over the appended index are exactly
+    * the scan-path scores over the grown corpus. */
+  def appendToBm25Index(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String
+  ): Unit = {
+    val spark = docs.sparkSession
+    val known = spark.table(table).select(col("id")).distinct()
+    val toks = docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .join(known, Seq("id"), "left_anti")
+      .localCheckpoint() // feeds both the posting insert and the stats bump
+    toks
+      .select(col("id"), size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(spark.table(table).columns.map(col).toSeq: _*)
+      .write.insertInto(table)
+    val b = toks.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(size(col("toks"))), lit(0L)).cast("long").as("t")).collect()(0)
+    val s = spark.table(s"${table}_stats").collect()(0)
+    Bucketing.materializePlain(
+      spark.range(1).select(
+        lit(s.getLong(0) + b.getLong(0)).as("n_docs"),
+        lit(s.getLong(1) + b.getLong(1)).as("total_tokens")),
+      s"${table}_stats")
+  }
+
   /** BM25 top-k against a [[materializeBm25Index]] table: per-term df from
     * the pruned posting scan, the same 1e-6-grid idf/summand arithmetic as
     * [[bm25Search]] — the two paths return IDENTICAL rows (spec-pinned;

@@ -254,6 +254,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("appendToBm25Index: appended index row-identical to fresh; idempotent; stats advance") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    try {
+      Corpus.materializeBm25Index(docs, "doc_id", "text",
+        table = "spec_bm25_fresh", numBuckets = 4)
+      Corpus.materializeBm25Index(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        table = "spec_bm25_app", numBuckets = 4)
+      Corpus.appendToBm25Index(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        table = "spec_bm25_app")
+      def rows(t: String) = spark.table(t)
+        .as[(String, Long, Long, Long)].collect().sorted
+      assert(rows("spec_bm25_app").sameElements(rows("spec_bm25_fresh")))
+      assert(spark.table("spec_bm25_app_stats").as[(Long, Long)].head() ===
+        spark.table("spec_bm25_fresh_stats").as[(Long, Long)].head())
+      // re-appending the same docs is a no-op for postings AND stats
+      Corpus.appendToBm25Index(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        table = "spec_bm25_app")
+      assert(rows("spec_bm25_app").sameElements(rows("spec_bm25_fresh")))
+      assert(spark.table("spec_bm25_app_stats").as[(Long, Long)].head() ===
+        spark.table("spec_bm25_fresh_stats").as[(Long, Long)].head())
+    } finally {
+      Seq("spec_bm25_fresh", "spec_bm25_fresh_stats", "spec_bm25_app", "spec_bm25_app_stats")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("intPlaneBucket: deterministic across calls, fails fast on wrong dim") {
     val planes = Similarity.intPlanes(numPlanes = 4, dim = 3, seed = 5L)
     assert(planes.map(_.toSeq) === Similarity.intPlanes(numPlanes = 4, dim = 3, seed = 5L).map(_.toSeq))
