@@ -1567,6 +1567,18 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
+    // ---- token-distribution drift (src0 vs the rest): add-one-smoothed
+    // KL both ways over the top-200 combined vocabulary, every ln and
+    // every per-token contribution floored onto integer grids so the
+    // corpus KL is an order-free integer sum — a reproducible drift GATE.
+    "corpus_drift" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Corpus.tokenDrift(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"),
+        "text", vocab = 200)
+    },
+
     // ---- Unicode-script profile: exact per-script letter counts by
     // regex deletion + dominant-script label (CCNet routes by script
     // before any LM sees the text). Map-only.
@@ -4307,6 +4319,36 @@ object SparkEntry {
         |  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY url_canon) THEN 1 ELSE 0 END
         |    ::BIGINT AS kept
         |FROM cn ORDER BY doc_id""".stripMargin,
+    // Drift: same vocabulary rule, same ln grid, same per-token integer
+    // floor; BIGINT·BIGINT products stay exact (< 2^53) so the double
+    // division and floor agree bit-for-bit.
+    "corpus_drift" ->
+      """WITH ta AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS tok
+        |  FROM documents WHERE source = 'src0'),
+        |tb AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS tok
+        |  FROM documents WHERE source <> 'src0'),
+        |ca AS (SELECT tok, count(*) AS c FROM ta GROUP BY tok),
+        |cb AS (SELECT tok, count(*) AS c FROM tb GROUP BY tok),
+        |comb AS (SELECT tok, sum(c) AS ct FROM (SELECT * FROM ca UNION ALL SELECT * FROM cb) GROUP BY tok),
+        |top AS (SELECT tok FROM comb ORDER BY ct DESC, tok LIMIT 200),
+        |j AS (SELECT t.tok, coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+        |      FROM top t LEFT JOIN ca a USING (tok) LEFT JOIN cb b USING (tok)),
+        |g AS (SELECT count(*) AS v, CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM j),
+        |s AS (SELECT
+        |  CAST(floor((ca + 1) * (CAST(floor(ln((ca + 1.0) / (na + v)) * 1000000.0) AS BIGINT)
+        |                       - CAST(floor(ln((cb + 1.0) / (nb + v)) * 1000000.0) AS BIGINT))
+        |             / (na + v)) AS BIGINT) AS tab,
+        |  CAST(floor((cb + 1) * (CAST(floor(ln((cb + 1.0) / (nb + v)) * 1000000.0) AS BIGINT)
+        |                       - CAST(floor(ln((ca + 1.0) / (na + v)) * 1000000.0) AS BIGINT))
+        |             / (nb + v)) AS BIGINT) AS tba
+        |  FROM j CROSS JOIN g),
+        |f AS (SELECT CAST(sum(tab) AS BIGINT) AS sab, CAST(sum(tba) AS BIGINT) AS sba FROM s)
+        |SELECT g.na AS n_a, g.nb AS n_b,
+        |  CAST(f.sab AS DOUBLE) / 1000000.0 AS kl_ab,
+        |  CAST(f.sba AS DOUBLE) / 1000000.0 AS kl_ba
+        |FROM f CROSS JOIN g""".stripMargin,
     // Script profile: count-by-deletion with RE2's \p{Latin} (= Java's
     // \p{IsLatin}); dominant pick replicates the priority tie-break.
     "text_scripts" ->

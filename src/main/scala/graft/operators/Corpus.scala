@@ -980,6 +980,73 @@ object Corpus {
       .limit(topK)
   }
 
+  // ------------------------------------------------------------ drift
+
+  /**
+   * Token-distribution drift between two corpora (today's crawl vs
+   * yesterday's, one source vs the mix) — the monitoring stat a pipeline
+   * alerts on before a shifted batch poisons the training mix. Computes
+   * symmetric KL components over add-one-smoothed unigram distributions
+   * restricted to the top-`vocab` tokens of the COMBINED corpus (ties by
+   * token string, so the vocabulary is deterministic; out-of-vocab mass
+   * is ignored, as drift monitors conventionally do).
+   *
+   * Exactness: per-token ln(p) is floored onto the 1e-6 grid, each
+   * token's KL contribution is floored to an integer micro-nat via
+   * floor((c+1)·(lnp−lnq)/(n+V)), and the corpus KL is the order-free
+   * integer SUM of those — bit-equal on any engine, which is what lets a
+   * drift THRESHOLD be a reproducible gate instead of a vibe.
+   *
+   * Scale shape: two token-count aggregates (map-side combined), one
+   * TakeOrdered vocabulary, one V-row join; nothing corpus-sized moves.
+   * Returns one row: (n_a, n_b, kl_ab, kl_ba) with KL in nats.
+   */
+  def tokenDrift(
+      docsA: DataFrame,
+      docsB: DataFrame,
+      textCol: String,
+      vocab: Int = 500
+  ): DataFrame = {
+    require(vocab > 0, "vocab must be positive")
+    val spark = docsA.sparkSession
+    def counts(df: DataFrame): DataFrame = df
+      .select(explode(Text.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val ca = counts(docsA).localCheckpoint()
+    val cb = counts(docsB).localCheckpoint()
+    val top = ca.select(col("tok"), col("c"))
+      .unionByName(cb)
+      .groupBy(col("tok"))
+      .agg(sum(col("c")).as("ct"))
+      .orderBy(col("ct").desc, col("tok"))
+      .limit(vocab)
+      .select(col("tok"))
+    val joined = top
+      .join(ca.withColumnRenamed("c", "ca"), Seq("tok"), "left")
+      .join(cb.withColumnRenamed("c", "cb"), Seq("tok"), "left")
+      .select(col("tok"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .localCheckpoint()
+    val v = joined.count() // may be < vocab on tiny corpora
+    val Seq(na, nb) = Seq("ca", "cb").map(c =>
+      joined.agg(sum(col(c))).collect()(0).getLong(0))
+    def lnMicro(c: Column, n: Long): Column =
+      floor(log((c + 1L).cast("double") / lit((n + v).toDouble)) * 1e6).cast("long")
+    val lnA = lnMicro(col("ca"), na)
+    val lnB = lnMicro(col("cb"), nb)
+    def term(c: Column, lnP: Column, lnQ: Column, n: Long): Column =
+      floor((c + 1L).cast("double") * (lnP - lnQ).cast("double") / lit((n + v).toDouble))
+        .cast("long")
+    val row = joined.agg(
+      sum(term(col("ca"), lnA, lnB, na)).as("ab"),
+      sum(term(col("cb"), lnB, lnA, nb)).as("ba")).collect()(0)
+    import spark.implicits._
+    Seq((na, nb, row.getLong(0) / 1e6, row.getLong(1) / 1e6))
+      .toDF("n_a", "n_b", "kl_ab", "kl_ba")
+  }
+
   // ------------------------------------------------------------ URL filter
 
   /**

@@ -293,6 +293,22 @@ class CorpusSpec extends SparkSpec {
     assert(q2 === Map(0.5 -> 1.0, 0.95 -> 100.0))
   }
 
+  test("tokenDrift: ~zero on identical corpora, positive on shifted, deterministic") {
+    val a = Seq((1L, "alpha beta gamma alpha"), (2L, "beta gamma delta")).toDF("id", "text")
+    val same = Corpus.tokenDrift(a, a, "text", vocab = 50)
+      .select("kl_ab", "kl_ba").as[(Double, Double)].head()
+    // identical distributions: every per-token grid term is 0 or -1e-6
+    assert(math.abs(same._1) < 1e-4 && math.abs(same._2) < 1e-4, same)
+    val b = Seq((1L, "omega omega omega psi"), (2L, "omega psi chi")).toDF("id", "text")
+    val diff = Corpus.tokenDrift(a, b, "text", vocab = 50)
+      .select("kl_ab", "kl_ba").as[(Double, Double)].head()
+    assert(diff._1 > 0.1 && diff._2 > 0.1, diff)
+    // deterministic across partitionings
+    val rep = Corpus.tokenDrift(a.repartition(5), b.repartition(3), "text", vocab = 50)
+      .select("kl_ab", "kl_ba").as[(Double, Double)].head()
+    assert(rep === diff)
+  }
+
   test("canonicalizeUrl: case, www, default ports, tracking params, fragments") {
     val cases = Seq(
       ("HTTP://Example.COM:80/Path/X?utm_source=a&id=1#frag", "http://example.com/Path/X?id=1"),
