@@ -29,17 +29,33 @@ import graft.model.Op
  * aggregate whose shuffle carries dim-cardinality rows, and one merge
  * with the |rollup|-sized table. The corpus is never rescanned; |rollup|
  * is dimension-cardinality-sized — orders of magnitude below the data.
- * Groups whose weighted count returns to zero vanish from the table
- * (fully-retracted keys leave no residue).
+ * Groups whose weighted count returns to zero vanish from [[read]]
+ * (fully-retracted keys leave no visible residue; their zero rows stay
+ * in storage as offset carriers, bounded by ever-seen cardinality).
  */
 object Rollup {
-
-  private def stateTable(table: String) = s"${table}_state"
 
   private def weight(vocabOpCol: String) =
     when(col(vocabOpCol).isin(Op.Append, Op.CorrectTo), lit(1L)).otherwise(lit(-1L))
 
   private def sumCol(c: String) = s"sum_$c"
+
+  /** The consumed high-water offset rides INSIDE the rollup table (a
+    * constant `__last_offset` column — |rollup| rows, so the duplication
+    * is dim-cardinality-sized), and the refresh lands through a staged
+    * temp table + rename. A separate state table would reintroduce the
+    * classic torn-write double-count: crash between "table updated" and
+    * "offset updated" and the next refresh re-applies the same delta.
+    * With the offset embedded, table and offset move in ONE swap — a
+    * crashed refresh leaves either the old (offset, table) pair or the
+    * new one, and a retry is a no-op or a clean redo. */
+  private val OffsetCol = "__last_offset"
+
+  /** Stored offset of the rollup, or None when uninitialized. */
+  def lastOffset(spark: SparkSession, table: String): Option[Long] =
+    if (!spark.catalog.tableExists(table)) None
+    else spark.table(table).select(col(OffsetCol)).limit(1).collect()
+      .headOption.map(_.getLong(0)).filter(_ >= 0L)
 
   /** Advance (or initialize) the rollup of `ds` grouped by `dims` with
     * count + exact decimal sums of `sumCols`. Reads only offsets past the
@@ -58,12 +74,9 @@ object Rollup {
     require(dims.nonEmpty, "need at least one dimension")
     val spark = ds.spark
     val vocab = ds.vocabulary
-    val prev: Option[Long] =
-      if (spark.catalog.tableExists(stateTable(table)))
-        Some(spark.table(stateTable(table)).collect()(0).getLong(0))
-      else None
+    val prev: Option[Long] = lastOffset(spark, table)
     val head = ds.chain.lastOffset()
-    if (head == prev) return // nothing new
+    if (head == prev || head.isEmpty) return // nothing new
     val w = weight(vocab.operationTypeColumn)
     val aggs =
       sum(w).as("n_rows") +:
@@ -83,28 +96,41 @@ object Rollup {
         val mAggs =
           sum(col("n_rows")).as("n_rows") +:
             sumCols.map(c => sum(col(sumCol(c))).cast("decimal(38,6)").as(sumCol(c)))
-        spark.table(table).unionByName(
-            delta.select(spark.table(table).columns.map(col).toSeq: _*))
+        val existing = spark.table(table).drop(OffsetCol)
+        existing.unionByName(delta.select(existing.columns.map(col).toSeq: _*))
           .groupBy(keyCols: _*)
           .agg(mAggs.head, mAggs.tail: _*)
       }
-    // cut lineage before the overwrite: `merged` READS the table it is
-    // about to replace
-    Bucketing.materializePlain(
-      merged.filter(col("n_rows") =!= 0L)
-        .select((dims.map(col) ++ (if (cube) Seq(col("gid")) else Nil) :+ col("n_rows")) ++
-          sumCols.map(c => col(sumCol(c))): _*)
-        .localCheckpoint(),
-      table)
-    Bucketing.materializePlain(
-      spark.range(1).select(lit(head.getOrElse(-1L)).as("last_offset")),
-      stateTable(table))
+    // zero-count groups are RETAINED in storage (they, like every row,
+    // carry the new offset; the set is bounded by ever-seen dim
+    // cardinality) and filtered at read time. The swap stages to a temp
+    // table and renames (the retrainIvfCorpus pattern): a crash leaves
+    // either the old (table+offset) or the new one, never a torn pair —
+    // and the localCheckpoint cuts lineage, since `merged` READS the
+    // table it replaces.
+    val out = merged
+      .select((dims.map(col) ++ (if (cube) Seq(col("gid")) else Nil) :+ col("n_rows")) ++
+        sumCols.map(c => col(sumCol(c))) :+ lit(head.get).as(OffsetCol): _*)
+      .localCheckpoint()
+    val tmp = s"${table}_refresh_tmp"
+    Bucketing.materializePlain(out, tmp)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // a fresh in-memory catalog does not know about a table a PREVIOUS
+    // session materialized, but its managed location persists — the
+    // rename would fail with LOCATION_ALREADY_EXISTS (same cleanup
+    // materializePlain performs before its own write)
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
   }
 
-  /** The rollup rows with sums rendered as doubles (exact for magnitudes
-    * below 2^53 micro-units; the stored form stays decimal). */
+  /** The live rollup rows (zero-count offset-carrier rows hidden, the
+    * embedded offset dropped) with sums rendered as doubles (exact for
+    * magnitudes below 2^53 micro-units; the stored form stays decimal). */
   def read(spark: SparkSession, table: String, sumCols: Seq[String]): DataFrame = {
-    val t = spark.table(table)
+    val t = spark.table(table).filter(col("n_rows") =!= 0L).drop(OffsetCol)
     val keep = t.columns.filterNot(c => sumCols.map(sumCol).contains(c)).map(col).toSeq
     t.select(keep ++ sumCols.map(c => col(sumCol(c)).cast("double").as(sumCol(c))): _*)
   }

@@ -36,7 +36,7 @@ class RollupSpec extends SparkSpec {
       tick(ds, Seq((1L, "a", 10.5), (2L, "b", 2.0), (4L, "c", 3.5)), "2024-01-02T00:00:00Z")
       val ds2 = Dataset.open(spark, work.resolve("d"))
       // the refresh input is file-pruned to the NEW slice only
-      val prevOff = spark.table(s"${table}_state").collect()(0).getLong(0)
+      val prevOff = Rollup.lastOffset(spark, table).get
       val newFiles = ds2.changesSince(Some(prevOff)).inputFiles.length
       val allFiles = ds2.toDF().inputFiles.length
       assert(newFiles < allFiles, s"$newFiles vs $allFiles")
@@ -51,9 +51,12 @@ class RollupSpec extends SparkSpec {
       assert(!state().contains("c"))
 
       // unmoved dataset: refresh is a no-op (state offset unchanged)
-      val before = spark.table(s"${table}_state").collect()(0).getLong(0)
+      val before = Rollup.lastOffset(spark, table).get
       Rollup.refresh(Dataset.open(spark, work.resolve("d")), table, Seq("grp"), Seq("v"))
-      assert(spark.table(s"${table}_state").collect()(0).getLong(0) === before)
+      assert(Rollup.lastOffset(spark, table).get === before)
+      // fully-retracted group c: invisible to read(), retained in storage
+      // as an offset carrier
+      assert(spark.table(table).filter(col("grp") === "c").count() === 1)
 
       // maintained rollup == fresh GROUP BY over the projected state
       val fresh = Changelog.project(
