@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
  * dbt-tests play): declarative rules evaluated in as few passes as the
  * rule mix allows, each yielding an exact VIOLATION COUNT. A pipeline
  * then fails the tick, quarantines the batch, or records the counts as
- * lineage metadata (the reference records per-slice stats on commit; this
- * is the content-rule complement).
+ * lineage metadata (the reference records per-slice offset/watermark
+ * stats on commit via its ingest executors —
+ * src/infra/core/src/services/ingest/polling_ingest_service_impl.rs,
+ * push_ingest_executor_impl.rs; this is the content-rule complement
+ * those structural stats don't cover).
  *
  * Scale shape: all row-local rules (not-null, range, set-membership,
  * regex) fold into ONE aggregate pass over the batch — a single scan, one

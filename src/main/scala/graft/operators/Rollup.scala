@@ -11,8 +11,11 @@ import graft.model.Op
  * over a dataset's changelog: a persistent aggregate table advanced
  * O(new slices + |rollup|) per refresh, never rescanning history. The
  * reference's derivative datasets give the same capability through a full
- * streaming engine; this is the direct operator form for the
- * dashboard-aggregate case (the dominant OLAP read pattern).
+ * streaming engine run per (prev, new] elaboration
+ * (src/infra/core/src/services/transform/transform_elaboration_service_impl.rs,
+ * transform_executor_impl.rs); this is the direct operator form for the
+ * dashboard-aggregate case (the dominant OLAP read pattern), using the
+ * same offset-interval input slicing without the engine round-trip.
  *
  * Aggregates are MERGEABLE partials: an op-weighted row count plus one
  * op-weighted exact decimal sum per requested column. Weights make
