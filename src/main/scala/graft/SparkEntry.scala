@@ -1644,6 +1644,19 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     },
 
+    // ---- generic top-k per key via the two-level rank (hot keys cannot
+    // serialize one task — stage 1 bounds every (key, partition) bucket
+    // to k before the per-key rank sees it).
+    "topk_per_key" -> { (s, dir) =>
+      Corpus.topKPerKey(
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+        keyCols = Seq("o_orderpriority"),
+        ordering = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        k = 3)
+        .orderBy(col("o_orderpriority"), col("rnk"))
+    },
+
     // ---- EXACTLY-n-per-stratum sampling: salted two-stage hash rank (a
     // global top-n row is always within its salt bucket's top-n, so the
     // stages compose exactly); the full rows never shuffle — the ≤ n·|strata|
@@ -4448,6 +4461,14 @@ object SparkEntry {
         |        AS o_orderpriority, o_totalprice
         |      FROM orders)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Two-level per-key rank composes to the plain window rank.
+    "topk_per_key" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice, rnk FROM (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
     // Exactly-n-per-stratum: the two-stage salted rank composes to the
     // plain global per-stratum rank, which is what the oracle computes.
     "stratified_sample" ->

@@ -219,6 +219,43 @@ object Corpus {
   }
 
   /**
+   * Generic top-k rows PER KEY by an arbitrary ordering — the "3 best
+   * documents per domain / latest N events per device" shape, built so a
+   * HOT KEY cannot serialize the job: a plain window partitioned by key
+   * sorts every row of the biggest key in one task, which is the classic
+   * 100 TB skew killer. Stage 1 ranks within (key, salt) — the hot key's
+   * rows spread with their INPUT partitions and each (key, partition)
+   * bucket keeps only k — and stage 2 ranks the ≤ partitions·k survivors
+   * per key (the [[Similarity]] twoLevelTopK construction, exposed
+   * generically). Any row in a key's global top-k is necessarily in its
+   * bucket's top-k — true for ANY row-to-bucket assignment, so the
+   * buckets don't even need to be content-deterministic; the RESULT is
+   * deterministic as long as the caller's ordering is a total order
+   * (pass a tiebreak like the id as the last ordering column, or equal
+   * rows make rank arbitrary). Returns the surviving full rows with a
+   * `rnk` column (1-based).
+   */
+  def topKPerKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      ordering: Seq[Column],
+      k: Int
+  ): DataFrame = {
+    require(keyCols.nonEmpty && ordering.nonEmpty && k > 0,
+      "need keys, an ordering, and k > 0")
+    val pre = df
+      .withColumn("__part", spark_partition_id())
+      .withColumn("__r1", row_number().over(
+        Window.partitionBy((keyCols.map(col) :+ col("__part")): _*).orderBy(ordering: _*)))
+      .filter(col("__r1") <= k)
+      .drop("__r1", "__part")
+    pre
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(keyCols.map(col): _*).orderBy(ordering: _*)).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /**
    * Deterministic global shuffle INTO SHARDS: [[shuffleOrder]]'s
    * reproducible permutation plus an exact position, cut into `numShards`
    * near-equal contiguous shards — the layout a trainer's data loader

@@ -193,6 +193,25 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.stratifiedSample(tiny, "doc_id", "source", n = 5).count() === 3)
   }
 
+  test("topKPerKey: equals the plain window rank; partitioning-invariant; handles k > group size") {
+    val df = (1L to 200L).map(i => (i, s"g${i % 5}", (i * 37 % 101).toDouble))
+      .toDF("id", "g", "score")
+    val ord = Seq(col("score").desc, col("id").asc)
+    val two = Corpus.topKPerKey(df, Seq("g"), ord, k = 4)
+      .select("id", "g", "rnk").as[(Long, String, Long)].collect().sorted
+    val plain = df
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("g").orderBy(ord: _*)).cast("long"))
+      .filter(col("rnk") <= 4)
+      .select("id", "g", "rnk").as[(Long, String, Long)].collect().sorted
+    assert(two.sameElements(plain))
+    val rep = Corpus.topKPerKey(df.repartition(13), Seq("g"), ord, k = 4)
+      .select("id", "g", "rnk").as[(Long, String, Long)].collect().sorted
+    assert(rep.sameElements(plain))
+    // k larger than any group: every row survives with its exact rank
+    assert(Corpus.topKPerKey(df, Seq("g"), ord, k = 1000).count() === 200)
+  }
+
   test("shuffleShards: a permutation cut into near-equal contiguous shards") {
     val out = Corpus.shuffleShards(docs, "doc_id", numShards = 4, salt = 9L).cache()
     val n = docs.count()
