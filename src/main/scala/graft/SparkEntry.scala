@@ -303,6 +303,17 @@ object SparkEntry {
         )
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     },
+    // ---- strictly-ordered funnel (view -> click -> purchase): one
+    // filtered aggregate pass per step, each shuffling (user, ts) pairs of
+    // ONE event type — no per-user event lists, no skew-prone per-user
+    // window sort.
+    "funnel" -> { (s, dir) =>
+      graft.operators.Analytics.funnel(
+        events(s, dir), "user_id", "event_type", "ts",
+        steps = Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))
+    },
+
     "q_events_daily" -> { (s, dir) =>
       // Group on the truncated TIMESTAMP and render the day string after the
       // aggregation: formatting happens once per result row (150), not once
@@ -3566,6 +3577,19 @@ object SparkEntry {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    // Funnel: same per-step min-after-previous construction.
+    "funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, s1.t1, min(e.ts) AS t2
+        |       FROM events e JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |       GROUP BY e.user_id, s1.t1),
+        |s3 AS (SELECT e.user_id, s2.t1, s2.t2, min(e.ts) AS t3
+        |       FROM events e JOIN s2 ON s2.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |       GROUP BY e.user_id, s2.t1, s2.t2)
+        |SELECT user_id, t1, t2, t3 FROM s3 ORDER BY user_id""".stripMargin,
     "q_events_daily" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
