@@ -313,6 +313,28 @@ object SparkEntry {
         steps = Seq("view", "click", "purchase"))
         .orderBy(col("user_id"))
     },
+    // ---- gap-based sessionization: one slim (user, ts, id, value) shuffle,
+    // per-user ordered cut — sessions can't pre-aggregate per partition, so
+    // the per-entity window IS the declarative spelling.
+    "sessionize" -> { (s, dir) =>
+      graft.operators.Analytics.sessionize(
+        events(s, dir), "user_id", "ts", "event_id", "value", gapMinutes = 30)
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    // ---- weekly retention cohorts: distinct (user, week) is the only
+    // entity-keyed shuffle; the cohort matrix is a plain count, never a
+    // count(distinct).
+    "retention_cohorts" -> { (s, dir) =>
+      graft.operators.Analytics.retention(events(s, dir), "user_id", "ts")
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    // ---- daily resample + LOCF gap-fill: the daily pre-agg is the only
+    // event-sized shuffle; the calendar explode and LOCF window run over
+    // day-sized frames.
+    "gap_fill_daily" -> { (s, dir) =>
+      graft.operators.Analytics.gapFillDaily(events(s, dir), "user_id", "ts", "value")
+        .orderBy(col("user_id"), col("day"))
+    },
 
     "q_events_daily" -> { (s, dir) =>
       // Group on the truncated TIMESTAMP and render the day string after the
@@ -3590,6 +3612,53 @@ object SparkEntry {
         |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
         |       GROUP BY e.user_id, s2.t1, s2.t2)
         |SELECT user_id, t1, t2, t3 FROM s3 ORDER BY user_id""".stripMargin,
+    // Sessionize: identical lag/cut/running-sum construction; event_id
+    // breaks ts ties so the cut is deterministic on both engines.
+    "sessionize" ->
+      """WITH g AS (SELECT user_id, ts, event_id, value,
+        |                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |           FROM events),
+        |f AS (SELECT user_id, ts, event_id, value,
+        |             CASE WHEN prev IS NULL
+        |                    OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |                  THEN 1 ELSE 0 END AS cut
+        |      FROM g),
+        |s AS (SELECT user_id, ts, value,
+        |             CAST(sum(cut) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |      FROM f)
+        |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    // Retention: cohort = week of first event; (user, week) is distinct so
+    // count(*) counts entities.
+    "retention_cohorts" ->
+      """WITH weeks AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+        |coh AS (SELECT user_id, min(w) AS cohort_w FROM weeks GROUP BY user_id)
+        |SELECT strftime(coh.cohort_w, '%Y-%m-%d') AS cohort_week,
+        |       date_diff('day', coh.cohort_w, weeks.w) // 7 AS week_offset,
+        |       count(*) AS n_entities
+        |FROM weeks JOIN coh ON weeks.user_id = coh.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Gap-fill: generate_series calendar per user, LOCF via IGNORE NULLS.
+    "gap_fill_daily" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
+        |                      sum(CAST(value AS DECIMAL(18,6))) AS v
+        |               FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1),
+        |cal AS (SELECT user_id,
+        |               CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+        |                                           INTERVAL 1 DAY)) AS DATE) AS day
+        |        FROM span),
+        |j AS (SELECT cal.user_id, cal.day, daily.n, daily.v
+        |      FROM cal LEFT JOIN daily ON cal.user_id = daily.user_id AND cal.day = daily.day)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |       coalesce(n, 0) AS n_events,
+        |       CAST(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |              ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS value_filled
+        |FROM j ORDER BY user_id, day""".stripMargin,
     "q_events_daily" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -70,5 +71,118 @@ object Analytics {
       (i + 1, steps(i), funnel(events, entityCol, typeCol, tsCol, steps.take(i + 1)).count())
     }
     counts.toDF("step", "event_type", "n_entities")
+  }
+
+  /**
+   * Gap-based batch sessionization: a new session starts when an entity's
+   * inter-event gap exceeds `gapMinutes` (strictly). Returns one row per
+   * session: `(entity, session_id, session_start, session_end, n_events,
+   * total_value)` with `session_id` the 1-based per-entity session index.
+   *
+   * `tieCol` totally orders equal timestamps within an entity so the lag
+   * frontier (and therefore the session cut) is deterministic.
+   *
+   * Scale shape: ONE shuffle of the slim `(entity, ts, tie, value)`
+   * projection; each entity's events sort within one task — the right
+   * trade when per-entity event counts are bounded (human-scale streams).
+   * An adversarially hot entity would route through the two-level pattern
+   * of [[graft.operators.Corpus.topKPerKey]]; sessions, unlike top-k, cannot be
+   * pre-aggregated per partition without a gap-aware merge, so the
+   * per-entity window IS the declarative spelling.
+   */
+  def sessionize(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      gapMinutes: Int
+  ): DataFrame = {
+    val order = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val prev = lag(col(tsCol), 1).over(order)
+    val cut = when(
+      prev.isNull || unix_micros(col(tsCol)) - unix_micros(prev) > gapUs, 1L).otherwise(0L)
+    events
+      .select(col(entityCol), col(tsCol), col(tieCol), col(valueCol))
+      .withColumn("session_id", sum(cut).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(entityCol), col("session_id"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("total_value"))
+  }
+
+  /**
+   * Weekly retention cohorts: each entity's cohort is the Monday-truncated
+   * week of its FIRST event; `n_entities` counts how many of that cohort
+   * were active (≥1 event) `week_offset` weeks later. Output:
+   * `(cohort_week: 'yyyy-MM-dd' string, week_offset: int, n_entities)`.
+   *
+   * Scale shape: distinct over the slim `(entity, week)` projection (the
+   * only entity-keyed shuffle — the cohort min reuses its partitioning),
+   * then a count over `(cohort, offset)` pairs in which each entity
+   * appears at most once per week — so a plain `count(*)`, never a
+   * `count(distinct)`, carries the cohort matrix.
+   */
+  def retention(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String
+  ): DataFrame = {
+    val weeks = events
+      .select(col(entityCol), to_date(date_trunc("week", col(tsCol))).as("w"))
+      .distinct()
+    val cohort = weeks.groupBy(col(entityCol)).agg(min(col("w")).as("cohort_w"))
+    weeks
+      .join(cohort, entityCol)
+      .groupBy(
+        col("cohort_w"),
+        (datediff(col("w"), col("cohort_w")) / 7).cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_entities"))
+      .select(
+        date_format(col("cohort_w"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_entities"))
+  }
+
+  /**
+   * Daily resample with gap-fill: aggregates `(entity, day)` event counts
+   * and value sums, expands each entity's span to EVERY calendar day via
+   * `sequence(min_day, max_day)`, and fills missing days with `n_events=0`
+   * and the last observed daily total carried forward (LOCF).
+   *
+   * Scale shape: the daily pre-aggregate is the only event-sized shuffle;
+   * the calendar explode emits |span| rows per entity (days, not events),
+   * and the LOCF window partitions by entity over that day-sized frame.
+   * The first day of every span has data by construction, so LOCF never
+   * leaves a null behind.
+   */
+  def gapFillDaily(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val daily = events
+      .groupBy(col(entityCol), to_date(col(tsCol)).as("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,6)")).as("v"))
+    val cal = daily
+      .groupBy(col(entityCol))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col(entityCol),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY"))).as("day"))
+    val locf = Window.partitionBy(col(entityCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal
+      .join(daily, Seq(entityCol, "day"), "left")
+      .select(
+        col(entityCol),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("v"), ignoreNulls = true).over(locf).cast("double").as("value_filled"))
   }
 }

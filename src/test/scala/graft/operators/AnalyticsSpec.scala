@@ -37,4 +37,55 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
     assert(counts === Map(1 -> 4L, 2 -> 3L, 3 -> 2L)) // monotone: A=4, A->B=3, A->B->C=2
   }
+
+  test("sessionize: strict gap cut, tie-broken ordering, per-session aggregates") {
+    // gap = 10 minutes; u1 has two sessions (cut between 10:09 and 10:25);
+    // an EXACTLY-10-minute gap (10:25 -> 10:35) does NOT cut (strict >).
+    val events = Seq(
+      (1L, 10L, ts(0), 1.0), (1L, 11L, ts(9), 2.0),
+      (1L, 12L, ts(25), 4.0), (1L, 13L, ts(35), 8.0),
+      (2L, 20L, ts(5), 1.5)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = Analytics.sessionize(events, "user_id", "ts", "event_id", "value", gapMinutes = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getTimestamp(2), r.getTimestamp(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(out.keySet === Set((1L, 1L), (1L, 2L), (2L, 1L)))
+    assert(out((1L, 1L)) === ((ts(0), ts(9), 2L, 3.0)))
+    assert(out((1L, 2L)) === ((ts(25), ts(35), 2L, 12.0)))
+    assert(out((2L, 1L)) === ((ts(5), ts(5), 1L, 1.5)))
+  }
+
+  test("retention: cohort week from first event, offsets count active entities") {
+    def t2(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // Weeks (Mondays): 2024-01-01, 01-08, 01-15.
+    val events = Seq(
+      (1L, t2(2, 9)), (1L, t2(10, 9)), (1L, t2(16, 9)), // cohort w0, active w1+w2
+      (2L, t2(3, 9)), (2L, t2(17, 9)),                  // cohort w0, active w2 (skips w1)
+      (3L, t2(9, 9))                                    // cohort w1 only
+    ).toDF("user_id", "ts")
+    val out = Analytics.retention(events, "user_id", "ts")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("2024-01-01", 0) -> 2L, ("2024-01-01", 1) -> 1L, ("2024-01-01", 2) -> 2L,
+      ("2024-01-08", 0) -> 1L))
+  }
+
+  test("gapFillDaily: calendar expansion, zero counts, LOCF values") {
+    def d(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val events = Seq(
+      (1L, d(1, 9), 1.0), (1L, d(1, 10), 2.0), // day 1: n=2 v=3.0
+      (1L, d(4, 9), 5.0),                      // days 2-3 missing -> n=0, v carries 3.0
+      (2L, d(2, 9), 7.0)                       // single-day span
+    ).toDF("user_id", "ts", "value")
+    val out = Analytics.gapFillDaily(events, "user_id", "ts", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out === Map(
+      (1L, "2024-01-01") -> ((2L, 3.0)),
+      (1L, "2024-01-02") -> ((0L, 3.0)),
+      (1L, "2024-01-03") -> ((0L, 3.0)),
+      (1L, "2024-01-04") -> ((1L, 5.0)),
+      (2L, "2024-01-02") -> ((1L, 7.0))))
+  }
 }
