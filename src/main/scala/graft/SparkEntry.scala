@@ -335,6 +335,58 @@ object SparkEntry {
       graft.operators.Analytics.gapFillDaily(events(s, dir), "user_id", "ts", "value")
         .orderBy(col("user_id"), col("day"))
     },
+    // ---- trailing-window anomaly detection: one slim shuffle, ROWS-bounded
+    // frame (O(lookback) state per row), integer-grid exact z-scores.
+    "anomaly_events" -> { (s, dir) =>
+      graft.operators.Analytics.anomalies(events(s, dir), "user_id", "ts",
+        "event_id", "value", lookback = 20, minN = 8, threshold = 2.0)
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    },
+    // ---- KMV distinct sketch: daily-active-user cardinality per event
+    // type from O(k) state per key — the stat a 100 TB loop maintains
+    // incrementally instead of count(distinct)-ing the corpus.
+    "kmv_distinct" -> { (s, dir) =>
+      val withKey = events(s, dir).select(
+        col("event_type"),
+        concat(col("user_id").cast("string"), lit(":"),
+          date_format(col("ts"), "yyyy-MM-dd")).as("ud"))
+      graft.operators.Sketches.kmvStats(
+        graft.operators.Sketches.kmvSketch(withKey, Seq("event_type"), "ud", k = 128),
+        Seq("event_type"), k = 128)
+        .orderBy(col("event_type"))
+    },
+    // ---- the same estimates via the MERGE path: sketch two disjoint
+    // halves, merge, estimate. KMV merge is exact, so this shares
+    // kmv_distinct's oracle — the oracle-checked proof that per-slice
+    // sketches roll up losslessly.
+    "kmv_distinct_merge" -> { (s, dir) =>
+      val ev = events(s, dir).select(
+        col("event_id"), col("event_type"),
+        concat(col("user_id").cast("string"), lit(":"),
+          date_format(col("ts"), "yyyy-MM-dd")).as("ud"))
+      val a = graft.operators.Sketches.kmvSketch(
+        ev.filter(col("event_id") % 2 === 0), Seq("event_type"), "ud", k = 128)
+      val b = graft.operators.Sketches.kmvSketch(
+        ev.filter(col("event_id") % 2 =!= 0), Seq("event_type"), "ud", k = 128)
+      graft.operators.Sketches.kmvStats(
+        graft.operators.Sketches.kmvMerge(a, b, Seq("event_type"), k = 128),
+        Seq("event_type"), k = 128)
+        .orderBy(col("event_type"))
+    },
+    // ---- mergeable equi-width histogram + quantile estimates: one
+    // map-side-combinable bucket groupBy instead of the total sort behind
+    // exact quantiles; window runs over BUCKETS, not rows.
+    "hist_quantiles" -> { (s, dir) =>
+      graft.operators.Sketches.histQuantiles(
+        graft.operators.Sketches.histSketch(events(s, dir), "value", binWidth = 8.0),
+        binWidth = 8.0, ps = Seq(0.5, 0.9, 0.99))
+        .orderBy(col("p"))
+    },
+    // ---- TF-IDF top-3 keywords per document on the 1e-6 ln grid.
+    "tfidf_keywords" -> { (s, dir) =>
+      graft.operators.Corpus.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text", topK = 3)
+        .orderBy(col("doc_id"), col("rnk"))
+    },
 
     "q_events_daily" -> { (s, dir) =>
       // Group on the truncated TIMESTAMP and render the day string after the
@@ -3400,6 +3452,24 @@ object SparkEntry {
       |  SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
       |  FROM scored) WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
+  /** Shared by kmv_distinct and kmv_distinct_merge: KMV merge is exact, so
+    * both paths must reproduce this from-scratch recomputation. Same
+    * portable 60-bit hash (15 hex chars of md5, positive in signed-64). */
+  private val kmvOracle: String =
+    """WITH h AS (SELECT DISTINCT event_type,
+      |  ('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR) || ':'
+      |                         || strftime(ts, '%Y-%m-%d')), 1, 15))::BIGINT AS h
+      |           FROM events),
+      |r AS (SELECT event_type, h,
+      |             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      |      FROM h)
+      |SELECT event_type, count(*) AS n_kept, max(h) AS kth_hash,
+      |       CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
+      |            ELSE 127.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)
+      |       END AS distinct_est
+      |FROM r WHERE rn <= 128
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private val bm25Oracle: String =
       """WITH tok AS (
         |  SELECT doc_id,
@@ -3659,6 +3729,68 @@ object SparkEntry {
         |       CAST(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
         |              ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS value_filled
         |FROM j ORDER BY user_id, day""".stripMargin,
+    // Anomalies: identical integer-micro quantization, trailing frame, and
+    // double-expression tree (left-assoc division chains) both sides.
+    "anomaly_events" ->
+      """WITH w AS (SELECT user_id, ts, event_id, value,
+        |                  CAST(floor(value * 1000000.0) AS BIGINT) AS vm
+        |           FROM events),
+        |t AS (SELECT user_id, ts, event_id, value, vm,
+        |             count(vm)    OVER win AS n,
+        |             sum(vm)      OVER win AS s1,
+        |             sum(vm * vm) OVER win AS s2
+        |      FROM w
+        |      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |m AS (SELECT user_id, ts, event_id, value, vm, n,
+        |             CAST(s1 AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS mean,
+        |             CAST(s2 AS DOUBLE) / 1000000000000.0 / CAST(n AS DOUBLE) AS ex2
+        |      FROM t WHERE n >= 8),
+        |v AS (SELECT user_id, ts, event_id, value, vm, n, mean,
+        |             (ex2 - mean * mean) * CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0) AS varr
+        |      FROM m),
+        |z AS (SELECT user_id, ts, event_id, value,
+        |             CAST(floor((CAST(vm AS DOUBLE) / 1000000.0 - mean) / sqrt(varr)
+        |                        * 1000000.0) AS BIGINT) AS z_micro
+        |      FROM v WHERE varr > 0.0)
+        |SELECT user_id, ts, event_id, value, z_micro FROM z
+        |WHERE abs(z_micro) > 2000000
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "kmv_distinct" -> kmvOracle,
+    "kmv_distinct_merge" -> kmvOracle, // exact merge ≡ fresh sketch
+    // Histogram quantiles: exact integer bucket counts, ceil(p·total)
+    // rank rule, lower-edge estimate.
+    "hist_quantiles" ->
+      """WITH hist AS (SELECT CAST(floor(value / 8.0) AS BIGINT) AS bucket, count(*) AS n
+        |              FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |c AS (SELECT bucket, n,
+        |             sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+        |             sum(n) OVER () AS total
+        |      FROM hist),
+        |ps AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p)
+        |SELECT ps.p AS p, min(c.bucket) AS bucket,
+        |       CAST(min(c.bucket) AS DOUBLE) * 8.0 AS q_est
+        |FROM ps JOIN c ON c.cum >= CAST(ceil(ps.p * CAST(c.total AS DOUBLE)) AS BIGINT)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // TF-IDF: same tokenization replica as every text entry, idf on the
+    // 1e-6 ln grid, BIGINT tf·idf product, per-doc rank with term ties.
+    "tfidf_keywords" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |              tf.tf * CAST(floor(ln(CAST(n.n AS DOUBLE) / CAST(dfc.df AS DOUBLE))
+        |                                 * 1000000.0) AS BIGINT) AS score_micro
+        |       FROM tf JOIN dfc USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, score_micro,
+        |             row_number() OVER (PARTITION BY doc_id
+        |                                ORDER BY score_micro DESC, term) AS rnk
+        |      FROM sc WHERE score_micro > 0)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, score_micro
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "q_events_daily" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total

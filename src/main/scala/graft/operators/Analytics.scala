@@ -148,6 +148,62 @@ object Analytics {
   }
 
   /**
+   * Per-entity trailing-window anomaly detection: flags events whose value
+   * deviates from the entity's own recent history by more than `threshold`
+   * standard deviations. The window is the `lookback` events STRICTLY
+   * BEFORE the current one (the event under test never contaminates its
+   * own baseline), and entities with fewer than `minN` prior events emit
+   * nothing (no baseline, no verdict). Returns the flagged rows with
+   * `z_micro` = floor(z·1e6).
+   *
+   * Exactness: values quantize to integer micros (floor(v·1e6)) BEFORE
+   * the window sums, so the trailing Σx and Σx² are order-free integer
+   * sums (Σx² fits signed-64 for |v| ≲ 600 over 20-event windows; widen
+   * the quantization grid for larger magnitudes); mean /
+   * variance / z then derive from those integers through one fixed
+   * double-expression tree that any engine reproduces bit-for-bit, and
+   * the 1e-6 floor grid absorbs sub-ulp conversion drift.
+   *
+   * Scale shape: ONE shuffle of the slim (entity, ts, tie, value)
+   * projection; the trailing frame is ROWS-bounded so per-row state is
+   * O(lookback), never O(history).
+   */
+  def anomalies(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      lookback: Int,
+      minN: Int,
+      threshold: Double
+  ): DataFrame = {
+    require(lookback >= minN && minN >= 2 && threshold > 0,
+      "need lookback >= minN >= 2 and a positive threshold")
+    val trail = Window
+      .partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-lookback.toLong, -1L)
+    val vm = floor(col(valueCol) * lit(1000000.0)).cast("long")
+    val base = events
+      .select(col(entityCol), col(tsCol), col(tieCol), col(valueCol), vm.as("__vm"))
+      .withColumn("__n", count(col("__vm")).over(trail))
+      .withColumn("__s1", sum(col("__vm")).over(trail))
+      .withColumn("__s2", sum(col("__vm") * col("__vm")).over(trail))
+    val nd = col("__n").cast("double")
+    val mean = col("__s1").cast("double") / lit(1000000.0) / nd
+    val ex2 = col("__s2").cast("double") / lit(1000000000000.0) / nd
+    val varr = (ex2 - mean * mean) * nd / (nd - lit(1.0))
+    val z = (col("__vm").cast("double") / lit(1000000.0) - mean) / sqrt(varr)
+    base
+      .withColumn("__var", varr)
+      .withColumn("z_micro", floor(z * lit(1000000.0)).cast("long"))
+      .filter(col("__n") >= minN && col("__var") > 0.0 &&
+        abs(col("z_micro")) > (threshold * 1e6).toLong)
+      .select(col(entityCol), col(tsCol), col(tieCol), col(valueCol), col("z_micro"))
+  }
+
+  /**
    * Daily resample with gap-fill: aggregates `(entity, day)` event counts
    * and value sums, expands each entity's span to EVERY calendar day via
    * `sequence(min_day, max_day)`, and fills missing days with `n_events=0`

@@ -1017,6 +1017,45 @@ object Corpus {
       .limit(topK)
   }
 
+  /**
+   * TF-IDF keyword extraction: the top-`topK` most characteristic terms
+   * of every document — the per-doc tagging pass behind corpus browsing,
+   * domain labeling, and cluster naming. Score = tf · floor(ln(N/df)·1e6)
+   * (integer micro-nats; terms present in every doc score 0 and drop),
+   * ties broken by term string so each doc's keyword list is total-ordered.
+   *
+   * Exactness: idf floors onto the 1e-6 ln grid and tf·idf_micro is a
+   * BIGINT product (< 2^53), so scores and ranks replicate bit-for-bit.
+   *
+   * Scale shape: tokenize map-only → one (id, term) groupBy for tf → one
+   * term-keyed aggregate for df → a term-keyed join (vocab-sized build
+   * side) → the skew-proof two-level [[topKPerKey]]. Nothing document-
+   * sized crosses the wire twice, and no per-doc state exceeds topK.
+   */
+  def tfidfKeywords(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      topK: Int
+  ): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val n = docs.count() // one scalar: corpus size for the idf numerator
+    val posting = docs
+      .select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = posting.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val scored = posting
+      .join(dfT, Seq("term"))
+      .withColumn("idf_micro",
+        floor(log(lit(n.toDouble) / col("__df").cast("double")) * lit(1000000.0))
+          .cast("long"))
+      .withColumn("score_micro", col("tf") * col("idf_micro"))
+      .filter(col("score_micro") > 0L)
+    topKPerKey(scored, Seq("id"), Seq(col("score_micro").desc, col("term").asc), topK)
+      .select(col("id").as(idCol), col("rnk"), col("term"), col("score_micro"))
+  }
+
   // ------------------------------------------------------------ drift
 
   /**

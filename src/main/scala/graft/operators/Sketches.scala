@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Mergeable summary sketches — the O(state)-per-key statistics a 100 TB
+ * ingest loop maintains INCREMENTALLY instead of recomputing per tick
+ * (the stats sibling of the MinHash/LSH/IVF/postings index-append trio).
+ *
+ * Both sketches here are deterministic and engine-portable, so their
+ * estimates are pinned by the same DuckDB hash-compare oracle as every
+ * exact operator: KMV uses the portable md5-derived hash family
+ * (functions/Text.scala), the histogram uses exact integer bucket counts.
+ *
+ * Reference provenance: kamu exposes no sketching surface — these serve
+ * the dataset-statistics use case its `tail`/SQL layer answers by full
+ * scan (reference `src/infra/core/src/services/query`); the KMV estimator
+ * is Bar-Yossef et al. 2002 ("Counting distinct elements in a data
+ * stream"), the k-minimum-values form per Beyer et al. 2007.
+ */
+object Sketches {
+
+  /** 2^60 as a double (exact): the size of the 15-hex-char hash space. */
+  private val HashSpace: Double = 1152921504606846976.0
+
+  /** Portable 60-bit hash: first 15 hex chars of md5, parsed base-16.
+    * DuckDB replica: `('0x' || substring(md5('kmv:' || v), 1, 15))::BIGINT`.
+    * 15 chars (not 16) keeps the value positive in signed-64 on both
+    * engines, so ascending order agrees without unsigned casts. */
+  private def kmvHash(v: Column): Column =
+    conv(substring(md5(concat(lit("kmv:"), v.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /**
+   * KMV (k-minimum-values) distinct-count sketch: per key, the k SMALLEST
+   * distinct hashes of the value, as a sorted array. O(k) state per key,
+   * exactly mergeable ([[kmvMerge]]): the k smallest of a union of k-min
+   * sets IS the k-min set of the union — so per-slice sketches roll up to
+   * the corpus sketch without ever rescanning history.
+   *
+   * Scale shape: ONE distinct over the slim (key, hash) projection, then
+   * the skew-proof two-level top-k ([[Corpus.topKPerKey]]) — no per-key
+   * state ever exceeds k, and the full rows never move.
+   */
+  def kmvSketch(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      k: Int
+  ): DataFrame = {
+    require(keyCols.nonEmpty && k > 0, "need keys and k > 0")
+    val slim = df
+      .filter(col(valueCol).isNotNull)
+      .select((keyCols.map(col) :+ kmvHash(col(valueCol)).as("__h")): _*)
+      .distinct()
+    Corpus
+      .topKPerKey(slim, keyCols, Seq(col("__h").asc), k)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(col("__h"))).as("hashes"))
+  }
+
+  /** Merge two KMV sketches (same keys, same k): union the hash sets and
+    * re-take the k smallest per key. Exact — merged ≡ a fresh sketch over
+    * the concatenated inputs (KMV's defining property; spec-pinned and
+    * oracle-pinned via the `kmv_distinct_merge` entry). Keys present in
+    * only one side pass through untouched. */
+  def kmvMerge(
+      a: DataFrame,
+      b: DataFrame,
+      keyCols: Seq[String],
+      k: Int
+  ): DataFrame = {
+    def ex(s: DataFrame) =
+      s.select((keyCols.map(col) :+ explode(col("hashes")).as("__h")): _*)
+    val u = ex(a).unionByName(ex(b)).distinct()
+    Corpus
+      .topKPerKey(u, keyCols, Seq(col("__h").asc), k)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(col("__h"))).as("hashes"))
+  }
+
+  /**
+   * Distinct-count estimate from a [[kmvSketch]]: if the sketch holds
+   * fewer than k hashes the count is EXACT (= sketch size); otherwise the
+   * KMV estimator (k-1) · 2^60 / h_k, with h_k the k-th smallest hash.
+   * All arithmetic is exact-in-double ((k-1)·2^60 has ≤ 11 significant
+   * bits; h_k < 2^53 never holds but long→double is correctly rounded on
+   * both engines, and the final division is a single IEEE op), so the
+   * estimate replicates bit-for-bit in the oracle.
+   */
+  def kmvStats(sketch: DataFrame, keyCols: Seq[String], k: Int): DataFrame = {
+    require(k > 1, "k must exceed 1 for the (k-1)/h_k estimator")
+    sketch.select(
+      (keyCols.map(col) :+
+        size(col("hashes")).cast("long").as("n_kept") :+
+        element_at(col("hashes"), -1).as("kth_hash")): _*)
+      .withColumn(
+        "distinct_est",
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble * HashSpace) / col("kth_hash").cast("double")))
+  }
+
+  /**
+   * Equi-width histogram sketch: exact counts per `floor(value/binWidth)`
+   * bucket. One map-side-combinable groupBy over bucket ids — O(buckets)
+   * state, trivially mergeable (counts add, [[histMerge]]), and therefore
+   * maintainable per ingest slice: the 100 TB alternative to the total
+   * sort behind [[Profile.quantiles]] when a ±binWidth answer suffices.
+   */
+  def histSketch(df: DataFrame, valueCol: String, binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(floor(col(valueCol) / binWidth).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Add two histogram sketches (same binWidth): bucket counts sum. */
+  def histMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("bucket")).agg(sum(col("n")).as("n"))
+
+  /**
+   * Quantile estimates from a [[histSketch]]: for each p, the LOWER EDGE
+   * of the first bucket whose cumulative count reaches ceil(p·total) —
+   * a deterministic integer rule (no interpolation), within binWidth of
+   * the exact quantile by construction (spec-pinned vs
+   * [[Profile.quantiles]]).
+   *
+   * Scale shape: the cumulative sum windows over BUCKETS (already
+   * aggregated, O(value-range/binWidth) rows — hundreds, not billions),
+   * so the single-partition window is a deliberate, bounded choice.
+   */
+  def histQuantiles(
+      hist: DataFrame,
+      binWidth: Double,
+      ps: Seq[Double]
+  ): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      "quantiles must lie in (0, 1]")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val cum = hist
+      .withColumn("cum", sum(col("n")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("n")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    ps.toDF("p")
+      .crossJoin(cum)
+      .filter(col("cum") >= ceil(col("p") * col("total").cast("double")).cast("long"))
+      .groupBy(col("p"))
+      .agg(min(col("bucket")).as("bucket"))
+      .withColumn("q_est", col("bucket").cast("double") * lit(binWidth))
+  }
+}

@@ -71,6 +71,23 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-01-08", 0) -> 1L))
   }
 
+  test("anomalies: spike flagged against trailing baseline; minN suppresses; baseline excludes self") {
+    // u1: 10 stable values ~10.0 then a spike of 100 -> flagged, positive z.
+    // The spike itself is NOT in its own baseline (frame ends at 1 PRECEDING).
+    // u2: only 3 events (below minN=8) -> nothing flagged even with a spike.
+    val u1 = (0 until 10).map(i => (1L, 100L + i, ts(i), 10.0 + (i % 3) * 0.5)) :+
+      ((1L, 110L, ts(10), 100.0))
+    val u2 = Seq((2L, 200L, ts(0), 1.0), (2L, 201L, ts(1), 1.1), (2L, 202L, ts(2), 99.0))
+    val events = (u1 ++ u2).toDF("user_id", "event_id", "ts", "value")
+    val out = Analytics.anomalies(events, "user_id", "ts", "event_id", "value",
+      lookback = 20, minN = 8, threshold = 2.0).collect()
+    assert(out.map(_.getLong(0)).toSet === Set(1L))
+    val spike = out.filter(_.getLong(2) == 110L)
+    assert(spike.length === 1 && spike(0).getLong(4) > 2000000L)
+    // the stable rows of u1 must NOT be flagged
+    assert(out.length === 1)
+  }
+
   test("gapFillDaily: calendar expansion, zero counts, LOCF values") {
     def d(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
     val events = Seq(

@@ -1290,4 +1290,25 @@ class CorpusSpec extends SparkSpec {
     assert(bad === 0L)
     enc.unpersist(blocking = false)
   }
+
+  test("tfidfKeywords: rare terms outrank common, ubiquitous terms drop, term ties break ranks") {
+    val docs = Seq(
+      (1L, "the cat cat sat"),   // 'cat' tf=2, df=1 -> top; 'the' df=3 -> idf 0, dropped
+      (2L, "the dog ran ran ran"), // 'ran' tf=3 df=1 beats 'dog' tf=1 df=1
+      (3L, "the cow cow zed")    // 'cow' tf=2 beats 'zed' tf=1 (same df)
+    ).toDF("doc_id", "text")
+    val out = Corpus.tfidfKeywords(docs, "doc_id", "text", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(out((1L, 1L)) === "cat")
+    assert(out((2L, 1L)) === "ran")
+    assert(out((2L, 2L)) === "dog")
+    assert(out((3L, 1L)) === "cow")
+    assert(out((3L, 2L)) === "zed")
+    assert(!out.values.toSet.contains("the")) // idf = ln(3/3) = 0 -> score 0
+    // equal (tf, df) scores tie-break by term string
+    val tie = Corpus.tfidfKeywords(
+      Seq((1L, "bb aa"), (2L, "zz")).toDF("doc_id", "text"), "doc_id", "text", topK = 2)
+      .collect().filter(_.getLong(0) == 1L).sortBy(_.getLong(1)).map(_.getString(2)).toSeq
+    assert(tie === Seq("aa", "bb"))
+  }
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** KMV distinct sketch: exact-below-k, lossless merge, estimator accuracy.
+  * Histogram sketch: additive merge, ceil-rank quantile rule, binWidth
+  * error bound vs the exact sorted quantile. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmvSketch: below k the sketch is the full hash set and the estimate is exact") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("b", 3L)).toDF("k", "v")
+    val st = Sketches.kmvStats(Sketches.kmvSketch(df, Seq("k"), "v", k = 16), Seq("k"), 16)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(st("a") === ((2L, 2.0))) // duplicates collapse
+    assert(st("b") === ((1L, 1.0)))
+  }
+
+  test("kmvMerge: merged sketch of overlapping halves equals the fresh sketch of the union") {
+    val all = (1L to 3000L).map(v => ("g", v)).toDF("k", "v")
+    val a = Sketches.kmvSketch((1L to 2000L).map(v => ("g", v)).toDF("k", "v"), Seq("k"), "v", 128)
+    val b = Sketches.kmvSketch((1500L to 3000L).map(v => ("g", v)).toDF("k", "v"), Seq("k"), "v", 128)
+    val merged = Sketches.kmvMerge(a, b, Seq("k"), 128).collect()(0).getSeq[Long](1)
+    val fresh = Sketches.kmvSketch(all, Seq("k"), "v", 128).collect()(0).getSeq[Long](1)
+    assert(merged === fresh) // the KMV merge property, element-exact
+  }
+
+  test("kmvStats: estimator lands near the true cardinality") {
+    val df = (1L to 5000L).map(v => ("g", v)).toDF("k", "v")
+    val est = Sketches.kmvStats(Sketches.kmvSketch(df, Seq("k"), "v", 128), Seq("k"), 128)
+      .collect()(0).getDouble(3)
+    assert(est > 3500.0 && est < 6500.0, s"estimate $est too far from 5000")
+  }
+
+  test("histSketch/histMerge: counts add; quantile rule hits the ceil-rank bucket edge") {
+    // 10 values in [0,4): quantile est = lower bucket edge at binWidth 1.
+    val df = Seq(0.1, 0.2, 0.9, 1.1, 1.5, 2.0, 2.2, 3.3, 3.4, 3.9).toDF("v")
+    val hist = Sketches.histSketch(df, "v", 1.0)
+    val q = Sketches.histQuantiles(hist, 1.0, Seq(0.3, 0.5, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    // ceil(0.3*10)=3 -> 3rd value (0.9) lives in bucket 0; ceil(5)=5 -> 1.5 in bucket 1
+    assert(q === Map(0.3 -> 0.0, 0.5 -> 1.0, 1.0 -> 3.0))
+    val fresh = hist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h1 = Sketches.histSketch(Seq(0.1, 0.2, 0.9, 1.1).toDF("v"), "v", 1.0)
+    val h2 = Sketches.histSketch(Seq(1.5, 2.0, 2.2, 3.3, 3.4, 3.9).toDF("v"), "v", 1.0)
+    val m2 = Sketches.histMerge(h1, h2).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m2 === fresh)
+  }
+
+  test("histQuantiles: estimate within binWidth of the exact quantile") {
+    val vals = (1 to 997).map(i => (i * 37 % 1000).toDouble / 3.0)
+    val df = vals.toDF("v")
+    val w = 5.0
+    val q = Sketches.histQuantiles(Sketches.histSketch(df, "v", w), w, Seq(0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    val sorted = vals.sorted
+    for (p <- Seq(0.5, 0.9)) {
+      val exact = sorted(math.ceil(p * vals.size).toInt - 1)
+      assert(q(p) <= exact && exact < q(p) + w,
+        s"p=$p est=${q(p)} exact=$exact not within one bin")
+    }
+  }
+}
