@@ -387,6 +387,15 @@ object SparkEntry {
       graft.operators.Corpus.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text", topK = 3)
         .orderBy(col("doc_id"), col("rnk"))
     },
+    // ---- weighted PageRank over the event-type transition graph: the
+    // event-sized work is one window + pair count; three exact integer
+    // nano-rank iterations then run over the edge list alone.
+    "pagerank_transitions" -> { (s, dir) =>
+      val edges = graft.operators.Graph.transitionEdges(
+        events(s, dir), "user_id", "event_type", "ts", "event_id")
+      graft.operators.Graph.pageRank(edges, "src", "dst", "w", iterations = 3)
+        .orderBy(col("node"))
+    },
 
     "q_events_daily" -> { (s, dir) =>
       // Group on the truncated TIMESTAMP and render the day string after the
@@ -3452,6 +3461,36 @@ object SparkEntry {
       |  SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
       |  FROM scored) WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
+  /** Unrolled-CTE replica of [[graft.operators.Graph.pageRank]]'s three
+    * integer nano-rank iterations (same floor divisions, same damping
+    * 85//100); intermediate sums CAST back to BIGINT so DuckDB's
+    * HUGEINT sum never changes the arithmetic. */
+  private val pagerankOracle: String = {
+    def iter(prev: String, c: String, r: String) =
+      s"""$c AS (SELECT e.dst,
+         |  CAST(sum(CAST(floor(CAST(p.r AS DOUBLE) * CAST(e.w AS DOUBLE)
+         |                      / CAST(ow.ow AS DOUBLE)) AS BIGINT)) AS BIGINT) AS cs
+         |  FROM edges e JOIN ow ON ow.src = e.src JOIN $prev p ON p.node = e.src
+         |  GROUP BY e.dst),
+         |$r AS (SELECT nodes.node,
+         |  CAST((150000000 // nn.n) + ((COALESCE($c.cs, 0) * 85) // 100) AS BIGINT) AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN $c ON $c.dst = nodes.node)"""
+    s"""WITH seq AS (SELECT user_id, event_type, ts, event_id,
+       |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM events),
+       |edges AS (SELECT prev AS src, event_type AS dst, count(*) AS w
+       |          FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |ow AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+       |r0 AS (SELECT node, CAST(1000000000 // nn.n AS BIGINT) AS r
+       |       FROM nodes CROSS JOIN nn),
+       |${iter("r0", "c1", "r1")},
+       |${iter("r1", "c2", "r2")},
+       |${iter("r2", "c3", "r3")}
+       |SELECT node, r AS rank_nano FROM r3 ORDER BY node""".stripMargin
+  }
+
   /** Shared by kmv_distinct and kmv_distinct_merge: KMV merge is exact, so
     * both paths must reproduce this from-scratch recomputation. Same
     * portable 60-bit hash (15 hex chars of md5, positive in signed-64). */
@@ -3756,6 +3795,7 @@ object SparkEntry {
         |SELECT user_id, ts, event_id, value, z_micro FROM z
         |WHERE abs(z_micro) > 2000000
         |ORDER BY user_id, ts, event_id""".stripMargin,
+    "pagerank_transitions" -> pagerankOracle,
     "kmv_distinct" -> kmvOracle,
     "kmv_distinct_merge" -> kmvOracle, // exact merge ≡ fresh sketch
     // Histogram quantiles: exact integer bucket counts, ceil(p·total)

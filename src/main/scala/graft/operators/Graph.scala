@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Iterative graph analytics over edge-list DataFrames — the link-structure
+ * sibling of [[Dedup.dedupClusters]]'s connected components. Fixed
+ * iteration counts and integer nano-rank arithmetic keep every step an
+ * order-free integer aggregate, so ranks replicate bit-for-bit on any
+ * engine (pinned by the `pagerank_transitions` oracle, which unrolls the
+ * same iterations as SQL CTEs).
+ *
+ * Reference provenance: kamu has no graph surface; PageRank is Page et
+ * al. 1999, here in the damped weighted form without dangling-mass
+ * redistribution (mass leaks through sinks — the common simplification,
+ * cf. Spark GraphX's default `staticPageRank` behavior).
+ */
+object Graph {
+
+  /**
+   * Weighted PageRank, `iterations` fixed rounds, damping d = 85/100.
+   * Ranks live on an integer NANO grid: r₀ = 10⁹ ∕ n (floor), and each
+   * round r' = (0.15·10⁹) ∕ n + (Σ_in floor(r_src·w ∕ outw_src)) · 85 ∕ 100
+   * with every division a FLOOR division — so each round is exact integer
+   * arithmetic over exact-in-double products (r·w < 2^53 up to ~9e15
+   * rank-weight; widen to per-edge DECIMAL if edge weights ever exceed
+   * that). Returns (node, rank_nano) for every node that appears in any
+   * edge.
+   *
+   * Scale shape: out-weights and contributions are edge-keyed aggregates
+   * (map-side combined); each round is one src-keyed join + one dst-keyed
+   * groupBy over the EDGE list — the rank table (node-sized, usually ≪
+   * edges) is the build side, and lineage is cut per round
+   * (localCheckpoint) so the plan never grows with the iteration count.
+   */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      iterations: Int
+  ): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val e = edges.select(
+      col(srcCol).as("__src"), col(dstCol).as("__dst"),
+      col(weightCol).cast("long").as("__w"))
+      .localCheckpoint() // edges feed every round; cut the upstream lineage once
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count() // one scalar: node count for the uniform terms
+    require(n > 0, "graph has no nodes")
+    val outw = e.groupBy(col("__src")).agg(sum(col("__w")).as("__ow"))
+    val base = 150000000L / n // floor((1-d)·1e9 / n), exact integer
+    var ranks = nodes.withColumn("rank_nano", lit(1000000000L / n))
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(outw, Seq("__src"))
+        .join(ranks.withColumnRenamed("node", "__src"), Seq("__src"))
+        .select(col("__dst"),
+          floor(col("rank_nano").cast("double") * col("__w").cast("double") /
+            col("__ow").cast("double")).cast("long").as("__c"))
+        .groupBy(col("__dst"))
+        .agg(sum(col("__c")).as("__cs"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("__dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(coalesce(__cs, 0L) * 85L) DIV 100L")).as("rank_nano"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /**
+   * Transition edge list from an event stream: one weighted edge per
+   * observed consecutive (prev state → state) pair within an entity,
+   * ordered by (ts, tie). The event-sized work is ONE slim per-entity
+   * window + a map-side-combinable pair count; the result is
+   * O(states²) — the graph [[pageRank]] then iterates on without ever
+   * re-touching the events.
+   */
+  def transitionEdges(
+      events: DataFrame,
+      entityCol: String,
+      stateCol: String,
+      tsCol: String,
+      tieCol: String
+  ): DataFrame = {
+    val order = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(entityCol), col(stateCol), col(tsCol), col(tieCol))
+      .withColumn("__prev", lag(col(stateCol), 1).over(order))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("src"), col(stateCol).as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** PageRank: integer nano-rank arithmetic on hand-computed graphs
+  * (uniform-cycle fixed point, sink absorption), and transition-edge
+  * extraction ordering. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: uniform cycle is an exact integer fixed point") {
+    // a -> b -> c -> a, unit weights: r = 10^9/3 = 333333333 is stable
+    // (50000000 + (333333333*85)//100 = 333333333 exactly).
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L)).toDF("src", "dst", "w")
+    val out = Graph.pageRank(edges, "src", "dst", "w", iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a" -> 333333333L, "b" -> 333333333L, "c" -> 333333333L))
+  }
+
+  test("pageRank: source/sink pair matches the hand-unrolled integer recurrence") {
+    val edges = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
+    val r1 = Graph.pageRank(edges, "src", "dst", "w", iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // n=2: r0 = 500000000; base = 75000000
+    assert(r1 === Map("a" -> 75000000L, "b" -> (75000000L + 500000000L * 85L / 100L)))
+    val r2 = Graph.pageRank(edges, "src", "dst", "w", iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r2 === Map("a" -> 75000000L, "b" -> (75000000L + 75000000L * 85L / 100L)))
+  }
+
+  test("pageRank: weights split a node's rank proportionally (floor per edge)") {
+    // a -> b (3), a -> c (1): contributions floor(r*3/4), floor(r*1/4)
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L)).toDF("src", "dst", "w")
+    val out = Graph.pageRank(edges, "src", "dst", "w", iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r0 = 1000000000L / 3
+    val base = 150000000L / 3
+    assert(out("b") === base + math.floor(r0.toDouble * 3.0 / 4.0).toLong * 85L / 100L)
+    assert(out("c") === base + math.floor(r0.toDouble * 1.0 / 4.0).toLong * 85L / 100L)
+    assert(out("a") === base)
+  }
+
+  test("transitionEdges: per-entity consecutive pairs, tie-broken, cross-entity isolated") {
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val events = Seq(
+      (1L, 10L, ts(0), "A"), (1L, 11L, ts(1), "B"), (1L, 12L, ts(2), "A"),
+      (1L, 13L, ts(2), "C"), // same ts as event 12: order by event_id -> A->C
+      (2L, 20L, ts(0), "A"), (2L, 21L, ts(5), "B")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = Graph.transitionEdges(events, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("A", "B") -> 2L, // u1 and u2
+      ("B", "A") -> 1L,
+      ("A", "C") -> 1L)) // the tie resolved by event_id
+  }
+}

@@ -373,6 +373,49 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sketch/anomaly operators: scans prune to the slim projection, exchanges never carry payloads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-sk-")
+    spark.range(2000).select(
+      (col("id") % 5).cast("string").as("k"),
+      col("id").as("v"),
+      col("id").cast("double").as("value"),
+      col("id").cast("timestamp").as("ts"),
+      col("id").as("event_id"),
+      concat(lit("x"), col("id")).as("payload") // the fat column that must never move
+    ).write.parquet(dir.resolve("t").toString)
+    val t = spark.read.parquet(dir.resolve("t").toString)
+
+    // kmvSketch: the scan reads (k, v) only; every exchange ships (k, hash)-sized rows
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // static plan for collect()
+    try {
+      val sk = Sketches.kmvSketch(t, Seq("k"), "v", k = 16)
+      val skPlan = formatted(sk)
+      assert(skPlan.contains("ReadSchema: struct<k:string,v:bigint>"), skPlan)
+      val skExchanges = sk.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e.output.map(_.name)
+      }
+      assert(skExchanges.nonEmpty, formatted(sk))
+      skExchanges.foreach(cols =>
+        assert(!cols.contains("payload"), s"payload on a sketch exchange: $cols"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+
+    // anomalies: the scan prunes to exactly the four referenced columns
+    val an = Analytics.anomalies(t, "k", "ts", "event_id", "value",
+      lookback = 20, minN = 8, threshold = 2.0)
+    val anPlan = formatted(an)
+    assert(anPlan.contains("ReadSchema: struct<k:string,value:double,ts:timestamp,event_id:bigint>")
+      || anPlan.contains("ReadSchema: struct<k:string,ts:timestamp,event_id:bigint,value:double>"),
+      anPlan)
+
+    // histSketch: partial (map-side) aggregation runs before the bucket exchange
+    val hist = Sketches.histSketch(t, "value", 100.0)
+    val histPlan = formatted(hist)
+    assert(histPlan.contains("ReadSchema: struct<value:double>"), histPlan)
+    assert("HashAggregate".r.findAllIn(histPlan).size >= 2,
+      s"no partial aggregate before the bucket exchange:\n$histPlan")
+  }
+
   test("tail and as-of reads prune slice FILES at the metadata level") {
     import graft.dataset.Dataset
     import graft.ingest.IngestWriter
