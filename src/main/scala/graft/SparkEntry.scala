@@ -373,6 +373,25 @@ object SparkEntry {
         Seq("event_type"), k = 128)
         .orderBy(col("event_type"))
     },
+    // ---- the sketch as MAINTAINED STATE: build a managed KMV table from
+    // one half, fold the other half in with an O(batch)+O(keys·k) append,
+    // read estimates from the table. Shares the from-scratch oracle — the
+    // stored sketch must be indistinguishable from one over full history.
+    "kmv_distinct_append" -> { (s, dir) =>
+      Fixtures.cached(s"kmv_table|$dir") {
+        val ev = events(s, dir).select(
+          col("event_id"), col("event_type"),
+          concat(col("user_id").cast("string"), lit(":"),
+            date_format(col("ts"), "yyyy-MM-dd")).as("ud"))
+        graft.operators.Sketches.materializeKmvTable(
+          ev.filter(col("event_id") % 2 === 0), Seq("event_type"), "ud", 128, "graft_kmv_dau")
+        graft.operators.Sketches.appendToKmvTable(
+          ev.filter(col("event_id") % 2 =!= 0), Seq("event_type"), "ud", 128, "graft_kmv_dau")
+        java.lang.Boolean.TRUE
+      }
+      graft.operators.Sketches.kmvStats(s.table("graft_kmv_dau"), Seq("event_type"), 128)
+        .orderBy(col("event_type"))
+    },
     // ---- mergeable equi-width histogram + quantile estimates: one
     // map-side-combinable bucket groupBy instead of the total sort behind
     // exact quantiles; window runs over BUCKETS, not rows.
@@ -382,10 +401,32 @@ object SparkEntry {
         binWidth = 8.0, ps = Seq(0.5, 0.9, 0.99))
         .orderBy(col("p"))
     },
+    // ---- histogram table maintained across two ticks; quantiles read
+    // from the stored counts match the from-scratch oracle.
+    "hist_quantiles_append" -> { (s, dir) =>
+      Fixtures.cached(s"hist_table|$dir") {
+        val ev = events(s, dir)
+        graft.operators.Sketches.materializeHistTable(
+          ev.filter(col("event_id") % 2 === 0), "value", 8.0, "graft_hist_value")
+        graft.operators.Sketches.appendToHistTable(
+          ev.filter(col("event_id") % 2 =!= 0), "value", 8.0, "graft_hist_value")
+        java.lang.Boolean.TRUE
+      }
+      graft.operators.Sketches.histQuantiles(
+        s.table("graft_hist_value"), binWidth = 8.0, ps = Seq(0.5, 0.9, 0.99))
+        .orderBy(col("p"))
+    },
     // ---- TF-IDF top-3 keywords per document on the 1e-6 ln grid.
     "tfidf_keywords" -> { (s, dir) =>
       graft.operators.Corpus.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text", topK = 3)
         .orderBy(col("doc_id"), col("rnk"))
+    },
+    // ---- PMI collocation pairs over vocab-restricted doc presence: the
+    // self-join volume is capped by the vocabulary, never corpus².
+    "pmi_pairs" -> { (s, dir) =>
+      graft.operators.Corpus.pmiCooccurrence(
+        t(s, dir, "documents"), "doc_id", "text", vocab = 100, minCount = 5L, topK = 50)
+        .orderBy(col("pmi_micro").desc, col("t1"), col("t2"))
     },
     // ---- weighted PageRank over the event-type transition graph: the
     // event-sized work is one window + pair count; three exact integer
@@ -3491,6 +3532,22 @@ object SparkEntry {
        |SELECT node, r AS rank_nano FROM r3 ORDER BY node""".stripMargin
   }
 
+  /** Histogram quantiles: exact integer bucket counts, ceil(p·total) rank
+    * rule, lower-edge estimate. Shared by the fresh-sketch and
+    * maintained-table entries — additive counts make them identical. */
+  private val histOracle: String =
+    """WITH hist AS (SELECT CAST(floor(value / 8.0) AS BIGINT) AS bucket, count(*) AS n
+      |              FROM events WHERE value IS NOT NULL GROUP BY 1),
+      |c AS (SELECT bucket, n,
+      |             sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+      |             sum(n) OVER () AS total
+      |      FROM hist),
+      |ps AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p)
+      |SELECT ps.p AS p, min(c.bucket) AS bucket,
+      |       CAST(min(c.bucket) AS DOUBLE) * 8.0 AS q_est
+      |FROM ps JOIN c ON c.cum >= CAST(ceil(ps.p * CAST(c.total AS DOUBLE)) AS BIGINT)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Shared by kmv_distinct and kmv_distinct_merge: KMV merge is exact, so
     * both paths must reproduce this from-scratch recomputation. Same
     * portable 60-bit hash (15 hex chars of md5, positive in signed-64). */
@@ -3795,23 +3852,32 @@ object SparkEntry {
         |SELECT user_id, ts, event_id, value, z_micro FROM z
         |WHERE abs(z_micro) > 2000000
         |ORDER BY user_id, ts, event_id""".stripMargin,
+    // PMI: same tokenization, deterministic vocab cut, BIGINT products,
+    // 1e-6 ln grid, total-ordered top-K.
+    "pmi_pairs" ->
+      """WITH pres AS (SELECT DISTINCT doc_id,
+        |  unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS term
+        |              FROM documents),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |ct AS (SELECT term, count(*) AS c FROM pres GROUP BY 1),
+        |voc AS (SELECT term, c FROM ct ORDER BY c DESC, term LIMIT 100),
+        |r AS (SELECT p.doc_id, p.term, v.c FROM pres p JOIN voc v USING (term)),
+        |pairs AS (SELECT a.term AS t1, b.term AS t2, a.c AS c1, b.c AS c2,
+        |                 count(*) AS n_ab
+        |          FROM r a JOIN r b ON a.doc_id = b.doc_id AND a.term < b.term
+        |          GROUP BY 1, 2, 3, 4),
+        |sc AS (SELECT t1, t2, n_ab,
+        |  CAST(floor(ln(CAST(n.n * n_ab AS DOUBLE) / CAST(c1 * c2 AS DOUBLE))
+        |             * 1000000.0) AS BIGINT) AS pmi_micro
+        |       FROM pairs CROSS JOIN n WHERE n_ab >= 5)
+        |SELECT t1, t2, n_ab, pmi_micro FROM sc
+        |ORDER BY pmi_micro DESC, t1, t2 LIMIT 50""".stripMargin,
     "pagerank_transitions" -> pagerankOracle,
     "kmv_distinct" -> kmvOracle,
     "kmv_distinct_merge" -> kmvOracle, // exact merge ≡ fresh sketch
-    // Histogram quantiles: exact integer bucket counts, ceil(p·total)
-    // rank rule, lower-edge estimate.
-    "hist_quantiles" ->
-      """WITH hist AS (SELECT CAST(floor(value / 8.0) AS BIGINT) AS bucket, count(*) AS n
-        |              FROM events WHERE value IS NOT NULL GROUP BY 1),
-        |c AS (SELECT bucket, n,
-        |             sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
-        |             sum(n) OVER () AS total
-        |      FROM hist),
-        |ps AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p)
-        |SELECT ps.p AS p, min(c.bucket) AS bucket,
-        |       CAST(min(c.bucket) AS DOUBLE) * 8.0 AS q_est
-        |FROM ps JOIN c ON c.cum >= CAST(ceil(ps.p * CAST(c.total AS DOUBLE)) AS BIGINT)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "kmv_distinct_append" -> kmvOracle, // stored+appended table ≡ fresh sketch
+    "hist_quantiles" -> histOracle,
+    "hist_quantiles_append" -> histOracle, // maintained counts ≡ fresh counts
     // TF-IDF: same tokenization replica as every text entry, idf on the
     // 1e-6 ln grid, BIGINT tf·idf product, per-doc rank with term ties.
     "tfidf_keywords" ->

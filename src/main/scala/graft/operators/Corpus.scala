@@ -1056,6 +1056,58 @@ object Corpus {
       .select(col("id").as(idCol), col("rnk"), col("term"), col("score_micro"))
   }
 
+  /**
+   * PMI co-occurrence pairs (Church & Hanks 1990): the top-`topK`
+   * most-associated term pairs over document-level presence — the corpus
+   * statistic behind collocation discovery, taxonomy seeding, and "what
+   * co-travels with X" curation triage. PMI = ln(n·c_ab ∕ (c_a·c_b)) over
+   * counts restricted to the `vocab` most-frequent terms (ties by term
+   * string, so the vocabulary is deterministic); pairs with fewer than
+   * `minCount` co-occurrences drop (sparse-count PMI is noise — the
+   * standard cut).
+   *
+   * Exactness: counts are exact integers, c_a·c_b and n·c_ab are BIGINT
+   * products (< 2^53), PMI floors onto the 1e-6 ln grid, and the top-K cut
+   * is totally ordered by (pmi, t1, t2) — bit-reproducible anywhere.
+   *
+   * Scale shape: presence is one distinct over (id, term); the vocabulary
+   * is a V-row TakeOrdered broadcast back over presence; candidate pairs
+   * come from a doc-keyed self-join whose volume is Σ_d m_d² with m_d ≤ V
+   * (never corpus² — the vocab restriction IS the cap), then one
+   * map-side-combinable pair count and a distributed TakeOrdered.
+   */
+  def pmiCooccurrence(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: Int = 100,
+      minCount: Long = 5L,
+      topK: Int = 50
+  ): DataFrame = {
+    require(vocab > 1 && topK > 0 && minCount >= 1, "need vocab > 1, topK > 0, minCount >= 1")
+    val n = docs.count() // one scalar: corpus size for the PMI numerator
+    val presence = docs
+      .select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("term"))
+      .distinct()
+    val voc = presence
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term").asc)
+      .limit(vocab)
+    val restricted = presence.join(broadcast(voc), Seq("term"))
+    val a = restricted.select(col("id"), col("term").as("t1"), col("c").as("__c1"))
+    val b = restricted.select(col("id"), col("term").as("t2"), col("c").as("__c2"))
+    a.join(b, a("id") === b("id") && col("t1") < col("t2"))
+      .groupBy(col("t1"), col("t2"), col("__c1"), col("__c2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+      .withColumn("pmi_micro",
+        floor(log((lit(n) * col("n_ab")).cast("double") /
+          (col("__c1") * col("__c2")).cast("double")) * lit(1000000.0)).cast("long"))
+      .orderBy(col("pmi_micro").desc, col("t1"), col("t2"))
+      .limit(topK)
+      .select(col("t1"), col("t2"), col("n_ab"), col("pmi_micro"))
+  }
+
   // ------------------------------------------------------------ drift
 
   /**

@@ -102,6 +102,61 @@ object Sketches {
           .otherwise(lit((k - 1).toDouble * HashSpace) / col("kth_hash").cast("double")))
   }
 
+  /** Materialize a [[kmvSketch]] as a managed table — the stats member of
+    * the O(batch) maintenance family (MinHash bands, LSH/IVF/PQ cells,
+    * BM25 postings, now cardinality sketches). */
+  def materializeKmvTable(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      k: Int,
+      table: String
+  ): Unit =
+    Bucketing.materializePlain(kmvSketch(df, keyCols, valueCol, k), table)
+
+  /** Fold a new batch into a stored KMV table: sketch the BATCH, merge
+    * with the stored sketch, swap. Per-tick cost is O(batch) + O(keys·k)
+    * — the prior raw data is never re-touched, yet [[kmvStats]] over the
+    * table equals a fresh sketch of the full history (KMV merge is exact;
+    * the `kmv_distinct_append` entry shares the from-scratch oracle). */
+  def appendToKmvTable(
+      batch: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      k: Int,
+      table: String
+  ): Unit = {
+    val spark = batch.sparkSession
+    val merged = kmvMerge(
+      spark.table(table), kmvSketch(batch, keyCols, valueCol, k), keyCols, k)
+      .localCheckpoint() // materialize BEFORE the swap drops the table it reads
+    Bucketing.materializePlain(merged, table)
+  }
+
+  /** Materialize a [[histSketch]] as a managed table. */
+  def materializeHistTable(
+      df: DataFrame,
+      valueCol: String,
+      binWidth: Double,
+      table: String
+  ): Unit =
+    Bucketing.materializePlain(histSketch(df, valueCol, binWidth), table)
+
+  /** Fold a new batch into a stored histogram table: bucket counts add,
+    * so the tick costs O(batch) + O(buckets) and quantile estimates over
+    * the table equal a fresh sketch of the full history. */
+  def appendToHistTable(
+      batch: DataFrame,
+      valueCol: String,
+      binWidth: Double,
+      table: String
+  ): Unit = {
+    val spark = batch.sparkSession
+    val merged = histMerge(spark.table(table), histSketch(batch, valueCol, binWidth))
+      .localCheckpoint()
+    Bucketing.materializePlain(merged, table)
+  }
+
   /**
    * Equi-width histogram sketch: exact counts per `floor(value/binWidth)`
    * bucket. One map-side-combinable groupBy over bucket ids — O(buckets)

@@ -1311,4 +1311,23 @@ class CorpusSpec extends SparkSpec {
       .collect().filter(_.getLong(0) == 1L).sortBy(_.getLong(1)).map(_.getString(2)).toSeq
     assert(tie === Seq("aa", "bb"))
   }
+
+  test("pmiCooccurrence: hand-computed micro-nat PMI, presence-based counts, desc order") {
+    val docs = Seq(
+      (1L, "x y"), (2L, "x y y"), // repeated y counts once (presence)
+      (3L, "x z"), (4L, "z q")
+    ).toDF("doc_id", "text")
+    // n=4; c: x=3 y=2 z=2 q=1; pairs: (x,y)=2 (x,z)=1 (q,z)=1
+    val out = Corpus.pmiCooccurrence(docs, "doc_id", "text",
+      vocab = 10, minCount = 1L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      ("q", "z") -> ((1L, 693147L)),  // floor(ln(4/2)·1e6)
+      ("x", "y") -> ((2L, 287682L)),  // floor(ln(8/6)·1e6)
+      ("x", "z") -> ((1L, -405466L)))) // floor(ln(4/6)·1e6)
+    // minCount prunes the singleton pairs
+    val cut = Corpus.pmiCooccurrence(docs, "doc_id", "text",
+      vocab = 10, minCount = 2L, topK = 10).collect()
+    assert(cut.map(r => (r.getString(0), r.getString(1))).toSet === Set(("x", "y")))
+  }
 }

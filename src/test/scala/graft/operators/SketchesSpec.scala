@@ -48,6 +48,25 @@ class SketchesSpec extends SparkSpec {
     assert(m2 === fresh)
   }
 
+  test("appendToKmvTable / appendToHistTable: maintained state equals a fresh sketch of the union") {
+    val h1 = (1L to 900L).map(v => ("g", v)).toDF("k", "v")
+    val h2 = (600L to 1500L).map(v => ("g", v)).toDF("k", "v")
+    Sketches.materializeKmvTable(h1, Seq("k"), "v", 64, "sk_spec_kmv")
+    Sketches.appendToKmvTable(h2, Seq("k"), "v", 64, "sk_spec_kmv")
+    val stored = spark.table("sk_spec_kmv").collect()(0).getSeq[Long](1)
+    val fresh = Sketches.kmvSketch(h1.unionByName(h2), Seq("k"), "v", 64)
+      .collect()(0).getSeq[Long](1)
+    assert(stored === fresh)
+
+    val v1 = Seq(0.5, 1.5, 2.5).toDF("v")
+    val v2 = Seq(1.7, 3.1).toDF("v")
+    Sketches.materializeHistTable(v1, "v", 1.0, "sk_spec_hist")
+    Sketches.appendToHistTable(v2, "v", 1.0, "sk_spec_hist")
+    val counts = spark.table("sk_spec_hist")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts === Map(0L -> 1L, 1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("histQuantiles: estimate within binWidth of the exact quantile") {
     val vals = (1 to 997).map(i => (i * 37 % 1000).toDouble / 3.0)
     val df = vals.toDF("v")
