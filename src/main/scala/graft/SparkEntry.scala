@@ -401,6 +401,24 @@ object SparkEntry {
         binWidth = 8.0, ps = Seq(0.5, 0.9, 0.99))
         .orderBy(col("p"))
     },
+    // ---- grouped percentiles from the keyed histogram sketch: one
+    // (key, bucket) groupBy; the cum window partitions by key over
+    // bucket-sized frames.
+    "hist_quantiles_by_key" -> { (s, dir) =>
+      graft.operators.Sketches.histQuantiles(
+        graft.operators.Sketches.histSketch(
+          events(s, dir), "value", binWidth = 8.0, keyCols = Seq("event_type")),
+        binWidth = 8.0, ps = Seq(0.5, 0.9, 0.99), keyCols = Seq("event_type"))
+        .orderBy(col("event_type"), col("p"))
+    },
+    // ---- last-touch attribution: running ignore-nulls carry of the most
+    // recent touch — O(1) per-row state, no events self-join.
+    "attribution_last_touch" -> { (s, dir) =>
+      graft.operators.Analytics.lastTouchAttribution(
+        events(s, dir), "user_id", "ts", "event_id", "event_type",
+        conversionType = "purchase", touchTypes = Seq("view", "click"))
+        .orderBy(col("user_id"), col("conversion_ts"), col("event_id"))
+    },
     // ---- histogram table maintained across two ticks; quantiles read
     // from the stored counts match the from-scratch oracle.
     "hist_quantiles_append" -> { (s, dir) =>
@@ -3878,6 +3896,33 @@ object SparkEntry {
     "kmv_distinct_append" -> kmvOracle, // stored+appended table ≡ fresh sketch
     "hist_quantiles" -> histOracle,
     "hist_quantiles_append" -> histOracle, // maintained counts ≡ fresh counts
+    "hist_quantiles_by_key" ->
+      """WITH hist AS (SELECT event_type, CAST(floor(value / 8.0) AS BIGINT) AS bucket,
+        |                     count(*) AS n
+        |              FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT event_type, bucket, n,
+        |             sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+        |                          ROWS UNBOUNDED PRECEDING) AS cum,
+        |             sum(n) OVER (PARTITION BY event_type) AS total
+        |      FROM hist),
+        |ps AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p)
+        |SELECT c.event_type, ps.p AS p, min(c.bucket) AS bucket,
+        |       CAST(min(c.bucket) AS DOUBLE) * 8.0 AS q_est
+        |FROM ps JOIN c ON c.cum >= CAST(ceil(ps.p * CAST(c.total AS DOUBLE)) AS BIGINT)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "attribution_last_touch" ->
+      """WITH w AS (SELECT user_id, ts, event_id, event_type,
+        |  last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+        |             IGNORE NULLS) OVER win AS touch_type,
+        |  last_value(CASE WHEN event_type IN ('view', 'click') THEN ts END
+        |             IGNORE NULLS) OVER win AS touch_ts
+        |           FROM events
+        |           WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, ts AS conversion_ts, event_id, touch_type, touch_ts,
+        |       epoch_us(ts) - epoch_us(touch_ts) AS lag_us
+        |FROM w WHERE event_type = 'purchase' AND touch_type IS NOT NULL
+        |ORDER BY user_id, conversion_ts, event_id""".stripMargin,
     // TF-IDF: same tokenization replica as every text entry, idf on the
     // 1e-6 ln grid, BIGINT tf·idf product, per-doc rank with term ties.
     "tfidf_keywords" ->

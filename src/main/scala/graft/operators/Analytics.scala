@@ -204,6 +204,51 @@ object Analytics {
   }
 
   /**
+   * Last-touch attribution: for every CONVERSION event, the most recent
+   * STRICTLY PRECEDING touch event (any of `touchTypes`) by the same
+   * entity — the credit-assignment query behind marketing/referral
+   * analytics. Conversions with no prior touch are dropped. Returns
+   * `(entity, conversion_ts, tie, touch_type, touch_ts, lag_us)` with
+   * `lag_us` the exact microsecond gap.
+   *
+   * Scale shape: ONE shuffle of the slim (entity, ts, tie, type)
+   * projection; the carried-forward touch is a running `last(_, ignore
+   * nulls)` over a ROWS frame ending at 1 PRECEDING — O(1) state per row,
+   * no self-join of the events table.
+   */
+  def lastTouchAttribution(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      tieCol: String,
+      typeCol: String,
+      conversionType: String,
+      touchTypes: Seq[String]
+  ): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      "need touch types disjoint from the conversion type")
+    val w = Window
+      .partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val isTouch = col(typeCol).isin(touchTypes.map(_.asInstanceOf[Any]): _*)
+    events
+      .select(col(entityCol), col(tsCol), col(tieCol), col(typeCol))
+      .withColumn("touch_type",
+        last(when(isTouch, col(typeCol)), ignoreNulls = true).over(w))
+      .withColumn("touch_ts",
+        last(when(isTouch, col(tsCol)), ignoreNulls = true).over(w))
+      .filter(col(typeCol) === conversionType && col("touch_type").isNotNull)
+      .select(
+        col(entityCol),
+        col(tsCol).as("conversion_ts"),
+        col(tieCol),
+        col("touch_type"),
+        col("touch_ts"),
+        (unix_micros(col(tsCol)) - unix_micros(col("touch_ts"))).as("lag_us"))
+  }
+
+  /**
    * Daily resample with gap-fill: aggregates `(entity, day)` event counts
    * and value sums, expands each entity's span to EVERY calendar day via
    * `sequence(min_day, max_day)`, and fills missing days with `n_events=0`

@@ -138,9 +138,10 @@ object Sketches {
       df: DataFrame,
       valueCol: String,
       binWidth: Double,
-      table: String
+      table: String,
+      keyCols: Seq[String] = Nil
   ): Unit =
-    Bucketing.materializePlain(histSketch(df, valueCol, binWidth), table)
+    Bucketing.materializePlain(histSketch(df, valueCol, binWidth, keyCols), table)
 
   /** Fold a new batch into a stored histogram table: bucket counts add,
     * so the tick costs O(batch) + O(buckets) and quantile estimates over
@@ -149,10 +150,12 @@ object Sketches {
       batch: DataFrame,
       valueCol: String,
       binWidth: Double,
-      table: String
+      table: String,
+      keyCols: Seq[String] = Nil
   ): Unit = {
     val spark = batch.sparkSession
-    val merged = histMerge(spark.table(table), histSketch(batch, valueCol, binWidth))
+    val merged = histMerge(
+      spark.table(table), histSketch(batch, valueCol, binWidth, keyCols), keyCols)
       .localCheckpoint()
     Bucketing.materializePlain(merged, table)
   }
@@ -164,16 +167,24 @@ object Sketches {
    * maintainable per ingest slice: the 100 TB alternative to the total
    * sort behind [[Profile.quantiles]] when a ±binWidth answer suffices.
    */
-  def histSketch(df: DataFrame, valueCol: String, binWidth: Double): DataFrame = {
+  def histSketch(
+      df: DataFrame,
+      valueCol: String,
+      binWidth: Double,
+      keyCols: Seq[String] = Nil
+  ): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     df.filter(col(valueCol).isNotNull)
-      .groupBy(floor(col(valueCol) / binWidth).cast("long").as("bucket"))
+      .groupBy((keyCols.map(col) :+
+        floor(col(valueCol) / binWidth).cast("long").as("bucket")): _*)
       .agg(count(lit(1)).as("n"))
   }
 
-  /** Add two histogram sketches (same binWidth): bucket counts sum. */
-  def histMerge(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b).groupBy(col("bucket")).agg(sum(col("n")).as("n"))
+  /** Add two histogram sketches (same binWidth, same keys): counts sum. */
+  def histMerge(a: DataFrame, b: DataFrame, keyCols: Seq[String] = Nil): DataFrame =
+    a.unionByName(b)
+      .groupBy((keyCols.map(col) :+ col("bucket")): _*)
+      .agg(sum(col("n")).as("n"))
 
   /**
    * Quantile estimates from a [[histSketch]]: for each p, the LOWER EDGE
@@ -189,22 +200,26 @@ object Sketches {
   def histQuantiles(
       hist: DataFrame,
       binWidth: Double,
-      ps: Seq[Double]
+      ps: Seq[Double],
+      keyCols: Seq[String] = Nil
   ): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       "quantiles must lie in (0, 1]")
     val spark = hist.sparkSession
     import spark.implicits._
+    val part =
+      if (keyCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(keyCols.map(col): _*)
     val cum = hist
       .withColumn("cum", sum(col("n")).over(
-        Window.orderBy(col("bucket"))
+        part.orderBy(col("bucket"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("total", sum(col("n")).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        part.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     ps.toDF("p")
       .crossJoin(cum)
       .filter(col("cum") >= ceil(col("p") * col("total").cast("double")).cast("long"))
-      .groupBy(col("p"))
+      .groupBy((keyCols.map(col) :+ col("p")): _*)
       .agg(min(col("bucket")).as("bucket"))
       .withColumn("q_est", col("bucket").cast("double") * lit(binWidth))
   }

@@ -88,6 +88,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.length === 1)
   }
 
+  test("lastTouchAttribution: most recent prior touch wins; touchless conversions drop; strict precedence") {
+    val events = Seq(
+      (1L, 10L, ts(0), "view"), (1L, 11L, ts(2), "click"),
+      (1L, 12L, ts(5), "purchase"),                       // -> click @2
+      (1L, 13L, ts(6), "purchase"),                       // still click @2 (purchases aren't touches)
+      (2L, 20L, ts(0), "purchase"),                       // no prior touch -> dropped
+      (3L, 30L, ts(3), "purchase"), (3L, 31L, ts(1), "view") // view AFTER? no: ts(1) < ts(3) -> view @1
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = Analytics.lastTouchAttribution(events, "user_id", "ts", "event_id",
+      "event_type", "purchase", Seq("view", "click"))
+      .collect().map(r => r.getLong(2) -> ((r.getString(3), r.getTimestamp(4), r.getLong(5)))).toMap
+    assert(out.keySet === Set(12L, 13L, 30L))
+    assert(out(12L) === (("click", ts(2), 3L * 60 * 1000000L)))
+    assert(out(13L) === (("click", ts(2), 4L * 60 * 1000000L)))
+    assert(out(30L) === (("view", ts(1), 2L * 60 * 1000000L)))
+  }
+
   test("gapFillDaily: calendar expansion, zero counts, LOCF values") {
     def d(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
     val events = Seq(

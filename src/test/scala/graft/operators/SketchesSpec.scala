@@ -67,6 +67,17 @@ class SketchesSpec extends SparkSpec {
     assert(counts === Map(0L -> 1L, 1L -> 2L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("histQuantiles keyed: per-key cumulative ranks never leak across keys") {
+    val df = Seq(("a", 0.5), ("a", 1.5), ("a", 2.5), ("a", 3.5),
+                 ("b", 10.5), ("b", 11.5)).toDF("k", "v")
+    val q = Sketches.histQuantiles(
+      Sketches.histSketch(df, "v", 1.0, Seq("k")), 1.0, Seq(0.5, 1.0), Seq("k"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(3)).toMap
+    assert(q === Map(
+      ("a", 0.5) -> 1.0, ("a", 1.0) -> 3.0, // ceil(2)=2nd of a -> bucket 1
+      ("b", 0.5) -> 10.0, ("b", 1.0) -> 11.0))
+  }
+
   test("histQuantiles: estimate within binWidth of the exact quantile") {
     val vals = (1 to 997).map(i => (i * 37 % 1000).toDouble / 3.0)
     val df = vals.toDF("v")
