@@ -439,6 +439,25 @@ object SparkEntry {
       graft.operators.Corpus.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text", topK = 3)
         .orderBy(col("doc_id"), col("rnk"))
     },
+    // ---- rolling 7-day active users: exact sliding distinct via the
+    // contribution expansion — the only event-sized shuffle is the
+    // (user, day) distinct; no sliding-window state anywhere.
+    "active_users_rolling" -> { (s, dir) =>
+      graft.operators.Analytics.rollingActiveUsers(events(s, dir), "user_id", "ts", windowDays = 7)
+        .orderBy(col("day"))
+    },
+    // ---- grid-bucketed radius self-join over hash-derived planar
+    // coordinates: 9-cell candidate neighborhoods, exact BIGINT distance.
+    "geo_radius_join" -> { (s, dir) =>
+      val pts = t(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        (graft.functions.Text.portableHash31(
+          concat(lit("gx:"), col("c_custkey").cast("string"))) % 1000000L).as("x"),
+        (graft.functions.Text.portableHash31(
+          concat(lit("gy:"), col("c_custkey").cast("string"))) % 1000000L).as("y"))
+      graft.operators.Geo.radiusJoin(pts, "id", "x", "y", radius = 20000L)
+        .orderBy(col("id1"), col("id2"))
+    },
     // ---- PMI collocation pairs over vocab-restricted doc presence: the
     // self-join volume is capped by the vocabulary, never corpus².
     "pmi_pairs" -> { (s, dir) =>
@@ -3870,6 +3889,35 @@ object SparkEntry {
         |SELECT user_id, ts, event_id, value, z_micro FROM z
         |WHERE abs(z_micro) > 2000000
         |ORDER BY user_id, ts, event_id""".stripMargin,
+    // Rolling actives: same (user, day) distinct + 7-day contribution
+    // expansion; inner join restricts to observed days.
+    "active_users_rolling" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |contrib AS (SELECT DISTINCT user_id,
+        |  CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+        |                              CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+        |                              INTERVAL 1 DAY)) AS DATE) AS day
+        |            FROM ud),
+        |roll AS (SELECT c.day, count(*) AS rolling_active FROM contrib c
+        |         JOIN (SELECT DISTINCT day FROM ud) obs USING (day) GROUP BY 1)
+        |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, roll.rolling_active
+        |FROM dau JOIN roll USING (day) ORDER BY 1""".stripMargin,
+    // Geo radius join: brute-force replica (the fixture point count makes
+    // all-pairs tractable in the oracle; the engine's grid join must find
+    // exactly the same pairs). Same portable hash coordinates.
+    "geo_radius_join" ->
+      """WITH pts AS (SELECT c_custkey AS id,
+        |  (('0x' || substring(md5('gx:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+        |     % 2147483647) % 1000000 AS x,
+        |  (('0x' || substring(md5('gy:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+        |     % 2147483647) % 1000000 AS y
+        |             FROM customer)
+        |SELECT a.id AS id1, b.id AS id2,
+        |       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+        |FROM pts a JOIN pts b ON a.id < b.id
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 400000000
+        |ORDER BY id1, id2""".stripMargin,
     // PMI: same tokenization, deterministic vocab cut, BIGINT products,
     // 1e-6 ln grid, total-ordered top-K.
     "pmi_pairs" ->

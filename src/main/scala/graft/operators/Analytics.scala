@@ -204,6 +204,45 @@ object Analytics {
   }
 
   /**
+   * Rolling active-entity counts: for every observed day, the number of
+   * distinct entities active that day (DAU) and within the trailing
+   * `windowDays` days (WAU/MAU by parameter) — EXACT sliding distinct
+   * counts without any sliding-window state: each (entity, day) presence
+   * CONTRIBUTES to the `windowDays` days it keeps the entity active for,
+   * and the rolling count is then a plain per-day count of distinct
+   * contributions. Output: `(day 'yyyy-MM-dd', dau, rolling_active)` over
+   * days that have at least one event.
+   *
+   * Scale shape: one distinct over the slim (entity, day) projection (the
+   * only event-sized shuffle), then a ≤ windowDays× expansion of that
+   * DAY-GRAINED frame and two plain counts — the classic trick that turns
+   * "count distinct over every trailing window" (quadratic re-scan or a
+   * giant state store) into linear work.
+   */
+  def rollingActiveUsers(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      windowDays: Int
+  ): DataFrame = {
+    require(windowDays >= 1, "windowDays must be at least 1")
+    val ud = events
+      .select(col(entityCol).as("__e"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val contrib = ud
+      .select(col("__e"),
+        explode(sequence(col("day"), date_add(col("day"), windowDays - 1),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      .distinct()
+    val rolling = contrib.groupBy(col("day")).agg(count(lit(1)).as("rolling_active"))
+    dau
+      .join(rolling, Seq("day")) // inner: report only observed days
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("rolling_active"))
+  }
+
+  /**
    * Last-touch attribution: for every CONVERSION event, the most recent
    * STRICTLY PRECEDING touch event (any of `touchTypes`) by the same
    * entity — the credit-assignment query behind marketing/referral

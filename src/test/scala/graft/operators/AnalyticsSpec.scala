@@ -105,6 +105,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(30L) === (("view", ts(1), 2L * 60 * 1000000L)))
   }
 
+  test("rollingActiveUsers: exact sliding distinct; window drop-off; observed days only") {
+    def d(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 09:00:00")
+    val events = Seq(
+      (1L, d(1)), (1L, d(1)), // dup same day counts once
+      (2L, d(1)),
+      (1L, d(3)),
+      (3L, d(9))              // day 1's users fell out of the 7-day window by day 9
+    ).toDF("user_id", "ts")
+    val out = Analytics.rollingActiveUsers(events, "user_id", "ts", windowDays = 7)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      "2024-01-01" -> ((2L, 2L)),
+      "2024-01-03" -> ((1L, 2L)),  // u1 active today, u2 carried from day 1
+      "2024-01-09" -> ((1L, 2L)))) // u3 today + u1 carried from day 3; day-1 users expired
+  }
+
   test("gapFillDaily: calendar expansion, zero counts, LOCF values") {
     def d(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
     val events = Seq(
