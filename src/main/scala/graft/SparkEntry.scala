@@ -321,6 +321,51 @@ object SparkEntry {
         events(s, dir), "user_id", "ts", "event_id", "value", gapMinutes = 30)
         .orderBy(col("user_id"), col("session_id"))
     },
+    // ---- the streaming twin of sessionize: flatMapGroupsWithState with
+    // O(1) per-entity state and event-time-timeout finalization, driven
+    // through ts-ordered micro-batches; sentinels close the tail. Shares
+    // the batch oracle — stream ≡ batch on ordered replays.
+    "sessionize_stream" -> { (s, dir) =>
+      val cached = Fixtures.cached(s"sessionize_stream|$dir") {
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val ev = events(s, dir).select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        val qs = ev.agg(
+          expr("percentile(unix_micros(ts), 0.3333)").as("q1"),
+          expr("percentile(unix_micros(ts), 0.6667)").as("q2")).head()
+        val (b1, b2) = (qs.getDouble(0), qs.getDouble(1))
+        val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        def tup(df: DataFrame) = df.collect().toSeq
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+        val out = graft.streaming.StreamingOps.sessionizeStream(
+          mem.toDF().toDF("user_id", "ts", "event_id", "value"),
+          "user_id", "ts", "event_id", "value", gapMinutes = 30)
+        val qname = s"sessionize_sink_${math.abs(dir.hashCode)}"
+        val q = out.writeStream.format("memory").queryName(qname)
+          .outputMode("append").start()
+        try {
+          Seq(
+            ev.filter(expr(s"unix_micros(ts) <= $b1")),
+            ev.filter(expr(s"unix_micros(ts) > $b1 AND unix_micros(ts) <= $b2")),
+            ev.filter(expr(s"unix_micros(ts) > $b2"))
+          ).foreach { sl => mem.addData(tup(sl)); q.processAllAvailable() }
+          // two sentinels: the first advances the watermark past every open
+          // session's end + gap; the second's batch fires their timeouts
+          Seq(30L, 60L).zipWithIndex.foreach { case (days, i) =>
+            mem.addData(Seq((-1L - i,
+              new java.sql.Timestamp(maxTs.getTime + days * 86400000L), -1L, 0.0)))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        (s.table(qname).schema,
+          s.table(qname).filter(col("user_id") >= 0L).collect())
+      }
+      s.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(cached._2.toSeq: _*)), cached._1)
+        .orderBy(col("user_id"), col("session_id"))
+    },
     // ---- weekly retention cohorts: distinct (user, week) is the only
     // entity-keyed shuffle; the cohort matrix is a plain count, never a
     // count(distinct).
@@ -3569,6 +3614,28 @@ object SparkEntry {
        |SELECT node, r AS rank_nano FROM r3 ORDER BY node""".stripMargin
   }
 
+  /** Shared by sessionize and sessionize_stream: the streaming twin's
+    * finalized sessions are pinned identical to the batch lag/cut/
+    * running-sum construction on ordered replays. */
+  private val sessionizeOracle: String =
+    """WITH g AS (SELECT user_id, ts, event_id, value,
+      |                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |           FROM events),
+      |f AS (SELECT user_id, ts, event_id, value,
+      |             CASE WHEN prev IS NULL
+      |                    OR epoch_us(ts) - epoch_us(prev) > 1800000000
+      |                  THEN 1 ELSE 0 END AS cut
+      |      FROM g),
+      |s AS (SELECT user_id, ts, value,
+      |             CAST(sum(cut) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |      FROM f)
+      |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   /** Histogram quantiles: exact integer bucket counts, ceil(p·total) rank
     * rule, lower-edge estimate. Shared by the fresh-sketch and
     * maintained-table entries — additive counts make them identical. */
@@ -3816,25 +3883,10 @@ object SparkEntry {
         |       GROUP BY e.user_id, s2.t1, s2.t2)
         |SELECT user_id, t1, t2, t3 FROM s3 ORDER BY user_id""".stripMargin,
     // Sessionize: identical lag/cut/running-sum construction; event_id
-    // breaks ts ties so the cut is deterministic on both engines.
-    "sessionize" ->
-      """WITH g AS (SELECT user_id, ts, event_id, value,
-        |                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |           FROM events),
-        |f AS (SELECT user_id, ts, event_id, value,
-        |             CASE WHEN prev IS NULL
-        |                    OR epoch_us(ts) - epoch_us(prev) > 1800000000
-        |                  THEN 1 ELSE 0 END AS cut
-        |      FROM g),
-        |s AS (SELECT user_id, ts, value,
-        |             CAST(sum(cut) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-        |      FROM f)
-        |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
-        |       count(*) AS n_events,
-        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        |FROM s GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin,
+    // breaks ts ties so the cut is deterministic on both engines. The
+    // streaming twin shares it: stream ≡ batch on ordered replays.
+    "sessionize" -> sessionizeOracle,
+    "sessionize_stream" -> sessionizeOracle,
     // Retention: cohort = week of first event; (user, week) is distinct so
     // count(*) counts entities.
     "retention_cohorts" ->

@@ -160,6 +160,98 @@ object StreamingOps {
     MergeStrategy.Snapshot(primaryKey, vocab = vocab).merge(prevLedger, topN)
   }
 
+  /** Open-session state for [[sessionizeStream]]: the per-entity fold is
+    * (session counter, open flag, bounds, count, micro-value sum) — O(1)
+    * per entity, never a buffer of events. */
+  private[streaming] case class SessionizeState(
+      seq: Long, open: Boolean, startUs: Long, endUs: Long, n: Long, sumMicro: Long)
+
+  /**
+   * CONTINUOUS gap sessionization: the streaming twin of
+   * [[graft.operators.Analytics.sessionize]], emitting each entity's
+   * FINALIZED sessions (same schema, same 1-based per-entity ids, same
+   * µs-grid gap rule) once the event-time watermark passes the session's
+   * end + gap — at which point no in-watermark event can reopen it.
+   * `StreamingSpec` and the shared `sessionize` oracle pin stream ≡ batch
+   * on ordered replays.
+   *
+   * Semantics contract: events must arrive per-entity in (ts, tie) order
+   * ACROSS micro-batches (within a batch any order is fine — each group
+   * invocation sorts its slice); an event older than its entity's open
+   * session extends that session rather than rewriting history — batch
+   * equality holds exactly for in-order replays, which is what an
+   * offset-ordered dataset stream ([[datasetStream]]) delivers.
+   *
+   * Scale shape: per-entity state is ONE fixed-size record (no event
+   * buffer); emitted sessions leave via event-time timeout, and a closed
+   * entity keeps only its session counter (a production deployment would
+   * TTL that zombie counter with a second timeout horizon — here it is
+   * the documented cost of batch-exact session numbering).
+   */
+  def sessionizeStream(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      gapMinutes: Int,
+      watermarkDelay: String = "0 seconds"
+  ): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val slim = events
+      .select(col(entityCol).cast("long").as("e"), col(tsCol).as("t"),
+        col(tieCol).cast("long").as("tie"), col(valueCol).cast("double").as("v"))
+      .withWatermark("t", watermarkDelay)
+    val schema = slim.schema
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(schema)
+    val outSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      s"$entityCol BIGINT, session_id BIGINT, session_start TIMESTAMP, " +
+        "session_end TIMESTAMP, n_events BIGINT, total_value DOUBLE")
+    implicit val outEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
+    def usToTs(us: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
+    def emit(e: Long, st: SessionizeState): Row = Row(
+      e, st.seq, usToTs(st.startUs), usToTs(st.endUs), st.n, st.sumMicro.toDouble / 1e6)
+    slim
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (e: Long, rows: Iterator[Row],
+         state: org.apache.spark.sql.streaming.GroupState[SessionizeState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.update(st.copy(open = false)) // keep the counter, drop the session
+            if (st.open) Iterator.single(emit(e, st)) else Iterator.empty
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+            var st = state.getOption.getOrElse(SessionizeState(0L, false, 0L, 0L, 0L, 0L))
+            rows.toSeq
+              .map { r =>
+                val us = r.getTimestamp(1).toInstant
+                (us.getEpochSecond * 1000000L + us.getNano / 1000L, r.getLong(2),
+                  // the batch twin sums value as DECIMAL(18,6): round half-up
+                  BigDecimal(r.getDouble(3)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                    .underlying.unscaledValue.longValueExact)
+              }
+              .sortBy(t => (t._1, t._2))
+              .foreach { case (us, _, micro) =>
+                if (!st.open)
+                  st = SessionizeState(st.seq + 1, true, us, us, 1L, micro)
+                else if (us - st.endUs > gapUs) {
+                  out += emit(e, st)
+                  st = SessionizeState(st.seq + 1, true, us, us, 1L, micro)
+                } else
+                  st = st.copy(endUs = math.max(st.endUs, us), n = st.n + 1,
+                    sumMicro = st.sumMicro + micro)
+              }
+            state.update(st)
+            if (st.open) state.setTimeoutTimestamp(st.endUs / 1000L + gapUs / 1000L)
+            out.iterator
+          }
+      }(Encoders.product[SessionizeState], outEnc)
+  }
+
   /**
    * CONTINUOUS changelog→state projection: a streaming changelog
    * (`+A/-R/-C/+C` rows) folded into per-key state with

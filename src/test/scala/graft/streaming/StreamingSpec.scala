@@ -456,4 +456,59 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingIngest.commitBatch(reopened, fresh, MergeStrategy.Append(), 2L, 100000L).isDefined)
     assert(Dataset.open(spark, root.resolve("ds")).toDF().count() === 4)
   }
+
+  test("sessionizeStream: cross-batch sessions, timeout finalization, numbering survives expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, Double)]
+    val out = StreamingOps.sessionizeStream(
+      mem.toDF().toDF("user_id", "ts", "event_id", "value"),
+      "user_id", "ts", "event_id", "value", gapMinutes = 30)
+    val q = out.writeStream.format("memory").queryName("sess_spec")
+      .outputMode("append").start()
+    try {
+      // batch 1: u1 opens a session (out-of-order WITHIN the batch — must sort)
+      mem.addData(
+        (1L, t("2024-01-01T10:10:00Z"), 11L, 2.0),
+        (1L, t("2024-01-01T10:00:00Z"), 10L, 1.0))
+      q.processAllAvailable()
+      // batch 2: u1's session CONTINUES across the batch boundary (gap 20m),
+      // u2 opens one
+      mem.addData(
+        (1L, t("2024-01-01T10:30:00Z"), 12L, 4.0),
+        (2L, t("2024-01-01T10:30:00Z"), 20L, 7.5))
+      q.processAllAvailable()
+      // batch 3: far-future row advances the watermark; batch 4 fires timeouts
+      mem.addData((9L, t("2024-02-01T00:00:00Z"), 90L, 0.0))
+      q.processAllAvailable()
+      mem.addData((9L, t("2024-03-01T00:00:00Z"), 91L, 0.0))
+      q.processAllAvailable()
+      // batch 5: u1 returns AFTER its state expired to a zombie counter
+      // (strictly later than the watermark, or the row is dropped as late):
+      // numbering must continue at 2, not restart at 1
+      mem.addData((1L, t("2024-03-15T00:00:00Z"), 13L, 8.0))
+      q.processAllAvailable()
+      mem.addData((9L, t("2024-04-01T00:00:00Z"), 92L, 0.0))
+      q.processAllAvailable()
+      mem.addData((9L, t("2024-05-01T00:00:00Z"), 93L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_spec").filter(col("user_id") < 9L)
+        .as[(Long, Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+      assert(got === Set(
+        (1L, 1L, t("2024-01-01T10:00:00Z"), t("2024-01-01T10:30:00Z"), 3L, 7.0),
+        (2L, 1L, t("2024-01-01T10:30:00Z"), t("2024-01-01T10:30:00Z"), 1L, 7.5),
+        (1L, 2L, t("2024-03-15T00:00:00Z"), t("2024-03-15T00:00:00Z"), 1L, 8.0)))
+      // and the whole thing equals the batch operator on the same rows
+      val batch = graft.operators.Analytics.sessionize(
+        Seq(
+          (1L, t("2024-01-01T10:00:00Z"), 10L, 1.0),
+          (1L, t("2024-01-01T10:10:00Z"), 11L, 2.0),
+          (1L, t("2024-01-01T10:30:00Z"), 12L, 4.0),
+          (2L, t("2024-01-01T10:30:00Z"), 20L, 7.5),
+          (1L, t("2024-03-15T00:00:00Z"), 13L, 8.0)
+        ).toDF("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "event_id", "value", gapMinutes = 30)
+        .as[(Long, Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+      assert(got === batch)
+    } finally q.stop()
+  }
 }
