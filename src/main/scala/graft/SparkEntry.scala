@@ -387,6 +387,42 @@ object SparkEntry {
         "event_id", "value", lookback = 20, minN = 8, threshold = 2.0)
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     },
+    // ---- the streaming twin of anomaly_events: immediate per-event
+    // verdicts from O(lookback) keyed state — the alerting path. Shares
+    // the batch oracle on ordered replays.
+    "anomaly_events_stream" -> { (s, dir) =>
+      val cached = Fixtures.cached(s"anomaly_stream|$dir") {
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val ev = events(s, dir).select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        val qs = ev.agg(
+          expr("percentile(unix_micros(ts), 0.3333)").as("q1"),
+          expr("percentile(unix_micros(ts), 0.6667)").as("q2")).head()
+        val (b1, b2) = (qs.getDouble(0), qs.getDouble(1))
+        def tup(df: DataFrame) = df.collect().toSeq
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+        val out = graft.streaming.StreamingOps.anomalyStream(
+          mem.toDF().toDF("user_id", "ts", "event_id", "value"),
+          "user_id", "ts", "event_id", "value", lookback = 20, minN = 8, threshold = 2.0)
+        val qname = s"anomaly_sink_${math.abs(dir.hashCode)}"
+        val q = out.writeStream.format("memory").queryName(qname)
+          .outputMode("append").start()
+        try {
+          Seq(
+            ev.filter(expr(s"unix_micros(ts) <= $b1")),
+            ev.filter(expr(s"unix_micros(ts) > $b1 AND unix_micros(ts) <= $b2")),
+            ev.filter(expr(s"unix_micros(ts) > $b2"))
+          ).foreach { sl => mem.addData(tup(sl)); q.processAllAvailable() }
+          // no sentinels: verdicts are immediate, nothing awaits a watermark
+        } finally q.stop()
+        (s.table(qname).schema, s.table(qname).collect())
+      }
+      s.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(cached._2.toSeq: _*)), cached._1)
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    },
     // ---- KMV distinct sketch: daily-active-user cardinality per event
     // type from O(k) state per key — the stat a 100 TB loop maintains
     // incrementally instead of count(distinct)-ing the corpus.
@@ -3614,6 +3650,35 @@ object SparkEntry {
        |SELECT node, r AS rank_nano FROM r3 ORDER BY node""".stripMargin
   }
 
+  /** Shared by anomaly_events and anomaly_events_stream: the streaming
+    * twin's immediate verdicts are pinned identical to the batch sweep's
+    * trailing-window z-scores on ordered replays. */
+  private val anomalyOracle: String =
+    """WITH w AS (SELECT user_id, ts, event_id, value,
+      |                  CAST(floor(value * 1000000.0) AS BIGINT) AS vm
+      |           FROM events),
+      |t AS (SELECT user_id, ts, event_id, value, vm,
+      |             count(vm)    OVER win AS n,
+      |             sum(vm)      OVER win AS s1,
+      |             sum(vm * vm) OVER win AS s2
+      |      FROM w
+      |      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+      |m AS (SELECT user_id, ts, event_id, value, vm, n,
+      |             CAST(s1 AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS mean,
+      |             CAST(s2 AS DOUBLE) / 1000000000000.0 / CAST(n AS DOUBLE) AS ex2
+      |      FROM t WHERE n >= 8),
+      |v AS (SELECT user_id, ts, event_id, value, vm, n, mean,
+      |             (ex2 - mean * mean) * CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0) AS varr
+      |      FROM m),
+      |z AS (SELECT user_id, ts, event_id, value,
+      |             CAST(floor((CAST(vm AS DOUBLE) / 1000000.0 - mean) / sqrt(varr)
+      |                        * 1000000.0) AS BIGINT) AS z_micro
+      |      FROM v WHERE varr > 0.0)
+      |SELECT user_id, ts, event_id, value, z_micro FROM z
+      |WHERE abs(z_micro) > 2000000
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
   /** Shared by sessionize and sessionize_stream: the streaming twin's
     * finalized sessions are pinned identical to the batch lag/cut/
     * running-sum construction on ordered replays. */
@@ -3916,31 +3981,9 @@ object SparkEntry {
         |FROM j ORDER BY user_id, day""".stripMargin,
     // Anomalies: identical integer-micro quantization, trailing frame, and
     // double-expression tree (left-assoc division chains) both sides.
-    "anomaly_events" ->
-      """WITH w AS (SELECT user_id, ts, event_id, value,
-        |                  CAST(floor(value * 1000000.0) AS BIGINT) AS vm
-        |           FROM events),
-        |t AS (SELECT user_id, ts, event_id, value, vm,
-        |             count(vm)    OVER win AS n,
-        |             sum(vm)      OVER win AS s1,
-        |             sum(vm * vm) OVER win AS s2
-        |      FROM w
-        |      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
-        |                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
-        |m AS (SELECT user_id, ts, event_id, value, vm, n,
-        |             CAST(s1 AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS mean,
-        |             CAST(s2 AS DOUBLE) / 1000000000000.0 / CAST(n AS DOUBLE) AS ex2
-        |      FROM t WHERE n >= 8),
-        |v AS (SELECT user_id, ts, event_id, value, vm, n, mean,
-        |             (ex2 - mean * mean) * CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0) AS varr
-        |      FROM m),
-        |z AS (SELECT user_id, ts, event_id, value,
-        |             CAST(floor((CAST(vm AS DOUBLE) / 1000000.0 - mean) / sqrt(varr)
-        |                        * 1000000.0) AS BIGINT) AS z_micro
-        |      FROM v WHERE varr > 0.0)
-        |SELECT user_id, ts, event_id, value, z_micro FROM z
-        |WHERE abs(z_micro) > 2000000
-        |ORDER BY user_id, ts, event_id""".stripMargin,
+    // The streaming twin shares it: verdicts are final on arrival.
+    "anomaly_events" -> anomalyOracle,
+    "anomaly_events_stream" -> anomalyOracle,
     // Rolling actives: same (user, day) distinct + 7-day contribution
     // expansion; inner join restricts to observed days.
     "active_users_rolling" ->

@@ -252,6 +252,83 @@ object StreamingOps {
       }(Encoders.product[SessionizeState], outEnc)
   }
 
+  /** Ring buffer of the last `lookback` micro-quantized values for
+    * [[anomalyStream]] — the per-entity state is O(lookback), never
+    * O(history). */
+  private[streaming] case class AnomalyState(buf: Seq[Long])
+
+  /**
+   * CONTINUOUS anomaly detection: the streaming twin of
+   * [[graft.operators.Analytics.anomalies]] — each arriving event is
+   * z-scored against its entity's trailing `lookback` events and flagged
+   * rows emit IMMEDIATELY (no watermark wait: the baseline is strictly
+   * past events, so the verdict is final the moment the event arrives —
+   * this is the alerting path, vs the batch sweep's audit path). Same
+   * integer-micro Σx/Σx² arithmetic and double-expression tree as the
+   * batch operator, so flagged rows are bit-identical on ordered replays
+   * (shared oracle + `StreamingSpec` pin).
+   *
+   * Scale shape: per-entity state is `lookback` longs in Spark's keyed
+   * state store; arrival order per entity must match (ts, tie) order
+   * across micro-batches (within a batch each group invocation sorts) —
+   * what an offset-ordered [[datasetStream]] delivers.
+   */
+  def anomalyStream(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      lookback: Int,
+      minN: Int,
+      threshold: Double
+  ): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(lookback >= minN && minN >= 2 && threshold > 0,
+      "need lookback >= minN >= 2 and a positive threshold")
+    val threshMicro = (threshold * 1e6).toLong
+    val slim = events.select(
+      col(entityCol).cast("long").as("e"), col(tsCol).as("t"),
+      col(tieCol).cast("long").as("tie"), col(valueCol).cast("double").as("v"))
+    val outSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      s"$entityCol BIGINT, $tsCol TIMESTAMP, $tieCol BIGINT, " +
+        s"$valueCol DOUBLE, z_micro BIGINT")
+    val outEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
+    slim
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (e: Long, rows: Iterator[Row],
+         state: org.apache.spark.sql.streaming.GroupState[AnomalyState]) =>
+          var buf = state.getOption.map(_.buf.toVector).getOrElse(Vector.empty[Long])
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          rows.toSeq
+            .sortBy(r => (r.getTimestamp(1).getTime, r.getTimestamp(1).getNanos, r.getLong(2)))
+            .foreach { r =>
+              val v = r.getDouble(3)
+              val vm = math.floor(v * 1000000.0).toLong
+              val n = buf.size
+              if (n >= minN) {
+                // the batch twin's exact double-expression tree over the
+                // integer window sums
+                val nd = n.toDouble
+                val mean = buf.sum.toDouble / 1000000.0 / nd
+                val ex2 = buf.map(x => x * x).sum.toDouble / 1000000000000.0 / nd
+                val varr = (ex2 - mean * mean) * nd / (nd - 1.0)
+                if (varr > 0.0) {
+                  val z = (vm.toDouble / 1000000.0 - mean) / math.sqrt(varr)
+                  val zMicro = math.floor(z * 1000000.0).toLong
+                  if (math.abs(zMicro) > threshMicro)
+                    out += Row(e, r.getTimestamp(1), r.getLong(2), v, zMicro)
+                }
+              }
+              buf = (buf :+ vm).takeRight(lookback)
+            }
+          state.update(AnomalyState(buf))
+          out.iterator
+      }(Encoders.product[AnomalyState], outEnc)
+  }
+
   /**
    * CONTINUOUS changelog→state projection: a streaming changelog
    * (`+A/-R/-C/+C` rows) folded into per-key state with

@@ -457,6 +457,34 @@ class StreamingSpec extends SparkSpec {
     assert(Dataset.open(spark, root.resolve("ds")).toDF().count() === 4)
   }
 
+  test("anomalyStream: verdicts match the batch sweep bit-for-bit across batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, Double)]
+    val out = StreamingOps.anomalyStream(
+      mem.toDF().toDF("user_id", "ts", "event_id", "value"),
+      "user_id", "ts", "event_id", "value", lookback = 20, minN = 8, threshold = 2.0)
+    val q = out.writeStream.format("memory").queryName("anom_spec")
+      .outputMode("append").start()
+    def ev(i: Int, v: Double) =
+      (1L, t(f"2024-01-01T10:${i}%02d:00Z"), 100L + i, v)
+    // 10 stable values split across two batches (the ring buffer must carry),
+    // then a spike in a third batch
+    val all = (0 until 10).map(i => ev(i, 10.0 + (i % 3) * 0.5)) :+ ev(10, 100.0)
+    try {
+      mem.addData(all.take(4)); q.processAllAvailable()
+      mem.addData(all.slice(4, 10)); q.processAllAvailable()
+      mem.addData(Seq(all.last)); q.processAllAvailable()
+      val got = spark.table("anom_spec")
+        .as[(Long, Timestamp, Long, Double, Long)].collect().toSet
+      val batch = graft.operators.Analytics.anomalies(
+        all.toDF("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "event_id", "value", 20, 8, 2.0)
+        .as[(Long, Timestamp, Long, Double, Long)].collect().toSet
+      assert(got === batch)
+      assert(got.size === 1 && got.head._3 === 110L && got.head._5 > 2000000L)
+    } finally q.stop()
+  }
+
   test("sessionizeStream: cross-batch sessions, timeout finalization, numbering survives expiry") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, Double)]
