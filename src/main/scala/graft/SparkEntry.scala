@@ -546,6 +546,20 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", vocab = 100, minCount = 5L, topK = 50)
         .orderBy(col("pmi_micro").desc, col("t1"), col("t2"))
     },
+    // ---- Markov next-state probabilities on the micro grid.
+    "markov_transitions" -> { (s, dir) =>
+      graft.operators.Graph.transitionProbabilities(
+        graft.operators.Graph.transitionEdges(
+          events(s, dir), "user_id", "event_type", "ts", "event_id"),
+        "src", "dst", "w")
+        .orderBy(col("src"), col("dst"))
+    },
+    // ---- half-life-decayed popularity: exact integer decay weights.
+    "popularity_decay" -> { (s, dir) =>
+      graft.operators.Analytics.decayedPopularity(
+        events(s, dir), "event_type", "ts", halfLifeDays = 30)
+        .orderBy(col("event_type"))
+    },
     // ---- weighted PageRank over the event-type transition graph: the
     // event-sized work is one window + pair count; three exact integer
     // nano-rank iterations then run over the edge list alone.
@@ -4033,6 +4047,25 @@ object SparkEntry {
         |       FROM pairs CROSS JOIN n WHERE n_ab >= 5)
         |SELECT t1, t2, n_ab, pmi_micro FROM sc
         |ORDER BY pmi_micro DESC, t1, t2 LIMIT 50""".stripMargin,
+    "markov_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type, ts, event_id,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |edges AS (SELECT prev AS src, event_type AS dst, count(*) AS w
+        |          FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |ow AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1)
+        |SELECT e.src, e.dst, e.w, CAST((e.w * 1000000) // ow.ow AS BIGINT) AS p_micro
+        |FROM edges e JOIN ow ON ow.src = e.src
+        |ORDER BY e.src, e.dst""".stripMargin,
+    "popularity_decay" ->
+      """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS md FROM events),
+        |w AS (SELECT event_type,
+        |             1000000 // (CAST(1 AS BIGINT) << LEAST(
+        |               date_diff('day', CAST(ts AS DATE), mx.md) // 30, 40)) AS wm
+        |      FROM events CROSS JOIN mx WHERE ts IS NOT NULL)
+        |SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(wm) AS BIGINT) AS decayed_micro
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
     "pagerank_transitions" -> pagerankOracle,
     "kmv_distinct" -> kmvOracle,
     "kmv_distinct_merge" -> kmvOracle, // exact merge ≡ fresh sketch

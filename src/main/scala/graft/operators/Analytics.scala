@@ -243,6 +243,37 @@ object Analytics {
   }
 
   /**
+   * Half-life-decayed popularity: per key, an exact recency-weighted
+   * count where an event's weight HALVES every `halfLifeDays` relative to
+   * the corpus's newest day — the "trending now" stat, with the decay on
+   * an exact integer grid: weight = 10⁶ ∕ 2^floor(age∕halfLife) (floor
+   * division, shift capped at `maxShift` so ancient events weigh 0), so
+   * `decayed_micro` is an order-free integer sum any engine reproduces.
+   * Output: `(key, n_events, decayed_micro)`.
+   *
+   * Scale shape: one scalar max-date aggregate, then a single map-side-
+   * combinable groupBy over the slim (key, weight) projection.
+   */
+  def decayedPopularity(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      halfLifeDays: Int,
+      maxShift: Int = 40
+  ): DataFrame = {
+    require(halfLifeDays >= 1 && maxShift >= 1 && maxShift <= 62,
+      "need halfLifeDays >= 1 and maxShift in [1, 62]")
+    val md = events.agg(max(to_date(col(tsCol)))).head().getDate(0) // one scalar
+    val wm = expr(
+      s"1000000L DIV shiftleft(1L, least(datediff(DATE'$md', to_date(`$tsCol`))" +
+        s" DIV $halfLifeDays, $maxShift))")
+    events
+      .filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(wm).as("decayed_micro"))
+  }
+
+  /**
    * Last-touch attribution: for every CONVERSION event, the most recent
    * STRICTLY PRECEDING touch event (any of `touchTypes`) by the same
    * entity — the credit-assignment query behind marketing/referral

@@ -74,6 +74,26 @@ object Graph {
     ranks
   }
 
+  /** Markov next-state probabilities from a weighted edge list:
+    * p(dst|src) on the integer micro grid (w·10⁶ ∕ out-weight, floor
+    * division — exact on any engine). One src-keyed aggregate + one
+    * src-keyed join; pairs with [[transitionEdges]] to turn an event
+    * stream into a transition MODEL. */
+  def transitionProbabilities(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String
+  ): DataFrame = {
+    val outw = edges
+      .groupBy(col(srcCol))
+      .agg(sum(col(weightCol).cast("long")).as("__ow"))
+    edges
+      .join(outw, Seq(srcCol))
+      .select(col(srcCol), col(dstCol), col(weightCol).cast("long").as("w"),
+        expr(s"(CAST(`$weightCol` AS BIGINT) * 1000000L) DIV __ow").as("p_micro"))
+  }
+
   /**
    * Transition edge list from an event stream: one weighted edge per
    * observed consecutive (prev state → state) pair within an entity,

@@ -121,6 +121,20 @@ class AnalyticsSpec extends SparkSpec {
       "2024-01-09" -> ((1L, 2L)))) // u3 today + u1 carried from day 3; day-1 users expired
   }
 
+  test("decayedPopularity: halving grid, age buckets, ancient events weigh zero") {
+    def d(s: String) = Timestamp.valueOf(s + " 12:00:00")
+    val events = Seq(
+      ("x", d("2024-06-01")), // newest day: age 0 -> 1000000
+      ("x", d("2024-05-02")), // age 30 -> k=1 -> 500000
+      ("x", d("2024-04-17")), // age 45 -> k=1 -> 500000
+      ("x", d("2024-03-03")), // age 90 -> k=3 -> 125000
+      ("y", d("2014-06-01"))  // age ~3653 -> k capped at 40 -> weight 0
+    ).toDF("event_type", "ts")
+    val out = Analytics.decayedPopularity(events, "event_type", "ts", halfLifeDays = 30)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map("x" -> ((4L, 2125000L)), "y" -> ((1L, 0L))))
+  }
+
   test("gapFillDaily: calendar expansion, zero counts, LOCF values") {
     def d(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
     val events = Seq(

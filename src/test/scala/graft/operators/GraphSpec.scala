@@ -42,6 +42,14 @@ class GraphSpec extends SparkSpec {
     assert(out("a") === base)
   }
 
+  test("transitionProbabilities: exact micro-grid floor division per source") {
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 2L)).toDF("src", "dst", "w")
+    val out = Graph.transitionProbabilities(edges, "src", "dst", "w")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(out === Map(
+      ("a", "b") -> 750000L, ("a", "c") -> 250000L, ("b", "a") -> 1000000L))
+  }
+
   test("transitionEdges: per-entity consecutive pairs, tie-broken, cross-entity isolated") {
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
     val events = Seq(
