@@ -515,6 +515,20 @@ object SparkEntry {
         s.table("graft_hist_value"), binWidth = 8.0, ps = Seq(0.5, 0.9, 0.99))
         .orderBy(col("p"))
     },
+    // ---- count-min frequency estimates: token counts recovered from a
+    // 4×1024 counter matrix, probed at the exact top-20 terms — estimate
+    // ≥ exact always (CMS guarantee), both integers, both oracle-pinned.
+    "cms_heavy_hitters" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(explode(graft.functions.Text.tokens(col("text"))).as("term"))
+      val cms = graft.operators.Sketches.cmsSketch(toks, "term", depth = 4, width = 1024)
+      val exactTop = toks.groupBy(col("term")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("term")).limit(20)
+      graft.operators.Sketches.cmsEstimate(cms, exactTop, "term", depth = 4, width = 1024)
+        .join(exactTop, Seq("term"))
+        .select(col("term"), col("exact_n"), col("cms_est"))
+        .orderBy(col("exact_n").desc, col("term"))
+    },
     // ---- TF-IDF top-3 keywords per document on the 1e-6 ln grid.
     "tfidf_keywords" -> { (s, dir) =>
       graft.operators.Corpus.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text", topK = 3)
@@ -4099,6 +4113,25 @@ object SparkEntry {
         |       epoch_us(ts) - epoch_us(touch_ts) AS lag_us
         |FROM w WHERE event_type = 'purchase' AND touch_type IS NOT NULL
         |ORDER BY user_id, conversion_ts, event_id""".stripMargin,
+    // CMS: same portable hash family, same 4×1024 matrix, min-over-rows.
+    "cms_heavy_hitters" ->
+      """WITH tok AS (SELECT
+        |  unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS term
+        |             FROM documents),
+        |exact AS (SELECT term, count(*) AS exact_n FROM tok GROUP BY 1
+        |          ORDER BY exact_n DESC, term LIMIT 20),
+        |rows_ AS (SELECT unnest(range(4)) AS r),
+        |cells AS (SELECT (('0x' || substring(md5('cms:' || CAST(r AS VARCHAR) || ':' || term), 1, 8))::BIGINT
+        |                    % 2147483647) % 1024 AS c, r
+        |          FROM tok CROSS JOIN rows_),
+        |cms AS (SELECT r, c, count(*) AS n FROM cells GROUP BY 1, 2),
+        |probe AS (SELECT e.term, e.exact_n, rows_.r,
+        |  (('0x' || substring(md5('cms:' || CAST(rows_.r AS VARCHAR) || ':' || e.term), 1, 8))::BIGINT
+        |     % 2147483647) % 1024 AS c
+        |          FROM exact e CROSS JOIN rows_)
+        |SELECT p.term, p.exact_n, min(COALESCE(cms.n, 0)) AS cms_est
+        |FROM probe p LEFT JOIN cms ON cms.r = p.r AND cms.c = p.c
+        |GROUP BY 1, 2 ORDER BY exact_n DESC, term""".stripMargin,
     // TF-IDF: same tokenization replica as every text entry, idf on the
     // 1e-6 ln grid, BIGINT tf·idf product, per-doc rank with term ties.
     "tfidf_keywords" ->

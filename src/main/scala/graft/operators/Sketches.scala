@@ -187,6 +187,65 @@ object Sketches {
       .agg(sum(col("n")).as("n"))
 
   /**
+   * Count-min sketch (Cormode & Muthukrishnan 2005): a depth×width
+   * integer counter matrix over the portable hash family — frequency
+   * estimates for ANY value from O(depth·width) state, the third member
+   * of the mergeable-sketch trio (KMV = cardinality, histogram =
+   * distribution, CMS = frequency). Counters add, so per-slice sketches
+   * merge/append exactly like [[histMerge]]. Returns (r, c, n) rows —
+   * only occupied cells, the zero cells are implicit.
+   */
+  def cmsSketch(
+      df: DataFrame,
+      valueCol: String,
+      depth: Int,
+      width: Int
+  ): DataFrame = {
+    require(depth >= 1 && width >= 2, "need depth >= 1 and width >= 2")
+    val cells = (0 until depth).map { r =>
+      graft.functions.Text.portableHash31(
+        concat(lit(s"cms:$r:"), col(valueCol).cast("string"))) % width
+    }
+    df.filter(col(valueCol).isNotNull)
+      .select(posexplode(array(cells: _*)).as(Seq("r", "c")))
+      .groupBy(col("r").cast("int").as("r"), col("c"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Add two CMS sketches (same depth/width): counters sum. */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("r"), col("c")).agg(sum(col("n")).as("n"))
+
+  /**
+   * Point-frequency estimates from a [[cmsSketch]]: for each probe value,
+   * min over the depth rows of its counter — the classic CMS guarantee
+   * (estimate ≥ true count always; ≤ true + εN with probability 1−δ for
+   * width = e/ε, depth = ln(1/δ)). Exact integer arithmetic throughout,
+   * so estimates replicate bit-for-bit. Probes join the sketch on (r, c):
+   * a |probes|·depth-row build side against the O(depth·width) sketch —
+   * nothing corpus-sized moves at query time.
+   */
+  def cmsEstimate(
+      sketch: DataFrame,
+      probes: DataFrame,
+      valueCol: String,
+      depth: Int,
+      width: Int
+  ): DataFrame = {
+    require(depth >= 1 && width >= 2, "need depth >= 1 and width >= 2")
+    val cells = (0 until depth).map { r =>
+      graft.functions.Text.portableHash31(
+        concat(lit(s"cms:$r:"), col(valueCol).cast("string"))) % width
+    }
+    probes
+      .select(col(valueCol), posexplode(array(cells: _*)).as(Seq("r", "c")))
+      .select(col(valueCol), col("r").cast("int").as("r"), col("c"))
+      .join(sketch, Seq("r", "c"), "left")
+      .groupBy(col(valueCol))
+      .agg(min(coalesce(col("n"), lit(0L))).as("cms_est"))
+  }
+
+  /**
    * Quantile estimates from a [[histSketch]]: for each p, the LOWER EDGE
    * of the first bucket whose cumulative count reaches ceil(p·total) —
    * a deterministic integer rule (no interpolation), within binWidth of

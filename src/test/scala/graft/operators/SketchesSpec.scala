@@ -78,6 +78,28 @@ class SketchesSpec extends SparkSpec {
       ("b", 0.5) -> 10.0, ("b", 1.0) -> 11.0))
   }
 
+  test("cmsSketch: estimates dominate exact counts; merge of halves equals fresh") {
+    val vals = (1 to 500).flatMap(i => Seq.fill(i % 7 + 1)(s"v$i"))
+    val df = vals.toDF("t")
+    val cms = Sketches.cmsSketch(df, "t", depth = 4, width = 64)
+    val exact = vals.groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+    val probes = exact.keys.toSeq.toDF("t")
+    val est = Sketches.cmsEstimate(cms, probes, "t", 4, 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"CMS under-estimated $k: ${est(k)} < $n")
+    }
+    // with width 64 and 500 keys there must be collisions -> some strict over
+    assert(exact.exists { case (k, n) => est(k) > n })
+    val half = vals.size / 2
+    val m = Sketches.cmsMerge(
+      Sketches.cmsSketch(vals.take(half).toDF("t"), "t", 4, 64),
+      Sketches.cmsSketch(vals.drop(half).toDF("t"), "t", 4, 64))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val fresh = cms.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m === fresh)
+  }
+
   test("histQuantiles: estimate within binWidth of the exact quantile") {
     val vals = (1 to 997).map(i => (i * 37 % 1000).toDouble / 3.0)
     val df = vals.toDF("v")
