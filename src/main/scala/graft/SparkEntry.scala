@@ -387,6 +387,35 @@ object SparkEntry {
         "event_id", "value", lookback = 20, minN = 8, threshold = 2.0)
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     },
+    // ---- composed per-user analytics board: sessionize + anomalies +
+    // attribution fan out from ONE checkpointed slim projection (the
+    // corpus_pipeline pattern) — the events parquet is read once.
+    "analytics_pipeline" -> { (s, dir) =>
+      val ev = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+        .localCheckpoint()
+      val nsess = graft.operators.Analytics
+        .sessionize(ev, "user_id", "ts", "event_id", "value", gapMinutes = 30)
+        .groupBy(col("user_id")).agg(max(col("session_id")).as("n_sessions"))
+      val base = ev.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      val nanom = graft.operators.Analytics
+        .anomalies(ev, "user_id", "ts", "event_id", "value", 20, 8, 2.0)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_anomalies"))
+      val nattr = graft.operators.Analytics
+        .lastTouchAttribution(ev, "user_id", "ts", "event_id", "event_type",
+          "purchase", Seq("view", "click"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_attributed"))
+      base
+        .join(nsess, Seq("user_id"))
+        .join(nanom, Seq("user_id"), "left")
+        .join(nattr, Seq("user_id"), "left")
+        .select(col("user_id"), col("n_sessions"), col("n_events"), col("total_value"),
+          coalesce(col("n_anomalies"), lit(0L)).as("n_anomalies"),
+          coalesce(col("n_attributed"), lit(0L)).as("n_attributed"))
+        .orderBy(col("user_id"))
+    },
     // ---- the streaming twin of anomaly_events: immediate per-event
     // verdicts from O(lookback) keyed state — the alerting path. Shares
     // the batch oracle on ordered replays.
@@ -4012,6 +4041,63 @@ object SparkEntry {
     // The streaming twin shares it: verdicts are final on arrival.
     "anomaly_events" -> anomalyOracle,
     "anomaly_events_stream" -> anomalyOracle,
+    // Composition: the three per-user boards re-derived from scratch and
+    // joined — sessions via the same cut/running-sum, anomalies via the
+    // same z chain, attribution via the same ignore-nulls carry.
+    "analytics_pipeline" ->
+      """WITH g AS (SELECT user_id, ts, event_id, value,
+        |                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |           FROM events),
+        |f AS (SELECT user_id, ts, event_id,
+        |             CASE WHEN prev IS NULL
+        |                    OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |                  THEN 1 ELSE 0 END AS cut
+        |      FROM g),
+        |sb AS (SELECT user_id,
+        |              CAST(sum(cut) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |       FROM f),
+        |nsess AS (SELECT user_id, max(session_id) AS n_sessions FROM sb GROUP BY 1),
+        |base AS (SELECT user_id, count(*) AS n_events,
+        |                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |         FROM events GROUP BY 1),
+        |w AS (SELECT user_id, ts, event_id, value,
+        |             CAST(floor(value * 1000000.0) AS BIGINT) AS vm
+        |      FROM events),
+        |t AS (SELECT user_id, vm,
+        |             count(vm)    OVER win AS n,
+        |             sum(vm)      OVER win AS s1,
+        |             sum(vm * vm) OVER win AS s2
+        |      FROM w
+        |      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |m AS (SELECT user_id, vm, n,
+        |             CAST(s1 AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS mean,
+        |             CAST(s2 AS DOUBLE) / 1000000000000.0 / CAST(n AS DOUBLE) AS ex2
+        |      FROM t WHERE n >= 8),
+        |v AS (SELECT user_id, vm, n, mean,
+        |             (ex2 - mean * mean) * CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0) AS varr
+        |      FROM m),
+        |z AS (SELECT user_id,
+        |             CAST(floor((CAST(vm AS DOUBLE) / 1000000.0 - mean) / sqrt(varr)
+        |                        * 1000000.0) AS BIGINT) AS z_micro
+        |      FROM v WHERE varr > 0.0),
+        |nanom AS (SELECT user_id, count(*) AS n_anomalies FROM z
+        |          WHERE abs(z_micro) > 2000000 GROUP BY 1),
+        |att AS (SELECT user_id, event_type,
+        |  last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+        |             IGNORE NULLS) OVER win2 AS touch_type
+        |        FROM events
+        |        WINDOW win2 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |nattr AS (SELECT user_id, count(*) AS n_attributed FROM att
+        |          WHERE event_type = 'purchase' AND touch_type IS NOT NULL GROUP BY 1)
+        |SELECT b.user_id, nsess.n_sessions, b.n_events, b.total_value,
+        |       CAST(COALESCE(nanom.n_anomalies, 0) AS BIGINT) AS n_anomalies,
+        |       CAST(COALESCE(nattr.n_attributed, 0) AS BIGINT) AS n_attributed
+        |FROM base b JOIN nsess USING (user_id)
+        |LEFT JOIN nanom USING (user_id) LEFT JOIN nattr USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     // Rolling actives: same (user, day) distinct + 7-day contribution
     // expansion; inner join restricts to observed days.
     "active_users_rolling" ->
