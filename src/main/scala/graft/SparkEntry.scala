@@ -582,6 +582,21 @@ object SparkEntry {
       graft.operators.Geo.radiusJoin(pts, "id", "x", "y", radius = 20000L)
         .orderBy(col("id1"), col("id2"))
     },
+    // ---- degree-oriented triangle counting over the customer proximity
+    // graph: every triangle found exactly once, wedge work bounded by
+    // out-degree² (hub-skew-proof), exact micro clustering coefficients.
+    "graph_triangles" -> { (s, dir) =>
+      val pts = t(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        (graft.functions.Text.portableHash31(
+          concat(lit("gx:"), col("c_custkey").cast("string"))) % 1000000L).as("x"),
+        (graft.functions.Text.portableHash31(
+          concat(lit("gy:"), col("c_custkey").cast("string"))) % 1000000L).as("y"))
+      val edges = graft.operators.Geo.radiusJoin(pts, "id", "x", "y", radius = 20000L)
+      graft.operators.Graph.triangleCounts(edges, "id1", "id2")
+        .orderBy(col("triangles").desc, col("node"))
+        .limit(100)
+    },
     // ---- PMI collocation pairs over vocab-restricted doc presence: the
     // self-join volume is capped by the vocabulary, never corpus².
     "pmi_pairs" -> { (s, dir) =>
@@ -4127,6 +4142,34 @@ object SparkEntry {
         |FROM pts a JOIN pts b ON a.id < b.id
         |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 400000000
         |ORDER BY id1, id2""".stripMargin,
+    // Triangles: brute 3-way self-join replica (a<b<c each counted once),
+    // same integer micro clustering rule.
+    "graph_triangles" ->
+      """WITH pts AS (SELECT c_custkey AS id,
+        |  (('0x' || substring(md5('gx:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+        |     % 2147483647) % 1000000 AS x,
+        |  (('0x' || substring(md5('gy:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+        |     % 2147483647) % 1000000 AS y
+        |             FROM customer),
+        |e AS (SELECT a.id AS a, b.id AS b FROM pts a JOIN pts b ON a.id < b.id
+        |      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 400000000),
+        |deg AS (SELECT node, count(*) AS degree FROM (
+        |          SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY 1),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pern AS (SELECT node, count(*) AS triangles FROM (
+        |           SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        |           UNION ALL SELECT z FROM tri)
+        |         GROUP BY 1)
+        |SELECT d.node, d.degree, CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+        |       CASE WHEN d.degree >= 2
+        |            THEN (CAST(COALESCE(p.triangles, 0) AS BIGINT) * 2000000)
+        |                   // (d.degree * (d.degree - 1))
+        |            ELSE CAST(0 AS BIGINT) END AS clustering_micro
+        |FROM deg d LEFT JOIN pern p USING (node)
+        |ORDER BY triangles DESC, node LIMIT 100""".stripMargin,
     // PMI: same tokenization, deterministic vocab cut, BIGINT products,
     // 1e-6 ln grid, total-ordered top-K.
     "pmi_pairs" ->

@@ -95,6 +95,68 @@ object Graph {
   }
 
   /**
+   * Per-node triangle counts + local clustering coefficient over an
+   * UNDIRECTED edge list (rows (a, b), a ≠ b, any orientation/dupes —
+   * canonicalized internally): the community-structure primitive behind
+   * "how clique-ish is this node's neighborhood". Returns
+   * `(node, degree, triangles, clustering_micro)` with clustering =
+   * 2·tri·10⁶ ∕ (deg·(deg−1)) on the integer micro grid (floor division;
+   * 0 for degree < 2).
+   *
+   * Algorithm: degree orientation (Schank & Wagner 2005's "forward") —
+   * each edge points from its lower-(degree, id) endpoint to the higher,
+   * so every triangle is found EXACTLY ONCE as an out-wedge closed by an
+   * oriented edge, and per-node wedge work is out-degree², bounded by
+   * O(√m) per node regardless of hub skew — the property that makes this
+   * survive power-law graphs at 100 TB, where the naive wedge join
+   * explodes on hubs.
+   *
+   * Scale shape: degrees are one aggregate; the wedge self-join and the
+   * closing semi-join are edge-keyed hash joins over slim (long, long)
+   * pairs; per-node counts come from one explode + groupBy.
+   */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = edges
+      .select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint() // feeds degrees, orientation, and the closing probe
+    val deg = canon.select(col("a").as("node"))
+      .unionByName(canon.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    // orient: lower (degree, id) -> higher (degree, id)
+    val withDeg = canon
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("degree", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("degree", "db"), Seq("b"))
+    val oriented = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint() // feeds both sides of the wedge self-join
+    val wedges = oriented.as("x")
+      .join(oriented.as("y"), col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.u").as("apex"), col("x.v").as("p"), col("y.v").as("q"))
+    // close against the ID-canonical edge set: p < q by construction, so the
+    // probe is a conjunctive equi-join (hash-joinable — an OR over the
+    // oriented directions would fall back to a nested loop)
+    val closed = wedges.join(
+      canon, col("p") === col("a") && col("q") === col("b"), "left_semi")
+    val perNode = closed
+      .select(explode(array(col("apex"), col("p"), col("q"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          expr("(coalesce(triangles, 0L) * 2000000L) DIV (degree * (degree - 1L))"))
+          .otherwise(lit(0L)).as("clustering_micro"))
+  }
+
+  /**
    * Transition edge list from an event stream: one weighted edge per
    * observed consecutive (prev state → state) pair within an entity,
    * ordered by (ts, tie). The event-sized work is ONE slim per-entity

@@ -50,6 +50,28 @@ class GraphSpec extends SparkSpec {
       ("a", "b") -> 750000L, ("a", "c") -> 250000L, ("b", "a") -> 1000000L))
   }
 
+  test("triangleCounts: K4-minus-an-edge by hand; duplicate/reversed edges canonicalize") {
+    // K4 on {1,2,3,4} minus edge (3,4): triangles {1,2,3} and {1,2,4}
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (2L, 1L), (3L, 1L) // reversed duplicates must collapse
+    ).toDF("id1", "id2")
+    val out = Graph.triangleCounts(edges, "id1", "id2")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      1L -> ((3L, 2L, 666666L)), // 2·2·1e6 / (3·2), floored
+      2L -> ((3L, 2L, 666666L)),
+      3L -> ((2L, 1L, 1000000L)),
+      4L -> ((2L, 1L, 1000000L))))
+    // full K4: every node in 3 triangles, clustering exactly 1
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("id1", "id2")
+    val full = Graph.triangleCounts(k4, "id1", "id2")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(full === Map(
+      1L -> ((3L, 1000000L)), 2L -> ((3L, 1000000L)),
+      3L -> ((3L, 1000000L)), 4L -> ((3L, 1000000L))))
+  }
+
   test("transitionEdges: per-entity consecutive pairs, tie-broken, cross-entity isolated") {
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
     val events = Seq(
