@@ -416,6 +416,25 @@ class PlanSpec extends SparkSpec {
       s"no partial aggregate before the bucket exchange:\n$histPlan")
   }
 
+  test("geo/graph joins stay hash-equi: no nested-loop or cartesian fallback") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-geo-")
+    spark.range(500).select(
+      col("id"),
+      (col("id") * 37 % 1000).as("x"),
+      (col("id") * 91 % 1000).as("y")
+    ).write.parquet(dir.resolve("pts").toString)
+    val pts = spark.read.parquet(dir.resolve("pts").toString)
+    val pairs = Geo.radiusJoin(pts, "id", "x", "y", 50L)
+    val geoPlan = formatted(pairs)
+    assert(!geoPlan.contains("NestedLoop") && !geoPlan.contains("CartesianProduct"), geoPlan)
+    // triangle counting: the closing probe must be a hash-equi semi join —
+    // an OR over oriented directions would nested-loop over every wedge
+    val tri = Graph.triangleCounts(pairs, "id1", "id2")
+    val triPlan = formatted(tri)
+    assert(!triPlan.contains("NestedLoop") && !triPlan.contains("CartesianProduct"), triPlan)
+    assert(tri.count() > 0) // plans above actually execute
+  }
+
   test("tail and as-of reads prune slice FILES at the metadata level") {
     import graft.dataset.Dataset
     import graft.ingest.IngestWriter
