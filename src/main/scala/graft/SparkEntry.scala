@@ -582,6 +582,28 @@ object SparkEntry {
       graft.operators.Geo.radiusJoin(pts, "id", "x", "y", radius = 20000L)
         .orderBy(col("id1"), col("id2"))
     },
+    // ---- hybrid retrieval: BM25 top-50 + brute cosine top-50 fused by
+    // reciprocal rank — rank-only combination, exact integer RRF scores.
+    "hybrid_search_rrf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val lex = graft.operators.Corpus
+        .bm25Search(t(s, dir, "documents"), "doc_id", "text",
+          terms = Seq("customer", "spark", "merge"), topK = 50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score_micro").desc, col("id"))).cast("long"))
+        .select(col("id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val sem = graft.operators.Similarity
+        .bruteForceTopK(
+          emb.filter(col("vec_id") === 0).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          emb.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          "qid", "qvec", "cid", "cvec", k = 50)
+        .select(col("cid").as("id"), col("rnk").cast("long").as("rank"))
+      graft.operators.Similarity
+        .rrfFuse(Seq(lex, sem), "id", "rank", k = 60, topK = 20)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("rrf_micro").desc, col("doc_id"))
+    },
     // ---- degree-oriented triangle counting over the customer proximity
     // graph: every triangle found exactly once, wedge work bounded by
     // out-degree² (hub-skew-proof), exact micro clustering coefficients.
@@ -4142,6 +4164,50 @@ object SparkEntry {
         |FROM pts a JOIN pts b ON a.id < b.id
         |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 400000000
         |ORDER BY id1, id2""".stripMargin,
+    // Hybrid RRF: the bm25Oracle scoring CTEs at LIMIT 50 + the
+    // ann_bruteforce cosine ranking for query vec 0, fused by
+    // 1e6 // (60 + rank).
+    "hybrid_search_rrf" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total,
+        |        CAST(sum(CASE WHEN list_contains(toks, 'customer') THEN 1 ELSE 0 END) AS BIGINT) AS dfc,
+        |        CAST(sum(CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END) AS BIGINT) AS dfm,
+        |        CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS BIGINT) AS dfs
+        |      FROM d),
+        |i AS (SELECT n, total,
+        |        CAST(floor(ln(1.0 + (n - dfc + 0.5) / (dfc + 0.5)) * 1000000.0) AS BIGINT) AS idfc,
+        |        CAST(floor(ln(1.0 + (n - dfm + 0.5) / (dfm + 0.5)) * 1000000.0) AS BIGINT) AS idfm,
+        |        CAST(floor(ln(1.0 + (n - dfs + 0.5) / (dfs + 0.5)) * 1000000.0) AS BIGINT) AS idfs
+        |      FROM g),
+        |tf AS (SELECT doc_id, dl,
+        |         CAST(len(list_filter(toks, x -> x = 'customer')) AS DOUBLE) AS tfc,
+        |         CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tfm,
+        |         CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tfs
+        |       FROM d),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(floor(idfc * tfc * (1.2 + 1.0) / (tfc + 1.2 * (0.25 + 0.75 * dl * n / total))) AS BIGINT)
+        |  + CAST(floor(idfm * tfm * (1.2 + 1.0) / (tfm + 1.2 * (0.25 + 0.75 * dl * n / total))) AS BIGINT)
+        |  + CAST(floor(idfs * tfs * (1.2 + 1.0) / (tfs + 1.2 * (0.25 + 0.75 * dl * n / total))) AS BIGINT)
+        |      AS score_micro
+        |  FROM tf CROSS JOIN i),
+        |lex AS (SELECT doc_id, rank FROM (
+        |          SELECT doc_id, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+        |          FROM sc WHERE score_micro > 0) WHERE rank <= 50),
+        |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),
+        |sem0 AS (SELECT vec_id AS cid, list_cosine_similarity(qvec, CAST(embedding AS DOUBLE[])) AS cos
+        |         FROM embeddings CROSS JOIN qv WHERE vec_id <> 0),
+        |sem AS (SELECT cid AS doc_id, rank FROM (
+        |          SELECT cid, row_number() OVER (ORDER BY cos DESC, cid) AS rank
+        |          FROM sem0) WHERE rank <= 50),
+        |u AS (SELECT doc_id, 1000000 // (60 + rank) AS s FROM lex
+        |      UNION ALL SELECT doc_id, 1000000 // (60 + rank) AS s FROM sem)
+        |SELECT doc_id, CAST(sum(s) AS BIGINT) AS rrf_micro, count(*) AS n_lists
+        |FROM u GROUP BY 1 ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin,
     // Triangles: brute 3-way self-join replica (a<b<c each counted once),
     // same integer micro clustering rule.
     "graph_triangles" ->

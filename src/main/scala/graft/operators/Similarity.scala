@@ -1151,4 +1151,35 @@ object Similarity {
       ).cast("int")
     )
   }
+
+  /**
+   * Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009): merge N
+   * retrieval rank lists into one — THE standard hybrid-search combiner
+   * (lexical BM25 + vector ANN), robust to incomparable score scales
+   * because it consumes only RANKS. Score = Σ_lists 10⁶ ∕ (k + rank)
+   * (floor division — exact integers, any engine), ties broken by id.
+   * Returns (id, rrf_micro, n_lists) top-`topK`.
+   *
+   * Scale shape: inputs are already top-N lists (tiny); the fuse is a
+   * union + one groupBy — nothing retrieval-sized recomputes here.
+   */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      idCol: String,
+      rankCol: String,
+      k: Int = 60,
+      topK: Int = 10
+  ): DataFrame = {
+    require(rankings.nonEmpty && k >= 0 && topK > 0,
+      "need at least one ranking, k >= 0, topK > 0")
+    rankings
+      .map(r => r.select(
+        col(idCol),
+        expr(s"1000000L DIV (${k}L + CAST(`$rankCol` AS BIGINT))").as("__s")))
+      .reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(col("__s")).as("rrf_micro"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_micro").desc, col(idCol))
+      .limit(topK)
+  }
 }

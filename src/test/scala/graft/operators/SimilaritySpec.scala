@@ -534,4 +534,17 @@ class SimilaritySpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS sim_stale_fresh")
     spark.sql("DROP TABLE IF EXISTS sim_stale_fresh_cellstats")
   }
+
+  test("rrfFuse: exact integer reciprocal-rank scores, overlap boosts, id ties") {
+    import spark.implicits._
+    val a = Seq((1L, 1L), (2L, 2L)).toDF("id", "rank")
+    val b = Seq((2L, 1L), (3L, 2L)).toDF("id", "rank")
+    val out = Similarity.rrfFuse(Seq(a, b), "id", "rank", k = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 1e6 DIV 61 = 16393, DIV 62 = 16129; id 2 appears in both lists
+    assert(out.toSeq === Seq(
+      (2L, 16393L + 16129L, 2L),
+      (1L, 16393L, 1L),
+      (3L, 16129L, 1L)))
+  }
 }
