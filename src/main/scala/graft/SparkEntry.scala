@@ -626,6 +626,16 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", vocab = 100, minCount = 5L, topK = 50)
         .orderBy(col("pmi_micro").desc, col("t1"), col("t2"))
     },
+    // ---- per-type volume trend: OLS slope of daily micro totals.
+    "trend_slopes" -> { (s, dir) =>
+      graft.operators.Analytics.trendSlopes(events(s, dir), "event_type", "ts", "value")
+        .orderBy(col("event_type"))
+    },
+    // ---- chi-square independence gate: event mix vs day of week.
+    "chi_square_events" -> { (s, dir) =>
+      graft.operators.Analytics.chiSquareIndependence(
+        events(s, dir).withColumn("dow", dayofweek(col("ts"))), "event_type", "dow")
+    },
     // ---- Markov next-state probabilities on the micro grid.
     "markov_transitions" -> { (s, dir) =>
       graft.operators.Graph.transitionProbabilities(
@@ -4256,6 +4266,53 @@ object SparkEntry {
         |       FROM pairs CROSS JOIN n WHERE n_ab >= 5)
         |SELECT t1, t2, n_ab, pmi_micro FROM sc
         |ORDER BY pmi_micro DESC, t1, t2 LIMIT 50""".stripMargin,
+    // Trend: same integer OLS sums, same fixed double tree for the slope.
+    "trend_slopes" ->
+      """WITH mn AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+        |daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                 sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS y
+        |          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT event_type,
+        |             count(*) AS n,
+        |             CAST(sum(date_diff('day', mn.d0, day)) AS BIGINT) AS sx,
+        |             CAST(sum(y) AS BIGINT) AS sy,
+        |             CAST(sum(date_diff('day', mn.d0, day) * y) AS BIGINT) AS sxy,
+        |             CAST(sum(date_diff('day', mn.d0, day) * date_diff('day', mn.d0, day)) AS BIGINT) AS sxx
+        |      FROM daily CROSS JOIN mn GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |       CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
+        |         AS slope_micro_per_day
+        |FROM s
+        |WHERE n >= 2 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+        |ORDER BY event_type""".stripMargin,
+    // Chi-square: full grid incl. zero cells, per-cell 1e-6 floor before
+    // the order-free sum. DuckDB dayofweek is 0-based (Sunday=0); +1
+    // aligns it with Spark's 1-based convention.
+    "chi_square_events" ->
+      """WITH o AS (SELECT event_type, dayofweek(ts) + 1 AS dow, count(*) AS o
+        |           FROM events GROUP BY 1, 2),
+        |ra AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS ra FROM o GROUP BY 1),
+        |cb AS (SELECT dow, CAST(sum(o) AS BIGINT) AS cb FROM o GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM o),
+        |grid AS (SELECT ra.event_type, cb.dow, ra.ra, cb.cb,
+        |                COALESCE(o.o, 0) AS o
+        |         FROM ra CROSS JOIN cb
+        |         LEFT JOIN o ON o.event_type = ra.event_type AND o.dow = cb.dow),
+        |terms AS (SELECT CAST(floor((CAST(o AS DOUBLE)
+        |                              - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(tot.t AS DOUBLE))
+        |                            * (CAST(o AS DOUBLE)
+        |                              - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(tot.t AS DOUBLE))
+        |                            / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(tot.t AS DOUBLE))
+        |                            * 1000000.0) AS BIGINT) AS term
+        |          FROM grid CROSS JOIN tot)
+        |SELECT tot.t AS n,
+        |       CAST(((SELECT count(*) FROM ra) - 1) * ((SELECT count(*) FROM cb) - 1) AS BIGINT) AS dof,
+        |       CAST(sum(term) AS BIGINT) AS chi2_micro
+        |FROM terms CROSS JOIN tot GROUP BY tot.t""".stripMargin,
     "markov_transitions" ->
       """WITH seq AS (SELECT user_id, event_type, ts, event_id,
         |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

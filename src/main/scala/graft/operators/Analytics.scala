@@ -274,6 +274,88 @@ object Analytics {
   }
 
   /**
+   * Per-key linear trend: the OLS slope of each key's DAILY value totals
+   * against the day index — "is this stream's volume drifting, and how
+   * fast" as a number instead of a chart. Returns `(key, n_days,
+   * slope_micro_per_day)`; keys with fewer than 2 observed days (or zero
+   * x-variance) are dropped.
+   *
+   * Exactness: daily totals quantize to integer micros, the five OLS
+   * sums (n, Σx, Σy, Σxy, Σx²) are order-free integer aggregates, and the
+   * slope derives from them through one fixed double-expression tree —
+   * floor(·) onto the micro grid makes the result engine-exact.
+   *
+   * Scale shape: one (key, day) pre-aggregate is the only event-sized
+   * shuffle; the OLS sums run over day-grained rows.
+   */
+  def trendSlopes(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val d0 = events.agg(min(to_date(col(tsCol)))).head().getDate(0) // one scalar origin
+    val daily = events
+      .filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("__day"))
+      .agg(sum(floor(col(valueCol) * lit(1000000.0)).cast("long")).as("__y"))
+      .withColumn("__x", datediff(col("__day"), lit(d0)).cast("long"))
+    val s = daily.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x")).as("__sx"),
+      sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"))
+    val nd = col("__n").cast("double")
+    val num = nd * col("__sxy").cast("double") - col("__sx").cast("double") * col("__sy").cast("double")
+    val den = nd * col("__sxx").cast("double") - col("__sx").cast("double") * col("__sx").cast("double")
+    s.withColumn("__den", den)
+      .filter(col("__n") >= 2 && col("__den") =!= 0.0)
+      .select(col(keyCol), col("__n").as("n_days"),
+        floor(num / col("__den")).cast("long").as("slope_micro_per_day"))
+  }
+
+  /**
+   * Pearson chi-square test of independence between two categorical
+   * columns (full contingency grid, zero cells included): "does event mix
+   * depend on the day of week" answered with a test statistic instead of
+   * eyeballing. Returns ONE row `(n, dof, chi2_micro)`.
+   *
+   * Exactness: observed counts are integers; each cell's
+   * (o−e)²∕e term (e = row·col∕N in double, fixed expression tree) floors
+   * onto the 1e-6 grid BEFORE the cross-cell sum, so the statistic is an
+   * order-free integer sum — engine-exact, and therefore usable as a
+   * reproducible drift GATE, not just a report.
+   *
+   * Scale shape: one (a, b) count is the only data-sized aggregate; the
+   * grid is |a|·|b| cells (categories, not rows).
+   */
+  def chiSquareIndependence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val o = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("__o"))
+    val ra = o.groupBy(col(aCol)).agg(sum(col("__o")).as("__ra"))
+    val cb = o.groupBy(col(bCol)).agg(sum(col("__o")).as("__cb"))
+    val tot = o.agg(sum(col("__o")).as("__t"))
+    val grid = ra.select(col(aCol)).crossJoin(cb.select(col(bCol)))
+      .join(o, Seq(aCol, bCol), "left")
+      .select(col(aCol), col(bCol), coalesce(col("__o"), lit(0L)).as("__o"))
+      .join(ra, Seq(aCol)).join(cb, Seq(bCol)).crossJoin(tot)
+    val e = col("__ra").cast("double") * col("__cb").cast("double") / col("__t").cast("double")
+    val od = col("__o").cast("double")
+    val term = floor((od - e) * (od - e) / e * lit(1000000.0)).cast("long")
+    grid
+      .select(term.as("__term"), col("__t"))
+      .groupBy(col("__t"))
+      .agg(sum(col("__term")).as("chi2_micro"))
+      .crossJoin(ra.agg(count(lit(1)).as("__na")))
+      .crossJoin(cb.agg(count(lit(1)).as("__nb")))
+      .select(col("__t").as("n"),
+        ((col("__na") - 1L) * (col("__nb") - 1L)).as("dof"),
+        col("chi2_micro"))
+  }
+
+  /**
    * Last-touch attribution: for every CONVERSION event, the most recent
    * STRICTLY PRECEDING touch event (any of `touchTypes`) by the same
    * entity — the credit-assignment query behind marketing/referral

@@ -135,6 +135,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(out === Map("x" -> ((4L, 2125000L)), "y" -> ((1L, 0L))))
   }
 
+  test("trendSlopes: exact OLS micro slopes; single-day keys drop") {
+    def d(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    val events = Seq(
+      ("a", d(1), 1.0), ("a", d(2), 2.0), ("a", d(3), 3.0), // slope +1.0/day
+      ("b", d(1), 9.0),                                     // one day -> dropped
+      ("c", d(1), 5.0), ("c", d(3), 1.0)                    // slope -2.0/day
+    ).toDF("event_type", "ts", "value")
+    val out = Analytics.trendSlopes(events, "event_type", "ts", "value")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map("a" -> ((3L, 1000000L)), "c" -> ((2L, -2000000L))))
+  }
+
+  test("chiSquareIndependence: zero on perfect independence, zero cells counted, hand value") {
+    val indep = Seq(
+      ("A", 1), ("A", 1), ("A", 2), ("A", 2),
+      ("B", 1), ("B", 1), ("B", 1), ("B", 2), ("B", 2), ("B", 2)
+    ).toDF("a", "b")
+    val r0 = Analytics.chiSquareIndependence(indep, "a", "b").collect()(0)
+    assert((r0.getLong(0), r0.getLong(1), r0.getLong(2)) === ((10L, 1L, 0L)))
+    // perfectly dependent 2x2 with two ZERO cells: e = 2 everywhere,
+    // chi2 = 4 * (2)^2/2 = 8 -> 8000000 micro, dof = 1
+    val dep = Seq.fill(4)(("A", 1)) ++ Seq.fill(4)(("B", 2))
+    val r1 = Analytics.chiSquareIndependence(dep.toDF("a", "b"), "a", "b").collect()(0)
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) === ((8L, 1L, 8000000L)))
+  }
+
   test("gapFillDaily: calendar expansion, zero counts, LOCF values") {
     def d(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
     val events = Seq(
