@@ -631,6 +631,11 @@ object SparkEntry {
       graft.operators.Analytics.trendSlopes(events(s, dir), "event_type", "ts", "value")
         .orderBy(col("event_type"))
     },
+    // ---- two-sample KS distribution test: pure integer arithmetic.
+    "ks_test_events" -> { (s, dir) =>
+      graft.operators.Analytics.ksTest(
+        events(s, dir), "value", "event_type", groupA = "view", groupB = "purchase")
+    },
     // ---- chi-square independence gate: event mix vs day of week.
     "chi_square_events" -> { (s, dir) =>
       graft.operators.Analytics.chiSquareIndependence(
@@ -4289,6 +4294,25 @@ object SparkEntry {
         |WHERE n >= 2 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
         |                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
         |ORDER BY event_type""".stripMargin,
+    // KS: identical integer construction, same floor-division report.
+    "ks_test_events" ->
+      """WITH s AS (SELECT CAST(floor(value * 1000000.0) AS BIGINT) AS vm,
+        |                  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ia,
+        |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib
+        |           FROM events
+        |           WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+        |c AS (SELECT vm, CAST(sum(ia) AS BIGINT) AS c1, CAST(sum(ib) AS BIGINT) AS c2
+        |      FROM s GROUP BY 1),
+        |k AS (SELECT sum(c1) OVER (ORDER BY vm ROWS UNBOUNDED PRECEDING) AS cum1,
+        |             sum(c2) OVER (ORDER BY vm ROWS UNBOUNDED PRECEDING) AS cum2,
+        |             sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+        |      FROM c),
+        |m AS (SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+        |             CAST(max(abs(n2 * cum1 - n1 * cum2)) AS BIGINT) AS d_num
+        |      FROM k)
+        |SELECT n1, n2, d_num,
+        |       CAST((d_num * 1000000) // (n1 * n2) AS BIGINT) AS d_micro
+        |FROM m""".stripMargin,
     // Chi-square: full grid incl. zero cells, per-cell 1e-6 floor before
     // the order-free sum. DuckDB dayofweek is 0-based (Sunday=0); +1
     // aligns it with Spark's 1-based convention.

@@ -356,6 +356,50 @@ object Analytics {
   }
 
   /**
+   * Two-sample Kolmogorov–Smirnov statistic: the max CDF gap between two
+   * groups' value distributions — "did the value distribution shift"
+   * with NO floating point anywhere: values quantize to integer micros,
+   * and D's numerator max|n₂·cum₁ − n₁·cum₂| is pure integer arithmetic
+   * (D itself = d_num ∕ (n₁·n₂); `d_micro` reports it on the micro grid
+   * via floor division). Returns ONE row `(n1, n2, d_num, d_micro)`.
+   *
+   * Scale shape: one (micro-value) count aggregate is the data-sized
+   * step; the cumulative window runs over DISTINCT values (bounded by
+   * sample size — pre-bucket the values to bound it further at extreme
+   * cardinalities).
+   */
+  def ksTest(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      groupA: String,
+      groupB: String
+  ): DataFrame = {
+    require(groupA != groupB, "need two distinct groups")
+    val s = df
+      .filter(col(groupCol).isin(groupA, groupB) && col(valueCol).isNotNull)
+      .select(
+        floor(col(valueCol) * lit(1000000.0)).cast("long").as("__vm"),
+        when(col(groupCol) === groupA, 1L).otherwise(0L).as("__ia"),
+        when(col(groupCol) === groupB, 1L).otherwise(0L).as("__ib"))
+    val counts = s.groupBy(col("__vm"))
+      .agg(sum(col("__ia")).as("__c1"), sum(col("__ib")).as("__c2"))
+    val cum = Window.orderBy(col("__vm"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .select(
+        sum(col("__c1")).over(cum).as("__cum1"),
+        sum(col("__c2")).over(cum).as("__cum2"),
+        sum(col("__c1")).over(all).as("__n1"),
+        sum(col("__c2")).over(all).as("__n2"))
+      .groupBy(col("__n1"), col("__n2"))
+      .agg(max(abs(col("__n2") * col("__cum1") - col("__n1") * col("__cum2"))).as("d_num"))
+      .select(col("__n1").as("n1"), col("__n2").as("n2"), col("d_num"),
+        expr("(d_num * 1000000L) DIV (__n1 * __n2)").as("d_micro"))
+  }
+
+  /**
    * Last-touch attribution: for every CONVERSION event, the most recent
    * STRICTLY PRECEDING touch event (any of `touchTypes`) by the same
    * entity — the credit-assignment query behind marketing/referral

@@ -161,6 +161,20 @@ class AnalyticsSpec extends SparkSpec {
     assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) === ((8L, 1L, 8000000L)))
   }
 
+  test("ksTest: identical samples give D=0; disjoint ranges give D=1; hand-computed gap") {
+    def rows(g: String, vs: Double*) = vs.map(v => (g, v))
+    val same = (rows("a", 1.0, 2.0, 3.0) ++ rows("b", 1.0, 2.0, 3.0)).toDF("g", "v")
+    val r0 = Analytics.ksTest(same, "v", "g", "a", "b").collect()(0)
+    assert((r0.getLong(0), r0.getLong(1), r0.getLong(2), r0.getLong(3)) === ((3L, 3L, 0L, 0L)))
+    val disjoint = (rows("a", 1.0, 2.0) ++ rows("b", 5.0, 6.0)).toDF("g", "v")
+    val r1 = Analytics.ksTest(disjoint, "v", "g", "a", "b").collect()(0)
+    assert(r1.getLong(2) === 4L && r1.getLong(3) === 1000000L) // D = 1
+    // a: {1,2,3,4}, b: {3,4,5,6}: max gap at value 2: F_a=2/4, F_b=0 -> D=1/2
+    val mid = (rows("a", 1.0, 2.0, 3.0, 4.0) ++ rows("b", 3.0, 4.0, 5.0, 6.0)).toDF("g", "v")
+    val r2 = Analytics.ksTest(mid, "v", "g", "a", "b").collect()(0)
+    assert(r2.getLong(2) === 8L && r2.getLong(3) === 500000L)
+  }
+
   test("gapFillDaily: calendar expansion, zero counts, LOCF values") {
     def d(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
     val events = Seq(
