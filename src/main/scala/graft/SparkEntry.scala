@@ -631,6 +631,19 @@ object SparkEntry {
       graft.operators.Analytics.trendSlopes(events(s, dir), "event_type", "ts", "value")
         .orderBy(col("event_type"))
     },
+    // ---- A/B z-test: hash-split variants, purchase conversion, pooled
+    // SE on the micro grid.
+    "ab_test_events" -> { (s, dir) =>
+      // conversion = any BIG purchase (value > 480): rare enough that both
+      // variants have non-degenerate rates at every SF (everyone makes
+      // SOME purchase, which would zero the pooled SE)
+      val perUser = events(s, dir).groupBy(col("user_id")).agg(
+        max(when(col("event_type") === "purchase" && col("value") > 480.0, 1L)
+          .otherwise(0L)).as("converted"))
+        .withColumn("variant",
+          when(col("user_id") % 2 === 0, lit("a")).otherwise(lit("b")))
+      graft.operators.Analytics.abTestZ(perUser, "variant", "converted", "a", "b")
+    },
     // ---- two-sample KS distribution test: pure integer arithmetic.
     "ks_test_events" -> { (s, dir) =>
       graft.operators.Analytics.ksTest(
@@ -4294,6 +4307,29 @@ object SparkEntry {
         |WHERE n >= 2 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
         |                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
         |ORDER BY event_type""".stripMargin,
+    // A/B: same split, same conversion flag, same pooled-SE double tree.
+    "ab_test_events" ->
+      """WITH u AS (SELECT user_id,
+        |                  max(CASE WHEN event_type = 'purchase' AND value > 480.0
+        |                           THEN 1 ELSE 0 END) AS conv,
+        |                  CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS variant
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT CAST(sum(CASE WHEN variant = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |             CAST(sum(CASE WHEN variant = 'a' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+        |             CAST(sum(CASE WHEN variant = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |             CAST(sum(CASE WHEN variant = 'b' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+        |      FROM u)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  CAST(floor((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |              - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |    AS lift_micro,
+        |  CAST(floor((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |              - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |                    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |             * 1000000.0) AS BIGINT) AS z_micro
+        |FROM a""".stripMargin,
     // KS: identical integer construction, same floor-division report.
     "ks_test_events" ->
       """WITH s AS (SELECT CAST(floor(value * 1000000.0) AS BIGINT) AS vm,

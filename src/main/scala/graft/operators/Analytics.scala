@@ -400,6 +400,50 @@ object Analytics {
   }
 
   /**
+   * Two-proportion z-test for an A/B experiment: input is one row per
+   * entity with its variant and a 0/1 conversion flag; output is ONE row
+   * `(n_a, conv_a, n_b, conv_b, lift_micro, z_micro)` — the pooled-SE
+   * z statistic on the 1e-6 floor grid (conversion counts are exact
+   * integers; the z derives through one fixed double-expression tree).
+   *
+   * Scale shape: one groupBy over two variant keys — nothing beyond the
+   * per-entity input ever aggregates.
+   */
+  def abTestZ(
+      perEntity: DataFrame,
+      variantCol: String,
+      convertedCol: String,
+      variantA: String,
+      variantB: String
+  ): DataFrame = {
+    require(variantA != variantB, "need two distinct variants")
+    val agg = perEntity
+      .filter(col(variantCol).isin(variantA, variantB))
+      .agg(
+        sum(when(col(variantCol) === variantA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(variantCol) === variantA, col(convertedCol).cast("long"))
+          .otherwise(0L)).as("conv_a"),
+        sum(when(col(variantCol) === variantB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col(variantCol) === variantB, col(convertedCol).cast("long"))
+          .otherwise(0L)).as("conv_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val pa = col("conv_a").cast("double") / na
+    val pb = col("conv_b").cast("double") / nb
+    val pool = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pool * (lit(1.0) - pool) * (lit(1.0) / na + lit(1.0) / nb))
+    agg.select(
+      col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      floor((pa - pb) * lit(1000000.0)).cast("long").as("lift_micro"),
+      // degenerate experiments (everyone or no one converts) have SE = 0:
+      // z is undefined, not infinite — report NULL instead of erroring
+      // under ANSI division
+      when(se > lit(0.0), floor((pa - pb) / se * lit(1000000.0)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("z_micro"))
+  }
+
+  /**
    * Last-touch attribution: for every CONVERSION event, the most recent
    * STRICTLY PRECEDING touch event (any of `touchTypes`) by the same
    * entity — the credit-assignment query behind marketing/referral

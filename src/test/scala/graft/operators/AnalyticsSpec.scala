@@ -175,6 +175,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(r2.getLong(2) === 8L && r2.getLong(3) === 500000L)
   }
 
+  test("abTestZ: exact counts, hand-verifiable lift and pooled-SE z") {
+    val perUser = ((1 to 10).map(i => ("a", if (i <= 4) 1L else 0L)) ++
+      (1 to 10).map(i => ("b", if (i <= 2) 1L else 0L))).toDF("variant", "converted")
+    val r = Analytics.abTestZ(perUser, "variant", "converted", "a", "b").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) === ((10L, 4L, 10L, 2L)))
+    assert(r.getLong(4) === 200000L) // lift 0.4 - 0.2
+    val pool = 6.0 / 20.0
+    val se = math.sqrt(pool * (1.0 - pool) * (1.0 / 10.0 + 1.0 / 10.0))
+    assert(r.getLong(5) === math.floor((0.4 - 0.2) / se * 1e6).toLong)
+    // degenerate: everyone converts -> SE = 0 -> z is NULL, never an error
+    val degen = Seq(("a", 1L), ("a", 1L), ("b", 1L)).toDF("variant", "converted")
+    val rd = Analytics.abTestZ(degen, "variant", "converted", "a", "b").collect()(0)
+    assert(rd.isNullAt(5) && rd.getLong(4) === 0L)
+  }
+
   test("gapFillDaily: calendar expansion, zero counts, LOCF values") {
     def d(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
     val events = Seq(
