@@ -313,6 +313,26 @@ object SparkEntry {
         steps = Seq("view", "click", "purchase"))
         .orderBy(col("user_id"))
     },
+    // ---- per-step funnel conversion counts (monotone by construction).
+    "funnel_counts" -> { (s, dir) =>
+      graft.operators.Analytics.funnelCounts(
+        events(s, dir), "user_id", "event_type", "ts",
+        steps = Seq("view", "click", "purchase"))
+        .orderBy(col("step"))
+    },
+    // ---- time-to-convert distribution: funnel lags through the mergeable
+    // histogram sketch (1-day bins over minutes).
+    "funnel_lag_quantiles" -> { (s, dir) =>
+      val f = graft.operators.Analytics.funnel(
+        events(s, dir), "user_id", "event_type", "ts",
+        steps = Seq("view", "click", "purchase"))
+        .select(expr("(unix_micros(t3) - unix_micros(t1)) DIV 60000000")
+          .cast("double").as("lag_min"))
+      graft.operators.Sketches.histQuantiles(
+        graft.operators.Sketches.histSketch(f, "lag_min", binWidth = 1440.0),
+        binWidth = 1440.0, ps = Seq(0.5, 0.9, 0.99))
+        .orderBy(col("p"))
+    },
     // ---- gap-based sessionization: one slim (user, ts, id, value) shuffle,
     // per-user ordered cut — sessions can't pre-aggregate per partition, so
     // the per-entity window IS the declarative spelling.
@@ -4069,6 +4089,48 @@ object SparkEntry {
         |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
         |       GROUP BY e.user_id, s2.t1, s2.t2)
         |SELECT user_id, t1, t2, t3 FROM s3 ORDER BY user_id""".stripMargin,
+    // Funnel counts: the same step CTEs, counted per prefix.
+    "funnel_counts" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, s1.t1, min(e.ts) AS t2
+        |       FROM events e JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |       GROUP BY e.user_id, s1.t1),
+        |s3 AS (SELECT e.user_id, s2.t1, s2.t2, min(e.ts) AS t3
+        |       FROM events e JOIN s2 ON s2.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |       GROUP BY e.user_id, s2.t1, s2.t2)
+        |SELECT 1 AS step, 'view' AS event_type, (SELECT count(*) FROM s1) AS n_entities
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY step""".stripMargin,
+    // Funnel lag distribution: the same step CTEs feeding the histogram
+    // quantile rule over integer minutes, 1-day bins.
+    "funnel_lag_quantiles" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, s1.t1, min(e.ts) AS t2
+        |       FROM events e JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |       GROUP BY e.user_id, s1.t1),
+        |s3 AS (SELECT e.user_id, s2.t1, s2.t2, min(e.ts) AS t3
+        |       FROM events e JOIN s2 ON s2.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |       GROUP BY e.user_id, s2.t1, s2.t2),
+        |lagm AS (SELECT (epoch_us(t3) - epoch_us(t1)) // 60000000 AS lag_min FROM s3),
+        |hist AS (SELECT CAST(floor(CAST(lag_min AS DOUBLE) / 1440.0) AS BIGINT) AS bucket,
+        |                count(*) AS n
+        |         FROM lagm GROUP BY 1),
+        |c AS (SELECT bucket, n,
+        |             sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+        |             sum(n) OVER () AS total
+        |      FROM hist),
+        |ps AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p)
+        |SELECT ps.p AS p, min(c.bucket) AS bucket,
+        |       CAST(min(c.bucket) AS DOUBLE) * 1440.0 AS q_est
+        |FROM ps JOIN c ON c.cum >= CAST(ceil(ps.p * CAST(c.total AS DOUBLE)) AS BIGINT)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Sessionize: identical lag/cut/running-sum construction; event_id
     // breaks ts ties so the cut is deterministic on both engines. The
     // streaming twin shares it: stream ≡ batch on ordered replays.
