@@ -590,6 +590,13 @@ object SparkEntry {
       graft.operators.Analytics.rollingActiveUsers(events(s, dir), "user_id", "ts", windowDays = 7)
         .orderBy(col("day"))
     },
+    // ---- DAU/MAU stickiness: the 28-day rolling actives with the ratio
+    // on the micro grid.
+    "stickiness_daily" -> { (s, dir) =>
+      graft.operators.Analytics.rollingActiveUsers(events(s, dir), "user_id", "ts", windowDays = 28)
+        .withColumn("stickiness_micro", expr("(dau * 1000000L) DIV rolling_active"))
+        .orderBy(col("day"))
+    },
     // ---- grid-bucketed radius self-join over hash-derived planar
     // coordinates: 9-cell candidate neighborhoods, exact BIGINT distance.
     "geo_radius_join" -> { (s, dir) =>
@@ -4238,6 +4245,19 @@ object SparkEntry {
         |roll AS (SELECT c.day, count(*) AS rolling_active FROM contrib c
         |         JOIN (SELECT DISTINCT day FROM ud) obs USING (day) GROUP BY 1)
         |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, roll.rolling_active
+        |FROM dau JOIN roll USING (day) ORDER BY 1""".stripMargin,
+    "stickiness_daily" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |contrib AS (SELECT DISTINCT user_id,
+        |  CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+        |                              CAST(day AS TIMESTAMP) + INTERVAL 27 DAY,
+        |                              INTERVAL 1 DAY)) AS DATE) AS day
+        |            FROM ud),
+        |roll AS (SELECT c.day, count(*) AS rolling_active FROM contrib c
+        |         JOIN (SELECT DISTINCT day FROM ud) obs USING (day) GROUP BY 1)
+        |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, roll.rolling_active,
+        |       CAST((dau.dau * 1000000) // roll.rolling_active AS BIGINT) AS stickiness_micro
         |FROM dau JOIN roll USING (day) ORDER BY 1""".stripMargin,
     // Geo radius join: brute-force replica (the fixture point count makes
     // all-pairs tractable in the oracle; the engine's grid join must find
