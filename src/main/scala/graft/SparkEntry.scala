@@ -5304,8 +5304,8 @@ object SparkEntry {
         |              '://www\.', '://'),
         |            '^(http://[^/:?#]+):80([/?#]|$)', '\1\2'),
         |          '^(https://[^/:?#]+):443([/?#]|$)', '\1\2'),
-        |        '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
-        |      '\?&', '?', 'g'), '[?&]+$', '') AS url_canon
+        |        '([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*', '\1', 'g'),
+        |      '([?&])&+', '\1', 'g'), '[?&]+$', '') AS url_canon
         |  FROM d)
         |SELECT doc_id, url_canon,
         |  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY url_canon) THEN 1 ELSE 0 END

@@ -47,16 +47,24 @@ final class Dataset(val spark: SparkSession, val chain: MetadataChain) {
     * are handed to the parquet reader, so a consumer that is nearly caught
     * up reads O(new data), not O(history). (Same mechanism as transform
     * input slicing; exposed for rollup/index maintenance.) */
-  def changesSince(prevOffset: Option[Long]): DataFrame = {
+  def changesSince(prevOffset: Option[Long], upTo: Option[Long] = None): DataFrame = {
     val lo = prevOffset.map(_ + 1).getOrElse(0L)
-    val slices = chain.slices().filter(_.offsetEnd >= lo)
+    // `upTo` bounds the read at a head observed BEFORE the (lazy) delta
+    // executes — without it, rows appended between the head read and
+    // execution would be consumed yet sit above the recorded offset, so
+    // the next refresh would re-apply them (double-count under a
+    // concurrent writer).
+    val slices = chain.slices()
+      .filter(s => s.offsetEnd >= lo && upTo.forall(s.offsetStart <= _))
     if (slices.isEmpty) toDF().limit(0)
     else {
       val ddl = chain.schemaDdl()
       val reader = ddl.map(d => spark.read.schema(StructType.fromDDL(d))).getOrElse(spark.read)
-      reader
+      val off = org.apache.spark.sql.functions.col(vocabulary.offsetColumn)
+      val base = reader
         .parquet(chain.slicePaths(slices): _*)
-        .filter(org.apache.spark.sql.functions.col(vocabulary.offsetColumn) >= lo)
+        .filter(off >= lo)
+      upTo.fold(base)(hi => base.filter(off <= hi))
     }
   }
 

@@ -35,29 +35,43 @@ object Analytics {
       steps: Seq[String]
   ): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
-    var acc = events
-      .filter(col(typeCol) === steps.head)
-      .groupBy(col(entityCol))
-      .agg(min(col(tsCol)).as("t1"))
-    for ((s, i) <- steps.tail.zipWithIndex) {
-      val prev = s"t${i + 1}"
-      val cur = s"t${i + 2}"
-      val carried = (1 to i + 1).map(j => s"t$j")
-      acc = events
-        .filter(col(typeCol) === s)
-        .select(col(entityCol), col(tsCol))
-        .join(acc, Seq(entityCol))
-        .filter(col(tsCol) > col(prev))
-        .groupBy((entityCol +: carried).map(col): _*)
-        .agg(min(col(tsCol)).as(cur))
-    }
+    var acc = funnelHead(events, entityCol, typeCol, tsCol, steps.head)
+    for ((s, i) <- steps.tail.zipWithIndex)
+      acc = funnelExtend(events, entityCol, typeCol, tsCol, acc, s, i)
     acc
   }
 
+  /** Step-1 frontier: each entity's first event of the head type. */
+  private def funnelHead(
+      events: DataFrame, entityCol: String, typeCol: String, tsCol: String,
+      headType: String): DataFrame =
+    events
+      .filter(col(typeCol) === headType)
+      .groupBy(col(entityCol))
+      .agg(min(col(tsCol)).as("t1"))
+
+  /** Extend a step-(i+1) frontier by step type `s` (0-based `i` over
+    * `steps.tail`): first event of type `s` strictly after t(i+1). */
+  private def funnelExtend(
+      events: DataFrame, entityCol: String, typeCol: String, tsCol: String,
+      acc: DataFrame, s: String, i: Int): DataFrame = {
+    val prev = s"t${i + 1}"
+    val cur = s"t${i + 2}"
+    val carried = (1 to i + 1).map(j => s"t$j")
+    events
+      .filter(col(typeCol) === s)
+      .select(col(entityCol), col(tsCol))
+      .join(acc, Seq(entityCol))
+      .filter(col(tsCol) > col(prev))
+      .groupBy((entityCol +: carried).map(col): _*)
+      .agg(min(col(tsCol)).as(cur))
+  }
+
   /** Per-step conversion counts of the same funnel: how many entities
-    * reach step 1, 2, …, n (each count from the step's frontier — the
-    * funnel recomputed once per prefix would rescan; this reuses one
-    * accumulation by counting after each extension). */
+    * reach step 1, 2, …, n. ONE accumulation: each step's frontier is
+    * materialized (localCheckpoint — entity-sized, slim), counted, and
+    * extended in place, so the events table is scanned once per step —
+    * not once per (step × prefix). */
   def funnelCounts(
       events: DataFrame,
       entityCol: String,
@@ -65,12 +79,16 @@ object Analytics {
       tsCol: String,
       steps: Seq[String]
   ): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
     val spark = events.sparkSession
     import spark.implicits._
-    val counts = steps.indices.map { i =>
-      (i + 1, steps(i), funnel(events, entityCol, typeCol, tsCol, steps.take(i + 1)).count())
+    var acc = funnelHead(events, entityCol, typeCol, tsCol, steps.head).localCheckpoint()
+    val counts = scala.collection.mutable.ArrayBuffer((1, steps.head, acc.count()))
+    for ((s, i) <- steps.tail.zipWithIndex) {
+      acc = funnelExtend(events, entityCol, typeCol, tsCol, acc, s, i).localCheckpoint()
+      counts += ((i + 2, s, acc.count()))
     }
-    counts.toDF("step", "event_type", "n_entities")
+    counts.toSeq.toDF("step", "event_type", "n_entities")
   }
 
   /**
@@ -263,7 +281,13 @@ object Analytics {
   ): DataFrame = {
     require(halfLifeDays >= 1 && maxShift >= 1 && maxShift <= 62,
       "need halfLifeDays >= 1 and maxShift in [1, 62]")
-    val md = events.agg(max(to_date(col(tsCol)))).head().getDate(0) // one scalar
+    val mdRow = events.agg(max(to_date(col(tsCol)))).head() // one scalar
+    // no origin (empty input / all-null ts): empty result, same schema —
+    // splicing a null into DATE'...' would fail to parse
+    if (mdRow.isNullAt(0))
+      return events.limit(0).groupBy(col(keyCol))
+        .agg(count(lit(1)).as("n_events"), sum(lit(1L)).as("decayed_micro"))
+    val md = mdRow.getDate(0)
     val wm = expr(
       s"1000000L DIV shiftleft(1L, least(datediff(DATE'$md', to_date(`$tsCol`))" +
         s" DIV $halfLifeDays, $maxShift))")
@@ -294,7 +318,12 @@ object Analytics {
       tsCol: String,
       valueCol: String
   ): DataFrame = {
-    val d0 = events.agg(min(to_date(col(tsCol)))).head().getDate(0) // one scalar origin
+    val d0Row = events.agg(min(to_date(col(tsCol)))).head() // one scalar origin
+    // no origin (empty input / all-null ts): empty result, same schema
+    if (d0Row.isNullAt(0))
+      return events.limit(0).groupBy(col(keyCol))
+        .agg(count(lit(1)).as("n_days"), sum(lit(1L)).as("slope_micro_per_day"))
+    val d0 = d0Row.getDate(0)
     val daily = events
       .filter(col(tsCol).isNotNull)
       .groupBy(col(keyCol), to_date(col(tsCol)).as("__day"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -807,8 +807,11 @@ object Corpus {
     val noPort = regexp_replace(
       regexp_replace(noWww, "^(http://[^/:?#]+):80([/?#]|$)", "$1$2"),
       "^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
-    val noTrack = regexp_replace(noPort, "(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", "")
-    regexp_replace(regexp_replace(noTrack, "\\?&", "?"), "[?&]+$", "")
+    // anchor tracking params to their ?/& separator (an unanchored match
+    // would eat substrings of longer names, e.g. `myfbclid`), keep the
+    // separator, then collapse the separator runs the removal leaves
+    val noTrack = regexp_replace(noPort, "([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*", "$1")
+    regexp_replace(regexp_replace(noTrack, "([?&])&+", "$1"), "[?&]+$", "")
   }
 
   /** URL-level dedup: keep the lowest-id row per canonical URL. The
@@ -915,15 +918,40 @@ object Corpus {
   ): Unit = {
     val toks = docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
     Bucketing.materializeBucketed(
-      toks
-        .select(col("id"), size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"))
-        .groupBy(col("term"), col("id"), col("dl"))
-        .agg(count(lit(1)).as("tf")),
-      table, "term", numBuckets, sortCols = Seq("term"))
+      postingRows(toks), table, "term", numBuckets, sortCols = Seq("term"))
+    rewriteBm25Stats(docs.sparkSession, table)
+  }
+
+  /** Posting rows for a (id, toks) frame. Zero-token docs get a sentinel
+    * row (term = "", dl = 0, tf = 0): real tokens are never empty, query
+    * scans filter `term IN (query terms)` so sentinels prune away, and
+    * the row makes the posting table a COMPLETE record of ingested ids —
+    * so stats can be derived from it and re-ingested empty docs anti-join
+    * away like any other id. */
+  private def postingRows(toks: DataFrame): DataFrame = {
+    val real = toks
+      .select(col("id"), size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val empty = toks
+      .filter(coalesce(size(col("toks")), lit(0)) <= 0)
+      .select(lit("").as("term"), col("id"), lit(0L).as("dl"), lit(0L).as("tf"))
+    real.unionByName(empty)
+  }
+
+  /** Stats derived FROM the posting table (count of ids + sum of one dl
+    * per id — a column-pruned, index-sized aggregate of ids and longs):
+    * build and append share this, so a crash between a posting insert and
+    * the stats rewrite leaves stats stale only until the next append
+    * re-derives them from postings that already contain the orphaned
+    * batch. An accumulated `prev + batch` design would lose that batch's
+    * counts forever (the re-run anti-joins its ids away). */
+  private def rewriteBm25Stats(spark: SparkSession, table: String): Unit = {
+    val perDoc = spark.table(table).groupBy(col("id")).agg(max(col("dl")).as("dl"))
     Bucketing.materializePlain(
-      toks.agg(
+      perDoc.agg(
         count(lit(1)).as("n_docs"),
-        sum(size(col("toks"))).cast("long").as("total_tokens")),
+        coalesce(sum(col("dl")), lit(0L)).cast("long").as("total_tokens")),
       s"${table}_stats")
   }
 
@@ -950,22 +978,10 @@ object Corpus {
     val toks = docs
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
       .join(known, Seq("id"), "left_anti")
-      .localCheckpoint() // feeds both the posting insert and the stats bump
-    toks
-      .select(col("id"), size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"))
-      .groupBy(col("term"), col("id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+    postingRows(toks)
       .select(spark.table(table).columns.map(col).toSeq: _*)
       .write.insertInto(table)
-    val b = toks.agg(
-      count(lit(1)).as("n"),
-      coalesce(sum(size(col("toks"))), lit(0L)).cast("long").as("t")).collect()(0)
-    val s = spark.table(s"${table}_stats").collect()(0)
-    Bucketing.materializePlain(
-      spark.range(1).select(
-        lit(s.getLong(0) + b.getLong(0)).as("n_docs"),
-        lit(s.getLong(1) + b.getLong(1)).as("total_tokens")),
-      s"${table}_stats")
+    rewriteBm25Stats(spark, table)
   }
 
   /** BM25 top-k against a [[materializeBm25Index]] table: per-term df from

@@ -86,7 +86,10 @@ object Rollup {
         sumCols.map(c =>
           sum(w * col(c).cast("decimal(18,6)")).cast("decimal(38,6)").as(sumCol(c)))
     val keyCols = (if (cube) Seq(col("gid")) else Nil) ++ dims.map(col)
-    val newRows = ds.changesSince(prev)
+    // upper-bound at the head observed above: rows a concurrent writer
+    // appends before the lazy delta executes must NOT be aggregated under
+    // this refresh's recorded offset, or the next refresh re-applies them
+    val newRows = ds.changesSince(prev, upTo = head)
     val delta =
       if (cube)
         newRows.cube(dims.map(col): _*)

@@ -147,6 +147,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(out === Map("a" -> ((3L, 1000000L)), "c" -> ((2L, -2000000L))))
   }
 
+  test("decayedPopularity / trendSlopes: empty or all-null-ts input yields empty result, not a parse error") {
+    val empty = Seq.empty[(String, Timestamp)].toDF("event_type", "ts")
+    val dp = Analytics.decayedPopularity(empty, "event_type", "ts", halfLifeDays = 30)
+    assert(dp.columns.toSeq === Seq("event_type", "n_events", "decayed_micro"))
+    assert(dp.count() === 0L)
+    val allNull = Seq(("x", null.asInstanceOf[Timestamp], 1.0)).toDF("event_type", "ts", "value")
+    assert(Analytics.decayedPopularity(allNull, "event_type", "ts", 30).count() === 0L)
+    val ts = Analytics.trendSlopes(allNull, "event_type", "ts", "value")
+    assert(ts.columns.toSeq === Seq("event_type", "n_days", "slope_micro_per_day"))
+    assert(ts.count() === 0L)
+  }
+
+  test("funnelCounts: per-step counts match per-prefix funnel recomputation") {
+    def d(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    val events = Seq(
+      (1L, "view", d(1)), (1L, "cart", d(2)), (1L, "purchase", d(3)),
+      (2L, "view", d(1)), (2L, "cart", d(2)),
+      (3L, "view", d(1)),
+      (4L, "cart", d(1)), (4L, "view", d(2)), (4L, "purchase", d(3)) // cart BEFORE view: stops at 1
+    ).toDF("user_id", "event_type", "ts")
+    val steps = Seq("view", "cart", "purchase")
+    val got = Analytics.funnelCounts(events, "user_id", "event_type", "ts", steps)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got === Seq((1, "view", 4L), (2, "cart", 2L), (3, "purchase", 1L)))
+    // agrees with the (slower) per-prefix recomputation
+    steps.indices.foreach { i =>
+      val n = Analytics.funnel(events, "user_id", "event_type", "ts", steps.take(i + 1)).count()
+      assert(got(i)._3 === n)
+    }
+  }
+
   test("chiSquareIndependence: zero on perfect independence, zero cells counted, hand value") {
     val indep = Seq(
       ("A", 1), ("A", 1), ("A", 2), ("A", 2),

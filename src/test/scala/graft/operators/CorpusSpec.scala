@@ -335,6 +335,9 @@ class CorpusSpec extends SparkSpec {
       ("https://site.org/p?utm_a=1&utm_b=2", "https://site.org/p"),
       ("https://site.org/p?id=1&gclid=xyz", "https://site.org/p?id=1"),
       ("https://site.org:8443/p", "https://site.org:8443/p"), // non-default port kept
+      // params whose names merely CONTAIN a tracking name survive intact
+      ("https://site.org/p?a=1&myfbclid=2", "https://site.org/p?a=1&myfbclid=2"),
+      ("https://site.org/p?fbclid=x&a=1&utm_x=2&b=2", "https://site.org/p?a=1&b=2"),
       ("relative/path", ""), // non-absolute -> empty
       (null.asInstanceOf[String], "")
     )

@@ -69,4 +69,19 @@ class RollupSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS ${table}_state")
     }
   }
+
+  test("changesSince upper bound excludes rows appended after the head read") {
+    val work = java.nio.file.Files.createTempDirectory("graft-rollupspec2-")
+    val ds = Dataset.create(spark, work.resolve("d"), "d")
+    tick(ds, Seq((1L, "a", 1.0), (2L, "a", 2.0)), "2024-01-01T00:00:00Z")
+    val head = ds.chain.lastOffset() // a refresh observes THIS head...
+    // ...and a concurrent writer lands another slice before the (lazy)
+    // delta executes
+    tick(ds, Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 9.0)), "2024-01-02T00:00:00Z")
+    val ds2 = Dataset.open(spark, work.resolve("d"))
+    val bounded = ds2.changesSince(None, upTo = head)
+    assert(bounded.agg(max(col(ds2.vocabulary.offsetColumn))).head().getLong(0) === head.get)
+    // the bounded read also FILE-prunes the late slice, not just filters it
+    assert(bounded.inputFiles.length < ds2.changesSince(None).inputFiles.length)
+  }
 }

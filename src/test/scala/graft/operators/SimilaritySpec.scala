@@ -280,6 +280,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("bm25 stats derive from postings: zero-token docs counted; stale stats heal on append") {
+    val docs = Seq(
+      (1L, "alpha beta beta"), (2L, ""), (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    try {
+      Corpus.materializeBm25Index(docs, "doc_id", "text", table = "spec_bm25_heal", numBuckets = 2)
+      def stats = spark.table("spec_bm25_heal_stats").as[(Long, Long)].head()
+      assert(stats === ((3L, 3L))) // empty/null docs count in N, add 0 tokens
+      // simulate a crash that committed postings but not the stats rewrite
+      Bucketing.materializePlain(
+        Seq((1L, 1L)).toDF("n_docs", "total_tokens"), "spec_bm25_heal_stats")
+      // the next append re-derives stats FROM the postings -> heals
+      Corpus.appendToBm25Index(Seq((4L, "gamma gamma")).toDF("doc_id", "text"),
+        "doc_id", "text", table = "spec_bm25_heal")
+      assert(stats === ((4L, 5L)))
+      // re-ingesting an empty doc is a no-op (its sentinel id is known)
+      Corpus.appendToBm25Index(Seq((2L, "now has words")).toDF("doc_id", "text"),
+        "doc_id", "text", table = "spec_bm25_heal")
+      assert(stats === ((4L, 5L)))
+    } finally {
+      Seq("spec_bm25_heal", "spec_bm25_heal_stats")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("intPlaneBucket: deterministic across calls, fails fast on wrong dim") {
     val planes = Similarity.intPlanes(numPlanes = 4, dim = 3, seed = 5L)
     assert(planes.map(_.toSeq) === Similarity.intPlanes(numPlanes = 4, dim = 3, seed = 5L).map(_.toSeq))
