@@ -303,6 +303,115 @@ object SparkEntry {
         )
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     },
+    // ---- q10 shape (returned-item reporting): aggregate the fact side to
+    // CUSTOMER GRAIN before any dimension join — the post-agg frame is
+    // customers-sized, so the customer join broadcasts the aggregate (AQE)
+    // instead of shuffling lineitem against the customer table.
+    "q10_returned_items" -> { (s, dir) =>
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(
+          sum(
+            col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount").cast("decimal(18,2)"))
+          ).cast("double").as("revenue"))
+      rev
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    // ---- q14 shape (promo revenue share): one month of lineitem against
+    // the part dim (AQE broadcasts part while it fits); both sums are exact
+    // decimals, the percentage derives from the two exact doubles through
+    // one fixed expression tree.
+    "q14_promo_revenue" -> { (s, dir) =>
+      val disc =
+        col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-09-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-10-01 00:00:00")))
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+        .join(t(s, dir, "part").select(col("p_partkey"), col("p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          coalesce(sum(when(col("p_type") === "PROMO", disc)).cast("double"), lit(0.0))
+            .as("promo_revenue"),
+          sum(disc).cast("double").as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          (col("promo_revenue") * lit(100.0) / col("total_revenue")).as("promo_pct"))
+    },
+    // ---- q15 shape (top supplier by quarter revenue): the per-supplier
+    // aggregate is suppliers-sized; its scalar max broadcasts back against
+    // it, and the supplier dim joins the (tiny) winners only.
+    "q15_top_supplier" -> { (s, dir) =>
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+        .groupBy(col("l_suppkey"))
+        .agg(
+          sum(
+            col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount").cast("decimal(18,2)"))
+          ).cast("double").as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("__mr"))
+      rev
+        .join(broadcast(mx), col("total_revenue") === col("__mr"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+    // ---- q18 shape (large-volume orders): the quantity rollup shrinks to
+    // a handful of qualifying orders, which AQE then BROADCASTS against
+    // orders and customer — the classic "aggregate first, join the
+    // survivors" inversion that keeps both dimension joins shuffle-free.
+    "q18_large_volume" -> { (s, dir) =>
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("__sq"))
+        .filter(col("__sq") > 300)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("__sq").cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    // ---- q19 shape (OR-of-conjuncts discounted revenue): the join stays a
+    // single equi-join on partkey; the three (brand, size, quantity) branch
+    // predicates apply as a post-join filter — Catalyst pushes the
+    // branch-local conjuncts to each scan where it can.
+    "q19_discounted_revenue" -> { (s, dir) =>
+      val branch =
+        (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#19" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#25" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 40))
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(branch)
+        .agg(
+          sum(
+            col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount").cast("decimal(18,2)"))
+          ).cast("double").as("revenue"))
+    },
     // ---- strictly-ordered funnel (view -> click -> purchase): one
     // filtered aggregate pass per step, each shuffling (user, ts) pairs of
     // ONE event type — no per-user event lists, no skew-prone per-user
@@ -4083,6 +4192,50 @@ object SparkEntry {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND c_nationkey = n_nationkey
+        |  AND l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q14_promo_revenue" ->
+      """WITH s AS (
+        |  SELECT
+        |    COALESCE(CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE), 0.0) AS promo_revenue,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem, part
+        |  WHERE l_partkey = p_partkey
+        |    AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00')
+        |SELECT promo_revenue, total_revenue, promo_revenue * 100.0 / total_revenue AS promo_pct FROM s""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q18_large_volume" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, CAST(sq AS DOUBLE) AS sum_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q19_discounted_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey AND (
+        |     (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |  OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+        |  OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40))""".stripMargin,
     // Funnel: same per-step min-after-previous construction.
     "funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
