@@ -631,6 +631,53 @@ object SparkEntry {
       graft.operators.Sketches.kmvStats(s.table("graft_kmv_dau"), Seq("event_type"), 128)
         .orderBy(col("event_type"))
     },
+    // ---- HyperLogLog distinct sketch: distinct parts per return flag
+    // from O(m)=4096 registers per key — the fixed-size cardinality
+    // sibling of KMV (whose state grows with k). The shuffle is keys·m-
+    // bounded regardless of input size. At sf0.01 the linear-counting
+    // branch fires; at sf0.1 cardinality crosses m and the raw estimator
+    // takes over — the oracle recomputes registers AND estimator.
+    "hll_distinct" -> { (s, dir) =>
+      graft.operators.Sketches.hllStats(
+        graft.operators.Sketches.hllSketch(
+          t(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey"),
+        Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))
+    },
+    // ---- the same estimates via the MERGE path: register-wise max is
+    // lossless, so two disjoint halves merged share the from-scratch
+    // oracle — per-slice HLLs roll up without rescanning history.
+    "hll_distinct_merge" -> { (s, dir) =>
+      val ev = events(s, dir).select(
+        col("event_id"), col("event_type"),
+        concat(col("user_id").cast("string"), lit(":"),
+          date_format(col("ts"), "yyyy-MM-dd")).as("ud"))
+      val a = graft.operators.Sketches.hllSketch(
+        ev.filter(col("event_id") % 2 === 0), Seq("event_type"), "ud")
+      val b = graft.operators.Sketches.hllSketch(
+        ev.filter(col("event_id") % 2 =!= 0), Seq("event_type"), "ud")
+      graft.operators.Sketches.hllStats(
+        graft.operators.Sketches.hllMerge(a, b, Seq("event_type")), Seq("event_type"))
+        .orderBy(col("event_type"))
+    },
+    // ---- the sketch as MAINTAINED STATE: managed register table built
+    // from one half, the other half folded in with an O(batch)+O(keys·m)
+    // append. Shares the from-scratch oracle.
+    "hll_distinct_append" -> { (s, dir) =>
+      Fixtures.cached(s"hll_table|$dir") {
+        val ev = events(s, dir).select(
+          col("event_id"), col("event_type"),
+          concat(col("user_id").cast("string"), lit(":"),
+            date_format(col("ts"), "yyyy-MM-dd")).as("ud"))
+        graft.operators.Sketches.materializeHllTable(
+          ev.filter(col("event_id") % 2 === 0), Seq("event_type"), "ud", "graft_hll_dau")
+        graft.operators.Sketches.appendToHllTable(
+          ev.filter(col("event_id") % 2 =!= 0), Seq("event_type"), "ud", "graft_hll_dau")
+        java.lang.Boolean.TRUE
+      }
+      graft.operators.Sketches.hllStats(s.table("graft_hll_dau"), Seq("event_type"))
+        .orderBy(col("event_type"))
+    },
     // ---- mergeable equi-width histogram + quantile estimates: one
     // map-side-combinable bucket groupBy instead of the total sort behind
     // exact quantiles; window runs over BUCKETS, not rows.
@@ -3993,6 +4040,38 @@ object SparkEntry {
       |FROM r WHERE rn <= 128
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** HLL register + estimator recomputation over a (key, value-expr)
+    * source — same portable hash, same two-branch estimator on the 1e-6
+    * grid. Sums cast back to BIGINT (DuckDB widens SUM to HUGEINT). */
+  private def hllOracle(from: String, keyCol: String, valueSql: String): String = {
+    val num = graft.operators.Sketches.HllEstNumerator.toString
+    s"""WITH hx AS (SELECT $keyCol AS k,
+       |  ('0x' || substring(md5('hll:' || $valueSql), 1, 15))::BIGINT AS h
+       |  FROM $from WHERE $valueSql IS NOT NULL),
+       |reg AS (SELECT k, h >> 48 AS bucket,
+       |  max(CASE WHEN (h & ((1::BIGINT << 48) - 1)) = 0 THEN 49
+       |      ELSE 49 - len(bin(h & ((1::BIGINT << 48) - 1))) END) AS r
+       |  FROM hx GROUP BY k, h >> 48),
+       |a AS (SELECT k, count(*) AS n_buckets,
+       |        CAST(SUM(1::BIGINT << (49 - r)) AS BIGINT) AS ss
+       |      FROM reg GROUP BY k),
+       |e AS (SELECT k, n_buckets, CAST(4096 - n_buckets AS BIGINT) AS n_zero,
+       |        CAST(ss + (4096 - n_buckets) * (1::BIGINT << 49) AS BIGINT) AS s
+       |      FROM a)
+       |SELECT k AS $keyCol, n_buckets, n_zero,
+       |  CAST(floor(CASE WHEN CAST($num AS DOUBLE) / CAST(s AS DOUBLE) <= 10240.0 AND n_zero > 0
+       |       THEN 4096.0 * ln(4096.0 / CAST(n_zero AS DOUBLE))
+       |       ELSE CAST($num AS DOUBLE) / CAST(s AS DOUBLE) END * 1000000.0) AS BIGINT)
+       |    AS distinct_est_micro
+       |FROM e ORDER BY 1""".stripMargin
+  }
+
+  /** Shared by the three hll_distinct_* events entries (merge and append
+    * are lossless, so all paths reproduce this from-scratch run). */
+  private val hllEventsOracle: String = hllOracle(
+    "events", "event_type",
+    "CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d')")
+
   private val bm25Oracle: String =
       """WITH tok AS (
         |  SELECT doc_id,
@@ -4631,6 +4710,10 @@ object SparkEntry {
     "kmv_distinct" -> kmvOracle,
     "kmv_distinct_merge" -> kmvOracle, // exact merge ≡ fresh sketch
     "kmv_distinct_append" -> kmvOracle, // stored+appended table ≡ fresh sketch
+    "hll_distinct" ->
+      hllOracle("lineitem", "l_returnflag", "CAST(l_partkey AS VARCHAR)"),
+    "hll_distinct_merge" -> hllEventsOracle, // register-max merge ≡ fresh sketch
+    "hll_distinct_append" -> hllEventsOracle, // stored+appended table ≡ fresh sketch
     "hist_quantiles" -> histOracle,
     "hist_quantiles_append" -> histOracle, // maintained counts ≡ fresh counts
     "hist_quantiles_by_key" ->

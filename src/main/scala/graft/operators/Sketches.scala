@@ -186,6 +186,115 @@ object Sketches {
       .groupBy((keyCols.map(col) :+ col("bucket")): _*)
       .agg(sum(col("n")).as("n"))
 
+  // ------------------------------------------------------------- HyperLogLog
+
+  /** HLL precision: p = 12 → m = 4096 registers, ~1.6% standard error —
+    * fixed so sketches are always mergeable (register-wise max only works
+    * across sketches of the SAME p). */
+  val HllP: Int = 12
+  private val HllM: Int = 1 << HllP
+  private val HllWBits: Int = 60 - HllP // hash bits left after the bucket index
+  private val HllMaxRank: Int = HllWBits + 1
+  /** α·m²·2^(wBits+1): the raw-estimate numerator, one exact double
+    * constant spliced verbatim into the oracle (Double round-trips
+    * through its shortest decimal form on both engines). */
+  val HllEstNumerator: Double =
+    0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM * math.pow(2.0, HllMaxRank)
+
+  /**
+   * HyperLogLog register sketch (Flajolet et al. 2007): per key, the max
+   * leading-zero rank per register bucket over the portable 60-bit md5
+   * hash — O(m) state per key, register-wise-max mergeable, and fully
+   * deterministic, so the estimate is pinned by the same DuckDB
+   * recomputation oracle as every exact operator. Only OCCUPIED registers
+   * are stored (empty ones are implicit — [[hllStats]] adds them back);
+   * stored ranks are ≥ 1 by construction.
+   *
+   * Scale shape: one map-side-combinable groupBy over (key, bucket) —
+   * at most m = 4096 rows per key survive the partial aggregate, so the
+   * shuffle is keys·m-bounded regardless of input size.
+   */
+  def hllSketch(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String
+  ): DataFrame = {
+    val h = conv(substring(md5(concat(lit("hll:"), col(valueCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val bucket = shiftright(h, HllWBits).cast("int")
+    val w = h.bitwiseAND(lit((1L << HllWBits) - 1L))
+    // rank = leading zeros of the wBits-wide suffix + 1; bin() drops
+    // leading zeros on both engines, so msb position = length(bin(w))
+    val rank = when(w === 0L, lit(HllMaxRank))
+      .otherwise(lit(HllMaxRank) - length(bin(w)))
+      .cast("int")
+    df.filter(col(valueCol).isNotNull)
+      .select((keyCols.map(col) :+ bucket.as("bucket") :+ rank.as("r")): _*)
+      .groupBy((keyCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("r")).as("r"))
+  }
+
+  /** Merge HLL sketches (same p, same keys): register-wise max. Lossless —
+    * merged ≡ a fresh sketch over the concatenated inputs (max of maxes),
+    * so per-slice sketches roll up without rescanning history. */
+  def hllMerge(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((keyCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("r")).as("r"))
+
+  /**
+   * Distinct-count estimate from a [[hllSketch]]: the classic two-branch
+   * estimator — raw = α·m²∕Σ2^(−r) over all m registers (empty registers
+   * contribute 2^0), switched to linear counting m·ln(m∕V) when raw ≤
+   * 2.5·m and V (empty registers) > 0. The register sum is EXACT integer
+   * arithmetic (each 2^(−r) scaled by 2^maxRank stays a long; m·2^maxRank
+   * < 2^62), and the final double derivation is one fixed expression tree
+   * floored onto the 1e-6 grid — engine-exact, same doctrine as the
+   * BM25/perplexity ln grids. Output: key cols + (n_buckets, n_zero,
+   * distinct_est_micro).
+   */
+  def hllStats(sketch: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val agg = sketch
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(expr(s"shiftleft(1L, $HllMaxRank - r)")).as("__ss"))
+      .withColumn("n_zero", lit(HllM.toLong) - col("n_buckets"))
+      .withColumn("__s", col("__ss") + col("n_zero") * lit(1L << HllMaxRank))
+    val raw = lit(HllEstNumerator) / col("__s").cast("double")
+    val est = when(raw <= lit(2.5 * HllM) && col("n_zero") > 0L,
+      lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("n_zero").cast("double")))
+      .otherwise(raw)
+    agg.select((keyCols.map(col) :+ col("n_buckets") :+ col("n_zero") :+
+      floor(est * lit(1000000.0)).cast("long").as("distinct_est_micro")): _*)
+  }
+
+  /** Materialize a [[hllSketch]] as a managed table. */
+  def materializeHllTable(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      table: String
+  ): Unit =
+    Bucketing.materializePlain(hllSketch(df, keyCols, valueCol), table)
+
+  /** Fold a new batch into a stored HLL table: sketch the BATCH, register-
+    * max with the stored sketch, swap. O(batch) + O(keys·m) per tick, and
+    * [[hllStats]] over the table equals a fresh sketch of the full history
+    * (the `hll_distinct_append` entry shares the from-scratch oracle). */
+  def appendToHllTable(
+      batch: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      table: String
+  ): Unit = {
+    val spark = batch.sparkSession
+    val merged = hllMerge(
+      spark.table(table), hllSketch(batch, keyCols, valueCol), keyCols)
+      .localCheckpoint() // materialize BEFORE the swap drops the table it reads
+    Bucketing.materializePlain(merged, table)
+  }
+
   /**
    * Count-min sketch (Cormode & Muthukrishnan 2005): a depth×width
    * integer counter matrix over the portable hash family — frequency

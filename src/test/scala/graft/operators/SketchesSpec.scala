@@ -67,6 +67,38 @@ class SketchesSpec extends SparkSpec {
     assert(counts === Map(0L -> 1L, 1L -> 2L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("hllSketch: registers bounded by m; merge of overlapping halves equals fresh; estimate near truth") {
+    val all = (1L to 20000L).map(v => ("g", v)).toDF("k", "v")
+    val sk = Sketches.hllSketch(all, Seq("k"), "v")
+    assert(sk.count() <= 4096L)
+    assert(sk.agg(min(col("r"))).head().getInt(0) >= 1)
+    val a = Sketches.hllSketch((1L to 12000L).map(v => ("g", v)).toDF("k", "v"), Seq("k"), "v")
+    val b = Sketches.hllSketch((8000L to 20000L).map(v => ("g", v)).toDF("k", "v"), Seq("k"), "v")
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
+    assert(regs(Sketches.hllMerge(a, b, Seq("k"))) === regs(sk)) // register-max merge, exact
+    // raw-branch estimate within ~5% of 20000 (1.04/sqrt(4096) ~ 1.6% se)
+    val est = Sketches.hllStats(sk, Seq("k")).head().getLong(3) / 1e6
+    assert(est > 19000 && est < 21000, s"estimate $est too far from 20000")
+    // linear-counting branch: small cardinality is near-exact
+    val small = Sketches.hllStats(
+      Sketches.hllSketch((1L to 100L).map(v => ("g", v)).toDF("k", "v"), Seq("k"), "v"), Seq("k"))
+      .head().getLong(3) / 1e6
+    assert(small > 95 && small < 105, s"LC estimate $small too far from 100")
+  }
+
+  test("appendToHllTable: maintained register table equals a fresh sketch of the union") {
+    val h1 = (1L to 900L).map(v => ("g", v)).toDF("k", "v")
+    val h2 = (600L to 1500L).map(v => ("g", v)).toDF("k", "v")
+    Sketches.materializeHllTable(h1, Seq("k"), "v", "sk_spec_hll")
+    Sketches.appendToHllTable(h2, Seq("k"), "v", "sk_spec_hll")
+    val stored = spark.table("sk_spec_hll")
+      .collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
+    val fresh = Sketches.hllSketch(h1.unionByName(h2), Seq("k"), "v")
+      .collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
+    assert(stored === fresh)
+  }
+
   test("histQuantiles keyed: per-key cumulative ranks never leak across keys") {
     val df = Seq(("a", 0.5), ("a", 1.5), ("a", 2.5), ("a", 3.5),
                  ("b", 10.5), ("b", 11.5)).toDF("k", "v")
