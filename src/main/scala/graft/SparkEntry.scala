@@ -412,6 +412,46 @@ object SparkEntry {
               (lit(1) - col("l_discount").cast("decimal(18,2)"))
           ).cast("double").as("revenue"))
     },
+    // ---- salted equi-join: the hot-key spreading plan — big side salts
+    // deterministically, small side replicates salt-ways, semantics stay
+    // EXACTLY the plain join (shares a plain-join oracle). SkewSpec pins
+    // that the shuffle really carries (key, salt).
+    "salted_join" -> { (s, dir) =>
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedEquiJoin(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"), col("l_discount")),
+        ord, Seq("l_orderkey"), salt = 8, saltBy = col("l_linenumber"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(
+            col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount").cast("decimal(18,2)"))
+          ).cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    },
+    // ---- market-basket association: orders are baskets, brands are
+    // items; exact support counts, confidence/lift on the 1e-6 integer
+    // grid. The self-join fans out per-basket (bounded by order width),
+    // never per-corpus.
+    "basket_lift" -> { (s, dir) =>
+      val baskets = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+      graft.operators.Analytics.coOccurrence(baskets, "l_orderkey", "p_brand", minSupport = 2)
+        .orderBy(col("item_a"), col("item_b"))
+    },
+    // ---- dyadic EWMA of daily value totals: the whole recurrence is
+    // integer (micros + right-shift), so the smoothed level replicates
+    // bit-for-bit through DuckDB's list_reduce.
+    "ewma_daily" -> { (s, dir) =>
+      graft.operators.Analytics.ewmaDaily(events(s, dir), "event_type", "ts", "value", k = 2)
+        .orderBy(col("event_type"))
+    },
     // ---- strictly-ordered funnel (view -> click -> purchase): one
     // filtered aggregate pass per step, each shuffling (user, ts) pairs of
     // ONE event type — no per-user event lists, no skew-prone per-user
@@ -4315,6 +4355,36 @@ object SparkEntry {
         |     (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
         |  OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
         |  OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40))""".stripMargin,
+    // Salting is pure execution strategy: the oracle is the PLAIN join.
+    "salted_join" ->
+      """SELECT o_orderpriority,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "basket_lift" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS b, p_brand AS i
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |tot AS (SELECT count(DISTINCT b) AS n FROM items),
+        |ic AS (SELECT i, count(*) AS c FROM items GROUP BY i),
+        |p AS (SELECT l.i AS item_a, r.i AS item_b, count(*) AS pair_count
+        |      FROM items l JOIN items r ON l.b = r.b AND l.i < r.i
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT item_a, item_b, pair_count, ca.c AS count_a, cb.c AS count_b,
+        |  CAST((pair_count * 1000000) // ca.c AS BIGINT) AS conf_ab_micro,
+        |  CAST((pair_count * 1000000 * tot.n) // (ca.c * cb.c) AS BIGINT) AS lift_micro
+        |FROM p JOIN ic ca ON ca.i = item_a JOIN ic cb ON cb.i = item_b CROSS JOIN tot
+        |ORDER BY item_a, item_b""".stripMargin,
+    "ewma_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |seq AS (SELECT event_type, list(y ORDER BY day) AS ys FROM daily GROUP BY 1)
+        |SELECT event_type, CAST(len(ys) AS BIGINT) AS n_days,
+        |  list_reduce(ys, (acc, y) -> (y + 3 * acc) >> 2) AS ewma_micro
+        |FROM seq ORDER BY event_type""".stripMargin,
     // Funnel: same per-step min-after-previous construction.
     "funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events

@@ -518,6 +518,92 @@ object Analytics {
   }
 
   /**
+   * Market-basket co-occurrence (support / confidence / lift): item pairs
+   * that appear together in at least `minSupport` baskets, with exact
+   * integer counts and confidence/lift on the 1e-6 floor-division grid —
+   * the association-rule primitive behind "frequently bought together" /
+   * co-view analytics.
+   *
+   * Exactness: all counts are integers; `conf_ab_micro` = 10⁶·c_ab ∕ c_a
+   * and `lift_micro` = 10⁶·n·c_ab ∕ (c_a·c_b) use integer floor division
+   * (engine-exact; products stay in signed-64 for n·c_ab < 9.2e12 —
+   * beyond that, drop to the double path).
+   *
+   * Scale shape: one distinct over the slim (basket, item) projection,
+   * then a basket-keyed self-join whose fan-out is bounded by per-basket
+   * item counts (baskets are human-scale — orders, sessions), never by
+   * corpus size; the pair aggregate shuffles (item, item) pairs; item
+   * totals join at item-cardinality; the scalar basket count broadcasts.
+   */
+  def coOccurrence(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSupport: Long
+  ): DataFrame = {
+    require(minSupport >= 1, "minSupport must be at least 1")
+    val items = df
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__b"), col(itemCol).cast("string").as("__i"))
+      .distinct()
+    val totals = items.agg(count_distinct(col("__b")).as("__n"))
+    val itemCounts = items.groupBy(col("__i")).agg(count(lit(1)).as("__c"))
+    val pairs = items.as("l")
+      .join(items.as("r"), col("l.__b") === col("r.__b") && col("l.__i") < col("r.__i"))
+      .groupBy(col("l.__i").as("item_a"), col("r.__i").as("item_b"))
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minSupport)
+    pairs
+      .join(itemCounts.select(col("__i").as("item_a"), col("__c").as("__ca")), Seq("item_a"))
+      .join(itemCounts.select(col("__i").as("item_b"), col("__c").as("__cb")), Seq("item_b"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("item_a"), col("item_b"), col("pair_count"),
+        col("__ca").as("count_a"), col("__cb").as("count_b"),
+        expr("(pair_count * 1000000L) DIV __ca").as("conf_ab_micro"),
+        expr("(pair_count * 1000000L * __n) DIV (__ca * __cb)").as("lift_micro"))
+  }
+
+  /**
+   * Per-key EWMA of DAILY value totals with a dyadic smoothing factor
+   * α = 1∕2^k: e₀ = y₀, e_t = (y_t + (2^k−1)·e_{t−1}) >> k over the key's
+   * observed days in order — the "current level" stat behind smoothed
+   * dashboards and drift baselines, with the whole recurrence in integer
+   * arithmetic (values quantize to micros; the right-shift IS the floor
+   * division by 2^k), so any engine reproduces it bit-for-bit. Requires
+   * non-negative values (the shift-as-division and the fold seed both
+   * assume it). Output: `(key, n_days, ewma_micro)`.
+   *
+   * Scale shape: the (key, day) pre-aggregate is the only event-sized
+   * shuffle; the fold runs over each key's DAY-GRAINED series (bounded by
+   * calendar length, not data size) inside one codegen'd HOF.
+   */
+  def ewmaDaily(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1 && k <= 20, "k (alpha = 1/2^k) must lie in [1, 20]")
+    val mul = (1L << k) - 1L
+    events
+      .filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("__day"))
+      .agg(sum(floor(col(valueCol) * lit(1000000.0)).cast("long")).as("__y"))
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("__day"), col("__y")))).as("__seq"))
+      .select(
+        col(keyCol),
+        size(col("__seq")).cast("long").as("n_days"),
+        aggregate(
+          transform(col("__seq"), s => s.getField("__y")),
+          lit(-1L), // sentinel: the first day seeds the level (values are >= 0)
+          (acc, y) => when(acc < 0L, y).otherwise(shiftright(y + lit(mul) * acc, k))
+        ).as("ewma_micro"))
+  }
+
+  /**
    * Daily resample with gap-fill: aggregates `(entity, day)` event counts
    * and value sums, expands each entity's span to EVERY calendar day via
    * `sequence(min_day, max_day)`, and fills missing days with `n_events=0`

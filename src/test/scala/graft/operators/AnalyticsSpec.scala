@@ -178,6 +178,42 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("coOccurrence: exact support/confidence/lift; minSupport gates pairs; dup items collapse") {
+    val baskets = Seq(
+      (1L, "A"), (1L, "B"), (1L, "A"), // dup A in b1 counts once
+      (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"),
+      (4L, "B")
+    ).toDF("basket", "item")
+    // n=4, c_A=3, c_B=3, c_C=1; (A,B)=2, (A,C)=1
+    val all = Analytics.coOccurrence(baskets, "basket", "item", minSupport = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(all(("A", "B")) === ((2L, 3L, 3L, 666666L, 888888L)))
+    assert(all(("A", "C")) === ((1L, 3L, 1L, 333333L, 1333333L)))
+    val gated = Analytics.coOccurrence(baskets, "basket", "item", minSupport = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(gated.toSeq === Seq(("A", "B")))
+  }
+
+  test("ewmaDaily: dyadic fold over observed days; same-day events sum first") {
+    def d(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val events = Seq(
+      ("a", d(1, 1), 3.0), ("a", d(1, 2), 1.0), // day 1 total 4.0
+      ("a", d(2, 1), 2.0),
+      ("a", d(3, 1), 1.0),
+      ("b", d(5, 1), 7.0)                       // single day: level = y0
+    ).toDF("event_type", "ts", "value")
+    // k=1: e = [4.0, (2+4)/2=3.0, (1+3)/2=2.0] micros
+    val out = Analytics.ewmaDaily(events, "event_type", "ts", "value", k = 1)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map("a" -> ((3L, 2000000L)), "b" -> ((1L, 7000000L))))
+    // deterministic across partitionings
+    val rep = Analytics.ewmaDaily(events.repartition(5), "event_type", "ts", "value", k = 1)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rep === out)
+  }
+
   test("chiSquareIndependence: zero on perfect independence, zero cells counted, hand value") {
     val indep = Seq(
       ("A", 1), ("A", 1), ("A", 2), ("A", 2),
