@@ -621,6 +621,44 @@ object SparkEntry {
         new java.util.ArrayList(java.util.Arrays.asList(cached._2.toSeq: _*)), cached._1)
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     },
+    // ---- the streaming twin of funnel: a per-entity step machine in the
+    // keyed state store (one counter + <= steps timestamps); completions
+    // emit the moment the last step lands — no watermark wait, no
+    // sentinels. Shares the batch funnel oracle on ordered replays.
+    "funnel_stream" -> { (s, dir) =>
+      val cached = Fixtures.cached(s"funnel_stream|$dir") {
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val ev = events(s, dir).select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        val qs = ev.agg(
+          expr("percentile(unix_micros(ts), 0.3333)").as("q1"),
+          expr("percentile(unix_micros(ts), 0.6667)").as("q2")).head()
+        val (b1, b2) = (qs.getDouble(0), qs.getDouble(1))
+        def tup(df: DataFrame) = df.collect().toSeq
+          .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3)))
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+        val out = graft.streaming.StreamingOps.funnelStream(
+          mem.toDF().toDF("user_id", "event_type", "ts", "event_id"),
+          "user_id", "event_type", "ts", "event_id",
+          steps = Seq("view", "click", "purchase"))
+        val qname = s"funnel_sink_${math.abs(dir.hashCode)}"
+        val q = out.writeStream.format("memory").queryName(qname)
+          .outputMode("append").start()
+        try {
+          Seq(
+            ev.filter(expr(s"unix_micros(ts) <= $b1")),
+            ev.filter(expr(s"unix_micros(ts) > $b1 AND unix_micros(ts) <= $b2")),
+            ev.filter(expr(s"unix_micros(ts) > $b2"))
+          ).foreach { sl => mem.addData(tup(sl)); q.processAllAvailable() }
+          // no sentinels: completions are immediate, nothing awaits a watermark
+        } finally q.stop()
+        (s.table(qname).schema, s.table(qname).collect())
+      }
+      s.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(cached._2.toSeq: _*)), cached._1)
+        .orderBy(col("user_id"))
+    },
     // ---- KMV distinct sketch: daily-active-user cardinality per event
     // type from O(k) state per key — the stat a 100 TB loop maintains
     // incrementally instead of count(distinct)-ing the corpus.
@@ -4127,6 +4165,21 @@ object SparkEntry {
     "events", "event_type",
     "CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d')")
 
+  /** Shared by funnel and funnel_stream: the stream's per-entity step
+    * machine reproduces the batch min-after-previous chain exactly. */
+  private val funnelOracle: String =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |            WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, s1.t1, min(e.ts) AS t2
+      |       FROM events e JOIN s1 ON s1.user_id = e.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |       GROUP BY e.user_id, s1.t1),
+      |s3 AS (SELECT e.user_id, s2.t1, s2.t2, min(e.ts) AS t3
+      |       FROM events e JOIN s2 ON s2.user_id = e.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |       GROUP BY e.user_id, s2.t1, s2.t2)
+      |SELECT user_id, t1, t2, t3 FROM s3 ORDER BY user_id""".stripMargin
+
   /** k-core peel unrolled: each round keeps nodes of degree ≥ k and
     * restricts edges to them; rounds past the fixpoint are no-ops, so the
     * unrolled form equals the Spark side's run-to-fixpoint loop. */
@@ -4431,18 +4484,10 @@ object SparkEntry {
         |  list_reduce(ys, (acc, y) -> (y + 3 * acc) >> 2) AS ewma_micro
         |FROM seq ORDER BY event_type""".stripMargin,
     // Funnel: same per-step min-after-previous construction.
-    "funnel" ->
-      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
-        |            WHERE event_type = 'view' GROUP BY user_id),
-        |s2 AS (SELECT e.user_id, s1.t1, min(e.ts) AS t2
-        |       FROM events e JOIN s1 ON s1.user_id = e.user_id
-        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
-        |       GROUP BY e.user_id, s1.t1),
-        |s3 AS (SELECT e.user_id, s2.t1, s2.t2, min(e.ts) AS t3
-        |       FROM events e JOIN s2 ON s2.user_id = e.user_id
-        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
-        |       GROUP BY e.user_id, s2.t1, s2.t2)
-        |SELECT user_id, t1, t2, t3 FROM s3 ORDER BY user_id""".stripMargin,
+    "funnel" -> funnelOracle,
+    // The streaming step machine advances on the first next-step event
+    // strictly after the previous step — the same greedy-earliest chain.
+    "funnel_stream" -> funnelOracle,
     // Funnel counts: the same step CTEs, counted per prefix.
     "funnel_counts" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events

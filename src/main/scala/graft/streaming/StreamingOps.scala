@@ -252,6 +252,74 @@ object StreamingOps {
       }(Encoders.product[SessionizeState], outEnc)
   }
 
+  /** Funnel progress for [[funnelStream]]: completed-step count plus the
+    * completed steps' µs timestamps — O(steps) per entity, never a buffer
+    * of events. */
+  private[streaming] case class FunnelState(step: Int, timesUs: Seq[Long])
+
+  /**
+   * CONTINUOUS strictly-ordered funnel: the streaming twin of
+   * [[graft.operators.Analytics.funnel]] — per entity, a step-machine
+   * advances on the FIRST event of the next step type strictly after the
+   * previous step's timestamp, and the completed row (entity, t1..tn)
+   * emits THE MOMENT the last step lands (no watermark wait: steps only
+   * ever advance, so a completion is final on arrival — the greedy
+   * earliest chain is exactly the batch funnel's min-after-previous
+   * construction). Entities that never complete emit nothing, as in
+   * batch. Shares the batch `funnel` oracle on ordered replays.
+   *
+   * Scale shape: per-entity state is one counter + ≤ steps timestamps in
+   * the keyed state store; arrival order per entity must match (ts, tie)
+   * order across micro-batches (within a batch each group invocation
+   * sorts its slice) — what an offset-ordered [[datasetStream]] delivers.
+   * Completed entities retain their terminal state as the dedup guard
+   * (a production deployment would TTL it).
+   */
+  def funnelStream(
+      events: DataFrame,
+      entityCol: String,
+      typeCol: String,
+      tsCol: String,
+      tieCol: String,
+      steps: Seq[String]
+  ): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(steps.nonEmpty, "need at least one funnel step")
+    val n = steps.size
+    val slim = events.select(
+      col(entityCol).cast("long").as("e"), col(typeCol).cast("string").as("y"),
+      col(tsCol).as("t"), col(tieCol).cast("long").as("tie"))
+    val outSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      s"$entityCol BIGINT, " + (1 to n).map(i => s"t$i TIMESTAMP").mkString(", "))
+    val outEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
+    def usToTs(us: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
+    slim
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (e: Long, rows: Iterator[Row],
+         state: org.apache.spark.sql.streaming.GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, Vector.empty))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          rows.toSeq
+            .map { r =>
+              val i = r.getTimestamp(2).toInstant
+              (i.getEpochSecond * 1000000L + i.getNano / 1000L, r.getLong(3), r.getString(1))
+            }
+            .sortBy(t => (t._1, t._2))
+            .foreach { case (us, _, typ) =>
+              if (st.step < n && typ == steps(st.step) &&
+                (st.step == 0 || us > st.timesUs.last)) {
+                st = FunnelState(st.step + 1, st.timesUs :+ us)
+                if (st.step == n) out += Row.fromSeq(e +: st.timesUs.map(usToTs))
+              }
+            }
+          state.update(st)
+          out.iterator
+      }(Encoders.product[FunnelState], outEnc)
+  }
+
   /** Ring buffer of the last `lookback` micro-quantized values for
     * [[anomalyStream]] — the per-entity state is O(lookback), never
     * O(history). */

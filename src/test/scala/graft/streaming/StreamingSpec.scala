@@ -485,6 +485,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream: cross-batch step machine, in-batch sort, strict ordering, single emission") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp, Long)]
+    val out = StreamingOps.funnelStream(
+      mem.toDF().toDF("user_id", "event_type", "ts", "event_id"),
+      "user_id", "event_type", "ts", "event_id", steps = Seq("view", "click", "purchase"))
+    val q = out.writeStream.format("memory").queryName("funnel_spec")
+      .outputMode("append").start()
+    try {
+      // batch 1 (out of order WITHIN the batch — must sort): u1 views at
+      // 10:00; the 10:00 click must NOT advance (strict >), the 10:05 does
+      mem.addData(
+        (1L, "click", t("2024-01-01T10:05:00Z"), 12L),
+        (1L, "view", t("2024-01-01T10:00:00Z"), 10L),
+        (1L, "click", t("2024-01-01T10:00:00Z"), 11L),
+        (2L, "purchase", t("2024-01-01T10:00:00Z"), 20L)) // purchase before any view: no progress
+      q.processAllAvailable()
+      assert(spark.table("funnel_spec").count() === 0L)
+      // batch 2: u1 completes ACROSS the boundary; u2 only now views
+      mem.addData(
+        (1L, "purchase", t("2024-01-01T11:00:00Z"), 13L),
+        (2L, "view", t("2024-01-01T11:00:00Z"), 21L))
+      q.processAllAvailable()
+      val got = spark.table("funnel_spec")
+        .as[(Long, Timestamp, Timestamp, Timestamp)].collect()
+      assert(got.toSeq === Seq((1L,
+        t("2024-01-01T10:00:00Z"), t("2024-01-01T10:05:00Z"), t("2024-01-01T11:00:00Z"))))
+      // batch 3: a second full chain for u1 does NOT re-emit (terminal state)
+      mem.addData(
+        (1L, "view", t("2024-01-01T12:00:00Z"), 14L),
+        (1L, "click", t("2024-01-01T12:01:00Z"), 15L),
+        (1L, "purchase", t("2024-01-01T12:02:00Z"), 16L))
+      q.processAllAvailable()
+      assert(spark.table("funnel_spec").count() === 1L)
+    } finally q.stop()
+  }
+
   test("sessionizeStream: cross-batch sessions, timeout finalization, numbering survives expiry") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, Double)]
