@@ -535,6 +535,21 @@ object SparkEntry {
         new java.util.ArrayList(java.util.Arrays.asList(cached._2.toSeq: _*)), cached._1)
         .orderBy(col("user_id"), col("session_id"))
     },
+    // ---- top session-opening paths: first 3 event types per session
+    // (same strict-gap cut as sessionize), counted across sessions; the
+    // per-session collect is depth-capped.
+    "session_paths" -> { (s, dir) =>
+      graft.operators.Analytics.sessionPaths(
+        events(s, dir), "user_id", "ts", "event_id", "event_type",
+        gapMinutes = 30, depth = 3, topK = 25)
+    },
+    // ---- time-weighted average value per type: step-function hold until
+    // the next event, whole-second durations, one lead() frontier — all
+    // integer arithmetic.
+    "twap_by_type" -> { (s, dir) =>
+      graft.operators.Analytics.twap(events(s, dir), "event_type", "ts", "event_id", "value")
+        .orderBy(col("event_type"))
+    },
     // ---- weekly retention cohorts: distinct (user, week) is the only
     // entity-keyed shuffle; the cohort matrix is a plain count, never a
     // count(distinct).
@@ -4545,6 +4560,42 @@ object SparkEntry {
         |       count(*) AS n_entities
         |FROM weeks JOIN coh ON weeks.user_id = coh.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Session paths: same gap cut, per-session ordered string_agg of the
+    // first 3 types, total-ordered top 25.
+    "session_paths" ->
+      """WITH g AS (SELECT user_id, ts, event_id, event_type,
+        |                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |           FROM events),
+        |f AS (SELECT user_id, ts, event_id, event_type,
+        |             CASE WHEN prev IS NULL
+        |                    OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |                  THEN 1 ELSE 0 END AS cut
+        |      FROM g),
+        |sb AS (SELECT user_id, ts, event_id, event_type,
+        |              sum(cut) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS sid
+        |       FROM f),
+        |rn AS (SELECT user_id, sid, event_type,
+        |              row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+        |       FROM sb),
+        |paths AS (SELECT string_agg(event_type, ' > ' ORDER BY rn) AS path
+        |          FROM rn WHERE rn <= 3 GROUP BY user_id, sid)
+        |SELECT path, count(*) AS n_sessions FROM paths
+        |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 25""".stripMargin,
+    // TWAP: same lead() frontier, whole-second durations, floor division.
+    "twap_by_type" ->
+      """WITH b AS (SELECT event_type, ts, event_id,
+        |                  CAST(floor(value * 1000000.0) AS BIGINT) AS vm,
+        |                  lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+        |           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |d AS (SELECT event_type, vm,
+        |             (epoch_us(nxt) - epoch_us(ts)) // 1000000 AS dur_s
+        |      FROM b WHERE nxt IS NOT NULL)
+        |SELECT event_type, count(*) + 1 AS n_events,
+        |       CAST(sum(dur_s) AS BIGINT) AS span_s,
+        |       CAST(CAST(sum(vm * dur_s) AS BIGINT) // CAST(sum(dur_s) AS BIGINT) AS BIGINT) AS twap_micro
+        |FROM d GROUP BY event_type HAVING CAST(sum(dur_s) AS BIGINT) > 0
+        |ORDER BY event_type""".stripMargin,
     // Gap-fill: generate_series calendar per user, LOCF via IGNORE NULLS.
     "gap_fill_daily" ->
       """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,

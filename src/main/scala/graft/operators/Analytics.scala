@@ -518,6 +518,94 @@ object Analytics {
   }
 
   /**
+   * Top session paths: the first `depth` event types of each session
+   * (same strict-gap session cut as [[sessionize]]), joined " > ", counted
+   * across all sessions — "how do users start a session" as a ranked
+   * path table. Returns `(path, n_sessions)`, top `topK` by count
+   * (total-ordered: count desc, then path).
+   *
+   * Scale shape: ONE shuffle of the slim (entity, ts, tie, type)
+   * projection (shared with sessionize — per-entity windows); the
+   * per-session collect is capped at `depth` elements, and the path count
+   * is a map-side-combinable groupBy over path strings.
+   */
+  def sessionPaths(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      tieCol: String,
+      typeCol: String,
+      gapMinutes: Int,
+      depth: Int,
+      topK: Int
+  ): DataFrame = {
+    require(depth >= 1 && topK >= 1, "need depth >= 1 and topK >= 1")
+    val order = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val prev = lag(col(tsCol), 1).over(order)
+    val cut = when(
+      prev.isNull || unix_micros(col(tsCol)) - unix_micros(prev) > gapUs, 1L).otherwise(0L)
+    val sess = events
+      .select(col(entityCol), col(tsCol), col(tieCol), col(typeCol))
+      .withColumn("__sid", sum(cut).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val inSess = Window.partitionBy(col(entityCol), col("__sid"))
+      .orderBy(col(tsCol), col(tieCol))
+    sess
+      .withColumn("__rn", row_number().over(inSess))
+      .filter(col("__rn") <= depth)
+      .groupBy(col(entityCol), col("__sid"))
+      .agg(sort_array(collect_list(struct(col("__rn"), col(typeCol)))).as("__steps"))
+      .select(array_join(
+        transform(col("__steps"), s => s.getField(typeCol)), " > ").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+  }
+
+  /**
+   * Time-weighted average value per key (TWAP): step-function
+   * interpolation — each event's value holds until the key's NEXT event;
+   * the average weighs values by exact whole-second hold durations over
+   * [first_ts, last_ts]. Keys with < 2 events (or an all-sub-second span)
+   * are dropped. Output: `(key, n_events, span_s, twap_micro)` — all
+   * integers (values on the micro grid, durations floor-divided to
+   * seconds, one final floor division), engine-exact.
+   *
+   * Scale shape: ONE shuffle of the slim (key, ts, tie, value)
+   * projection; the lead() frontier is O(1) per row; the weighted sums
+   * are a map-side-combinable groupBy. Bound: Σ(v_micro·dur_s) must stay
+   * under 2^63 — ~10¹² value-seconds of micro mass; quantize coarser for
+   * larger spans.
+   */
+  def twap(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val order = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol), col(tsCol), col(tieCol),
+        floor(col(valueCol) * lit(1000000.0)).cast("long").as("__vm"))
+      .withColumn("__next", lead(col(tsCol), 1).over(order))
+      .filter(col("__next").isNotNull) // the last event holds nothing
+      .withColumn("__dur_s",
+        expr(s"(unix_micros(__next) - unix_micros(`$tsCol`)) DIV 1000000L"))
+      .groupBy(col(keyCol))
+      .agg(
+        (count(lit(1)) + lit(1L)).as("n_events"), // +1: the dropped last event
+        sum(col("__dur_s")).as("span_s"),
+        sum(col("__vm") * col("__dur_s")).as("__wsum"))
+      .filter(col("span_s") > 0L)
+      .select(col(keyCol), col("n_events"), col("span_s"),
+        expr("__wsum DIV span_s").as("twap_micro"))
+  }
+
+  /**
    * Market-basket co-occurrence (support / confidence / lift): item pairs
    * that appear together in at least `minSupport` baskets, with exact
    * integer counts and confidence/lift on the 1e-6 floor-division grid —

@@ -214,6 +214,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(rep === out)
   }
 
+  test("sessionPaths: gap cut, depth cap, count ranking with path tiebreak") {
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val events = Seq(
+      // u1 session 1: view > click > purchase > error (depth 3 keeps first 3)
+      (1L, ts(10, 0), 1L, "view"), (1L, ts(10, 1), 2L, "click"),
+      (1L, ts(10, 2), 3L, "purchase"), (1L, ts(10, 3), 4L, "error"),
+      // u1 session 2 (gap > 30m): view > click
+      (1L, ts(12, 0), 5L, "view"), (1L, ts(12, 5), 6L, "click"),
+      // u2 one session: view > click
+      (2L, ts(10, 0), 7L, "view"), (2L, ts(10, 10), 8L, "click")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.sessionPaths(events, "user_id", "ts", "event_id", "event_type",
+      gapMinutes = 30, depth = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("view > click", 2L), ("view > click > purchase", 1L)))
+  }
+
+  test("twap: step-function hold, whole-second durations, sub-2-event keys drop") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      // key a: 10.0 held 10s, 20.0 held 30s -> (10e6*10 + 20e6*30)/40 = 17.5e6
+      ("a", ts("2024-01-01 10:00:00"), 1L, 10.0),
+      ("a", ts("2024-01-01 10:00:10"), 2L, 20.0),
+      ("a", ts("2024-01-01 10:00:40"), 3L, 99.0), // last event holds nothing
+      ("b", ts("2024-01-01 10:00:00"), 4L, 5.0)   // single event: dropped
+    ).toDF("event_type", "ts", "event_id", "value")
+    val got = Analytics.twap(events, "event_type", "ts", "event_id", "value")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map("a" -> ((3L, 40L, 17500000L))))
+  }
+
   test("chiSquareIndependence: zero on perfect independence, zero cells counted, hand value") {
     val indep = Seq(
       ("A", 1), ("A", 1), ("A", 2), ("A", 2),
