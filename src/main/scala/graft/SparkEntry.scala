@@ -445,6 +445,25 @@ object SparkEntry {
       graft.operators.Analytics.coOccurrence(baskets, "l_orderkey", "p_brand", minSupport = 2)
         .orderBy(col("item_a"), col("item_b"))
     },
+    // ---- the basket state as MAINTAINED TABLES: pair/item counts are
+    // additive over disjoint baskets, so half the orders materialize and
+    // the other half folds in O(batch) — stats from the tables share the
+    // from-scratch oracle. Basket ids are the idempotence guard.
+    "basket_lift_append" -> { (s, dir) =>
+      Fixtures.cached(s"basket_tables|$dir") {
+        val baskets = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+          .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+        graft.operators.Analytics.materializeBasketTables(
+          baskets.filter(col("l_orderkey") % 2 === 0), "l_orderkey", "p_brand", "graft_basket")
+        graft.operators.Analytics.appendToBasketTables(
+          baskets.filter(col("l_orderkey") % 2 === 1), "l_orderkey", "p_brand", "graft_basket")
+        java.lang.Boolean.TRUE
+      }
+      graft.operators.Analytics.basketStats(s, "graft_basket", minSupport = 2)
+        .orderBy(col("item_a"), col("item_b"))
+    },
     // ---- dyadic EWMA of daily value totals: the whole recurrence is
     // integer (micros + right-shift), so the smoothed level replicates
     // bit-for-bit through DuckDB's list_reduce.
@@ -4180,6 +4199,24 @@ object SparkEntry {
     "events", "event_type",
     "CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d')")
 
+  /** Shared by basket_lift and basket_lift_append: pair/item counts are
+    * additive over disjoint baskets, so the maintained tables reproduce
+    * this from-scratch recomputation. */
+  private val basketOracle: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS b, p_brand AS i
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |tot AS (SELECT count(DISTINCT b) AS n FROM items),
+      |ic AS (SELECT i, count(*) AS c FROM items GROUP BY i),
+      |p AS (SELECT l.i AS item_a, r.i AS item_b, count(*) AS pair_count
+      |      FROM items l JOIN items r ON l.b = r.b AND l.i < r.i
+      |      GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT item_a, item_b, pair_count, ca.c AS count_a, cb.c AS count_b,
+      |  CAST((pair_count * 1000000) // ca.c AS BIGINT) AS conf_ab_micro,
+      |  CAST((pair_count * 1000000 * tot.n) // (ca.c * cb.c) AS BIGINT) AS lift_micro
+      |FROM p JOIN ic ca ON ca.i = item_a JOIN ic cb ON cb.i = item_b CROSS JOIN tot
+      |ORDER BY item_a, item_b""".stripMargin
+
   /** Shared by funnel and funnel_stream: the stream's per-entity step
     * machine reproduces the batch min-after-previous chain exactly. */
   private val funnelOracle: String =
@@ -4475,20 +4512,9 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-    "basket_lift" ->
-      """WITH items AS (
-        |  SELECT DISTINCT l_orderkey AS b, p_brand AS i
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
-        |tot AS (SELECT count(DISTINCT b) AS n FROM items),
-        |ic AS (SELECT i, count(*) AS c FROM items GROUP BY i),
-        |p AS (SELECT l.i AS item_a, r.i AS item_b, count(*) AS pair_count
-        |      FROM items l JOIN items r ON l.b = r.b AND l.i < r.i
-        |      GROUP BY 1, 2 HAVING count(*) >= 2)
-        |SELECT item_a, item_b, pair_count, ca.c AS count_a, cb.c AS count_b,
-        |  CAST((pair_count * 1000000) // ca.c AS BIGINT) AS conf_ab_micro,
-        |  CAST((pair_count * 1000000 * tot.n) // (ca.c * cb.c) AS BIGINT) AS lift_micro
-        |FROM p JOIN ic ca ON ca.i = item_a JOIN ic cb ON cb.i = item_b CROSS JOIN tot
-        |ORDER BY item_a, item_b""".stripMargin,
+    "basket_lift" -> basketOracle,
+    // Additive pair/item counts over disjoint basket halves ≡ one pass.
+    "basket_lift_append" -> basketOracle,
     "ewma_daily" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

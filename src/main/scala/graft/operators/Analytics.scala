@@ -630,20 +630,107 @@ object Analytics {
       minSupport: Long
   ): DataFrame = {
     require(minSupport >= 1, "minSupport must be at least 1")
-    val items = df
-      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
-      .select(col(basketCol).as("__b"), col(itemCol).cast("string").as("__i"))
-      .distinct()
+    val items = basketItems(df, basketCol, itemCol)
     val totals = items.agg(count_distinct(col("__b")).as("__n"))
     val itemCounts = items.groupBy(col("__i")).agg(count(lit(1)).as("__c"))
-    val pairs = items.as("l")
-      .join(items.as("r"), col("l.__b") === col("r.__b") && col("l.__i") < col("r.__i"))
-      .groupBy(col("l.__i").as("item_a"), col("r.__i").as("item_b"))
-      .agg(count(lit(1)).as("pair_count"))
-      .filter(col("pair_count") >= minSupport)
+    val pairs = basketPairs(items).filter(col("pair_count") >= minSupport)
     pairs
       .join(itemCounts.select(col("__i").as("item_a"), col("__c").as("__ca")), Seq("item_a"))
       .join(itemCounts.select(col("__i").as("item_b"), col("__c").as("__cb")), Seq("item_b"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("item_a"), col("item_b"), col("pair_count"),
+        col("__ca").as("count_a"), col("__cb").as("count_b"),
+        expr("(pair_count * 1000000L) DIV __ca").as("conf_ab_micro"),
+        expr("(pair_count * 1000000L * __n) DIV (__ca * __cb)").as("lift_micro"))
+  }
+
+  /** The distinct (basket, item) projection [[coOccurrence]] and the
+    * basket-table maintenance share. */
+  private def basketItems(df: DataFrame, basketCol: String, itemCol: String): DataFrame =
+    df.filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__b"), col(itemCol).cast("string").as("__i"))
+      .distinct()
+
+  /** Pair counts of a (b, i) frame — the additive core of the basket
+    * tables: per-basket self-join, (item, item)-keyed aggregate. */
+  private def basketPairs(items: DataFrame): DataFrame =
+    items.as("l")
+      .join(items.as("r"), col("l.__b") === col("r.__b") && col("l.__i") < col("r.__i"))
+      .groupBy(col("l.__i").as("item_a"), col("r.__i").as("item_b"))
+      .agg(count(lit(1)).as("pair_count"))
+
+  /**
+   * Materialize the maintained market-basket state: `_pairs` (item_a,
+   * item_b, pair_count), `_items` (item, c), `_baskets` (basket ids — the
+   * idempotence guard, the only basket-sized table; the rest are
+   * item-cardinality-sized). [[appendToBasketTables]] folds new WHOLE
+   * baskets in O(batch); [[basketStats]] derives support/confidence/lift
+   * identical to a fresh [[coOccurrence]] over the full history (counts
+   * are additive over disjoint baskets — the append entry shares the
+   * from-scratch oracle).
+   */
+  def materializeBasketTables(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      table: String
+  ): Unit = {
+    val items = basketItems(df, basketCol, itemCol).localCheckpoint()
+    Bucketing.materializePlain(basketPairs(items), s"${table}_pairs")
+    Bucketing.materializePlain(
+      items.groupBy(col("__i").as("item")).agg(count(lit(1)).as("c")), s"${table}_items")
+    Bucketing.materializePlain(
+      items.select(col("__b").as("basket")).distinct(), s"${table}_baskets")
+  }
+
+  /** Fold new baskets into [[materializeBasketTables]] state: already-seen
+    * basket ids anti-join away (idempotent re-ingest), the batch's pair and
+    * item counts ADD into the stored tables, and the basket-id guard grows
+    * by insertInto. Per-tick cost: O(batch) + O(items²) merge — history is
+    * never re-paired. Baskets must arrive WHOLE (all items in one batch);
+    * a split basket would miss its cross-batch pairs, same contract as any
+    * transactional rollup. */
+  def appendToBasketTables(
+      batch: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      table: String
+  ): Unit = {
+    val spark = batch.sparkSession
+    val known = spark.table(s"${table}_baskets").select(col("basket").as("__b"))
+    val items = basketItems(batch, basketCol, itemCol)
+      .join(known, Seq("__b"), "left_anti")
+      .localCheckpoint()
+    val mergedPairs = spark.table(s"${table}_pairs")
+      .unionByName(basketPairs(items))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(sum(col("pair_count")).as("pair_count"))
+      .localCheckpoint() // materialize BEFORE the swap drops the table it reads
+    Bucketing.materializePlain(mergedPairs, s"${table}_pairs")
+    val mergedItems = spark.table(s"${table}_items")
+      .unionByName(items.groupBy(col("__i").as("item")).agg(count(lit(1)).as("c")))
+      .groupBy(col("item")).agg(sum(col("c")).as("c"))
+      .localCheckpoint()
+    Bucketing.materializePlain(mergedItems, s"${table}_items")
+    items.select(col("__b").as("basket")).distinct().write.insertInto(s"${table}_baskets")
+  }
+
+  /** Support/confidence/lift from the maintained basket tables — the same
+    * output (and integer grid) as a fresh [[coOccurrence]] over everything
+    * the tables have absorbed. */
+  def basketStats(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      minSupport: Long
+  ): DataFrame = {
+    require(minSupport >= 1, "minSupport must be at least 1")
+    val totals = spark.table(s"${table}_baskets").agg(count(lit(1)).as("__n"))
+    val itemCounts = spark.table(s"${table}_items")
+    spark.table(s"${table}_pairs")
+      .filter(col("pair_count") >= minSupport)
+      .join(itemCounts.select(col("item").as("item_a"), col("c").as("__ca")), Seq("item_a"))
+      .join(itemCounts.select(col("item").as("item_b"), col("c").as("__cb")), Seq("item_b"))
       .crossJoin(broadcast(totals))
       .select(
         col("item_a"), col("item_b"), col("pair_count"),

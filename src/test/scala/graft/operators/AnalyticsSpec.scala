@@ -196,6 +196,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(gated.toSeq === Seq(("A", "B")))
   }
 
+  test("basket tables: append of disjoint baskets equals fresh; re-ingest is a no-op") {
+    val h1 = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "C")).toDF("basket", "item")
+    val h2 = Seq((3L, "A"), (3L, "B"), (4L, "B"), (4L, "C")).toDF("basket", "item")
+    try {
+      Analytics.materializeBasketTables(h1, "basket", "item", "spec_basket")
+      Analytics.appendToBasketTables(h2, "basket", "item", "spec_basket")
+      def stats = Analytics.basketStats(spark, "spec_basket", minSupport = 1)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+      val fresh = Analytics.coOccurrence(h1.unionByName(h2), "basket", "item", minSupport = 1)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+      assert(stats === fresh)
+      assert(stats(("A", "B")) === ((2L, 3L, 3L, 666666L, 888888L))) // pair count MERGED across halves
+      // re-ingesting already-seen baskets changes nothing
+      Analytics.appendToBasketTables(h2, "basket", "item", "spec_basket")
+      assert(stats === fresh)
+    } finally {
+      Seq("spec_basket_pairs", "spec_basket_items", "spec_basket_baskets")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("ewmaDaily: dyadic fold over observed days; same-day events sum first") {
     def d(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
     val events = Seq(
