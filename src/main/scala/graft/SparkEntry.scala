@@ -929,6 +929,27 @@ object SparkEntry {
       graft.operators.Graph.kCore(edges, "id1", "id2", k = 3)
         .orderBy(col("node"))
     },
+    // ---- nearest neighbor within radius over the same proximity graph:
+    // cell-bounded candidates, one min(struct) argmin per point —
+    // no per-point sort, no points² scan.
+    "geo_nearest" -> { (s, dir) =>
+      val pts = t(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        (graft.functions.Text.portableHash31(
+          concat(lit("gx:"), col("c_custkey").cast("string"))) % 1000000L).as("x"),
+        (graft.functions.Text.portableHash31(
+          concat(lit("gy:"), col("c_custkey").cast("string"))) % 1000000L).as("y"))
+      graft.operators.Geo.nearestNeighbor(pts, "id", "x", "y", radius = 20000L)
+        .orderBy(col("id"))
+    },
+    // ---- rank normalization: within-type percentile + exact equi-depth
+    // quartile per event — one slim (type, id, value) shuffle, pure
+    // integer rank arithmetic.
+    "rank_normalize" -> { (s, dir) =>
+      graft.operators.Analytics.rankNormalize(
+        events(s, dir), "event_type", "value", "event_id", nBuckets = 4)
+        .orderBy(col("event_type"), col("event_id"))
+    },
     // ---- PMI collocation pairs over vocab-restricted doc presence: the
     // self-join volume is capped by the vocabulary, never corpus².
     "pmi_pairs" -> { (s, dir) =>
@@ -4818,6 +4839,35 @@ object SparkEntry {
     // k-core: the same proximity edges, 10 unrolled peel rounds (fixture
     // fixpoint is ≤ 6 at sf0.01; extra rounds are no-ops).
     "graph_kcore" -> kcoreOracle,
+    // Nearest neighbor: same radius pairs symmetrized, argmin by
+    // (dist2, nn) via row_number.
+    "geo_nearest" ->
+      """WITH pts AS (SELECT c_custkey AS id,
+        |  (('0x' || substring(md5('gx:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+        |     % 2147483647) % 1000000 AS x,
+        |  (('0x' || substring(md5('gy:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+        |     % 2147483647) % 1000000 AS y
+        |             FROM customer),
+        |e AS (SELECT a.id AS id1, b.id AS id2,
+        |        (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+        |      FROM pts a JOIN pts b ON a.id < b.id
+        |      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 400000000),
+        |sym AS (SELECT id1 AS id, id2 AS nn, dist2 FROM e
+        |        UNION ALL SELECT id2, id1, dist2 FROM e),
+        |r AS (SELECT id, nn, dist2,
+        |             row_number() OVER (PARTITION BY id ORDER BY dist2, nn) AS rn
+        |      FROM sym)
+        |SELECT id, nn AS nn_id, dist2 FROM r WHERE rn = 1 ORDER BY id""".stripMargin,
+    // Rank normalization: same row_number ranks, same integer floor rules.
+    "rank_normalize" ->
+      """WITH r AS (SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rank,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, event_id, value,
+        |  CAST(CASE WHEN n > 1 THEN ((rank - 1) * 1000000) // (n - 1) ELSE 0 END AS BIGINT) AS pct_micro,
+        |  CAST(((rank - 1) * 4) // n AS BIGINT) AS bucket
+        |FROM r ORDER BY event_type, event_id""".stripMargin,
     // PMI: same tokenization, deterministic vocab cut, BIGINT products,
     // 1e-6 ln grid, total-ordered top-K.
     "pmi_pairs" ->

@@ -779,6 +779,37 @@ object Analytics {
   }
 
   /**
+   * Rank normalization per key — the ML-feature-prep transform that maps
+   * each value to its within-key percentile rank on the 1e-6 grid
+   * (min → 0, max → 10⁶; single-row keys → 0) plus an exact equi-depth
+   * bucket id in [0, nBuckets): `((rank−1)·nBuckets) DIV n`. All integer
+   * arithmetic over row_number ranks, so any engine reproduces it;
+   * `tieCol` totally orders equal values.
+   *
+   * Scale shape: ONE shuffle of the slim (key, tie, value) projection;
+   * each key sorts within one task (bounded per-key cardinality — the
+   * sessionize trade); the count rides the same partitioning.
+   */
+  def rankNormalize(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      tieCol: String,
+      nBuckets: Int = 4
+  ): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be at least 1")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(valueCol), col(tieCol))
+    df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), col(tieCol), col(valueCol))
+      .withColumn("__rank", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .select(col(keyCol), col(tieCol), col(valueCol),
+        when(col("__n") > 1L, expr("((__rank - 1) * 1000000L) DIV (__n - 1)"))
+          .otherwise(lit(0L)).as("pct_micro"),
+        expr(s"((__rank - 1) * ${nBuckets}L) DIV __n").as("bucket"))
+  }
+
+  /**
    * Daily resample with gap-fill: aggregates `(entity, day)` event counts
    * and value sums, expands each entity's span to EVERY calendar day via
    * `sequence(min_day, max_day)`, and fills missing days with `n_events=0`

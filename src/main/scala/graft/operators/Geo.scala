@@ -63,4 +63,34 @@ object Geo {
       .filter(col("dist2") <= lit(radius * radius))
       .select(col("id1"), col("id2"), col("dist2"))
   }
+
+  /**
+   * Nearest neighbor within `radius` for every point that has one:
+   * `(id, nn_id, dist2)` — the argmin over the [[radiusJoin]] candidates,
+   * ties broken by the smaller neighbor id (deterministic). Points with
+   * no neighbor inside `radius` emit nothing: the radius bound is what
+   * keeps the search grid-cell-local instead of points² — pick it from
+   * the data's density the way an IVF probe picks nprobe.
+   *
+   * Scale shape: the candidate pairs are cell-bounded (radiusJoin), the
+   * symmetrization doubles them, and the argmin is one map-side-
+   * combinable min(struct) per id — no per-point sort, no global order.
+   */
+  def nearestNeighbor(
+      points: DataFrame,
+      idCol: String,
+      xCol: String,
+      yCol: String,
+      radius: Long
+  ): DataFrame = {
+    val pairs = radiusJoin(points, idCol, xCol, yCol, radius)
+    val sym = pairs
+      .select(col("id1").as("id"), col("id2").as("nn"), col("dist2"))
+      .unionByName(
+        pairs.select(col("id2").as("id"), col("id1").as("nn"), col("dist2")))
+    sym
+      .groupBy(col("id"))
+      .agg(min(struct(col("dist2"), col("nn"))).as("__m"))
+      .select(col("id"), col("__m.nn").as("nn_id"), col("__m.dist2").as("dist2"))
+  }
 }

@@ -196,6 +196,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(gated.toSeq === Seq(("A", "B")))
   }
 
+  test("rankNormalize: percentile grid endpoints, equi-depth buckets, tie order, single-row key") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0), ("a", 4L, 20.0), // tie on 20.0
+      ("b", 9L, 5.0) // single row -> pct 0, bucket 0
+    ).toDF("event_type", "event_id", "value")
+    val out = Analytics.rankNormalize(df, "event_type", "value", "event_id", nBuckets = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(3), r.getLong(4)))).toMap
+    // key a order: (10,id1) r1, (20,id2) r2, (20,id4) r3, (30,id3) r4; n=4
+    assert(out(("a", 1L)) === ((0L, 0L)))
+    assert(out(("a", 2L)) === ((333333L, 0L)))
+    assert(out(("a", 4L)) === ((666666L, 1L)))
+    assert(out(("a", 3L)) === ((1000000L, 1L)))
+    assert(out(("b", 9L)) === ((0L, 0L)))
+  }
+
   test("basket tables: append of disjoint baskets equals fresh; re-ingest is a no-op") {
     val h1 = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "C")).toDF("basket", "item")
     val h2 = Seq((3L, "A"), (3L, "B"), (4L, "B"), (4L, "C")).toDF("basket", "item")

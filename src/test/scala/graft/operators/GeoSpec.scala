@@ -31,4 +31,26 @@ class GeoSpec extends SparkSpec {
     val out = Geo.radiusJoin(pts, "id", "x", "y", 100L).collect()
     assert(out.length === 1 && out(0).getLong(2) === 4L)
   }
+
+  test("nearestNeighbor: argmin per point, id tiebreak, isolated points drop") {
+    val pts = Seq(
+      (1L, 100L, 100L),
+      (2L, 103L, 100L), // 1's nearest (dist2 9)
+      (3L, 108L, 100L), // nearest to 2 (25 < 2->1's 9? no: 2->1 is 9, 2->3 is 25 -> nn(2)=1)
+      (4L, 500L, 500L), // isolated
+      (5L, 108L, 103L), // ties with nobody; 3's nearest (dist2 9)
+      (6L, 114L, 100L)  // 36 from 3, 36+9 from 5 -> nn(6)=3
+    ).toDF("id", "x", "y")
+    val out = Geo.nearestNeighbor(pts, "id", "x", "y", radius = 10L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      1L -> ((2L, 9L)), 2L -> ((1L, 9L)), 3L -> ((5L, 9L)),
+      5L -> ((3L, 9L)), 6L -> ((3L, 36L))))
+    assert(!out.contains(4L))
+    // equidistant neighbors: the smaller id wins
+    val tie = Seq((1L, 100L, 100L), (2L, 103L, 100L), (3L, 97L, 100L)).toDF("id", "x", "y")
+    val t1 = Geo.nearestNeighbor(tie, "id", "x", "y", 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t1(1L) === 2L) // dist2 9 both ways; nn=min(2,3)=2
+  }
 }
