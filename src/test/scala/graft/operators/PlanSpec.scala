@@ -433,6 +433,28 @@ class PlanSpec extends SparkSpec {
     val triPlan = formatted(tri)
     assert(!triPlan.contains("NestedLoop") && !triPlan.contains("CartesianProduct"), triPlan)
     assert(tri.count() > 0) // plans above actually execute
+
+    // nearest neighbor rides the same cell-equi candidates; the argmin is
+    // an aggregate, never a per-point sort
+    val nn = Geo.nearestNeighbor(pts, "id", "x", "y", 50L)
+    val nnPlan = formatted(nn)
+    assert(!nnPlan.contains("NestedLoop") && !nnPlan.contains("CartesianProduct"), nnPlan)
+    assert(!nnPlan.contains("Window"), "argmin fell back to a per-point window sort:\n" + nnPlan)
+
+    // basket pair generation: basket-equi hash join with the item
+    // inequality as a post-join condition, never a nested loop
+    val baskets = spark.range(300).select(
+      (col("id") % 60).as("b"), concat(lit("i"), (col("id") % 9).cast("string")).as("i"))
+    val co = Analytics.coOccurrence(baskets, "b", "i", minSupport = 1)
+    val coPlan = formatted(co)
+    assert(!coPlan.contains("CartesianProduct"), coPlan)
+    // the ONE allowed nested loop is the deliberate 1-row totals
+    // broadcast cross join; the pair self-join must stay hash-equi
+    assert(!coPlan.replace("BroadcastNestedLoopJoin", "").contains("NestedLoop"),
+      "non-broadcast nested loop:\n" + coPlan)
+    assert("BroadcastNestedLoopJoin Cross".r.findAllIn(coPlan).size <= 1,
+      "nested-loop beyond the 1-row totals broadcast:\n" + coPlan)
+    assert(co.count() > 0)
   }
 
   test("tail and as-of reads prune slice FILES at the metadata level") {
