@@ -929,6 +929,23 @@ object SparkEntry {
       graft.operators.Graph.kCore(edges, "id1", "id2", k = 3)
         .orderBy(col("node"))
     },
+    // ---- connected components over a sparse proximity graph (every 10th
+    // customer, so components stay small at EVERY SF and the oracle's
+    // transitive closure stays bounded): min-label propagation to
+    // fixpoint, one shuffle per round, O(diameter) rounds.
+    "graph_components" -> { (s, dir) =>
+      val pts = t(s, dir, "customer")
+        .filter(col("c_custkey") % 10 === 0)
+        .select(
+          col("c_custkey").as("id"),
+          (graft.functions.Text.portableHash31(
+            concat(lit("gx:"), col("c_custkey").cast("string"))) % 1000000L).as("x"),
+          (graft.functions.Text.portableHash31(
+            concat(lit("gy:"), col("c_custkey").cast("string"))) % 1000000L).as("y"))
+      val edges = graft.operators.Geo.radiusJoin(pts, "id", "x", "y", radius = 20000L)
+        .select(col("id1").as("id_a"), col("id2").as("id_b"))
+      graft.operators.Dedup.connectedComponents(edges).orderBy(col("id"))
+    },
     // ---- nearest neighbor within radius over the same proximity graph:
     // cell-bounded candidates, one min(struct) argmin per point —
     // no per-point sort, no points² scan.
@@ -4839,6 +4856,23 @@ object SparkEntry {
     // k-core: the same proximity edges, 10 unrolled peel rounds (fixture
     // fixpoint is ≤ 6 at sf0.01; extra rounds are no-ops).
     "graph_kcore" -> kcoreOracle,
+    // Components: recursive-CTE transitive closure over the same sparse
+    // proximity edges; comp = min reachable id.
+    "graph_components" ->
+      """WITH RECURSIVE pts AS (SELECT c_custkey AS id,
+        |  (('0x' || substring(md5('gx:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+        |     % 2147483647) % 1000000 AS x,
+        |  (('0x' || substring(md5('gy:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+        |     % 2147483647) % 1000000 AS y
+        |             FROM customer WHERE c_custkey % 10 = 0),
+        |e AS (SELECT a.id AS id_a, b.id AS id_b FROM pts a JOIN pts b ON a.id < b.id
+        |      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 400000000),
+        |edge AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edge
+        |  UNION
+        |  SELECT r.a, x.b FROM reach r JOIN edge x ON r.b = x.a)
+        |SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a ORDER BY id""".stripMargin,
     // Nearest neighbor: same radius pairs symmetrized, argmin by
     // (dist2, nn) via row_number.
     "geo_nearest" ->
