@@ -569,6 +569,14 @@ object SparkEntry {
       graft.operators.Analytics.twap(events(s, dir), "event_type", "ts", "event_id", "value")
         .orderBy(col("event_type"))
     },
+    // ---- Holt linear smoothing: level + trend + 7-day forecast per type,
+    // the two-state dyadic recurrence replicated through DuckDB's
+    // struct-typed list_reduce.
+    "holt_daily" -> { (s, dir) =>
+      graft.operators.Analytics.holtDaily(
+        events(s, dir), "event_type", "ts", "value", k = 2, j = 1, forecastDays = 7)
+        .orderBy(col("event_type"))
+    },
     // ---- weekly retention cohorts: distinct (user, week) is the only
     // entity-keyed shuffle; the cohort matrix is a plain count, never a
     // count(distinct).
@@ -4562,6 +4570,33 @@ object SparkEntry {
         |SELECT event_type, CAST(len(ys) AS BIGINT) AS n_days,
         |  list_reduce(ys, (acc, y) -> (y + 3 * acc) >> 2) AS ewma_micro
         |FROM seq ORDER BY event_type""".stripMargin,
+    // Holt: same daily micro totals; the two-state recurrence unrolls via
+    // a recursive CTE over the day index (NOT list_reduce: DuckDB 1.0's
+    // struct-accumulator reduce corrupts cross-field reads — a field
+    // reading a.l after the lambda's l field wrote it sees the NEW value).
+    "holt_daily" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |idx AS (SELECT event_type, y,
+        |          row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+        |          count(*) OVER (PARTITION BY event_type) AS n
+        |        FROM daily),
+        |rec(event_type, i, l, t) AS (
+        |  SELECT event_type, i, y, 0::BIGINT FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT d.event_type, d.i,
+        |    (d.y + 3 * (r.l + r.t)) >> 2,
+        |    ((((d.y + 3 * (r.l + r.t)) >> 2) - r.l) + r.t) >> 1
+        |  FROM rec r JOIN idx d ON d.event_type = r.event_type AND d.i = r.i + 1)
+        |SELECT r.event_type, CAST(mx.n AS BIGINT) AS n_days,
+        |  r.l AS level_micro, r.t AS trend_micro,
+        |  r.l + 7 * r.t AS forecast_micro
+        |FROM rec r JOIN (SELECT event_type, max(i) AS mi, max(n) AS n
+        |                 FROM idx GROUP BY 1) mx
+        |  ON mx.event_type = r.event_type AND r.i = mx.mi
+        |ORDER BY r.event_type""".stripMargin,
     // Funnel: same per-step min-after-previous construction.
     "funnel" -> funnelOracle,
     // The streaming step machine advances on the first next-step event

@@ -810,6 +810,60 @@ object Analytics {
   }
 
   /**
+   * Holt linear (double-exponential) smoothing of DAILY value totals with
+   * dyadic factors α = 1∕2^k (level) and β = 1∕2^j (trend):
+   * l₀ = y₀, t₀ = 0, then per observed day
+   * l = (y + (2^k−1)·(l′+t′)) >> k and t = ((l−l′) + (2^j−1)·t′) >> j —
+   * the trend-aware sibling of [[ewmaDaily]], giving level, trend, and an
+   * h-day linear forecast per key, with the whole two-state recurrence in
+   * integer arithmetic (arithmetic right-shift IS floor division by 2^n
+   * for negative trends on both engines). Requires non-negative values.
+   * Output: `(key, n_days, level_micro, trend_micro, forecast_micro)`.
+   *
+   * Scale shape: identical to [[ewmaDaily]] — one (key, day) pre-aggregate,
+   * then a codegen'd struct fold over day-grained series.
+   */
+  def holtDaily(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      k: Int,
+      j: Int,
+      forecastDays: Int
+  ): DataFrame = {
+    require(k >= 1 && k <= 20 && j >= 1 && j <= 20 && forecastDays >= 0,
+      "need k, j in [1, 20] (alpha = 1/2^k, beta = 1/2^j) and forecastDays >= 0")
+    val mulK = (1L << k) - 1L
+    val mulJ = (1L << j) - 1L
+    val seq = events
+      .filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("__day"))
+      .agg(sum(floor(col(valueCol) * lit(1000000.0)).cast("long")).as("__y"))
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("__day"), col("__y")))).as("__seq"))
+      .select(col(keyCol), transform(col("__seq"), s => s.getField("__y")).as("__ys"))
+    seq
+      .select(
+        col(keyCol),
+        size(col("__ys")).cast("long").as("n_days"),
+        aggregate(
+          slice(col("__ys"), lit(2), size(col("__ys")) - 1),
+          struct(element_at(col("__ys"), 1).as("l"), lit(0L).as("t")),
+          (acc, y) => {
+            val l = shiftright(y + lit(mulK) * (acc.getField("l") + acc.getField("t")), k)
+            struct(
+              l.as("l"),
+              shiftright((l - acc.getField("l")) + lit(mulJ) * acc.getField("t"), j).as("t"))
+          }
+        ).as("__h"))
+      .select(col(keyCol), col("n_days"),
+        col("__h.l").as("level_micro"),
+        col("__h.t").as("trend_micro"),
+        (col("__h.l") + lit(forecastDays.toLong) * col("__h.t")).as("forecast_micro"))
+  }
+
+  /**
    * Daily resample with gap-fill: aggregates `(entity, day)` event counts
    * and value sums, expands each entity's span to EVERY calendar day via
    * `sequence(min_day, max_day)`, and fills missing days with `n_events=0`

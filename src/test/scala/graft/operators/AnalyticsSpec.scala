@@ -211,6 +211,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(("b", 9L)) === ((0L, 0L)))
   }
 
+  test("holtDaily: hand-unrolled two-state recurrence; single-day key has zero trend") {
+    def d(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    val events = Seq(
+      ("a", d(1), 4.0), ("a", d(2), 2.0), ("a", d(3), 1.0),
+      ("b", d(5), 7.0)
+    ).toDF("event_type", "ts", "value")
+    // k=2, j=1 over micros [4e6, 2e6, 1e6]:
+    //   l1=(2e6+3*4e6)>>2=3.5e6, t1=(3.5e6-4e6)>>1=-250000
+    //   l2=(1e6+3*(3.25e6))>>2=2687500, t2=((2687500-3.5e6)-250000)>>1=-531250
+    val out = Analytics.holtDaily(events, "event_type", "ts", "value", k = 2, j = 1, forecastDays = 7)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map(
+      "a" -> ((3L, 2687500L, -531250L, 2687500L - 7L * 531250L)),
+      "b" -> ((1L, 7000000L, 0L, 7000000L))))
+  }
+
   test("basket tables: append of disjoint baskets equals fresh; re-ingest is a no-op") {
     val h1 = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "C")).toDF("basket", "item")
     val h2 = Seq((3L, "A"), (3L, "B"), (4L, "B"), (4L, "C")).toDF("basket", "item")
