@@ -577,6 +577,14 @@ object SparkEntry {
         events(s, dir), "event_type", "ts", "value", k = 2, j = 1, forecastDays = 7)
         .orderBy(col("event_type"))
     },
+    // ---- one-sided CUSUM drift gate: per-type cumulative positive
+    // deviation from the type's OWN mean daily total, threshold = 10% of
+    // the mean — pure integer three-state fold.
+    "cusum_daily" -> { (s, dir) =>
+      graft.operators.Analytics.cusumDaily(
+        events(s, dir), "event_type", "ts", "value", thresholdPctOfMu = 10)
+        .orderBy(col("event_type"))
+    },
     // ---- weekly retention cohorts: distinct (user, week) is the only
     // entity-keyed shuffle; the cohort matrix is a plain count, never a
     // count(distinct).
@@ -4695,6 +4703,38 @@ object SparkEntry {
         |       CAST(CAST(sum(vm * dur_s) AS BIGINT) // CAST(sum(dur_s) AS BIGINT) AS BIGINT) AS twap_micro
         |FROM d GROUP BY event_type HAVING CAST(sum(dur_s) AS BIGINT) > 0
         |ORDER BY event_type""".stripMargin,
+    // CUSUM: same daily micro totals, the three-state recurrence unrolled
+    // via a recursive CTE (same list_reduce-bug avoidance as holt_daily).
+    "cusum_daily" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |mu AS (SELECT event_type,
+        |         CAST(sum(y) AS BIGINT) // count(*) AS mu,
+        |         count(*) AS n
+        |       FROM daily GROUP BY 1),
+        |idx AS (SELECT d.event_type, d.y, m.mu, (m.mu * 10) // 100 AS thresh, m.n,
+        |          row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS i
+        |        FROM daily d JOIN mu m USING (event_type)),
+        |rec(event_type, i, s, mx, al) AS (
+        |  SELECT event_type, i,
+        |    greatest(0, y - mu), greatest(0, y - mu),
+        |    CASE WHEN greatest(0, y - mu) > thresh THEN 1::BIGINT ELSE 0::BIGINT END
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT d.event_type, d.i,
+        |    greatest(0, r.s + d.y - d.mu),
+        |    greatest(r.mx, greatest(0, r.s + d.y - d.mu)),
+        |    r.al + CASE WHEN greatest(0, r.s + d.y - d.mu) > d.thresh
+        |                THEN 1::BIGINT ELSE 0::BIGINT END
+        |  FROM rec r JOIN idx d ON d.event_type = r.event_type AND d.i = r.i + 1)
+        |SELECT r.event_type, CAST(mx2.n AS BIGINT) AS n_days, mx2.mu AS mu_micro,
+        |  r.s AS final_s, r.mx AS max_s, r.al AS n_alarms
+        |FROM rec r JOIN (SELECT event_type, max(i) AS mi, max(n) AS n, max(mu) AS mu
+        |                 FROM idx GROUP BY 1) mx2
+        |  ON mx2.event_type = r.event_type AND r.i = mx2.mi
+        |ORDER BY r.event_type""".stripMargin,
     // Gap-fill: generate_series calendar per user, LOCF via IGNORE NULLS.
     "gap_fill_daily" ->
       """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,

@@ -864,6 +864,62 @@ object Analytics {
   }
 
   /**
+   * One-sided CUSUM drift detection over DAILY value totals (Page 1954):
+   * per key, S₀ = 0 and S = max(0, S′ + y − μ − slack) over the observed
+   * days in order, with μ the key's own mean daily total (integer floor)
+   * and the alarm threshold a percentage of μ — "has this stream's volume
+   * drifted UP from its own baseline, when, and how hard", as integers an
+   * engine can replay. Output: `(key, n_days, mu_micro, final_s, max_s,
+   * n_alarms)` where `n_alarms` counts days with S > threshold.
+   *
+   * Scale shape: identical to [[ewmaDaily]]/[[holtDaily]] — one (key,
+   * day) pre-aggregate, then a codegen'd three-state struct fold over
+   * day-grained series.
+   */
+  def cusumDaily(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      thresholdPctOfMu: Int,
+      slackMicro: Long = 0L
+  ): DataFrame = {
+    require(thresholdPctOfMu >= 1 && slackMicro >= 0L,
+      "need thresholdPctOfMu >= 1 and slackMicro >= 0")
+    val agg0 = events
+      .filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("__day"))
+      .agg(sum(floor(col(valueCol) * lit(1000000.0)).cast("long")).as("__y"))
+      .groupBy(col(keyCol))
+      .agg(
+        sort_array(collect_list(struct(col("__day"), col("__y")))).as("__seq"),
+        sum(col("__y")).as("__sy"),
+        count(lit(1)).as("__n"))
+      .withColumn("__mu", expr("__sy DIV __n"))
+      .withColumn("__thresh", expr(s"(__mu * ${thresholdPctOfMu}L) DIV 100L"))
+    agg0
+      .select(
+        col(keyCol),
+        col("__n").as("n_days"),
+        col("__mu").as("mu_micro"),
+        aggregate(
+          transform(col("__seq"), s => s.getField("__y")),
+          struct(lit(0L).as("s"), lit(0L).as("mx"), lit(0L).as("al")),
+          (acc, y) => {
+            val s = greatest(lit(0L),
+              acc.getField("s") + y - col("__mu") - lit(slackMicro))
+            struct(
+              s.as("s"),
+              greatest(acc.getField("mx"), s).as("mx"),
+              (acc.getField("al") +
+                when(s > col("__thresh"), lit(1L)).otherwise(lit(0L))).as("al"))
+          }
+        ).as("__c"))
+      .select(col(keyCol), col("n_days"), col("mu_micro"),
+        col("__c.s").as("final_s"), col("__c.mx").as("max_s"), col("__c.al").as("n_alarms"))
+  }
+
+  /**
    * Daily resample with gap-fill: aggregates `(entity, day)` event counts
    * and value sums, expands each entity's span to EVERY calendar day via
    * `sequence(min_day, max_day)`, and fills missing days with `n_events=0`

@@ -228,6 +228,22 @@ class AnalyticsSpec extends SparkSpec {
       "b" -> ((1L, 7000000L, 0L, 7000000L))))
   }
 
+  test("cusumDaily: hand-unrolled drift accumulation, reset at zero, alarm counting") {
+    def d(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // daily micros: [1e6, 1e6, 4e6, 4e6]; mu = 2.5e6; thresh = 10% = 250000
+    //   s1 = max(0, 1e6-2.5e6) = 0            (no alarm)
+    //   s2 = 0                                 (no alarm)
+    //   s3 = max(0, 0+4e6-2.5e6) = 1.5e6       (alarm)
+    //   s4 = max(0, 1.5e6+1.5e6) = 3e6         (alarm)
+    val events = Seq(
+      ("a", d(1), 1.0), ("a", d(2), 1.0), ("a", d(3), 4.0), ("a", d(4), 4.0)
+    ).toDF("event_type", "ts", "value")
+    val out = Analytics.cusumDaily(events, "event_type", "ts", "value", thresholdPctOfMu = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out === Map("a" -> ((4L, 2500000L, 3000000L, 3000000L, 2L))))
+  }
+
   test("basket tables: append of disjoint baskets equals fresh; re-ingest is a no-op") {
     val h1 = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "C")).toDF("basket", "item")
     val h2 = Seq((3L, "A"), (3L, "B"), (4L, "B"), (4L, "C")).toDF("basket", "item")
