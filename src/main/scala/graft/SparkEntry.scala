@@ -303,6 +303,86 @@ object SparkEntry {
         )
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     },
+    // ---- q7 shape (volume shipping between two nations by year): both
+    // nation-filtered dims broadcast; the only fact-sized work is one
+    // lineitem scan and one shuffled-hash join against the nation-pruned
+    // orders.
+    "q7_volume_shipping" -> { (s, dir) =>
+      val (na, nb) = ("NATION_1", "NATION_2")
+      val nations = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val supp = broadcast(t(s, dir, "supplier")
+        .join(nations, col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin(na, nb))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val cust = broadcast(t(s, dir, "customer")
+        .join(nations, col("c_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin(na, nb))
+        .select(col("c_custkey"), col("n_name").as("cust_nation")))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("cust_nation"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"),
+          year(col("l_shipdate")).as("l_year"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+        .filter(
+          (col("supp_nation") === na && col("cust_nation") === nb) ||
+          (col("supp_nation") === nb && col("cust_nation") === na))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(
+          sum(
+            col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount").cast("decimal(18,2)"))
+          ).cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+    // ---- q8 shape (market share by year): NATION_3 suppliers' share of
+    // the ECONOMY-part volume sold to ASIA customers — two exact decimal
+    // sums per year, the share from the two exact doubles.
+    "q8_market_share" -> { (s, dir) =>
+      val nations = t(s, dir, "nation").select(
+        col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val asiaCust = broadcast(t(s, dir, "customer")
+        .join(nations
+          .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey")))
+      val supp = broadcast(t(s, dir, "supplier")
+        .join(nations, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val econParts = broadcast(t(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY").select(col("p_partkey")))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_year"))
+      val vol =
+        col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(econParts, col("l_partkey") === col("p_partkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_year"))
+        .agg(
+          coalesce(sum(when(col("supp_nation") === "NATION_3", vol)).cast("double"), lit(0.0))
+            .as("nation_volume"),
+          sum(vol).cast("double").as("total_volume"))
+        .select(col("o_year"), col("nation_volume"), col("total_volume"),
+          (col("nation_volume") / col("total_volume")).as("mkt_share"))
+        .orderBy(col("o_year"))
+    },
     // ---- q10 shape (returned-item reporting): aggregate the fact side to
     // CUSTOMER GRAIN before any dimension join — the post-agg frame is
     // customers-sized, so the customer join broadcasts the aggregate (AQE)
@@ -4515,6 +4595,35 @@ object SparkEntry {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS INT) AS l_year,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """WITH v AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS vol,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem, part, supplier, orders, customer, nation n1, region, nation n2
+        |  WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+        |    AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+        |    AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |    AND s_nationkey = n2.n_nationkey AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+        |s AS (
+        |  SELECT o_year,
+        |    COALESCE(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol END) AS DOUBLE), 0.0) AS nation_volume,
+        |    CAST(SUM(vol) AS DOUBLE) AS total_volume
+        |  FROM v GROUP BY o_year)
+        |SELECT o_year, nation_volume, total_volume, nation_volume / total_volume AS mkt_share
+        |FROM s ORDER BY o_year""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
