@@ -4803,7 +4803,7 @@ object SparkEntry {
       """WITH b AS (SELECT event_type, ts, event_id,
         |                  CAST(floor(value * 1000000.0) AS BIGINT) AS vm,
         |                  lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
-        |           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |           FROM events WHERE ts IS NOT NULL AND value >= 0),
         |d AS (SELECT event_type, vm,
         |             (epoch_us(nxt) - epoch_us(ts)) // 1000000 AS dur_s
         |      FROM b WHERE nxt IS NOT NULL)
@@ -4818,7 +4818,7 @@ object SparkEntry {
       """WITH RECURSIVE daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,
         |         CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS y
-        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |  FROM events WHERE ts IS NOT NULL AND value >= 0 GROUP BY 1, 2),
         |mu AS (SELECT event_type,
         |         CAST(sum(y) AS BIGINT) // count(*) AS mu,
         |         count(*) AS n

@@ -571,7 +571,11 @@ object Analytics {
    * [first_ts, last_ts]. Keys with < 2 events (or an all-sub-second span)
    * are dropped. Output: `(key, n_events, span_s, twap_micro)` — all
    * integers (values on the micro grid, durations floor-divided to
-   * seconds, one final floor division), engine-exact.
+   * seconds, one final floor division), engine-exact. Requires
+   * NON-NEGATIVE values (enforced: negative-value events are excluded up
+   * front) — the final `DIV` truncates toward zero while a floor-division
+   * engine would floor, so a negative weighted sum would diverge by one
+   * grid unit between engines.
    *
    * Scale shape: ONE shuffle of the slim (key, ts, tie, value)
    * projection; the lead() frontier is O(1) per row; the weighted sums
@@ -588,7 +592,7 @@ object Analytics {
   ): DataFrame = {
     val order = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
     events
-      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull && col(valueCol) >= 0)
       .select(col(keyCol), col(tsCol), col(tieCol),
         floor(col(valueCol) * lit(1000000.0)).cast("long").as("__vm"))
       .withColumn("__next", lead(col(tsCol), 1).over(order))
@@ -660,15 +664,38 @@ object Analytics {
       .groupBy(col("l.__i").as("item_a"), col("r.__i").as("item_b"))
       .agg(count(lit(1)).as("pair_count"))
 
+  /** One batch's delta rows for the [[materializeBasketTables]] fact
+    * table: the batch's aggregated pair counts (kind='pair'), item counts
+    * (kind='item'), and basket-id guard rows (kind='basket', basket cast
+    * to string in `a`) — all in ONE frame so an append is ONE commit. */
+  private def basketFactRows(items: DataFrame): DataFrame =
+    basketPairs(items)
+      .select(lit("pair").as("kind"), col("item_a").as("a"), col("item_b").as("b"),
+        col("pair_count").as("n"))
+      .unionByName(items.groupBy(col("__i")).agg(count(lit(1)).as("n"))
+        .select(lit("item").as("kind"), col("__i").as("a"),
+          lit(null).cast("string").as("b"), col("n")))
+      .unionByName(items.select(col("__b").cast("string")).distinct()
+        .select(lit("basket").as("kind"), col("__b").as("a"),
+          lit(null).cast("string").as("b"), lit(1L).as("n")))
+
   /**
-   * Materialize the maintained market-basket state: `_pairs` (item_a,
-   * item_b, pair_count), `_items` (item, c), `_baskets` (basket ids — the
-   * idempotence guard, the only basket-sized table; the rest are
-   * item-cardinality-sized). [[appendToBasketTables]] folds new WHOLE
-   * baskets in O(batch); [[basketStats]] derives support/confidence/lift
-   * identical to a fresh [[coOccurrence]] over the full history (counts
-   * are additive over disjoint baskets — the append entry shares the
-   * from-scratch oracle).
+   * Materialize the maintained market-basket state as ONE appendable fact
+   * table `{table}_facts` (kind, a, b, n): kind='pair' rows carry
+   * per-batch pair-count deltas, kind='item' rows per-batch item-count
+   * deltas, and kind='basket' rows the seen basket ids (the idempotence
+   * guard). Keeping all three record kinds in a single table is what makes
+   * [[appendToBasketTables]] a SINGLE atomic commit — there is no ordering
+   * of table swaps for a crash to land between (the defect class of a
+   * pairs → items → guard sequence: a crash after the count merges but
+   * before the guard insert lets a retry double-count the batch), and a
+   * reader can never see pair and item counts from different generations.
+   *
+   * [[appendToBasketTables]] folds new WHOLE baskets in O(batch);
+   * [[basketStats]] derives support/confidence/lift identical to a fresh
+   * [[coOccurrence]] over the full history (counts are additive over
+   * disjoint baskets — the append entry shares the from-scratch oracle);
+   * [[compactBasketTables]] folds accumulated delta generations into one.
    */
   def materializeBasketTables(
       df: DataFrame,
@@ -677,20 +704,19 @@ object Analytics {
       table: String
   ): Unit = {
     val items = basketItems(df, basketCol, itemCol).localCheckpoint()
-    Bucketing.materializePlain(basketPairs(items), s"${table}_pairs")
-    Bucketing.materializePlain(
-      items.groupBy(col("__i").as("item")).agg(count(lit(1)).as("c")), s"${table}_items")
-    Bucketing.materializePlain(
-      items.select(col("__b").as("basket")).distinct(), s"${table}_baskets")
+    Bucketing.materializePlain(basketFactRows(items), s"${table}_facts")
   }
 
-  /** Fold new baskets into [[materializeBasketTables]] state: already-seen
-    * basket ids anti-join away (idempotent re-ingest), the batch's pair and
-    * item counts ADD into the stored tables, and the basket-id guard grows
-    * by insertInto. Per-tick cost: O(batch) + O(items²) merge — history is
-    * never re-paired. Baskets must arrive WHOLE (all items in one batch);
-    * a split basket would miss its cross-batch pairs, same contract as any
-    * transactional rollup. */
+  /** Fold new baskets into [[materializeBasketTables]] state with ONE
+    * idempotent commit: already-seen basket ids anti-join away against the
+    * table's kind='basket' rows (a column-pruned scan), and the batch's
+    * pair deltas, item deltas, and guard rows land in a single insertInto.
+    * A crash before the insert commits nothing; after it, everything — a
+    * retry either re-appends the whole batch (pre-crash) or anti-joins it
+    * entirely away (post-crash). Per-tick cost: O(batch) compute + one
+    * append — history is never re-paired. Baskets must arrive WHOLE (all
+    * items in one batch); a split basket would miss its cross-batch pairs,
+    * same contract as any transactional rollup. */
   def appendToBasketTables(
       batch: DataFrame,
       basketCol: String,
@@ -698,36 +724,55 @@ object Analytics {
       table: String
   ): Unit = {
     val spark = batch.sparkSession
-    val known = spark.table(s"${table}_baskets").select(col("basket").as("__b"))
+    val known = spark.table(s"${table}_facts")
+      .filter(col("kind") === "basket").select(col("a").as("__bs"))
     val items = basketItems(batch, basketCol, itemCol)
-      .join(known, Seq("__b"), "left_anti")
+      .withColumn("__bs", col("__b").cast("string"))
+      .join(known, Seq("__bs"), "left_anti")
+      .drop("__bs")
       .localCheckpoint()
-    val mergedPairs = spark.table(s"${table}_pairs")
-      .unionByName(basketPairs(items))
-      .groupBy(col("item_a"), col("item_b"))
-      .agg(sum(col("pair_count")).as("pair_count"))
-      .localCheckpoint() // materialize BEFORE the swap drops the table it reads
-    Bucketing.materializePlain(mergedPairs, s"${table}_pairs")
-    val mergedItems = spark.table(s"${table}_items")
-      .unionByName(items.groupBy(col("__i").as("item")).agg(count(lit(1)).as("c")))
-      .groupBy(col("item")).agg(sum(col("c")).as("c"))
-      .localCheckpoint()
-    Bucketing.materializePlain(mergedItems, s"${table}_items")
-    items.select(col("__b").as("basket")).distinct().write.insertInto(s"${table}_baskets")
+    basketFactRows(items)
+      .select(spark.table(s"${table}_facts").columns.map(col).toSeq: _*)
+      .write.insertInto(s"${table}_facts")
   }
 
-  /** Support/confidence/lift from the maintained basket tables — the same
-    * output (and integer grid) as a fresh [[coOccurrence]] over everything
-    * the tables have absorbed. */
+  /** Rewrite the fact table with its delta generations folded (pair/item
+    * rows summed per key, guard rows deduped) — read-side maintenance when
+    * many appends have accumulated; stats are identical before and after.
+    * Uses the standing drop-and-rewrite swap: a crash mid-swap loses the
+    * table LOUDLY (next read fails), never silently corrupts counts. */
+  def compactBasketTables(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String
+  ): Unit = {
+    val folded = spark.table(s"${table}_facts")
+      .groupBy(col("kind"), col("a"), col("b"))
+      .agg(sum(col("n")).as("n"))
+      .select(col("kind"), col("a"), col("b"),
+        when(col("kind") === "basket", lit(1L)).otherwise(col("n")).as("n"))
+      .localCheckpoint() // materialize BEFORE the swap drops the table it reads
+    Bucketing.materializePlain(folded, s"${table}_facts")
+  }
+
+  /** Support/confidence/lift from the maintained basket fact table — the
+    * same output (and integer grid) as a fresh [[coOccurrence]] over
+    * everything the table has absorbed. Reads ONE localCheckpointed
+    * snapshot of the single table, so the pair counts, item counts, and
+    * basket total always come from the same generation even under a
+    * concurrent append. */
   def basketStats(
       spark: org.apache.spark.sql.SparkSession,
       table: String,
       minSupport: Long
   ): DataFrame = {
     require(minSupport >= 1, "minSupport must be at least 1")
-    val totals = spark.table(s"${table}_baskets").agg(count(lit(1)).as("__n"))
-    val itemCounts = spark.table(s"${table}_items")
-    spark.table(s"${table}_pairs")
+    val facts = spark.table(s"${table}_facts").localCheckpoint()
+    val totals = facts.filter(col("kind") === "basket").agg(count(lit(1)).as("__n"))
+    val itemCounts = facts.filter(col("kind") === "item")
+      .groupBy(col("a").as("item")).agg(sum(col("n")).as("c"))
+    facts.filter(col("kind") === "pair")
+      .groupBy(col("a").as("item_a"), col("b").as("item_b"))
+      .agg(sum(col("n")).as("pair_count"))
       .filter(col("pair_count") >= minSupport)
       .join(itemCounts.select(col("item").as("item_a"), col("c").as("__ca")), Seq("item_a"))
       .join(itemCounts.select(col("item").as("item_b"), col("c").as("__cb")), Seq("item_b"))
@@ -744,10 +789,12 @@ object Analytics {
    * α = 1∕2^k: e₀ = y₀, e_t = (y_t + (2^k−1)·e_{t−1}) >> k over the key's
    * observed days in order — the "current level" stat behind smoothed
    * dashboards and drift baselines, with the whole recurrence in integer
-   * arithmetic (values quantize to micros; the right-shift IS the floor
-   * division by 2^k), so any engine reproduces it bit-for-bit. Requires
-   * non-negative values (the shift-as-division and the fold seed both
-   * assume it). Output: `(key, n_days, ewma_micro)`.
+   * arithmetic (values quantize to micros; the arithmetic right-shift IS
+   * the floor division by 2^k, for negative levels too), so any engine
+   * reproduces it bit-for-bit. The fold seeds from the first element via
+   * element_at/slice (no sentinel), so negative daily totals fold
+   * correctly rather than silently re-seeding mid-series.
+   * Output: `(key, n_days, ewma_micro)`.
    *
    * Scale shape: the (key, day) pre-aggregate is the only event-sized
    * shuffle; the fold runs over each key's DAY-GRAINED series (bounded by
@@ -768,13 +815,15 @@ object Analytics {
       .agg(sum(floor(col(valueCol) * lit(1000000.0)).cast("long")).as("__y"))
       .groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(col("__day"), col("__y")))).as("__seq"))
+      .select(col(keyCol),
+        transform(col("__seq"), s => s.getField("__y")).as("__ys"))
       .select(
         col(keyCol),
-        size(col("__seq")).cast("long").as("n_days"),
+        size(col("__ys")).cast("long").as("n_days"),
         aggregate(
-          transform(col("__seq"), s => s.getField("__y")),
-          lit(-1L), // sentinel: the first day seeds the level (values are >= 0)
-          (acc, y) => when(acc < 0L, y).otherwise(shiftright(y + lit(mul) * acc, k))
+          slice(col("__ys"), lit(2), size(col("__ys")) - 1),
+          element_at(col("__ys"), 1), // the first day seeds the level
+          (acc, y) => shiftright(y + lit(mul) * acc, k)
         ).as("ewma_micro"))
   }
 
@@ -869,7 +918,11 @@ object Analytics {
    * days in order, with μ the key's own mean daily total (integer floor)
    * and the alarm threshold a percentage of μ — "has this stream's volume
    * drifted UP from its own baseline, when, and how hard", as integers an
-   * engine can replay. Output: `(key, n_days, mu_micro, final_s, max_s,
+   * engine can replay. Requires NON-NEGATIVE values (enforced:
+   * negative-value events are excluded up front) — μ = Σy ∕ n uses `DIV`,
+   * which truncates toward zero, while a floor-division engine floors, so
+   * a negative daily-total sum would put the two engines one grid unit
+   * apart. Output: `(key, n_days, mu_micro, final_s, max_s,
    * n_alarms)` where `n_alarms` counts days with S > threshold.
    *
    * Scale shape: identical to [[ewmaDaily]]/[[holtDaily]] — one (key,
@@ -887,7 +940,7 @@ object Analytics {
     require(thresholdPctOfMu >= 1 && slackMicro >= 0L,
       "need thresholdPctOfMu >= 1 and slackMicro >= 0")
     val agg0 = events
-      .filter(col(tsCol).isNotNull)
+      .filter(col(tsCol).isNotNull && col(valueCol) >= 0)
       .groupBy(col(keyCol), to_date(col(tsCol)).as("__day"))
       .agg(sum(floor(col(valueCol) * lit(1000000.0)).cast("long")).as("__y"))
       .groupBy(col(keyCol))

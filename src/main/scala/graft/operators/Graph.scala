@@ -168,9 +168,11 @@ object Graph {
    * edges plus two left-semi prunes — each round's state localCheckpoints
    * so lineage stays flat; rounds are bounded by `maxIter` (peeling depth
    * in practice is far below it — geometric/social graphs converge in a
-   * handful of rounds; the entry's oracle unrolls more rounds than the
-   * fixture needs and the extra rounds are no-ops past the fixpoint). The
-   * driver-side loop only moves edge COUNTS, never edges.
+   * handful of rounds; the entry's oracle unrolls TEN rounds, a bound that
+   * must stay at or above the fixture's actual peel depth — the extra
+   * rounds are no-ops past the fixpoint, and a maxIter exit before
+   * fixpoint throws rather than silently returning a k-core superset).
+   * The driver-side loop only moves edge COUNTS, never edges.
    */
   def kCore(
       edges: DataFrame,
@@ -206,6 +208,12 @@ object Graph {
       n = m
       iter += 1
     }
+    // A maxIter exit would return a SUPERSET of the true k-core (the final
+    // degree filter would run over a partially peeled edge set) — fail loud
+    // rather than silently over-report.
+    require(done,
+      s"kCore did not reach fixpoint within maxIter=$maxIter peel rounds " +
+        s"($n edges still shrinking) — raise maxIter")
     degrees(canon).filter(col("degree") >= k)
   }
 

@@ -44,6 +44,10 @@ object Skew {
     require(salt >= 2, "salt must be at least 2 (1 is the plain join)")
     require(Seq("inner", "left_semi", "leftsemi").contains(joinType.toLowerCase),
       s"salting only preserves inner/left-semi semantics, got $joinType")
+    // withColumn would silently OVERWRITE a caller's __salt column (and the
+    // final drop would then remove it from the output)
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "inputs must not already carry a __salt column")
     val bigS = big.withColumn("__salt", pmod(hash(saltBy), lit(salt)))
     val smallS = small.withColumn("__salt",
       explode(array((0 until salt).map(lit(_)): _*)))

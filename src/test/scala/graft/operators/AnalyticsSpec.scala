@@ -261,9 +261,55 @@ class AnalyticsSpec extends SparkSpec {
       // re-ingesting already-seen baskets changes nothing
       Analytics.appendToBasketTables(h2, "basket", "item", "spec_basket")
       assert(stats === fresh)
+      // the state surface is ONE table — there is no multi-table commit
+      // ordering for a crash to land between
+      assert(spark.catalog.tableExists("spec_basket_facts"))
+      assert(!spark.catalog.tableExists("spec_basket_pairs"))
+      assert(!spark.catalog.tableExists("spec_basket_items"))
+      assert(!spark.catalog.tableExists("spec_basket_baskets"))
+      // compaction folds the delta generations without changing stats
+      Analytics.compactBasketTables(spark, "spec_basket")
+      assert(stats === fresh)
+      assert(spark.table("spec_basket_facts").count() ===
+        fresh.size + 3 /* items A,B,C */ + 4 /* basket guards */)
     } finally {
-      Seq("spec_basket_pairs", "spec_basket_items", "spec_basket_baskets")
-        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.sql("DROP TABLE IF EXISTS spec_basket_facts")
+    }
+  }
+
+  test("basket append: crash/retry at ANY point never double-counts") {
+    // The fix for the pairs -> items -> guard three-commit sequence: the
+    // append is ONE insertInto, so a "crash" either committed the whole
+    // batch or none of it. Simulate both retry regimes and check stats
+    // against a fresh coOccurrence each time.
+    val h1 = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "C")).toDF("basket", "item")
+    val h2 = Seq((3L, "A"), (3L, "B"), (4L, "B"), (4L, "C")).toDF("basket", "item")
+    def statsOf(table: String) = Analytics.basketStats(spark, table, minSupport = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    def freshOf(df: org.apache.spark.sql.DataFrame) =
+      Analytics.coOccurrence(df, "basket", "item", minSupport = 1)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    try {
+      Analytics.materializeBasketTables(h1, "basket", "item", "spec_bcrash")
+      // regime 1: crash BEFORE the commit (nothing landed) -> retry ingests
+      // the batch once. Equivalent to simply... not having called append;
+      // the retry is the first real ingest.
+      Analytics.appendToBasketTables(h2, "basket", "item", "spec_bcrash")
+      assert(statsOf("spec_bcrash") === freshOf(h1.unionByName(h2)))
+      // regime 2: crash AFTER the commit but before the caller saw the ack
+      // -> the retry re-runs the SAME append; the guard rows (committed in
+      // the same insert as the counts) anti-join the whole batch away.
+      Analytics.appendToBasketTables(h2, "basket", "item", "spec_bcrash")
+      Analytics.appendToBasketTables(h2, "basket", "item", "spec_bcrash")
+      assert(statsOf("spec_bcrash") === freshOf(h1.unionByName(h2)))
+      // and a retry BATCH overlapping seen baskets folds in only the new ones
+      val h3 = Seq((4L, "B"), (4L, "C"), (5L, "A"), (5L, "C")).toDF("basket", "item")
+      Analytics.appendToBasketTables(h3, "basket", "item", "spec_bcrash")
+      assert(statsOf("spec_bcrash") === freshOf(h1.unionByName(h2).unionByName(h3)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS spec_bcrash_facts")
     }
   }
 
