@@ -492,6 +492,102 @@ object SparkEntry {
               (lit(1) - col("l_discount").cast("decimal(18,2)"))
           ).cast("double").as("revenue"))
     },
+    // ---- q4 shape (EXISTS decorrelation): the correlated EXISTS becomes
+    // a LEFT-SEMI join on the correlation key — orders sees each matching
+    // lineitem ONCE regardless of multiplicity, and the probe side carries
+    // only the slim (orderkey) projection. No commitdate/receiptdate in
+    // this schema, so "late" is surrogate-keyed by returnflag = 'R'.
+    "q4_order_priority" -> { (s, dir) =>
+      val flagged = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+        .join(flagged, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    // ---- q17 shape (correlated scalar-aggregate decorrelation): the
+    // per-part avg subquery becomes ONE partkey-grained aggregate joined
+    // back to the restricted fact rows. The brand filter broadcasts to the
+    // fact scan FIRST, so the aggregate runs over the brand's rows only,
+    // never all of lineitem. The 0.2·avg comparison cross-multiplies
+    // (5·qty·n < Σqty, exact decimals) so no engine-specific division
+    // rounding can leak into the predicate.
+    "q17_small_quantity" -> { (s, dir) =>
+      val parts = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#4" && col("p_size").between(1, 10))
+        .select(col("p_partkey"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      val perPart = li.groupBy(col("l_partkey").as("__pk"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("__sq"),
+          count(lit(1)).as("__n"))
+      li.join(perPart, col("l_partkey") === col("__pk"))
+        .filter(col("l_quantity").cast("decimal(18,2)") * lit(5) * col("__n") < col("__sq"))
+        .agg((coalesce(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"),
+          lit(0.0)) / lit(7.0)).as("avg_yearly"))
+    },
+    // ---- q21 shape (EXISTS + NOT EXISTS on the same fact): both
+    // subqueries decorrelate to orderkey-equi joins with a suppkey
+    // inequality RESIDUAL — a left-semi ("some OTHER supplier also
+    // shipped") then a left-anti ("no OTHER supplier was flagged") over
+    // slim (orderkey, suppkey) projections; never a nested loop.
+    "q21_waiting_supplier" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val flagged = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val l1 = flagged
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+      l1
+        .join(li.select(col("l_orderkey").as("__ok2"), col("l_suppkey").as("__sk2")),
+          col("l_orderkey") === col("__ok2") && col("l_suppkey") =!= col("__sk2"),
+          "left_semi")
+        .join(flagged.select(col("l_orderkey").as("__ok3"), col("l_suppkey").as("__sk3")),
+          col("l_orderkey") === col("__ok3") && col("l_suppkey") =!= col("__sk3"),
+          "left_anti")
+        .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    },
+    // ---- q22 shape (NOT EXISTS + global scalar subquery): the scalar
+    // "avg positive balance" is one broadcast row; the NOT EXISTS on
+    // orders is a LEFT-ANTI join on custkey whose date predicate pushes
+    // to the orders scan (every customer here HAS orders, so "idle" means
+    // no RECENT orders). The avg comparison cross-multiplies (bal·n >
+    // Σbal, exact decimals) — same division-free predicate discipline as
+    // q17. Segments stand in for the schema's missing phone prefixes.
+    "q22_idle_customers" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY", "FURNITURE"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val stats = cust.filter(col("c_acctbal") > 0)
+        .agg(
+          sum(col("c_acctbal").cast("decimal(18,2)")).as("__sb"),
+          count(lit(1)).as("__nb"))
+      cust
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1999-01-01 00:00:00")))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(stats))
+        .filter(col("c_acctbal").cast("decimal(18,2)") * col("__nb") > col("__sb"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
+        .orderBy(col("c_mktsegment"))
+    },
     // ---- salted equi-join: the hot-key spreading plan — big side salts
     // deterministically, small side replicates salt-ways, semantics stay
     // EXACTLY the plain join (shares a plain-join oracle). SkewSpec pins
@@ -4668,6 +4764,60 @@ object SparkEntry {
         |     (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
         |  OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
         |  OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40))""".stripMargin,
+    // q4: the EXISTS is genuinely correlated — DuckDB decorrelates it the
+    // same way the entry does by hand (semi join on the correlation key).
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // q17: correlated scalar avg, cross-multiplied (5*qty*n < sum) so both
+    // engines compare exact decimals instead of divided averages.
+    "q17_small_quantity" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 10),
+        |pp AS (SELECT l_partkey AS pk,
+        |              sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+        |              count(*) AS n
+        |       FROM li GROUP BY 1)
+        |SELECT CAST(coalesce(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 0) AS DOUBLE) / 7.0
+        |         AS avg_yearly
+        |FROM li JOIN pp ON l_partkey = pk
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n < sq""".stripMargin,
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    // q22: bal·n > Σbal replaces bal > avg(bal) — division-free, exact.
+    "q22_idle_customers" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |  WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY', 'FURNITURE')),
+        |st AS (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sb, count(*) AS nb
+        |       FROM cust WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, count(*) AS numcust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM cust CROSS JOIN st
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * nb > sb
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // Salting is pure execution strategy: the oracle is the PLAIN join.
     "salted_join" ->
       """SELECT o_orderpriority,

@@ -86,6 +86,32 @@ class PlanSpec extends SparkSpec {
       "q5 lineitem scan reads more than the 4 needed columns:\n" + q5)
   }
 
+  test("decorrelated classics (q4/q17/q21/q22) run as semi/anti hash joins, never nested loops") {
+    // The EXISTS / NOT EXISTS / correlated-scalar family must decorrelate
+    // to orderkey-equi semi/anti joins (the suppkey inequality in q21 is a
+    // RESIDUAL on a hash join) — a CartesianProduct or NestedLoop here
+    // means the predicate fell out of the equi-join condition.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val q4 = formatted(graft.SparkEntry.queries("q4_order_priority")(spark, dir))
+    assert(q4.contains("LeftSemi"), q4)
+    assert(!q4.contains("CartesianProduct") && !q4.contains("NestedLoop"), q4)
+    val q17 = formatted(graft.SparkEntry.queries("q17_small_quantity")(spark, dir))
+    assert(!q17.contains("CartesianProduct") && !q17.contains("NestedLoop"), q17)
+    val q21 = formatted(graft.SparkEntry.queries("q21_waiting_supplier")(spark, dir))
+    assert(q21.contains("LeftSemi"), q21)
+    assert(q21.contains("LeftAnti"), q21)
+    assert(!q21.contains("CartesianProduct") && !q21.contains("NestedLoop"), q21)
+    val q22 = formatted(graft.SparkEntry.queries("q22_idle_customers")(spark, dir))
+    assert(q22.contains("LeftAnti"), q22)
+    assert(!q22.contains("CartesianProduct"), q22)
+    // the one nested-loop in q22 is the deliberate 1-row scalar CROSS
+    // broadcast — a NestedLoop with any OTHER join type (a real
+    // decorrelation fallback) still fails
+    assert("NestedLoopJoin (?!Cross)[A-Z]".r.findFirstIn(q22).isEmpty, q22)
+    assert(q22.contains("Join type: Cross") || q22.contains("NestedLoopJoin Cross"), q22)
+  }
+
   test("filters and projections push down into parquet scans") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan2-")
     spark.range(1000).select(
