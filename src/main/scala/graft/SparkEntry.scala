@@ -935,6 +935,54 @@ object SparkEntry {
       graft.operators.Sketches.kmvStats(s.table("graft_kmv_dau"), Seq("event_type"), 128)
         .orderBy(col("event_type"))
     },
+    // ---- deterministic rank/quantile sketch: a hash-subsample at level
+    // L (keep iff h % 2^L == 0 — a pure map-side FILTER, no shuffle of
+    // data rows) plus the exact count; quantile φ reads the first sample
+    // whose estimated rank i·2^L reaches ⌊φ·n⌋. The quantile tool when no
+    // a-priori binWidth exists for hist_quantiles.
+    "rank_sketch_quantiles" -> { (s, dir) =>
+      graft.operators.Sketches.rankSketchQuantiles(
+        graft.operators.Sketches.rankSketch(events(s, dir), "value", "event_id", level = 4),
+        Seq(250000L, 500000L, 750000L, 900000L))
+        .orderBy(col("phi_micro"))
+    },
+    // ---- the same estimates via the MERGE path, from sketches built at
+    // DIFFERENT levels (3 and 4): the coarser side re-filters to the max
+    // level, so the merge is EXACTLY a fresh level-4 sketch over the
+    // union — shares rank_sketch_quantiles' from-scratch oracle.
+    "rank_sketch_merge" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val a = graft.operators.Sketches.rankSketch(
+        ev.filter(col("event_id") % 2 === 0), "value", "event_id", level = 3)
+      val b = graft.operators.Sketches.rankSketch(
+        ev.filter(col("event_id") % 2 =!= 0), "value", "event_id", level = 4)
+      graft.operators.Sketches.rankSketchQuantiles(
+        graft.operators.Sketches.rankSketchMerge(a, b),
+        Seq(250000L, 500000L, 750000L, 900000L))
+        .orderBy(col("phi_micro"))
+    },
+    // ---- the sketch as MAINTAINED STATE: one half materializes, the
+    // other folds in with a single-insertInto append (batch-id guard in
+    // the same commit — the basket-fact discipline), and a retried append
+    // of the same batch id is exercised IN-ENTRY as a no-op. Shares the
+    // from-scratch oracle.
+    "rank_sketch_append" -> { (s, dir) =>
+      Fixtures.cached(s"rank_sketch_table|$dir") {
+        val ev = events(s, dir)
+        graft.operators.Sketches.materializeRankSketchTable(
+          ev.filter(col("event_id") % 2 === 0), "value", "event_id", 4, "graft_rank_sketch")
+        graft.operators.Sketches.appendToRankSketchTable(
+          ev.filter(col("event_id") % 2 =!= 0), "value", "event_id",
+          "graft_rank_sketch", batchId = "odd-half")
+        graft.operators.Sketches.appendToRankSketchTable(
+          ev.filter(col("event_id") % 2 =!= 0), "value", "event_id",
+          "graft_rank_sketch", batchId = "odd-half") // retried append: guard no-op
+        java.lang.Boolean.TRUE
+      }
+      graft.operators.Sketches.rankSketchQuantiles(
+        s.table("graft_rank_sketch"), Seq(250000L, 500000L, 750000L, 900000L))
+        .orderBy(col("phi_micro"))
+    },
     // ---- HyperLogLog distinct sketch: distinct parts per return flag
     // from O(m)=4096 registers per key — the fixed-size cardinality
     // sibling of KMV (whose state grows with k). The shuffle is keys·m-
@@ -4397,6 +4445,28 @@ object SparkEntry {
       |FROM r WHERE rn <= 128
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Shared by the three rank_sketch_* entries: the hash-subsample filter
+    * (h % 2^4 == 0) is order-free and merge re-filters to the max level,
+    * so build, merge-of-mixed-levels, and maintained-table paths all
+    * reproduce this from-scratch level-4 recomputation exactly. */
+  private val rankSketchOracle: String =
+    """WITH f AS (SELECT value, CAST(event_id AS VARCHAR) AS tie FROM events
+      |           WHERE value IS NOT NULL AND event_id IS NOT NULL),
+      |tot AS (SELECT count(*) AS nt FROM f),
+      |samp AS (SELECT value, tie,
+      |           row_number() OVER (ORDER BY value, tie) AS i
+      |         FROM f
+      |         WHERE ('0x' || substring(md5('rk:' || tie), 1, 15))::BIGINT % 16 = 0),
+      |phis AS (SELECT CAST(unnest([250000, 500000, 750000, 900000]) AS BIGINT) AS phi_micro)
+      |SELECT phi_micro, CAST(nt AS BIGINT) AS n_total,
+      |       count(*) AS sample_size,
+      |       coalesce(
+      |         min(CASE WHEN i * 16 >= greatest(1, (phi_micro * nt) // 1000000)
+      |                  THEN value END),
+      |         max(value)) AS q_est
+      |FROM phis CROSS JOIN tot CROSS JOIN samp
+      |GROUP BY phi_micro, nt ORDER BY phi_micro""".stripMargin
+
   /** HLL register + estimator recomputation over a (key, value-expr)
     * source — same portable hash, same two-branch estimator on the 1e-6
     * grid. Sums cast back to BIGINT (DuckDB widens SUM to HUGEINT). */
@@ -5368,6 +5438,9 @@ object SparkEntry {
     "kmv_distinct" -> kmvOracle,
     "kmv_distinct_merge" -> kmvOracle, // exact merge ≡ fresh sketch
     "kmv_distinct_append" -> kmvOracle, // stored+appended table ≡ fresh sketch
+    "rank_sketch_quantiles" -> rankSketchOracle,
+    "rank_sketch_merge" -> rankSketchOracle, // re-filter merge ≡ fresh sketch
+    "rank_sketch_append" -> rankSketchOracle, // maintained table ≡ fresh sketch
     "hll_distinct" ->
       hllOracle("lineitem", "l_returnflag", "CAST(l_partkey AS VARCHAR)"),
     "hll_distinct_merge" -> hllEventsOracle, // register-max merge ≡ fresh sketch

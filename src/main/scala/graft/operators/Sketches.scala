@@ -391,4 +391,161 @@ object Sketches {
       .agg(min(col("bucket")).as("bucket"))
       .withColumn("q_est", col("bucket").cast("double") * lit(binWidth))
   }
+
+  // ------------------------------------------------------- rank sketch
+
+  /** Portable 60-bit hash for the rank sketch's row identity.
+    * DuckDB replica: `('0x' || substring(md5('rk:' || tie), 1, 15))::BIGINT`. */
+  private def rkHash(tie: Column): Column =
+    conv(substring(md5(concat(lit("rk:"), tie.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /**
+   * Deterministic mergeable RANK/QUANTILE sketch — the quantile tool when
+   * the value range is unknown a priori (the gap [[histQuantiles]] leaves:
+   * it needs a binWidth chosen up front). The sketch is a hash-subsample
+   * at a fixed `level` L: a row survives iff its identity hash h satisfies
+   * `h % 2^L == 0` (≡ L trailing zero bits — pure integer arithmetic, so
+   * any engine reproduces the sample EXACTLY; no RNG, no order
+   * dependence), alongside the exact row count. Estimated rank of the
+   * i-th smallest sample value is i·2^L; expected rank error at quantile
+   * φ is O(√(2^L·φn)) (binomial sampling), so L trades state for ε like
+   * any rank sketch — but unlike GK/KLL the compaction is a pure FILTER,
+   * which is what makes merge exact and the DuckDB oracle a from-scratch
+   * replica (the sampling idea is classical — Vitter 1985 reservoirs,
+   * mergeable-summaries Agarwal et al. 2012 §3 random sampling — with the
+   * random bits replaced by a portable hash).
+   *
+   * Sketch layout (one frame, the single-commit fact-table discipline):
+   * kind='s' sample rows (value, tie), kind='n' exact-count rows (n
+   * additive), kind='l' the level, kind='b' append batch-id guards.
+   *
+   * Scale shape: the sketch pass is a map-only filter + one count
+   * aggregate — no shuffle of data rows at all; sample size n∕2^L is the
+   * user's lever (pick L so the sample is executor-sized at the target
+   * corpus).
+   */
+  def rankSketch(
+      df: DataFrame,
+      valueCol: String,
+      tieCol: String,
+      level: Int
+  ): DataFrame = {
+    require(level >= 0 && level <= 40, "level must lie in [0, 40]")
+    val f = df.filter(col(valueCol).isNotNull && col(tieCol).isNotNull)
+    val samples = f
+      .filter(rkHash(col(tieCol)) % lit(1L << level) === 0L)
+      .select(lit("s").as("kind"), col(valueCol).cast("double").as("value"),
+        col(tieCol).cast("string").as("tie"), lit(1L).as("n"))
+    val cnt = f.agg(count(lit(1)).as("n"))
+      .select(lit("n").as("kind"), lit(null).cast("double").as("value"),
+        lit(null).cast("string").as("tie"), col("n"))
+    val lvl = samples.sparkSession.range(1)
+      .select(lit("l").as("kind"), lit(null).cast("double").as("value"),
+        lit(null).cast("string").as("tie"), lit(level.toLong).as("n"))
+    samples.unionByName(cnt).unionByName(lvl)
+  }
+
+  /** The stored level of a rank sketch — a bounded single-row aggregate
+    * (sketches hold one 'l' row per build/merge; max is the contract). */
+  private def rankSketchLevel(sketch: DataFrame): Int =
+    sketch.filter(col("kind") === "l").agg(max(col("n"))).collect()(0).getLong(0).toInt
+
+  /** Merge two rank sketches, possibly built at DIFFERENT levels: the
+    * target level is the max of the two, and the coarser side's samples
+    * RE-FILTER by recomputing the identity hash (h % 2^Lmax == 0 selects
+    * an exact subset of h % 2^Lmin == 0), so the merged sketch is
+    * IDENTICAL to a fresh level-Lmax sketch over the concatenated inputs
+    * — the KMV-style exactness that lets merge/append entries share the
+    * from-scratch oracle. Counts add; guard rows pass through. */
+  def rankSketchMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    val lvl = math.max(rankSketchLevel(a), rankSketchLevel(b))
+    val u = a.unionByName(b)
+    val kept = u
+      .filter(col("kind") =!= "l")
+      .filter(col("kind") =!= "s" || rkHash(col("tie")) % lit(1L << lvl) === 0L)
+    val lrow = u.sparkSession.range(1)
+      .select(lit("l").as("kind"), lit(null).cast("double").as("value"),
+        lit(null).cast("string").as("tie"), lit(lvl.toLong).as("n"))
+    kept.unionByName(lrow)
+  }
+
+  /**
+   * Quantile estimates from a [[rankSketch]]: for each φ (on the 1e-6
+   * integer grid), the smallest sample value whose estimated rank i·2^L
+   * reaches target max(1, ⌊φ·n⌋), falling back to the sample max when the
+   * sample's rank mass runs short — every step integer, so the oracle
+   * replicates it exactly. Output: `(phi_micro, n_total, sample_size,
+   * q_est)`.
+   *
+   * Scale shape: one sample-sized sort window (the row_number) — bounded
+   * by n∕2^L, the user's lever — then a φ-broadcast aggregate.
+   */
+  def rankSketchQuantiles(sketch: DataFrame, phisMicro: Seq[Long]): DataFrame = {
+    require(phisMicro.nonEmpty && phisMicro.forall(p => p > 0L && p <= 1000000L),
+      "quantile targets must lie in (0, 1] on the micro grid")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val lvl = rankSketchLevel(sketch)
+    val total = sketch.filter(col("kind") === "n")
+      .agg(coalesce(sum(col("n")), lit(0L)).as("__nt"))
+    val samp = sketch.filter(col("kind") === "s")
+      .withColumn("__i",
+        row_number().over(Window.orderBy(col("value"), col("tie"))).cast("long"))
+    phisMicro.toDF("phi_micro")
+      .crossJoin(broadcast(total))
+      .crossJoin(samp)
+      .withColumn("__tgt", greatest(lit(1L), expr("(phi_micro * __nt) DIV 1000000L")))
+      .groupBy(col("phi_micro"), col("__nt"))
+      .agg(
+        count(lit(1)).as("sample_size"),
+        coalesce(
+          min(when(col("__i") * lit(1L << lvl) >= col("__tgt"), col("value"))),
+          max(col("value"))).as("q_est"))
+      .select(col("phi_micro"), col("__nt").as("n_total"),
+        col("sample_size"), col("q_est"))
+  }
+
+  /** Materialize a [[rankSketch]] as a managed table — the quantile
+    * member of the O(batch) maintenance family. */
+  def materializeRankSketchTable(
+      df: DataFrame,
+      valueCol: String,
+      tieCol: String,
+      level: Int,
+      table: String
+  ): Unit =
+    Bucketing.materializePlain(rankSketch(df, valueCol, tieCol, level), table)
+
+  /** Fold a new batch into a stored rank-sketch table with ONE idempotent
+    * commit: the batch sketches at the table's stored level, and its
+    * sample rows, exact-count row, and a kind='b' batch-id guard row land
+    * in a single insertInto — a crash either committed the whole batch or
+    * none of it, and a retried `batchId` short-circuits on the guard (the
+    * same single-commit discipline as the basket fact table). Per-tick
+    * cost: one map-only filter over the batch + one append; history is
+    * never re-read. [[rankSketchQuantiles]] over the table equals a fresh
+    * sketch of the full history (the filter is order-free). */
+  def appendToRankSketchTable(
+      batch: DataFrame,
+      valueCol: String,
+      tieCol: String,
+      table: String,
+      batchId: String
+  ): Unit = {
+    val spark = batch.sparkSession
+    val seen = spark.table(table)
+      .filter(col("kind") === "b" && col("tie") === batchId)
+      .limit(1).count() // bounded: 0 or 1 guard rows per batch id
+    if (seen > 0) return
+    val lvl = rankSketchLevel(spark.table(table))
+    val guard = spark.range(1)
+      .select(lit("b").as("kind"), lit(null).cast("double").as("value"),
+        lit(batchId).as("tie"), lit(1L).as("n"))
+    rankSketch(batch, valueCol, tieCol, lvl)
+      .filter(col("kind") =!= "l") // the table already carries its level row
+      .unionByName(guard)
+      .select(spark.table(table).columns.map(col).toSeq: _*)
+      .write.insertInto(table)
+  }
 }

@@ -132,6 +132,78 @@ class SketchesSpec extends SparkSpec {
     assert(m === fresh)
   }
 
+  test("rankSketch: quantile estimates within the sampling rank-error bound of exact") {
+    // 8000 rows, unique ties, values a fixed permutation of 1..8000. At
+    // level L=4 the expected rank error at φ is O(√(2^L·φn)) ≈ 360 rows;
+    // assert a 3σ-ish bound of 0.15·n. The sketch is DETERMINISTIC (hash
+    // subsample), so this is a stable regression pin, not a flaky
+    // statistical test.
+    val n = 8000
+    val rows = (1 to n).map(i => ((i * 4973 % n + 1).toDouble, i.toLong))
+    val df = rows.toDF("v", "id")
+    val phis = Seq(250000L, 500000L, 750000L, 900000L)
+    val out = Sketches.rankSketchQuantiles(
+      Sketches.rankSketch(df, "v", "id", level = 4), phis)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val sorted = rows.map(_._1).sorted
+    for (phi <- phis) {
+      val est = out(phi)
+      val exactRank = phi * n / 1000000L
+      val estRank = sorted.count(_ <= est)
+      assert(math.abs(estRank - exactRank) <= 0.15 * n,
+        s"phi=$phi est=$est rank=$estRank exact_rank=$exactRank")
+    }
+  }
+
+  test("rankSketchMerge: mixed-level merge equals the fresh sketch at the max level") {
+    val rows = (1 to 3000).map(i => ((i * 911 % 500).toDouble, i.toLong))
+    val df = rows.toDF("v", "id")
+    val a = Sketches.rankSketch(df.filter(col("id") % 2 === 0), "v", "id", level = 2)
+    val b = Sketches.rankSketch(df.filter(col("id") % 2 =!= 0), "v", "id", level = 5)
+    def norm(s: org.apache.spark.sql.DataFrame) =
+      s.collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2))))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    // sample + count rows of the merge == fresh level-5 sketch (counts are
+    // split across two 'n' rows vs one, so compare samples and count SUMS)
+    val m = Sketches.rankSketchMerge(a, b)
+    val fresh = Sketches.rankSketch(df, "v", "id", level = 5)
+    assert(norm(m.filter(col("kind") === "s")) === norm(fresh.filter(col("kind") === "s")))
+    def total(s: org.apache.spark.sql.DataFrame) = s.filter(col("kind") === "n")
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(total(m) === total(fresh))
+    assert(total(m) === 3000L)
+    // and the estimates agree
+    val qm = Sketches.rankSketchQuantiles(m, Seq(500000L)).collect()(0).getDouble(3)
+    val qf = Sketches.rankSketchQuantiles(fresh, Seq(500000L)).collect()(0).getDouble(3)
+    assert(qm === qf)
+  }
+
+  test("appendToRankSketchTable: single-commit append, idempotent on batch id") {
+    val rows = (1 to 2000).map(i => ((i * 733 % 999).toDouble, i.toLong))
+    val df = rows.toDF("v", "id")
+    try {
+      Sketches.materializeRankSketchTable(
+        df.filter(col("id") <= 1000), "v", "id", 3, "spec_rank_sketch")
+      Sketches.appendToRankSketchTable(
+        df.filter(col("id") > 1000), "v", "id", "spec_rank_sketch", "batch-2")
+      def q = Sketches.rankSketchQuantiles(
+        spark.table("spec_rank_sketch"), Seq(250000L, 750000L))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+      val fresh = Sketches.rankSketchQuantiles(
+        Sketches.rankSketch(df, "v", "id", 3), Seq(250000L, 750000L))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+      assert(q === fresh)
+      // a retried append of the same batch id is a no-op (guard row
+      // committed atomically with the batch's samples and count)
+      Sketches.appendToRankSketchTable(
+        df.filter(col("id") > 1000), "v", "id", "spec_rank_sketch", "batch-2")
+      assert(q === fresh)
+      assert(q(250000L)._1 === 2000L) // exact count, not doubled
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS spec_rank_sketch")
+    }
+  }
+
   test("histQuantiles: estimate within binWidth of the exact quantile") {
     val vals = (1 to 997).map(i => (i * 37 % 1000).toDouble / 3.0)
     val df = vals.toDF("v")
