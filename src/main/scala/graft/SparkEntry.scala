@@ -1358,6 +1358,40 @@ object SparkEntry {
       Rollup.read(s, "graft_rollup", Seq("o_totalprice"))
         .orderBy(col("o_orderpriority"))
     },
+    // ---- the rollup's OTHER dashboard column: per-cell distinct users
+    // via HLL registers maintained INSIDE the same table (bucket/r rows
+    // ride through the same atomic offset swap — no second table, no torn
+    // pair). Register max-merge is idempotent AND lossless, so after
+    // three ledger ticks / three refresh generations the estimates must
+    // hash-match a fresh per-cell recomputation, which is what the
+    // oracle does alongside the count/sum GROUP BY.
+    "rollup_distinct_incremental" -> { (s, dir) =>
+      import graft.operators.Rollup
+      Fixtures.cached(s"rollup_distinct|$dir") {
+        val work = java.nio.file.Files.createTempDirectory("graft-rolluphll-")
+        val ds = Dataset.create(s, work.resolve("events"), "events_ledger")
+        val base = events(s, dir)
+          .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+        def tick(batch: DataFrame, iso: String): Unit =
+          IngestWriter.writeBatch(ds, batch, MergeStrategy.Ledger(Seq("event_id")),
+            java.time.Instant.parse(iso).toEpochMilli)
+        def refresh(): Unit =
+          Rollup.refresh(Dataset.open(s, work.resolve("events")), "graft_rollup_hll",
+            dims = Seq("event_type"), sumCols = Seq("value"),
+            distinctCol = Some("user_id"))
+        tick(base.filter(col("event_id") % 3 === 0), "2024-01-01T00:00:00Z")
+        refresh()
+        tick(base.filter(col("event_id") % 3 === 1), "2024-01-02T00:00:00Z")
+        refresh()
+        tick(base.filter(col("event_id") % 3 === 2), "2024-01-03T00:00:00Z")
+        refresh()
+        work
+      }
+      Rollup.read(s, "graft_rollup_hll", Seq("value"))
+        .join(Rollup.readDistinct(s, "graft_rollup_hll", Seq("event_type")),
+          Seq("event_type"))
+        .orderBy(col("event_type"))
+    },
 
     // ---- LLM-pipeline operators (BASELINE.json north star)
     "dedup_exact" -> { (s, dir) =>
@@ -6407,6 +6441,34 @@ object SparkEntry {
         |        AS o_orderpriority, o_totalprice
         |      FROM orders)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Maintained count/sum + per-cell HLL registers ≡ one fresh pass:
+    // counts/sums from GROUP BY, distinct estimates from the same
+    // register recomputation the hll_distinct_* oracles use.
+    "rollup_distinct_incremental" -> {
+      val num = graft.operators.Sketches.HllEstNumerator.toString
+      s"""WITH agg AS (SELECT event_type, count(*) AS n_rows,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         |  FROM events GROUP BY 1),
+         |hx AS (SELECT event_type AS k,
+         |  ('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |reg AS (SELECT k, h >> 48 AS bucket,
+         |  max(CASE WHEN (h & ((1::BIGINT << 48) - 1)) = 0 THEN 49
+         |      ELSE 49 - len(bin(h & ((1::BIGINT << 48) - 1))) END) AS r
+         |  FROM hx GROUP BY k, h >> 48),
+         |a AS (SELECT k, count(*) AS n_buckets,
+         |        CAST(SUM(1::BIGINT << (49 - r)) AS BIGINT) AS ss
+         |      FROM reg GROUP BY k),
+         |e AS (SELECT k, n_buckets, CAST(4096 - n_buckets AS BIGINT) AS n_zero,
+         |        CAST(ss + (4096 - n_buckets) * (1::BIGINT << 49) AS BIGINT) AS s
+         |      FROM a)
+         |SELECT event_type, n_rows, sum_value, n_buckets, n_zero,
+         |  CAST(floor(CASE WHEN CAST($num AS DOUBLE) / CAST(s AS DOUBLE) <= 10240.0 AND n_zero > 0
+         |       THEN 4096.0 * ln(4096.0 / CAST(n_zero AS DOUBLE))
+         |       ELSE CAST($num AS DOUBLE) / CAST(s AS DOUBLE) END * 1000000.0) AS BIGINT)
+         |    AS distinct_est_micro
+         |FROM agg JOIN e ON e.k = agg.event_type ORDER BY event_type""".stripMargin
+    },
     // Two-level per-key rank composes to the plain window rank.
     "topk_per_key" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice, rnk FROM (

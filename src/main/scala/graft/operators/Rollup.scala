@@ -66,15 +66,32 @@ object Rollup {
     * With `cube = true` the table maintains EVERY grouping set of `dims`
     * (the full CUBE plus a `gid` grouping-id column) — weighted partials
     * merge per grouping set exactly like the plain path, so the
-    * maintained cube equals a fresh CUBE over the current state. */
+    * maintained cube equals a fresh CUBE over the current state.
+    *
+    * With `distinctCol = Some(c)` the table ALSO maintains per-cell HLL
+    * registers of `c` ("distinct users per cell" — the other dashboard
+    * column): register rows (dims, bucket, r) ride INSIDE the same table
+    * (bucket/r null on aggregate rows, n_rows/sums null on register rows)
+    * so they move through the SAME atomic swap as the offset — no second
+    * table, no torn pair. Registers merge by max, which is idempotent as
+    * well as associative, so the head-bounded delta composes for free and
+    * [[readDistinct]] equals a fresh per-cell [[Sketches.hllStats]] over
+    * everything ever appended. HLL cannot retract: the distinct column
+    * counts EVER-OBSERVED values (retraction ops still max in, never
+    * subtract) — right for append/ledger datasets, documented drift for
+    * correction streams. */
   def refresh(
       ds: Dataset,
       table: String,
       dims: Seq[String],
       sumCols: Seq[String],
-      cube: Boolean = false
+      cube: Boolean = false,
+      distinctCol: Option[String] = None
   ): Unit = {
     require(dims.nonEmpty, "need at least one dimension")
+    require(distinctCol.isEmpty || !cube,
+      "distinct registers are supported on plain rollups (per-grouping-set " +
+        "registers would multiply state 2^dims-fold; cube the stats reader instead)")
     val spark = ds.spark
     val vocab = ds.vocabulary
     val prev: Option[Long] = lastOffset(spark, table)
@@ -102,11 +119,28 @@ object Rollup {
         val mAggs =
           sum(col("n_rows")).as("n_rows") +:
             sumCols.map(c => sum(col(sumCol(c))).cast("decimal(38,6)").as(sumCol(c)))
-        val existing = spark.table(table).drop(OffsetCol)
+        val existing0 = spark.table(table).drop(OffsetCol)
+        val existing =
+          if (distinctCol.isDefined)
+            existing0.filter(col("bucket").isNull).drop("bucket", "r")
+          else existing0
         existing.unionByName(delta.select(existing.columns.map(col).toSeq: _*))
           .groupBy(keyCols: _*)
           .agg(mAggs.head, mAggs.tail: _*)
       }
+    // per-cell HLL registers: delta sketch over the new slices, register-
+    // wise max with the stored rows (max is idempotent — a redone refresh
+    // after a crash merges to the same registers)
+    val regMerged: Option[DataFrame] = distinctCol.map { c =>
+      val d = Sketches.hllSketch(newRows, dims, c)
+      if (prev.isEmpty) d
+      else
+        spark.table(table).filter(col("bucket").isNotNull)
+          .select((dims.map(col) :+ col("bucket") :+ col("r")): _*)
+          .unionByName(d)
+          .groupBy((dims.map(col) :+ col("bucket")): _*)
+          .agg(max(col("r")).as("r"))
+    }
     // zero-count groups are RETAINED in storage (they, like every row,
     // carry the new offset; the set is bounded by ever-seen dim
     // cardinality) and filtered at read time. The swap stages to a temp
@@ -114,10 +148,17 @@ object Rollup {
     // either the old (table+offset) or the new one, never a torn pair —
     // and the localCheckpoint cuts lineage, since `merged` READS the
     // table it replaces.
-    val out = merged
+    val aggOut = merged
       .select((dims.map(col) ++ (if (cube) Seq(col("gid")) else Nil) :+ col("n_rows")) ++
         sumCols.map(c => col(sumCol(c))) :+ lit(head.get).as(OffsetCol): _*)
-      .localCheckpoint()
+    val out = (regMerged match {
+      case None => aggOut
+      case Some(regs) =>
+        aggOut.unionByName(
+          regs.select((dims.map(col) :+ col("bucket") :+ col("r") :+
+            lit(head.get).as(OffsetCol)): _*),
+          allowMissingColumns = true)
+    }).localCheckpoint()
     val tmp = s"${table}_refresh_tmp"
     Bucketing.materializePlain(out, tmp)
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
@@ -133,11 +174,23 @@ object Rollup {
   }
 
   /** The live rollup rows (zero-count offset-carrier rows hidden, the
-    * embedded offset dropped) with sums rendered as doubles (exact for
+    * embedded offset dropped, register rows excluded by the same n_rows
+    * filter — theirs is null) with sums rendered as doubles (exact for
     * magnitudes below 2^53 micro-units; the stored form stays decimal). */
   def read(spark: SparkSession, table: String, sumCols: Seq[String]): DataFrame = {
-    val t = spark.table(table).filter(col("n_rows") =!= 0L).drop(OffsetCol)
+    val t0 = spark.table(table).filter(col("n_rows") =!= 0L).drop(OffsetCol)
+    val t = if (t0.columns.contains("bucket")) t0.drop("bucket", "r") else t0
     val keep = t.columns.filterNot(c => sumCols.map(sumCol).contains(c)).map(col).toSeq
     t.select(keep ++ sumCols.map(c => col(sumCol(c)).cast("double").as(sumCol(c))): _*)
   }
+
+  /** Per-cell distinct-count estimates from a rollup maintained with
+    * `distinctCol`: [[Sketches.hllStats]] over the table's register rows —
+    * identical to a fresh per-cell sketch of everything ever appended
+    * (register max-merge is lossless). */
+  def readDistinct(spark: SparkSession, table: String, dims: Seq[String]): DataFrame =
+    Sketches.hllStats(
+      spark.table(table).filter(col("bucket").isNotNull)
+        .select((dims.map(col) :+ col("bucket") :+ col("r")): _*),
+      dims)
 }

@@ -70,6 +70,49 @@ class RollupSpec extends SparkSpec {
     }
   }
 
+  test("distinctCol registers: N generations equal a fresh per-cell sketch; reads stay clean") {
+    val work = java.nio.file.Files.createTempDirectory("graft-rollupspec3-")
+    val ds = Dataset.create(spark, work.resolve("d"), "d")
+    val table = "rollup_spec_hll"
+    // ledger-style appends (no retractions: HLL counts ever-seen values)
+    def app(rows: Seq[(Long, String, Double)], iso: String): Unit =
+      IngestWriter.writeBatch(ds, rows.toDF("k", "grp", "v"),
+        MergeStrategy.Ledger(Seq("k")),
+        java.time.Instant.parse(iso).toEpochMilli)
+    try {
+      val all = (1L to 300L).map(k => (k, if (k % 3 == 0) "a" else "b", k.toDouble))
+      app(all.take(100), "2024-01-01T00:00:00Z")
+      Rollup.refresh(Dataset.open(spark, work.resolve("d")), table,
+        Seq("grp"), Seq("v"), distinctCol = Some("k"))
+      app(all.slice(100, 200), "2024-01-02T00:00:00Z")
+      Rollup.refresh(Dataset.open(spark, work.resolve("d")), table,
+        Seq("grp"), Seq("v"), distinctCol = Some("k"))
+      app(all.drop(200), "2024-01-03T00:00:00Z")
+      Rollup.refresh(Dataset.open(spark, work.resolve("d")), table,
+        Seq("grp"), Seq("v"), distinctCol = Some("k"))
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val maintained = m(Rollup.readDistinct(spark, table, Seq("grp")))
+      val fresh = m(Sketches.hllStats(
+        Sketches.hllSketch(all.toDF("k", "grp", "v"), Seq("grp"), "k"), Seq("grp")))
+      assert(maintained === fresh) // register max-merge is lossless across generations
+      // the aggregate read is untouched by the cohabiting register rows
+      val agg = Rollup.read(spark, table, Seq("v")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(agg === Map("a" -> ((100L, all.filter(_._2 == "a").map(_._3).sum)),
+        "b" -> ((200L, all.filter(_._2 == "b").map(_._3).sum))))
+      assert(!agg.keySet.contains(null)) // no register-row leakage
+      // distinct registers reject the cube path loudly
+      intercept[IllegalArgumentException] {
+        Rollup.refresh(Dataset.open(spark, work.resolve("d")), table,
+          Seq("grp"), Seq("v"), cube = true, distinctCol = Some("k"))
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("changesSince upper bound excludes rows appended after the head read") {
     val work = java.nio.file.Files.createTempDirectory("graft-rollupspec2-")
     val ds = Dataset.create(spark, work.resolve("d"), "d")
