@@ -885,6 +885,45 @@ object SparkEntry {
         new java.util.ArrayList(java.util.Arrays.asList(cached._2.toSeq: _*)), cached._1)
         .orderBy(col("user_id"))
     },
+    // ---- CONTINUOUS last-touch attribution: O(1) per-entity state (the
+    // cheapest streaming twin — one touch type + timestamp), conversions
+    // emit on arrival, and three ordered micro-batches reproduce the
+    // batch attribution_last_touch oracle exactly. No sentinels needed:
+    // nothing awaits a watermark.
+    "attribution_stream" -> { (s, dir) =>
+      val cached = Fixtures.cached(s"attribution_stream|$dir") {
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val ev = events(s, dir).select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        val qs = ev.agg(
+          expr("percentile(unix_micros(ts), 0.3333)").as("q1"),
+          expr("percentile(unix_micros(ts), 0.6667)").as("q2")).head()
+        val (b1, b2) = (qs.getDouble(0), qs.getDouble(1))
+        def tup(df: DataFrame) = df.collect().toSeq
+          .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3)))
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+        val out = graft.streaming.StreamingOps.attributionStream(
+          mem.toDF().toDF("user_id", "event_type", "ts", "event_id"),
+          "user_id", "ts", "event_id", "event_type",
+          conversionType = "purchase", touchTypes = Seq("view", "click"))
+        val qname = s"attr_sink_${math.abs(dir.hashCode)}"
+        val q = out.writeStream.format("memory").queryName(qname)
+          .outputMode("append").start()
+        try {
+          Seq(
+            ev.filter(expr(s"unix_micros(ts) <= $b1")),
+            ev.filter(expr(s"unix_micros(ts) > $b1 AND unix_micros(ts) <= $b2")),
+            ev.filter(expr(s"unix_micros(ts) > $b2"))
+          ).foreach { sl => mem.addData(tup(sl)); q.processAllAvailable() }
+          // no sentinels: attributions are immediate, nothing awaits a watermark
+        } finally q.stop()
+        (s.table(qname).schema, s.table(qname).collect())
+      }
+      s.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(cached._2.toSeq: _*)), cached._1)
+        .orderBy(col("user_id"), col("conversion_ts"), col("event_id"))
+    },
     // ---- KMV distinct sketch: daily-active-user cardinality per event
     // type from O(k) state per key — the stat a 100 TB loop maintains
     // incrementally instead of count(distinct)-ing the corpus.
@@ -4533,6 +4572,23 @@ object SparkEntry {
     "events", "event_type",
     "CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d')")
 
+  /** Shared by attribution_last_touch and attribution_stream: the
+    * streaming twin's O(1) per-entity touch state reproduces the batch
+    * carried-forward window on ordered replays. */
+  private val attributionOracle: String =
+    """WITH w AS (SELECT user_id, ts, event_id, event_type,
+      |  last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+      |             IGNORE NULLS) OVER win AS touch_type,
+      |  last_value(CASE WHEN event_type IN ('view', 'click') THEN ts END
+      |             IGNORE NULLS) OVER win AS touch_ts
+      |           FROM events
+      |           WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, ts AS conversion_ts, event_id, touch_type, touch_ts,
+      |       epoch_us(ts) - epoch_us(touch_ts) AS lag_us
+      |FROM w WHERE event_type = 'purchase' AND touch_type IS NOT NULL
+      |ORDER BY user_id, conversion_ts, event_id""".stripMargin
+
   /** Shared by basket_lift and basket_lift_append: pair/item counts are
     * additive over disjoint baskets, so the maintained tables reproduce
     * this from-scratch recomputation. */
@@ -5495,19 +5551,10 @@ object SparkEntry {
         |       CAST(min(c.bucket) AS DOUBLE) * 8.0 AS q_est
         |FROM ps JOIN c ON c.cum >= CAST(ceil(ps.p * CAST(c.total AS DOUBLE)) AS BIGINT)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "attribution_last_touch" ->
-      """WITH w AS (SELECT user_id, ts, event_id, event_type,
-        |  last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END
-        |             IGNORE NULLS) OVER win AS touch_type,
-        |  last_value(CASE WHEN event_type IN ('view', 'click') THEN ts END
-        |             IGNORE NULLS) OVER win AS touch_ts
-        |           FROM events
-        |           WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
-        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
-        |SELECT user_id, ts AS conversion_ts, event_id, touch_type, touch_ts,
-        |       epoch_us(ts) - epoch_us(touch_ts) AS lag_us
-        |FROM w WHERE event_type = 'purchase' AND touch_type IS NOT NULL
-        |ORDER BY user_id, conversion_ts, event_id""".stripMargin,
+    "attribution_last_touch" -> attributionOracle,
+    // The stream's O(1) last-touch state replays the batch carried-forward
+    // window exactly on ordered input.
+    "attribution_stream" -> attributionOracle,
     // CMS: same portable hash family, same 4×1024 matrix, min-over-rows.
     "cms_heavy_hitters" ->
       """WITH tok AS (SELECT

@@ -320,6 +320,75 @@ object StreamingOps {
       }(Encoders.product[FunnelState], outEnc)
   }
 
+  /** Last observed touch for [[attributionStream]] — O(1) per entity:
+    * one type string + one µs timestamp. */
+  private[streaming] case class TouchState(touchType: String, touchUs: Long)
+
+  /**
+   * CONTINUOUS last-touch attribution: the streaming twin of
+   * [[graft.operators.Analytics.lastTouchAttribution]] — per entity the
+   * state is just the most recent touch event (type + timestamp), and a
+   * conversion emits its attribution row THE MOMENT it arrives (no
+   * watermark wait: the carried-forward touch depends only on the past,
+   * so the row is final on arrival — same reasoning as [[funnelStream]]'s
+   * completions). Conversions with no prior touch emit nothing, touches
+   * after a conversion re-arm the state, and the state never clears —
+   * exactly the batch operator's carried-forward `last(_, ignoreNulls)`
+   * frame, so the entry shares the batch oracle on ordered replays.
+   *
+   * Scale shape: O(1) state per entity in the keyed store (the cheapest
+   * of the streaming twins); arrival order per entity must match
+   * (ts, tie) order across micro-batches (within a batch each group
+   * invocation sorts its slice) — what an offset-ordered
+   * [[datasetStream]] delivers.
+   */
+  def attributionStream(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      tieCol: String,
+      typeCol: String,
+      conversionType: String,
+      touchTypes: Seq[String]
+  ): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      "need touch types disjoint from the conversion type")
+    val touches = touchTypes.toSet
+    val slim = events.select(
+      col(entityCol).cast("long").as("e"), col(typeCol).cast("string").as("y"),
+      col(tsCol).as("t"), col(tieCol).cast("long").as("tie"))
+    val outSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      s"$entityCol BIGINT, conversion_ts TIMESTAMP, $tieCol BIGINT, " +
+        "touch_type STRING, touch_ts TIMESTAMP, lag_us BIGINT")
+    val outEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
+    def usToTs(us: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
+    slim
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (e: Long, rows: Iterator[Row],
+         state: org.apache.spark.sql.streaming.GroupState[TouchState]) =>
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          rows.toSeq
+            .map { r =>
+              val i = r.getTimestamp(2).toInstant
+              (i.getEpochSecond * 1000000L + i.getNano / 1000L, r.getLong(3), r.getString(1))
+            }
+            .sortBy(t => (t._1, t._2))
+            .foreach { case (us, tie, typ) =>
+              if (touches.contains(typ)) st = TouchState(typ, us)
+              else if (typ == conversionType && st != null)
+                out += Row(e, usToTs(us), tie, st.touchType, usToTs(st.touchUs),
+                  us - st.touchUs)
+            }
+          if (st != null) state.update(st)
+          out.iterator
+      }(Encoders.product[TouchState], outEnc)
+  }
+
   /** Ring buffer of the last `lookback` micro-quantized values for
     * [[anomalyStream]] — the per-entity state is O(lookback), never
     * O(history). */

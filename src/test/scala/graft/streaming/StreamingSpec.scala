@@ -522,6 +522,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionStream: cross-batch touch carry, in-batch sort, re-arm after conversion") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp, Long)]
+    val out = StreamingOps.attributionStream(
+      mem.toDF().toDF("user_id", "event_type", "ts", "event_id"),
+      "user_id", "ts", "event_id", "event_type",
+      conversionType = "purchase", touchTypes = Seq("view", "click"))
+    val q = out.writeStream.format("memory").queryName("attr_spec")
+      .outputMode("append").start()
+    try {
+      // batch 1 (out of order WITHIN the batch — must sort): the purchase
+      // at 10:02 attributes to the 10:01 click, not the 10:00 view; u2's
+      // conversion has no prior touch and emits nothing
+      mem.addData(
+        (1L, "purchase", t("2024-01-01T10:02:00Z"), 12L),
+        (1L, "view", t("2024-01-01T10:00:00Z"), 10L),
+        (1L, "click", t("2024-01-01T10:01:00Z"), 11L),
+        (2L, "purchase", t("2024-01-01T10:00:00Z"), 20L))
+      q.processAllAvailable()
+      def rows() = spark.table("attr_spec")
+        .as[(Long, Timestamp, Long, String, Timestamp, Long)].collect().toSeq.sortBy(_._3)
+      assert(rows() === Seq(
+        (1L, t("2024-01-01T10:02:00Z"), 12L, "click", t("2024-01-01T10:01:00Z"), 60000000L)))
+      // batch 2: the touch state CARRIES across the boundary — a second
+      // conversion with no new touch re-attributes to the same click
+      // (batch semantics: state never clears), then a later view re-arms
+      mem.addData((1L, "purchase", t("2024-01-01T11:00:00Z"), 13L))
+      q.processAllAvailable()
+      assert(rows().map(r => (r._3, r._4, r._5)) === Seq(
+        (12L, "click", t("2024-01-01T10:01:00Z")),
+        (13L, "click", t("2024-01-01T10:01:00Z"))))
+      mem.addData(
+        (1L, "view", t("2024-01-01T12:00:00Z"), 14L),
+        (1L, "purchase", t("2024-01-01T12:05:00Z"), 15L))
+      q.processAllAvailable()
+      assert(rows().last === (1L, t("2024-01-01T12:05:00Z"), 15L, "view",
+        t("2024-01-01T12:00:00Z"), 300000000L))
+    } finally q.stop()
+  }
+
   test("sessionizeStream: cross-batch sessions, timeout finalization, numbering survives expiry") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, Double)]
