@@ -588,6 +588,65 @@ object SparkEntry {
           sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
         .orderBy(col("c_mktsegment"))
     },
+    // ---- q13 shape (outer-join count distribution): LEFT OUTER with the
+    // right side pre-filtered (≡ an AND in the ON clause — the filter
+    // pushes to the orders scan), then the double aggregate: per-customer
+    // order counts, then the histogram of those counts. count(o_orderkey)
+    // counts only matched rows — zero-order customers land in bucket 0.
+    "q13_order_distribution" -> { (s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(
+          t(s, dir, "orders")
+            .filter(col("o_orderpriority") =!= "1-URGENT")
+            .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    // ---- q16 shape (NOT IN → anti + count-distinct): the supplier
+    // blocklist subquery decorrelates to a LEFT-ANTI join (keys non-null,
+    // so NOT IN ≡ anti); the distinct-supplier count per (brand, size)
+    // runs as the two-phase distinct aggregate over the slim join output.
+    "q16_supplier_counts" -> { (s, dir) =>
+      val bad = t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(
+          t(s, dir, "part")
+            .filter(col("p_brand") =!= "Brand#4" &&
+              col("p_size").isin(1, 5, 9, 13, 17, 21))
+            .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+    },
+    // ---- q20 shape (IN → semi against an aggregated subquery): the
+    // volume-threshold aggregate shrinks lineitem to qualifying suppliers
+    // (12 of 100 at this predicate), which then SEMI-join the supplier
+    // dim — aggregate first, join the survivors.
+    "q20_volume_suppliers" -> { (s, dir) =>
+      val qual = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"), col("l_shipdate"))
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+        .join(broadcast(
+          t(s, dir, "part").filter(col("p_name").startsWith("red"))
+            .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("__sq"))
+        .filter(col("__sq") > 400)
+        .select(col("l_suppkey"))
+      t(s, dir, "supplier")
+        .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_name"))
+    },
     // ---- salted equi-join: the hot-key spreading plan — big side salts
     // deterministically, small side replicates salt-ways, semantics stay
     // EXACTLY the plain join (shares a plain-join oracle). SkewSpec pins
@@ -974,6 +1033,21 @@ object SparkEntry {
       graft.operators.Sketches.kmvStats(s.table("graft_kmv_dau"), Seq("event_type"), 128)
         .orderBy(col("event_type"))
     },
+    // ---- KMV set similarity BETWEEN keys: per event-type pair, the
+    // union's k-min sketch (merge-exact) and the both-sides membership
+    // count — Jaccard / overlap estimates from O(k) state per key, the
+    // data never re-scanned. Deterministic (the hash IS the sample), so
+    // the oracle replicates every number.
+    "kmv_jaccard" -> { (s, dir) =>
+      val withKey = events(s, dir).select(
+        col("event_type"),
+        concat(col("user_id").cast("string"), lit(":"),
+          date_format(col("ts"), "yyyy-MM-dd")).as("ud"))
+      graft.operators.Sketches.kmvJaccard(
+        graft.operators.Sketches.kmvSketch(withKey, Seq("event_type"), "ud", k = 128),
+        "event_type", k = 128)
+        .orderBy(col("key_a"), col("key_b"))
+    },
     // ---- deterministic rank/quantile sketch: a hash-subsample at level
     // L (keep iff h % 2^L == 0 — a pure map-side FILTER, no shuffle of
     // data rows) plus the exact count; quantile φ reads the first sample
@@ -1095,6 +1169,14 @@ object SparkEntry {
         events(s, dir), "user_id", "ts", "event_id", "event_type",
         conversionType = "purchase", touchTypes = Seq("view", "click"))
         .orderBy(col("user_id"), col("conversion_ts"), col("event_id"))
+    },
+    // ---- weekly cohort LTV curves: first-event week cohorts, per-age
+    // active counts + exact-decimal week/cumulative value totals — the
+    // (cohort, age) aggregate is dimension-sized and the cumulative
+    // window runs over calendar-bounded week series.
+    "cohort_ltv" -> { (s, dir) =>
+      graft.operators.Analytics.cohortLtv(events(s, dir), "user_id", "ts", "value")
+        .orderBy(col("cohort_week"), col("age_weeks"))
     },
     // ---- histogram table maintained across two ticks; quantiles read
     // from the stored counts match the from-scratch oracle.
@@ -4978,6 +5060,30 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // q16: NOT IN over non-null keys ≡ anti join.
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#4' AND p_size IN (1, 5, 9, 13, 17, 21)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+    "q20_volume_suppliers" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY l_suppkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 400)
+        |ORDER BY s_name""".stripMargin,
     // Salting is pure execution strategy: the oracle is the PLAIN join.
     "salted_join" ->
       """SELECT o_orderpriority,
@@ -5528,6 +5634,58 @@ object SparkEntry {
     "kmv_distinct" -> kmvOracle,
     "kmv_distinct_merge" -> kmvOracle, // exact merge ≡ fresh sketch
     "kmv_distinct_append" -> kmvOracle, // stored+appended table ≡ fresh sketch
+    // KMV pairwise similarity: same per-key 128-min sketches, union top-k
+    // with membership flags, same (k-1)/h_k union estimator.
+    "kmv_jaccard" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |  ('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR) || ':'
+        |                         || strftime(ts, '%Y-%m-%d')), 1, 15))::BIGINT AS h
+        |           FROM events),
+        |r AS (SELECT event_type, h,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |      FROM h),
+        |sk AS (SELECT event_type, h FROM r WHERE rn <= 128),
+        |keys AS (SELECT DISTINCT event_type FROM sk),
+        |p AS (SELECT a.event_type AS key_a, b.event_type AS key_b
+        |      FROM keys a JOIN keys b ON a.event_type < b.event_type),
+        |u AS (SELECT p.key_a, p.key_b, s.h,
+        |        max(CASE WHEN s.event_type = p.key_a THEN 1 ELSE 0 END) AS ina,
+        |        max(CASE WHEN s.event_type = p.key_b THEN 1 ELSE 0 END) AS inb
+        |      FROM p JOIN sk s ON s.event_type IN (p.key_a, p.key_b)
+        |      GROUP BY 1, 2, 3),
+        |t AS (SELECT key_a, key_b, h, ina, inb,
+        |             row_number() OVER (PARTITION BY key_a, key_b ORDER BY h) AS rn
+        |      FROM u),
+        |g AS (SELECT key_a, key_b, count(*) AS n_kept, max(h) AS kth,
+        |             CAST(sum(ina * inb) AS BIGINT) AS n_common
+        |      FROM t WHERE rn <= 128 GROUP BY 1, 2)
+        |SELECT key_a, key_b, n_kept, n_common,
+        |  CAST((n_common * 1000000) // n_kept AS BIGINT) AS jaccard_micro,
+        |  CASE WHEN n_kept < 128 THEN CAST(n_kept AS DOUBLE)
+        |       ELSE 127.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE) END AS union_est,
+        |  (CASE WHEN n_kept < 128 THEN CAST(n_kept AS DOUBLE)
+        |        ELSE 127.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE) END)
+        |    * (CAST(n_common AS DOUBLE) / CAST(n_kept AS DOUBLE)) AS inter_est
+        |FROM g ORDER BY key_a, key_b""".stripMargin,
+    // Cohort LTV: first-event-week cohorts, decimal week/cumulative sums.
+    "cohort_ltv" ->
+      """WITH f AS (SELECT user_id, min(ts) AS fts FROM events
+        |           WHERE ts IS NOT NULL GROUP BY 1),
+        |w AS (SELECT e.user_id,
+        |        CAST(date_trunc('week', f.fts) AS DATE) AS cohort_week,
+        |        CAST(date_diff('day', CAST(date_trunc('week', f.fts) AS DATE),
+        |                       CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT)
+        |          AS age_weeks,
+        |        CAST(e.value AS DECIMAL(18,6)) AS v
+        |      FROM events e JOIN f USING (user_id) WHERE e.ts IS NOT NULL),
+        |a AS (SELECT cohort_week, age_weeks, count(DISTINCT user_id) AS n_active,
+        |             sum(v) AS wv
+        |      FROM w GROUP BY 1, 2)
+        |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, age_weeks, n_active,
+        |  CAST(wv AS DOUBLE) AS week_value,
+        |  CAST(sum(wv) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+        |                     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value
+        |FROM a ORDER BY cohort_week, age_weeks""".stripMargin,
     "rank_sketch_quantiles" -> rankSketchOracle,
     "rank_sketch_merge" -> rankSketchOracle, // re-filter merge ≡ fresh sketch
     "rank_sketch_append" -> rankSketchOracle, // maintained table ≡ fresh sketch

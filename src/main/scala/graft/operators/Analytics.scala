@@ -565,6 +565,57 @@ object Analytics {
   }
 
   /**
+   * Weekly cohort value curves (LTV): cohort = the entity's first-event
+   * week (Monday-truncated, ISO on both engines); age = whole weeks from
+   * the cohort week to the event's week. Output per (cohort_week,
+   * age_weeks): active entities, the week's value total, and the
+   * cohort's CUMULATIVE value through that age — the "revenue per cohort
+   * over time" dashboard table. Week totals are exact decimal sums
+   * (order-free); the cumulative column stays decimal through the window
+   * and both render as doubles, so any engine reproduces them
+   * bit-for-bit.
+   *
+   * Scale shape: one entity-keyed aggregate for first events, a join
+   * back on the SAME key (one shuffle partitioning serves both), then a
+   * (cohort, age)-grained aggregate — dimension-sized — and a cumulative
+   * window over each cohort's week series (calendar-bounded, never
+   * event-sized).
+   */
+  def cohortLtv(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val firsts = events.filter(col(tsCol).isNotNull)
+      .groupBy(col(entityCol)).agg(min(col(tsCol)).as("__f"))
+    val weekly = events.filter(col(tsCol).isNotNull)
+      .join(firsts, Seq(entityCol))
+      .select(
+        col(entityCol),
+        to_date(date_trunc("week", col("__f"))).as("cohort_week"),
+        to_date(date_trunc("week", col(tsCol))).as("__ew"),
+        col(valueCol).cast("decimal(18,6)").as("__v"))
+      .withColumn("age_weeks",
+        (datediff(col("__ew"), col("cohort_week")) / lit(7)).cast("long"))
+      .groupBy(col("cohort_week"), col("age_weeks"))
+      .agg(
+        count_distinct(col(entityCol)).as("n_active"),
+        sum(col("__v")).cast("decimal(38,6)").as("__wv"))
+    weekly
+      .withColumn("__cum",
+        sum(col("__wv")).over(
+          Window.partitionBy(col("cohort_week")).orderBy(col("age_weeks"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(
+        // rendered as a string so every engine prints the week identically
+        date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("age_weeks"), col("n_active"),
+        col("__wv").cast("double").as("week_value"),
+        col("__cum").cast("double").as("cum_value"))
+  }
+
+  /**
    * Time-weighted average value per key (TWAP): step-function
    * interpolation — each event's value holds until the key's NEXT event;
    * the average weighs values by exact whole-second hold durations over

@@ -102,6 +102,52 @@ object Sketches {
           .otherwise(lit((k - 1).toDouble * HashSpace) / col("kth_hash").cast("double")))
   }
 
+  /**
+   * Pairwise set similarity BETWEEN a [[kmvSketch]]'s keys (Beyer et al.
+   * 2007 §4): for each unordered key pair, take the k smallest hashes of
+   * the UNION of the two sketches (= the union's own KMV sketch — the
+   * merge-exactness property again) and count how many of them appear in
+   * BOTH sides; `jaccard_micro = 10⁶·n_common ∕ n_kept` is the classical
+   * k-min estimate of |A∩B|∕|A∪B|, `union_est` the union's cardinality
+   * via the same (k−1)∕h_k rule as [[kmvStats]], and `inter_est` their
+   * product — "how much do these two segments' user bases overlap" from
+   * O(k) state per key, no re-scan of the data. Deterministic end to end
+   * (the hash IS the sample), so the DuckDB oracle replicates it exactly.
+   *
+   * Scale shape: the expansion is |pairs|·k rows (pairs = key², keys are
+   * dimension-sized — segments, types, cohorts); per-pair top-k rides the
+   * same skew-proof two-level cut as the sketch build. The data itself is
+   * never touched.
+   */
+  def kmvJaccard(sketch: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k > 1, "k must exceed 1 for the (k-1)/h_k estimator")
+    val ex = sketch.select(col(keyCol).as("__k"), explode(col("hashes")).as("__h"))
+    val keys = sketch.select(col(keyCol).as("__k")).distinct()
+    val pairs = keys.select(col("__k").as("key_a"))
+      .join(keys.select(col("__k").as("key_b")), col("key_a") < col("key_b"))
+    // membership-tagged union of the two sides, one hash-equi join each
+    val sideA = pairs.join(ex, col("key_a") === col("__k"))
+      .select(col("key_a"), col("key_b"), col("__h"), lit(1L).as("__a"), lit(0L).as("__b"))
+    val sideB = pairs.join(ex, col("key_b") === col("__k"))
+      .select(col("key_a"), col("key_b"), col("__h"), lit(0L).as("__a"), lit(1L).as("__b"))
+    val u = sideA.unionByName(sideB)
+      .groupBy(col("key_a"), col("key_b"), col("__h"))
+      .agg(max(col("__a")).as("__a"), max(col("__b")).as("__b"))
+    Corpus.topKPerKey(u, Seq("key_a", "key_b"), Seq(col("__h").asc), k)
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        max(col("__h")).as("__kth"),
+        sum(col("__a") * col("__b")).as("n_common"))
+      .withColumn("jaccard_micro", expr("(n_common * 1000000L) DIV n_kept"))
+      .withColumn("union_est",
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble * HashSpace) / col("__kth").cast("double")))
+      .withColumn("inter_est",
+        col("union_est") * (col("n_common").cast("double") / col("n_kept").cast("double")))
+      .drop("__kth")
+  }
+
   /** Materialize a [[kmvSketch]] as a managed table — the stats member of
     * the O(batch) maintenance family (MinHash bands, LSH/IVF/PQ cells,
     * BM25 postings, now cardinality sketches). */

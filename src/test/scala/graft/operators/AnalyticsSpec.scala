@@ -313,6 +313,25 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("cohortLtv: first-week cohorts, whole-week ages, cumulative value per cohort") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // u1 first event Tue Jan 2 (cohort = week of Mon Jan 1), active again
+    // two weeks later; u2 starts in week 2
+    val events = Seq(
+      (1L, ts("2024-01-02 10:00:00"), 10.0),
+      (1L, ts("2024-01-03 10:00:00"), 5.0),  // same cohort week, age 0
+      (1L, ts("2024-01-16 10:00:00"), 2.5),  // age 2
+      (2L, ts("2024-01-09 10:00:00"), 7.0)   // cohort = week of Jan 8, age 0
+    ).toDF("user_id", "ts", "value")
+    val out = Analytics.cohortLtv(events, "user_id", "ts", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out === Map(
+      ("2024-01-01", 0L) -> ((1L, 15.0, 15.0)),
+      ("2024-01-01", 2L) -> ((1L, 2.5, 17.5)),
+      ("2024-01-08", 0L) -> ((1L, 7.0, 7.0))))
+  }
+
   test("ewmaDaily: dyadic fold over observed days; same-day events sum first") {
     def d(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
     val events = Seq(

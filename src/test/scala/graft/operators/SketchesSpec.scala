@@ -132,6 +132,26 @@ class SketchesSpec extends SparkSpec {
     assert(m === fresh)
   }
 
+  test("kmvJaccard: below-k pairs are EXACT Jaccard; keys pair each way once") {
+    // 3 keys; a/b overlap 10 of 30 distinct values, c is disjoint. All
+    // sets are below k, so the union sketch is the full union and the
+    // estimates are exact.
+    val rows =
+      (1 to 20).map(i => ("a", s"v$i")) ++
+        (11 to 30).map(i => ("b", s"v$i")) ++
+        (1 to 5).map(i => ("c", s"w$i"))
+    val sk = Sketches.kmvSketch(rows.toDF("k", "v"), Seq("k"), "v", k = 128)
+    val out = Sketches.kmvJaccard(sk, "k", k = 128)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    val (nKept, nCommon, jac, union, inter) = out(("a", "b"))
+    assert(nKept === 30L && nCommon === 10L)
+    assert(jac === 10L * 1000000L / 30L)
+    assert(union === 30.0 && inter === 30.0 * (10.0 / 30.0))
+    assert(out(("a", "c"))._2 === 0L && out(("a", "c"))._3 === 0L)
+  }
+
   test("rankSketch: quantile estimates within the sampling rank-error bound of exact") {
     // 8000 rows, unique ties, values a fixed permutation of 1..8000. At
     // level L=4 the expected rank error at φ is O(√(2^L·φn)) ≈ 360 rows;
