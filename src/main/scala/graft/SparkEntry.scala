@@ -588,6 +588,25 @@ object SparkEntry {
           sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
         .orderBy(col("c_mktsegment"))
     },
+    // ---- q11 shape (group aggregate vs a global-scalar HAVING): brand
+    // value concentration — per-brand decimal sums kept only when they
+    // exceed 4% of the grand total. The scalar derives FROM the per-brand
+    // aggregate (no second fact scan) and broadcasts back; the predicate
+    // cross-multiplies (v·25 > total) so it stays exact decimals.
+    "q11_value_concentration" -> { (s, dir) =>
+      val perBrand = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_extendedprice"))
+        .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("__v"))
+      val total = perBrand.agg(sum(col("__v")).as("__t"))
+      perBrand
+        .crossJoin(broadcast(total))
+        .filter(col("__v") * lit(25) > col("__t"))
+        .select(col("p_brand"), col("__v").cast("double").as("brand_value"))
+        .orderBy(col("brand_value").desc, col("p_brand"))
+    },
     // ---- q13 shape (outer-join count distribution): LEFT OUTER with the
     // right side pre-filtered (≡ an AND in the ON clause — the filter
     // pushes to the orders scan), then the double aggregate: per-customer
@@ -1058,6 +1077,16 @@ object SparkEntry {
         graft.operators.Sketches.rankSketch(events(s, dir), "value", "event_id", level = 4),
         Seq(250000L, 500000L, 750000L, 900000L))
         .orderBy(col("phi_micro"))
+    },
+    // ---- the keyed variant: per-event-type quantiles from the same
+    // hash subsample, with the rank window PARTITIONED by key — the
+    // no-binWidth sibling of hist_quantiles_by_key.
+    "rank_sketch_by_key" -> { (s, dir) =>
+      graft.operators.Sketches.rankSketchQuantilesByKey(
+        graft.operators.Sketches.rankSketchByKey(
+          events(s, dir), "event_type", "value", "event_id", level = 3),
+        Seq(500000L, 900000L))
+        .orderBy(col("key"), col("phi_micro"))
     },
     // ---- the same estimates via the MERGE path, from sketches built at
     // DIFFERENT levels (3 and 4): the coarser side re-filters to the max
@@ -5060,6 +5089,12 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q11_value_concentration" ->
+      """WITH b AS (SELECT p_brand, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS v
+        |           FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+        |t AS (SELECT sum(v) AS t FROM b)
+        |SELECT p_brand, CAST(v AS DOUBLE) AS brand_value FROM b CROSS JOIN t
+        |WHERE v * 25 > t ORDER BY brand_value DESC, p_brand""".stripMargin,
     "q13_order_distribution" ->
       """SELECT c_count, count(*) AS custdist FROM (
         |  SELECT c_custkey, count(o_orderkey) AS c_count
@@ -5689,6 +5724,25 @@ object SparkEntry {
     "rank_sketch_quantiles" -> rankSketchOracle,
     "rank_sketch_merge" -> rankSketchOracle, // re-filter merge ≡ fresh sketch
     "rank_sketch_append" -> rankSketchOracle, // maintained table ≡ fresh sketch
+    "rank_sketch_by_key" ->
+      """WITH f AS (SELECT event_type AS key, value, CAST(event_id AS VARCHAR) AS tie
+        |           FROM events
+        |           WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |             AND event_id IS NOT NULL),
+        |tot AS (SELECT key, count(*) AS nt FROM f GROUP BY 1),
+        |samp AS (SELECT key, value, tie,
+        |           row_number() OVER (PARTITION BY key ORDER BY value, tie) AS i
+        |         FROM f
+        |         WHERE ('0x' || substring(md5('rk:' || tie), 1, 15))::BIGINT % 8 = 0),
+        |phis AS (SELECT CAST(unnest([500000, 900000]) AS BIGINT) AS phi_micro)
+        |SELECT key, phi_micro, CAST(nt AS BIGINT) AS n_total,
+        |       count(*) AS sample_size,
+        |       coalesce(
+        |         min(CASE WHEN i * 8 >= greatest(1, (phi_micro * nt) // 1000000)
+        |                  THEN value END),
+        |         max(value)) AS q_est
+        |FROM phis CROSS JOIN samp JOIN tot USING (key)
+        |GROUP BY key, phi_micro, nt ORDER BY key, phi_micro""".stripMargin,
     "hll_distinct" ->
       hllOracle("lineitem", "l_returnflag", "CAST(l_partkey AS VARCHAR)"),
     "hll_distinct_merge" -> hllEventsOracle, // register-max merge ≡ fresh sketch

@@ -552,6 +552,71 @@ object Sketches {
         col("sample_size"), col("q_est"))
   }
 
+  /**
+   * Keyed variant of [[rankSketch]] — per-key quantiles with the same
+   * deterministic hash-subsample (one shared level; the filter is still
+   * map-only). Layout mirrors the global sketch plus a `key` column:
+   * kind='s' rows (key, value, tie), kind='n' per-key exact counts,
+   * kind='l' the level. The hist_quantiles_by_key sibling for when no
+   * binWidth is known a priori.
+   */
+  def rankSketchByKey(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      tieCol: String,
+      level: Int
+  ): DataFrame = {
+    require(level >= 0 && level <= 40, "level must lie in [0, 40]")
+    val f = df.filter(
+      col(keyCol).isNotNull && col(valueCol).isNotNull && col(tieCol).isNotNull)
+    val samples = f
+      .filter(rkHash(col(tieCol)) % lit(1L << level) === 0L)
+      .select(lit("s").as("kind"), col(keyCol).cast("string").as("key"),
+        col(valueCol).cast("double").as("value"),
+        col(tieCol).cast("string").as("tie"), lit(1L).as("n"))
+    val cnt = f.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .select(lit("n").as("kind"), col(keyCol).cast("string").as("key"),
+        lit(null).cast("double").as("value"), lit(null).cast("string").as("tie"),
+        col("n"))
+    val lvl = samples.sparkSession.range(1)
+      .select(lit("l").as("kind"), lit(null).cast("string").as("key"),
+        lit(null).cast("double").as("value"), lit(null).cast("string").as("tie"),
+        lit(level.toLong).as("n"))
+    samples.unionByName(cnt).unionByName(lvl)
+  }
+
+  /** Per-key quantile estimates from a [[rankSketchByKey]] sketch — the
+    * same integer rank rule as [[rankSketchQuantiles]], with the
+    * row_number window PARTITIONED BY KEY (per-key sample series, never a
+    * single global partition). Output: `(key, phi_micro, n_total,
+    * sample_size, q_est)`. */
+  def rankSketchQuantilesByKey(sketch: DataFrame, phisMicro: Seq[Long]): DataFrame = {
+    require(phisMicro.nonEmpty && phisMicro.forall(p => p > 0L && p <= 1000000L),
+      "quantile targets must lie in (0, 1] on the micro grid")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val lvl = rankSketchLevel(sketch)
+    val totals = sketch.filter(col("kind") === "n")
+      .groupBy(col("key")).agg(coalesce(sum(col("n")), lit(0L)).as("__nt"))
+    val samp = sketch.filter(col("kind") === "s")
+      .withColumn("__i",
+        row_number().over(
+          Window.partitionBy(col("key")).orderBy(col("value"), col("tie"))).cast("long"))
+    phisMicro.toDF("phi_micro")
+      .crossJoin(samp)
+      .join(totals, Seq("key"))
+      .withColumn("__tgt", greatest(lit(1L), expr("(phi_micro * __nt) DIV 1000000L")))
+      .groupBy(col("key"), col("phi_micro"), col("__nt"))
+      .agg(
+        count(lit(1)).as("sample_size"),
+        coalesce(
+          min(when(col("__i") * lit(1L << lvl) >= col("__tgt"), col("value"))),
+          max(col("value"))).as("q_est"))
+      .select(col("key"), col("phi_micro"), col("__nt").as("n_total"),
+        col("sample_size"), col("q_est"))
+  }
+
   /** Materialize a [[rankSketch]] as a managed table — the quantile
     * member of the O(batch) maintenance family. */
   def materializeRankSketchTable(
