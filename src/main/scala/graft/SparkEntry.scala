@@ -1067,6 +1067,16 @@ object SparkEntry {
         "event_type", k = 128)
         .orderBy(col("key_a"), col("key_b"))
     },
+    // ---- HLL pairwise overlap via inclusion-exclusion: the union sketch
+    // is the lossless register max, so |A∩B| ≈ est(A)+est(B)−est(A∪B) —
+    // the fixed-size sibling of kmv_jaccard ("how much do these segments'
+    // user bases overlap" from O(m) state per key).
+    "hll_overlap" -> { (s, dir) =>
+      graft.operators.Sketches.hllOverlap(
+        graft.operators.Sketches.hllSketch(events(s, dir), Seq("event_type"), "user_id"),
+        "event_type")
+        .orderBy(col("key_a"), col("key_b"))
+    },
     // ---- deterministic rank/quantile sketch: a hash-subsample at level
     // L (keep iff h % 2^L == 0 — a pure map-side FILTER, no shuffle of
     // data rows) plus the exact count; quantile φ reads the first sample
@@ -5721,6 +5731,42 @@ object SparkEntry {
         |  CAST(sum(wv) OVER (PARTITION BY cohort_week ORDER BY age_weeks
         |                     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value
         |FROM a ORDER BY cohort_week, age_weeks""".stripMargin,
+    // HLL inclusion-exclusion overlap: per-key registers, per-key and
+    // union estimates all from the same recomputation the hll oracles use.
+    "hll_overlap" -> {
+      val num = graft.operators.Sketches.HllEstNumerator.toString
+      def estSql(src: String, keyCols: String): String =
+        s"""SELECT $keyCols,
+           |  CAST(floor(CASE WHEN CAST($num AS DOUBLE) / CAST(s AS DOUBLE) <= 10240.0
+           |                   AND n_zero > 0
+           |       THEN 4096.0 * ln(4096.0 / CAST(n_zero AS DOUBLE))
+           |       ELSE CAST($num AS DOUBLE) / CAST(s AS DOUBLE) END * 1000000.0) AS BIGINT)
+           |    AS e
+           |FROM (SELECT $keyCols, CAST(4096 - count(*) AS BIGINT) AS n_zero,
+           |        CAST(CAST(SUM(1::BIGINT << (49 - r)) AS BIGINT)
+           |             + (4096 - count(*)) * (1::BIGINT << 49) AS BIGINT) AS s
+           |      FROM $src GROUP BY $keyCols)""".stripMargin
+      s"""WITH hx AS (SELECT event_type AS k,
+         |  ('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |reg AS (SELECT k, h >> 48 AS bucket,
+         |  max(CASE WHEN (h & ((1::BIGINT << 48) - 1)) = 0 THEN 49
+         |      ELSE 49 - len(bin(h & ((1::BIGINT << 48) - 1))) END) AS r
+         |  FROM hx GROUP BY k, h >> 48),
+         |est AS (${estSql("reg", "k")}),
+         |keys AS (SELECT DISTINCT k FROM reg),
+         |p AS (SELECT a.k AS key_a, b.k AS key_b FROM keys a JOIN keys b ON a.k < b.k),
+         |ureg AS (SELECT p.key_a, p.key_b, reg.bucket, max(reg.r) AS r
+         |         FROM p JOIN reg ON reg.k IN (p.key_a, p.key_b) GROUP BY 1, 2, 3),
+         |uest AS (${estSql("ureg", "key_a, key_b")})
+         |SELECT key_a, key_b, uest.e AS union_est_micro,
+         |  CAST(greatest(0, ea.e + eb.e - uest.e) AS BIGINT) AS inter_est_micro,
+         |  CASE WHEN uest.e > 0
+         |       THEN CAST((greatest(0, ea.e + eb.e - uest.e) * 1000000) // uest.e AS BIGINT)
+         |       ELSE 0::BIGINT END AS jaccard_micro
+         |FROM uest JOIN est ea ON ea.k = key_a JOIN est eb ON eb.k = key_b
+         |ORDER BY key_a, key_b""".stripMargin
+    },
     "rank_sketch_quantiles" -> rankSketchOracle,
     "rank_sketch_merge" -> rankSketchOracle, // re-filter merge ≡ fresh sketch
     "rank_sketch_append" -> rankSketchOracle, // maintained table ≡ fresh sketch

@@ -315,6 +315,49 @@ object Sketches {
       floor(est * lit(1000000.0)).cast("long").as("distinct_est_micro")): _*)
   }
 
+  /**
+   * Pairwise set overlap BETWEEN a [[hllSketch]]'s keys via
+   * inclusion-exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), with the
+   * union sketch the register-wise max (lossless merge — est(A∪B) is
+   * EXACTLY the sketch of the concatenated inputs). The fixed-size
+   * sibling of [[kmvJaccard]]: O(m) state per key regardless of
+   * cardinality, at the cost of inclusion-exclusion's compounded error
+   * (the intersection clamps at 0). All three estimates reuse the
+   * [[hllStats]] 1e-6-grid estimator, so the oracle replicates them from
+   * the same register recomputation. Output: `(key_a, key_b,
+   * union_est_micro, inter_est_micro, jaccard_micro)` with
+   * `jaccard_micro = 10⁶·inter ∕ union` in integer floor division.
+   *
+   * Scale shape: the pair expansion is |pairs|·m register rows (keys are
+   * dimension-sized); the data is never re-touched.
+   */
+  def hllOverlap(sketch: DataFrame, keyCol: String): DataFrame = {
+    val per = hllStats(sketch, Seq(keyCol))
+      .select(col(keyCol).as("__k"), col("distinct_est_micro").as("__e"))
+    val keys = sketch.select(col(keyCol).as("__k")).distinct()
+    val pairs = keys.select(col("__k").as("key_a"))
+      .join(keys.select(col("__k").as("key_b")), col("key_a") < col("key_b"))
+    val unioned = pairs
+      .join(sketch.select(col(keyCol).as("key_a"), col("bucket"), col("r")), Seq("key_a"))
+      .unionByName(pairs
+        .join(sketch.select(col(keyCol).as("key_b"), col("bucket"), col("r")), Seq("key_b"))
+        .select(col("key_a"), col("key_b"), col("bucket"), col("r")))
+      .groupBy(col("key_a"), col("key_b"), col("bucket"))
+      .agg(max(col("r")).as("r"))
+    val uEst = hllStats(unioned, Seq("key_a", "key_b"))
+      .select(col("key_a"), col("key_b"), col("distinct_est_micro").as("union_est_micro"))
+    uEst
+      .join(per.select(col("__k").as("key_a"), col("__e").as("__ea")), Seq("key_a"))
+      .join(per.select(col("__k").as("key_b"), col("__e").as("__eb")), Seq("key_b"))
+      .withColumn("inter_est_micro",
+        greatest(lit(0L), col("__ea") + col("__eb") - col("union_est_micro")))
+      .withColumn("jaccard_micro",
+        when(col("union_est_micro") > 0L,
+          expr("(inter_est_micro * 1000000L) DIV union_est_micro")).otherwise(lit(0L)))
+      .select(col("key_a"), col("key_b"), col("union_est_micro"),
+        col("inter_est_micro"), col("jaccard_micro"))
+  }
+
   /** Materialize a [[hllSketch]] as a managed table. */
   def materializeHllTable(
       df: DataFrame,

@@ -152,6 +152,27 @@ class SketchesSpec extends SparkSpec {
     assert(out(("a", "c"))._2 === 0L && out(("a", "c"))._3 === 0L)
   }
 
+  test("hllOverlap: inclusion-exclusion lands near true overlap; disjoint pairs near zero") {
+    // a/b overlap 200 of 600 distinct values; c is disjoint from both.
+    // All cardinalities sit deep in the linear-counting branch, so the
+    // estimates are near-exact and the assertions can be tight.
+    val rows =
+      (1 to 400).map(i => ("a", s"v$i")) ++
+        (201 to 600).map(i => ("b", s"v$i")) ++
+        (1 to 300).map(i => ("c", s"w$i"))
+    val sk = Sketches.hllSketch(rows.toDF("k", "v"), Seq("k"), "v")
+    val out = Sketches.hllOverlap(sk, "k")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    val (union, inter, jac) = out(("a", "b"))
+    assert(math.abs(union - 600L * 1000000L) <= 15L * 1000000L, s"union=$union")
+    assert(math.abs(inter - 200L * 1000000L) <= 15L * 1000000L, s"inter=$inter")
+    assert(math.abs(jac - 333333L) <= 30000L, s"jaccard=$jac")
+    // disjoint pair: intersection estimate clamps near zero
+    assert(out(("a", "c"))._2 <= 15L * 1000000L)
+  }
+
   test("rankSketch: quantile estimates within the sampling rank-error bound of exact") {
     // 8000 rows, unique ties, values a fixed permutation of 1..8000. At
     // level L=4 the expected rank error at φ is O(√(2^L·φn)) ≈ 360 rows;
