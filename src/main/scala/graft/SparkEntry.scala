@@ -509,6 +509,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("order_count"))
         .orderBy(col("o_orderpriority"))
     },
+    // ---- q12 shape (shipping-mode priority routing): ONE equi-join on
+    // orderkey between the date-restricted fact slice and orders, then a
+    // conditional aggregation (CASE inside sum) — the "pivot a dimension
+    // attribute into measure columns" family. Both sides carry slim
+    // projections (lineitem: orderkey+linestatus; orders: orderkey+
+    // priority), so the shuffle moves two columns per row, not the table.
+    // This schema has no l_shipmode/receiptdate, so the mode axis is
+    // surrogate-keyed by l_linestatus (same 2-value group-by shape).
+    "q12_priority_routing" -> { (s, dir) =>
+      val hi = col("o_orderpriority") === "1-URGENT" ||
+        col("o_orderpriority") === "2-HIGH"
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+        .select(col("l_orderkey"), col("l_linestatus"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(hi, lit(1L)).otherwise(lit(0L))).as("high_line_count"),
+          sum(when(hi, lit(0L)).otherwise(lit(1L))).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    },
     // ---- q17 shape (correlated scalar-aggregate decorrelation): the
     // per-part avg subquery becomes ONE partkey-grained aggregate joined
     // back to the restricted fact rows. The brand filter broadcasts to the
@@ -1181,6 +1204,64 @@ object SparkEntry {
       }
       graft.operators.Sketches.hllStats(s.table("graft_hll_dau"), Seq("event_type"))
         .orderBy(col("event_type"))
+    },
+    // ---- Bloom membership filter: per-event-type user filter packed
+    // into ≤265 62-bit words per key — the SET-MEMBERSHIP member of the
+    // mergeable-sketch family (KMV=cardinality, hist=distribution,
+    // CMS=frequency, HLL=fixed-size cardinality, rank=quantiles). The
+    // only shuffle is the (key, word) groupBy; output is keys·words-
+    // bounded regardless of input size.
+    "bloom_filter" -> { (s, dir) =>
+      graft.operators.Sketches.bloomSketch(events(s, dir), Seq("event_type"), "user_id")
+        .orderBy(col("event_type"), col("word"))
+    },
+    // ---- the same filter via the MERGE path: bitwise-or per word is
+    // lossless, so per-slice filters roll up to exactly the from-scratch
+    // filter (shared oracle).
+    "bloom_merge" -> { (s, dir) =>
+      val ev = events(s, dir)
+      graft.operators.Sketches.bloomMerge(
+        graft.operators.Sketches.bloomSketch(
+          ev.filter(col("event_id") % 2 === 0), Seq("event_type"), "user_id"),
+        graft.operators.Sketches.bloomSketch(
+          ev.filter(col("event_id") % 2 =!= 0), Seq("event_type"), "user_id"),
+        Seq("event_type"))
+        .orderBy(col("event_type"), col("word"))
+    },
+    // ---- the filter as MAINTAINED STATE: managed word table built from
+    // one half, the other half OR-folded in — and appended AGAIN to
+    // exercise that OR-idempotence makes re-ingest a no-op with no batch
+    // guard at all. Shares the from-scratch oracle.
+    "bloom_append" -> { (s, dir) =>
+      Fixtures.cached(s"bloom_table|$dir") {
+        val ev = events(s, dir)
+        graft.operators.Sketches.materializeBloomTable(
+          ev.filter(col("event_id") % 2 === 0), Seq("event_type"), "user_id", "graft_bloom_users")
+        graft.operators.Sketches.appendToBloomTable(
+          ev.filter(col("event_id") % 2 =!= 0), Seq("event_type"), "user_id", "graft_bloom_users")
+        graft.operators.Sketches.appendToBloomTable(
+          ev.filter(col("event_id") % 2 =!= 0), Seq("event_type"), "user_id", "graft_bloom_users")
+        java.lang.Boolean.TRUE
+      }
+      s.table("graft_bloom_users").orderBy(col("event_type"), col("word"))
+    },
+    // ---- membership probe against the filter: 25 present-domain user
+    // ids and 25 impossible ones per event type; the probe explodes to k
+    // positions, broadcast-joins the keys·words sketch, and bool-ands
+    // back — the raw events are never rescanned. No false negatives;
+    // false positives at the designed ~0.5% rate, and DETERMINISTIC, so
+    // the oracle recomputes the exact same verdict.
+    "bloom_probe" -> { (s, dir) =>
+      val sketch = graft.operators.Sketches.bloomSketch(
+        events(s, dir), Seq("event_type"), "user_id")
+      val keys = events(s, dir).filter(col("user_id").isNotNull)
+        .select(col("event_type")).distinct()
+      val probes = keys.crossJoin(
+        s.range(1, 26).select(col("id").cast("string").as("probe_user"))
+          .unionByName(s.range(1, 26).select(
+            concat(lit("-"), col("id").cast("string")).as("probe_user"))))
+      graft.operators.Sketches.bloomProbe(sketch, Seq("event_type"), probes, "probe_user")
+        .orderBy(col("event_type"), col("probe_user"))
     },
     // ---- mergeable equi-width histogram + quantile estimates: one
     // map-side-combinable bucket groupBy instead of the total sort behind
@@ -4693,6 +4774,25 @@ object SparkEntry {
     "events", "event_type",
     "CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d')")
 
+  /** Bloom word recomputation over events(event_type, user_id): the
+    * double-hashed k=4 positions packed into 62-bit words (bit 63 would
+    * overflow DuckDB's checked `<<`). Shared by bloom_filter and — since
+    * bitwise-or merge is lossless and idempotent — bloom_merge and
+    * bloom_append. */
+  private val bloomWordsSql: String =
+    """hx AS (SELECT event_type,
+      |  ('0x' || substring(md5('bf1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h1,
+      |  ('0x' || substring(md5('bf2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h2
+      |  FROM events WHERE user_id IS NOT NULL),
+      |pos AS (SELECT event_type, (h1 + i * h2) % 16384 AS p
+      |        FROM hx, range(4) r(i)),
+      |sk AS (SELECT event_type, p // 62 AS word,
+      |         bit_or(1::BIGINT << CAST(p % 62 AS INTEGER)) AS bits
+      |       FROM pos GROUP BY 1, 2)""".stripMargin
+  private val bloomEventsOracle: String =
+    s"""WITH $bloomWordsSql
+       |SELECT event_type, word, bits FROM sk ORDER BY event_type, word""".stripMargin
+
   /** Shared by attribution_last_touch and attribution_stream: the
     * streaming twin's O(1) per-entity touch state reproduces the batch
     * carried-forward window on ordered replays. */
@@ -5055,6 +5155,17 @@ object SparkEntry {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // q12: conditional counts are exact integers — no float risk.
+    "q12_priority_routing" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     // q17: correlated scalar avg, cross-multiplied (5*qty*n < sum) so both
     // engines compare exact decimals instead of divided averages.
     "q17_small_quantity" ->
@@ -5793,6 +5904,31 @@ object SparkEntry {
       hllOracle("lineitem", "l_returnflag", "CAST(l_partkey AS VARCHAR)"),
     "hll_distinct_merge" -> hllEventsOracle, // register-max merge ≡ fresh sketch
     "hll_distinct_append" -> hllEventsOracle, // stored+appended table ≡ fresh sketch
+    "bloom_filter" -> bloomEventsOracle,
+    "bloom_merge" -> bloomEventsOracle, // bitwise-or merge ≡ fresh filter
+    "bloom_append" -> bloomEventsOracle, // stored+appended (twice) table ≡ fresh filter
+    // probe: recompute each candidate's k positions and AND the bit tests
+    // against the recomputed filter — deterministic false positives and
+    // all, so the verdict column matches exactly.
+    "bloom_probe" ->
+      s"""WITH $bloomWordsSql,
+         |keys AS (SELECT DISTINCT event_type FROM events WHERE user_id IS NOT NULL),
+         |pv AS (SELECT CAST(i AS VARCHAR) AS probe_user FROM range(1, 26) r(i)
+         |       UNION ALL
+         |       SELECT '-' || CAST(i AS VARCHAR) FROM range(1, 26) r(i)),
+         |ph AS (SELECT event_type, probe_user,
+         |  ('0x' || substring(md5('bf1:' || probe_user), 1, 15))::BIGINT AS h1,
+         |  ('0x' || substring(md5('bf2:' || probe_user), 1, 15))::BIGINT AS h2
+         |  FROM keys, pv),
+         |pp AS (SELECT event_type, probe_user, (h1 + i * h2) % 16384 AS p
+         |       FROM ph, range(4) r(i))
+         |SELECT pp.event_type, pp.probe_user,
+         |  CAST(min(CASE WHEN sk.bits IS NOT NULL
+         |                 AND ((sk.bits >> CAST(pp.p % 62 AS INTEGER)) & 1) = 1
+         |            THEN 1 ELSE 0 END) AS BIGINT) AS maybe_present
+         |FROM pp LEFT JOIN sk
+         |  ON sk.event_type = pp.event_type AND sk.word = pp.p // 62
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "hist_quantiles" -> histOracle,
     "hist_quantiles_append" -> histOracle, // maintained counts ≡ fresh counts
     "hist_quantiles_by_key" ->

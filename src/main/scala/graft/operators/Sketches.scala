@@ -384,6 +384,123 @@ object Sketches {
     Bucketing.materializePlain(merged, table)
   }
 
+  // ------------------------------------------------------------- Bloom filter
+
+  /** Bloom filter size in bits (m). 16384 bits ≈ 0.5% false-positive rate
+    * at 1.5k members with [[BloomK]] = 4 — and the packed-word state is
+    * ≤ ⌈m∕62⌉ = 265 rows per key no matter the cardinality. */
+  val BloomBits: Long = 16384L
+  /** Number of hash functions (k), realized by double hashing. */
+  val BloomK: Int = 4
+  /** Bits packed per word. 62, not 64: DuckDB's `<<` overflow-checks at
+    * bit 63, so keeping indices in [0, 62) makes every word value a
+    * positive BIGINT both engines agree on. */
+  private val BloomWordBits: Int = 62
+
+  private def bloomHash(prefix: String, v: Column): Column =
+    conv(substring(md5(concat(lit(prefix), v.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /**
+   * Bloom filter sketch (Bloom 1970): per key, a fixed [[BloomBits]]-bit
+   * membership filter over `valueCol`, stored as packed 62-bit words
+   * `(keys..., word, bits)` — only occupied words; empty words are
+   * implicit zero. The k = [[BloomK]] probe positions come from double
+   * hashing (Kirsch & Mitzenmacher 2006): `pos_i = (h1 + i·h2) mod m`
+   * over the portable 60-bit md5 hash family, so the filter is fully
+   * deterministic and the DuckDB oracle recomputes it bit-for-bit.
+   *
+   * Scale shape: the k-way position fan-out is map-side (a `transform`
+   * over two precomputed hash columns — no re-evaluation inside the
+   * lambda), and the only shuffle is the map-side-combinable
+   * (key, word) groupBy whose output is ≤ keys·⌈m∕62⌉ rows. `bit_or`
+   * merge ([[bloomMerge]]) is lossless AND idempotent, so per-slice
+   * filters roll up — and re-appending a batch is a no-op by algebra,
+   * making the maintained table crash-safe without a batch-id guard.
+   */
+  def bloomSketch(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String
+  ): DataFrame = {
+    val keys = keyCols.map(col)
+    df.filter(col(valueCol).isNotNull)
+      .select((keys :+
+        bloomHash("bf1:", col(valueCol)).as("__h1") :+
+        bloomHash("bf2:", col(valueCol)).as("__h2")): _*)
+      .select((keys :+ explode(expr(
+        s"transform(sequence(0, ${BloomK - 1}), i -> (__h1 + i * __h2) % ${BloomBits}L)"))
+        .as("__pos")): _*)
+      .groupBy((keys :+ expr(s"__pos DIV $BloomWordBits").as("word")): _*)
+      .agg(expr(s"bit_or(shiftleft(1L, CAST(__pos % $BloomWordBits AS INT)))").as("bits"))
+  }
+
+  /** OR two Bloom sketches (same m/k, same keys): bitwise-or per word is
+    * the exact union filter — lossless and idempotent. */
+  def bloomMerge(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((keyCols.map(col) :+ col("word")): _*)
+      .agg(expr("bit_or(bits)").as("bits"))
+
+  /**
+   * Membership probe: for each `(keys..., probe value)` row, 1 iff all k
+   * probe positions are set in that key's filter ("maybe present" — no
+   * false negatives; false positives at the designed rate), else 0
+   * ("definitely absent"). The probe side explodes to k rows, joins the
+   * O(keys·words) sketch (broadcastable at any data scale), and
+   * `bool_and`s back — never touches the original data.
+   */
+  def bloomProbe(
+      sketch: DataFrame,
+      keyCols: Seq[String],
+      probes: DataFrame,
+      probeCol: String
+  ): DataFrame = {
+    val keys = keyCols.map(col)
+    val pcol = col(probeCol)
+    probes
+      .select((keys :+ pcol :+
+        bloomHash("bf1:", pcol).as("__h1") :+
+        bloomHash("bf2:", pcol).as("__h2")): _*)
+      .select((keys :+ pcol :+ explode(expr(
+        s"transform(sequence(0, ${BloomK - 1}), i -> (__h1 + i * __h2) % ${BloomBits}L)"))
+        .as("__pos")): _*)
+      .withColumn("__word", expr(s"__pos DIV $BloomWordBits"))
+      .join(broadcast(sketch.withColumnRenamed("word", "__word")),
+        keyCols :+ "__word", "left")
+      .withColumn("__hit",
+        col("bits").isNotNull &&
+          expr(s"(shiftright(bits, CAST(__pos % $BloomWordBits AS INT)) & 1L) = 1L"))
+      .groupBy((keys :+ pcol): _*)
+      .agg(min(when(col("__hit"), lit(1L)).otherwise(lit(0L))).as("maybe_present"))
+  }
+
+  /** Materialize a [[bloomSketch]] as a managed table. */
+  def materializeBloomTable(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      table: String
+  ): Unit =
+    Bucketing.materializePlain(bloomSketch(df, keyCols, valueCol), table)
+
+  /** Fold a new batch into a stored Bloom table: sketch the BATCH, OR
+    * with the stored words, swap. O(batch) + O(keys·words) per tick;
+    * because OR is idempotent, a retried append of the same batch leaves
+    * the table unchanged — crash-safe with no guard state. */
+  def appendToBloomTable(
+      batch: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      table: String
+  ): Unit = {
+    val spark = batch.sparkSession
+    val merged = bloomMerge(
+      spark.table(table), bloomSketch(batch, keyCols, valueCol), keyCols)
+      .localCheckpoint() // materialize BEFORE the swap drops the table it reads
+    Bucketing.materializePlain(merged, table)
+  }
+
   /**
    * Count-min sketch (Cormode & Muthukrishnan 2005): a depth×width
    * integer counter matrix over the portable hash family — frequency

@@ -173,6 +173,39 @@ class SketchesSpec extends SparkSpec {
     assert(out(("a", "c"))._2 <= 15L * 1000000L)
   }
 
+  test("bloomSketch/bloomProbe: no false negatives; absent probes mostly definite-absent") {
+    val members = (1 to 500).map(i => ("g", s"m$i"))
+    val sk = Sketches.bloomSketch(members.toDF("k", "v"), Seq("k"), "v")
+    // every inserted value must probe maybe_present = 1 (no false negatives)
+    val present = Sketches.bloomProbe(
+      sk, Seq("k"), (1 to 500).map(i => ("g", s"m$i")).toDF("k", "v"), "v")
+      .agg(min(col("maybe_present")), sum(col("maybe_present"))).collect()(0)
+    assert(present.getLong(0) === 1L)
+    // 500 members in 16384 bits at k=4: FP rate ~0.5%; 1000 absent probes
+    // should be overwhelmingly definite-absent.
+    val fp = Sketches.bloomProbe(
+      sk, Seq("k"), (1 to 1000).map(i => ("g", s"absent$i")).toDF("k", "v"), "v")
+      .agg(sum(col("maybe_present"))).collect()(0).getLong(0)
+    assert(fp <= 30L, s"false-positive count $fp out of 1000 is above the designed rate")
+  }
+
+  test("bloomMerge / appendToBloomTable: OR merge is lossless and re-append is a no-op") {
+    val h1 = (1 to 300).map(i => ("g", s"m$i")).toDF("k", "v")
+    val h2 = (200 to 600).map(i => ("g", s"m$i")).toDF("k", "v")
+    def words(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val fresh = words(Sketches.bloomSketch(h1.unionByName(h2), Seq("k"), "v"))
+    val merged = words(Sketches.bloomMerge(
+      Sketches.bloomSketch(h1, Seq("k"), "v"),
+      Sketches.bloomSketch(h2, Seq("k"), "v"), Seq("k")))
+    assert(merged === fresh)
+    Sketches.materializeBloomTable(h1, Seq("k"), "v", "sk_spec_bloom")
+    Sketches.appendToBloomTable(h2, Seq("k"), "v", "sk_spec_bloom")
+    assert(words(spark.table("sk_spec_bloom")) === fresh)
+    Sketches.appendToBloomTable(h2, Seq("k"), "v", "sk_spec_bloom") // crash-retry replay
+    assert(words(spark.table("sk_spec_bloom")) === fresh) // idempotent by algebra
+  }
+
   test("rankSketch: quantile estimates within the sampling rank-error bound of exact") {
     // 8000 rows, unique ties, values a fixed permutation of 1..8000. At
     // level L=4 the expected rank error at φ is O(√(2^L·φn)) ≈ 360 rows;
