@@ -1025,6 +1025,54 @@ object SparkEntry {
         new java.util.ArrayList(java.util.Arrays.asList(cached._2.toSeq: _*)), cached._1)
         .orderBy(col("user_id"), col("conversion_ts"), col("event_id"))
     },
+    // ---- streaming exactly-once dedup: an at-least-once replay (every
+    // event_id % 10 == 0 row of batch 1 arrives AGAIN inside batch 1 and
+    // a third time in batch 2) flows through dedupStream — watermarked
+    // dropDuplicatesWithinWatermark, O(keys-in-horizon) state — and the
+    // sink holds each event exactly once, so the per-type rollup matches
+    // the duplicate-free batch oracle. The horizon (365 days) exceeds the
+    // replay gap, which is the operator's contract: dedup is exact within
+    // the delivery-replay window, state evicts beyond it.
+    "dedup_exact_stream" -> { (s, dir) =>
+      val cached = Fixtures.cached(s"dedup_exact_stream|$dir") {
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val ev = events(s, dir).select(
+          col("event_id"), col("ts"), col("event_type"),
+          coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)).as("vmicro"))
+        val qs = ev.agg(
+          expr("percentile(unix_micros(ts), 0.3333)").as("q1"),
+          expr("percentile(unix_micros(ts), 0.6667)").as("q2")).head()
+        val (b1, b2) = (qs.getDouble(0), qs.getDouble(1))
+        def tup(df: DataFrame) = df.collect().toSeq
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getLong(3)))
+        val dupes = ev.filter(col("event_id") % 10 === 0 &&
+          expr(s"unix_micros(ts) <= $b1"))
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, java.sql.Timestamp, String, Long)]
+        val out = graft.streaming.StreamingOps.dedupStream(
+          mem.toDF().toDF("event_id", "ts", "event_type", "vmicro"),
+          "ts", "365 days", col("event_id"))
+        val qname = s"dedup_sink_${math.abs(dir.hashCode)}"
+        val q = out.writeStream.format("memory").queryName(qname)
+          .outputMode("append").start()
+        try {
+          Seq(
+            ev.filter(expr(s"unix_micros(ts) <= $b1")).unionByName(dupes),
+            ev.filter(expr(s"unix_micros(ts) > $b1 AND unix_micros(ts) <= $b2"))
+              .unionByName(dupes),
+            ev.filter(expr(s"unix_micros(ts) > $b2"))
+          ).foreach { sl => mem.addData(tup(sl)); q.processAllAvailable() }
+          // no sentinels: dropDuplicates emits first arrivals immediately
+        } finally q.stop()
+        (s.table(qname).schema, s.table(qname).collect())
+      }
+      s.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(cached._2.toSeq: _*)), cached._1)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("vmicro")).as("sum_value_micro"))
+        .orderBy(col("event_type"))
+    },
     // ---- KMV distinct sketch: daily-active-user cardinality per event
     // type from O(k) state per key — the stat a 100 TB loop maintains
     // incrementally instead of count(distinct)-ing the corpus.
@@ -5904,6 +5952,15 @@ object SparkEntry {
       hllOracle("lineitem", "l_returnflag", "CAST(l_partkey AS VARCHAR)"),
     "hll_distinct_merge" -> hllEventsOracle, // register-max merge ≡ fresh sketch
     "hll_distinct_append" -> hllEventsOracle, // stored+appended table ≡ fresh sketch
+    // streaming dedup twin: the replayed duplicates collapse to exactly
+    // the original events, so the rollup is computable straight from the
+    // batch table — no duplicate modeling needed.
+    "dedup_exact_stream" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)
+        |    AS sum_value_micro
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "bloom_filter" -> bloomEventsOracle,
     "bloom_merge" -> bloomEventsOracle, // bitwise-or merge ≡ fresh filter
     "bloom_append" -> bloomEventsOracle, // stored+appended (twice) table ≡ fresh filter
