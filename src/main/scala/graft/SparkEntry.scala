@@ -1475,6 +1475,25 @@ object SparkEntry {
         .select(col("id1").as("id_a"), col("id2").as("id_b"))
       graft.operators.Dedup.connectedComponents(edges).orderBy(col("id"))
     },
+    // ---- multi-source BFS over the same sparse proximity graph: hop
+    // distance from the %100 seed customers, capped at 6 hops (a SEMANTIC
+    // bound — the frontier loop early-exits when a layer is empty, so the
+    // oracle's exactly-6 unrolled expansion matches by construction).
+    "graph_bfs" -> { (s, dir) =>
+      val pts = t(s, dir, "customer")
+        .filter(col("c_custkey") % 10 === 0)
+        .select(
+          col("c_custkey").as("id"),
+          (graft.functions.Text.portableHash31(
+            concat(lit("gx:"), col("c_custkey").cast("string"))) % 1000000L).as("x"),
+          (graft.functions.Text.portableHash31(
+            concat(lit("gy:"), col("c_custkey").cast("string"))) % 1000000L).as("y"))
+      val edges = graft.operators.Geo.radiusJoin(pts, "id", "x", "y", radius = 20000L)
+      graft.operators.Graph.bfsDistances(
+        edges, "id1", "id2",
+        pts.filter(col("id") % 100 === 0), "id", maxHops = 6)
+        .orderBy(col("node"))
+    },
     // ---- nearest neighbor within radius over the same proximity graph:
     // cell-bounded candidates, one min(struct) argmin per point —
     // no per-point sort, no points² scan.
@@ -5677,6 +5696,24 @@ object SparkEntry {
         |  UNION
         |  SELECT r.a, x.b FROM reach r JOIN edge x ON r.b = x.a)
         |SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a ORDER BY id""".stripMargin,
+    // BFS: recursive CTE bounded at 6 hops (UNION dedupes, the depth
+    // guard terminates it); dist = min hop per reached node.
+    "graph_bfs" ->
+      """WITH RECURSIVE pts AS (SELECT c_custkey AS id,
+        |  (('0x' || substring(md5('gx:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+        |     % 2147483647) % 1000000 AS x,
+        |  (('0x' || substring(md5('gy:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+        |     % 2147483647) % 1000000 AS y
+        |             FROM customer WHERE c_custkey % 10 = 0),
+        |e AS (SELECT a.id AS id1, b.id AS id2 FROM pts a JOIN pts b ON a.id < b.id
+        |      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 400000000),
+        |edge AS (SELECT id1 AS a, id2 AS b FROM e UNION SELECT id2, id1 FROM e),
+        |walk(node, d) AS (
+        |  SELECT id, 0 FROM pts WHERE id % 100 = 0
+        |  UNION
+        |  SELECT x.b, w.d + 1 FROM walk w JOIN edge x ON w.node = x.a WHERE w.d < 6)
+        |SELECT node, CAST(min(d) AS BIGINT) AS dist
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin,
     // Nearest neighbor: same radius pairs symmetrized, argmin by
     // (dist2, nn) via row_number.
     "geo_nearest" ->

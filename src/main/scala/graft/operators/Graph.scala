@@ -218,6 +218,63 @@ object Graph {
   }
 
   /**
+   * Multi-source BFS hop distances over an UNDIRECTED edge list: for
+   * every node reachable from `seeds` in at most `maxHops` hops, the
+   * minimum hop count — the reachability primitive behind "blast radius
+   * of these compromised accounts" / "friends-of-friends candidate
+   * pools". `maxHops` is a SEMANTIC bound (distances beyond it are out of
+   * scope by contract), so unlike [[kCore]] there is no silent-truncation
+   * hazard: the frontier loop early-exits once empty, and extra rounds
+   * are no-ops — an oracle unrolling exactly `maxHops` rounds matches.
+   * Returns `(node, dist)` including the seeds at dist 0. Deterministic:
+   * each round labels the ENTIRE next frontier, so visit order cannot
+   * change a distance (BFS layers are unique).
+   *
+   * Scale shape: per round, one frontier⨝edges hash join (the frontier is
+   * node-sized and SHRINKS as layers saturate) plus one anti-join against
+   * the visited set — both on slim (long, long) pairs; visited and
+   * frontier localCheckpoint per round so lineage stays flat, and the
+   * driver loop moves only row COUNTS.
+   */
+  def bfsDistances(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int
+  ): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val sym = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .unionByName(edges.select(
+        col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+      .distinct()
+      .localCheckpoint() // edges feed every round; cut upstream lineage once
+    var frontier = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .localCheckpoint()
+    var visited = frontier.withColumn("dist", lit(0L))
+    var hop = 0
+    var frontierRows = frontier.count()
+    while (frontierRows > 0L && hop < maxHops) {
+      hop += 1
+      val next = sym
+        .join(frontier.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .select(col("b").as("node"))
+        .distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint()
+      visited = visited
+        .unionByName(next.withColumn("dist", lit(hop.toLong)))
+        .localCheckpoint()
+      frontier = next
+      frontierRows = next.count()
+    }
+    visited
+  }
+
+  /**
    * Transition edge list from an event stream: one weighted edge per
    * observed consecutive (prev state → state) pair within an entity,
    * ordered by (ts, tie). The event-sized work is ONE slim per-entity

@@ -88,6 +88,23 @@ class GraphSpec extends SparkSpec {
     assert(core1 === Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("bfsDistances: layered min-hops, multi-source min, hop cap, isolated seed at 0") {
+    // path 1-2-3-4-5, disconnected pair 10-11; edges in mixed orientation
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L), (10L, 11L)).toDF("s", "d")
+    def run(seeds: Seq[Long], hops: Int) =
+      Graph.bfsDistances(edges, "s", "d", seeds.toDF("id"), "id", hops)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // single source, cap 3: node 5 (dist 4) and the 10-11 island unreached
+    assert(run(Seq(1L), 3) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // multi-source: distances are the min over seeds
+    assert(run(Seq(1L, 5L), 3) ===
+      Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+    // a seed with no incident edges still reports dist 0
+    assert(run(Seq(20L), 2) === Map(20L -> 0L))
+    // maxHops 0: seeds only
+    assert(run(Seq(1L), 0) === Map(1L -> 0L))
+  }
+
   test("transitionEdges: per-entity consecutive pairs, tie-broken, cross-entity isolated") {
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
     val events = Seq(
