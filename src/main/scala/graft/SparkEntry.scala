@@ -65,6 +65,28 @@ object SparkEntry {
       col("value")
     )
 
+  /** Customer table recast as a three-tick SCD changelog: every customer
+    * appends at 2024-01-01; the %3 keys get a -C/+C correction pair
+    * (acctbal doubled) at 2024-02-01; the %7 keys retract at 2024-03-01.
+    * Offsets are custkey·10 + tick so per-key order is total. Shared by
+    * scd2_build / scd2_pit. */
+  private def scd2Ledger(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+    def tick(df: DataFrame, bal: Column, off: Int, op: Int, et: String) =
+      df.select(
+        col("c_custkey"), bal.as("c_acctbal"),
+        (col("c_custkey") * 10 + off).as("offset"),
+        lit(op).as("op"),
+        to_timestamp(lit(et)).as("event_time"))
+    tick(cust, col("c_acctbal"), 0, Op.Append, "2024-01-01 00:00:00")
+      .unionByName(tick(cust.filter(col("c_custkey") % 3 === 0),
+        col("c_acctbal"), 1, Op.CorrectFrom, "2024-02-01 00:00:00"))
+      .unionByName(tick(cust.filter(col("c_custkey") % 3 === 0),
+        col("c_acctbal") * 2, 2, Op.CorrectTo, "2024-02-01 00:00:00"))
+      .unionByName(tick(cust.filter(col("c_custkey") % 7 === 0),
+        lit(0.0), 3, Op.Retract, "2024-03-01 00:00:00"))
+  }
+
   /** Shared fixture: the orders table ingested as three append slices with
     * distinct commit times (used by dataset_multislice / dataset_tail /
     * compaction). Built once per (entry, dir) via [[Fixtures.cached]]. */
@@ -1604,6 +1626,33 @@ object SparkEntry {
     },
     "tail" -> { (s, dir) =>
       Changelog.tail(eventsLedger(s, dir), 100)
+    },
+    // ---- SCD type-2 build from a three-tick changelog (initial load,
+    // a correction wave over the %3 keys, a retraction wave over the %7
+    // keys): one lead() window per key turns the ledger into validity
+    // intervals; retractions close intervals without emitting rows and
+    // -C halves are skipped.
+    "scd2_build" -> { (s, dir) =>
+      Changelog.scd2(scd2Ledger(s, dir), Seq("c_custkey"))
+        .orderBy(col("c_custkey"), col("valid_from"))
+    },
+    // ---- point-in-time probe against the SCD2 dimension: three probe
+    // dates per %5 customer pick up the version valid AT each date — a
+    // key-equi hash join with the interval residual; probes after a
+    // retraction resolve to null (left join), matching the warehouse
+    // "as the dimension stood then" contract.
+    "scd2_pit" -> { (s, dir) =>
+      val dim = Changelog.scd2(scd2Ledger(s, dir), Seq("c_custkey"))
+      val probes = t(s, dir, "customer")
+        .filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"),
+          explode(array(
+            to_timestamp(lit("2024-01-15 00:00:00")),
+            to_timestamp(lit("2024-02-15 00:00:00")),
+            to_timestamp(lit("2024-03-15 00:00:00")))).as("probe_ts"))
+      Changelog.pointInTimeJoin(probes, dim, Seq("c_custkey"), "probe_ts")
+        .select(col("c_custkey"), col("probe_ts"), col("c_acctbal"), col("valid_from"))
+        .orderBy(col("c_custkey"), col("probe_ts"))
     },
     "merge_ledger" -> { (s, dir) =>
       val orders = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -4841,6 +4890,25 @@ object SparkEntry {
     "events", "event_type",
     "CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d')")
 
+  /** Shared SCD2 CTEs: the scd2Ledger ticks (minus the -C halves, which
+    * the operator drops pre-window) and the lead() interval build. */
+  private val scd2OracleCtes: String =
+    """led AS (
+      |  SELECT c_custkey, c_acctbal, c_custkey * 10 AS off, 0 AS op,
+      |         TIMESTAMP '2024-01-01' AS et FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_acctbal * 2, c_custkey * 10 + 2, 3,
+      |         TIMESTAMP '2024-02-01' FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, 0.0, c_custkey * 10 + 3, 1,
+      |         TIMESTAMP '2024-03-01' FROM customer WHERE c_custkey % 7 = 0),
+      |w AS (SELECT *, lead(et) OVER (PARTITION BY c_custkey ORDER BY off) AS valid_to
+      |      FROM led),
+      |dim AS (SELECT c_custkey, c_acctbal, et AS valid_from, valid_to,
+      |               CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+      |                 AS is_current
+      |        FROM w WHERE op <> 1)""".stripMargin
+
   /** Bloom word recomputation over events(event_type, user_id): the
     * double-hashed k=4 positions packed into 62-bit words (bit 63 would
     * overflow DuckDB's checked `<<`). Shared by bloom_filter and — since
@@ -6125,6 +6193,25 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT CAST(2 AS INT) AS op, ok, onm, ob FROM cdc WHERE ok IS NOT NULL AND nk IS NOT NULL)
         |ORDER BY c_custkey, op""".stripMargin,
+    // SCD2: rebuild the same three-tick ledger (the -C halves are simply
+    // not generated — the operator filters them before the lead window,
+    // so the version sequences are identical), then one lead() per key.
+    "scd2_build" ->
+      s"""WITH $scd2OracleCtes
+         |SELECT c_custkey, c_acctbal, valid_from, valid_to, is_current
+         |FROM dim ORDER BY c_custkey, valid_from""".stripMargin,
+    "scd2_pit" ->
+      s"""WITH $scd2OracleCtes,
+         |probes AS (SELECT c_custkey, pt AS probe_ts
+         |           FROM customer, (VALUES (TIMESTAMP '2024-01-15'),
+         |                                  (TIMESTAMP '2024-02-15'),
+         |                                  (TIMESTAMP '2024-03-15')) v(pt)
+         |           WHERE c_custkey % 5 = 0)
+         |SELECT p.c_custkey, p.probe_ts, d.c_acctbal, d.valid_from
+         |FROM probes p LEFT JOIN dim d
+         |  ON d.c_custkey = p.c_custkey AND d.valid_from <= p.probe_ts
+         | AND (d.valid_to IS NULL OR p.probe_ts < d.valid_to)
+         |ORDER BY 1, 2""".stripMargin,
     "offsets_assign" ->
       """SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS "offset",
         |       l_orderkey, l_linenumber, l_quantity

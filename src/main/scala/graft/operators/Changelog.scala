@@ -62,6 +62,72 @@ object Changelog {
   }
 
   /**
+   * Changelog → SCD type-2 dimension (Kimball's slowly-changing-dimension
+   * pattern): every version-opening row (+A append, +C correction) becomes
+   * a dimension row with a validity interval `[valid_from, valid_to)` in
+   * EVENT time — `valid_from` is the row's own event time, `valid_to` the
+   * event time of the next opening-or-retracting row for the same key
+   * (null = still current). Retractions (-R) close the prior version's
+   * interval without emitting a row; correction-from halves (-C) are
+   * skipped entirely (they restate the version being replaced). The
+   * projection of the OPEN rows equals [[project]]'s current state.
+   *
+   * Spark-first shape: one `lead(event_time)` window over pk-partitioned,
+   * offset-ordered rows — a single hash shuffle on the key, no self-join
+   * against history. Output keeps every non-system column plus
+   * `valid_from`, `valid_to`, `is_current` (1/0).
+   */
+  def scd2(
+      df: DataFrame,
+      primaryKey: Seq[String],
+      vocab: DatasetVocabulary = DatasetVocabulary.Default
+  ): DataFrame = {
+    require(primaryKey.nonEmpty, "scd2 requires a primary key")
+    val w = Window
+      .partitionBy(primaryKey.map(col): _*)
+      .orderBy(col(vocab.offsetColumn))
+    val keep = df.columns.toSeq.filterNot(Set(
+      vocab.offsetColumn, vocab.operationTypeColumn,
+      vocab.systemTimeColumn, vocab.eventTimeColumn).contains)
+    df.filter(col(vocab.operationTypeColumn) =!= Op.CorrectFrom)
+      .withColumn("valid_to", lead(col(vocab.eventTimeColumn), 1).over(w))
+      .filter(col(vocab.operationTypeColumn) =!= Op.Retract)
+      .select(keep.map(col) ++ Seq(
+        col(vocab.eventTimeColumn).as("valid_from"),
+        col("valid_to"),
+        when(col("valid_to").isNull, lit(1L)).otherwise(lit(0L)).as("is_current")): _*)
+  }
+
+  /**
+   * Point-in-time join: each fact row picks up the [[scd2]] dimension
+   * version that was valid AT the fact's own timestamp — key-equi join
+   * plus the interval residual `valid_from <= ts < valid_to` (left join:
+   * facts dated before the first version or after a retraction keep null
+   * dimension columns). Because versions partition time per key, every
+   * fact matches at most one row, so the join never fans out.
+   *
+   * Scale shape: a hash equi-join on the key with the interval check as a
+   * post-probe residual — never a nested loop; the dimension side is
+   * versions-sized and usually broadcastable.
+   */
+  def pointInTimeJoin(
+      facts: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      factTsCol: String
+  ): DataFrame = {
+    val renamed = keys.foldLeft(dim)((d, k) => d.withColumnRenamed(k, s"__dim_$k"))
+    val keyEq = keys
+      .map(k => facts(k) === renamed(s"__dim_$k"))
+      .reduce(_ && _)
+    val inWindow = renamed("valid_from") <= facts(factTsCol) &&
+      (renamed("valid_to").isNull || facts(factTsCol) < renamed("valid_to"))
+    facts
+      .join(renamed, keyEq && inWindow, "left")
+      .drop(keys.map(k => s"__dim_$k"): _*)
+  }
+
+  /**
    * `tail`: the last `n` records of a ledger by offset, returned in ascending
    * order (reference: query_service_impl.rs:446-497). The descending
    * sort+limit is a TakeOrderedAndProject physical op — no full sort at scale.

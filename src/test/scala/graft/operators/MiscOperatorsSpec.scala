@@ -43,6 +43,58 @@ class MiscOperatorsSpec extends SparkSpec {
     )
   }
 
+  // ---------------------------------------------------------------- scd2
+
+  test("scd2: corrections open new versions, retractions close without emitting, -C skipped") {
+    import java.sql.Timestamp
+    def ts(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    // key 1: A@jan, -C/+C@feb, -R@mar; key 2: A@jan only; key 3: A@jan, -R@feb
+    val led = Seq(
+      (1L, 10.0, 10L, 0, ts("2024-01-01")),
+      (1L, 10.0, 11L, 2, ts("2024-02-01")),
+      (1L, 20.0, 12L, 3, ts("2024-02-01")),
+      (1L, 0.0, 13L, 1, ts("2024-03-01")),
+      (2L, 5.0, 20L, 0, ts("2024-01-01")),
+      (3L, 7.0, 30L, 0, ts("2024-01-01")),
+      (3L, 0.0, 31L, 1, ts("2024-02-01"))
+    ).toDF("k", "bal", "offset", "op", "event_time")
+    val out = Changelog.scd2(led, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getLong(4))).toSet
+    assert(out === Set(
+      (1L, 10.0, ts("2024-01-01"), Some(ts("2024-02-01")), 0L),
+      (1L, 20.0, ts("2024-02-01"), Some(ts("2024-03-01")), 0L),
+      (2L, 5.0, ts("2024-01-01"), None, 1L),
+      (3L, 7.0, ts("2024-01-01"), Some(ts("2024-02-01")), 0L)))
+  }
+
+  test("pointInTimeJoin: facts resolve to the version valid at their ts; outside windows null") {
+    import java.sql.Timestamp
+    def ts(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    val led = Seq(
+      (1L, 10.0, 10L, 0, ts("2024-01-01")),
+      (1L, 20.0, 12L, 3, ts("2024-02-01")),
+      (1L, 0.0, 13L, 1, ts("2024-03-01"))
+    ).toDF("k", "bal", "offset", "op", "event_time")
+    val dim = Changelog.scd2(led, Seq("k"))
+    val facts = Seq(
+      (1L, ts("2023-12-15")), // before first version -> null
+      (1L, ts("2024-01-15")), // v1
+      (1L, ts("2024-02-01")), // boundary: v2 opens AT its valid_from
+      (1L, ts("2024-03-15")), // after retraction -> null
+      (9L, ts("2024-01-15")) // unknown key -> null
+    ).toDF("k", "fts")
+    val out = Changelog.pointInTimeJoin(facts, dim, Seq("k"), "fts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out === Map(
+      (1L, ts("2023-12-15")) -> None,
+      (1L, ts("2024-01-15")) -> Some(10.0),
+      (1L, ts("2024-02-01")) -> Some(20.0),
+      (1L, ts("2024-03-15")) -> None,
+      (9L, ts("2024-01-15")) -> None))
+  }
+
   // -------------------------------------------------------------- export
 
   private val exportDf = Seq((1L, "x,\"y\"", 1.5), (2L, null, 2.0)).toDF("id", "s", "d")
