@@ -884,6 +884,23 @@ object SparkEntry {
         events(s, dir), "event_type", "ts", "value", thresholdPctOfMu = 10)
         .orderBy(col("event_type"))
     },
+    // ---- day-of-week seasonal profile: ratio-to-mean decomposition on
+    // the 1e-6 grid from the same daily pre-aggregate the recurrence ops
+    // use; the profile is keys·7 rows.
+    "seasonality_dow" -> { (s, dir) =>
+      graft.operators.Analytics.seasonalDowProfile(
+        events(s, dir), "event_type", "ts", "value")
+        .orderBy(col("event_type"), col("dow"))
+    },
+    // ---- seasonal outliers: each day's total scored against ITS OWN
+    // day-of-week mean — "a quiet Sunday is normal, a quiet Tuesday is an
+    // incident" — top-3 deviants per type.
+    "seasonal_outliers" -> { (s, dir) =>
+      graft.operators.Analytics.seasonalOutliers(
+        events(s, dir), "event_type", "ts", "value", topK = 3)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy(col("event_type"), col("day"))
+    },
     // ---- weekly retention cohorts: distinct (user, week) is the only
     // entity-keyed shuffle; the cohort matrix is a plain count, never a
     // count(distinct).
@@ -5551,6 +5568,47 @@ object SparkEntry {
         |                 FROM idx GROUP BY 1) mx2
         |  ON mx2.event_type = r.event_type AND r.i = mx2.mi
         |ORDER BY r.event_type""".stripMargin,
+    // Seasonality: same daily micro totals, dow = epoch-days mod 7,
+    // integer floor divisions throughout (values filtered non-negative).
+    "seasonality_dow" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL AND value >= 0 GROUP BY 1, 2),
+        |dw AS (SELECT event_type, day, y,
+        |         CAST(datediff('day', DATE '1970-01-01', day) % 7 AS BIGINT) AS dow
+        |       FROM daily),
+        |om AS (SELECT event_type, CAST(sum(y) AS BIGINT) // count(*) AS omean
+        |       FROM dw GROUP BY 1),
+        |pr AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(y) AS BIGINT) // count(*) AS mean_micro
+        |       FROM dw GROUP BY 1, 2)
+        |SELECT pr.event_type, pr.dow, pr.n_days, pr.mean_micro,
+        |  CASE WHEN om.omean > 0 THEN (pr.mean_micro * 1000000) // om.omean
+        |       ELSE 0::BIGINT END AS factor_micro
+        |FROM pr JOIN om USING (event_type) ORDER BY 1, 2""".stripMargin,
+    "seasonal_outliers" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL AND value >= 0 GROUP BY 1, 2),
+        |dw AS (SELECT event_type, day, y,
+        |         CAST(datediff('day', DATE '1970-01-01', day) % 7 AS BIGINT) AS dow
+        |       FROM daily),
+        |pr AS (SELECT event_type, dow,
+        |         CAST(sum(y) AS BIGINT) // count(*) AS expected_micro
+        |       FROM dw GROUP BY 1, 2),
+        |sc AS (SELECT dw.event_type, dw.day, dw.dow, dw.y AS daily_micro,
+        |         pr.expected_micro,
+        |         CASE WHEN pr.expected_micro > 0
+        |              THEN (dw.y * 1000000) // pr.expected_micro
+        |              ELSE 0::BIGINT END AS ratio_micro
+        |       FROM dw JOIN pr USING (event_type, dow)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY abs(ratio_micro - 1000000) DESC, day) AS rn FROM sc)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, dow, daily_micro,
+        |       expected_micro, ratio_micro
+        |FROM r WHERE rn <= 3 ORDER BY event_type, day""".stripMargin,
     // Gap-fill: generate_series calendar per user, LOCF via IGNORE NULLS.
     "gap_fill_daily" ->
       """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,

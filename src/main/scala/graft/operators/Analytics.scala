@@ -1024,6 +1024,96 @@ object Analytics {
   }
 
   /**
+   * Day-of-week seasonal profile (ratio-to-mean decomposition, the static
+   * sibling of the classical multiplicative X-11 step): per (key, dow),
+   * the mean daily micro total and its ratio to the key's overall daily
+   * mean on the 1e-6 grid — "Mondays run at 1.3× baseline". Requires
+   * NON-NEGATIVE values (enforced by filter, like [[twap]]) so integer
+   * `DIV` truncation coincides with the oracle's floor division; dow is
+   * `epoch-days mod 7` (0 = Thursday) — engine-neutral, unlike the
+   * 1-vs-0-based `dayofweek()` builtins. Keys whose total is zero get
+   * factor 0. Daily totals must stay below 2^63∕10⁶ ≈ 9.2e12 micro so the
+   * grid multiply cannot overflow.
+   *
+   * Scale shape: the (key, day) pre-aggregate is the only event-sized
+   * shuffle (map-side combined); the profile and overall mean are
+   * key·7-sized aggregates joined back at dimension grain.
+   */
+  def seasonalDowProfile(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val daily = dailyMicroTotals(events, keyCol, tsCol, valueCol)
+    val overall = daily.groupBy(col(keyCol))
+      .agg(sum(col("__y")).as("__tot"), count(lit(1)).as("__nd"))
+      .select(col(keyCol), expr("__tot DIV __nd").as("__omean"))
+    daily
+      .groupBy(col(keyCol), col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("__y")).as("__t"))
+      .withColumn("mean_micro", expr("__t DIV n_days"))
+      .join(overall, Seq(keyCol))
+      .withColumn("factor_micro",
+        when(col("__omean") > 0L, expr("(mean_micro * 1000000L) DIV __omean"))
+          .otherwise(lit(0L)))
+      .select(col(keyCol), col("dow"), col("n_days"),
+        col("mean_micro"), col("factor_micro"))
+  }
+
+  /**
+   * Seasonal outliers: each (key, day) total scored against its own
+   * day-of-week mean — `ratio_micro = daily·10⁶ DIV dow_mean` — and the
+   * `topK` most deviant days per key returned (|ratio − 10⁶| descending,
+   * day ascending on ties). Separating "it's Sunday" from "something
+   * broke": a 0.2× Sunday is normal, a 0.2× Tuesday pages someone.
+   * Same non-negative-value contract as [[seasonalDowProfile]].
+   *
+   * Scale shape: daily totals join the key·7 profile (broadcastable);
+   * the top-k window runs over day-sized rows per key, never events.
+   */
+  def seasonalOutliers(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      topK: Int
+  ): DataFrame = {
+    require(topK >= 1, "topK must be at least 1")
+    val daily = dailyMicroTotals(events, keyCol, tsCol, valueCol)
+    val prof = daily.groupBy(col(keyCol), col("dow"))
+      .agg(count(lit(1)).as("__nd"), sum(col("__y")).as("__t"))
+      .select(col(keyCol), col("dow"), expr("__t DIV __nd").as("expected_micro"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(abs(col("ratio_micro") - lit(1000000L)).desc, col("day"))
+    daily
+      .join(prof, Seq(keyCol, "dow"))
+      .withColumn("ratio_micro",
+        when(col("expected_micro") > 0L,
+          expr("(__y * 1000000L) DIV expected_micro")).otherwise(lit(0L)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topK)
+      .select(col(keyCol), col("day"), col("dow"), col("__y").as("daily_micro"),
+        col("expected_micro"), col("ratio_micro"))
+  }
+
+  /** Shared (key, day, dow) micro-total pre-aggregate for the seasonal
+    * operators: non-negative values only (floor/truncate parity), dow =
+    * epoch-days mod 7. */
+  private def dailyMicroTotals(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String
+  ): DataFrame =
+    events
+      .filter(col(tsCol).isNotNull && col(valueCol) >= 0)
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(floor(col(valueCol) * lit(1000000.0)).cast("long")).as("__y"))
+      .withColumn("dow",
+        pmod(datediff(col("day"), to_date(lit("1970-01-01"))), lit(7)).cast("long"))
+
+  /**
    * Daily resample with gap-fill: aggregates `(entity, day)` event counts
    * and value sums, expands each entity's span to EVERY calendar day via
    * `sequence(min_day, max_day)`, and fills missing days with `n_events=0`

@@ -441,4 +441,27 @@ class AnalyticsSpec extends SparkSpec {
       (1L, "2024-01-04") -> ((1L, 5.0)),
       (2L, "2024-01-02") -> ((1L, 7.0))))
   }
+
+  test("seasonalDowProfile/seasonalOutliers: hand-checked dow means, factors, deviants") {
+    // 2024-01-01 is a Monday = epoch-day 19723, dow = 19723 % 7 = 4.
+    // Key "a": two Mondays (10, 20) and two Tuesdays (2, 4) of daily value.
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    val events = Seq(
+      ("a", ts(1), 10.0), ("a", ts(8), 20.0), // Mondays, dow 4
+      ("a", ts(2), 2.0), ("a", ts(9), 4.0), // Tuesdays, dow 5
+      ("a", ts(3), -99.0) // negative: excluded by the non-negative contract
+    ).toDF("k", "ts", "value")
+    val prof = Analytics.seasonalDowProfile(events, "k", "ts", "value")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // overall mean = 36e6/4 = 9e6; Monday mean 15e6 -> factor 1.666e6; Tuesday 3e6 -> 0.333e6
+    assert(prof === Map(
+      4L -> ((2L, 15000000L, 1666666L)),
+      5L -> ((2L, 3000000L, 333333L))))
+    val out = Analytics.seasonalOutliers(events, "k", "ts", "value", topK = 2)
+      .collect().map(r => r.getDate(1).toString -> r.getLong(5)).toMap
+    // ratios: Mondays 10/15=0.666, 20/15=1.333; Tuesdays 2/3=0.666, 4/3=1.333
+    // deviations tie at 333334/333333 boundaries: 0.666 ratios = 666666 (dev
+    // 333334) beat 1.333 ratios = 1333333 (dev 333333); day breaks the tie.
+    assert(out === Map("2024-01-01" -> 666666L, "2024-01-02" -> 666666L))
+  }
 }
