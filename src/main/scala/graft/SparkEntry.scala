@@ -884,6 +884,14 @@ object SparkEntry {
         events(s, dir), "event_type", "ts", "value", thresholdPctOfMu = 10)
         .orderBy(col("event_type"))
     },
+    // ---- RFM segmentation over purchases: exact integer quintile scores
+    // from the rank_normalize bucket rule; the user-grain aggregate is the
+    // only event-sized shuffle.
+    "rfm_segments" -> { (s, dir) =>
+      graft.operators.Analytics.rfmSegments(
+        events(s, dir), "user_id", "ts", "value", ("event_type", "purchase"))
+        .orderBy(col("user_id"))
+    },
     // ---- day-of-week seasonal profile: ratio-to-mean decomposition on
     // the 1e-6 grid from the same daily pre-aggregate the recurrence ops
     // use; the profile is keys·7 rows.
@@ -5568,6 +5576,32 @@ object SparkEntry {
         |                 FROM idx GROUP BY 1) mx2
         |  ON mx2.event_type = r.event_type AND r.i = mx2.mi
         |ORDER BY r.event_type""".stripMargin,
+    // RFM: same entity aggregate, same row_number quintile rule; every
+    // operand non-negative so // and DIV agree.
+    "rfm_segments" ->
+      """WITH base AS (
+        |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+        |         CAST(count(*) AS BIGINT) AS frequency,
+        |         CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0))
+        |              AS BIGINT) AS monetary_micro
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1),
+        |g AS (SELECT max(last_day) AS maxd, count(*) AS n FROM base),
+        |r AS (SELECT base.*, g.n,
+        |        CAST(datediff('day', last_day, g.maxd) AS BIGINT) AS recency_days,
+        |        row_number() OVER (ORDER BY datediff('day', last_day, g.maxd) DESC,
+        |                           user_id) AS rr,
+        |        row_number() OVER (ORDER BY frequency, user_id) AS fr,
+        |        row_number() OVER (ORDER BY monetary_micro, user_id) AS mr
+        |      FROM base, g)
+        |SELECT user_id, recency_days, frequency, monetary_micro,
+        |  CAST((rr - 1) * 5 // n + 1 AS BIGINT) AS r_score,
+        |  CAST((fr - 1) * 5 // n + 1 AS BIGINT) AS f_score,
+        |  CAST((mr - 1) * 5 // n + 1 AS BIGINT) AS m_score,
+        |  CAST(((rr - 1) * 5 // n + 1) * 100 + ((fr - 1) * 5 // n + 1) * 10
+        |       + ((mr - 1) * 5 // n + 1) AS BIGINT) AS rfm
+        |FROM r ORDER BY user_id""".stripMargin,
     // Seasonality: same daily micro totals, dow = epoch-days mod 7,
     // integer floor divisions throughout (values filtered non-negative).
     "seasonality_dow" ->

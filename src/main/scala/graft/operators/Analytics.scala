@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1095,6 +1095,61 @@ object Analytics {
       .filter(col("__rn") <= topK)
       .select(col(keyCol), col("day"), col("dow"), col("__y").as("daily_micro"),
         col("expected_micro"), col("ratio_micro"))
+  }
+
+  /**
+   * RFM segmentation (Hughes 1994's recency/frequency/monetary scoring):
+   * per entity over `targetType` events — days since last activity
+   * (relative to the stream's own max day), event count, and micro-grid
+   * value sum — each scored into exact quintiles 1–5 by the
+   * [[rankNormalize]] bucket rule `((rank−1)·5) DIV n + 1` (rank ordered
+   * worst→best, ties broken by entity id), plus the composite
+   * `rfm = r·100 + f·10 + m`. All integer arithmetic, so any engine
+   * reproduces the scores bit-for-bit.
+   *
+   * Scale shape: the entity-grain aggregate is the only event-sized
+   * shuffle; the three quintile windows then run over ENTITY-sized rows.
+   * They are global (unpartitioned) windows — exact population quintiles
+   * need a total order — so at extreme entity cardinality swap the exact
+   * ranks for [[Sketches.rankSketchQuantiles]] cutoffs broadcast back;
+   * at warehouse-dimension scale (≤ hundreds of millions) the single
+   * slim-row sort task is the cheaper, exact choice.
+   */
+  def rfmSegments(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      valueCol: String,
+      targetType: (String, String)
+  ): DataFrame = {
+    val (typeCol, typeVal) = targetType
+    val base = events
+      .filter(col(typeCol) === typeVal && col(tsCol).isNotNull &&
+        col(entityCol).isNotNull)
+      .groupBy(col(entityCol))
+      .agg(
+        max(to_date(col(tsCol))).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(coalesce(floor(col(valueCol) * lit(1000000.0)).cast("long"), lit(0L)))
+          .as("monetary_micro"))
+    val maxDay = base.agg(
+      max(col("__last")).as("__maxd"), count(lit(1)).as("__n"))
+    def score(orderBy: Seq[Column], name: String)(df: DataFrame): DataFrame = {
+      val w = Window.orderBy(orderBy: _*)
+      df.withColumn("__rk", row_number().over(w))
+        .withColumn(name, expr("((__rk - 1) * 5) DIV __n + 1"))
+        .drop("__rk")
+    }
+    val scored = base
+      .join(broadcast(maxDay))
+      .withColumn("recency_days", datediff(col("__maxd"), col("__last")).cast("long"))
+      .transform(score(Seq(col("recency_days").desc, col(entityCol)), "r_score"))
+      .transform(score(Seq(col("frequency").asc, col(entityCol)), "f_score"))
+      .transform(score(Seq(col("monetary_micro").asc, col(entityCol)), "m_score"))
+    scored.select(
+      col(entityCol), col("recency_days"), col("frequency"), col("monetary_micro"),
+      col("r_score"), col("f_score"), col("m_score"),
+      (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm"))
   }
 
   /** Shared (key, day, dow) micro-total pre-aggregate for the seasonal

@@ -442,6 +442,26 @@ class AnalyticsSpec extends SparkSpec {
       (2L, "2024-01-02") -> ((1L, 7.0))))
   }
 
+  test("rfmSegments: monotone users land on the quintile diagonal; off-type events ignored") {
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // user u makes u purchases of value 10 on day u: recency, frequency and
+    // monetary orderings all coincide -> scores are the 1..5 diagonal.
+    val events = (1 to 5).flatMap(u => (1 to u).map(i =>
+      (u.toLong, ts(u), "purchase", 10.0))) :+
+      ((1L, ts(30), "view", 999.0)) // wrong type: must not affect anything
+    val out = Analytics.rfmSegments(
+      events.toDF("user_id", "ts", "event_type", "value"),
+      "user_id", "ts", "value", ("event_type", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(7)))).toMap
+    assert(out === Map(
+      1L -> ((4L, 1L, 10000000L, 111L)),
+      2L -> ((3L, 2L, 20000000L, 222L)),
+      3L -> ((2L, 3L, 30000000L, 333L)),
+      4L -> ((1L, 4L, 40000000L, 444L)),
+      5L -> ((0L, 5L, 50000000L, 555L))))
+  }
+
   test("seasonalDowProfile/seasonalOutliers: hand-checked dow means, factors, deviants") {
     // 2024-01-01 is a Monday = epoch-day 19723, dow = 19723 % 7 = 4.
     // Key "a": two Mondays (10, 20) and two Tuesdays (2, 4) of daily value.
