@@ -405,6 +405,66 @@ object SparkEntry {
           (col("nation_volume") / col("total_volume")).as("mkt_share"))
         .orderBy(col("o_year"))
     },
+    // ---- q9 shape (product-type profit by nation and year): three
+    // dimension broadcasts narrow the fact scan (part name filter first —
+    // it is the selective one), then ONE orderkey shuffle join brings in
+    // the year, and the rollup runs at (nation, year) grain. This schema
+    // has no partsupp, so supply cost is surrogate-keyed as
+    // 0.4·p_retailprice·l_quantity — all DECIMAL arithmetic (0.4 is exact
+    // at scale 1), summed exactly and cast to double once.
+    "q9_profit" -> { (s, dir) =>
+      val redParts = broadcast(t(s, dir, "part")
+        .filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"), col("p_retailprice")))
+      val supp = broadcast(t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation")))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      val amount =
+        col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)")) -
+          col("p_retailprice").cast("decimal(18,2)") *
+            col("l_quantity").cast("decimal(18,2)") *
+            expr("CAST(0.4 AS DECIMAL(2,1))")
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .join(redParts, col("l_partkey") === col("p_partkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(sum(amount).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+    // ---- PIVOT: yearly revenue per nation spread across year columns —
+    // Spark's groupBy().pivot() with an EXPLICIT value list, which keeps
+    // the plan a single pass (no values-discovery pre-query) and the
+    // aggregation one conditional hash agg; exact DECIMAL sums cast to
+    // double once.
+    "pivot_yearly_revenue" -> { (s, dir) =>
+      pivotedRevenue(s, dir)
+        .withColumnRenamed("1996", "y1996").withColumnRenamed("1997", "y1997")
+        .withColumnRenamed("1998", "y1998").withColumnRenamed("1999", "y1999")
+        .orderBy(col("nation"))
+    },
+    // ---- UNPIVOT: melt the pivoted frame back to (nation, year, revenue)
+    // — pivot∘unpivot round-trips to the plain (nation, year) rollup
+    // (minus combos that never existed), which is exactly what the oracle
+    // computes directly.
+    "unpivot_yearly_revenue" -> { (s, dir) =>
+      pivotedRevenue(s, dir)
+        .withColumnRenamed("1996", "y1996").withColumnRenamed("1997", "y1997")
+        .withColumnRenamed("1998", "y1998").withColumnRenamed("1999", "y1999")
+        .unpivot(
+          Array(col("nation")),
+          Array(col("y1996"), col("y1997"), col("y1998"), col("y1999")),
+          "yr", "revenue")
+        .filter(col("revenue").isNotNull)
+        .withColumn("o_year", substring(col("yr"), 2, 4).cast("long"))
+        .select(col("nation"), col("o_year"), col("revenue"))
+        .orderBy(col("nation"), col("o_year"))
+    },
     // ---- q10 shape (returned-item reporting): aggregate the fact side to
     // CUSTOMER GRAIN before any dimension join — the post-agg frame is
     // customers-sized, so the customer join broadcasts the aggregate (AQE)
@@ -4915,6 +4975,22 @@ object SparkEntry {
     "events", "event_type",
     "CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d')")
 
+  /** Shared by pivot_yearly_revenue / unpivot_yearly_revenue: order
+    * revenue per (nation, 1996–1999) pivoted to one column per year. */
+  private def pivotedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val cust = broadcast(t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("nation")))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), year(col("o_orderdate")).as("o_year"),
+        col("o_totalprice").cast("decimal(18,2)").as("__tp"))
+      .filter(col("o_year").between(1996, 1999))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("nation"))
+      .pivot("o_year", Seq(1996, 1997, 1998, 1999))
+      .agg(sum(col("__tp")).cast("double"))
+  }
+
   /** Shared SCD2 CTEs: the scd2Ledger ticks (minus the -C halves, which
     * the operator drops pre-window) and the lead() interval build. */
   private val scd2OracleCtes: String =
@@ -5315,6 +5391,46 @@ object SparkEntry {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // q9: surrogate supply cost 0.4·retailprice·qty, all DECIMAL (0.4 is
+    // exact at scale 1), one double cast after the exact sum.
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |           - CAST(p_retailprice AS DECIMAL(18,2))
+        |             * CAST(l_quantity AS DECIMAL(18,2))
+        |             * 0.4::DECIMAL(2,1)) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    // pivot: one conditional hash aggregate; empty (nation, year) cells
+    // stay NULL on both engines (sum over the empty set).
+    "pivot_yearly_revenue" ->
+      """WITH b AS (SELECT n_name AS nation, year(o_orderdate) AS y,
+        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS tp
+        |           FROM orders
+        |             JOIN customer ON o_custkey = c_custkey
+        |             JOIN nation ON c_nationkey = n_nationkey
+        |           WHERE year(o_orderdate) BETWEEN 1996 AND 1999)
+        |SELECT nation,
+        |  CAST(sum(CASE WHEN y = 1996 THEN tp END) AS DOUBLE) AS y1996,
+        |  CAST(sum(CASE WHEN y = 1997 THEN tp END) AS DOUBLE) AS y1997,
+        |  CAST(sum(CASE WHEN y = 1998 THEN tp END) AS DOUBLE) AS y1998,
+        |  CAST(sum(CASE WHEN y = 1999 THEN tp END) AS DOUBLE) AS y1999
+        |FROM b GROUP BY nation ORDER BY nation""".stripMargin,
+    // unpivot: pivot∘unpivot round-trips to the plain rollup.
+    "unpivot_yearly_revenue" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE year(o_orderdate) BETWEEN 1996 AND 1999
+        |GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin,
     // q12: conditional counts are exact integers — no float risk.
     "q12_priority_routing" ->
       """SELECT l_linestatus,
