@@ -3083,6 +3083,41 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     },
 
+    // ---- exact PHRASE search over a positional posting index: term i's
+    // positions shift by −i, so an occurrence is one (id, start) key
+    // shared by every term — a chain of hash equi-joins over term-pruned
+    // posting lists; the corpus text is never rescanned at query time.
+    "phrase_search" -> { (s, dir) =>
+      Fixtures.cached(s"phrase_index|$dir") {
+        Corpus.materializePhraseIndex(t(s, dir, "documents"), "doc_id", "text",
+          table = "graft_phrase_idx", numBuckets = 8)
+        java.lang.Boolean.TRUE
+      }
+      Corpus.phraseSearch(s, "graft_phrase_idx",
+        phrase = Seq("spark", "merge"), topK = 20)
+        .withColumnRenamed("id", "doc_id")
+    },
+    // ---- positional-index APPEND: half the corpus indexed, the rest
+    // inserted O(batch) through the bucket spec, the SAME batch inserted
+    // again (anti-join no-op) — queries over the appended index equal the
+    // fresh index over the full corpus, so it shares phrase_search's
+    // oracle.
+    "phrase_search_appended" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Fixtures.cached(s"phrase_index_app|$dir") {
+        Corpus.materializePhraseIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", table = "graft_phrase_app", numBuckets = 8)
+        Corpus.appendToPhraseIndex(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", table = "graft_phrase_app")
+        Corpus.appendToPhraseIndex(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", table = "graft_phrase_app") // retried batch: no-op
+        java.lang.Boolean.TRUE
+      }
+      Corpus.phraseSearch(s, "graft_phrase_app",
+        phrase = Seq("spark", "merge"), topK = 20)
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // ---- generic top-k per key via the two-level rank (hot keys cannot
     // serialize one task — stage 1 bounds every (key, partition) bucket
     // to k before the per-key rank sees it).
@@ -4974,6 +5009,25 @@ object SparkEntry {
   private val hllEventsOracle: String = hllOracle(
     "events", "event_type",
     "CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d')")
+
+  /** Shared by phrase_search / phrase_search_appended: the same
+    * tokenization as the bm25 oracle, positions via a lateral range over
+    * each token list (DuckDB lists are 1-based; the index stores 0-based
+    * positions, hence i−1), adjacency as a positional self-join. */
+  private val phraseOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |pos AS (SELECT doc_id, s.p - 1 AS p, s.t AS term
+      |        FROM (SELECT doc_id,
+      |                unnest(list_transform(toks, (x, i) -> {'t': x, 'p': i})) AS s
+      |              FROM tok)),
+      |m AS (SELECT a.doc_id, a.p FROM pos a
+      |      JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1 AND b.term = 'merge'
+      |      WHERE a.term = 'spark')
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+      |FROM m GROUP BY 1 ORDER BY n_matches DESC, doc_id LIMIT 20""".stripMargin
 
   /** Shared by pivot_yearly_revenue / unpivot_yearly_revenue: order
     * revenue per (nation, 1996–1999) pivoted to one column per year. */
@@ -7205,6 +7259,8 @@ object SparkEntry {
     // ((0.75·dl)·n)/total))); score = exact integer sum. The indexed
     // entry shares it — posting-path ≡ scan-path is the property.
     "bm25_search" -> bm25Oracle,
+    "phrase_search" -> phraseOracle,
+    "phrase_search_appended" -> phraseOracle, // appended index ≡ fresh index
     "bm25_search_indexed" -> bm25Oracle,
     "bm25_search_appended" -> bm25Oracle, // appended index ≡ scan path
     // Expectations: each rule is one UNION ALL branch with identical

@@ -1033,6 +1033,81 @@ object Corpus {
       .limit(topK)
   }
 
+  // ---------------------------------------------------------- phrase search
+
+  /**
+   * Positional posting index for phrase queries: `(term, id, pos)` rows,
+   * bucketed AND sorted by term like the BM25 index — a query's
+   * `term IN (...)` filter prunes to the phrase's own posting lists. The
+   * positional sibling of [[materializeBm25Index]] (whose tf postings
+   * cannot answer adjacency).
+   */
+  def materializePhraseIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      numBuckets: Int = 64
+  ): Unit =
+    Bucketing.materializeBucketed(
+      positionalRows(docs, idCol, textCol), table, "term", numBuckets,
+      sortCols = Seq("term"))
+
+  private def positionalRows(docs: DataFrame, idCol: String, textCol: String) =
+    docs
+      .select(col(idCol).as("id"),
+        posexplode(Text.tokens(col(textCol))).as(Seq("pos", "term")))
+      .select(col("term"), col("id"), col("pos").cast("long").as("pos"))
+
+  /** Append new documents into a [[materializePhraseIndex]] table in
+    * place: tokenize map-only, insert through the bucket spec. Idempotent
+    * on re-ingested ids (anti-join against the index's id column — a
+    * column-pruned scan, no shuffle of the index). */
+  def appendToPhraseIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String
+  ): Unit = {
+    val spark = docs.sparkSession
+    val known = spark.table(table).select(col("id")).distinct()
+    positionalRows(docs, idCol, textCol)
+      .join(known, Seq("id"), "left_anti")
+      .select(spark.table(table).columns.map(col).toSeq: _*)
+      .write.insertInto(table)
+  }
+
+  /**
+   * Exact phrase search against a [[materializePhraseIndex]] table: docs
+   * containing the words of `phrase` CONSECUTIVELY, ranked by occurrence
+   * count (ties by id). Each phrase term contributes one term-pruned
+   * posting scan; term i's positions shift by −i so a phrase occurrence
+   * is a (id, start) key shared by ALL terms — the match is a chain of
+   * hash equi-joins over posting-list-sized inputs, never a scan of the
+   * corpus text. Repeated words in the phrase work (the join is against
+   * the same pruned relation at a different shift).
+   */
+  def phraseSearch(
+      spark: SparkSession,
+      table: String,
+      phrase: Seq[String],
+      topK: Int = 10
+  ): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two terms")
+    require(topK > 0, "topK must be positive")
+    val qs = phrase.map(_.toLowerCase)
+    def shifted(t: String, i: Int) = spark.table(table)
+      .filter(col("term") === t)
+      .select(col("id"), (col("pos") - i).as("start"))
+    qs.zipWithIndex
+      .map { case (t, i) => shifted(t, i) }
+      .reduce((a, b) => a.join(b, Seq("id", "start")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("n_matches").desc, col("id"))
+      .limit(topK)
+  }
+
   /**
    * TF-IDF keyword extraction: the top-`topK` most characteristic terms
    * of every document — the per-doc tagging pass behind corpus browsing,

@@ -1315,6 +1315,29 @@ class CorpusSpec extends SparkSpec {
     assert(tie === Seq("aa", "bb"))
   }
 
+  test("phraseSearch: adjacency only, repeated-word phrases, occurrence ranking, append idempotent") {
+    val docs = Seq(
+      (1L, "big cat sat"), // "big cat" once
+      (2L, "big cat big cat"), // twice
+      (3L, "cat big"), // reversed: no match
+      (4L, "big dog cat"), // non-adjacent: no match
+      (5L, "go go go") // repeated-word phrase "go go" matches at pos 0 and 1
+    ).toDF("doc_id", "text")
+    Corpus.materializePhraseIndex(docs, "doc_id", "text", "corpus_spec_phrase", numBuckets = 2)
+    def search(ts: String*) =
+      Corpus.phraseSearch(spark, "corpus_spec_phrase", ts, topK = 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(search("big", "cat") === Map(2L -> 2L, 1L -> 1L))
+    assert(search("go", "go") === Map(5L -> 2L))
+    assert(search("big", "cat", "sat") === Map(1L -> 1L))
+    assert(search("dog", "sat") === Map.empty[Long, Long])
+    // append: new doc searchable; re-appending the same batch is a no-op
+    val more = Seq((6L, "big cat zzz")).toDF("doc_id", "text")
+    Corpus.appendToPhraseIndex(more, "doc_id", "text", "corpus_spec_phrase")
+    Corpus.appendToPhraseIndex(more, "doc_id", "text", "corpus_spec_phrase")
+    assert(search("big", "cat") === Map(2L -> 2L, 1L -> 1L, 6L -> 1L))
+  }
+
   test("pmiCooccurrence: hand-computed micro-nat PMI, presence-based counts, desc order") {
     val docs = Seq(
       (1L, "x y"), (2L, "x y y"), // repeated y counts once (presence)
