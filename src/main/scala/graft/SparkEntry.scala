@@ -944,6 +944,14 @@ object SparkEntry {
         events(s, dir), "event_type", "ts", "value", thresholdPctOfMu = 10)
         .orderBy(col("event_type"))
     },
+    // ---- robust stats: winsorized + trimmed micro sums clamped at the
+    // exact 5%/95% rank values — division-free (longs all the way), so
+    // negative readings are exact too.
+    "robust_stats" -> { (s, dir) =>
+      graft.operators.Analytics.robustStats(
+        events(s, dir), "event_type", "value", "event_id", trimPct = 5)
+        .orderBy(col("event_type"))
+    },
     // ---- RFM segmentation over purchases: exact integer quintile scores
     // from the rank_normalize bucket rule; the user-grain aggregate is the
     // only event-sized shuffle.
@@ -5746,6 +5754,29 @@ object SparkEntry {
         |                 FROM idx GROUP BY 1) mx2
         |  ON mx2.event_type = r.event_type AND r.i = mx2.mi
         |ORDER BY r.event_type""".stripMargin,
+    // Robust stats: same ceil-rank bounds, same clamp; sums only.
+    "robust_stats" ->
+      """WITH r AS (SELECT event_type,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL),
+        |rr AS (SELECT *, (n * 5 + 99) // 100 AS lor, n + 1 - (n * 5 + 99) // 100 AS hir
+        |       FROM r),
+        |b AS (SELECT event_type,
+        |        max(CASE WHEN rk = lor THEN v END) AS lo,
+        |        max(CASE WHEN rk = hir THEN v END) AS hi
+        |      FROM rr GROUP BY 1)
+        |SELECT rr.event_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(v) AS BIGINT) AS sum_micro,
+        |  CAST(sum(greatest(lo, least(hi, v))) AS BIGINT) AS winsor_sum_micro,
+        |  CAST(sum(CASE WHEN rk BETWEEN lor AND hir THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS trimmed_n,
+        |  CAST(coalesce(sum(CASE WHEN rk BETWEEN lor AND hir THEN v END), 0) AS BIGINT)
+        |    AS trimmed_sum_micro
+        |FROM rr JOIN b USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // RFM: same entity aggregate, same row_number quintile rule; every
     // operand non-negative so // and DIV agree.
     "rfm_segments" ->

@@ -910,6 +910,56 @@ object Analytics {
   }
 
   /**
+   * Per-key robust statistics (Tukey's winsorized/trimmed estimators):
+   * exact rank-based p% clamping — lo = the value at rank ⌈p·n∕100⌉, hi =
+   * the value at rank n+1−⌈p·n∕100⌉ (row_number over (value, tie), so
+   * ties are totally ordered) — returning division-free micro-grid SUMS:
+   * `(key, n_rows, sum_micro, winsor_sum_micro, trimmed_n,
+   * trimmed_sum_micro)`. Sums of longs are order-free and exact for
+   * negative values too (no DIV-vs-floor hazard); consumers divide at
+   * display time. The outlier-robust summary a telemetry pipeline wants
+   * when a single 10⁹ reading would drag the plain mean.
+   *
+   * Scale shape: ONE shuffle of the slim (key, tie, value) projection;
+   * ranks and the clamp bounds ride the same per-key partitioning
+   * (bounded per-key cardinality — the [[rankNormalize]] trade), and the
+   * final aggregate is map-side combinable.
+   */
+  def robustStats(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      tieCol: String,
+      trimPct: Int
+  ): DataFrame = {
+    require(trimPct >= 1 && trimPct <= 25, "trimPct must lie in [1, 25]")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(valueCol), col(tieCol))
+    val ranked = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(keyCol), col(tieCol), col(valueCol),
+        floor(col(valueCol) * lit(1000000.0)).cast("long").as("__v"))
+      .withColumn("__rank", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .withColumn("__lor", expr(s"(__n * ${trimPct}L + 99L) DIV 100L"))
+      .withColumn("__hir", expr("__n + 1 - __lor"))
+    val bounds = ranked.groupBy(col(keyCol)).agg(
+      max(when(col("__rank") === col("__lor"), col("__v"))).as("__lo"),
+      max(when(col("__rank") === col("__hir"), col("__v"))).as("__hi"))
+    ranked
+      .join(bounds, Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("__v")).as("sum_micro"),
+        sum(greatest(col("__lo"), least(col("__hi"), col("__v"))))
+          .as("winsor_sum_micro"),
+        sum(when(col("__rank").between(col("__lor"), col("__hir")), lit(1L))
+          .otherwise(lit(0L))).as("trimmed_n"),
+        coalesce(sum(when(col("__rank").between(col("__lor"), col("__hir")),
+          col("__v"))), lit(0L)).as("trimmed_sum_micro"))
+  }
+
+  /**
    * Holt linear (double-exponential) smoothing of DAILY value totals with
    * dyadic factors α = 1∕2^k (level) and β = 1∕2^j (trend):
    * l₀ = y₀, t₀ = 0, then per observed day

@@ -442,6 +442,22 @@ class AnalyticsSpec extends SparkSpec {
       (2L, "2024-01-02") -> ((1L, 7.0))))
   }
 
+  test("robustStats: hand-checked winsorized and trimmed sums at the ceil-rank bounds") {
+    // 8 values; trimPct=25 -> lor=ceil(2)=2, hir=7: clamp to [1, 6].
+    val df = Seq(0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 100.0).zipWithIndex
+      .map { case (v, i) => ("k", i.toLong, v) }.toDF("k", "id", "v")
+    val r = Analytics.robustStats(df, "k", "v", "id", trimPct = 25).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ===
+      ((8L, 121000000L, 28000000L, 6L, 21000000L)))
+    // negative values stay exact (no division anywhere)
+    val neg = Seq(-10.0, -5.0, 0.0, 5.0).zipWithIndex
+      .map { case (v, i) => ("k", i.toLong, v) }.toDF("k", "id", "v")
+    val rn = Analytics.robustStats(neg, "k", "v", "id", trimPct = 25).collect()(0)
+    // lor=1, hir=4: no clamp, no trim
+    assert((rn.getLong(2), rn.getLong(3), rn.getLong(5)) ===
+      ((-10000000L, -10000000L, -10000000L)))
+  }
+
   test("rfmSegments: monotone users land on the quintile diagonal; off-type events ignored") {
     def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
     // user u makes u purchases of value 10 on day u: recency, frequency and
