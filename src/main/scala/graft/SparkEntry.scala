@@ -1188,6 +1188,50 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), sum(col("vmicro")).as("sum_value_micro"))
         .orderBy(col("event_type"))
     },
+    // ---- STREAMING rollup maintenance: stream → foreachBatch → merged
+    // aggregate table, the streaming twin of the batch Rollup.refresh.
+    // Batch 0 is REPLAYED explicitly after the run (the failure-recovery
+    // path Structured Streaming actually takes) — the batch-id guard
+    // no-ops it, so the table still matches the duplicate-free oracle:
+    // exactly-once maintenance, oracle-checked.
+    "rollup_stream" -> { (s, dir) =>
+      val cached = Fixtures.cached(s"rollup_stream|$dir") {
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val ev = events(s, dir).select(col("event_type"), col("ts"),
+          coalesce(col("value"), lit(0.0)).as("value"))
+        val qs = ev.agg(
+          expr("percentile(unix_micros(ts), 0.3333)").as("q1"),
+          expr("percentile(unix_micros(ts), 0.6667)").as("q2")).head()
+        val (b1, b2) = (qs.getDouble(0), qs.getDouble(1))
+        def tup(df: DataFrame) = df.collect().toSeq
+          .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(String, java.sql.Timestamp, Double)]
+        val slices = Seq(
+          ev.filter(expr(s"unix_micros(ts) <= $b1")),
+          ev.filter(expr(s"unix_micros(ts) > $b1 AND unix_micros(ts) <= $b2")),
+          ev.filter(expr(s"unix_micros(ts) > $b2")))
+        val table = "graft_rollup_stream"
+        s.sql(s"DROP TABLE IF EXISTS `$table`")
+        val q = graft.streaming.StreamingOps.rollupStream(
+          mem.toDF().toDF("event_type", "ts", "value"),
+          dims = Seq("event_type"), sumCols = Seq("value"), table = table)
+          .start()
+        try {
+          slices.foreach { sl => mem.addData(tup(sl)); q.processAllAvailable() }
+        } finally q.stop()
+        // failure-recovery replay of batch 0: the guard must no-op it
+        graft.streaming.StreamingOps.applyRollupBatch(
+          table, Seq("event_type"), Seq("value"))(
+          slices.head.drop("ts"), 0L)
+        java.lang.Boolean.TRUE
+      }
+      require(cached.booleanValue())
+      graft.streaming.StreamingOps.readStreamRollup(
+        s, "graft_rollup_stream", Seq("value"))
+        .orderBy(col("event_type"))
+    },
     // ---- KMV distinct sketch: daily-active-user cardinality per event
     // type from O(k) state per key — the stat a 100 TB loop maintains
     // incrementally instead of count(distinct)-ing the corpus.
@@ -6350,6 +6394,13 @@ object SparkEntry {
       hllOracle("lineitem", "l_returnflag", "CAST(l_partkey AS VARCHAR)"),
     "hll_distinct_merge" -> hllEventsOracle, // register-max merge ≡ fresh sketch
     "hll_distinct_append" -> hllEventsOracle, // stored+appended table ≡ fresh sketch
+    // streaming rollup twin: micro-batch merges (plus a guarded replay)
+    // equal one exact-decimal GROUP BY over everything.
+    "rollup_stream" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(coalesce(value, 0.0) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // streaming dedup twin: the replayed duplicates collapse to exactly
     // the original events, so the rollup is computable straight from the
     // batch table — no duplicate modeling needed.

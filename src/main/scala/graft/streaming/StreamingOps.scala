@@ -16,6 +16,90 @@ import graft.operators.MergeStrategy
 object StreamingOps {
 
   /**
+   * One foreachBatch tick of the STREAMING rollup maintenance
+   * ([[rollupStream]]): aggregate the micro-batch to (dims, n_rows,
+   * sum_<c> decimal partials), merge with the stored table, swap through
+   * a staged rename. Structured Streaming REPLAYS a batch after a failed
+   * epoch, so the tick is guarded by the stored high-water batch id —
+   * `batchId <= stored` is a no-op, making the maintenance exactly-once
+   * end to end (the sink-side half of the exactly-once contract; the
+   * checkpoint gives the source half). Public so harnesses can replay a
+   * batch explicitly and assert the no-op.
+   *
+   * Scale shape per tick: the only batch-sized work is one map-side-
+   * combinable aggregate to dim grain; the merge touches |rollup| rows.
+   */
+  def applyRollupBatch(
+      table: String,
+      dims: Seq[String],
+      sumCols: Seq[String]
+  )(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val exists = spark.catalog.tableExists(table)
+    val stored =
+      if (!exists) -1L
+      else spark.table(table).select(col("__batch")).limit(1).collect()(0).getLong(0)
+    if (batchId <= stored) return // replayed epoch: already merged
+    val aggs = count(lit(1)).cast("long").as("n_rows") +:
+      sumCols.map(c =>
+        sum(col(c).cast("decimal(18,6)")).cast("decimal(38,6)").as(s"sum_$c"))
+    val delta = batch.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val merged =
+      if (!exists) delta
+      else {
+        val mAggs = sum(col("n_rows")).as("n_rows") +:
+          sumCols.map(c => sum(col(s"sum_$c")).cast("decimal(38,6)").as(s"sum_$c"))
+        spark.table(table).drop("__batch")
+          .unionByName(delta)
+          .groupBy(dims.map(col): _*)
+          .agg(mAggs.head, mAggs.tail: _*)
+      }
+    // localCheckpoint BEFORE the swap (merged reads the table it replaces);
+    // staged rename so a crash leaves the old or the new table, never a
+    // torn one — the Rollup.refresh pattern.
+    val out = merged.withColumn("__batch", lit(batchId)).localCheckpoint()
+    val tmp = s"${table}_stream_tmp"
+    graft.operators.Bucketing.materializePlain(out, tmp)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+  }
+
+  /**
+   * Streaming maintenance of a materialized rollup: `stream → foreachBatch
+   * → merged aggregate table` — the streaming twin of [[graft.operators
+   * .Rollup.refresh]]'s batch path, for sources that arrive as a stream
+   * rather than a committed changelog. Counts and exact decimal sums per
+   * `dims` cell advance once per micro-batch via [[applyRollupBatch]]
+   * (batch-id-guarded, so failure replays cannot double-count). Read the
+   * result with [[readStreamRollup]].
+   */
+  def rollupStream(
+      stream: DataFrame,
+      dims: Seq[String],
+      sumCols: Seq[String],
+      table: String
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch(applyRollupBatch(table, dims, sumCols) _)
+
+  /** The maintained streaming rollup with sums rendered as doubles. */
+  def readStreamRollup(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      sumCols: Seq[String]
+  ): DataFrame = {
+    val t = spark.table(table).drop("__batch")
+    val keep = t.columns.filterNot(c => sumCols.map(s => s"sum_$s").contains(c))
+    t.select(keep.map(col).toSeq ++
+      sumCols.map(c => col(s"sum_$c").cast("double").as(s"sum_$c")): _*)
+  }
+
+  /**
    * A dataset as a STREAMING DataFrame: every committed slice is an
    * immutable, content-addressed file in `data/`, so Spark's file-stream
    * source over that directory picks each new slice up exactly once —

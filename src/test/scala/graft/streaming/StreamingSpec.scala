@@ -616,4 +616,22 @@ class StreamingSpec extends SparkSpec {
       assert(got === batch)
     } finally q.stop()
   }
+
+  test("applyRollupBatch: batches merge exactly; replayed and stale batch ids are no-ops") {
+    val table = "streaming_spec_rollup"
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val apply = StreamingOps.applyRollupBatch(table, Seq("k"), Seq("v")) _
+    def state() = StreamingOps.readStreamRollup(spark, table, Seq("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    apply(Seq(("a", 1.0), ("a", 2.0), ("b", 10.0)).toDF("k", "v"), 0L)
+    assert(state() === Map("a" -> ((2L, 3.0)), "b" -> ((1L, 10.0))))
+    apply(Seq(("a", 4.0), ("c", 7.0)).toDF("k", "v"), 1L)
+    val merged = Map("a" -> ((3L, 7.0)), "b" -> ((1L, 10.0)), "c" -> ((1L, 7.0)))
+    assert(state() === merged)
+    // failure-recovery replay of the LAST epoch and of an OLD epoch: no-ops
+    apply(Seq(("a", 4.0), ("c", 7.0)).toDF("k", "v"), 1L)
+    assert(state() === merged)
+    apply(Seq(("a", 999.0)).toDF("k", "v"), 0L)
+    assert(state() === merged)
+  }
 }
