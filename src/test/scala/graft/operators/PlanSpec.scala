@@ -112,6 +112,29 @@ class PlanSpec extends SparkSpec {
     assert(q22.contains("Join type: Cross") || q22.contains("NestedLoopJoin Cross"), q22)
   }
 
+  test("round-12 join shapes: q9 broadcasts dims, PIT join is hash-equi, bloom probe broadcasts") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    // q9: part and supplier⨝nation are dimension BROADCASTS; the one real
+    // shuffle join is the orderkey hash join — never a sort-merge on the
+    // fact side, never a nested loop.
+    val q9 = formatted(graft.SparkEntry.queries("q9_profit")(spark, dir))
+    assert(q9.contains("BroadcastHashJoin"), q9)
+    assert(!q9.contains("CartesianProduct") && !q9.contains("NestedLoop"), q9)
+    // scd2 point-in-time: the interval residual must ride a hash equi-join
+    // on the key, not degrade to a nested loop over versions
+    val pit = formatted(graft.SparkEntry.queries("scd2_pit")(spark, dir))
+    assert(!pit.contains("CartesianProduct") && !pit.contains("NestedLoop"), pit)
+    // bloom probe: the sketch side broadcasts (keys·words rows, any scale)
+    val bp = formatted(graft.SparkEntry.queries("bloom_probe")(spark, dir))
+    assert(bp.contains("BroadcastHashJoin"), bp)
+    // phrase search: posting-list adjacency joins are hash-equi
+    graft.SparkEntry.queries("phrase_search")(spark, dir) // builds the fixture index
+    val ph = formatted(graft.operators.Corpus.phraseSearch(
+      spark, "graft_phrase_idx", Seq("spark", "merge"), topK = 5))
+    assert(!ph.contains("CartesianProduct") && !ph.contains("NestedLoop"), ph)
+  }
+
   test("filters and projections push down into parquet scans") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan2-")
     spark.range(1000).select(
