@@ -944,6 +944,20 @@ object SparkEntry {
         events(s, dir), "event_type", "ts", "value", thresholdPctOfMu = 10)
         .orderBy(col("event_type"))
     },
+    // ---- Benford first-digit screen over order totals: digit from the
+    // BIGINT's string form (log10 boundaries are ulp-fragile), expected
+    // frequencies spliced as exact constants — one 9-group aggregate.
+    "benford_digits" -> { (s, dir) =>
+      graft.operators.Profile.benfordDigits(t(s, dir, "orders"), "o_totalprice")
+        .orderBy(col("digit"))
+    },
+    // ---- per-source language entropy: ln-grid summands floored before
+    // the cross-category sum — "is this source a monoculture".
+    "category_entropy" -> { (s, dir) =>
+      graft.operators.Profile.categoryEntropy(
+        t(s, dir, "documents"), "source", "lang")
+        .orderBy(col("source"))
+    },
     // ---- robust stats: winsorized + trimmed micro sums clamped at the
     // exact 5%/95% rank values — division-free (longs all the way), so
     // negative readings are exact too.
@@ -5798,6 +5812,41 @@ object SparkEntry {
         |                 FROM idx GROUP BY 1) mx2
         |  ON mx2.event_type = r.event_type AND r.i = mx2.mi
         |ORDER BY r.event_type""".stripMargin,
+    // Benford: digit via string head of the BIGINT; the nine expected
+    // constants are spliced from the same Scala computation the operator
+    // uses, so both sides carry identical literals.
+    "benford_digits" -> {
+      val cases = (1 to 9).map(d =>
+        s"WHEN $d THEN ${math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong}")
+        .mkString(" ")
+      s"""WITH c AS (
+         |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+         |              AS BIGINT) AS digit,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1
+         |  GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+         |SELECT digit, n,
+         |  (n * 1000000) // total AS observed_micro,
+         |  CAST(CASE digit $cases ELSE 0 END AS BIGINT) AS benford_micro,
+         |  (n * 1000000) // total - CAST(CASE digit $cases ELSE 0 END AS BIGINT)
+         |    AS dev_micro
+         |FROM c CROSS JOIN t ORDER BY digit""".stripMargin
+    },
+    // Entropy: identical per-category ln-grid summands, identical fold.
+    "category_entropy" ->
+      """WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        |           FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |             CAST(count(*) AS BIGINT) AS n_cats
+        |      FROM c GROUP BY 1)
+        |SELECT c.source, max(n) AS n_rows, max(n_cats) AS n_cats,
+        |  CAST(sum(CAST(floor((ln(CAST(n AS DOUBLE)) - ln(CAST(c AS DOUBLE)))
+        |                       * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+        |                       * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    AS entropy_micro_nats
+        |FROM c JOIN t USING (source)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Robust stats: same ceil-rank bounds, same clamp; sums only.
     "robust_stats" ->
       """WITH r AS (SELECT event_type,

@@ -113,4 +113,70 @@ object Profile {
     out.toDF("col_name", "n_rows", "n_nonnull", "n_distinct",
       "min_value", "max_value")
   }
+
+  /**
+   * Benford first-digit profile (Benford 1938; the fraud/data-quality
+   * screen): distribution of the leading digit of `floor(valueCol)` over
+   * rows with value ≥ 1, against the Benford expectation
+   * log₁₀(1+1∕d). The digit comes from the BIGINT's string form (never
+   * from floating log₁₀, whose boundary values are ulp-fragile); expected
+   * frequencies are spliced as nine exact double constants floored onto
+   * the 1e-6 grid, and observed frequencies are integer floor divisions —
+   * so the whole report replicates bit-for-bit. Output per digit:
+   * `(digit, n, observed_micro, benford_micro, dev_micro)`.
+   *
+   * Scale shape: one map-side-combinable 9-group aggregate.
+   */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    val benford = (1 to 9).map(d =>
+      d.toLong -> math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong).toMap
+    val v = floor(col(valueCol)).cast("long")
+    val counts = df
+      .filter(col(valueCol).isNotNull && col(valueCol) >= 1)
+      .select(substring(v.cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    val bCol = benford.tail.foldLeft(
+      when(col("digit") === benford.head._1, lit(benford.head._2))) {
+      case (acc, (d, m)) => acc.when(col("digit") === d, lit(m))
+    }.otherwise(lit(0L))
+    counts
+      .join(broadcast(total))
+      .withColumn("observed_micro", expr("(n * 1000000L) DIV __total"))
+      .withColumn("benford_micro", bCol)
+      .withColumn("dev_micro", col("observed_micro") - col("benford_micro"))
+      .select(col("digit"), col("n"), col("observed_micro"),
+        col("benford_micro"), col("dev_micro"))
+  }
+
+  /**
+   * Shannon entropy of a categorical column per key (in micro-nats): the
+   * label-diversity stat behind "is this source a monoculture" corpus
+   * checks. Each category's contribution (c∕n)·(ln n − ln c) floors onto
+   * the 1e-6 grid BEFORE the cross-category sum (the repo's ln-grid
+   * doctrine), so the value is an order-free integer sum. Output:
+   * `(key, n_rows, n_cats, entropy_micro_nats)`; a single-category key
+   * scores 0, uniform over k categories scores ≈ ln(k)·10⁶.
+   *
+   * Scale shape: one (key, cat) aggregate then one key-grain fold —
+   * nothing row-sized crosses the wire twice.
+   */
+  def categoryEntropy(df: DataFrame, keyCol: String, catCol: String): DataFrame = {
+    val counts = df
+      .filter(col(catCol).isNotNull)
+      .groupBy(col(keyCol), col(catCol))
+      .agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy(col(keyCol))
+      .agg(sum(col("__c")).as("__n"), count(lit(1)).as("n_cats"))
+    counts
+      .join(totals, Seq(keyCol))
+      .withColumn("__term",
+        floor((log(col("__n").cast("double")) - log(col("__c").cast("double"))) *
+          col("__c").cast("double") / col("__n").cast("double") * lit(1000000.0))
+          .cast("long"))
+      .groupBy(col(keyCol))
+      .agg(max(col("__n")).as("n_rows"), max(col("n_cats")).as("n_cats"),
+        sum(col("__term")).as("entropy_micro_nats"))
+  }
 }

@@ -234,6 +234,30 @@ class CorpusSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("Profile.benfordDigits: string-head digit, sub-1 rows dropped, exact micro freqs") {
+    // 1..9 (one each), 10..19 (ten 1s), 95.5 (digit 9), 0.4 (dropped)
+    val df = ((1 to 19).map(_.toDouble) ++ Seq(95.5, 0.4)).toDF("v")
+    val out = Profile.benfordDigits(df, "v")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L)._1 === 11L) // 1 and 10..19
+    assert(out(9L)._1 === 2L) // 9 and 95.5
+    assert((2L to 8L).forall(d => out(d)._1 === 1L))
+    assert(out(1L)._2 === 11L * 1000000L / 20L) // floor division over total=20
+    // expected constant for digit 1 = floor(log10(2)*1e6)
+    val b1 = Profile.benfordDigits(df, "v").filter(col("digit") === 1)
+      .collect()(0).getLong(3)
+    assert(b1 === 301029L)
+  }
+
+  test("Profile.categoryEntropy: uniform two-way = ln2 grid sum; monoculture = 0") {
+    val df = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "x")).toDF("k", "c")
+    val out = Profile.categoryEntropy(df, "k", "c")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // two terms of floor(0.5*ln2*1e6) = 346573 each
+    assert(out("a") === ((2L, 2L, 693146L)))
+    assert(out("b") === ((2L, 1L, 0L)))
+  }
+
   test("Profile.profile: one-row aggregate, exact stats, null handling") {
     val df = Seq(
       (1L, Some("a"), Some(10)),
