@@ -1908,6 +1908,15 @@ object SparkEntry {
         .select(col("canonical_id"), col("dup_count"))
         .orderBy(col("canonical_id"))
     },
+    // ---- sorted-neighborhood (merge/purge) dedup: sort by normalized
+    // text, verify in-window pairs with exact Levenshtein — the EDIT-
+    // similarity complement to the MinHash token-set family; candidates
+    // are rows·(w−1), never all-pairs.
+    "dedup_sorted_neighborhood" -> { (s, dir) =>
+      Dedup.sortedNeighborhood(t(s, dir, "documents"), "doc_id", "text",
+        windowSize = 4, maxDist = 60)
+        .orderBy(col("id_a"), col("id_b"))
+    },
     "text_stats" -> { (s, dir) =>
       t(s, dir, "documents")
         .select(
@@ -6613,6 +6622,18 @@ object SparkEntry {
       """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count FROM documents
         |GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
         |ORDER BY canonical_id""".stripMargin,
+    // Sorted neighborhood: same normalization, same rank window, DuckDB's
+    // levenshtein is the same classic edit distance.
+    "dedup_sorted_neighborhood" ->
+      """WITH r AS (SELECT doc_id AS id,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t,
+        |    row_number() OVER (ORDER BY lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+        |                       doc_id) AS rn
+        |  FROM documents),
+        |p AS (SELECT a.id AS ida, b.id AS idb, levenshtein(a.t, b.t) AS dist
+        |      FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3)
+        |SELECT least(ida, idb) AS id_a, greatest(ida, idb) AS id_b, CAST(dist AS INT) AS dist
+        |FROM p WHERE dist <= 60 ORDER BY id_a, id_b""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0

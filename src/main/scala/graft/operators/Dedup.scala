@@ -43,6 +43,49 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
 
+  /**
+   * Sorted-neighborhood dedup (Hernández & Stolfo 1995's merge/purge
+   * blocking): sort the corpus by a normalized sort key, slide a window
+   * of `windowSize` positions, and verify each in-window pair with exact
+   * Levenshtein distance ≤ `maxDist` — the entity-resolution shape for
+   * records whose near-duplicates cluster under a sort (names, addresses,
+   * templated text), complementing the MinHash family (token-set
+   * similarity) with EDIT similarity. Candidates are |rows|·(w−1) pairs,
+   * never all-pairs. Returns `(id_a, id_b, dist)` with id_a < id_b.
+   *
+   * The rank comes from ONE global sort (row_number over the full frame —
+   * exact, like [[graft.operators.Analytics.rfmSegments]]'s quintiles):
+   * the single-task sort of slim (key, id) rows is the exact reference
+   * shape; at extreme corpus sizes the cluster spelling is a range
+   * partition on the sort key with w−1 rows of boundary overlap per
+   * partition — same pairs, no global window.
+   */
+  def sortedNeighborhood(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowSize: Int,
+      maxDist: Int
+  ): DataFrame = {
+    require(windowSize >= 2 && maxDist >= 0, "need windowSize >= 2 and maxDist >= 0")
+    val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
+    val ranked = df
+      .select(col(idCol).as("__id"), norm.as("__t"))
+      .withColumn("__rn",
+        row_number().over(Window.orderBy(col("__t"), col("__id"))).cast("long"))
+      .localCheckpoint() // ranked feeds both sides of the window self-join
+    ranked
+      .select(col("__id").as("ida"), col("__t").as("ta"), col("__rn"),
+        explode(sequence(lit(1L), lit((windowSize - 1).toLong))).as("__o"))
+      .select(col("ida"), col("ta"), (col("__rn") + col("__o")).as("__rnb"))
+      .join(ranked.select(col("__id").as("idb"), col("__t").as("tb"),
+        col("__rn").as("__rnb")), Seq("__rnb"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb")))
+      .filter(col("dist") <= maxDist)
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"), col("dist"))
+  }
+
   /** Keep only the canonical copy of each distinct content. */
   def exactKeepFirst(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(Text.fingerprint(col(textCol))).orderBy(col(idCol))

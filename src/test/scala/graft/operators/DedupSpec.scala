@@ -485,4 +485,23 @@ class DedupSpec extends SparkSpec {
     assert(spark.table(s"${tab}_roots").count() === 0L)
     assert(spark.table(s"${tab}_clusters").filter(col("comp") =!= 0L).count() === 0L)
   }
+
+  test("sortedNeighborhood: in-window edit matches only; window bound respected; normalization") {
+    // sorted by normalized text: "aaaa x", "aaaa y", "aaab x", "zzzz"
+    // (1,2) dist 1, (1,3) dist 1, (2,3) dist 2; "zzzz" is within window
+    // of "aaab x" positionally but far in edit distance.
+    val docs = Seq(
+      (1L, "  AAAA   x "), // normalizes to "aaaa x"
+      (2L, "aaaa y"),
+      (3L, "aaab x"),
+      (4L, "zzzz")
+    ).toDF("doc_id", "text")
+    val out = Dedup.sortedNeighborhood(docs, "doc_id", "text", windowSize = 3, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out === Map((1L, 2L) -> 1, (1L, 3L) -> 1, (2L, 3L) -> 2))
+    // window 2: only adjacent pairs survive — (1,3) needs offset 2
+    val w2 = Dedup.sortedNeighborhood(docs, "doc_id", "text", windowSize = 2, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(w2 === Set((1L, 2L), (2L, 3L)))
+  }
 }
