@@ -944,6 +944,12 @@ object SparkEntry {
         events(s, dir), "event_type", "ts", "value", thresholdPctOfMu = 10)
         .orderBy(col("event_type"))
     },
+    // ---- key-skew profile: the diagnostic that gates the salted join —
+    // top customer keys of orders with share and uniform-multiple.
+    "skew_profile" -> { (s, dir) =>
+      graft.operators.Skew.profileKeys(t(s, dir, "orders"), "o_custkey", topK = 10)
+        .orderBy(col("n").desc, col("key"))
+    },
     // ---- Benford first-digit screen over order totals: digit from the
     // BIGINT's string form (log10 boundaries are ulp-fragile), expected
     // frequencies spliced as exact constants — one 9-group aggregate.
@@ -5821,6 +5827,17 @@ object SparkEntry {
         |                 FROM idx GROUP BY 1) mx2
         |  ON mx2.event_type = r.event_type AND r.i = mx2.mi
         |ORDER BY r.event_type""".stripMargin,
+    // Skew profile: share floors first, then × distinct (same operand
+    // order as the operator — the floor does not distribute).
+    "skew_profile" ->
+      """WITH c AS (SELECT CAST(o_custkey AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n
+        |           FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_distinct
+        |      FROM c)
+        |SELECT key, n, n_distinct,
+        |  (n * 1000000) // total AS share_micro,
+        |  ((n * 1000000) // total) * n_distinct AS skew_x_micro
+        |FROM c CROSS JOIN t ORDER BY n DESC, key LIMIT 10""".stripMargin,
     // Benford: digit via string head of the BIGINT; the nine expected
     // constants are spliced from the same Scala computation the operator
     // uses, so both sides carry identical literals.

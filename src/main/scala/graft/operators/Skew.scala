@@ -53,4 +53,36 @@ object Skew {
       explode(array((0 until salt).map(lit(_)): _*)))
     bigS.join(smallS, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /**
+   * Key-skew profile — the diagnostic that decides whether a join needs
+   * [[saltedEquiJoin]] at all (the sf10 honesty check showed salting a
+   * UNIFORM key costs ~4×): the `topK` heaviest values of `keyCol` with
+   * `share_micro` (the key's row share) and `skew_x_micro` (that share ×
+   * distinct-key count — 10⁶ means perfectly uniform, 100·10⁶ means this
+   * key carries 100× its uniform share; AQE's skew threshold thinks in
+   * exactly these multiples). All integer floor divisions; ties at the
+   * top-K boundary break by the key's string form.
+   *
+   * Scale shape: one map-side-combinable key aggregate, one count-distinct
+   * over it (key-sized), and a distributed TakeOrdered for the top-K.
+   */
+  def profileKeys(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be at least 1")
+    val counts = df
+      .filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.agg(
+      sum(col("n")).as("__total"), count(lit(1)).as("n_distinct"))
+    counts
+      .join(broadcast(totals))
+      .select(col("key"), col("n"), col("n_distinct"),
+        expr("(n * 1000000L) DIV __total").as("share_micro"),
+        // share FIRST, then × distinct: keeps every operand under 2^63
+        // even at billions of keys (n·distinct·10⁶ would overflow there)
+        (expr("(n * 1000000L) DIV __total") * col("n_distinct")).as("skew_x_micro"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(topK)
+  }
 }

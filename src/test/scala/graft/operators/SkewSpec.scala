@@ -56,4 +56,16 @@ class SkewSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("inner/left-semi"))
   }
+
+  test("profileKeys: hot key surfaces with exact share and uniform-multiple") {
+    // 4 distinct keys over 10 rows: "hot" has 7.
+    val df = (Seq.fill(7)("hot") ++ Seq("a", "b", "c")).toDF("k")
+    val top = Skew.profileKeys(df, "k", topK = 2).collect()
+    assert(top(0).getString(0) === "hot")
+    assert(top(0).getLong(1) === 7L)
+    assert(top(0).getLong(2) === 4L)
+    assert(top(0).getLong(3) === 700000L) // 7/10 share
+    assert(top(0).getLong(4) === 2800000L) // 2.8x uniform
+    assert(top(1).getString(0) === "a") // boundary tie broken by key string
+  }
 }
