@@ -1914,6 +1914,17 @@ object SparkEntry {
         .select(col("canonical_id"), col("dup_count"))
         .orderBy(col("canonical_id"))
     },
+    // ---- EXACT-threshold all-pairs similarity join (prefix filtering):
+    // every word-set Jaccard ≥ 0.7 pair — complete by the prefix theorem,
+    // verified by exact intersection; the no-miss complement to the
+    // probabilistic LSH screens. Restricted to the %5 corpus so the
+    // oracle's brute-force all-pairs stays bounded at every SF.
+    "dedup_allpairs_exact" -> { (s, dir) =>
+      Dedup.allPairsJaccard(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", minSimMicro = 700000L)
+        .orderBy(col("id_a"), col("id_b"))
+    },
     // ---- sorted-neighborhood (merge/purge) dedup: sort by normalized
     // text, verify in-window pairs with exact Levenshtein — the EDIT-
     // similarity complement to the MinHash token-set family; candidates
@@ -6639,6 +6650,23 @@ object SparkEntry {
       """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count FROM documents
         |GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
         |ORDER BY canonical_id""".stripMargin,
+    // All-pairs exact join: the oracle is algorithm-INDEPENDENT — a
+    // brute-force quadratic join over the restricted corpus. If the
+    // prefix filter ever dropped a true pair, this catches it.
+    "dedup_allpairs_exact" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                  t -> len(t) > 0)) AS ts
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |dd AS (SELECT doc_id, ts, len(ts) AS n FROM d WHERE len(ts) > 0),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS i,
+        |        a.n + b.n AS nn
+        |      FROM dd a JOIN dd b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, (i * 1000000) // (nn - i) AS jaccard_micro
+        |FROM p WHERE (i * 1000000) // (nn - i) >= 700000
+        |ORDER BY id_a, id_b""".stripMargin,
     // Sorted neighborhood: same normalization, same rank window, DuckDB's
     // levenshtein is the same classic edit distance.
     "dedup_sorted_neighborhood" ->

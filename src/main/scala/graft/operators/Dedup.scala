@@ -86,6 +86,73 @@ object Dedup {
         greatest(col("ida"), col("idb")).as("id_b"), col("dist"))
   }
 
+  /**
+   * EXACT-threshold all-pairs similarity join via prefix filtering
+   * (Bayardo et al. 2007 / PPJoin's prefix principle): every pair of
+   * documents whose word-SET Jaccard ≥ `minSimMicro∕10⁶` — no LSH misses,
+   * no probabilistic banding. Tokens are globally ordered rarest-first
+   * (ascending document frequency, ties by token); each document's
+   * candidate prefix is its first `n − ⌈t·n⌉ + 1` tokens in that order —
+   * the prefix theorem: two sets with Jaccard ≥ t MUST share a prefix
+   * token, so pairing documents within prefix-token buckets generates a
+   * complete candidate set, and an exact intersect verifies each pair
+   * once. Returns `(id_a, id_b, jaccard_micro)` with id_a < id_b.
+   *
+   * Complements [[minHashLsh]]: LSH is the constant-work-per-doc screen
+   * for "most duplicates"; this is the EXACT join for "every pair above
+   * t", with work bounded by rare-token bucket sizes instead of all-pairs
+   * (common tokens never appear in prefixes of high-threshold queries).
+   *
+   * Scale shape: token ranks are one vocab-sized aggregate + window; the
+   * candidate shuffle carries (rank, id) pairs keyed by PREFIX tokens
+   * only; verification joins rank-array payloads for candidate ids only.
+   */
+  def allPairsJaccard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSimMicro: Long
+  ): DataFrame = {
+    require(minSimMicro > 0L && minSimMicro <= 1000000L,
+      "minSimMicro must lie in (0, 1000000]")
+    val toks = df
+      .select(col(idCol).as("__id"),
+        array_distinct(Text.tokens(col(textCol))).as("__ts"))
+      .filter(size(col("__ts")) > 0)
+    val ranks = toks
+      .select(explode(col("__ts")).as("__t"))
+      .groupBy(col("__t"))
+      .agg(count(lit(1)).as("__f"))
+      .withColumn("__r",
+        row_number().over(Window.orderBy(col("__f"), col("__t"))).cast("long"))
+    val docRanks = toks
+      .select(col("__id"), explode(col("__ts")).as("__t"))
+      .join(ranks.select(col("__t"), col("__r")), Seq("__t"))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__r"))).as("__rs"))
+      .withColumn("__n", size(col("__rs")).cast("long"))
+      .withColumn("__p",
+        col("__n") - expr(s"($minSimMicro * __n + 999999L) DIV 1000000L") + 1L)
+      .localCheckpoint() // feeds both candidate generation and verification
+    val prefixes = docRanks
+      .select(col("__id"), explode(expr("slice(__rs, 1, CAST(__p AS INT))")).as("__pr"))
+    val cands = prefixes.select(col("__id").as("id_a"), col("__pr"))
+      .join(prefixes.select(col("__id").as("id_b"), col("__pr")), Seq("__pr"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cands
+      .join(docRanks.select(col("__id").as("id_a"), col("__rs").as("__ra"),
+        col("__n").as("__na")), Seq("id_a"))
+      .join(docRanks.select(col("__id").as("id_b"), col("__rs").as("__rb"),
+        col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("__i", size(array_intersect(col("__ra"), col("__rb"))).cast("long"))
+      .withColumn("jaccard_micro",
+        expr("(__i * 1000000L) DIV (__na + __nb - __i)"))
+      .filter(col("jaccard_micro") >= minSimMicro)
+      .select(col("id_a"), col("id_b"), col("jaccard_micro"))
+  }
+
   /** Keep only the canonical copy of each distinct content. */
   def exactKeepFirst(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(Text.fingerprint(col(textCol))).orderBy(col(idCol))

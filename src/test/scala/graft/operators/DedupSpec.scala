@@ -486,6 +486,35 @@ class DedupSpec extends SparkSpec {
     assert(spark.table(s"${tab}_clusters").filter(col("comp") =!= 0L).count() === 0L)
   }
 
+  test("allPairsJaccard: exact threshold join equals brute force; no prefix misses") {
+    val corpus = Seq(
+      (1L, "a b c d e"), // 1-2: jaccard 4/6 = 0.666
+      (2L, "a b c d x"),
+      (3L, "a b c d e"), // 1-3: identical -> 1.0; 2-3 = 0.666
+      (4L, "p q r s t"), // shares nothing with 1-3
+      (5L, "p q r s"), // 4-5: 4/5 = 0.8
+      (6L, "zz") // singleton token
+    ).toDF("doc_id", "text")
+    def run(t: Long) = Dedup.allPairsJaccard(corpus, "doc_id", "text", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val at60 = run(600000L)
+    assert(at60 === Map(
+      (1L, 2L) -> 666666L, (1L, 3L) -> 1000000L, (2L, 3L) -> 666666L,
+      (4L, 5L) -> 800000L))
+    // tighter threshold drops the 0.666 pairs but keeps 0.8 and 1.0
+    assert(run(700000L) === Map((1L, 3L) -> 1000000L, (4L, 5L) -> 800000L))
+    // brute-force equivalence on this corpus: every pair checked by hand
+    val brute = for {
+      a <- 1L to 6L; b <- (a + 1) to 6L
+      sa = corpus.filter(col("doc_id") === a).head().getString(1).split(" ").toSet
+      sb = corpus.filter(col("doc_id") === b).head().getString(1).split(" ").toSet
+      i = (sa & sb).size.toLong
+      u = (sa | sb).size.toLong
+      if u > 0 && i * 1000000L / u >= 600000L
+    } yield (a, b) -> (i * 1000000L / u)
+    assert(at60 === brute.toMap)
+  }
+
   test("sortedNeighborhood: in-window edit matches only; window bound respected; normalization") {
     // sorted by normalized text: "aaaa x", "aaaa y", "aaab x", "zzzz"
     // (1,2) dist 1, (1,3) dist 1, (2,3) dist 2; "zzzz" is within window
