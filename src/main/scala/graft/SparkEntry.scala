@@ -1752,6 +1752,18 @@ object SparkEntry {
       graft.operators.Graph.pageRank(edges, "src", "dst", "w", iterations = 3)
         .orderBy(col("node"))
     },
+    // ---- personalized PageRank from the 'view' vantage point: teleport
+    // mass pinned to the seed, same integer nano recurrence — "what does
+    // a journey that starts at view end up near".
+    "graph_ppr" -> { (s, dir) =>
+      import s.implicits._
+      val edges = graft.operators.Graph.transitionEdges(
+        events(s, dir), "user_id", "event_type", "ts", "event_id")
+      graft.operators.Graph.personalizedPageRank(
+        edges, "src", "dst", "w",
+        Seq("view").toDF("seed"), "seed", iterations = 3)
+        .orderBy(col("node"))
+    },
 
     "q_events_daily" -> { (s, dir) =>
       // Group on the truncated TIMESTAMP and render the day string after the
@@ -4963,6 +4975,36 @@ object SparkEntry {
        |SELECT node, r AS rank_nano FROM r3 ORDER BY node""".stripMargin
   }
 
+  /** Personalized PageRank oracle: the pagerank unrolled CTEs with the
+    * teleport base restricted to the seed set (s = seeds present in the
+    * graph; here the single seed 'view'). */
+  private val pprOracle: String = {
+    def iter(prev: String, c: String, r: String) =
+      s"""$c AS (SELECT e.dst,
+         |  CAST(sum(CAST(floor(CAST(p.r AS DOUBLE) * CAST(e.w AS DOUBLE)
+         |                      / CAST(ow.ow AS DOUBLE)) AS BIGINT)) AS BIGINT) AS cs
+         |  FROM edges e JOIN ow ON ow.src = e.src JOIN $prev p ON p.node = e.src
+         |  GROUP BY e.dst),
+         |$r AS (SELECT nodes.node,
+         |  CAST((CASE WHEN nodes.node = 'view' THEN 150000000 ELSE 0 END)
+         |       + ((COALESCE($c.cs, 0) * 85) // 100) AS BIGINT) AS r
+         |  FROM nodes LEFT JOIN $c ON $c.dst = nodes.node)"""
+    s"""WITH seq AS (SELECT user_id, event_type, ts, event_id,
+       |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM events),
+       |edges AS (SELECT prev AS src, event_type AS dst, count(*) AS w
+       |          FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |ow AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+       |r0 AS (SELECT node,
+       |  CAST(CASE WHEN node = 'view' THEN 1000000000 ELSE 0 END AS BIGINT) AS r
+       |  FROM nodes),
+       |${iter("r0", "c1", "r1")},
+       |${iter("r1", "c2", "r2")},
+       |${iter("r2", "c3", "r3")}
+       |SELECT node, r AS rank_nano FROM r3 ORDER BY node""".stripMargin
+  }
+
   /** Shared by anomaly_events and anomaly_events_stream: the streaming
     * twin's immediate verdicts are pinned identical to the batch sweep's
     * trailing-window z-scores on ordered replays. */
@@ -6363,6 +6405,7 @@ object SparkEntry {
         |       CAST(sum(wm) AS BIGINT) AS decayed_micro
         |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
     "pagerank_transitions" -> pagerankOracle,
+    "graph_ppr" -> pprOracle,
     "kmv_distinct" -> kmvOracle,
     "kmv_distinct_merge" -> kmvOracle, // exact merge ≡ fresh sketch
     "kmv_distinct_append" -> kmvOracle, // stored+appended table ≡ fresh sketch

@@ -74,6 +74,67 @@ object Graph {
     ranks
   }
 
+  /**
+   * Personalized PageRank (PPR): [[pageRank]] with the teleport mass
+   * restricted to `seeds` — "importance FROM this vantage point", the
+   * recommendation/expansion primitive ("what does a user who starts at
+   * 'view' end up near"). Same integer nano grid and floor divisions:
+   * r₀ = 10⁹ ∕ s on each of the s seeds (0 elsewhere), and per round
+   * r' = [seed]·(0.15·10⁹ ∕ s) + (Σ_in floor(r·w ∕ ow))·85 ∕ 100 — every
+   * step exact, so the unrolled-CTE oracle reproduces it bit-for-bit.
+   * Seeds absent from the graph are ignored (they could receive no mass).
+   *
+   * Scale shape: identical to [[pageRank]] — the seed set joins in as a
+   * node-sized flag; rounds shuffle the edge list once each.
+   */
+  def personalizedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iterations: Int
+  ): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val e = edges.select(
+      col(srcCol).as("__src"), col(dstCol).as("__dst"),
+      col(weightCol).cast("long").as("__w"))
+      .localCheckpoint()
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst")))
+      .distinct()
+    val seedSet = seeds.select(col(seedCol).as("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi")
+      .localCheckpoint()
+    val s = seedSet.count()
+    require(s > 0, "no seed appears in the graph")
+    val flagged = nodes
+      .join(seedSet.withColumn("__is", lit(1)), Seq("node"), "left")
+      .localCheckpoint()
+    val outw = e.groupBy(col("__src")).agg(sum(col("__w")).as("__ow"))
+    val seedBase = 150000000L / s
+    var ranks = flagged.select(col("node"),
+      when(col("__is") === 1, lit(1000000000L / s)).otherwise(lit(0L)).as("rank_nano"))
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(outw, Seq("__src"))
+        .join(ranks.withColumnRenamed("node", "__src"), Seq("__src"))
+        .select(col("__dst"),
+          floor(col("rank_nano").cast("double") * col("__w").cast("double") /
+            col("__ow").cast("double")).cast("long").as("__c"))
+        .groupBy(col("__dst"))
+        .agg(sum(col("__c")).as("__cs"))
+      ranks = flagged
+        .join(contrib.withColumnRenamed("__dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (when(col("__is") === 1, lit(seedBase)).otherwise(lit(0L)) +
+            expr("(coalesce(__cs, 0L) * 85L) DIV 100L")).as("rank_nano"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** Markov next-state probabilities from a weighted edge list:
     * p(dst|src) on the integer micro grid (w·10⁶ ∕ out-weight, floor
     * division — exact on any engine). One src-keyed aggregate + one

@@ -88,6 +88,26 @@ class GraphSpec extends SparkSpec {
     assert(core1 === Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("personalizedPageRank: teleport pinned to seeds; hand-unrolled two-node chain") {
+    // a -> b (weight 1). Seed {a}: r0 = (1e9, 0).
+    // round 1: a gets base 15e7; b gets floor(1e9*1)*85/100 = 85e7.
+    // round 2: a = 15e7; b = (15e7 * 85) DIV 100 = 1275e5.
+    val edges = Seq(("a", "b", 1L)).toDF("s", "d", "w")
+    val out = Graph.personalizedPageRank(edges, "s", "d", "w",
+      Seq("a").toDF("seed"), "seed", iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a" -> 150000000L, "b" -> 127500000L))
+    // a seed absent from the graph is ignored; all-absent seeds throw
+    val out2 = Graph.personalizedPageRank(edges, "s", "d", "w",
+      Seq("a", "zz").toDF("seed"), "seed", iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out2("a") === 150000000L)
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, "s", "d", "w",
+        Seq("zz").toDF("seed"), "seed", iterations = 1)
+    }
+  }
+
   test("bfsDistances: layered min-hops, multi-source min, hop cap, isolated seed at 0") {
     // path 1-2-3-4-5, disconnected pair 10-11; edges in mixed orientation
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L), (10L, 11L)).toDF("s", "d")
