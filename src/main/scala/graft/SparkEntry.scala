@@ -1805,6 +1805,52 @@ object SparkEntry {
       Changelog.scd2(scd2Ledger(s, dir), Seq("c_custkey"))
         .orderBy(col("c_custkey"), col("valid_from"))
     },
+    // ---- STREAMING SCD2 twin: the same three-tick changelog replayed as
+    // micro-batches through O(1)-per-key version state — closed intervals
+    // emit the moment their successor arrives; the current versions flush
+    // via event-time timeout (two far-future sentinels). Shares the batch
+    // scd2_build oracle.
+    "scd2_stream" -> { (s, dir) =>
+      val cached = Fixtures.cached(s"scd2_stream|$dir") {
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val led = scd2Ledger(s, dir)
+        def tup(df: DataFrame) = df.collect().toSeq.map(r =>
+          (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3), r.getTimestamp(4)))
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Double, Long, Int, java.sql.Timestamp)]
+        val out = graft.streaming.StreamingOps.scd2Stream(
+          mem.toDF().toDF("c_custkey", "c_acctbal", "offset", "op", "event_time"),
+          "c_custkey", "c_acctbal", "offset", "op", "event_time",
+          // the horizon must exceed the ledger's longest change gap (the
+          // 01-01 → 03-01 retract wave = 60 days), or a version flushes
+          // as current before its own retraction arrives — the documented
+          // replay-window contract
+          horizonMinutes = 90L * 24 * 60)
+        val qname = s"scd2_sink_${math.abs(dir.hashCode)}"
+        val q = out.writeStream.format("memory").queryName(qname)
+          .outputMode("append").start()
+        try {
+          Seq("2024-01-01", "2024-02-01", "2024-03-01").foreach { d =>
+            mem.addData(tup(led.filter(
+              col("event_time") === to_timestamp(lit(s"$d 00:00:00")))))
+            q.processAllAvailable()
+          }
+          // sentinels: first advances the watermark past every open
+          // version's horizon; the second's batch fires the timeouts
+          Seq("2024-08-01", "2024-11-01").zipWithIndex.foreach { case (d, i) =>
+            mem.addData(Seq((-1L - i, 0.0, -1L - i, Op.Append,
+              java.sql.Timestamp.valueOf(s"$d 00:00:00"))))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        (s.table(qname).schema,
+          s.table(qname).filter(col("c_custkey") >= 0L).collect())
+      }
+      s.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(cached._2.toSeq: _*)), cached._1)
+        .orderBy(col("c_custkey"), col("valid_from"))
+    },
     // ---- point-in-time probe against the SCD2 dimension: three probe
     // dates per %5 customer pick up the version valid AT each date — a
     // key-equi hash join with the interval residual; probes after a
@@ -6670,6 +6716,12 @@ object SparkEntry {
     // not generated — the operator filters them before the lead window,
     // so the version sequences are identical), then one lead() per key.
     "scd2_build" ->
+      s"""WITH $scd2OracleCtes
+         |SELECT c_custkey, c_acctbal, valid_from, valid_to, is_current
+         |FROM dim ORDER BY c_custkey, valid_from""".stripMargin,
+    // streaming twin: closed intervals final on successor arrival,
+    // current versions sentinel-flushed — ≡ the batch lead() build.
+    "scd2_stream" ->
       s"""WITH $scd2OracleCtes
          |SELECT c_custkey, c_acctbal, valid_from, valid_to, is_current
          |FROM dim ORDER BY c_custkey, valid_from""".stripMargin,

@@ -336,6 +336,96 @@ object StreamingOps {
       }(Encoders.product[SessionizeState], outEnc)
   }
 
+  /** SCD2 open-version state for [[scd2Stream]]: at most ONE version per
+    * key, plus the zombie flag after the current-version flush. */
+  private[streaming] case class Scd2State(
+      open: Boolean, fromUs: Long, value: Double, flushed: Boolean)
+
+  /**
+   * Streaming SCD type-2 build: the stream twin of
+   * [[graft.operators.Changelog.scd2]] — per key, O(1) state holding the
+   * one OPEN version; an opening row (+A/+C) closes it (emitting the
+   * finished interval immediately — `valid_to` is the new row's event
+   * time, final on arrival) and opens the next; a retraction (-R) closes
+   * without reopening; -C halves are skipped. The still-open CURRENT
+   * version flushes via event-time timeout once the watermark passes
+   * `horizonMinutes` beyond its key's last change — the same
+   * correction-replay-window contract as [[dedupStream]]'s horizon
+   * (changes arriving after a key's current row flushed would double-
+   * report it; size the horizon to the upstream's correction window).
+   * Shares the batch oracle on offset-ordered replays.
+   *
+   * Scale shape: one fixed-size record per LIVE key in the state store —
+   * never a version history; closed versions leave the instant they
+   * close.
+   */
+  def scd2Stream(
+      ledger: DataFrame,
+      pkCol: String,
+      valueCol: String,
+      offsetCol: String,
+      opCol: String,
+      etCol: String,
+      horizonMinutes: Long,
+      watermarkDelay: String = "0 seconds"
+  ): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.model.Op
+    val slim = ledger
+      .select(col(pkCol).cast("long").as("pk"), col(valueCol).cast("double").as("v"),
+        col(offsetCol).cast("long").as("o"), col(opCol).cast("int").as("op"),
+        col(etCol).as("et"))
+      .withWatermark("et", watermarkDelay)
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(slim.schema)
+    val outSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      s"$pkCol BIGINT, $valueCol DOUBLE, valid_from TIMESTAMP, " +
+        "valid_to TIMESTAMP, is_current BIGINT")
+    implicit val outEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
+    def usToTs(us: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
+    slim
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (pk: Long, rows: Iterator[Row],
+         state: org.apache.spark.sql.streaming.GroupState[Scd2State]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.update(st.copy(flushed = true))
+            if (st.open && !st.flushed)
+              Iterator.single(Row(pk, st.value, usToTs(st.fromUs), null, 1L))
+            else Iterator.empty
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+            var st = state.getOption.getOrElse(Scd2State(false, 0L, 0.0, false))
+            var lastUs = 0L
+            rows.toSeq
+              .map { r =>
+                val i = r.getTimestamp(4).toInstant
+                (r.getLong(2), r.getInt(3), r.getDouble(1),
+                  i.getEpochSecond * 1000000L + i.getNano / 1000L)
+              }
+              .sortBy(_._1) // offset order within the batch
+              .foreach { case (_, op, v, us) =>
+                lastUs = math.max(lastUs, us)
+                if (op == Op.Append || op == Op.CorrectTo) {
+                  if (st.open)
+                    out += Row(pk, st.value, usToTs(st.fromUs), usToTs(us), 0L)
+                  st = Scd2State(open = true, us, v, flushed = false)
+                } else if (op == Op.Retract) {
+                  if (st.open)
+                    out += Row(pk, st.value, usToTs(st.fromUs), usToTs(us), 0L)
+                  st = Scd2State(open = false, 0L, 0.0, flushed = false)
+                } // Op.CorrectFrom: skipped
+              }
+            state.update(st)
+            if (st.open)
+              state.setTimeoutTimestamp(lastUs / 1000L + horizonMinutes * 60000L)
+            out.iterator
+          }
+      }(Encoders.product[Scd2State], outEnc)
+  }
+
   /** Funnel progress for [[funnelStream]]: completed-step count plus the
     * completed steps' µs timestamps — O(steps) per entity, never a buffer
     * of events. */

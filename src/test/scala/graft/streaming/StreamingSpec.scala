@@ -617,6 +617,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2Stream: closes on successor/retract, skips -C, flushes current via timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    val mem = MemoryStream[(Long, Double, Long, Int, Timestamp)]
+    val out = StreamingOps.scd2Stream(
+      mem.toDF().toDF("k", "bal", "offset", "op", "event_time"),
+      "k", "bal", "offset", "op", "event_time", horizonMinutes = 10L * 24 * 60)
+    val q = out.writeStream.format("memory").queryName("scd2_spec")
+      .outputMode("append").start()
+    try {
+      // key 1: A@01, -C/+C@03, -R@05; key 2: A@01 only (stays current)
+      mem.addData(Seq((1L, 10.0, 10L, 0, ts("2024-01-01")),
+        (2L, 5.0, 20L, 0, ts("2024-01-01"))))
+      q.processAllAvailable()
+      mem.addData(Seq((1L, 10.0, 11L, 2, ts("2024-01-03")),
+        (1L, 20.0, 12L, 3, ts("2024-01-03"))))
+      q.processAllAvailable()
+      mem.addData(Seq((1L, 0.0, 13L, 1, ts("2024-01-05"))))
+      q.processAllAvailable()
+      Seq("2024-02-01", "2024-03-01").zipWithIndex.foreach { case (d, i) =>
+        mem.addData(Seq((-1L - i, 0.0, -1L - i, 0, ts(d))))
+        q.processAllAvailable()
+      }
+      val got = spark.table("scd2_spec").filter(col("k") >= 0)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getTimestamp(2),
+          Option(r.getTimestamp(3)), r.getLong(4))).toSet
+      assert(got === Set(
+        (1L, 10.0, ts("2024-01-01"), Some(ts("2024-01-03")), 0L),
+        (1L, 20.0, ts("2024-01-03"), Some(ts("2024-01-05")), 0L),
+        (2L, 5.0, ts("2024-01-01"), None, 1L)))
+    } finally q.stop()
+  }
+
   test("applyRollupBatch: batches merge exactly; replayed and stale batch ids are no-ops") {
     val table = "streaming_spec_rollup"
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
