@@ -405,6 +405,39 @@ object SparkEntry {
           (col("nation_volume") / col("total_volume")).as("mkt_share"))
         .orderBy(col("o_year"))
     },
+    // ---- q2 shape (min-cost supplier per part): the argmin-per-group
+    // decorrelation — the correlated "cost = (SELECT min ...)" subquery
+    // becomes one (part, supplier) aggregate plus a per-part rank-1
+    // window; dimension filter broadcasts into the fact scan first. This
+    // schema has no partsupp, so the part↔supplier catalog is DERIVED
+    // from lineitem with unit cost = extendedprice ∕ quantity (IEEE
+    // double division — bit-identical on any engine).
+    "q2_min_cost_supplier" -> { (s, dir) =>
+      val parts = broadcast(t(s, dir, "part")
+        .filter(col("p_size").between(1, 15) && col("p_type") === "ECONOMY")
+        .select(col("p_partkey")))
+      val unit = t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 0)
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") / col("l_quantity")).as("__uc"))
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("__uc")).as("min_cost"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_partkey"))
+        .orderBy(col("min_cost"), col("l_suppkey"))
+      unit
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .join(broadcast(t(s, dir, "supplier")
+          .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name").as("nation"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
+          col("s_name"), col("nation"), col("min_cost"))
+        .orderBy(col("p_partkey"))
+        .limit(100)
+    },
     // ---- q9 shape (product-type profit by nation and year): three
     // dimension broadcasts narrow the fact scan (part name filter first —
     // it is the selective one), then ONE orderkey shuffle join brings in
@@ -5625,6 +5658,22 @@ object SparkEntry {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // q2: argmin per part via the same rank-1 window; unit cost is IEEE
+    // double division on both engines.
+    "q2_min_cost_supplier" ->
+      """WITH u AS (SELECT l_partkey, l_suppkey,
+        |             min(l_extendedprice / l_quantity) AS min_cost
+        |           FROM lineitem JOIN part ON l_partkey = p_partkey
+        |           WHERE p_size BETWEEN 1 AND 15 AND p_type = 'ECONOMY'
+        |             AND l_quantity > 0
+        |           GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_partkey
+        |                                   ORDER BY min_cost, l_suppkey) AS rn
+        |      FROM u)
+        |SELECT l_partkey AS p_partkey, s_suppkey, s_name, n_name AS nation, min_cost
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |       JOIN nation ON s_nationkey = n_nationkey
+        |WHERE rn = 1 ORDER BY p_partkey LIMIT 100""".stripMargin,
     // q9: surrogate supply cost 0.4·retailprice·qty, all DECIMAL (0.4 is
     // exact at scale 1), one double cast after the exact sum.
     "q9_profit" ->
