@@ -68,6 +68,27 @@ class MiscOperatorsSpec extends SparkSpec {
       (3L, 7.0, ts("2024-01-01"), Some(ts("2024-02-01")), 0L)))
   }
 
+  test("scd2 open rows project to exactly Changelog.project's current state") {
+    import java.sql.Timestamp
+    def ts(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    val led = Seq(
+      (1L, 10.0, 10L, 0, ts("2024-01-01")),
+      (1L, 20.0, 12L, 3, ts("2024-02-01")),
+      (2L, 5.0, 20L, 0, ts("2024-01-01")),
+      (3L, 7.0, 30L, 0, ts("2024-01-01")),
+      (3L, 0.0, 31L, 1, ts("2024-02-01"))
+    ).toDF("k", "bal", "offset", "op", "event_time")
+    val current = Changelog.scd2(led, Seq("k"))
+      .filter(col("is_current") === 1L)
+      .select(col("k"), col("bal"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val projected = Changelog.project(led, Seq("k"))
+      .select(col("k"), col("bal"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(current === projected)
+    assert(current === Map(1L -> 20.0, 2L -> 5.0))
+  }
+
   test("pointInTimeJoin: facts resolve to the version valid at their ts; outside windows null") {
     import java.sql.Timestamp
     def ts(d: String) = Timestamp.valueOf(s"$d 00:00:00")
