@@ -983,6 +983,14 @@ object SparkEntry {
       graft.operators.Skew.profileKeys(t(s, dir, "orders"), "o_custkey", topK = 10)
         .orderBy(col("n").desc, col("key"))
     },
+    // ---- Gini concentration of event value per type: exact rank form,
+    // one floor division at the end — the inequality partner to
+    // category_entropy's diversity view.
+    "gini_by_type" -> { (s, dir) =>
+      graft.operators.Analytics.giniByKey(
+        events(s, dir), "event_type", "value", "event_id")
+        .orderBy(col("event_type"))
+    },
     // ---- Benford first-digit screen over order totals: digit from the
     // BIGINT's string form (log10 boundaries are ulp-fragile), expected
     // frequencies spliced as exact constants — one 9-group aggregate.
@@ -5975,6 +5983,23 @@ object SparkEntry {
         |                 FROM idx GROUP BY 1) mx2
         |  ON mx2.event_type = r.event_type AND r.i = mx2.mi
         |ORDER BY r.event_type""".stripMargin,
+    // Gini: numerator 2·Σix − (n+1)·Σx is non-negative for ascending
+    // ranks (rearrangement inequality), so DIV and // agree; the
+    // denominator pre-divides onto the grid (num·1e6 would overflow).
+    "gini_by_type" ->
+      """WITH r AS (SELECT event_type,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value, event_id) AS BIGINT) AS i
+        |  FROM events WHERE value IS NOT NULL AND value >= 0)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(v) AS BIGINT) AS sum_micro,
+        |  CASE WHEN sum(v) > 0
+        |       THEN CAST((2 * sum(i * v) - (count(*) + 1) * sum(v))
+        |                 // greatest((count(*) * sum(v)) // 1000000, 1) AS BIGINT)
+        |       ELSE 0::BIGINT END AS gini_micro
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     // Skew profile: share floors first, then × distinct (same operand
     // order as the operator — the floor does not distribute).
     "skew_profile" ->

@@ -960,6 +960,47 @@ object Analytics {
   }
 
   /**
+   * Per-key Gini coefficient (Gini 1912) of a non-negative value column —
+   * the inequality/concentration stat ("does 1% of users drive 90% of
+   * revenue") that pairs with [[Profile.categoryEntropy]]'s diversity
+   * view. Exact rank form: G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) ∕ (n·Σx) over
+   * ascending ranks i (ties totally ordered by `tieCol`) — every term an
+   * exact BIGINT product on the micro grid, one floor division at the
+   * end: `gini_micro = num DIV max(den DIV 10⁶, 1)` — the DENOMINATOR
+   * pre-divides onto the grid, so no operand ever multiplies by 10⁶ (a
+   * num·10⁶ spelling overflows 2^63 as soon as n·Σx_micro passes 9.2e12).
+   * Negative values are excluded (Gini is undefined there); keys with
+   * Σx = 0 report 0.
+   *
+   * Scale shape: one shuffle of the slim (key, tie, value) projection;
+   * ranks ride the per-key partitioning; the fold is map-side
+   * combinable. Operand bound: n·Σx_micro below 2^63.
+   */
+  def giniByKey(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      tieCol: String
+  ): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(valueCol), col(tieCol))
+    df.filter(col(valueCol).isNotNull && col(valueCol) >= 0)
+      .select(col(keyCol), col(tieCol), col(valueCol),
+        floor(col(valueCol) * lit(1000000.0)).cast("long").as("__v"))
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("__v")).as("sum_micro"),
+        sum(col("__i") * col("__v")).as("__ix"))
+      .withColumn("gini_micro",
+        when(col("sum_micro") > 0L,
+          expr("""(2L * __ix - (n_rows + 1L) * sum_micro)
+                 DIV greatest((n_rows * sum_micro) DIV 1000000L, 1L)"""))
+          .otherwise(lit(0L)))
+      .select(col(keyCol), col("n_rows"), col("sum_micro"), col("gini_micro"))
+  }
+
+  /**
    * Holt linear (double-exponential) smoothing of DAILY value totals with
    * dyadic factors α = 1∕2^k (level) and β = 1∕2^j (trend):
    * l₀ = y₀, t₀ = 0, then per observed day

@@ -442,6 +442,21 @@ class AnalyticsSpec extends SparkSpec {
       (2L, "2024-01-02") -> ((1L, 7.0))))
   }
 
+  test("giniByKey: perfect equality 0, extreme concentration near 1, hand value") {
+    val eq = (1 to 10).map(i => ("k", i.toLong, 5.0)).toDF("k", "id", "v")
+    assert(Analytics.giniByKey(eq, "k", "v", "id").collect()(0).getLong(3) === 0L)
+    // one holder of everything among n=10: G = (n-1)/n = 0.9
+    val conc = (("k", 0L, 100.0) +: (1 to 9).map(i => ("k", i.toLong, 0.0)))
+      .toDF("k", "id", "v")
+    val g = Analytics.giniByKey(conc, "k", "v", "id").collect()(0).getLong(3)
+    assert(math.abs(g - 900000L) <= 10L, s"gini=$g")
+    // hand case: values 1,2,3 -> G = (2*(1+4+9) - 4*6)/(3*6) = 4/18
+    val h = Analytics.giniByKey(
+      Seq(("k", 1L, 1.0), ("k", 2L, 2.0), ("k", 3L, 3.0)).toDF("k", "id", "v"),
+      "k", "v", "id").collect()(0).getLong(3)
+    assert(math.abs(h - 222222L) <= 10L, s"gini=$h")
+  }
+
   test("robustStats: hand-checked winsorized and trimmed sums at the ceil-rank bounds") {
     // 8 values; trimPct=25 -> lor=ceil(2)=2, hir=7: clamp to [1, 6].
     val df = Seq(0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 100.0).zipWithIndex
