@@ -1846,6 +1846,30 @@ object SparkEntry {
       Changelog.scd2(scd2Ledger(s, dir), Seq("c_custkey"))
         .orderBy(col("c_custkey"), col("valid_from"))
     },
+    // ---- INCREMENTAL SCD2 maintenance: the three-tick ledger ingested
+    // batch-by-batch into the single-commit fact table — tick 2 replayed
+    // to exercise the __gen guard (crash-after-commit regime) — then the
+    // generation fold read back. Each tick touches only its keys' open
+    // versions (close + reopen) in ONE insertInto; shares the
+    // from-scratch scd2_build oracle.
+    "scd2_append" -> { (s, dir) =>
+      Fixtures.cached(s"scd2_append|$dir") {
+        val led = scd2Ledger(s, dir)
+        def tick(d: String) =
+          led.filter(col("event_time") === to_timestamp(lit(s"$d 00:00:00")))
+        Changelog.materializeScd2(
+          tick("2024-01-01"), Seq("c_custkey"), "graft_scd2_cust", batchId = 0L)
+        Changelog.appendToScd2(
+          tick("2024-02-01"), Seq("c_custkey"), "graft_scd2_cust", batchId = 1L)
+        Changelog.appendToScd2( // replayed tick: guard no-op
+          tick("2024-02-01"), Seq("c_custkey"), "graft_scd2_cust", batchId = 1L)
+        Changelog.appendToScd2(
+          tick("2024-03-01"), Seq("c_custkey"), "graft_scd2_cust", batchId = 2L)
+        java.lang.Boolean.TRUE
+      }
+      Changelog.readScd2Table(s, "graft_scd2_cust", Seq("c_custkey"))
+        .orderBy(col("c_custkey"), col("valid_from"))
+    },
     // ---- STREAMING SCD2 twin: the same three-tick changelog replayed as
     // micro-batches through O(1)-per-key version state — closed intervals
     // emit the moment their successor arrives; the current versions flush
@@ -5293,7 +5317,7 @@ object SparkEntry {
   private val bloomWordsSql: String =
     """hx AS (SELECT event_type,
       |  ('0x' || substring(md5('bf1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h1,
-      |  ('0x' || substring(md5('bf2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h2
+      |  ('0x' || substring(md5('bf2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT | 1 AS h2
       |  FROM events WHERE user_id IS NOT NULL),
       |pos AS (SELECT event_type, (h1 + i * h2) % 16384 AS p
       |        FROM hx, range(4) r(i)),
@@ -6673,7 +6697,7 @@ object SparkEntry {
          |       SELECT '-' || CAST(i AS VARCHAR) FROM range(1, 26) r(i)),
          |ph AS (SELECT event_type, probe_user,
          |  ('0x' || substring(md5('bf1:' || probe_user), 1, 15))::BIGINT AS h1,
-         |  ('0x' || substring(md5('bf2:' || probe_user), 1, 15))::BIGINT AS h2
+         |  ('0x' || substring(md5('bf2:' || probe_user), 1, 15))::BIGINT | 1 AS h2
          |  FROM keys, pv),
          |pp AS (SELECT event_type, probe_user, (h1 + i * h2) % 16384 AS p
          |       FROM ph, range(4) r(i))
@@ -6790,6 +6814,12 @@ object SparkEntry {
     // not generated — the operator filters them before the lead window,
     // so the version sequences are identical), then one lead() per key.
     "scd2_build" ->
+      s"""WITH $scd2OracleCtes
+         |SELECT c_custkey, c_acctbal, valid_from, valid_to, is_current
+         |FROM dim ORDER BY c_custkey, valid_from""".stripMargin,
+    // maintained fact table folded back ≡ the from-scratch build: each
+    // append is one guarded insertInto touching only batch keys.
+    "scd2_append" ->
       s"""WITH $scd2OracleCtes
          |SELECT c_custkey, c_acctbal, valid_from, valid_to, is_current
          |FROM dim ORDER BY c_custkey, valid_from""".stripMargin,

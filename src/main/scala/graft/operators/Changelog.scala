@@ -81,6 +81,17 @@ object Changelog {
       df: DataFrame,
       primaryKey: Seq[String],
       vocab: DatasetVocabulary = DatasetVocabulary.Default
+  ): DataFrame =
+    scd2Versions(df, primaryKey, vocab).drop("__vid")
+
+  /** [[scd2]] plus a `__vid` version-identity column (the opening row's
+    * offset — unique even when two versions of a key share `valid_from`).
+    * The identity is what lets the maintained table re-state a version
+    * (close it) as an APPEND instead of an update. */
+  private def scd2Versions(
+      df: DataFrame,
+      primaryKey: Seq[String],
+      vocab: DatasetVocabulary
   ): DataFrame = {
     require(primaryKey.nonEmpty, "scd2 requires a primary key")
     val w = Window
@@ -95,8 +106,117 @@ object Changelog {
       .select(keep.map(col) ++ Seq(
         col(vocab.eventTimeColumn).as("valid_from"),
         col("valid_to"),
-        when(col("valid_to").isNull, lit(1L)).otherwise(lit(0L)).as("is_current")): _*)
+        when(col("valid_to").isNull, lit(1L)).otherwise(lit(0L)).as("is_current"),
+        col(vocab.offsetColumn).as("__vid")): _*)
   }
+
+  /**
+   * Materialize an [[scd2]] dimension as a MAINTAINED table
+   * `{table}_scd2`: the single-commit append-only fact-table doctrine
+   * (the basket/sketch/postings pattern) applied to version intervals.
+   * Each stored row is one GENERATION of one version, identified by
+   * `(primaryKey…, __vid)` — closing a version later re-inserts the same
+   * identity with `valid_to` set and a higher `__gen`, so maintenance
+   * never updates in place and [[appendToScd2]] is ONE atomic
+   * `insertInto`. [[readScd2Table]] folds generations back to the
+   * dimension; [[compactScd2]] rewrites the folded form when many
+   * generations have accumulated.
+   */
+  def materializeScd2(
+      df: DataFrame,
+      primaryKey: Seq[String],
+      table: String,
+      batchId: Long = 0L,
+      vocab: DatasetVocabulary = DatasetVocabulary.Default
+  ): Unit =
+    Bucketing.materializePlain(
+      scd2Versions(df, primaryKey, vocab).withColumn("__gen", lit(batchId)),
+      s"${table}_scd2")
+
+  /** Fold the `{table}_scd2` generations to the dimension [[scd2]] would
+    * build from scratch: per version identity, every column takes its
+    * latest-generation value (`max_by(c, __gen)` — primitive aggregation
+    * buffers, one hash shuffle on the identity). */
+  def readScd2Table(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      primaryKey: Seq[String]
+  ): DataFrame =
+    foldScd2(spark.table(s"${table}_scd2"), primaryKey).drop("__vid", "__gen")
+
+  /** Latest generation of every version in a raw `{table}_scd2` frame;
+    * keeps `__vid`, drops nothing else. */
+  private def foldScd2(stored: DataFrame, primaryKey: Seq[String]): DataFrame = {
+    val grp = primaryKey :+ "__vid"
+    val others = stored.columns.toSeq.filterNot(c => grp.contains(c) || c == "__gen")
+    val aggs = others.map(c => max_by(col(c), col("__gen")).as(c)) :+
+      max(col("__gen")).as("__gen")
+    stored.groupBy(grp.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(stored.columns.map(col).toSeq: _*) // restore stored column order
+  }
+
+  /**
+   * Fold a new changelog batch into a [[materializeScd2]] table with ONE
+   * idempotent commit, O(batch) compute: only the batch's keys are
+   * touched — their open versions are pulled (a key-semi-joined,
+   * column-slim scan of the fact table), re-stated as a pseudo-ledger
+   * (`+A` at the version's own opening offset, which per-key precedes
+   * every batch offset), and re-run through the [[scd2]] window together
+   * with the batch rows. The resulting delta — closed re-statements of
+   * previously-open versions plus the batch's new versions — lands in a
+   * single `insertInto` stamped `__gen = batchId`.
+   *
+   * Exactly-once: the tick is guarded by the stored high-water `__gen`
+   * (`batchId <= max(__gen)` is a no-op), and because the whole delta is
+   * one commit, a crash either landed the entire batch (retry no-ops via
+   * the guard) or none of it (retry is the first real ingest) — the same
+   * two-regime contract as the basket fact table. Batches must carry each
+   * key's changelog rows in per-key ascending offsets later than any
+   * already-ingested offsets for that key (any real ledger slice does).
+   */
+  def appendToScd2(
+      batch: DataFrame,
+      primaryKey: Seq[String],
+      table: String,
+      batchId: Long,
+      vocab: DatasetVocabulary = DatasetVocabulary.Default
+  ): Unit = {
+    val spark = batch.sparkSession
+    val tname = s"${table}_scd2"
+    val stored = spark.table(tname)
+    val hwm = stored.agg(max(col("__gen"))).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(-1L)
+    if (batchId <= hwm) return // replayed tick: already committed
+    val keys = batch.select(primaryKey.map(col): _*).distinct()
+    val open = foldScd2(stored.join(keys, primaryKey, "left_semi"), primaryKey)
+      .filter(col("is_current") === 1L)
+    val keep = stored.columns.toSeq
+      .filterNot(Set("valid_from", "valid_to", "is_current", "__vid", "__gen").contains)
+    val pseudo = open.select(keep.map(col) ++ Seq(
+      col("__vid").as(vocab.offsetColumn),
+      lit(Op.Append).as(vocab.operationTypeColumn),
+      col("valid_from").as(vocab.eventTimeColumn)): _*)
+    val mini = pseudo.unionByName(batch.select(pseudo.columns.map(col).toSeq: _*))
+    scd2Versions(mini, primaryKey, vocab)
+      .withColumn("__gen", lit(batchId))
+      .select(stored.columns.map(col).toSeq: _*)
+      .write.insertInto(tname)
+  }
+
+  /** Rewrite `{table}_scd2` with generations folded — read-side
+    * maintenance after many appends; [[readScd2Table]] is identical
+    * before and after. Standing drop-and-rewrite swap: a crash mid-swap
+    * loses the table LOUDLY, never silently corrupts versions. */
+  def compactScd2(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      primaryKey: Seq[String]
+  ): Unit =
+    Bucketing.materializePlain(
+      foldScd2(spark.table(s"${table}_scd2"), primaryKey).localCheckpoint(),
+      s"${table}_scd2")
 
   /**
    * Point-in-time join: each fact row picks up the [[scd2]] dimension

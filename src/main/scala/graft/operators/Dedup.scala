@@ -30,7 +30,51 @@ object Dedup {
    */
   private[graft] def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Gate on the FILE count, not df.rdd.getNumPartitions: touching .rdd
+    // forces full physical planning of the frame just to read a partition
+    // count. inputFiles only resolves the file index; a derived frame
+    // (inputFiles empty, or more files than cores) has already been through
+    // a shuffle at spark.sql.shuffle.partitions and is left untouched.
+    val files = df.inputFiles.length
+    if (files > 0 && files < target) df.repartition(target) else df
+  }
+
+  /**
+   * Dense 1-based global rank over `sortCols` WITHOUT a single-partition
+   * window — the cluster spelling of `row_number().over(Window.orderBy(…))`:
+   * range-partition on the sort key, rank within each partition, then add
+   * per-partition cumulative offsets (one bounded ≤P-row driver aggregate,
+   * the zipWithIndex shape). Exactly the same ranks, but the sort runs on
+   * every core and no task ever holds more than its range slice. The
+   * range-partitioned base is localCheckpoint()ed because its boundaries
+   * come from SAMPLING — the counts job and the rank job must see the same
+   * row→partition assignment.
+   */
+  private[graft] def withGlobalRank(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      rankCol: String
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df
+      .repartitionByRange(p, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged
+      .groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, n) => val o = (pid, acc); acc += n; o }
+    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
+    ranged
+      .withColumn("__lrn",
+        row_number().over(
+          Window.partitionBy(col("__pid")).orderBy(sortCols: _*)).cast("long"))
+      .join(offDf, Seq("__pid"))
+      .withColumn(rankCol, col("__lrn") + col("__off"))
+      .drop("__pid", "__lrn", "__off")
   }
 
   /**
@@ -53,12 +97,15 @@ object Dedup {
    * similarity) with EDIT similarity. Candidates are |rows|·(w−1) pairs,
    * never all-pairs. Returns `(id_a, id_b, dist)` with id_a < id_b.
    *
-   * The rank comes from ONE global sort (row_number over the full frame —
-   * exact, like [[graft.operators.Analytics.rfmSegments]]'s quintiles):
-   * the single-task sort of slim (key, id) rows is the exact reference
-   * shape; at extreme corpus sizes the cluster spelling is a range
-   * partition on the sort key with w−1 rows of boundary overlap per
-   * partition — same pairs, no global window.
+   * The rank comes from [[withGlobalRank]] — a RANGE partition on the
+   * sort key with per-partition row_numbers plus cumulative offsets, so
+   * the global order is exact but no task ever sorts more than its range
+   * slice (no single-partition window anywhere in the plan; PlanSpec-
+   * pinned). Cross-boundary pairs need no special casing: pairing is by
+   * RANK ARITHMETIC (rank + 1 … rank + w−1) through a hash join on the
+   * target rank, which crosses partition boundaries for free — the
+   * boundary-overlap copy a mapPartitions spelling would need is implicit
+   * in the join.
    */
   def sortedNeighborhood(
       df: DataFrame,
@@ -69,10 +116,9 @@ object Dedup {
   ): DataFrame = {
     require(windowSize >= 2 && maxDist >= 0, "need windowSize >= 2 and maxDist >= 0")
     val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
-    val ranked = df
-      .select(col(idCol).as("__id"), norm.as("__t"))
-      .withColumn("__rn",
-        row_number().over(Window.orderBy(col("__t"), col("__id"))).cast("long"))
+    val ranked = withGlobalRank(
+      df.select(col(idCol).as("__id"), norm.as("__t")),
+      Seq(col("__t"), col("__id")), "__rn")
       .localCheckpoint() // ranked feeds both sides of the window self-join
     ranked
       .select(col("__id").as("ida"), col("__t").as("ta"), col("__rn"),
@@ -103,7 +149,8 @@ object Dedup {
    * t", with work bounded by rare-token bucket sizes instead of all-pairs
    * (common tokens never appear in prefixes of high-threshold queries).
    *
-   * Scale shape: token ranks are one vocab-sized aggregate + window; the
+   * Scale shape: token ranks are one vocab-sized aggregate ranked by the
+   * range-partitioned [[withGlobalRank]] (no single-partition window); the
    * candidate shuffle carries (rank, id) pairs keyed by PREFIX tokens
    * only; verification joins rank-array payloads for candidate ids only.
    */
@@ -119,12 +166,12 @@ object Dedup {
       .select(col(idCol).as("__id"),
         array_distinct(Text.tokens(col(textCol))).as("__ts"))
       .filter(size(col("__ts")) > 0)
-    val ranks = toks
-      .select(explode(col("__ts")).as("__t"))
-      .groupBy(col("__t"))
-      .agg(count(lit(1)).as("__f"))
-      .withColumn("__r",
-        row_number().over(Window.orderBy(col("__f"), col("__t"))).cast("long"))
+    val ranks = withGlobalRank(
+      toks
+        .select(explode(col("__ts")).as("__t"))
+        .groupBy(col("__t"))
+        .agg(count(lit(1)).as("__f")),
+      Seq(col("__f"), col("__t")), "__r")
     val docRanks = toks
       .select(col("__id"), explode(col("__ts")).as("__t"))
       .join(ranks.select(col("__t"), col("__r")), Seq("__t"))

@@ -308,9 +308,11 @@ object Graph {
     require(maxHops >= 0, "maxHops must be non-negative")
     val sym = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
       .unionByName(edges.select(
         col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+      // clean AFTER symmetrizing so the reversed half cannot re-admit
+      // self-loops or null endpoints (null =!= null is null, not true)
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
       .localCheckpoint() // edges feed every round; cut upstream lineage once
     var frontier = seeds.select(col(seedCol).cast("long").as("node")).distinct()

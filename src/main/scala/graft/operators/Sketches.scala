@@ -407,6 +407,10 @@ object Sketches {
    * `(keys..., word, bits)` — only occupied words; empty words are
    * implicit zero. The k = [[BloomK]] probe positions come from double
    * hashing (Kirsch & Mitzenmacher 2006): `pos_i = (h1 + i·h2) mod m`
+   * with h2 forced ODD (`h2 | 1`) — m is a power of two, so an odd step
+   * is coprime to m and the k probe positions are always distinct; an
+   * even (or zero) h2 would collapse some values to fewer than k
+   * positions and silently inflate their false-positive exposure —
    * over the portable 60-bit md5 hash family, so the filter is fully
    * deterministic and the DuckDB oracle recomputes it bit-for-bit.
    *
@@ -427,7 +431,7 @@ object Sketches {
     df.filter(col(valueCol).isNotNull)
       .select((keys :+
         bloomHash("bf1:", col(valueCol)).as("__h1") :+
-        bloomHash("bf2:", col(valueCol)).as("__h2")): _*)
+        bloomHash("bf2:", col(valueCol)).bitwiseOR(1L).as("__h2")): _*)
       .select((keys :+ explode(expr(
         s"transform(sequence(0, ${BloomK - 1}), i -> (__h1 + i * __h2) % ${BloomBits}L)"))
         .as("__pos")): _*)
@@ -461,7 +465,7 @@ object Sketches {
     probes
       .select((keys :+ pcol :+
         bloomHash("bf1:", pcol).as("__h1") :+
-        bloomHash("bf2:", pcol).as("__h2")): _*)
+        bloomHash("bf2:", pcol).bitwiseOR(1L).as("__h2")): _*)
       .select((keys :+ pcol :+ explode(expr(
         s"transform(sequence(0, ${BloomK - 1}), i -> (__h1 + i * __h2) % ${BloomBits}L)"))
         .as("__pos")): _*)

@@ -35,10 +35,21 @@ object StreamingOps {
       sumCols: Seq[String]
   )(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    val tmp = s"${table}_stream_tmp"
+    // Crash recovery for the swap itself: a crash BETWEEN the DROP and the
+    // RENAME below leaves no main table but a fully-materialized tmp — on
+    // the replayed epoch, finish the interrupted swap FIRST so the batch
+    // guard consults the real accumulated state instead of silently
+    // reinitializing the rollup from this one micro-batch.
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp))
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
     val exists = spark.catalog.tableExists(table)
     val stored =
       if (!exists) -1L
-      else spark.table(table).select(col("__batch")).limit(1).collect()(0).getLong(0)
+      else // headOption: an empty first batch creates a zero-row table —
+        // treat it like a missing one instead of crashing every next tick
+        spark.table(table).select(col("__batch")).limit(1).collect()
+          .headOption.fold(-1L)(_.getLong(0))
     if (batchId <= stored) return // replayed epoch: already merged
     val aggs = count(lit(1)).cast("long").as("n_rows") +:
       sumCols.map(c =>
@@ -58,7 +69,6 @@ object StreamingOps {
     // staged rename so a crash leaves the old or the new table, never a
     // torn one — the Rollup.refresh pattern.
     val out = merged.withColumn("__batch", lit(batchId)).localCheckpoint()
-    val tmp = s"${table}_stream_tmp"
     graft.operators.Bucketing.materializePlain(out, tmp)
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))

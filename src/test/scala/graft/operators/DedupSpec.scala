@@ -533,4 +533,38 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(w2 === Set((1L, 2L), (2L, 3L)))
   }
+
+  test("sortedNeighborhood: range-partitioned rank ≡ global-window rank across boundaries") {
+    // enough rows that repartitionByRange(32) puts data in MANY partitions,
+    // so window pairs routinely straddle range boundaries — the pairs must
+    // be exactly what the single-window spelling produces.
+    val docs = (1 to 600)
+      .map(i => (i.toLong, f"rec ${i % 80}%03d suffix${i % 7}"))
+      .toDF("doc_id", "text")
+    val w = 5
+    val got = Dedup.sortedNeighborhood(docs, "doc_id", "text", windowSize = w, maxDist = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    // brute reference: ONE global window, explicit offset pairing
+    import org.apache.spark.sql.expressions.Window
+    val ranked = docs
+      .select(col("doc_id"),
+        lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("t"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("t"), col("doc_id"))))
+      .collect().map(r => (r.getInt(2), r.getLong(0), r.getString(1))).sortBy(_._1)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      i <- ranked.indices; o <- 1 until w; if i + o < ranked.length
+      d = lev(ranked(i)._3, ranked(i + o)._3); if d <= 2
+      a = math.min(ranked(i)._2, ranked(i + o)._2)
+      b = math.max(ranked(i)._2, ranked(i + o)._2)
+    } yield ((a, b), d)).toMap
+    assert(got === brute)
+    assert(got.nonEmpty)
+  }
 }

@@ -89,6 +89,64 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(current === Map(1L -> 20.0, 2L -> 5.0))
   }
 
+  test("scd2 maintenance: appends fold batch-by-batch to the from-scratch build; crash/retry safe") {
+    import java.sql.Timestamp
+    def ts(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    // the three-tick ledger from the scd2 spec, split into per-tick batches
+    val b0 = Seq(
+      (1L, 10.0, 10L, 0, ts("2024-01-01")),
+      (2L, 5.0, 20L, 0, ts("2024-01-01")),
+      (3L, 7.0, 30L, 0, ts("2024-01-01"))
+    ).toDF("k", "bal", "offset", "op", "event_time")
+    val b1 = Seq(
+      (1L, 10.0, 11L, 2, ts("2024-02-01")),
+      (1L, 20.0, 12L, 3, ts("2024-02-01")),
+      (3L, 0.0, 31L, 1, ts("2024-02-01")),
+      (4L, 9.0, 40L, 0, ts("2024-02-01")) // brand-new key mid-stream
+    ).toDF("k", "bal", "offset", "op", "event_time")
+    val b2 = Seq(
+      (1L, 0.0, 13L, 1, ts("2024-03-01"))
+    ).toDF("k", "bal", "offset", "op", "event_time")
+    def dim(table: String) = Changelog.readScd2Table(spark, table, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getLong(4))).toSet
+    def fresh(dfs: org.apache.spark.sql.DataFrame*) = Changelog
+      .scd2(dfs.reduce(_ unionByName _), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getLong(4))).toSet
+    try {
+      Changelog.materializeScd2(b0, Seq("k"), "spec_scd2m", batchId = 0L)
+      assert(dim("spec_scd2m") === fresh(b0))
+      Changelog.appendToScd2(b1, Seq("k"), "spec_scd2m", batchId = 1L)
+      assert(dim("spec_scd2m") === fresh(b0, b1))
+      // regime 2 crash: the commit landed but the ack was lost — the
+      // replayed tick no-ops on the __gen guard instead of double-closing
+      Changelog.appendToScd2(b1, Seq("k"), "spec_scd2m", batchId = 1L)
+      assert(dim("spec_scd2m") === fresh(b0, b1))
+      Changelog.appendToScd2(b2, Seq("k"), "spec_scd2m", batchId = 2L)
+      val full = fresh(b0, b1, b2)
+      assert(dim("spec_scd2m") === full)
+      // pointInTimeJoin over the MAINTAINED dimension ≡ over the fresh one
+      val facts = Seq((1L, ts("2024-01-15")), (1L, ts("2024-02-15")),
+        (3L, ts("2024-02-15")), (4L, ts("2024-03-15"))).toDF("k", "fts")
+      def pit(d: org.apache.spark.sql.DataFrame) = Changelog
+        .pointInTimeJoin(facts, d, Seq("k"), "fts")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+      assert(
+        pit(Changelog.readScd2Table(spark, "spec_scd2m", Seq("k"))) ===
+        pit(Changelog.scd2(b0.unionByName(b1).unionByName(b2), Seq("k"))))
+      // compaction folds generations; the read is identical
+      Changelog.compactScd2(spark, "spec_scd2m", Seq("k"))
+      assert(dim("spec_scd2m") === full)
+      assert(spark.table("spec_scd2m_scd2")
+        .groupBy(col("k"), col("__vid")).count()
+        .filter(col("count") > 1).count() === 0L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS spec_scd2m_scd2")
+    }
+  }
+
   test("pointInTimeJoin: facts resolve to the version valid at their ts; outside windows null") {
     import java.sql.Timestamp
     def ts(d: String) = Timestamp.valueOf(s"$d 00:00:00")

@@ -595,4 +595,39 @@ class PlanSpec extends SparkSpec {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     }
   }
+
+  test("withGlobalRank: exact global ranks with NO single-partition exchange in the plan") {
+    // 500 distinct values (37 coprime to 997) — tie-free, so the rank is
+    // uniquely defined and comparable against the global-window spelling
+    val df = (1 to 500).map(i => ((i * 37) % 997).toLong).toDF("v")
+    val got = Dedup.withGlobalRank(df, Seq(col("v")), "rn")
+    val plan = got.queryExecution.executedPlan.toString
+    // the scale contract: the rank must never funnel through one task —
+    // neither as `Exchange SinglePartition` (global window/sort) nor as a
+    // coalesce(1); the window inside is partitioned by the range-partition id
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(!plan.contains("Coalesce 1"), plan)
+    val want = df
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("v"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === want)
+  }
+
+  test("sortedNeighborhood / allPairsJaccard: executed plans carry no single-partition stage") {
+    val docs = (1 to 300)
+      .map(i => (i.toLong, f"doc ${i % 40}%03d body${i % 5}"))
+      .toDF("doc_id", "text")
+    // localCheckpoint() inside the operators truncates downstream lineage,
+    // so execute through a listener-free proxy: assert on the FINAL frame's
+    // plan AND on the rank frame directly (covered above); here we pin the
+    // end-to-end plans of both public operators.
+    val sn = Dedup.sortedNeighborhood(docs, "doc_id", "text", windowSize = 3, maxDist = 2)
+    assert(!sn.queryExecution.executedPlan.toString.contains("SinglePartition"),
+      sn.queryExecution.executedPlan.toString)
+    val ap = Dedup.allPairsJaccard(docs, "doc_id", "text", 500000L)
+    assert(!ap.queryExecution.executedPlan.toString.contains("SinglePartition"),
+      ap.queryExecution.executedPlan.toString)
+    assert(sn.count() >= 0 && ap.count() >= 0)
+  }
 }

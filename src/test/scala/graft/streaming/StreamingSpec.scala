@@ -667,4 +667,55 @@ class StreamingSpec extends SparkSpec {
     apply(Seq(("a", 999.0)).toDF("k", "v"), 0L)
     assert(state() === merged)
   }
+
+  test("applyRollupBatch: crash between DROP and RENAME recovers history on replay") {
+    val table = "streaming_spec_rollup_crash"
+    val tmp = s"${table}_stream_tmp"
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+    val apply = StreamingOps.applyRollupBatch(table, Seq("k"), Seq("v")) _
+    def state() = StreamingOps.readStreamRollup(spark, table, Seq("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    apply(Seq(("a", 1.0), ("b", 10.0)).toDF("k", "v"), 0L)
+    apply(Seq(("a", 4.0), ("c", 7.0)).toDF("k", "v"), 1L)
+    val merged = Map("a" -> ((2L, 5.0)), "b" -> ((1L, 10.0)), "c" -> ((1L, 7.0)))
+    assert(state() === merged)
+    // Emulate the torn swap of a FAILED batch-2 epoch: the merged result
+    // (batch 2 included) is fully staged in tmp, the main table already
+    // dropped, crash before RENAME. Streaming then REPLAYS batch 2.
+    graft.operators.Bucketing.materializePlain(
+      spark.table(table).drop("__batch")
+        .unionByName(Seq(("d", 2.0)).toDF("k", "v")
+          .groupBy("k").agg(count(lit(1)).as("n_rows"),
+            sum(col("v").cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_v")))
+        .groupBy("k").agg(sum(col("n_rows")).as("n_rows"),
+          sum(col("sum_v")).cast("decimal(38,6)").as("sum_v"))
+        .withColumn("__batch", lit(2L)).localCheckpoint(), tmp)
+    spark.sql(s"DROP TABLE `$table`")
+    assert(!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp))
+    val withD = merged + ("d" -> ((1L, 2.0)))
+    // replayed epoch 2: recovery completes the interrupted swap FIRST, so
+    // the guard sees stored=2 and the replay is a no-op — history intact,
+    // NOT silently reinitialized from the replayed micro-batch alone.
+    apply(Seq(("d", 2.0)).toDF("k", "v"), 2L)
+    assert(state() === withD)
+    assert(!spark.catalog.tableExists(tmp))
+    // and the stream keeps advancing normally afterwards
+    apply(Seq(("a", 1.0)).toDF("k", "v"), 3L)
+    assert(state() === (withD + ("a" -> ((3L, 6.0)))))
+  }
+
+  test("applyRollupBatch: an empty first micro-batch leaves a usable (not crashing) table") {
+    val table = "streaming_spec_rollup_empty"
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"DROP TABLE IF EXISTS `${table}_stream_tmp`")
+    val apply = StreamingOps.applyRollupBatch(table, Seq("k"), Seq("v")) _
+    apply(Seq.empty[(String, Double)].toDF("k", "v"), 0L) // zero-row table created
+    assert(spark.table(table).count() === 0L)
+    // the next tick must treat the empty table like a missing one, not throw
+    apply(Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v"), 1L)
+    val got = StreamingOps.readStreamRollup(spark, table, Seq("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === Map("a" -> ((1L, 1.0)), "b" -> ((1L, 2.0))))
+  }
 }
