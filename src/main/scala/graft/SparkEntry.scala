@@ -2176,6 +2176,46 @@ object SparkEntry {
         .merge(Some(prevLedger), incoming)
         .orderBy(col("c_custkey"), col("op"))
     },
+    // ---- STREAMING UpsertStream ingestion twin: the same base/incoming
+    // pair replayed as micro-batches through foreachBatch into a
+    // maintained offset-stamped changelog ledger, epoch 1 replayed to
+    // exercise the batch-id guard (exactly-once replay collapse). The
+    // epoch-1 delta rows equal the batch merge's output, so the entry
+    // shares merge_upsert's from-scratch CDC oracle.
+    "merge_upsert_stream" -> { (s, dir) =>
+      Fixtures.cached(s"merge_upsert_stream|$dir") {
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val cust = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val base = cust.filter(col("c_custkey") % 4 =!= 0)
+          .withColumn("op", lit(Op.Append))
+        val incoming = cust.filter(col("c_custkey") % 3 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+          .withColumn("op",
+            when(col("c_custkey") % 9 === 0, lit(Op.Retract)).otherwise(lit(Op.Append)))
+        def tup(df: DataFrame) = df.collect().toSeq
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, Double, Int)]
+        val table = "graft_upsert_ledger"
+        s.sql(s"DROP TABLE IF EXISTS `$table`")
+        val q = graft.streaming.StreamingOps.upsertStream(
+          mem.toDF().toDF("c_custkey", "c_name", "c_acctbal", "op"),
+          primaryKey = Seq("c_custkey"), arrivalOrderColumn = "c_custkey",
+          table = table).start()
+        try {
+          Seq(base, incoming).foreach { b => mem.addData(tup(b)); q.processAllAvailable() }
+        } finally q.stop()
+        // failure-recovery replay of epoch 1: the guard must no-op it
+        graft.streaming.StreamingOps.applyUpsertBatch(
+          table, Seq("c_custkey"), "c_custkey")(incoming, 1L)
+        java.lang.Boolean.TRUE
+      }
+      s.table("graft_upsert_ledger").filter(col("__batch") === 1L)
+        .select(col("op"), col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"), col("op"))
+    },
     "writer_stamp" -> { (s, dir) =>
       val inc = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderdate").as("event_time"))
@@ -7028,6 +7068,32 @@ object SparkEntry {
       """SELECT CAST(event_id % 4 AS INT) AS op, event_id AS "offset", user_id, value
         |FROM events ORDER BY "offset"""".stripMargin,
     "merge_upsert" ->
+      """WITH old AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 4 <> 0),
+        |inc AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal,
+        |         CASE WHEN c_custkey % 9 = 0 THEN 1 ELSE 0 END AS iop
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |j AS (
+        |  SELECT inc.iop, inc.c_custkey AS nk, inc.c_name AS nnm, inc.c_acctbal AS nb,
+        |         old.c_custkey AS ok, old.c_name AS onm, old.c_acctbal AS ob
+        |  FROM inc LEFT JOIN old ON inc.c_custkey = old.c_custkey),
+        |keep AS (
+        |  SELECT * FROM j WHERE (iop = 1 AND ok IS NOT NULL)
+        |    OR (iop <> 1 AND ((onm IS DISTINCT FROM nnm) OR (ob IS DISTINCT FROM nb))))
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS INT) AS op, ok AS c_custkey, onm AS c_name, ob AS c_acctbal FROM keep WHERE iop = 1
+        |  UNION ALL
+        |  SELECT CAST(0 AS INT) AS op, nk, nnm, nb FROM keep WHERE iop <> 1 AND ok IS NULL
+        |  UNION ALL
+        |  SELECT CAST(2 AS INT) AS op, ok, onm, ob FROM keep WHERE iop <> 1 AND ok IS NOT NULL
+        |  UNION ALL
+        |  SELECT CAST(3 AS INT) AS op, nk, nnm, nb FROM keep WHERE iop <> 1 AND ok IS NOT NULL)
+        |ORDER BY c_custkey, op""".stripMargin,
+    // the streaming twin's epoch-1 delta ≡ the batch merge's output: the
+    // epoch-0 ledger projects to exactly the batch entry's prior state,
+    // and the replayed epoch collapses on the __batch guard.
+    "merge_upsert_stream" ->
       """WITH old AS (
         |  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 4 <> 0),
         |inc AS (

@@ -97,6 +97,72 @@ object StreamingOps {
       .outputMode("update")
       .foreachBatch(applyRollupBatch(table, dims, sumCols) _)
 
+  /**
+   * One foreachBatch tick of STREAMING UpsertStream ingestion
+   * ([[upsertStream]]): run the batch [[MergeStrategy.UpsertStream]]
+   * against the state projected from the maintained ledger table, assign
+   * the delta contiguous offsets continuing the stored high-water mark,
+   * and land it as ONE `insertInto` stamped `__batch = batchId`. The tick
+   * is guarded by the stored high-water batch id, so a replayed epoch
+   * (Structured Streaming's at-least-once delivery after a failed commit)
+   * collapses to a no-op — the sink-side half of exactly-once, same
+   * contract as [[applyRollupBatch]] but for §2.2's ledger-building heart:
+   * what lands is a proper RFC-015 changelog a batch reader projects with
+   * [[graft.operators.Changelog.project]].
+   *
+   * Scale shape per tick: one key shuffle for the in-batch dedupe window,
+   * one state-vs-batch CDC hash join, and the distributed offset
+   * assignment — history is read (column-pruned) but never rewritten;
+   * the append is O(delta).
+   */
+  def applyUpsertBatch(
+      table: String,
+      primaryKey: Seq[String],
+      arrivalOrderColumn: String,
+      vocab: DatasetVocabulary = DatasetVocabulary.Default
+  )(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val exists = spark.catalog.tableExists(table)
+    val (hwm, nextOff) =
+      if (!exists) (-1L, 0L)
+      else {
+        val r = spark.table(table)
+          .agg(max(col("__batch")), max(col(vocab.offsetColumn))).collect()(0)
+        (if (r.isNullAt(0)) -1L else r.getLong(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1) + 1L)
+      }
+    if (batchId <= hwm) return // replayed epoch: already committed
+    val strat = MergeStrategy.UpsertStream(
+      primaryKey, arrivalOrderColumn = Some(arrivalOrderColumn), vocab = vocab)
+    val prev = if (exists) Some(spark.table(table).drop("__batch")) else None
+    val delta = strat.merge(prev, batch)
+    val out = graft.operators.Writer
+      .assignOffsets(delta, strat.sortOrder(delta), nextOff, vocab)
+      .withColumn("__batch", lit(batchId))
+      .localCheckpoint() // materialize BEFORE appending to the table it reads
+    if (!exists) graft.operators.Bucketing.materializePlain(out, table)
+    else out.select(spark.table(table).columns.map(col).toSeq: _*)
+      .write.insertInto(table)
+  }
+
+  /**
+   * Streaming UpsertStream ingestion: `stream → foreachBatch → maintained
+   * changelog ledger table` — the streaming twin of the batch
+   * [[MergeStrategy.UpsertStream]] ingest path, with per-epoch
+   * exactly-once via [[applyUpsertBatch]]'s batch-id guard. The table is
+   * an ordinary offset-stamped changelog; read the current state with
+   * [[graft.operators.Changelog.project]].
+   */
+  def upsertStream(
+      stream: DataFrame,
+      primaryKey: Seq[String],
+      arrivalOrderColumn: String,
+      table: String
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch(applyUpsertBatch(table, primaryKey, arrivalOrderColumn) _)
+
   /** The maintained streaming rollup with sums rendered as doubles. */
   def readStreamRollup(
       spark: org.apache.spark.sql.SparkSession,

@@ -668,6 +668,33 @@ class StreamingSpec extends SparkSpec {
     assert(state() === merged)
   }
 
+  test("applyUpsertBatch: ledger advances per epoch, replay no-ops, projection = state") {
+    val table = "streaming_spec_upsert"
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val apply = StreamingOps.applyUpsertBatch(table, Seq("k"), "arr") _
+    def state() = graft.operators.Changelog
+      .project(spark.table(table).drop("__batch"), Seq("k"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
+    // epoch 0: first batch — retraction of nothing dropped, rest appends
+    apply(Seq((1L, 10.0, 0, 1L), (2L, 5.0, 0, 2L), (9L, 0.0, 1, 3L))
+      .toDF("k", "v", "op", "arr"), 0L)
+    assert(state() === Map(1L -> 10.0, 2L -> 5.0))
+    // epoch 1: update k=1 (correction pair), retract k=2, new k=3; the
+    // in-batch dedupe keeps the LAST row per key by arrival order
+    apply(Seq((1L, 11.0, 0, 4L), (1L, 12.0, 0, 5L), (2L, 0.0, 1, 6L), (3L, 7.0, 0, 7L))
+      .toDF("k", "v", "op", "arr"), 1L)
+    val after = Map(1L -> 12.0, 3L -> 7.0)
+    assert(state() === after)
+    val rows = spark.table(table).count()
+    // replayed epoch 1 (crash-after-commit regime): guard no-ops, ledger unchanged
+    apply(Seq((1L, 12.0, 0, 5L)).toDF("k", "v", "op", "arr"), 1L)
+    assert(spark.table(table).count() === rows && state() === after)
+    // offsets are contiguous and unique across epochs
+    val offs = spark.table(table).select(col("offset")).collect().map(_.getLong(0)).sorted
+    assert(offs.toSeq === (0L until rows).toSeq)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+  }
+
   test("applyRollupBatch: crash between DROP and RENAME recovers history on replay") {
     val table = "streaming_spec_rollup_crash"
     val tmp = s"${table}_stream_tmp"
