@@ -481,6 +481,30 @@ object SparkEntry {
         .withColumnRenamed("1998", "y1998").withColumnRenamed("1999", "y1999")
         .orderBy(col("nation"))
     },
+    // ---- the same pivot on the BIGINT cent grid — the scale path for
+    // the decimal-aggregation floor: Spark's decimal sum buffers are
+    // non-vectorized, so pre-scaling money onto an integer grid (the
+    // repo's standing micro-grid doctrine) swaps them for plain long
+    // sums inside whole-stage codegen. floor() spelling matches the
+    // oracle exactly (double→long casts round differently across
+    // engines). Cent totals at 100 TB stay far under 2^63.
+    "pivot_yearly_revenue_micro" -> { (s, dir) =>
+      val cust = broadcast(t(s, dir, "customer")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("nation")))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), year(col("o_orderdate")).as("o_year"),
+          floor(col("o_totalprice") * 100).cast("long").as("__cents"))
+        .filter(col("o_year").between(1996, 1999))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("nation"))
+        .pivot("o_year", Seq(1996, 1997, 1998, 1999))
+        .agg(sum(col("__cents")))
+        .select(col("nation"),
+          (col("1996") / 100.0).as("y1996"), (col("1997") / 100.0).as("y1997"),
+          (col("1998") / 100.0).as("y1998"), (col("1999") / 100.0).as("y1999"))
+        .orderBy(col("nation"))
+    },
     // ---- UNPIVOT: melt the pivoted frame back to (nation, year, revenue)
     // — pivot∘unpivot round-trips to the plain (nation, year) rollup
     // (minus combos that never existed), which is exactly what the oracle
@@ -1022,19 +1046,20 @@ object SparkEntry {
         .orderBy(col("user_id"))
     },
     // ---- day-of-week seasonal profile: ratio-to-mean decomposition on
-    // the 1e-6 grid from the same daily pre-aggregate the recurrence ops
-    // use; the profile is keys·7 rows.
+    // the 1e-6 grid from the SHARED materialized daily rollup (both
+    // seasonality entries derive from one events scan — see
+    // seasonalDaily); the profile is keys·7 rows.
     "seasonality_dow" -> { (s, dir) =>
-      graft.operators.Analytics.seasonalDowProfile(
-        events(s, dir), "event_type", "ts", "value")
+      graft.operators.Analytics.seasonalDowProfileFromDaily(
+        seasonalDaily(s, dir), "event_type")
         .orderBy(col("event_type"), col("dow"))
     },
     // ---- seasonal outliers: each day's total scored against ITS OWN
     // day-of-week mean — "a quiet Sunday is normal, a quiet Tuesday is an
-    // incident" — top-3 deviants per type.
+    // incident" — top-3 deviants per type, from the same daily rollup.
     "seasonal_outliers" -> { (s, dir) =>
-      graft.operators.Analytics.seasonalOutliers(
-        events(s, dir), "event_type", "ts", "value", topK = 3)
+      graft.operators.Analytics.seasonalOutliersFromDaily(
+        seasonalDaily(s, dir), "event_type", topK = 3)
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy(col("event_type"), col("day"))
     },
@@ -1424,6 +1449,32 @@ object SparkEntry {
       }
       graft.operators.Sketches.rankSketchQuantiles(
         s.table("graft_rank_sketch"), Seq(250000L, 500000L, 750000L, 900000L))
+        .orderBy(col("phi_micro"))
+    },
+    // ---- compaction of the maintained sketch: after N appends the table
+    // holds N 'n' rows and N guard rows; the fold sums the counts into
+    // one row, keeps samples and guards, and swaps — quantiles identical
+    // before/after, and a post-compaction replay of an old batch id still
+    // no-ops (the guards survive). Shares the from-scratch oracle.
+    "rank_sketch_compact" -> { (s, dir) =>
+      Fixtures.cached(s"rank_sketch_compact|$dir") {
+        val ev = events(s, dir)
+        graft.operators.Sketches.materializeRankSketchTable(
+          ev.filter(col("event_id") % 3 === 0), "value", "event_id", 4, "graft_rank_cpt")
+        graft.operators.Sketches.appendToRankSketchTable(
+          ev.filter(col("event_id") % 3 === 1), "value", "event_id",
+          "graft_rank_cpt", batchId = "third-1")
+        graft.operators.Sketches.appendToRankSketchTable(
+          ev.filter(col("event_id") % 3 === 2), "value", "event_id",
+          "graft_rank_cpt", batchId = "third-2")
+        graft.operators.Sketches.compactRankSketchTable(s, "graft_rank_cpt")
+        graft.operators.Sketches.appendToRankSketchTable( // replay post-compact: no-op
+          ev.filter(col("event_id") % 3 === 2), "value", "event_id",
+          "graft_rank_cpt", batchId = "third-2")
+        java.lang.Boolean.TRUE
+      }
+      graft.operators.Sketches.rankSketchQuantiles(
+        s.table("graft_rank_cpt"), Seq(250000L, 500000L, 750000L, 900000L))
         .orderBy(col("phi_micro"))
     },
     // ---- HyperLogLog distinct sketch: distinct parts per return flag
@@ -3372,6 +3423,44 @@ object SparkEntry {
         phrase = Seq("spark", "merge"), topK = 20)
         .withColumnRenamed("id", "doc_id")
     },
+    // ---- postings compaction: three insertInto generations folded back
+    // into one file-per-bucket layout by the generic catalog-spec-
+    // preserving rewrite — queries identical before/after (shares the
+    // fresh-index oracle), and the bucketed-join layout survives.
+    "phrase_search_compacted" -> { (s, dir) =>
+      val docs = Dedup.ensureParallelism(t(s, dir, "documents"))
+      Fixtures.cached(s"phrase_index_cpt|$dir") {
+        Corpus.materializePhraseIndex(docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", table = "graft_phrase_cpt", numBuckets = 8)
+        Corpus.appendToPhraseIndex(docs.filter(col("doc_id") % 3 === 1),
+          "doc_id", "text", table = "graft_phrase_cpt")
+        Corpus.appendToPhraseIndex(docs.filter(col("doc_id") % 3 === 2),
+          "doc_id", "text", table = "graft_phrase_cpt")
+        graft.operators.Bucketing.compactTable(s, "graft_phrase_cpt")
+        java.lang.Boolean.TRUE
+      }
+      Corpus.phraseSearch(s, "graft_phrase_cpt",
+        phrase = Seq("spark", "merge"), topK = 20)
+        .withColumnRenamed("id", "doc_id")
+    },
+    // ---- same fold for the BM25 postings + a stats rewrite from the
+    // compacted postings; scores stay the scan-path scores.
+    "bm25_search_compacted" -> { (s, dir) =>
+      val docs = Dedup.ensureParallelism(t(s, dir, "documents"))
+      Fixtures.cached(s"bm25_index_cpt|$dir") {
+        Corpus.materializeBm25Index(docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", table = "graft_bm25_cpt", numBuckets = 8)
+        Corpus.appendToBm25Index(docs.filter(col("doc_id") % 3 === 1),
+          "doc_id", "text", table = "graft_bm25_cpt")
+        Corpus.appendToBm25Index(docs.filter(col("doc_id") % 3 === 2),
+          "doc_id", "text", table = "graft_bm25_cpt")
+        graft.operators.Bucketing.compactTable(s, "graft_bm25_cpt")
+        java.lang.Boolean.TRUE
+      }
+      Corpus.bm25SearchFromIndex(s, "graft_bm25_cpt",
+        terms = Seq("customer", "spark", "merge"), topK = 15)
+        .withColumnRenamed("id", "doc_id")
+    },
 
     // ---- generic top-k per key via the two-level rank (hot keys cannot
     // serialize one task — stage 1 bounds every (key, partition) bucket
@@ -5314,6 +5403,22 @@ object SparkEntry {
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
       |FROM m GROUP BY 1 ORDER BY n_matches DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Shared by seasonality_dow / seasonal_outliers: the (key, day)
+    * micro-grid daily rollup, materialized ONCE per sf dir as a managed
+    * table so both entries derive from a single events scan — the
+    * maintained-rollup shape a real pipeline would keep (the scan
+    * dominates both operators at scale; the rollup is day-grain). */
+  private def seasonalDaily(s: SparkSession, dir: String): DataFrame = {
+    Fixtures.cached(s"seasonal_daily|$dir") {
+      graft.operators.Bucketing.materializePlain(
+        graft.operators.Analytics.dailyMicroTotals(
+          events(s, dir), "event_type", "ts", "value"),
+        "graft_seasonal_daily")
+      java.lang.Boolean.TRUE
+    }
+    s.table("graft_seasonal_daily")
+  }
+
   /** Shared by pivot_yearly_revenue / unpivot_yearly_revenue: order
     * revenue per (nation, 1996–1999) pivoted to one column per year. */
   private def pivotedRevenue(s: SparkSession, dir: String): DataFrame = {
@@ -5776,6 +5881,21 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN y = 1997 THEN tp END) AS DOUBLE) AS y1997,
         |  CAST(sum(CASE WHEN y = 1998 THEN tp END) AS DOUBLE) AS y1998,
         |  CAST(sum(CASE WHEN y = 1999 THEN tp END) AS DOUBLE) AS y1999
+        |FROM b GROUP BY nation ORDER BY nation""".stripMargin,
+    // micro pivot: identical floor-to-cents spelling on both engines —
+    // integer sums, so any engine reproduces the cells bit-for-bit.
+    "pivot_yearly_revenue_micro" ->
+      """WITH b AS (SELECT n_name AS nation, year(o_orderdate) AS y,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders
+        |             JOIN customer ON o_custkey = c_custkey
+        |             JOIN nation ON c_nationkey = n_nationkey
+        |           WHERE year(o_orderdate) BETWEEN 1996 AND 1999)
+        |SELECT nation,
+        |  sum(CASE WHEN y = 1996 THEN cents END) / 100.0 AS y1996,
+        |  sum(CASE WHEN y = 1997 THEN cents END) / 100.0 AS y1997,
+        |  sum(CASE WHEN y = 1998 THEN cents END) / 100.0 AS y1998,
+        |  sum(CASE WHEN y = 1999 THEN cents END) / 100.0 AS y1999
         |FROM b GROUP BY nation ORDER BY nation""".stripMargin,
     // unpivot: pivot∘unpivot round-trips to the plain rollup.
     "unpivot_yearly_revenue" ->
@@ -6684,6 +6804,7 @@ object SparkEntry {
     "rank_sketch_quantiles" -> rankSketchOracle,
     "rank_sketch_merge" -> rankSketchOracle, // re-filter merge ≡ fresh sketch
     "rank_sketch_append" -> rankSketchOracle, // maintained table ≡ fresh sketch
+    "rank_sketch_compact" -> rankSketchOracle, // folded table ≡ fresh sketch
     "rank_sketch_by_key" ->
       """WITH f AS (SELECT event_type AS key, value, CAST(event_id AS VARCHAR) AS tie
         |           FROM events
@@ -7723,8 +7844,10 @@ object SparkEntry {
     "bm25_search" -> bm25Oracle,
     "phrase_search" -> phraseOracle,
     "phrase_search_appended" -> phraseOracle, // appended index ≡ fresh index
+    "phrase_search_compacted" -> phraseOracle, // compacted index ≡ fresh index
     "bm25_search_indexed" -> bm25Oracle,
     "bm25_search_appended" -> bm25Oracle, // appended index ≡ scan path
+    "bm25_search_compacted" -> bm25Oracle, // compacted index ≡ scan path
     // Expectations: each rule is one UNION ALL branch with identical
     // violation semantics (unique surplus = total − distinct).
     "expectations" ->

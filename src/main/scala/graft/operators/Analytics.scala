@@ -1135,8 +1135,16 @@ object Analytics {
       keyCol: String,
       tsCol: String,
       valueCol: String
+  ): DataFrame =
+    seasonalDowProfileFromDaily(
+      dailyMicroTotals(events, keyCol, tsCol, valueCol), keyCol)
+
+  /** [[seasonalDowProfile]] over an already-built [[dailyMicroTotals]]
+    * frame (columns `keyCol, day, __y, dow`) — the shared-scan form. */
+  def seasonalDowProfileFromDaily(
+      daily: DataFrame,
+      keyCol: String
   ): DataFrame = {
-    val daily = dailyMicroTotals(events, keyCol, tsCol, valueCol)
     val overall = daily.groupBy(col(keyCol))
       .agg(sum(col("__y")).as("__tot"), count(lit(1)).as("__nd"))
       .select(col(keyCol), expr("__tot DIV __nd").as("__omean"))
@@ -1169,9 +1177,18 @@ object Analytics {
       tsCol: String,
       valueCol: String,
       topK: Int
+  ): DataFrame =
+    seasonalOutliersFromDaily(
+      dailyMicroTotals(events, keyCol, tsCol, valueCol), keyCol, topK)
+
+  /** [[seasonalOutliers]] over an already-built [[dailyMicroTotals]]
+    * frame — the shared-scan form. */
+  def seasonalOutliersFromDaily(
+      daily: DataFrame,
+      keyCol: String,
+      topK: Int
   ): DataFrame = {
     require(topK >= 1, "topK must be at least 1")
-    val daily = dailyMicroTotals(events, keyCol, tsCol, valueCol)
     val prof = daily.groupBy(col(keyCol), col("dow"))
       .agg(count(lit(1)).as("__nd"), sum(col("__y")).as("__t"))
       .select(col(keyCol), col("dow"), expr("__t DIV __nd").as("expected_micro"))
@@ -1246,7 +1263,18 @@ object Analytics {
   /** Shared (key, day, dow) micro-total pre-aggregate for the seasonal
     * operators: non-negative values only (floor/truncate parity), dow =
     * epoch-days mod 7. */
-  private def dailyMicroTotals(
+  /**
+   * The `(key, day)` micro-grid pre-aggregate both seasonality operators
+   * derive from: daily value totals on the 1e-6 grid plus the engine-
+   * neutral epoch-day-mod-7 dow. Public so a pipeline can materialize it
+   * ONCE (a maintained daily rollup) and feed both
+   * [[seasonalDowProfileFromDaily]] and [[seasonalOutliersFromDaily]] —
+   * at 100 TB the events scan dominates both operators, and the two
+   * `FromDaily` forms share it instead of paying it twice. Output is
+   * day-grain (keys × days rows), so the materialized form is tiny
+   * relative to its input and cheap to maintain incrementally.
+   */
+  def dailyMicroTotals(
       events: DataFrame,
       keyCol: String,
       tsCol: String,

@@ -139,6 +139,74 @@ object Bucketing {
       table)
   }
 
+  /**
+   * Generic fold for the maintained-table families: rewrite a managed
+   * table in place, consolidating the per-append file generations that
+   * `insertInto` ticks accumulate (BM25/phrase postings, MinHash bands,
+   * LSH/IVF/PQ corpora, changelog ledgers). Content is untouched — reads
+   * before and after are identical — but N-appends' worth of small files
+   * become one generation, restoring scan efficiency and (for bucketed
+   * tables) one file per bucket. The bucket/sort spec is read from the
+   * catalog and preserved, so storage-partitioned join plans survive
+   * compaction.
+   *
+   * Swap discipline: the folded copy stages into `{table}_compact_tmp`
+   * (streamed executor-side — the table is never collected or
+   * checkpointed, so the fold works at any table size), then DROP +
+   * RENAME. A crash between the DROP and the RENAME is recovered on the
+   * next call (the interrupted swap completes first), the same recovery
+   * contract as the streaming rollup's swap.
+   */
+  def compactTable(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    require(!table.contains("."),
+      s"compactTable takes an unqualified table name, got '$table'")
+    val tmp = s"${table}_compact_tmp"
+    // complete an interrupted swap from a prior crash before anything else
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp))
+      renameInto(spark, tmp, table)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val df = spark.table(table)
+    meta.bucketSpec match {
+      case Some(bs) =>
+        // Route each whole bucket to one writer task so the fold leaves
+        // exactly one file per bucket. NOT repartition(n, bucketCols):
+        // the bucketed scan advertises hashpartitioning(bucketCols, n),
+        // EnsureRequirements elides that shuffle as redundant, and then
+        // DisableUnnecessaryBucketedScan (seeing no exchange above the
+        // scan) degrades the read to plain file-packed splits — net
+        // effect: NO shuffle, mixed buckets per task, tasks×buckets
+        // files. Shuffling on pmod(hash(bucketCols), n) — the bucket id
+        // itself — is a different expression, so the exchange survives;
+        // each bucket id maps to one task and the bucketed write opens
+        // one file per bucket id it receives.
+        val bucketId = pmod(
+          hash(bs.bucketColumnNames.map(col): _*), lit(bs.numBuckets))
+        materializeBucketedBy(
+          df.repartition(bs.numBuckets, bucketId),
+          tmp, bs.bucketColumnNames, bs.numBuckets, bs.sortColumnNames)
+      case None =>
+        materializePlain(df, tmp)
+    }
+    spark.sql(s"DROP TABLE `$table`")
+    renameInto(spark, tmp, table)
+  }
+
+  /** RENAME `from` onto the (dropped) managed location of `to`, clearing
+    * any stale warehouse directory first — rename moves the managed
+    * location, which must not already exist. */
+  private def renameInto(
+      spark: org.apache.spark.sql.SparkSession,
+      from: String,
+      to: String
+  ): Unit = {
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new org.apache.hadoop.fs.Path(wh, to.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    spark.sql(s"ALTER TABLE `$from` RENAME TO `$to`")
+  }
+
   /** Unbucketed sibling of [[materializeBucketed]] — same drop + stale-
     * location cleanup — for the small side tables an index keeps beside its
     * bucketed corpus (cell statistics, root remaps). */

@@ -823,4 +823,30 @@ object Sketches {
       .select(spark.table(table).columns.map(col).toSeq: _*)
       .write.insertInto(table)
   }
+
+  /** Fold an [[appendToRankSketchTable]]-maintained table's accumulated
+    * per-batch rows: the per-batch exact-count ('n') rows sum into ONE,
+    * the level row stays single, samples pass through, and the 'b' guard
+    * rows are KEPT (replay detection of already-ingested batch ids must
+    * survive compaction). [[rankSketchQuantiles]] is identical before and
+    * after — it sums 'n' rows anyway — and the rewrite rides the standing
+    * drop-and-rewrite swap on sketch-sized (sample + guards) state. */
+  def compactRankSketchTable(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String
+  ): Unit = {
+    val t = spark.table(table)
+    val lvl = rankSketchLevel(t)
+    val folded = t.filter(col("kind") === "s" || col("kind") === "b")
+      .unionByName(t.filter(col("kind") === "n")
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n"))
+        .select(lit("n").as("kind"), lit(null).cast("double").as("value"),
+          lit(null).cast("string").as("tie"), col("n")))
+      .unionByName(spark.range(1)
+        .select(lit("l").as("kind"), lit(null).cast("double").as("value"),
+          lit(null).cast("string").as("tie"), lit(lvl.toLong).as("n")))
+      .select(t.columns.map(col).toSeq: _*)
+      .localCheckpoint() // sketch-sized; materialize before the swap
+    Bucketing.materializePlain(folded, table)
+  }
 }

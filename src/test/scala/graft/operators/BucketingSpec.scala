@@ -63,6 +63,50 @@ class BucketingSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("compactTable: folds insertInto generations, preserves bucket spec and content") {
+    try {
+      val base = spark.range(100).select(
+        (col("id") % 10).as("k"), col("id").as("v"))
+      Bucketing.materializeBucketed(base, "graft_cpt_spec", "k", 4, sortCols = Seq("k"))
+      // three append generations
+      for (g <- 1 to 3)
+        spark.range(100L * g, 100L * g + 50)
+          .select((col("id") % 10).as("k"), col("id").as("v"))
+          .write.insertInto("graft_cpt_spec")
+      val before = spark.table("graft_cpt_spec").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val filesBefore = spark.table("graft_cpt_spec").inputFiles.length
+      Bucketing.compactTable(spark, "graft_cpt_spec")
+      val after = spark.table("graft_cpt_spec").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after === before)
+      val filesAfter = spark.table("graft_cpt_spec").inputFiles.length
+      assert(filesAfter < filesBefore && filesAfter <= 4,
+        s"$filesBefore -> $filesAfter")
+      // bucket spec survived the swap
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("graft_cpt_spec"))
+      assert(meta.bucketSpec.exists(bs =>
+        bs.numBuckets === 4 && bs.bucketColumnNames === Seq("k")))
+      // a self-join on the bucket key still runs storage-partitioned
+      val t1 = spark.table("graft_cpt_spec")
+      val plan = t1.groupBy("k").count()
+        .join(t1.groupBy("k").agg(sum("v")), Seq("k"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(k"), plan)
+      // crash recovery: emulate a torn swap (main dropped, tmp staged)
+      val rows = spark.table("graft_cpt_spec")
+      Bucketing.materializePlain(rows.localCheckpoint(), "graft_cpt_spec_compact_tmp")
+      spark.sql("DROP TABLE graft_cpt_spec")
+      Bucketing.compactTable(spark, "graft_cpt_spec") // completes swap, then folds
+      assert(spark.table("graft_cpt_spec").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet === before)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_cpt_spec")
+      spark.sql("DROP TABLE IF EXISTS graft_cpt_spec_compact_tmp")
+    }
+  }
+
   test("zorderWrite round-trips the rows through a range-partitioned table") {
     val grid = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
       .toDF("x", "y")

@@ -173,6 +173,33 @@ class SketchesSpec extends SparkSpec {
     assert(out(("a", "c"))._2 <= 15L * 1000000L)
   }
 
+  test("compactRankSketchTable: one 'n' row after fold, guards survive, quantiles unchanged") {
+    try {
+      val mk = (r: Range) => r.map(i => (i.toDouble, i.toLong)).toDF("v", "id")
+      Sketches.materializeRankSketchTable(mk(0 until 400), "v", "id", 2, "spec_rank_cpt")
+      Sketches.appendToRankSketchTable(mk(400 until 800), "v", "id", "spec_rank_cpt", "b1")
+      Sketches.appendToRankSketchTable(mk(800 until 1200), "v", "id", "spec_rank_cpt", "b2")
+      val phis = Seq(250000L, 500000L, 900000L)
+      def q() = Sketches.rankSketchQuantiles(spark.table("spec_rank_cpt"), phis)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val before = q()
+      assert(spark.table("spec_rank_cpt").filter(col("kind") === "n").count() === 3L)
+      Sketches.compactRankSketchTable(spark, "spec_rank_cpt")
+      assert(q() === before)
+      assert(spark.table("spec_rank_cpt").filter(col("kind") === "n").count() === 1L)
+      assert(spark.table("spec_rank_cpt").filter(col("kind") === "b").count() === 2L)
+      // post-compaction replay of an already-ingested batch id still no-ops
+      val rows = spark.table("spec_rank_cpt").count()
+      Sketches.appendToRankSketchTable(mk(800 until 1200), "v", "id", "spec_rank_cpt", "b2")
+      assert(spark.table("spec_rank_cpt").count() === rows && q() === before)
+      // and equals a from-scratch sketch of the full history
+      val fresh = Sketches.rankSketchQuantiles(
+        Sketches.rankSketch(mk(0 until 1200), "v", "id", 2), phis)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(before === fresh)
+    } finally spark.sql("DROP TABLE IF EXISTS spec_rank_cpt")
+  }
+
   test("bloomSketch/bloomProbe: no false negatives; absent probes mostly definite-absent") {
     val members = (1 to 500).map(i => ("g", s"m$i"))
     val sk = Sketches.bloomSketch(members.toDF("k", "v"), Seq("k"), "v")
