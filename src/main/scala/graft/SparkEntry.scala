@@ -476,18 +476,16 @@ object SparkEntry {
     // aggregation one conditional hash agg; exact DECIMAL sums cast to
     // double once.
     "pivot_yearly_revenue" -> { (s, dir) =>
-      pivotedRevenue(s, dir)
-        .withColumnRenamed("1996", "y1996").withColumnRenamed("1997", "y1997")
-        .withColumnRenamed("1998", "y1998").withColumnRenamed("1999", "y1999")
-        .orderBy(col("nation"))
+      pivotedRevenue(s, dir).orderBy(col("nation"))
     },
-    // ---- the same pivot on the BIGINT cent grid — the scale path for
-    // the decimal-aggregation floor: Spark's decimal sum buffers are
-    // non-vectorized, so pre-scaling money onto an integer grid (the
-    // repo's standing micro-grid doctrine) swaps them for plain long
-    // sums inside whole-stage codegen. floor() spelling matches the
-    // oracle exactly (double→long casts round differently across
-    // engines). Cent totals at 100 TB stay far under 2^63.
+    // ---- the same pivot on the BIGINT cent grid, through Spark's real
+    // groupBy().pivot() operator (explicit value list). The round-13
+    // A/B showed pivot's ImperativeAggregate lowering (`pivotfirst`) is
+    // only erratic on the DECIMAL path; on long input it is stable —
+    // so this entry keeps the genuine pivot operator while the decimal
+    // headline entry uses the codegen'd case-when spelling. floor()
+    // matches the oracle exactly (double→long casts round differently
+    // across engines); cent totals at 100 TB stay far under 2^63.
     "pivot_yearly_revenue_micro" -> { (s, dir) =>
       val cust = broadcast(t(s, dir, "customer")
         .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
@@ -511,8 +509,6 @@ object SparkEntry {
     // computes directly.
     "unpivot_yearly_revenue" -> { (s, dir) =>
       pivotedRevenue(s, dir)
-        .withColumnRenamed("1996", "y1996").withColumnRenamed("1997", "y1997")
-        .withColumnRenamed("1998", "y1998").withColumnRenamed("1999", "y1999")
         .unpivot(
           Array(col("nation")),
           Array(col("y1996"), col("y1997"), col("y1998"), col("y1999")),
@@ -5420,19 +5416,29 @@ object SparkEntry {
   }
 
   /** Shared by pivot_yearly_revenue / unpivot_yearly_revenue: order
-    * revenue per (nation, 1996–1999) pivoted to one column per year. */
+    * revenue per (nation, 1996–1999) pivoted to one column per year.
+    *
+    * Spelled as CONDITIONAL AGGREGATION (`sum(CASE WHEN year=y)`), not
+    * `groupBy().pivot()`: Spark lowers pivot to a two-level plan whose
+    * outer `pivotfirst` is an ImperativeAggregate — no whole-stage
+    * codegen — and on the decimal path that plan measured 1.7–22 s at
+    * sf10 across windows (erratic under heap pressure) vs a stable
+    * 1.3 s for this codegen'd case-when form, same results (round-13
+    * same-JVM A/B; see BASELINE.md). The case-when form IS what pivot
+    * means with an explicit value list; exact decimal sums are kept. */
   private def pivotedRevenue(s: SparkSession, dir: String): DataFrame = {
     val cust = broadcast(t(s, dir, "customer")
       .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_name").as("nation")))
+    val cells = Seq(1996, 1997, 1998, 1999).map(y =>
+      sum(when(col("o_year") === y, col("__tp"))).cast("double").as(s"y$y"))
     t(s, dir, "orders")
       .select(col("o_custkey"), year(col("o_orderdate")).as("o_year"),
         col("o_totalprice").cast("decimal(18,2)").as("__tp"))
       .filter(col("o_year").between(1996, 1999))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("nation"))
-      .pivot("o_year", Seq(1996, 1997, 1998, 1999))
-      .agg(sum(col("__tp")).cast("double"))
+      .agg(cells.head, cells.tail: _*)
   }
 
   /** Shared SCD2 CTEs: the scd2Ledger ticks (minus the -C halves, which
