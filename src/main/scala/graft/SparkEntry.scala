@@ -1059,6 +1059,32 @@ object SparkEntry {
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy(col("event_type"), col("day"))
     },
+    // ---- 2-D skyline (pareto frontier, Börzsönyi et al. ICDE 2001):
+    // per-brand parts minimizing (size, retailprice). One keyed agg to
+    // per-size minima + a per-group EXCLUSIVE prefix-min — never the
+    // block-nested-loops dominance join.
+    "skyline_parts" -> { (s, dir) =>
+      graft.operators.Skyline.skyline2d(
+        t(s, dir, "part"), "p_size", "p_retailprice", Seq("p_brand"))
+        .select(col("p_brand"), col("p_partkey"),
+          col("p_size").cast("long").as("p_size"), col("p_retailprice"))
+        .orderBy(col("p_brand"), col("p_size"), col("p_partkey"))
+    },
+    // ---- global frontier of (order day, total price) — "the cheapest
+    // order seen by each date" staircase. Ungrouped, so the exclusive
+    // prefix-min runs range-partitioned (per-partition windows +
+    // cumulative partition minima; no single-partition window over the
+    // distinct-day frame).
+    "skyline_orders" -> { (s, dir) =>
+      graft.operators.Skyline.skyline2d(
+        t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+              .cast("long").as("oday"),
+            col("o_totalprice")),
+        "oday", "o_totalprice")
+        .orderBy(col("oday"), col("o_orderkey"))
+    },
     // ---- weekly retention cohorts: distinct (user, week) is the only
     // entity-keyed shuffle; the cohort matrix is a plain count, never a
     // count(distinct).
@@ -6326,6 +6352,33 @@ object SparkEntry {
         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, dow, daily_micro,
         |       expected_micro, ratio_micro
         |FROM r WHERE rn <= 3 ORDER BY event_type, day""".stripMargin,
+    // Skyline: from-scratch NOT-EXISTS dominance, applied over the
+    // per-x minima (the frontier-membership lemma — only a size's
+    // cheapest rows can survive — keeps the quadratic check on the
+    // bounded distinct-x frame). Comparisons only, no float arithmetic.
+    "skyline_parts" ->
+      """WITH g AS (SELECT p_brand, p_size, min(p_retailprice) AS gy
+        |           FROM part GROUP BY 1, 2),
+        |sky AS (SELECT * FROM g p WHERE NOT EXISTS (
+        |  SELECT 1 FROM g q WHERE q.p_brand = p.p_brand
+        |    AND q.p_size <= p.p_size AND q.gy <= p.gy
+        |    AND (q.p_size < p.p_size OR q.gy < p.gy)))
+        |SELECT p.p_brand, p.p_partkey, CAST(p.p_size AS BIGINT) AS p_size,
+        |       p.p_retailprice
+        |FROM part p JOIN sky s ON p.p_brand = s.p_brand
+        |  AND p.p_size = s.p_size AND p.p_retailprice = s.gy
+        |ORDER BY 1, 3, 2""".stripMargin,
+    "skyline_orders" ->
+      """WITH b AS (SELECT o_orderkey,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS oday,
+        |    o_totalprice FROM orders),
+        |g AS (SELECT oday, min(o_totalprice) AS gy FROM b GROUP BY 1),
+        |sky AS (SELECT * FROM g p WHERE NOT EXISTS (
+        |  SELECT 1 FROM g q WHERE q.oday <= p.oday AND q.gy <= p.gy
+        |    AND (q.oday < p.oday OR q.gy < p.gy)))
+        |SELECT b.o_orderkey, b.oday, b.o_totalprice
+        |FROM b JOIN sky s ON b.oday = s.oday AND b.o_totalprice = s.gy
+        |ORDER BY b.oday, b.o_orderkey""".stripMargin,
     // Gap-fill: generate_series calendar per user, LOCF via IGNORE NULLS.
     "gap_fill_daily" ->
       """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,

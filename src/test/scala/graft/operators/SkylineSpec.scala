@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SkylineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(rows: Seq[(String, Long, Double)]): Set[(String, Long, Double)] =
+    rows.filter { p =>
+      !rows.exists(q =>
+        q._1 == p._1 && q._2 <= p._2 && q._3 <= p._3 &&
+          (q._2 < p._2 || q._3 < p._3))
+    }.toSet
+
+  test("skyline2d grouped matches brute-force dominance, keeps exact ties") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map { i =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(20).toLong, rnd.nextInt(30).toDouble)
+    } ++ Seq(("g0", 5L, 5.0), ("g0", 5L, 5.0)) // exact duplicate pair
+    val df = rows.toDF("g", "x", "y")
+    val out = Skyline.skyline2d(df, "x", "y", Seq("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val expect = brute(rows)
+    assert(out.toSet === expect)
+    // duplicates both survive if on the frontier
+    if (expect.contains(("g0", 5L, 5.0)))
+      assert(out.count(_ == (("g0", 5L, 5.0))) === 2)
+  }
+
+  test("skyline2d ungrouped uses the range-partitioned prefix (no global row window over data)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 3000).map { i =>
+      ("all", rnd.nextInt(500).toLong, rnd.nextInt(500).toDouble)
+    }
+    val df = rows.toDF("g", "x", "y").drop("g")
+    val out = Skyline.skyline2d(df, "x", "y")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val expect = brute(rows).map(t => (t._2, t._3))
+    assert(out === expect)
+    // frontier is a staircase: strictly decreasing y over increasing x
+    val sorted = out.toSeq.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq((x1, y1), (x2, y2)) => assert(x1 < x2 && y1 > y2)
+      case _                       =>
+    }
+  }
+
+  test("prefixMinGlobal equals the single-window spelling") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 2000).map(i => (i.toLong * 7, rnd.nextInt(1000).toLong))
+    val df = rows.toDF("o", "v")
+    val got = Skyline.prefixMinGlobal(df, col("o"), "v", "pm")
+      .collect().map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    val sorted = rows.sortBy(_._1)
+    var acc = Option.empty[Long]
+    sorted.foreach { case (o, v) =>
+      assert(got(o) === acc, s"at o=$o")
+      acc = Some(acc.fold(v)(math.min(_, v)))
+    }
+  }
+}
