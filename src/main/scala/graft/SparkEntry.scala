@@ -2038,6 +2038,40 @@ object SparkEntry {
       Writer.assignOffsets(li, Seq(col("l_orderkey").asc, col("l_linenumber").asc))
     },
 
+    // ---- incrementally-maintained equi-join view (insert-only IVM,
+    // Blakeley et al. 1986): the denormalized orders⋈lineitem fact a
+    // pipeline keeps instead of re-joining per query. Three insert
+    // generations split on DIFFERENT residues per side (so both
+    // ΔA⋈B and A⋈ΔB cross terms fire), one batch-stamped commit per
+    // tick, tick 2 replayed — must equal the from-scratch join.
+    "join_view_append" -> { (s, dir) =>
+      import graft.operators.JoinView
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"),
+          col("o_totalprice"))
+      def ap(r: Int) = li.filter(col("l_partkey") % 3 === r)
+      def bp(r: Int) = ord.filter(col("l_orderkey") % 3 === r)
+      Fixtures.cached(s"join_view|$dir") {
+        JoinView.materializeJoinView(ap(0), bp(0), Seq("l_orderkey"),
+          "graft_join_view")
+        JoinView.appendToJoinView("graft_join_view", ap(0), bp(0),
+          ap(1), bp(1), Seq("l_orderkey"), "t1")
+        val a01 = ap(0).unionByName(ap(1))
+        val b01 = bp(0).unionByName(bp(1))
+        JoinView.appendToJoinView("graft_join_view", a01, b01,
+          ap(2), bp(2), Seq("l_orderkey"), "t2")
+        JoinView.appendToJoinView("graft_join_view", a01, b01, // replay: no-op
+          ap(2), bp(2), Seq("l_orderkey"), "t2")
+        java.lang.Boolean.TRUE
+      }
+      JoinView.readJoinView(s, "graft_join_view")
+        .orderBy(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("o_custkey"))
+    },
+
     // ---- incremental materialized rollup over a snapshot-CDC dataset:
     // two ingest ticks (tick 2 adds the %3==0 keys AND rewrites the
     // priority of %7==0 keys, so the changelog carries +A, -C and +C);
@@ -7961,6 +7995,13 @@ object SparkEntry {
         |      FROM orders)
         |GROUP BY CUBE (o_orderpriority, o_orderstatus)
         |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    // Maintained join view ≡ the from-scratch join of the final sources
+    // (delta joins are exact set algebra, no arithmetic at all).
+    "join_view_append" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice,
+        |       o_custkey, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
     // Incrementally-maintained rollup ≡ fresh GROUP BY over the final
     // state (op-weighted decimal partials are order-free, so the
     // maintained value is bit-equal, not just approximately right).
