@@ -1768,6 +1768,25 @@ object SparkEntry {
         .select(col("id1").as("id_a"), col("id2").as("id_b"))
       graft.operators.Dedup.connectedComponents(edges).orderBy(col("id"))
     },
+    // ---- synchronous label propagation communities over the same
+    // proximity graph, 2 rounds (fixed-round synchronous = the
+    // deterministic spelling; async LPA is visit-order-dependent). Per
+    // round: one edges⨝labels join + an argmax-per-node AGGREGATE
+    // (max(struct(cnt, −label))), never a window.
+    "graph_label_prop" -> { (s, dir) =>
+      val pts = t(s, dir, "customer")
+        .filter(col("c_custkey") % 10 === 0)
+        .select(
+          col("c_custkey").as("id"),
+          (graft.functions.Text.portableHash31(
+            concat(lit("gx:"), col("c_custkey").cast("string"))) % 1000000L).as("x"),
+          (graft.functions.Text.portableHash31(
+            concat(lit("gy:"), col("c_custkey").cast("string"))) % 1000000L).as("y"))
+      val edges = graft.operators.Geo.radiusJoin(pts, "id", "x", "y", radius = 20000L)
+        .select(col("id1").as("id_a"), col("id2").as("id_b"))
+      graft.operators.Graph.labelPropagation(edges, "id_a", "id_b", rounds = 2)
+        .orderBy(col("id"))
+    },
     // ---- multi-source BFS over the same sparse proximity graph: hop
     // distance from the %100 seed customers, capped at 6 hops (a SEMANTIC
     // bound — the frontier loop early-exits when a layer is empty, so the
@@ -6626,6 +6645,30 @@ object SparkEntry {
         |  UNION
         |  SELECT r.a, x.b FROM reach r JOIN edge x ON r.b = x.a)
         |SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a ORDER BY id""".stripMargin,
+    // LPA: two synchronous rounds as chained CTEs; argmax per node by
+    // (count DESC, label ASC) row_number — the definitional spelling.
+    "graph_label_prop" ->
+      """WITH pts AS (SELECT c_custkey AS id,
+        |  (('0x' || substring(md5('gx:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+        |     % 2147483647) % 1000000 AS x,
+        |  (('0x' || substring(md5('gy:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+        |     % 2147483647) % 1000000 AS y
+        |             FROM customer WHERE c_custkey % 10 = 0),
+        |e AS (SELECT a.id AS id_a, b.id AS id_b FROM pts a JOIN pts b ON a.id < b.id
+        |      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 400000000),
+        |edge AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+        |l0 AS (SELECT DISTINCT a AS node, a AS label FROM edge),
+        |r1 AS (SELECT e.a AS node, l.label, count(*) AS c
+        |       FROM edge e JOIN l0 l ON e.b = l.node GROUP BY 1, 2),
+        |l1 AS (SELECT node, label FROM (SELECT node, label,
+        |         row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+        |       FROM r1) WHERE rn = 1),
+        |r2 AS (SELECT e.a AS node, l.label, count(*) AS c
+        |       FROM edge e JOIN l1 l ON e.b = l.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, label FROM (SELECT node, label,
+        |         row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+        |       FROM r2) WHERE rn = 1)
+        |SELECT node AS id, label FROM l2 ORDER BY id""".stripMargin,
     // BFS: recursive CTE bounded at 6 hops (UNION dedupes, the depth
     // guard terminates it); dist = min hop per reached node.
     "graph_bfs" ->

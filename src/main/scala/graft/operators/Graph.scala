@@ -338,6 +338,58 @@ object Graph {
   }
 
   /**
+   * Synchronous label propagation communities (Raghavan, Albert & Kumara
+   * 2007): seed every node with its own id, then for `rounds` rounds
+   * every node adopts the most frequent label among its neighbors —
+   * ties broken by the SMALLEST label, and all nodes update together
+   * from the previous round's labels, so the result is deterministic
+   * (asynchronous LPA is order-dependent; the synchronous fixed-round
+   * form is the reproducible spelling, and `rounds` bounds the known
+   * 2-cycle oscillation of synchronous updates on bipartite-ish
+   * structures).
+   *
+   * Returns `(id, label)` for every node with at least one edge.
+   *
+   * Scale shape: per round, one edges⨝labels hash join on slim
+   * (long, long) pairs + one (node, label)-keyed count (map-side
+   * combined) + one argmax-per-node aggregate via `max(struct(cnt,
+   * −label))` — a single-pass agg, not a window. Labels localCheckpoint
+   * per round so lineage stays flat; nothing but the round counter lives
+   * on the driver.
+   */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int
+  ): DataFrame = {
+    require(rounds >= 1, "rounds must be at least 1")
+    val sym = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .unionByName(edges.select(
+        col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.select(col("node").as("b"), col("label")), Seq("b"))
+        .groupBy(col("a"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        // argmax by (count desc, label asc): max over (count, −label) —
+        // labels are node ids ≥ 0, so the negation cannot overflow
+        .groupBy(col("a").as("node"))
+        .agg(max(struct(col("__c"), (-col("label")).as("__nl"))).as("__m"))
+        .select(col("node"), (-col("__m.__nl")).as("label"))
+        .localCheckpoint()
+    }
+    labels.select(col("node").as("id"), col("label"))
+  }
+
+  /**
    * Transition edge list from an event stream: one weighted edge per
    * observed consecutive (prev state → state) pair within an entity,
    * ordered by (ts, tie). The event-sized work is ONE slim per-entity

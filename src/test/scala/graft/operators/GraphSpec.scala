@@ -139,4 +139,36 @@ class GraphSpec extends SparkSpec {
       ("B", "A") -> 1L,
       ("A", "C") -> 1L)) // the tie resolved by event_id
   }
+  test("labelPropagation: matches a brute-force synchronous reference; cliques collapse") {
+    // brute-force synchronous LPA
+    def brute(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+      val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        .filter(p => p._1 != p._2).distinct
+      val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lab: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+      for (_ <- 1 to rounds) {
+        lab = adj.map { case (n, nbrs) =>
+          val freq = nbrs.groupBy(lab).map { case (l, xs) => (l, xs.size) }
+          n -> freq.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      lab
+    }
+    val rnd = new scala.util.Random(5)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2).distinct
+    for (rounds <- Seq(1, 2, 3)) {
+      val got = Graph.labelPropagation(
+        edges.toDF("s", "d"), "s", "d", rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === brute(edges, rounds), s"rounds=$rounds")
+    }
+    // two disjoint triangles: everyone adopts the clique minimum by round 2
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L), (12L, 10L))
+    val out = Graph.labelPropagation(tri.toDF("s", "d"), "s", "d", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(out(1L), out(2L), out(3L)).size === 1)
+    assert(Set(out(10L), out(11L), out(12L)).size === 1)
+    assert(out(1L) != out(10L))
+  }
 }
