@@ -3733,6 +3733,15 @@ object SparkEntry {
     "top_ngrams" -> { (s, dir) =>
       Corpus.topNgrams(t(s, dir, "documents"), "text", n = 2, k = 50)
     },
+    // ---- interpolated Kneser–Ney bigram LM (D = 0.75 on the exact 1e-6
+    // grid): the classical smoothed n-gram estimate, one corpus-sized
+    // (w1,w2) shuffle, everything else derived from the vocabulary-
+    // bounded bigram-type table. Top 100 by probability.
+    "kn_bigram_lm" -> { (s, dir) =>
+      Corpus.kneserNeyBigrams(t(s, dir, "documents"), "text")
+        .orderBy(col("p_micro").desc, col("w1"), col("w2"))
+        .limit(100)
+    },
 
     // ---- domain filtering: deterministic synthetic URLs (doc_id mod 7
     // picks the host in BOTH engines); suffix-blocklist drops hosts under
@@ -8313,6 +8322,26 @@ object SparkEntry {
         |c AS (SELECT unnest(grams) AS gram FROM g)
         |SELECT gram, CAST(count(*) AS BIGINT) AS gram_count FROM c
         |GROUP BY gram ORDER BY gram_count DESC, gram LIMIT 50""".stripMargin,
+    // Interpolated KN from scratch: same whitespace tokens as top_ngrams,
+    // all divisions integer // on micro-scaled numerators.
+    "kn_bigram_lm" ->
+      """WITH tok AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |g AS (SELECT [array_to_string(toks[i+1:i+2], ' ') for i in range(len(toks) - 1)] AS grams
+        |      FROM tok WHERE len(toks) >= 2),
+        |bg AS (SELECT string_split(unnest(grams), ' ') AS p FROM g),
+        |c12 AS (SELECT p[1] AS w1, p[2] AS w2, CAST(count(*) AS BIGINT) AS c12
+        |        FROM bg GROUP BY 1, 2),
+        |l AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1f
+        |      FROM c12 GROUP BY 1),
+        |ct AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM c12 GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM c12)
+        |SELECT w1, w2, c12,
+        |  greatest(c12 * 1000000 - 750000, 0) // c1
+        |  + (((750000 * n1f) // c1) * ((n1b * 1000000) // tot)) // 1000000 AS p_micro
+        |FROM c12 JOIN l USING (w1) JOIN ct USING (w2) CROSS JOIN tot
+        |ORDER BY p_micro DESC, w1, w2 LIMIT 100""".stripMargin,
     // Independent derivation: with hosts picked by doc_id mod 7, exactly
     // the wikipedia/blog/edu rows survive (blocked suffixes and the
     // unparseable empty host drop).

@@ -787,6 +787,53 @@ object Corpus {
   }
 
   /**
+   * Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+   * Chen & Goodman 1999's interpolated form) — the classical smoothed
+   * n-gram LM estimate, on the exact 1e-6 integer grid so any engine
+   * reproduces it bit-for-bit:
+   *
+   *   P(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+   *            + [D·N1+(w1·)/c(w1·)] · [N1+(·w2)/N1+(··)]
+   *
+   * with every division integer `DIV` on micro-scaled numerators and the
+   * discount `D` given in micro units (750000 = the standard 0.75).
+   * Tokens are the whitespace tokenization every corpus operator shares.
+   *
+   * Scale shape: ONE corpus-sized shuffle (the (w1,w2) bigram count);
+   * everything else — continuation counts, left totals, the distinct-
+   * type total — derives from the bigram-TYPE table, which is
+   * vocabulary²-bounded and in practice far smaller than the corpus. The
+   * type total joins in as a broadcast single row, never a driver value.
+   */
+  def kneserNeyBigrams(
+      docs: DataFrame,
+      textCol: String,
+      discountMicro: Long = 750000L
+  ): DataFrame = {
+    require(discountMicro >= 0L && discountMicro <= 1000000L,
+      "discountMicro must be within [0, 1e6] (D in [0, 1])")
+    val c12 = docs
+      .select(explode(Text.wordShingles(col(textCol), 2)).as("g"))
+      .select(split(col("g"), " ").as("p"))
+      .filter(size(col("p")) === 2) // sub-bigram docs emit a 1-token gram
+      .select(col("p").getItem(0).as("w1"), col("p").getItem(1).as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // feeds four derivations; count it once
+    val left = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val cont = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val total = c12.agg(count(lit(1)).as("tot"))
+    c12.join(left, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("__d", lit(discountMicro))
+      .select(col("w1"), col("w2"), col("c12"),
+        (expr("greatest(c12 * 1000000L - __d, 0L) DIV c1") +
+          expr("((__d * n1f) DIV c1) * ((n1b * 1000000L) DIV tot) DIV 1000000L"))
+          .as("p_micro"))
+  }
+
+  /**
    * URL canonicalization — the key-normalization step of URL-level crawl
    * dedup (the cheapest dedup tier: dedup on canonical URL BEFORE any
    * content hash touches the bytes): lowercase scheme+host (path case is

@@ -1380,4 +1380,20 @@ class CorpusSpec extends SparkSpec {
       vocab = 10, minCount = 2L, topK = 10).collect()
     assert(cut.map(r => (r.getString(0), r.getString(1))).toSet === Set(("x", "y")))
   }
+  test("kneserNeyBigrams: hand-computed interpolated KN on the micro grid") {
+    // corpus: "a b a b c" + "b a" -> c12 {(a,b):2,(b,a):2,(b,c):1},
+    // c1 {a:2,b:3}, N1+(w1.) {a:1,b:2}, N1+(.w2) all 1, total types 3
+    val docs = Seq((1L, "a b a b c"), (2L, "b a")).toDF("doc_id", "text")
+    val out = Corpus.kneserNeyBigrams(docs, "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val byPair = out
+    assert(byPair(("a", "b")) === ((2L, 749999L))) // 625000 + 124999
+    assert(byPair(("b", "a")) === ((2L, 583332L))) // 416666 + 166666
+    assert(byPair(("b", "c")) === ((1L, 249999L))) // 83333 + 166666
+    // one-token docs contribute nothing
+    val out2 = Corpus.kneserNeyBigrams(
+      Seq((1L, "a b a b c"), (2L, "b a"), (3L, "solo")).toDF("doc_id", "text"), "text")
+      .collect()
+    assert(out2.length === 3)
+  }
 }
