@@ -2622,6 +2622,27 @@ object SparkEntry {
 
     // ---- temporal as-of join (SURVEY §2.4, §7.4.5): each even event joined
     // with the latest %7 event of the same user at or before its timestamp.
+    // ---- binned interval-overlap join: per-user purchase windows that
+    // intersect error windows (1-5 min, deterministic from event_id).
+    // The naive lone-inequality spelling plans broadcast-nested-loop;
+    // the binning rewrite is a plain (user, cell) hash join with a
+    // residual, each pair emitted once in its canonical first-overlap
+    // cell — no distinct pass.
+    "interval_overlap_join" -> { (s, dir) =>
+      def win(typ: String, idc: String, sc: String, ec: String) =
+        events(s, dir).filter(col("event_type") === typ)
+          .select(col("user_id"), col("event_id").as(idc),
+            unix_millis(col("ts")).as(sc),
+            (unix_millis(col("ts")) + (col("event_id") % 5 + 1) * 600000L).as(ec))
+      graft.operators.Temporal.overlapJoin(
+        win("purchase", "p_id", "p_start", "p_end"),
+        "p_start", "p_end",
+        win("error", "e_id", "e_start", "e_end"),
+        "e_start", "e_end",
+        keys = Seq("user_id"), binWidth = 1800000L)
+        .select(col("user_id"), col("p_id"), col("e_id"))
+        .orderBy(col("user_id"), col("p_id"), col("e_id"))
+    },
     "asof_join" -> { (s, dir) =>
       val ev = events(s, dir)
       val left = ev
@@ -7482,6 +7503,19 @@ object SparkEntry {
         |  ]) AS best FROM tok)
         |SELECT doc_id, CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang
         |FROM scored ORDER BY doc_id""".stripMargin,
+    // Overlap join: the definitional inequality join (DuckDB plans its
+    // own IEJoin for it) — max(starts) < min(ends), half-open.
+    "interval_overlap_join" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id, epoch_ms(ts) AS ps,
+        |             epoch_ms(ts) + (event_id % 5 + 1) * 600000 AS pe
+        |           FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT user_id, event_id AS e_id, epoch_ms(ts) AS es,
+        |        epoch_ms(ts) + (event_id % 5 + 1) * 600000 AS ee
+        |      FROM events WHERE event_type = 'error')
+        |SELECT p.user_id, p.p_id, e.e_id
+        |FROM p JOIN e ON p.user_id = e.user_id
+        |  AND greatest(p.ps, e.es) < least(p.pe, e.ee)
+        |ORDER BY 1, 2, 3""".stripMargin,
     "asof_join" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 0),
         |r0 AS (SELECT user_id, ts AS rts, value FROM events WHERE event_id % 7 = 0),

@@ -47,6 +47,52 @@ object Temporal {
       .drop("__valid_to")
   }
 
+  /**
+   * Batch interval-overlap join — pairs of [start, end) intervals that
+   * intersect (`max(starts) < min(ends)`, half-open), optionally under
+   * equi-keys. Spark has no range-join strategy, and the naive spelling
+   * (a lone inequality condition) plans as a broadcast-nested-loop — a
+   * cartesian at scale. This is the standard BINNING rewrite instead:
+   * each interval explodes to the `binWidth`-sized grid cells it covers,
+   * candidates equi-join on (keys, cell) — a plain hash join — and a
+   * residual filter keeps true overlaps. A pair sharing many cells is
+   * emitted ONCE by construction: only in the canonical cell containing
+   * `max(starts)` (the first cell both cover), so no distinct pass over
+   * the matches is needed.
+   *
+   * `binWidth` trades fan-out for candidate precision: cells per row =
+   * ⌈len/binWidth⌉ + 1, so pick it near the typical interval length.
+   * Times are plain longs (epoch millis/micros — caller's grid); both
+   * inputs' non-key columns survive, left's under their own names.
+   */
+  def overlapJoin(
+      left: DataFrame,
+      lStart: String,
+      lEnd: String,
+      right: DataFrame,
+      rStart: String,
+      rEnd: String,
+      keys: Seq[String] = Nil,
+      binWidth: Long = 1000L
+  ): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, s: String, e: String) = df
+      .filter(col(s).isNotNull && col(e).isNotNull && col(s) < col(e))
+      .withColumn("__cell",
+        explode(sequence(floor(col(s) / binWidth),
+          floor((col(e) - 1) / binWidth))))
+    val lb = binned(left, lStart, lEnd)
+    val rb = binned(right, rStart, rEnd)
+      .withColumnRenamed("__cell", "__rcell")
+    val cond = keys.map(k => lb(k) === rb(k))
+      .foldLeft(lb("__cell") === rb("__rcell"))(_ && _) &&
+      greatest(lb(lStart), rb(rStart)) < least(lb(lEnd), rb(rEnd)) &&
+      // canonical-cell dedup: emit only where the overlap begins
+      lb("__cell") === floor(greatest(lb(lStart), rb(rStart)) / binWidth)
+    val joined = lb.join(rb, cond).drop(lb("__cell")).drop(rb("__rcell"))
+    keys.foldLeft(joined)((d, k) => d.drop(rb(k)))
+  }
+
   /** Dedupe a timeline to one row per (keys, time): highest `tiebreak` wins. */
   def latestPerKeyTime(
       df: DataFrame,
