@@ -2342,6 +2342,60 @@ object SparkEntry {
         .select(col("op"), col("c_custkey"), col("c_name"), col("c_acctbal"))
         .orderBy(col("c_custkey"), col("op"))
     },
+    // ---- streaming join-view twin: a tagged union stream of both
+    // sources' inserts maintains (view, a, b) tables via foreachBatch —
+    // per-tick insert-only IVM delta against the PRE-batch states
+    // (__batch < id filters), three independently-guarded appends, epoch
+    // 1 replayed through the raw tick. Must equal the from-scratch join.
+    "join_view_stream" -> { (s, dir) =>
+      Fixtures.cached(s"join_view_stream|$dir") {
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+            col("l_extendedprice"))
+        val ord = t(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"),
+            col("o_totalprice"))
+        def aRows(r: Int) = li.filter(col("l_partkey") % 3 === r)
+          .collect().toSeq.map(x => (x.getLong(0), Some(x.getLong(1)),
+            Some(x.getDouble(2)), Some(x.getDouble(3)), None, None, "a"))
+        def bRows(r: Int) = ord.filter(col("l_orderkey") % 3 === r)
+          .collect().toSeq.map(x => (x.getLong(0), None, None, None,
+            Some(x.getLong(1)), Some(x.getDouble(2)), "b"))
+        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+          (Long, Option[Long], Option[Double], Option[Double],
+            Option[Long], Option[Double], String)]
+        Seq("graft_jvs_view", "graft_jvs_a", "graft_jvs_b")
+          .foreach(tb => s.sql(s"DROP TABLE IF EXISTS `$tb`"))
+        val q = graft.streaming.StreamingOps.joinViewStream(
+          mem.toDF().toDF("l_orderkey", "l_partkey", "l_quantity",
+            "l_extendedprice", "o_custkey", "o_totalprice", "__side"),
+          "graft_jvs_view", "graft_jvs_a", "graft_jvs_b",
+          keys = Seq("l_orderkey"),
+          aCols = Seq("l_partkey", "l_quantity", "l_extendedprice"),
+          bCols = Seq("o_custkey", "o_totalprice")).start()
+        try {
+          Seq(aRows(0) ++ bRows(0) ++ aRows(1) ++ bRows(1),
+            aRows(2) ++ bRows(2)).foreach { e =>
+            mem.addData(e); q.processAllAvailable()
+          }
+        } finally q.stop()
+        // failure-recovery replay of epoch 1: all three guards no-op it
+        val replay = (aRows(2) ++ bRows(2))
+          .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+            "o_custkey", "o_totalprice", "__side")
+        graft.streaming.StreamingOps.applyJoinViewBatch(
+          "graft_jvs_view", "graft_jvs_a", "graft_jvs_b",
+          Seq("l_orderkey"),
+          Seq("l_partkey", "l_quantity", "l_extendedprice"),
+          Seq("o_custkey", "o_totalprice"))(replay, 1L)
+        java.lang.Boolean.TRUE
+      }
+      s.table("graft_jvs_view").drop("__batch")
+        .orderBy(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("o_custkey"))
+    },
     "writer_stamp" -> { (s, dir) =>
       val inc = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderdate").as("event_time"))
@@ -8084,6 +8138,12 @@ object SparkEntry {
     // Maintained join view ≡ the from-scratch join of the final sources
     // (delta joins are exact set algebra, no arithmetic at all).
     "join_view_append" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice,
+        |       o_custkey, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+    // Streaming twin: same maintained view, same from-scratch oracle.
+    "join_view_stream" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice,
         |       o_custkey, o_totalprice
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -163,6 +163,90 @@ object StreamingOps {
       .outputMode("update")
       .foreachBatch(applyUpsertBatch(table, primaryKey, arrivalOrderColumn) _)
 
+  /**
+   * One foreachBatch tick of STREAMING join-view maintenance — the
+   * streaming twin of [[graft.operators.JoinView.appendToJoinView]]. The
+   * micro-batch is a tagged union of both sources' inserts (`__side` =
+   * "a"/"b"); the tick computes the insert-only IVM delta
+   * `ΔA ⋈ (B ∪ ΔB) ∪ A ⋈ ΔB` against the PRE-batch source states and
+   * lands three batch-stamped appends: the view delta, then ΔA into the
+   * maintained a-table, then ΔB into the b-table. Each append carries its
+   * own high-water-mark guard AND the pre-batch states are read as
+   * `__batch < batchId` filters of the source tables, so a crash between
+   * the three commits replays deterministically: already-committed
+   * appends collapse, missing ones recompute the identical delta.
+   *
+   * Scale shape per tick: two delta joins keyed on the join keys with
+   * O(Δ) probe sides (AQE broadcasts small deltas); history is read
+   * column/filter-pruned, never rewritten.
+   */
+  def applyJoinViewBatch(
+      view: String,
+      aTable: String,
+      bTable: String,
+      keys: Seq[String],
+      aCols: Seq[String],
+      bCols: Seq[String]
+  )(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    def hwm(table: String): Long =
+      if (!spark.catalog.tableExists(table)) -1L
+      else {
+        val r = spark.table(table).agg(max(col("__batch"))).collect()(0)
+        if (r.isNullAt(0)) -1L else r.getLong(0)
+      }
+    val dA = batch.filter(col("__side") === "a")
+      .select((keys ++ aCols).map(col): _*).localCheckpoint()
+    val dB = batch.filter(col("__side") === "b")
+      .select((keys ++ bCols).map(col): _*).localCheckpoint()
+    val aPrev =
+      if (spark.catalog.tableExists(aTable))
+        spark.table(aTable).filter(col("__batch") < batchId).drop("__batch")
+      else dA.limit(0)
+    val bPrev =
+      if (spark.catalog.tableExists(bTable))
+        spark.table(bTable).filter(col("__batch") < batchId).drop("__batch")
+      else dB.limit(0)
+    // the view delta is computed BEFORE any commit (it must not see this
+    // batch's source appends) and pinned so a partially-committed replay
+    // re-derives the identical rows
+    val delta = dA.join(bPrev.unionByName(dB), keys)
+      .unionByName(aPrev.join(dB, keys))
+      .withColumn("__batch", lit(batchId))
+      .localCheckpoint()
+    def land(table: String, rows: DataFrame): Unit =
+      if (hwm(table) < batchId) {
+        val stamped = rows.withColumn("__batch", lit(batchId))
+        if (!spark.catalog.tableExists(table))
+          graft.operators.Bucketing.materializePlain(stamped, table)
+        else stamped.select(spark.table(table).columns.map(col).toSeq: _*)
+          .write.insertInto(table)
+      }
+    if (hwm(view) < batchId) {
+      if (!spark.catalog.tableExists(view))
+        graft.operators.Bucketing.materializePlain(delta, view)
+      else delta.select(spark.table(view).columns.map(col).toSeq: _*)
+        .write.insertInto(view)
+    }
+    land(aTable, dA)
+    land(bTable, dB)
+  }
+
+  /** Streaming join-view maintenance: `tagged stream → foreachBatch →
+    * maintained (view, a, b) tables` via [[applyJoinViewBatch]]. */
+  def joinViewStream(
+      stream: DataFrame,
+      view: String,
+      aTable: String,
+      bTable: String,
+      keys: Seq[String],
+      aCols: Seq[String],
+      bCols: Seq[String]
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch(applyJoinViewBatch(view, aTable, bTable, keys, aCols, bCols) _)
+
   /** The maintained streaming rollup with sums rendered as doubles. */
   def readStreamRollup(
       spark: org.apache.spark.sql.SparkSession,
