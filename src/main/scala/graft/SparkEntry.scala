@@ -1787,6 +1787,26 @@ object SparkEntry {
       graft.operators.Graph.labelPropagation(edges, "id_a", "id_b", rounds = 2)
         .orderBy(col("id"))
     },
+    // ---- hop-bounded weighted shortest paths over the proximity graph:
+    // min total squared-distance cost from the %100 seeds using ≤3 edges
+    // (the same semantic hop cap as graph_bfs, so cycles need no
+    // convergence argument). Frontier Bellman–Ford: only nodes improved
+    // last round re-relax.
+    "graph_shortest_paths" -> { (s, dir) =>
+      val pts = t(s, dir, "customer")
+        .filter(col("c_custkey") % 10 === 0)
+        .select(
+          col("c_custkey").as("id"),
+          (graft.functions.Text.portableHash31(
+            concat(lit("gx:"), col("c_custkey").cast("string"))) % 1000000L).as("x"),
+          (graft.functions.Text.portableHash31(
+            concat(lit("gy:"), col("c_custkey").cast("string"))) % 1000000L).as("y"))
+      val edges = graft.operators.Geo.radiusJoin(pts, "id", "x", "y", radius = 20000L)
+      graft.operators.Graph.shortestPaths(
+        edges, "id1", "id2", "dist2",
+        pts.filter(col("id") % 100 === 0).select(col("id")), "id", maxHops = 3)
+        .orderBy(col("node"))
+    },
     // ---- multi-source BFS over the same sparse proximity graph: hop
     // distance from the %100 seed customers, capped at 6 hops (a SEMANTIC
     // bound — the frontier loop early-exits when a layer is empty, so the
@@ -6729,6 +6749,30 @@ object SparkEntry {
         |  UNION
         |  SELECT r.a, x.b FROM reach r JOIN edge x ON r.b = x.a)
         |SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a ORDER BY id""".stripMargin,
+    // Weighted SSSP: recursive walk carrying (cost, hops), hop-capped at
+    // 3; dist = min cost per reached node. Parallel arcs pre-minned like
+    // the operator so the walk stays bounded.
+    "graph_shortest_paths" ->
+      """WITH RECURSIVE pts AS (SELECT c_custkey AS id,
+        |  (('0x' || substring(md5('gx:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+        |     % 2147483647) % 1000000 AS x,
+        |  (('0x' || substring(md5('gy:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+        |     % 2147483647) % 1000000 AS y
+        |             FROM customer WHERE c_custkey % 10 = 0),
+        |e AS (SELECT a.id AS id1, b.id AS id2,
+        |        (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS w
+        |      FROM pts a JOIN pts b ON a.id < b.id
+        |      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 400000000),
+        |edge AS (SELECT id1 AS a, id2 AS b, min(w) AS w FROM (
+        |           SELECT id1, id2, w FROM e UNION ALL SELECT id2, id1, w FROM e)
+        |         GROUP BY 1, 2),
+        |walk(node, d, h) AS (
+        |  SELECT id, CAST(0 AS BIGINT), 0 FROM pts WHERE id % 100 = 0
+        |  UNION
+        |  SELECT x.b, w.d + x.w, w.h + 1 FROM walk w JOIN edge x ON w.node = x.a
+        |  WHERE w.h < 3)
+        |SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk
+        |GROUP BY node ORDER BY node""".stripMargin,
     // LPA: two synchronous rounds as chained CTEs; argmax per node by
     // (count DESC, label ASC) row_number — the definitional spelling.
     "graph_label_prop" ->

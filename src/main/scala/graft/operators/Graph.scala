@@ -338,6 +338,69 @@ object Graph {
   }
 
   /**
+   * Hop-bounded weighted shortest paths (Bellman–Ford relaxation rounds
+   * with a frontier): `dist(v)` = minimum total weight over paths from
+   * any seed using AT MOST `maxHops` edges — a SEMANTIC bound, like
+   * [[bfsDistances]]' hop cap, so the result is well-defined even on
+   * graphs with cycles and needs no convergence proof. Weights must be
+   * non-negative longs (put fractional costs on the micro grid). Edges
+   * are symmetrized like [[bfsDistances]]; pass each arc once for an
+   * undirected graph.
+   *
+   * Scale shape: per round, one frontier⨝edges hash join (the frontier
+   * is only the nodes IMPROVED last round — the standard Bellman–Ford
+   * frontier argument keeps ≤k-edge optimality) + one min-per-node
+   * aggregate + one join against current distances; all on slim
+   * (long, long) rows, localCheckpoint per round, counts only on the
+   * driver. Rounds are data-independent (exactly `maxHops` or until a
+   * round improves nothing).
+   */
+  def shortestPaths(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int
+  ): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val sym = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"),
+        col(weightCol).cast("long").as("w"))
+      .unionByName(edges.select(col(dstCol).cast("long").as("a"),
+        col(srcCol).cast("long").as("b"), col(weightCol).cast("long").as("w")))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b") && col("w") >= 0L)
+      .groupBy(col("a"), col("b")).agg(min(col("w")).as("w")) // parallel arcs: keep cheapest
+      .localCheckpoint()
+    var dist = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var hop = 0
+    var frontierRows = frontier.count()
+    while (frontierRows > 0L && hop < maxHops) {
+      hop += 1
+      val cand = sym
+        .join(frontier.select(col("node").as("a"), col("dist")), Seq("a"))
+        .groupBy(col("b").as("node"))
+        .agg(min(col("dist") + col("w")).as("__cand"))
+      val improved = cand
+        .join(dist, Seq("node"), "left")
+        .filter(col("dist").isNull || col("__cand") < col("dist"))
+        .select(col("node"), col("__cand").as("dist"))
+        .localCheckpoint()
+      dist = dist
+        .join(improved.select(col("node")), Seq("node"), "left_anti")
+        .unionByName(improved)
+        .localCheckpoint()
+      frontier = improved
+      frontierRows = improved.count()
+    }
+    dist
+  }
+
+  /**
    * Synchronous label propagation communities (Raghavan, Albert & Kumara
    * 2007): seed every node with its own id, then for `rounds` rounds
    * every node adopts the most frequent label among its neighbors —

@@ -171,4 +171,31 @@ class GraphSpec extends SparkSpec {
     assert(Set(out(10L), out(11L), out(12L)).size === 1)
     assert(out(1L) != out(10L))
   }
+  test("shortestPaths: matches brute-force hop-bounded Bellman-Ford") {
+    def brute(edges: Seq[(Long, Long, Long)], seeds: Set[Long], k: Int): Map[Long, Long] = {
+      val sym = edges.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+        .filter(e => e._1 != e._2)
+      var dist: Map[Long, Long] = seeds.map(_ -> 0L).toMap
+      for (_ <- 1 to k) {
+        val offers = sym.flatMap { case (a, b, w) => dist.get(a).map(d => b -> (d + w)) }
+        val best = offers.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).min }
+        dist = (dist.keySet ++ best.keySet).map { n =>
+          n -> math.min(dist.getOrElse(n, Long.MaxValue), best.getOrElse(n, Long.MaxValue))
+        }.toMap
+      }
+      dist
+    }
+    val rnd = new scala.util.Random(17)
+    val edges = (1 to 400).map(_ =>
+      (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong, rnd.nextInt(50).toLong + 1))
+      .filter(e => e._1 != e._2)
+    val seeds = Set(0L, 7L, 40L)
+    for (k <- Seq(0, 1, 3)) {
+      val got = Graph.shortestPaths(
+        edges.toDF("s", "d", "w"), "s", "d", "w",
+        seeds.toSeq.toDF("id"), "id", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === brute(edges, seeds, k), s"k=$k")
+    }
+  }
 }
