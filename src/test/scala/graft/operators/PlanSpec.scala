@@ -630,4 +630,42 @@ class PlanSpec extends SparkSpec {
       ap.queryExecution.executedPlan.toString)
     assert(sn.count() >= 0 && ap.count() >= 0)
   }
+  test("round-13 shapes: overlap join hash-equi, skyline has no data-sized global stage, LPA windowless") {
+    // binned interval-overlap join: the whole point is escaping the
+    // BroadcastNestedLoopJoin a lone inequality plans — the candidate
+    // join must be hash-equi on (key, cell)
+    val l = (1 to 400).map(i => (i.toLong % 7, i.toLong, (i * 13L) % 5000, (i * 13L) % 5000 + 120))
+      .toDF("k", "lid", "ls", "le")
+    val r = (1 to 400).map(i => (i.toLong % 7, i.toLong, (i * 29L) % 5000, (i * 29L) % 5000 + 90))
+      .toDF("k", "rid", "rs", "re")
+    val ov = Temporal.overlapJoin(l, "ls", "le", r, "rs", "re", Seq("k"), 128L)
+    val ovPlan = formatted(ov)
+    assert(!ovPlan.contains("NestedLoop") && !ovPlan.contains("CartesianProduct"), ovPlan)
+
+    // ungrouped skyline: the exclusive prefix-min must not funnel the
+    // data through one task — the only SinglePartition allowed is the
+    // bounded <=P-row per-partition-minima fold
+    val sk = Skyline.skyline2d(
+      (1 to 2000).map(i => ((i * 37L) % 500, (i * 91L) % 500)).toDF("x", "y"), "x", "y")
+    val skPlan = sk.queryExecution.executedPlan.toString
+    val granted = "rows-window over the bounded per-partition minima"
+    assert("SinglePartition".r.findAllIn(skPlan).size <= 1, granted + ":\n" + skPlan)
+
+    // label propagation: argmax per node is an AGGREGATE — a Window here
+    // would re-sort every adjacency group
+    val edges = (1 to 300).map(i => ((i % 40).toLong, ((i * 7) % 40).toLong)).toDF("s", "d")
+    val lpa = Graph.labelPropagation(edges, "s", "d", rounds = 2)
+    assert(!lpa.queryExecution.executedPlan.toString.contains("Window"),
+      lpa.queryExecution.executedPlan.toString)
+
+    // weighted SSSP rounds: frontier joins stay hash-equi
+    val w = (1 to 300).map(i => ((i % 40).toLong, ((i * 7) % 40).toLong, (i % 9).toLong + 1))
+      .toDF("s", "d", "w")
+    val ssp = Graph.shortestPaths(w, "s", "d", "w",
+      Seq(0L, 5L).toDF("id"), "id", maxHops = 2)
+    val sspPlan = ssp.queryExecution.executedPlan.toString
+    assert(!sspPlan.contains("NestedLoop") && !sspPlan.contains("CartesianProduct"), sspPlan)
+
+    assert(ov.count() > 0 && sk.count() > 0 && lpa.count() > 0 && ssp.count() > 0)
+  }
 }
