@@ -2194,6 +2194,19 @@ object SparkEntry {
         "doc_id", "text", minSimMicro = 700000L)
         .orderBy(col("id_a"), col("id_b"))
     },
+    // ---- EXACT edit-distance threshold self-join (PassJoin pigeonhole):
+    // every customer-name pair within 2 edits, candidates from chunk
+    // equi-joins against a bounded ±τ substring grid (never a length-
+    // quadratic scan), verified with exact levenshtein. The brute-force
+    // O(n²) join lives in the ORACLE, where brute force belongs.
+    "dedup_ed_join" -> { (s, dir) =>
+      Dedup.edThresholdJoin(
+        t(s, dir, "customer").filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name", tau = 2)
+        .withColumnRenamed("id_a", "cust_a").withColumnRenamed("id_b", "cust_b")
+        .orderBy(col("cust_a"), col("cust_b"))
+    },
     // ---- sorted-neighborhood (merge/purge) dedup: sort by normalized
     // text, verify in-window pairs with exact Levenshtein — the EDIT-
     // similarity complement to the MinHash token-set family; candidates
@@ -7277,6 +7290,16 @@ object SparkEntry {
     // All-pairs exact join: the oracle is algorithm-INDEPENDENT — a
     // brute-force quadratic join over the restricted corpus. If the
     // prefix filter ever dropped a true pair, this catches it.
+    // Edit-distance join: the definitional brute-force quadratic with
+    // DuckDB's own levenshtein — exactly what the pigeonhole must equal.
+    "dedup_ed_join" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS t
+        |           FROM customer WHERE c_custkey % 7 = 0)
+        |SELECT a.id AS cust_a, b.id AS cust_b,
+        |       CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+        |FROM c a JOIN c b ON a.id < b.id
+        |WHERE levenshtein(a.t, b.t) <= 2
+        |ORDER BY 1, 2""".stripMargin,
     "dedup_allpairs_exact" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -200,6 +200,93 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard_micro"))
   }
 
+  /**
+   * EXACT edit-distance threshold self-join (the PassJoin pigeonhole, Li,
+   * Deng & Feng 2011): every unordered pair with `levenshtein ≤ tau`,
+   * verified — the character-level sibling of [[allPairsJaccard]]'s exact
+   * token-set join. Pigeonhole: split s into τ+1 chunks; if ed(s,t) ≤ τ,
+   * some chunk survives an optimal alignment unedited, so it occurs in t
+   * EXACTLY, at a start shifted by at most τ. Candidates are therefore an
+   * equi-join of index chunks against the probe's (length, chunk-index,
+   * ±τ-position) substring grid — a BOUNDED (2τ+1)²·(τ+1) substrings per
+   * probe row, independent of string length — then exact `levenshtein`
+   * verifies. Intended for short strings (names, titles, URLs): the
+   * verify cost is |candidates|·len², and candidate precision comes from
+   * chunk selectivity.
+   *
+   * Strings shorter than τ+1 characters cannot donate τ+1 non-empty
+   * chunks; they pair only with strings of length ≤ 2τ+1 (the length
+   * filter), so that micro-band joins by LENGTH KEY instead — bounded by
+   * the alphabet, negligible in real data.
+   *
+   * Scale shape: the candidate shuffle carries (chunk, i, ls) keys with
+   * id payloads only; verification joins full strings for candidate ids
+   * alone; every join is hash-equi (no inequality nested-loop).
+   */
+  def edThresholdJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tau: Int
+  ): DataFrame = {
+    require(tau >= 1 && tau <= 4, "tau must lie in [1, 4]")
+    val n = tau + 1
+    val base = df
+      .select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .filter(col("__t").isNotNull)
+      .withColumn("__len", length(col("__t")).cast("long"))
+      .localCheckpoint() // feeds index, probe, short band, and verify
+    val long = base.filter(col("__len") >= n)
+    // index side: the τ+1 even chunks of each string
+    val chunks = long.select(col("__id"), col("__t"), col("__len"),
+      explode(sequence(lit(0), lit(tau))).as("__i"))
+      .withColumn("__start", expr(s"(__len * __i) DIV ${n}L"))
+      .withColumn("__clen", expr(s"(__len * (__i + 1)) DIV ${n}L") - col("__start"))
+      .filter(col("__clen") >= 1L)
+      .select(col("__id"),
+        expr("substring(__t, CAST(__start AS INT) + 1, CAST(__clen AS INT))").as("__c"),
+        col("__i"), col("__len").as("__ls"))
+    // probe side: for each plausible source length ls = len±δ, chunk i,
+    // and position shift ±τ, the substring of t the chunk would match
+    val probes = long.select(col("__id"), col("__t"), col("__len"),
+      explode(sequence(lit(-tau), lit(tau))).as("__d"))
+      .withColumn("__ls", col("__len") + col("__d"))
+      .filter(col("__ls") >= n)
+      .withColumn("__i", explode(sequence(lit(0), lit(tau))))
+      .withColumn("__start", expr(s"(__ls * __i) DIV ${n}L"))
+      .withColumn("__clen", expr(s"(__ls * (__i + 1)) DIV ${n}L") - col("__start"))
+      .filter(col("__clen") >= 1L)
+      .withColumn("__pd", explode(sequence(lit(-tau), lit(tau))))
+      .withColumn("__pos", col("__start") + col("__pd"))
+      .filter(col("__pos") >= 0L && col("__pos") + col("__clen") <= col("__len"))
+      .select(col("__id"),
+        expr("substring(__t, CAST(__pos AS INT) + 1, CAST(__clen AS INT))").as("__c"),
+        col("__i"), col("__ls"))
+    val longCands = chunks.select(col("__id").as("id_a"), col("__c"), col("__i"), col("__ls"))
+      .join(probes.select(col("__id").as("id_b"), col("__c"), col("__i"), col("__ls")),
+        Seq("__c", "__i", "__ls"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+    // the sub-(τ+1) micro-band: length-keyed candidates among strings
+    // that can pair with a short string at all (len ≤ 2τ+1)
+    val band = base.filter(col("__len") <= 2L * tau + 1)
+      .withColumn("__lk", explode(sequence(col("__len") - tau, col("__len") + tau)))
+    val shortCands = base.filter(col("__len") < n)
+      .select(col("__id").as("id_a"), col("__len").as("__lk"))
+      .join(band.select(col("__id").as("id_b"), col("__lk")), Seq("__lk"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+    longCands.unionByName(shortCands)
+      .distinct()
+      .join(base.select(col("__id").as("id_a"), col("__t").as("__ta")), Seq("id_a"))
+      .join(base.select(col("__id").as("id_b"), col("__t").as("__tb")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .filter(col("dist") <= tau.toLong)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** Keep only the canonical copy of each distinct content. */
   def exactKeepFirst(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(Text.fingerprint(col(textCol))).orderBy(col(idCol))

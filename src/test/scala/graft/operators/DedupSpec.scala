@@ -567,4 +567,31 @@ class DedupSpec extends SparkSpec {
     assert(got === brute)
     assert(got.nonEmpty)
   }
+  test("edThresholdJoin: complete and exact vs brute-force levenshtein, incl. short strings") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(23)
+    val alpha = "abcd"
+    val strs = (1 to 250).map { i =>
+      val len = rnd.nextInt(12) // 0..11, includes sub-tau shorts
+      (i.toLong, (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    }
+    val df = strs.toDF("id", "t")
+    for (tau <- Seq(1, 2)) {
+      val got = Dedup.edThresholdJoin(df, "id", "t", tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expect = (for {
+        (ia, ta) <- strs; (ib, tb) <- strs
+        if ia < ib
+        d = lev(ta, tb)
+        if d <= tau
+      } yield (ia, ib, d.toLong)).toSet
+      assert(got === expect, s"tau=$tau")
+    }
+  }
 }
