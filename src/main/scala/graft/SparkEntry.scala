@@ -1512,6 +1512,18 @@ object SparkEntry {
         Seq("l_returnflag"))
         .orderBy(col("l_returnflag"))
     },
+    // ---- trailing-7-day distinct users per event type: the rolling
+    // window nobody can afford exactly at scale — per-day register
+    // sketches built once, window = register-max of the ≤7 daily
+    // sketches (lossless union), events never rescanned per window.
+    "rolling_distinct_hll" -> { (s, dir) =>
+      graft.operators.Sketches.rollingDistinctHll(
+        events(s, dir).select(col("event_type"), col("ts"),
+          col("user_id").cast("string").as("u")),
+        "event_type", "ts", "u", windowDays = 7)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy(col("event_type"), col("day"))
+    },
     // ---- the same estimates via the MERGE path: register-wise max is
     // lossless, so two disjoint halves merged share the from-scratch
     // oracle — per-slice HLLs roll up without rescanning history.
@@ -7103,6 +7115,33 @@ object SparkEntry {
         |GROUP BY key, phi_micro, nt ORDER BY key, phi_micro""".stripMargin,
     "hll_distinct" ->
       hllOracle("lineitem", "l_returnflag", "CAST(l_partkey AS VARCHAR)"),
+    // Rolling distinct: same register construction, re-derived per
+    // (key, active day) over the trailing 7-day window.
+    "rolling_distinct_hll" -> {
+      val num = graft.operators.Sketches.HllEstNumerator.toString
+      s"""WITH hx AS (SELECT event_type AS k, CAST(ts AS DATE) AS day,
+         |  ('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |days AS (SELECT DISTINCT k, day FROM hx),
+         |reg AS (SELECT d.k, d.day, hx.h >> 48 AS bucket,
+         |  max(CASE WHEN (hx.h & ((1::BIGINT << 48) - 1)) = 0 THEN 49
+         |      ELSE 49 - len(bin(hx.h & ((1::BIGINT << 48) - 1))) END) AS r
+         |  FROM days d JOIN hx ON hx.k = d.k
+         |    AND hx.day BETWEEN d.day - 6 AND d.day
+         |  GROUP BY 1, 2, 3),
+         |a AS (SELECT k, day, count(*) AS n_buckets,
+         |        CAST(SUM(1::BIGINT << (49 - r)) AS BIGINT) AS ss
+         |      FROM reg GROUP BY 1, 2),
+         |e AS (SELECT k, day, n_buckets, CAST(4096 - n_buckets AS BIGINT) AS n_zero,
+         |        CAST(ss + (4096 - n_buckets) * (1::BIGINT << 49) AS BIGINT) AS s
+         |      FROM a)
+         |SELECT k AS event_type, strftime(day, '%Y-%m-%d') AS day, n_buckets, n_zero,
+         |  CAST(floor(CASE WHEN CAST($num AS DOUBLE) / CAST(s AS DOUBLE) <= 10240.0 AND n_zero > 0
+         |       THEN 4096.0 * ln(4096.0 / CAST(n_zero AS DOUBLE))
+         |       ELSE CAST($num AS DOUBLE) / CAST(s AS DOUBLE) END * 1000000.0) AS BIGINT)
+         |    AS distinct_est_micro
+         |FROM e ORDER BY 1, 2""".stripMargin
+    },
     "hll_distinct_merge" -> hllEventsOracle, // register-max merge ≡ fresh sketch
     "hll_distinct_append" -> hllEventsOracle, // stored+appended table ≡ fresh sketch
     // streaming rollup twin: micro-batch merges (plus a guarded replay)

@@ -359,6 +359,42 @@ object Sketches {
   }
 
   /** Materialize a [[hllSketch]] as a managed table. */
+  /**
+   * Rolling-window distinct counts from per-day HLL sketches — "distinct
+   * users over the trailing `windowDays` days, per key, for every day
+   * the key was active". The exact form needs the full value set per
+   * window (unmergeable); register sketches make the rollup additive:
+   * each (key, day) sketch is built ONCE, then contributes to the ≤
+   * `windowDays` target days it falls inside via a register-wise max —
+   * the union of daily sketches IS the window sketch (lossless merge).
+   *
+   * Scale shape: one event-sized shuffle for the daily registers; the
+   * roll explodes REGISTERS (keys·days·≤4096 rows) by the window width
+   * and re-maxes — dimension-bounded, the events are never rescanned per
+   * window. Target days are the key's active days (semi-join).
+   */
+  def rollingDistinctHll(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      windowDays: Int
+  ): DataFrame = {
+    require(windowDays >= 1, "windowDays must be at least 1")
+    val withDay = events.filter(col(tsCol).isNotNull)
+      .withColumn("__day", to_date(col(tsCol)))
+    val daily = hllSketch(withDay, Seq(keyCol, "__day"), valueCol)
+      .localCheckpoint() // feeds the roll and the active-day set
+    val present = daily.select(col(keyCol), col("__day").as("day")).distinct()
+    val rolled = daily
+      .withColumn("__o", explode(sequence(lit(0), lit(windowDays - 1))))
+      .withColumn("day", date_add(col("__day"), col("__o")))
+      .groupBy(col(keyCol), col("day"), col("bucket"))
+      .agg(max(col("r")).as("r"))
+      .join(present, Seq(keyCol, "day"), "left_semi")
+    hllStats(rolled, Seq(keyCol, "day"))
+  }
+
   def materializeHllTable(
       df: DataFrame,
       keyCols: Seq[String],

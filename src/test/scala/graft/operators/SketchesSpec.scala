@@ -318,4 +318,30 @@ class SketchesSpec extends SparkSpec {
         s"p=$p est=${q(p)} exact=$exact not within one bin")
     }
   }
+  test("rollingDistinctHll: every window equals a fresh sketch over that window's events") {
+    val rnd = new scala.util.Random(31)
+    val base = java.sql.Date.valueOf("2024-03-01")
+    val rows = (1 to 800).map { i =>
+      val d = rnd.nextInt(20)
+      (if (i % 2 == 0) "a" else "b",
+        new java.sql.Timestamp(base.getTime + d * 86400000L + 3600000L),
+        s"u${rnd.nextInt(120)}")
+    }
+    val df = rows.toDF("k", "ts", "u")
+    val w = 7
+    val got = Sketches.rollingDistinctHll(df, "k", "ts", "u", w)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // reference: fresh sketch per (key, active day) over [day-w+1, day]
+    val activeDays = rows.map(r => (r._1, new java.sql.Date(r._2.getTime - 3600000L).toString)).distinct
+    activeDays.foreach { case (k, dayStr) =>
+      val dayMs = java.sql.Date.valueOf(dayStr).getTime
+      val sub = rows.filter(r => r._1 == k &&
+        r._2.getTime >= dayMs - (w - 1) * 86400000L && r._2.getTime < dayMs + 86400000L)
+      val fresh = Sketches.hllStats(
+        Sketches.hllSketch(sub.toDF("k", "ts", "u"), Seq("k"), "u"), Seq("k"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+      assert(got((k, dayStr)) === fresh, s"window ($k, $dayStr)")
+    }
+  }
 }
