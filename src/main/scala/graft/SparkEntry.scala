@@ -1917,6 +1917,16 @@ object SparkEntry {
       graft.operators.Graph.pageRank(edges, "src", "dst", "w", iterations = 3)
         .orderBy(col("node"))
     },
+    // ---- HITS hubs & authorities over the same transition graph, 2
+    // synchronous rounds on the 1e-6 grid with the overflow-safe
+    // pre-divided L1 normalization — "which states feed journeys (hubs)
+    // vs terminate them (authorities)".
+    "graph_hits" -> { (s, dir) =>
+      val edges = graft.operators.Graph.transitionEdges(
+        events(s, dir), "user_id", "event_type", "ts", "event_id")
+      graft.operators.Graph.hits(edges, "src", "dst", "w", rounds = 2)
+        .orderBy(col("node"))
+    },
     // ---- personalized PageRank from the 'view' vantage point: teleport
     // mass pinned to the seed, same integer nano recurrence — "what does
     // a journey that starts at view end up near".
@@ -6998,6 +7008,32 @@ object SparkEntry {
         |       CAST(sum(wm) AS BIGINT) AS decayed_micro
         |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
     "pagerank_transitions" -> pagerankOracle,
+    // HITS: two unrolled rounds; L1-normalization divides by the
+    // pre-divided total (s // greatest(t // 1e6, 1)) exactly as the
+    // operator does, so every integer matches bit-for-bit.
+    "graph_hits" ->
+      """WITH seq AS (SELECT user_id, event_type, ts, event_id,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |edges AS (SELECT prev AS src, event_type AS dst, CAST(count(*) AS BIGINT) AS w
+        |          FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |a1r AS (SELECT dst AS node, CAST(sum(1000000 * w) AS BIGINT) AS s
+        |        FROM edges GROUP BY 1),
+        |a1 AS (SELECT node, s // greatest((SELECT sum(s) FROM a1r) // 1000000, 1) AS v FROM a1r),
+        |h1r AS (SELECT e.src AS node, CAST(sum(a.v * e.w) AS BIGINT) AS s
+        |        FROM edges e JOIN a1 a ON a.node = e.dst GROUP BY 1),
+        |h1 AS (SELECT node, s // greatest((SELECT sum(s) FROM h1r) // 1000000, 1) AS v FROM h1r),
+        |a2r AS (SELECT e.dst AS node, CAST(sum(h.v * e.w) AS BIGINT) AS s
+        |        FROM edges e JOIN h1 h ON h.node = e.src GROUP BY 1),
+        |a2 AS (SELECT node, s // greatest((SELECT sum(s) FROM a2r) // 1000000, 1) AS v FROM a2r),
+        |h2r AS (SELECT e.src AS node, CAST(sum(a.v * e.w) AS BIGINT) AS s
+        |        FROM edges e JOIN a2 a ON a.node = e.dst GROUP BY 1),
+        |h2 AS (SELECT node, s // greatest((SELECT sum(s) FROM h2r) // 1000000, 1) AS v FROM h2r)
+        |SELECT n.node, CAST(coalesce(h2.v, 0) AS BIGINT) AS hub_micro,
+        |       CAST(coalesce(a2.v, 0) AS BIGINT) AS auth_micro
+        |FROM nodes n LEFT JOIN h2 ON h2.node = n.node LEFT JOIN a2 ON a2.node = n.node
+        |ORDER BY n.node""".stripMargin,
     "graph_ppr" -> pprOracle,
     "kmv_distinct" -> kmvOracle,
     "kmv_distinct_merge" -> kmvOracle, // exact merge ≡ fresh sketch

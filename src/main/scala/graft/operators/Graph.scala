@@ -338,6 +338,63 @@ object Graph {
   }
 
   /**
+   * HITS hubs & authorities (Kleinberg, JACM 1999), fixed synchronous
+   * rounds on the exact 1e-6 grid: per round, authority ← Σ over
+   * in-edges of hub·w, then hub ← Σ over out-edges of the NORMALIZED
+   * authority·w, each side L1-normalized so scores sum to ~10⁶.
+   * Normalization divides by the PRE-DIVIDED denominator —
+   * `s DIV greatest(total DIV 10⁶, 1)` — because `s·10⁶` would overflow
+   * 2^63 once Σ hub·w passes 9.2e12 (the same overflow-safe spelling as
+   * the per-key Gini); every step is integer, so an unrolled-CTE oracle
+   * reproduces it bit-for-bit. Weighted, directed; fixed `rounds` is the
+   * deterministic spelling (convergence tests belong to the caller).
+   *
+   * Scale shape: per round two edge-keyed joins + two keyed sums; the
+   * L1 totals join in as broadcast single rows, never driver values.
+   */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      rounds: Int
+  ): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+      col(weightCol).cast("long").as("__w"))
+      .filter(col("__w") > 0L)
+      .localCheckpoint()
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst"))).distinct().localCheckpoint()
+    def l1(df: DataFrame, raw: String, out: String): DataFrame = {
+      val tot = df.agg(sum(col(raw)).as("__t"))
+      df.crossJoin(broadcast(tot))
+        .select(col("node"),
+          expr(s"$raw DIV greatest(__t DIV 1000000L, 1L)").as(out))
+    }
+    var hubs = nodes.withColumn("hub_micro", lit(1000000L))
+    var auths = nodes.withColumn("auth_micro", lit(0L))
+    for (_ <- 1 to rounds) {
+      auths = l1(
+        e.join(hubs.select(col("node").as("__src"), col("hub_micro")), Seq("__src"))
+          .groupBy(col("__dst").as("node"))
+          .agg(sum(col("hub_micro") * col("__w")).as("__a")),
+        "__a", "auth_micro").localCheckpoint()
+      hubs = l1(
+        e.join(auths.select(col("node").as("__dst"), col("auth_micro")), Seq("__dst"))
+          .groupBy(col("__src").as("node"))
+          .agg(sum(col("auth_micro") * col("__w")).as("__h")),
+        "__h", "hub_micro").localCheckpoint()
+    }
+    nodes
+      .join(hubs, Seq("node"), "left")
+      .join(auths, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("hub_micro"), lit(0L)).as("hub_micro"),
+        coalesce(col("auth_micro"), lit(0L)).as("auth_micro"))
+  }
+
+  /**
    * Hop-bounded weighted shortest paths (Bellman–Ford relaxation rounds
    * with a frontier): `dist(v)` = minimum total weight over paths from
    * any seed using AT MOST `maxHops` edges — a SEMANTIC bound, like

@@ -198,4 +198,37 @@ class GraphSpec extends SparkSpec {
       assert(got === brute(edges, seeds, k), s"k=$k")
     }
   }
+  test("hits: matches brute-force integer recurrence; star topology ranks hub center first") {
+    def brute(edges: Seq[(Long, Long, Long)], rounds: Int): Map[Long, (Long, Long)] = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      def l1(m: Map[Long, Long]): Map[Long, Long] = {
+        val t = m.values.sum
+        m.map { case (k, v) => k -> v / math.max(t / 1000000L, 1L) }
+      }
+      var hub: Map[Long, Long] = nodes.map(_ -> 1000000L).toMap
+      var auth: Map[Long, Long] = nodes.map(_ -> 0L).toMap
+      for (_ <- 1 to rounds) {
+        auth = l1(edges.groupBy(_._2).map { case (d, es) =>
+          d -> es.map(e => hub(e._1) * e._3).sum })
+        hub = l1(edges.groupBy(_._1).map { case (sn, es) =>
+          sn -> es.map(e => auth.getOrElse(e._2, 0L) * e._3).sum })
+      }
+      nodes.map(n => n -> ((hub.getOrElse(n, 0L), auth.getOrElse(n, 0L)))).toMap
+    }
+    val rnd = new scala.util.Random(41)
+    val edges = (1 to 200).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong, rnd.nextInt(9).toLong + 1))
+      .filter(e => e._1 != e._2).distinct
+    for (rounds <- Seq(1, 2)) {
+      val got = Graph.hits(edges.toDF("s", "d", "w"), "s", "d", "w", rounds)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got === brute(edges, rounds), s"rounds=$rounds")
+    }
+    // star: 0 -> 1..5; node 0 is the hub, spokes are authorities
+    val star = (1L to 5L).map(i => (0L, i, 1L))
+    val out = Graph.hits(star.toDF("s", "d", "w"), "s", "d", "w", 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L)._1 > 0L && out(0L)._2 === 0L)
+    (1L to 5L).foreach(i => assert(out(i)._1 === 0L && out(i)._2 > 0L))
+  }
 }
