@@ -1558,6 +1558,42 @@ object SparkEntry {
       graft.operators.Sketches.hllStats(s.table("graft_hll_dau"), Seq("event_type"))
         .orderBy(col("event_type"))
     },
+    // ---- streaming HLL twin: two micro-batch epochs append register
+    // GENERATIONS with no guard at all — register max-merge is
+    // idempotent, so the replayed epoch's duplicate rows are value-
+    // invisible (the Bloom guard-free doctrine); a compaction folds the
+    // generations and the stats still share the from-scratch oracle.
+    "hll_distinct_stream" -> { (s, dir) =>
+      Fixtures.cached(s"hll_stream|$dir") {
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val ev = events(s, dir).select(col("event_type"),
+          concat(col("user_id").cast("string"), lit(":"),
+            date_format(col("ts"), "yyyy-MM-dd")).as("ud"),
+          col("event_id"))
+        def half(r: Int) = ev.filter(col("event_id") % 2 === r)
+          .collect().toSeq.map(x => (x.getString(0), x.getString(1)))
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(String, String)]
+        s.sql("DROP TABLE IF EXISTS graft_hll_stream")
+        val q = graft.operators.Sketches.hllDistinctStream(
+          mem.toDF().toDF("event_type", "ud"),
+          "graft_hll_stream", Seq("event_type"), "ud").start()
+        try {
+          Seq(half(0), half(1)).foreach { e => mem.addData(e); q.processAllAvailable() }
+        } finally q.stop()
+        // replayed epoch 1 + a fold: both value-invisible to the stats
+        graft.operators.Sketches.applyHllBatch(
+          "graft_hll_stream", Seq("event_type"), "ud")(
+          half(1).toDF("event_type", "ud"), 1L)
+        graft.operators.Sketches.compactHllTable(s, "graft_hll_stream")
+        java.lang.Boolean.TRUE
+      }
+      graft.operators.Sketches.hllStats(
+        graft.operators.Sketches.readHllTable(s, "graft_hll_stream"),
+        Seq("event_type"))
+        .orderBy(col("event_type"))
+    },
     // ---- Bloom membership filter: per-event-type user filter packed
     // into ≤265 62-bit words per key — the SET-MEMBERSHIP member of the
     // mergeable-sketch family (KMV=cardinality, hist=distribution,
@@ -7180,6 +7216,7 @@ object SparkEntry {
     },
     "hll_distinct_merge" -> hllEventsOracle, // register-max merge ≡ fresh sketch
     "hll_distinct_append" -> hllEventsOracle, // stored+appended table ≡ fresh sketch
+    "hll_distinct_stream" -> hllEventsOracle, // guard-free epochs + replay + fold ≡ fresh sketch
     // streaming rollup twin: micro-batch merges (plus a guarded replay)
     // equal one exact-decimal GROUP BY over everything.
     "rollup_stream" ->

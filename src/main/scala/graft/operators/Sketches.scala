@@ -420,6 +420,52 @@ object Sketches {
     Bucketing.materializePlain(merged, table)
   }
 
+  /**
+   * One foreachBatch tick of STREAMING HLL maintenance: append the
+   * BATCH's register rows — no swap, no batch-id guard. Register
+   * max-merge is idempotent, so a replayed epoch's duplicate rows are
+   * value-invisible at read time (the same guard-free crash-safety the
+   * Bloom OR-merge append enjoys); state grows by one O(batch-keys·m)
+   * generation per tick and folds back with [[compactHllTable]].
+   */
+  def applyHllBatch(
+      table: String,
+      keyCols: Seq[String],
+      valueCol: String
+  )(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val rows = hllSketch(batch, keyCols, valueCol)
+    if (!spark.catalog.tableExists(table))
+      Bucketing.materializePlain(rows, table)
+    else rows.select(spark.table(table).columns.map(col).toSeq: _*)
+      .write.insertInto(table)
+  }
+
+  /** Streaming distinct-count maintenance: `stream → foreachBatch →
+    * per-generation register rows`; read with [[readHllTable]]. */
+  def hllDistinctStream(
+      stream: DataFrame,
+      table: String,
+      keyCols: Seq[String],
+      valueCol: String
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch(applyHllBatch(table, keyCols, valueCol) _)
+
+  /** The stored generations re-maxed to one register set — feed to
+    * [[hllStats]]; equals a fresh sketch of everything ever appended. */
+  def readHllTable(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+    val t = spark.table(table)
+    val keys = t.columns.filterNot(c => c == "bucket" || c == "r")
+    t.groupBy((keys.map(col) :+ col("bucket")).toSeq: _*).agg(max(col("r")).as("r"))
+  }
+
+  /** Fold the accumulated per-tick generations back to one (register-max
+    * rewrite, value-identical reads before and after). */
+  def compactHllTable(spark: org.apache.spark.sql.SparkSession, table: String): Unit =
+    Bucketing.materializePlain(readHllTable(spark, table).localCheckpoint(), table)
+
   // ------------------------------------------------------------- Bloom filter
 
   /** Bloom filter size in bits (m). 16384 bits ≈ 0.5% false-positive rate

@@ -344,4 +344,28 @@ class SketchesSpec extends SparkSpec {
       assert(got((k, dayStr)) === fresh, s"window ($k, $dayStr)")
     }
   }
+  test("applyHllBatch: replayed epochs and compaction are value-invisible to the stats") {
+    try {
+      val mk = (r: Range) => r.map(i => ("k", s"v${i % 90}")).toDF("k", "v")
+      val tick = Sketches.applyHllBatch("spec_hll_str", Seq("k"), "v") _
+      tick(mk(0 until 300), 0L)
+      tick(mk(300 until 600), 1L)
+      def stats() = Sketches.hllStats(
+        Sketches.readHllTable(spark, "spec_hll_str"), Seq("k"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+      val before = stats()
+      val rows = spark.table("spec_hll_str").count()
+      tick(mk(300 until 600), 1L) // replay: adds a generation, changes no value
+      assert(spark.table("spec_hll_str").count() > rows)
+      assert(stats() === before)
+      Sketches.compactHllTable(spark, "spec_hll_str") // fold generations
+      assert(spark.table("spec_hll_str").count() < rows)
+      assert(stats() === before)
+      // equals a fresh sketch of everything appended
+      val fresh = Sketches.hllStats(
+        Sketches.hllSketch(mk(0 until 600), Seq("k"), "v"), Seq("k"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+      assert(before === fresh)
+    } finally spark.sql("DROP TABLE IF EXISTS spec_hll_str")
+  }
 }
