@@ -1041,6 +1041,16 @@ object SparkEntry {
         events(s, dir), "user_id", "ts", "value", ("event_type", "purchase"))
         .orderBy(col("user_id"))
     },
+    // ---- per-key autocorrelation at calendar lags 1 and 7: exact
+    // integer sums over true day-arithmetic lag pairs (gaps contribute
+    // nothing), final Pearson one fixed double tree floored to micro —
+    // "does last Monday predict this Monday".
+    "acf_daily" -> { (s, dir) =>
+      graft.operators.Analytics.acfDaily(
+        events(s, dir), "event_type", "ts", "value", Seq(1, 7),
+        scaleDiv = 1000L) // milli grid: micro daily totals overflow sum(x*y)
+        .orderBy(col("event_type"), col("lag"))
+    },
     // ---- day-of-week seasonal profile: ratio-to-mean decomposition on
     // the 1e-6 grid from the SHARED materialized daily rollup (both
     // seasonality entries derive from one events scan — see
@@ -6541,6 +6551,40 @@ object SparkEntry {
         |FROM r ORDER BY user_id""".stripMargin,
     // Seasonality: same daily micro totals, dow = epoch-days mod 7,
     // integer floor divisions throughout (values filtered non-negative).
+    // ACF: identical integer sums and the identical double expression
+    // tree (N·Σxy − ΣxΣy over sqrt of the two deviation products) —
+    // IEEE arithmetic is deterministic, so floor lands identically.
+    "acf_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type AS k, CAST(ts AS DATE) AS day,
+        |         CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) // 1000 AS y
+        |  FROM events WHERE ts IS NOT NULL AND value >= 0 GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.k, l.lag, a.y AS x, b.y AS y2
+        |  FROM daily a
+        |    CROSS JOIN (SELECT unnest([1, 7]) AS lag) l
+        |    JOIN daily b ON b.k = a.k AND b.day = a.day + l.lag),
+        |s AS (SELECT k, lag, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y2) AS BIGINT) AS sy,
+        |        CAST(sum(x * y2) AS BIGINT) AS sxy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx,
+        |        CAST(sum(y2 * y2) AS BIGINT) AS syy
+        |      FROM pairs GROUP BY 1, 2)
+        |SELECT k AS event_type, lag, n AS n_pairs,
+        |  CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    * 1000000.0) AS BIGINT) AS acf_micro
+        |FROM s
+        |WHERE n >= 2
+        |  AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+        |  AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+        |ORDER BY 1, 2""".stripMargin,
     "seasonality_dow" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

@@ -1264,6 +1264,72 @@ object Analytics {
     * operators: non-negative values only (floor/truncate parity), dow =
     * epoch-days mod 7. */
   /**
+   * Per-key autocorrelation of the daily series at calendar lags —
+   * "does Monday predict next Monday" quantified. For each `lag` ℓ, the
+   * Pearson correlation over the (x_d, x_{d+ℓ}) pairs that BOTH exist
+   * (true calendar lag via a day-arithmetic self-join, not a row-offset
+   * `lag()` window, which silently shifts across gaps). Sums are exact
+   * integers (same overflow lever as [[trendSlopes]]: Σx², N·Σxy must
+   * stay under 2^63 — pre-scale the value grid down for astronomically
+   * large daily totals); the final correlation is ONE fixed double
+   * expression tree (incl. the IEEE-exact sqrt) floored onto the 1e-6
+   * grid, the [[Sketches.hllStats]]/[[trendSlopes]] engine-exactness
+   * doctrine.
+   *
+   * Scale shape: the events scan collapses to the (key, day) rollup
+   * once; each lag is a per-key-sized equi-join on (key, day+ℓ) plus a
+   * key-grain aggregate — lags multiply day-grain work, never
+   * event-grain.
+   */
+  def acfDaily(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      lags: Seq[Int],
+      scaleDiv: Long = 1L
+  ): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), "lags must be positive")
+    require(scaleDiv >= 1L, "scaleDiv must be positive")
+    // the overflow lever made concrete: ANSI mode turns a too-fine grid
+    // into a LOUD error (sum of x*y products passes 2^63), and scaleDiv
+    // coarsens the grid (micro -> milli at 1000) until products fit;
+    // correlation is scale-invariant up to the integer truncation
+    val daily = dailyMicroTotals(events, keyCol, tsCol, valueCol)
+      .select(col(keyCol), col("day"),
+        expr(s"__y DIV ${scaleDiv}L").as("__y"))
+      .localCheckpoint() // feeds both sides of every lag join
+    val lagged = lags.map { l =>
+      daily
+        .join(daily.select(col(keyCol),
+          date_sub(col("day"), l).as("day"), col("__y").as("__y2")),
+          Seq(keyCol, "day"))
+        .withColumn("lag", lit(l.toLong))
+    }.reduce(_ unionByName _)
+    val s = lagged.groupBy(col(keyCol), col("lag")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("__y")).as("__sx"), sum(col("__y2")).as("__sy"),
+      sum(col("__y") * col("__y2")).as("__sxy"),
+      sum(col("__y") * col("__y")).as("__sxx"),
+      sum(col("__y2") * col("__y2")).as("__syy"))
+    val nd = col("n_pairs").cast("double")
+    val num = nd * col("__sxy").cast("double") -
+      col("__sx").cast("double") * col("__sy").cast("double")
+    val denx = nd * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double")
+    val deny = nd * col("__syy").cast("double") -
+      col("__sy").cast("double") * col("__sy").cast("double")
+    // guard on the deviation PRODUCTS, not the sqrt: a constant series
+    // has exact-zero deviation whose double rounding can land ±ε, and
+    // sqrt(−ε) = NaN behaves differently across engines
+    s.withColumn("__dx", denx).withColumn("__dy", deny)
+      .filter(col("n_pairs") >= 2 && col("__dx") > 0.0 && col("__dy") > 0.0)
+      .select(col(keyCol), col("lag"), col("n_pairs"),
+        floor(num / sqrt(col("__dx") * col("__dy")) * lit(1000000.0))
+          .cast("long").as("acf_micro"))
+  }
+
+  /**
    * The `(key, day)` micro-grid pre-aggregate both seasonality operators
    * derive from: daily value totals on the 1e-6 grid plus the engine-
    * neutral epoch-day-mod-7 dow. Public so a pipeline can materialize it

@@ -515,4 +515,33 @@ class AnalyticsSpec extends SparkSpec {
     // 333334) beat 1.333 ratios = 1333333 (dev 333333); day breaks the tie.
     assert(out === Map("2024-01-01" -> 666666L, "2024-01-02" -> 666666L))
   }
+  test("acfDaily: matches brute-force Pearson over calendar-lag pairs; periodic series near 1") {
+    val base = java.sql.Date.valueOf("2024-01-01").getTime
+    def ts(d: Int) = new java.sql.Timestamp(base + d * 86400000L + 7200000L)
+    // key "p": period-2 series 10,0,10,0,... -> acf(2) = +1, acf(1) = -1
+    val rows = (0 until 30).map(d => ("p", ts(d), if (d % 2 == 0) 10.0 else 0.0)) ++
+      // key "r": pseudo-random with a GAP (days 40-49 missing)
+      ((0 until 40) ++ (50 until 70)).map(d => ("r", ts(d), ((d * 37) % 11).toDouble))
+    val df = rows.toDF("k", "ts", "v")
+    val got = graft.operators.Analytics.acfDaily(df, "k", "ts", "v", Seq(1, 2))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(("p", 2L))._2 === 1000000L)
+    assert(got(("p", 1L))._2 === -1000000L)
+    // brute-force reference on the gap series: pairs only where BOTH days exist
+    def brute(vals: Map[Int, Long], l: Int): (Long, Long) = {
+      val pairs = vals.keys.toSeq.sorted.flatMap(d => vals.get(d + l).map(y => (vals(d), y)))
+      val n = pairs.size.toDouble
+      val (sx, sy) = (pairs.map(_._1).sum.toDouble, pairs.map(_._2).sum.toDouble)
+      val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+      val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+      val syy = pairs.map(p => p._2 * p._2).sum.toDouble
+      val den = math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      (pairs.size.toLong, math.floor((n * sxy - sx * sy) / den * 1000000.0).toLong)
+    }
+    val rVals = (((0 until 40) ++ (50 until 70)).map(d => d -> ((d * 37) % 11) * 1000000L)).toMap
+    for (l <- Seq(1, 2)) {
+      // gap days contribute no pairs: day 39 has no day 40 partner
+      assert(got(("r", l.toLong)) === brute(rVals, l), s"lag $l")
+    }
+  }
 }
