@@ -1041,6 +1041,23 @@ object SparkEntry {
         events(s, dir), "user_id", "ts", "value", ("event_type", "purchase"))
         .orderBy(col("user_id"))
     },
+    // ---- exact lower weighted median: cent-grid extended price per
+    // return flag, weighted by quantity — 2·cum ≥ tot integer spelling,
+    // tie runs share a value so intra-tie order cannot matter.
+    "weighted_median" -> { (s, dir) =>
+      graft.operators.Analytics.weightedMedian(
+        t(s, dir, "lineitem"), "l_returnflag",
+        floor(col("l_extendedprice") * 100), col("l_quantity"))
+        .withColumnRenamed("weighted_median", "median_cents")
+        .orderBy(col("l_returnflag"))
+    },
+    // ---- exact mode (ties to smallest): most common order quantity per
+    // return flag — two keyed aggregates, argmax via max(struct).
+    "mode_per_key" -> { (s, dir) =>
+      graft.operators.Analytics.modePerKey(
+        t(s, dir, "lineitem"), "l_returnflag", col("l_quantity"))
+        .orderBy(col("l_returnflag"))
+    },
     // ---- per-key autocorrelation at calendar lags 1 and 7: exact
     // integer sums over true day-arithmetic lag pairs (gaps contribute
     // nothing), final Pearson one fixed double tree floored to micro —
@@ -6551,6 +6568,26 @@ object SparkEntry {
         |FROM r ORDER BY user_id""".stripMargin,
     // Seasonality: same daily micro totals, dow = epoch-days mod 7,
     // integer floor divisions throughout (values filtered non-negative).
+    // Weighted median: same cumulative-crossing spelling; min over the
+    // crossing rows makes intra-tie window order irrelevant.
+    "weighted_median" ->
+      """WITH b AS (SELECT l_returnflag AS k,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+        |    CAST(l_quantity AS BIGINT) AS w FROM lineitem
+        |    WHERE l_quantity > 0),
+        |c AS (SELECT k, v, w,
+        |    sum(w) OVER (PARTITION BY k ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(w) OVER (PARTITION BY k) AS tot FROM b)
+        |SELECT k AS l_returnflag, CAST(min(v) AS BIGINT) AS median_cents
+        |FROM c WHERE cum * 2 >= tot GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Mode: definitional (count DESC, value ASC) row_number argmax.
+    "mode_per_key" ->
+      """WITH c AS (SELECT l_returnflag AS k, CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT k, v, n,
+        |    row_number() OVER (PARTITION BY k ORDER BY n DESC, v) AS rn FROM c)
+        |SELECT k AS l_returnflag, v AS mode_value, n AS mode_count
+        |FROM r WHERE rn = 1 ORDER BY 1""".stripMargin,
     // ACF: identical integer sums and the identical double expression
     // tree (N·Σxy − ΣxΣy over sqrt of the two deviation products) —
     // IEEE arithmetic is deterministic, so floor lands identically.

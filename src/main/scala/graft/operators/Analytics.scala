@@ -1264,6 +1264,58 @@ object Analytics {
     * operators: non-negative values only (floor/truncate parity), dow =
     * epoch-days mod 7. */
   /**
+   * Exact lower weighted median per key: the smallest value whose
+   * cumulative weight reaches half the key's total (`2·cum ≥ tot`, the
+   * integer spelling that needs no halving division). Equal values may
+   * order arbitrarily within their tie run, but the run shares one
+   * value, so the reported median is deterministic anyway.
+   *
+   * Scale shape: one key shuffle; the cumulative window is per-key
+   * sized. For keys whose row count itself is extreme, the
+   * [[Sketches.rankSketchQuantiles]] family is the sketch path — this is
+   * the exact tier.
+   */
+  def weightedMedian(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: Column,
+      weightCol: Column
+  ): DataFrame = {
+    val base = df.select(col(keyCol), valueCol.cast("long").as("__v"),
+      weightCol.cast("long").as("__w"))
+      .filter(col("__v").isNotNull && col("__w") > 0L)
+    val wc = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col(keyCol))
+    base
+      .withColumn("__cum", sum(col("__w")).over(wc))
+      .withColumn("__tot", sum(col("__w")).over(wt))
+      .filter(col("__cum") * 2L >= col("__tot"))
+      .groupBy(col(keyCol))
+      .agg(min(col("__v")).as("weighted_median"))
+  }
+
+  /**
+   * Exact mode per key — most frequent value, ties to the SMALLEST value
+   * (deterministic): two keyed aggregates, the argmax via
+   * `max(struct(count, −value))`, never a window. Values must be
+   * non-negative longs (the negation trick's documented domain).
+   */
+  def modePerKey(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: Column
+  ): DataFrame =
+    df.select(col(keyCol), valueCol.cast("long").as("__v"))
+      .filter(col("__v").isNotNull && col("__v") >= 0L)
+      .groupBy(col(keyCol), col("__v"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(keyCol))
+      .agg(max(struct(col("__n"), (-col("__v")).as("__nv"))).as("__m"))
+      .select(col(keyCol), (-col("__m.__nv")).as("mode_value"),
+        col("__m.__n").as("mode_count"))
+
+  /**
    * Per-key autocorrelation of the daily series at calendar lags —
    * "does Monday predict next Monday" quantified. For each `lag` ℓ, the
    * Pearson correlation over the (x_d, x_{d+ℓ}) pairs that BOTH exist

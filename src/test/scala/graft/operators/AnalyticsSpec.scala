@@ -2,6 +2,8 @@ package graft.operators
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions
+
 import graft.SparkSpec
 
 /** Funnel semantics: strictly-after ordering, non-advancing equal
@@ -542,6 +544,26 @@ class AnalyticsSpec extends SparkSpec {
     for (l <- Seq(1, 2)) {
       // gap days contribute no pairs: day 39 has no day 40 partner
       assert(got(("r", l.toLong)) === brute(rVals, l), s"lag $l")
+    }
+  }
+  test("weightedMedian / modePerKey: exact against brute force with ties") {
+    val rnd = new scala.util.Random(53)
+    val rows = (1 to 500).map(_ =>
+      (s"k${rnd.nextInt(3)}", rnd.nextInt(40).toLong, rnd.nextInt(9).toLong + 1))
+    val df = rows.toDF("k", "v", "w")
+    val gotMed = graft.operators.Analytics.weightedMedian(df, "k", functions.col("v"), functions.col("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotMode = graft.operators.Analytics.modePerKey(df, "k", functions.col("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      val sorted = rs.map(r => (r._2, r._3)).sortBy(_._1)
+      val tot = sorted.map(_._2).sum
+      var cum = 0L
+      val med = sorted.find { case (_, w) => cum += w; cum * 2 >= tot }.get._1
+      assert(gotMed(k) === med, s"median k=$k")
+      val mode = rs.groupBy(_._2).map { case (v, xs) => (v, xs.size.toLong) }
+        .toSeq.minBy { case (v, n) => (-n, v) }
+      assert(gotMode(k) === mode, s"mode k=$k")
     }
   }
 }
