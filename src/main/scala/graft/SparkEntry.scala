@@ -1112,6 +1112,33 @@ object SparkEntry {
         "oday", "o_totalprice")
         .orderBy(col("oday"), col("o_orderkey"))
     },
+    // ---- maintained frontier: skyline(A∪B) = skyline(skyline(A)∪B), so
+    // each tick folds only (frontier + batch); replay is the identity
+    // (guard-free, the HLL/Bloom idempotence class). Three generations +
+    // a replay share the from-scratch skyline_orders oracle.
+    "skyline_append" -> { (s, dir) =>
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+            .cast("long").as("oday"),
+          col("o_totalprice"))
+      Fixtures.cached(s"skyline_append|$dir") {
+        graft.operators.Skyline.materializeSkyline(
+          base.filter(col("o_orderkey") % 3 === 0), "oday", "o_totalprice",
+          "graft_skyline")
+        graft.operators.Skyline.appendToSkyline(
+          base.filter(col("o_orderkey") % 3 === 1), "oday", "o_totalprice",
+          "graft_skyline")
+        graft.operators.Skyline.appendToSkyline(
+          base.filter(col("o_orderkey") % 3 === 2), "oday", "o_totalprice",
+          "graft_skyline")
+        graft.operators.Skyline.appendToSkyline( // replay: identity
+          base.filter(col("o_orderkey") % 3 === 2), "oday", "o_totalprice",
+          "graft_skyline")
+        java.lang.Boolean.TRUE
+      }
+      s.table("graft_skyline").orderBy(col("oday"), col("o_orderkey"))
+    },
     // ---- weekly retention cohorts: distinct (user, week) is the only
     // entity-keyed shuffle; the cohort matrix is a plain count, never a
     // count(distinct).
@@ -6677,6 +6704,17 @@ object SparkEntry {
         |FROM part p JOIN sky s ON p.p_brand = s.p_brand
         |  AND p.p_size = s.p_size AND p.p_retailprice = s.gy
         |ORDER BY 1, 3, 2""".stripMargin,
+    "skyline_append" -> // maintained frontier ≡ from-scratch skyline
+      """WITH b AS (SELECT o_orderkey,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS oday,
+        |    o_totalprice FROM orders),
+        |g AS (SELECT oday, min(o_totalprice) AS gy FROM b GROUP BY 1),
+        |sky AS (SELECT * FROM g p WHERE NOT EXISTS (
+        |  SELECT 1 FROM g q WHERE q.oday <= p.oday AND q.gy <= p.gy
+        |    AND (q.oday < p.oday OR q.gy < p.gy)))
+        |SELECT b.o_orderkey, b.oday, b.o_totalprice
+        |FROM b JOIN sky s ON b.oday = s.oday AND b.o_totalprice = s.gy
+        |ORDER BY b.oday, b.o_orderkey""".stripMargin,
     "skyline_orders" ->
       """WITH b AS (SELECT o_orderkey,
         |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS oday,

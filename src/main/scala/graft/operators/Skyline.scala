@@ -67,6 +67,48 @@ object Skyline {
       "leftsemi")
   }
 
+  /** Materialize the frontier of `df` as managed table `table` — seed
+    * state for [[appendToSkyline]]. */
+  def materializeSkyline(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      table: String,
+      groupCols: Seq[String] = Nil
+  ): Unit =
+    Bucketing.materializePlain(skyline2d(df, xCol, yCol, groupCols), table)
+
+  /**
+   * Fold an insert batch into a maintained frontier:
+   * `skyline(A ∪ B) = skyline(skyline(A) ∪ B)` — a frontier point of the
+   * union is undominated within A alone, so it already lives in the
+   * stored frontier — which makes each tick O(frontier + batch), never a
+   * rescan of history. GUARD-FREE crash safety: once a batch is
+   * absorbed, re-folding it is the identity (`skyline(S ∪ B) = S`), so
+   * replays need no batch ledger — the same idempotence class as the
+   * HLL/Bloom appends. Rows must carry an identity column (any unique
+   * key): the union dedupes by FULL ROW, so a replayed row (identical
+   * including its id) collapses while genuine coordinate twins (distinct
+   * ids, both legitimately on the frontier) survive. The frontier is
+   * rewritten via the standing swap (staircase-sized, not data-sized).
+   */
+  def appendToSkyline(
+      batch: DataFrame,
+      xCol: String,
+      yCol: String,
+      table: String,
+      groupCols: Seq[String] = Nil
+  ): Unit = {
+    val spark = batch.sparkSession
+    val stored = spark.table(table)
+    val merged = skyline2d(
+      stored.unionByName(batch.select(stored.columns.map(col).toSeq: _*))
+        .distinct(),
+      xCol, yCol, groupCols)
+      .localCheckpoint() // materialize BEFORE the swap drops the table it reads
+    Bucketing.materializePlain(merged, table)
+  }
+
   /**
    * Exclusive running minimum of `vCol` in `orderCol` order with NO
    * single-partition window: range-partition on the order key, window

@@ -60,4 +60,31 @@ class SkylineSpec extends SparkSpec {
       acc = Some(acc.fold(v)(math.min(_, v)))
     }
   }
+  test("appendToSkyline: incremental folds equal from-scratch; replay is the identity") {
+    try {
+      val rnd = new scala.util.Random(19)
+      val all = (1 to 900).map(i =>
+        (i.toLong, rnd.nextInt(300).toLong, rnd.nextInt(300).toDouble))
+      def third(r: Int) = all.filter(_._1 % 3 == r).toDF("id", "x", "y")
+      Skyline.materializeSkyline(third(0), "x", "y", "spec_sky")
+      Skyline.appendToSkyline(third(1), "x", "y", "spec_sky")
+      Skyline.appendToSkyline(third(2), "x", "y", "spec_sky")
+      def rows() = spark.table("spec_sky").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      val got = rows()
+      // guard-free replay: absorbing the same batch again is the identity
+      // (MULTISET identity — a replayed frontier row must not duplicate)
+      Skyline.appendToSkyline(third(2), "x", "y", "spec_sky")
+      assert(rows() === got)
+      val scratch = Skyline.skyline2d(all.toDF("id", "x", "y"), "x", "y")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      assert(got === scratch)
+      // coordinate twins with distinct ids both stay on the frontier
+      Skyline.appendToSkyline(
+        Seq((9001L, -1L, -1.0), (9002L, -1L, -1.0)).toDF("id", "x", "y"),
+        "x", "y", "spec_sky")
+      val twins = rows().filter(r => r._2 == -1L)
+      assert(twins.map(_._1).toSet === Set(9001L, 9002L))
+    } finally spark.sql("DROP TABLE IF EXISTS spec_sky")
+  }
 }
