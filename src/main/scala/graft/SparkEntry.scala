@@ -1041,6 +1041,20 @@ object SparkEntry {
         events(s, dir), "user_id", "ts", "value", ("event_type", "purchase"))
         .orderBy(col("user_id"))
     },
+    // ---- exact quantile mapping: view-event values re-expressed on the
+    // purchase-value distribution by rank (⌈r·n_b∕n_a⌉-th order
+    // statistic) — cross-corpus score calibration, integer throughout.
+    "quantile_map" -> { (s, dir) =>
+      val ev = events(s, dir)
+      graft.operators.Analytics.quantileMap(
+        ev.filter(col("event_type") === "view"), "event_id",
+        floor(col("value") * 1000000.0),
+        ev.filter(col("event_type") === "purchase"),
+        floor(col("value") * 1000000.0))
+        .withColumnRenamed("value", "value_micro")
+        .withColumnRenamed("mapped", "mapped_micro")
+        .orderBy(col("event_id"))
+    },
     // ---- exact lower weighted median: cent-grid extended price per
     // return flag, weighted by quantity — 2·cum ≥ tot integer spelling,
     // tie runs share a value so intra-tie order cannot matter.
@@ -6595,6 +6609,22 @@ object SparkEntry {
         |FROM r ORDER BY user_id""".stripMargin,
     // Seasonality: same daily micro totals, dow = epoch-days mod 7,
     // integer floor divisions throughout (values filtered non-negative).
+    // Quantile map: same row_number ranks (identical (value, id) source
+    // tiebreak; target tie order is value-irrelevant) and identical
+    // ceil-index arithmetic.
+    "quantile_map" ->
+      """WITH a AS (SELECT event_id AS id, CAST(floor(value * 1000000.0) AS BIGINT) AS v
+        |           FROM events WHERE event_type = 'view' AND value IS NOT NULL),
+        |b AS (SELECT CAST(floor(value * 1000000.0) AS BIGINT) AS v
+        |      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |ar AS (SELECT id, v, row_number() OVER (ORDER BY v, id) AS r FROM a),
+        |br AS (SELECT v, row_number() OVER (ORDER BY v) AS rb FROM b),
+        |n AS (SELECT (SELECT count(*) FROM a) AS na, (SELECT count(*) FROM b) AS nb)
+        |SELECT ar.id AS event_id, ar.v AS value_micro, br.v AS mapped_micro
+        |FROM ar CROSS JOIN n
+        |  JOIN br ON br.rb = (ar.r * n.nb + n.na - 1) // n.na
+        |WHERE n.nb > 0
+        |ORDER BY event_id""".stripMargin,
     // Weighted median: same cumulative-crossing spelling; min over the
     // crossing rows makes intra-tie window order irrelevant.
     "weighted_median" ->

@@ -1264,6 +1264,44 @@ object Analytics {
     * operators: non-negative values only (floor/truncate parity), dow =
     * epoch-days mod 7. */
   /**
+   * Exact quantile mapping (distribution calibration): re-express each
+   * source value on the TARGET distribution's scale by rank — source
+   * rank r of n_a maps to the target's ⌈r·n_b∕n_a⌉-th order statistic.
+   * The quantile-normalization step of cross-corpus score calibration
+   * ("this corpus's 90th-percentile quality = that corpus's 0.82"),
+   * exact and integer throughout: ranks come from the range-partitioned
+   * [[Dedup.withGlobalRank]] (source ranks totally ordered by (value,
+   * id) — documented tiebreak; target tie ranks are arbitrary but the
+   * value AT a rank is the multiset order statistic, deterministic
+   * regardless), and the index arithmetic is `(r·n_b + n_a − 1) DIV n_a`.
+   *
+   * Scale shape: two range-partitioned rank passes + one equi-join on
+   * the computed index; counts join in as broadcast single rows.
+   */
+  def quantileMap(
+      source: DataFrame,
+      idCol: String,
+      valueCol: Column,
+      target: DataFrame,
+      targetValueCol: Column
+  ): DataFrame = {
+    val a = source.select(col(idCol).as("__id"), valueCol.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+    val b = target.select(targetValueCol.cast("long").as("__bv"))
+      .filter(col("__bv").isNotNull)
+    val aRanked = Dedup.withGlobalRank(a, Seq(col("__v"), col("__id")), "__r")
+    val bRanked = Dedup.withGlobalRank(b, Seq(col("__bv")), "__rb")
+    aRanked
+      .crossJoin(broadcast(a.agg(count(lit(1)).as("__na"))))
+      .crossJoin(broadcast(b.agg(count(lit(1)).as("__nb"))))
+      .filter(col("__nb") > 0L)
+      .withColumn("__q", expr("(__r * __nb + __na - 1L) DIV __na"))
+      .join(bRanked.select(col("__rb").as("__q"), col("__bv")), Seq("__q"))
+      .select(col("__id").as(idCol), col("__v").as("value"),
+        col("__bv").as("mapped"))
+  }
+
+  /**
    * Exact lower weighted median per key: the smallest value whose
    * cumulative weight reaches half the key's total (`2·cum ≥ tot`, the
    * integer spelling that needs no halving division). Equal values may

@@ -566,4 +566,21 @@ class AnalyticsSpec extends SparkSpec {
       assert(gotMode(k) === mode, s"mode k=$k")
     }
   }
+  test("quantileMap: maps source ranks onto target order statistics exactly") {
+    val src = Seq((1L, 5L), (2L, 1L), (3L, 9L), (4L, 5L)).toDF("id", "v")
+    val tgt = Seq(100L, 200L, 300L, 400L, 500L, 600L, 700L, 800L).toDF("tv")
+    val got = graft.operators.Analytics.quantileMap(
+      src, "id", functions.col("v"), tgt, functions.col("tv"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // ranks by (v, id): 2->1, 1->2, 4->3, 3->4; q = ceil(r*8/4) = 2,4,6,8
+    assert(got === Map(
+      2L -> ((1L, 200L)), 1L -> ((5L, 400L)), 4L -> ((5L, 600L)), 3L -> ((9L, 800L))))
+    // mapping onto itself is the identity for distinct values
+    val self = graft.operators.Analytics.quantileMap(
+      src, "id", functions.col("v"), src, functions.col("v"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // ties (5,5) map within the tie run: every mapped value equals a source value
+    assert(self.forall { case (v, m) => Seq(1L, 5L, 9L).contains(m) })
+    assert(self.count { case (v, m) => v == m } >= 2)
+  }
 }
