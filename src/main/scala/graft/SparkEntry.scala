@@ -2835,6 +2835,25 @@ object SparkEntry {
 
     // ---- temporal as-of join (SURVEY §2.4, §7.4.5): each even event joined
     // with the latest %7 event of the same user at or before its timestamp.
+    // ---- gaps-and-islands: per-user purchase windows coalesced into
+    // maximal activity spans (overlap/touch merges, gaps split) — the
+    // running-max island rewrite, one key shuffle.
+    "interval_coalesce" -> { (s, dir) =>
+      graft.operators.Analytics.coalesceIntervals(
+        events(s, dir).filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            unix_millis(col("ts")).as("ws"),
+            (unix_millis(col("ts")) + (col("event_id") % 5 + 1) * 600000L).as("we")),
+        "user_id", "ws", "we")
+        .orderBy(col("user_id"), col("span_start"))
+    },
+    // ---- longest consecutive-day streak per user (ties to the earliest
+    // start): day − row_number anchors, one aggregate per run.
+    "activity_streaks" -> { (s, dir) =>
+      graft.operators.Analytics.longestStreaks(events(s, dir), "user_id", "ts")
+        .withColumn("streak_start", date_format(col("streak_start"), "yyyy-MM-dd"))
+        .orderBy(col("user_id"))
+    },
     // ---- binned interval-overlap join: per-user purchase windows that
     // intersect error windows (1-5 min, deterministic from event_id).
     // The naive lone-inequality spelling plans broadcast-nested-loop;
@@ -7885,6 +7904,38 @@ object SparkEntry {
         |  ]) AS best FROM tok)
         |SELECT doc_id, CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang
         |FROM scored ORDER BY doc_id""".stripMargin,
+    // Interval coalesce: identical running-max island spelling.
+    "interval_coalesce" ->
+      """WITH b AS (SELECT user_id, epoch_ms(ts) AS s,
+        |    epoch_ms(ts) + (event_id % 5 + 1) * 600000 AS e
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT user_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM b),
+        |f AS (SELECT user_id, s, e,
+        |    CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nw FROM m),
+        |i AS (SELECT user_id, s, e,
+        |    sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+        |                  ROWS UNBOUNDED PRECEDING) AS island FROM f)
+        |SELECT user_id, CAST(min(s) AS BIGINT) AS span_start,
+        |  CAST(max(e) AS BIGINT) AS span_end, CAST(count(*) AS BIGINT) AS n_merged
+        |FROM i GROUP BY user_id, island ORDER BY user_id, span_start""".stripMargin,
+    // Streaks: day − row_number anchor, argmax (len DESC, start ASC).
+    "activity_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |           FROM events WHERE ts IS NOT NULL),
+        |a AS (SELECT user_id, day,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT)
+        |      AS anchor FROM d),
+        |runs AS (SELECT user_id, CAST(count(*) AS BIGINT) AS len,
+        |    min(day) AS start FROM a GROUP BY user_id, anchor),
+        |r AS (SELECT user_id, len, start,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY len DESC, start) AS rn
+        |  FROM runs)
+        |SELECT user_id, len AS streak_days,
+        |  strftime(start, '%Y-%m-%d') AS streak_start
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // Overlap join: the definitional inequality join (DuckDB plans its
     // own IEJoin for it) — max(starts) < min(ends), half-open.
     "interval_overlap_join" ->

@@ -1264,6 +1264,73 @@ object Analytics {
     * operators: non-negative values only (floor/truncate parity), dow =
     * epoch-days mod 7. */
   /**
+   * Coalesce overlapping-or-touching `[start, end)` intervals per key
+   * into maximal spans — the classic gaps-and-islands rewrite: a row
+   * starts a new island iff its start exceeds the running maximum of all
+   * PRECEDING ends (an exclusive window, so ties and containment are
+   * handled), islands are numbered by a running sum of those flags, and
+   * one aggregate per island yields the span. Touching intervals
+   * ([1,3) + [3,5)) merge — half-open adjacency has no gap.
+   *
+   * Scale shape: one key shuffle; both windows are per-key sized.
+   */
+  def coalesceIntervals(
+      df: DataFrame,
+      keyCol: String,
+      startCol: String,
+      endCol: String
+  ): DataFrame = {
+    val base = df.select(col(keyCol), col(startCol).cast("long").as("__s"),
+      col(endCol).cast("long").as("__e"))
+      .filter(col("__s").isNotNull && col("__e").isNotNull && col("__s") < col("__e"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__s"), col("__e"))
+    val prevMax = w.rowsBetween(Window.unboundedPreceding, -1)
+    val upToHere = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("__pm", max(col("__e")).over(prevMax))
+      .withColumn("__new",
+        when(col("__pm").isNull || col("__s") > col("__pm"), 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(upToHere))
+      .groupBy(col(keyCol), col("__island"))
+      .agg(min(col("__s")).as("span_start"), max(col("__e")).as("span_end"),
+        count(lit(1)).as("n_merged"))
+      .drop("__island")
+  }
+
+  /**
+   * Longest consecutive-day activity streak per entity — the
+   * gaps-and-islands trick on the calendar: over an entity's DISTINCT
+   * active days in order, `day − row_number` is constant exactly within
+   * a consecutive run, so one aggregate per (entity, anchor) yields the
+   * streaks and an argmax (longest, ties to the EARLIEST start) picks
+   * the answer. Integer/date arithmetic only.
+   *
+   * Scale shape: the distinct-day aggregate is the only event-sized
+   * shuffle; windows and aggregates run on (entity, day) grain.
+   */
+  def longestStreaks(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String
+  ): DataFrame = {
+    val days = events.filter(col(tsCol).isNotNull)
+      .select(col(entityCol), to_date(col(tsCol)).as("__day"))
+      .distinct()
+    val w = Window.partitionBy(col(entityCol)).orderBy(col("__day"))
+    days
+      .withColumn("__anchor",
+        date_sub(col("__day"), row_number().over(w)))
+      .groupBy(col(entityCol), col("__anchor"))
+      .agg(count(lit(1)).as("__len"), min(col("__day")).as("__start"))
+      .groupBy(col(entityCol))
+      .agg(max(struct(col("__len"),
+        (-datediff(col("__start"), lit("1970-01-01"))).as("__negd"))).as("__m"))
+      .select(col(entityCol), col("__m.__len").as("streak_days"),
+        date_add(lit("1970-01-01"), (-col("__m.__negd")).cast("int"))
+          .as("streak_start"))
+  }
+
+  /**
    * Exact quantile mapping (distribution calibration): re-express each
    * source value on the TARGET distribution's scale by rank — source
    * rank r of n_a maps to the target's ⌈r·n_b∕n_a⌉-th order statistic.

@@ -583,4 +583,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(self.forall { case (v, m) => Seq(1L, 5L, 9L).contains(m) })
     assert(self.count { case (v, m) => v == m } >= 2)
   }
+  test("coalesceIntervals / longestStreaks: brute-forced gaps-and-islands") {
+    // intervals: overlapping, touching, contained, disjoint
+    val iv = Seq(("a", 1L, 5L), ("a", 4L, 8L), ("a", 8L, 10L), ("a", 2L, 3L),
+      ("a", 20L, 25L), ("b", 1L, 2L), ("b", 3L, 4L)).toDF("k", "s", "e")
+    val spans = graft.operators.Analytics.coalesceIntervals(iv, "k", "s", "e")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(spans === Set(("a", 1L, 10L, 4L), ("a", 20L, 25L, 1L),
+      ("b", 1L, 2L, 1L), ("b", 3L, 4L, 1L))) // [1,2) and [3,4) have a gap
+    val base = java.sql.Date.valueOf("2024-05-01").getTime
+    def ts(d: Int) = new java.sql.Timestamp(base + d * 86400000L + 60000L)
+    // u1: runs of 3 (days 0-2) and 5 (days 10-14); u2: two runs of 2 — tie
+    // breaks to the EARLIEST (days 0-1 over days 5-6); duplicate events ok
+    val ev = (Seq(0, 1, 2, 10, 11, 12, 13, 14, 11).map(d => (1L, ts(d))) ++
+      Seq(0, 1, 5, 6).map(d => (2L, ts(d)))).toDF("u", "ts")
+    val got = graft.operators.Analytics.longestStreaks(ev, "u", "ts")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDate(2).toString))).toMap
+    assert(got === Map(1L -> ((5L, "2024-05-11")), 2L -> ((2L, "2024-05-01"))))
+  }
 }
