@@ -1580,6 +1580,18 @@ object SparkEntry {
         Seq("l_returnflag"))
         .orderBy(col("l_returnflag"))
     },
+    // ---- AMS/CMS join-size estimate: |orders ⋈ lineitem| on orderkey
+    // from two O(depth·width) sketches — min over depth rows of the
+    // counter dot product, always ≥ the true size. The cardinality
+    // primitive a planner consults before picking a join strategy,
+    // without touching either table at estimation time.
+    "cms_join_size" -> { (s, dir) =>
+      val sk = (tn: String, c: String) => graft.operators.Sketches.cmsSketch(
+        t(s, dir, tn).select(col(c).cast("string").as("k")), "k",
+        depth = 4, width = 1024)
+      graft.operators.Sketches.cmsJoinSize(
+        sk("orders", "o_orderkey"), sk("lineitem", "l_orderkey"))
+    },
     // ---- trailing-7-day distinct users per event type: the rolling
     // window nobody can afford exactly at scale — per-day register
     // sketches built once, window = register-max of the ≤7 daily
@@ -7355,6 +7367,23 @@ object SparkEntry {
         |GROUP BY key, phi_micro, nt ORDER BY key, phi_micro""".stripMargin,
     "hll_distinct" ->
       hllOracle("lineitem", "l_returnflag", "CAST(l_partkey AS VARCHAR)"),
+    // CMS join size: identical per-side sketches, min of row dot
+    // products — pure integer algebra on O(depth·width) frames.
+    "cms_join_size" ->
+      """WITH rows_ AS (SELECT unnest(range(4)) AS r),
+        |ca AS (SELECT r.r,
+        |    (('0x' || substring(md5('cms:' || CAST(r.r AS VARCHAR) || ':'
+        |        || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+        |      % 2147483647) % 1024 AS c, count(*) AS n
+        |  FROM orders CROSS JOIN rows_ r GROUP BY 1, 2),
+        |cb AS (SELECT r.r,
+        |    (('0x' || substring(md5('cms:' || CAST(r.r AS VARCHAR) || ':'
+        |        || CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT
+        |      % 2147483647) % 1024 AS c, count(*) AS n
+        |  FROM lineitem CROSS JOIN rows_ r GROUP BY 1, 2),
+        |dot AS (SELECT ca.r, CAST(sum(ca.n * cb.n) AS BIGINT) AS d
+        |        FROM ca JOIN cb ON ca.r = cb.r AND ca.c = cb.c GROUP BY 1)
+        |SELECT CAST(min(d) AS BIGINT) AS join_size_est FROM dot""".stripMargin,
     // Rolling distinct: same register construction, re-derived per
     // (key, active day) over the trailing 7-day window.
     "rolling_distinct_hll" -> {

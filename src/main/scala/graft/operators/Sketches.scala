@@ -618,6 +618,25 @@ object Sketches {
     a.unionByName(b).groupBy(col("r"), col("c")).agg(sum(col("n")).as("n"))
 
   /**
+   * Equi-join SIZE estimate from two [[cmsSketch]]es over the join key
+   * (Cormode & Muthukrishnan 2005, the AMS inner-product estimator):
+   * |A ⋈ B| = Σ_k f_A(k)·f_B(k) is estimated by the MINIMUM over depth
+   * rows of the row-wise counter dot product — always an OVERestimate of
+   * the true size (collisions only add), within εN_A·N_B with
+   * probability 1−δ. The cardinality-estimation primitive a planner
+   * consults before choosing a join strategy, computed without touching
+   * either table: the dot product runs on two O(depth·width) frames.
+   * Exact integer arithmetic — counter products must stay under 2^63
+   * (n_A·n_B per cell; coarsen width if both sides are astronomically
+   * skewed onto one cell).
+   */
+  def cmsJoinSize(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b.select(col("r"), col("c"), col("n").as("__nb")), Seq("r", "c"))
+      .groupBy(col("r"))
+      .agg(sum(col("n") * col("__nb")).as("__dot"))
+      .agg(min(col("__dot")).as("join_size_est"))
+
+  /**
    * Point-frequency estimates from a [[cmsSketch]]: for each probe value,
    * min over the depth rows of its counter — the classic CMS guarantee
    * (estimate ≥ true count always; ≤ true + εN with probability 1−δ for

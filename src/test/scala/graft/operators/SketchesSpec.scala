@@ -368,4 +368,19 @@ class SketchesSpec extends SparkSpec {
       assert(before === fresh)
     } finally spark.sql("DROP TABLE IF EXISTS spec_hll_str")
   }
+  test("cmsJoinSize: overestimates never undershoot; wide sketch is exact") {
+    val rnd = new scala.util.Random(61)
+    val aVals = (1 to 400).map(_ => rnd.nextInt(50).toLong)
+    val bVals = (1 to 300).map(_ => rnd.nextInt(50).toLong)
+    val trueSize = {
+      val bc = bVals.groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+      aVals.map(v => bc.getOrElse(v, 0L)).sum
+    }
+    def est(width: Int): Long = Sketches.cmsJoinSize(
+      Sketches.cmsSketch(aVals.toDF("v"), "v", depth = 4, width = width),
+      Sketches.cmsSketch(bVals.toDF("v"), "v", depth = 4, width = width))
+      .collect().head.getLong(0)
+    assert(est(16) >= trueSize)        // narrow: collisions only ADD
+    assert(est(4096) === trueSize)     // wide: 50 keys, no collisions
+  }
 }
