@@ -1041,6 +1041,20 @@ object SparkEntry {
         events(s, dir), "user_id", "ts", "value", ("event_type", "purchase"))
         .orderBy(col("user_id"))
     },
+    // ---- decile lift (gains chart): users ranked by total event value
+    // as the "score", label = made a purchase; exact population deciles
+    // via the range-partitioned global rank, integer lift vs base rate.
+    "decile_lift" -> { (s, dir) =>
+      val perUser = events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
+          .as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("label"))
+      graft.operators.Analytics.decileLift(
+        perUser, "user_id", col("score"), col("label"))
+        .orderBy(col("decile"))
+    },
     // ---- exact quantile mapping: view-event values re-expressed on the
     // purchase-value distribution by rank (⌈r·n_b∕n_a⌉-th order
     // statistic) — cross-corpus score calibration, integer throughout.
@@ -6640,6 +6654,28 @@ object SparkEntry {
         |FROM r ORDER BY user_id""".stripMargin,
     // Seasonality: same daily micro totals, dow = epoch-days mod 7,
     // integer floor divisions throughout (values filtered non-negative).
+    // Decile lift: identical (score DESC, id) ranks, identical bucket
+    // rule and integer lift arithmetic.
+    "decile_lift" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)
+        |      AS score,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS label
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |r AS (SELECT user_id, score, label,
+        |    row_number() OVER (ORDER BY score DESC, user_id) AS rk FROM u),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(label) AS BIGINT) AS pos FROM u),
+        |d AS (SELECT ((rk - 1) * 10) // n.n + 1 AS decile, label
+        |      FROM r CROSS JOIN n)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_entities,
+        |  CAST(sum(label) AS BIGINT) AS n_positive,
+        |  (CAST(sum(label) AS BIGINT) * n.n * 1000000)
+        |    // (CAST(count(*) AS BIGINT) * n.pos) AS lift_micro
+        |FROM d CROSS JOIN n
+        |WHERE n.pos > 0
+        |GROUP BY decile, n.n, n.pos ORDER BY decile""".stripMargin,
     // Quantile map: same row_number ranks (identical (value, id) source
     // tiebreak; target tie order is value-irrelevant) and identical
     // ceil-index arithmetic.

@@ -1264,6 +1264,46 @@ object Analytics {
     * operators: non-negative values only (floor/truncate parity), dow =
     * epoch-days mod 7. */
   /**
+   * Decile lift table (gains chart) — the standard scoring-model
+   * evaluation: entities ranked by score DESCENDING, cut into exact
+   * population deciles by the `((rank−1)·10) DIV n + 1` bucket rule
+   * (ties broken by entity id), and each decile's positive rate compared
+   * to the base rate: `lift_micro = (pos_d·n·10⁶) DIV (n_d·pos_total)`.
+   * All integer, so any engine reproduces the table bit-for-bit.
+   *
+   * Scale shape: the entity aggregate is the only input-sized shuffle;
+   * the ranking runs through the range-partitioned
+   * [[Dedup.withGlobalRank]] (no single-partition sort), and the decile
+   * aggregate is 10 rows joined with a broadcast totals row.
+   */
+  def decileLift(
+      scored: DataFrame,
+      idCol: String,
+      scoreCol: Column,
+      labelCol: Column
+  ): DataFrame = {
+    val base = scored.select(col(idCol).as("__id"),
+      scoreCol.cast("long").as("__s"),
+      labelCol.cast("long").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isin(0L, 1L))
+    val ranked = Dedup.withGlobalRank(
+      base, Seq(col("__s").desc, col("__id")), "__r")
+    val tot = broadcast(base.agg(
+      count(lit(1)).as("__n"), sum(col("__y")).as("__pos")))
+    ranked
+      .crossJoin(tot)
+      .withColumn("decile", expr("((__r - 1L) * 10L) DIV __n + 1L"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_entities"), sum(col("__y")).as("n_positive"),
+        first(col("__n")).as("__n"), first(col("__pos")).as("__pos"))
+      .filter(col("__pos") > 0L)
+      .withColumn("lift_micro",
+        expr("(n_positive * __n * 1000000L) DIV (n_entities * __pos)"))
+      .select(col("decile"), col("n_entities"), col("n_positive"),
+        col("lift_micro"))
+  }
+
+  /**
    * Coalesce overlapping-or-touching `[start, end)` intervals per key
    * into maximal spans — the classic gaps-and-islands rewrite: a row
    * starts a new island iff its start exceeds the running maximum of all

@@ -601,4 +601,20 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDate(2).toString))).toMap
     assert(got === Map(1L -> ((5L, "2024-05-11")), 2L -> ((2L, "2024-05-01"))))
   }
+  test("decileLift: exact buckets and integer lift on a hand case") {
+    // 20 entities, scores 100..81 descending by id; positives: the top 4
+    // and two in the bottom half -> top decile lift = (2*20*1e6)/(2*6)
+    val rows = (1 to 20).map(i =>
+      (i.toLong, (101 - i).toLong, if (i <= 4 || i == 15 || i == 18) 1L else 0L))
+    val got = graft.operators.Analytics.decileLift(
+      rows.toDF("id", "s", "y"), "id", functions.col("s"), functions.col("y"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // deciles of 2: d1 = ids 1,2 (both pos), d2 = ids 3,4 (both pos)
+    assert(got(1L) === ((2L, 2L, (2L * 20L * 1000000L) / (2L * 6L))))
+    assert(got(2L) === ((2L, 2L, (2L * 20L * 1000000L) / (2L * 6L))))
+    assert(got(3L) === ((2L, 0L, 0L)))
+    assert(got(8L) === ((2L, 1L, (1L * 20L * 1000000L) / (2L * 6L)))) // id 15
+    val sums = got.values.map(_._2).sum
+    assert(sums === 6L && got.size === 10)
+  }
 }
