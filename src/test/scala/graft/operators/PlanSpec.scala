@@ -668,4 +668,29 @@ class PlanSpec extends SparkSpec {
 
     assert(ov.count() > 0 && sk.count() > 0 && lpa.count() > 0 && ssp.count() > 0)
   }
+  test("closing-wave shapes: lift/quantile-map ranks stay range-partitioned, islands windows stay keyed") {
+    // decile lift: the global rank must ride the range-partition spelling —
+    // no data-sized SinglePartition stage (the <=P-row offset fold is upstream
+    // of a broadcast and collected, not a SinglePartition exchange here)
+    val scored = (1 to 3000).map(i => (i.toLong, (i * 37L) % 997, (i % 5 == 0)))
+      .toDF("id", "s", "b").withColumn("y", col("b").cast("long")).drop("b")
+    val lift = Analytics.decileLift(scored, "id", col("s"), col("y"))
+    val liftPlan = lift.queryExecution.executedPlan.toString
+    // the only SinglePartition allowed is the one-row totals aggregate
+    // (the Window present is the rank's, partitioned by the range pid —
+    // a global window would force a second SinglePartition and fail this)
+    assert("SinglePartition".r.findAllIn(liftPlan).size <= 1, liftPlan)
+    // quantile map: same contract (two one-row totals aggs)
+    val qm = Analytics.quantileMap(scored, "id", col("s"),
+      scored.select(col("s").as("t")), col("t"))
+    val qmPlan = qm.queryExecution.executedPlan.toString
+    assert("SinglePartition".r.findAllIn(qmPlan).size <= 2, qmPlan)
+    // interval coalesce: windows are keyed, never global
+    val iv = (1 to 2000).map(i => (i.toLong % 20, (i * 7L) % 5000, (i * 7L) % 5000 + 50))
+      .toDF("k", "s", "e")
+    val co = Analytics.coalesceIntervals(iv, "k", "s", "e")
+    assert(!co.queryExecution.executedPlan.toString.contains("SinglePartition"),
+      co.queryExecution.executedPlan.toString)
+    assert(lift.count() === 10L && qm.count() > 0 && co.count() > 0)
+  }
 }
