@@ -1055,6 +1055,19 @@ object SparkEntry {
         perUser, "user_id", col("score"), col("label"))
         .orderBy(col("decile"))
     },
+    // ---- exact ROC AUC (Mann–Whitney with midrank ties, pure integer
+    // on the doubled-rank grid): does total event value predict who
+    // purchases — the companion metric to decile_lift's gains table.
+    "auc_score" -> { (s, dir) =>
+      val perUser = events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
+          .as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("label"))
+      graft.operators.Analytics.aucScore(
+        perUser, "user_id", col("score"), col("label"))
+    },
     // ---- exact quantile mapping: view-event values re-expressed on the
     // purchase-value distribution by rank (⌈r·n_b∕n_a⌉-th order
     // statistic) — cross-corpus score calibration, integer throughout.
@@ -6654,6 +6667,28 @@ object SparkEntry {
         |FROM r ORDER BY user_id""".stripMargin,
     // Seasonality: same daily micro totals, dow = epoch-days mod 7,
     // integer floor divisions throughout (values filtered non-negative).
+    // AUC: identical per-score-group midranks (min+max row ranks — any
+    // intra-tie order gives the same pair) and integer U arithmetic.
+    "auc_score" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)
+        |      AS score,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS label
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |r AS (SELECT score, label,
+        |    row_number() OVER (ORDER BY score, user_id) AS rk FROM u),
+        |g AS (SELECT score, CAST(min(rk) AS BIGINT) AS minr,
+        |        CAST(max(rk) AS BIGINT) AS maxr,
+        |        CAST(sum(label) AS BIGINT) AS pos
+        |      FROM r GROUP BY 1),
+        |t AS (SELECT CAST(sum(pos * (minr + maxr)) AS BIGINT) AS s2,
+        |        CAST(sum(pos) AS BIGINT) AS n_pos,
+        |        CAST(sum(maxr - minr + 1 - pos) AS BIGINT) AS n_neg
+        |      FROM g)
+        |SELECT n_pos, n_neg,
+        |  ((s2 - n_pos * (n_pos + 1)) * 1000000) // (2 * n_pos * n_neg) AS auc_micro
+        |FROM t WHERE n_pos > 0 AND n_neg > 0""".stripMargin,
     // Decile lift: identical (score DESC, id) ranks, identical bucket
     // rule and integer lift arithmetic.
     "decile_lift" ->

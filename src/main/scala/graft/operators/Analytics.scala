@@ -1304,6 +1304,45 @@ object Analytics {
   }
 
   /**
+   * Exact ROC AUC via the Mann–Whitney U statistic with midrank tie
+   * correction, fully integer on the doubled-rank grid: rank all rows by
+   * score ascending (row ranks from the range-partitioned
+   * [[Dedup.withGlobalRank]]; ties take the midrank, computed per score
+   * group as `min_rank + max_rank` — already the ×2 midrank, and
+   * invariant to intra-tie order), then
+   * `auc_micro = (2·Σranks⁺ − n⁺(n⁺+1)) · 10⁶ DIV (2·n⁺·n⁻)` — the
+   * probability a random positive outranks a random negative. Bound:
+   * 2n²·10⁶ must stay under 2^63 (n ≲ 2·10⁶ entities; sample or
+   * pre-aggregate beyond).
+   *
+   * Scale shape: one row-rank pass + a score-grain aggregate + one-row
+   * totals; nothing wider than the score cardinality after the rank.
+   */
+  def aucScore(
+      scored: DataFrame,
+      idCol: String,
+      scoreCol: Column,
+      labelCol: Column
+  ): DataFrame = {
+    val base = scored.select(col(idCol).as("__id"),
+      scoreCol.cast("long").as("__s"), labelCol.cast("long").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isin(0L, 1L))
+    val ranked = Dedup.withGlobalRank(base, Seq(col("__s"), col("__id")), "__r")
+    val perScore = ranked.groupBy(col("__s"))
+      .agg(min(col("__r")).as("__minr"), max(col("__r")).as("__maxr"),
+        sum(col("__y")).as("__pos"))
+    perScore
+      .agg(
+        sum(col("__pos") * (col("__minr") + col("__maxr"))).as("__s2"),
+        sum(col("__pos")).as("n_pos"),
+        sum(col("__maxr") - col("__minr") + 1L - col("__pos")).as("n_neg"))
+      .filter(col("n_pos") > 0L && col("n_neg") > 0L)
+      .select(col("n_pos"), col("n_neg"),
+        expr("((__s2 - n_pos * (n_pos + 1L)) * 1000000L) DIV (2L * n_pos * n_neg)")
+          .as("auc_micro"))
+  }
+
+  /**
    * Coalesce overlapping-or-touching `[start, end)` intervals per key
    * into maximal spans — the classic gaps-and-islands rewrite: a row
    * starts a new island iff its start exceeds the running maximum of all

@@ -617,4 +617,33 @@ class AnalyticsSpec extends SparkSpec {
     val sums = got.values.map(_._2).sum
     assert(sums === 6L && got.size === 10)
   }
+  test("aucScore: matches brute-force pairwise AUC with tie half-credit") {
+    def brute(rows: Seq[(Long, Long)]): Double = {
+      val pos = rows.filter(_._2 == 1L).map(_._1)
+      val neg = rows.filter(_._2 == 0L).map(_._1)
+      val cmp = for (p <- pos; n <- neg)
+        yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0
+      cmp.sum / (pos.size * neg.size)
+    }
+    val rnd = new scala.util.Random(71)
+    for (trial <- 1 to 3) {
+      val rows = (1 to 300).map(i =>
+        (i.toLong, rnd.nextInt(20).toLong, // heavy ties
+          if (rnd.nextInt(100) < 20 + (i % 20) * 3) 1L else 0L))
+      val got = graft.operators.Analytics.aucScore(
+        rows.toDF("id", "s", "y"), "id", functions.col("s"), functions.col("y"))
+        .collect().head
+      val scored = rows.map(r => (r._2, r._3))
+      val expect = math.floor(brute(scored) * 1000000.0).toLong
+      // +-1 micro: brute goes through a double; the operator is pure integer
+      assert(math.abs(got.getLong(2) - expect) <= 1L, s"trial $trial: ${got.getLong(2)} vs $expect")
+      assert(got.getLong(0) === scored.count(_._2 == 1L).toLong)
+      assert(got.getLong(1) === scored.count(_._2 == 0L).toLong)
+    }
+    // perfect separation = exactly 1e6; reversed = 0
+    val perfect = Seq((1L, 1L, 0L), (2L, 2L, 0L), (3L, 3L, 1L), (4L, 4L, 1L))
+    assert(graft.operators.Analytics.aucScore(
+      perfect.toDF("id", "s", "y"), "id", functions.col("s"), functions.col("y"))
+      .collect().head.getLong(2) === 1000000L)
+  }
 }
