@@ -1068,6 +1068,22 @@ object SparkEntry {
       graft.operators.Analytics.aucScore(
         perUser, "user_id", col("score"), col("label"))
     },
+    // ---- two-sample KS separation of the same score: max CDF gap
+    // between purchasers and non-purchasers with the peak score — the
+    // credit-scoring KS, completing the lift/AUC/KS evaluation family.
+    "ks_score" -> { (s, dir) =>
+      // label = frequent purchaser (≥4): nearly every user purchases at
+      // least once, so the ≥1 label would leave no negative class
+      val perUser = events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
+          .as("score"),
+          when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 4L,
+            1L).otherwise(0L).as("label"))
+      graft.operators.Analytics.ksScore(
+        perUser, "user_id", col("score"), col("label"))
+    },
     // ---- exact quantile mapping: view-event values re-expressed on the
     // purchase-value distribution by rank (⌈r·n_b∕n_a⌉-th order
     // statistic) — cross-corpus score calibration, integer throughout.
@@ -6667,6 +6683,29 @@ object SparkEntry {
         |FROM r ORDER BY user_id""".stripMargin,
     // Seasonality: same daily micro totals, dow = epoch-days mod 7,
     // integer floor divisions throughout (values filtered non-negative).
+    // KS: cumulative class counts over the union score axis, one DIV
+    // per class, argmax gap with ties to the smallest score.
+    "ks_score" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)
+        |      AS score,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 4
+        |         THEN 1::BIGINT ELSE 0::BIGINT END AS label
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |g AS (SELECT score, CAST(sum(label) AS BIGINT) AS p,
+        |        CAST(sum(1 - label) AS BIGINT) AS q FROM u GROUP BY 1),
+        |c AS (SELECT score,
+        |    CAST(sum(p) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
+        |    CAST(sum(q) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn
+        |  FROM g),
+        |t AS (SELECT CAST(sum(label) AS BIGINT) AS np,
+        |        CAST(sum(1 - label) AS BIGINT) AS nn FROM u),
+        |k AS (SELECT c.score, abs(cp * 1000000 // np - cn * 1000000 // nn) AS gap
+        |      FROM c CROSS JOIN t),
+        |r AS (SELECT score, gap,
+        |    row_number() OVER (ORDER BY gap DESC, score) AS rn FROM k)
+        |SELECT t.np AS n_pos, t.nn AS n_neg, r.gap AS ks_micro, r.score AS at_score
+        |FROM r CROSS JOIN t WHERE r.rn = 1 AND t.np > 0 AND t.nn > 0""".stripMargin,
     // AUC: identical per-score-group midranks (min+max row ranks — any
     // intra-tie order gives the same pair) and integer U arithmetic.
     "auc_score" ->

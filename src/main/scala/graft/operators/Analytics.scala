@@ -1304,6 +1304,56 @@ object Analytics {
   }
 
   /**
+   * Two-sample Kolmogorov–Smirnov separation of a score — the
+   * credit-scoring "KS statistic": the maximum gap between the positive
+   * and negative score CDFs, with the score where it peaks (ties to the
+   * smallest score). Exact integers: within-class cumulative counts are
+   * per-score maxima of within-class row ranks (from the
+   * range-partitioned [[Dedup.withGlobalRank]]), gap-filled across the
+   * union score axis by the inclusive range-partitioned prefix-max —
+   * no single-partition stage anywhere — and each CDF lands on the 1e-6
+   * grid by one `DIV` per class.
+   */
+  def ksScore(
+      scored: DataFrame,
+      idCol: String,
+      scoreCol: Column,
+      labelCol: Column
+  ): DataFrame = {
+    val base = scored.select(col(idCol).as("__id"),
+      scoreCol.cast("long").as("__s"), labelCol.cast("long").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isin(0L, 1L))
+      .localCheckpoint() // feeds both class rank passes and the score axis
+    def classCum(flag: Long, out: String): DataFrame =
+      Dedup.withGlobalRank(
+        base.filter(col("__y") === flag).select(col("__s"), col("__id")),
+        Seq(col("__s"), col("__id")), "__r")
+        .groupBy(col("__s")).agg(max(col("__r")).as(out))
+    val axis = base.select(col("__s")).distinct()
+      .join(classCum(1L, "__cp"), Seq("__s"), "left")
+      .join(classCum(0L, "__cn"), Seq("__s"), "left")
+    val filled = Skyline.prefixMaxInclusiveGlobal(
+      Skyline.prefixMaxInclusiveGlobal(axis, col("__s"), "__cp", "__fp"),
+      col("__s"), "__cn", "__fn")
+    val tot = broadcast(base.agg(
+      sum(col("__y")).as("__np"),
+      sum(lit(1L) - col("__y")).as("__nn")))
+    filled.crossJoin(tot)
+      .filter(col("__np") > 0L && col("__nn") > 0L)
+      .withColumn("__gap",
+        abs(expr("coalesce(__fp, 0L) * 1000000L DIV __np") -
+          expr("coalesce(__fn, 0L) * 1000000L DIV __nn")))
+      .agg(max(struct(col("__gap"), (-col("__s")).as("__ns"))).as("__m"),
+        first(col("__np")).as("n_pos"), first(col("__nn")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        col("__m.__gap").as("ks_micro"), (-col("__m.__ns")).as("at_score"))
+      // a one-class input empties the pre-agg frame, and an ungrouped
+      // aggregate still emits one all-null row — drop it so the
+      // degenerate case is EMPTY, matching the definitional result
+      .filter(col("n_pos").isNotNull)
+  }
+
+  /**
    * Exact ROC AUC via the Mann–Whitney U statistic with midrank tie
    * correction, fully integer on the doubled-rank grid: rank all rows by
    * score ascending (row ranks from the range-partitioned

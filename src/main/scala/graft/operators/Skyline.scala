@@ -109,6 +109,37 @@ object Skyline {
     Bucketing.materializePlain(merged, table)
   }
 
+  /** INCLUSIVE running maximum sibling of [[prefixMinGlobal]] — same
+    * range-partition + per-partition-window + broadcast cross-partition
+    * fold, with max and current-row-inclusive frames (null values pass
+    * through `max`'s null-skipping, so gaps inherit the running value). */
+  private[graft] def prefixMaxInclusiveGlobal(
+      df: DataFrame,
+      orderCol: Column,
+      vCol: String,
+      outCol: String
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df
+      .repartitionByRange(p, orderCol)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val wp = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offDf = broadcast(
+      ranged.groupBy(col("__pid")).agg(max(col(vCol)).as("__m"))
+        .withColumn("__pmax", max(col("__m")).over(wp))
+        .drop("__m"))
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("__lm", max(col(vCol)).over(w))
+      .join(offDf, Seq("__pid"))
+      .withColumn(outCol, greatest(col("__lm"), col("__pmax")))
+      .drop("__pid", "__lm", "__pmax")
+  }
+
   /**
    * Exclusive running minimum of `vCol` in `orderCol` order with NO
    * single-partition window: range-partition on the order key, window

@@ -646,4 +646,28 @@ class AnalyticsSpec extends SparkSpec {
       perfect.toDF("id", "s", "y"), "id", functions.col("s"), functions.col("y"))
       .collect().head.getLong(2) === 1000000L)
   }
+  test("ksScore: matches brute-force two-sample KS with argmax tie to smallest score") {
+    def brute(rows: Seq[(Long, Long)]): (Long, Long) = {
+      val np = rows.count(_._2 == 1L).toLong
+      val nn = rows.count(_._2 == 0L).toLong
+      val scores = rows.map(_._1).distinct.sorted
+      val cands = scores.map { s =>
+        val cp = rows.count(r => r._2 == 1L && r._1 <= s).toLong
+        val cn = rows.count(r => r._2 == 0L && r._1 <= s).toLong
+        (math.abs(cp * 1000000L / np - cn * 1000000L / nn), s)
+      }
+      cands.maxBy { case (g, sc) => (g, -sc) }
+    }
+    val rnd = new scala.util.Random(83)
+    for (trial <- 1 to 3) {
+      val rows = (1 to 400).map(i =>
+        (i.toLong, rnd.nextInt(25).toLong,
+          if (rnd.nextInt(100) < 15 + (i % 25) * 3) 1L else 0L))
+      val got = graft.operators.Analytics.ksScore(
+        rows.toDF("id", "s", "y"), "id", functions.col("s"), functions.col("y"))
+        .collect().head
+      val (eg, es) = brute(rows.map(r => (r._2, r._3)))
+      assert((got.getLong(2), got.getLong(3)) === ((eg, es)), s"trial $trial")
+    }
+  }
 }
