@@ -1068,6 +1068,22 @@ object SparkEntry {
       graft.operators.Analytics.aucScore(
         perUser, "user_id", col("score"), col("label"))
     },
+    // ---- score-distribution drift (TVD over reference-decile value
+    // bins, the log-free PSI sibling): even-user scores as reference,
+    // odd-user scores as current — both binned by the SAME value
+    // cutoffs, so identical distributions read exactly zero.
+    "score_drift_tvd" -> { (s, dir) =>
+      val perUser = events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
+          .as("score"))
+      graft.operators.Analytics.scoreDriftTvd(
+        perUser.filter(col("user_id") % 2 === 0),
+        perUser.filter(col("user_id") % 2 === 1),
+        "user_id", col("score"))
+        .orderBy(col("bin"))
+    },
     // ---- two-sample KS separation of the same score: max CDF gap
     // between purchasers and non-purchasers with the peak score — the
     // credit-scoring KS, completing the lift/AUC/KS evaluation family.
@@ -6683,6 +6699,37 @@ object SparkEntry {
         |FROM r ORDER BY user_id""".stripMargin,
     // Seasonality: same daily micro totals, dow = epoch-days mod 7,
     // integer floor divisions throughout (values filtered non-negative).
+    // Drift: identical decile-cutoff derivation (rank rule, max per
+    // decile, DISTINCT values), identical binning and share arithmetic.
+    "score_drift_tvd" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)
+        |      AS score
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |ref AS (SELECT user_id, score FROM u WHERE user_id % 2 = 0),
+        |cur AS (SELECT user_id, score FROM u WHERE user_id % 2 = 1),
+        |r AS (SELECT score, row_number() OVER (ORDER BY score, user_id) AS rk FROM ref),
+        |nref AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ref),
+        |ncur AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cur),
+        |cuts AS (SELECT DISTINCT cut FROM (
+        |    SELECT ((rk - 1) * 10) // nref.n + 1 AS d, max(score) AS cut
+        |    FROM r CROSS JOIN nref GROUP BY 1, nref.n) WHERE d <= 9),
+        |rb AS (SELECT u2.user_id,
+        |    CAST(1 + (SELECT count(*) FROM cuts WHERE u2.score > cuts.cut) AS BIGINT)
+        |      AS bin FROM ref u2),
+        |cb AS (SELECT u3.user_id,
+        |    CAST(1 + (SELECT count(*) FROM cuts WHERE u3.score > cuts.cut) AS BIGINT)
+        |      AS bin FROM cur u3),
+        |ra AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_ref FROM rb GROUP BY 1),
+        |ca AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_cur FROM cb GROUP BY 1)
+        |SELECT COALESCE(ra.bin, ca.bin) AS bin,
+        |  COALESCE(ra.n_ref, 0) AS n_ref, COALESCE(ca.n_cur, 0) AS n_cur,
+        |  abs(COALESCE(ra.n_ref, 0) * 1000000 // nref.n
+        |    - COALESCE(ca.n_cur, 0) * 1000000 // ncur.n) AS gap_micro
+        |FROM ra FULL OUTER JOIN ca ON ra.bin = ca.bin
+        |  CROSS JOIN nref CROSS JOIN ncur
+        |WHERE nref.n > 0 AND ncur.n > 0
+        |ORDER BY bin""".stripMargin,
     // KS: cumulative class counts over the union score axis, one DIV
     // per class, argmax gap with ties to the smallest score.
     "ks_score" ->

@@ -1304,6 +1304,56 @@ object Analytics {
   }
 
   /**
+   * Score-distribution drift over reference-decile bins, measured by
+   * per-bin share gaps (their half-sum is the total-variation distance —
+   * the bounded, log-free sibling of PSI). Bin edges are the REFERENCE's
+   * exact decile cutoffs (rank rule `((r−1)·10) DIV n + 1`, cutoff = max
+   * score of deciles 1–9, from the range-partitioned rank), and BOTH
+   * samples are then binned by those VALUE cutoffs — identical samples
+   * land identically even under heavy ties, so zero drift reads exactly
+   * zero. All integer: shares on the 1e-6 grid, one DIV per side.
+   *
+   * Scale shape: one rank pass over the reference; binning is a
+   * broadcast join against ≤9 cutoff rows; output is ≤10 bins.
+   */
+  def scoreDriftTvd(
+      reference: DataFrame,
+      current: DataFrame,
+      idCol: String,
+      scoreCol: Column
+  ): DataFrame = {
+    def prep(df: DataFrame) = df
+      .select(col(idCol).as("__id"), scoreCol.cast("long").as("__s"))
+      .filter(col("__s").isNotNull)
+    val ref = prep(reference).localCheckpoint() // ranked AND re-binned
+    val cur = prep(current)
+    // DISTINCT cutoff values: tie-heavy references can repeat a cutoff
+    // across deciles, and a duplicated boundary must not double-count in
+    // the bin assignment — bins are value intervals, possibly fewer
+    // than 10 under ties
+    val cuts = broadcast(
+      Dedup.withGlobalRank(ref, Seq(col("__s"), col("__id")), "__r")
+        .crossJoin(broadcast(ref.agg(count(lit(1)).as("__n"))))
+        .withColumn("__d", expr("((__r - 1L) * 10L) DIV __n + 1L"))
+        .filter(col("__d") <= 9L)
+        .groupBy(col("__d")).agg(max(col("__s")).as("__cut"))
+        .select(col("__cut")).distinct())
+    def binned(df: DataFrame, out: String) = df
+      .join(cuts, df("__s") > cuts("__cut"), "left")
+      .groupBy(col("__id")).agg((count(col("__cut")) + 1L).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(out))
+    binned(ref, "n_ref")
+      .join(binned(cur, "n_cur"), Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .crossJoin(broadcast(ref.agg(count(lit(1)).as("__nr"))))
+      .crossJoin(broadcast(cur.agg(count(lit(1)).as("__nc"))))
+      .filter(col("__nr") > 0L && col("__nc") > 0L)
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        expr("abs(n_ref * 1000000L DIV __nr - n_cur * 1000000L DIV __nc)")
+          .as("gap_micro"))
+  }
+
+  /**
    * Two-sample Kolmogorov–Smirnov separation of a score — the
    * credit-scoring "KS statistic": the maximum gap between the positive
    * and negative score CDFs, with the score where it peaks (ties to the

@@ -670,4 +670,40 @@ class AnalyticsSpec extends SparkSpec {
       assert((got.getLong(2), got.getLong(3)) === ((eg, es)), s"trial $trial")
     }
   }
+  test("scoreDriftTvd: zero on identical samples, brute-forced on shifted ones") {
+    val rnd = new scala.util.Random(97)
+    val ref = (1 to 400).map(i => (i.toLong, rnd.nextInt(30).toLong))
+    val same = graft.operators.Analytics.scoreDriftTvd(
+      ref.toDF("id", "s"), ref.map(r => (r._1 + 10000L, r._2)).toDF("id", "s"),
+      "id", functions.col("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(same.forall(_._2 === 0L), same.mkString(","))
+    // shifted sample vs brute force over the same cutoff rule
+    val cur = (1 to 350).map(i => (i.toLong, rnd.nextInt(30).toLong + 5))
+    val got = graft.operators.Analytics.scoreDriftTvd(
+      ref.toDF("id", "s"), cur.toDF("id", "s"), "id", functions.col("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val sorted = ref.sortBy(r => (r._2, r._1))
+    val n = ref.size
+    val cutsByD = sorted.zipWithIndex
+      .map { case ((_, sc), i) => ((i.toLong * 10L) / n + 1L, sc) }
+      .filter(_._1 <= 9L).groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).max }
+    val cuts = cutsByD.values.toSeq.distinct.sorted
+    def bin(sc: Long) = cuts.count(c => sc > c).toLong + 1L
+    val rb = ref.groupBy(r => bin(r._2)).map { case (b, xs) => b -> xs.size.toLong }
+    val cb = cur.groupBy(r => bin(r._2)).map { case (b, xs) => b -> xs.size.toLong }
+    (rb.keySet ++ cb.keySet).foreach { b =>
+      val (nr, nc) = (rb.getOrElse(b, 0L), cb.getOrElse(b, 0L))
+      val gap = math.abs(nr * 1000000L / n - nc * 1000000L / cur.size)
+      assert(got(b) === ((nr, nc, gap)), s"bin $b")
+    }
+    // tie-heavy reference (3 distinct scores): duplicated decile cutoffs
+    // collapse to distinct value intervals, still zero on identical data
+    val ties = (1 to 300).map(i => (i.toLong, (i % 3).toLong))
+    val tied = graft.operators.Analytics.scoreDriftTvd(
+      ties.toDF("id", "s"), ties.map(t => (t._1 + 9000L, t._2)).toDF("id", "s"),
+      "id", functions.col("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(tied.length === 3 && tied.forall(_._2 === 0L), tied.mkString(","))
+  }
 }
