@@ -393,9 +393,11 @@ object Analytics {
    * via floor division). Returns ONE row `(n1, n2, d_num, d_micro)`.
    *
    * Scale shape: one (micro-value) count aggregate is the data-sized
-   * step; the cumulative window runs over DISTINCT values (bounded by
-   * sample size — pre-bucket the values to bound it further at extreme
-   * cardinalities).
+   * step; the cumulative pass over the DISTINCT-value axis runs through
+   * the range-partitioned [[Ranks.prefixSumsInclusiveGlobal]] — for
+   * continuous-valued data distinct micros ≈ n, so the axis is NOT
+   * bounded and must never ride a single-partition window (the same
+   * machinery its sibling [[ksScore]] uses).
    */
   def ksTest(
       df: DataFrame,
@@ -413,15 +415,11 @@ object Analytics {
         when(col(groupCol) === groupB, 1L).otherwise(0L).as("__ib"))
     val counts = s.groupBy(col("__vm"))
       .agg(sum(col("__ia")).as("__c1"), sum(col("__ib")).as("__c2"))
-    val cum = Window.orderBy(col("__vm"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    counts
-      .select(
-        sum(col("__c1")).over(cum).as("__cum1"),
-        sum(col("__c2")).over(cum).as("__cum2"),
-        sum(col("__c1")).over(all).as("__n1"),
-        sum(col("__c2")).over(all).as("__n2"))
+    val tot = broadcast(counts.agg(
+      sum(col("__c1")).as("__n1"), sum(col("__c2")).as("__n2")))
+    Ranks.prefixSumsInclusiveGlobal(
+      counts, col("__vm"), Seq("__c1", "__c2"), Seq("__cum1", "__cum2"))
+      .crossJoin(tot)
       .groupBy(col("__n1"), col("__n2"))
       .agg(max(abs(col("__n2") * col("__cum1") - col("__n1") * col("__cum2"))).as("d_num"))
       .select(col("__n1").as("n1"), col("__n2").as("n2"), col("d_num"),
@@ -1216,12 +1214,13 @@ object Analytics {
    * reproduces the scores bit-for-bit.
    *
    * Scale shape: the entity-grain aggregate is the only event-sized
-   * shuffle; the three quintile windows then run over ENTITY-sized rows.
-   * They are global (unpartitioned) windows — exact population quintiles
-   * need a total order — so at extreme entity cardinality swap the exact
-   * ranks for [[Sketches.rankSketchQuantiles]] cutoffs broadcast back;
-   * at warehouse-dimension scale (≤ hundreds of millions) the single
-   * slim-row sort task is the cheaper, exact choice.
+   * shuffle; the three quintile ranks then run over ENTITY-sized rows
+   * through the range-partitioned [[Ranks.withGlobalRank]] — exact
+   * population quintiles need a total order, but never a single-task
+   * sort: each pass range-partitions on its own score dimension and
+   * folds bounded per-partition offsets. At truly extreme entity
+   * cardinality the sketch path ([[Sketches.rankSketchQuantiles]]
+   * cutoffs broadcast back) trades exactness for one pass.
    */
   def rfmSegments(
       events: DataFrame,
@@ -1242,12 +1241,10 @@ object Analytics {
           .as("monetary_micro"))
     val maxDay = base.agg(
       max(col("__last")).as("__maxd"), count(lit(1)).as("__n"))
-    def score(orderBy: Seq[Column], name: String)(df: DataFrame): DataFrame = {
-      val w = Window.orderBy(orderBy: _*)
-      df.withColumn("__rk", row_number().over(w))
+    def score(orderBy: Seq[Column], name: String)(df: DataFrame): DataFrame =
+      Ranks.withGlobalRank(df, orderBy, "__rk")
         .withColumn(name, expr("((__rk - 1) * 5) DIV __n + 1"))
         .drop("__rk")
-    }
     val scored = base
       .join(broadcast(maxDay))
       .withColumn("recency_days", datediff(col("__maxd"), col("__last")).cast("long"))
@@ -1273,7 +1270,7 @@ object Analytics {
    *
    * Scale shape: the entity aggregate is the only input-sized shuffle;
    * the ranking runs through the range-partitioned
-   * [[Dedup.withGlobalRank]] (no single-partition sort), and the decile
+   * [[Ranks.withGlobalRank]] (no single-partition sort), and the decile
    * aggregate is 10 rows joined with a broadcast totals row.
    */
   def decileLift(
@@ -1286,7 +1283,7 @@ object Analytics {
       scoreCol.cast("long").as("__s"),
       labelCol.cast("long").as("__y"))
       .filter(col("__s").isNotNull && col("__y").isin(0L, 1L))
-    val ranked = Dedup.withGlobalRank(
+    val ranked = Ranks.withGlobalRank(
       base, Seq(col("__s").desc, col("__id")), "__r")
     val tot = broadcast(base.agg(
       count(lit(1)).as("__n"), sum(col("__y")).as("__pos")))
@@ -1332,7 +1329,7 @@ object Analytics {
     // the bin assignment — bins are value intervals, possibly fewer
     // than 10 under ties
     val cuts = broadcast(
-      Dedup.withGlobalRank(ref, Seq(col("__s"), col("__id")), "__r")
+      Ranks.withGlobalRank(ref, Seq(col("__s"), col("__id")), "__r")
         .crossJoin(broadcast(ref.agg(count(lit(1)).as("__n"))))
         .withColumn("__d", expr("((__r - 1L) * 10L) DIV __n + 1L"))
         .filter(col("__d") <= 9L)
@@ -1359,7 +1356,7 @@ object Analytics {
    * and negative score CDFs, with the score where it peaks (ties to the
    * smallest score). Exact integers: within-class cumulative counts are
    * per-score maxima of within-class row ranks (from the
-   * range-partitioned [[Dedup.withGlobalRank]]), gap-filled across the
+   * range-partitioned [[Ranks.withGlobalRank]]), gap-filled across the
    * union score axis by the inclusive range-partitioned prefix-max —
    * no single-partition stage anywhere — and each CDF lands on the 1e-6
    * grid by one `DIV` per class.
@@ -1375,15 +1372,15 @@ object Analytics {
       .filter(col("__s").isNotNull && col("__y").isin(0L, 1L))
       .localCheckpoint() // feeds both class rank passes and the score axis
     def classCum(flag: Long, out: String): DataFrame =
-      Dedup.withGlobalRank(
+      Ranks.withGlobalRank(
         base.filter(col("__y") === flag).select(col("__s"), col("__id")),
         Seq(col("__s"), col("__id")), "__r")
         .groupBy(col("__s")).agg(max(col("__r")).as(out))
     val axis = base.select(col("__s")).distinct()
       .join(classCum(1L, "__cp"), Seq("__s"), "left")
       .join(classCum(0L, "__cn"), Seq("__s"), "left")
-    val filled = Skyline.prefixMaxInclusiveGlobal(
-      Skyline.prefixMaxInclusiveGlobal(axis, col("__s"), "__cp", "__fp"),
+    val filled = Ranks.prefixMaxInclusiveGlobal(
+      Ranks.prefixMaxInclusiveGlobal(axis, col("__s"), "__cp", "__fp"),
       col("__s"), "__cn", "__fn")
     val tot = broadcast(base.agg(
       sum(col("__y")).as("__np"),
@@ -1407,7 +1404,7 @@ object Analytics {
    * Exact ROC AUC via the Mann–Whitney U statistic with midrank tie
    * correction, fully integer on the doubled-rank grid: rank all rows by
    * score ascending (row ranks from the range-partitioned
-   * [[Dedup.withGlobalRank]]; ties take the midrank, computed per score
+   * [[Ranks.withGlobalRank]]; ties take the midrank, computed per score
    * group as `min_rank + max_rank` — already the ×2 midrank, and
    * invariant to intra-tie order), then
    * `auc_micro = (2·Σranks⁺ − n⁺(n⁺+1)) · 10⁶ DIV (2·n⁺·n⁻)` — the
@@ -1427,7 +1424,7 @@ object Analytics {
     val base = scored.select(col(idCol).as("__id"),
       scoreCol.cast("long").as("__s"), labelCol.cast("long").as("__y"))
       .filter(col("__s").isNotNull && col("__y").isin(0L, 1L))
-    val ranked = Dedup.withGlobalRank(base, Seq(col("__s"), col("__id")), "__r")
+    val ranked = Ranks.withGlobalRank(base, Seq(col("__s"), col("__id")), "__r")
     val perScore = ranked.groupBy(col("__s"))
       .agg(min(col("__r")).as("__minr"), max(col("__r")).as("__maxr"),
         sum(col("__y")).as("__pos"))
@@ -1516,7 +1513,7 @@ object Analytics {
    * The quantile-normalization step of cross-corpus score calibration
    * ("this corpus's 90th-percentile quality = that corpus's 0.82"),
    * exact and integer throughout: ranks come from the range-partitioned
-   * [[Dedup.withGlobalRank]] (source ranks totally ordered by (value,
+   * [[Ranks.withGlobalRank]] (source ranks totally ordered by (value,
    * id) — documented tiebreak; target tie ranks are arbitrary but the
    * value AT a rank is the multiset order statistic, deterministic
    * regardless), and the index arithmetic is `(r·n_b + n_a − 1) DIV n_a`.
@@ -1535,8 +1532,8 @@ object Analytics {
       .filter(col("__v").isNotNull)
     val b = target.select(targetValueCol.cast("long").as("__bv"))
       .filter(col("__bv").isNotNull)
-    val aRanked = Dedup.withGlobalRank(a, Seq(col("__v"), col("__id")), "__r")
-    val bRanked = Dedup.withGlobalRank(b, Seq(col("__bv")), "__rb")
+    val aRanked = Ranks.withGlobalRank(a, Seq(col("__v"), col("__id")), "__r")
+    val bRanked = Ranks.withGlobalRank(b, Seq(col("__bv")), "__rb")
     aRanked
       .crossJoin(broadcast(a.agg(count(lit(1)).as("__na"))))
       .crossJoin(broadcast(b.agg(count(lit(1)).as("__nb"))))

@@ -39,43 +39,15 @@ object Dedup {
     if (files > 0 && files < target) df.repartition(target) else df
   }
 
-  /**
-   * Dense 1-based global rank over `sortCols` WITHOUT a single-partition
-   * window — the cluster spelling of `row_number().over(Window.orderBy(…))`:
-   * range-partition on the sort key, rank within each partition, then add
-   * per-partition cumulative offsets (one bounded ≤P-row driver aggregate,
-   * the zipWithIndex shape). Exactly the same ranks, but the sort runs on
-   * every core and no task ever holds more than its range slice. The
-   * range-partitioned base is localCheckpoint()ed because its boundaries
-   * come from SAMPLING — the counts job and the rank job must see the same
-   * row→partition assignment.
-   */
+  /** Dense 1-based global rank without a single-partition window — moved
+    * to the shared [[Ranks.withGlobalRank]] once Analytics' model-eval
+    * family started importing it; this alias keeps the historic call
+    * sites and specs stable. */
   private[graft] def withGlobalRank(
       df: DataFrame,
       sortCols: Seq[Column],
       rankCol: String
-  ): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df
-      .repartitionByRange(p, sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    val counts = ranged
-      .groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = counts.map { case (pid, n) => val o = (pid, acc); acc += n; o }
-    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
-    ranged
-      .withColumn("__lrn",
-        row_number().over(
-          Window.partitionBy(col("__pid")).orderBy(sortCols: _*)).cast("long"))
-      .join(offDf, Seq("__pid"))
-      .withColumn(rankCol, col("__lrn") + col("__off"))
-      .drop("__pid", "__lrn", "__off")
-  }
+  ): DataFrame = Ranks.withGlobalRank(df, sortCols, rankCol)
 
   /**
    * Exact dedup on a normalized-text fingerprint: one hash-groupBy shuffle.

@@ -109,77 +109,21 @@ object Skyline {
     Bucketing.materializePlain(merged, table)
   }
 
-  /** INCLUSIVE running maximum sibling of [[prefixMinGlobal]] — same
-    * range-partition + per-partition-window + broadcast cross-partition
-    * fold, with max and current-row-inclusive frames (null values pass
-    * through `max`'s null-skipping, so gaps inherit the running value). */
+  /** Moved to the shared [[Ranks.prefixMaxInclusiveGlobal]]; alias kept
+    * for the historic call sites and specs. */
   private[graft] def prefixMaxInclusiveGlobal(
       df: DataFrame,
       orderCol: Column,
       vCol: String,
       outCol: String
-  ): DataFrame = {
-    val spark = df.sparkSession
-    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df
-      .repartitionByRange(p, orderCol)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    val wp = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offDf = broadcast(
-      ranged.groupBy(col("__pid")).agg(max(col(vCol)).as("__m"))
-        .withColumn("__pmax", max(col("__m")).over(wp))
-        .drop("__m"))
-    val w = Window.partitionBy(col("__pid")).orderBy(orderCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged
-      .withColumn("__lm", max(col(vCol)).over(w))
-      .join(offDf, Seq("__pid"))
-      .withColumn(outCol, greatest(col("__lm"), col("__pmax")))
-      .drop("__pid", "__lm", "__pmax")
-  }
+  ): DataFrame = Ranks.prefixMaxInclusiveGlobal(df, orderCol, vCol, outCol)
 
-  /**
-   * Exclusive running minimum of `vCol` in `orderCol` order with NO
-   * single-partition window: range-partition on the order key, window
-   * within each partition, then fold in the exclusive cumulative minimum
-   * of all preceding partitions (a bounded ≤P-row driver aggregate,
-   * broadcast back). The ranged frame is localCheckpoint()ed because
-   * range boundaries come from sampling — the per-partition-min job and
-   * the window job must see the same row→partition assignment.
-   */
+  /** Moved to the shared [[Ranks.prefixMinGlobal]]; alias kept for the
+    * historic call sites and specs. */
   private[graft] def prefixMinGlobal(
       df: DataFrame,
       orderCol: Column,
       vCol: String,
       outCol: String
-  ): DataFrame = {
-    val spark = df.sparkSession
-    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df
-      .repartitionByRange(p, orderCol)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    // exclusive cumulative min of the per-partition minima: a ≤P-row
-    // frame (P = shuffle partitions — bounded by CONFIG, not data), so
-    // its one ordered window is a documented bounded shape; staying a
-    // DataFrame keeps vCol's exact type (no driver round-trip through
-    // double for long/decimal minima)
-    val wp = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offDf = broadcast(
-      ranged.groupBy(col("__pid")).agg(min(col(vCol)).as("__m"))
-        .withColumn("__pmin", min(col("__m")).over(wp))
-        .drop("__m"))
-    val w = Window.partitionBy(col("__pid")).orderBy(orderCol)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    ranged
-      .withColumn("__lm", min(col(vCol)).over(w))
-      .join(offDf, Seq("__pid"))
-      // least() ignores nulls: null __lm (partition head) / null __pmin
-      // (first partition) fall through; null+null = no predecessor
-      .withColumn(outCol, least(col("__lm"), col("__pmin")))
-      .drop("__pid", "__lm", "__pmin")
-  }
+  ): DataFrame = Ranks.prefixMinGlobal(df, orderCol, vCol, outCol)
 }

@@ -397,10 +397,14 @@ object StreamingOps {
       vocab: DatasetVocabulary = DatasetVocabulary.Default
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Scale-safe top-N: orderBy + limit plans as TakeOrderedAndProject
+    // (per-partition top-N, one bounded merge) — never a state-sized
+    // single-task rank window. Only the ≤n survivors then take their
+    // `place` from a window, a documented bounded (≤n-row) shape.
     val topN = currentState
-      .withColumn("__rank", row_number().over(Window.orderBy(scoreOrder: _*)))
-      .filter(col("__rank") <= n)
-      .withColumnRenamed("__rank", "place")
+      .orderBy(scoreOrder: _*)
+      .limit(n)
+      .withColumn("place", row_number().over(Window.orderBy(scoreOrder: _*)))
     MergeStrategy.Snapshot(primaryKey, vocab = vocab).merge(prevLedger, topN)
   }
 

@@ -693,4 +693,72 @@ class PlanSpec extends SparkSpec {
       co.queryExecution.executedPlan.toString)
     assert(lift.count() === 10L && qm.count() > 0 && co.count() > 0)
   }
+  test("round-14 purge: rfm quintiles, ksTest CDF, streaming top-N carry no data-sized single-task stage") {
+    // rfm: the three quintile ranks were the last data-sized unpartitioned
+    // windows — they now ride Ranks.withGlobalRank, so no rank may funnel
+    // the entity frame through one task (the <=P-row offset folds are
+    // collected driver aggregates, not SinglePartition exchanges; the only
+    // tolerated SinglePartition is the one-row maxDay broadcast aggregate)
+    val ev = (1 to 3000).map(i => (
+      s"u${i % 211}", "purchase",
+      java.sql.Timestamp.valueOf(f"2024-01-${i % 28 + 1}%02d 01:02:03"),
+      (i % 97).toDouble))
+      .toDF("user_id", "event_type", "ts", "value")
+    val rfm = Analytics.rfmSegments(ev, "user_id", "ts", "value",
+      targetType = ("event_type", "purchase"))
+    val rfmPlan = rfm.queryExecution.executedPlan.toString
+    assert("SinglePartition".r.findAllIn(rfmPlan).size <= 1, rfmPlan)
+    assert(!rfmPlan.contains("Coalesce 1"), rfmPlan)
+
+    // ksTest: the cumulative pass rides the DISTINCT micro-value axis —
+    // unbounded for continuous values, so it must range-partition (one
+    // SinglePartition allowed: the one-row totals aggregate)
+    val ks = Analytics.ksTest(ev.withColumn("g",
+      when(col("value") < 50, "a").otherwise("b")), "value", "g", "a", "b")
+    val ksPlan = ks.queryExecution.executedPlan.toString
+    // two bounded SinglePartition stages tolerated: the one-row totals
+    // aggregate and the <=P-row cross-partition fold of the prefix sums
+    // — the data-sized cumulative window itself is partitioned by __pid
+    assert("SinglePartition".r.findAllIn(ksPlan).size <= 2, ksPlan)
+
+    // streaming top-N: orderBy+limit must plan as TakeOrderedAndProject
+    // (per-partition top-N + bounded merge), never a state-sized rank
+    // window feeding a filter
+    val state = (1 to 5000).map(i => (i.toLong, (i * 37L) % 4993))
+      .toDF("player", "score")
+    val topn = graft.streaming.StreamingOps.topNRetractions(
+      None, state, n = 10, scoreOrder = Seq(col("score").desc, col("player")),
+      primaryKey = Seq("player"))
+    val topnPlan = topn.queryExecution.executedPlan.toString
+    assert(topnPlan.contains("TakeOrderedAndProject"), topnPlan)
+
+    // cross-check the purged shapes against the single-window spellings
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("player"))
+    val wantTop = state.withColumn("place", row_number().over(wAll))
+      .filter(col("place") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val gotTop = topn.select(col("player"), col("score"), col("place"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(gotTop === wantTop)
+    assert(rfm.count() === 211L && ks.count() === 1L)
+  }
+
+  test("prefixSumsInclusiveGlobal equals the single-window spelling, multi-column, one range shuffle") {
+    val df = (1 to 700).map(i => ((i * 37L) % 997, (i % 5).toLong, (i % 3).toLong))
+      .toDF("o", "a", "b")
+    val got = Ranks.prefixSumsInclusiveGlobal(df, col("o"), Seq("a", "b"), Seq("ca", "cb"))
+    val plan = got.queryExecution.executedPlan.toString
+    // the only SinglePartition is the <=P-row per-partition-totals fold
+    // (bounded by CONFIG); the data-sized window is partitioned by __pid
+    assert("SinglePartition".r.findAllIn(plan).size <= 1, plan)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("o"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // ties on `o` make row-frame prefix sums order-dependent — the fixture
+    // is tie-free (37 coprime to 997, 700 < 997 distinct values)
+    val want = df.withColumn("ca", sum(col("a")).over(w))
+      .withColumn("cb", sum(col("b")).over(w))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    assert(got.select(col("o"), col("ca"), col("cb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === want)
+  }
 }
