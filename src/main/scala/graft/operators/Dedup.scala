@@ -98,8 +98,12 @@ object Dedup {
       .select(col("ida"), col("ta"), (col("__rn") + col("__o")).as("__rnb"))
       .join(ranked.select(col("__id").as("idb"), col("__t").as("tb"),
         col("__rn").as("__rnb")), Seq("__rnb"))
-      .withColumn("dist", levenshtein(col("ta"), col("tb")))
-      .filter(col("dist") <= maxDist)
+      // length-delta prefilter (dist >= |len(a)-len(b)| always) + the
+      // banded threshold form: O(len·τ) with early exit vs the full
+      // O(len²) DP, returning −1 above maxDist — filtered by `>= 0`
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(least(col("ida"), col("idb")).as("id_a"),
         greatest(col("ida"), col("idb")).as("id_b"), col("dist"))
   }
@@ -254,8 +258,11 @@ object Dedup {
       .distinct()
       .join(base.select(col("__id").as("id_a"), col("__t").as("__ta")), Seq("id_a"))
       .join(base.select(col("__id").as("id_b"), col("__t").as("__tb")), Seq("id_b"))
-      .withColumn("dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
-      .filter(col("dist") <= tau.toLong)
+      // length-delta prefilter + banded threshold levenshtein (−1 above
+      // τ, filtered by `>= 0`): O(len·τ) per surviving candidate
+      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= tau)
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb"), tau).cast("long"))
+      .filter(col("dist") >= 0L && col("dist") <= tau.toLong)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
@@ -903,10 +910,12 @@ object Dedup {
    * engine, so the stage is bit-checkable.
    *
    * Scale shape: texts join onto the (bounded) candidate pair set — NEVER
-   * all pairs; per-pair cost is O(|a|·|b|), so this is the verify tier for
-   * short fields (titles, lines, URLs) or as the FINAL filter after
-   * cheaper tiers pruned the candidates. `maxLen` hard-caps the quadratic
-   * per-pair work; longer texts compare a prefix (documented FAISS-style
+   * all pairs; per-pair cost is the BANDED O(len·τ) threshold DP
+   * (τ = ⌈(1−minSim)·maxLen⌉ bounds every keepable pair's distance, so
+   * the threshold form's early exit is loss-free), making this the verify
+   * tier for short fields (titles, lines, URLs) or the FINAL filter after
+   * cheaper tiers pruned the candidates. `maxLen` hard-caps per-pair
+   * work; longer texts compare a prefix (documented FAISS-style
    * truncation, deterministic).
    */
   def editDistanceVerify(
@@ -920,15 +929,23 @@ object Dedup {
     val t = ensureParallelism(docs).select(
       col(idCol).as("__jid"),
       substring(coalesce(col(textCol), lit("")), 1, maxLen).as("__t"))
+    // A kept pair needs dist <= (1−minSim)·mx and mx <= maxLen, so a
+    // GLOBAL integer threshold bounds every survivor; ceil + 1 absorbs
+    // the FP boundary. The banded threshold levenshtein then runs
+    // O(len·τ) with early exit (−1 above τ, filtered by `dist >= 0` —
+    // sim computed from a −1 would exceed 1 and wrongly pass), and the
+    // length-delta prefilter (dist >= mx−mn always) is free before it.
+    val tauG = math.min(maxLen, math.ceil((1.0 - minSim) * maxLen).toInt + 1)
     pairs
       .join(t.withColumnRenamed("__jid", "id_a").withColumnRenamed("__t", "t_a"), "id_a")
       .join(t.withColumnRenamed("__jid", "id_b").withColumnRenamed("__t", "t_b"), "id_b")
-      .withColumn("dist", levenshtein(col("t_a"), col("t_b")).cast("long"))
+      .filter(abs(length(col("t_a")) - length(col("t_b"))) <= tauG)
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), tauG).cast("long"))
       .withColumn("__mx", greatest(length(col("t_a")), length(col("t_b"))).cast("long"))
       .withColumn("sim",
         when(col("__mx") === 0L, lit(1.0))
           .otherwise(lit(1.0) - col("dist").cast("double") / col("__mx").cast("double")))
-      .filter(col("sim") >= minSim)
+      .filter(col("dist") >= 0L && col("sim") >= minSim)
       .select(col("id_a"), col("id_b"), col("dist"), col("sim"))
   }
 

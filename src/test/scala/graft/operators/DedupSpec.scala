@@ -594,4 +594,24 @@ class DedupSpec extends SparkSpec {
       assert(got === expect, s"tau=$tau")
     }
   }
+  test("threshold levenshtein contract: −1-above-threshold rows are filtered, never kept") {
+    // sortedNeighborhood: an adjacent pair at distance 2 must vanish at
+    // maxDist = 1 (the threshold form returns −1 there, which would sort
+    // below any real distance if unfiltered — it must simply be absent)
+    val docs = Seq((1L, "abcde"), (2L, "abcdX"), (3L, "abXYZ")).toDF("doc_id", "text")
+    val sn1 = Dedup.sortedNeighborhood(docs, "doc_id", "text", windowSize = 3, maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(sn1 === Map((1L, 2L) -> 1))
+
+    // editDistanceVerify: with maxLen = 4 and minSim = 0.5 the global
+    // threshold is 3, so a distance-4 pair hits the −1 path; an
+    // unfiltered −1 would compute sim = 1 − (−1)/4 = 1.25 and WRONGLY
+    // pass the sim floor — the pair must be absent instead
+    val far = Seq((1L, "abcd"), (2L, "wxyz"), (3L, "abcz")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.editDistanceVerify(pairs, far, "doc_id", "text",
+      minSim = 0.5, maxLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map((1L, 3L) -> 1L))
+  }
 }
