@@ -101,12 +101,19 @@ object Bench {
       }
       val t1 = once()
       val t2 = if (errors.contains(name)) t1 else once()
-      // Two runs disagreeing >3x means one absorbed host noise or a
-      // one-time JIT — take a tie-breaking third run and report the min.
+      // Disagreeing runs mean one absorbed host noise or a one-time JIT —
+      // take a tie-breaking third run and report the min. The tolerance
+      // scales with entry weight: entries over a second get a third run at
+      // 1.3x disagreement (they dominate the total and their flags have
+      // cost the last three rounds a re-adjudication each), sub-second
+      // entries at 3x (their absolute jitter is cheap to re-run but cheap
+      // to ignore too).
+      val ratio = if (math.min(t1, t2) > 1.0) 1.3 else 3.0
       val t3 =
-        if (!errors.contains(name) && math.max(t1, t2) > 3.0 * math.min(t1, t2)) once()
+        if (!errors.contains(name) && math.max(t1, t2) > ratio * math.min(t1, t2)) once()
         else Double.MaxValue
-      name -> Seq(t1, t2, t3).min
+      val runs = if (t3 != Double.MaxValue) 3 else if (errors.contains(name)) 1 else 2
+      name -> (Seq(t1, t2, t3).min, runs)
     }
 
     def q(s: String): String = "\"" + s.flatMap {
@@ -116,11 +123,12 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c            => c.toString
     } + "\""
-    val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, (v, _)) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val runsJson = results.map { case (k, (_, r)) => s"${q(k)}:$r" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2._1).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${q(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errs,"sf":${q(sfDir)}}"""
 
     // A subset run must never overwrite the committed full-run record with
     // a partial one of identical shape.
