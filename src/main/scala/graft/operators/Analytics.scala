@@ -788,19 +788,19 @@ object Analytics {
   /** Rewrite the fact table with its delta generations folded (pair/item
     * rows summed per key, guard rows deduped) — read-side maintenance when
     * many appends have accumulated; stats are identical before and after.
-    * Uses the standing drop-and-rewrite swap: a crash mid-swap loses the
-    * table LOUDLY (next read fails), never silently corrupts counts. */
+    * Rides the staged [[Bucketing.swapInPlain]]: a crash at any point
+    * leaves either the old or the folded table, never neither. */
   def compactBasketTables(
       spark: org.apache.spark.sql.SparkSession,
       table: String
   ): Unit = {
+    Bucketing.recoverSwap(spark, s"${table}_facts")
     val folded = spark.table(s"${table}_facts")
       .groupBy(col("kind"), col("a"), col("b"))
       .agg(sum(col("n")).as("n"))
       .select(col("kind"), col("a"), col("b"),
         when(col("kind") === "basket", lit(1L)).otherwise(col("n")).as("n"))
-      .localCheckpoint() // materialize BEFORE the swap drops the table it reads
-    Bucketing.materializePlain(folded, s"${table}_facts")
+    Bucketing.swapInPlain(folded, s"${table}_facts")
   }
 
   /** Support/confidence/lift from the maintained basket fact table — the

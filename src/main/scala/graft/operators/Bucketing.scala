@@ -207,6 +207,40 @@ object Bucketing {
     spark.sql(s"ALTER TABLE `$from` RENAME TO `$to`")
   }
 
+  /**
+   * Crash-safe in-place rewrite of a managed table from a frame DERIVED
+   * FROM that same table (the maintained-table fold shape: skyline
+   * frontiers, SCD2 generation folds, HLL register maxes, rank-sketch
+   * folds, basket fact sums). [[materializePlain]] alone is NOT safe
+   * here: DROP-then-save leaves a window where the only copy of the
+   * accumulated state is the in-flight write — a driver crash loses the
+   * table. This stages the new content into `{table}_swap_tmp` FIRST
+   * (while the source table still exists, so the plan reads it
+   * normally — no checkpoint needed), then DROP + RENAME. A crash
+   * before the DROP leaves the old table (stale tmp is overwritten next
+   * time); a crash between DROP and RENAME is completed by
+   * [[recoverSwap]] on the next maintenance call — the same recovery
+   * contract as [[compactTable]] and the streaming rollup swap.
+   */
+  def swapInPlain(df: DataFrame, table: String): Unit = {
+    require(!table.contains("."),
+      s"swapInPlain takes an unqualified table name, got '$table'")
+    val spark = df.sparkSession
+    val tmp = s"${table}_swap_tmp"
+    materializePlain(df, tmp)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    renameInto(spark, tmp, table)
+  }
+
+  /** Complete an interrupted [[swapInPlain]] (crash between its DROP and
+    * RENAME): call before reading a swap-maintained table. No-op when the
+    * table is healthy. */
+  def recoverSwap(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val tmp = s"${table}_swap_tmp"
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp))
+      renameInto(spark, tmp, table)
+  }
+
   /** Unbucketed sibling of [[materializeBucketed]] — same drop + stale-
     * location cleanup — for the small side tables an index keeps beside its
     * bucketed corpus (cell statistics, root remaps). */

@@ -173,7 +173,9 @@ object Changelog {
    * the guard) or none of it (retry is the first real ingest) — the same
    * two-regime contract as the basket fact table. Batches must carry each
    * key's changelog rows in per-key ascending offsets later than any
-   * already-ingested offsets for that key (any real ledger slice does).
+   * already-ingested offsets for that key (any real ledger slice does) —
+   * ASSERTED per tick with one O(batch) count, because a violation would
+   * otherwise corrupt validity intervals silently.
    */
   def appendToScd2(
       batch: DataFrame,
@@ -184,6 +186,7 @@ object Changelog {
   ): Unit = {
     val spark = batch.sparkSession
     val tname = s"${table}_scd2"
+    Bucketing.recoverSwap(spark, tname) // complete an interrupted compactScd2
     val stored = spark.table(tname)
     val hwm = stored.agg(max(col("__gen"))).collect()
       .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
@@ -192,6 +195,20 @@ object Changelog {
     val keys = batch.select(primaryKey.map(col): _*).distinct()
     val open = foldScd2(stored.join(keys, primaryKey, "left_semi"), primaryKey)
       .filter(col("is_current") === 1L)
+      .localCheckpoint() // feeds the contract check AND the pseudo-ledger
+    // Ordering contract (cheap, O(batch)): every batch row's offset must
+    // exceed its key's stored open-version identity, or the pseudo-ledger
+    // rows would no longer sort before the batch rows in the scd2 window
+    // and the tick would SILENTLY produce wrong validity intervals.
+    val violations = batch
+      .join(open.select(primaryKey.map(col) :+ col("__vid"): _*), primaryKey)
+      .filter(col(vocab.offsetColumn) <= col("__vid"))
+      .count()
+    require(violations == 0L,
+      s"appendToScd2($table, batch $batchId): $violations batch row(s) carry " +
+        s"offsets <= their key's stored open-version offset — batches must " +
+        s"bring each key's changelog rows at offsets later than anything " +
+        s"already ingested for that key")
     val keep = stored.columns.toSeq
       .filterNot(Set("valid_from", "valid_to", "is_current", "__vid", "__gen").contains)
     val pseudo = open.select(keep.map(col) ++ Seq(
@@ -207,16 +224,22 @@ object Changelog {
 
   /** Rewrite `{table}_scd2` with generations folded — read-side
     * maintenance after many appends; [[readScd2Table]] is identical
-    * before and after. Standing drop-and-rewrite swap: a crash mid-swap
-    * loses the table LOUDLY, never silently corrupts versions. */
+    * before and after. Rides the staged [[Bucketing.swapInPlain]]: a
+    * crash at any point leaves either the old or the folded table.
+    * Single-writer contract (shared with [[appendToScd2]]'s `max(__gen)`
+    * guard): maintenance calls must not interleave — the append reads
+    * the table the compactor swaps, so run compaction from the same
+    * serialized maintenance loop as the ticks, never concurrently. */
   def compactScd2(
       spark: org.apache.spark.sql.SparkSession,
       table: String,
       primaryKey: Seq[String]
-  ): Unit =
-    Bucketing.materializePlain(
-      foldScd2(spark.table(s"${table}_scd2"), primaryKey).localCheckpoint(),
+  ): Unit = {
+    Bucketing.recoverSwap(spark, s"${table}_scd2")
+    Bucketing.swapInPlain(
+      foldScd2(spark.table(s"${table}_scd2"), primaryKey),
       s"${table}_scd2")
+  }
 
   /**
    * Point-in-time join: each fact row picks up the [[scd2]] dimension

@@ -30,13 +30,35 @@ object Dedup {
    */
   private[graft] def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // Gate on the FILE count, not df.rdd.getNumPartitions: touching .rdd
-    // forces full physical planning of the frame just to read a partition
-    // count. inputFiles only resolves the file index; a derived frame
-    // (inputFiles empty, or more files than cores) has already been through
-    // a shuffle at spark.sql.shuffle.partitions and is left untouched.
-    val files = df.inputFiles.length
-    if (files > 0 && files < target) df.repartition(target) else df
+    // Cheap LOGICAL-plan inspection only — touching .rdd would force full
+    // physical planning just to read a partition count. Three regimes:
+    //  - bare file scan (Project/Filter over a relation): gate on the
+    //    file count; few files would serialize the hash pipeline.
+    //  - bare checkpointed RDD (the localCheckpoint frames the operators
+    //    hand around): its partition count is already materialized on the
+    //    RDD — read it directly, no planning.
+    //  - anything derived (joins/aggregates upstream): left untouched —
+    //    it has been through a shuffle at spark.sql.shuffle.partitions,
+    //    and repartitioning a 100 TB derived frame to defaultParallelism
+    //    would be a catastrophic extra shuffle.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
+    def leaf(p: LogicalPlan): LogicalPlan = p match {
+      case pr: Project       => leaf(pr.child)
+      case f: Filter         => leaf(f.child)
+      case s: SubqueryAlias  => leaf(s.child)
+      case other             => other
+    }
+    leaf(df.queryExecution.analyzed) match {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation |
+          _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        val files = df.inputFiles.length
+        if (files > 0 && files < target) df.repartition(target) else df
+      case r: org.apache.spark.sql.execution.ExternalRDD[_] =>
+        if (r.rdd.getNumPartitions < target) df.repartition(target) else df
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        if (r.rdd.getNumPartitions < target) df.repartition(target) else df
+      case _ => df
+    }
   }
 
   /** Dense 1-based global rank without a single-partition window — moved

@@ -462,9 +462,12 @@ object Sketches {
   }
 
   /** Fold the accumulated per-tick generations back to one (register-max
-    * rewrite, value-identical reads before and after). */
-  def compactHllTable(spark: org.apache.spark.sql.SparkSession, table: String): Unit =
-    Bucketing.materializePlain(readHllTable(spark, table).localCheckpoint(), table)
+    * rewrite, value-identical reads before and after; crash-safe via the
+    * staged [[Bucketing.swapInPlain]]). */
+  def compactHllTable(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    Bucketing.recoverSwap(spark, table)
+    Bucketing.swapInPlain(readHllTable(spark, table), table)
+  }
 
   // ------------------------------------------------------------- Bloom filter
 
@@ -630,11 +633,21 @@ object Sketches {
    * (n_A·n_B per cell; coarsen width if both sides are astronomically
    * skewed onto one cell).
    */
-  def cmsJoinSize(a: DataFrame, b: DataFrame): DataFrame =
-    a.join(b.select(col("r"), col("c"), col("n").as("__nb")), Seq("r", "c"))
+  def cmsJoinSize(a: DataFrame, b: DataFrame): DataFrame = {
+    val dots = a
+      .join(b.select(col("r"), col("c"), col("n").as("__nb")), Seq("r", "c"))
       .groupBy(col("r"))
       .agg(sum(col("n") * col("__nb")).as("__dot"))
-      .agg(min(col("__dot")).as("join_size_est"))
+    // A depth row with NO common occupied cells has dot product 0 — it
+    // must participate in the min as 0, not vanish from the inner join:
+    // fully disjoint sketches estimate 0, and a partially disjoint pair
+    // must not skip its tightest (zero) row. The depth axis is the union
+    // of both sketches' occupied rows (every value hashes into every
+    // depth row, so any non-empty sketch covers the full axis).
+    a.select(col("r")).union(b.select(col("r"))).distinct()
+      .join(dots, Seq("r"), "left")
+      .agg(min(coalesce(col("__dot"), lit(0L))).as("join_size_est"))
+  }
 
   /**
    * Point-frequency estimates from a [[cmsSketch]]: for each probe value,
@@ -930,12 +943,13 @@ object Sketches {
     * the level row stays single, samples pass through, and the 'b' guard
     * rows are KEPT (replay detection of already-ingested batch ids must
     * survive compaction). [[rankSketchQuantiles]] is identical before and
-    * after — it sums 'n' rows anyway — and the rewrite rides the standing
-    * drop-and-rewrite swap on sketch-sized (sample + guards) state. */
+    * after — it sums 'n' rows anyway — and the rewrite rides the staged
+    * [[Bucketing.swapInPlain]] on sketch-sized (sample + guards) state. */
   def compactRankSketchTable(
       spark: org.apache.spark.sql.SparkSession,
       table: String
   ): Unit = {
+    Bucketing.recoverSwap(spark, table)
     val t = spark.table(table)
     val lvl = rankSketchLevel(t)
     val folded = t.filter(col("kind") === "s" || col("kind") === "b")
@@ -947,7 +961,6 @@ object Sketches {
         .select(lit("l").as("kind"), lit(null).cast("double").as("value"),
           lit(null).cast("string").as("tie"), lit(lvl.toLong).as("n")))
       .select(t.columns.map(col).toSeq: _*)
-      .localCheckpoint() // sketch-sized; materialize before the swap
-    Bucketing.materializePlain(folded, table)
+    Bucketing.swapInPlain(folded, table)
   }
 }

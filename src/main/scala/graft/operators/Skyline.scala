@@ -83,14 +83,16 @@ object Skyline {
    * `skyline(A ∪ B) = skyline(skyline(A) ∪ B)` — a frontier point of the
    * union is undominated within A alone, so it already lives in the
    * stored frontier — which makes each tick O(frontier + batch), never a
-   * rescan of history. GUARD-FREE crash safety: once a batch is
+   * rescan of history. GUARD-FREE replay safety: once a batch is
    * absorbed, re-folding it is the identity (`skyline(S ∪ B) = S`), so
    * replays need no batch ledger — the same idempotence class as the
    * HLL/Bloom appends. Rows must carry an identity column (any unique
    * key): the union dedupes by FULL ROW, so a replayed row (identical
    * including its id) collapses while genuine coordinate twins (distinct
-   * ids, both legitimately on the frontier) survive. The frontier is
-   * rewritten via the standing swap (staircase-sized, not data-sized).
+   * ids, both legitimately on the frontier) survive. The frontier
+   * rewrite rides [[Bucketing.swapInPlain]] (staircase-sized, staged
+   * into `_swap_tmp` then swapped), so a driver crash at ANY point
+   * leaves either the old or the new frontier — never neither.
    */
   def appendToSkyline(
       batch: DataFrame,
@@ -100,13 +102,13 @@ object Skyline {
       groupCols: Seq[String] = Nil
   ): Unit = {
     val spark = batch.sparkSession
+    Bucketing.recoverSwap(spark, table)
     val stored = spark.table(table)
     val merged = skyline2d(
       stored.unionByName(batch.select(stored.columns.map(col).toSeq: _*))
         .distinct(),
       xCol, yCol, groupCols)
-      .localCheckpoint() // materialize BEFORE the swap drops the table it reads
-    Bucketing.materializePlain(merged, table)
+    Bucketing.swapInPlain(merged, table)
   }
 
   /** Moved to the shared [[Ranks.prefixMaxInclusiveGlobal]]; alias kept

@@ -61,9 +61,13 @@ object Temporal {
    * the matches is needed.
    *
    * `binWidth` trades fan-out for candidate precision: cells per row =
-   * ⌈len/binWidth⌉ + 1, so pick it near the typical interval length.
-   * Times are plain longs (epoch millis/micros — caller's grid); both
-   * inputs' non-key columns survive, left's under their own names.
+   * ⌈len/binWidth⌉ + 1, so pick it near the typical interval length — an
+   * interval longer than `maxCellsPerRow` bins fails FAST (a mis-sized
+   * binWidth would otherwise explode quietly into a row-amplification
+   * storm). Times are plain longs (epoch millis/micros — caller's grid).
+   * Both inputs' non-key columns survive under their own names, so they
+   * must be DISJOINT across the two sides (checked up front — a silent
+   * duplicate column name would fail only on the next select-by-name).
    */
   def overlapJoin(
       left: DataFrame,
@@ -73,14 +77,30 @@ object Temporal {
       rStart: String,
       rEnd: String,
       keys: Seq[String] = Nil,
-      binWidth: Long = 1000L
+      binWidth: Long = 1000L,
+      maxCellsPerRow: Long = 4096L
   ): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    def binned(df: DataFrame, s: String, e: String) = df
-      .filter(col(s).isNotNull && col(e).isNotNull && col(s) < col(e))
-      .withColumn("__cell",
-        explode(sequence(floor(col(s) / binWidth),
-          floor((col(e) - 1) / binWidth))))
+    require(maxCellsPerRow > 0, "maxCellsPerRow must be positive")
+    val clash = (left.columns.toSet & right.columns.toSet) -- keys.toSet
+    require(clash.isEmpty,
+      s"overlapJoin: non-key columns must be disjoint across sides " +
+        s"(both outputs keep their own names); rename these on one side " +
+        s"first: ${clash.toSeq.sorted.mkString(", ")}")
+    // the guard lives INSIDE the sequence's upper bound, not a dropped
+    // side column (column pruning would silently eliminate it there)
+    def binned(df: DataFrame, s: String, e: String) = {
+      val lo = floor(col(s) / binWidth)
+      val hi = floor((col(e) - 1) / binWidth)
+      val msg = concat(
+        lit(s"overlapJoin: an interval spans more than $maxCellsPerRow " +
+          s"bins at binWidth=$binWidth (interval ["), col(s), lit(", "),
+        col(e), lit(")) - raise binWidth or maxCellsPerRow"))
+      val guardedHi = when(hi - lo + 1L > maxCellsPerRow,
+        raise_error(msg).cast("long")).otherwise(hi)
+      df.filter(col(s).isNotNull && col(e).isNotNull && col(s) < col(e))
+        .withColumn("__cell", explode(sequence(lo, guardedHi)))
+    }
     val lb = binned(left, lStart, lEnd)
     val rb = binned(right, rStart, rEnd)
       .withColumnRenamed("__cell", "__rcell")

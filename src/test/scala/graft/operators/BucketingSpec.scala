@@ -107,6 +107,38 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("swapInPlain: staged rewrite survives a crash at every window") {
+    try {
+      (1L to 10L).toDF("v").write.saveAsTable("graft_swap_spec")
+      // normal rewrite derived from the table itself (the maintained-fold
+      // shape): no checkpoint anywhere, content swaps atomically
+      Bucketing.swapInPlain(
+        spark.table("graft_swap_spec").filter(col("v") <= 5L), "graft_swap_spec")
+      assert(spark.table("graft_swap_spec").count() === 5L)
+      assert(!spark.catalog.tableExists("graft_swap_spec_swap_tmp"))
+
+      // crash window 1: stage written, DROP+RENAME never ran — the old
+      // table stays authoritative and the stale tmp is ignored/overwritten
+      (100L to 102L).toDF("v").write.saveAsTable("graft_swap_spec_swap_tmp")
+      Bucketing.recoverSwap(spark, "graft_swap_spec")
+      assert(spark.table("graft_swap_spec").count() === 5L)
+
+      // crash window 2: DROP ran, RENAME did not — recovery completes the
+      // swap, promoting the staged content
+      spark.sql("DROP TABLE graft_swap_spec")
+      Bucketing.recoverSwap(spark, "graft_swap_spec")
+      assert(spark.table("graft_swap_spec").collect().map(_.getLong(0)).toSet
+        === Set(100L, 101L, 102L))
+      // and the next swapInPlain works from the recovered table
+      Bucketing.swapInPlain(
+        spark.table("graft_swap_spec").filter(col("v") > 100L), "graft_swap_spec")
+      assert(spark.table("graft_swap_spec").count() === 2L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_swap_spec")
+      spark.sql("DROP TABLE IF EXISTS graft_swap_spec_swap_tmp")
+    }
+  }
+
   test("zorderWrite round-trips the rows through a range-partitioned table") {
     val grid = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
       .toDF("x", "y")

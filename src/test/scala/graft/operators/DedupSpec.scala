@@ -594,6 +594,28 @@ class DedupSpec extends SparkSpec {
       assert(got === expect, s"tau=$tau")
     }
   }
+  test("ensureParallelism: bare scans and checkpointed RDDs get the floor, derived frames stay untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ep-")
+    try {
+      (1L to 100L).toDF("v").coalesce(1).write.parquet(dir.resolve("one").toString)
+      val scan = spark.read.parquet(dir.resolve("one").toString)
+      // single-file bare scan (incl. under projection/filter): repartitioned
+      assert(Dedup.ensureParallelism(scan).rdd.getNumPartitions > 1)
+      assert(Dedup.ensureParallelism(
+        scan.select(col("v")).filter(col("v") > 0L)).rdd.getNumPartitions > 1)
+      // checkpointed 1-partition frame (in-memory corpus): repartitioned —
+      // the round-13 inputFiles gate silently dropped this floor
+      val ckpt = (1L to 100L).toDF("v").coalesce(1).localCheckpoint()
+      assert(Dedup.ensureParallelism(ckpt).rdd.getNumPartitions > 1)
+      // derived frame (been through a shuffle): left untouched — no extra
+      // repartition down to defaultParallelism
+      val derived = scan.groupBy(col("v")).count()
+      assert(Dedup.ensureParallelism(derived) eq derived)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("threshold levenshtein contract: −1-above-threshold rows are filtered, never kept") {
     // sortedNeighborhood: an adjacent pair at distance 2 must vanish at
     // maxDist = 1 (the threshold form returns −1 there, which would sort

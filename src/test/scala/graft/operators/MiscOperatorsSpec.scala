@@ -142,6 +142,16 @@ class MiscOperatorsSpec extends SparkSpec {
       assert(spark.table("spec_scd2m_scd2")
         .groupBy(col("k"), col("__vid")).count()
         .filter(col("count") > 1).count() === 0L)
+      // ordering-contract violation: a batch row at an offset <= its
+      // key's stored open-version offset would silently corrupt validity
+      // intervals — it must fail LOUDLY instead
+      val stale = Seq((4L, 99.0, 5L, 0, ts("2024-04-01")))
+        .toDF("k", "bal", "offset", "op", "event_time")
+      val ex = intercept[IllegalArgumentException] {
+        Changelog.appendToScd2(stale, Seq("k"), "spec_scd2m", batchId = 3L)
+      }
+      assert(ex.getMessage.contains("offsets"))
+      assert(dim("spec_scd2m") === full) // nothing committed by the failed tick
     } finally {
       spark.sql("DROP TABLE IF EXISTS spec_scd2m_scd2")
     }

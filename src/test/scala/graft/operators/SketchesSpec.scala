@@ -383,4 +383,12 @@ class SketchesSpec extends SparkSpec {
     assert(est(16) >= trueSize)        // narrow: collisions only ADD
     assert(est(4096) === trueSize)     // wide: 50 keys, no collisions
   }
+  test("cmsJoinSize: disjoint key sets estimate 0, not NULL — zero dot rows count in the min") {
+    // wide sketches, fully disjoint domains: every depth row's dot
+    // product is 0, so the inner-join spelling would return one NULL row
+    val a = Sketches.cmsSketch((1 to 5).map(_.toLong).toDF("v"), "v", depth = 4, width = 4096)
+    val b = Sketches.cmsSketch((1001 to 1005).map(_.toLong).toDF("v"), "v", depth = 4, width = 4096)
+    val est = Sketches.cmsJoinSize(a, b).collect()
+    assert(est.length === 1 && !est.head.isNullAt(0) && est.head.getLong(0) === 0L)
+  }
 }

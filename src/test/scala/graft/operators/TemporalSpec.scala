@@ -30,7 +30,12 @@ class TemporalSpec extends SparkSpec {
     val rdf = rs.toDF("k", "rid", "rs", "re")
     for ((keys, keyed) <- Seq((Seq("k"), true), (Seq.empty[String], false));
          bin <- Seq(64L, 100L, 1024L, 20000L)) {
-      val out = Temporal.overlapJoin(ldf, "ls", "le", rdf, "rs", "re", keys, bin)
+      // keyless: 'k' is a plain payload column on both sides — the
+      // disjoint-name contract requires renaming one of them
+      val (lin, rin) =
+        if (keyed) (ldf, rdf)
+        else (ldf.withColumnRenamed("k", "lk"), rdf.withColumnRenamed("k", "rk"))
+      val out = Temporal.overlapJoin(lin, "ls", "le", rin, "rs", "re", keys, bin)
         .select(col("lid"), col("rid"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       val expect = bruteOverlap(ls, rs, keyed)
@@ -45,5 +50,25 @@ class TemporalSpec extends SparkSpec {
     val out = Temporal.overlapJoin(l, "ls", "le", r, "rs", "re", Seq("k"), 8L)
       .select(col("rid")).collect().map(_.getLong(0)).toSet
     assert(out === Set(3L))
+  }
+
+  test("overlapJoin: clashing non-key names rejected up front; bin fan-out guard raises") {
+    val l = Seq(("a", 1L, 0L, 10L)).toDF("k", "id", "ls", "le")
+    val r = Seq(("a", 2L, 5L, 15L)).toDF("k", "id", "rs", "re")
+    // both sides carry 'id' — a silent duplicate would only fail on the
+    // NEXT select-by-name; it must fail here instead
+    val ex = intercept[IllegalArgumentException] {
+      Temporal.overlapJoin(l, "ls", "le", r, "rs", "re", Seq("k"), 8L)
+    }
+    assert(ex.getMessage.contains("id"))
+    // an interval vastly longer than binWidth must fail FAST, not explode
+    // into a row-amplification storm
+    val wide = Seq(("a", 1L, 0L, 10000000L)).toDF("k", "lid", "ls", "le")
+    val rr = Seq(("a", 2L, 5L, 15L)).toDF("k", "rid", "rs", "re")
+    val ex2 = intercept[Exception] {
+      Temporal.overlapJoin(wide, "ls", "le", rr, "rs", "re", Seq("k"),
+        binWidth = 8L, maxCellsPerRow = 1000L).count()
+    }
+    assert(ex2.getMessage != null)
   }
 }
