@@ -594,6 +594,82 @@ class DedupSpec extends SparkSpec {
       assert(got === expect, s"tau=$tau")
     }
   }
+  test("edThresholdJoin: cost routing tames constant-prefix classes, balanced cuts beat even, result exact") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def mkBase(strs: Seq[(Long, String)]) = strs.toDF("id", "t")
+      .select(col("id").as("__id"), col("t").as("__t"))
+      .withColumn("__len", length(col("__t")).cast("long"))
+      .localCheckpoint()
+    def brute(strs: Seq[(Long, String)]) = (for {
+      (ia, ta) <- strs; (ib, tb) <- strs; if ia < ib
+      d = lev(ta, tb); if d <= 2
+    } yield (ia, ib, d.toLong)).toSet
+
+    // (1) the adversarial fixture distribution: a constant 9-char template
+    // prefix, same length everywhere, ~5 varying digits — chunk signatures
+    // are degenerate (even's chunk 0 matches EVERYTHING), so the router
+    // must send the class to the band join under either cut scheme
+    val templated = (1 to 400).map(i => (i.toLong, f"Customer#${i * 7}%09d"))
+    val allBand = 400L * 400L
+    // even's degenerate chunk 0 must trip the router to the band join
+    val re = Dedup.edRoutingFor(mkBase(templated), tau = 2, balanced = false)
+    assert(re.bandClasses.contains(18L), re.bandClasses.toString)
+    // the governing invariant either way: the chosen path never costs
+    // more join rows than the band floor this class forces
+    val rb = Dedup.edRoutingFor(mkBase(templated), tau = 2, balanced = true)
+    if (!rb.bandClasses.contains(18L))
+      assert(rb.chunkRows(18L) <= allBand, s"chunk=${rb.chunkRows(18L)}")
+    // and candidates never exceed the band pair count (no duplicated
+    // substring storm surviving into the verify)
+    assert(Dedup.edCandidatePairs(mkBase(templated), 2, balanced = true)
+      .select(col("id_a"), col("id_b")).distinct().count() <= 400L * 399 / 2)
+
+    // (2) a diverse corpus: every class stays in chunk mode and candidates
+    // collapse far below all-pairs
+    val rnd = new scala.util.Random(97)
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val diverse = (1 to 400).map { i =>
+      (i.toLong, (0 until 12).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    }
+    val rd = Dedup.edRoutingFor(mkBase(diverse), tau = 2, balanced = true)
+    assert(rd.bandClasses.isEmpty, rd.bandClasses.toString)
+    assert(Dedup.edCandidatePairs(mkBase(diverse), 2, balanced = true)
+      .select(col("id_a"), col("id_b")).distinct().count() < 400L * 399 / 2 / 5)
+
+    // (3) semi-templated ("Cust#" + random tail): balanced cuts absorb the
+    // constant prefix into a chunk that also covers varying characters, so
+    // the chunk join costs far fewer rows than the even split's
+    val semi = (1 to 400).map { i =>
+      (i.toLong, "Cust#" + (0 until 6).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    }
+    val sb = Dedup.edRoutingFor(mkBase(semi), tau = 2, balanced = true)
+    val se = Dedup.edRoutingFor(mkBase(semi), tau = 2, balanced = false)
+    // balanced: either the driver-side mass bound already proves the
+    // class selective (histogram pass skipped — chunkRows empty), or the
+    // exact rows must undercut even's by a wide margin
+    if (sb.chunkRows.isEmpty) assert(sb.bandClasses.isEmpty)
+    else assert(sb.chunkRows(11L) * 5 < se.chunkRows(11L),
+      s"balanced=${sb.chunkRows(11L)} even=${se.chunkRows(11L)}")
+    // even's constant-prefix chunk 0 shows up as heavy: band-routed or
+    // costing at least the all-pairs floor
+    assert(se.bandClasses.contains(11L) || se.chunkRows(11L) >= 400L * 399 / 2,
+      s"even=${se.chunkRows.get(11L)} band=${se.bandClasses}")
+
+    // (4) exactness on every fixture, both cut schemes
+    for ((strs, name) <- Seq((templated, "templated"), (diverse, "diverse"), (semi, "semi"));
+         balanced <- Seq(true, false)) {
+      val got = Dedup.edThresholdJoin(strs.toDF("id", "t"), "id", "t", 2, balanced)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === brute(strs), s"$name balanced=$balanced")
+    }
+  }
+
   test("ensureParallelism: bare scans and checkpointed RDDs get the floor, derived frames stay untouched") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ep-")
     try {
