@@ -43,12 +43,31 @@ object Skyline {
       .agg(min(col(yCol)).as("__gy"))
     // (2) exclusive prefix-min over x ascending — ≤ means dominated
     // (strictly smaller x, y no larger)
+    var frontierBounded = false
     val withPm =
       if (groupCols.nonEmpty) {
         val w = Window.partitionBy(gcols: _*).orderBy(col(xCol))
           .rowsBetween(Window.unboundedPreceding, -1)
         perX.withColumn("__pm", min(col("__gy")).over(w))
-      } else prefixMinGlobal(perX, col(xCol), "__gy", "__pm")
+      } else {
+        // Adaptive by MEASURED x-cardinality: the aggregate collapses the
+        // input to one row per distinct x, and checkpointing it lets one
+        // cheap count choose the prefix spelling. A calendar/SKU-sized
+        // axis (≤ 64·P rows) takes the plain bounded window — the
+        // range-partition machinery costs 3 extra jobs (range sample,
+        // offsets fold, broadcast join) that dwarf a few-thousand-row
+        // sort (sf10 orders: 2406 distinct days). A
+        // genuinely data-sized axis rides [[Ranks.prefixMinGlobal]]
+        // exactly as before.
+        val ckpt = perX.localCheckpoint()
+        val p = ckpt.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+        if (ckpt.count() <= math.max(4096L, 64L * p)) {
+          frontierBounded = true
+          val w = Window.orderBy(col(xCol))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          ckpt.withColumn("__pm", min(col("__gy")).over(w))
+        } else prefixMinGlobal(ckpt, col(xCol), "__gy", "__pm")
+      }
     // fresh column names on the frontier side — it descends from `base`,
     // and Spark's ambiguous-self-join detection rejects shared lineage
     val frontier = withPm
@@ -57,9 +76,13 @@ object Skyline {
         (groupCols.zipWithIndex.map { case (g, i) => col(g).as(s"__sk_g$i") } :+
           col(xCol).as("__sk_x") :+ col("__gy").as("__sk_y")): _*)
     // join frontier keys back: keeps every tie on (x, min-y), drops the
-    // same-x rows with larger y (dominated within their x)
+    // same-x rows with larger y (dominated within their x). When the
+    // x-axis was MEASURED bounded, broadcast explicitly: the frontier
+    // descends from a checkpoint (no stats), and without the hint the
+    // planner intermittently sort-merges the full input against a few
+    // hundred frontier rows — the 12 s spike in the sf10 probe.
     base.join(
-      frontier,
+      if (frontierBounded) broadcast(frontier) else frontier,
       base(xCol) === frontier("__sk_x") &&
         base(yCol) === frontier("__sk_y") &&
         groupCols.zipWithIndex.map { case (g, i) => base(g) === frontier(s"__sk_g$i") }

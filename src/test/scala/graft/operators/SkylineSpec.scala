@@ -31,8 +31,10 @@ class SkylineSpec extends SparkSpec {
 
   test("skyline2d ungrouped uses the range-partitioned prefix (no global row window over data)") {
     val rnd = new scala.util.Random(11)
-    val rows = (1 to 3000).map { i =>
-      ("all", rnd.nextInt(500).toLong, rnd.nextInt(500).toDouble)
+    // > max(4096, 64*P) distinct x so the adaptive branch takes the
+    // range-partitioned path (the bounded-window branch is covered below)
+    val rows = (1 to 6000).map { i =>
+      ("all", i.toLong, rnd.nextInt(500).toDouble)
     }
     val df = rows.toDF("g", "x", "y").drop("g")
     val out = Skyline.skyline2d(df, "x", "y")
@@ -45,6 +47,19 @@ class SkylineSpec extends SparkSpec {
       case Seq((x1, y1), (x2, y2)) => assert(x1 < x2 && y1 > y2)
       case _                       =>
     }
+  }
+
+  test("skyline2d ungrouped: small measured x-axis takes the bounded-window path, same frontier") {
+    // 50 distinct x < 64*P(=4): the adaptive branch uses the plain
+    // bounded window over the checkpointed per-x minima — values must be
+    // identical to the brute force either way
+    val rnd = new scala.util.Random(19)
+    val rows = (1 to 2000).map { i =>
+      ("all", rnd.nextInt(50).toLong, rnd.nextInt(400).toDouble)
+    }
+    val out = Skyline.skyline2d(rows.toDF("g", "x", "y").drop("g"), "x", "y")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(out === brute(rows).map(t => (t._2, t._3)))
   }
 
   test("prefixMinGlobal equals the single-window spelling") {
