@@ -57,6 +57,32 @@ object SparkEntry {
   }
 
   /** Events table recast as an RFC-015 changelog ledger (offset, op, pk, value). */
+  /** Build (once per dir) the maintained per-score stats table from the
+    * auc-style per-user scores, in three entity-partitioned generations
+    * plus a replayed tick — shared by score_stats_append /
+    * auc_from_stats / decile_lift_from_stats. */
+  private def scoreStatsTable(s: SparkSession, dir: String): Unit = {
+    Fixtures.cached(s"score_stats|$dir") {
+      val perUser = events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
+          .as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("label"))
+      def batch(r: Int) = perUser.filter(col("user_id") % 3 === r)
+      graft.operators.ScoreStats.materialize(
+        batch(0), col("score"), col("label"), "graft_scorestats", batchId = 0L)
+      graft.operators.ScoreStats.append(
+        batch(1), col("score"), col("label"), "graft_scorestats", batchId = 1L)
+      graft.operators.ScoreStats.append(
+        batch(2), col("score"), col("label"), "graft_scorestats", batchId = 2L)
+      graft.operators.ScoreStats.append( // replay: no-op on the __gen guard
+        batch(2), col("score"), col("label"), "graft_scorestats", batchId = 2L)
+      java.lang.Boolean.TRUE
+    }
+    ()
+  }
+
   private def eventsLedger(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir).select(
       col("event_id").as("offset"),
@@ -1099,6 +1125,65 @@ object SparkEntry {
             1L).otherwise(0L).as("label"))
       graft.operators.Analytics.ksScore(
         perUser, "user_id", col("score"), col("label"))
+    },
+    // ---- maintained score-distribution stats: the per-score class
+    // counts ALL FOUR eval metrics consume, kept as a single-commit
+    // append-only fact table (batches partition the entity set; replay
+    // no-ops on the __gen guard). Three generations + a replay fold to
+    // the from-scratch per-score counts.
+    "score_stats_append" -> { (s, dir) =>
+      scoreStatsTable(s, dir)
+      graft.operators.ScoreStats.read(s, "graft_scorestats")
+        .select(col("__s").as("score_micro"), col("n").as("n_entities"),
+          col("pos").as("n_positive"))
+        .orderBy(col("score_micro"))
+    },
+    // ---- AUC re-derived from the MAINTAINED stats table: the midrank
+    // arithmetic runs on score-cardinality rows (lifting the 2n²·10⁶
+    // integer bound from entities to distinct scores) and must equal the
+    // from-scratch entity-grain aucScore bit for bit.
+    "auc_from_stats" -> { (s, dir) =>
+      scoreStatsTable(s, dir)
+      graft.operators.ScoreStats.aucFromStats(
+        graft.operators.ScoreStats.read(s, "graft_scorestats"))
+    },
+    // ---- decile lift from the stats table: stats cannot see entity
+    // ids, so the intra-score tie rule is POSITIVES-FIRST (score DESC,
+    // label DESC) — deterministic, stats-derivable, and recomputed from
+    // raw by the oracle under the same rule.
+    "decile_lift_from_stats" -> { (s, dir) =>
+      scoreStatsTable(s, dir)
+      graft.operators.ScoreStats.decileLiftFromStats(
+        graft.operators.ScoreStats.read(s, "graft_scorestats"))
+        .orderBy(col("decile"))
+    },
+    // ---- KS from score-grain stats (the ks_score labeling, ≥4
+    // purchases): same cumulative-CDF integer spelling, score-grain in.
+    "ks_from_stats" -> { (s, dir) =>
+      val perUser = events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
+          .as("score"),
+          when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 4L,
+            1L).otherwise(0L).as("label"))
+      graft.operators.ScoreStats.ksFromStats(
+        graft.operators.ScoreStats.fromScored(perUser, col("score"), col("label")))
+    },
+    // ---- TVD drift from two score-grain stats frames: the reference's
+    // decile cutoffs are order statistics, fully determined by
+    // cumulative counts — shares score_drift_tvd's oracle.
+    "tvd_from_stats" -> { (s, dir) =>
+      val perUser = events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
+          .as("score"))
+        .withColumn("y", lit(0L))
+      def st(r: Int) = graft.operators.ScoreStats.fromScored(
+        perUser.filter(col("user_id") % 2 === r), col("score"), col("y"))
+      graft.operators.ScoreStats.tvdFromStats(st(0), st(1))
+        .orderBy(col("bin"))
     },
     // ---- exact quantile mapping: view-event values re-expressed on the
     // purchase-value distribution by rank (⌈r·n_b∕n_a⌉-th order
@@ -6813,6 +6898,116 @@ object SparkEntry {
         |  JOIN br ON br.rb = (ar.r * n.nb + n.na - 1) // n.na
         |WHERE n.nb > 0
         |ORDER BY event_id""".stripMargin,
+    // Maintained score stats: the folded table must equal a from-scratch
+    // per-score recount of the same entities.
+    "score_stats_append" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)
+        |      AS score,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS label
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+        |SELECT score AS score_micro, CAST(count(*) AS BIGINT) AS n_entities,
+        |  CAST(sum(label) AS BIGINT) AS n_positive
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    // AUC from stats: must equal the entity-grain recomputation exactly
+    // (midranks are invariant to intra-tie order).
+    "auc_from_stats" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)
+        |      AS score,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS label
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |r AS (SELECT score, label,
+        |    row_number() OVER (ORDER BY score, user_id) AS rk FROM u),
+        |g AS (SELECT score, CAST(min(rk) AS BIGINT) AS minr,
+        |        CAST(max(rk) AS BIGINT) AS maxr,
+        |        CAST(sum(label) AS BIGINT) AS pos
+        |      FROM r GROUP BY 1),
+        |t AS (SELECT CAST(sum(pos * (minr + maxr)) AS BIGINT) AS s2,
+        |        CAST(sum(pos) AS BIGINT) AS n_pos,
+        |        CAST(sum(maxr - minr + 1 - pos) AS BIGINT) AS n_neg
+        |      FROM g)
+        |SELECT n_pos, n_neg,
+        |  ((s2 - n_pos * (n_pos + 1)) * 1000000) // (2 * n_pos * n_neg) AS auc_micro
+        |FROM t WHERE n_pos > 0 AND n_neg > 0""".stripMargin,
+    // Decile lift from stats: entity recomputation under the SAME
+    // stats-derivable tie rule (score DESC, positives first).
+    "decile_lift_from_stats" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)
+        |      AS score,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS label
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |r AS (SELECT user_id, score, label,
+        |    row_number() OVER (ORDER BY score DESC, label DESC, user_id) AS rk FROM u),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(label) AS BIGINT) AS pos FROM u),
+        |d AS (SELECT ((rk - 1) * 10) // n.n + 1 AS decile, label
+        |      FROM r CROSS JOIN n)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_entities,
+        |  CAST(sum(label) AS BIGINT) AS n_positive,
+        |  (CAST(sum(label) AS BIGINT) * n.n * 1000000)
+        |    // (CAST(count(*) AS BIGINT) * n.pos) AS lift_micro
+        |FROM d CROSS JOIN n
+        |WHERE n.pos > 0
+        |GROUP BY decile, n.n, n.pos ORDER BY decile""".stripMargin,
+    // KS from stats: identical recomputation to ks_score (cumulative
+    // class counts are score-grain already).
+    "ks_from_stats" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)
+        |      AS score,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 4
+        |         THEN 1::BIGINT ELSE 0::BIGINT END AS label
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |g AS (SELECT score, CAST(sum(label) AS BIGINT) AS p,
+        |        CAST(sum(1 - label) AS BIGINT) AS q FROM u GROUP BY 1),
+        |c AS (SELECT score,
+        |    CAST(sum(p) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
+        |    CAST(sum(q) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn
+        |  FROM g),
+        |t AS (SELECT CAST(sum(label) AS BIGINT) AS np,
+        |        CAST(sum(1 - label) AS BIGINT) AS nn FROM u),
+        |k AS (SELECT c.score, abs(cp * 1000000 // np - cn * 1000000 // nn) AS gap
+        |      FROM c CROSS JOIN t),
+        |r AS (SELECT score, gap,
+        |    row_number() OVER (ORDER BY gap DESC, score) AS rn FROM k)
+        |SELECT t.np AS n_pos, t.nn AS n_neg, r.gap AS ks_micro, r.score AS at_score
+        |FROM r CROSS JOIN t WHERE r.rn = 1 AND t.np > 0 AND t.nn > 0""".stripMargin,
+    // TVD from stats: the cutoffs are order statistics of the reference
+    // scores — identical to score_drift_tvd's recomputation.
+    "tvd_from_stats" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)
+        |      AS score
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |ref AS (SELECT user_id, score FROM u WHERE user_id % 2 = 0),
+        |cur AS (SELECT user_id, score FROM u WHERE user_id % 2 = 1),
+        |r AS (SELECT score, row_number() OVER (ORDER BY score, user_id) AS rk FROM ref),
+        |nref AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ref),
+        |ncur AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cur),
+        |cuts AS (SELECT DISTINCT cut FROM (
+        |    SELECT ((rk - 1) * 10) // nref.n + 1 AS d, max(score) AS cut
+        |    FROM r CROSS JOIN nref GROUP BY 1, nref.n) WHERE d <= 9),
+        |rb AS (SELECT u2.user_id,
+        |    CAST(1 + (SELECT count(*) FROM cuts WHERE u2.score > cuts.cut) AS BIGINT)
+        |      AS bin FROM ref u2),
+        |cb AS (SELECT u3.user_id,
+        |    CAST(1 + (SELECT count(*) FROM cuts WHERE u3.score > cuts.cut) AS BIGINT)
+        |      AS bin FROM cur u3),
+        |ra AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_ref FROM rb GROUP BY 1),
+        |ca AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_cur FROM cb GROUP BY 1)
+        |SELECT COALESCE(ra.bin, ca.bin) AS bin,
+        |  COALESCE(ra.n_ref, 0) AS n_ref, COALESCE(ca.n_cur, 0) AS n_cur,
+        |  abs(COALESCE(ra.n_ref, 0) * 1000000 // nref.n
+        |    - COALESCE(ca.n_cur, 0) * 1000000 // ncur.n) AS gap_micro
+        |FROM ra FULL OUTER JOIN ca ON ra.bin = ca.bin
+        |  CROSS JOIN nref CROSS JOIN ncur
+        |WHERE nref.n > 0 AND ncur.n > 0
+        |ORDER BY bin""".stripMargin,
     // Weighted median: same cumulative-crossing spelling; min over the
     // crossing rows makes intra-tie window order irrelevant.
     "weighted_median" ->

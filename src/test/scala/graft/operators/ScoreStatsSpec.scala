@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ScoreStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // tie-heavy scored fixture: 600 entities over ~40 distinct scores
+  private val scored = (1 to 600).map { i =>
+    (i.toLong, ((i * 37) % 40).toLong * 5, if ((i * 13) % 3 == 0) 1L else 0L)
+  }
+  private def df = scored.toDF("id", "s", "y")
+  private def stats = ScoreStats.fromScored(df, col("s"), col("y"))
+
+  test("aucFromStats / ksFromStats equal the from-scratch entity-grain operators") {
+    val aucRaw = Analytics.aucScore(df, "id", col("s"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val aucSt = ScoreStats.aucFromStats(stats)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(aucSt === aucRaw)
+
+    val ksRaw = Analytics.ksScore(df, "id", col("s"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val ksSt = ScoreStats.ksFromStats(stats)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(ksSt === ksRaw)
+
+    // degenerate one-class input → EMPTY, matching the raw operators
+    val oneClass = ScoreStats.fromScored(
+      df.withColumn("y", lit(1L)), col("s"), col("y"))
+    assert(ScoreStats.aucFromStats(oneClass).count() === 0L)
+    assert(ScoreStats.ksFromStats(oneClass).count() === 0L)
+  }
+
+  test("decileLiftFromStats equals the brute force under the positives-first tie rule") {
+    // rank by (score DESC, label DESC, id) — the stats-derivable rule
+    val ranked = scored.sortBy { case (id, s, y) => (-s, -y, id) }
+    val n = ranked.size.toLong
+    val pos = ranked.count(_._3 == 1L).toLong
+    val expect = ranked.zipWithIndex
+      .map { case ((_, _, y), i) => (((i.toLong) * 10) / n + 1, y) }
+      .groupBy(_._1).toSeq
+      .map { case (d, xs) =>
+        val ne = xs.size.toLong; val np = xs.map(_._2).sum
+        (d, ne, np, (np * n * 1000000L) / (ne * pos))
+      }.sortBy(_._1)
+    val got = ScoreStats.decileLiftFromStats(stats)
+      .orderBy(col("decile"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expect)
+    // decile populations must partition the entity set
+    assert(got.map(_._2).sum === n && got.map(_._3).sum === pos)
+  }
+
+  test("tvdFromStats equals scoreDriftTvd on the underlying entities") {
+    val ref = df.filter(col("id") % 2 === 0)
+    val cur = df.filter(col("id") % 2 === 1)
+    val raw = Analytics.scoreDriftTvd(ref, cur, "id", col("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val st = ScoreStats.tvdFromStats(
+      ScoreStats.fromScored(ref, col("s"), col("y")),
+      ScoreStats.fromScored(cur, col("s"), col("y")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(st === raw)
+    // identical distributions read exactly zero everywhere
+    val self = ScoreStats.tvdFromStats(
+      ScoreStats.fromScored(ref, col("s"), col("y")),
+      ScoreStats.fromScored(ref, col("s"), col("y")))
+      .collect()
+    assert(self.nonEmpty && self.forall(_.getLong(3) === 0L))
+  }
+
+  test("maintained table: generations fold to the from-scratch stats; replay no-ops; metrics ride it") {
+    try {
+      def batch(r: Int) = df.filter(col("id") % 3 === r)
+      ScoreStats.materialize(batch(0), col("s"), col("y"), "spec_scorestats", batchId = 0L)
+      ScoreStats.append(batch(1), col("s"), col("y"), "spec_scorestats", batchId = 1L)
+      ScoreStats.append(batch(2), col("s"), col("y"), "spec_scorestats", batchId = 2L)
+      ScoreStats.append(batch(2), col("s"), col("y"), "spec_scorestats", batchId = 2L) // replay
+      val folded = ScoreStats.read(spark, "spec_scorestats")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val scratch = stats
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(folded === scratch)
+      val aucSt = ScoreStats.aucFromStats(ScoreStats.read(spark, "spec_scorestats"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val aucRaw = Analytics.aucScore(df, "id", col("s"), col("y"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(aucSt === aucRaw)
+    } finally spark.sql("DROP TABLE IF EXISTS spec_scorestats")
+  }
+}
