@@ -87,7 +87,17 @@ object Bench {
     // for the identical MinHash plan). Steady-state is what the baseline
     // table records; cold-start is a JVM property, not an operator property.
     var errors = Map.empty[String, String]
+    var sinceGc = 0
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Periodic driver GC: localCheckpoint and broadcast blocks from
+      // finished entries are only freed when the ContextCleaner sees
+      // their references die — which needs a driver GC. Without it a
+      // ~300-entry run accumulates storage until the TAIL grinds
+      // (measured: profile_table 2.3 s fresh vs 5.1 s late in the full
+      // run, pull_recursive 0.07 vs 2.6). Every 40 entries costs ~10
+      // full GCs per run — noise-level — and keeps the tail honest.
+      sinceGc += 1
+      if (sinceGc >= 40) { sinceGc = 0; System.gc() }
       def once(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
@@ -104,11 +114,11 @@ object Bench {
       // Disagreeing runs mean one absorbed host noise or a one-time JIT —
       // take a tie-breaking third run and report the min. The tolerance
       // scales with entry weight: entries over a second get a third run at
-      // 1.3x disagreement (they dominate the total and their flags have
+      // 1.5x disagreement (they dominate the total and their flags have
       // cost the last three rounds a re-adjudication each), sub-second
       // entries at 3x (their absolute jitter is cheap to re-run but cheap
       // to ignore too).
-      val ratio = if (math.min(t1, t2) > 1.0) 1.3 else 3.0
+      val ratio = if (math.min(t1, t2) > 1.0) 1.5 else 3.0
       val t3 =
         if (!errors.contains(name) && math.max(t1, t2) > ratio * math.min(t1, t2)) once()
         else Double.MaxValue
