@@ -1185,6 +1185,43 @@ object SparkEntry {
       graft.operators.ScoreStats.tvdFromStats(st(0), st(1))
         .orderBy(col("bin"))
     },
+    // ---- STREAMING twin of score_stats_append: scored-entity stream →
+    // foreachBatch → score-grain generations, __gen-guarded (counts are
+    // additive, so the guard — not idempotence — makes replays no-ops).
+    // Two epochs + a replayed tick fold to the from-scratch per-score
+    // counts; shares score_stats_append's oracle.
+    "score_stats_stream" -> { (s, dir) =>
+      Fixtures.cached(s"score_stats_stream|$dir") {
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val perUser = events(s, dir)
+          .filter(col("user_id").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
+            .as("score"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("label"))
+        def half(r: Int) = perUser.filter(col("user_id") % 2 === r)
+          .collect().toSeq.map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long, Long)]
+        s.sql("DROP TABLE IF EXISTS graft_scorestats_stream")
+        val q = graft.operators.ScoreStats.scoreStatsStream(
+          mem.toDF().toDF("user_id", "score", "label"),
+          "graft_scorestats_stream", col("score"), col("label")).start()
+        try {
+          Seq(half(0), half(1)).foreach { e => mem.addData(e); q.processAllAvailable() }
+        } finally q.stop()
+        // crash-replay of epoch 1: the __gen guard makes it a no-op
+        graft.operators.ScoreStats.append(
+          half(1).toDF("user_id", "score", "label"),
+          col("score"), col("label"), "graft_scorestats_stream", batchId = 1L)
+        java.lang.Boolean.TRUE
+      }
+      graft.operators.ScoreStats.read(s, "graft_scorestats_stream")
+        .select(col("__s").as("score_micro"), col("n").as("n_entities"),
+          col("pos").as("n_positive"))
+        .orderBy(col("score_micro"))
+    },
     // ---- exact quantile mapping: view-event values re-expressed on the
     // purchase-value distribution by rank (⌈r·n_b∕n_a⌉-th order
     // statistic) — cross-corpus score calibration, integer throughout.
@@ -6900,6 +6937,17 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     // Maintained score stats: the folded table must equal a from-scratch
     // per-score recount of the same entities.
+    // Streaming twin shares the identical from-scratch recount.
+    "score_stats_stream" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)
+        |      AS score,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS label
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+        |SELECT score AS score_micro, CAST(count(*) AS BIGINT) AS n_entities,
+        |  CAST(sum(label) AS BIGINT) AS n_positive
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "score_stats_append" ->
       """WITH u AS (SELECT user_id,
         |    CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)

@@ -73,6 +73,36 @@ object ScoreStats {
       .write.insertInto(table)
   }
 
+  /** One foreachBatch tick of STREAMING score-stats maintenance: first
+    * epoch seeds the table, later epochs ride [[append]]'s `__gen`
+    * guard — counts are additive (NOT idempotent), so the guard is what
+    * makes crash-replayed epochs no-ops, the same two-regime contract
+    * as the upsert/rollup streams. */
+  def applyScoreStatsBatch(
+      table: String,
+      scoreCol: Column,
+      labelCol: Column
+  )(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (!spark.catalog.tableExists(table))
+      materialize(batch, scoreCol, labelCol, table, batchId)
+    else append(batch, scoreCol, labelCol, table, batchId)
+  }
+
+  /** Streaming maintenance: `scored-entity stream → foreachBatch →
+    * score-grain generations`; read with [[read]], metrics ride the
+    * `*FromStats` derivations. Micro-batches must partition the entity
+    * set (each entity scored exactly once across the stream). */
+  def scoreStatsStream(
+      stream: DataFrame,
+      table: String,
+      scoreCol: Column,
+      labelCol: Column
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch(applyScoreStatsBatch(table, scoreCol, labelCol) _)
+
   /** The folded `(__s, n, pos)` stats — generations summed per score. */
   def read(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
     spark.table(table)
@@ -173,8 +203,13 @@ object ScoreStats {
    * land on the same bins.
    */
   def tvdFromStats(refStats: DataFrame, curStats: DataFrame): DataFrame = {
+    // the ref frame feeds cutoffs + binning + totals (three consumers)
+    // and stats frames are score-cardinality-sized — checkpoint once
+    // instead of recomputing the upstream aggregate per consumer
     val r = refStats.select(col("__s"), col("n").cast("long").as("n"))
+      .localCheckpoint()
     val c = curStats.select(col("__s"), col("n").cast("long").as("n"))
+      .localCheckpoint()
     val totR = broadcast(r.agg(sum(col("n")).as("__nr")))
     val totC = broadcast(c.agg(sum(col("n")).as("__nc")))
     val cuts = broadcast(

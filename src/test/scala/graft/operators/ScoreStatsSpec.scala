@@ -72,6 +72,21 @@ class ScoreStatsSpec extends SparkSpec {
     assert(self.nonEmpty && self.forall(_.getLong(3) === 0L))
   }
 
+  test("streaming ticks: first epoch seeds, later epochs append, replayed epochs no-op") {
+    try {
+      def batch(r: Int) = df.filter(col("id") % 2 === r)
+      val tick = ScoreStats.applyScoreStatsBatch(
+        "spec_scorestats_st", col("s"), col("y")) _
+      tick(batch(0), 0L)
+      tick(batch(1), 1L)
+      tick(batch(1), 1L) // crash replay: guarded no-op
+      val folded = ScoreStats.read(spark, "spec_scorestats_st")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(folded ===
+        stats.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    } finally spark.sql("DROP TABLE IF EXISTS spec_scorestats_st")
+  }
+
   test("maintained table: generations fold to the from-scratch stats; replay no-ops; metrics ride it") {
     try {
       def batch(r: Int) = df.filter(col("id") % 3 === r)
