@@ -1180,6 +1180,7 @@ object SparkEntry {
         .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
           .as("score"))
         .withColumn("y", lit(0L))
+        .localCheckpoint() // feeds both parity splits — one events scan
       def st(r: Int) = graft.operators.ScoreStats.fromScored(
         perUser.filter(col("user_id") % 2 === r), col("score"), col("y"))
       graft.operators.ScoreStats.tvdFromStats(st(0), st(1))
