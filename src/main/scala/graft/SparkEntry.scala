@@ -1186,6 +1186,16 @@ object SparkEntry {
       graft.operators.ScoreStats.tvdFromStats(st(0), st(1))
         .orderBy(col("bin"))
     },
+    // ---- calibration (reliability) table from the MAINTAINED stats:
+    // equal-width score bins with population, positives, mean score and
+    // observed positive rate — the "do higher scores convert more"
+    // diagnostic next to AUC/KS, integer throughout.
+    "calibration_from_stats" -> { (s, dir) =>
+      scoreStatsTable(s, dir)
+      graft.operators.ScoreStats.calibrationFromStats(
+        graft.operators.ScoreStats.read(s, "graft_scorestats"), nBins = 10)
+        .orderBy(col("bin"))
+    },
     // ---- STREAMING twin of score_stats_append: scored-entity stream →
     // foreachBatch → score-grain generations, __gen-guarded (counts are
     // additive, so the guard — not idempotence — makes replays no-ops).
@@ -6938,6 +6948,24 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     // Maintained score stats: the folded table must equal a from-scratch
     // per-score recount of the same entities.
+    // Calibration: identical integer bin rule, means/rates floored.
+    "calibration_from_stats" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)
+        |      AS score,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS label
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |mm AS (SELECT min(score) AS lo, max(score) AS hi FROM u),
+        |b AS (SELECT ((score - lo) * 10) // (hi - lo + 1) + 1 AS bin, score, label
+        |      FROM u CROSS JOIN mm)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_entities,
+        |  CAST(sum(label) AS BIGINT) AS n_positive,
+        |  CAST(sum(score) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_score_micro,
+        |  (CAST(sum(label) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+        |    AS pos_rate_micro
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     // Streaming twin shares the identical from-scratch recount.
     "score_stats_stream" ->
       """WITH u AS (SELECT user_id,

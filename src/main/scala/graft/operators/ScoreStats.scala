@@ -195,6 +195,34 @@ object ScoreStats {
   }
 
   /**
+   * Calibration (reliability) table from score-grain stats: the score
+   * range splits into `nBins` equal-width bins and each bin reports its
+   * population, positives, mean score and observed positive rate — "do
+   * higher scores actually convert more", the diagnostic read next to
+   * AUC/KS. All integer: `bin = (s − min)·nBins DIV (max − min + 1) + 1`,
+   * means and rates floor onto the micro grid. Empty bins are absent
+   * (no rows to report).
+   *
+   * Scale shape: one bounded min/max aggregate + one score-grain
+   * aggregate — nothing wider than the stats frame itself.
+   */
+  def calibrationFromStats(stats: DataFrame, nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, "nBins must be positive")
+    val s = stats.select(col("__s"), col("n").cast("long").as("n"),
+      col("pos").cast("long").as("pos"))
+    val mm = broadcast(s.agg(min(col("__s")).as("__lo"), max(col("__s")).as("__hi")))
+    s.crossJoin(mm)
+      .withColumn("bin",
+        expr(s"((__s - __lo) * ${nBins}L) DIV (__hi - __lo + 1L) + 1L"))
+      .groupBy(col("bin"))
+      .agg(sum(col("n")).as("n_entities"), sum(col("pos")).as("n_positive"),
+        sum(col("n") * col("__s")).as("__ws"))
+      .select(col("bin"), col("n_entities"), col("n_positive"),
+        expr("__ws DIV n_entities").as("mean_score_micro"),
+        expr("(n_positive * 1000000L) DIV n_entities").as("pos_rate_micro"))
+  }
+
+  /**
    * TVD score drift from two score-grain stats frames (`pos` ignored) —
    * value-identical to [[Analytics.scoreDriftTvd]]: the reference's
    * decile value cutoffs depend only on score ORDER STATISTICS (the

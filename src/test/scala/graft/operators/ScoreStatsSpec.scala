@@ -72,6 +72,20 @@ class ScoreStatsSpec extends SparkSpec {
     assert(self.nonEmpty && self.forall(_.getLong(3) === 0L))
   }
 
+  test("calibrationFromStats: integer bin rule, exact means and rates, partitioning") {
+    val got = ScoreStats.calibrationFromStats(stats, nBins = 10)
+      .orderBy(col("bin"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val lo = scored.map(_._2).min; val hi = scored.map(_._2).max
+    val expect = scored.groupBy { case (_, s, _) => (s - lo) * 10 / (hi - lo + 1) + 1 }
+      .toSeq.map { case (b, xs) =>
+        val n = xs.size.toLong; val p = xs.count(_._3 == 1L).toLong
+        (b, n, p, xs.map(_._2).sum / n, p * 1000000L / n)
+      }.sortBy(_._1)
+    assert(got.toSeq === expect)
+    assert(got.map(_._2).sum === scored.size.toLong)
+  }
+
   test("streaming ticks: first epoch seeds, later epochs append, replayed epochs no-op") {
     try {
       def batch(r: Int) = df.filter(col("id") % 2 === r)
