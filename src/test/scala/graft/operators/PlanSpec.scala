@@ -693,6 +693,39 @@ class PlanSpec extends SparkSpec {
       co.queryExecution.executedPlan.toString)
     assert(lift.count() === 10L && qm.count() > 0 && co.count() > 0)
   }
+  test("round-14 plan pins: overlapJoin shuffle-hash, bounded skyline broadcasts its frontier, ed-join single-shuffle") {
+    // overlapJoin: the shuffle-hash pin must hold — a static broadcast
+    // of the binned side builds a fan-out-times-underestimated hash
+    // relation single-threaded (the sf10 3.4 s vs 0.9 s A/B)
+    val l = (1 to 400).map(i => (i.toLong % 7, i.toLong, (i * 13L) % 5000, (i * 13L) % 5000 + 120))
+      .toDF("k", "lid", "ls", "le")
+    val r = (1 to 400).map(i => (i.toLong % 7, i.toLong, (i * 29L) % 5000, (i * 29L) % 5000 + 90))
+      .toDF("k", "rid", "rs", "re")
+    val ov = Temporal.overlapJoin(l, "ls", "le", r, "rs", "re", Seq("k"), 128L)
+    val ovPlan = ov.queryExecution.executedPlan.toString
+    assert(ovPlan.contains("ShuffledHashJoin"), ovPlan)
+
+    // bounded-axis skyline: the frontier semi join must BROADCAST (the
+    // frontier descends from a stats-free checkpoint; without the hint
+    // the planner intermittently sort-merged the full input)
+    val sk = Skyline.skyline2d(
+      (1 to 2000).map(i => ((i * 37L) % 100, (i * 91L) % 500)).toDF("x", "y"), "x", "y")
+    val skPlan = sk.queryExecution.executedPlan.toString
+    assert(skPlan.contains("BroadcastHashJoin") || skPlan.contains("BroadcastExchange"),
+      skPlan)
+    assert(!skPlan.contains("SortMergeJoin"), skPlan)
+
+    // edThresholdJoin: the verify is map-side on the candidate join's
+    // output — no SinglePartition stage anywhere (the fan-out must not
+    // funnel through one task)
+    val docs = (1 to 300).map(i => (i.toLong, f"w${i % 60}%03dx${i % 7}")).toDF("id", "t")
+    val ed = Dedup.edThresholdJoin(docs, "id", "t", 1)
+    assert(!ed.queryExecution.executedPlan.toString.contains("SinglePartition"),
+      ed.queryExecution.executedPlan.toString)
+
+    assert(ov.count() > 0 && sk.count() > 0 && ed.count() >= 0)
+  }
+
   test("round-14 purge: rfm quintiles, ksTest CDF, streaming top-N carry no data-sized single-task stage") {
     // rfm: the three quintile ranks were the last data-sized unpartitioned
     // windows — they now ride Ranks.withGlobalRank, so no rank may funnel
