@@ -1186,6 +1186,22 @@ object SparkEntry {
       graft.operators.ScoreStats.tvdFromStats(st(0), st(1))
         .orderBy(col("bin"))
     },
+    // ---- per-day AUC trend (grouped Mann–Whitney): does daily user
+    // value predict a same-day purchase, day by day — the slice-wise
+    // read a single global AUC hides; ranks per-key windowed, never a
+    // global sort; one-class days absent.
+    "auc_by_day" -> { (s, dir) =>
+      val perUserDay = events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+          col("user_id"))
+        .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
+          .as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("label"))
+      graft.operators.Analytics.aucScoreByKey(
+        perUserDay, "day", "user_id", col("score"), col("label"))
+        .orderBy(col("day"))
+    },
     // ---- calibration (reliability) table from the MAINTAINED stats:
     // equal-width score bins with population, positives, mean score and
     // observed positive rate — the "do higher scores convert more"
@@ -6948,6 +6964,27 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     // Maintained score stats: the folded table must equal a from-scratch
     // per-score recount of the same entities.
+    // Grouped AUC: identical per-day midranks and integer U arithmetic.
+    "auc_by_day" ->
+      """WITH u AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, user_id,
+        |    CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)
+        |      AS score,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS label
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT day, score, label,
+        |    row_number() OVER (PARTITION BY day ORDER BY score, user_id) AS rk FROM u),
+        |g AS (SELECT day, score, CAST(min(rk) AS BIGINT) AS minr,
+        |        CAST(max(rk) AS BIGINT) AS maxr,
+        |        CAST(sum(label) AS BIGINT) AS pos
+        |      FROM r GROUP BY 1, 2),
+        |t AS (SELECT day, CAST(sum(pos * (minr + maxr)) AS BIGINT) AS s2,
+        |        CAST(sum(pos) AS BIGINT) AS n_pos,
+        |        CAST(sum(maxr - minr + 1 - pos) AS BIGINT) AS n_neg
+        |      FROM g GROUP BY 1)
+        |SELECT day, n_pos, n_neg,
+        |  ((s2 - n_pos * (n_pos + 1)) * 1000000) // (2 * n_pos * n_neg) AS auc_micro
+        |FROM t WHERE n_pos > 0 AND n_neg > 0 ORDER BY day""".stripMargin,
     // Calibration: identical integer bin rule, means/rates floored.
     "calibration_from_stats" ->
       """WITH u AS (SELECT user_id,

@@ -1440,6 +1440,45 @@ object Analytics {
   }
 
   /**
+   * GROUPED exact ROC AUC — [[aucScore]] per key (per day, per segment,
+   * per cohort): "where does the model actually discriminate", the
+   * slice-wise read a global AUC hides. Same Mann–Whitney midrank
+   * arithmetic on the doubled-rank grid, identical per key to running
+   * [[aucScore]] on that key's slice (spec-pinned); one-class keys are
+   * absent from the output (their AUC is undefined).
+   *
+   * Scale shape: ranks come from a PER-KEY window (keys partition the
+   * shuffle — no global sort anywhere), then score-grain and key-grain
+   * aggregates. The integer bound applies per key: 2·n_k²·10⁶ < 2^63.
+   */
+  def aucScoreByKey(
+      scored: DataFrame,
+      keyCol: String,
+      idCol: String,
+      scoreCol: Column,
+      labelCol: Column
+  ): DataFrame = {
+    val base = scored.select(col(keyCol).as("__k"), col(idCol).as("__id"),
+      scoreCol.cast("long").as("__s"), labelCol.cast("long").as("__y"))
+      .filter(col("__k").isNotNull && col("__s").isNotNull && col("__y").isin(0L, 1L))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__s"), col("__id"))
+    base
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .groupBy(col("__k"), col("__s"))
+      .agg(min(col("__r")).as("__minr"), max(col("__r")).as("__maxr"),
+        sum(col("__y")).as("__pos"))
+      .groupBy(col("__k"))
+      .agg(
+        sum(col("__pos") * (col("__minr") + col("__maxr"))).as("__s2"),
+        sum(col("__pos")).as("n_pos"),
+        sum(col("__maxr") - col("__minr") + 1L - col("__pos")).as("n_neg"))
+      .filter(col("n_pos") > 0L && col("n_neg") > 0L)
+      .select(col("__k").as(keyCol), col("n_pos"), col("n_neg"),
+        expr("((__s2 - n_pos * (n_pos + 1L)) * 1000000L) DIV (2L * n_pos * n_neg)")
+          .as("auc_micro"))
+  }
+
+  /**
    * Coalesce overlapping-or-touching `[start, end)` intervals per key
    * into maximal spans — the classic gaps-and-islands rewrite: a row
    * starts a new island iff its start exceeds the running maximum of all
