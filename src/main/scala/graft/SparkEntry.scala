@@ -1186,6 +1186,23 @@ object SparkEntry {
       graft.operators.ScoreStats.tvdFromStats(st(0), st(1))
         .orderBy(col("bin"))
     },
+    // ---- PSI on the same reference-decile bins (the log-based
+    // industry-standard drift metric beside TVD): zero bins floored to
+    // one count, the (p_cur−p_ref)·ln(p_cur∕p_ref) term evaluated in one
+    // fixed double tree floored to micros.
+    "psi_from_stats" -> { (s, dir) =>
+      val perUser = events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
+          .as("score"))
+        .withColumn("y", lit(0L))
+        .localCheckpoint() // feeds both parity splits — one events scan
+      def st(r: Int) = graft.operators.ScoreStats.fromScored(
+        perUser.filter(col("user_id") % 2 === r), col("score"), col("y"))
+      graft.operators.ScoreStats.psiFromStats(st(0), st(1))
+        .orderBy(col("bin"))
+    },
     // ---- per-day AUC trend (grouped Mann–Whitney): does daily user
     // value predict a same-day purchase, day by day — the slice-wise
     // read a single global AUC hides; ranks per-key windowed, never a
@@ -6964,6 +6981,39 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     // Maintained score stats: the folded table must equal a from-scratch
     // per-score recount of the same entities.
+    // PSI: same bins as score_drift_tvd, same zero-floor and fixed
+    // double tree (DuckDB's ln and floor reproduce the micro values).
+    "psi_from_stats" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)
+        |      AS score
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |ref AS (SELECT user_id, score FROM u WHERE user_id % 2 = 0),
+        |cur AS (SELECT user_id, score FROM u WHERE user_id % 2 = 1),
+        |r AS (SELECT score, row_number() OVER (ORDER BY score, user_id) AS rk FROM ref),
+        |nref AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ref),
+        |ncur AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cur),
+        |cuts AS (SELECT DISTINCT cut FROM (
+        |    SELECT ((rk - 1) * 10) // nref.n + 1 AS d, max(score) AS cut
+        |    FROM r CROSS JOIN nref GROUP BY 1, nref.n) WHERE d <= 9),
+        |rb AS (SELECT u2.user_id,
+        |    CAST(1 + (SELECT count(*) FROM cuts WHERE u2.score > cuts.cut) AS BIGINT)
+        |      AS bin FROM ref u2),
+        |cb AS (SELECT u3.user_id,
+        |    CAST(1 + (SELECT count(*) FROM cuts WHERE u3.score > cuts.cut) AS BIGINT)
+        |      AS bin FROM cur u3),
+        |ra AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_ref FROM rb GROUP BY 1),
+        |ca AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_cur FROM cb GROUP BY 1),
+        |j AS (SELECT COALESCE(ra.bin, ca.bin) AS bin,
+        |        COALESCE(ra.n_ref, 0) AS n_ref, COALESCE(ca.n_cur, 0) AS n_cur,
+        |        CAST(greatest(COALESCE(ra.n_ref, 0), 1) AS DOUBLE) / nref.n AS pr,
+        |        CAST(greatest(COALESCE(ca.n_cur, 0), 1) AS DOUBLE) / ncur.n AS pc
+        |      FROM ra FULL OUTER JOIN ca ON ra.bin = ca.bin
+        |        CROSS JOIN nref CROSS JOIN ncur
+        |      WHERE nref.n > 0 AND ncur.n > 0)
+        |SELECT bin, n_ref, n_cur,
+        |  CAST(floor((pc - pr) * ln(pc / pr) * 1000000.0) AS BIGINT) AS psi_micro
+        |FROM j ORDER BY bin""".stripMargin,
     // Grouped AUC: identical per-day midranks and integer U arithmetic.
     "auc_by_day" ->
       """WITH u AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, user_id,

@@ -230,10 +230,42 @@ object ScoreStats {
    * bins count strictly-greater cutoffs + 1 and both frames' masses
    * land on the same bins.
    */
-  def tvdFromStats(refStats: DataFrame, curStats: DataFrame): DataFrame = {
-    // the ref frame feeds cutoffs + binning + totals (three consumers)
-    // and stats frames are score-cardinality-sized — checkpoint once
-    // instead of recomputing the upstream aggregate per consumer
+  def tvdFromStats(refStats: DataFrame, curStats: DataFrame): DataFrame =
+    binnedDriftCounts(refStats, curStats)
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        expr("abs(n_ref * 1000000L DIV __nr - n_cur * 1000000L DIV __nc)")
+          .as("gap_micro"))
+
+  /**
+   * Population Stability Index from two score-grain stats frames — the
+   * log-based industry-standard sibling of [[tvdFromStats]], over the
+   * SAME reference-decile value bins: per bin,
+   * `psi = (p_cur − p_ref)·ln(p_cur ∕ p_ref)` with zero counts floored
+   * to 1 (the standard zero-bin guard; a bin one side never saw would
+   * otherwise divide by zero). Proportions and the log ride ONE fixed
+   * double expression tree floored onto the 1e-6 grid per bin — the
+   * engine-exactness doctrine ([[Analytics.abTestZ]]'s class): any
+   * engine evaluating the same tree reproduces the micro values. Rule
+   * of thumb: Σpsi < 0.1 stable, > 0.25 shifted.
+   */
+  def psiFromStats(refStats: DataFrame, curStats: DataFrame): DataFrame =
+    binnedDriftCounts(refStats, curStats)
+      .withColumn("__pr",
+        greatest(col("n_ref"), lit(1L)).cast("double") / col("__nr").cast("double"))
+      .withColumn("__pc",
+        greatest(col("n_cur"), lit(1L)).cast("double") / col("__nc").cast("double"))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        floor((col("__pc") - col("__pr")) * log(col("__pc") / col("__pr")) *
+          lit(1000000.0)).cast("long").as("psi_micro"))
+
+  /** Shared binning for the drift pair: both frames' masses on the
+    * reference-decile value bins, with totals — `(bin, n_ref, n_cur,
+    * __nr, __nc)`. The reference frame feeds cutoffs + binning + totals
+    * (three consumers), so both frames checkpoint once. */
+  private def binnedDriftCounts(
+      refStats: DataFrame,
+      curStats: DataFrame
+  ): DataFrame = {
     val r = refStats.select(col("__s"), col("n").cast("long").as("n"))
       .localCheckpoint()
     val c = curStats.select(col("__s"), col("n").cast("long").as("n"))
@@ -259,8 +291,5 @@ object ScoreStats {
       .na.fill(0L, Seq("n_ref", "n_cur"))
       .crossJoin(totR).crossJoin(totC)
       .filter(col("__nr") > 0L && col("__nc") > 0L)
-      .select(col("bin"), col("n_ref"), col("n_cur"),
-        expr("abs(n_ref * 1000000L DIV __nr - n_cur * 1000000L DIV __nc)")
-          .as("gap_micro"))
   }
 }

@@ -72,6 +72,32 @@ class ScoreStatsSpec extends SparkSpec {
     assert(self.nonEmpty && self.forall(_.getLong(3) === 0L))
   }
 
+  test("psiFromStats: brute-force per-bin terms, zero drift on identical distributions") {
+    val ref = df.filter(col("id") % 2 === 0)
+    val cur = df.filter(col("id") % 2 === 1)
+    def st(d: org.apache.spark.sql.DataFrame) = ScoreStats.fromScored(d, col("s"), col("y"))
+    // brute force on the same bins tvd certifies: reuse its bin/count
+    // output and recompute the psi term per bin in plain Scala doubles
+    val bins = ScoreStats.tvdFromStats(st(ref), st(cur))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nr = bins.map(_._2).sum.toDouble
+    val nc = bins.map(_._3).sum.toDouble
+    val expect = bins.map { case (b, a, c) =>
+      val pr = math.max(a, 1L).toDouble / nr
+      val pc = math.max(c, 1L).toDouble / nc
+      (b, a, c, math.floor((pc - pr) * math.log(pc / pr) * 1000000.0).toLong)
+    }.sortBy(_._1).toSeq
+    val got = ScoreStats.psiFromStats(st(ref), st(cur))
+      .orderBy(col("bin"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expect)
+    // identical distributions: every term is exactly 0 (p ratios = 1)
+    val self = ScoreStats.psiFromStats(st(ref), st(ref)).collect()
+    assert(self.nonEmpty && self.forall(_.getLong(3) === 0L))
+    // psi terms are non-negative by construction ((x-y)ln(x/y) >= 0)
+    assert(got.forall(_._4 >= 0L))
+  }
+
   test("aucScoreByKey: each key's row equals aucScore on that key's slice; one-class keys absent") {
     val keyed = (1 to 900).map { i =>
       (s"k${i % 4}", i.toLong, ((i * 37) % 25).toLong, if ((i * 13) % 3 == 0) 1L else 0L)
