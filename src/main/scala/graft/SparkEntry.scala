@@ -1203,6 +1203,21 @@ object SparkEntry {
       graft.operators.ScoreStats.psiFromStats(st(0), st(1))
         .orderBy(col("bin"))
     },
+    // ---- ROC curve points (one per distinct score threshold): the full
+    // confusion + TPR/FPR/precision behind the AUC number — the
+    // threshold-picking table; cumulative class counts range-partitioned.
+    "roc_points" -> { (s, dir) =>
+      val perUser = events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
+          .as("score"),
+          when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 4L,
+            1L).otherwise(0L).as("label"))
+      graft.operators.ScoreStats.rocFromStats(
+        graft.operators.ScoreStats.fromScored(perUser, col("score"), col("label")))
+        .orderBy(col("threshold_micro"))
+    },
     // ---- per-day AUC trend (grouped Mann–Whitney): does daily user
     // value predict a same-day purchase, day by day — the slice-wise
     // read a single global AUC hides; ranks per-key windowed, never a
@@ -6981,6 +6996,31 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     // Maintained score stats: the folded table must equal a from-scratch
     // per-score recount of the same entities.
+    // ROC points: identical cumulative class counts and floored rates.
+    "roc_points" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)
+        |      AS score,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 4
+        |         THEN 1::BIGINT ELSE 0::BIGINT END AS label
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |g AS (SELECT score, CAST(sum(label) AS BIGINT) AS p,
+        |        CAST(sum(1 - label) AS BIGINT) AS q FROM u GROUP BY 1),
+        |c AS (SELECT score, p, q,
+        |    CAST(sum(p) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
+        |    CAST(sum(q) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cq
+        |  FROM g),
+        |t AS (SELECT CAST(sum(label) AS BIGINT) AS np,
+        |        CAST(sum(1 - label) AS BIGINT) AS nn FROM u),
+        |k AS (SELECT c.score AS threshold_micro,
+        |        np - cp + p AS tp, nn - cq + q AS fp FROM c CROSS JOIN t
+        |      WHERE np > 0 AND nn > 0)
+        |SELECT threshold_micro, tp, fp, t.np - tp AS fn, t.nn - fp AS tn,
+        |  (tp * 1000000) // t.np AS tpr_micro,
+        |  (fp * 1000000) // t.nn AS fpr_micro,
+        |  CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) ELSE 0 END
+        |    AS precision_micro
+        |FROM k CROSS JOIN t ORDER BY threshold_micro""".stripMargin,
     // PSI: same bins as score_drift_tvd, same zero-floor and fixed
     // double tree (DuckDB's ln and floor reproduce the micro values).
     "psi_from_stats" ->

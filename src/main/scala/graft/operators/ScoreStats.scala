@@ -195,6 +195,38 @@ object ScoreStats {
   }
 
   /**
+   * ROC curve points from score-grain stats: one row per distinct score
+   * threshold ("predict positive iff score ≥ t"), with the full
+   * confusion at that threshold and TPR/FPR/precision/recall floored
+   * onto the micro grid — the curve behind [[aucFromStats]]'s single
+   * number, and the threshold-picking table a deployment actually
+   * needs. `tp(t=s) = n_pos − pos≤s + pos_at_s` falls straight out of
+   * the inclusive cumulative class counts.
+   *
+   * Scale shape: one range-partitioned prefix pass over the
+   * score-cardinality frame; nothing entity-sized anywhere.
+   */
+  def rocFromStats(stats: DataFrame): DataFrame = {
+    val s = stats.select(col("__s"), col("n").cast("long").as("n"),
+      col("pos").cast("long").as("pos"))
+      .withColumn("__neg", col("n") - col("pos"))
+    val tot = broadcast(s.agg(
+      sum(col("pos")).as("__np"), sum(col("__neg")).as("__nn")))
+    Ranks.prefixSumsInclusiveGlobal(
+      s, col("__s"), Seq("pos", "__neg"), Seq("__cp", "__cq"))
+      .crossJoin(tot)
+      .filter(col("__np") > 0L && col("__nn") > 0L)
+      .withColumn("tp", col("__np") - col("__cp") + col("pos"))
+      .withColumn("fp", col("__nn") - col("__cq") + col("__neg"))
+      .select(col("__s").as("threshold_micro"), col("tp"), col("fp"),
+        (col("__np") - col("tp")).as("fn"), (col("__nn") - col("fp")).as("tn"),
+        expr("(tp * 1000000L) DIV __np").as("tpr_micro"),
+        expr("(fp * 1000000L) DIV __nn").as("fpr_micro"),
+        expr("CASE WHEN tp + fp > 0 THEN (tp * 1000000L) DIV (tp + fp) ELSE 0L END")
+          .as("precision_micro"))
+  }
+
+  /**
    * Calibration (reliability) table from score-grain stats: the score
    * range splits into `nBins` equal-width bins and each bin reports its
    * population, positives, mean score and observed positive rate — "do

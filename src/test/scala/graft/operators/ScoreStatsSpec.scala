@@ -72,6 +72,28 @@ class ScoreStatsSpec extends SparkSpec {
     assert(self.nonEmpty && self.forall(_.getLong(3) === 0L))
   }
 
+  test("rocFromStats: per-threshold confusion equals brute force; endpoints and AUC consistency") {
+    val np = scored.count(_._3 == 1L).toLong
+    val nn = scored.size.toLong - np
+    val got = ScoreStats.rocFromStats(stats)
+      .orderBy(col("threshold_micro"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    val thresholds = scored.map(_._2).distinct.sorted
+    val expect = thresholds.map { t =>
+      val tp = scored.count(x => x._2 >= t && x._3 == 1L).toLong
+      val fp = scored.count(x => x._2 >= t && x._3 == 0L).toLong
+      (t, tp, fp, np - tp, nn - fp,
+        tp * 1000000L / np, fp * 1000000L / nn,
+        if (tp + fp > 0) tp * 1000000L / (tp + fp) else 0L)
+    }
+    assert(got === expect)
+    // lowest threshold predicts everyone positive
+    assert(got.head._2 === np && got.head._3 === nn)
+    // confusion rows always partition the population
+    assert(got.forall(r => r._2 + r._3 + r._4 + r._5 === np + nn))
+  }
+
   test("psiFromStats: brute-force per-bin terms, zero drift on identical distributions") {
     val ref = df.filter(col("id") % 2 === 0)
     val cur = df.filter(col("id") % 2 === 1)
