@@ -1203,6 +1203,21 @@ object SparkEntry {
       graft.operators.ScoreStats.psiFromStats(st(0), st(1))
         .orderBy(col("bin"))
     },
+    // ---- per-day KS separation (grouped): where does daily value
+    // separate frequent purchasers from the rest, day by day; per-key
+    // cumulative windows, one-class days absent.
+    "ks_by_day" -> { (s, dir) =>
+      val perUserDay = events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+          col("user_id"))
+        .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
+          .as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("label"))
+      graft.operators.Analytics.ksScoreByKey(
+        perUserDay, "day", "user_id", col("score"), col("label"))
+        .orderBy(col("day"))
+    },
     // ---- ROC curve points (one per distinct score threshold): the full
     // confusion + TPR/FPR/precision behind the AUC number — the
     // threshold-picking table; cumulative class counts range-partitioned.
@@ -6996,6 +7011,33 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     // Maintained score stats: the folded table must equal a from-scratch
     // per-score recount of the same entities.
+    // Grouped KS: identical per-day cumulative class counts, one DIV per
+    // class, argmax gap with ties to the smallest score.
+    "ks_by_day" ->
+      """WITH u AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, user_id,
+        |    CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)
+        |      AS score,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS label
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+        |g AS (SELECT day, score, CAST(sum(label) AS BIGINT) AS p,
+        |        CAST(sum(1 - label) AS BIGINT) AS q FROM u GROUP BY 1, 2),
+        |c AS (SELECT day, score,
+        |    CAST(sum(p) OVER (PARTITION BY day ORDER BY score
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
+        |    CAST(sum(q) OVER (PARTITION BY day ORDER BY score
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cq,
+        |    CAST(sum(p) OVER (PARTITION BY day) AS BIGINT) AS np,
+        |    CAST(sum(q) OVER (PARTITION BY day) AS BIGINT) AS nn
+        |  FROM g),
+        |k AS (SELECT day, score, np, nn,
+        |        abs(cp * 1000000 // np - cq * 1000000 // nn) AS gap
+        |      FROM c WHERE np > 0 AND nn > 0),
+        |r AS (SELECT day, score, np, nn, gap,
+        |    row_number() OVER (PARTITION BY day ORDER BY gap DESC, score) AS rn
+        |  FROM k)
+        |SELECT day, np AS n_pos, nn AS n_neg, gap AS ks_micro, score AS at_score
+        |FROM r WHERE rn = 1 ORDER BY day""".stripMargin,
     // ROC points: identical cumulative class counts and floored rates.
     "roc_points" ->
       """WITH u AS (SELECT user_id,

@@ -1479,6 +1479,47 @@ object Analytics {
   }
 
   /**
+   * GROUPED two-sample KS separation — [[ksScore]] per key: the max CDF
+   * gap between the positive and negative score distributions within
+   * each segment, with the score where it peaks (ties to the smallest
+   * score). Per key identical to running [[ksScore]] on that key's
+   * slice (spec-pinned); one-class keys are absent.
+   *
+   * Scale shape: one keyed aggregate to (key, score) grain, per-key
+   * cumulative windows (keys partition the shuffle — no global sort),
+   * one argmax aggregate per key.
+   */
+  def ksScoreByKey(
+      scored: DataFrame,
+      keyCol: String,
+      idCol: String,
+      scoreCol: Column,
+      labelCol: Column
+  ): DataFrame = {
+    val base = scored.select(col(keyCol).as("__k"), col(idCol).as("__id"),
+      scoreCol.cast("long").as("__s"), labelCol.cast("long").as("__y"))
+      .filter(col("__k").isNotNull && col("__s").isNotNull && col("__y").isin(0L, 1L))
+    val grained = base.groupBy(col("__k"), col("__s"))
+      .agg(sum(col("__y")).as("__p"), sum(lit(1L) - col("__y")).as("__q"))
+    val cum = Window.partitionBy(col("__k")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("__k"))
+    grained
+      .withColumn("__cp", sum(col("__p")).over(cum))
+      .withColumn("__cq", sum(col("__q")).over(cum))
+      .withColumn("__np", sum(col("__p")).over(tot))
+      .withColumn("__nn", sum(col("__q")).over(tot))
+      .filter(col("__np") > 0L && col("__nn") > 0L)
+      .withColumn("__gap",
+        abs(expr("__cp * 1000000L DIV __np") - expr("__cq * 1000000L DIV __nn")))
+      .groupBy(col("__k"))
+      .agg(max(struct(col("__gap"), (-col("__s")).as("__ns"))).as("__m"),
+        first(col("__np")).as("n_pos"), first(col("__nn")).as("n_neg"))
+      .select(col("__k").as(keyCol), col("n_pos"), col("n_neg"),
+        col("__m.__gap").as("ks_micro"), (-col("__m.__ns")).as("at_score"))
+  }
+
+  /**
    * Coalesce overlapping-or-touching `[start, end)` intervals per key
    * into maximal spans — the classic gaps-and-islands rewrite: a row
    * starts a new island iff its start exceeds the running maximum of all

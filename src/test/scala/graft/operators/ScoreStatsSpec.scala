@@ -135,6 +135,22 @@ class ScoreStatsSpec extends SparkSpec {
     }
   }
 
+  test("ksScoreByKey: each key's row equals ksScore on that key's slice; one-class keys absent") {
+    val keyed = (1 to 900).map { i =>
+      (s"k${i % 4}", i.toLong, ((i * 37) % 25).toLong, if ((i * 13) % 3 == 0) 1L else 0L)
+    } ++ (1 to 30).map(i => ("konly", 9000L + i, i.toLong, 0L))
+    val kdf = keyed.toDF("k", "id", "s", "y")
+    val got = Analytics.ksScoreByKey(kdf, "k", "id", col("s"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(!got.contains("konly"))
+    for (k <- Seq("k0", "k1", "k2", "k3")) {
+      val slice = Analytics.ksScore(kdf.filter(col("k") === k), "id", col("s"), col("y"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).head
+      assert(got(k) === slice, k)
+    }
+  }
+
   test("calibrationFromStats: integer bin rule, exact means and rates, partitioning") {
     val got = ScoreStats.calibrationFromStats(stats, nBins = 10)
       .orderBy(col("bin"))
