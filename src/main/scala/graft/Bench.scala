@@ -98,7 +98,12 @@ object Bench {
       // full GCs per run — noise-level — and keeps the tail honest.
       sinceGc += 1
       if (sinceGc >= 40) { sinceGc = 0; System.gc() }
+      // Executed-run count tracked explicitly (not inferred from the error
+      // map): an entry that succeeds on run 1 and fails on run 2 really ran
+      // twice, and the record should say so.
+      var executed = 0
       def once(): Double = {
+        executed += 1
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
         catch {
@@ -122,8 +127,7 @@ object Bench {
       val t3 =
         if (!errors.contains(name) && math.max(t1, t2) > ratio * math.min(t1, t2)) once()
         else Double.MaxValue
-      val runs = if (t3 != Double.MaxValue) 3 else if (errors.contains(name)) 1 else 2
-      name -> (Seq(t1, t2, t3).min, runs)
+      name -> (Seq(t1, t2, t3).min, executed)
     }
 
     def q(s: String): String = "\"" + s.flatMap {

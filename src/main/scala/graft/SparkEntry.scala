@@ -83,6 +83,63 @@ object SparkEntry {
     ()
   }
 
+  /** Per-user-DAY scores with a same-day purchase label — the grouped
+    * eval-family fixture frame (auc_by_day / ks_by_day and their
+    * maintained-stats twins all derive from this one shape). */
+  private def perUserDayScores(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        col("user_id"))
+      .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
+        .as("score"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("label"))
+
+  /** Build (once per dir) the KEYED maintained per-(day, score) stats
+    * table from the per-user-day scores, in three entity-partitioned
+    * generations plus a replayed tick — shared by auc_by_day_from_stats /
+    * ks_by_day_from_stats. */
+  private def scoreStatsKeyedTable(s: SparkSession, dir: String): Unit = {
+    Fixtures.cached(s"score_stats_keyed|$dir") {
+      val perUserDay = perUserDayScores(s, dir)
+      def batch(r: Int) = perUserDay.filter(col("user_id") % 3 === r)
+      graft.operators.ScoreStats.materializeKeyed(
+        batch(0), col("day"), col("score"), col("label"),
+        "graft_scorestats_byday", batchId = 0L)
+      graft.operators.ScoreStats.appendKeyed(
+        batch(1), col("day"), col("score"), col("label"),
+        "graft_scorestats_byday", batchId = 1L)
+      graft.operators.ScoreStats.appendKeyed(
+        batch(2), col("day"), col("score"), col("label"),
+        "graft_scorestats_byday", batchId = 2L)
+      graft.operators.ScoreStats.appendKeyed( // replay: no-op on the guard
+        batch(2), col("day"), col("score"), col("label"),
+        "graft_scorestats_byday", batchId = 2L)
+      java.lang.Boolean.TRUE
+    }
+    ()
+  }
+
+  /** Shared drift binning (once per dir): both parity splits' score
+    * masses on the reference-decile bins — the one expensive pass behind
+    * BOTH drift metrics (tvd_from_stats / psi_from_stats project from
+    * it). Checkpointed: the cuts pipeline triple-consumes the reference
+    * frame and two entries re-read the result. */
+  private def driftBinnedFixture(s: SparkSession, dir: String): DataFrame =
+    Fixtures.cached(s"drift_binned|$dir") {
+      val perUser = events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
+          .as("score"))
+        .withColumn("y", lit(0L))
+        .localCheckpoint() // feeds both parity splits — one events scan
+      def st(r: Int) = graft.operators.ScoreStats.fromScored(
+        perUser.filter(col("user_id") % 2 === r), col("score"), col("y"))
+      graft.operators.ScoreStats.driftBinnedCounts(st(0), st(1))
+        .localCheckpoint()
+    }
+
   private def eventsLedger(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir).select(
       col("event_id").as("offset"),
@@ -1172,50 +1229,39 @@ object SparkEntry {
     },
     // ---- TVD drift from two score-grain stats frames: the reference's
     // decile cutoffs are order statistics, fully determined by
-    // cumulative counts — shares score_drift_tvd's oracle.
+    // cumulative counts — shares score_drift_tvd's oracle. The binned
+    // masses come from the SHARED driftBinnedCounts pass (cuts depend
+    // only on the reference frame — computed once, consumed by both
+    // drift metrics; the round-15 cost fix for the pair).
     "tvd_from_stats" -> { (s, dir) =>
-      val perUser = events(s, dir)
-        .filter(col("user_id").isNotNull)
-        .groupBy(col("user_id"))
-        .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
-          .as("score"))
-        .withColumn("y", lit(0L))
-        .localCheckpoint() // feeds both parity splits — one events scan
-      def st(r: Int) = graft.operators.ScoreStats.fromScored(
-        perUser.filter(col("user_id") % 2 === r), col("score"), col("y"))
-      graft.operators.ScoreStats.tvdFromStats(st(0), st(1))
+      graft.operators.ScoreStats.tvdFromBinned(driftBinnedFixture(s, dir))
         .orderBy(col("bin"))
     },
     // ---- PSI on the same reference-decile bins (the log-based
     // industry-standard drift metric beside TVD): zero bins floored to
     // one count, the (p_cur−p_ref)·ln(p_cur∕p_ref) term evaluated in one
-    // fixed double tree floored to micros.
+    // fixed double tree floored to micros; projects the SAME shared
+    // binned-counts frame as tvd_from_stats.
     "psi_from_stats" -> { (s, dir) =>
-      val perUser = events(s, dir)
-        .filter(col("user_id").isNotNull)
-        .groupBy(col("user_id"))
-        .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
-          .as("score"))
-        .withColumn("y", lit(0L))
-        .localCheckpoint() // feeds both parity splits — one events scan
-      def st(r: Int) = graft.operators.ScoreStats.fromScored(
-        perUser.filter(col("user_id") % 2 === r), col("score"), col("y"))
-      graft.operators.ScoreStats.psiFromStats(st(0), st(1))
+      graft.operators.ScoreStats.psiFromBinned(driftBinnedFixture(s, dir))
         .orderBy(col("bin"))
     },
     // ---- per-day KS separation (grouped): where does daily value
     // separate frequent purchasers from the rest, day by day; per-key
     // cumulative windows, one-class days absent.
     "ks_by_day" -> { (s, dir) =>
-      val perUserDay = events(s, dir)
-        .filter(col("user_id").isNotNull && col("ts").isNotNull)
-        .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
-          col("user_id"))
-        .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
-          .as("score"),
-          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("label"))
       graft.operators.Analytics.ksScoreByKey(
-        perUserDay, "day", "user_id", col("score"), col("label"))
+        perUserDayScores(s, dir), "day", "user_id", col("score"), col("label"))
+        .orderBy(col("day"))
+    },
+    // ---- per-day KS derived from the KEYED MAINTAINED stats table
+    // (three entity-partitioned generations + a replay): per-key
+    // cumulative CDFs over (day, score)-grain counts — the incremental
+    // twin of ks_by_day, same oracle.
+    "ks_by_day_from_stats" -> { (s, dir) =>
+      scoreStatsKeyedTable(s, dir)
+      graft.operators.ScoreStats.ksByKeyFromStats(
+        graft.operators.ScoreStats.readKeyed(s, "graft_scorestats_byday"), "day")
         .orderBy(col("day"))
     },
     // ---- ROC curve points (one per distinct score threshold): the full
@@ -1238,15 +1284,20 @@ object SparkEntry {
     // read a single global AUC hides; ranks per-key windowed, never a
     // global sort; one-class days absent.
     "auc_by_day" -> { (s, dir) =>
-      val perUserDay = events(s, dir)
-        .filter(col("user_id").isNotNull && col("ts").isNotNull)
-        .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
-          col("user_id"))
-        .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
-          .as("score"),
-          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("label"))
       graft.operators.Analytics.aucScoreByKey(
-        perUserDay, "day", "user_id", col("score"), col("label"))
+        perUserDayScores(s, dir), "day", "user_id", col("score"), col("label"))
+        .orderBy(col("day"))
+    },
+    // ---- per-day AUC derived from the KEYED MAINTAINED stats table: the
+    // grouped Mann–Whitney midranks come straight from per-key cumulative
+    // counts (2·cum − n + 1 per score group), so the daily model-quality
+    // trend reads incrementally instead of rescanning raw scored events —
+    // the round-15 unification of the eval family; same oracle as
+    // auc_by_day.
+    "auc_by_day_from_stats" -> { (s, dir) =>
+      scoreStatsKeyedTable(s, dir)
+      graft.operators.ScoreStats.aucByKeyFromStats(
+        graft.operators.ScoreStats.readKeyed(s, "graft_scorestats_byday"), "day")
         .orderBy(col("day"))
     },
     // ---- calibration (reliability) table from the MAINTAINED stats:
@@ -1258,6 +1309,101 @@ object SparkEntry {
       graft.operators.ScoreStats.calibrationFromStats(
         graft.operators.ScoreStats.read(s, "graft_scorestats"), nBins = 10)
         .orderBy(col("bin"))
+    },
+    // ---- catalog statistics maintenance (the CBO feed): ANALYZE a
+    // materialized table, then surface the optimizer-visible statistics
+    // AS DATA — row count plus each analyzed column's exact min/max/
+    // null-count (the HLL-approximate NDV stays a planner detail). The
+    // oracle recomputes the same aggregates from raw.
+    "table_stats" -> { (s, dir) =>
+      Fixtures.cached(s"table_stats|$dir") {
+        graft.operators.Bucketing.materializePlain(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")),
+          "graft_stats_orders")
+        graft.operators.TableStats.collectStats(
+          s, "graft_stats_orders", Seq("o_orderkey", "o_custkey"))
+        java.lang.Boolean.TRUE
+      }
+      graft.operators.TableStats.readStats(s, "graft_stats_orders")
+        .orderBy(col("entity"), col("stat"))
+    },
+    // ---- score-stats COMPACTION: three append generations folded to one
+    // (HWM __gen preserved, staged swap) must read identically to the
+    // from-scratch recount — the generation fold the maintained table
+    // needs at production tick counts; shares score_stats_append's
+    // oracle.
+    "score_stats_compact" -> { (s, dir) =>
+      Fixtures.cached(s"score_stats_compact|$dir") {
+        val perUser = events(s, dir)
+          .filter(col("user_id").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
+            .as("score"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("label"))
+        def batch(r: Int) = perUser.filter(col("user_id") % 3 === r)
+        graft.operators.ScoreStats.materialize(
+          batch(0), col("score"), col("label"), "graft_scorestats_cmp", batchId = 0L)
+        graft.operators.ScoreStats.append(
+          batch(1), col("score"), col("label"), "graft_scorestats_cmp", batchId = 1L)
+        graft.operators.ScoreStats.append(
+          batch(2), col("score"), col("label"), "graft_scorestats_cmp", batchId = 2L)
+        graft.operators.ScoreStats.compactScoreStats(s, "graft_scorestats_cmp")
+        graft.operators.ScoreStats.append( // old tick replayed POST-compact:
+          batch(2), col("score"), col("label"), "graft_scorestats_cmp", batchId = 2L)
+        java.lang.Boolean.TRUE // no-op — the fold preserved the __gen guard
+      }
+      graft.operators.ScoreStats.read(s, "graft_scorestats_cmp")
+        .select(col("__s").as("score_micro"), col("n").as("n_entities"),
+          col("pos").as("n_positive"))
+        .orderBy(col("score_micro"))
+    },
+    // ---- precision-recall curve points (one per distinct threshold):
+    // the class-imbalance-honest read beside roc_points — same confusion
+    // arithmetic, recall axis instead of FPR.
+    "pr_points" -> { (s, dir) =>
+      val perUser = events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
+          .as("score"),
+          when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) * 5L
+            >= count(lit(1)), 1L).otherwise(0L).as("label"))
+      graft.operators.ScoreStats.prFromStats(
+        graft.operators.ScoreStats.fromScored(perUser, col("score"), col("label")))
+        .orderBy(col("threshold_micro"))
+    },
+    // ---- average precision (step-wise area under the PR curve): each
+    // threshold's recall increment is its own positives, so the scalar
+    // needs NO ordered pass beyond the shared prefix sums — integer on
+    // the micro grid end to end.
+    "average_precision" -> { (s, dir) =>
+      val perUser = events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
+          .as("score"),
+          when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) * 5L
+            >= count(lit(1)), 1L).otherwise(0L).as("label"))
+      graft.operators.ScoreStats.averagePrecisionFromStats(
+        graft.operators.ScoreStats.fromScored(perUser, col("score"), col("label")))
+    },
+    // ---- Expected Calibration Error: population-weighted mean |observed
+    // positive rate − mean score| over the calibration bins. The score
+    // here is a genuine micro-probability (each user's click-or-purchase
+    // share of their events), so the scalar is a real calibration read.
+    "ece_from_stats" -> { (s, dir) =>
+      val perUser = events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg((sum(when(col("event_type").isin("click", "purchase"), 1L)
+          .otherwise(0L)) * 1000000L).as("__na"),
+          count(lit(1)).as("__n"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("label"))
+        .select(expr("__na DIV __n").as("score"), col("label"))
+      graft.operators.ScoreStats.eceFromStats(
+        graft.operators.ScoreStats.fromScored(perUser, col("score"), col("label")),
+        nBins = 10)
     },
     // ---- STREAMING twin of score_stats_append: scored-entity stream →
     // foreachBatch → score-grain generations, __gen-guarded (counts are
@@ -6336,7 +6482,166 @@ object SparkEntry {
        |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin
   }
 
+  // Grouped-eval oracles, shared verbatim by the raw grouped operators
+  // (auc_by_day / ks_by_day) and their keyed maintained-stats twins — the
+  // stats derivation must equal the raw recomputation bit for bit.
+  // Grouped AUC: identical per-day midranks and integer U arithmetic.
+  private val aucByDaySql: String =
+    """WITH u AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, user_id,
+      |    CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)
+      |      AS score,
+      |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS label
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+      |r AS (SELECT day, score, label,
+      |    row_number() OVER (PARTITION BY day ORDER BY score, user_id) AS rk FROM u),
+      |g AS (SELECT day, score, CAST(min(rk) AS BIGINT) AS minr,
+      |        CAST(max(rk) AS BIGINT) AS maxr,
+      |        CAST(sum(label) AS BIGINT) AS pos
+      |      FROM r GROUP BY 1, 2),
+      |t AS (SELECT day, CAST(sum(pos * (minr + maxr)) AS BIGINT) AS s2,
+      |        CAST(sum(pos) AS BIGINT) AS n_pos,
+      |        CAST(sum(maxr - minr + 1 - pos) AS BIGINT) AS n_neg
+      |      FROM g GROUP BY 1)
+      |SELECT day, n_pos, n_neg,
+      |  ((s2 - n_pos * (n_pos + 1)) * 1000000) // (2 * n_pos * n_neg) AS auc_micro
+      |FROM t WHERE n_pos > 0 AND n_neg > 0 ORDER BY day""".stripMargin
+
+  // Grouped KS: identical per-day cumulative class counts, one DIV per
+  // class, argmax gap with ties to the smallest score.
+  private val ksByDaySql: String =
+    """WITH u AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, user_id,
+      |    CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)
+      |      AS score,
+      |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS label
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+      |g AS (SELECT day, score, CAST(sum(label) AS BIGINT) AS p,
+      |        CAST(sum(1 - label) AS BIGINT) AS q FROM u GROUP BY 1, 2),
+      |c AS (SELECT day, score,
+      |    CAST(sum(p) OVER (PARTITION BY day ORDER BY score
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
+      |    CAST(sum(q) OVER (PARTITION BY day ORDER BY score
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cq,
+      |    CAST(sum(p) OVER (PARTITION BY day) AS BIGINT) AS np,
+      |    CAST(sum(q) OVER (PARTITION BY day) AS BIGINT) AS nn
+      |  FROM g),
+      |k AS (SELECT day, score, np, nn,
+      |        abs(cp * 1000000 // np - cq * 1000000 // nn) AS gap
+      |      FROM c WHERE np > 0 AND nn > 0),
+      |r AS (SELECT day, score, np, nn, gap,
+      |    row_number() OVER (PARTITION BY day ORDER BY gap DESC, score) AS rn
+      |  FROM k)
+      |SELECT day, np AS n_pos, nn AS n_neg, gap AS ks_micro, score AS at_score
+      |FROM r WHERE rn = 1 ORDER BY day""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // The keyed maintained-stats twins must equal the raw grouped
+    // recomputations bit for bit — they share the grouped oracles.
+    "auc_by_day_from_stats" -> aucByDaySql,
+    "ks_by_day_from_stats" -> ksByDaySql,
+    // Catalog statistics as data: exact aggregates recomputed from raw.
+    "table_stats" ->
+      """SELECT 'table' AS entity, 'row_count' AS stat,
+        |    CAST(count(*) AS VARCHAR) AS value FROM orders
+        |UNION ALL SELECT 'o_custkey', 'max',
+        |    CAST(max(o_custkey) AS VARCHAR) FROM orders
+        |UNION ALL SELECT 'o_custkey', 'min',
+        |    CAST(min(o_custkey) AS VARCHAR) FROM orders
+        |UNION ALL SELECT 'o_custkey', 'null_count',
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS VARCHAR)
+        |  FROM orders
+        |UNION ALL SELECT 'o_orderkey', 'max',
+        |    CAST(max(o_orderkey) AS VARCHAR) FROM orders
+        |UNION ALL SELECT 'o_orderkey', 'min',
+        |    CAST(min(o_orderkey) AS VARCHAR) FROM orders
+        |UNION ALL SELECT 'o_orderkey', 'null_count',
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS VARCHAR)
+        |  FROM orders
+        |ORDER BY entity, stat""".stripMargin,
+    // Compaction preserves content exactly: the folded table reads as
+    // the same from-scratch per-score recount as score_stats_append.
+    "score_stats_compact" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)
+        |      AS score,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS label
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+        |SELECT score AS score_micro, CAST(count(*) AS BIGINT) AS n_entities,
+        |  CAST(sum(label) AS BIGINT) AS n_positive
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    // PR points: same per-threshold confusion as roc_points, recall axis.
+    "pr_points" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)
+        |      AS score,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5 >= count(*)
+        |         THEN 1::BIGINT ELSE 0::BIGINT END AS label
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |g AS (SELECT score, CAST(sum(label) AS BIGINT) AS p,
+        |        CAST(sum(1 - label) AS BIGINT) AS q FROM u GROUP BY 1),
+        |c AS (SELECT score, p, q,
+        |    CAST(sum(p) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
+        |    CAST(sum(q) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cq
+        |  FROM g),
+        |t AS (SELECT CAST(sum(label) AS BIGINT) AS np,
+        |        CAST(sum(1 - label) AS BIGINT) AS nn FROM u),
+        |k AS (SELECT c.score AS threshold_micro,
+        |        np - cp + p AS tp, nn - cq + q AS fp FROM c CROSS JOIN t
+        |      WHERE np > 0 AND nn > 0)
+        |SELECT threshold_micro, tp, fp,
+        |  (tp * 1000000) // t.np AS recall_micro,
+        |  CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) ELSE 0 END
+        |    AS precision_micro
+        |FROM k CROSS JOIN t ORDER BY threshold_micro""".stripMargin,
+    // Average precision: step-wise AP — each threshold's recall increment
+    // is its own positives, precision already floored to micros.
+    "average_precision" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)
+        |      AS score,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5 >= count(*)
+        |         THEN 1::BIGINT ELSE 0::BIGINT END AS label
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |g AS (SELECT score, CAST(sum(label) AS BIGINT) AS p,
+        |        CAST(sum(1 - label) AS BIGINT) AS q FROM u GROUP BY 1),
+        |c AS (SELECT score, p, q,
+        |    CAST(sum(p) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
+        |    CAST(sum(q) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cq
+        |  FROM g),
+        |t AS (SELECT CAST(sum(label) AS BIGINT) AS np,
+        |        CAST(sum(1 - label) AS BIGINT) AS nn FROM u),
+        |k AS (SELECT p, np - cp + p AS tp, nn - cq + q AS fp
+        |      FROM c CROSS JOIN t WHERE np > 0),
+        |pr AS (SELECT p,
+        |    CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) ELSE 0 END AS prec
+        |  FROM k)
+        |SELECT t.np AS n_pos, t.nn AS n_neg,
+        |  (SELECT CAST(sum(p * prec) AS BIGINT) FROM pr) // t.np AS ap_micro
+        |FROM t WHERE t.np > 0""".stripMargin,
+    // ECE: weighted mean |pos_rate − mean_score| over the calibration
+    // bins of the click-or-purchase-share micro-probability.
+    "ece_from_stats" ->
+      """WITH u AS (SELECT user_id,
+        |    (CAST(sum(CASE WHEN event_type IN ('click', 'purchase')
+        |        THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |      // CAST(count(*) AS BIGINT) AS score,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS label
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |mm AS (SELECT min(score) AS lo, max(score) AS hi FROM u),
+        |b AS (SELECT ((score - lo) * 10) // (hi - lo + 1) + 1 AS bin, score, label
+        |      FROM u CROSS JOIN mm),
+        |cal AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(score) AS BIGINT) // CAST(count(*) AS BIGINT) AS ms,
+        |        (CAST(sum(label) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+        |          AS prr
+        |      FROM b GROUP BY 1)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_entities,
+        |  CAST(sum(n * abs(prr - ms)) AS BIGINT) // CAST(sum(n) AS BIGINT)
+        |    AS ece_micro
+        |FROM cal""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -7013,31 +7318,8 @@ object SparkEntry {
     // per-score recount of the same entities.
     // Grouped KS: identical per-day cumulative class counts, one DIV per
     // class, argmax gap with ties to the smallest score.
-    "ks_by_day" ->
-      """WITH u AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, user_id,
-        |    CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)
-        |      AS score,
-        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS label
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
-        |g AS (SELECT day, score, CAST(sum(label) AS BIGINT) AS p,
-        |        CAST(sum(1 - label) AS BIGINT) AS q FROM u GROUP BY 1, 2),
-        |c AS (SELECT day, score,
-        |    CAST(sum(p) OVER (PARTITION BY day ORDER BY score
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
-        |    CAST(sum(q) OVER (PARTITION BY day ORDER BY score
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cq,
-        |    CAST(sum(p) OVER (PARTITION BY day) AS BIGINT) AS np,
-        |    CAST(sum(q) OVER (PARTITION BY day) AS BIGINT) AS nn
-        |  FROM g),
-        |k AS (SELECT day, score, np, nn,
-        |        abs(cp * 1000000 // np - cq * 1000000 // nn) AS gap
-        |      FROM c WHERE np > 0 AND nn > 0),
-        |r AS (SELECT day, score, np, nn, gap,
-        |    row_number() OVER (PARTITION BY day ORDER BY gap DESC, score) AS rn
-        |  FROM k)
-        |SELECT day, np AS n_pos, nn AS n_neg, gap AS ks_micro, score AS at_score
-        |FROM r WHERE rn = 1 ORDER BY day""".stripMargin,
+    "ks_by_day" -> ksByDaySql,
+    "auc_by_day" -> aucByDaySql,
     // ROC points: identical cumulative class counts and floored rates.
     "roc_points" ->
       """WITH u AS (SELECT user_id,
@@ -7096,27 +7378,6 @@ object SparkEntry {
         |SELECT bin, n_ref, n_cur,
         |  CAST(floor((pc - pr) * ln(pc / pr) * 1000000.0) AS BIGINT) AS psi_micro
         |FROM j ORDER BY bin""".stripMargin,
-    // Grouped AUC: identical per-day midranks and integer U arithmetic.
-    "auc_by_day" ->
-      """WITH u AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, user_id,
-        |    CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)
-        |      AS score,
-        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS label
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
-        |r AS (SELECT day, score, label,
-        |    row_number() OVER (PARTITION BY day ORDER BY score, user_id) AS rk FROM u),
-        |g AS (SELECT day, score, CAST(min(rk) AS BIGINT) AS minr,
-        |        CAST(max(rk) AS BIGINT) AS maxr,
-        |        CAST(sum(label) AS BIGINT) AS pos
-        |      FROM r GROUP BY 1, 2),
-        |t AS (SELECT day, CAST(sum(pos * (minr + maxr)) AS BIGINT) AS s2,
-        |        CAST(sum(pos) AS BIGINT) AS n_pos,
-        |        CAST(sum(maxr - minr + 1 - pos) AS BIGINT) AS n_neg
-        |      FROM g GROUP BY 1)
-        |SELECT day, n_pos, n_neg,
-        |  ((s2 - n_pos * (n_pos + 1)) * 1000000) // (2 * n_pos * n_neg) AS auc_micro
-        |FROM t WHERE n_pos > 0 AND n_neg > 0 ORDER BY day""".stripMargin,
     // Calibration: identical integer bin rule, means/rates floored.
     "calibration_from_stats" ->
       """WITH u AS (SELECT user_id,

@@ -232,6 +232,28 @@ object Bucketing {
     renameInto(spark, tmp, table)
   }
 
+  /** Bucketed sibling of [[swapInPlain]] — same staged DROP + RENAME
+    * discipline, same `_swap_tmp` naming (so [[recoverSwap]] completes an
+    * interrupted swap of either kind), but the staged copy is written
+    * `bucketBy` so storage-partitioned join plans survive the rewrite
+    * (the cluster-index fold re-buckets on id). RENAME carries the
+    * bucket spec with the table metadata. */
+  def swapInBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil
+  ): Unit = {
+    require(!table.contains("."),
+      s"swapInBucketed takes an unqualified table name, got '$table'")
+    val spark = df.sparkSession
+    val tmp = s"${table}_swap_tmp"
+    materializeBucketedBy(df, tmp, bucketCols, numBuckets, sortCols)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    renameInto(spark, tmp, table)
+  }
+
   /** Complete an interrupted [[swapInPlain]] (crash between its DROP and
     * RENAME): call before reading a swap-maintained table. No-op when the
     * table is healthy. */

@@ -197,12 +197,18 @@ object Changelog {
       .filter(col("is_current") === 1L)
       .localCheckpoint() // feeds the contract check AND the pseudo-ledger
     // Ordering contract (cheap, O(batch)): every batch row's offset must
-    // exceed its key's stored open-version identity, or the pseudo-ledger
-    // rows would no longer sort before the batch rows in the scd2 window
-    // and the tick would SILENTLY produce wrong validity intervals.
+    // exceed max(__vid) over ALL stored versions of its key — not just the
+    // open one: a stale row for a fully-closed key (all versions retracted)
+    // has no open version to sort against, but would still open a version
+    // whose valid_from can predate the closed version's valid_to, silently
+    // producing overlapping intervals. Checking the all-versions high-water
+    // offset catches both cases with the same key-semi-joined scan.
+    val maxVid = stored.join(keys, primaryKey, "left_semi")
+      .groupBy(primaryKey.map(col): _*)
+      .agg(max(col("__vid")).as("__maxvid"))
     val violations = batch
-      .join(open.select(primaryKey.map(col) :+ col("__vid"): _*), primaryKey)
-      .filter(col(vocab.offsetColumn) <= col("__vid"))
+      .join(maxVid, primaryKey)
+      .filter(col(vocab.offsetColumn) <= col("__maxvid"))
       .count()
     require(violations == 0L,
       s"appendToScd2($table, batch $batchId): $violations batch row(s) carry " +

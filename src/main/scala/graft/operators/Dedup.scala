@@ -1491,6 +1491,8 @@ object Dedup {
     val spark = newPairs.sparkSession
     val clustersTable = s"${table}_clusters"
     val rootsTable = s"${table}_roots"
+    Bucketing.recoverSwap(spark, clustersTable) // complete interrupted compact
+    Bucketing.recoverSwap(spark, rootsTable)
     val stored = spark.table(clustersTable)
     val remap = spark.table(rootsTable)
 
@@ -1554,24 +1556,39 @@ object Dedup {
       .select(col("root"), coalesce(col("__p"), col("parent")).as("parent"))
       .unionByName(updates)
       .localCheckpoint() // materialize before overwriting the table it reads
-    save(spark, newRemap, rootsTable, 0)
+    // Staged swap, not DROP+save: a crash between those would lose the
+    // remap (checkpoint blocks are not a table) and stored comps would
+    // silently resolve to retired roots.
+    Bucketing.swapInPlain(newRemap, rootsTable)
   }
 
   /** Resolved cluster assignment (id, comp) from a cluster index: one left
     * join of the immutable per-id rows through the small root remap. */
-  def readClusters(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
+  def readClusters(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+    Bucketing.recoverSwap(spark, s"${table}_clusters") // complete interrupted compact
+    Bucketing.recoverSwap(spark, s"${table}_roots")
     spark.table(s"${table}_clusters")
       .join(
         spark.table(s"${table}_roots").withColumnRenamed("root", "comp"),
         Seq("comp"), "left")
       .select(col("id"), coalesce(col("parent"), col("comp")).as("comp"))
+  }
 
   /**
    * Fold the root remap into `_clusters` and truncate it — a full O(corpus)
    * rewrite, so this is MAINTENANCE (run when the remap has grown enough
-   * that its broadcast join bothers readers), never part of the tick. The
-   * rewrite stages into a temp table and renames, so a crash leaves either
-   * the old or the new index, not a half-written one.
+   * that its broadcast join bothers readers), never part of the tick.
+   *
+   * Both rewrites ride the staged [[Bucketing]] swap discipline
+   * ([[Bucketing.swapInBucketed]] for the id-bucketed `_clusters` fold,
+   * [[Bucketing.swapInPlain]] for the remap truncation): a crash anywhere
+   * leaves either the old or the new copy of each table, and
+   * [[readClusters]]/[[appendToClusters]]/this call complete any
+   * interrupted swap first. A crash BETWEEN the two swaps (folded
+   * `_clusters`, stale `_roots`) is benign: folded comps are current
+   * roots, which by construction match no retired-root remap key, so
+   * resolution coalesces through unchanged — the next compact finishes
+   * the truncation.
    */
   def compactClusters(
       spark: org.apache.spark.sql.SparkSession,
@@ -1579,12 +1596,12 @@ object Dedup {
       numBuckets: Int = 64
   ): Unit = {
     val clustersTable = s"${table}_clusters"
-    val tmp = s"${clustersTable}_compact_tmp"
-    save(spark, readClusters(spark, table), tmp, numBuckets, "id")
-    spark.sql(s"DROP TABLE IF EXISTS `$clustersTable`")
-    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$clustersTable`")
-    val empty = spark.table(s"${table}_roots").limit(0)
-    save(spark, empty.localCheckpoint(), s"${table}_roots", 0)
+    val rootsTable = s"${table}_roots"
+    Bucketing.recoverSwap(spark, clustersTable)
+    Bucketing.recoverSwap(spark, rootsTable)
+    Bucketing.swapInBucketed(
+      readClusters(spark, table), clustersTable, Seq("id"), numBuckets, Seq("id"))
+    Bucketing.swapInPlain(spark.table(rootsTable).limit(0), rootsTable)
   }
 
   /**

@@ -29,6 +29,11 @@ object Ranks {
    * range-partition on the sort key, rank within each partition, then add
    * per-partition cumulative offsets (one bounded ≤P-row driver aggregate,
    * the zipWithIndex shape).
+   *
+   * CONTRACT: `sortCols` must be a TOTAL order over the frame (append a
+   * unique id as the last key when the leading keys can tie) — with ties,
+   * `row_number` breaks them by arbitrary in-partition order and the rank
+   * assignment is nondeterministic across runs.
    */
   private[graft] def withGlobalRank(
       df: DataFrame,
@@ -131,6 +136,13 @@ object Ranks {
    * addition. Null cells count as 0 (`sum` skips nulls; a partition of
    * all-null cells contributes 0, not null — `coalesce` on the fold).
    * One range shuffle regardless of how many columns ride along.
+   *
+   * CONTRACT: `orderCol` values must be DISTINCT (one row per value — the
+   * grain every current caller aggregates to first). With duplicate
+   * values the per-partition row-frame window splits tie rows in
+   * arbitrary order, so each tie row's inclusive sum — and hence the
+   * result — is nondeterministic across runs. Aggregate to `orderCol`
+   * grain before calling.
    */
   private[graft] def prefixSumsInclusiveGlobal(
       df: DataFrame,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -62,6 +63,7 @@ object ScoreStats {
       batchId: Long
   ): Unit = {
     val spark = batch.sparkSession
+    Bucketing.recoverSwap(spark, table) // complete an interrupted compact
     val stored = spark.table(table)
     val hwm = stored.agg(max(col("__gen"))).collect()
       .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
@@ -104,10 +106,197 @@ object ScoreStats {
       .foreachBatch(applyScoreStatsBatch(table, scoreCol, labelCol) _)
 
   /** The folded `(__s, n, pos)` stats — generations summed per score. */
-  def read(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
+  def read(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+    Bucketing.recoverSwap(spark, table) // complete an interrupted compact
     spark.table(table)
       .groupBy(col("__s"))
       .agg(sum(col("n")).as("n"), sum(col("pos")).as("pos"))
+  }
+
+  /** Rewrite the maintained table with generations folded — one row per
+    * score, stamped with the stored high-water `__gen` so the append
+    * guard survives compaction; [[read]] is identical before and after.
+    * Read-side maintenance after many ticks (each append adds one
+    * score-grain delta forever). Rides the staged [[Bucketing.swapInPlain]]
+    * (crash leaves the old or the folded table; [[read]]/[[append]] call
+    * `recoverSwap` first). Same single-writer contract as every other
+    * maintained-table compactor: never run concurrently with ticks. */
+  def compactScoreStats(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String
+  ): Unit = {
+    Bucketing.recoverSwap(spark, table)
+    val t = spark.table(table)
+    val hwm = broadcast(t.agg(max(col("__gen")).as("__gen"))) // global HWM
+    val folded = t
+      .groupBy(col("__s"))
+      .agg(sum(col("n")).as("n"), sum(col("pos")).as("pos"))
+      .crossJoin(hwm)
+      .select(t.columns.map(col).toSeq: _*)
+    Bucketing.swapInPlain(folded, table)
+  }
+
+  /** Normalize any stats-shaped frame to strict score grain with long
+    * counts — the defensive head of every `*FromStats` derivation. The
+    * derivations' rank/CDF arithmetic is only valid with ONE row per
+    * score; a caller passing per-generation rows (`spark.table(t)`
+    * instead of [[read]]) would otherwise get silently wrong midranks.
+    * On already-score-grain input this is one cheap hash aggregate. */
+  private def normalized(stats: DataFrame): DataFrame =
+    stats
+      .groupBy(col("__s"))
+      .agg(sum(col("n").cast("long")).as("n"),
+        sum(col("pos").cast("long")).as("pos"))
+
+  // ------------------------------------------------------------- keyed
+
+  /** (key, score)-grain class counts — the grouped sibling of
+    * [[fromScored]]: one row per (key, distinct score) with `n` entities
+    * and `pos` positives. The key is a model-eval slice axis (day,
+    * segment, cohort). */
+  def fromScoredKeyed(
+      scored: DataFrame,
+      keyCol: Column,
+      scoreCol: Column,
+      labelCol: Column
+  ): DataFrame =
+    scored
+      .select(keyCol.as("__k"), scoreCol.cast("long").as("__s"),
+        labelCol.cast("long").as("__y"))
+      .filter(col("__k").isNotNull && col("__s").isNotNull &&
+        col("__y").isin(0L, 1L))
+      .groupBy(col("__k"), col("__s"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"))
+
+  /** Seed the KEYED maintained table from the first batch — same
+    * append-only generation layout as [[materialize]] with a `__k` slice
+    * column, so the grouped eval metrics (per-day AUC/KS) read
+    * incrementally instead of rescanning raw scored events. */
+  def materializeKeyed(
+      scored: DataFrame,
+      keyCol: Column,
+      scoreCol: Column,
+      labelCol: Column,
+      table: String,
+      batchId: Long = 0L
+  ): Unit =
+    Bucketing.materializePlain(
+      fromScoredKeyed(scored, keyCol, scoreCol, labelCol)
+        .withColumn("__gen", lit(batchId)),
+      table)
+
+  /** Keyed sibling of [[append]]: ONE idempotent (key, score)-grain
+    * `insertInto` guarded by the stored high-water `__gen`. Batches must
+    * partition the (key, entity) set — an entity may appear under several
+    * keys (it is scored once per day), but each (key, entity) pair must
+    * land in exactly one batch. */
+  def appendKeyed(
+      batch: DataFrame,
+      keyCol: Column,
+      scoreCol: Column,
+      labelCol: Column,
+      table: String,
+      batchId: Long
+  ): Unit = {
+    val spark = batch.sparkSession
+    Bucketing.recoverSwap(spark, table) // complete an interrupted compact
+    val stored = spark.table(table)
+    val hwm = stored.agg(max(col("__gen"))).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(-1L)
+    if (batchId <= hwm) return
+    fromScoredKeyed(batch, keyCol, scoreCol, labelCol)
+      .withColumn("__gen", lit(batchId))
+      .select(stored.columns.map(col).toSeq: _*)
+      .write.insertInto(table)
+  }
+
+  /** The folded `(__k, __s, n, pos)` keyed stats — generations summed
+    * per (key, score). */
+  def readKeyed(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+    Bucketing.recoverSwap(spark, table)
+    spark.table(table)
+      .groupBy(col("__k"), col("__s"))
+      .agg(sum(col("n")).as("n"), sum(col("pos")).as("pos"))
+  }
+
+  /** Keyed sibling of [[compactScoreStats]]: fold generations to one
+    * (key, score) row each, HWM `__gen` preserved, staged swap. */
+  def compactScoreStatsKeyed(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String
+  ): Unit = {
+    Bucketing.recoverSwap(spark, table)
+    val t = spark.table(table)
+    val hwm = broadcast(t.agg(max(col("__gen")).as("__gen")))
+    val folded = t
+      .groupBy(col("__k"), col("__s"))
+      .agg(sum(col("n")).as("n"), sum(col("pos")).as("pos"))
+      .crossJoin(hwm)
+      .select(t.columns.map(col).toSeq: _*)
+    Bucketing.swapInPlain(folded, table)
+  }
+
+  /** Keyed defensive normalization — (key, score) grain, long counts. */
+  private def normalizedKeyed(stats: DataFrame): DataFrame =
+    stats
+      .groupBy(col("__k"), col("__s"))
+      .agg(sum(col("n").cast("long")).as("n"),
+        sum(col("pos").cast("long")).as("pos"))
+
+  /**
+   * GROUPED exact ROC AUC from keyed score-grain stats — value-identical
+   * per key to [[graft.operators.Analytics.aucScoreByKey]] on the
+   * underlying entities (midranks are invariant to intra-tie order, so
+   * the stats-side 2·cum − n + 1 spelling reproduces minr + maxr
+   * exactly). One-class keys are absent.
+   *
+   * Scale shape: the cumulative window PARTITIONS BY KEY (keys spread
+   * the shuffle — no global sort, none of [[Ranks]]' machinery needed),
+   * then one keyed aggregate on (key, score)-cardinality rows. The
+   * 2·n_k²·10⁶ < 2^63 integer bound applies per key to that key's score
+   * cardinality.
+   */
+  def aucByKeyFromStats(stats: DataFrame, keyCol: String): DataFrame = {
+    val s = normalizedKeyed(stats)
+    val w = Window.partitionBy(col("__k")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s.withColumn("__cn", sum(col("n")).over(w))
+      .groupBy(col("__k"))
+      .agg(
+        sum(col("pos") * (col("__cn") * 2L - col("n") + 1L)).as("__s2"),
+        sum(col("pos")).as("n_pos"),
+        sum(col("n") - col("pos")).as("n_neg"))
+      .filter(col("n_pos") > 0L && col("n_neg") > 0L)
+      .select(col("__k").as(keyCol), col("n_pos"), col("n_neg"),
+        expr("((__s2 - n_pos * (n_pos + 1L)) * 1000000L) DIV (2L * n_pos * n_neg)")
+          .as("auc_micro"))
+  }
+
+  /** GROUPED two-sample KS from keyed score-grain stats — value-identical
+    * per key to [[graft.operators.Analytics.ksScoreByKey]]: per-key
+    * cumulative class CDFs, one DIV per class, argmax gap with ties to
+    * the smallest score; one-class keys absent. Same per-key-window
+    * scale shape as [[aucByKeyFromStats]]. */
+  def ksByKeyFromStats(stats: DataFrame, keyCol: String): DataFrame = {
+    val s = normalizedKeyed(stats)
+      .withColumn("__neg", col("n") - col("pos"))
+    val cum = Window.partitionBy(col("__k")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("__k"))
+    s.withColumn("__cp", sum(col("pos")).over(cum))
+      .withColumn("__cq", sum(col("__neg")).over(cum))
+      .withColumn("__np", sum(col("pos")).over(tot))
+      .withColumn("__nn", sum(col("__neg")).over(tot))
+      .filter(col("__np") > 0L && col("__nn") > 0L)
+      .withColumn("__gap",
+        abs(expr("__cp * 1000000L DIV __np") - expr("__cq * 1000000L DIV __nn")))
+      .groupBy(col("__k"))
+      .agg(max(struct(col("__gap"), (-col("__s")).as("__ns"))).as("__m"),
+        first(col("__np")).as("n_pos"), first(col("__nn")).as("n_neg"))
+      .select(col("__k").as(keyCol), col("n_pos"), col("n_neg"),
+        col("__m.__gap").as("ks_micro"), (-col("__m.__ns")).as("at_score"))
+  }
 
   /**
    * Exact ROC AUC from score-grain stats — value-identical to
@@ -118,8 +307,7 @@ object ScoreStats {
    */
   def aucFromStats(stats: DataFrame): DataFrame =
     Ranks.prefixSumsInclusiveGlobal(
-      stats.select(col("__s"), col("n").cast("long").as("n"),
-        col("pos").cast("long").as("pos")),
+      normalized(stats),
       col("__s"), Seq("n"), Seq("__cn"))
       .agg(
         sum(col("pos") * (col("__cn") * 2L - col("n") + 1L)).as("__s2"),
@@ -135,8 +323,7 @@ object ScoreStats {
     * the score axis, one DIV per class, argmax gap with ties to the
     * smallest score. */
   def ksFromStats(stats: DataFrame): DataFrame = {
-    val s = stats.select(col("__s"), col("n").cast("long").as("n"),
-      col("pos").cast("long").as("pos"))
+    val s = normalized(stats)
       .withColumn("__neg", col("n") - col("pos"))
     val tot = broadcast(s.agg(
       sum(col("pos")).as("__np"), sum(col("__neg")).as("__nn")))
@@ -164,8 +351,7 @@ object ScoreStats {
    */
   def decileLiftFromStats(stats: DataFrame): DataFrame = {
     val spark = stats.sparkSession
-    val s = stats.select(col("__s"), col("n").cast("long").as("n"),
-      col("pos").cast("long").as("pos"))
+    val s = normalized(stats)
     val tot = broadcast(s.agg(sum(col("n")).as("__n"), sum(col("pos")).as("__pos")))
     val deciles = broadcast(spark.range(1, 11).select(col("id").as("decile")))
     Ranks.prefixSumsInclusiveGlobal(
@@ -207,8 +393,7 @@ object ScoreStats {
    * score-cardinality frame; nothing entity-sized anywhere.
    */
   def rocFromStats(stats: DataFrame): DataFrame = {
-    val s = stats.select(col("__s"), col("n").cast("long").as("n"),
-      col("pos").cast("long").as("pos"))
+    val s = normalized(stats)
       .withColumn("__neg", col("n") - col("pos"))
     val tot = broadcast(s.agg(
       sum(col("pos")).as("__np"), sum(col("__neg")).as("__nn")))
@@ -227,6 +412,47 @@ object ScoreStats {
   }
 
   /**
+   * Precision-recall curve points from score-grain stats — the
+   * class-imbalance-honest sibling of [[rocFromStats]] (same thresholds,
+   * same confusion arithmetic; recall IS the TPR column, re-labeled for
+   * the PR reading). One row per distinct score threshold.
+   */
+  def prFromStats(stats: DataFrame): DataFrame =
+    rocFromStats(stats).select(
+      col("threshold_micro"), col("tp"), col("fp"),
+      col("tpr_micro").as("recall_micro"), col("precision_micro"))
+
+  /**
+   * Average precision (area under the PR curve, step-wise) from
+   * score-grain stats: AP = Σ_t ΔR_t · P_t over thresholds in DESCENDING
+   * score order. The recall increment at threshold s is exactly that
+   * score's own positives over n_pos, so NO ordered window is needed —
+   * `ap_micro = (Σ_s pos_s · precision_micro_s) DIV n_pos` with each
+   * threshold's precision already floored onto the micro grid (the
+   * definitional integer spelling; any engine reproduces it).
+   */
+  def averagePrecisionFromStats(stats: DataFrame): DataFrame = {
+    val s = normalized(stats).withColumn("__neg", col("n") - col("pos"))
+    val tot = broadcast(s.agg(
+      sum(col("pos")).as("__np"), sum(col("__neg")).as("__nn")))
+    Ranks.prefixSumsInclusiveGlobal(
+      s, col("__s"), Seq("pos", "__neg"), Seq("__cp", "__cq"))
+      .crossJoin(tot)
+      .filter(col("__np") > 0L)
+      // tp/fp at threshold __s, and this threshold's recall increment is
+      // its own `pos` — zero-pos thresholds contribute nothing, exactly
+      // the step-wise AP definition
+      .withColumn("tp", col("__np") - col("__cp") + col("pos"))
+      .withColumn("fp", col("__nn") - col("__cq") + col("__neg"))
+      .withColumn("__prec",
+        expr("CASE WHEN tp + fp > 0 THEN (tp * 1000000L) DIV (tp + fp) ELSE 0L END"))
+      .agg(sum(col("pos") * col("__prec")).as("__num"),
+        first(col("__np")).as("n_pos"), first(col("__nn")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("__num DIV n_pos").as("ap_micro"))
+  }
+
+  /**
    * Calibration (reliability) table from score-grain stats: the score
    * range splits into `nBins` equal-width bins and each bin reports its
    * population, positives, mean score and observed positive rate — "do
@@ -240,8 +466,7 @@ object ScoreStats {
    */
   def calibrationFromStats(stats: DataFrame, nBins: Int = 10): DataFrame = {
     require(nBins >= 1, "nBins must be positive")
-    val s = stats.select(col("__s"), col("n").cast("long").as("n"),
-      col("pos").cast("long").as("pos"))
+    val s = normalized(stats)
     val mm = broadcast(s.agg(min(col("__s")).as("__lo"), max(col("__s")).as("__hi")))
     s.crossJoin(mm)
       .withColumn("bin",
@@ -255,6 +480,25 @@ object ScoreStats {
   }
 
   /**
+   * Expected Calibration Error from score-grain stats — the scalar
+   * summary of [[calibrationFromStats]]'s table: the population-weighted
+   * mean absolute gap between each bin's observed positive rate and its
+   * mean score, `ece = Σ_b n_b·|pos_rate_b − mean_score_b| ∕ N`. All
+   * integer on the micro grid (per-bin rates/means are already floored
+   * by the calibration table; the final weighted mean takes one more
+   * DIV). Meaningful when scores are micro-PROBABILITIES (0..10⁶) —
+   * callers feeding raw unbounded scores get a number, not a
+   * calibration read.
+   */
+  def eceFromStats(stats: DataFrame, nBins: Int = 10): DataFrame =
+    calibrationFromStats(stats, nBins)
+      .agg(sum(col("n_entities")).as("n_entities"),
+        sum(col("n_entities") *
+          abs(col("pos_rate_micro") - col("mean_score_micro"))).as("__num"))
+      .select(col("n_entities"),
+        expr("__num DIV n_entities").as("ece_micro"))
+
+  /**
    * TVD score drift from two score-grain stats frames (`pos` ignored) —
    * value-identical to [[Analytics.scoreDriftTvd]]: the reference's
    * decile value cutoffs depend only on score ORDER STATISTICS (the
@@ -263,7 +507,12 @@ object ScoreStats {
    * land on the same bins.
    */
   def tvdFromStats(refStats: DataFrame, curStats: DataFrame): DataFrame =
-    binnedDriftCounts(refStats, curStats)
+    tvdFromBinned(binnedDriftCounts(refStats, curStats))
+
+  /** TVD projection over a precomputed [[driftBinnedCounts]] frame —
+    * lets one binning pass feed both drift metrics. */
+  def tvdFromBinned(binned: DataFrame): DataFrame =
+    binned
       .select(col("bin"), col("n_ref"), col("n_cur"),
         expr("abs(n_ref * 1000000L DIV __nr - n_cur * 1000000L DIV __nc)")
           .as("gap_micro"))
@@ -281,7 +530,11 @@ object ScoreStats {
    * of thumb: Σpsi < 0.1 stable, > 0.25 shifted.
    */
   def psiFromStats(refStats: DataFrame, curStats: DataFrame): DataFrame =
-    binnedDriftCounts(refStats, curStats)
+    psiFromBinned(binnedDriftCounts(refStats, curStats))
+
+  /** PSI projection over a precomputed [[driftBinnedCounts]] frame. */
+  def psiFromBinned(binned: DataFrame): DataFrame =
+    binned
       .withColumn("__pr",
         greatest(col("n_ref"), lit(1L)).cast("double") / col("__nr").cast("double"))
       .withColumn("__pc",
@@ -293,15 +546,21 @@ object ScoreStats {
   /** Shared binning for the drift pair: both frames' masses on the
     * reference-decile value bins, with totals — `(bin, n_ref, n_cur,
     * __nr, __nc)`. The reference frame feeds cutoffs + binning + totals
-    * (three consumers), so both frames checkpoint once. */
+    * (three consumers), so both frames checkpoint once. Public so a
+    * caller evaluating BOTH drift metrics (the normal monitoring read)
+    * pays the cuts pipeline once: compute this, then
+    * [[tvdFromBinned]] + [[psiFromBinned]] are cheap projections. */
+  def driftBinnedCounts(
+      refStats: DataFrame,
+      curStats: DataFrame
+  ): DataFrame = binnedDriftCounts(refStats, curStats)
+
   private def binnedDriftCounts(
       refStats: DataFrame,
       curStats: DataFrame
   ): DataFrame = {
-    val r = refStats.select(col("__s"), col("n").cast("long").as("n"))
-      .localCheckpoint()
-    val c = curStats.select(col("__s"), col("n").cast("long").as("n"))
-      .localCheckpoint()
+    val r = normalized(refStats).drop("pos").localCheckpoint()
+    val c = normalized(curStats).drop("pos").localCheckpoint()
     val totR = broadcast(r.agg(sum(col("n")).as("__nr")))
     val totC = broadcast(c.agg(sum(col("n")).as("__nc")))
     val cuts = broadcast(

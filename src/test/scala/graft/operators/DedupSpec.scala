@@ -486,6 +486,39 @@ class DedupSpec extends SparkSpec {
     assert(spark.table(s"${tab}_clusters").filter(col("comp") =!= 0L).count() === 0L)
   }
 
+  test("compactClusters: crash between the swap's DROP and RENAME recovers; mid-compact crash reads stay correct") {
+    val tab = "graft_cci_crash"
+    Dedup.materializeClusters(Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b"), tab, numBuckets = 4)
+    Dedup.appendToClusters(Seq((10L, 2L), (10L, 5L)).toDF("id_a", "id_b"), tab)
+    val want = resolvedClusters(tab)
+
+    // crash window A: `_clusters` fold staged + DROP ran, RENAME did not —
+    // the live table is GONE; the next read must complete the swap
+    spark.table(s"${tab}_clusters").write
+      .bucketBy(4, "id").sortBy("id").saveAsTable(s"${tab}_clusters_swap_tmp")
+    spark.sql(s"DROP TABLE ${tab}_clusters")
+    assert(resolvedClusters(tab) === want, "read must recover the torn clusters swap")
+
+    // crash window B: compact finished the `_clusters` swap but crashed
+    // before truncating `_roots` — folded comps match no remap key, so
+    // resolution is unchanged, and the next compact finishes the job
+    Bucketing.swapInBucketed(
+      Dedup.readClusters(spark, tab), s"${tab}_clusters", Seq("id"), 4, Seq("id"))
+    assert(resolvedClusters(tab) === want, "stale remap over folded rows must be benign")
+    Dedup.compactClusters(spark, tab, numBuckets = 4)
+    assert(resolvedClusters(tab) === want)
+    assert(spark.table(s"${tab}_roots").count() === 0L)
+
+    // crash window C: `_roots` truncation staged + DROP ran, RENAME did not
+    spark.table(s"${tab}_roots").write.saveAsTable(s"${tab}_roots_swap_tmp")
+    spark.sql(s"DROP TABLE ${tab}_roots")
+    assert(resolvedClusters(tab) === want, "read must recover the torn roots swap")
+
+    // and the index still ticks after all recoveries
+    Dedup.appendToClusters(Seq((20L, 6L)).toDF("id_a", "id_b"), tab)
+    assert(resolvedClusters(tab) === (want + (20L -> 1L)))
+  }
+
   test("allPairsJaccard: exact threshold join equals brute force; no prefix misses") {
     val corpus = Seq(
       (1L, "a b c d e"), // 1-2: jaccard 4/6 = 0.666

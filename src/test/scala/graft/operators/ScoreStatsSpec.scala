@@ -199,4 +199,150 @@ class ScoreStatsSpec extends SparkSpec {
       assert(aucSt === aucRaw)
     } finally spark.sql("DROP TABLE IF EXISTS spec_scorestats")
   }
+
+  test("derivations normalize per-generation input: raw table rows give the same AUC as read()") {
+    try {
+      def batch(r: Int) = df.filter(col("id") % 3 === r)
+      ScoreStats.materialize(batch(0), col("s"), col("y"), "spec_ss_norm", batchId = 0L)
+      ScoreStats.append(batch(1), col("s"), col("y"), "spec_ss_norm", batchId = 1L)
+      ScoreStats.append(batch(2), col("s"), col("y"), "spec_ss_norm", batchId = 2L)
+      // the WRONG-grain call (per-generation rows, not read()'s fold) must
+      // still be right: the defensive normalization re-aggregates
+      val viaRaw = ScoreStats.aucFromStats(spark.table("spec_ss_norm"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val viaRead = ScoreStats.aucFromStats(ScoreStats.read(spark, "spec_ss_norm"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(viaRaw === viaRead)
+    } finally spark.sql("DROP TABLE IF EXISTS spec_ss_norm")
+  }
+
+  test("compactScoreStats: read identical before/after, one generation left, guard survives, crash recovers") {
+    try {
+      def batch(r: Int) = df.filter(col("id") % 3 === r)
+      ScoreStats.materialize(batch(0), col("s"), col("y"), "spec_ss_cmp", batchId = 0L)
+      ScoreStats.append(batch(1), col("s"), col("y"), "spec_ss_cmp", batchId = 1L)
+      ScoreStats.append(batch(2), col("s"), col("y"), "spec_ss_cmp", batchId = 2L)
+      val before = ScoreStats.read(spark, "spec_ss_cmp")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      ScoreStats.compactScoreStats(spark, "spec_ss_cmp")
+      val after = ScoreStats.read(spark, "spec_ss_cmp")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(after === before)
+      // folded to exactly one generation, stamped with the stored HWM
+      val gens = spark.table("spec_ss_cmp").select(col("__gen")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      assert(gens === Seq(2L))
+      // the append guard survives compaction: a replayed old tick no-ops
+      ScoreStats.append(batch(2), col("s"), col("y"), "spec_ss_cmp", batchId = 2L)
+      assert(ScoreStats.read(spark, "spec_ss_cmp")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === before)
+      // crash between the swap's DROP and RENAME: recovery completes it
+      spark.table("spec_ss_cmp").write.saveAsTable("spec_ss_cmp_swap_tmp")
+      spark.sql("DROP TABLE spec_ss_cmp")
+      val recovered = ScoreStats.read(spark, "spec_ss_cmp") // read recovers
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(recovered === before)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS spec_ss_cmp")
+      spark.sql("DROP TABLE IF EXISTS spec_ss_cmp_swap_tmp")
+    }
+  }
+
+  private val keyedScored = (1 to 900).map { i =>
+    (s"k${i % 4}", i.toLong, ((i * 37) % 25).toLong, if ((i * 13) % 3 == 0) 1L else 0L)
+  } ++ (1 to 30).map(i => ("konly", 9000L + i, i.toLong, 1L)) // one-class key
+
+  test("keyed maintained table: grouped AUC/KS from stats equal the raw grouped operators") {
+    try {
+      val kdf = keyedScored.toDF("k", "id", "s", "y")
+      def batch(r: Int) = kdf.filter(col("id") % 3 === r)
+      ScoreStats.materializeKeyed(batch(0), col("k"), col("s"), col("y"),
+        "spec_ss_keyed", batchId = 0L)
+      ScoreStats.appendKeyed(batch(1), col("k"), col("s"), col("y"),
+        "spec_ss_keyed", batchId = 1L)
+      ScoreStats.appendKeyed(batch(2), col("k"), col("s"), col("y"),
+        "spec_ss_keyed", batchId = 2L)
+      ScoreStats.appendKeyed(batch(2), col("k"), col("s"), col("y"),
+        "spec_ss_keyed", batchId = 2L) // replay: guarded no-op
+      val st = ScoreStats.readKeyed(spark, "spec_ss_keyed")
+
+      val aucSt = ScoreStats.aucByKeyFromStats(st, "k")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val aucRaw = Analytics.aucScoreByKey(kdf, "k", "id", col("s"), col("y"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(aucSt === aucRaw)
+      assert(!aucSt.contains("konly")) // one-class keys absent
+
+      val ksSt = ScoreStats.ksByKeyFromStats(st, "k")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val ksRaw = Analytics.ksScoreByKey(kdf, "k", "id", col("s"), col("y"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(ksSt === ksRaw)
+
+      // keyed compaction: identical read, one generation, HWM preserved
+      ScoreStats.compactScoreStatsKeyed(spark, "spec_ss_keyed")
+      val aucSt2 = ScoreStats.aucByKeyFromStats(
+        ScoreStats.readKeyed(spark, "spec_ss_keyed"), "k")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(aucSt2 === aucRaw)
+      assert(spark.table("spec_ss_keyed").select(col("__gen")).distinct()
+        .collect().map(_.getLong(0)).toSeq === Seq(2L))
+    } finally spark.sql("DROP TABLE IF EXISTS spec_ss_keyed")
+  }
+
+  test("prFromStats / averagePrecisionFromStats: brute-force per-threshold PR and step-wise AP") {
+    val np = scored.count(_._3 == 1L).toLong
+    val nn = scored.size.toLong - np
+    val thresholds = scored.map(_._2).distinct.sorted
+    val brute = thresholds.map { t =>
+      val tp = scored.count(x => x._2 >= t && x._3 == 1L).toLong
+      val fp = scored.count(x => x._2 >= t && x._3 == 0L).toLong
+      (t, tp, fp, tp * 1000000L / np,
+        if (tp + fp > 0) tp * 1000000L / (tp + fp) else 0L)
+    }
+    val got = ScoreStats.prFromStats(stats)
+      .orderBy(col("threshold_micro"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === brute)
+    // AP: sum over thresholds of (this threshold's own positives) * precision / np
+    val posAt = scored.filter(_._3 == 1L).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val apBrute = brute.map { case (t, _, _, _, prec) =>
+      posAt.getOrElse(t, 0L) * prec
+    }.sum / np
+    val apGot = ScoreStats.averagePrecisionFromStats(stats)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    assert(apGot === ((np, nn, apBrute)))
+    // AP of a perfect ranking is the full micro grid
+    val perfect = (1 to 100).map(i => (i.toLong, i.toLong, if (i > 50) 1L else 0L))
+      .toDF("id", "s", "y")
+    val apPerfect = ScoreStats.averagePrecisionFromStats(
+      ScoreStats.fromScored(perfect, col("s"), col("y")))
+      .collect().head.getLong(2)
+    assert(apPerfect === 1000000L)
+  }
+
+  test("eceFromStats: weighted mean absolute calibration gap over the bins; zero for a perfectly calibrated table") {
+    // brute force from the calibration table itself (the definitional read)
+    val cal = ScoreStats.calibrationFromStats(stats, nBins = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4)))
+    val n = cal.map(_._1).sum
+    val expect = cal.map { case (nb, ms, pr) => nb * math.abs(pr - ms) }.sum / n
+    val got = ScoreStats.eceFromStats(stats, nBins = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(got === ((n, expect)))
+    // perfectly calibrated micro-probability scores: every bin holds one
+    // bin-center confidence with exactly conf/1e6 of its 20 entities
+    // positive → pos_rate = mean_score in every bin, gap 0
+    val exact = (0 until 10).flatMap { b =>
+      val conf = b * 100000L + 50000L
+      val nPos = (conf * 20 / 1000000L).toInt
+      (1 to 20).map(i => (b * 20L + i, conf, if (i <= nPos) 1L else 0L))
+    }.toDF("id", "s", "y")
+    val gotExact = ScoreStats.eceFromStats(
+      ScoreStats.fromScored(exact, col("s"), col("y")), nBins = 10)
+      .collect().head.getLong(1)
+    assert(gotExact === 0L)
+  }
 }

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TableStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("collectStats + readStats: exact row count, min/max, null counts as data") {
+    try {
+      val df = Seq[(Long, java.lang.Long)](
+        (1L, 10L), (2L, null), (3L, 30L), (4L, 5L), (5L, null)
+      ).toDF("k", "v")
+      Bucketing.materializePlain(df, "spec_tablestats")
+      assert(TableStats.rowCount(spark, "spec_tablestats").isEmpty)
+
+      TableStats.collectStats(spark, "spec_tablestats", Seq("k", "v"))
+      assert(TableStats.rowCount(spark, "spec_tablestats") === Some(BigInt(5)))
+
+      val got = TableStats.readStats(spark, "spec_tablestats")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+      assert(got(("table", "row_count")) === "5")
+      assert(got(("k", "min")) === "1" && got(("k", "max")) === "5")
+      assert(got(("k", "null_count")) === "0")
+      assert(got(("v", "min")) === "5" && got(("v", "max")) === "30")
+      assert(got(("v", "null_count")) === "2")
+    } finally spark.sql("DROP TABLE IF EXISTS spec_tablestats")
+  }
+
+  test("readStats without collectStats fails loudly") {
+    try {
+      Bucketing.materializePlain(Seq(1L).toDF("x"), "spec_tablestats_none")
+      intercept[IllegalStateException] {
+        TableStats.readStats(spark, "spec_tablestats_none")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS spec_tablestats_none")
+  }
+}
