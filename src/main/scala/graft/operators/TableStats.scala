@@ -24,7 +24,14 @@ object TableStats {
 
   /** Collect table-level (row count, size) and optional per-column
     * statistics into the catalog. Column stats use Spark's native
-    * ANALYZE (exact min/max/null-count, HLL-approximate NDV). */
+    * ANALYZE (exact min/max/null-count, HLL-approximate NDV).
+    *
+    * TimestampNTZ columns are REJECTED: Spark 4.1's
+    * `CostBasedJoinReorder` MatchErrors on `TimestampNTZType` column
+    * stats (stats-estimation misses the NTZ case), so analyzing such a
+    * column makes every later CBO-enabled query over the table crash —
+    * observed directly in the round-15 sf10 A/B. Fail at collect time
+    * with a clear message instead. */
   def collectStats(
       spark: SparkSession,
       table: String,
@@ -32,6 +39,17 @@ object TableStats {
   ): Unit = {
     require(!table.contains("."),
       s"collectStats takes an unqualified table name, got '$table'")
+    if (columns.nonEmpty) {
+      val schema = spark.table(table).schema
+      val ntz = columns.filter(c =>
+        schema.fields.exists(f => f.name == c &&
+          f.dataType == org.apache.spark.sql.types.TimestampNTZType))
+      require(ntz.isEmpty,
+        s"collectStats($table): TimestampNTZ columns ${ntz.mkString(", ")} " +
+          s"cannot carry column statistics — Spark 4.1 CBO join-reorder " +
+          s"MatchErrors on TimestampNTZType stats; collect table-level " +
+          s"stats only, or cast to TIMESTAMP at materialization")
+    }
     spark.sql(s"ANALYZE TABLE `$table` COMPUTE STATISTICS")
     if (columns.nonEmpty) {
       val cols = columns.map(c => s"`$c`").mkString(", ")

@@ -28,6 +28,21 @@ class TableStatsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS spec_tablestats")
   }
 
+  test("collectStats rejects TimestampNTZ columns (Spark 4.1 CBO MatchError guard)") {
+    try {
+      val df = Seq((1L, "2024-01-01 00:00:00")).toDF("k", "ts")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      Bucketing.materializePlain(df, "spec_tablestats_ntz")
+      val e = intercept[IllegalArgumentException] {
+        TableStats.collectStats(spark, "spec_tablestats_ntz", Seq("k", "ts"))
+      }
+      assert(e.getMessage.contains("TimestampNTZ"))
+      // table-level + non-NTZ column stats still collect fine
+      TableStats.collectStats(spark, "spec_tablestats_ntz", Seq("k"))
+      assert(TableStats.rowCount(spark, "spec_tablestats_ntz") === Some(BigInt(1)))
+    } finally spark.sql("DROP TABLE IF EXISTS spec_tablestats_ntz")
+  }
+
   test("readStats without collectStats fails loudly") {
     try {
       Bucketing.materializePlain(Seq(1L).toDF("x"), "spec_tablestats_none")
