@@ -1449,6 +1449,49 @@ object SparkEntry {
           col("pos").as("n_positive"))
         .orderBy(col("score_micro"))
     },
+    // ---- KEYED streaming twin: per-user-DAY scored stream →
+    // foreachBatch → (day, score)-grain generations, __gen-guarded; two
+    // epochs + a replayed tick fold to the from-scratch keyed recount.
+    "score_stats_keyed_stream" -> { (s, dir) =>
+      Fixtures.cached(s"score_stats_keyed_stream|$dir") {
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val perUserDay = perUserDayScores(s, dir)
+        def half(r: Int) = perUserDay.filter(col("user_id") % 2 === r)
+          .collect().toSeq
+          .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(String, Long, Long, Long)]
+        s.sql("DROP TABLE IF EXISTS graft_scorestats_keyed_stream")
+        val q = graft.operators.ScoreStats.scoreStatsKeyedStream(
+          mem.toDF().toDF("day", "user_id", "score", "label"),
+          "graft_scorestats_keyed_stream",
+          col("day"), col("score"), col("label")).start()
+        try {
+          Seq(half(0), half(1)).foreach { e => mem.addData(e); q.processAllAvailable() }
+        } finally q.stop()
+        // crash-replay of epoch 1: the __gen guard makes it a no-op
+        graft.operators.ScoreStats.appendKeyed(
+          half(1).toDF("day", "user_id", "score", "label"),
+          col("day"), col("score"), col("label"),
+          "graft_scorestats_keyed_stream", batchId = 1L)
+        java.lang.Boolean.TRUE
+      }
+      graft.operators.ScoreStats.readKeyed(s, "graft_scorestats_keyed_stream")
+        .select(col("__k").as("day"), col("__s").as("score_micro"),
+          col("n").as("n_entities"), col("pos").as("n_positive"))
+        .orderBy(col("day"), col("score_micro"))
+    },
+    // ---- per-day decile lift (gains chart per day) from the KEYED
+    // maintained stats: deciles split each day's own entity count under
+    // the positives-first tie rule — "is the model's top decile still
+    // 3x baseline today"; zero-positive days absent.
+    "decile_lift_by_day_from_stats" -> { (s, dir) =>
+      scoreStatsKeyedTable(s, dir)
+      graft.operators.ScoreStats.decileLiftByKeyFromStats(
+        graft.operators.ScoreStats.readKeyed(s, "graft_scorestats_byday"), "day")
+        .orderBy(col("day"), col("decile"))
+    },
     // ---- exact quantile mapping: view-event values re-expressed on the
     // purchase-value distribution by rank (⌈r·n_b∕n_a⌉-th order
     // statistic) — cross-corpus score calibration, integer throughout.
@@ -6566,6 +6609,41 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS VARCHAR)
         |  FROM orders
         |ORDER BY entity, stat""".stripMargin,
+    // Keyed streaming twin: the folded (day, score) generations equal
+    // the from-scratch keyed recount.
+    "score_stats_keyed_stream" ->
+      """WITH u AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, user_id,
+        |    CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)
+        |      AS score,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS label
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2)
+        |SELECT day, score AS score_micro, CAST(count(*) AS BIGINT) AS n_entities,
+        |  CAST(sum(label) AS BIGINT) AS n_positive
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Grouped decile lift: per-day recomputation under the same
+    // positives-first tie rule and integer lift arithmetic.
+    "decile_lift_by_day_from_stats" ->
+      """WITH u AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, user_id,
+        |    CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)
+        |      AS score,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS label
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT day, score, label,
+        |    row_number() OVER (PARTITION BY day ORDER BY score DESC, label DESC,
+        |      user_id) AS rk FROM u),
+        |n AS (SELECT day, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(label) AS BIGINT) AS pos FROM u GROUP BY 1),
+        |d AS (SELECT r.day, ((rk - 1) * 10) // n.n + 1 AS decile, label
+        |      FROM r JOIN n ON r.day = n.day WHERE n.pos > 0)
+        |SELECT d.day, CAST(decile AS BIGINT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_entities,
+        |  CAST(sum(label) AS BIGINT) AS n_positive,
+        |  (CAST(sum(label) AS BIGINT) * n.n * 1000000)
+        |    // (CAST(count(*) AS BIGINT) * n.pos) AS lift_micro
+        |FROM d JOIN n ON d.day = n.day
+        |GROUP BY d.day, decile, n.n, n.pos ORDER BY 1, 2""".stripMargin,
     // Compaction preserves content exactly: the folded table reads as
     // the same from-scratch per-score recount as score_stats_append.
     "score_stats_compact" ->

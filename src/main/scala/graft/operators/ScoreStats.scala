@@ -237,6 +237,37 @@ object ScoreStats {
     Bucketing.swapInPlain(folded, table)
   }
 
+  /** One foreachBatch tick of KEYED streaming score-stats maintenance —
+    * the keyed twin of [[applyScoreStatsBatch]]: first epoch seeds,
+    * later epochs ride the `__gen` guard (counts are additive, so the
+    * guard is what makes crash-replayed epochs no-ops). */
+  def applyScoreStatsKeyedBatch(
+      table: String,
+      keyCol: Column,
+      scoreCol: Column,
+      labelCol: Column
+  )(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (!spark.catalog.tableExists(table))
+      materializeKeyed(batch, keyCol, scoreCol, labelCol, table, batchId)
+    else appendKeyed(batch, keyCol, scoreCol, labelCol, table, batchId)
+  }
+
+  /** Streaming maintenance of the KEYED stats table: `scored-entity
+    * stream → foreachBatch → (key, score)-grain generations`; read with
+    * [[readKeyed]], grouped metrics ride the `*ByKeyFromStats`
+    * derivations. Micro-batches must partition the (key, entity) set. */
+  def scoreStatsKeyedStream(
+      stream: DataFrame,
+      table: String,
+      keyCol: Column,
+      scoreCol: Column,
+      labelCol: Column
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch(applyScoreStatsKeyedBatch(table, keyCol, scoreCol, labelCol) _)
+
   /** Keyed defensive normalization — (key, score) grain, long counts. */
   private def normalizedKeyed(stats: DataFrame): DataFrame =
     stats
@@ -271,6 +302,51 @@ object ScoreStats {
       .select(col("__k").as(keyCol), col("n_pos"), col("n_neg"),
         expr("((__s2 - n_pos * (n_pos + 1L)) * 1000000L) DIV (2L * n_pos * n_neg)")
           .as("auc_micro"))
+  }
+
+  /**
+   * GROUPED decile lift (gains chart per key) from keyed score-grain
+   * stats — [[decileLiftFromStats]] within each key: deciles split that
+   * key's own entity count, the intra-score tie rule is POSITIVES-FIRST
+   * (stats-derivable), straddling score groups contribute
+   * min(pos, room) positives to the earlier decile, and the lift
+   * arithmetic is the same integer spelling. Zero-positive keys are
+   * absent (lift undefined).
+   *
+   * Scale shape: one per-key cumulative window on (key, score)-grain
+   * rows, a broadcast 10-row decile frame (×10 fan-out on score-grain
+   * rows, nothing entity-sized), one keyed aggregate.
+   */
+  def decileLiftByKeyFromStats(stats: DataFrame, keyCol: String): DataFrame = {
+    val spark = stats.sparkSession
+    val s = normalizedKeyed(stats)
+    val w = Window.partitionBy(col("__k")).orderBy(-col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("__k"))
+    val deciles = broadcast(spark.range(1, 11).select(col("id").as("decile")))
+    s.withColumn("__cn", sum(col("n")).over(w))
+      .withColumn("__n", sum(col("n")).over(tot))
+      .withColumn("__pos", sum(col("pos")).over(tot))
+      .filter(col("__pos") > 0L)
+      .crossJoin(deciles)
+      .withColumn("__lo", expr("((decile - 1L) * __n + 9L) DIV 10L + 1L"))
+      .withColumn("__hi", expr("(decile * __n + 9L) DIV 10L"))
+      .withColumn("__ge", col("__cn") - col("n") + 1L)
+      .withColumn("__ne",
+        greatest(lit(0L),
+          least(col("__cn"), col("__hi")) - greatest(col("__ge"), col("__lo")) + 1L))
+      .withColumn("__np",
+        greatest(lit(0L),
+          least(col("__ge") + col("pos") - 1L, col("__hi")) -
+            greatest(col("__ge"), col("__lo")) + 1L))
+      .groupBy(col("__k"), col("decile"))
+      .agg(sum(col("__ne")).as("n_entities"), sum(col("__np")).as("n_positive"),
+        first(col("__n")).as("__n"), first(col("__pos")).as("__p"))
+      .filter(col("n_entities") > 0L)
+      .withColumn("lift_micro",
+        expr("(n_positive * __n * 1000000L) DIV (n_entities * __p)"))
+      .select(col("__k").as(keyCol), col("decile"), col("n_entities"),
+        col("n_positive"), col("lift_micro"))
   }
 
   /** GROUPED two-sample KS from keyed score-grain stats — value-identical

@@ -794,4 +794,42 @@ class PlanSpec extends SparkSpec {
     assert(got.select(col("o"), col("ca"), col("cb"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === want)
   }
+
+  test("round-15 pins: q12 shape hash-joins slim payloads, keyed stats derivations have NO single-task stage") {
+    // q12's fix: the fact-to-fact orderkey join must plan as a shuffled
+    // hash join (the SMJ default pays two fact-sized sorts — the round-15
+    // sf10 A/B's 8.0 s -> 1.4 s), and the orders side must carry the
+    // priority predicate as a pre-shuffle boolean, not the string.
+    val li = spark.range(5000).select(
+      (col("id") % 1000).as("l_orderkey"),
+      when(col("id") % 2 === 0, "F").otherwise("O").as("l_linestatus"))
+    val hi = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
+    val ord = spark.range(1000).select(
+      col("id").as("o_orderkey"),
+      concat(lit((1)), lit("-URGENT")).as("o_orderpriority"))
+    val q12 = li
+      .join(ord.select(col("o_orderkey"), hi.as("__hi")).hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(col("__hi"), lit(1L)).otherwise(lit(0L))).as("high_line_count"),
+        sum(when(col("__hi"), lit(0L)).otherwise(lit(1L))).as("low_line_count"))
+    val q12Plan = q12.queryExecution.executedPlan.toString
+    assert(q12Plan.contains("ShuffledHashJoin") || q12Plan.contains("BroadcastHashJoin"),
+      q12Plan)
+    assert(!q12Plan.contains("SortMergeJoin"), "q12 shape fell back to sort-merge")
+    // the join input projects the boolean, never the priority string
+    assert(!q12Plan.contains("o_orderpriority#"), "priority string rode the shuffle")
+
+    // keyed from-stats derivations: every window/aggregate partitions by
+    // the key — no SinglePartition exchange anywhere in either plan
+    val kstats = (1 to 900).map(i =>
+      (s"d${i % 7}", (i * 37L) % 40, 2L + i % 3, (i % 3).toLong))
+      .toDF("__k", "__s", "n", "pos")
+    val aucPlan = ScoreStats.aucByKeyFromStats(kstats, "day")
+      .queryExecution.executedPlan.toString
+    assert(!aucPlan.contains("SinglePartition"), aucPlan)
+    val ksPlan = ScoreStats.ksByKeyFromStats(kstats, "day")
+      .queryExecution.executedPlan.toString
+    assert(!ksPlan.contains("SinglePartition"), ksPlan)
+  }
 }

@@ -292,6 +292,42 @@ class ScoreStatsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS spec_ss_keyed")
   }
 
+  test("decileLiftByKeyFromStats: each key's rows equal decileLiftFromStats on that key's slice") {
+    val kdf = keyedScored.toDF("k", "id", "s", "y")
+    val kstats = ScoreStats.fromScoredKeyed(kdf, col("k"), col("s"), col("y"))
+    val got = ScoreStats.decileLiftByKeyFromStats(kstats, "k")
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1).toSeq).toMap
+    for (k <- Seq("k0", "k1", "k2", "k3", "konly")) {
+      val slice = ScoreStats.decileLiftFromStats(
+        ScoreStats.fromScored(kdf.filter(col("k") === k), col("s"), col("y")))
+        .orderBy(col("decile"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got.getOrElse(k, Seq.empty) === slice, k)
+    }
+    // konly is all-positive: PRESENT (lift defined, trivially 1e6/decile)
+    assert(got.contains("konly"))
+  }
+
+  test("keyed streaming ticks: first epoch seeds, later epochs append, replays no-op") {
+    try {
+      val kdf = keyedScored.toDF("k", "id", "s", "y")
+      def batch(r: Int) = kdf.filter(col("id") % 2 === r)
+      val tick = ScoreStats.applyScoreStatsKeyedBatch(
+        "spec_ss_keyed_st", col("k"), col("s"), col("y")) _
+      tick(batch(0), 0L)
+      tick(batch(1), 1L)
+      tick(batch(1), 1L) // crash replay: guarded no-op
+      val folded = ScoreStats.readKeyed(spark, "spec_ss_keyed_st")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val scratch = ScoreStats.fromScoredKeyed(kdf, col("k"), col("s"), col("y"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(folded === scratch)
+    } finally spark.sql("DROP TABLE IF EXISTS spec_ss_keyed_st")
+  }
+
   test("prFromStats / averagePrecisionFromStats: brute-force per-threshold PR and step-wise AP") {
     val np = scored.count(_._3 == 1L).toLong
     val nn = scored.size.toLong - np
