@@ -1492,6 +1492,22 @@ object SparkEntry {
         graft.operators.ScoreStats.readKeyed(s, "graft_scorestats_byday"), "day")
         .orderBy(col("day"), col("decile"))
     },
+    // ---- Brier score (strictly-proper MSE of the probability forecast)
+    // on the same click-or-purchase-share micro-probability as ECE —
+    // exact on the micro² grid, DECIMAL(38,0) internally (n·s² overflows
+    // a long at >9.2M entities per score group).
+    "brier_from_stats" -> { (s, dir) =>
+      val perUser = events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg((sum(when(col("event_type").isin("click", "purchase"), 1L)
+          .otherwise(0L)) * 1000000L).as("__na"),
+          count(lit(1)).as("__n"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("label"))
+        .select(expr("__na DIV __n").as("score"), col("label"))
+      graft.operators.ScoreStats.brierFromStats(
+        graft.operators.ScoreStats.fromScored(perUser, col("score"), col("label")))
+    },
     // ---- exact quantile mapping: view-event values re-expressed on the
     // purchase-value distribution by rank (⌈r·n_b∕n_a⌉-th order
     // statistic) — cross-corpus score calibration, integer throughout.
@@ -6705,6 +6721,21 @@ object SparkEntry {
         |SELECT t.np AS n_pos, t.nn AS n_neg,
         |  (SELECT CAST(sum(p * prec) AS BIGINT) FROM pr) // t.np AS ap_micro
         |FROM t WHERE t.np > 0""".stripMargin,
+    // Brier: exact micro^2-grid MSE; DuckDB sums into HUGEINT, the Spark
+    // side into DECIMAL(38,0) — same integer quotient.
+    "brier_from_stats" ->
+      """WITH u AS (SELECT user_id,
+        |    (CAST(sum(CASE WHEN event_type IN ('click', 'purchase')
+        |        THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |      // CAST(count(*) AS BIGINT) AS score,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS label
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_entities,
+        |  CAST(sum(score * score - 2 * 1000000 * score * label
+        |      + CAST(1000000000000 AS BIGINT) * label)
+        |    // CAST(count(*) AS BIGINT) AS BIGINT) AS brier_micro2
+        |FROM u""".stripMargin,
     // ECE: weighted mean |pos_rate − mean_score| over the calibration
     // bins of the click-or-purchase-share micro-probability.
     "ece_from_stats" ->

@@ -575,6 +575,31 @@ object ScoreStats {
         expr("__num DIV n_entities").as("ece_micro"))
 
   /**
+   * Brier score (mean squared error of the probability forecast) from
+   * score-grain stats — the strictly-proper scoring rule beside
+   * [[eceFromStats]]'s binned diagnostic: for micro-probability scores,
+   * `brier = mean((s∕10⁶ − y)²)`, reported EXACTLY on the micro² grid as
+   * `brier_micro2 = Σ_s (n_s·s² − 2·10⁶·s·pos_s + 10¹²·pos_s) DIV N`
+   * (0 = perfect, 10¹² = always wrong with certainty). Each term is
+   * evaluated in DECIMAL(38,0) — n·s² alone overflows a long once a
+   * score group holds >9.2M entities, and the engine-exactness doctrine
+   * wants the same integer everywhere (DuckDB sums into HUGEINT).
+   *
+   * Scale shape: one aggregate over the score-grain frame.
+   */
+  def brierFromStats(stats: DataFrame): DataFrame = {
+    val s = col("__s").cast("decimal(38,0)")
+    val term = col("n").cast("decimal(38,0)") * s * s -
+      col("pos").cast("decimal(38,0)") * s * lit(2000000L) +
+      col("pos").cast("decimal(38,0)") * lit(1000000000000L)
+    normalized(stats)
+      .agg(sum(col("n")).as("n_entities"), sum(term).as("__num"))
+      .filter(col("n_entities") > 0L)
+      .select(col("n_entities"),
+        expr("CAST(__num DIV n_entities AS BIGINT)").as("brier_micro2"))
+  }
+
+  /**
    * TVD score drift from two score-grain stats frames (`pos` ignored) —
    * value-identical to [[Analytics.scoreDriftTvd]]: the reference's
    * decile value cutoffs depend only on score ORDER STATISTICS (the

@@ -359,6 +359,31 @@ class ScoreStatsSpec extends SparkSpec {
     assert(apPerfect === 1000000L)
   }
 
+  test("brierFromStats: exact micro^2 MSE vs brute force; 0 for perfect certainty, 1e12 for confident wrongness") {
+    // brute force over the entity fixture on the same integer grid
+    val n = scored.size.toLong
+    val expect = scored.map { case (_, s, y) =>
+      BigInt(s) * s - BigInt(2L) * 1000000L * s * y + BigInt("1000000000000") * y
+    }.sum / n
+    val got = ScoreStats.brierFromStats(stats)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(got === ((n, expect.toLong)))
+    // perfect forecasts: score 1e6 on positives, 0 on negatives → 0
+    val perfect = (1 to 50).map(i =>
+      (i.toLong, if (i % 2 == 0) 1000000L else 0L, if (i % 2 == 0) 1L else 0L))
+      .toDF("id", "s", "y")
+    assert(ScoreStats.brierFromStats(
+      ScoreStats.fromScored(perfect, col("s"), col("y")))
+      .collect().head.getLong(1) === 0L)
+    // certain and always wrong → exactly 1e12
+    val wrong = (1 to 50).map(i =>
+      (i.toLong, if (i % 2 == 0) 0L else 1000000L, if (i % 2 == 0) 1L else 0L))
+      .toDF("id", "s", "y")
+    assert(ScoreStats.brierFromStats(
+      ScoreStats.fromScored(wrong, col("s"), col("y")))
+      .collect().head.getLong(1) === 1000000000000L)
+  }
+
   test("eceFromStats: weighted mean absolute calibration gap over the bins; zero for a perfectly calibrated table") {
     // brute force from the calibration table itself (the definitional read)
     val cal = ScoreStats.calibrationFromStats(stats, nBins = 10)
