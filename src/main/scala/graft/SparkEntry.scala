@@ -140,6 +140,55 @@ object SparkEntry {
         .localCheckpoint()
     }
 
+  /** Cached score-grain stats frames (one per labeling, per dir) — the
+    * entries deriving several metrics from the SAME scored population
+    * share one `fromScored` pass instead of re-scanning events each
+    * (the drift-pair fixture doctrine; frames are score-cardinality-
+    * sized, so the checkpoint is tiny). */
+  private def ksLabeledStats(s: SparkSession, dir: String): DataFrame =
+    Fixtures.cached(s"ks_labeled_stats|$dir") {
+      val perUser = events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
+          .as("score"),
+          when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 4L,
+            1L).otherwise(0L).as("label"))
+      graft.operators.ScoreStats.fromScored(perUser, col("score"), col("label"))
+        .localCheckpoint()
+    }
+
+  /** Purchase-share (scale-invariant) labeling twin of [[ksLabeledStats]]
+    * — shared by pr_points / average_precision. */
+  private def shareLabeledStats(s: SparkSession, dir: String): DataFrame =
+    Fixtures.cached(s"share_labeled_stats|$dir") {
+      val perUser = events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
+          .as("score"),
+          when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) * 5L
+            >= count(lit(1)), 1L).otherwise(0L).as("label"))
+      graft.operators.ScoreStats.fromScored(perUser, col("score"), col("label"))
+        .localCheckpoint()
+    }
+
+  /** Click-or-purchase-share micro-PROBABILITY scores — shared by the
+    * calibration-error pair (ece / brier). */
+  private def probLabeledStats(s: SparkSession, dir: String): DataFrame =
+    Fixtures.cached(s"prob_labeled_stats|$dir") {
+      val perUser = events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg((sum(when(col("event_type").isin("click", "purchase"), 1L)
+          .otherwise(0L)) * 1000000L).as("__na"),
+          count(lit(1)).as("__n"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("label"))
+        .select(expr("__na DIV __n").as("score"), col("label"))
+      graft.operators.ScoreStats.fromScored(perUser, col("score"), col("label"))
+        .localCheckpoint()
+    }
+
   private def eventsLedger(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir).select(
       col("event_id").as("offset"),
@@ -1224,15 +1273,7 @@ object SparkEntry {
     // ---- KS from score-grain stats (the ks_score labeling, ≥4
     // purchases): same cumulative-CDF integer spelling, score-grain in.
     "ks_from_stats" -> { (s, dir) =>
-      val perUser = events(s, dir)
-        .filter(col("user_id").isNotNull)
-        .groupBy(col("user_id"))
-        .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
-          .as("score"),
-          when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 4L,
-            1L).otherwise(0L).as("label"))
-      graft.operators.ScoreStats.ksFromStats(
-        graft.operators.ScoreStats.fromScored(perUser, col("score"), col("label")))
+      graft.operators.ScoreStats.ksFromStats(ksLabeledStats(s, dir))
     },
     // ---- TVD drift from two score-grain stats frames: the reference's
     // decile cutoffs are order statistics, fully determined by
@@ -1275,15 +1316,7 @@ object SparkEntry {
     // confusion + TPR/FPR/precision behind the AUC number — the
     // threshold-picking table; cumulative class counts range-partitioned.
     "roc_points" -> { (s, dir) =>
-      val perUser = events(s, dir)
-        .filter(col("user_id").isNotNull)
-        .groupBy(col("user_id"))
-        .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
-          .as("score"),
-          when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 4L,
-            1L).otherwise(0L).as("label"))
-      graft.operators.ScoreStats.rocFromStats(
-        graft.operators.ScoreStats.fromScored(perUser, col("score"), col("label")))
+      graft.operators.ScoreStats.rocFromStats(ksLabeledStats(s, dir))
         .orderBy(col("threshold_micro"))
     },
     // ---- per-day AUC trend (grouped Mann–Whitney): does daily user
@@ -1369,15 +1402,7 @@ object SparkEntry {
     // the class-imbalance-honest read beside roc_points — same confusion
     // arithmetic, recall axis instead of FPR.
     "pr_points" -> { (s, dir) =>
-      val perUser = events(s, dir)
-        .filter(col("user_id").isNotNull)
-        .groupBy(col("user_id"))
-        .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
-          .as("score"),
-          when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) * 5L
-            >= count(lit(1)), 1L).otherwise(0L).as("label"))
-      graft.operators.ScoreStats.prFromStats(
-        graft.operators.ScoreStats.fromScored(perUser, col("score"), col("label")))
+      graft.operators.ScoreStats.prFromStats(shareLabeledStats(s, dir))
         .orderBy(col("threshold_micro"))
     },
     // ---- average precision (step-wise area under the PR curve): each
@@ -1385,32 +1410,14 @@ object SparkEntry {
     // needs NO ordered pass beyond the shared prefix sums — integer on
     // the micro grid end to end.
     "average_precision" -> { (s, dir) =>
-      val perUser = events(s, dir)
-        .filter(col("user_id").isNotNull)
-        .groupBy(col("user_id"))
-        .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
-          .as("score"),
-          when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) * 5L
-            >= count(lit(1)), 1L).otherwise(0L).as("label"))
-      graft.operators.ScoreStats.averagePrecisionFromStats(
-        graft.operators.ScoreStats.fromScored(perUser, col("score"), col("label")))
+      graft.operators.ScoreStats.averagePrecisionFromStats(shareLabeledStats(s, dir))
     },
     // ---- Expected Calibration Error: population-weighted mean |observed
     // positive rate − mean score| over the calibration bins. The score
     // here is a genuine micro-probability (each user's click-or-purchase
     // share of their events), so the scalar is a real calibration read.
     "ece_from_stats" -> { (s, dir) =>
-      val perUser = events(s, dir)
-        .filter(col("user_id").isNotNull)
-        .groupBy(col("user_id"))
-        .agg((sum(when(col("event_type").isin("click", "purchase"), 1L)
-          .otherwise(0L)) * 1000000L).as("__na"),
-          count(lit(1)).as("__n"),
-          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("label"))
-        .select(expr("__na DIV __n").as("score"), col("label"))
-      graft.operators.ScoreStats.eceFromStats(
-        graft.operators.ScoreStats.fromScored(perUser, col("score"), col("label")),
-        nBins = 10)
+      graft.operators.ScoreStats.eceFromStats(probLabeledStats(s, dir), nBins = 10)
     },
     // ---- STREAMING twin of score_stats_append: scored-entity stream →
     // foreachBatch → score-grain generations, __gen-guarded (counts are
@@ -1497,16 +1504,7 @@ object SparkEntry {
     // exact on the micro² grid, DECIMAL(38,0) internally (n·s² overflows
     // a long at >9.2M entities per score group).
     "brier_from_stats" -> { (s, dir) =>
-      val perUser = events(s, dir)
-        .filter(col("user_id").isNotNull)
-        .groupBy(col("user_id"))
-        .agg((sum(when(col("event_type").isin("click", "purchase"), 1L)
-          .otherwise(0L)) * 1000000L).as("__na"),
-          count(lit(1)).as("__n"),
-          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("label"))
-        .select(expr("__na DIV __n").as("score"), col("label"))
-      graft.operators.ScoreStats.brierFromStats(
-        graft.operators.ScoreStats.fromScored(perUser, col("score"), col("label")))
+      graft.operators.ScoreStats.brierFromStats(probLabeledStats(s, dir))
     },
     // ---- exact quantile mapping: view-event values re-expressed on the
     // purchase-value distribution by rank (⌈r·n_b∕n_a⌉-th order
