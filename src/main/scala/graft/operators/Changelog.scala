@@ -193,28 +193,38 @@ object Changelog {
       .getOrElse(-1L)
     if (batchId <= hwm) return // replayed tick: already committed
     val keys = batch.select(primaryKey.map(col): _*).distinct()
-    val open = foldScd2(stored.join(keys, primaryKey, "left_semi"), primaryKey)
+    // ONE key-semi-joined scan of the fact table feeds both the contract
+    // check and the pseudo-ledger (checkpointed — the table is rewritten
+    // by compaction between ticks, and three derivations read the slice).
+    val slice = stored.join(keys, primaryKey, "left_semi").localCheckpoint()
+    val open = foldScd2(slice, primaryKey)
       .filter(col("is_current") === 1L)
-      .localCheckpoint() // feeds the contract check AND the pseudo-ledger
-    // Ordering contract (cheap, O(batch)): every batch row's offset must
-    // exceed max(__vid) over ALL stored versions of its key — not just the
-    // open one: a stale row for a fully-closed key (all versions retracted)
-    // has no open version to sort against, but would still open a version
-    // whose valid_from can predate the closed version's valid_to, silently
-    // producing overlapping intervals. Checking the all-versions high-water
-    // offset catches both cases with the same key-semi-joined scan.
-    val maxVid = stored.join(keys, primaryKey, "left_semi")
+    // Ordering contract (cheap, O(batch)): per key, every batch row must
+    // carry (a) an offset above max(__vid) over ALL stored versions —
+    // not just the open one: a stale row for a fully-closed key has no
+    // open version to sort against — and (b) an event time at or after
+    // the key's stored validity high-water (max of coalesce(valid_to,
+    // valid_from) across generations: the open version's valid_from, or
+    // a closed/retracted version's valid_to). Without (b), a late row
+    // for a retracted key at a fresh offset would open a version whose
+    // valid_from predates the closed version's valid_to — overlapping
+    // intervals, silently.
+    val hw = slice
       .groupBy(primaryKey.map(col): _*)
-      .agg(max(col("__vid")).as("__maxvid"))
+      .agg(max(col("__vid")).as("__maxvid"),
+        max(coalesce(col("valid_to"), col("valid_from"))).as("__maxvt"))
     val violations = batch
-      .join(maxVid, primaryKey)
-      .filter(col(vocab.offsetColumn) <= col("__maxvid"))
+      .join(hw, primaryKey)
+      .filter(col(vocab.offsetColumn) <= col("__maxvid") ||
+        col(vocab.eventTimeColumn) < col("__maxvt"))
       .count()
     require(violations == 0L,
       s"appendToScd2($table, batch $batchId): $violations batch row(s) carry " +
-        s"offsets <= their key's stored open-version offset — batches must " +
-        s"bring each key's changelog rows at offsets later than anything " +
-        s"already ingested for that key")
+        s"an offset <= their key's stored high-water version offset " +
+        s"(max __vid over ALL versions) or an event time before the key's " +
+        s"stored validity high-water — batches must bring each key's " +
+        s"changelog rows strictly after anything already ingested for " +
+        s"that key, in both offset and event time")
     val keep = stored.columns.toSeq
       .filterNot(Set("valid_from", "valid_to", "is_current", "__vid", "__gen").contains)
     val pseudo = open.select(keep.map(col) ++ Seq(

@@ -285,8 +285,10 @@ object ScoreStats {
    * Scale shape: the cumulative window PARTITIONS BY KEY (keys spread
    * the shuffle — no global sort, none of [[Ranks]]' machinery needed),
    * then one keyed aggregate on (key, score)-cardinality rows. The
-   * 2·n_k²·10⁶ < 2^63 integer bound applies per key to that key's score
-   * cardinality.
+   * 2·n_k²·10⁶ < 2^63 integer bound applies per key to that key's
+   * ENTITY count (the cumulative counts are entity counts, same as
+   * [[graft.operators.Analytics.aucScoreByKey]]) — n_k under ~2.1
+   * billion entities per key.
    */
   def aucByKeyFromStats(stats: DataFrame, keyCol: String): DataFrame = {
     val s = normalizedKeyed(stats)
@@ -514,7 +516,6 @@ object ScoreStats {
     Ranks.prefixSumsInclusiveGlobal(
       s, col("__s"), Seq("pos", "__neg"), Seq("__cp", "__cq"))
       .crossJoin(tot)
-      .filter(col("__np") > 0L)
       // tp/fp at threshold __s, and this threshold's recall increment is
       // its own `pos` — zero-pos thresholds contribute nothing, exactly
       // the step-wise AP definition
@@ -524,6 +525,9 @@ object ScoreStats {
         expr("CASE WHEN tp + fp > 0 THEN (tp * 1000000L) DIV (tp + fp) ELSE 0L END"))
       .agg(sum(col("pos") * col("__prec")).as("__num"),
         first(col("__np")).as("n_pos"), first(col("__nn")).as("n_neg"))
+      // post-agg guard: zero-positive (or empty) input yields ZERO rows,
+      // matching the definitional oracle — never a single all-null row
+      .filter(col("n_pos").isNotNull && col("n_pos") > 0L)
       .select(col("n_pos"), col("n_neg"),
         expr("__num DIV n_pos").as("ap_micro"))
   }
@@ -571,6 +575,8 @@ object ScoreStats {
       .agg(sum(col("n_entities")).as("n_entities"),
         sum(col("n_entities") *
           abs(col("pos_rate_micro") - col("mean_score_micro"))).as("__num"))
+      // empty input yields ZERO rows, never one all-null row
+      .filter(col("n_entities").isNotNull && col("n_entities") > 0L)
       .select(col("n_entities"),
         expr("__num DIV n_entities").as("ece_micro"))
 
@@ -608,7 +614,7 @@ object ScoreStats {
    * land on the same bins.
    */
   def tvdFromStats(refStats: DataFrame, curStats: DataFrame): DataFrame =
-    tvdFromBinned(binnedDriftCounts(refStats, curStats))
+    tvdFromBinned(driftBinnedCounts(refStats, curStats))
 
   /** TVD projection over a precomputed [[driftBinnedCounts]] frame —
     * lets one binning pass feed both drift metrics. */
@@ -631,7 +637,7 @@ object ScoreStats {
    * of thumb: Σpsi < 0.1 stable, > 0.25 shifted.
    */
   def psiFromStats(refStats: DataFrame, curStats: DataFrame): DataFrame =
-    psiFromBinned(binnedDriftCounts(refStats, curStats))
+    psiFromBinned(driftBinnedCounts(refStats, curStats))
 
   /** PSI projection over a precomputed [[driftBinnedCounts]] frame. */
   def psiFromBinned(binned: DataFrame): DataFrame =
@@ -652,11 +658,6 @@ object ScoreStats {
     * pays the cuts pipeline once: compute this, then
     * [[tvdFromBinned]] + [[psiFromBinned]] are cheap projections. */
   def driftBinnedCounts(
-      refStats: DataFrame,
-      curStats: DataFrame
-  ): DataFrame = binnedDriftCounts(refStats, curStats)
-
-  private def binnedDriftCounts(
       refStats: DataFrame,
       curStats: DataFrame
   ): DataFrame = {

@@ -41,8 +41,11 @@ object TableStats {
       s"collectStats takes an unqualified table name, got '$table'")
     if (columns.nonEmpty) {
       val schema = spark.table(table).schema
+      // case-INsensitive match: ANALYZE resolves columns with the session
+      // resolver (default case-insensitive), so a case-mismatched name
+      // would slip past an exact-match guard and still store NTZ stats
       val ntz = columns.filter(c =>
-        schema.fields.exists(f => f.name == c &&
+        schema.fields.exists(f => f.name.equalsIgnoreCase(c) &&
           f.dataType == org.apache.spark.sql.types.TimestampNTZType))
       require(ntz.isEmpty,
         s"collectStats($table): TimestampNTZ columns ${ntz.mkString(", ")} " +

@@ -143,15 +143,34 @@ class MiscOperatorsSpec extends SparkSpec {
         .groupBy(col("k"), col("__vid")).count()
         .filter(col("count") > 1).count() === 0L)
       // ordering-contract violation: a batch row at an offset <= its
-      // key's stored open-version offset would silently corrupt validity
-      // intervals — it must fail LOUDLY instead
+      // key's stored high-water version offset would silently corrupt
+      // validity intervals — it must fail LOUDLY instead
       val stale = Seq((4L, 99.0, 5L, 0, ts("2024-04-01")))
         .toDF("k", "bal", "offset", "op", "event_time")
       val ex = intercept[IllegalArgumentException] {
         Changelog.appendToScd2(stale, Seq("k"), "spec_scd2m", batchId = 3L)
       }
-      assert(ex.getMessage.contains("offsets"))
+      assert(ex.getMessage.contains("offset"))
       assert(dim("spec_scd2m") === full) // nothing committed by the failed tick
+      // RETRACTED-key bypass (round-15 review find): key 1 is fully
+      // closed (retracted at offset 13, event 2024-03-01); a stale row at
+      // a FRESH offset but an event time inside the closed interval has
+      // no open version to sort against — the all-versions __vid check
+      // passes — yet it would open a version overlapping the closed one.
+      // The validity high-water (event-time) check must catch it.
+      val resurrect = Seq((1L, 77.0, 14L, 0, ts("2024-02-15")))
+        .toDF("k", "bal", "offset", "op", "event_time")
+      val ex2 = intercept[IllegalArgumentException] {
+        Changelog.appendToScd2(resurrect, Seq("k"), "spec_scd2m", batchId = 3L)
+      }
+      assert(ex2.getMessage.contains("event time"))
+      assert(dim("spec_scd2m") === full)
+      // the same key CAN legitimately reappear at an event time at/after
+      // the closed version's valid_to
+      val legit = Seq((1L, 42.0, 14L, 0, ts("2024-04-01")))
+        .toDF("k", "bal", "offset", "op", "event_time")
+      Changelog.appendToScd2(legit, Seq("k"), "spec_scd2m", batchId = 3L)
+      assert(dim("spec_scd2m") === fresh(b0, b1, b2, legit))
     } finally {
       spark.sql("DROP TABLE IF EXISTS spec_scd2m_scd2")
     }

@@ -357,6 +357,14 @@ class ScoreStatsSpec extends SparkSpec {
       ScoreStats.fromScored(perfect, col("s"), col("y")))
       .collect().head.getLong(2)
     assert(apPerfect === 1000000L)
+    // zero-positive population: ZERO rows, never one all-null row
+    val allNeg = ScoreStats.fromScored(
+      df.withColumn("y", lit(0L)), col("s"), col("y"))
+    assert(ScoreStats.averagePrecisionFromStats(allNeg).count() === 0L)
+    // empty input: zero rows from AP and ECE both
+    val empty = stats.filter(lit(false))
+    assert(ScoreStats.averagePrecisionFromStats(empty).count() === 0L)
+    assert(ScoreStats.eceFromStats(empty).count() === 0L)
   }
 
   test("brierFromStats: exact micro^2 MSE vs brute force; 0 for perfect certainty, 1e12 for confident wrongness") {

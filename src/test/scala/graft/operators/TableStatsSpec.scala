@@ -37,6 +37,12 @@ class TableStatsSpec extends SparkSpec {
         TableStats.collectStats(spark, "spec_tablestats_ntz", Seq("k", "ts"))
       }
       assert(e.getMessage.contains("TimestampNTZ"))
+      // case-INsensitive: ANALYZE resolves "TS" to the ntz column, so the
+      // guard must too
+      val e2 = intercept[IllegalArgumentException] {
+        TableStats.collectStats(spark, "spec_tablestats_ntz", Seq("TS"))
+      }
+      assert(e2.getMessage.contains("TimestampNTZ"))
       // table-level + non-NTZ column stats still collect fine
       TableStats.collectStats(spark, "spec_tablestats_ntz", Seq("k"))
       assert(TableStats.rowCount(spark, "spec_tablestats_ntz") === Some(BigInt(1)))
