@@ -1499,6 +1499,17 @@ object SparkEntry {
         graft.operators.ScoreStats.readKeyed(s, "graft_scorestats_byday"), "day")
         .orderBy(col("day"), col("decile"))
     },
+    // ---- CATEGORICAL drift (mix shift of the event-type distribution,
+    // first half-year vs second): per-category shares with TVD gaps and
+    // PSI terms — the nominal-column sibling of the score-drift pair.
+    "categorical_drift" -> { (s, dir) =>
+      val ev = events(s, dir).filter(col("ts").isNotNull)
+      graft.operators.Analytics.categoricalDrift(
+        ev.filter(month(col("ts")) <= 6),
+        ev.filter(month(col("ts")) > 6),
+        "event_type")
+        .orderBy(col("category"))
+    },
     // ---- Brier score (strictly-proper MSE of the probability forecast)
     // on the same click-or-purchase-share micro-probability as ECE —
     // exact on the micro² grid, DECIMAL(38,0) internally (n·s² overflows
@@ -6719,6 +6730,32 @@ object SparkEntry {
         |SELECT t.np AS n_pos, t.nn AS n_neg,
         |  (SELECT CAST(sum(p * prec) AS BIGINT) FROM pr) // t.np AS ap_micro
         |FROM t WHERE t.np > 0""".stripMargin,
+    // Categorical drift: per-category shares, TVD gaps, zero-floored PSI
+    // terms — DuckDB's ln/floor reproduce the micro values.
+    "categorical_drift" ->
+      """WITH r AS (SELECT event_type AS category, CAST(count(*) AS BIGINT) AS n_ref
+        |      FROM events WHERE ts IS NOT NULL
+        |        AND month(CAST(ts AS DATE)) <= 6 AND event_type IS NOT NULL
+        |      GROUP BY 1),
+        |c AS (SELECT event_type AS category, CAST(count(*) AS BIGINT) AS n_cur
+        |      FROM events WHERE ts IS NOT NULL
+        |        AND month(CAST(ts AS DATE)) > 6 AND event_type IS NOT NULL
+        |      GROUP BY 1),
+        |nr AS (SELECT CAST(sum(n_ref) AS BIGINT) AS n FROM r),
+        |nc AS (SELECT CAST(sum(n_cur) AS BIGINT) AS n FROM c),
+        |j AS (SELECT COALESCE(r.category, c.category) AS category,
+        |        COALESCE(r.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur
+        |      FROM r FULL OUTER JOIN c ON r.category = c.category)
+        |SELECT category, n_ref, n_cur,
+        |  abs(n_ref * 1000000 // nr.n - n_cur * 1000000 // nc.n) AS gap_micro,
+        |  CAST(floor((CAST(greatest(n_cur, 1) AS DOUBLE) / nc.n
+        |        - CAST(greatest(n_ref, 1) AS DOUBLE) / nr.n)
+        |      * ln((CAST(greatest(n_cur, 1) AS DOUBLE) / nc.n)
+        |        / (CAST(greatest(n_ref, 1) AS DOUBLE) / nr.n))
+        |      * 1000000.0) AS BIGINT) AS psi_micro
+        |FROM j CROSS JOIN nr CROSS JOIN nc
+        |WHERE nr.n > 0 AND nc.n > 0
+        |ORDER BY category""".stripMargin,
     // Brier: exact micro^2-grid MSE; DuckDB sums into HUGEINT, the Spark
     // side into DECIMAL(38,0) — same integer quotient.
     "brier_from_stats" ->

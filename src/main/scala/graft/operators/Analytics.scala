@@ -1301,6 +1301,51 @@ object Analytics {
   }
 
   /**
+   * CATEGORICAL distribution drift — the nominal-column sibling of
+   * [[scoreDriftTvd]]/PSI for monitoring mix shift (device, country,
+   * event type, label source): each category's share in the reference
+   * vs the current sample, with the TVD gap (integer, 1e-6 grid, one
+   * DIV per side) and the PSI term (zero counts floored to 1 — the
+   * standard guard for categories one side never saw; the
+   * `(p_cur−p_ref)·ln(p_cur∕p_ref)` term rides ONE fixed double tree
+   * floored to micros, the engine-exactness doctrine). Σgap∕2 is the
+   * TVD; Σpsi is the PSI. Null categories are dropped (they are a data
+   * -quality read, not a distribution mass).
+   *
+   * Scale shape: two category-grain aggregates, one full-outer join on
+   * category-cardinality rows, two broadcast totals — nothing row-sized
+   * past the first aggregate.
+   */
+  def categoricalDrift(
+      reference: DataFrame,
+      current: DataFrame,
+      catCol: String
+  ): DataFrame = {
+    def masses(df: DataFrame, out: String) = df
+      .select(col(catCol).cast("string").as("category"))
+      .filter(col("category").isNotNull)
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as(out))
+    val r = masses(reference, "n_ref").localCheckpoint() // feeds join + total
+    val c = masses(current, "n_cur").localCheckpoint()
+    val totR = broadcast(r.agg(sum(col("n_ref")).as("__nr")))
+    val totC = broadcast(c.agg(sum(col("n_cur")).as("__nc")))
+    r.join(c, Seq("category"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .crossJoin(totR).crossJoin(totC)
+      .filter(col("__nr") > 0L && col("__nc") > 0L)
+      .withColumn("gap_micro",
+        expr("abs(n_ref * 1000000L DIV __nr - n_cur * 1000000L DIV __nc)"))
+      .withColumn("__pr",
+        greatest(col("n_ref"), lit(1L)).cast("double") / col("__nr").cast("double"))
+      .withColumn("__pc",
+        greatest(col("n_cur"), lit(1L)).cast("double") / col("__nc").cast("double"))
+      .select(col("category"), col("n_ref"), col("n_cur"), col("gap_micro"),
+        floor((col("__pc") - col("__pr")) * log(col("__pc") / col("__pr")) *
+          lit(1000000.0)).cast("long").as("psi_micro"))
+  }
+
+  /**
    * Score-distribution drift over reference-decile bins, measured by
    * per-bin share gaps (their half-sum is the total-variation distance —
    * the bounded, log-free sibling of PSI). Bin edges are the REFERENCE's

@@ -706,4 +706,36 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(3)))
     assert(tied.length === 3 && tied.forall(_._2 === 0L), tied.mkString(","))
   }
+
+  test("categoricalDrift: brute-forced shares/gaps/psi terms; zero on identical mixes; one-sided categories") {
+    import spark.implicits._
+    val ref = (1 to 300).map(i => Seq("a", "a", "a", "b", "b", "c")(i % 6))
+    val cur = (1 to 200).map(i => Seq("a", "b", "b", "b", "d")(i % 5))
+    val got = graft.operators.Analytics.categoricalDrift(
+      ref.toDF("cat"), cur.toDF("cat"), "cat")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (nr, nc) = (ref.size.toLong, cur.size.toLong)
+    val rm = ref.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val cm = cur.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    (rm.keySet ++ cm.keySet).foreach { k =>
+      val (a, b) = (rm.getOrElse(k, 0L), cm.getOrElse(k, 0L))
+      val gap = math.abs(a * 1000000L / nr - b * 1000000L / nc)
+      val pr = math.max(a, 1L).toDouble / nr
+      val pc = math.max(b, 1L).toDouble / nc
+      val psi = math.floor((pc - pr) * math.log(pc / pr) * 1000000.0).toLong
+      assert(got(k) === ((a, b, gap, psi)), k)
+    }
+    // category "c" absent from cur and "d" absent from ref both PRESENT
+    assert(got.contains("c") && got.contains("d"))
+    assert(got("c")._2 === 0L && got("d")._1 === 0L)
+    // identical mixes: every gap and psi term exactly zero
+    val same = graft.operators.Analytics.categoricalDrift(
+      ref.toDF("cat"), ref.toDF("cat"), "cat").collect()
+    assert(same.nonEmpty && same.forall(r => r.getLong(3) === 0L && r.getLong(4) === 0L))
+    // nulls are dropped, not a category
+    val withNull = (ref.map(Option(_)) :+ (None: Option[String])).toDF("cat")
+    assert(graft.operators.Analytics.categoricalDrift(withNull, withNull, "cat")
+      .filter(functions.col("category").isNull).count() === 0L)
+  }
 }
