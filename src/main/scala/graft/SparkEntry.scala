@@ -1499,6 +1499,16 @@ object SparkEntry {
         graft.operators.ScoreStats.readKeyed(s, "graft_scorestats_byday"), "day")
         .orderBy(col("day"), col("decile"))
     },
+    // ---- per-day score-drift TREND from the KEYED maintained stats:
+    // every day's score mix binned by the PREVIOUS day's exact decile
+    // cutoffs, integer TVD gap per bin — "did today's scores move vs
+    // yesterday", read incrementally from the (day, score) fact table.
+    "drift_by_day_from_stats" -> { (s, dir) =>
+      scoreStatsKeyedTable(s, dir)
+      graft.operators.ScoreStats.driftByAdjacentKeyFromStats(
+        graft.operators.ScoreStats.readKeyed(s, "graft_scorestats_byday"), "day")
+        .orderBy(col("day"), col("bin"))
+    },
     // ---- CATEGORICAL drift (mix shift of the event-type distribution,
     // first half-year vs second): per-category shares with TVD gaps and
     // PSI terms — the nominal-column sibling of the score-drift pair.
@@ -6730,6 +6740,44 @@ object SparkEntry {
         |SELECT t.np AS n_pos, t.nn AS n_neg,
         |  (SELECT CAST(sum(p * prec) AS BIGINT) FROM pr) // t.np AS ap_micro
         |FROM t WHERE t.np > 0""".stripMargin,
+    // Per-day drift trend: each day binned by the previous day's exact
+    // decile cutoffs (rank rule on the ref day), integer TVD gaps.
+    "drift_by_day_from_stats" ->
+      """WITH u AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, user_id,
+        |    CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)
+        |      AS score
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT day, score,
+        |    row_number() OVER (PARTITION BY day ORDER BY score, user_id) AS rk FROM u),
+        |n AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1),
+        |cuts AS (SELECT DISTINCT day, cut FROM (
+        |    SELECT r.day, ((rk - 1) * 10) // n.n + 1 AS d, max(score) AS cut
+        |    FROM r JOIN n ON r.day = n.day GROUP BY r.day, d, n.n) WHERE d <= 9),
+        |days AS (SELECT day, lag(day) OVER (ORDER BY day) AS refday
+        |         FROM (SELECT DISTINCT day FROM u)),
+        |bc AS (SELECT d.day, u.user_id,
+        |    CAST(1 + (SELECT count(*) FROM cuts
+        |      WHERE cuts.day = d.refday AND u.score > cuts.cut) AS BIGINT) AS bin
+        |  FROM days d JOIN u ON u.day = d.day WHERE d.refday IS NOT NULL),
+        |br AS (SELECT d.day, u.user_id,
+        |    CAST(1 + (SELECT count(*) FROM cuts
+        |      WHERE cuts.day = d.refday AND u.score > cuts.cut) AS BIGINT) AS bin
+        |  FROM days d JOIN u ON u.day = d.refday WHERE d.refday IS NOT NULL),
+        |ra AS (SELECT day, bin, CAST(count(*) AS BIGINT) AS n_ref FROM br GROUP BY 1, 2),
+        |ca AS (SELECT day, bin, CAST(count(*) AS BIGINT) AS n_cur FROM bc GROUP BY 1, 2),
+        |nr AS (SELECT d.day, CAST(count(*) AS BIGINT) AS n FROM days d
+        |       JOIN u ON u.day = d.refday GROUP BY 1),
+        |nc AS (SELECT d.day, CAST(count(*) AS BIGINT) AS n FROM days d
+        |       JOIN u ON u.day = d.day WHERE d.refday IS NOT NULL GROUP BY 1)
+        |SELECT COALESCE(ra.day, ca.day) AS day,
+        |  COALESCE(ra.bin, ca.bin) AS bin,
+        |  COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur,
+        |  abs(COALESCE(n_ref, 0) * 1000000 // nr.n
+        |    - COALESCE(n_cur, 0) * 1000000 // nc.n) AS gap_micro
+        |FROM ra FULL OUTER JOIN ca ON ra.day = ca.day AND ra.bin = ca.bin
+        |JOIN nr ON nr.day = COALESCE(ra.day, ca.day)
+        |JOIN nc ON nc.day = COALESCE(ra.day, ca.day)
+        |ORDER BY 1, 2""".stripMargin,
     // Categorical drift: per-category shares, TVD gaps, zero-floored PSI
     // terms — DuckDB's ln/floor reproduce the micro values.
     "categorical_drift" ->

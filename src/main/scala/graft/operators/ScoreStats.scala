@@ -351,6 +351,71 @@ object ScoreStats {
         col("n_positive"), col("lift_micro"))
   }
 
+  /**
+   * Per-key score-drift TREND from keyed score-grain stats: for every
+   * key (day) with a predecessor on the key axis, both days' score
+   * masses binned by the PREDECESSOR's exact decile value cutoffs, with
+   * the integer TVD gap per bin — "did today's score mix move vs
+   * yesterday", the continuous-monitoring read the one-shot
+   * [[tvdFromStats]] answers for a single pair. Value-identical per
+   * pair to `tvdFromStats(stats of k−1, stats of k)` (spec-pinned).
+   * Output: `(key, bin, n_ref, n_cur, gap_micro)`; the first key on the
+   * axis has no predecessor and is absent.
+   *
+   * Scale shape: per-key cumulative windows on (key, score)-grain rows,
+   * cuts are ≤9 rows per key (broadcast), binning joins are
+   * score-grain × ≤9. The adjacent-pair map is ONE ordered window over
+   * the DISTINCT key axis — bounded by the slice axis itself (a
+   * calendar of days, a segment list), never by data volume.
+   */
+  def driftByAdjacentKeyFromStats(stats: DataFrame, keyCol: String): DataFrame = {
+    val s = normalizedKeyed(stats).drop("pos").localCheckpoint()
+    val cum = Window.partitionBy(col("__k")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("__k"))
+    // per-key reference-decile cuts (≤9 distinct values per key): each
+    // score group covers deciles __dlo..__dhi of its key's population
+    val cuts = broadcast(
+      s.withColumn("__cn", sum(col("n")).over(cum))
+        .withColumn("__nk", sum(col("n")).over(tot))
+        .withColumn("__dlo", expr("((__cn - n) * 10L) DIV __nk + 1L"))
+        .withColumn("__dhi", expr("((__cn - 1L) * 10L) DIV __nk + 1L"))
+        .withColumn("__d", explode(sequence(col("__dlo"), col("__dhi"))))
+        .filter(col("__d") <= 9L)
+        .groupBy(col("__k"), col("__d")).agg(max(col("__s")).as("__cut"))
+        .select(col("__k").as("__kc"), col("__cut")).distinct())
+    // adjacent (predecessor, key) pairs over the bounded distinct axis
+    val keyW = Window.orderBy(col("__k"))
+    val pairs = broadcast(
+      s.select(col("__k")).distinct()
+        .withColumn("__kref", lag(col("__k"), 1).over(keyW))
+        .filter(col("__kref").isNotNull))
+    val totals = s.groupBy(col("__k")).agg(sum(col("n")).as("__nk"))
+    // bin a side's masses by the REFERENCE key's cuts; label rows by the
+    // CURRENT key so the pair join point stays (key, bin)
+    def binned(side: DataFrame, out: String) = side
+      .join(cuts, side("__kref") === cuts("__kc") && side("__s") > cuts("__cut"),
+        "left")
+      .groupBy(side("__k"), side("__kref"), side("__s"))
+      .agg(first(side("n")).as("__m"), (count(col("__cut")) + 1L).as("bin"))
+      .groupBy(col("__k"), col("bin")).agg(sum(col("__m")).as(out))
+    val curSide = s.join(pairs, Seq("__k"))
+    val refSide = s.withColumnRenamed("__k", "__kref")
+      .join(pairs, Seq("__kref"))
+    binned(refSide, "n_ref")
+      .join(binned(curSide, "n_cur"), Seq("__k", "bin"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .join(pairs, Seq("__k"))
+      .join(broadcast(totals.select(col("__k").as("__kref"), col("__nk").as("__nr"))),
+        Seq("__kref"))
+      .join(broadcast(totals.select(col("__k"), col("__nk").as("__nc"))),
+        Seq("__k"))
+      .filter(col("__nr") > 0L && col("__nc") > 0L)
+      .select(col("__k").as(keyCol), col("bin"), col("n_ref"), col("n_cur"),
+        expr("abs(n_ref * 1000000L DIV __nr - n_cur * 1000000L DIV __nc)")
+          .as("gap_micro"))
+  }
+
   /** GROUPED two-sample KS from keyed score-grain stats — value-identical
     * per key to [[graft.operators.Analytics.ksScoreByKey]]: per-key
     * cumulative class CDFs, one DIV per class, argmax gap with ties to

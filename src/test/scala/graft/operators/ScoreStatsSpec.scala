@@ -328,6 +328,39 @@ class ScoreStatsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS spec_ss_keyed_st")
   }
 
+  test("driftByAdjacentKeyFromStats: each pair equals tvdFromStats on the two slices; first key absent; zero self-drift") {
+    // 4 days with deliberately different score mixes
+    val days = (1 to 800).map { i =>
+      val d = s"2024-01-0${i % 4 + 1}"
+      (d, i.toLong, ((i * 37) % 25).toLong + (i % 4) * 3)
+    }
+    val kdf = days.toDF("k", "id", "s").withColumn("y", lit(0L))
+    val kstats = ScoreStats.fromScoredKeyed(kdf, col("k"), col("s"), col("y"))
+    val got = ScoreStats.driftByAdjacentKeyFromStats(kstats, "day")
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1).toSeq).toMap
+    val dayList = days.map(_._1).distinct.sorted
+    assert(!got.contains(dayList.head)) // no predecessor
+    for (Seq(ref, cur) <- dayList.sliding(2)) {
+      def slice(d: String) = ScoreStats.fromScored(
+        kdf.filter(col("k") === d), col("s"), col("y"))
+      val want = ScoreStats.tvdFromStats(slice(ref), slice(cur))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(got(cur) === want, s"$ref -> $cur")
+    }
+    // identical mixes on adjacent keys: every gap exactly zero
+    val twin = (1 to 300).flatMap(i =>
+      Seq(("d1", i.toLong, (i % 20).toLong), ("d2", i + 1000L, (i % 20).toLong)))
+      .toDF("k", "id", "s").withColumn("y", lit(0L))
+    val zero = ScoreStats.driftByAdjacentKeyFromStats(
+      ScoreStats.fromScoredKeyed(twin, col("k"), col("s"), col("y")), "day")
+      .collect()
+    assert(zero.nonEmpty && zero.forall(_.getLong(4) === 0L))
+  }
+
   test("prFromStats / averagePrecisionFromStats: brute-force per-threshold PR and step-wise AP") {
     val np = scored.count(_._3 == 1L).toLong
     val nn = scored.size.toLong - np
