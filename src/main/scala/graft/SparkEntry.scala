@@ -6773,7 +6773,12 @@ object SparkEntry {
         |  COALESCE(ra.bin, ca.bin) AS bin,
         |  COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur,
         |  abs(COALESCE(n_ref, 0) * 1000000 // nr.n
-        |    - COALESCE(n_cur, 0) * 1000000 // nc.n) AS gap_micro
+        |    - COALESCE(n_cur, 0) * 1000000 // nc.n) AS gap_micro,
+        |  CAST(floor((CAST(greatest(COALESCE(n_cur, 0), 1) AS DOUBLE) / nc.n
+        |        - CAST(greatest(COALESCE(n_ref, 0), 1) AS DOUBLE) / nr.n)
+        |      * ln((CAST(greatest(COALESCE(n_cur, 0), 1) AS DOUBLE) / nc.n)
+        |        / (CAST(greatest(COALESCE(n_ref, 0), 1) AS DOUBLE) / nr.n))
+        |      * 1000000.0) AS BIGINT) AS psi_micro
         |FROM ra FULL OUTER JOIN ca ON ra.day = ca.day AND ra.bin = ca.bin
         |JOIN nr ON nr.day = COALESCE(ra.day, ca.day)
         |JOIN nc ON nc.day = COALESCE(ra.day, ca.day)

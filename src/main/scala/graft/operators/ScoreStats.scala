@@ -358,9 +358,11 @@ object ScoreStats {
    * the integer TVD gap per bin — "did today's score mix move vs
    * yesterday", the continuous-monitoring read the one-shot
    * [[tvdFromStats]] answers for a single pair. Value-identical per
-   * pair to `tvdFromStats(stats of k−1, stats of k)` (spec-pinned).
-   * Output: `(key, bin, n_ref, n_cur, gap_micro)`; the first key on the
-   * axis has no predecessor and is absent.
+   * pair to `tvdFromStats(stats of k−1, stats of k)` (spec-pinned),
+   * plus the zero-floored PSI term per bin (the [[psiFromStats]]
+   * spelling — one fixed double tree floored to micros). Output:
+   * `(key, bin, n_ref, n_cur, gap_micro, psi_micro)`; the first key on
+   * the axis has no predecessor and is absent.
    *
    * Scale shape: per-key cumulative windows on (key, score)-grain rows,
    * cuts are ≤9 rows per key (broadcast), binning joins are
@@ -411,9 +413,15 @@ object ScoreStats {
       .join(broadcast(totals.select(col("__k"), col("__nk").as("__nc"))),
         Seq("__k"))
       .filter(col("__nr") > 0L && col("__nc") > 0L)
+      .withColumn("__pr",
+        greatest(col("n_ref"), lit(1L)).cast("double") / col("__nr").cast("double"))
+      .withColumn("__pc",
+        greatest(col("n_cur"), lit(1L)).cast("double") / col("__nc").cast("double"))
       .select(col("__k").as(keyCol), col("bin"), col("n_ref"), col("n_cur"),
         expr("abs(n_ref * 1000000L DIV __nr - n_cur * 1000000L DIV __nc)")
-          .as("gap_micro"))
+          .as("gap_micro"),
+        floor((col("__pc") - col("__pr")) * log(col("__pc") / col("__pr")) *
+          lit(1000000.0)).cast("long").as("psi_micro"))
   }
 
   /** GROUPED two-sample KS from keyed score-grain stats — value-identical

@@ -336,8 +336,8 @@ class ScoreStatsSpec extends SparkSpec {
     }
     val kdf = days.toDF("k", "id", "s").withColumn("y", lit(0L))
     val kstats = ScoreStats.fromScoredKeyed(kdf, col("k"), col("s"), col("y"))
-    val got = ScoreStats.driftByAdjacentKeyFromStats(kstats, "day")
-      .collect()
+    val rows = ScoreStats.driftByAdjacentKeyFromStats(kstats, "day").collect()
+    val got = rows
       .groupBy(_.getString(0))
       .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
         .sortBy(_._1).toSeq).toMap
@@ -350,15 +350,21 @@ class ScoreStatsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .sortBy(_._1).toSeq
       assert(got(cur) === want, s"$ref -> $cur")
+      // the psi column matches psiFromStats on the same slices
+      val wantPsi = ScoreStats.psiFromStats(slice(ref), slice(cur))
+        .collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1).toSeq
+      val gotPsi = rows.filter(_.getString(0) == cur)
+        .map(r => (r.getLong(1), r.getLong(5))).sortBy(_._1).toSeq
+      assert(gotPsi === wantPsi, s"psi $ref -> $cur")
     }
-    // identical mixes on adjacent keys: every gap exactly zero
+    // identical mixes on adjacent keys: every gap and psi term zero
     val twin = (1 to 300).flatMap(i =>
       Seq(("d1", i.toLong, (i % 20).toLong), ("d2", i + 1000L, (i % 20).toLong)))
       .toDF("k", "id", "s").withColumn("y", lit(0L))
     val zero = ScoreStats.driftByAdjacentKeyFromStats(
       ScoreStats.fromScoredKeyed(twin, col("k"), col("s"), col("y")), "day")
       .collect()
-    assert(zero.nonEmpty && zero.forall(_.getLong(4) === 0L))
+    assert(zero.nonEmpty && zero.forall(r => r.getLong(4) === 0L && r.getLong(5) === 0L))
   }
 
   test("prFromStats / averagePrecisionFromStats: brute-force per-threshold PR and step-wise AP") {
