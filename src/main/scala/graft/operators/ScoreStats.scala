@@ -366,9 +366,12 @@ object ScoreStats {
    *
    * Scale shape: per-key cumulative windows on (key, score)-grain rows,
    * cuts are ≤9 rows per key (broadcast), binning joins are
-   * score-grain × ≤9. The adjacent-pair map is ONE ordered window over
-   * the DISTINCT key axis — bounded by the slice axis itself (a
-   * calendar of days, a segment list), never by data volume.
+   * score-grain × ≤9. The adjacent-pair map rides the DISTINCT key
+   * axis: counted, and a small axis (a calendar of days, a segment
+   * list — ≤max(4096, 64·P)) takes one plain lag window while a large
+   * one routes through the range-partitioned [[Ranks.withGlobalRank]]
+   * and a rank self-join — the same adaptive discipline as the skyline
+   * prefix (no data-sized single-partition stage either way).
    */
   def driftByAdjacentKeyFromStats(stats: DataFrame, keyCol: String): DataFrame = {
     val s = normalizedKeyed(stats).drop("pos").localCheckpoint()
@@ -386,12 +389,9 @@ object ScoreStats {
         .filter(col("__d") <= 9L)
         .groupBy(col("__k"), col("__d")).agg(max(col("__s")).as("__cut"))
         .select(col("__k").as("__kc"), col("__cut")).distinct())
-    // adjacent (predecessor, key) pairs over the bounded distinct axis
-    val keyW = Window.orderBy(col("__k"))
-    val pairs = broadcast(
-      s.select(col("__k")).distinct()
-        .withColumn("__kref", lag(col("__k"), 1).over(keyW))
-        .filter(col("__kref").isNotNull))
+    // adjacent (predecessor, key) pairs over the counted distinct axis
+    // (adjacentPairs broadcasts the small-axis regime itself)
+    val pairs = adjacentPairs(s.select(col("__k")).distinct())
     val totals = s.groupBy(col("__k")).agg(sum(col("n")).as("__nk"))
     // bin a side's masses by the REFERENCE key's cuts; label rows by the
     // CURRENT key so the pair join point stays (key, bin)
@@ -422,6 +422,34 @@ object ScoreStats {
           .as("gap_micro"),
         floor((col("__pc") - col("__pr")) * log(col("__pc") / col("__pr")) *
           lit(1000000.0)).cast("long").as("psi_micro"))
+  }
+
+  /** (predecessor, key) adjacency over a distinct key axis — counted:
+    * a small axis (≤ max(4096, 64·P), or ≤ `plainAxisLimit` when set
+    * for tests) takes one plain lag window and broadcasts; a large one
+    * rides [[Ranks.withGlobalRank]] + a rank self-join, un-broadcast
+    * (at that scale the downstream joins shuffle on the key anyway). */
+  private[graft] def adjacentPairs(
+      distinctKeys: DataFrame,
+      plainAxisLimit: Long = -1L
+  ): DataFrame = {
+    val spark = distinctKeys.sparkSession
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val limit = if (plainAxisLimit >= 0L) plainAxisLimit
+      else math.max(4096L, 64L * p)
+    val keys = distinctKeys.localCheckpoint()
+    if (keys.count() <= limit)
+      broadcast(
+        keys.withColumn("__kref", lag(col("__k"), 1).over(Window.orderBy(col("__k"))))
+          .filter(col("__kref").isNotNull))
+    else {
+      val ranked = Ranks.withGlobalRank(keys, Seq(col("__k")), "__r")
+        .localCheckpoint() // self-joined below; rank once
+      ranked
+        .join(ranked.select(col("__k").as("__kref"), (col("__r") + 1L).as("__r")),
+          Seq("__r"))
+        .select(col("__k"), col("__kref"))
+    }
   }
 
   /** GROUPED two-sample KS from keyed score-grain stats — value-identical

@@ -367,6 +367,20 @@ class ScoreStatsSpec extends SparkSpec {
     assert(zero.nonEmpty && zero.forall(r => r.getLong(4) === 0L && r.getLong(5) === 0L))
   }
 
+  test("adjacentPairs: the large-axis rank path equals the plain lag window") {
+    val keys = (1 to 500).map(i => f"k${(i * 37) % 997}%04d").distinct.toDF("__k")
+    def pairs(limit: Long) = ScoreStats.adjacentPairs(keys, plainAxisLimit = limit)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val small = pairs(Long.MaxValue) // plain window regime
+    val large = pairs(0L)            // forced range-partitioned rank regime
+    assert(large === small)
+    assert(small.size === keys.count() - 1) // every key but the first has a predecessor
+    // the large-axis plan has no single-partition stage
+    val plan = ScoreStats.adjacentPairs(keys, plainAxisLimit = 0L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("prFromStats / averagePrecisionFromStats: brute-force per-threshold PR and step-wise AP") {
     val np = scored.count(_._3 == 1L).toLong
     val nn = scored.size.toLong - np
