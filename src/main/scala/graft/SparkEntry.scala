@@ -1509,6 +1509,44 @@ object SparkEntry {
         graft.operators.ScoreStats.readKeyed(s, "graft_scorestats_byday"), "day")
         .orderBy(col("day"), col("bin"))
     },
+    // ---- STREAMING drift monitor: scored stream → foreachBatch → keyed
+    // stats fold + each day's drift row emitted as the day CLOSES (a
+    // later day arrives) — the monitoring loop a training pipeline runs.
+    // Three day-ordered epochs + a replayed tick; the final (still-open)
+    // day is absent. Exactly-once: __gen-guarded fold, day-level
+    // anti-join + one insertInto per emission.
+    "drift_stream" -> { (s, dir) =>
+      Fixtures.cached(s"drift_stream|$dir") {
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val all = perUserDayScores(s, dir).collect().toSeq
+          .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+        val days = all.map(_._1).distinct.sorted
+        val (c1, c2) = (days(days.length / 3), days(2 * days.length / 3))
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(String, Long, Long, Long)]
+        s.sql("DROP TABLE IF EXISTS graft_driftmon_stats")
+        s.sql("DROP TABLE IF EXISTS graft_driftmon")
+        val q = graft.operators.ScoreStats.driftMonitorStream(
+          mem.toDF().toDF("day", "user_id", "score", "label"),
+          "graft_driftmon_stats", "graft_driftmon",
+          col("day"), col("score"), col("label"), outKeyCol = "day").start()
+        try {
+          Seq(all.filter(_._1 < c1),
+            all.filter(x => x._1 >= c1 && x._1 < c2),
+            all.filter(_._1 >= c2))
+            .foreach { e => mem.addData(e); q.processAllAvailable() }
+        } finally q.stop()
+        // crash-replay of the last epoch: the fold no-ops on the __gen
+        // guard and the emission anti-joins to nothing
+        graft.operators.ScoreStats.applyDriftMonitorBatch(
+          "graft_driftmon_stats", "graft_driftmon",
+          col("day"), col("score"), col("label"), outKeyCol = "day")(
+          all.filter(_._1 >= c2).toDF("day", "user_id", "score", "label"), 2L)
+        java.lang.Boolean.TRUE
+      }
+      s.table("graft_driftmon").orderBy(col("day"), col("bin"))
+    },
     // ---- CATEGORICAL drift (mix shift of the event-type distribution,
     // first half-year vs second): per-category shares with TVD gaps and
     // PSI terms — the nominal-column sibling of the score-drift pair.
@@ -6782,6 +6820,50 @@ object SparkEntry {
         |FROM ra FULL OUTER JOIN ca ON ra.day = ca.day AND ra.bin = ca.bin
         |JOIN nr ON nr.day = COALESCE(ra.day, ca.day)
         |JOIN nc ON nc.day = COALESCE(ra.day, ca.day)
+        |ORDER BY 1, 2""".stripMargin,
+    // Streaming drift monitor: the from-scratch drift trend minus the
+    // final day (still open when the stream stopped — never emitted).
+    "drift_stream" ->
+      """WITH u AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, user_id,
+        |    CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)
+        |      AS score
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT day, score,
+        |    row_number() OVER (PARTITION BY day ORDER BY score, user_id) AS rk FROM u),
+        |n AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1),
+        |cuts AS (SELECT DISTINCT day, cut FROM (
+        |    SELECT r.day, ((rk - 1) * 10) // n.n + 1 AS d, max(score) AS cut
+        |    FROM r JOIN n ON r.day = n.day GROUP BY r.day, d, n.n) WHERE d <= 9),
+        |days AS (SELECT day, lag(day) OVER (ORDER BY day) AS refday
+        |         FROM (SELECT DISTINCT day FROM u)),
+        |bc AS (SELECT d.day, u.user_id,
+        |    CAST(1 + (SELECT count(*) FROM cuts
+        |      WHERE cuts.day = d.refday AND u.score > cuts.cut) AS BIGINT) AS bin
+        |  FROM days d JOIN u ON u.day = d.day WHERE d.refday IS NOT NULL),
+        |br AS (SELECT d.day, u.user_id,
+        |    CAST(1 + (SELECT count(*) FROM cuts
+        |      WHERE cuts.day = d.refday AND u.score > cuts.cut) AS BIGINT) AS bin
+        |  FROM days d JOIN u ON u.day = d.refday WHERE d.refday IS NOT NULL),
+        |ra AS (SELECT day, bin, CAST(count(*) AS BIGINT) AS n_ref FROM br GROUP BY 1, 2),
+        |ca AS (SELECT day, bin, CAST(count(*) AS BIGINT) AS n_cur FROM bc GROUP BY 1, 2),
+        |nr AS (SELECT d.day, CAST(count(*) AS BIGINT) AS n FROM days d
+        |       JOIN u ON u.day = d.refday GROUP BY 1),
+        |nc AS (SELECT d.day, CAST(count(*) AS BIGINT) AS n FROM days d
+        |       JOIN u ON u.day = d.day WHERE d.refday IS NOT NULL GROUP BY 1)
+        |SELECT COALESCE(ra.day, ca.day) AS day,
+        |  COALESCE(ra.bin, ca.bin) AS bin,
+        |  COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur,
+        |  abs(COALESCE(n_ref, 0) * 1000000 // nr.n
+        |    - COALESCE(n_cur, 0) * 1000000 // nc.n) AS gap_micro,
+        |  CAST(floor((CAST(greatest(COALESCE(n_cur, 0), 1) AS DOUBLE) / nc.n
+        |        - CAST(greatest(COALESCE(n_ref, 0), 1) AS DOUBLE) / nr.n)
+        |      * ln((CAST(greatest(COALESCE(n_cur, 0), 1) AS DOUBLE) / nc.n)
+        |        / (CAST(greatest(COALESCE(n_ref, 0), 1) AS DOUBLE) / nr.n))
+        |      * 1000000.0) AS BIGINT) AS psi_micro
+        |FROM ra FULL OUTER JOIN ca ON ra.day = ca.day AND ra.bin = ca.bin
+        |JOIN nr ON nr.day = COALESCE(ra.day, ca.day)
+        |JOIN nc ON nc.day = COALESCE(ra.day, ca.day)
+        |WHERE COALESCE(ra.day, ca.day) < (SELECT max(day) FROM u)
         |ORDER BY 1, 2""".stripMargin,
     // Categorical drift: per-category shares, TVD gaps, zero-floored PSI
     // terms — DuckDB's ln/floor reproduce the micro values.

@@ -166,6 +166,7 @@ object Bucketing {
       renameInto(spark, tmp, table)
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val stats = priorStats(spark, table)
     val df = spark.table(table)
     meta.bucketSpec match {
       case Some(bs) =>
@@ -190,7 +191,43 @@ object Bucketing {
     }
     spark.sql(s"DROP TABLE `$table`")
     renameInto(spark, tmp, table)
+    refreshStats(spark, table, stats)
   }
+
+  /** The statistics footprint of `table` before a rewrite: Some(analyzed
+    * column names) when the table carries catalog statistics (possibly
+    * zero columns = table-level stats only), None when it has none or
+    * does not exist. DROP + RENAME discards the analyzed table's stats,
+    * so every swap/compact below re-collects what was there — otherwise
+    * the CBO feed silently vanishes on the first maintenance event.
+    * TimestampNTZ columns are excluded from the refresh list (the repo
+    * never stores NTZ column stats — Spark 4.1 CBO join-reorder
+    * MatchErrors on them; see [[TableStats.collectStats]]). */
+  private def priorStats(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String
+  ): Option[Seq[String]] =
+    if (!spark.catalog.tableExists(table)) None
+    else {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      meta.stats.map { st =>
+        val ntz = meta.schema.fields
+          .filter(_.dataType == org.apache.spark.sql.types.TimestampNTZType)
+          .map(_.name).toSet
+        st.colStats.keys.filterNot(ntz).toSeq.sorted
+      }
+    }
+
+  /** Re-collect the pre-rewrite statistics footprint after a swap — one
+    * ANALYZE scan, only for tables that opted into stats to begin with
+    * (the maintenance-cadence doctrine from [[TableStats]]). */
+  private def refreshStats(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      prior: Option[Seq[String]]
+  ): Unit =
+    prior.foreach(cols => TableStats.collectStats(spark, table, cols))
 
   /** RENAME `from` onto the (dropped) managed location of `to`, clearing
     * any stale warehouse directory first — rename moves the managed
@@ -227,9 +264,11 @@ object Bucketing {
       s"swapInPlain takes an unqualified table name, got '$table'")
     val spark = df.sparkSession
     val tmp = s"${table}_swap_tmp"
+    val stats = priorStats(spark, table)
     materializePlain(df, tmp)
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     renameInto(spark, tmp, table)
+    refreshStats(spark, table, stats)
   }
 
   /** Bucketed sibling of [[swapInPlain]] — same staged DROP + RENAME
@@ -249,9 +288,11 @@ object Bucketing {
       s"swapInBucketed takes an unqualified table name, got '$table'")
     val spark = df.sparkSession
     val tmp = s"${table}_swap_tmp"
+    val stats = priorStats(spark, table)
     materializeBucketedBy(df, tmp, bucketCols, numBuckets, sortCols)
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     renameInto(spark, tmp, table)
+    refreshStats(spark, table, stats)
   }
 
   /** Complete an interrupted [[swapInPlain]] (crash between its DROP and

@@ -23,40 +23,58 @@ import org.apache.spark.sql.functions._
  * two batches would double-count — rescoring is a rebuild, not an
  * append), and per-score counts are additive across batches by
  * construction.
+ *
+ * The GLOBAL table is the KEYED table with no slice column: every
+ * maintained-table verb below is ONE implementation parameterized by
+ * the optional `__k` key (a model-eval slice axis — day, segment,
+ * cohort), and the public global/keyed entry points are thin wrappers.
+ * One crash contract, one spec surface — not two copies in lockstep.
  */
 object ScoreStats {
 
-  /** Score-grain class counts of a scored frame: one row per distinct
-    * score with `n` entities and `pos` positives. */
-  def fromScored(
+  // ------------------------------------------------------ unified core
+
+  /** The table grain: `(__s)` global, `(__k, __s)` keyed. */
+  private def grain(keyed: Boolean): Seq[Column] =
+    if (keyed) Seq(col("__k"), col("__s")) else Seq(col("__s"))
+
+  /** Score-grain (optionally key-sliced) class counts of a scored frame:
+    * one row per [key ×] distinct score with `n` entities and `pos`
+    * positives. */
+  private def fromScoredBy(
       scored: DataFrame,
+      key: Option[Column],
       scoreCol: Column,
       labelCol: Column
   ): DataFrame =
     scored
-      .select(scoreCol.cast("long").as("__s"), labelCol.cast("long").as("__y"))
-      .filter(col("__s").isNotNull && col("__y").isin(0L, 1L))
-      .groupBy(col("__s"))
+      .select(key.map(_.as("__k")).toSeq ++ Seq(
+        scoreCol.cast("long").as("__s"), labelCol.cast("long").as("__y")): _*)
+      .filter(key.map(_ => col("__k").isNotNull).getOrElse(lit(true)) &&
+        col("__s").isNotNull && col("__y").isin(0L, 1L))
+      .groupBy(grain(key.nonEmpty): _*)
       .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"))
 
-  /** Seed the maintained table from the first batch. */
-  def materialize(
+  private def materializeBy(
       scored: DataFrame,
+      key: Option[Column],
       scoreCol: Column,
       labelCol: Column,
       table: String,
-      batchId: Long = 0L
+      batchId: Long
   ): Unit =
     Bucketing.materializePlain(
-      fromScored(scored, scoreCol, labelCol).withColumn("__gen", lit(batchId)),
+      fromScoredBy(scored, key, scoreCol, labelCol)
+        .withColumn("__gen", lit(batchId)),
       table)
 
   /** Fold a batch of newly-scored entities in: ONE idempotent
-    * score-grain `insertInto` guarded by the stored high-water `__gen`
+    * grain-level `insertInto` guarded by the stored high-water `__gen`
     * (replayed ticks no-op) — the same two-regime crash contract as the
     * basket fact table. */
-  def append(
+  private def appendBy(
       batch: DataFrame,
+      key: Option[Column],
       scoreCol: Column,
       labelCol: Column,
       table: String,
@@ -69,211 +87,163 @@ object ScoreStats {
       .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
       .getOrElse(-1L)
     if (batchId <= hwm) return
-    fromScored(batch, scoreCol, labelCol)
+    fromScoredBy(batch, key, scoreCol, labelCol)
       .withColumn("__gen", lit(batchId))
       .select(stored.columns.map(col).toSeq: _*)
       .write.insertInto(table)
   }
 
-  /** One foreachBatch tick of STREAMING score-stats maintenance: first
-    * epoch seeds the table, later epochs ride [[append]]'s `__gen`
-    * guard — counts are additive (NOT idempotent), so the guard is what
-    * makes crash-replayed epochs no-ops, the same two-regime contract
-    * as the upsert/rollup streams. */
-  def applyScoreStatsBatch(
+  /** The folded stats — generations summed per grain row. */
+  private def readBy(
+      spark: org.apache.spark.sql.SparkSession,
       table: String,
+      keyed: Boolean
+  ): DataFrame = {
+    Bucketing.recoverSwap(spark, table) // complete an interrupted compact
+    spark.table(table)
+      .groupBy(grain(keyed): _*)
+      .agg(sum(col("n")).as("n"), sum(col("pos")).as("pos"))
+  }
+
+  /** Rewrite the maintained table with generations folded — one row per
+    * grain, stamped with the stored high-water `__gen` so the append
+    * guard survives compaction; reads are identical before and after.
+    * Read-side maintenance after many ticks (each append adds one
+    * grain-level delta forever). Rides the staged [[Bucketing.swapInPlain]]
+    * (crash leaves the old or the folded table; read/append call
+    * `recoverSwap` first). Same single-writer contract as every other
+    * maintained-table compactor: never run concurrently with ticks. */
+  private def compactBy(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      keyed: Boolean
+  ): Unit = {
+    Bucketing.recoverSwap(spark, table)
+    val t = spark.table(table)
+    val hwm = broadcast(t.agg(max(col("__gen")).as("__gen"))) // global HWM
+    val folded = t
+      .groupBy(grain(keyed): _*)
+      .agg(sum(col("n")).as("n"), sum(col("pos")).as("pos"))
+      .crossJoin(hwm)
+      .select(t.columns.map(col).toSeq: _*)
+    Bucketing.swapInPlain(folded, table)
+  }
+
+  /** One foreachBatch tick of streaming maintenance: first epoch seeds
+    * the table, later epochs ride [[appendBy]]'s `__gen` guard — counts
+    * are additive (NOT idempotent), so the guard is what makes
+    * crash-replayed epochs no-ops, the same two-regime contract as the
+    * upsert/rollup streams. */
+  private def applyBatchBy(
+      table: String,
+      key: Option[Column],
       scoreCol: Column,
       labelCol: Column
   )(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     if (!spark.catalog.tableExists(table))
-      materialize(batch, scoreCol, labelCol, table, batchId)
-    else append(batch, scoreCol, labelCol, table, batchId)
+      materializeBy(batch, key, scoreCol, labelCol, table, batchId)
+    else appendBy(batch, key, scoreCol, labelCol, table, batchId)
   }
 
+  /** Normalize any stats-shaped frame to strict grain with long counts —
+    * the defensive head of every `*FromStats` derivation. The
+    * derivations' rank/CDF arithmetic is only valid with ONE row per
+    * grain; a caller passing per-generation rows (`spark.table(t)`
+    * instead of the read entry point) would otherwise get silently wrong
+    * midranks. A `pos`-less frame (the drift metrics only need masses)
+    * gets a zero `pos` injected. On already-grain input this is one
+    * cheap hash aggregate. */
+  private def normalizedBy(stats: DataFrame, keyed: Boolean): DataFrame = {
+    val s = if (stats.columns.contains("pos")) stats
+      else stats.withColumn("pos", lit(0L))
+    s.groupBy(grain(keyed): _*)
+      .agg(sum(col("n").cast("long")).as("n"),
+        sum(col("pos").cast("long")).as("pos"))
+  }
+
+  // ------------------------------------------- global/keyed entry points
+  // Thin wrappers over the unified core above; contracts live on the
+  // `*By` docs. Keyed batch contract: batches partition the (key, entity)
+  // set — an entity may appear under several keys (scored once per day),
+  // but each (key, entity) pair lands in exactly one batch.
+
+  /** Score-grain class counts: one row per distinct score. */
+  def fromScored(scored: DataFrame, scoreCol: Column, labelCol: Column): DataFrame =
+    fromScoredBy(scored, None, scoreCol, labelCol)
+
+  /** (key, score)-grain sibling of [[fromScored]]. */
+  def fromScoredKeyed(scored: DataFrame, keyCol: Column, scoreCol: Column,
+      labelCol: Column): DataFrame =
+    fromScoredBy(scored, Some(keyCol), scoreCol, labelCol)
+
+  /** Seed the maintained global table from the first batch. */
+  def materialize(scored: DataFrame, scoreCol: Column, labelCol: Column,
+      table: String, batchId: Long = 0L): Unit =
+    materializeBy(scored, None, scoreCol, labelCol, table, batchId)
+
+  /** Seed the KEYED maintained table — [[materialize]] with a `__k`
+    * slice column, so grouped eval metrics (per-day AUC/KS) read
+    * incrementally instead of rescanning raw scored events. */
+  def materializeKeyed(scored: DataFrame, keyCol: Column, scoreCol: Column,
+      labelCol: Column, table: String, batchId: Long = 0L): Unit =
+    materializeBy(scored, Some(keyCol), scoreCol, labelCol, table, batchId)
+
+  /** Fold a batch into the global table — [[appendBy]]'s `__gen` contract. */
+  def append(batch: DataFrame, scoreCol: Column, labelCol: Column,
+      table: String, batchId: Long): Unit =
+    appendBy(batch, None, scoreCol, labelCol, table, batchId)
+
+  /** Keyed sibling of [[append]] — same `__gen` guard on (key, score) grain. */
+  def appendKeyed(batch: DataFrame, keyCol: Column, scoreCol: Column,
+      labelCol: Column, table: String, batchId: Long): Unit =
+    appendBy(batch, Some(keyCol), scoreCol, labelCol, table, batchId)
+
+  /** One foreachBatch tick of STREAMING maintenance — [[applyBatchBy]]. */
+  def applyScoreStatsBatch(table: String, scoreCol: Column, labelCol: Column)(
+      batch: DataFrame, batchId: Long): Unit =
+    applyBatchBy(table, None, scoreCol, labelCol)(batch, batchId)
+
+  /** Keyed twin of [[applyScoreStatsBatch]]. */
+  def applyScoreStatsKeyedBatch(table: String, keyCol: Column, scoreCol: Column,
+      labelCol: Column)(batch: DataFrame, batchId: Long): Unit =
+    applyBatchBy(table, Some(keyCol), scoreCol, labelCol)(batch, batchId)
+
   /** Streaming maintenance: `scored-entity stream → foreachBatch →
-    * score-grain generations`; read with [[read]], metrics ride the
-    * `*FromStats` derivations. Micro-batches must partition the entity
-    * set (each entity scored exactly once across the stream). */
-  def scoreStatsStream(
-      stream: DataFrame,
-      table: String,
-      scoreCol: Column,
+    * score-grain generations`; read with [[read]]. Micro-batches must
+    * partition the entity set. */
+  def scoreStatsStream(stream: DataFrame, table: String, scoreCol: Column,
       labelCol: Column
   ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .outputMode("append")
       .foreachBatch(applyScoreStatsBatch(table, scoreCol, labelCol) _)
 
-  /** The folded `(__s, n, pos)` stats — generations summed per score. */
-  def read(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
-    Bucketing.recoverSwap(spark, table) // complete an interrupted compact
-    spark.table(table)
-      .groupBy(col("__s"))
-      .agg(sum(col("n")).as("n"), sum(col("pos")).as("pos"))
-  }
-
-  /** Rewrite the maintained table with generations folded — one row per
-    * score, stamped with the stored high-water `__gen` so the append
-    * guard survives compaction; [[read]] is identical before and after.
-    * Read-side maintenance after many ticks (each append adds one
-    * score-grain delta forever). Rides the staged [[Bucketing.swapInPlain]]
-    * (crash leaves the old or the folded table; [[read]]/[[append]] call
-    * `recoverSwap` first). Same single-writer contract as every other
-    * maintained-table compactor: never run concurrently with ticks. */
-  def compactScoreStats(
-      spark: org.apache.spark.sql.SparkSession,
-      table: String
-  ): Unit = {
-    Bucketing.recoverSwap(spark, table)
-    val t = spark.table(table)
-    val hwm = broadcast(t.agg(max(col("__gen")).as("__gen"))) // global HWM
-    val folded = t
-      .groupBy(col("__s"))
-      .agg(sum(col("n")).as("n"), sum(col("pos")).as("pos"))
-      .crossJoin(hwm)
-      .select(t.columns.map(col).toSeq: _*)
-    Bucketing.swapInPlain(folded, table)
-  }
-
-  /** Normalize any stats-shaped frame to strict score grain with long
-    * counts — the defensive head of every `*FromStats` derivation. The
-    * derivations' rank/CDF arithmetic is only valid with ONE row per
-    * score; a caller passing per-generation rows (`spark.table(t)`
-    * instead of [[read]]) would otherwise get silently wrong midranks.
-    * On already-score-grain input this is one cheap hash aggregate. */
-  private def normalized(stats: DataFrame): DataFrame =
-    stats
-      .groupBy(col("__s"))
-      .agg(sum(col("n").cast("long")).as("n"),
-        sum(col("pos").cast("long")).as("pos"))
-
-  // ------------------------------------------------------------- keyed
-
-  /** (key, score)-grain class counts — the grouped sibling of
-    * [[fromScored]]: one row per (key, distinct score) with `n` entities
-    * and `pos` positives. The key is a model-eval slice axis (day,
-    * segment, cohort). */
-  def fromScoredKeyed(
-      scored: DataFrame,
-      keyCol: Column,
-      scoreCol: Column,
-      labelCol: Column
-  ): DataFrame =
-    scored
-      .select(keyCol.as("__k"), scoreCol.cast("long").as("__s"),
-        labelCol.cast("long").as("__y"))
-      .filter(col("__k").isNotNull && col("__s").isNotNull &&
-        col("__y").isin(0L, 1L))
-      .groupBy(col("__k"), col("__s"))
-      .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"))
-
-  /** Seed the KEYED maintained table from the first batch — same
-    * append-only generation layout as [[materialize]] with a `__k` slice
-    * column, so the grouped eval metrics (per-day AUC/KS) read
-    * incrementally instead of rescanning raw scored events. */
-  def materializeKeyed(
-      scored: DataFrame,
-      keyCol: Column,
-      scoreCol: Column,
-      labelCol: Column,
-      table: String,
-      batchId: Long = 0L
-  ): Unit =
-    Bucketing.materializePlain(
-      fromScoredKeyed(scored, keyCol, scoreCol, labelCol)
-        .withColumn("__gen", lit(batchId)),
-      table)
-
-  /** Keyed sibling of [[append]]: ONE idempotent (key, score)-grain
-    * `insertInto` guarded by the stored high-water `__gen`. Batches must
-    * partition the (key, entity) set — an entity may appear under several
-    * keys (it is scored once per day), but each (key, entity) pair must
-    * land in exactly one batch. */
-  def appendKeyed(
-      batch: DataFrame,
-      keyCol: Column,
-      scoreCol: Column,
-      labelCol: Column,
-      table: String,
-      batchId: Long
-  ): Unit = {
-    val spark = batch.sparkSession
-    Bucketing.recoverSwap(spark, table) // complete an interrupted compact
-    val stored = spark.table(table)
-    val hwm = stored.agg(max(col("__gen"))).collect()
-      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
-      .getOrElse(-1L)
-    if (batchId <= hwm) return
-    fromScoredKeyed(batch, keyCol, scoreCol, labelCol)
-      .withColumn("__gen", lit(batchId))
-      .select(stored.columns.map(col).toSeq: _*)
-      .write.insertInto(table)
-  }
-
-  /** The folded `(__k, __s, n, pos)` keyed stats — generations summed
-    * per (key, score). */
-  def readKeyed(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
-    Bucketing.recoverSwap(spark, table)
-    spark.table(table)
-      .groupBy(col("__k"), col("__s"))
-      .agg(sum(col("n")).as("n"), sum(col("pos")).as("pos"))
-  }
-
-  /** Keyed sibling of [[compactScoreStats]]: fold generations to one
-    * (key, score) row each, HWM `__gen` preserved, staged swap. */
-  def compactScoreStatsKeyed(
-      spark: org.apache.spark.sql.SparkSession,
-      table: String
-  ): Unit = {
-    Bucketing.recoverSwap(spark, table)
-    val t = spark.table(table)
-    val hwm = broadcast(t.agg(max(col("__gen")).as("__gen")))
-    val folded = t
-      .groupBy(col("__k"), col("__s"))
-      .agg(sum(col("n")).as("n"), sum(col("pos")).as("pos"))
-      .crossJoin(hwm)
-      .select(t.columns.map(col).toSeq: _*)
-    Bucketing.swapInPlain(folded, table)
-  }
-
-  /** One foreachBatch tick of KEYED streaming score-stats maintenance —
-    * the keyed twin of [[applyScoreStatsBatch]]: first epoch seeds,
-    * later epochs ride the `__gen` guard (counts are additive, so the
-    * guard is what makes crash-replayed epochs no-ops). */
-  def applyScoreStatsKeyedBatch(
-      table: String,
-      keyCol: Column,
-      scoreCol: Column,
-      labelCol: Column
-  )(batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    if (!spark.catalog.tableExists(table))
-      materializeKeyed(batch, keyCol, scoreCol, labelCol, table, batchId)
-    else appendKeyed(batch, keyCol, scoreCol, labelCol, table, batchId)
-  }
-
-  /** Streaming maintenance of the KEYED stats table: `scored-entity
-    * stream → foreachBatch → (key, score)-grain generations`; read with
-    * [[readKeyed]], grouped metrics ride the `*ByKeyFromStats`
-    * derivations. Micro-batches must partition the (key, entity) set. */
-  def scoreStatsKeyedStream(
-      stream: DataFrame,
-      table: String,
-      keyCol: Column,
-      scoreCol: Column,
-      labelCol: Column
+  /** Keyed twin of [[scoreStatsStream]]; read with [[readKeyed]]. */
+  def scoreStatsKeyedStream(stream: DataFrame, table: String, keyCol: Column,
+      scoreCol: Column, labelCol: Column
   ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .outputMode("append")
       .foreachBatch(applyScoreStatsKeyedBatch(table, keyCol, scoreCol, labelCol) _)
 
-  /** Keyed defensive normalization — (key, score) grain, long counts. */
-  private def normalizedKeyed(stats: DataFrame): DataFrame =
-    stats
-      .groupBy(col("__k"), col("__s"))
-      .agg(sum(col("n").cast("long")).as("n"),
-        sum(col("pos").cast("long")).as("pos"))
+  /** The folded `(__s, n, pos)` stats — generations summed per score. */
+  def read(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
+    readBy(spark, table, keyed = false)
+
+  /** The folded `(__k, __s, n, pos)` keyed stats. */
+  def readKeyed(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
+    readBy(spark, table, keyed = true)
+
+  /** Fold the global table's generations in place — [[compactBy]]. */
+  def compactScoreStats(spark: org.apache.spark.sql.SparkSession, table: String): Unit =
+    compactBy(spark, table, keyed = false)
+
+  /** Keyed sibling of [[compactScoreStats]]. */
+  def compactScoreStatsKeyed(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = compactBy(spark, table, keyed = true)
+
+  // ------------------------------------------------------ keyed metrics
 
   /**
    * GROUPED exact ROC AUC from keyed score-grain stats — value-identical
@@ -288,10 +258,10 @@ object ScoreStats {
    * 2·n_k²·10⁶ < 2^63 integer bound applies per key to that key's
    * ENTITY count (the cumulative counts are entity counts, same as
    * [[graft.operators.Analytics.aucScoreByKey]]) — n_k under ~2.1
-   * billion entities per key.
+   * million entities per key.
    */
   def aucByKeyFromStats(stats: DataFrame, keyCol: String): DataFrame = {
-    val s = normalizedKeyed(stats)
+    val s = normalizedBy(stats, keyed = true)
     val w = Window.partitionBy(col("__k")).orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     s.withColumn("__cn", sum(col("n")).over(w))
@@ -321,7 +291,7 @@ object ScoreStats {
    */
   def decileLiftByKeyFromStats(stats: DataFrame, keyCol: String): DataFrame = {
     val spark = stats.sparkSession
-    val s = normalizedKeyed(stats)
+    val s = normalizedBy(stats, keyed = true)
     val w = Window.partitionBy(col("__k")).orderBy(-col("__s"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy(col("__k"))
@@ -365,22 +335,35 @@ object ScoreStats {
    * the axis has no predecessor and is absent.
    *
    * Scale shape: per-key cumulative windows on (key, score)-grain rows,
-   * cuts are ≤9 rows per key (broadcast), binning joins are
-   * score-grain × ≤9. The adjacent-pair map rides the DISTINCT key
-   * axis: counted, and a small axis (a calendar of days, a segment
-   * list — ≤max(4096, 64·P)) takes one plain lag window while a large
-   * one routes through the range-partitioned [[Ranks.withGlobalRank]]
-   * and a rank self-join — the same adaptive discipline as the skyline
-   * prefix (no data-sized single-partition stage either way).
+   * cuts are ≤9 rows per key, totals one row per key. The DISTINCT key
+   * axis is COUNTED ONCE and every axis-sized frame rides the same
+   * adaptive regime: a small axis (a calendar of days, a segment list —
+   * ≤max(4096, 64·P), or ≤`plainAxisLimit` when set for tests) takes
+   * one plain lag window and broadcasts the cuts/totals/pair frames; a
+   * large one (high-cardinality segments/cohorts) routes the adjacency
+   * through the range-partitioned [[Ranks.withGlobalRank]] + a rank
+   * self-join and joins cuts/totals SHUFFLED on the key (the pair join
+   * shuffles on the key anyway) — no data-sized single-partition stage
+   * and no driver-side collect proportional to the key axis in either
+   * regime.
    */
-  def driftByAdjacentKeyFromStats(stats: DataFrame, keyCol: String): DataFrame = {
-    val s = normalizedKeyed(stats).drop("pos").localCheckpoint()
+  def driftByAdjacentKeyFromStats(
+      stats: DataFrame,
+      keyCol: String,
+      plainAxisLimit: Long = -1L
+  ): DataFrame = {
+    val s = normalizedBy(stats, keyed = true).drop("pos").localCheckpoint()
     val cum = Window.partitionBy(col("__k")).orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy(col("__k"))
+    // ONE counted decision for every axis-sized frame in this plan
+    val keys = s.select(col("__k")).distinct().localCheckpoint()
+    val small = axisIsSmall(keys, plainAxisLimit)
+    def gated(axisSized: DataFrame): DataFrame =
+      if (small) broadcast(axisSized) else axisSized
     // per-key reference-decile cuts (≤9 distinct values per key): each
     // score group covers deciles __dlo..__dhi of its key's population
-    val cuts = broadcast(
+    val cuts = gated(
       s.withColumn("__cn", sum(col("n")).over(cum))
         .withColumn("__nk", sum(col("n")).over(tot))
         .withColumn("__dlo", expr("((__cn - n) * 10L) DIV __nk + 1L"))
@@ -389,9 +372,8 @@ object ScoreStats {
         .filter(col("__d") <= 9L)
         .groupBy(col("__k"), col("__d")).agg(max(col("__s")).as("__cut"))
         .select(col("__k").as("__kc"), col("__cut")).distinct())
-    // adjacent (predecessor, key) pairs over the counted distinct axis
-    // (adjacentPairs broadcasts the small-axis regime itself)
-    val pairs = adjacentPairs(s.select(col("__k")).distinct())
+    // adjacent (predecessor, key) pairs over the same counted axis
+    val pairs = adjacentPairsOf(keys, small)
     val totals = s.groupBy(col("__k")).agg(sum(col("n")).as("__nk"))
     // bin a side's masses by the REFERENCE key's cuts; label rows by the
     // CURRENT key so the pair join point stays (key, bin)
@@ -408,9 +390,9 @@ object ScoreStats {
       .join(binned(curSide, "n_cur"), Seq("__k", "bin"), "full_outer")
       .na.fill(0L, Seq("n_ref", "n_cur"))
       .join(pairs, Seq("__k"))
-      .join(broadcast(totals.select(col("__k").as("__kref"), col("__nk").as("__nr"))),
+      .join(gated(totals.select(col("__k").as("__kref"), col("__nk").as("__nr"))),
         Seq("__kref"))
-      .join(broadcast(totals.select(col("__k"), col("__nk").as("__nc"))),
+      .join(gated(totals.select(col("__k"), col("__nk").as("__nc"))),
         Seq("__k"))
       .filter(col("__nr") > 0L && col("__nc") > 0L)
       .withColumn("__pr",
@@ -424,21 +406,34 @@ object ScoreStats {
           lit(1000000.0)).cast("long").as("psi_micro"))
   }
 
+  /** Is this (checkpointed) distinct key axis small enough to broadcast
+    * and lag-window in one partition? ≤ max(4096, 64·P), or
+    * ≤ `plainAxisLimit` when set for tests. ONE count; callers share the
+    * decision across every axis-sized frame in their plan. */
+  private def axisIsSmall(keys: DataFrame, plainAxisLimit: Long): Boolean = {
+    val p = keys.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val limit = if (plainAxisLimit >= 0L) plainAxisLimit
+      else math.max(4096L, 64L * p)
+    keys.count() <= limit
+  }
+
   /** (predecessor, key) adjacency over a distinct key axis — counted:
-    * a small axis (≤ max(4096, 64·P), or ≤ `plainAxisLimit` when set
-    * for tests) takes one plain lag window and broadcasts; a large one
+    * a small axis takes one plain lag window and broadcasts; a large one
     * rides [[Ranks.withGlobalRank]] + a rank self-join, un-broadcast
     * (at that scale the downstream joins shuffle on the key anyway). */
   private[graft] def adjacentPairs(
       distinctKeys: DataFrame,
       plainAxisLimit: Long = -1L
   ): DataFrame = {
-    val spark = distinctKeys.sparkSession
-    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val limit = if (plainAxisLimit >= 0L) plainAxisLimit
-      else math.max(4096L, 64L * p)
     val keys = distinctKeys.localCheckpoint()
-    if (keys.count() <= limit)
+    adjacentPairsOf(keys, axisIsSmall(keys, plainAxisLimit))
+  }
+
+  /** The two adjacency spellings behind [[adjacentPairs]], with the
+    * small/large decision made by the caller (so one counted decision
+    * can govern several frames). `keys` must be checkpointed. */
+  private def adjacentPairsOf(keys: DataFrame, small: Boolean): DataFrame =
+    if (small)
       broadcast(
         keys.withColumn("__kref", lag(col("__k"), 1).over(Window.orderBy(col("__k"))))
           .filter(col("__kref").isNotNull))
@@ -450,7 +445,85 @@ object ScoreStats {
           Seq("__r"))
         .select(col("__k"), col("__kref"))
     }
+
+  /**
+   * One foreachBatch tick of the DRIFT-MONITORING loop — the read side a
+   * training pipeline actually runs on a scored stream: fold the
+   * micro-batch into the KEYED stats table (the `__gen` crash contract),
+   * then emit the per-key drift rows (vs each key's predecessor —
+   * [[driftByAdjacentKeyFromStats]]'s exact arithmetic) for every key
+   * that is now CLOSED and not yet emitted, appended to `driftTable`.
+   * A key is closed once a strictly later key has arrived (the
+   * event-time-ordered arrival assumption every watermark rests on);
+   * the latest key stays open — its mix can still move.
+   *
+   * Exactly-once: the stats fold rides the `__gen` guard; the emission
+   * is key-level anti-joined against the rows already in `driftTable`
+   * and lands in ONE `insertInto` — a replayed tick re-emits nothing,
+   * and a crash between fold and emission self-heals on the next tick
+   * (the closed-unemitted scan finds the gap).
+   *
+   * Scale shape per tick: one batch-sized fold, the adjacency on the
+   * counted key axis, and drift arithmetic over the NEWLY-CLOSED keys'
+   * (plus their predecessors') score-grain rows only — never the whole
+   * history. Restricting the axis preserves each candidate's true
+   * predecessor: the predecessor is in the restricted set by
+   * construction and nothing can sort between them.
+   */
+  def applyDriftMonitorBatch(
+      statsTable: String,
+      driftTable: String,
+      keyCol: Column,
+      scoreCol: Column,
+      labelCol: Column,
+      outKeyCol: String = "key"
+  )(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    applyBatchBy(statsTable, Some(keyCol), scoreCol, labelCol)(batch, batchId)
+    val stats = readBy(spark, statsTable, keyed = true).localCheckpoint()
+    val keys = stats.select(col("__k")).distinct().localCheckpoint()
+    val open = keys.agg(max(col("__k"))).collect()(0) // the still-open key
+    if (open.isNullAt(0)) return
+    val emitted =
+      if (spark.catalog.tableExists(driftTable))
+        spark.table(driftTable).select(col(outKeyCol).as("__k")).distinct()
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], keys.schema)
+    // (key, predecessor) pairs for keys that are closed and unemitted
+    val candidates = adjacentPairs(keys)
+      .filter(col("__k") < lit(open.get(0)))
+      .join(emitted, Seq("__k"), "left_anti")
+      .localCheckpoint()
+    if (candidates.isEmpty) return
+    val involved = candidates.select(col("__k"))
+      .union(candidates.select(col("__kref").as("__k"))).distinct()
+    val rows = driftByAdjacentKeyFromStats(
+      stats.join(involved, Seq("__k"), "leftsemi"), outKeyCol)
+      .join(candidates.select(col("__k").as(outKeyCol)), Seq(outKeyCol), "leftsemi")
+    if (!spark.catalog.tableExists(driftTable))
+      Bucketing.materializePlain(rows, driftTable)
+    else
+      rows.select(spark.table(driftTable).columns.map(col).toSeq: _*)
+        .write.insertInto(driftTable)
   }
+
+  /** Streaming drift monitoring: `scored stream → foreachBatch → keyed
+    * stats fold + newly-closed-key drift rows` — the continuous twin of
+    * [[driftByAdjacentKeyFromStats]]; see [[applyDriftMonitorBatch]] for
+    * the closure and exactly-once contracts. */
+  def driftMonitorStream(
+      stream: DataFrame,
+      statsTable: String,
+      driftTable: String,
+      keyCol: Column,
+      scoreCol: Column,
+      labelCol: Column,
+      outKeyCol: String = "key"
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch(applyDriftMonitorBatch(
+        statsTable, driftTable, keyCol, scoreCol, labelCol, outKeyCol) _)
 
   /** GROUPED two-sample KS from keyed score-grain stats — value-identical
     * per key to [[graft.operators.Analytics.ksScoreByKey]]: per-key
@@ -458,7 +531,7 @@ object ScoreStats {
     * the smallest score; one-class keys absent. Same per-key-window
     * scale shape as [[aucByKeyFromStats]]. */
   def ksByKeyFromStats(stats: DataFrame, keyCol: String): DataFrame = {
-    val s = normalizedKeyed(stats)
+    val s = normalizedBy(stats, keyed = true)
       .withColumn("__neg", col("n") - col("pos"))
     val cum = Window.partitionBy(col("__k")).orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -477,6 +550,8 @@ object ScoreStats {
         col("__m.__gap").as("ks_micro"), (-col("__m.__ns")).as("at_score"))
   }
 
+  // ----------------------------------------------------- global metrics
+
   /**
    * Exact ROC AUC from score-grain stats — value-identical to
    * [[Analytics.aucScore]] on the underlying entities: a score group
@@ -486,7 +561,7 @@ object ScoreStats {
    */
   def aucFromStats(stats: DataFrame): DataFrame =
     Ranks.prefixSumsInclusiveGlobal(
-      normalized(stats),
+      normalizedBy(stats, keyed = false),
       col("__s"), Seq("n"), Seq("__cn"))
       .agg(
         sum(col("pos") * (col("__cn") * 2L - col("n") + 1L)).as("__s2"),
@@ -502,7 +577,7 @@ object ScoreStats {
     * the score axis, one DIV per class, argmax gap with ties to the
     * smallest score. */
   def ksFromStats(stats: DataFrame): DataFrame = {
-    val s = normalized(stats)
+    val s = normalizedBy(stats, keyed = false)
       .withColumn("__neg", col("n") - col("pos"))
     val tot = broadcast(s.agg(
       sum(col("pos")).as("__np"), sum(col("__neg")).as("__nn")))
@@ -530,7 +605,7 @@ object ScoreStats {
    */
   def decileLiftFromStats(stats: DataFrame): DataFrame = {
     val spark = stats.sparkSession
-    val s = normalized(stats)
+    val s = normalizedBy(stats, keyed = false)
     val tot = broadcast(s.agg(sum(col("n")).as("__n"), sum(col("pos")).as("__pos")))
     val deciles = broadcast(spark.range(1, 11).select(col("id").as("decile")))
     Ranks.prefixSumsInclusiveGlobal(
@@ -572,7 +647,7 @@ object ScoreStats {
    * score-cardinality frame; nothing entity-sized anywhere.
    */
   def rocFromStats(stats: DataFrame): DataFrame = {
-    val s = normalized(stats)
+    val s = normalizedBy(stats, keyed = false)
       .withColumn("__neg", col("n") - col("pos"))
     val tot = broadcast(s.agg(
       sum(col("pos")).as("__np"), sum(col("__neg")).as("__nn")))
@@ -611,7 +686,8 @@ object ScoreStats {
    * definitional integer spelling; any engine reproduces it).
    */
   def averagePrecisionFromStats(stats: DataFrame): DataFrame = {
-    val s = normalized(stats).withColumn("__neg", col("n") - col("pos"))
+    val s = normalizedBy(stats, keyed = false)
+      .withColumn("__neg", col("n") - col("pos"))
     val tot = broadcast(s.agg(
       sum(col("pos")).as("__np"), sum(col("__neg")).as("__nn")))
     Ranks.prefixSumsInclusiveGlobal(
@@ -647,7 +723,7 @@ object ScoreStats {
    */
   def calibrationFromStats(stats: DataFrame, nBins: Int = 10): DataFrame = {
     require(nBins >= 1, "nBins must be positive")
-    val s = normalized(stats)
+    val s = normalizedBy(stats, keyed = false)
     val mm = broadcast(s.agg(min(col("__s")).as("__lo"), max(col("__s")).as("__hi")))
     s.crossJoin(mm)
       .withColumn("bin",
@@ -699,7 +775,7 @@ object ScoreStats {
     val term = col("n").cast("decimal(38,0)") * s * s -
       col("pos").cast("decimal(38,0)") * s * lit(2000000L) +
       col("pos").cast("decimal(38,0)") * lit(1000000000000L)
-    normalized(stats)
+    normalizedBy(stats, keyed = false)
       .agg(sum(col("n")).as("n_entities"), sum(term).as("__num"))
       .filter(col("n_entities") > 0L)
       .select(col("n_entities"),
@@ -707,7 +783,8 @@ object ScoreStats {
   }
 
   /**
-   * TVD score drift from two score-grain stats frames (`pos` ignored) —
+   * TVD score drift from two score-grain stats frames (`pos` optional
+   * and ignored — a masses-only `(__s, n)` frame is accepted) —
    * value-identical to [[Analytics.scoreDriftTvd]]: the reference's
    * decile value cutoffs depend only on score ORDER STATISTICS (the
    * score at each decile's last rank), which cumulative counts supply;
@@ -762,8 +839,8 @@ object ScoreStats {
       refStats: DataFrame,
       curStats: DataFrame
   ): DataFrame = {
-    val r = normalized(refStats).drop("pos").localCheckpoint()
-    val c = normalized(curStats).drop("pos").localCheckpoint()
+    val r = normalizedBy(refStats, keyed = false).drop("pos").localCheckpoint()
+    val c = normalizedBy(curStats, keyed = false).drop("pos").localCheckpoint()
     val totR = broadcast(r.agg(sum(col("n")).as("__nr")))
     val totC = broadcast(c.agg(sum(col("n")).as("__nc")))
     val cuts = broadcast(

@@ -90,6 +90,66 @@ object Skyline {
       "leftsemi")
   }
 
+  /**
+   * Two-phase distributed skyline (ungrouped): phase 1 streams each
+   * partition ONCE through an in-memory staircase (the classic 2-D
+   * frontier structure: x-sorted TreeMap with y strictly decreasing,
+   * O(log F) per row) and emits only that partition's local frontier —
+   * a row undominated globally is undominated locally, so the union of
+   * local frontiers contains the exact answer; phase 2 runs the exact
+   * [[skyline2d]] over those survivors. Against [[skyline2d]] directly
+   * on the base this trades the second full scan (the frontier
+   * semi-join's originals-fetch pass) for a map-only pass: ONE base
+   * scan, no input-sized shuffle at all — downstream is survivor-sized.
+   *
+   * Ties on both coordinates survive together in both phases (the
+   * staircase buffers every row of a frontier (x, y) point). Null
+   * coordinates are dropped, as in [[skyline2d]].
+   *
+   * Memory: the staircase holds one partition's frontier CANDIDATES —
+   * expected O(√n) for independent dimensions, worst-case the whole
+   * partition for perfectly anti-correlated data (every row on the
+   * frontier — no algorithm emits less than its output). Partition
+   * sizes are already executor-memory-bounded by
+   * `spark.sql.files.maxPartitionBytes`.
+   */
+  def skyline2dTwoPhase(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val xi = df.schema.fieldIndex(xCol)
+    val yi = df.schema.fieldIndex(yCol)
+    def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val local = df.mapPartitions { it =>
+      val stairs = new java.util.TreeMap[Any, (Any, scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row])](
+        new java.util.Comparator[Any] { def compare(a: Any, b: Any): Int = cmp(a, b) })
+      it.foreach { row =>
+        if (!row.isNullAt(xi) && !row.isNullAt(yi)) {
+          val x = row.get(xi); val y = row.get(yi)
+          // best candidate dominator is the floor point (greatest x' ≤ x):
+          // the staircase's y decreases in x, so smaller x' have larger y'
+          val fl = stairs.floorEntry(x)
+          val dominated = fl != null && {
+            val cy = cmp(fl.getValue._1, y)
+            if (cmp(fl.getKey, x) < 0) cy <= 0 else cy < 0
+          }
+          if (!dominated) {
+            val cur = stairs.get(x)
+            if (cur != null && cmp(cur._1, y) == 0) cur._2 += row // (x,y) tie
+            else stairs.put(x,
+              (y, scala.collection.mutable.ArrayBuffer(row))) // new/lower y
+            // evict now-dominated points: strictly larger x with y' ≥ y
+            var hi = stairs.higherEntry(x)
+            while (hi != null && cmp(hi.getValue._1, y) >= 0) {
+              stairs.remove(hi.getKey)
+              hi = stairs.higherEntry(x)
+            }
+          }
+        }
+      }
+      scala.jdk.CollectionConverters.CollectionHasAsScala(stairs.values)
+        .asScala.iterator.flatMap(_._2)
+    }(org.apache.spark.sql.Encoders.row(df.schema))
+    skyline2d(local, xCol, yCol)
+  }
+
   /** Materialize the frontier of `df` as managed table `table` — seed
     * state for [[appendToSkyline]]. */
   def materializeSkyline(

@@ -804,21 +804,40 @@ class PlanSpec extends SparkSpec {
       (col("id") % 1000).as("l_orderkey"),
       when(col("id") % 2 === 0, "F").otherwise("O").as("l_linestatus"))
     val hi = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
+    // priority must be NON-constant: a literal would constant-fold the
+    // `hi` predicate away and the attribute-containment check below
+    // could never catch a regression of the pre-shuffle projection
     val ord = spark.range(1000).select(
       col("id").as("o_orderkey"),
-      concat(lit((1)), lit("-URGENT")).as("o_orderpriority"))
+      when(col("id") % 3 === 0, "1-URGENT").otherwise("3-MEDIUM")
+        .as("o_orderpriority"))
     val q12 = li
       .join(ord.select(col("o_orderkey"), hi.as("__hi")).hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_linestatus"))
       .agg(sum(when(col("__hi"), lit(1L)).otherwise(lit(0L))).as("high_line_count"),
         sum(when(col("__hi"), lit(0L)).otherwise(lit(1L))).as("low_line_count"))
-    val q12Plan = q12.queryExecution.executedPlan.toString
-    assert(q12Plan.contains("ShuffledHashJoin") || q12Plan.contains("BroadcastHashJoin"),
-      q12Plan)
-    assert(!q12Plan.contains("SortMergeJoin"), "q12 shape fell back to sort-merge")
-    // the join input projects the boolean, never the priority string
-    assert(!q12Plan.contains("o_orderpriority#"), "priority string rode the shuffle")
+    // AQE off so the executedPlan is a plain traversable tree — the pin
+    // inspects every exchange's OUTPUT (a whole-plan substring check is
+    // vacuous-or-spurious: the attribute legitimately appears in the
+    // pre-shuffle project either way)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = q12.queryExecution.executedPlan
+      val q12Plan = plan.toString
+      assert(q12Plan.contains("ShuffledHashJoin") || q12Plan.contains("BroadcastHashJoin"),
+        q12Plan)
+      assert(!q12Plan.contains("SortMergeJoin"), "q12 shape fell back to sort-merge")
+      // every exchange carries the boolean, never the priority string
+      val exchanged = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e.output
+        case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e.output
+      }
+      assert(exchanged.nonEmpty, q12Plan)
+      assert(exchanged.forall(_.forall(_.name != "o_orderpriority")),
+        "priority string rode the shuffle:\n" + q12Plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
 
     // keyed from-stats derivations: every window/aggregate partitions by
     // the key — no SinglePartition exchange anywhere in either plan

@@ -367,6 +367,84 @@ class ScoreStatsSpec extends SparkSpec {
     assert(zero.nonEmpty && zero.forall(r => r.getLong(4) === 0L && r.getLong(5) === 0L))
   }
 
+  test("driftByAdjacentKeyFromStats: large-axis regime is value-identical and broadcasts nothing axis-sized") {
+    // many keys with overlapping score mixes — forced through BOTH regimes
+    val days = (1 to 1200).map { i =>
+      (f"k${i % 40}%03d", i.toLong, ((i * 37) % 25).toLong + (i % 7))
+    }
+    val kdf = days.toDF("k", "id", "s").withColumn("y", lit(0L))
+    val kstats = ScoreStats.fromScoredKeyed(kdf, col("k"), col("s"), col("y"))
+    def rows(limit: Long) =
+      ScoreStats.driftByAdjacentKeyFromStats(kstats, "day", plainAxisLimit = limit)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val small = rows(Long.MaxValue) // broadcast regime
+    val large = rows(0L)            // forced shuffled-join regime
+    assert(large === small && large.nonEmpty)
+    // the large-axis plan may not broadcast ANY axis-sized frame (cuts,
+    // totals, pairs) — with auto-broadcast off, a BroadcastExchange can
+    // only come from an explicit hint, so its absence pins the gating
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val largePlan = ScoreStats
+        .driftByAdjacentKeyFromStats(kstats, "day", plainAxisLimit = 0L)
+        .queryExecution.executedPlan.toString
+      assert(!largePlan.contains("BroadcastExchange"), largePlan)
+      assert(!largePlan.contains("SinglePartition"), largePlan)
+      // and the small regime DOES ride explicit broadcasts (the hint
+      // survives a disabled auto-threshold)
+      val smallPlan = ScoreStats
+        .driftByAdjacentKeyFromStats(kstats, "day", plainAxisLimit = Long.MaxValue)
+        .queryExecution.executedPlan.toString
+      assert(smallPlan.contains("BroadcastExchange"), smallPlan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  test("applyDriftMonitorBatch: emits drift as days close; replay no-ops; fold-emit crash self-heals") {
+    try {
+      val days = (1 to 800).map { i =>
+        (s"2024-01-0${i % 4 + 1}", i.toLong, ((i * 37) % 25).toLong + (i % 4) * 3, 0L)
+      }
+      val kdf = days.toDF("k", "id", "s", "y")
+      val tick = ScoreStats.applyDriftMonitorBatch(
+        "spec_dm_stats", "spec_dm_drift", col("k"), col("s"), col("y"),
+        outKeyCol = "day") _
+      def table() =
+        if (!spark.catalog.tableExists("spec_dm_drift")) Set.empty[(String, Long, Long, Long, Long, Long)]
+        else spark.table("spec_dm_drift").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5))).toSet
+      // epoch 0 = {d1, d2}: d1 closes but has no predecessor — nothing yet
+      tick(kdf.filter(col("k") <= "2024-01-02"), 0L)
+      assert(table().isEmpty)
+      // epoch 1 = {d3, d4}: d2 and d3 close → their drift rows appear;
+      // d4 stays open and is absent
+      tick(kdf.filter(col("k") >= "2024-01-03"), 1L)
+      val full = ScoreStats.driftByAdjacentKeyFromStats(
+        ScoreStats.fromScoredKeyed(kdf, col("k"), col("s"), col("y")), "day")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(table() === full.filter(_._1 < "2024-01-04") && table().nonEmpty)
+      // replayed tick: fold no-ops on the __gen guard, emission
+      // anti-joins to nothing
+      tick(kdf.filter(col("k") >= "2024-01-03"), 1L)
+      assert(table() === full.filter(_._1 < "2024-01-04"))
+      // crash between fold and emission: d5's stats land (appendKeyed)
+      // but its tick dies before emitting — the NEXT tick (even empty)
+      // finds the now-closed d4 and heals the gap
+      val d5 = (1 to 60).map(i => ("2024-01-05", 2000L + i, (i % 9).toLong, 0L))
+        .toDF("k", "id", "s", "y")
+      ScoreStats.appendKeyed(d5, col("k"), col("s"), col("y"),
+        "spec_dm_stats", batchId = 2L)
+      tick(kdf.filter(lit(false)), 3L)
+      assert(table() === full) // d2, d3 AND d4 — exactly the batch view
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS spec_dm_stats")
+      spark.sql("DROP TABLE IF EXISTS spec_dm_drift")
+    }
+  }
+
   test("adjacentPairs: the large-axis rank path equals the plain lag window") {
     val keys = (1 to 500).map(i => f"k${(i * 37) % 997}%04d").distinct.toDF("__k")
     def pairs(limit: Long) = ScoreStats.adjacentPairs(keys, plainAxisLimit = limit)

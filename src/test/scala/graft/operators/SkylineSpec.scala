@@ -62,6 +62,36 @@ class SkylineSpec extends SparkSpec {
     assert(out === brute(rows).map(t => (t._2, t._3)))
   }
 
+  test("skyline2dTwoPhase: exact vs brute force and vs skyline2d — ties, duplicates, nulls, skewed partitions") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 3000).map { i =>
+      ("all", rnd.nextInt(300).toLong, rnd.nextInt(300).toDouble)
+    } ++ Seq(("all", 1L, 1.0), ("all", 1L, 1.0)) // duplicate frontier pair
+    val df = rows.toDF("g", "x", "y").drop("g")
+      .withColumn("id", monotonically_increasing_id())
+      .repartition(7) // survivors must merge across many partitions
+    val twoPhase = Skyline.skyline2dTwoPhase(df, "x", "y")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(twoPhase === brute(rows).map(t => (t._2, t._3)))
+    val onePhase = Skyline.skyline2d(df, "x", "y")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(twoPhase === onePhase)
+    // duplicates on the frontier both survive phase 1's row buffering
+    val dupCount = Skyline.skyline2dTwoPhase(df, "x", "y")
+      .filter(col("x") === 1L && col("y") === 1.0).count()
+    assert(dupCount === 2L)
+    // null coordinates are dropped, as in skyline2d
+    val withNulls = df.union(
+      Seq((null.asInstanceOf[java.lang.Long], 0.0, 9999L))
+        .toDF("x", "y", "id").select(col("x").cast("long"), col("y"), col("id")))
+    assert(Skyline.skyline2dTwoPhase(withNulls, "x", "y")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet === twoPhase)
+    // anti-correlated worst case: every row is on the frontier
+    val anti = (1 to 500).map(i => (i.toLong, (500 - i).toDouble))
+      .toDF("x", "y").repartition(5)
+    assert(Skyline.skyline2dTwoPhase(anti, "x", "y").count() === 500L)
+  }
+
   test("prefixMinGlobal equals the single-window spelling") {
     val rnd = new scala.util.Random(3)
     val rows = (1 to 2000).map(i => (i.toLong * 7, rnd.nextInt(1000).toLong))

@@ -49,6 +49,39 @@ class TableStatsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS spec_tablestats_ntz")
   }
 
+  test("statistics survive maintenance rewrites: swapInPlain, swapInBucketed, compactTable") {
+    try {
+      val df = (1 to 40).map(i => (i.toLong, (i * 7L) % 13)).toDF("k", "v")
+      // swapInPlain: analyzed table keeps (refreshed) stats after the fold
+      Bucketing.materializePlain(df, "spec_ts_swap")
+      TableStats.collectStats(spark, "spec_ts_swap", Seq("k"))
+      Bucketing.swapInPlain(
+        spark.table("spec_ts_swap").filter(col("k") <= 30), "spec_ts_swap")
+      assert(TableStats.rowCount(spark, "spec_ts_swap") === Some(BigInt(30)))
+      val cols = TableStats.readStats(spark, "spec_ts_swap")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+      assert(cols(("k", "max")) === "30") // column stats refreshed, not stale
+      // a never-analyzed table stays stats-free (no surprise ANALYZE cost)
+      Bucketing.materializePlain(df, "spec_ts_noswap")
+      Bucketing.swapInPlain(spark.table("spec_ts_noswap"), "spec_ts_noswap")
+      assert(TableStats.rowCount(spark, "spec_ts_noswap").isEmpty)
+      // swapInBucketed + compactTable: same survival contract
+      Bucketing.materializeBucketed(df, "spec_ts_bkt", "k", 4)
+      TableStats.collectStats(spark, "spec_ts_bkt", Seq("v"))
+      Bucketing.swapInBucketed(
+        spark.table("spec_ts_bkt"), "spec_ts_bkt", Seq("k"), 4)
+      assert(TableStats.rowCount(spark, "spec_ts_bkt") === Some(BigInt(40)))
+      Bucketing.compactTable(spark, "spec_ts_bkt")
+      assert(TableStats.rowCount(spark, "spec_ts_bkt") === Some(BigInt(40)))
+      assert(TableStats.readStats(spark, "spec_ts_bkt")
+        .collect().exists(r => r.getString(0) == "v" && r.getString(1) == "max"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS spec_ts_swap")
+      spark.sql("DROP TABLE IF EXISTS spec_ts_noswap")
+      spark.sql("DROP TABLE IF EXISTS spec_ts_bkt")
+    }
+  }
+
   test("readStats without collectStats fails loudly") {
     try {
       Bucketing.materializePlain(Seq(1L).toDF("x"), "spec_tablestats_none")
