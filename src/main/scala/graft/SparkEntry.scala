@@ -1636,10 +1636,12 @@ object SparkEntry {
         .orderBy(col("p_brand"), col("p_size"), col("p_partkey"))
     },
     // ---- global frontier of (order day, total price) — "the cheapest
-    // order seen by each date" staircase. Ungrouped, so the exclusive
-    // prefix-min runs range-partitioned (per-partition windows +
-    // cumulative partition minima; no single-partition window over the
-    // distinct-day frame).
+    // order seen by each date" staircase. Ungrouped + Comparable
+    // coordinates, so skyline2d routes through the TWO-PHASE shape: one
+    // map-only per-partition staircase pass prunes the base, then the
+    // exact algorithm (adaptive prefix-min + frontier semi-join) runs
+    // over survivors only — one base scan total (round-16 sf10 A/B:
+    // 2.67 s → 0.83 s; see BASELINE.md).
     "skyline_orders" -> { (s, dir) =>
       graft.operators.Skyline.skyline2d(
         t(s, dir, "orders")

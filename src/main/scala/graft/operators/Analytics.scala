@@ -1142,21 +1142,24 @@ object Analytics {
   def seasonalDowProfileFromDaily(
       daily: DataFrame,
       keyCol: String
-  ): DataFrame = {
-    val overall = daily.groupBy(col(keyCol))
-      .agg(sum(col("__y")).as("__tot"), count(lit(1)).as("__nd"))
-      .select(col(keyCol), expr("__tot DIV __nd").as("__omean"))
+  ): DataFrame =
+    // ONE scan of the daily frame: the overall mean is the dow groups'
+    // own totals re-folded — Σ__t DIV Σn_days over a key-partitioned
+    // window on the ≤7 rows per key — so the second daily aggregate and
+    // the key-grain join it fed are gone (daily is day-grain but still
+    // keys×calendar-sized at 100 TB; scanning it once matters).
     daily
       .groupBy(col(keyCol), col("dow"))
       .agg(count(lit(1)).as("n_days"), sum(col("__y")).as("__t"))
       .withColumn("mean_micro", expr("__t DIV n_days"))
-      .join(overall, Seq(keyCol))
+      .withColumn("__omean",
+        expr(s"sum(__t) OVER (PARTITION BY $keyCol) DIV " +
+          s"sum(n_days) OVER (PARTITION BY $keyCol)"))
       .withColumn("factor_micro",
         when(col("__omean") > 0L, expr("(mean_micro * 1000000L) DIV __omean"))
           .otherwise(lit(0L)))
       .select(col(keyCol), col("dow"), col("n_days"),
         col("mean_micro"), col("factor_micro"))
-  }
 
   /**
    * Seasonal outliers: each (key, day) total scored against its own

@@ -28,12 +28,46 @@ object Skyline {
    * Rows of `df` on the (xCol, yCol)-minimizing pareto frontier, with all
    * original columns, optionally per group. Null coordinates are treated
    * as incomparable and dropped.
+   *
+   * Ungrouped inputs with plainly-Comparable coordinate types first pass
+   * through [[localFrontier]] (the two-phase shape — round-16 sf10 A/B:
+   * 2.67 s → 0.83 s on 15M orders): the per-partition staircase prunes
+   * the base in ONE map-only scan, and the exact algorithm below then
+   * runs over survivor-sized data, so its frontier semi-join never
+   * re-reads the full input.
    */
   def skyline2d(
       df: DataFrame,
       xCol: String,
       yCol: String,
       groupCols: Seq[String] = Nil
+  ): DataFrame =
+    if (groupCols.isEmpty && comparableType(df.schema(xCol).dataType) &&
+      comparableType(df.schema(yCol).dataType))
+      skylineExact(localFrontier(df, xCol, yCol), xCol, yCol, Nil)
+    else skylineExact(df, xCol, yCol, groupCols)
+
+  /** Is this type's EXTERNAL (Row) representation a `java.lang.Comparable`
+    * whose order matches Spark's? True for every orderable atomic type
+    * (numbers, decimal, string, boolean, date/timestamp/ntz); binary
+    * (byte[]) is atomic but not Comparable, so the local staircase cannot
+    * prune it and the exact path runs alone. */
+  private def comparableType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BinaryType => false // byte[] is not Comparable
+      case _: NumericType | StringType | BooleanType | DateType |
+          TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+  }
+
+  /** The exact frontier algorithm (any input, optional groups). */
+  private def skylineExact(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      groupCols: Seq[String]
   ): DataFrame = {
     val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
     val gcols = groupCols.map(col)
@@ -91,20 +125,28 @@ object Skyline {
   }
 
   /**
-   * Two-phase distributed skyline (ungrouped): phase 1 streams each
-   * partition ONCE through an in-memory staircase (the classic 2-D
-   * frontier structure: x-sorted TreeMap with y strictly decreasing,
-   * O(log F) per row) and emits only that partition's local frontier —
-   * a row undominated globally is undominated locally, so the union of
-   * local frontiers contains the exact answer; phase 2 runs the exact
-   * [[skyline2d]] over those survivors. Against [[skyline2d]] directly
-   * on the base this trades the second full scan (the frontier
+   * Explicit two-phase entry point: [[localFrontier]] then the exact
+   * algorithm — what ungrouped [[skyline2d]] does automatically for
+   * Comparable coordinate types; exposed for callers that want the
+   * two-phase plan unconditionally (and for the equivalence specs).
+   */
+  def skyline2dTwoPhase(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    skylineExact(localFrontier(df, xCol, yCol), xCol, yCol, Nil)
+
+  /**
+   * Phase 1 of the two-phase skyline: stream each partition ONCE through
+   * an in-memory staircase (the classic 2-D frontier structure: x-sorted
+   * TreeMap with y strictly decreasing, O(log F) per row) and emit only
+   * that partition's local frontier — a row undominated globally is
+   * undominated within its partition, so the union of local frontiers
+   * contains the exact answer. Against running the exact algorithm on
+   * the base directly this trades the second full scan (the frontier
    * semi-join's originals-fetch pass) for a map-only pass: ONE base
    * scan, no input-sized shuffle at all — downstream is survivor-sized.
    *
-   * Ties on both coordinates survive together in both phases (the
-   * staircase buffers every row of a frontier (x, y) point). Null
-   * coordinates are dropped, as in [[skyline2d]].
+   * Ties on both coordinates survive together (the staircase buffers
+   * every row of a frontier (x, y) point). Null coordinates are dropped,
+   * matching [[skyline2d]].
    *
    * Memory: the staircase holds one partition's frontier CANDIDATES —
    * expected O(√n) for independent dimensions, worst-case the whole
@@ -113,11 +155,11 @@ object Skyline {
    * sizes are already executor-memory-bounded by
    * `spark.sql.files.maxPartitionBytes`.
    */
-  def skyline2dTwoPhase(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+  private def localFrontier(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val xi = df.schema.fieldIndex(xCol)
     val yi = df.schema.fieldIndex(yCol)
     def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
-    val local = df.mapPartitions { it =>
+    df.mapPartitions { it =>
       val stairs = new java.util.TreeMap[Any, (Any, scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row])](
         new java.util.Comparator[Any] { def compare(a: Any, b: Any): Int = cmp(a, b) })
       it.foreach { row =>
@@ -147,7 +189,6 @@ object Skyline {
       scala.jdk.CollectionConverters.CollectionHasAsScala(stairs.values)
         .asScala.iterator.flatMap(_._2)
     }(org.apache.spark.sql.Encoders.row(df.schema))
-    skyline2d(local, xCol, yCol)
   }
 
   /** Materialize the frontier of `df` as managed table `table` — seed
