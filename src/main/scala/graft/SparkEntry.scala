@@ -1547,6 +1547,31 @@ object SparkEntry {
       }
       s.table("graft_driftmon").orderBy(col("day"), col("bin"))
     },
+    // ---- GROUPED drift trend: per-(event_type, day) score drift vs the
+    // type's OWN previous day — the segment-sliced monitoring read. The
+    // maintained key is struct(event_type, day); adjacency windows
+    // partition by type, so the group axis scales without any counted
+    // machinery or broadcast.
+    "drift_by_type_day" -> { (s, dir) =>
+      Fixtures.cached(s"drift_by_type_day|$dir") {
+        val ptd = events(s, dir)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+            col("event_type").isNotNull)
+          .groupBy(col("event_type"),
+            date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+            col("user_id"))
+          .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
+            .as("score"))
+        graft.operators.ScoreStats.materializeKeyed(
+          ptd, struct(col("event_type"), col("day")), col("score"), lit(0L),
+          "graft_scorestats_bytypeday", batchId = 0L)
+        java.lang.Boolean.TRUE
+      }
+      graft.operators.ScoreStats.driftByAdjacentKeyGroupedFromStats(
+        graft.operators.ScoreStats.readKeyed(s, "graft_scorestats_bytypeday"),
+        "event_type", "day", "event_type", "day")
+        .orderBy(col("event_type"), col("day"), col("bin"))
+    },
     // ---- CATEGORICAL drift (mix shift of the event-type distribution,
     // first half-year vs second): per-category shares with TVD gaps and
     // PSI terms — the nominal-column sibling of the score-drift pair.
@@ -6823,6 +6848,69 @@ object SparkEntry {
         |JOIN nr ON nr.day = COALESCE(ra.day, ca.day)
         |JOIN nc ON nc.day = COALESCE(ra.day, ca.day)
         |ORDER BY 1, 2""".stripMargin,
+    // Grouped drift trend: the per-day drift recomputation run
+    // independently within each event_type (adjacency, cuts, bins and
+    // totals all partitioned by type).
+    "drift_by_type_day" ->
+      """WITH u AS (SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |    user_id,
+        |    CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)
+        |      AS score
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL GROUP BY 1, 2, 3),
+        |r AS (SELECT event_type, day, score,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY score, user_id) AS rk FROM u),
+        |n AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+        |      FROM u GROUP BY 1, 2),
+        |cuts AS (SELECT DISTINCT event_type, day, cut FROM (
+        |    SELECT r.event_type, r.day, ((rk - 1) * 10) // n.n + 1 AS d,
+        |      max(score) AS cut
+        |    FROM r JOIN n ON r.event_type = n.event_type AND r.day = n.day
+        |    GROUP BY r.event_type, r.day, d, n.n) WHERE d <= 9),
+        |days AS (SELECT event_type, day,
+        |    lag(day) OVER (PARTITION BY event_type ORDER BY day) AS refday
+        |  FROM (SELECT DISTINCT event_type, day FROM u)),
+        |bc AS (SELECT d.event_type, d.day, u.user_id,
+        |    CAST(1 + (SELECT count(*) FROM cuts
+        |      WHERE cuts.event_type = d.event_type AND cuts.day = d.refday
+        |        AND u.score > cuts.cut) AS BIGINT) AS bin
+        |  FROM days d JOIN u ON u.event_type = d.event_type AND u.day = d.day
+        |  WHERE d.refday IS NOT NULL),
+        |br AS (SELECT d.event_type, d.day, u.user_id,
+        |    CAST(1 + (SELECT count(*) FROM cuts
+        |      WHERE cuts.event_type = d.event_type AND cuts.day = d.refday
+        |        AND u.score > cuts.cut) AS BIGINT) AS bin
+        |  FROM days d JOIN u ON u.event_type = d.event_type AND u.day = d.refday
+        |  WHERE d.refday IS NOT NULL),
+        |ra AS (SELECT event_type, day, bin, CAST(count(*) AS BIGINT) AS n_ref
+        |       FROM br GROUP BY 1, 2, 3),
+        |ca AS (SELECT event_type, day, bin, CAST(count(*) AS BIGINT) AS n_cur
+        |       FROM bc GROUP BY 1, 2, 3),
+        |nr AS (SELECT d.event_type, d.day, CAST(count(*) AS BIGINT) AS n FROM days d
+        |       JOIN u ON u.event_type = d.event_type AND u.day = d.refday
+        |       GROUP BY 1, 2),
+        |nc AS (SELECT d.event_type, d.day, CAST(count(*) AS BIGINT) AS n FROM days d
+        |       JOIN u ON u.event_type = d.event_type AND u.day = d.day
+        |       WHERE d.refday IS NOT NULL GROUP BY 1, 2)
+        |SELECT COALESCE(ra.event_type, ca.event_type) AS event_type,
+        |  COALESCE(ra.day, ca.day) AS day,
+        |  COALESCE(ra.bin, ca.bin) AS bin,
+        |  COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur,
+        |  abs(COALESCE(n_ref, 0) * 1000000 // nr.n
+        |    - COALESCE(n_cur, 0) * 1000000 // nc.n) AS gap_micro,
+        |  CAST(floor((CAST(greatest(COALESCE(n_cur, 0), 1) AS DOUBLE) / nc.n
+        |        - CAST(greatest(COALESCE(n_ref, 0), 1) AS DOUBLE) / nr.n)
+        |      * ln((CAST(greatest(COALESCE(n_cur, 0), 1) AS DOUBLE) / nc.n)
+        |        / (CAST(greatest(COALESCE(n_ref, 0), 1) AS DOUBLE) / nr.n))
+        |      * 1000000.0) AS BIGINT) AS psi_micro
+        |FROM ra FULL OUTER JOIN ca ON ra.event_type = ca.event_type
+        |  AND ra.day = ca.day AND ra.bin = ca.bin
+        |JOIN nr ON nr.event_type = COALESCE(ra.event_type, ca.event_type)
+        |  AND nr.day = COALESCE(ra.day, ca.day)
+        |JOIN nc ON nc.event_type = COALESCE(ra.event_type, ca.event_type)
+        |  AND nc.day = COALESCE(ra.day, ca.day)
+        |ORDER BY 1, 2, 3""".stripMargin,
     // Streaming drift monitor: the from-scratch drift trend minus the
     // final day (still open when the stream stopped — never emitted).
     "drift_stream" ->

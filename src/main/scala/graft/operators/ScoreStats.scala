@@ -406,6 +406,91 @@ object ScoreStats {
           lit(1000000.0)).cast("long").as("psi_micro"))
   }
 
+  /**
+   * GROUPED drift trend — [[driftByAdjacentKeyFromStats]] within each
+   * group: the maintained key is a STRUCT `(group, day)` (built with
+   * `struct(groupCol, dayCol)` at [[materializeKeyed]] time), and every
+   * group's day axis gets its own adjacent-pair drift rows (per-segment
+   * per-day monitoring: "did FR's score mix move vs yesterday",
+   * independently per segment). Value-identical per group to the
+   * ungrouped trend on that group's slice (spec-pinned). Output:
+   * `(group, day, bin, n_ref, n_cur, gap_micro, psi_micro)`; each
+   * group's first day is absent.
+   *
+   * Scale shape — the COMPLEMENT of the ungrouped function's regime:
+   * there the single key axis scales, so adjacency is counted and
+   * adaptive; here the per-group day axis is calendar-sized while the
+   * GROUP axis scales, so every window partitions by group (groups
+   * spread the shuffle) and every axis-sized frame joins SHUFFLED on
+   * its (group, day) key — nothing is broadcast or driver-sized no
+   * matter how many groups exist.
+   *
+   * `groupField`/`dayField` name the struct fields of `__k` (the
+   * defaults match `struct(col("g").as("group"), col("d").as("day"))`
+   * spelled without aliases, i.e. the source column names).
+   */
+  def driftByAdjacentKeyGroupedFromStats(
+      stats: DataFrame,
+      groupField: String,
+      dayField: String,
+      outGroupCol: String = "group",
+      outKeyCol: String = "day"
+  ): DataFrame = {
+    val s = normalizedBy(stats, keyed = true)
+      .select(col(s"__k.$groupField").as("__g"), col(s"__k.$dayField").as("__k"),
+        col("__s"), col("n"))
+      .localCheckpoint()
+    val cum = Window.partitionBy(col("__g"), col("__k")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("__g"), col("__k"))
+    // per-(group, day) reference-decile cuts — ≤9 rows per (group, day)
+    val cuts = s.withColumn("__cn", sum(col("n")).over(cum))
+      .withColumn("__nk", sum(col("n")).over(tot))
+      .withColumn("__dlo", expr("((__cn - n) * 10L) DIV __nk + 1L"))
+      .withColumn("__dhi", expr("((__cn - 1L) * 10L) DIV __nk + 1L"))
+      .withColumn("__d", explode(sequence(col("__dlo"), col("__dhi"))))
+      .filter(col("__d") <= 9L)
+      .groupBy(col("__g"), col("__d"), col("__k")).agg(max(col("__s")).as("__cut"))
+      .select(col("__g").as("__gc"), col("__k").as("__kc"), col("__cut")).distinct()
+    // per-group adjacency: one lag window over the distinct (group, day)
+    // axis, PARTITIONED BY GROUP — groups spread, days are a calendar
+    val pairs = s.select(col("__g"), col("__k")).distinct()
+      .withColumn("__kref",
+        lag(col("__k"), 1).over(Window.partitionBy(col("__g")).orderBy(col("__k"))))
+      .filter(col("__kref").isNotNull)
+    val totals = s.groupBy(col("__g"), col("__k")).agg(sum(col("n")).as("__nk"))
+    def binned(side: DataFrame, out: String) = side
+      .join(cuts,
+        side("__g") === cuts("__gc") && side("__kref") === cuts("__kc") &&
+          side("__s") > cuts("__cut"),
+        "left")
+      .groupBy(side("__g"), side("__k"), side("__kref"), side("__s"))
+      .agg(first(side("n")).as("__m"), (count(col("__cut")) + 1L).as("bin"))
+      .groupBy(col("__g"), col("__k"), col("bin")).agg(sum(col("__m")).as(out))
+    val curSide = s.join(pairs, Seq("__g", "__k"))
+    val refSide = s.withColumnRenamed("__k", "__kref")
+      .join(pairs, Seq("__g", "__kref"))
+    binned(refSide, "n_ref")
+      .join(binned(curSide, "n_cur"), Seq("__g", "__k", "bin"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .join(pairs, Seq("__g", "__k"))
+      .join(totals.select(col("__g"), col("__k").as("__kref"), col("__nk").as("__nr")),
+        Seq("__g", "__kref"))
+      .join(totals.select(col("__g"), col("__k"), col("__nk").as("__nc")),
+        Seq("__g", "__k"))
+      .filter(col("__nr") > 0L && col("__nc") > 0L)
+      .withColumn("__pr",
+        greatest(col("n_ref"), lit(1L)).cast("double") / col("__nr").cast("double"))
+      .withColumn("__pc",
+        greatest(col("n_cur"), lit(1L)).cast("double") / col("__nc").cast("double"))
+      .select(col("__g").as(outGroupCol), col("__k").as(outKeyCol), col("bin"),
+        col("n_ref"), col("n_cur"),
+        expr("abs(n_ref * 1000000L DIV __nr - n_cur * 1000000L DIV __nc)")
+          .as("gap_micro"),
+        floor((col("__pc") - col("__pr")) * log(col("__pc") / col("__pr")) *
+          lit(1000000.0)).cast("long").as("psi_micro"))
+  }
+
   /** Is this (checkpointed) distinct key axis small enough to broadcast
     * and lag-window in one partition? ≤ max(4096, 64·P), or
     * ≤ `plainAxisLimit` when set for tests. ONE count; callers share the

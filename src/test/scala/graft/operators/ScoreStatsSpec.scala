@@ -401,6 +401,41 @@ class ScoreStatsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
+  test("driftByAdjacentKeyGroupedFromStats: each group's rows equal the ungrouped trend on that group's slice") {
+    val rows = (1 to 1600).map { i =>
+      (s"g${i % 3}", s"2024-01-0${(i / 3) % 4 + 1}", i.toLong,
+        ((i * 37) % 25).toLong + (i % 5) + (i % 3) * 2)
+    }
+    val df = rows.toDF("g", "d", "id", "s").withColumn("y", lit(0L))
+    val kstats = ScoreStats.fromScoredKeyed(
+      df, struct(col("g"), col("d")), col("s"), col("y"))
+    val got = ScoreStats
+      .driftByAdjacentKeyGroupedFromStats(kstats, "g", "d", "grp", "day")
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(x => (x._1, x._2)).toSeq)
+      .toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val slice = ScoreStats.driftByAdjacentKeyFromStats(
+        ScoreStats.fromScoredKeyed(
+          df.filter(col("g") === g), col("d"), col("s"), col("y")), "day")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(x => (x._1, x._2)).toSeq
+      assert(got(g) === slice, g)
+    }
+    // no broadcast and no single-partition stage, no matter the group count
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = ScoreStats
+        .driftByAdjacentKeyGroupedFromStats(kstats, "g", "d", "grp", "day")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"), plan)
+      assert(!plan.contains("SinglePartition"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("applyDriftMonitorBatch: emits drift as days close; replay no-ops; fold-emit crash self-heals") {
     try {
       val days = (1 to 800).map { i =>
