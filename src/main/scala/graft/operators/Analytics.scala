@@ -1153,8 +1153,8 @@ object Analytics {
       .agg(count(lit(1)).as("n_days"), sum(col("__y")).as("__t"))
       .withColumn("mean_micro", expr("__t DIV n_days"))
       .withColumn("__omean",
-        expr(s"sum(__t) OVER (PARTITION BY $keyCol) DIV " +
-          s"sum(n_days) OVER (PARTITION BY $keyCol)"))
+        expr(s"sum(__t) OVER (PARTITION BY `$keyCol`) DIV " +
+          s"sum(n_days) OVER (PARTITION BY `$keyCol`)"))
       .withColumn("factor_micro",
         when(col("__omean") > 0L, expr("(mean_micro * 1000000L) DIV __omean"))
           .otherwise(lit(0L)))

@@ -189,9 +189,9 @@ object Bucketing {
       case None =>
         materializePlain(df, tmp)
     }
+    markPendingStats(spark, tmp, stats)
     spark.sql(s"DROP TABLE `$table`")
     renameInto(spark, tmp, table)
-    refreshStats(spark, table, stats)
   }
 
   /** The statistics footprint of `table` before a rewrite: Some(analyzed
@@ -219,15 +219,42 @@ object Bucketing {
       }
     }
 
-  /** Re-collect the pre-rewrite statistics footprint after a swap — one
-    * ANALYZE scan, only for tables that opted into stats to begin with
-    * (the maintenance-cadence doctrine from [[TableStats]]). */
-  private def refreshStats(
+  /** Carry the pre-rewrite statistics footprint ON the staged copy as a
+    * `graft.stats.pending` table property, so the refresh survives a
+    * driver crash anywhere in the swap window: the property travels with
+    * the RENAME, [[renameInto]] completes it after every rename
+    * (including [[recoverSwap]]'s crash-recovery rename), and
+    * [[recoverSwap]] also completes a refresh the crash interrupted
+    * AFTER the rename. One ANALYZE scan, only for tables that opted into
+    * stats to begin with (the maintenance-cadence doctrine from
+    * [[TableStats]]). */
+  private val statsPendingKey = "graft.stats.pending"
+
+  private def markPendingStats(
       spark: org.apache.spark.sql.SparkSession,
-      table: String,
+      stagedTable: String,
       prior: Option[Seq[String]]
   ): Unit =
-    prior.foreach(cols => TableStats.collectStats(spark, table, cols))
+    prior.foreach { cols =>
+      spark.sql(s"ALTER TABLE `$stagedTable` SET TBLPROPERTIES " +
+        s"('$statsPendingKey' = '${cols.mkString(",")}')")
+    }
+
+  /** Complete a pending statistics refresh on `table` (no-op without the
+    * marker property): ANALYZE the recorded footprint, then clear the
+    * marker — in that order, so a crash mid-refresh retries next time. */
+  private def completePendingStats(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String
+  ): Unit = {
+    val props = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).properties
+    props.get(statsPendingKey).foreach { spec =>
+      TableStats.collectStats(spark, table,
+        spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      spark.sql(s"ALTER TABLE `$table` UNSET TBLPROPERTIES ('$statsPendingKey')")
+    }
+  }
 
   /** RENAME `from` onto the (dropped) managed location of `to`, clearing
     * any stale warehouse directory first — rename moves the managed
@@ -242,6 +269,7 @@ object Bucketing {
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     spark.sql(s"ALTER TABLE `$from` RENAME TO `$to`")
+    completePendingStats(spark, to)
   }
 
   /**
@@ -266,9 +294,9 @@ object Bucketing {
     val tmp = s"${table}_swap_tmp"
     val stats = priorStats(spark, table)
     materializePlain(df, tmp)
+    markPendingStats(spark, tmp, stats)
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     renameInto(spark, tmp, table)
-    refreshStats(spark, table, stats)
   }
 
   /** Bucketed sibling of [[swapInPlain]] — same staged DROP + RENAME
@@ -290,9 +318,9 @@ object Bucketing {
     val tmp = s"${table}_swap_tmp"
     val stats = priorStats(spark, table)
     materializeBucketedBy(df, tmp, bucketCols, numBuckets, sortCols)
+    markPendingStats(spark, tmp, stats)
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     renameInto(spark, tmp, table)
-    refreshStats(spark, table, stats)
   }
 
   /** Complete an interrupted [[swapInPlain]] (crash between its DROP and
@@ -301,7 +329,9 @@ object Bucketing {
   def recoverSwap(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     val tmp = s"${table}_swap_tmp"
     if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp))
-      renameInto(spark, tmp, table)
+      renameInto(spark, tmp, table) // completes the pending stats refresh too
+    else if (spark.catalog.tableExists(table))
+      completePendingStats(spark, table) // crash landed between rename + refresh
   }
 
   /** Unbucketed sibling of [[materializeBucketed]] — same drop + stale-

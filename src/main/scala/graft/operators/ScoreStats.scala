@@ -151,12 +151,20 @@ object ScoreStats {
     * derivations' rank/CDF arithmetic is only valid with ONE row per
     * grain; a caller passing per-generation rows (`spark.table(t)`
     * instead of the read entry point) would otherwise get silently wrong
-    * midranks. A `pos`-less frame (the drift metrics only need masses)
-    * gets a zero `pos` injected. On already-grain input this is one
-    * cheap hash aggregate. */
-  private def normalizedBy(stats: DataFrame, keyed: Boolean): DataFrame = {
-    val s = if (stats.columns.contains("pos")) stats
-      else stats.withColumn("pos", lit(0L))
+    * midranks. `posOptional` is set ONLY by the drift metrics (they need
+    * masses, not labels): there a `pos`-less `(__s, n)` frame gets a
+    * zero `pos` injected; everywhere else a missing `pos` stays a LOUD
+    * analysis error — injecting zeros into AUC/KS/ROC would return
+    * silently empty/NULL metrics instead. On already-grain input this is
+    * one cheap hash aggregate. */
+  private def normalizedBy(
+      stats: DataFrame,
+      keyed: Boolean,
+      posOptional: Boolean = false
+  ): DataFrame = {
+    val s = if (posOptional && !stats.columns.contains("pos"))
+      stats.withColumn("pos", lit(0L))
+    else stats
     s.groupBy(grain(keyed): _*)
       .agg(sum(col("n").cast("long")).as("n"),
         sum(col("pos").cast("long")).as("pos"))
@@ -352,58 +360,85 @@ object ScoreStats {
       keyCol: String,
       plainAxisLimit: Long = -1L
   ): DataFrame = {
-    val s = normalizedBy(stats, keyed = true).drop("pos").localCheckpoint()
-    val cum = Window.partitionBy(col("__k")).orderBy(col("__s"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy(col("__k"))
+    val s = normalizedBy(stats, keyed = true, posOptional = true)
+      .drop("pos").localCheckpoint()
     // ONE counted decision for every axis-sized frame in this plan
     val keys = s.select(col("__k")).distinct().localCheckpoint()
     val small = axisIsSmall(keys, plainAxisLimit)
-    def gated(axisSized: DataFrame): DataFrame =
-      if (small) broadcast(axisSized) else axisSized
+    driftTrendCore(s, Nil, adjacentPairsOf(keys, small),
+      axisSized => if (small) broadcast(axisSized) else axisSized,
+      Seq(col("__k").as(keyCol)))
+  }
+
+  /**
+   * Shared drift-trend assembly — ONE copy of the drift math (decile
+   * cuts, reference-binned masses, integer TVD gap, zero-floored PSI
+   * term) for the ungrouped and grouped trends, parameterized by the
+   * partition columns. `s` carries `(gcols…, __k, __s, n)` and must be
+   * checkpointed (it feeds cuts, totals and both pair sides); `pairs`
+   * carries `(gcols…, __k, __kref)` adjacency; `gate` broadcasts
+   * axis-sized frames when the caller's axis is counted-small (identity
+   * when the axis scales — the downstream joins shuffle on the key
+   * anyway).
+   */
+  private def driftTrendCore(
+      s: DataFrame,
+      gcols: Seq[String],
+      pairs: DataFrame,
+      gate: DataFrame => DataFrame,
+      outHead: Seq[Column]
+  ): DataFrame = {
+    val part = gcols.map(col) :+ col("__k")
+    val cum = Window.partitionBy(part: _*).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(part: _*)
     // per-key reference-decile cuts (≤9 distinct values per key): each
     // score group covers deciles __dlo..__dhi of its key's population
-    val cuts = gated(
+    val cuts = gate(
       s.withColumn("__cn", sum(col("n")).over(cum))
         .withColumn("__nk", sum(col("n")).over(tot))
         .withColumn("__dlo", expr("((__cn - n) * 10L) DIV __nk + 1L"))
         .withColumn("__dhi", expr("((__cn - 1L) * 10L) DIV __nk + 1L"))
         .withColumn("__d", explode(sequence(col("__dlo"), col("__dhi"))))
         .filter(col("__d") <= 9L)
-        .groupBy(col("__k"), col("__d")).agg(max(col("__s")).as("__cut"))
-        .select(col("__k").as("__kc"), col("__cut")).distinct())
-    // adjacent (predecessor, key) pairs over the same counted axis
-    val pairs = adjacentPairsOf(keys, small)
-    val totals = s.groupBy(col("__k")).agg(sum(col("n")).as("__nk"))
+        .groupBy((part :+ col("__d")): _*).agg(max(col("__s")).as("__cut"))
+        .select((gcols.map(g => col(g).as(s"${g}c")) :+
+          col("__k").as("__kc") :+ col("__cut")): _*)
+        .distinct())
+    val totals = s.groupBy(part: _*).agg(sum(col("n")).as("__nk"))
     // bin a side's masses by the REFERENCE key's cuts; label rows by the
     // CURRENT key so the pair join point stays (key, bin)
     def binned(side: DataFrame, out: String) = side
-      .join(cuts, side("__kref") === cuts("__kc") && side("__s") > cuts("__cut"),
+      .join(cuts,
+        gcols.map(g => side(g) === cuts(s"${g}c"))
+          .foldLeft(side("__kref") === cuts("__kc") && side("__s") > cuts("__cut"))(
+            _ && _),
         "left")
-      .groupBy(side("__k"), side("__kref"), side("__s"))
+      .groupBy((gcols.map(side(_)) :+ side("__k") :+ side("__kref") :+
+        side("__s")): _*)
       .agg(first(side("n")).as("__m"), (count(col("__cut")) + 1L).as("bin"))
-      .groupBy(col("__k"), col("bin")).agg(sum(col("__m")).as(out))
-    val curSide = s.join(pairs, Seq("__k"))
+      .groupBy((part :+ col("bin")): _*).agg(sum(col("__m")).as(out))
+    val curSide = s.join(pairs, gcols :+ "__k")
     val refSide = s.withColumnRenamed("__k", "__kref")
-      .join(pairs, Seq("__kref"))
+      .join(pairs, gcols :+ "__kref")
     binned(refSide, "n_ref")
-      .join(binned(curSide, "n_cur"), Seq("__k", "bin"), "full_outer")
+      .join(binned(curSide, "n_cur"), gcols ++ Seq("__k", "bin"), "full_outer")
       .na.fill(0L, Seq("n_ref", "n_cur"))
-      .join(pairs, Seq("__k"))
-      .join(gated(totals.select(col("__k").as("__kref"), col("__nk").as("__nr"))),
-        Seq("__kref"))
-      .join(gated(totals.select(col("__k"), col("__nk").as("__nc"))),
-        Seq("__k"))
+      .join(pairs, gcols :+ "__k")
+      .join(gate(totals.select((gcols.map(col) :+ col("__k").as("__kref") :+
+        col("__nk").as("__nr")): _*)), gcols :+ "__kref")
+      .join(gate(totals.select((gcols.map(col) :+ col("__k") :+
+        col("__nk").as("__nc")): _*)), gcols :+ "__k")
       .filter(col("__nr") > 0L && col("__nc") > 0L)
       .withColumn("__pr",
         greatest(col("n_ref"), lit(1L)).cast("double") / col("__nr").cast("double"))
       .withColumn("__pc",
         greatest(col("n_cur"), lit(1L)).cast("double") / col("__nc").cast("double"))
-      .select(col("__k").as(keyCol), col("bin"), col("n_ref"), col("n_cur"),
+      .select((outHead ++ Seq(col("bin"), col("n_ref"), col("n_cur"),
         expr("abs(n_ref * 1000000L DIV __nr - n_cur * 1000000L DIV __nc)")
           .as("gap_micro"),
         floor((col("__pc") - col("__pr")) * log(col("__pc") / col("__pr")) *
-          lit(1000000.0)).cast("long").as("psi_micro"))
+          lit(1000000.0)).cast("long").as("psi_micro"))): _*)
   }
 
   /**
@@ -436,59 +471,18 @@ object ScoreStats {
       outGroupCol: String = "group",
       outKeyCol: String = "day"
   ): DataFrame = {
-    val s = normalizedBy(stats, keyed = true)
+    val s = normalizedBy(stats, keyed = true, posOptional = true)
       .select(col(s"__k.$groupField").as("__g"), col(s"__k.$dayField").as("__k"),
         col("__s"), col("n"))
       .localCheckpoint()
-    val cum = Window.partitionBy(col("__g"), col("__k")).orderBy(col("__s"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy(col("__g"), col("__k"))
-    // per-(group, day) reference-decile cuts — ≤9 rows per (group, day)
-    val cuts = s.withColumn("__cn", sum(col("n")).over(cum))
-      .withColumn("__nk", sum(col("n")).over(tot))
-      .withColumn("__dlo", expr("((__cn - n) * 10L) DIV __nk + 1L"))
-      .withColumn("__dhi", expr("((__cn - 1L) * 10L) DIV __nk + 1L"))
-      .withColumn("__d", explode(sequence(col("__dlo"), col("__dhi"))))
-      .filter(col("__d") <= 9L)
-      .groupBy(col("__g"), col("__d"), col("__k")).agg(max(col("__s")).as("__cut"))
-      .select(col("__g").as("__gc"), col("__k").as("__kc"), col("__cut")).distinct()
     // per-group adjacency: one lag window over the distinct (group, day)
     // axis, PARTITIONED BY GROUP — groups spread, days are a calendar
     val pairs = s.select(col("__g"), col("__k")).distinct()
       .withColumn("__kref",
         lag(col("__k"), 1).over(Window.partitionBy(col("__g")).orderBy(col("__k"))))
       .filter(col("__kref").isNotNull)
-    val totals = s.groupBy(col("__g"), col("__k")).agg(sum(col("n")).as("__nk"))
-    def binned(side: DataFrame, out: String) = side
-      .join(cuts,
-        side("__g") === cuts("__gc") && side("__kref") === cuts("__kc") &&
-          side("__s") > cuts("__cut"),
-        "left")
-      .groupBy(side("__g"), side("__k"), side("__kref"), side("__s"))
-      .agg(first(side("n")).as("__m"), (count(col("__cut")) + 1L).as("bin"))
-      .groupBy(col("__g"), col("__k"), col("bin")).agg(sum(col("__m")).as(out))
-    val curSide = s.join(pairs, Seq("__g", "__k"))
-    val refSide = s.withColumnRenamed("__k", "__kref")
-      .join(pairs, Seq("__g", "__kref"))
-    binned(refSide, "n_ref")
-      .join(binned(curSide, "n_cur"), Seq("__g", "__k", "bin"), "full_outer")
-      .na.fill(0L, Seq("n_ref", "n_cur"))
-      .join(pairs, Seq("__g", "__k"))
-      .join(totals.select(col("__g"), col("__k").as("__kref"), col("__nk").as("__nr")),
-        Seq("__g", "__kref"))
-      .join(totals.select(col("__g"), col("__k"), col("__nk").as("__nc")),
-        Seq("__g", "__k"))
-      .filter(col("__nr") > 0L && col("__nc") > 0L)
-      .withColumn("__pr",
-        greatest(col("n_ref"), lit(1L)).cast("double") / col("__nr").cast("double"))
-      .withColumn("__pc",
-        greatest(col("n_cur"), lit(1L)).cast("double") / col("__nc").cast("double"))
-      .select(col("__g").as(outGroupCol), col("__k").as(outKeyCol), col("bin"),
-        col("n_ref"), col("n_cur"),
-        expr("abs(n_ref * 1000000L DIV __nr - n_cur * 1000000L DIV __nc)")
-          .as("gap_micro"),
-        floor((col("__pc") - col("__pr")) * log(col("__pc") / col("__pr")) *
-          lit(1000000.0)).cast("long").as("psi_micro"))
+    driftTrendCore(s, Seq("__g"), pairs, identity,
+      Seq(col("__g").as(outGroupCol), col("__k").as(outKeyCol)))
   }
 
   /** Is this (checkpointed) distinct key axis small enough to broadcast
@@ -551,9 +545,12 @@ object ScoreStats {
    * Scale shape per tick: one batch-sized fold, the adjacency on the
    * counted key axis, and drift arithmetic over the NEWLY-CLOSED keys'
    * (plus their predecessors') score-grain rows only — never the whole
-   * history. Restricting the axis preserves each candidate's true
-   * predecessor: the predecessor is in the restricted set by
-   * construction and nothing can sort between them.
+   * history (only the DISTINCT KEY AXIS is materialized per tick; the
+   * stats history itself is read once, restricted to the involved keys,
+   * and nothing is materialized at all on a no-candidate tick).
+   * Restricting the axis preserves each candidate's true predecessor:
+   * the predecessor is in the restricted set by construction and
+   * nothing can sort between them.
    */
   def applyDriftMonitorBatch(
       statsTable: String,
@@ -565,8 +562,8 @@ object ScoreStats {
   )(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     applyBatchBy(statsTable, Some(keyCol), scoreCol, labelCol)(batch, batchId)
-    val stats = readBy(spark, statsTable, keyed = true).localCheckpoint()
-    val keys = stats.select(col("__k")).distinct().localCheckpoint()
+    val keys = readBy(spark, statsTable, keyed = true)
+      .select(col("__k")).distinct().localCheckpoint()
     val open = keys.agg(max(col("__k"))).collect()(0) // the still-open key
     if (open.isNullAt(0)) return
     val emitted =
@@ -575,7 +572,7 @@ object ScoreStats {
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], keys.schema)
     // (key, predecessor) pairs for keys that are closed and unemitted
-    val candidates = adjacentPairs(keys)
+    val candidates = adjacentPairsOf(keys, axisIsSmall(keys, -1L))
       .filter(col("__k") < lit(open.get(0)))
       .join(emitted, Seq("__k"), "left_anti")
       .localCheckpoint()
@@ -583,7 +580,8 @@ object ScoreStats {
     val involved = candidates.select(col("__k"))
       .union(candidates.select(col("__kref").as("__k"))).distinct()
     val rows = driftByAdjacentKeyFromStats(
-      stats.join(involved, Seq("__k"), "leftsemi"), outKeyCol)
+      readBy(spark, statsTable, keyed = true)
+        .join(involved, Seq("__k"), "leftsemi"), outKeyCol)
       .join(candidates.select(col("__k").as(outKeyCol)), Seq(outKeyCol), "leftsemi")
     if (!spark.catalog.tableExists(driftTable))
       Bucketing.materializePlain(rows, driftTable)
@@ -924,8 +922,10 @@ object ScoreStats {
       refStats: DataFrame,
       curStats: DataFrame
   ): DataFrame = {
-    val r = normalizedBy(refStats, keyed = false).drop("pos").localCheckpoint()
-    val c = normalizedBy(curStats, keyed = false).drop("pos").localCheckpoint()
+    val r = normalizedBy(refStats, keyed = false, posOptional = true)
+      .drop("pos").localCheckpoint()
+    val c = normalizedBy(curStats, keyed = false, posOptional = true)
+      .drop("pos").localCheckpoint()
     val totR = broadcast(r.agg(sum(col("n")).as("__nr")))
     val totC = broadcast(c.agg(sum(col("n")).as("__nc")))
     val cuts = broadcast(

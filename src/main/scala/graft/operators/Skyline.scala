@@ -47,11 +47,13 @@ object Skyline {
       skylineExact(localFrontier(df, xCol, yCol), xCol, yCol, Nil)
     else skylineExact(df, xCol, yCol, groupCols)
 
-  /** Is this type's EXTERNAL (Row) representation a `java.lang.Comparable`
-    * whose order matches Spark's? True for every orderable atomic type
-    * (numbers, decimal, string, boolean, date/timestamp/ntz); binary
-    * (byte[]) is atomic but not Comparable, so the local staircase cannot
-    * prune it and the exact path runs alone. */
+  /** Can [[localFrontier]] order this type's EXTERNAL (Row) values
+    * exactly as Spark SQL does? True for every orderable atomic type
+    * (numbers, decimal, string, boolean, date/timestamp/ntz) — see
+    * [[sqlOrdering]] for the two cases needing more than plain
+    * `Comparable` — while binary (byte[]) is atomic but not Comparable,
+    * so the local staircase cannot prune it and the exact path runs
+    * alone. */
   private def comparableType(dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
     dt match {
@@ -59,6 +61,37 @@ object Skyline {
       case _: NumericType | StringType | BooleanType | DateType |
           TimestampType | TimestampNTZType => true
       case _ => false
+    }
+  }
+
+  /** A comparator over a column's external values whose order MATCHES
+    * SPARK SQL's — plain `Comparable.compareTo` is not enough twice:
+    * floats/doubles must treat -0.0 and 0.0 as EQUAL (SQL normalizes
+    * them; `Double.compareTo` orders -0.0 < 0.0, which would let the
+    * staircase drop a row the exact algorithm keeps as a tie — NaN is
+    * largest and self-equal on both sides already), and strings must
+    * compare in UTF-8 BYTE order (Java's UTF-16 code-unit order
+    * disagrees on supplementary characters). */
+  private def sqlOrdering(
+      dt: org.apache.spark.sql.types.DataType): (Any, Any) => Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case DoubleType =>
+        (a, b) => {
+          def n(v: Any) = { val d = v.asInstanceOf[Double]; if (d == 0.0d) 0.0d else d }
+          java.lang.Double.compare(n(a), n(b))
+        }
+      case FloatType =>
+        (a, b) => {
+          def n(v: Any) = { val f = v.asInstanceOf[Float]; if (f == 0.0f) 0.0f else f }
+          java.lang.Float.compare(n(a), n(b))
+        }
+      case StringType =>
+        (a, b) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(a.asInstanceOf[String])
+            .compareTo(
+              org.apache.spark.unsafe.types.UTF8String.fromString(b.asInstanceOf[String]))
+      case _ => (a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b)
     }
   }
 
@@ -130,8 +163,14 @@ object Skyline {
    * Comparable coordinate types; exposed for callers that want the
    * two-phase plan unconditionally (and for the equivalence specs).
    */
-  def skyline2dTwoPhase(df: DataFrame, xCol: String, yCol: String): DataFrame =
+  def skyline2dTwoPhase(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    require(comparableType(df.schema(xCol).dataType) &&
+      comparableType(df.schema(yCol).dataType),
+      s"skyline2dTwoPhase needs plainly-Comparable coordinate types, got " +
+        s"(${df.schema(xCol).dataType}, ${df.schema(yCol).dataType}) — " +
+        s"use skyline2d, whose exact path handles any orderable type")
     skylineExact(localFrontier(df, xCol, yCol), xCol, yCol, Nil)
+  }
 
   /**
    * Phase 1 of the two-phase skyline: stream each partition ONCE through
@@ -158,10 +197,11 @@ object Skyline {
   private def localFrontier(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val xi = df.schema.fieldIndex(xCol)
     val yi = df.schema.fieldIndex(yCol)
-    def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val cmpX = sqlOrdering(df.schema(xCol).dataType)
+    val cmpY = sqlOrdering(df.schema(yCol).dataType)
     df.mapPartitions { it =>
       val stairs = new java.util.TreeMap[Any, (Any, scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row])](
-        new java.util.Comparator[Any] { def compare(a: Any, b: Any): Int = cmp(a, b) })
+        new java.util.Comparator[Any] { def compare(a: Any, b: Any): Int = cmpX(a, b) })
       it.foreach { row =>
         if (!row.isNullAt(xi) && !row.isNullAt(yi)) {
           val x = row.get(xi); val y = row.get(yi)
@@ -169,17 +209,17 @@ object Skyline {
           // the staircase's y decreases in x, so smaller x' have larger y'
           val fl = stairs.floorEntry(x)
           val dominated = fl != null && {
-            val cy = cmp(fl.getValue._1, y)
-            if (cmp(fl.getKey, x) < 0) cy <= 0 else cy < 0
+            val cy = cmpY(fl.getValue._1, y)
+            if (cmpX(fl.getKey, x) < 0) cy <= 0 else cy < 0
           }
           if (!dominated) {
             val cur = stairs.get(x)
-            if (cur != null && cmp(cur._1, y) == 0) cur._2 += row // (x,y) tie
+            if (cur != null && cmpY(cur._1, y) == 0) cur._2 += row // (x,y) tie
             else stairs.put(x,
               (y, scala.collection.mutable.ArrayBuffer(row))) // new/lower y
             // evict now-dominated points: strictly larger x with y' ≥ y
             var hi = stairs.higherEntry(x)
-            while (hi != null && cmp(hi.getValue._1, y) >= 0) {
+            while (hi != null && cmpY(hi.getValue._1, y) >= 0) {
               stairs.remove(hi.getKey)
               hi = stairs.higherEntry(x)
             }

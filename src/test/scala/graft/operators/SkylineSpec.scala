@@ -90,6 +90,42 @@ class SkylineSpec extends SparkSpec {
     val anti = (1 to 500).map(i => (i.toLong, (500 - i).toDouble))
       .toDF("x", "y").repartition(5)
     assert(Skyline.skyline2dTwoPhase(anti, "x", "y").count() === 500L)
+    // non-Comparable coordinates fail fast at plan time, not mid-task
+    val bin = Seq((Array[Byte](1), 1.0)).toDF("x", "y")
+    intercept[IllegalArgumentException] {
+      Skyline.skyline2dTwoPhase(bin, "x", "y")
+    }
+  }
+
+  test("localFrontier ordering matches SQL: -0.0/0.0 ties survive, supplementary-char strings, NaN largest") {
+    // -0.0 and 0.0 are a SQL tie on x: with equal y BOTH rows are on the
+    // frontier; a Double.compareTo staircase (-0.0 < 0.0) would drop one
+    val zeros = Seq((-0.0d, 5.0, 1L), (0.0d, 5.0, 2L), (1.0d, 4.0, 3L))
+      .toDF("x", "y", "id").repartition(1) // one partition: staircase sees both
+    val zGot = Skyline.skyline2dTwoPhase(zeros, "x", "y")
+      .collect().map(_.getLong(2)).toSet
+    val zWant = Skyline.skyline2d(zeros.repartition(3), "x", "y") // exact path
+      .collect().map(_.getLong(2)).toSet
+    assert(zGot === zWant && zGot === Set(1L, 2L, 3L))
+    // U+10000 (supplementary, 2 UTF-16 code units) vs U+FFFF: UTF-8 byte
+    // order says U+FFFF < U+10000; Java code-unit order says the reverse.
+    // With the smaller-in-SQL string carrying the larger y, a code-unit
+    // staircase would evict the true frontier row.
+    val s1 = new String(Character.toChars(0x10000)) // U+10000
+    val s2 = "\uFFFF"                               // U+FFFF
+    val strs = Seq((s2, 9.0, 1L), (s1, 5.0, 2L)).toDF("x", "y", "id")
+      .repartition(1)
+    val sGot = Skyline.skyline2dTwoPhase(strs, "x", "y")
+      .collect().map(_.getLong(2)).toSet
+    val sWant = Skyline.skyline2d(strs.repartition(2), "x", "y")
+      .collect().map(_.getLong(2)).toSet
+    assert(sGot === sWant && sGot === Set(1L, 2L))
+    // NaN is largest and self-equal on both orderings — a NaN-x row is
+    // dominated by any finite x with y no larger
+    val nans = Seq((Double.NaN, 1.0, 1L), (1.0, 1.0, 2L)).toDF("x", "y", "id")
+      .repartition(1)
+    assert(Skyline.skyline2dTwoPhase(nans, "x", "y")
+      .collect().map(_.getLong(2)).toSet === Set(2L))
   }
 
   test("prefixMinGlobal equals the single-window spelling") {

@@ -82,6 +82,39 @@ class TableStatsSpec extends SparkSpec {
     }
   }
 
+  test("statistics survive a crash INSIDE the swap window (pending marker completes on recovery)") {
+    try {
+      val df = (1 to 20).map(i => (i.toLong, i * 3L)).toDF("k", "v")
+      // crash between the swap's DROP and RENAME: only the staged copy
+      // (carrying the pending-stats marker) exists; recoverSwap must both
+      // complete the rename AND restore the statistics footprint
+      Bucketing.materializePlain(df, "spec_ts_crash")
+      TableStats.collectStats(spark, "spec_ts_crash", Seq("k"))
+      // stage a copy the way swapInPlain would, then simulate the crash
+      // by dropping the original before any rename happened
+      Bucketing.materializePlain(spark.table("spec_ts_crash"), "spec_ts_stage")
+      spark.sql("ALTER TABLE `spec_ts_stage` SET TBLPROPERTIES ('graft.stats.pending' = 'k')")
+      spark.sql("DROP TABLE `spec_ts_crash`")
+      spark.sql("ALTER TABLE `spec_ts_stage` RENAME TO `spec_ts_crash_swap_tmp`")
+      Bucketing.recoverSwap(spark, "spec_ts_crash")
+      assert(TableStats.rowCount(spark, "spec_ts_crash") === Some(BigInt(20)))
+      assert(TableStats.readStats(spark, "spec_ts_crash")
+        .collect().exists(r => r.getString(0) == "k" && r.getString(1) == "max"))
+      // crash between RENAME and the refresh: marker still on the live
+      // table; the next recoverSwap (every read path calls it) completes
+      spark.sql("ALTER TABLE `spec_ts_crash` SET TBLPROPERTIES ('graft.stats.pending' = '')")
+      spark.sessionState.catalog.alterTableStats(
+        org.apache.spark.sql.catalyst.TableIdentifier("spec_ts_crash"), None)
+      assert(TableStats.rowCount(spark, "spec_ts_crash").isEmpty)
+      Bucketing.recoverSwap(spark, "spec_ts_crash")
+      assert(TableStats.rowCount(spark, "spec_ts_crash") === Some(BigInt(20)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS spec_ts_crash")
+      spark.sql("DROP TABLE IF EXISTS spec_ts_stage")
+      spark.sql("DROP TABLE IF EXISTS spec_ts_crash_swap_tmp")
+    }
+  }
+
   test("readStats without collectStats fails loudly") {
     try {
       Bucketing.materializePlain(Seq(1L).toDF("x"), "spec_tablestats_none")
