@@ -469,19 +469,28 @@ object ScoreStats {
       groupField: String,
       dayField: String,
       outGroupCol: String = "group",
-      outKeyCol: String = "day"
+      outKeyCol: String = "day",
+      plainAxisLimit: Long = -1L
   ): DataFrame = {
     val s = normalizedBy(stats, keyed = true, posOptional = true)
       .select(col(s"__k.$groupField").as("__g"), col(s"__k.$dayField").as("__k"),
         col("__s"), col("n"))
       .localCheckpoint()
     // per-group adjacency: one lag window over the distinct (group, day)
-    // axis, PARTITIONED BY GROUP — groups spread, days are a calendar
-    val pairs = s.select(col("__g"), col("__k")).distinct()
+    // axis, PARTITIONED BY GROUP — groups spread, days are a calendar.
+    // The axis rides the same counted broadcast gate as the ungrouped
+    // trend: a small (group × day) product broadcasts the axis-sized
+    // frames (cuts/totals/pairs — several shuffle stages saved on the
+    // common monitoring read); a large one joins everything shuffled on
+    // its (group, day) key, nothing driver-sized either way.
+    val axis = s.select(col("__g"), col("__k")).distinct().localCheckpoint()
+    val small = axisIsSmall(axis, plainAxisLimit)
+    val pairs = axis
       .withColumn("__kref",
         lag(col("__k"), 1).over(Window.partitionBy(col("__g")).orderBy(col("__k"))))
       .filter(col("__kref").isNotNull)
-    driftTrendCore(s, Seq("__g"), pairs, identity,
+    driftTrendCore(s, Seq("__g"), pairs,
+      axisSized => if (small) broadcast(axisSized) else axisSized,
       Seq(col("__g").as(outGroupCol), col("__k").as(outKeyCol)))
   }
 

@@ -424,12 +424,24 @@ class ScoreStatsSpec extends SparkSpec {
           r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(x => (x._1, x._2)).toSeq
       assert(got(g) === slice, g)
     }
-    // no broadcast and no single-partition stage, no matter the group count
+    // the forced-large regime is value-identical to the broadcast regime
+    val large = ScoreStats
+      .driftByAdjacentKeyGroupedFromStats(kstats, "g", "d", "grp", "day",
+        plainAxisLimit = 0L)
+      .collect().map(_.toSeq).toSet
+    val small = ScoreStats
+      .driftByAdjacentKeyGroupedFromStats(kstats, "g", "d", "grp", "day",
+        plainAxisLimit = Long.MaxValue)
+      .collect().map(_.toSeq).toSet
+    assert(large === small && large.nonEmpty)
+    // large regime: no broadcast and no single-partition stage, no matter
+    // the group count
     val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val plan = ScoreStats
-        .driftByAdjacentKeyGroupedFromStats(kstats, "g", "d", "grp", "day")
+        .driftByAdjacentKeyGroupedFromStats(kstats, "g", "d", "grp", "day",
+          plainAxisLimit = 0L)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastExchange"), plan)
       assert(!plan.contains("SinglePartition"), plan)
