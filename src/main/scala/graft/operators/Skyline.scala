@@ -29,12 +29,12 @@ object Skyline {
    * original columns, optionally per group. Null coordinates are treated
    * as incomparable and dropped.
    *
-   * Ungrouped inputs with plainly-Comparable coordinate types first pass
-   * through [[localFrontier]] (the two-phase shape — round-16 sf10 A/B:
-   * 2.67 s → 0.83 s on 15M orders): the per-partition staircase prunes
-   * the base in ONE map-only scan, and the exact algorithm below then
-   * runs over survivor-sized data, so its frontier semi-join never
-   * re-reads the full input.
+   * Inputs whose coordinate AND group columns are all plainly-Comparable
+   * first pass through [[localFrontier]] (the two-phase shape — round-16
+   * sf10 A/B: 2.67 s → 0.83 s on 15M orders): per-partition (per-group)
+   * staircases prune the base in ONE map-only scan, and the exact
+   * algorithm below then runs over survivor-sized data, so its frontier
+   * semi-join never re-reads the full input.
    */
   def skyline2d(
       df: DataFrame,
@@ -42,9 +42,8 @@ object Skyline {
       yCol: String,
       groupCols: Seq[String] = Nil
   ): DataFrame =
-    if (groupCols.isEmpty && comparableType(df.schema(xCol).dataType) &&
-      comparableType(df.schema(yCol).dataType))
-      skylineExact(localFrontier(df, xCol, yCol), xCol, yCol, Nil)
+    if ((groupCols :+ xCol :+ yCol).forall(c => comparableType(df.schema(c).dataType)))
+      skylineExact(localFrontier(df, xCol, yCol, groupCols), xCol, yCol, groupCols)
     else skylineExact(df, xCol, yCol, groupCols)
 
   /** Can [[localFrontier]] order this type's EXTERNAL (Row) values
@@ -169,7 +168,7 @@ object Skyline {
       s"skyline2dTwoPhase needs plainly-Comparable coordinate types, got " +
         s"(${df.schema(xCol).dataType}, ${df.schema(yCol).dataType}) — " +
         s"use skyline2d, whose exact path handles any orderable type")
-    skylineExact(localFrontier(df, xCol, yCol), xCol, yCol, Nil)
+    skylineExact(localFrontier(df, xCol, yCol, Nil), xCol, yCol, Nil)
   }
 
   /**
@@ -187,23 +186,44 @@ object Skyline {
    * every row of a frontier (x, y) point). Null coordinates are dropped,
    * matching [[skyline2d]].
    *
-   * Memory: the staircase holds one partition's frontier CANDIDATES —
-   * expected O(√n) for independent dimensions, worst-case the whole
-   * partition for perfectly anti-correlated data (every row on the
-   * frontier — no algorithm emits less than its output). Partition
+   * Grouped inputs keep ONE staircase per group key seen in the
+   * partition (a hash map of staircases): the same lemma holds per
+   * group, so the union of per-group local frontiers contains each
+   * group's exact answer. Group keys use the external values' own
+   * equality, which is why routing requires [[comparableType]] group
+   * columns too (byte[] equality is identity — it would split groups).
+   *
+   * Memory: the staircases hold one partition's frontier CANDIDATES —
+   * expected O(√n) per group for independent dimensions, worst-case the
+   * whole partition for perfectly anti-correlated data (every row on
+   * the frontier — no algorithm emits less than its output). Partition
    * sizes are already executor-memory-bounded by
    * `spark.sql.files.maxPartitionBytes`.
    */
-  private def localFrontier(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+  private def localFrontier(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      groupCols: Seq[String]
+  ): DataFrame = {
     val xi = df.schema.fieldIndex(xCol)
     val yi = df.schema.fieldIndex(yCol)
+    val gis = groupCols.map(df.schema.fieldIndex).toArray
     val cmpX = sqlOrdering(df.schema(xCol).dataType)
     val cmpY = sqlOrdering(df.schema(yCol).dataType)
+    type Stairs =
+      java.util.TreeMap[Any, (Any, scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row])]
     df.mapPartitions { it =>
-      val stairs = new java.util.TreeMap[Any, (Any, scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row])](
-        new java.util.Comparator[Any] { def compare(a: Any, b: Any): Int = cmpX(a, b) })
+      val perGroup = new java.util.HashMap[List[Any], Stairs]()
       it.foreach { row =>
         if (!row.isNullAt(xi) && !row.isNullAt(yi)) {
+          val g = gis.map(row.get).toList
+          var stairs = perGroup.get(g)
+          if (stairs == null) {
+            stairs = new Stairs(
+              new java.util.Comparator[Any] { def compare(a: Any, b: Any): Int = cmpX(a, b) })
+            perGroup.put(g, stairs)
+          }
           val x = row.get(xi); val y = row.get(yi)
           // best candidate dominator is the floor point (greatest x' ≤ x):
           // the staircase's y decreases in x, so smaller x' have larger y'
@@ -226,8 +246,10 @@ object Skyline {
           }
         }
       }
-      scala.jdk.CollectionConverters.CollectionHasAsScala(stairs.values)
-        .asScala.iterator.flatMap(_._2)
+      scala.jdk.CollectionConverters.CollectionHasAsScala(perGroup.values)
+        .asScala.iterator.flatMap(st =>
+          scala.jdk.CollectionConverters.CollectionHasAsScala(st.values)
+            .asScala.iterator.flatMap(_._2))
     }(org.apache.spark.sql.Encoders.row(df.schema))
   }
 
