@@ -29,12 +29,17 @@ object Skyline {
    * original columns, optionally per group. Null coordinates are treated
    * as incomparable and dropped.
    *
-   * Inputs whose coordinate AND group columns are all plainly-Comparable
-   * first pass through [[localFrontier]] (the two-phase shape — round-16
-   * sf10 A/B: 2.67 s → 0.83 s on 15M orders): per-partition (per-group)
-   * staircases prune the base in ONE map-only scan, and the exact
-   * algorithm below then runs over survivor-sized data, so its frontier
-   * semi-join never re-reads the full input.
+   * UNGROUPED inputs with plainly-Comparable coordinate types first pass
+   * through [[localFrontier]] (the two-phase shape — round-16 sf10 A/B:
+   * 2.67 s → 0.83 s on 15M orders): the per-partition staircase prunes
+   * the base in ONE map-only scan, and the exact algorithm below then
+   * runs over survivor-sized data, so its frontier semi-join never
+   * re-reads the full input. GROUPED inputs stay on the exact path: the
+   * same A/B ran NEGATIVE there (sf10 parts ×25 brands: exact 0.65 s vs
+   * two-phase 1.43 s) — per-group staircases pay the external-row
+   * conversion on every input row but prune little when each group's
+   * x-axis is small, while the exact path's codegen'd partial aggregate
+   * already collapses the input before any shuffle.
    */
   def skyline2d(
       df: DataFrame,
@@ -42,8 +47,9 @@ object Skyline {
       yCol: String,
       groupCols: Seq[String] = Nil
   ): DataFrame =
-    if ((groupCols :+ xCol :+ yCol).forall(c => comparableType(df.schema(c).dataType)))
-      skylineExact(localFrontier(df, xCol, yCol, groupCols), xCol, yCol, groupCols)
+    if (groupCols.isEmpty && comparableType(df.schema(xCol).dataType) &&
+      comparableType(df.schema(yCol).dataType))
+      skylineExact(localFrontier(df, xCol, yCol, Nil), xCol, yCol, Nil)
     else skylineExact(df, xCol, yCol, groupCols)
 
   /** Can [[localFrontier]] order this type's EXTERNAL (Row) values
@@ -94,8 +100,9 @@ object Skyline {
     }
   }
 
-  /** The exact frontier algorithm (any input, optional groups). */
-  private def skylineExact(
+  /** The exact frontier algorithm (any input, optional groups);
+    * `private[graft]` as the A/B seam for the two-phase routing. */
+  private[graft] def skylineExact(
       df: DataFrame,
       xCol: String,
       yCol: String,
@@ -186,44 +193,31 @@ object Skyline {
    * every row of a frontier (x, y) point). Null coordinates are dropped,
    * matching [[skyline2d]].
    *
-   * Grouped inputs keep ONE staircase per group key seen in the
-   * partition (a hash map of staircases): the same lemma holds per
-   * group, so the union of per-group local frontiers contains each
-   * group's exact answer. Group keys use the external values' own
-   * equality, which is why routing requires [[comparableType]] group
-   * columns too (byte[] equality is identity — it would split groups).
-   *
-   * Memory: the staircases hold one partition's frontier CANDIDATES —
-   * expected O(√n) per group for independent dimensions, worst-case the
-   * whole partition for perfectly anti-correlated data (every row on
-   * the frontier — no algorithm emits less than its output). Partition
+   * Memory: the staircase holds one partition's frontier CANDIDATES —
+   * expected O(√n) for independent dimensions, worst-case the whole
+   * partition for perfectly anti-correlated data (every row on the
+   * frontier — no algorithm emits less than its output). Partition
    * sizes are already executor-memory-bounded by
    * `spark.sql.files.maxPartitionBytes`.
    */
-  private def localFrontier(
+  private[graft] def localFrontier(
       df: DataFrame,
       xCol: String,
       yCol: String,
       groupCols: Seq[String]
   ): DataFrame = {
+    require(groupCols.isEmpty,
+      "localFrontier is ungrouped-only — the grouped two-phase A/B ran " +
+        "negative (see skyline2d's doc); grouped skylines take the exact path")
     val xi = df.schema.fieldIndex(xCol)
     val yi = df.schema.fieldIndex(yCol)
-    val gis = groupCols.map(df.schema.fieldIndex).toArray
     val cmpX = sqlOrdering(df.schema(xCol).dataType)
     val cmpY = sqlOrdering(df.schema(yCol).dataType)
-    type Stairs =
-      java.util.TreeMap[Any, (Any, scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row])]
     df.mapPartitions { it =>
-      val perGroup = new java.util.HashMap[List[Any], Stairs]()
+      val stairs = new java.util.TreeMap[Any, (Any, scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row])](
+        new java.util.Comparator[Any] { def compare(a: Any, b: Any): Int = cmpX(a, b) })
       it.foreach { row =>
         if (!row.isNullAt(xi) && !row.isNullAt(yi)) {
-          val g = gis.map(row.get).toList
-          var stairs = perGroup.get(g)
-          if (stairs == null) {
-            stairs = new Stairs(
-              new java.util.Comparator[Any] { def compare(a: Any, b: Any): Int = cmpX(a, b) })
-            perGroup.put(g, stairs)
-          }
           val x = row.get(xi); val y = row.get(yi)
           // best candidate dominator is the floor point (greatest x' ≤ x):
           // the staircase's y decreases in x, so smaller x' have larger y'
@@ -246,10 +240,8 @@ object Skyline {
           }
         }
       }
-      scala.jdk.CollectionConverters.CollectionHasAsScala(perGroup.values)
-        .asScala.iterator.flatMap(st =>
-          scala.jdk.CollectionConverters.CollectionHasAsScala(st.values)
-            .asScala.iterator.flatMap(_._2))
+      scala.jdk.CollectionConverters.CollectionHasAsScala(stairs.values)
+        .asScala.iterator.flatMap(_._2)
     }(org.apache.spark.sql.Encoders.row(df.schema))
   }
 
