@@ -1572,6 +1572,57 @@ object SparkEntry {
         "event_type", "day", "event_type", "day")
         .orderBy(col("event_type"), col("day"), col("bin"))
     },
+    // ---- STREAMING grouped drift monitor: per-(type, day) drift rows
+    // emitted as each day closes WITHIN ITS TYPE (per-group closure —
+    // one segment's stream may run ahead of another's); each type's
+    // final open day is absent. Same exactly-once contract as
+    // drift_stream, at (group, day) grain.
+    "drift_stream_by_type" -> { (s, dir) =>
+      Fixtures.cached(s"drift_stream_by_type|$dir") {
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val all = events(s, dir)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+            col("event_type").isNotNull)
+          .groupBy(col("event_type"),
+            date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+            col("user_id"))
+          .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
+            .as("score"))
+          .collect().toSeq
+          .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3)))
+        val days = all.map(_._2).distinct.sorted
+        val (c1, c2) = (days(days.length / 3), days(2 * days.length / 3))
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(String, String, Long, Long)]
+        s.sql("DROP TABLE IF EXISTS graft_gdriftmon_stats")
+        s.sql("DROP TABLE IF EXISTS graft_gdriftmon")
+        val q = graft.operators.ScoreStats.groupedDriftMonitorStream(
+          mem.toDF().toDF("event_type", "day", "user_id", "score")
+            .withColumn("label", lit(0L)),
+          "graft_gdriftmon_stats", "graft_gdriftmon",
+          struct(col("event_type"), col("day")), col("score"), col("label"),
+          "event_type", "day",
+          outGroupCol = "event_type", outKeyCol = "day").start()
+        try {
+          Seq(all.filter(_._2 < c1),
+            all.filter(x => x._2 >= c1 && x._2 < c2),
+            all.filter(_._2 >= c2))
+            .foreach { e => mem.addData(e); q.processAllAvailable() }
+        } finally q.stop()
+        // crash-replay of the last epoch: guarded fold, anti-joined emit
+        graft.operators.ScoreStats.applyGroupedDriftMonitorBatch(
+          "graft_gdriftmon_stats", "graft_gdriftmon",
+          struct(col("event_type"), col("day")), col("score"), col("label"),
+          "event_type", "day",
+          outGroupCol = "event_type", outKeyCol = "day")(
+          all.filter(_._2 >= c2).toDF("event_type", "day", "user_id", "score")
+            .withColumn("label", lit(0L)), 2L)
+        java.lang.Boolean.TRUE
+      }
+      s.table("graft_gdriftmon")
+        .orderBy(col("event_type"), col("day"), col("bin"))
+    },
     // ---- CATEGORICAL drift (mix shift of the event-type distribution,
     // first half-year vs second): per-category shares with TVD gaps and
     // PSI terms — the nominal-column sibling of the score-drift pair.
@@ -6910,6 +6961,72 @@ object SparkEntry {
         |  AND nr.day = COALESCE(ra.day, ca.day)
         |JOIN nc ON nc.event_type = COALESCE(ra.event_type, ca.event_type)
         |  AND nc.day = COALESCE(ra.day, ca.day)
+        |ORDER BY 1, 2, 3""".stripMargin,
+    // Streaming grouped monitor: the grouped drift trend minus each
+    // type's OWN final day (still open within that type when the stream
+    // stopped — never emitted).
+    "drift_stream_by_type" ->
+      """WITH u AS (SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |    user_id,
+        |    CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0)) AS BIGINT)
+        |      AS score
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL GROUP BY 1, 2, 3),
+        |r AS (SELECT event_type, day, score,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY score, user_id) AS rk FROM u),
+        |n AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+        |      FROM u GROUP BY 1, 2),
+        |cuts AS (SELECT DISTINCT event_type, day, cut FROM (
+        |    SELECT r.event_type, r.day, ((rk - 1) * 10) // n.n + 1 AS d,
+        |      max(score) AS cut
+        |    FROM r JOIN n ON r.event_type = n.event_type AND r.day = n.day
+        |    GROUP BY r.event_type, r.day, d, n.n) WHERE d <= 9),
+        |days AS (SELECT event_type, day,
+        |    lag(day) OVER (PARTITION BY event_type ORDER BY day) AS refday
+        |  FROM (SELECT DISTINCT event_type, day FROM u)),
+        |mx AS (SELECT event_type, max(day) AS md FROM u GROUP BY 1),
+        |bc AS (SELECT d.event_type, d.day, u.user_id,
+        |    CAST(1 + (SELECT count(*) FROM cuts
+        |      WHERE cuts.event_type = d.event_type AND cuts.day = d.refday
+        |        AND u.score > cuts.cut) AS BIGINT) AS bin
+        |  FROM days d JOIN u ON u.event_type = d.event_type AND u.day = d.day
+        |  WHERE d.refday IS NOT NULL),
+        |br AS (SELECT d.event_type, d.day, u.user_id,
+        |    CAST(1 + (SELECT count(*) FROM cuts
+        |      WHERE cuts.event_type = d.event_type AND cuts.day = d.refday
+        |        AND u.score > cuts.cut) AS BIGINT) AS bin
+        |  FROM days d JOIN u ON u.event_type = d.event_type AND u.day = d.refday
+        |  WHERE d.refday IS NOT NULL),
+        |ra AS (SELECT event_type, day, bin, CAST(count(*) AS BIGINT) AS n_ref
+        |       FROM br GROUP BY 1, 2, 3),
+        |ca AS (SELECT event_type, day, bin, CAST(count(*) AS BIGINT) AS n_cur
+        |       FROM bc GROUP BY 1, 2, 3),
+        |nr AS (SELECT d.event_type, d.day, CAST(count(*) AS BIGINT) AS n FROM days d
+        |       JOIN u ON u.event_type = d.event_type AND u.day = d.refday
+        |       GROUP BY 1, 2),
+        |nc AS (SELECT d.event_type, d.day, CAST(count(*) AS BIGINT) AS n FROM days d
+        |       JOIN u ON u.event_type = d.event_type AND u.day = d.day
+        |       WHERE d.refday IS NOT NULL GROUP BY 1, 2)
+        |SELECT COALESCE(ra.event_type, ca.event_type) AS event_type,
+        |  COALESCE(ra.day, ca.day) AS day,
+        |  COALESCE(ra.bin, ca.bin) AS bin,
+        |  COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur,
+        |  abs(COALESCE(n_ref, 0) * 1000000 // nr.n
+        |    - COALESCE(n_cur, 0) * 1000000 // nc.n) AS gap_micro,
+        |  CAST(floor((CAST(greatest(COALESCE(n_cur, 0), 1) AS DOUBLE) / nc.n
+        |        - CAST(greatest(COALESCE(n_ref, 0), 1) AS DOUBLE) / nr.n)
+        |      * ln((CAST(greatest(COALESCE(n_cur, 0), 1) AS DOUBLE) / nc.n)
+        |        / (CAST(greatest(COALESCE(n_ref, 0), 1) AS DOUBLE) / nr.n))
+        |      * 1000000.0) AS BIGINT) AS psi_micro
+        |FROM ra FULL OUTER JOIN ca ON ra.event_type = ca.event_type
+        |  AND ra.day = ca.day AND ra.bin = ca.bin
+        |JOIN nr ON nr.event_type = COALESCE(ra.event_type, ca.event_type)
+        |  AND nr.day = COALESCE(ra.day, ca.day)
+        |JOIN nc ON nc.event_type = COALESCE(ra.event_type, ca.event_type)
+        |  AND nc.day = COALESCE(ra.day, ca.day)
+        |JOIN mx ON mx.event_type = COALESCE(ra.event_type, ca.event_type)
+        |WHERE COALESCE(ra.day, ca.day) < mx.md
         |ORDER BY 1, 2, 3""".stripMargin,
     // Streaming drift monitor: the from-scratch drift trend minus the
     // final day (still open when the stream stopped — never emitted).

@@ -494,6 +494,93 @@ object ScoreStats {
       Seq(col("__g").as(outGroupCol), col("__k").as(outKeyCol)))
   }
 
+  /**
+   * GROUPED drift-monitoring tick — [[applyDriftMonitorBatch]] with
+   * per-group closure: the maintained key is `struct(group, day)`, and a
+   * (group, day) closes when a LATER day arrives in ITS OWN group (one
+   * group's stream can run ahead of another's). Emits each newly-closed
+   * (group, day)'s drift rows vs that group's previous day, appended to
+   * `driftTable` — same exactly-once contract (the `__gen`-guarded fold,
+   * a (group, day)-level anti-join, one `insertInto`; a crash between
+   * fold and emission self-heals next tick).
+   *
+   * Scale shape per tick: the distinct (group, day) axis (never the
+   * stats history) is materialized; closure and adjacency are ONE lag/
+   * lead window partitioned by group — no driver-side collect at all,
+   * no matter how many groups exist — and the drift arithmetic runs over
+   * the newly-closed keys' (plus predecessors') score-grain rows only.
+   */
+  def applyGroupedDriftMonitorBatch(
+      statsTable: String,
+      driftTable: String,
+      keyCol: Column,
+      scoreCol: Column,
+      labelCol: Column,
+      groupField: String,
+      dayField: String,
+      outGroupCol: String = "group",
+      outKeyCol: String = "day"
+  )(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    applyBatchBy(statsTable, Some(keyCol), scoreCol, labelCol)(batch, batchId)
+    val axis = readBy(spark, statsTable, keyed = true)
+      .select(col(s"__k.$groupField").as("__g"), col(s"__k.$dayField").as("__k"))
+      .distinct().localCheckpoint()
+    // closed (a later day exists in the group) AND has a predecessor
+    val w = Window.partitionBy(col("__g")).orderBy(col("__k"))
+    val closed = axis
+      .withColumn("__kref", lag(col("__k"), 1).over(w))
+      .withColumn("__next", lead(col("__k"), 1).over(w))
+      .filter(col("__kref").isNotNull && col("__next").isNotNull)
+      .select(col("__g"), col("__k"), col("__kref"))
+    val emitted =
+      if (spark.catalog.tableExists(driftTable))
+        spark.table(driftTable)
+          .select(col(outGroupCol).as("__g"), col(outKeyCol).as("__k")).distinct()
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], axis.schema)
+    val candidates = closed.join(emitted, Seq("__g", "__k"), "left_anti")
+      .localCheckpoint()
+    if (candidates.isEmpty) return
+    val involved = candidates.select(col("__g"), col("__k"))
+      .union(candidates.select(col("__g"), col("__kref").as("__k"))).distinct()
+    val stats = readBy(spark, statsTable, keyed = true)
+    val rows = driftByAdjacentKeyGroupedFromStats(
+      stats.join(involved,
+        stats(s"__k.$groupField") === involved("__g") &&
+          stats(s"__k.$dayField") === involved("__k"),
+        "leftsemi"),
+      groupField, dayField, outGroupCol, outKeyCol)
+      .join(candidates.select(col("__g").as(outGroupCol), col("__k").as(outKeyCol)),
+        Seq(outGroupCol, outKeyCol), "leftsemi")
+    if (!spark.catalog.tableExists(driftTable))
+      Bucketing.materializePlain(rows, driftTable)
+    else
+      rows.select(spark.table(driftTable).columns.map(col).toSeq: _*)
+        .write.insertInto(driftTable)
+  }
+
+  /** Streaming twin of the GROUPED monitor — see
+    * [[applyGroupedDriftMonitorBatch]] for the per-group closure and
+    * exactly-once contracts. */
+  def groupedDriftMonitorStream(
+      stream: DataFrame,
+      statsTable: String,
+      driftTable: String,
+      keyCol: Column,
+      scoreCol: Column,
+      labelCol: Column,
+      groupField: String,
+      dayField: String,
+      outGroupCol: String = "group",
+      outKeyCol: String = "day"
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch(applyGroupedDriftMonitorBatch(
+        statsTable, driftTable, keyCol, scoreCol, labelCol,
+        groupField, dayField, outGroupCol, outKeyCol) _)
+
   /** Is this (checkpointed) distinct key axis small enough to broadcast
     * and lag-window in one partition? ≤ max(4096, 64·P), or
     * ≤ `plainAxisLimit` when set for tests. ONE count; callers share the

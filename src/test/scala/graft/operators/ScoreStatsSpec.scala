@@ -492,6 +492,54 @@ class ScoreStatsSpec extends SparkSpec {
     }
   }
 
+  test("applyGroupedDriftMonitorBatch: closure is PER GROUP; replay no-ops; one group running ahead closes only its own days") {
+    try {
+      val rows = (1 to 1200).map { i =>
+        (s"g${i % 2}", s"2024-01-0${(i / 2) % 4 + 1}", i.toLong,
+          ((i * 37) % 25).toLong + (i % 5) + (i % 2) * 3, 0L)
+      }
+      val df = rows.toDF("g", "d", "id", "s", "y")
+      val tick = ScoreStats.applyGroupedDriftMonitorBatch(
+        "spec_gdm_stats", "spec_gdm_drift", struct(col("g"), col("d")),
+        col("s"), col("y"), "g", "d", outGroupCol = "grp", outKeyCol = "day") _
+      def table() =
+        if (!spark.catalog.tableExists("spec_gdm_drift"))
+          Set.empty[(String, String, Long, Long, Long, Long, Long)]
+        else spark.table("spec_gdm_drift").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+      val full = ScoreStats.driftByAdjacentKeyGroupedFromStats(
+        ScoreStats.fromScoredKeyed(df, struct(col("g"), col("d")), col("s"), col("y")),
+        "g", "d", "grp", "day")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+      // epoch 0: both groups get d1-d2 → d1 closes in both but has no
+      // predecessor; epoch 1: ONLY g0 gets d3-d4 → g0's d2, d3 close
+      // while g1 (still at d2 open) emits nothing
+      tick(df.filter(col("d") <= "2024-01-02"), 0L)
+      assert(table().isEmpty)
+      tick(df.filter(col("g") === "g0" && col("d") >= "2024-01-03"), 1L)
+      assert(table() === full.filter(r => r._1 == "g0" && r._2 < "2024-01-04"))
+      // replay: guarded fold + anti-joined emission — no change
+      tick(df.filter(col("g") === "g0" && col("d") >= "2024-01-03"), 1L)
+      assert(table() === full.filter(r => r._1 == "g0" && r._2 < "2024-01-04"))
+      // g1 catches up → its d2, d3 close; g0 emits nothing new
+      tick(df.filter(col("g") === "g1" && col("d") >= "2024-01-03"), 2L)
+      assert(table() === full.filter(_._2 < "2024-01-04"))
+      // crash between fold and emission: a d5 batch lands via appendKeyed
+      // for g0 only, then an empty tick heals — g0's d4 closes, g1's not
+      val d5 = (1 to 40).map(i => ("g0", "2024-01-05", 5000L + i, (i % 9).toLong, 0L))
+        .toDF("g", "d", "id", "s", "y")
+      ScoreStats.appendKeyed(d5, struct(col("g"), col("d")), col("s"), col("y"),
+        "spec_gdm_stats", batchId = 3L)
+      tick(df.filter(lit(false)), 4L)
+      assert(table() === full.filter(r => r._2 < "2024-01-04" || r._1 == "g0"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS spec_gdm_stats")
+      spark.sql("DROP TABLE IF EXISTS spec_gdm_drift")
+    }
+  }
+
   test("adjacentPairs: the large-axis rank path equals the plain lag window") {
     val keys = (1 to 500).map(i => f"k${(i * 37) % 997}%04d").distinct.toDF("__k")
     def pairs(limit: Long) = ScoreStats.adjacentPairs(keys, plainAxisLimit = limit)
