@@ -230,19 +230,43 @@ object Bucketing {
     * [[TableStats]]). */
   private val statsPendingKey = "graft.stats.pending"
 
+  /** The footprint is stored as a JSON string array — column names may
+    * legally contain commas (or any character), so a comma-joined list
+    * would corrupt the refresh into ANALYZEing nonexistent columns. */
+  private def encodeStatsFootprint(cols: Seq[String]): String =
+    cols.map(c =>
+      "\"" + c.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+
+  private def decodeStatsFootprint(spec: String): Seq[String] =
+    if (spec.startsWith("[")) {
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(spec) match {
+        case JArray(vs) => vs.collect { case JString(s) => s }
+        case _          => Nil
+      }
+    } else // legacy comma-joined marker from a pre-upgrade crash window
+      spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+
   private def markPendingStats(
       spark: org.apache.spark.sql.SparkSession,
       stagedTable: String,
       prior: Option[Seq[String]]
   ): Unit =
     prior.foreach { cols =>
+      val json = encodeStatsFootprint(cols).replace("'", "''")
       spark.sql(s"ALTER TABLE `$stagedTable` SET TBLPROPERTIES " +
-        s"('$statsPendingKey' = '${cols.mkString(",")}')")
+        s"('$statsPendingKey' = '$json')")
     }
 
   /** Complete a pending statistics refresh on `table` (no-op without the
     * marker property): ANALYZE the recorded footprint, then clear the
-    * marker — in that order, so a crash mid-refresh retries next time. */
+    * marker — in that order, so a crash mid-refresh retries next time.
+    * The footprint is validated against the LIVE schema first: a rewrite
+    * may have dropped, renamed, or retyped (to TimestampNTZ) a
+    * previously-analyzed column, and ANALYZEing a stale name would throw
+    * on every later [[recoverSwap]] — bricking the table until a manual
+    * UNSET. Dropped columns degrade to table-level stats instead. */
   private def completePendingStats(
       spark: org.apache.spark.sql.SparkSession,
       table: String
@@ -250,8 +274,11 @@ object Bucketing {
     val props = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table)).properties
     props.get(statsPendingKey).foreach { spec =>
-      TableStats.collectStats(spark, table,
-        spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      val live = spark.table(table).schema.fields
+      val survivors = decodeStatsFootprint(spec).filter(c =>
+        live.exists(f => f.name.equalsIgnoreCase(c) &&
+          f.dataType != org.apache.spark.sql.types.TimestampNTZType))
+      TableStats.collectStats(spark, table, survivors)
       spark.sql(s"ALTER TABLE `$table` UNSET TBLPROPERTIES ('$statsPendingKey')")
     }
   }

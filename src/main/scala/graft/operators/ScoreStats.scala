@@ -485,12 +485,13 @@ object ScoreStats {
     // its (group, day) key, nothing driver-sized either way.
     val axis = s.select(col("__g"), col("__k")).distinct().localCheckpoint()
     val small = axisIsSmall(axis, plainAxisLimit)
-    val pairs = axis
+    val gate: DataFrame => DataFrame =
+      axisSized => if (small) broadcast(axisSized) else axisSized
+    val pairs = gate(axis
       .withColumn("__kref",
         lag(col("__k"), 1).over(Window.partitionBy(col("__g")).orderBy(col("__k"))))
-      .filter(col("__kref").isNotNull)
-    driftTrendCore(s, Seq("__g"), pairs,
-      axisSized => if (small) broadcast(axisSized) else axisSized,
+      .filter(col("__kref").isNotNull))
+    driftTrendCore(s, Seq("__g"), pairs, gate,
       Seq(col("__g").as(outGroupCol), col("__k").as(outKeyCol)))
   }
 

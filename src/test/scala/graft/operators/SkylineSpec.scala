@@ -97,6 +97,20 @@ class SkylineSpec extends SparkSpec {
     }
   }
 
+  test("skyline2d resolves coordinate names case-insensitively (routing must not throw pre-path)") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 300).map(i => (rnd.nextInt(40).toLong, rnd.nextInt(40).toDouble))
+    val df = rows.toDF("xVal", "yVal")
+    // case-mismatched names resolved fine via col() on the exact path
+    // before r16; the two-phase routing's exact StructType lookup threw.
+    // Both spellings must agree (and neither may throw).
+    val got = Skyline.skyline2d(df, "XVAL", "yval")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val want = Skyline.skyline2d(df, "xVal", "yVal")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got === want)
+  }
+
   test("localFrontier ordering matches SQL: -0.0/0.0 ties survive, supplementary-char strings, NaN largest") {
     // -0.0 and 0.0 are a SQL tie on x: with equal y BOTH rows are on the
     // frontier; a Double.compareTo staircase (-0.0 < 0.0) would drop one

@@ -115,6 +115,42 @@ class TableStatsSpec extends SparkSpec {
     }
   }
 
+  test("schema-changing rewrite degrades to table-level stats (no sticky pending-refresh failure)") {
+    try {
+      val df = (1 to 12).map(i => (i.toLong, i * 2L, s"s$i")).toDF("k", "dropped", "renamed")
+      Bucketing.materializePlain(df, "spec_ts_drift")
+      TableStats.collectStats(spark, "spec_ts_drift", Seq("k", "dropped", "renamed"))
+      // the rewrite drops one analyzed column and renames another: the
+      // recorded footprint must be intersected with the LIVE schema, not
+      // ANALYZEd verbatim (which would throw on every later recoverSwap,
+      // bricking the table until a manual UNSET TBLPROPERTIES)
+      Bucketing.swapInPlain(
+        spark.table("spec_ts_drift").drop("dropped")
+          .withColumnRenamed("renamed", "renamed2"), "spec_ts_drift")
+      assert(TableStats.rowCount(spark, "spec_ts_drift") === Some(BigInt(12)))
+      val stats = TableStats.readStats(spark, "spec_ts_drift").collect()
+      assert(stats.exists(r => r.getString(0) == "k" && r.getString(1) == "max"))
+      assert(!stats.exists(r => r.getString(0) == "dropped"))
+      // marker cleared — the refresh completed rather than throwing
+      assert(!spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("spec_ts_drift"))
+        .properties.contains("graft.stats.pending"))
+      Bucketing.recoverSwap(spark, "spec_ts_drift") // must stay a no-op
+    } finally spark.sql("DROP TABLE IF EXISTS spec_ts_drift")
+  }
+
+  test("pending-stats footprint survives a comma in a column name (JSON-encoded marker)") {
+    try {
+      val df = (1 to 9).map(i => (i.toLong, i * 5L)).toDF("k", "a,b")
+      Bucketing.materializePlain(df, "spec_ts_comma")
+      TableStats.collectStats(spark, "spec_ts_comma", Seq("k", "a,b"))
+      Bucketing.swapInPlain(spark.table("spec_ts_comma"), "spec_ts_comma")
+      val stats = TableStats.readStats(spark, "spec_ts_comma").collect()
+      assert(stats.exists(r => r.getString(0) == "a,b" && r.getString(1) == "max"))
+      assert(stats.exists(r => r.getString(0) == "k" && r.getString(1) == "max"))
+    } finally spark.sql("DROP TABLE IF EXISTS spec_ts_comma")
+  }
+
   test("readStats without collectStats fails loudly") {
     try {
       Bucketing.materializePlain(Seq(1L).toDF("x"), "spec_tablestats_none")
