@@ -193,16 +193,23 @@ object Skyline {
   /**
    * Phase 1 of the two-phase skyline: stream each partition ONCE through
    * an in-memory staircase (the classic 2-D frontier structure: x-sorted
-   * TreeMap with y strictly decreasing, O(log F) per row) and keep only
-   * rows whose (x, y) is on some partition's local frontier — a row
-   * undominated globally is undominated within its partition, so the
-   * union of local frontiers contains the exact answer. The pruning pass
-   * is a map-only scan of just the two coordinate columns; no
-   * input-sized shuffle anywhere — downstream is survivor-sized.
+   * TreeMap with y strictly decreasing, O(log F) per row) and emit only
+   * that partition's local frontier — a row undominated globally is
+   * undominated within its partition, so the union of local frontiers
+   * contains the exact answer. ONE map-only base scan, rows out, no
+   * input-sized shuffle at all — downstream is survivor-sized.
    *
-   * Ties on both coordinates survive together (they share the surviving
-   * pair the semi-join keeps). Null coordinates are dropped, matching
-   * [[skyline2d]].
+   * A slim-projection variant (staircase only (x, y), emit surviving
+   * pairs, semi-join the originals back) was A/B'd in round 17 to cut
+   * the per-row external-Row conversion, and lost at EVERY width — even
+   * a 9-column frame ran rows 1.69 s vs slim 3.92 s at sf10 (narrow:
+   * 1.12 s vs 4.21 s): the second scan + join dominates whatever the
+   * conversion saves. Negative recorded in BASELINE.md; this single-pass
+   * spelling is unconditional.
+   *
+   * Ties on both coordinates survive together (the staircase buffers
+   * every row of a frontier (x, y) point). Null coordinates are dropped,
+   * matching [[skyline2d]].
    *
    * Memory: the staircase holds one partition's frontier CANDIDATES —
    * expected O(√n) for independent dimensions, worst-case the whole
@@ -220,58 +227,40 @@ object Skyline {
     require(groupCols.isEmpty,
       "localFrontier is ungrouped-only — the grouped two-phase A/B ran " +
         "negative (see skyline2d's doc); grouped skylines take the exact path")
-    // The staircase runs over a TWO-COLUMN projection, not the full rows:
-    // deserializing complete external Rows for every input row was the
-    // dominant cost of the r16 one-pass spelling (the parquet scan read
-    // every column and the encoder converted every field both ways). The
-    // slim pass reads only (x, y) from the scan (column pruning reaches
-    // parquet) and emits only the surviving PAIRS — one per staircase
-    // step, no row buffering — then a semi-join fetches the original rows
-    // whose coordinates survived. Domination is a function of (x, y)
-    // alone, so any row sharing a surviving pair is equally undominated
-    // locally: the semi-join keeps a superset of the per-partition
-    // survivors, which the exact phase then reduces — same answer.
-    // Join equality matches sqlOrdering()==0 (Spark normalizes -0.0 to
-    // 0.0 in join keys and treats NaN as self-equal). The pairs side is
-    // NOT hint-broadcast: its worst case is input-sized (perfectly
-    // anti-correlated data), so AQE picks broadcast from the MEASURED
-    // size — small frontiers broadcast, adversarial ones shuffle.
-    val slim = df.select(df(xCol).as("__sk_x"), df(yCol).as("__sk_y"))
+    val xi = df.schema.fieldIndex(xCol)
+    val yi = df.schema.fieldIndex(yCol)
     val cmpX = sqlOrdering(df.schema(xCol).dataType)
     val cmpY = sqlOrdering(df.schema(yCol).dataType)
-    val pairs = slim.mapPartitions { it =>
-      val stairs = new java.util.TreeMap[Any, Any](
+    df.mapPartitions { it =>
+      val stairs = new java.util.TreeMap[Any, (Any, scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row])](
         new java.util.Comparator[Any] { def compare(a: Any, b: Any): Int = cmpX(a, b) })
       it.foreach { row =>
-        if (!row.isNullAt(0) && !row.isNullAt(1)) {
-          val x = row.get(0); val y = row.get(1)
+        if (!row.isNullAt(xi) && !row.isNullAt(yi)) {
+          val x = row.get(xi); val y = row.get(yi)
           // best candidate dominator is the floor point (greatest x' ≤ x):
           // the staircase's y decreases in x, so smaller x' have larger y'
           val fl = stairs.floorEntry(x)
           val dominated = fl != null && {
-            val cy = cmpY(fl.getValue, y)
+            val cy = cmpY(fl.getValue._1, y)
             if (cmpX(fl.getKey, x) < 0) cy <= 0 else cy < 0
           }
           if (!dominated) {
             val cur = stairs.get(x)
-            if (cur == null || cmpY(cur, y) > 0) { // new x, or strictly lower y
-              stairs.put(x, y)
-              // evict now-dominated points: strictly larger x with y' ≥ y
-              var hi = stairs.higherEntry(x)
-              while (hi != null && cmpY(hi.getValue, y) >= 0) {
-                stairs.remove(hi.getKey)
-                hi = stairs.higherEntry(x)
-              }
-            } // cmpY(cur, y) == 0: pair already on the staircase
+            if (cur != null && cmpY(cur._1, y) == 0) cur._2 += row // (x,y) tie
+            else stairs.put(x,
+              (y, scala.collection.mutable.ArrayBuffer(row))) // new/lower y
+            // evict now-dominated points: strictly larger x with y' ≥ y
+            var hi = stairs.higherEntry(x)
+            while (hi != null && cmpY(hi.getValue._1, y) >= 0) {
+              stairs.remove(hi.getKey)
+              hi = stairs.higherEntry(x)
+            }
           }
         }
       }
-      scala.jdk.CollectionConverters.SetHasAsScala(stairs.entrySet).asScala
-        .iterator.map(e => org.apache.spark.sql.Row(e.getKey, e.getValue))
-    }(org.apache.spark.sql.Encoders.row(slim.schema))
-    df.join(pairs,
-      df(xCol) === pairs("__sk_x") && df(yCol) === pairs("__sk_y"),
-      "leftsemi")
+      scala.jdk.CollectionConverters.CollectionHasAsScala(stairs.values)
+        .asScala.iterator.flatMap(_._2)
+    }(org.apache.spark.sql.Encoders.row(df.schema))
   }
 
   /** Materialize the frontier of `df` as managed table `table` — seed
