@@ -806,6 +806,27 @@ object SparkEntry {
           sum(when(col("__hi"), lit(0L)).otherwise(lit(1L))).as("low_line_count"))
         .orderBy(col("l_linestatus"))
     },
+    // ---- q12 over the q3/q5 CO-BUCKETED facts (r17, the q12 paired-window
+    // adjudication's plan lever): the orderkey equi-join — the plan's ONLY
+    // fact-sized exchange — becomes storage-partitioned, so the only
+    // remaining shuffle is the 2-group final aggregation. Same oracle as
+    // q12_priority_routing; PlanSpec pins the no-fact-shuffle layout.
+    "q12_bucketed" -> { (s, dir) =>
+      val (lTab, oTab) = ensureBucketedFacts(s, dir)
+      val hi = col("o_orderpriority") === "1-URGENT" ||
+        col("o_orderpriority") === "2-HIGH"
+      s.table(lTab)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+        .select(col("l_orderkey"), col("l_linestatus"))
+        .join(s.table(oTab).select(col("o_orderkey"), hi.as("__hi")).hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("__hi"), lit(1L)).otherwise(lit(0L))).as("high_line_count"),
+          sum(when(col("__hi"), lit(0L)).otherwise(lit(1L))).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    },
     // ---- q17 shape (correlated scalar-aggregate decorrelation): the
     // per-part avg subquery becomes ONE partkey-grained aggregate joined
     // back to the restricted fact rows. The brand filter broadcasts to the
@@ -1517,32 +1538,28 @@ object SparkEntry {
     // anti-join + one insertInto per emission.
     "drift_stream" -> { (s, dir) =>
       Fixtures.cached(s"drift_stream|$dir") {
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        import s.implicits._
-        val all = perUserDayScores(s, dir).collect().toSeq
-          .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
-        val days = all.map(_._1).distinct.sorted
+        // De-collected (r17): the monitor is fed day-ranged SLICES of the
+        // executor-resident frame through the same foreachBatch body the
+        // streaming wrapper runs (batchIds 0/1/2, exactly what MemoryStream
+        // epochs produced) — the old feed collected every user-grain row to
+        // the driver, a shape that dies at a larger sf. Only the ~30-value
+        // day AXIS is collected, to pick the epoch cuts. The writeStream
+        // wrapper itself stays covered by ScoreStatsSpec's MemoryStream test.
+        val scored = perUserDayScores(s, dir).localCheckpoint()
+        val days = scored.select(col("day")).distinct().orderBy(col("day"))
+          .collect().map(_.getString(0)).toSeq
         val (c1, c2) = (days(days.length / 3), days(2 * days.length / 3))
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(String, Long, Long, Long)]
         s.sql("DROP TABLE IF EXISTS graft_driftmon_stats")
         s.sql("DROP TABLE IF EXISTS graft_driftmon")
-        val q = graft.operators.ScoreStats.driftMonitorStream(
-          mem.toDF().toDF("day", "user_id", "score", "label"),
+        val tick = graft.operators.ScoreStats.applyDriftMonitorBatch(
           "graft_driftmon_stats", "graft_driftmon",
-          col("day"), col("score"), col("label"), outKeyCol = "day").start()
-        try {
-          Seq(all.filter(_._1 < c1),
-            all.filter(x => x._1 >= c1 && x._1 < c2),
-            all.filter(_._1 >= c2))
-            .foreach { e => mem.addData(e); q.processAllAvailable() }
-        } finally q.stop()
+          col("day"), col("score"), col("label"), outKeyCol = "day") _
+        tick(scored.filter(col("day") < c1), 0L)
+        tick(scored.filter(col("day") >= c1 && col("day") < c2), 1L)
+        tick(scored.filter(col("day") >= c2), 2L)
         // crash-replay of the last epoch: the fold no-ops on the __gen
         // guard and the emission anti-joins to nothing
-        graft.operators.ScoreStats.applyDriftMonitorBatch(
-          "graft_driftmon_stats", "graft_driftmon",
-          col("day"), col("score"), col("label"), outKeyCol = "day")(
-          all.filter(_._1 >= c2).toDF("day", "user_id", "score", "label"), 2L)
+        tick(scored.filter(col("day") >= c2), 2L)
         java.lang.Boolean.TRUE
       }
       s.table("graft_driftmon").orderBy(col("day"), col("bin"))
@@ -1579,9 +1596,10 @@ object SparkEntry {
     // drift_stream, at (group, day) grain.
     "drift_stream_by_type" -> { (s, dir) =>
       Fixtures.cached(s"drift_stream_by_type|$dir") {
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        import s.implicits._
-        val all = events(s, dir)
+        // De-collected (r17), same shape as drift_stream: day-ranged slices
+        // of the executor-resident frame drive the foreachBatch body
+        // directly; only the day axis reaches the driver.
+        val scored = events(s, dir)
           .filter(col("user_id").isNotNull && col("ts").isNotNull &&
             col("event_type").isNotNull)
           .groupBy(col("event_type"),
@@ -1589,35 +1607,23 @@ object SparkEntry {
             col("user_id"))
           .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
             .as("score"))
-          .collect().toSeq
-          .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3)))
-        val days = all.map(_._2).distinct.sorted
+          .withColumn("label", lit(0L))
+          .localCheckpoint()
+        val days = scored.select(col("day")).distinct().orderBy(col("day"))
+          .collect().map(_.getString(0)).toSeq
         val (c1, c2) = (days(days.length / 3), days(2 * days.length / 3))
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(String, String, Long, Long)]
         s.sql("DROP TABLE IF EXISTS graft_gdriftmon_stats")
         s.sql("DROP TABLE IF EXISTS graft_gdriftmon")
-        val q = graft.operators.ScoreStats.groupedDriftMonitorStream(
-          mem.toDF().toDF("event_type", "day", "user_id", "score")
-            .withColumn("label", lit(0L)),
+        val tick = graft.operators.ScoreStats.applyGroupedDriftMonitorBatch(
           "graft_gdriftmon_stats", "graft_gdriftmon",
           struct(col("event_type"), col("day")), col("score"), col("label"),
           "event_type", "day",
-          outGroupCol = "event_type", outKeyCol = "day").start()
-        try {
-          Seq(all.filter(_._2 < c1),
-            all.filter(x => x._2 >= c1 && x._2 < c2),
-            all.filter(_._2 >= c2))
-            .foreach { e => mem.addData(e); q.processAllAvailable() }
-        } finally q.stop()
+          outGroupCol = "event_type", outKeyCol = "day") _
+        tick(scored.filter(col("day") < c1), 0L)
+        tick(scored.filter(col("day") >= c1 && col("day") < c2), 1L)
+        tick(scored.filter(col("day") >= c2), 2L)
         // crash-replay of the last epoch: guarded fold, anti-joined emit
-        graft.operators.ScoreStats.applyGroupedDriftMonitorBatch(
-          "graft_gdriftmon_stats", "graft_gdriftmon",
-          struct(col("event_type"), col("day")), col("score"), col("label"),
-          "event_type", "day",
-          outGroupCol = "event_type", outKeyCol = "day")(
-          all.filter(_._2 >= c2).toDF("event_type", "day", "user_id", "score")
-            .withColumn("label", lit(0L)), 2L)
+        tick(scored.filter(col("day") >= c2), 2L)
         java.lang.Boolean.TRUE
       }
       s.table("graft_gdriftmon")
@@ -6614,19 +6620,20 @@ object SparkEntry {
   /** Materialize the co-bucketed fact tables once per (dir, catalog) —
     * dir-scoped names + a catalog existence check, NOT a process-wide memo:
     * a dropped table (test cleanup) or a second data dir re-materializes
-    * instead of reading stale or missing tables. Shared by q3_bucketed and
-    * q5_bucketed, so the projection carries both queries' columns. */
+    * instead of reading stale or missing tables. Shared by q3_bucketed,
+    * q5_bucketed and q12_bucketed, so the projection carries all three
+    * queries' columns. */
   private def ensureBucketedFacts(s: SparkSession, dir: String): (String, String) = {
     val (lTab, oTab) = q3BucketedTables(dir)
     // presence AND schema: a table materialized by an older projection
-    // (e.g. pre-l_suppkey) must re-materialize, not fail analysis forever
+    // (e.g. pre-l_linestatus) must re-materialize, not fail analysis forever
     def ok(tab: String, needed: String): Boolean =
       s.catalog.tableExists(tab) && s.table(tab).columns.contains(needed)
-    if (!ok(lTab, "l_suppkey") || !ok(oTab, "o_custkey")) {
+    if (!ok(lTab, "l_linestatus") || !ok(oTab, "o_custkey")) {
       graft.operators.Bucketing.materializeBucketed(
         t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
-            col("l_discount"), col("l_shipdate")),
+            col("l_discount"), col("l_shipdate"), col("l_linestatus")),
         lTab, "l_orderkey", FactBuckets, Seq("l_orderkey"))
       graft.operators.Bucketing.materializeBucketed(
         t(s, dir, "orders")
@@ -6646,6 +6653,20 @@ object SparkEntry {
       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** Shared by q12_priority_routing and q12_bucketed (same values, the
+    * bucketed entry differs only in storage layout / join strategy).
+    * Conditional counts are exact integers — no float risk. */
+  private val q12Oracle: String =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
   /** Shared by q5_local_supplier_volume and q5_bucketed (same values, the
     * bucketed entry differs only in storage layout / join strategy). */
@@ -7319,16 +7340,10 @@ object SparkEntry {
         |WHERE year(o_orderdate) BETWEEN 1996 AND 1999
         |GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin,
     // q12: conditional counts are exact integers — no float risk.
-    "q12_priority_routing" ->
-      """SELECT l_linestatus,
-        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q12_priority_routing" -> q12Oracle,
+    // Same values as q12 — the bucketed entry differs only in storage
+    // layout / join strategy (the q3/q5 discipline).
+    "q12_bucketed" -> q12Oracle,
     // q17: correlated scalar avg, cross-multiplied (5*qty*n < sum) so both
     // engines compare exact decimals instead of divided averages.
     "q17_small_quantity" ->

@@ -221,6 +221,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("co-bucketed q12: the orderkey fact join runs with zero shuffle exchanges") {
+    // r17: the q12 adjudication's plan lever — the one fact-sized exchange
+    // in q12's plan (the orderkey equi-join) must be satisfied by the
+    // stored bucketing; the only shuffle left is the 2-group aggregation.
+    val dir = "/root/testdata/sf0.001"
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // the at-scale case
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // static plan for collect()
+    try {
+      val b = graft.SparkEntry.queries("q12_bucketed")(spark, dir)
+      val factShuffles = b.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.toString.toLowerCase.contains("orderkey") => e
+      }
+      assert(factShuffles.isEmpty, b.queryExecution.executedPlan.toString)
+      assert(b.queryExecution.executedPlan.toString.contains("Bucketed: true"))
+      // and the values are exactly the plain q12 entry's
+      assertSameRows(
+        b,
+        graft.SparkEntry.queries("q12_priority_routing")(spark, dir),
+        ordered = true)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      val (lTab, oTab) = graft.SparkEntry.q3BucketedTables(dir)
+      spark.sql(s"DROP TABLE IF EXISTS $lTab")
+      spark.sql(s"DROP TABLE IF EXISTS $oTab")
+    }
+  }
+
   test("text operators are map-only: zero shuffles in their plans") {
     // these process 100 TB as a single scan-project pass — a shuffle
     // appearing in any of them is a scale regression

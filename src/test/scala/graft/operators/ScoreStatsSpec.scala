@@ -540,6 +540,59 @@ class ScoreStatsSpec extends SparkSpec {
     }
   }
 
+  test("driftMonitorStream / groupedDriftMonitorStream: the writeStream wrappers drive the batch cores") {
+    // r17: the bench entries now feed the foreachBatch bodies directly
+    // (no user-grain collect), so the thin writeStream wrappers get their
+    // own MemoryStream coverage here — tiny synthetic epochs, by design.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    try {
+      val rows = (1 to 400).map { i =>
+        (s"2024-01-0${i % 4 + 1}", i.toLong, ((i * 37) % 25).toLong + (i % 4) * 3, 0L)
+      }
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long, Long, Long)]
+      val q = ScoreStats.driftMonitorStream(
+        mem.toDF().toDF("k", "id", "s", "y"),
+        "spec_dms_stats", "spec_dms_drift",
+        col("k"), col("s"), col("y"), outKeyCol = "day").start()
+      try {
+        Seq(rows.filter(_._1 <= "2024-01-02"), rows.filter(_._1 >= "2024-01-03"))
+          .foreach { e => mem.addData(e); q.processAllAvailable() }
+      } finally q.stop()
+      val full = ScoreStats.driftByAdjacentKeyFromStats(
+        ScoreStats.fromScoredKeyed(rows.toDF("k", "id", "s", "y"),
+          col("k"), col("s"), col("y")), "day")
+        .collect().map(_.toSeq).toSet
+      val got = spark.table("spec_dms_drift").collect().map(_.toSeq).toSet
+      assert(got === full.filter(_.head.asInstanceOf[String] < "2024-01-04") && got.nonEmpty)
+
+      val grows = (1 to 600).map { i =>
+        (s"g${i % 2}", s"2024-01-0${(i / 2) % 4 + 1}", i.toLong,
+          ((i * 37) % 25).toLong + (i % 5) + (i % 2) * 3, 0L)
+      }
+      val gmem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, String, Long, Long, Long)]
+      val gq = ScoreStats.groupedDriftMonitorStream(
+        gmem.toDF().toDF("g", "d", "id", "s", "y"),
+        "spec_gdms_stats", "spec_gdms_drift",
+        struct(col("g"), col("d")), col("s"), col("y"), "g", "d",
+        outGroupCol = "grp", outKeyCol = "day").start()
+      try {
+        Seq(grows.filter(_._2 <= "2024-01-02"), grows.filter(_._2 >= "2024-01-03"))
+          .foreach { e => gmem.addData(e); gq.processAllAvailable() }
+      } finally gq.stop()
+      val gfull = ScoreStats.driftByAdjacentKeyGroupedFromStats(
+        ScoreStats.fromScoredKeyed(grows.toDF("g", "d", "id", "s", "y"),
+          struct(col("g"), col("d")), col("s"), col("y")), "g", "d", "grp", "day")
+        .collect().map(_.toSeq).toSet
+      val ggot = spark.table("spec_gdms_drift").collect().map(_.toSeq).toSet
+      assert(ggot === gfull.filter(_(1).asInstanceOf[String] < "2024-01-04") && ggot.nonEmpty)
+    } finally {
+      Seq("spec_dms_stats", "spec_dms_drift", "spec_gdms_stats", "spec_gdms_drift")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("adjacentPairs: the large-axis rank path equals the plain lag window") {
     val keys = (1 to 500).map(i => f"k${(i * 37) % 997}%04d").distinct.toDF("__k")
     def pairs(limit: Long) = ScoreStats.adjacentPairs(keys, plainAxisLimit = limit)
