@@ -2129,11 +2129,16 @@ object SparkEntry {
     // primitive a planner consults before picking a join strategy,
     // without touching either table at estimation time.
     "cms_join_size" -> { (s, dir) =>
-      val sk = (tn: String, c: String) => graft.operators.Sketches.cmsSketch(
-        t(s, dir, tn).select(col(c).cast("string").as("k")), "k",
-        depth = 4, width = 1024)
+      // lineitem's l_orderkey repeats ~4x at every SF, so its sketch
+      // pre-aggregates by key (hash per distinct key — measured 2.4->1.3 s
+      // at sf0.1, cells bit-identical); o_orderkey is unique, so the
+      // orders side keeps the map-side row-hash path.
+      val sk = (tn: String, c: String, pre: Boolean) =>
+        graft.operators.Sketches.cmsSketch(
+          t(s, dir, tn).select(col(c).cast("string").as("k")), "k",
+          depth = 4, width = 1024, preAggregate = pre)
       graft.operators.Sketches.cmsJoinSize(
-        sk("orders", "o_orderkey"), sk("lineitem", "l_orderkey"))
+        sk("orders", "o_orderkey", false), sk("lineitem", "l_orderkey", true))
     },
     // ---- trailing-7-day distinct users per event type: the rolling
     // window nobody can afford exactly at scale — per-day register

