@@ -44,6 +44,9 @@ object EpochFeed {
   /** Run a streaming frame to completion into a parquet file sink (the
     * de-collected analog of the memory sink: results stay executor/disk
     * resident) and return the data path to read the committed output from.
+    * The sink's per-(batch, partition) output is compacted to one file
+    * afterwards (guide §6): the raw sink leaves ~dozens of tiny files
+    * whose open/list overhead the reading entry would pay on every run.
     */
   def runToParquet(out: DataFrame): String = {
     val root = Files.createTempDirectory("graft-epoch-sink-")
@@ -56,7 +59,10 @@ object EpochFeed {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    data
+    val compact = root.resolve("compact").toString
+    out.sparkSession.read.parquet(data).coalesce(1)
+      .write.mode("overwrite").parquet(compact)
+    compact
   }
 
   /** One epoch -> one parquet file named for its position, mtime-stamped so
